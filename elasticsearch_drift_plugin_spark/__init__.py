@@ -1,0 +1,27 @@
+"""spark-drift: a PySpark-native analytics engine with the query and
+data-processing capabilities of OpenNMS/elasticsearch-drift-plugin.
+
+The reference system (see /root/reference, SURVEY.md) is an Elasticsearch
+plugin implementing one aggregation operator, ``proportional_sum``: a
+date-histogram over per-record time *ranges* where each record credits every
+bucket it overlaps with a share of its value proportional to the time spent
+in that bucket. This package re-expresses that operator — and the host-ES
+surfaces it relies on, plus large-scale training-data-pipeline extensions —
+as idiomatic PySpark: native DataFrame expressions compiled by Catalyst,
+with Structured Streaming for continuous flow ingestion.
+
+Public API
+----------
+- :func:`operators.proportional_sum.proportional_sum` — the core operator.
+- :mod:`sources.flows` — flow-record schemas and derivations.
+- :mod:`operators.dedup`, :mod:`operators.similarity`,
+  :mod:`operators.text`, :mod:`operators.multimodal` — pipeline extensions.
+- :mod:`streaming` — streaming variant of the core operator.
+"""
+
+from .operators.proportional_sum import proportional_sum
+from .params import PSumParams, parse_interval, parse_offset
+
+__all__ = ["proportional_sum", "PSumParams", "parse_interval", "parse_offset"]
+
+__version__ = "0.1.0"

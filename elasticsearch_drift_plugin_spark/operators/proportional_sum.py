@@ -1,0 +1,403 @@
+"""``proportional_sum`` — the reference's one user-visible operator,
+re-expressed as native Spark DataFrame algebra.
+
+Semantics (es-8.18.2 ProportionalSumAggregator.java:71-338, registered
+DriftPlugin.java:29-35): a date-histogram over a per-row time range
+``[start, end]``; the row lands in EVERY bucket its range overlaps, crediting
+each bucket with ``value * overlap/duration`` where ``overlap`` is computed
+against the *unclamped* range (mass outside the query range is dropped, not
+renormalized — ProportionalSumAggregator.java:183-204) and a zero-duration
+row contributes its full value to its single bucket (ratio forced to 1,
+:198-201). Every touched bucket also increments ``doc_count`` — including a
+zero-overlap terminal bucket when a range ends exactly on a boundary (loop is
+``<= lastRounded``, :190, :206-213).
+
+Spark-first design (SURVEY.md §7.2): validate → sampling scale-up → clamp →
+round → ``explode(sequence(first_bucket, last_bucket))`` → overlap/ratio →
+``groupBy(key).agg(sum, count)``. 100% native Catalyst expressions: the whole
+pipeline is whole-stage-codegen'd, aggregation is Tungsten hash agg with
+automatic partial (map-side) + final (post-shuffle) phases — the Spark
+equivalent of the reference's shard-collect + coordinator-reduce
+(InternalProportionalSumHistogram.java:343-416). No UDFs, no RDDs, no
+driver-side loops; the only shuffle is the single groupBy on the bucket key
+(plus one tiny spine join when ``min_doc_count == 0``).
+
+Scale notes (100 TB): the explode fan-out is bounded per row by
+``max_buckets_per_row`` (the circuit-breaker analog —
+InternalProportionalSumHistogram.java:383-387); rows that cannot overlap the
+query range are filtered on the RAW input columns so the predicate pushes
+down to the parquet scan; the pre-shuffle partial aggregation collapses the
+exploded rows to at most (buckets × input-partitions) records before any
+data moves.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+from datetime import datetime, timezone
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.time import (
+    calendar_interval_expr,
+    floor_calendar,
+    floor_fixed_ms,
+    to_epoch_ms,
+)
+from ..params import PSumParams, normalize
+
+# Internal column names (prefixed to avoid collision with user columns).
+_S, _E, _V, _KEY, _WEND, _TB = "__ps_s", "__ps_e", "__ps_v", "key", "__ps_wend", "__ps_tb"
+
+OUTPUT_COLUMNS = ("key", "key_ts", "doc_count", "value")
+
+
+def _ms_param(x) -> int | None:
+    """Accept epoch-ms int, ISO string, or datetime for start/end params."""
+    if x is None or isinstance(x, int):
+        return x
+    if isinstance(x, str):
+        x = datetime.fromisoformat(x.replace("Z", "+00:00"))
+    if isinstance(x, datetime):
+        if x.tzinfo is None:
+            x = x.replace(tzinfo=timezone.utc)
+        return int(x.timestamp() * 1000)
+    raise TypeError(f"cannot interpret {x!r} as epoch ms")
+
+
+def _time_lit(ms: int, dtype: T.DataType) -> Column:
+    """Literal comparable against a raw input column — keeps the overlap
+    pre-filter pushdown-eligible at the parquet scan."""
+    if isinstance(dtype, (T.TimestampType, T.DateType)):
+        return F.timestamp_millis(F.lit(ms))
+    return F.lit(ms)
+
+
+def _check(cond: Column, message: Column, value: Column) -> Column:
+    """Reference-style input validation: abort the query on bad rows
+    (ProportionalSumAggregator.java:143-159 throws IllegalArgumentException)."""
+    return F.when(~cond, F.raise_error(message)).otherwise(value)
+
+
+def proportional_sum(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    value_col: str,
+    sampling_col: str | None = None,
+    *,
+    interval: int | str | None = None,
+    calendar_interval: str | None = None,
+    offset: int | str = 0,
+    start=None,
+    end=None,
+    min_doc_count: int = 1,
+    order: Sequence[tuple[str, bool]] | None = None,
+    group_by: Sequence[str] = (),
+    extra_aggs: Mapping[str, Column] | None = None,
+    extended_bounds: tuple | None = None,
+    key_format: str | None = None,
+    max_buckets_per_row: int = 100_000,
+    max_fill_buckets: int = 1_000_000,
+    validate: bool = True,
+    quantize: int | None = None,
+) -> DataFrame:
+    """Proportionally spread each row's ``value`` over the time buckets its
+    ``[start_col, end_col]`` range overlaps, and aggregate per bucket.
+
+    Positional-field roles ``[start, end, value, sampling]`` from the
+    reference (OrderedValueReferences.java:45-102) become named parameters.
+
+    Parameters
+    ----------
+    interval / calendar_interval
+        Fixed ms (int or ``'90m'``-style) vs calendar unit
+        (``second … year``); the calendar form wins if both are set
+        (ProportionalSumAggregationBuilder.java:247-272).
+    offset
+        Shifts the rounding grid: ``round(t - offset) + offset``
+        (ProportionalSumAggregator.java:183-186). When 0 and ``start`` is
+        set, auto-derived as ``start - round(start)``
+        (ProportionalSumAggregatorFactory.java:94-101).
+    start / end
+        Query-range clamp for bucket *generation*; overlap ratios still use
+        the unclamped row range (ProportionalSumAggregator.java:107-108,
+        :183-186). Accept epoch ms, ISO string, or datetime.
+    min_doc_count
+        Buckets with fewer docs dropped post-agg
+        (InternalProportionalSumHistogram.java:382-387); ``0`` triggers
+        empty-bucket zero-fill (:418-478).
+    group_by
+        Extra grouping dimensions — the Spark form of nesting the operator
+        under another bucket aggregation (ProportionalSumAggregator.java:118,
+        owningBucketOrd) — trivially compositional here.
+    extra_aggs
+        Additional aggregate expressions computed per bucket — the Spark
+        form of sub-aggregations (ProportionalSumAggregator.java:239-294).
+    quantize
+        When set (int digits), per-row contributions are floored to
+        ``10^-quantize`` units and summed as exact longs — a deterministic
+        cross-engine mode used by the DuckDB correctness oracle (double SUM
+        order under shuffle is otherwise engine-dependent in the last ulps).
+    """
+    p: PSumParams = normalize(
+        interval=interval,
+        calendar_interval=calendar_interval,
+        offset=offset,
+        start=_ms_param(start),
+        end=_ms_param(end),
+        min_doc_count=min_doc_count,
+        extended_bounds=(
+            tuple(_ms_param(b) for b in extended_bounds) if extended_bounds else None
+        ),
+    )
+    extra_aggs = dict(extra_aggs or {})
+    spark = df.sparkSession
+
+    # Unmapped-field no-op: missing columns yield an empty, correctly-shaped
+    # result (ProportionalSumAggregator.java:324-331, createUnmapped).
+    needed = [start_col, end_col, value_col] + ([sampling_col] if sampling_col else [])
+    if any(c not in df.columns for c in needed):
+        fields = [T.StructField(g, df.schema[g].dataType) for g in group_by if g in df.columns]
+        fields += [
+            T.StructField("key", T.LongType()),
+            T.StructField("key_ts", T.TimestampType()),
+            T.StructField("doc_count", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+        return spark.createDataFrame([], T.StructType(fields))
+
+    dtypes = dict(df.dtypes)
+    schema = {f.name: f.dataType for f in df.schema.fields}
+
+    s = to_epoch_ms(F.col(start_col), schema[start_col])
+    e = to_epoch_ms(F.col(end_col), schema[end_col])
+    if validate:
+        s = _check(
+            s >= 0,
+            F.concat(F.lit(f"field [{start_col}] must be >= 0, got "), s.cast("string")),
+            s,
+        )
+        e = _check(
+            (e >= 0) & (e >= s),
+            F.concat(F.lit(f"field [{end_col}] must be >= 0 and >= [{start_col}], got "), e.cast("string")),
+            e,
+        )
+
+    # Sampling scale-up: applied iff present, finite and != 0
+    # (ProportionalSumAggregator.java:171-180).
+    v = F.col(value_col).cast("double")
+    v = F.when(F.isnan(v), F.lit(None).cast("double")).otherwise(v)
+    if sampling_col is not None:
+        sm = F.col(sampling_col).cast("double")
+        factor = F.when(
+            sm.isNotNull()
+            & ~F.isnan(sm)
+            & (sm != F.lit(float("inf")))
+            & (sm != F.lit(float("-inf")))
+            & (sm != 0),
+            sm,
+        ).otherwise(F.lit(1.0))
+        v = v * factor
+
+    # Rows that cannot touch any bucket in [start, end] are dropped BEFORE the
+    # explode — expressed on the raw columns so parquet row-group skipping and
+    # predicate pushdown apply. A row ending exactly at `start` still lands in
+    # the first bucket (zero-overlap terminal semantics) hence >=, not >.
+    base = df
+    if p.start is not None:
+        base = base.filter(F.col(end_col) >= _time_lit(p.start, schema[end_col]))
+    if p.end is not None:
+        base = base.filter(F.col(start_col) <= _time_lit(p.end, schema[start_col]))
+
+    cs = F.greatest(s, F.lit(p.start)) if p.start is not None else s
+    ce = F.least(e, F.lit(p.end)) if p.end is not None else e
+
+    carry = [F.col(g) for g in group_by]
+    # Columns referenced by extra_aggs must survive the explode-projection;
+    # Column reprs name the columns they touch, so carry any input column
+    # mentioned there (over-carrying is harmless — Catalyst prunes unused).
+    extra_dep_cols = [
+        F.col(c)
+        for c in df.columns
+        if c not in set(group_by)
+        and extra_aggs
+        and any(c in str(a) for a in extra_aggs.values())
+    ]
+
+    if p.kind == "fixed":
+        step = p.step_ms
+        first = floor_fixed_ms(cs, step, p.offset_ms)
+        last = floor_fixed_ms(ce, step, p.offset_ms)
+        n_buckets = (last - first) / F.lit(step) + 1
+        first = _check(
+            n_buckets <= max_buckets_per_row,
+            F.concat(
+                F.lit("too many buckets for one row (max "),
+                F.lit(str(max_buckets_per_row)),
+                F.lit("): "),
+                n_buckets.cast("string"),
+            ),
+            first,
+        )
+        exploded = base.select(
+            *carry,
+            *extra_dep_cols,
+            s.alias(_S),
+            e.alias(_E),
+            v.alias(_V),
+            F.explode(F.sequence(first, last, F.lit(step))).alias(_KEY),
+        )
+        win_end = F.col(_KEY) + F.lit(step)
+    else:
+        unit = p.unit
+        tb_first = floor_calendar(cs, unit, p.offset_ms)
+        tb_last = floor_calendar(ce, unit, p.offset_ms)
+        n_approx = (F.unix_millis(tb_last) - F.unix_millis(tb_first)) / F.lit(p.min_bucket_ms) + 1
+        tb_first = _check(
+            n_approx <= max_buckets_per_row,
+            F.concat(
+                F.lit("too many buckets for one row (max "),
+                F.lit(str(max_buckets_per_row)),
+                F.lit("): ~"),
+                n_approx.cast("string"),
+            ),
+            tb_first,
+        )
+        exploded = base.select(
+            *carry,
+            *extra_dep_cols,
+            s.alias(_S),
+            e.alias(_E),
+            v.alias(_V),
+            F.explode(F.sequence(tb_first, tb_last, calendar_interval_expr(unit))).alias(_TB),
+        ).withColumn(_KEY, F.unix_millis(F.col(_TB)) + F.lit(p.offset_ms))
+        win_end = F.unix_millis(F.col(_TB) + calendar_interval_expr(unit)) + F.lit(p.offset_ms)
+
+    # Proportional ratio against the UNCLAMPED row range
+    # (ProportionalSumAggregator.java:193-204, :222-228 getTimeInWindow):
+    # overlap = max(0, min(win_end, e) - max(key, s)); zero-duration → 1.
+    overlap = F.greatest(
+        F.least(win_end, F.col(_E)) - F.greatest(F.col(_KEY), F.col(_S)), F.lit(0)
+    )
+    dur = F.col(_E) - F.col(_S)
+    ratio = F.when(dur != 0, overlap.cast("double") / dur.cast("double")).otherwise(F.lit(1.0))
+    contrib = F.col(_V) * ratio
+
+    if quantize is not None:
+        scale = 10**quantize
+        agg_value = (F.sum(F.floor(contrib * F.lit(float(scale)))) / F.lit(float(scale))).alias(
+            "value"
+        )
+    else:
+        agg_value = F.sum(contrib).alias("value")
+
+    aggs = [
+        agg_value,
+        F.count(F.lit(1)).alias("doc_count"),
+        *[a.alias(n) for n, a in extra_aggs.items()],
+    ]
+    out = exploded.groupBy(*[F.col(g) for g in group_by], F.col(_KEY)).agg(*aggs)
+
+    if p.min_doc_count > 1:
+        out = out.where(F.col("doc_count") >= p.min_doc_count)
+    elif p.min_doc_count == 0:
+        out = _fill_empty_buckets(out, p, group_by, list(extra_aggs), max_fill_buckets)
+
+    out = out.withColumn("key_ts", F.timestamp_millis(F.col(_KEY)))
+    cols = [*group_by, "key", "key_ts", "doc_count", "value", *extra_aggs]
+    if key_format:
+        out = out.withColumn("key_as_string", F.date_format(F.col("key_ts"), key_format))
+        cols.append("key_as_string")
+    out = out.select(*cols)
+
+    return out.orderBy(*_order_cols(order, group_by))
+
+
+def _order_cols(order, group_by) -> list[Column]:
+    """Bucket ordering (ProportionalSumAggregationBuilder.java:322-352;
+    applied InternalProportionalSumHistogram.java:505-517): `_key` /
+    `_count` / metric name, compound list, automatic `_key` tie-breaker.
+    Group dims sort first so nested output is deterministic."""
+    specs = list(order or [("_key", True)])
+    if not any(f in ("_key", "key") for f, _ in specs):
+        specs.append(("_key", True))
+    mapping = {"_key": "key", "_count": "doc_count"}
+    cols = [F.col(g) for g in group_by]
+    for field, asc in specs:
+        c = F.col(mapping.get(field, field))
+        cols.append(c if asc else c.desc())
+    return cols
+
+
+def _fill_empty_buckets(
+    agg: DataFrame,
+    p: PSumParams,
+    group_by: Sequence[str],
+    extra_names: Sequence[str],
+    max_fill_buckets: int,
+) -> DataFrame:
+    """Zero-fill gaps between the min and max observed keys (per the whole
+    result, as the reference does at final reduce —
+    InternalProportionalSumHistogram.java:418-478 addEmptyBuckets), widened
+    by ``extended_bounds`` when given (live es-7.6.2 semantics; the 8.x
+    modules ship the parse but disable the effect —
+    ProportionalSumAggregationBuilder.java:503-507 dead code).
+
+    Distributed spine: bounds come from a 1-row aggregate, the spine is an
+    exploded ``sequence`` — no driver-side collect. The spine is tiny by the
+    ``max_fill_buckets`` guard, so the left join broadcasts.
+    """
+    bounds = agg.agg(F.min("key").alias("__mn"), F.max("key").alias("__mx"))
+    if p.extended_bounds is not None:
+        eb_lo, eb_hi = p.extended_bounds
+        if p.kind == "fixed":
+            lo = _py_floor_fixed(eb_lo, p.step_ms, p.offset_ms)
+            hi = _py_floor_fixed(eb_hi, p.step_ms, p.offset_ms)
+        else:
+            from ..params import trunc_calendar_ms
+
+            lo = trunc_calendar_ms(eb_lo - p.offset_ms, p.unit) + p.offset_ms
+            hi = trunc_calendar_ms(eb_hi - p.offset_ms, p.unit) + p.offset_ms
+        bounds = bounds.select(
+            F.least(F.col("__mn"), F.lit(lo)).alias("__mn"),
+            F.greatest(F.col("__mx"), F.lit(hi)).alias("__mx"),
+        )
+    guard = (F.col("__mx") - F.col("__mn")) / F.lit(p.min_bucket_ms) + 1
+    bounds = bounds.select(
+        _check(
+            guard.isNull() | (guard <= max_fill_buckets),
+            F.concat(F.lit(f"empty-bucket fill would exceed {max_fill_buckets} buckets")),
+            F.col("__mn"),
+        ).alias("__mn"),
+        F.col("__mx"),
+    )
+    if p.kind == "fixed":
+        spine = bounds.select(
+            F.explode(F.sequence(F.col("__mn"), F.col("__mx"), F.lit(p.step_ms))).alias("key")
+        )
+    else:
+        spine = bounds.select(
+            F.explode(
+                F.sequence(
+                    F.timestamp_millis(F.col("__mn") - F.lit(p.offset_ms)),
+                    F.timestamp_millis(F.col("__mx") - F.lit(p.offset_ms)),
+                    calendar_interval_expr(p.unit),
+                )
+            ).alias("__tb")
+        ).select((F.unix_millis(F.col("__tb")) + F.lit(p.offset_ms)).alias("key"))
+    if group_by:
+        dims = agg.select(*group_by).distinct()
+        spine = dims.crossJoin(F.broadcast(spine))
+    joined = F.broadcast(spine).join(agg, on=[*group_by, "key"], how="left")
+    # Empty bucket = {doc_count: 0, value: 0, empty sub-aggs}
+    # (InternalProportionalSumHistogram.java:188-231 EmptyBucketInfo).
+    return joined.withColumn("doc_count", F.coalesce(F.col("doc_count"), F.lit(0))).withColumn(
+        "value", F.coalesce(F.col("value"), F.lit(0.0))
+    )
+
+
+def _py_floor_fixed(t: int, step: int, off: int) -> int:
+    return t - ((t - off) % step + step) % step

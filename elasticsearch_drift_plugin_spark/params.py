@@ -1,0 +1,206 @@
+"""Parameter normalization for ``proportional_sum``.
+
+Mirrors the reference's API-level rules (the only "optimizer-like" logic the
+reference has — SURVEY.md §4):
+
+- interval precedence: a calendar interval string *wins* over a numeric
+  fixed-ms interval when both are set
+  (es-8.18.2 ProportionalSumAggregationBuilder.java:104-116, :247-272;
+  confirmed by OffsetIT.java:112-115 setting both and MONTH winning);
+- offset parsing: long ms or ``±<n><unit>`` time-value string
+  (ProportionalSumAggregationBuilder.java:274-305);
+- auto-offset: if ``offset == 0`` and ``start`` is set, the effective offset
+  is ``start - round(start)`` so bucket keys align to the query start
+  (ProportionalSumAggregatorFactory.java:94-101, verified OffsetIT.java:103-135);
+- fixed interval must be ≥ 1 ms (ProportionalSumAggregationBuilder.java:250-256).
+
+All rounding is UTC: the reference hardcodes ``tz = null``
+(ProportionalSumAggregationBuilder.java:432-434).
+"""
+
+from __future__ import annotations
+
+import calendar
+import re
+from dataclasses import dataclass
+from datetime import datetime, timezone
+
+# Calendar units supported by the reference's unit table
+# (es-8.18.2 ProportionalSumAggregationBuilder.java:78-97). Keys are our
+# canonical names == Spark date_trunc / DuckDB date_trunc unit names.
+CALENDAR_UNITS = ("year", "month", "week", "day", "hour", "minute", "second")
+
+# ES DateHistogramInterval spellings → canonical unit.
+_CALENDAR_ALIASES = {
+    "year": "year", "1y": "year", "y": "year",
+    "month": "month", "1M": "month",
+    "week": "week", "1w": "week",
+    "day": "day", "1d": "day",
+    "hour": "hour", "1h": "hour",
+    "minute": "minute", "1m": "minute",
+    "second": "second", "1s": "second",
+}
+
+# Upper bound on the ms width of one calendar bucket — used only for the
+# per-row bucket-count guard (the circuit-breaker analog, SURVEY.md §2 row 28).
+CALENDAR_UNIT_MS_MIN = {
+    "year": 365 * 86400000,
+    "month": 28 * 86400000,
+    "week": 7 * 86400000,
+    "day": 86400000,
+    "hour": 3600000,
+    "minute": 60000,
+    "second": 1000,
+}
+
+_FIXED_UNIT_MS = {
+    "ms": 1,
+    "s": 1000,
+    "m": 60000,
+    "h": 3600000,
+    "d": 86400000,
+    "w": 604800000,
+}
+
+_FIXED_RE = re.compile(r"^([+-]?)(\d+)(ms|s|m|h|d|w)$")
+
+
+def parse_offset(offset: int | str | None) -> int:
+    """Offset in ms from a long or a ``±<n><unit>`` string.
+
+    Reference: ProportionalSumAggregationBuilder.java:274-305 (parses either
+    a long or a TimeValue string with leading + / -).
+    """
+    if offset is None:
+        return 0
+    if isinstance(offset, int):
+        return offset
+    m = _FIXED_RE.match(offset.strip())
+    if not m:
+        raise ValueError(f"unparseable offset {offset!r}; expected e.g. '1h', '-30m', 250")
+    sign = -1 if m.group(1) == "-" else 1
+    return sign * int(m.group(2)) * _FIXED_UNIT_MS[m.group(3)]
+
+
+def parse_interval(
+    interval: int | str | None, calendar_interval: str | None = None
+) -> tuple[str, int | None, str | None]:
+    """Normalize interval params → ``(kind, step_ms, unit)``.
+
+    ``kind`` is ``'fixed'`` or ``'calendar'``. The calendar form wins when
+    both are given (ProportionalSumAggregationBuilder.java:247-272 javadoc:
+    "If both are set the calendar interval takes precedence").
+
+    A string ``interval`` may itself be a calendar alias (``'month'``) or a
+    fixed time-value (``'90m'``), mirroring ES DateHistogramInterval.
+    """
+    if calendar_interval is not None:
+        unit = _CALENDAR_ALIASES.get(calendar_interval)
+        if unit is None:
+            raise ValueError(
+                f"unknown calendar interval {calendar_interval!r}; one of {CALENDAR_UNITS}"
+            )
+        return "calendar", None, unit
+    if interval is None:
+        raise ValueError("one of interval / calendar_interval is required")
+    if isinstance(interval, str):
+        if interval in _CALENDAR_ALIASES:
+            return "calendar", None, _CALENDAR_ALIASES[interval]
+        m = _FIXED_RE.match(interval.strip())
+        if not m or m.group(1) == "-":
+            raise ValueError(f"unparseable interval {interval!r}")
+        step = int(m.group(2)) * _FIXED_UNIT_MS[m.group(3)]
+    else:
+        step = int(interval)
+    if step < 1:
+        # ProportionalSumAggregationBuilder.java:250-256 ([interval] must be 1 or greater)
+        raise ValueError(f"fixed interval must be >= 1 ms, got {step}")
+    return "fixed", step, None
+
+
+def trunc_calendar_ms(t_ms: int, unit: str) -> int:
+    """UTC calendar floor of an epoch-ms instant — driver-side twin of the
+    engine's date_trunc-based rounding, used to derive the auto-offset."""
+    dt = datetime.fromtimestamp(t_ms / 1000.0, tz=timezone.utc)
+    if unit == "year":
+        dt = dt.replace(month=1, day=1, hour=0, minute=0, second=0, microsecond=0)
+    elif unit == "month":
+        dt = dt.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+    elif unit == "week":
+        dt = dt.replace(hour=0, minute=0, second=0, microsecond=0)
+        days_from_monday = dt.weekday()
+        return int(dt.timestamp() * 1000) - days_from_monday * 86400000
+    elif unit == "day":
+        dt = dt.replace(hour=0, minute=0, second=0, microsecond=0)
+    elif unit == "hour":
+        dt = dt.replace(minute=0, second=0, microsecond=0)
+    elif unit == "minute":
+        dt = dt.replace(second=0, microsecond=0)
+    elif unit == "second":
+        dt = dt.replace(microsecond=0)
+    else:
+        raise ValueError(f"unknown calendar unit {unit!r}")
+    return int(dt.timestamp() * 1000)
+
+
+def add_calendar_ms(t_ms: int, unit: str, n: int = 1) -> int:
+    """t_ms advanced by n calendar units (UTC) — spine stepping on the driver."""
+    if unit in ("week", "day", "hour", "minute", "second"):
+        return t_ms + n * CALENDAR_UNIT_MS_MIN[unit if unit != "week" else "week"]
+    dt = datetime.fromtimestamp(t_ms / 1000.0, tz=timezone.utc)
+    if unit == "year":
+        dt = dt.replace(year=dt.year + n)
+    else:  # month
+        total = dt.year * 12 + (dt.month - 1) + n
+        y, m = divmod(total, 12)
+        last = calendar.monthrange(y, m + 1)[1]
+        dt = dt.replace(year=y, month=m + 1, day=min(dt.day, last))
+    return int(dt.timestamp() * 1000)
+
+
+@dataclass(frozen=True)
+class PSumParams:
+    """Fully-normalized proportional_sum parameters."""
+
+    kind: str  # 'fixed' | 'calendar'
+    step_ms: int | None
+    unit: str | None
+    offset_ms: int  # effective offset (explicit, or auto-derived from start)
+    start: int | None  # query-range clamp, epoch ms
+    end: int | None
+    min_doc_count: int
+    extended_bounds: tuple[int, int] | None
+
+    @property
+    def min_bucket_ms(self) -> int:
+        return self.step_ms if self.kind == "fixed" else CALENDAR_UNIT_MS_MIN[self.unit]
+
+
+def normalize(
+    *,
+    interval: int | str | None = None,
+    calendar_interval: str | None = None,
+    offset: int | str = 0,
+    start: int | None = None,
+    end: int | None = None,
+    min_doc_count: int = 1,
+    extended_bounds: tuple[int, int] | None = None,
+) -> PSumParams:
+    kind, step_ms, unit = parse_interval(interval, calendar_interval)
+    off = parse_offset(offset)
+    if start is not None and end is not None and end < start:
+        raise ValueError(f"query end {end} < start {start}")
+    if min_doc_count < 0:
+        raise ValueError("min_doc_count must be >= 0")
+    if off == 0 and start is not None:
+        # Auto-offset: effectiveOffset = start - round(start)
+        # (ProportionalSumAggregatorFactory.java:94-101).
+        if kind == "fixed":
+            off = start % step_ms if start >= 0 else start - _floor_fixed(start, step_ms, 0)
+        else:
+            off = start - trunc_calendar_ms(start, unit)
+    return PSumParams(kind, step_ms, unit, off, start, end, min_doc_count, extended_bounds)
+
+
+def _floor_fixed(t: int, step: int, off: int) -> int:
+    return t - ((t - off) % step + step) % step

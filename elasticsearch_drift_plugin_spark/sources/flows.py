@@ -1,0 +1,133 @@
+"""Sources: testdata table loading and flow-record derivation.
+
+The reference's input is an ES index of netflow/ipfix flow documents with
+``[first_switched, last_switched, bytes, sampling]`` fields (README.md:58-84).
+Here the equivalent is any DataFrame with range-start / range-end / value /
+sampling columns; this module derives such flow tables deterministically from
+the driver's synthetic tables (FIXTURES.md §6) so the Spark engine and the
+DuckDB oracle agree bit-for-bit, and provides the JSON flow-record parser for
+the streaming path.
+
+Scale note: the derivations are pure column expressions over the parquet
+scan — column pruning and predicate pushdown stay intact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table.
+
+    The driver's ``events.ts`` is physically INT64 TIMESTAMP(NANOS), which
+    Spark's parquet reader rejects unless ``nanosAsLong`` is on; with it, the
+    column arrives as epoch-*nanosecond* longs (converted downstream with
+    exact integer math — never double division, epoch-ns exceeds 2^53).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- deterministic flow derivations (shared with the DuckDB oracle) --------
+#
+# FIXTURES.md §6: events is point-in-time; a flow fixture derives as
+# start = ts, end = ts + seeded-per-row duration, plus seeded sampling and
+# NULL-value edge rows. The formulas below use only integer arithmetic and
+# CASE so both engines compute identical rows. event_id % 97 == 0 yields
+# zero-duration flows; % 11 == 0 yields NULL values; sampling cycles through
+# {NULL, 1, 10, 0 (ignored), 2.5} with % 7 == 3 rows NaN (ignored).
+
+EVENTS_FLOWS_SQL = """
+SELECT
+  event_id AS flow_id,
+  {ts_ms} AS start_ms,
+  {ts_ms} + (event_id % 97) * 60000 AS end_ms,
+  CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS value,
+  CASE
+    WHEN event_id % 7 = 3 THEN CAST('NaN' AS DOUBLE)
+    WHEN event_id % 5 = 0 THEN NULL
+    WHEN event_id % 5 = 1 THEN 1.0
+    WHEN event_id % 5 = 2 THEN 10.0
+    WHEN event_id % 5 = 3 THEN 0.0
+    ELSE 2.5
+  END AS sampling,
+  event_type,
+  user_id
+FROM {src}
+"""
+
+LINEITEM_FLOWS_SQL = """
+SELECT
+  l_orderkey * 10 + l_linenumber AS flow_id,
+  {ship_ms} AS start_ms,
+  {ship_ms} + (l_partkey % 120) * 86400000 AS end_ms,
+  l_extendedprice AS value,
+  CASE WHEN l_suppkey % 3 = 0 THEN NULL ELSE 1.0 + (l_suppkey % 4) END AS sampling,
+  l_returnflag,
+  l_suppkey
+FROM {src}
+"""
+
+
+def events_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flow table derived from ``events`` (ts is epoch-ns long after load)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("__ev_src")
+    return spark.sql(EVENTS_FLOWS_SQL.format(ts_ms="(ts div 1000000)", src="__ev_src"))
+
+
+def events_flows_duckdb_sql(sf_dir: str) -> str:
+    """The byte-identical DuckDB twin (ts is TIMESTAMP_NS there)."""
+    return EVENTS_FLOWS_SQL.format(ts_ms="epoch_ms(ts)", src="events")
+
+
+def lineitem_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Larger-scale flow proxy from ``lineitem`` (FIXTURES.md §6): day-scale
+    durations spanning many buckets at month granularity."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("__li_src")
+    return spark.sql(
+        LINEITEM_FLOWS_SQL.format(
+            ship_ms="unix_millis(CAST(l_shipdate AS TIMESTAMP))", src="__li_src"
+        )
+    )
+
+
+def lineitem_flows_duckdb_sql(sf_dir: str) -> str:
+    return LINEITEM_FLOWS_SQL.format(ship_ms="epoch_ms(l_shipdate)", src="lineitem")
+
+
+# --- flow-record JSON parsing (streaming ingestion edge) -------------------
+
+FLOW_JSON_SCHEMA = (
+    "netflow STRUCT<first_switched: BIGINT, last_switched: BIGINT, "
+    "bytes: DOUBLE, sampling_interval: DOUBLE>"
+)
+
+
+def parse_flow_json(raw: DataFrame, json_col: str = "value") -> DataFrame:
+    """Parse netflow-style JSON records (shape of reference README.md:58-68)
+    into the engine's flow schema. Works identically on static and streaming
+    DataFrames (``from_json`` is streaming-safe)."""
+    parsed = raw.select(
+        F.from_json(F.col(json_col).cast("string"), FLOW_JSON_SCHEMA).alias("r")
+    )
+    return parsed.select(
+        F.col("r.netflow.first_switched").alias("start_ms"),
+        F.col("r.netflow.last_switched").alias("end_ms"),
+        F.col("r.netflow.bytes").alias("value"),
+        F.col("r.netflow.sampling_interval").alias("sampling"),
+    )
