@@ -1,38 +1,217 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the spark-drift engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — one entry per implemented operator/behavior from SURVEY.md §2
+(plus the LLM-pipeline extensions), each ``(spark, sf_dir) -> DataFrame``.
+``oracle_sql()`` — the DuckDB twin of each query; the driver hash-compares
+results at sf0.01.
+
+Oracle-facing queries run the operator in ``quantize`` mode (exact integer
+sums of floored 10^-q contributions) so double aggregation order cannot
+cause cross-engine hash mismatches; see elasticsearch_drift_plugin_spark/oracle.py.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+from datetime import datetime, timezone
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elasticsearch_drift_plugin_spark import proportional_sum
+from elasticsearch_drift_plugin_spark.oracle import psum_oracle_sql
+from elasticsearch_drift_plugin_spark.sources import flows as flows_src
+from elasticsearch_drift_plugin_spark.operators import dedup, similarity, text, multimodal
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _ms(iso: str) -> int:
+    return int(datetime.fromisoformat(iso).replace(tzinfo=timezone.utc).timestamp() * 1000)
+
+
+# Time anchors inside the testdata ranges (events: Jan 2024; lineitem: 1995-2001).
+EV_START = _ms("2024-01-03T07:30:00")
+EV_END = _ms("2024-01-20T00:00:00")
+EV_MID_START = _ms("2024-01-10T00:00:00")
+EV_MID_END = _ms("2024-01-14T00:00:00")
+LI_START = _ms("1996-01-01T00:00:00")
+LI_END = _ms("1998-01-01T00:00:00")
+
+HOUR = 3_600_000
+DAY = 86_400_000
+
+
+def _psum_events(
+    spark,
+    sf_dir,
+    *,
+    sampling_col="sampling",
+    where=None,
+    value_override=None,
+    drop=("key_ts",),
+    **kw,
+) -> DataFrame:
+    fl = flows_src.events_flows(spark, sf_dir)
+    if where is not None:
+        fl = fl.where(where)
+    out = proportional_sum(
+        fl,
+        "start_ms",
+        "end_ms",
+        value_override or "value",
+        sampling_col,
+        quantize=kw.pop("quantize", 4),
+        **kw,
+    )
+    return out.drop(*drop)
+
+
+def _psum_lineitem(spark, sf_dir, **kw) -> DataFrame:
+    fl = flows_src.lineitem_flows(spark, sf_dir)
+    out = proportional_sum(
+        fl, "start_ms", "end_ms", "value", "sampling", quantize=kw.pop("quantize", 2), **kw
+    )
+    return out.drop("key_ts")
+
+
+def _ev_oracle(**kw) -> str:
+    return psum_oracle_sql(flows_src.events_flows_duckdb_sql(""), quantize=kw.pop("quantize", 4), **kw)
+
+
+def _li_oracle(**kw) -> str:
+    return psum_oracle_sql(
+        flows_src.lineitem_flows_duckdb_sql(""), quantize=kw.pop("quantize", 2), **kw
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-event-type daily proportional_sum over sf0.001 flows."""
+    fl = flows_src.events_flows(spark, SF_SMOKE)
+    return proportional_sum(
+        fl,
+        "start_ms",
+        "end_ms",
+        "value",
+        "sampling",
+        calendar_interval="day",
+        group_by=("event_type",),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # --- core operator, SURVEY.md §2.1 rows 1-6, 11-17, 21 ---
+        "psum_fixed_1h": lambda s, d: _psum_events(s, d, interval=HOUR, offset=1),
+        # rows 2/4: sampling scale-up applied via the 4th positional field
+        "psum_sampling": lambda s, d: _psum_events(s, d, interval=6 * HOUR, offset=1),
+        "psum_no_sampling": lambda s, d: _psum_events(
+            s, d, sampling_col=None, interval=6 * HOUR, offset=1
+        ),
+        # row 9: explicit offset shifting the grid
+        "psum_offset_90m": lambda s, d: _psum_events(s, d, interval=6 * HOUR, offset="90m"),
+        # row 10: auto-offset — keys align to the query start
+        "psum_auto_offset": lambda s, d: _psum_events(
+            s, d, interval=HOUR, start=EV_START, end=EV_END
+        ),
+        # row 5: clamping drops outside mass without renormalizing
+        "psum_clamp": lambda s, d: _psum_events(
+            s, d, calendar_interval="day", offset=1, start=EV_MID_START, end=EV_MID_END
+        ),
+        # row 7: calendar intervals (day / week over events, month over lineitem)
+        "psum_cal_day": lambda s, d: _psum_events(s, d, calendar_interval="day", offset=1),
+        "psum_cal_week": lambda s, d: _psum_events(s, d, calendar_interval="week", offset=1),
+        "psum_cal_month_lineitem": lambda s, d: _psum_lineitem(
+            s, d, calendar_interval="month", offset=1, start=LI_START, end=LI_END
+        ),
+        # row 8: interval precedence — calendar wins over the numeric interval
+        "psum_precedence": lambda s, d: _psum_events(
+            s, d, interval=30_000, calendar_interval="day", offset=1
+        ),
+        # row 18: min_doc_count filter
+        "psum_min_doc_count": lambda s, d: _psum_events(
+            s, d, interval=HOUR, offset=1, min_doc_count=40
+        ),
+        # row 19: empty-bucket zero-fill (sparse flows via user filter)
+        "psum_empty_fill": lambda s, d: _psum_events(
+            s, d, interval=12 * HOUR, offset=1, min_doc_count=0, where="user_id % 50 = 0"
+        ),
+        # row 21: bucket ordering by value desc (key tie-break)
+        "psum_order_value_desc": lambda s, d: _psum_events(
+            s, d, interval=12 * HOUR, offset=1, order=[("value", False)]
+        ),
+        # rows 24/25: nesting under an owning dimension + sub-aggregation
+        "psum_grouped_subagg": lambda s, d: _psum_events(
+            s,
+            d,
+            calendar_interval="day",
+            offset=1,
+            group_by=("event_type",),
+            extra_aggs={"max_user": F.max("user_id")},
+        ),
+        # rows 22/23: key formatting at the serving edge
+        "psum_key_format": lambda s, d: _psum_events(
+            s, d, interval=DAY, offset=1, key_format="yyyy-MM-dd HH:mm"
+        ),
+        # row 26: unmapped field -> empty result, stable schema
+        "psum_unmapped": lambda s, d: _psum_events(
+            s, d, sampling_col=None, interval=HOUR, value_override="__missing__"
+        ),
+    }
+    # --- LLM-pipeline extensions (BASELINE.json north star) ---
+    q.update(dedup.queries())
+    q.update(similarity.queries())
+    q.update(text.queries())
+    q.update(multimodal.queries())
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o = {
+        "psum_fixed_1h": _ev_oracle(interval=HOUR, offset=1),
+        "psum_sampling": _ev_oracle(interval=6 * HOUR, offset=1),
+        "psum_no_sampling": _ev_oracle(interval=6 * HOUR, offset=1, sampling=False),
+        "psum_offset_90m": _ev_oracle(interval=6 * HOUR, offset="90m"),
+        "psum_auto_offset": _ev_oracle(interval=HOUR, start=EV_START, end=EV_END),
+        "psum_clamp": _ev_oracle(
+            calendar_interval="day", offset=1, start=EV_MID_START, end=EV_MID_END
+        ),
+        "psum_cal_day": _ev_oracle(calendar_interval="day", offset=1),
+        "psum_cal_week": _ev_oracle(calendar_interval="week", offset=1),
+        "psum_cal_month_lineitem": _li_oracle(
+            calendar_interval="month", offset=1, start=LI_START, end=LI_END
+        ),
+        "psum_precedence": _ev_oracle(interval=30_000, calendar_interval="day", offset=1),
+        "psum_min_doc_count": _ev_oracle(interval=HOUR, offset=1, min_doc_count=40),
+        "psum_empty_fill": _ev_oracle(
+            interval=12 * HOUR, offset=1, min_doc_count=0, where="user_id % 50 = 0"
+        ),
+        "psum_order_value_desc": _ev_oracle(interval=12 * HOUR, offset=1),
+        "psum_grouped_subagg": _ev_oracle(
+            calendar_interval="day",
+            offset=1,
+            group_by=("event_type",),
+            extra_aggs=(("max_user", "MAX(user_id)"),),
+            carry_cols=("user_id",),
+        ),
+        "psum_key_format": _ev_oracle(interval=DAY, offset=1)
+        .replace(
+            "SELECT key, doc_count, value",
+            "SELECT key, doc_count, value, "
+            "strftime(make_timestamp(key * 1000), '%Y-%m-%d %H:%M') AS key_as_string",
+        ),
+        "psum_unmapped": (
+            "SELECT CAST(NULL AS BIGINT) AS key, CAST(NULL AS BIGINT) AS doc_count, "
+            "CAST(NULL AS DOUBLE) AS value WHERE 1 = 0"
+        ),
+    }
+    o.update(dedup.oracle_sql())
+    o.update(similarity.oracle_sql())
+    o.update(text.oracle_sql())
+    o.update(multimodal.oracle_sql())
+    return o

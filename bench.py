@@ -1,0 +1,71 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized with the noop sink (computes everything, writes
+nothing) so timings measure full plan execution, not driver collection.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from elasticsearch_drift_plugin_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "psum_fixed_1h",
+    "psum_cal_day",
+    "psum_cal_week",
+    "psum_cal_month_lineitem",
+    "psum_grouped_subagg",
+    "psum_empty_fill",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_sig",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "ann_lsh_histogram",
+    "text_lang_id",
+    "text_quality",
+    "text_tokens",
+    "text_fingerprint",
+    "mm_metadata",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("spark-drift-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        df = qs[name](spark, sf_dir)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "spark-drift headline queries, total wall sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

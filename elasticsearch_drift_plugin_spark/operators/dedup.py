@@ -1,0 +1,400 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not part of the reference's surface (SURVEY.md §2.2 — the reference has no
+joins/set ops at all); these are the north-star extensions
+(BASELINE.json) built Spark-first:
+
+- exact dedup          — hash-groupBy on content digest (shuffle key is the
+                         16-byte md5, never the full document);
+- char-n-gram Jaccard  — blocked pair similarity via gram inverted index;
+- MinHash + LSH        — shingle → 16 permuted min-hashes → 4 bands of 4 →
+                         band-bucket join for candidates → exact verify;
+- SimHash              — 16-bit signed-projection signature;
+- embedding near-dup   — cosine over array<float> via zip_with/aggregate.
+
+Scale notes (100 TB): every pairwise step is *blocked* (source key, LSH band
+bucket) so the join keyspace bounds the fan-out — there is no unblocked
+cross join anywhere; per-doc preprocessing (grams, shingles, hashes) is
+narrow, map-side, codegen'd; candidate verification joins only LSH-banded
+pairs. All hashes are md5-derived 60-bit ints so the DuckDB oracle
+reproduces them bit-for-bit (functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    HEX15_SQL_FN,
+    MINHASH_P,
+    md5_hash60,
+    minhash_coeffs,
+    minhash_expr,
+    minhash_sql,
+)
+from ..functions.vectors import dot, l2_norm
+from ..sources.flows import load_table
+
+NUM_PERM = 16
+BANDS = 4
+ROWS_PER_BAND = 4
+_COEFFS = minhash_coeffs(NUM_PERM)
+
+QUANT = 1_000_000  # similarity scores quantized to 1e-6 for oracle hashing
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Group by content digest; keep the minimum id as survivor.
+
+    The groupBy key is md5(content), not the content itself — at scale the
+    shuffle moves 16-byte digests, not documents.
+    """
+    return (
+        df.groupBy(F.md5(F.col(content_col).cast("string")).alias("__digest"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("group_size"))
+        .select("keep_id", "group_size")
+        .orderBy("keep_id")
+    )
+
+
+EXACT_SQL = """
+SELECT min(doc_id) AS keep_id, COUNT(*) AS group_size
+FROM documents GROUP BY md5(text) ORDER BY keep_id
+"""
+
+
+# --------------------------------------------------------------------------
+# char n-gram Jaccard (blocked by a key column)
+# --------------------------------------------------------------------------
+def _char_grams(docs: DataFrame, n: int = 3) -> DataFrame:
+    return (
+        docs.where(F.length("text") >= n)
+        .select(
+            "doc_id",
+            "source",
+            "text",
+            F.explode(F.sequence(F.lit(1), F.length("text") - (n - 1))).alias("i"),
+        )
+        .select("doc_id", "source", F.expr(f"substring(text, i, {n})").alias("g"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, block_col: str = "source"
+) -> DataFrame:
+    """Pairs with char-3-gram Jaccard >= threshold, within blocks.
+
+    Inverted-index join: gram → (doc, doc) candidate counts. The block key
+    rides the join so cross-block pairs are never materialized.
+    """
+    grams = _char_grams(docs)
+    counts = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ca = F.broadcast(counts).alias("ca")
+    cb = F.broadcast(counts).alias("cb")
+    jacc = F.col("i").cast("double") / (F.col("ca.n") + F.col("cb.n") - F.col("i"))
+    return (
+        inter.join(ca, F.col("ca.doc_id") == F.col("doc_a"))
+        .join(cb, F.col("cb.doc_id") == F.col("doc_b"))
+        .where(jacc >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(jacc * F.lit(float(QUANT))).alias("jacc_q"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+NGRAM_SQL = f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id, source, substr(text, CAST(i AS INTEGER), 3) AS g
+  FROM (SELECT doc_id, source, text, unnest(generate_series(1, len(text) - 2)) AS i
+        FROM documents WHERE len(text) >= 3)
+),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM grams a JOIN grams b
+    ON a.g = b.g AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(FLOOR(CAST(i AS DOUBLE) / (ca.n + cb.n - i) * {float(QUANT)}) AS BIGINT) AS jacc_q
+FROM inter
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+def _token_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("l"))
+    return (
+        toks.where(F.size("l") >= k)
+        .select(
+            "doc_id", "l", F.explode(F.sequence(F.lit(1), F.size("l") - (k - 1))).alias("i")
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.expr("element_at(l, i)"),
+                F.expr("element_at(l, i + 1)"),
+                F.expr("element_at(l, i + 2)"),
+            ).alias("s"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, sig): per-band combined MinHash signature. Docs whose
+    4-hash band signature collides are near-dup candidates."""
+    sh = _token_shingles(docs)
+    hv = sh.select("doc_id", md5_hash60(F.col("s")).alias("hv"))
+    mh = hv.groupBy("doc_id").agg(
+        *[
+            F.min(minhash_expr(F.col("hv"), a, b)).alias(f"mh{j}")
+            for j, (a, b) in enumerate(_COEFFS)
+        ]
+    )
+    band_sigs = []
+    for bnd in range(BANDS):
+        sig = F.col(f"mh{bnd * ROWS_PER_BAND}")
+        for r in range(1, ROWS_PER_BAND):
+            sig = sig * F.lit(31) + F.col(f"mh{bnd * ROWS_PER_BAND + r}")
+        band_sigs.append(sig)
+    return (
+        mh.select(
+            "doc_id", F.posexplode(F.array(*band_sigs)).alias("band", "sig")
+        ).orderBy("doc_id", "band")
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """Banded candidates, verified with exact shingle Jaccard (no threshold:
+    the band collision IS the filter; jacc_q lets callers cut further)."""
+    sigs = minhash_signatures(docs)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(b, ["band", "sig"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = _token_shingles(docs)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        sa.join(sb, (F.col("sa.s") == F.col("sb.s")) & (F.col("sa.doc_id") < F.col("sb.doc_id")))
+        .groupBy(F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+        .join(cand, ["doc_a", "doc_b"], "left_semi")
+    )
+    jacc = F.col("i").cast("double") / (F.col("ca.n") + F.col("cb.n") - F.col("i"))
+    return (
+        inter.join(F.broadcast(counts).alias("ca"), F.col("ca.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(counts).alias("cb"), F.col("cb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", F.floor(jacc * F.lit(float(QUANT))).alias("jacc_q"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_sql_parts() -> tuple[str, str]:
+    hv = HEX15_SQL_FN.format(expr="s")
+    mins = ", ".join(
+        f"MIN({minhash_sql('hv', a, b)}) AS mh{j}" for j, (a, b) in enumerate(_COEFFS)
+    )
+    band_rows = []
+    for bnd in range(BANDS):
+        sig = f"mh{bnd * ROWS_PER_BAND}"
+        for r in range(1, ROWS_PER_BAND):
+            sig = f"({sig} * 31 + mh{bnd * ROWS_PER_BAND + r})"
+        band_rows.append(f"SELECT doc_id, {bnd} AS band, {sig} AS sig FROM mh")
+    shingles = """
+shingles AS (
+  SELECT DISTINCT doc_id, l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS s
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        WHERE len(l) >= 3)
+)"""
+    sigs = (
+        f"WITH {shingles},\n"
+        f"hashed AS (SELECT doc_id, {hv} AS hv FROM shingles),\n"
+        f"mh AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),\n"
+        f"sigs AS ({' UNION ALL '.join(band_rows)})"
+    )
+    return shingles, sigs
+
+
+def minhash_sig_sql() -> str:
+    _, sigs = _minhash_sql_parts()
+    return f"{sigs} SELECT doc_id, band, sig FROM sigs ORDER BY doc_id, band"
+
+
+def minhash_pairs_sql() -> str:
+    _, sigs = _minhash_sql_parts()
+    return f"""{sigs},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, COUNT(*) AS i
+  FROM shingles sa JOIN shingles sb ON sa.s = sb.s AND sa.doc_id < sb.doc_id
+  GROUP BY 1, 2
+)
+SELECT inter.doc_a, inter.doc_b,
+       CAST(FLOOR(CAST(i AS DOUBLE) / (ca.n + cb.n - i) * {float(QUANT)}) AS BIGINT) AS jacc_q
+FROM inter
+JOIN cand ON cand.doc_a = inter.doc_a AND cand.doc_b = inter.doc_b
+JOIN counts ca ON ca.doc_id = inter.doc_a
+JOIN counts cb ON cb.doc_id = inter.doc_b
+ORDER BY inter.doc_a, inter.doc_b
+"""
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+SIMHASH_BITS = 16
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 16-bit signed-projection signature over distinct
+    tokens. Hamming-close signatures ⇒ near-dups; the signature itself is a
+    groupable/bandable key at scale."""
+    toks = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("t"))
+        .distinct()
+        .select("doc_id", md5_hash60(F.col("t")).alias("hv"))
+    )
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.shiftright(F.col("hv"), k).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{k}")
+            for k in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for k in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bit_sums.select("doc_id", sim.cast("long").alias("simhash")).orderBy("doc_id")
+
+
+def simhash_sql() -> str:
+    hv = HEX15_SQL_FN.format(expr="t")
+    sums = ", ".join(
+        f"SUM(((hv >> {k}) & 1) * 2 - 1) AS b{k}" for k in range(SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN b{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, t FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+),
+hashed AS (SELECT doc_id, {hv} AS hv FROM toks),
+sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
+SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM sums ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# embedding cosine near-dup
+# --------------------------------------------------------------------------
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.3) -> DataFrame:
+    """Pairs with cosine >= threshold. Baseline is the exact O(n²) pass over
+    pre-normalized vectors; the scale path is LSH bucketing first
+    (similarity.lsh_buckets) and running this only within buckets."""
+    ed = emb.select(
+        F.col("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    ed = ed.select("vec_id", "v", l2_norm(F.col("v")).alias("nm"))
+    a, b = ed.alias("a"), ed.alias("b")
+    score = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nm") * F.col("b.nm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            score.alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+        .select("vec_a", "vec_b", F.floor(F.col("score") * F.lit(float(QUANT))).alias("score_q"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+EMB_NEARDUP_SQL = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+n AS (
+  SELECT vec_id,
+         sqrt((SELECT SUM(x * x) FROM (SELECT unnest(embedding)::DOUBLE AS x))) AS nm
+  FROM e
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         (SELECT SUM(x * y)
+          FROM (SELECT unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y))
+         / (na.nm * nb.nm) AS score
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  JOIN n na ON na.vec_id = a.vec_id
+  JOIN n nb ON nb.vec_id = b.vec_id
+)
+SELECT vec_a, vec_b, CAST(FLOOR(score * {float(QUANT)}) AS BIGINT) AS score_q
+FROM pairs WHERE score >= 0.3 ORDER BY vec_a, vec_b
+"""
+
+
+# --------------------------------------------------------------------------
+# driver-contract registry
+# --------------------------------------------------------------------------
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def queries() -> dict:
+    return {
+        "dedup_exact": lambda s, d: exact_dedup(_docs(s, d), "text", "doc_id"),
+        "dedup_ngram_jaccard": lambda s, d: ngram_jaccard_pairs(_docs(s, d)),
+        "dedup_minhash_sig": lambda s, d: minhash_signatures(_docs(s, d)),
+        "dedup_minhash_pairs": lambda s, d: minhash_lsh_pairs(_docs(s, d)),
+        "dedup_simhash": lambda s, d: simhash_signatures(_docs(s, d)),
+        "dedup_embedding_cosine": lambda s, d: embedding_neardup_pairs(
+            load_table(s, d, "embeddings")
+        ),
+    }
+
+
+def oracle_sql() -> dict:
+    return {
+        "dedup_exact": EXACT_SQL,
+        "dedup_ngram_jaccard": NGRAM_SQL,
+        "dedup_minhash_sig": minhash_sig_sql(),
+        "dedup_minhash_pairs": minhash_pairs_sql(),
+        "dedup_simhash": simhash_sql(),
+        "dedup_embedding_cosine": EMB_NEARDUP_SQL,
+    }

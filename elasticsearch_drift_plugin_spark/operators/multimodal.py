@@ -1,0 +1,125 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata (north-star extension, BASELINE.json).
+
+The container has no image/audio codecs, so the *decode kernels* are
+deterministic fakes behind clearly-marked stubs — but everything Spark-side
+is real and tested: the binary column handling, the Arrow batch shape
+through ``mapInPandas``, the output schemas, and the metadata extraction
+expressions. Swapping ``_fake_decode`` for PIL/libav is a one-function
+change that touches no plan structure.
+
+Scale notes: metadata extraction is pure Catalyst (no Python); the decode
+path is ``mapInPandas`` with Arrow batches — per-partition streaming, no
+per-row pickling, no driver involvement; a ``repartition`` before decode
+spreads large blobs evenly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_hash60
+from ..sources.flows import load_table
+
+FORMATS = ["png", "jpeg", "webp"]
+
+DECODE_SCHEMA = "doc_id long, width long, height long, n_pixels long, format string"
+
+
+def binary_documents(docs: DataFrame) -> DataFrame:
+    """Model documents as multimodal rows: an opaque binary payload plus id.
+    (With real data the payload would be image/audio bytes from source.)"""
+    return docs.select("doc_id", F.col("text").cast("binary").alias("payload"), "text")
+
+
+def media_metadata(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bytes, width, height, format): typed metadata extracted
+    from the payload — byte length is real; dimensions/format are
+    deterministic fakes derived from the content digest (stand-ins for a
+    header parse, which a real codec would do in the same expression slot).
+    """
+    b = binary_documents(docs)
+    h = md5_hash60(F.col("text"))
+    fmt = (
+        F.when(h % 3 == 0, F.lit("png"))
+        .when(h % 3 == 1, F.lit("jpeg"))
+        .otherwise(F.lit("webp"))
+    )
+    return b.select(
+        "doc_id",
+        F.length(F.col("payload")).cast("long").alias("n_bytes"),
+        (h % 640).alias("width"),
+        (F.shiftright(h, 3) % 480).alias("height"),
+        fmt.alias("format"),
+    ).orderBy("doc_id")
+
+
+METADATA_SQL = """
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       h % 640 AS width,
+       (h >> 3) % 480 AS height,
+       CASE WHEN h % 3 = 0 THEN 'png' WHEN h % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format
+FROM (SELECT doc_id, text, CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+      FROM documents)
+ORDER BY doc_id
+"""
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, str]:
+    """STUB — deterministic fake image decode. A real implementation would
+    be e.g. ``PIL.Image.open(io.BytesIO(payload))``; that dependency is not
+    in this container. The fake derives stable dimensions from content so
+    tests exercise the full distributed plumbing with asserted outputs."""
+    n = len(payload)
+    return (n % 640 + 1, (n * 31) % 480 + 1, FORMATS[n % 3])
+
+
+def decode_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Distributed decode via mapInPandas: Arrow-batched, per-partition.
+    Output schema is the real contract; the kernel is the stub above."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_fake_decode(bytes(p)) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "n_pixels": [d[0] * d[1] for d in decoded],
+                    "format": [d[2] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(fn, DECODE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n_bytes: int = 4096) -> DataFrame:
+    """'Video' frame sampling stub: one output row per sampled frame index.
+    Real frame extraction (ffmpeg/libav) is not available in-container; the
+    row-multiplying plan shape (posexplode over a computed frame count) is
+    the real part."""
+    n_frames = F.greatest(
+        (F.length(F.col("payload")) / F.lit(every_n_bytes)).cast("long"), F.lit(1)
+    )
+    return df.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx", "frame_offset"),
+    ).select("doc_id", "frame_idx")
+
+
+def queries() -> dict:
+    return {
+        "mm_metadata": lambda s, d: media_metadata(load_table(s, d, "documents")),
+    }
+
+
+def oracle_sql() -> dict:
+    return {
+        "mm_metadata": METADATA_SQL,
+    }

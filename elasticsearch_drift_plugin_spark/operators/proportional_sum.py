@@ -286,13 +286,16 @@ def proportional_sum(
     ratio = F.when(dur != 0, overlap.cast("double") / dur.cast("double")).otherwise(F.lit(1.0))
     contrib = F.col(_V) * ratio
 
+    # A bucket whose every contribution is missing reduces to 0.0, not NULL:
+    # the reference's Bucket.reduce starts at 0 and skips NaN partials
+    # (InternalProportionalSumHistogram.java:136-149, :332-336).
     if quantize is not None:
         scale = 10**quantize
-        agg_value = (F.sum(F.floor(contrib * F.lit(float(scale)))) / F.lit(float(scale))).alias(
-            "value"
-        )
+        agg_value = F.coalesce(
+            F.sum(F.floor(contrib * F.lit(float(scale)))) / F.lit(float(scale)), F.lit(0.0)
+        ).alias("value")
     else:
-        agg_value = F.sum(contrib).alias("value")
+        agg_value = F.coalesce(F.sum(contrib), F.lit(0.0)).alias("value")
 
     aggs = [
         agg_value,

@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (array<float>).
+
+North-star extension (BASELINE.json): approximate-nearest-neighbor search as
+a first-class engine operation.
+
+- brute-force cosine top-k — the exact baseline: broadcast the (small) query
+  set against the corpus, score with JVM-side higher-order functions
+  (zip_with/aggregate — no Python in the loop), rank per query;
+- random-hyperplane LSH bucketing — the scale path: 16 deterministic
+  hyperplanes → sign bits → bucket id; at 100 TB the bucket id becomes the
+  shuffle/partition key so candidate generation is a co-located equi-join
+  instead of an O(n·q) scan.
+
+Scores are quantized to 1e-6 (floor) so ranking ties and cross-engine hash
+comparisons are deterministic; rank ties break on neighbor id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import dot, l2_norm
+from ..sources.flows import load_table
+
+QUANT = 1_000_000
+N_PLANES = 16
+DIM = 64
+
+
+def hyperplane(j: int, dim: int = DIM) -> list[float]:
+    """Deterministic pseudo-random hyperplane — exact dyadic rationals from
+    an LCG, reproducible in any engine (no RNG library dependence)."""
+    return [
+        ((1103515245 * (j * dim + d) + 12345) % 2147483648) / 2147483648.0 - 0.5
+        for d in range(dim)
+    ]
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine. The query side is
+    broadcast — the corpus is scanned once, never shuffled."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col("embedding")).alias("cv")
+    )
+    c = c.select("neighbor_id", "cv", l2_norm(F.col("cv")).alias("cn"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col("embedding")).alias("qv")
+    )
+    q = q.select("query_id", "qv", l2_norm(F.col("qv")).alias("qn"))
+    score = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.floor(score * F.lit(float(QUANT))).alias("score_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score_q").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "score_q")
+        .orderBy("query_id", "rank")
+    )
+
+
+def lsh_buckets(emb: DataFrame, n_planes: int = N_PLANES, dim: int = DIM) -> DataFrame:
+    """(vec_id, bucket): sign-bit bucket under deterministic hyperplanes."""
+    v = _as_double(F.col("embedding"))
+    bucket = None
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in hyperplane(j, dim)])
+        dj = F.aggregate(
+            F.zip_with(v, plane, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        bit = F.when(dj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return emb.select(F.col("vec_id"), bucket.cast("long").alias("bucket"))
+
+
+def lsh_bucket_histogram(emb: DataFrame) -> DataFrame:
+    return (
+        lsh_buckets(emb)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("bucket")
+    )
+
+
+def _dot_sql(a_expr: str, b_expr: str) -> str:
+    return (
+        f"(SELECT SUM(x * y) FROM (SELECT unnest({a_expr})::DOUBLE AS x, "
+        f"unnest({b_expr})::DOUBLE AS y))"
+    )
+
+
+TOPK_SQL = f"""
+WITH n AS (
+  SELECT vec_id,
+         sqrt((SELECT SUM(x * x) FROM (SELECT unnest(embedding)::DOUBLE AS x))) AS nm
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(FLOOR({_dot_sql('q.embedding', 'c.embedding')} / (nq.nm * nc.nm)
+              * {float(QUANT)}) AS BIGINT) AS score_q
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  JOIN n nq ON nq.vec_id = q.vec_id
+  JOIN n nc ON nc.vec_id = c.vec_id
+  WHERE q.vec_id < 10
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score_q DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score_q
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def lsh_histogram_sql() -> str:
+    bits = []
+    for j in range(N_PLANES):
+        plane = "[" + ", ".join(repr(x) for x in hyperplane(j)) + "]"
+        bits.append(
+            f"(CASE WHEN {_dot_sql('embedding', plane)} >= 0 THEN {1 << j} ELSE 0 END)"
+        )
+    bucket = " + ".join(bits)
+    return (
+        f"SELECT CAST({bucket} AS BIGINT) AS bucket, COUNT(*) AS n_vectors "
+        f"FROM embeddings GROUP BY 1 ORDER BY bucket"
+    )
+
+
+def queries() -> dict:
+    return {
+        "ann_cosine_topk": lambda s, d: cosine_topk(
+            load_table(s, d, "embeddings"),
+            load_table(s, d, "embeddings").where(F.col("vec_id") < 10),
+        ),
+        "ann_lsh_histogram": lambda s, d: lsh_bucket_histogram(load_table(s, d, "embeddings")),
+    }
+
+
+def oracle_sql() -> dict:
+    return {
+        "ann_cosine_topk": TOPK_SQL,
+        "ann_lsh_histogram": lsh_histogram_sql(),
+    }

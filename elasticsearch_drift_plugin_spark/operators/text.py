@@ -1,0 +1,203 @@
+"""Text analysis operators for training-data pipelines (north-star
+extensions, BASELINE.json): language ID, quality scoring, token counting,
+document fingerprinting.
+
+All pure Catalyst expressions over the ``documents`` table — per-row, no
+shuffle at all (embarrassingly parallel at any scale; predicates and
+projections push to the scan). Fractional outputs are quantized (floor 1e-6)
+for deterministic cross-engine hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import HEX15_SQL_FN, md5_hash60
+from ..sources.flows import load_table
+
+QUANT = 1_000_000
+
+# Tiny per-language stopword lists (n-gram/stopword-hit heuristic language ID;
+# precedence order en > es > de > fr on ties, 'und' when no hits).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"],
+    "es": ["el", "la", "de", "y", "que", "los", "se", "del", "las", "un"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "im", "ein"],
+    "fr": ["le", "les", "de", "et", "des", "une", "du", "dans", "est", "pour"],
+}
+LANGS = list(STOPWORDS)
+
+BPE_ISH_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+PUNCT_RE = "[.,!?;:]"
+
+
+def _tokens() -> Column:
+    return F.split(F.lower(F.col("text")), " ")
+
+
+def _stop_count(lang: str) -> Column:
+    stop = STOPWORDS[lang]
+    return F.size(F.filter(_tokens(), lambda t: t.isin(*stop))).cast("long")
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang_pred, c_en, c_es, c_de, c_fr) — stopword-hit argmax."""
+    out = docs.select(
+        "doc_id", *[_stop_count(lang).alias(f"c_{lang}") for lang in LANGS]
+    )
+    # A language wins if it beats every earlier language strictly and every
+    # later one at-least — i.e. ties break by list order (en > es > de > fr).
+    pred = F.lit("und")
+    for lang in reversed(LANGS):
+        earlier = LANGS[: LANGS.index(lang)]
+        cond = F.col(f"c_{lang}") > 0
+        for e in earlier:
+            cond = cond & (F.col(f"c_{lang}") > F.col(f"c_{e}"))
+        for later in LANGS[LANGS.index(lang) + 1 :]:
+            cond = cond & (F.col(f"c_{lang}") >= F.col(f"c_{later}"))
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return out.select("doc_id", pred.alias("lang_pred"), *[f"c_{lang}" for lang in LANGS]).orderBy(
+        "doc_id"
+    )
+
+
+def lang_id_sql() -> str:
+    counts = ", ".join(
+        "len(list_filter(string_split(lower(text), ' '), t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        + f"], t))) AS c_{lang}"
+        for lang in LANGS
+    )
+    whens = []
+    for lang in LANGS:
+        earlier = LANGS[: LANGS.index(lang)]
+        later = LANGS[LANGS.index(lang) + 1 :]
+        conds = [f"c_{lang} > 0"]
+        conds += [f"c_{lang} > c_{e}" for e in earlier]
+        conds += [f"c_{lang} >= c_{l}" for l in later]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"""
+WITH counts AS (SELECT doc_id, {counts} FROM documents)
+SELECT doc_id, CASE {' '.join(whens)} ELSE 'und' END AS lang_pred,
+       c_en, c_es, c_de, c_fr
+FROM counts ORDER BY doc_id
+"""
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, n_tokens, n_punct, n_stop, score_q): heuristic
+    quality = 0.3·len-sat + 0.4·stopword-frac + 0.3·(1 − punct-frac)."""
+    n_chars = F.length("text").cast("long")
+    n_tokens = F.size(_tokens()).cast("long")
+    n_punct = (F.length("text") - F.length(F.regexp_replace("text", PUNCT_RE, ""))).cast("long")
+    n_stop = _stop_count("en")
+    d = docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stop"),
+    )
+    tok_sat = F.least(F.lit(1.0), F.col("n_tokens").cast("double") / F.lit(100.0))
+    stop_frac = F.col("n_stop").cast("double") / F.col("n_tokens").cast("double")
+    punct_frac = F.col("n_punct").cast("double") / F.col("n_chars").cast("double")
+    score = tok_sat * F.lit(0.3) + stop_frac * F.lit(0.4) + (F.lit(1.0) - punct_frac) * F.lit(0.3)
+    return d.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "n_punct",
+        "n_stop",
+        F.floor(score * F.lit(float(QUANT))).alias("score_q"),
+    ).orderBy("doc_id")
+
+
+def quality_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(text) AS BIGINT) AS n_chars,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(text) - len(regexp_replace(text, '{PUNCT_RE}', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+                              t -> list_contains([{stop}], t))) AS BIGINT) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens, n_punct, n_stop,
+       CAST(FLOOR((least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.3
+                   + CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.4
+                   + (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.3)
+                  * {float(QUANT)}) AS BIGINT) AS score_q
+FROM d ORDER BY doc_id
+"""
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, ws_tokens, bpe_ish_tokens, n_chars): whitespace tokens plus a
+    BPE-ish regex segmentation count."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("ws_tokens"),
+        F.regexp_count(F.lower(F.col("text")), F.lit(BPE_ISH_RE)).cast("long").alias(
+            "bpe_ish_tokens"
+        ),
+        F.length("text").cast("long").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+TOKENS_SQL = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{BPE_ISH_RE}')) AS BIGINT) AS bpe_ish_tokens,
+       CAST(len(text) AS BIGINT) AS n_chars
+FROM documents ORDER BY doc_id
+"""
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp): 60-bit digest fingerprint of the normalized text
+    (lowercased, whitespace-collapsed) — the content-defined identity used
+    for cross-run/exact dedup joins."""
+    norm = F.regexp_replace(F.lower(F.col("text")), " +", " ")
+    return docs.select("doc_id", md5_hash60(norm).alias("fp")).orderBy("doc_id")
+
+
+def rolling_fingerprint(docs: DataFrame, mod: int = 1_000_000_007) -> DataFrame:
+    """(doc_id, fp): polynomial rolling hash h = fold(h·31 + code) mod p over
+    the characters — a streaming-friendly fingerprint (computable
+    incrementally over chunks, unlike md5-of-whole-doc). Spark-side only
+    (the DuckDB oracle lacks an init-value fold), covered by unit tests."""
+    chars = F.split(F.lower(F.col("text")), "")
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(31) + F.ascii(c)) % F.lit(mod),
+    )
+    return docs.select("doc_id", fp.alias("fp")).orderBy("doc_id")
+
+
+FP_SQL = (
+    "SELECT doc_id, "
+    + HEX15_SQL_FN.format(expr="regexp_replace(lower(text), ' +', ' ', 'g')")
+    + " AS fp FROM documents ORDER BY doc_id"
+)
+
+
+def queries() -> dict:
+    return {
+        "text_lang_id": lambda s, d: lang_id(load_table(s, d, "documents")),
+        "text_quality": lambda s, d: quality_score(load_table(s, d, "documents")),
+        "text_tokens": lambda s, d: token_counts(load_table(s, d, "documents")),
+        "text_fingerprint": lambda s, d: fingerprints(load_table(s, d, "documents")),
+    }
+
+
+def oracle_sql() -> dict:
+    return {
+        "text_lang_id": lang_id_sql(),
+        "text_quality": quality_sql(),
+        "text_tokens": TOKENS_SQL,
+        "text_fingerprint": FP_SQL,
+    }

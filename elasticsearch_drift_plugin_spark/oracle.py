@@ -1,0 +1,169 @@
+"""DuckDB oracle-SQL generator for ``proportional_sum``.
+
+Produces ANSI SQL that computes EXACTLY what the Spark operator computes, for
+the driver's side-by-side correctness gate (row-count + schema + value-hash).
+
+Determinism contract (why results hash-match bit-for-bit):
+- all key/overlap/duration math is 64-bit integer arithmetic in both engines;
+- per-row double expressions (ratio, sampling scale-up) are IEEE-754 ops in
+  identical order → bit-identical per row;
+- the one order-dependent step — summing doubles under a shuffle — is made
+  exact by the operator's ``quantize`` mode: per-row contributions are
+  floored to 10^-q units (one deterministic double→long step), summed as
+  integers, and divided back once. The oracle mirrors the same expressions.
+
+The generator shares :func:`params.normalize` with the Spark operator, so
+interval precedence, offset parsing, and auto-offset derivation can never
+drift between the two.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from .params import PSumParams, normalize
+
+
+def _pmod(x: str, m: int) -> str:
+    return f"((({x}) % {m} + {m}) % {m})"
+
+
+def _floor_fixed(t: str, step: int, off: int) -> str:
+    return f"(({t}) - {_pmod(f'({t}) - {off}', step)})"
+
+
+def _trunc_cal(t_ms: str, unit: str, off: int) -> str:
+    """Calendar floor of epoch-ms as a timestamp (offset pre-subtracted)."""
+    return f"CAST(date_trunc('{unit}', make_timestamp((({t_ms}) - {off}) * 1000)) AS TIMESTAMP)"
+
+
+def psum_oracle_sql(
+    flows_sql: str,
+    *,
+    interval: int | str | None = None,
+    calendar_interval: str | None = None,
+    offset: int | str = 0,
+    start: int | None = None,
+    end: int | None = None,
+    min_doc_count: int = 1,
+    sampling: bool = True,
+    group_by: Sequence[str] = (),
+    extra_aggs: Sequence[tuple[str, str]] = (),
+    carry_cols: Sequence[str] = (),
+    quantize: int = 4,
+    where: str | None = None,
+) -> str:
+    """SQL mirroring ``proportional_sum(flows, 'start_ms', 'end_ms', 'value',
+    ['sampling'], ...)`` over ``flows_sql``, selecting
+    ``(group_by…, key, doc_count, value, extra…)``."""
+    p: PSumParams = normalize(
+        interval=interval,
+        calendar_interval=calendar_interval,
+        offset=offset,
+        start=start,
+        end=end,
+        min_doc_count=min_doc_count,
+    )
+    scale = 10**quantize
+    dims = ", ".join(group_by)
+    dims_pfx = f"{dims}, " if group_by else ""
+    # columns referenced by extra_aggs must survive the prepared/exploded CTEs
+    carry_pfx = "".join(f"{c}, " for c in carry_cols)
+
+    # value cleaning + sampling scale-up, same expression order as the operator
+    v = "(CASE WHEN isnan(value) THEN NULL ELSE value END)"
+    if sampling:
+        factor = (
+            "(CASE WHEN sampling IS NOT NULL AND NOT isnan(sampling) "
+            "AND isfinite(sampling) AND sampling != 0 THEN sampling ELSE 1.0 END)"
+        )
+        v = f"({v} * {factor})"
+
+    filters = ["TRUE"]
+    if where:
+        filters.append(f"({where})")
+    if p.start is not None:
+        filters.append(f"end_ms >= {p.start}")
+    if p.end is not None:
+        filters.append(f"start_ms <= {p.end}")
+
+    cs = f"greatest(s, {p.start})" if p.start is not None else "s"
+    ce = f"least(e, {p.end})" if p.end is not None else "e"
+
+    if p.kind == "fixed":
+        step, off = p.step_ms, p.offset_ms
+        explode = (
+            f"unnest(generate_series({_floor_fixed(cs, step, off)}, "
+            f"{_floor_fixed(ce, step, off)}, {step})) AS key"
+        )
+        win_end = f"(key + {step})"
+        key_expr = "key"
+    else:
+        unit, off = p.unit, p.offset_ms
+        explode = (
+            f"unnest(generate_series({_trunc_cal(cs, unit, off)}, "
+            f"{_trunc_cal(ce, unit, off)}, INTERVAL 1 {unit})) AS tb"
+        )
+        win_end = f"(epoch_ms(tb + INTERVAL 1 {unit}) + {off})"
+        key_expr = f"(epoch_ms(tb) + {off})"
+
+    overlap = f"greatest(least({win_end}, e) - greatest({key_expr}, s), 0)"
+    ratio = (
+        f"(CASE WHEN e - s != 0 THEN CAST({overlap} AS DOUBLE) / CAST(e - s AS DOUBLE) "
+        f"ELSE 1.0 END)"
+    )
+    contrib = f"(v * {ratio})"
+    sum_expr = f"SUM(CAST(FLOOR({contrib} * {float(scale)}) AS BIGINT))"
+    value_expr = f"COALESCE(CAST({sum_expr} AS DOUBLE) / {float(scale)}, 0.0)"
+
+    extra_sel = "".join(f", {expr} AS {name}" for name, expr in extra_aggs)
+    having = f"HAVING COUNT(*) >= {p.min_doc_count}" if p.min_doc_count > 1 else ""
+
+    agg_sql = f"""
+WITH flows AS ({flows_sql}),
+prepared AS (
+  SELECT {dims_pfx}{carry_pfx}start_ms AS s, end_ms AS e, {v} AS v
+  FROM flows WHERE {' AND '.join(filters)}
+),
+exploded AS (
+  SELECT {dims_pfx}{carry_pfx}s, e, v, {explode} FROM prepared
+),
+agg AS (
+  SELECT {dims_pfx}{key_expr} AS key,
+         {value_expr} AS value,
+         COUNT(*) AS doc_count{extra_sel}
+  FROM exploded
+  GROUP BY {dims_pfx}{'key' if p.kind == 'fixed' else 'tb'}
+  {having}
+)"""
+
+    extra_out = "".join(f", {name}" for name, _ in extra_aggs)
+    if p.min_doc_count == 0:
+        # Zero-fill between observed min and max keys (final-reduce fill,
+        # matching the operator's spine join).
+        bounds = "bounds AS (SELECT min(key) AS mn, max(key) AS mx FROM agg)"
+        if p.kind == "fixed":
+            spine = (
+                f"SELECT unnest(generate_series(mn, mx, {p.step_ms})) AS key FROM bounds"
+            )
+        else:
+            spine = (
+                f"SELECT epoch_ms(tb) + {p.offset_ms} AS key FROM (SELECT "
+                f"unnest(generate_series("
+                f"make_timestamp((mn - {p.offset_ms}) * 1000), "
+                f"make_timestamp((mx - {p.offset_ms}) * 1000), "
+                f"INTERVAL 1 {p.unit})) AS tb FROM bounds)"
+            )
+        if group_by:
+            spine = f"SELECT * FROM (SELECT DISTINCT {dims} FROM agg) CROSS JOIN ({spine})"
+        return (
+            f"{agg_sql}, {bounds}, spine AS ({spine}) "
+            f"SELECT {dims_pfx}spine.key AS key, COALESCE(doc_count, 0) AS doc_count, "
+            f"COALESCE(value, 0.0) AS value{extra_out} "
+            f"FROM spine LEFT JOIN agg USING ({dims_pfx.rstrip(', ') + ', ' if group_by else ''}key) "
+            f"ORDER BY {dims_pfx}key"
+        )
+    return (
+        f"{agg_sql} SELECT {dims_pfx}key, doc_count, value{extra_out} FROM agg "
+        f"ORDER BY {dims_pfx}key"
+    )

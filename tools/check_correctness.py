@@ -1,0 +1,107 @@
+"""Local replica of the driver's correctness gate: run every
+``__spark_entry__.queries()`` entry on Spark AND its ``oracle_sql()`` twin on
+DuckDB over the same parquet, compare row count, column names, and an
+order-insensitive value hash.
+
+Usage: python tools/check_correctness.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+from elasticsearch_drift_plugin_spark.session import get_spark
+from elasticsearch_drift_plugin_spark.sources.flows import TABLES
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return repr(int(v)) + ".0"
+        return repr(v)
+    return str(v)
+
+
+def table_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(",".join(norm_cell(r[i]) for i in order) for r in rows)
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("correctness-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:
+            print(f"FAIL  {name}: spark error: {str(ex).splitlines()[0][:160]}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"WEAK  {name}: no oracle; spark rows={len(srows)}")
+            continue
+        try:
+            res = con.sql(oracles[name])
+            ocols = res.columns
+            orows = res.fetchall()
+        except Exception as ex:
+            print(f"FAIL  {name}: duckdb error: {str(ex).splitlines()[0][:160]}")
+            n_fail += 1
+            continue
+        problems = []
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols spark={scols} duck={ocols}")
+        if len(srows) != len(orows):
+            problems.append(f"rows spark={len(srows)} duck={len(orows)}")
+        if not problems:
+            hs, ho = table_hash(scols, srows), table_hash(ocols, orows)
+            if hs != ho:
+                problems.append(f"hash {hs} != {ho}")
+                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+                order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                ls = sorted(",".join(norm_cell(r[i]) for i in order_s) for r in srows)
+                lo = sorted(",".join(norm_cell(r[i]) for i in order_o) for r in orows)
+                for a, b in zip(ls, lo):
+                    if a != b:
+                        problems.append(f"first diff:\n  spark: {a}\n  duck:  {b}")
+                        break
+        dt = time.time() - t0
+        if problems:
+            print(f"FAIL  {name} ({dt:.1f}s): " + "; ".join(problems[:3]))
+            n_fail += 1
+        else:
+            print(f"PASS  {name} ({dt:.1f}s, {len(srows)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
