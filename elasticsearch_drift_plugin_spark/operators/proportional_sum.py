@@ -169,7 +169,84 @@ def proportional_sum(
         ]
         return spark.createDataFrame([], T.StructType(fields))
 
-    dtypes = dict(df.dtypes)
+    # Columns referenced by extra_aggs must survive the explode-projection;
+    # Column reprs name the columns they touch, so carry any input column
+    # mentioned there (over-carrying is harmless — Catalyst prunes unused).
+    extra_dep_cols = [
+        c
+        for c in df.columns
+        if c not in set(group_by)
+        and extra_aggs
+        and any(c in str(a) for a in extra_aggs.values())
+    ]
+
+    exploded, contrib = explode_contributions(
+        df,
+        start_col,
+        end_col,
+        value_col,
+        sampling_col,
+        p,
+        group_by=group_by,
+        extra_dep_cols=extra_dep_cols,
+        max_buckets_per_row=max_buckets_per_row,
+        validate=validate,
+    )
+
+    # A bucket whose every contribution is missing reduces to 0.0, not NULL:
+    # the reference's Bucket.reduce starts at 0 and skips NaN partials
+    # (InternalProportionalSumHistogram.java:136-149, :332-336).
+    if quantize is not None:
+        scale = 10**quantize
+        agg_value = F.coalesce(
+            F.sum(F.floor(contrib * F.lit(float(scale)))) / F.lit(float(scale)), F.lit(0.0)
+        ).alias("value")
+    else:
+        agg_value = F.coalesce(F.sum(contrib), F.lit(0.0)).alias("value")
+
+    aggs = [
+        agg_value,
+        F.count(F.lit(1)).alias("doc_count"),
+        *[a.alias(n) for n, a in extra_aggs.items()],
+    ]
+    out = exploded.groupBy(*[F.col(g) for g in group_by], F.col(_KEY)).agg(*aggs)
+
+    if p.min_doc_count > 1:
+        out = out.where(F.col("doc_count") >= p.min_doc_count)
+    elif p.min_doc_count == 0:
+        out = _fill_empty_buckets(out, p, group_by, list(extra_aggs), max_fill_buckets)
+
+    out = out.withColumn("key_ts", F.timestamp_millis(F.col(_KEY)))
+    cols = [*group_by, "key", "key_ts", "doc_count", "value", *extra_aggs]
+    if key_format:
+        out = out.withColumn("key_as_string", F.date_format(F.col("key_ts"), key_format))
+        cols.append("key_as_string")
+    out = out.select(*cols)
+
+    return out.orderBy(*_order_cols(order, group_by))
+
+
+def explode_contributions(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    value_col: str,
+    sampling_col: str | None,
+    p: PSumParams,
+    *,
+    group_by: Sequence[str] = (),
+    extra_dep_cols: Sequence[str] = (),
+    max_buckets_per_row: int = 100_000,
+    validate: bool = True,
+):
+    """The stateless validate → sample → clamp → round → explode → ratio
+    prefix of the operator, shared verbatim by the batch aggregation above
+    and the streaming variant (streaming/proportional_sum_stream.py) so the
+    two can never drift semantically.
+
+    Returns ``(exploded_df, contrib_col)`` where exploded_df has one row per
+    (input row × overlapped bucket) with the bucket key in column ``key``.
+    """
     schema = {f.name: f.dataType for f in df.schema.fields}
 
     s = to_epoch_ms(F.col(start_col), schema[start_col])
@@ -215,17 +292,7 @@ def proportional_sum(
     cs = F.greatest(s, F.lit(p.start)) if p.start is not None else s
     ce = F.least(e, F.lit(p.end)) if p.end is not None else e
 
-    carry = [F.col(g) for g in group_by]
-    # Columns referenced by extra_aggs must survive the explode-projection;
-    # Column reprs name the columns they touch, so carry any input column
-    # mentioned there (over-carrying is harmless — Catalyst prunes unused).
-    extra_dep_cols = [
-        F.col(c)
-        for c in df.columns
-        if c not in set(group_by)
-        and extra_aggs
-        and any(c in str(a) for a in extra_aggs.values())
-    ]
+    carry = [F.col(g) for g in group_by] + [F.col(c) for c in extra_dep_cols]
 
     if p.kind == "fixed":
         step = p.step_ms
@@ -244,7 +311,6 @@ def proportional_sum(
         )
         exploded = base.select(
             *carry,
-            *extra_dep_cols,
             s.alias(_S),
             e.alias(_E),
             v.alias(_V),
@@ -268,7 +334,6 @@ def proportional_sum(
         )
         exploded = base.select(
             *carry,
-            *extra_dep_cols,
             s.alias(_S),
             e.alias(_E),
             v.alias(_V),
@@ -284,39 +349,7 @@ def proportional_sum(
     )
     dur = F.col(_E) - F.col(_S)
     ratio = F.when(dur != 0, overlap.cast("double") / dur.cast("double")).otherwise(F.lit(1.0))
-    contrib = F.col(_V) * ratio
-
-    # A bucket whose every contribution is missing reduces to 0.0, not NULL:
-    # the reference's Bucket.reduce starts at 0 and skips NaN partials
-    # (InternalProportionalSumHistogram.java:136-149, :332-336).
-    if quantize is not None:
-        scale = 10**quantize
-        agg_value = F.coalesce(
-            F.sum(F.floor(contrib * F.lit(float(scale)))) / F.lit(float(scale)), F.lit(0.0)
-        ).alias("value")
-    else:
-        agg_value = F.coalesce(F.sum(contrib), F.lit(0.0)).alias("value")
-
-    aggs = [
-        agg_value,
-        F.count(F.lit(1)).alias("doc_count"),
-        *[a.alias(n) for n, a in extra_aggs.items()],
-    ]
-    out = exploded.groupBy(*[F.col(g) for g in group_by], F.col(_KEY)).agg(*aggs)
-
-    if p.min_doc_count > 1:
-        out = out.where(F.col("doc_count") >= p.min_doc_count)
-    elif p.min_doc_count == 0:
-        out = _fill_empty_buckets(out, p, group_by, list(extra_aggs), max_fill_buckets)
-
-    out = out.withColumn("key_ts", F.timestamp_millis(F.col(_KEY)))
-    cols = [*group_by, "key", "key_ts", "doc_count", "value", *extra_aggs]
-    if key_format:
-        out = out.withColumn("key_as_string", F.date_format(F.col("key_ts"), key_format))
-        cols.append("key_as_string")
-    out = out.select(*cols)
-
-    return out.orderBy(*_order_cols(order, group_by))
+    return exploded, F.col(_V) * ratio
 
 
 def _order_cols(order, group_by) -> list[Column]:

@@ -1,0 +1,195 @@
+"""Edge-case semantics from SURVEY.md §2 fine print / FIXTURES.md §5 —
+the correctness traps the reference's code encodes."""
+
+import math
+
+import pytest
+from pyspark.sql import types as T
+
+from elasticsearch_drift_plugin_spark import proportional_sum
+from elasticsearch_drift_plugin_spark.params import normalize, parse_interval, parse_offset
+
+SCHEMA = "start_ms long, end_ms long, value double, sampling double"
+
+
+def run(spark, rows, **kw):
+    df = spark.createDataFrame(rows, SCHEMA)
+    samp = kw.pop("sampling_col", None)
+    return proportional_sum(df, "start_ms", "end_ms", "value", samp, **kw).collect()
+
+
+def test_zero_duration_single_bucket(spark):
+    # start == end: ratio forced to 1, exactly one bucket
+    # (ProportionalSumAggregator.java:198-201).
+    out = run(spark, [(150, 150, 5.0, None)], interval=100)
+    assert len(out) == 1 and out[0].key == 100
+    assert out[0].value == 5.0 and out[0].doc_count == 1
+
+
+def test_boundary_end_terminal_bucket(spark):
+    # A flow ending exactly on a bucket boundary lands in that terminal
+    # bucket with overlap 0: doc_count +1, value +0 (loop <= lastRounded,
+    # ProportionalSumAggregator.java:190).
+    out = run(spark, [(0, 200, 10.0, None)], interval=100)
+    assert [(r.key, r.doc_count, r.value) for r in out] == [
+        (0, 1, 5.0),
+        (100, 1, 5.0),
+        (200, 1, 0.0),
+    ]
+
+
+def test_clamp_drops_not_renormalizes(spark):
+    # Mass outside [start, end] is dropped (README total 34-of-35 trap).
+    out = run(spark, [(0, 1000, 100.0, None)], interval=100, start=200, end=399)
+    keys = [r.key for r in out]
+    assert keys == [200, 300]
+    assert sum(r.value for r in out) == pytest.approx(20.0)
+
+
+def test_null_value_counts_but_adds_zero(spark):
+    out = run(spark, [(0, 100, None, None), (0, 100, 4.0, None)], interval=100)
+    assert out[0].doc_count == 2 and out[0].value == pytest.approx(4.0)
+    # all-NULL bucket reduces to 0.0, not NULL
+    out2 = run(spark, [(0, 100, None, None)], interval=100)
+    assert out2[0].value == 0.0 and out2[0].doc_count == 1
+
+
+def test_nan_value_treated_as_missing(spark):
+    out = run(spark, [(0, 100, float("nan"), None), (0, 100, 2.0, None)], interval=100)
+    assert out[0].value == pytest.approx(2.0) and out[0].doc_count == 2
+
+
+def test_sampling_ignored_cases(spark):
+    # sampling in {0, NULL, NaN, Inf} → multiplier ignored
+    # (ProportionalSumAggregator.java:171-180).
+    rows = [
+        (0, 100, 1.0, 0.0),
+        (0, 100, 1.0, None),
+        (0, 100, 1.0, float("nan")),
+        (0, 100, 1.0, float("inf")),
+        (0, 100, 1.0, 3.0),
+    ]
+    out = run(spark, rows, sampling_col="sampling", interval=100)
+    assert out[0].value == pytest.approx(1 + 1 + 1 + 1 + 3)
+
+
+def test_flow_outside_range_generates_nothing(spark):
+    out = run(spark, [(0, 99, 1.0, None), (500, 600, 1.0, None)], interval=100, start=200, end=399)
+    assert out == []
+
+
+def test_flow_ending_at_range_start_counts(spark):
+    # end == query start → zero-overlap first bucket still gets the doc.
+    out = run(spark, [(0, 200, 8.0, None)], interval=100, start=200, end=399, offset=1000)
+    # offset=1000 ≡ 0 mod 100 keeps grid aligned while suppressing auto-offset
+    assert [(r.key, r.doc_count, r.value) for r in out] == [(200, 1, 0.0)]
+
+
+def test_multi_bucket_partial_full_partial(spark):
+    out = run(spark, [(50, 350, 30.0, None)], interval=100)
+    assert [(r.key, r.value) for r in out] == [(0, 5.0), (100, 10.0), (200, 10.0), (300, 5.0)]
+    assert all(r.doc_count == 1 for r in out)
+
+
+def test_min_doc_count_filter(spark):
+    rows = [(0, 100, 1.0, None), (0, 100, 1.0, None), (100, 200, 1.0, None)]
+    out = run(spark, rows, interval=100, min_doc_count=2)
+    # bucket 100 has docs 1,2,3 (terminal zero-overlap for first two)... compute:
+    # flows 1,2 cover [0,100] -> buckets 0 and 100(terminal); flow 3 -> 100,200(terminal)
+    assert [(r.key, r.doc_count) for r in out] == [(0, 2), (100, 3)]
+
+
+def test_empty_fill_zero_buckets(spark):
+    rows = [(0, 100, 1.0, None), (500, 600, 2.0, None)]
+    out = run(spark, rows, interval=100, min_doc_count=0)
+    keys = [r.key for r in out]
+    assert keys == [0, 100, 200, 300, 400, 500, 600]
+    fill = [r for r in out if r.key in (200, 300, 400)]
+    assert all(r.doc_count == 0 and r.value == 0.0 for r in fill)
+
+
+def test_extended_bounds_widen_fill(spark):
+    out = run(
+        spark,
+        [(200, 300, 1.0, None)],
+        interval=100,
+        min_doc_count=0,
+        extended_bounds=(0, 500),
+    )
+    assert [r.key for r in out] == [0, 100, 200, 300, 400, 500]
+
+
+def test_order_by_count_then_key(spark):
+    rows = [(0, 100, 1.0, None), (100, 300, 9.0, None)]
+    out = run(spark, rows, interval=100, order=[("_count", False)])
+    # counts: bucket0:1(flow1), 100:2(flow1 terminal+flow2), 200:1, 300:1(terminal)
+    assert [r.key for r in out][0] == 100
+    assert [r.key for r in out][1:] == [0, 200, 300]  # tie broken by key asc
+
+
+def test_key_as_string_format(spark):
+    out = run(spark, [(0, 100, 1.0, None)], interval=86_400_000, key_format="yyyy-MM-dd")
+    assert out[0].key_as_string == "1970-01-01"
+
+
+def test_group_by_and_extra_aggs(spark):
+    df = spark.createDataFrame(
+        [(0, 100, 1.0, None, "a"), (0, 100, 3.0, None, "b")], SCHEMA + ", tag string"
+    )
+    out = proportional_sum(
+        df,
+        "start_ms",
+        "end_ms",
+        "value",
+        interval=100,
+        group_by=("tag",),
+        extra_aggs={"vmax": __import__("pyspark.sql.functions", fromlist=["max"]).max("value")},
+    ).collect()
+    by_tag = {(r.tag, r.key): (r.value, r.vmax) for r in out}
+    assert by_tag[("a", 0)] == (1.0, 1.0) and by_tag[("b", 0)] == (3.0, 3.0)
+
+
+def test_timestamp_input_columns(spark):
+    df = spark.createDataFrame(
+        [(0, 100, 1.0)], "start_ms long, end_ms long, value double"
+    ).selectExpr(
+        "timestamp_millis(start_ms) AS st", "timestamp_millis(end_ms) AS en", "value"
+    )
+    out = proportional_sum(df, "st", "en", "value", interval=100).collect()
+    assert out[0].key == 0 and out[0].value == 1.0
+
+
+# --- parameter normalization unit tests ------------------------------------
+
+
+def test_interval_precedence_calendar_wins():
+    assert parse_interval(30_000, "month") == ("calendar", None, "month")
+    assert parse_interval("month") == ("calendar", None, "month")
+    assert parse_interval("90m") == ("fixed", 5_400_000, None)
+    with pytest.raises(ValueError):
+        parse_interval(0)
+
+
+def test_offset_parsing():
+    assert parse_offset("1h") == 3_600_000
+    assert parse_offset("-30m") == -1_800_000
+    assert parse_offset(250) == 250
+    with pytest.raises(ValueError):
+        parse_offset("1x")
+
+
+def test_auto_offset_fixed():
+    p = normalize(interval=3_600_000, start=7_230_000)
+    assert p.offset_ms == 7_230_000 % 3_600_000
+    # explicit offset suppresses auto-derivation
+    p2 = normalize(interval=3_600_000, offset=60_000, start=7_230_000)
+    assert p2.offset_ms == 60_000
+
+
+def test_quantize_matches_unquantized(spark):
+    rows = [(i * 10, i * 10 + 250, float(i), None) for i in range(1, 50)]
+    exact = {r.key: r.value for r in run(spark, rows, interval=100)}
+    quant = {r.key: r.value for r in run(spark, rows, interval=100, quantize=6)}
+    assert exact.keys() == quant.keys()
+    for k in exact:
+        assert quant[k] == pytest.approx(exact[k], abs=1e-4)

@@ -1,0 +1,135 @@
+"""Streaming proportional_sum: drive a bounded file stream through the
+watermarked aggregation and compare against the batch operator (same data ⇒
+same buckets), plus late-data drop behavior."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_drift_plugin_spark import proportional_sum
+from elasticsearch_drift_plugin_spark.sources.flows import parse_flow_json
+from elasticsearch_drift_plugin_spark.streaming import proportional_sum_stream
+
+SCHEMA = "start_ms long, end_ms long, value double, sampling double"
+
+HOUR = 3_600_000
+# 2024-01-01: buckets at epoch 0 sit exactly on Spark's initial watermark and
+# are treated as late — degenerate input, so anchor test flows in real time.
+BASE = 1_704_067_200_000
+
+
+@pytest.fixture()
+def flow_rows():
+    # flows across 3 hourly buckets incl. zero-duration + boundary-end
+    return [
+        (BASE, BASE + 2 * HOUR, 10.0, None),
+        (BASE + HOUR, BASE + HOUR + 1800_000, 4.0, 2.0),
+        (BASE + 2 * HOUR, BASE + 2 * HOUR, 7.0, None),
+        (BASE, BASE + HOUR, 6.0, None),
+    ]
+
+
+def _run_stream(spark, rows, tmpdir, **kw):
+    src = f"{tmpdir}/src"
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    agg = proportional_sum_stream(
+        stream, "start_ms", "end_ms", "value", "sampling", **kw
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("psum_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return {r.key: (r.doc_count, r.value) for r in spark.sql("SELECT * FROM psum_out").collect()}
+
+
+def test_stream_matches_batch(spark, flow_rows, tmp_path):
+    got = _run_stream(spark, flow_rows, tmp_path, interval=HOUR)
+    batch = proportional_sum(
+        spark.createDataFrame(flow_rows, SCHEMA),
+        "start_ms",
+        "end_ms",
+        "value",
+        "sampling",
+        interval=HOUR,
+    ).collect()
+    expected = {r.key: (r.doc_count, r.value) for r in batch}
+    assert got == expected
+    assert got[BASE + 2 * HOUR][0] == 2  # terminal zero-overlap + zero-duration doc
+
+
+def test_stream_update_accumulates_across_batches(spark, tmp_path):
+    src = f"{tmp_path}/src2"
+    spark.createDataFrame([(BASE, BASE + HOUR, 2.0, None)], SCHEMA).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    # the flow's own terminal bucket advances the watermark past its first
+    # bucket, so a tight delay would drop the second batch's update as late
+    # (that behavior is covered below) — widen it to observe accumulation
+    agg = proportional_sum_stream(
+        stream, "start_ms", "end_ms", "value", "sampling", interval=HOUR,
+        watermark_delay="2 hours",
+    )
+    q = agg.writeStream.outputMode("update").format("memory").queryName("acc_out").start()
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame([(BASE, BASE + HOUR, 3.0, None)], SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "SELECT * FROM acc_out WHERE key = 1704067200000 ORDER BY doc_count DESC LIMIT 1"
+    ).collect()
+    # update mode re-emits the bucket with the accumulated state
+    assert rows[0].doc_count == 2 and rows[0].value == pytest.approx(5.0)
+
+
+def test_parse_flow_json_shapes_stream_input(spark):
+    raw = spark.createDataFrame(
+        [
+            (
+                '{"netflow": {"first_switched": 100, "last_switched": 450,'
+                ' "bytes": 350.0, "sampling_interval": 1.0}}',
+            )
+        ],
+        "value string",
+    )
+    flows = parse_flow_json(raw)
+    assert flows.columns == ["start_ms", "end_ms", "value", "sampling"]
+    out = proportional_sum(
+        flows, "start_ms", "end_ms", "value", "sampling", interval=100, start=0, end=500
+    ).collect()
+    assert [(r.key, r.value) for r in out] == [(100, 100.0), (200, 100.0), (300, 100.0), (400, 50.0)]
+
+
+def test_stream_drops_late_bucket_updates(spark, tmp_path):
+    """Documented divergence from batch: once the watermark passes a bucket,
+    later flows crediting it are dropped (batch replay reconciles)."""
+    src = f"{tmp_path}/src3"
+    spark.createDataFrame([(BASE, BASE + 3 * HOUR, 9.0, None)], SCHEMA).coalesce(1).write.parquet(
+        src
+    )
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    agg = proportional_sum_stream(
+        stream, "start_ms", "end_ms", "value", "sampling", interval=HOUR,
+        watermark_delay="10 minutes",
+    )
+    q = agg.writeStream.outputMode("update").format("memory").queryName("late_out").start()
+    try:
+        q.processAllAvailable()
+        # watermark is now ~BASE+3h-10min; this flow's buckets are all older
+        spark.createDataFrame([(BASE, BASE + HOUR, 100.0, None)], SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM late_out WHERE key = 1704067200000").collect()
+    # only the first flow's contribution ever lands in bucket BASE
+    assert all(r.doc_count == 1 for r in rows)
