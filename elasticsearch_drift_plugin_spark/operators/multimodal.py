@@ -81,11 +81,24 @@ def _fake_decode(payload: bytes) -> tuple[int, int, str]:
 
 def decode_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Distributed decode via mapInPandas: Arrow-batched, per-partition.
-    Output schema is the real contract; the kernel is the stub above."""
+    Output schema is the real contract; the kernel is the stub above.
+
+    The kernel closure is deliberately self-contained (nested fns pickle by
+    value): referencing module-level helpers would make cloudpickle pickle
+    them by reference and break on workers without this package on their
+    PYTHONPATH (e.g. a driver script running from another directory).
+    """
+
+    formats = list(FORMATS)
+
+    def fake_decode(payload: bytes) -> tuple[int, int, str]:
+        # STUB — mirrors _fake_decode above; inlined for picklability.
+        n = len(payload)
+        return (n % 640 + 1, (n * 31) % 480 + 1, formats[n % 3])
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_fake_decode(bytes(p)) for p in pdf[payload_col]]
+            decoded = [fake_decode(bytes(p)) for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -97,6 +110,20 @@ def decode_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             )
 
     return df.mapInPandas(fn, DECODE_SCHEMA)
+
+
+# The fake decode is a pure function of byte length, so the full distributed
+# decode path (binary cast → Arrow batches → mapInPandas kernel → typed
+# output) gets a real value-level oracle, not just a rows-only check.
+DECODE_SQL = """
+SELECT doc_id,
+       n % 640 + 1 AS width,
+       (n * 31) % 480 + 1 AS height,
+       (n % 640 + 1) * ((n * 31) % 480 + 1) AS n_pixels,
+       CASE WHEN n % 3 = 0 THEN 'png' WHEN n % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format
+FROM (SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n FROM documents)
+ORDER BY doc_id
+"""
 
 
 def frame_sample(df: DataFrame, every_n_bytes: int = 4096) -> DataFrame:
@@ -113,13 +140,31 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 4096) -> DataFrame:
     ).select("doc_id", "frame_idx")
 
 
+FRAMES_SQL = """
+SELECT doc_id, CAST(unnest(generate_series(0, n_frames - 1)) AS BIGINT) AS frame_idx
+FROM (SELECT doc_id,
+             greatest(CAST(FLOOR(octet_length(CAST(text AS BLOB)) / 4096.0) AS BIGINT), 1)
+               AS n_frames
+      FROM documents)
+ORDER BY doc_id, frame_idx
+"""
+
+
 def queries() -> dict:
     return {
         "mm_metadata": lambda s, d: media_metadata(load_table(s, d, "documents")),
+        "mm_decode": lambda s, d: decode_media(
+            binary_documents(load_table(s, d, "documents"))
+        ).orderBy("doc_id"),
+        "mm_frames": lambda s, d: frame_sample(
+            binary_documents(load_table(s, d, "documents"))
+        ).orderBy("doc_id", "frame_idx"),
     }
 
 
 def oracle_sql() -> dict:
     return {
         "mm_metadata": METADATA_SQL,
+        "mm_decode": DECODE_SQL,
+        "mm_frames": FRAMES_SQL,
     }

@@ -95,6 +95,124 @@ def lsh_bucket_histogram(emb: DataFrame) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the scale path beyond brute force
+# --------------------------------------------------------------------------
+N_CENTROIDS = 16
+NPROBE = 4
+
+
+def _seed_centroids(emb: DataFrame, n_centroids: int, id_col: str = "vec_id"):
+    """Deterministic one-pass IVF: the ``n_centroids`` lowest-id vectors act
+    as cell centroids (no Lloyd iterations, so the oracle can reproduce the
+    index exactly). Collecting them is the broadcast-small-dim pattern:
+    O(n_centroids · dim) bytes regardless of corpus size."""
+    rows = (
+        emb.where(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), "embedding")
+        .collect()
+    )
+    cents = []
+    for r in sorted(rows, key=lambda r: r["cid"]):
+        vec = [float(x) for x in r["embedding"]]
+        acc = 0.0
+        for x in vec:  # sequential fold == the engines' SUM order
+            acc += x * x
+        cents.append((int(r["cid"]), vec, acc**0.5))
+    return cents
+
+
+def _cell_score_q(v, vec: list[float], norm: float):
+    # Assignment ranks by floor(dot(v, c)/|c| * 1e6): |v| is constant per row
+    # so it cannot change the argmax and is omitted (the oracle omits it too —
+    # consistency between engines is what matters, not cosine units).
+    cv = F.array(*[F.lit(x) for x in vec])
+    return F.floor(dot(v, cv) / F.lit(norm) * F.lit(float(QUANT)))
+
+
+def ivf_assign(emb: DataFrame, cents, id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, cell, embedding): nearest-centroid assignment, fully map-side
+    — the centroid table is inlined as literals so the corpus is never
+    shuffled and the whole argmax stays in codegen."""
+    v = _as_double(F.col("embedding"))
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    _cell_score_q(v, vec, nm).alias("s"),
+                    F.lit(-cid).alias("neg_cid"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, vec, nm in cents
+            ]
+        )
+    )
+    return emb.select(
+        F.col(id_col), F.col("embedding"), best.getField("cid").alias("cell")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = N_CENTROIDS,
+    nprobe: int = NPROBE,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN: probe the ``nprobe`` best cells per query, score only vectors
+    assigned there. At scale the corpus is scanned once (assignment is
+    map-side) and candidate generation is an equi-join on the cell id with
+    the tiny (queries × nprobe) side broadcast — no corpus shuffle at all;
+    partitioning the stored corpus by cell makes the probe partition-prunable.
+    """
+    cents = _seed_centroids(corpus, n_centroids, id_col)
+    assigned = ivf_assign(corpus, cents, id_col)
+
+    qv = _as_double(F.col("embedding"))
+    probe_cells = F.slice(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        (-_cell_score_q(qv, vec, nm)).alias("neg_s"),
+                        F.lit(cid).alias("cid"),
+                    )
+                    for cid, vec, nm in cents
+                ]
+            )
+        ),
+        1,
+        nprobe,
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        qv.alias("qv"),
+        F.explode(probe_cells).alias("p"),
+    ).select("query_id", "qv", F.col("p.cid").alias("cell"))
+
+    c = assigned.select(
+        "cell", F.col(id_col).alias("neighbor_id"), _as_double(F.col("embedding")).alias("cv")
+    )
+    score = dot(F.col("qv"), F.col("cv")) / (l2_norm(F.col("qv")) * l2_norm(F.col("cv")))
+    scored = (
+        c.join(F.broadcast(probes), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.floor(score * F.lit(float(QUANT))).alias("score_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score_q").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "score_q")
+        .orderBy("query_id", "rank")
+    )
+
+
 def _dot_sql(a_expr: str, b_expr: str) -> str:
     return (
         f"(SELECT SUM(x * y) FROM (SELECT unnest({a_expr})::DOUBLE AS x, "
@@ -127,6 +245,55 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+IVF_TOPK_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+cn AS (
+  SELECT cid, sqrt((SELECT SUM(x * x) FROM (SELECT unnest(cv)::DOUBLE AS x))) AS nm
+  FROM cents
+),
+cell_scores AS (
+  SELECT e.vec_id, c.cid,
+         CAST(FLOOR({_dot_sql('e.embedding', 'c.cv')} / cn.nm * {float(QUANT)}) AS BIGINT) AS s
+  FROM embeddings e CROSS JOIN cents c JOIN cn ON cn.cid = c.cid
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+    FROM cell_scores) WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id AS query_id, cid AS cell FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+    FROM cell_scores WHERE vec_id < 10) WHERE rn <= {NPROBE}
+),
+n AS (
+  SELECT vec_id,
+         sqrt((SELECT SUM(x * x) FROM (SELECT unnest(embedding)::DOUBLE AS x))) AS nm
+  FROM embeddings
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         CAST(FLOOR({_dot_sql('q.embedding', 'e.embedding')} / (nq.nm * ne.nm)
+              * {float(QUANT)}) AS BIGINT) AS score_q
+  FROM probe p
+  JOIN assign a ON a.cell = p.cell AND a.vec_id != p.query_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN n nq ON nq.vec_id = p.query_id
+  JOIN n ne ON ne.vec_id = a.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score_q DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score_q
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def lsh_histogram_sql() -> str:
     bits = []
     for j in range(N_PLANES):
@@ -148,6 +315,10 @@ def queries() -> dict:
             load_table(s, d, "embeddings").where(F.col("vec_id") < 10),
         ),
         "ann_lsh_histogram": lambda s, d: lsh_bucket_histogram(load_table(s, d, "embeddings")),
+        "ann_ivf_topk": lambda s, d: ivf_topk(
+            load_table(s, d, "embeddings"),
+            load_table(s, d, "embeddings").where(F.col("vec_id") < 10),
+        ),
     }
 
 
@@ -155,4 +326,5 @@ def oracle_sql() -> dict:
     return {
         "ann_cosine_topk": TOPK_SQL,
         "ann_lsh_histogram": lsh_histogram_sql(),
+        "ann_ivf_topk": IVF_TOPK_SQL,
     }

@@ -1,0 +1,83 @@
+"""Unit tests for the LLM-pipeline extension operators on tiny in-memory
+data (the sf-scale oracle comparison lives in tools/check_correctness.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from elasticsearch_drift_plugin_spark.operators import multimodal, similarity
+from elasticsearch_drift_plugin_spark.operators.dedup import exact_dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_exact_dedup_groups(spark):
+    df = _docs(
+        spark,
+        [(1, "a", "x y z"), (2, "a", "x y z"), (3, "b", "q"), (4, "b", "x y z")],
+    )
+    got = {r["keep_id"]: r["group_size"] for r in exact_dedup(df, "text", "doc_id").collect()}
+    assert got == {1: 3, 3: 1}
+
+
+def test_decode_media_golden(spark):
+    df = _docs(spark, [(7, "a", "abcd")])  # 4 bytes
+    b = multimodal.binary_documents(df)
+    row = multimodal.decode_media(b).collect()[0]
+    # _fake_decode(4 bytes): width 4%640+1=5, height (4*31)%480+1=125, fmt 4%3=1
+    assert (row["width"], row["height"], row["n_pixels"], row["format"]) == (5, 125, 625, "jpeg")
+
+
+def test_frame_sample_counts(spark):
+    df = _docs(spark, [(1, "a", "x" * 10000), (2, "a", "y")])
+    b = multimodal.binary_documents(df)
+    got = (
+        multimodal.frame_sample(b)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("frame_idx").alias("mx"))
+        .collect()
+    )
+    by_id = {r["doc_id"]: (r["n"], r["mx"]) for r in got}
+    assert by_id == {1: (2, 1), 2: (1, 0)}  # 10000//4096 = 2 frames; min 1 frame
+
+
+def _vectors(spark, n=30, dim=8):
+    rows = [(i, [float((i * 7 + d * 3) % 11) + 0.25 for d in range(dim)]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_topk_matches_bruteforce_when_probing_all_cells(spark):
+    """With nprobe == n_centroids every cell is probed, so IVF must equal the
+    exact brute-force ranking."""
+    emb = _vectors(spark)
+    q = emb.where(F.col("vec_id") < 3)
+    exact = similarity.cosine_topk(emb, q, k=4).collect()
+    ivf = similarity.ivf_topk(emb, q, k=4, n_centroids=5, nprobe=5).collect()
+    assert [tuple(r) for r in ivf] == [tuple(r) for r in exact]
+
+
+def test_ivf_topk_partial_probe_is_subset(spark):
+    emb = _vectors(spark)
+    q = emb.where(F.col("vec_id") < 3)
+    rows = similarity.ivf_topk(emb, q, k=4, n_centroids=5, nprobe=2).collect()
+    assert rows, "partial probe should still return candidates"
+    for r in rows:
+        assert r["query_id"] != r["neighbor_id"]
+    # ranks are contiguous from 1 within each query
+    by_q: dict[int, list[int]] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_ivf_assignment_is_total_and_unique(spark):
+    emb = _vectors(spark)
+    cents = similarity._seed_centroids(emb, 5)
+    assigned = similarity.ivf_assign(emb, cents)
+    assert assigned.count() == 30
+    assert assigned.select("vec_id").distinct().count() == 30
+    cells = {r["cell"] for r in assigned.select("cell").distinct().collect()}
+    assert cells <= set(range(5))
