@@ -135,6 +135,73 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    docs: DataFrame, threshold: float = 0.5, block_col: str = "source"
+) -> DataFrame:
+    """Same output as :func:`ngram_jaccard_pairs`, via prefix filtering
+    (the public PPJoin/AllPairs idea): under one global gram order (ascending
+    document frequency, gram as tie-break), any pair with Jaccard >= t must
+    collide within the first ``n - ceil(t*n) + 1`` grams of both docs — so
+    only that prefix is indexed. Frequent grams sort to every doc's suffix,
+    which deletes the hot postings that otherwise approach a full in-block
+    cross product; verification is one codegen'd array_intersect per
+    surviving candidate.
+
+    Tradeoff (measured at sf0.1): this corpus is dup-heavy (~232k true
+    pairs ≥ 0.5 from 5k docs), so the prefix prunes little and the per-pair
+    array_intersect dominates — the postings inverted index
+    (:func:`ngram_jaccard_pairs`) is ~5× faster there and stays the default.
+    Prefix filtering wins when true-dup density is low (typical web-scale
+    corpora): candidate fan-out then scales with rare-gram co-occurrence
+    instead of block size squared. Choose per corpus.
+    """
+    grams = _char_grams(docs)
+    freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        grams.join(freq, "g")  # co-partitioned with freq's groupBy on g
+        .groupBy("doc_id", block_col)
+        .agg(F.array_sort(F.collect_list(F.struct("df", "g"))).alias("gs"))
+        .select(
+            "doc_id",
+            block_col,
+            F.col("gs").getField("g").alias("ga"),
+            F.size("gs").cast("long").alias("n"),
+        )
+    )
+    p = (F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")) + 1).cast("int")
+    idx = per_doc.select(
+        "doc_id", block_col, F.explode(F.slice(F.col("ga"), F.lit(1), p)).alias("g")
+    )
+    postings = (
+        idx.groupBy(block_col, "g")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .where(F.size("ds") > 1)
+    )
+    cand = (
+        postings.select(F.posexplode("ds").alias("i", "doc_a"), F.col("ds"))
+        .select(
+            "doc_a",
+            F.explode(F.slice(F.col("ds"), F.col("i") + 2, F.size("ds"))).alias("doc_b"),
+        )
+        .distinct()
+    )
+    a = per_doc.select(
+        F.col("doc_id").alias("doc_a"), F.col("ga").alias("ga_a"), F.col("n").alias("na")
+    )
+    b = per_doc.select(
+        F.col("doc_id").alias("doc_b"), F.col("ga").alias("ga_b"), F.col("n").alias("nb")
+    )
+    inter = F.size(F.array_intersect("ga_a", "ga_b")).cast("long")
+    jacc = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .where(jacc >= threshold)
+        .select("doc_a", "doc_b", F.floor(jacc * F.lit(float(QUANT))).alias("jacc_q"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 NGRAM_SQL = f"""
 WITH grams AS (
   SELECT DISTINCT doc_id, source, substr(text, CAST(i AS INTEGER), 3) AS g

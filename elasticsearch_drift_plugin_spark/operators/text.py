@@ -42,9 +42,17 @@ def _stop_count(lang: str) -> Column:
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
-    """(doc_id, lang_pred, c_en, c_es, c_de, c_fr) — stopword-hit argmax."""
-    out = docs.select(
-        "doc_id", *[_stop_count(lang).alias(f"c_{lang}") for lang in LANGS]
+    """(doc_id, lang_pred, c_en, c_es, c_de, c_fr) — stopword-hit argmax.
+    The text is lowercased and split exactly once; all four language counts
+    filter the same token array (one projection, no shuffle)."""
+    out = docs.select("doc_id", _tokens().alias("__toks")).select(
+        "doc_id",
+        *[
+            F.size(F.filter(F.col("__toks"), lambda t: t.isin(*STOPWORDS[lang])))
+            .cast("long")
+            .alias(f"c_{lang}")
+            for lang in LANGS
+        ],
     )
     # A language wins if it beats every earlier language strictly and every
     # later one at-least — i.e. ties break by list order (en > es > de > fr).

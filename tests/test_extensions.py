@@ -6,7 +6,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from elasticsearch_drift_plugin_spark.operators import multimodal, similarity
-from elasticsearch_drift_plugin_spark.operators.dedup import exact_dedup
+from elasticsearch_drift_plugin_spark.operators.dedup import (
+    exact_dedup,
+    ngram_jaccard_pairs,
+    ngram_jaccard_pairs_prefix,
+)
 
 
 def _docs(spark, rows):
@@ -20,6 +24,22 @@ def test_exact_dedup_groups(spark):
     )
     got = {r["keep_id"]: r["group_size"] for r in exact_dedup(df, "text", "doc_id").collect()}
     assert got == {1: 3, 3: 1}
+
+
+def test_ngram_prefix_filter_matches_baseline(spark):
+    rows = [
+        (1, "a", "the quick brown fox jumps over the lazy dog"),
+        (2, "a", "the quick brown fox jumps over the lazy cat"),
+        (3, "a", "completely different text with no overlap at all"),
+        (4, "b", "the quick brown fox jumps over the lazy dog"),  # other block
+        (5, "a", "the quick brown fox leaps over the lazy dog"),
+        (6, "a", "xy"),  # below gram length
+    ]
+    df = _docs(spark, rows)
+    base = [tuple(r) for r in ngram_jaccard_pairs(df).collect()]
+    pref = [tuple(r) for r in ngram_jaccard_pairs_prefix(df).collect()]
+    assert base == pref
+    assert {(a, b) for a, b, _ in base} == {(1, 2), (1, 5), (2, 5)}
 
 
 def test_decode_media_golden(spark):
