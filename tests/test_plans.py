@@ -1,0 +1,75 @@
+"""Physical-plan invariants (SCALE.md "Plan invariants").
+
+These don't test results — they pin the *shape* of the plans that the scale
+story depends on: column pruning, partial aggregation below the shuffle,
+codegen coverage, and no accidental Python in JVM-only paths.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from elasticsearch_drift_plugin_spark import proportional_sum
+from elasticsearch_drift_plugin_spark.operators.text import lang_id, token_counts
+from elasticsearch_drift_plugin_spark.sources import netflow
+
+
+def explain_str(df) -> str:
+    jdf = df._jdf
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return jdf.queryExecution().explainString(mode)
+
+
+def _flows(spark):
+    return spark.createDataFrame(
+        [(100, 450, 350.0, "a")], "start_ms long, end_ms long, value double, tag string"
+    )
+
+
+def test_psum_single_data_shuffle_with_partial_agg(spark):
+    out = proportional_sum(_flows(spark), "start_ms", "end_ms", "value", interval=100)
+    plan = explain_str(out)
+    # partial + final HashAggregate pair around exactly one hash Exchange;
+    # the only other Exchange is the final orderBy's range partitioning
+    assert len(re.findall(r"\bHashAggregate\b \(", plan)) == 2
+    hash_exchanges = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert len(hash_exchanges) == 1, hash_exchanges
+    # the explode (Generate) sits BELOW the aggregates (map-side fan-out)
+    assert plan.index("Generate") > plan.index("HashAggregate")
+
+
+def test_psum_prunes_unreferenced_columns(spark, tmp_path):
+    # pruning needs a prunable source: parquet, not an in-memory LogicalRDD
+    path = str(tmp_path / "flows.parquet")
+    _flows(spark).write.parquet(path)
+    out = proportional_sum(
+        spark.read.parquet(path), "start_ms", "end_ms", "value", interval=100
+    )
+    plan = explain_str(out)
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m and "tag" not in m.group(1), m
+    assert "tag" not in plan
+
+
+def test_netflow_v5_is_pure_codegen(spark):
+    raw = spark.createDataFrame([(b"x",)], "value binary")
+    plan = explain_str(netflow.parse_netflow_v5(raw))
+    assert not re.search(r"BatchEvalPython|ArrowEvalPython|PythonUDF|MapInPandas", plan)
+    assert "Exchange" not in plan
+    spans = set(re.findall(r"codegen id : (\d+)", plan))
+    assert spans == {"1"}, f"expected one codegen span, got {spans}"
+
+
+def test_text_ops_are_map_only(spark):
+    docs = spark.createDataFrame(
+        [(1, "s", "the cat"), (2, "s", "el gato")], "doc_id long, source string, text string"
+    )
+    for op in (lang_id, token_counts):
+        plan = explain_str(op(docs).drop("doc_id"))
+        assert not re.search(r"BatchEvalPython|ArrowEvalPython|PythonUDF|MapInPandas", plan)
+        # only the final orderBy may shuffle (range partitioning), never a hash
+        assert "hashpartitioning" not in plan
