@@ -19,9 +19,9 @@ Public API
 - :mod:`streaming` — streaming variant of the core operator.
 """
 
-from .operators.proportional_sum import proportional_sum
+from .operators.proportional_sum import keyed_json, proportional_sum
 from .params import PSumParams, parse_interval, parse_offset
 
-__all__ = ["proportional_sum", "PSumParams", "parse_interval", "parse_offset"]
+__all__ = ["proportional_sum", "keyed_json", "PSumParams", "parse_interval", "parse_offset"]
 
 __version__ = "0.1.0"

@@ -226,6 +226,27 @@ def proportional_sum(
     return out.orderBy(*_order_cols(order, group_by))
 
 
+def keyed_json(result: DataFrame, key_col: str | None = None) -> DataFrame:
+    """Serving-edge ``keyed=true`` output mode (SURVEY.md §2 row 22;
+    ProportionalSumAggregationBuilder.java:126, :354-365;
+    InternalProportionalSumHistogram.java:524-539): the bucket list as ONE
+    JSON object keyed by the formatted bucket key instead of an array.
+
+    ``key_col`` defaults to ``key_as_string`` when present (i.e. the query
+    used ``key_format``), else the raw ``key``. Entries are sorted by the
+    key column so the object's member order is deterministic. The engine
+    itself always returns DataFrames — this is the JSON edge only, and its
+    output is bucket-list-sized (driver-safe), never input-sized.
+    """
+    if key_col is None:
+        key_col = "key_as_string" if "key_as_string" in result.columns else "key"
+    payload = [c for c in ("key", "key_ts", "doc_count", "value") if c in result.columns]
+    entry = F.struct(F.col(key_col).cast("string").alias("k"), F.struct(*payload).alias("v"))
+    return result.select(
+        F.to_json(F.map_from_entries(F.sort_array(F.collect_list(entry)))).alias("keyed")
+    )
+
+
 def explode_contributions(
     df: DataFrame,
     start_col: str,

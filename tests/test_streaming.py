@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from elasticsearch_drift_plugin_spark import proportional_sum
 from elasticsearch_drift_plugin_spark.sources.flows import parse_flow_json
+from elasticsearch_drift_plugin_spark.sources.netflow import parse_netflow_v5
 from elasticsearch_drift_plugin_spark.streaming import proportional_sum_stream
 
 SCHEMA = "start_ms long, end_ms long, value double, sampling double"
@@ -133,3 +134,44 @@ def test_stream_drops_late_bucket_updates(spark, tmp_path):
     rows = spark.sql("SELECT * FROM late_out WHERE key = 1704067200000").collect()
     # only the first flow's contribution ever lands in bucket BASE
     assert all(r.doc_count == 1 for r in rows)
+
+
+def test_streaming_netflow_v5_end_to_end(spark, tmp_path):
+    """Binary v5 datagrams through a file stream → native parse →
+    watermarked proportional_sum: the full reference ingestion north star."""
+    from tests.test_netflow import v5_packet
+
+    pkt = v5_packet(
+        [{"src": 1, "dst": 2, "octets": 350, "first": 0, "last": 3 * HOUR}],
+        sys_uptime=0, unix_secs=BASE // 1000, unix_nsecs=0,
+    )
+    src = f"{tmp_path}/nf"
+    spark.createDataFrame([(pkt,)], "value binary").coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("value binary").parquet(src)
+    flows = parse_netflow_v5(stream)
+    agg = proportional_sum_stream(flows, "start_ms", "end_ms", "value", interval=HOUR)
+    q = agg.writeStream.outputMode("update").format("memory").queryName("nf_out").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.key: r.value for r in spark.sql("SELECT * FROM nf_out").collect()}
+    third = pytest.approx(350.0 / 3)
+    assert got[BASE] == third and got[BASE + HOUR] == third and got[BASE + 2 * HOUR] == third
+    assert got[BASE + 3 * HOUR] == 0.0  # zero-overlap terminal bucket
+
+
+def test_keyed_json_serving_edge(spark):
+    import json
+
+    from elasticsearch_drift_plugin_spark import keyed_json
+
+    df = spark.createDataFrame(
+        [(100, 450, 350.0, None)], SCHEMA
+    )
+    res = proportional_sum(
+        df, "start_ms", "end_ms", "value", "sampling", interval=100, start=0, end=500
+    )
+    obj = json.loads(keyed_json(res).collect()[0]["keyed"])
+    assert list(obj) == ["100", "200", "300", "400"]
+    assert obj["400"]["value"] == 50.0 and obj["400"]["doc_count"] == 1
