@@ -1,0 +1,108 @@
+"""Property-based test: proportional_sum vs an independent pure-Python
+reference implementation of the documented semantics
+(ProportionalSumAggregator.java:136-218 — validate → sample → clamp →
+round → bucket loop → ratio → sum/count; SURVEY.md §2 fine print).
+
+The Python model is written straight from the reference's collect loop, not
+from our Spark code, so agreement is meaningful. Hypothesis drives random
+flows (including zero-duration, boundary-end, NULL value, NULL/NaN/0
+sampling) and random interval/offset/clamp parameters.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from elasticsearch_drift_plugin_spark import proportional_sum
+
+SCHEMA = "start_ms long, end_ms long, value double, sampling double"
+
+
+def model_psum(rows, interval, offset, start, end, min_doc_count=1):
+    """Reference collect loop in pure Python (NULL value → bucket counted,
+    nothing added — the NaN-partial-skip equivalence, §2 rows 13-14)."""
+
+    if offset == 0 and start is not None:
+        # auto-offset (§2 row 10): bucket keys align to the query start
+        offset = start % interval
+
+    def rnd(t):
+        return ((t - offset) // interval) * interval + offset
+
+    sums: dict[int, float] = {}
+    counts: dict[int, int] = {}
+    for s, e, v, samp in rows:
+        if s is None or e is None:  # unmapped/missing range: doc skipped
+            continue
+        val = v
+        if val is not None and samp is not None and samp != 0 and not math.isnan(samp):
+            val = val * samp
+        cs = max(s, start) if start is not None else s
+        ce = min(e, end) if end is not None else e
+        if cs > ce:
+            continue
+        first, last = rnd(cs), rnd(ce)
+        b = first
+        while b <= last:
+            w_start, w_end = b, b + interval
+            if e == s:
+                ratio = 1.0
+            else:
+                overlap = min(w_end, e) - max(w_start, s)
+                ratio = max(overlap, 0) / (e - s)
+            counts[b] = counts.get(b, 0) + 1
+            if val is not None:
+                sums[b] = sums.get(b, 0.0) + val * ratio
+            else:
+                sums.setdefault(b, 0.0)
+            b += interval
+    return {
+        k: (counts[k], sums[k]) for k in counts if counts[k] >= min_doc_count
+    }
+
+
+flow = st.tuples(
+    st.integers(min_value=0, max_value=5_000),  # start
+    st.integers(min_value=0, max_value=2_000),  # duration
+    st.one_of(st.none(), st.floats(min_value=-100, max_value=100, allow_nan=False)),
+    st.one_of(
+        st.none(),
+        st.just(float("nan")),
+        st.just(0.0),
+        st.floats(min_value=0.1, max_value=4, allow_nan=False),
+    ),
+).map(lambda t: (t[0], t[0] + t[1], t[2], t[3]))
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(flow, min_size=1, max_size=12),
+    interval=st.integers(min_value=1, max_value=700),
+    offset=st.integers(min_value=0, max_value=300),
+    clamp=st.tuples(
+        st.integers(min_value=0, max_value=3_000), st.integers(min_value=0, max_value=6_000)
+    ),
+)
+def test_psum_matches_python_model(spark, rows, interval, offset, clamp):
+    start, end = min(clamp), max(clamp)
+    offset = offset % interval
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        r["key"]: (r["doc_count"], r["value"])
+        for r in proportional_sum(
+            df, "start_ms", "end_ms", "value", "sampling",
+            interval=interval, offset=offset, start=start, end=end,
+        ).collect()
+    }
+    expected = model_psum(rows, interval, offset, start, end)
+    assert set(got) == set(expected)
+    for k, (dc, v) in expected.items():
+        assert got[k][0] == dc, (k, got[k], (dc, v))
+        assert got[k][1] == __import__("pytest").approx(v, rel=1e-9, abs=1e-9)
