@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from elasticsearch_drift_plugin_spark import proportional_sum
 from elasticsearch_drift_plugin_spark.oracle import psum_oracle_sql
 from elasticsearch_drift_plugin_spark.sources import flows as flows_src
-from elasticsearch_drift_plugin_spark.operators import dedup, similarity, text, multimodal
+from elasticsearch_drift_plugin_spark.operators import dedup, sessionize, similarity, text, multimodal
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -129,6 +129,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psum_cal_month_lineitem": lambda s, d: _psum_lineitem(
             s, d, calendar_interval="month", offset=1, start=LI_START, end=LI_END
         ),
+        # row 7 cont.: year stepping crosses leap years (lineitem spans 1992-98)
+        "psum_cal_year_lineitem": lambda s, d: _psum_lineitem(
+            s, d, calendar_interval="year", offset=1
+        ),
         # row 8: interval precedence — calendar wins over the numeric interval
         "psum_precedence": lambda s, d: _psum_events(
             s, d, interval=30_000, calendar_interval="day", offset=1
@@ -163,6 +167,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, d, sampling_col=None, interval=HOUR, value_override="__missing__"
         ),
     }
+    # window-function surface: fragment -> session reassembly (the stage
+    # upstream netflow pipelines run before records reach the reference)
+    q["flow_sessions"] = lambda s, d: sessionize.sessionize(
+        flows_src.events_flows(s, d),
+        ["event_type", "user_id"],
+        "start_ms",
+        "end_ms",
+        "value",
+        gap_ms=HOUR,
+        order_tiebreak=("flow_id",),
+    )
     # --- LLM-pipeline extensions (BASELINE.json north star) ---
     q.update(dedup.queries())
     q.update(similarity.queries())
@@ -183,6 +198,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "psum_cal_day": _ev_oracle(calendar_interval="day", offset=1),
         "psum_cal_week": _ev_oracle(calendar_interval="week", offset=1),
+        "psum_cal_year_lineitem": _li_oracle(calendar_interval="year", offset=1),
         "psum_cal_month_lineitem": _li_oracle(
             calendar_interval="month", offset=1, start=LI_START, end=LI_END
         ),
@@ -204,6 +220,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT key, doc_count, value",
             "SELECT key, doc_count, value, "
             "strftime(make_timestamp(key * 1000), '%Y-%m-%d %H:%M') AS key_as_string",
+        ),
+        "flow_sessions": sessionize.sessionize_sql(
+            flows_src.events_flows_duckdb_sql(""),
+            ["event_type", "user_id"],
+            gap_ms=HOUR,
+            order_tiebreak=("flow_id",),
         ),
         "psum_unmapped": (
             "SELECT CAST(NULL AS BIGINT) AS key, CAST(NULL AS BIGINT) AS doc_count, "

@@ -175,3 +175,63 @@ def test_keyed_json_serving_edge(spark):
     obj = json.loads(keyed_json(res).collect()[0]["keyed"])
     assert list(obj) == ["100", "200", "300", "400"]
     assert obj["400"]["value"] == 50.0 and obj["400"]["doc_count"] == 1
+
+
+def test_flow_sessions_stream_merges_and_closes(spark, tmp_path):
+    from elasticsearch_drift_plugin_spark.streaming.flow_sessions import (
+        flow_sessions_stream,
+    )
+
+    schema = "k string, start_ms long, end_ms long, value double"
+    src = f"{tmp_path}/sess"
+    spark.createDataFrame(
+        [("A", 0, 10, 1.0), ("A", 15, 20, 2.0), ("B", 0, 5, 9.0)], schema
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = flow_sessions_stream(stream, ["k"], "start_ms", "end_ms", "value", gap_ms=100)
+    q = agg.writeStream.outputMode("update").format("memory").queryName("sess_out").start()
+    try:
+        q.processAllAvailable()
+        first = {
+            (r.k, r.session_start): (r.session_end, r.n_flows, r.value, r.open)
+            for r in spark.sql("SELECT * FROM sess_out").collect()
+        }
+        # both fragments of A merged into one open session; B open too
+        assert first[("A", 0)] == (20, 2, 3.0, True)
+        assert first[("B", 0)] == (5, 1, 9.0, True)
+        # second batch: far-away fragment closes A's session and opens a new one
+        spark.createDataFrame([("A", 500, 510, 5.0)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM sess_out WHERE k = 'A'").collect()
+    by = {(r.session_start, r.open): (r.session_end, r.n_flows, r.value) for r in rows}
+    assert by[(0, False)] == (20, 2, 3.0)  # closed with final totals
+    assert by[(500, True)] == (510, 1, 5.0)  # new open session
+
+
+def test_batch_sessionize_golden(spark):
+    from elasticsearch_drift_plugin_spark.operators.sessionize import sessionize
+
+    schema = "k string, start_ms long, end_ms long, value double, fid long"
+    df = spark.createDataFrame(
+        [
+            ("A", 0, 10, 1.0, 1),
+            ("A", 15, 20, 2.0, 2),   # within gap of session 1
+            ("A", 500, 510, 5.0, 3),  # new session
+            ("A", 5, 300, 1.5, 4),    # overlaps session 1, extends its end
+            ("B", 0, 5, 9.0, 5),
+        ],
+        schema,
+    )
+    out = sessionize(df, ["k"], "start_ms", "end_ms", "value", gap_ms=100, order_tiebreak=("fid",))
+    got = [(r.k, r.session_id, r.session_start, r.session_end, r.n_flows, r.value) for r in out.collect()]
+    # sorted A fragments: (0,10),(5,300),(15,20) chain into session 1 (running
+    # max end 300); (500,510) starts past 300+gap so it opens session 2
+    assert got == [
+        ("A", 1, 0, 300, 3, 4.5),
+        ("A", 2, 500, 510, 1, 5.0),
+        ("B", 1, 0, 5, 1, 9.0),
+    ]
