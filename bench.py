@@ -26,6 +26,8 @@ BENCH_QUERIES = [
     "psum_cal_month_lineitem",
     "psum_grouped_subagg",
     "psum_empty_fill",
+    "psum_cal_year_lineitem",
+    "flow_sessions",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_sig",

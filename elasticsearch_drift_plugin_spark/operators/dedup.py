@@ -400,7 +400,10 @@ SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM sums ORDER BY doc_id
 # embedding cosine near-dup
 # --------------------------------------------------------------------------
 def embedding_neardup_pairs(
-    emb: DataFrame, threshold: float = 0.3, n_blocks: int = 8
+    emb: DataFrame,
+    threshold: float = 0.3,
+    n_blocks: int | None = None,
+    target_block_rows: int = 4096,
 ) -> DataFrame:
     """Exact all-pairs cosine >= threshold, as blocked matrix products.
 
@@ -416,11 +419,24 @@ def embedding_neardup_pairs(
     the last ulps; scores are quantized to 1e-6 so this is invisible to the
     oracle hash (flip probability ~1e-10 per pair).
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
     thr = float(threshold)
     quant = float(QUANT)
+
+    if n_blocks is None:
+        # adaptive blocking under two constraints: (a) a block must fit
+        # executor memory (<= target_block_rows vectors), (b) the
+        # nb·(nb+1)/2 block-pair groups should cover cluster parallelism
+        # (one GEMM per core beats one giant serial GEMM — measured 2.1s vs
+        # 6.0s at sf0.1). The count() reads parquet row-group stats only.
+        par = emb.sparkSession.sparkContext.defaultParallelism
+        nb_mem = math.ceil(emb.count() / target_block_rows)
+        nb_par = math.ceil(math.sqrt(2 * par))
+        n_blocks = max(1, nb_mem, nb_par)
 
     ed = emb.select("vec_id", "embedding", F.pmod(F.col("vec_id"), F.lit(n_blocks)).alias("blk"))
     spark = emb.sparkSession
