@@ -97,7 +97,7 @@ with_id AS (
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM flagged
 )
-SELECT {keys}, session_id, min(start_ms) AS session_start,
+SELECT {keys}, CAST(session_id AS BIGINT) AS session_id, min(start_ms) AS session_start,
        max(end_ms) AS session_end, COUNT(*) AS n_flows,
        COALESCE(CAST(SUM(CAST(FLOOR(value * {q}) AS BIGINT)) AS DOUBLE) / {q}, 0.0) AS value
 FROM with_id GROUP BY {keys}, session_id ORDER BY {keys}, session_id
