@@ -199,6 +199,9 @@ def queries() -> dict:
         "text_quality": lambda s, d: quality_score(load_table(s, d, "documents")),
         "text_tokens": lambda s, d: token_counts(load_table(s, d, "documents")),
         "text_fingerprint": lambda s, d: fingerprints(load_table(s, d, "documents")),
+        # rows-only driver check (no DuckDB twin: init-value fold; golden
+        # values are pinned by unit test instead)
+        "text_rolling_fp": lambda s, d: rolling_fingerprint(load_table(s, d, "documents")),
     }
 
 

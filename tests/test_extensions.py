@@ -101,3 +101,18 @@ def test_ivf_assignment_is_total_and_unique(spark):
     assert assigned.select("vec_id").distinct().count() == 30
     cells = {r["cell"] for r in assigned.select("cell").distinct().collect()}
     assert cells <= set(range(5))
+
+
+def test_rolling_fingerprint_golden(spark):
+    from elasticsearch_drift_plugin_spark.operators.text import rolling_fingerprint
+
+    def py_roll(text, mod=1_000_000_007):
+        h = 0
+        for ch in text.lower():
+            h = (h * 31 + ord(ch)) % mod
+        return h
+
+    rows = [(1, "s", "Hello World"), (2, "s", "a"), (3, "s", "zzz 123!")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["doc_id"]: r["fp"] for r in rolling_fingerprint(df).collect()}
+    assert got == {i: py_roll(t) for i, _, t in rows}

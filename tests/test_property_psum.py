@@ -106,3 +106,44 @@ def test_psum_matches_python_model(spark, rows, interval, offset, clamp):
     for k, (dc, v) in expected.items():
         assert got[k][0] == dc, (k, got[k], (dc, v))
         assert got[k][1] == __import__("pytest").approx(v, rel=1e-9, abs=1e-9)
+
+
+# --- calendar rounding: Spark date_trunc vs the pure-Python twin ----------
+
+from elasticsearch_drift_plugin_spark.functions.time import floor_calendar
+from elasticsearch_drift_plugin_spark.params import (
+    CALENDAR_UNITS,
+    add_calendar_ms,
+    trunc_calendar_ms,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    ts=st.lists(
+        st.integers(min_value=0, max_value=4_102_444_800_000),  # 1970..2100
+        min_size=1, max_size=20,
+    ),
+    unit=st.sampled_from(CALENDAR_UNITS),
+)
+def test_calendar_floor_spark_matches_python(spark, ts, unit):
+    """functions.time.floor_calendar (JVM date_trunc) and
+    params.trunc_calendar_ms (pure Python, used for parameter normalization
+    such as auto-offset) must agree on every instant and unit."""
+    import pyspark.sql.functions as SF
+
+    df = spark.createDataFrame([(t,) for t in ts], "t long")
+    got = {
+        r["t"]: r["fl"]
+        for r in df.select(
+            "t", SF.unix_millis(floor_calendar(SF.col("t"), unit, 0)).alias("fl")
+        ).collect()
+    }
+    for t in ts:
+        expect = trunc_calendar_ms(t, unit)
+        assert got[t] == expect, (t, unit, got[t], expect)
+        # stepping invariant: the next bucket strictly follows and re-floors
+        # to itself (sequence stepping and floor can never disagree)
+        nxt = add_calendar_ms(expect, unit)
+        assert nxt > expect and trunc_calendar_ms(nxt, unit) == nxt
