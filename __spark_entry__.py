@@ -129,6 +129,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psum_cal_month_lineitem": lambda s, d: _psum_lineitem(
             s, d, calendar_interval="month", offset=1, start=LI_START, end=LI_END
         ),
+        # explode-stress: day buckets over ~120-day ranges (~60x fan-out);
+        # exercises the partial-agg collapse of the Generate output at volume
+        "psum_day_lineitem": lambda s, d: _psum_lineitem(s, d, interval=DAY, offset=1),
         # row 7 cont.: year stepping crosses leap years (lineitem spans 1992-98)
         "psum_cal_year_lineitem": lambda s, d: _psum_lineitem(
             s, d, calendar_interval="year", offset=1
@@ -198,6 +201,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "psum_cal_day": _ev_oracle(calendar_interval="day", offset=1),
         "psum_cal_week": _ev_oracle(calendar_interval="week", offset=1),
+        "psum_day_lineitem": _li_oracle(interval=DAY, offset=1),
         "psum_cal_year_lineitem": _li_oracle(calendar_interval="year", offset=1),
         "psum_cal_month_lineitem": _li_oracle(
             calendar_interval="month", offset=1, start=LI_START, end=LI_END

@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "psum_grouped_subagg",
     "psum_empty_fill",
     "psum_cal_year_lineitem",
+    "psum_day_lineitem",
     "flow_sessions",
     "dedup_exact",
     "dedup_ngram_jaccard",

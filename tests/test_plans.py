@@ -13,15 +13,14 @@ from pyspark.sql import functions as F
 
 from elasticsearch_drift_plugin_spark import proportional_sum
 from elasticsearch_drift_plugin_spark.operators.text import lang_id, token_counts
+from elasticsearch_drift_plugin_spark.plans import (
+    codegen_span_ids,
+    explain_str,
+    has_python_eval,
+    hash_exchange_count,
+    read_schema,
+)
 from elasticsearch_drift_plugin_spark.sources import netflow
-
-
-def explain_str(df) -> str:
-    jdf = df._jdf
-    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "formatted"
-    )
-    return jdf.queryExecution().explainString(mode)
 
 
 def _flows(spark):
@@ -36,8 +35,7 @@ def test_psum_single_data_shuffle_with_partial_agg(spark):
     # partial + final HashAggregate pair around exactly one hash Exchange;
     # the only other Exchange is the final orderBy's range partitioning
     assert len(re.findall(r"\bHashAggregate\b \(", plan)) == 2
-    hash_exchanges = [l for l in plan.splitlines() if "hashpartitioning" in l]
-    assert len(hash_exchanges) == 1, hash_exchanges
+    assert hash_exchange_count(out) == 1
     # the explode (Generate) sits BELOW the aggregates (map-side fan-out)
     assert plan.index("Generate") > plan.index("HashAggregate")
 
@@ -49,18 +47,17 @@ def test_psum_prunes_unreferenced_columns(spark, tmp_path):
     out = proportional_sum(
         spark.read.parquet(path), "start_ms", "end_ms", "value", interval=100
     )
-    plan = explain_str(out)
-    m = re.search(r"ReadSchema: (\S+)", plan)
-    assert m and "tag" not in m.group(1), m
-    assert "tag" not in plan
+    schemas = read_schema(out)
+    assert schemas and all("tag" not in rs for rs in schemas), schemas
+    assert "tag" not in explain_str(out)
 
 
 def test_netflow_v5_is_pure_codegen(spark):
     raw = spark.createDataFrame([(b"x",)], "value binary")
-    plan = explain_str(netflow.parse_netflow_v5(raw))
-    assert not re.search(r"BatchEvalPython|ArrowEvalPython|PythonUDF|MapInPandas", plan)
-    assert "Exchange" not in plan
-    spans = set(re.findall(r"codegen id : (\d+)", plan))
+    parsed = netflow.parse_netflow_v5(raw)
+    assert not has_python_eval(parsed)
+    assert "Exchange" not in explain_str(parsed)
+    spans = codegen_span_ids(parsed)
     assert spans == {"1"}, f"expected one codegen span, got {spans}"
 
 
@@ -69,7 +66,7 @@ def test_text_ops_are_map_only(spark):
         [(1, "s", "the cat"), (2, "s", "el gato")], "doc_id long, source string, text string"
     )
     for op in (lang_id, token_counts):
-        plan = explain_str(op(docs).drop("doc_id"))
-        assert not re.search(r"BatchEvalPython|ArrowEvalPython|PythonUDF|MapInPandas", plan)
+        out = op(docs).drop("doc_id")
+        assert not has_python_eval(out)
         # only the final orderBy may shuffle (range partitioning), never a hash
-        assert "hashpartitioning" not in plan
+        assert hash_exchange_count(out) == 0
