@@ -193,3 +193,43 @@ def test_quantize_matches_unquantized(spark):
     assert exact.keys() == quant.keys()
     for k in exact:
         assert quant[k] == pytest.approx(exact[k], abs=1e-4)
+
+
+def test_negative_start_raises_at_runtime(spark):
+    # ProportionalSumAggregator.java:143-145 — field values must be >= 0
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        run(spark, [(-5, 100, 1.0, None)], interval=100)
+
+
+def test_end_before_start_raises_at_runtime(spark):
+    # ProportionalSumAggregator.java:153-159 — rangeEnd must be >= rangeStart
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        run(spark, [(500, 100, 1.0, None)], interval=100)
+
+
+def test_validate_false_skips_checks_for_prevalidated_input(spark):
+    # validate=False removes the per-row check expressions (caller
+    # guarantees validity — e.g. re-aggregating engine output); results
+    # are identical on valid input
+    rows = [(0, 250, 5.0, None)]
+    assert run(spark, rows, interval=100, validate=False) == run(
+        spark, rows, interval=100, validate=True
+    )
+
+
+def test_explode_bomb_guard(spark):
+    # circuit-breaker analog (InternalProportionalSumHistogram.java:383-387):
+    # a row overlapping more than max_buckets_per_row buckets must fail
+    # loudly, not OOM the executor
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        run(spark, [(0, 10_000_000, 1.0, None)], interval=1,
+            max_buckets_per_row=1000)
