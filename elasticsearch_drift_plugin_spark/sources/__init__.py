@@ -1,6 +1,11 @@
 from . import flows, netflow, sinks
 from .flows import load_table, parse_flow_json
-from .netflow import ipfix_extract_templates, parse_ipfix, parse_netflow_v5
+from .netflow import (
+    ipfix_extract_templates,
+    parse_ipfix,
+    parse_netflow_v5,
+    parse_netflow_v9,
+)
 from .sinks import read_histogram, write_histogram, write_histogram_stream
 
 __all__ = [
@@ -14,5 +19,6 @@ __all__ = [
     "parse_flow_json",
     "parse_netflow_v5",
     "parse_ipfix",
+    "parse_netflow_v9",
     "ipfix_extract_templates",
 ]

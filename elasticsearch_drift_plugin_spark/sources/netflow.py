@@ -15,7 +15,7 @@ Design (Spark-first):
   ``conv`` for big-endian unsigned ints, ``explode(sequence)`` over the
   record count. Zero Python in the data path: whole-stage codegen applies,
   and the parse chains straight into the proportional_sum plan.
-- **IPFIX (RFC 7011)** is template-described: record layout is only known
+- **IPFIX (RFC 7011) and NetFlow v9 (RFC 3954)** are template-described: record layout is only known
   after reading template sets, so the data-record walk is genuinely
   imperative → Arrow-batched ``mapInPandas`` with a self-contained closure
   (no module refs — workers need no PYTHONPATH). Templates are taken from
@@ -138,14 +138,14 @@ def _make_ipfix_kernel(payload_col: str, static_templates: dict | None):
             "dst_port", "protocol",
         ]
 
-        def parse_templates(buf: bytes, dom: int, templates: dict) -> None:
-            # one pass over the message collecting template sets (id 2)
-            pos, end = 16, len(buf)
+        def parse_templates(buf, hdr_len, tset_id, dom, enterprise, templates):
+            # one pass collecting template sets (IPFIX set 2 / v9 flowset 0)
+            pos, end = hdr_len, len(buf)
             while pos + 4 <= end:
                 set_id, set_len = _struct.unpack_from(">HH", buf, pos)
                 if set_len < 4 or pos + set_len > end:
                     break
-                if set_id == 2:
+                if set_id == tset_id:
                     p, sl_end = pos + 4, pos + set_len
                     while p + 4 <= sl_end:
                         tid, nfields = _struct.unpack_from(">HH", buf, p)
@@ -158,7 +158,7 @@ def _make_ipfix_kernel(payload_col: str, static_templates: dict | None):
                                 break
                             ie, flen = _struct.unpack_from(">HH", buf, p)
                             p += 4
-                            if ie & 0x8000:  # enterprise bit: skip PEN
+                            if enterprise and ie & 0x8000:  # IPFIX PEN: skip
                                 ie &= 0x7FFF
                                 p += 4
                             fields.append((ie, flen))
@@ -169,8 +169,8 @@ def _make_ipfix_kernel(payload_col: str, static_templates: dict | None):
         def uint(buf: bytes, pos: int, n: int) -> int:
             return int.from_bytes(buf[pos : pos + n], "big")
 
-        def parse_data(buf: bytes, dom: int, templates: dict, out: list) -> None:
-            pos, end = 16, len(buf)
+        def parse_data(buf, hdr_len, dom, base_ms, templates, out):
+            pos, end = hdr_len, len(buf)
             while pos + 4 <= end:
                 set_id, set_len = _struct.unpack_from(">HH", buf, pos)
                 if set_len < 4 or pos + set_len > end:
@@ -179,22 +179,29 @@ def _make_ipfix_kernel(payload_col: str, static_templates: dict | None):
                 if tmpl:
                     rec_len = sum(fl for _, fl in tmpl)
                     p, sl_end = pos + 4, pos + set_len
+                    # v9 data flowsets pad to 4 bytes: the while guard stops
+                    # when the remainder is shorter than one record
                     while rec_len > 0 and p + rec_len <= sl_end:
                         row = {c: None for c in cols}
                         row["obs_domain"], row["template_id"] = dom, set_id
+                        up_start = up_end = None
                         fp = p
                         for ie, flen in tmpl:
                             if ie == 152:
                                 row["start_ms"] = uint(buf, fp, flen)
                             elif ie == 153:
                                 row["end_ms"] = uint(buf, fp, flen)
+                            elif ie == 22:  # FIRST_SWITCHED (sysuptime ms)
+                                up_start = uint(buf, fp, flen)
+                            elif ie == 21:  # LAST_SWITCHED (sysuptime ms)
+                                up_end = uint(buf, fp, flen)
                             elif ie == 1:
                                 row["value"] = float(uint(buf, fp, flen))
                             elif ie == 2:
                                 row["packets"] = uint(buf, fp, flen)
                             elif ie == 34:
-                                s = uint(buf, fp, flen)
-                                row["sampling"] = float(s) if s else None
+                                sv = uint(buf, fp, flen)
+                                row["sampling"] = float(sv) if sv else None
                             elif ie == 8 and flen == 4:
                                 row["src_ip"] = ".".join(str(x) for x in buf[fp : fp + 4])
                             elif ie == 12 and flen == 4:
@@ -206,6 +213,12 @@ def _make_ipfix_kernel(payload_col: str, static_templates: dict | None):
                             elif ie == 4:
                                 row["protocol"] = uint(buf, fp, flen)
                             fp += flen
+                        # sysuptime-relative times (v9, or IPFIX IEs 21/22)
+                        # resolve against the header clock when available
+                        if row["start_ms"] is None and up_start is not None and base_ms is not None:
+                            row["start_ms"] = base_ms + up_start
+                        if row["end_ms"] is None and up_end is not None and base_ms is not None:
+                            row["end_ms"] = base_ms + up_end
                         out.append(row)
                         p += rec_len
                 pos += set_len
@@ -216,14 +229,24 @@ def _make_ipfix_kernel(payload_col: str, static_templates: dict | None):
                 buf = bytes(payload)
                 if len(buf) < 16:
                     continue
-                version, msg_len = _struct.unpack_from(">HH", buf, 0)
-                if version != 10:
+                version = _struct.unpack_from(">H", buf, 0)[0]
+                if version == 10:
+                    msg_len = _struct.unpack_from(">H", buf, 2)[0]
+                    buf = buf[: min(msg_len, len(buf))]
+                    hdr_len, tset_id, enterprise, base_ms = 16, 2, True, None
+                    dom = _struct.unpack_from(">I", buf, 12)[0]
+                elif version == 9:
+                    if len(buf) < 20:
+                        continue
+                    hdr_len, tset_id, enterprise = 20, 0, False
+                    sys_up, unix_secs = _struct.unpack_from(">II", buf, 4)
+                    base_ms = unix_secs * 1000 - sys_up
+                    dom = _struct.unpack_from(">I", buf, 16)[0]
+                else:
                     continue
-                buf = buf[: min(msg_len, len(buf))]
-                dom = _struct.unpack_from(">I", buf, 12)[0]
                 templates = dict(preloaded)
-                parse_templates(buf, dom, templates)
-                parse_data(buf, dom, templates, out)
+                parse_templates(buf, hdr_len, tset_id, dom, enterprise, templates)
+                parse_data(buf, hdr_len, dom, base_ms, templates, out)
             yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
                 {c: [] for c in cols}
             )
@@ -236,7 +259,14 @@ def parse_ipfix(
     payload_col: str = "value",
     static_templates: dict | None = None,
 ) -> DataFrame:
-    """IPFIX messages → one row per data record (subset of RFC 7012 IEs).
+    """IPFIX (RFC 7011) *and* NetFlow v9 (RFC 3954) messages → one row per
+    data record (subset of RFC 7012 IEs / v9 field types, which share
+    numbering by design). Version dispatch is per packet, so mixed v9/v10
+    exporter streams parse in one pass.
+
+    Absolute times: IPFIX flowStart/EndMilliseconds (152/153) pass through;
+    v9's sysuptime-relative FIRST/LAST_SWITCHED (22/21) resolve against the
+    v9 header clock (unix_secs*1000 − sys_uptime).
 
     ``static_templates``: ``{(obs_domain, template_id): [(ie, len), ...]}``
     for exporters that send templates out-of-band; same-message templates
@@ -246,6 +276,10 @@ def parse_ipfix(
     return raw.mapInPandas(kernel, IPFIX_SCHEMA)
 
 
+#: NetFlow v9 uses the same templated parser (per-packet version dispatch).
+parse_netflow_v9 = parse_ipfix
+
+
 def ipfix_extract_templates(raw: DataFrame, payload_col: str = "value") -> dict:
     """Collect template definitions from a (small) template stream into the
     ``static_templates`` dict. Driver-side by design: templates are an
@@ -253,15 +287,22 @@ def ipfix_extract_templates(raw: DataFrame, payload_col: str = "value") -> dict:
     out: dict = {}
     for row in raw.select(payload_col).collect():
         buf = bytes(row[0])
-        if len(buf) < 16 or struct.unpack_from(">HH", buf, 0)[0] != 10:
+        if len(buf) < 16:
             continue
-        dom = struct.unpack_from(">I", buf, 12)[0]
-        pos = 16
+        version = struct.unpack_from(">H", buf, 0)[0]
+        if version == 10:
+            pos, tset_id, enterprise = 16, 2, True
+            dom = struct.unpack_from(">I", buf, 12)[0]
+        elif version == 9 and len(buf) >= 20:
+            pos, tset_id, enterprise = 20, 0, False
+            dom = struct.unpack_from(">I", buf, 16)[0]
+        else:
+            continue
         while pos + 4 <= len(buf):
             set_id, set_len = struct.unpack_from(">HH", buf, pos)
             if set_len < 4 or pos + set_len > len(buf):
                 break
-            if set_id == 2:
+            if set_id == tset_id:
                 p, sl_end = pos + 4, pos + set_len
                 while p + 4 <= sl_end:
                     tid, nfields = struct.unpack_from(">HH", buf, p)

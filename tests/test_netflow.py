@@ -144,3 +144,81 @@ def test_ipfix_out_of_band_templates(spark):
 
 def test_ipfix_ignores_non_ipfix(spark):
     assert netflow.parse_ipfix(_raw(spark, [b"", b"\x00\x05junk"])).count() == 0
+
+
+# --- NetFlow v9 (RFC 3954): templated, sysuptime-relative times -----------
+
+V9_TEMPLATE = [(8, 4), (12, 4), (1, 4), (22, 4), (21, 4), (4, 1)]
+
+
+def v9_template_flowset(tid=260, fields=V9_TEMPLATE):
+    body = struct.pack(">HH", tid, len(fields))
+    for ft, flen in fields:
+        body += struct.pack(">HH", ft, flen)
+    return struct.pack(">HH", 0, 4 + len(body)) + body
+
+
+def v9_data_flowset(records, tid=260, pad=0):
+    body = b""
+    for src, dst, octets, first, last, proto in records:
+        body += struct.pack(">IIIIIB", src, dst, octets, first, last, proto)
+    body += b"\x00" * pad
+    return struct.pack(">HH", tid, 4 + len(body)) + body
+
+
+def v9_packet(flowsets, sys_uptime=1000, unix_secs=BASE_SECS, source_id=3):
+    body = b"".join(flowsets)
+    return (
+        struct.pack(">HHIIII", 9, len(flowsets), sys_uptime, unix_secs, 0, source_id)
+        + body
+    )
+
+
+def test_netflow_v9_same_packet_template(spark):
+    pkt = v9_packet(
+        [
+            v9_template_flowset(),
+            # 4-byte padding after the records is legal in v9
+            v9_data_flowset(
+                [
+                    (ip(10, 0, 0, 1), ip(10, 0, 0, 2), 350, 2000, 5000, 6),
+                    (ip(10, 0, 0, 3), ip(10, 0, 0, 4), 42, 2500, 2500, 17),
+                ],
+                pad=2,
+            ),
+        ]
+    )
+    rows = netflow.parse_ipfix(_raw(spark, [pkt])).orderBy("value").collect()
+    assert len(rows) == 2
+    base = BASE_SECS * 1000 - 1000  # unix_secs*1e3 - sys_uptime
+    r = rows[1]
+    assert (r["obs_domain"], r["template_id"]) == (3, 260)
+    assert (r["start_ms"], r["end_ms"]) == (base + 2000, base + 5000)
+    assert (r["value"], r["protocol"], r["src_ip"]) == (350.0, 6, "10.0.0.1")
+    assert rows[0]["start_ms"] == rows[0]["end_ms"] == base + 2500
+
+
+def test_netflow_v9_out_of_band_template_and_psum(spark):
+    tmpl_pkt = v9_packet([v9_template_flowset()])
+    data_pkt = v9_packet(
+        [v9_data_flowset([(1, 2, 350, 100, 450, 6)])], sys_uptime=0, unix_secs=0
+    )
+    templates = netflow.ipfix_extract_templates(_raw(spark, [tmpl_pkt]))
+    assert templates == {(3, 260): V9_TEMPLATE}
+    flows = netflow.parse_netflow_v9(_raw(spark, [data_pkt]), static_templates=templates)
+    out = proportional_sum(
+        flows, "start_ms", "end_ms", "value", interval=100, start=0, end=500
+    ).collect()
+    assert [(r["key"], r["value"]) for r in out] == [
+        (100, 100.0), (200, 100.0), (300, 100.0), (400, 50.0),
+    ]
+
+
+def test_mixed_v9_v10_stream(spark):
+    v10_msg = ipfix_message([ipfix_template_set(), ipfix_data_set([(7, 9, 11, 0, 1)])])
+    v9_pkt = v9_packet(
+        [v9_template_flowset(), v9_data_flowset([(1, 2, 22, 5, 6, 4)])],
+        sys_uptime=0, unix_secs=0,
+    )
+    rows = netflow.parse_ipfix(_raw(spark, [v10_msg, v9_pkt])).orderBy("value").collect()
+    assert [(r["value"], r["obs_domain"]) for r in rows] == [(11.0, 7), (22.0, 3)]
