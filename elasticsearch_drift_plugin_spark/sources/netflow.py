@@ -169,6 +169,33 @@ def _make_ipfix_kernel(payload_col: str, static_templates: dict | None):
         def uint(buf: bytes, pos: int, n: int) -> int:
             return int.from_bytes(buf[pos : pos + n], "big")
 
+        def assign(row, ie, buf, fp, flen, up):
+            if ie == 152:
+                row["start_ms"] = uint(buf, fp, flen)
+            elif ie == 153:
+                row["end_ms"] = uint(buf, fp, flen)
+            elif ie == 22:  # FIRST_SWITCHED (sysuptime ms)
+                up[0] = uint(buf, fp, flen)
+            elif ie == 21:  # LAST_SWITCHED (sysuptime ms)
+                up[1] = uint(buf, fp, flen)
+            elif ie == 1:
+                row["value"] = float(uint(buf, fp, flen))
+            elif ie == 2:
+                row["packets"] = uint(buf, fp, flen)
+            elif ie == 34:
+                sv = uint(buf, fp, flen)
+                row["sampling"] = float(sv) if sv else None
+            elif ie == 8 and flen == 4:
+                row["src_ip"] = ".".join(str(x) for x in buf[fp : fp + 4])
+            elif ie == 12 and flen == 4:
+                row["dst_ip"] = ".".join(str(x) for x in buf[fp : fp + 4])
+            elif ie == 7:
+                row["src_port"] = uint(buf, fp, flen)
+            elif ie == 11:
+                row["dst_port"] = uint(buf, fp, flen)
+            elif ie == 4:
+                row["protocol"] = uint(buf, fp, flen)
+
         def parse_data(buf, hdr_len, dom, base_ms, templates, out):
             pos, end = hdr_len, len(buf)
             while pos + 4 <= end:
@@ -177,50 +204,46 @@ def _make_ipfix_kernel(payload_col: str, static_templates: dict | None):
                     break
                 tmpl = templates.get((dom, set_id)) if set_id >= 256 else None
                 if tmpl:
-                    rec_len = sum(fl for _, fl in tmpl)
+                    # variable-length IEs (RFC 7011 §7): template length
+                    # 0xFFFF ⇒ per-record length prefix (1 byte, or 255 +
+                    # 2-byte form); records are walked field-by-field
+                    min_len = sum(1 if fl == 0xFFFF else fl for _, fl in tmpl)
                     p, sl_end = pos + 4, pos + set_len
-                    # v9 data flowsets pad to 4 bytes: the while guard stops
-                    # when the remainder is shorter than one record
-                    while rec_len > 0 and p + rec_len <= sl_end:
+                    # trailing bytes shorter than a minimal record = padding
+                    while min_len > 0 and p + min_len <= sl_end:
                         row = {c: None for c in cols}
                         row["obs_domain"], row["template_id"] = dom, set_id
-                        up_start = up_end = None
+                        up = [None, None]
                         fp = p
+                        ok = True
                         for ie, flen in tmpl:
-                            if ie == 152:
-                                row["start_ms"] = uint(buf, fp, flen)
-                            elif ie == 153:
-                                row["end_ms"] = uint(buf, fp, flen)
-                            elif ie == 22:  # FIRST_SWITCHED (sysuptime ms)
-                                up_start = uint(buf, fp, flen)
-                            elif ie == 21:  # LAST_SWITCHED (sysuptime ms)
-                                up_end = uint(buf, fp, flen)
-                            elif ie == 1:
-                                row["value"] = float(uint(buf, fp, flen))
-                            elif ie == 2:
-                                row["packets"] = uint(buf, fp, flen)
-                            elif ie == 34:
-                                sv = uint(buf, fp, flen)
-                                row["sampling"] = float(sv) if sv else None
-                            elif ie == 8 and flen == 4:
-                                row["src_ip"] = ".".join(str(x) for x in buf[fp : fp + 4])
-                            elif ie == 12 and flen == 4:
-                                row["dst_ip"] = ".".join(str(x) for x in buf[fp : fp + 4])
-                            elif ie == 7:
-                                row["src_port"] = uint(buf, fp, flen)
-                            elif ie == 11:
-                                row["dst_port"] = uint(buf, fp, flen)
-                            elif ie == 4:
-                                row["protocol"] = uint(buf, fp, flen)
-                            fp += flen
-                        # sysuptime-relative times (v9, or IPFIX IEs 21/22)
-                        # resolve against the header clock when available
-                        if row["start_ms"] is None and up_start is not None and base_ms is not None:
-                            row["start_ms"] = base_ms + up_start
-                        if row["end_ms"] is None and up_end is not None and base_ms is not None:
-                            row["end_ms"] = base_ms + up_end
+                            if flen == 0xFFFF:
+                                if fp >= sl_end:
+                                    ok = False
+                                    break
+                                vlen = buf[fp]
+                                fp += 1
+                                if vlen == 255:
+                                    if fp + 2 > sl_end:
+                                        ok = False
+                                        break
+                                    vlen = uint(buf, fp, 2)
+                                    fp += 2
+                            else:
+                                vlen = flen
+                            if fp + vlen > sl_end:
+                                ok = False
+                                break
+                            assign(row, ie, buf, fp, vlen, up)
+                            fp += vlen
+                        if not ok or fp == p:
+                            break
+                        if row["start_ms"] is None and up[0] is not None and base_ms is not None:
+                            row["start_ms"] = base_ms + up[0]
+                        if row["end_ms"] is None and up[1] is not None and base_ms is not None:
+                            row["end_ms"] = base_ms + up[1]
                         out.append(row)
-                        p += rec_len
+                        p = fp
                 pos += set_len
 
         for pdf in batches:

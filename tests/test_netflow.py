@@ -222,3 +222,17 @@ def test_mixed_v9_v10_stream(spark):
     )
     rows = netflow.parse_ipfix(_raw(spark, [v10_msg, v9_pkt])).orderBy("value").collect()
     assert [(r["value"], r["obs_domain"]) for r in rows] == [(11.0, 7), (22.0, 3)]
+
+
+def test_ipfix_variable_length_fields(spark):
+    """RFC 7011 §7: a varlen IE (0xFFFF in the template, per-record length
+    prefix) between numeric fields must be skipped with correct alignment —
+    both the short form and the 255-marker long form."""
+    fields = [(1, 4), (84, 0xFFFF), (4, 1)]  # octets, samplerName (varlen), proto
+    tset = ipfix_template_set(tid=300, fields=fields)
+    rec1 = struct.pack(">I", 111) + bytes([3]) + b"abc" + bytes([6])
+    rec2 = struct.pack(">I", 222) + bytes([255]) + struct.pack(">H", 300) + b"x" * 300 + bytes([17])
+    dset = struct.pack(">HH", 300, 4 + len(rec1) + len(rec2)) + rec1 + rec2
+    msg = ipfix_message([tset, dset])
+    rows = netflow.parse_ipfix(_raw(spark, [msg])).orderBy("value").collect()
+    assert [(r["value"], r["protocol"]) for r in rows] == [(111.0, 6), (222.0, 17)]
