@@ -147,3 +147,60 @@ def test_calendar_floor_spark_matches_python(spark, ts, unit):
         # to itself (sequence stepping and floor can never disagree)
         nxt = add_calendar_ms(expect, unit)
         assert nxt > expect and trunc_calendar_ms(nxt, unit) == nxt
+
+
+# --- sessionize vs an independent Python model ----------------------------
+
+from elasticsearch_drift_plugin_spark.operators.sessionize import sessionize
+
+
+def model_sessionize(rows, gap):
+    """Independent per-key fold over (start, end, fid)-sorted fragments."""
+    by_key: dict = {}
+    for k, s, e, v, fid in rows:
+        by_key.setdefault(k, []).append((s, e, v, fid))
+    out = []
+    for k, frags in by_key.items():
+        frags.sort(key=lambda f: (f[0], f[1], f[3]))
+        cur = None
+        sid = 0
+        for s, e, v, _ in frags:
+            if cur is not None and s <= cur[1] + gap:
+                cur = (cur[0], max(cur[1], e), cur[2] + 1, cur[3] + v)
+            else:
+                if cur is not None:
+                    out.append((k, sid, *cur))
+                sid += 1
+                cur = (s, e, 1, v)
+        out.append((k, sid, *cur))
+    return sorted(out)
+
+
+frag = st.tuples(
+    st.sampled_from(["a", "b"]),
+    st.integers(min_value=0, max_value=2_000),
+    st.integers(min_value=0, max_value=500),
+    st.integers(min_value=0, max_value=100),
+).map(lambda t: (t[0], t[1], t[1] + t[2], float(t[3]), 0))
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(frag, min_size=1, max_size=15).map(
+        lambda rs: [(k, s, e, v, i) for i, (k, s, e, v, _) in enumerate(rs)]
+    ),
+    gap=st.integers(min_value=1, max_value=400),
+)
+def test_sessionize_matches_python_model(spark, rows, gap):
+    df = spark.createDataFrame(
+        rows, "k string, start_ms long, end_ms long, value double, fid long"
+    )
+    got = sorted(
+        (r.k, r.session_id, r.session_start, r.session_end, r.n_flows, r.value)
+        for r in sessionize(
+            df, ["k"], "start_ms", "end_ms", "value", gap_ms=gap,
+            order_tiebreak=("fid",),
+        ).collect()
+    )
+    assert got == model_sessionize(rows, gap)
