@@ -6,7 +6,10 @@ joins/set ops at all); these are the north-star extensions
 
 - exact dedup          — hash-groupBy on content digest (shuffle key is the
                          16-byte md5, never the full document);
-- char-n-gram Jaccard  — blocked pair similarity via gram inverted index;
+- char-n-gram Jaccard  — blocked pair similarity; three output-identical
+                         kernels (postings inverted index, PPJoin prefix
+                         filter, per-block incidence GEMM) for different
+                         corpus shapes;
 - MinHash + LSH        — shingle → 16 permuted min-hashes → 4 bands of 4 →
                          band-bucket join for candidates → exact verify;
 - SimHash              — 16-bit signed-projection signature;
@@ -198,6 +201,69 @@ def ngram_jaccard_pairs_prefix(
         .join(b, "doc_b")
         .where(jacc >= threshold)
         .select("doc_a", "doc_b", F.floor(jacc * F.lit(float(QUANT))).alias("jacc_q"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def ngram_jaccard_pairs_gemm(
+    docs: DataFrame, threshold: float = 0.5, block_col: str = "source"
+) -> DataFrame:
+    """Same output as :func:`ngram_jaccard_pairs`, via one incidence-matrix
+    GEMM per block: docs×grams 0/1 matrix B ⇒ B·Bᵀ is the full pairwise
+    intersection-count matrix in a single BLAS call (float32 is exact for
+    0/1 dot products up to 2^24). Right shape for dup-heavy blocked corpora
+    where a block's docs share a modest gram vocabulary — this corpus's
+    blocks are near-cliques (hottest posting = 98% of its block), where the
+    postings index must materialize Σ|A∩B| ≈ 55M pair-rows and this kernel
+    replaces them with a ~250×400 matrix product per block. Memory bound:
+    (docs-per-block × block-vocab) floats must fit an executor — the
+    blocking key is the knob, same as the other variants.
+    """
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold)
+    quant = float(QUANT)
+    n = 3
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        sets = []
+        ids = pdf["doc_id"].to_numpy()
+        for t in pdf["text"]:
+            sets.append({t[i : i + n] for i in range(len(t) - n + 1)} if len(t) >= n else set())
+        vocab: dict[str, int] = {}
+        for s in sets:
+            for g in s:
+                vocab.setdefault(g, len(vocab))
+        empty = pd.DataFrame({"doc_a": [], "doc_b": [], "jacc_q": []}).astype("int64")
+        if not vocab:
+            return empty
+        inc = np.zeros((len(sets), len(vocab)), dtype=np.float32)
+        for r, s in enumerate(sets):
+            for g in s:
+                inc[r, vocab[g]] = 1.0
+        inter = inc @ inc.T
+        sizes = np.diag(inter).copy()
+        union = sizes[:, None] + sizes[None, :] - inter
+        with np.errstate(invalid="ignore", divide="ignore"):
+            jacc = np.where(union > 0, inter.astype(np.float64) / union, 0.0)
+        ai, bi = np.nonzero(np.triu(jacc >= thr, k=1) & (sizes[:, None] > 0))
+        if not len(ai):
+            return empty
+        da, db = ids[ai], ids[bi]
+        lo, hi = np.minimum(da, db), np.maximum(da, db)
+        return pd.DataFrame(
+            {
+                "doc_a": lo,
+                "doc_b": hi,
+                "jacc_q": np.floor(jacc[ai, bi] * quant).astype(np.int64),
+            }
+        )
+
+    return (
+        docs.select("doc_id", block_col, "text")
+        .groupBy(block_col)
+        .applyInPandas(kernel, "doc_a long, doc_b long, jacc_q long")
         .orderBy("doc_a", "doc_b")
     )
 
@@ -521,7 +587,9 @@ def _docs(spark, sf_dir):
 def queries() -> dict:
     return {
         "dedup_exact": lambda s, d: exact_dedup(_docs(s, d), "text", "doc_id"),
-        "dedup_ngram_jaccard": lambda s, d: ngram_jaccard_pairs(_docs(s, d)),
+        # GEMM kernel: fastest on this corpus's near-clique blocks (see
+        # variant docstrings); output identical to the postings variant
+        "dedup_ngram_jaccard": lambda s, d: ngram_jaccard_pairs_gemm(_docs(s, d)),
         "dedup_minhash_sig": lambda s, d: minhash_signatures(_docs(s, d)),
         "dedup_minhash_pairs": lambda s, d: minhash_lsh_pairs(_docs(s, d)),
         "dedup_simhash": lambda s, d: simhash_signatures(_docs(s, d)),

@@ -9,6 +9,7 @@ from elasticsearch_drift_plugin_spark.operators import multimodal, similarity
 from elasticsearch_drift_plugin_spark.operators.dedup import (
     exact_dedup,
     ngram_jaccard_pairs,
+    ngram_jaccard_pairs_gemm,
     ngram_jaccard_pairs_prefix,
 )
 
@@ -38,7 +39,8 @@ def test_ngram_prefix_filter_matches_baseline(spark):
     df = _docs(spark, rows)
     base = [tuple(r) for r in ngram_jaccard_pairs(df).collect()]
     pref = [tuple(r) for r in ngram_jaccard_pairs_prefix(df).collect()]
-    assert base == pref
+    gemm = [tuple(r) for r in ngram_jaccard_pairs_gemm(df).collect()]
+    assert base == pref == gemm
     assert {(a, b) for a, b, _ in base} == {(1, 2), (1, 5), (2, 5)}
 
 
