@@ -340,7 +340,15 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 
 def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     """Banded candidates, verified with exact shingle Jaccard (no threshold:
-    the band collision IS the filter; jacc_q lets callers cut further)."""
+    the band collision IS the filter; jacc_q lets callers cut further).
+
+    Verification cost scales with the CANDIDATE set, not the corpus: the
+    band join yields few pairs, and each is verified with one codegen'd
+    array_intersect over the two docs' shingle arrays — the corpus-wide
+    shingle co-occurrence join (Σ posting² rows) is never built. Pairs
+    whose signatures collide without any shared shingle (theoretical) are
+    dropped, matching the inverted-index formulation the oracle uses.
+    """
     sigs = minhash_signatures(docs)
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
@@ -349,13 +357,23 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = _token_shingles(docs)
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = _pair_intersections(sh, [], "s").join(cand, ["doc_a", "doc_b"], "left_semi")
-    jacc = F.col("i").cast("double") / (F.col("ca.n") + F.col("cb.n") - F.col("i"))
+    sh_arr = _token_shingles(docs).groupBy("doc_id").agg(
+        F.collect_list("s").alias("sa")
+    )
+    inter = F.size(F.array_intersect("sa_a", "sa_b")).cast("long")
+    na = F.size("sa_a").cast("long")
+    nb = F.size("sa_b").cast("long")
+    jacc = inter.cast("double") / (na + nb - inter)
     return (
-        inter.join(F.broadcast(counts).alias("ca"), F.col("ca.doc_id") == F.col("doc_a"))
-        .join(F.broadcast(counts).alias("cb"), F.col("cb.doc_id") == F.col("doc_b"))
+        cand.join(
+            sh_arr.select(F.col("doc_id").alias("doc_a"), F.col("sa").alias("sa_a")),
+            "doc_a",
+        )
+        .join(
+            sh_arr.select(F.col("doc_id").alias("doc_b"), F.col("sa").alias("sa_b")),
+            "doc_b",
+        )
+        .where(inter > 0)
         .select("doc_a", "doc_b", F.floor(jacc * F.lit(float(QUANT))).alias("jacc_q"))
         .orderBy("doc_a", "doc_b")
     )
