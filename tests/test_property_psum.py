@@ -106,6 +106,15 @@ def test_psum_matches_python_model(spark, rows, interval, offset, clamp):
     for k, (dc, v) in expected.items():
         assert got[k][0] == dc, (k, got[k], (dc, v))
         assert got[k][1] == __import__("pytest").approx(v, rel=1e-9, abs=1e-9)
+    # sweep strategy must be BIT-identical to explode under quantization
+    kw = dict(interval=interval, offset=offset, start=start, end=end, quantize=6)
+    sweep = proportional_sum(
+        df, "start_ms", "end_ms", "value", "sampling", strategy="sweep", **kw
+    ).collect()
+    explode = proportional_sum(
+        df, "start_ms", "end_ms", "value", "sampling", strategy="explode", **kw
+    ).collect()
+    assert [tuple(r) for r in sweep] == [tuple(r) for r in explode]
 
 
 # --- calendar rounding: Spark date_trunc vs the pure-Python twin ----------
