@@ -213,3 +213,68 @@ def test_sessionize_matches_python_model(spark, rows, gap):
         ).collect()
     )
     assert got == model_sessionize(rows, gap)
+
+
+def model_psum_calendar(rows, unit, offset, start, end):
+    """Calendar-interval model: same collect loop with calendar floor/step."""
+    if offset == 0 and start is not None:
+        offset = start - trunc_calendar_ms(start, unit)  # auto-offset (§2 row 10)
+
+    def rnd(t):
+        return trunc_calendar_ms(t - offset, unit) + offset
+
+    sums, counts = {}, {}
+    for s, e, v, samp in rows:
+        val = v
+        if val is not None and samp is not None and samp != 0 and not math.isnan(samp):
+            val = val * samp
+        cs = max(s, start) if start is not None else s
+        ce = min(e, end) if end is not None else e
+        if cs > ce:
+            continue
+        b = rnd(cs)
+        last = rnd(ce)
+        while b <= last:
+            w_end = add_calendar_ms(b - offset, unit) + offset
+            if e == s:
+                ratio = 1.0
+            else:
+                ratio = max(min(w_end, e) - max(b, s), 0) / (e - s)
+            counts[b] = counts.get(b, 0) + 1
+            sums[b] = sums.get(b, 0.0) + (val * ratio if val is not None else 0.0)
+            b = w_end
+    return {k: (counts[k], sums[k]) for k in counts}
+
+
+DAY_MS = 86_400_000
+CAL_BASE = 1_700_000_000_000  # 2023-11-14, mid-quarter
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200 * DAY_MS),
+            st.integers(min_value=0, max_value=90 * DAY_MS),
+            st.floats(min_value=-50, max_value=50, allow_nan=False),
+        ).map(lambda t: (CAL_BASE + t[0], CAL_BASE + t[0] + t[1], t[2], None)),
+        min_size=1, max_size=8,
+    ),
+    unit=st.sampled_from(["day", "week", "month", "year"]),
+    offset=st.integers(min_value=0, max_value=3_600_000),
+)
+def test_psum_calendar_matches_python_model(spark, rows, unit, offset):
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        r["key"]: (r["doc_count"], r["value"])
+        for r in proportional_sum(
+            df, "start_ms", "end_ms", "value", "sampling",
+            calendar_interval=unit, offset=offset,
+        ).collect()
+    }
+    expected = model_psum_calendar(rows, unit, offset, None, None)
+    assert set(got) == set(expected), (set(got) ^ set(expected))
+    for k, (dc, v) in expected.items():
+        assert got[k][0] == dc, (k, unit, offset)
+        assert got[k][1] == __import__("pytest").approx(v, rel=1e-9, abs=1e-9)
