@@ -233,3 +233,22 @@ def test_explode_bomb_guard(spark):
     with pytest.raises((SparkRuntimeException, Py4JJavaError)):
         run(spark, [(0, 10_000_000, 1.0, None)], interval=1,
             max_buckets_per_row=1000)
+
+
+def test_sweep_strategy_grouped_matches_explode(spark):
+    rows = [
+        ("a", 0, 950, 10.0, None),
+        ("a", 100, 100, 3.0, 2.0),
+        ("b", 50, 420, 7.0, None),
+        ("b", 0, 80, None, None),  # NULL value: counted, adds zero
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, start_ms long, end_ms long, value double, sampling double"
+    )
+    kw = dict(interval=100, quantize=6, group_by=("g",))
+    a = proportional_sum(df, "start_ms", "end_ms", "value", "sampling",
+                         strategy="sweep", **kw).collect()
+    b = proportional_sum(df, "start_ms", "end_ms", "value", "sampling",
+                         strategy="explode", **kw).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == 15  # group a: buckets 0..900 (10); group b: 0..400 (5)
