@@ -86,19 +86,44 @@ def _char_grams(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def _pair_intersections(items: DataFrame, key_cols: list[str], item_col: str) -> DataFrame:
+MAX_POSTING_LEN = 1_000_000
+
+
+def _pair_intersections(
+    items: DataFrame,
+    key_cols: list[str],
+    item_col: str,
+    max_posting_len: int = MAX_POSTING_LEN,
+) -> DataFrame:
     """(doc_a, doc_b, i): co-occurrence counts via inverted-index postings.
 
     One groupBy builds sorted postings per (key, item); pairs come from a
     combination explode of each posting — one shuffle total, versus the
     classic postings self-join's two shuffled sides plus a join. The pair
     fan-out (Σ len(posting)²) is identical either way; hot postings are the
-    skew to watch, bounded here by the blocking key.
+    skew to watch, bounded here by the blocking key AND by
+    ``max_posting_len`` — a posting hotter than the cap aborts with a clear
+    error (the circuit-breaker pattern: len² pair fan-out from one key
+    would otherwise OOM an executor silently).
     """
     postings = (
         items.groupBy(*key_cols, item_col)
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         .where(F.size("ds") > 1)
+    )
+    postings = postings.withColumn(
+        "ds",
+        F.when(F.size("ds") <= max_posting_len, F.col("ds")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"posting list over max_posting_len={max_posting_len} for "),
+                    F.lit(item_col),
+                    F.lit("="),
+                    F.col(item_col).cast("string"),
+                    F.lit(" — raise the cap or use a finer blocking key"),
+                )
+            )
+        ),
     )
     return (
         postings.select(F.posexplode("ds").alias("i", "doc_a"), F.col("ds"))

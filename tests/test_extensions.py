@@ -118,3 +118,20 @@ def test_rolling_fingerprint_golden(spark):
     df = spark.createDataFrame(rows, "doc_id long, source string, text string")
     got = {r["doc_id"]: r["fp"] for r in rolling_fingerprint(df).collect()}
     assert got == {i: py_roll(t) for i, _, t in rows}
+
+
+def test_hot_posting_circuit_breaker(spark):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from elasticsearch_drift_plugin_spark.operators.dedup import _pair_intersections
+
+    items = spark.createDataFrame(
+        [(i, "x") for i in range(10)], "doc_id long, g string"
+    )
+    ok = _pair_intersections(items, [], "g", max_posting_len=10).collect()
+    assert len(ok) == 45  # C(10,2) pairs from the single posting
+    import pytest as _pytest
+
+    with _pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        _pair_intersections(items, [], "g", max_posting_len=5).collect()
