@@ -3,6 +3,7 @@ from .flows import load_table, parse_flow_json
 from .netflow import (
     ipfix_extract_templates,
     parse_ipfix,
+    parse_flows,
     parse_netflow_v5,
     parse_netflow_v9,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "load_table",
     "parse_flow_json",
     "parse_netflow_v5",
+    "parse_flows",
     "parse_ipfix",
     "parse_netflow_v9",
     "ipfix_extract_templates",

@@ -345,3 +345,33 @@ def ipfix_extract_templates(raw: DataFrame, payload_col: str = "value") -> dict:
                         out[(dom, tid)] = fields
             pos += set_len
     return out
+
+
+# ---------------------------------------------------------------------------
+# Unified entry: mixed-version exporter streams
+# ---------------------------------------------------------------------------
+
+FLOW_COLUMNS = (
+    "start_ms", "end_ms", "value", "sampling", "packets",
+    "src_ip", "dst_ip", "src_port", "dst_port", "protocol",
+)
+
+
+def parse_flows(
+    raw: DataFrame,
+    payload_col: str = "value",
+    static_templates: dict | None = None,
+) -> DataFrame:
+    """Mixed NetFlow v5 / v9 / IPFIX datagram stream → one unified flow
+    table (columns :data:`FLOW_COLUMNS`). The version is read per packet:
+    v5 datagrams take the all-native expression path, templated versions go
+    through the Arrow kernel; each parser sees only its packets (cheap
+    2-byte predicate), and the union keeps both branches streaming-safe.
+    """
+    b = F.col(payload_col)
+    version = _be_uint(b, 1, 2)
+    v5 = parse_netflow_v5(raw.where(version == 5), payload_col).select(*FLOW_COLUMNS)
+    templated = parse_ipfix(
+        raw.where(version.isin(9, 10)), payload_col, static_templates
+    ).select(*FLOW_COLUMNS)
+    return v5.unionByName(templated)

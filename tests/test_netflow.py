@@ -236,3 +236,19 @@ def test_ipfix_variable_length_fields(spark):
     msg = ipfix_message([tset, dset])
     rows = netflow.parse_ipfix(_raw(spark, [msg])).orderBy("value").collect()
     assert [(r["value"], r["protocol"]) for r in rows] == [(111.0, 6), (222.0, 17)]
+
+
+def test_parse_flows_mixed_versions(spark):
+    v5 = v5_packet(
+        [{"src": 1, "dst": 2, "octets": 100, "first": 0, "last": 10}],
+        sys_uptime=0, unix_secs=0, unix_nsecs=0,
+    )
+    v9 = v9_packet(
+        [v9_template_flowset(), v9_data_flowset([(3, 4, 200, 0, 20, 6)])],
+        sys_uptime=0, unix_secs=0,
+    )
+    v10 = ipfix_message([ipfix_template_set(), ipfix_data_set([(0, 30, 300, 0, 17)])])
+    flows = netflow.parse_flows(_raw(spark, [v5, v9, v10, b"junk"]))
+    rows = flows.orderBy("value").collect()
+    assert [(r["value"], r["end_ms"]) for r in rows] == [(100.0, 10), (200.0, 20), (300.0, 30)]
+    assert flows.columns == list(netflow.FLOW_COLUMNS)
