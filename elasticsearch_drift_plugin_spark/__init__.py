@@ -12,11 +12,15 @@ with Structured Streaming for continuous flow ingestion.
 
 Public API
 ----------
-- :func:`operators.proportional_sum.proportional_sum` — the core operator.
-- :mod:`sources.flows` — flow-record schemas and derivations.
+- :func:`operators.proportional_sum.proportional_sum` — the core operator
+  (plus :func:`keyed_json`, the keyed-output serving edge).
+- :mod:`sources` — flow derivations, binary NetFlow v5/v9/IPFIX parsers
+  (:func:`sources.parse_flows`), JSON parsing, and histogram sinks.
 - :mod:`operators.dedup`, :mod:`operators.similarity`,
-  :mod:`operators.text`, :mod:`operators.multimodal` — pipeline extensions.
-- :mod:`streaming` — streaming variant of the core operator.
+  :mod:`operators.text`, :mod:`operators.multimodal`,
+  :mod:`operators.sessionize` — pipeline extensions.
+- :mod:`streaming` — streaming proportional_sum and stateful flow
+  sessionization.
 """
 
 from .operators.proportional_sum import keyed_json, proportional_sum

@@ -142,6 +142,13 @@ def proportional_sum(
         ``10^-quantize`` units and summed as exact longs — a deterministic
         cross-engine mode used by the DuckDB correctness oracle (double SUM
         order under shuffle is otherwise engine-dependent in the last ulps).
+    strategy
+        ``'explode'`` (default under ``'auto'``): one row per (flow ×
+        overlapped bucket), collapsed map-side before the shuffle.
+        ``'sweep'``: O(1) rows per flow via quantized difference arrays —
+        opt-in for flows spanning thousands of buckets (requires fixed
+        interval + quantize, no extra_aggs; measured crossover in
+        :func:`_sweep_fixed`).
     """
     p: PSumParams = normalize(
         interval=interval,
@@ -270,10 +277,18 @@ def keyed_json(result: DataFrame, key_col: str | None = None) -> DataFrame:
     if key_col is None:
         key_col = "key_as_string" if "key_as_string" in result.columns else "key"
     payload = [c for c in ("key", "key_ts", "doc_count", "value") if c in result.columns]
-    entry = F.struct(F.col(key_col).cast("string").alias("k"), F.struct(*payload).alias("v"))
-    return result.select(
-        F.to_json(F.map_from_entries(F.sort_array(F.collect_list(entry)))).alias("keyed")
+    # entries sorted by the NUMERIC bucket key (a lexicographic sort on the
+    # stringified key would misorder mixed-width epochs), then projected to
+    # (formatted key → payload) pairs
+    entry = F.struct(
+        F.col("key").alias("o"),
+        F.col(key_col).cast("string").alias("k"),
+        F.struct(*payload).alias("v"),
     )
+    pairs = F.transform(
+        F.sort_array(F.collect_list(entry)), lambda x: F.struct(x["k"], x["v"])
+    )
+    return result.select(F.to_json(F.map_from_entries(pairs)).alias("keyed"))
 
 
 def explode_contributions(
