@@ -148,6 +148,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psum_empty_fill": lambda s, d: _psum_events(
             s, d, interval=12 * HOUR, offset=1, min_doc_count=0, where="user_id % 50 = 0"
         ),
+        # rows 19+25: per-group empty-fill (each owning bucket's histogram
+        # reduces independently — bounds must not bleed across groups)
+        "psum_grouped_fill": lambda s, d: _psum_events(
+            s, d, interval=12 * HOUR, offset=1, min_doc_count=0,
+            group_by=("event_type",), where="user_id % 97 = 0"
+        ),
         # row 21: bucket ordering by value desc (key tie-break)
         "psum_order_value_desc": lambda s, d: _psum_events(
             s, d, interval=12 * HOUR, offset=1, order=[("value", False)]
@@ -210,6 +216,10 @@ def oracle_sql() -> dict[str, str]:
         "psum_min_doc_count": _ev_oracle(interval=HOUR, offset=1, min_doc_count=40),
         "psum_empty_fill": _ev_oracle(
             interval=12 * HOUR, offset=1, min_doc_count=0, where="user_id % 50 = 0"
+        ),
+        "psum_grouped_fill": _ev_oracle(
+            interval=12 * HOUR, offset=1, min_doc_count=0,
+            group_by=("event_type",), where="user_id % 97 = 0"
         ),
         "psum_order_value_desc": _ev_oracle(interval=12 * HOUR, offset=1),
         "psum_grouped_subagg": _ev_oracle(

@@ -587,18 +587,22 @@ def _fill_empty_buckets(
     extra_names: Sequence[str],
     max_fill_buckets: int,
 ) -> DataFrame:
-    """Zero-fill gaps between the min and max observed keys (per the whole
-    result, as the reference does at final reduce —
-    InternalProportionalSumHistogram.java:418-478 addEmptyBuckets), widened
-    by ``extended_bounds`` when given (live es-7.6.2 semantics; the 8.x
-    modules ship the parse but disable the effect —
-    ProportionalSumAggregationBuilder.java:503-507 dead code).
+    """Zero-fill gaps between the min and max observed keys (at final
+    reduce — InternalProportionalSumHistogram.java:418-478 addEmptyBuckets),
+    widened by ``extended_bounds`` when given (live es-7.6.2 semantics; the
+    8.x modules ship the parse but disable the effect —
+    ProportionalSumAggregationBuilder.java:503-507 dead code). With
+    ``group_by`` the bounds are PER GROUP — each owning bucket's histogram
+    reduces independently in the reference, so one group's span never
+    bleeds fill buckets into another.
 
-    Distributed spine: bounds come from a 1-row aggregate, the spine is an
-    exploded ``sequence`` — no driver-side collect. The spine is tiny by the
-    ``max_fill_buckets`` guard, so the left join broadcasts.
+    Distributed spine: bounds come from a per-group aggregate, the spine is
+    an exploded ``sequence`` — no driver-side collect. The spine is tiny by
+    the ``max_fill_buckets`` guard, so the left join broadcasts.
     """
-    bounds = agg.agg(F.min("key").alias("__mn"), F.max("key").alias("__mx"))
+    bounds = agg.groupBy(*[F.col(g) for g in group_by]).agg(
+        F.min("key").alias("__mn"), F.max("key").alias("__mx")
+    )
     if p.extended_bounds is not None:
         eb_lo, eb_hi = p.extended_bounds
         if p.kind == "fixed":
@@ -610,11 +614,13 @@ def _fill_empty_buckets(
             lo = trunc_calendar_ms(eb_lo - p.offset_ms, p.unit) + p.offset_ms
             hi = trunc_calendar_ms(eb_hi - p.offset_ms, p.unit) + p.offset_ms
         bounds = bounds.select(
+            *group_by,
             F.least(F.col("__mn"), F.lit(lo)).alias("__mn"),
             F.greatest(F.col("__mx"), F.lit(hi)).alias("__mx"),
         )
     guard = (F.col("__mx") - F.col("__mn")) / F.lit(p.min_bucket_ms) + 1
     bounds = bounds.select(
+        *group_by,
         _check(
             guard.isNull() | (guard <= max_fill_buckets),
             F.concat(F.lit(f"empty-bucket fill would exceed {max_fill_buckets} buckets")),
@@ -624,21 +630,20 @@ def _fill_empty_buckets(
     )
     if p.kind == "fixed":
         spine = bounds.select(
-            F.explode(F.sequence(F.col("__mn"), F.col("__mx"), F.lit(p.step_ms))).alias("key")
+            *group_by,
+            F.explode(F.sequence(F.col("__mn"), F.col("__mx"), F.lit(p.step_ms))).alias("key"),
         )
     else:
         spine = bounds.select(
+            *group_by,
             F.explode(
                 F.sequence(
                     F.timestamp_millis(F.col("__mn") - F.lit(p.offset_ms)),
                     F.timestamp_millis(F.col("__mx") - F.lit(p.offset_ms)),
                     calendar_interval_expr(p.unit),
                 )
-            ).alias("__tb")
-        ).select((F.unix_millis(F.col("__tb")) + F.lit(p.offset_ms)).alias("key"))
-    if group_by:
-        dims = agg.select(*group_by).distinct()
-        spine = dims.crossJoin(F.broadcast(spine))
+            ).alias("__tb"),
+        ).select(*group_by, (F.unix_millis(F.col("__tb")) + F.lit(p.offset_ms)).alias("key"))
     joined = F.broadcast(spine).join(agg, on=[*group_by, "key"], how="left")
     # Empty bucket = {doc_count: 0, value: 0, empty sub-aggs}
     # (InternalProportionalSumHistogram.java:188-231 EmptyBucketInfo).

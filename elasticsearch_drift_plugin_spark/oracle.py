@@ -139,23 +139,24 @@ agg AS (
 
     extra_out = "".join(f", {name}" for name, _ in extra_aggs)
     if p.min_doc_count == 0:
-        # Zero-fill between observed min and max keys (final-reduce fill,
-        # matching the operator's spine join).
-        bounds = "bounds AS (SELECT min(key) AS mn, max(key) AS mx FROM agg)"
+        # Zero-fill between observed min and max keys PER GROUP (each owning
+        # bucket's histogram reduces independently in the reference), matching
+        # the operator's per-group spine join.
+        grp = f"GROUP BY {dims}" if group_by else ""
+        bounds = f"bounds AS (SELECT {dims_pfx}min(key) AS mn, max(key) AS mx FROM agg {grp})"
         if p.kind == "fixed":
             spine = (
-                f"SELECT unnest(generate_series(mn, mx, {p.step_ms})) AS key FROM bounds"
+                f"SELECT {dims_pfx}unnest(generate_series(mn, mx, {p.step_ms})) AS key "
+                f"FROM bounds"
             )
         else:
             spine = (
-                f"SELECT epoch_ms(tb) + {p.offset_ms} AS key FROM (SELECT "
-                f"unnest(generate_series("
+                f"SELECT {dims_pfx}epoch_ms(tb) + {p.offset_ms} AS key FROM (SELECT "
+                f"{dims_pfx}unnest(generate_series("
                 f"make_timestamp((mn - {p.offset_ms}) * 1000), "
                 f"make_timestamp((mx - {p.offset_ms}) * 1000), "
                 f"INTERVAL 1 {p.unit})) AS tb FROM bounds)"
             )
-        if group_by:
-            spine = f"SELECT * FROM (SELECT DISTINCT {dims} FROM agg) CROSS JOIN ({spine})"
         return (
             f"{agg_sql}, {bounds}, spine AS ({spine}) "
             f"SELECT {dims_pfx}spine.key AS key, COALESCE(doc_count, 0) AS doc_count, "

@@ -252,3 +252,26 @@ def test_sweep_strategy_grouped_matches_explode(spark):
                          strategy="explode", **kw).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert len(a) == 15  # group a: buckets 0..900 (10); group b: 0..400 (5)
+
+
+def test_empty_fill_respects_groups(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", 0, 100, 1.0, None),
+            ("a", 500, 600, 2.0, None),  # gap 200..400 in group a
+            ("b", 200, 300, 3.0, None),  # single bucket, no gap
+        ],
+        "g string, start_ms long, end_ms long, value double, sampling double",
+    )
+    out = proportional_sum(
+        df, "start_ms", "end_ms", "value", "sampling",
+        interval=100, min_doc_count=0, group_by=("g",),
+    ).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append((r.key, r.doc_count))
+    # group a: spine 0..600 with zero-fill between its own bounds
+    assert [k for k, _ in by_g["a"]] == [0, 100, 200, 300, 400, 500, 600]
+    assert [dc for k, dc in by_g["a"] if k in (200, 300, 400)] == [0, 0, 0]
+    # group b: only its own buckets — no bleed from group a's span
+    assert [k for k, _ in by_g["b"]] == [200, 300]
