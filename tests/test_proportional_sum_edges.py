@@ -275,3 +275,20 @@ def test_empty_fill_respects_groups(spark):
     assert [dc for k, dc in by_g["a"] if k in (200, 300, 400)] == [0, 0, 0]
     # group b: only its own buckets — no bleed from group a's span
     assert [k for k, _ in by_g["b"]] == [200, 300]
+
+
+def test_order_by_subagg_metric(spark):
+    # row 21: ordering by a sub-aggregation's value, desc, key tie-break
+    from pyspark.sql import functions as F
+
+    rows = [(0, 100, 1.0, None), (100, 200, 9.0, None), (200, 300, 5.0, None)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = proportional_sum(
+        df, "start_ms", "end_ms", "value", "sampling",
+        interval=100, extra_aggs={"vmax": F.max("value")}, order=[("vmax", False)],
+    ).collect()
+    # bucket 100: flow1 terminal + flow2 → vmax 9; bucket 200: flow2 terminal
+    # + flow3 → vmax 9 (tie broken by key asc); bucket 300: flow3 terminal →
+    # vmax 5; bucket 0: flow1 → vmax 1
+    assert [r.key for r in out] == [100, 200, 300, 0]
+    assert [r.vmax for r in out] == [9.0, 9.0, 5.0, 1.0]
