@@ -292,3 +292,25 @@ def test_order_by_subagg_metric(spark):
     # vmax 5; bucket 0: flow1 → vmax 1
     assert [r.key for r in out] == [100, 200, 300, 0]
     assert [r.vmax for r in out] == [9.0, 9.0, 5.0, 1.0]
+
+
+def test_calendar_grouped_fill_per_group_bounds(spark):
+    DAY = 86_400_000
+    BASE = 1_704_067_200_000  # 2024-01-01
+    df = spark.createDataFrame(
+        [
+            ("a", BASE, BASE + DAY, 1.0, None),
+            ("a", BASE + 4 * DAY, BASE + 5 * DAY, 2.0, None),
+            ("b", BASE + 10 * DAY, BASE + 11 * DAY, 3.0, None),
+        ],
+        "g string, start_ms long, end_ms long, value double, sampling double",
+    )
+    out = proportional_sum(
+        df, "start_ms", "end_ms", "value", "sampling",
+        calendar_interval="day", min_doc_count=0, group_by=("g",),
+    ).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append(r.key)
+    assert by_g["a"] == [BASE + i * DAY for i in range(6)]  # days 0..5 incl fill
+    assert by_g["b"] == [BASE + 10 * DAY, BASE + 11 * DAY]  # no bleed from a
