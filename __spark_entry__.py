@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from elasticsearch_drift_plugin_spark import proportional_sum
 from elasticsearch_drift_plugin_spark.oracle import psum_oracle_sql
 from elasticsearch_drift_plugin_spark.sources import flows as flows_src
-from elasticsearch_drift_plugin_spark.operators import dedup, sessionize, similarity, text, multimodal
+from elasticsearch_drift_plugin_spark.operators import dedup, sessionize, similarity, stats, text, multimodal
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         order_tiebreak=("flow_id",),
     )
     # --- LLM-pipeline extensions (BASELINE.json north star) ---
+    q.update(stats.queries())
     q.update(dedup.queries())
     q.update(similarity.queries())
     q.update(text.queries())
@@ -246,6 +247,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(NULL AS DOUBLE) AS value WHERE 1 = 0"
         ),
     }
+    o.update(stats.oracle_sql())
     o.update(dedup.oracle_sql())
     o.update(similarity.oracle_sql())
     o.update(text.oracle_sql())

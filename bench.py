@@ -29,6 +29,8 @@ BENCH_QUERIES = [
     "psum_cal_year_lineitem",
     "psum_day_lineitem",
     "flow_sessions",
+    "stats_quantiles",
+    "stats_top_docs",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_sig",
