@@ -26,7 +26,15 @@ from pyspark.sql import functions as F
 from elasticsearch_drift_plugin_spark import proportional_sum
 from elasticsearch_drift_plugin_spark.oracle import psum_oracle_sql
 from elasticsearch_drift_plugin_spark.sources import flows as flows_src
-from elasticsearch_drift_plugin_spark.operators import dedup, sessionize, similarity, stats, text, multimodal
+from elasticsearch_drift_plugin_spark.operators import (
+    dedup,
+    multimodal,
+    relational,
+    sessionize,
+    similarity,
+    stats,
+    text,
+)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -189,6 +197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # --- LLM-pipeline extensions (BASELINE.json north star) ---
     q.update(stats.queries())
+    q.update(relational.queries())
     q.update(dedup.queries())
     q.update(similarity.queries())
     q.update(text.queries())
@@ -248,6 +257,7 @@ def oracle_sql() -> dict[str, str]:
         ),
     }
     o.update(stats.oracle_sql())
+    o.update(relational.oracle_sql())
     o.update(dedup.oracle_sql())
     o.update(similarity.oracle_sql())
     o.update(text.oracle_sql())

@@ -1,0 +1,100 @@
+"""Relational surface demonstrations: joins and set operations.
+
+The reference itself has neither (SURVEY.md §2.2 — its host ES provides
+document filtering only); in this engine they are Spark built-ins. These
+queries pin the two patterns that matter at 100 TB:
+
+- **broadcast-join enrichment** — flow records enriched through two small
+  dimension hops (customer → nation), both sides broadcast so the fact
+  stream is never shuffled;
+- **set ops** — key intersection across partitions of the fact table.
+
+Value sums are quantized (floor 1e-6 units) for cross-engine hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.flows import load_table
+
+QUANT = 1_000_000
+
+
+def flows_by_nation(events: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """(n_name, n_events, value_q): event value totals by the nation of the
+    synthetic owning customer (user_id mapped onto the customer key space).
+    Both dimension sides are broadcast — the events scan never shuffles;
+    the only exchange is the final small groupBy."""
+    n_cust = customer.count()  # dimension size: driver-side scalar, O(1)
+    ev = events.select(
+        (F.pmod(F.col("user_id"), F.lit(n_cust)) + 1).alias("__ck"), "value"
+    )
+    cust = customer.select(F.col("c_custkey").alias("__ck"), "c_nationkey")
+    nat = nation.select("n_nationkey", "n_name")
+    return (
+        ev.join(F.broadcast(cust), "__ck")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.coalesce(
+                F.sum(F.floor(F.col("value") * F.lit(float(QUANT)))), F.lit(0)
+            ).alias("value_q"),
+        )
+        .orderBy("n_name")
+    )
+
+
+FLOWS_BY_NATION_SQL = f"""
+WITH ev AS (
+  SELECT (((user_id % (SELECT COUNT(*) FROM customer))
+           + (SELECT COUNT(*) FROM customer)) % (SELECT COUNT(*) FROM customer)) + 1 AS ck,
+         value
+  FROM events
+)
+SELECT n_name, COUNT(*) AS n_events,
+       CAST(COALESCE(SUM(CAST(FLOOR(value * {float(QUANT)}) AS BIGINT)), 0) AS BIGINT)
+         AS value_q
+FROM ev
+JOIN customer ON c_custkey = ck
+JOIN nation ON n_nationkey = c_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def users_in_both(events: DataFrame, type_a: str, type_b: str) -> DataFrame:
+    """(user_id): users present in BOTH event types — Spark ``intersect``."""
+    a = events.where(F.col("event_type") == type_a).select("user_id")
+    b = events.where(F.col("event_type") == type_b).select("user_id")
+    return a.intersect(b).orderBy("user_id")
+
+
+def users_in_both_sql(type_a: str, type_b: str) -> str:
+    return f"""
+SELECT user_id FROM events WHERE event_type = '{type_a}'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = '{type_b}'
+ORDER BY user_id
+"""
+
+
+def queries() -> dict:
+    return {
+        "rel_flows_by_nation": lambda s, d: flows_by_nation(
+            load_table(s, d, "events"),
+            load_table(s, d, "customer"),
+            load_table(s, d, "nation"),
+        ),
+        "rel_users_intersect": lambda s, d: users_in_both(
+            load_table(s, d, "events"), "click", "purchase"
+        ),
+    }
+
+
+def oracle_sql() -> dict:
+    return {
+        "rel_flows_by_nation": FLOWS_BY_NATION_SQL,
+        "rel_users_intersect": users_in_both_sql("click", "purchase"),
+    }

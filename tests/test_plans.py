@@ -70,3 +70,14 @@ def test_text_ops_are_map_only(spark):
         assert not has_python_eval(out)
         # only the final orderBy may shuffle (range partitioning), never a hash
         assert hash_exchange_count(out) == 0
+
+
+def test_flows_by_nation_broadcasts_dimensions(spark, tmp_path):
+    from elasticsearch_drift_plugin_spark.operators.relational import flows_by_nation
+
+    ev = spark.createDataFrame([(1, 2.0)], "user_id long, value double")
+    cust = spark.createDataFrame([(1, 0)], "c_custkey long, c_nationkey long")
+    nat = spark.createDataFrame([(0, "X")], "n_nationkey long, n_name string")
+    plan = explain_str(flows_by_nation(ev, cust, nat))
+    assert len(re.findall(r"BroadcastHashJoin \w+ Build", plan)) == 2
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
