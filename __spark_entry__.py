@@ -27,6 +27,7 @@ from elasticsearch_drift_plugin_spark import proportional_sum
 from elasticsearch_drift_plugin_spark.oracle import psum_oracle_sql
 from elasticsearch_drift_plugin_spark.sources import flows as flows_src
 from elasticsearch_drift_plugin_spark.operators import (
+    asof,
     dedup,
     multimodal,
     relational,
@@ -198,6 +199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- LLM-pipeline extensions (BASELINE.json north star) ---
     q.update(stats.queries())
     q.update(relational.queries())
+    q.update(asof.queries())
     q.update(dedup.queries())
     q.update(similarity.queries())
     q.update(text.queries())
@@ -258,6 +260,7 @@ def oracle_sql() -> dict[str, str]:
     }
     o.update(stats.oracle_sql())
     o.update(relational.oracle_sql())
+    o.update(asof.oracle_sql())
     o.update(dedup.oracle_sql())
     o.update(similarity.oracle_sql())
     o.update(text.oracle_sql())

@@ -135,3 +135,23 @@ def test_hot_posting_circuit_breaker(spark):
 
     with _pytest.raises((SparkRuntimeException, Py4JJavaError)):
         _pair_intersections(items, [], "g", max_posting_len=5).collect()
+
+
+def test_asof_join_goldens(spark):
+    from elasticsearch_drift_plugin_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k1", 100), (2, "k1", 50), (3, "k1", 200), (4, "k2", 10)],
+        "id long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("k1", 100, "a"), ("k1", 150, "b"), ("k2", 99, "c")],
+        "k string, rt long, p string",
+    )
+    out = {r.id: r.p for r in asof_join(left, right, "k", "t", "rt", "p").collect()}
+    assert out == {
+        1: "a",    # equal time matches (at-or-before)
+        2: None,   # no right row at or before t=50
+        3: "b",    # latest of {100, 150}
+        4: None,   # k2's only right row is after t=10
+    }
