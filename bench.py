@@ -31,6 +31,8 @@ BENCH_QUERIES = [
     "flow_sessions",
     "stats_quantiles",
     "stats_top_docs",
+    "rel_flows_by_nation",
+    "rel_asof_latest_order",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_sig",
