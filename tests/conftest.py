@@ -8,3 +8,4 @@ def spark():
     s = get_spark("spark-drift-tests", cpus=4)
     s.sparkContext.setLogLevel("ERROR")
     yield s
+
