@@ -314,3 +314,16 @@ def test_calendar_grouped_fill_per_group_bounds(spark):
         by_g.setdefault(r.g, []).append(r.key)
     assert by_g["a"] == [BASE + i * DAY for i in range(6)]  # days 0..5 incl fill
     assert by_g["b"] == [BASE + 10 * DAY, BASE + 11 * DAY]  # no bleed from a
+
+
+def test_sweep_strategy_with_fill_and_min_doc_count(spark):
+    rows = [(0, 100, 1.0, None), (500, 600, 2.0, None), (500, 600, 4.0, None)]
+    for extra in (
+        dict(min_doc_count=0),   # zero-fill downstream of the sweep
+        dict(min_doc_count=2),   # post-agg filter downstream of the sweep
+        dict(start=50, end=550),  # clamp interplay
+    ):
+        kw = dict(interval=100, quantize=6, **extra)
+        a = run(spark, rows, strategy="sweep", **kw)
+        b = run(spark, rows, strategy="explode", **kw)
+        assert [tuple(r) for r in a] == [tuple(r) for r in b], extra
