@@ -77,7 +77,9 @@ def _events_with_custkey(events: DataFrame, customer: DataFrame) -> DataFrame:
         "event_id",
         (F.pmod(F.col("user_id"), F.lit(n_cust)) + 1).alias("ck"),
         F.col("ts").alias("__raw_ts"),
-    ).select("event_id", "ck", (F.col("__raw_ts") / F.lit(1_000_000)).cast("long").alias("t_ms"))
+        # exact integer ns→ms: epoch ns exceeds 2^53, so double division would
+        # round half the rows 1 ms off the DuckDB oracle's epoch_ms
+    ).select("event_id", "ck", F.expr("__raw_ts div 1000000").alias("t_ms"))
 
 
 def latest_order_asof(events: DataFrame, customer: DataFrame, orders: DataFrame) -> DataFrame:
