@@ -46,7 +46,7 @@ from ..functions.time import (
     floor_fixed_ms,
     to_epoch_ms,
 )
-from ..params import PSumParams, normalize
+from ..params import PSumParams, normalize, prefilter_bounds
 
 # Internal column names (prefixed to avoid collision with user columns).
 _S, _E, _V, _KEY, _WEND, _TB = "__ps_s", "__ps_e", "__ps_v", "key", "__ps_wend", "__ps_tb"
@@ -412,15 +412,18 @@ def _prepare_flows(df, start_col, end_col, value_col, sampling_col, p, validate)
         ).otherwise(F.lit(1.0))
         v = v * factor
 
-    # Rows that cannot touch any bucket in [start, end] are dropped BEFORE the
-    # explode — expressed on the raw columns so parquet row-group skipping and
-    # predicate pushdown apply. A row ending exactly at `start` still lands in
-    # the first bucket (zero-overlap terminal semantics) hence >=, not >.
+    # Rows whose bucket loop would not execute are dropped BEFORE the explode —
+    # literal comparisons on the raw columns, so parquet row-group skipping and
+    # predicate pushdown apply. The bounds are the ROUNDED query range (not the
+    # raw start/end): with an explicit offset the reference still credits a row
+    # ending in [round(start), start) to the boundary bucket
+    # (ProportionalSumAggregator.java:183-190; params.prefilter_bounds).
     base = df
-    if p.start is not None:
-        base = base.filter(F.col(end_col) >= _time_lit(p.start, schema[end_col]))
-    if p.end is not None:
-        base = base.filter(F.col(start_col) <= _time_lit(p.end, schema[start_col]))
+    lo, hi = prefilter_bounds(p)
+    if lo is not None:
+        base = base.filter(F.col(end_col) >= _time_lit(lo, schema[end_col]))
+    if hi is not None:
+        base = base.filter(F.col(start_col) < _time_lit(hi, schema[start_col]))
 
     cs = F.greatest(s, F.lit(p.start)) if p.start is not None else s
     ce = F.least(e, F.lit(p.end)) if p.end is not None else e

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from .params import PSumParams, normalize
+from .params import PSumParams, normalize, prefilter_bounds
 
 
 def _pmod(x: str, m: int) -> str:
@@ -82,10 +82,13 @@ def psum_oracle_sql(
     filters = ["TRUE"]
     if where:
         filters.append(f"({where})")
-    if p.start is not None:
-        filters.append(f"end_ms >= {p.start}")
-    if p.end is not None:
-        filters.append(f"start_ms <= {p.end}")
+    # Same rounded-bound pre-filter as the operator (params.prefilter_bounds):
+    # keep exactly the rows whose reference bucket loop executes.
+    lo, hi = prefilter_bounds(p)
+    if lo is not None:
+        filters.append(f"end_ms >= {lo}")
+    if hi is not None:
+        filters.append(f"start_ms < {hi}")
 
     cs = f"greatest(s, {p.start})" if p.start is not None else "s"
     ce = f"least(e, {p.end})" if p.end is not None else "e"

@@ -204,3 +204,32 @@ def normalize(
 
 def _floor_fixed(t: int, step: int, off: int) -> int:
     return t - ((t - off) % step + step) % step
+
+
+def prefilter_bounds(p: PSumParams) -> tuple[int | None, int | None]:
+    """``(lo, hi_excl)`` epoch-ms bounds for the overlap pre-filter: keep
+    exactly the rows whose reference bucket loop executes.
+
+    The reference has NO row filter — the loop runs whenever
+    ``round(max(s, start)) <= round(min(e, end))``
+    (ProportionalSumAggregator.java:183-190, loop ``:188-218``). Because
+    ``round`` is monotone and ``s <= e``, ``start <= end`` always hold, that
+    condition reduces to ``e >= round(start) AND s < nextKey(round(end))``.
+    Filtering on the RAW ``start``/``end`` literals instead would drop rows
+    that the reference still credits to a boundary bucket whenever an explicit
+    offset makes ``round(start) < start`` (e.g. offset=1 with a midnight
+    start). Both the Spark operator and the DuckDB oracle generator call this
+    one function, so the two sides cannot drift.
+    """
+    lo = hi = None
+    if p.start is not None:
+        if p.kind == "fixed":
+            lo = _floor_fixed(p.start, p.step_ms, p.offset_ms)
+        else:
+            lo = trunc_calendar_ms(p.start - p.offset_ms, p.unit) + p.offset_ms
+    if p.end is not None:
+        if p.kind == "fixed":
+            hi = _floor_fixed(p.end, p.step_ms, p.offset_ms) + p.step_ms
+        else:
+            hi = add_calendar_ms(trunc_calendar_ms(p.end - p.offset_ms, p.unit), p.unit, 1) + p.offset_ms
+    return lo, hi

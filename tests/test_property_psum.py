@@ -40,10 +40,12 @@ def model_psum(rows, interval, offset, start, end, min_doc_count=1):
         val = v
         if val is not None and samp is not None and samp != 0 and not math.isnan(samp):
             val = val * samp
+        # No raw cs>ce skip: the reference rounds first/last and runs the
+        # loop whenever round(max(s,start)) <= round(min(e,end)) — even for
+        # rows outside the raw [start, end] whose rounded endpoints collide
+        # on a boundary bucket (ProportionalSumAggregator.java:179-186).
         cs = max(s, start) if start is not None else s
         ce = min(e, end) if end is not None else e
-        if cs > ce:
-            continue
         first, last = rnd(cs), rnd(ce)
         b = first
         while b <= last:
@@ -230,8 +232,6 @@ def model_psum_calendar(rows, unit, offset, start, end):
             val = val * samp
         cs = max(s, start) if start is not None else s
         ce = min(e, end) if end is not None else e
-        if cs > ce:
-            continue
         b = rnd(cs)
         last = rnd(ce)
         while b <= last:

@@ -327,3 +327,47 @@ def test_sweep_strategy_with_fill_and_min_doc_count(spark):
         a = run(spark, rows, strategy="sweep", **kw)
         b = run(spark, rows, strategy="explode", **kw)
         assert [tuple(r) for r in a] == [tuple(r) for r in b], extra
+
+
+DAY = 86400000
+
+
+def test_offset_boundary_row_before_start_credited(spark):
+    # With an explicit offset, round(start) < start: a row ending in
+    # [round(start), start) still runs the reference bucket loop once —
+    # round(max(s,start)) == round(e) — and is credited proportionally to the
+    # boundary bucket (ProportionalSumAggregator.java:183-218). A raw
+    # end >= start pre-filter would silently drop it.
+    D = 20 * DAY  # a midnight
+    rows = [(D - 3600000, D - 1800000, 100.0, None)]  # 23:00–23:30 previous day
+    out = run(spark, rows, interval=DAY, offset=1, start=D, end=D + DAY)
+    assert [(r.key, r.doc_count, r.value) for r in out] == [(D - DAY + 1, 1, 100.0)]
+
+
+def test_offset_boundary_row_after_end_credited(spark):
+    # Symmetric on the end side: a row starting in (end, round(end)+interval)
+    # has round(s) == round(end) so the loop still runs once. end is mid-grid
+    # (23:30) so round(end)+interval extends past it to the next 00:00:00.001.
+    D = 20 * DAY
+    end = D + DAY - 1800000  # 23:30
+    rows = [(D + DAY - 900000, D + DAY, 60.0, None)]  # 23:45–24:00, after `end`
+    out = run(spark, rows, interval=DAY, offset=1, start=D, end=end)
+    assert [(r.key, r.doc_count, r.value) for r in out] == [(D + 1, 1, 60.0)]
+
+
+def test_offset_boundary_row_outside_rounded_range_dropped(spark):
+    # Entirely before round(start): the loop never runs; row contributes
+    # nothing (and the pre-filter may prune it at the scan).
+    D = 20 * DAY
+    rows = [(D - 2 * DAY, D - DAY, 100.0, None)]  # ends exactly at round(start)-1+... below lo
+    out = run(spark, rows, interval=DAY, offset=1, start=D, end=D + DAY)
+    assert out == []
+
+
+def test_offset_boundary_row_calendar(spark):
+    # Calendar-interval variant: round is date_trunc on the offset-shifted
+    # grid; same boundary-credit semantics.
+    D = 20 * DAY
+    rows = [(D - 3600000, D - 1800000, 100.0, None)]
+    out = run(spark, rows, calendar_interval="day", offset=1, start=D, end=D + DAY)
+    assert [(r.key, r.doc_count, r.value) for r in out] == [(D - DAY + 1, 1, 100.0)]
