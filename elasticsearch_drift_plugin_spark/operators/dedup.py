@@ -147,8 +147,11 @@ def ngram_jaccard_pairs(
     grams = _char_grams(docs)
     counts = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = _pair_intersections(grams, [block_col], "g")
-    ca = F.broadcast(counts).alias("ca")
-    cb = F.broadcast(counts).alias("cb")
+    # No broadcast hint: `counts` has one row PER DOCUMENT — forcing it onto
+    # every executor is O(corpus) memory at scale. It's a plain equi-join on
+    # doc_id; AQE picks broadcast only when runtime stats say it's small.
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
     jacc = F.col("i").cast("double") / (F.col("ca.n") + F.col("cb.n") - F.col("i"))
     return (
         inter.join(ca, F.col("ca.doc_id") == F.col("doc_a"))
@@ -231,19 +234,33 @@ def ngram_jaccard_pairs_prefix(
 
 
 def ngram_jaccard_pairs_gemm(
-    docs: DataFrame, threshold: float = 0.5, block_col: str = "source"
+    docs: DataFrame,
+    threshold: float = 0.5,
+    block_col: str = "source",
+    max_block_rows: int = 4096,
+    n_subblocks: int | None = None,
 ) -> DataFrame:
-    """Same output as :func:`ngram_jaccard_pairs`, via one incidence-matrix
-    GEMM per block: docs×grams 0/1 matrix B ⇒ B·Bᵀ is the full pairwise
-    intersection-count matrix in a single BLAS call (float32 is exact for
-    0/1 dot products up to 2^24). Right shape for dup-heavy blocked corpora
-    where a block's docs share a modest gram vocabulary — this corpus's
-    blocks are near-cliques (hottest posting = 98% of its block), where the
-    postings index must materialize Σ|A∩B| ≈ 55M pair-rows and this kernel
-    replaces them with a ~250×400 matrix product per block. Memory bound:
-    (docs-per-block × block-vocab) floats must fit an executor — the
-    blocking key is the knob, same as the other variants.
+    """Same output as :func:`ngram_jaccard_pairs`, via incidence-matrix GEMM
+    over bounded sub-block pairs: a block's docs×grams 0/1 matrices A, B ⇒
+    A·Bᵀ is the pairwise intersection-count matrix in one BLAS call (float32
+    is exact for 0/1 dot products up to 2^24). Right shape for dup-heavy
+    blocked corpora where docs share a modest gram vocabulary — this
+    corpus's blocks are near-cliques (hottest posting = 98% of its block),
+    where the postings index must materialize Σ|A∩B| ≈ 55M pair-rows and
+    this kernel replaces them with small matrix products.
+
+    Scale design (mirrors :func:`embedding_neardup_pairs`): each
+    ``block_col`` value is hash-split on ``doc_id`` into ``n_subblocks``
+    sub-blocks of ≤ ~``max_block_rows`` docs, and every sub-block PAIR
+    (i <= j) is one ``applyInPandas`` group — so the pandas group is bounded
+    by 2×``max_block_rows`` docs no matter how hot a block value is (a hot
+    ``source`` would otherwise put an unbounded block into one executor).
+    Each doc is replicated ``n_subblocks + 1`` times; with the default
+    auto-sizing (hottest block count, one tiny count agg) that is 1 — i.e.
+    zero replication — until a block actually exceeds ``max_block_rows``.
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
@@ -251,43 +268,92 @@ def ngram_jaccard_pairs_gemm(
     quant = float(QUANT)
     n = 3
 
+    base = docs.select("doc_id", block_col, "text")
+    if n_subblocks is None:
+        hot = (
+            base.groupBy(block_col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c").alias("m"))
+            .first()["m"]
+        )
+        n_subblocks = max(1, math.ceil((hot or 1) / max_block_rows))
+    nb = int(n_subblocks)
+
+    sb = base.withColumn("sblk", F.pmod(F.xxhash64("doc_id"), F.lit(nb)).cast("int"))
+    bp = docs.sparkSession.createDataFrame(
+        [(i, j) for i in range(nb) for j in range(i, nb)], "bi int, bj int"
+    )
+    # nb(nb+1)/2 pair rows — a legitimately tiny broadcast (not per-doc data)
+    left = sb.join(F.broadcast(bp), F.col("sblk") == F.col("bi")).select(
+        block_col, "bi", "bj", "doc_id", "text", F.lit(0).alias("side")
+    )
+    right = sb.join(F.broadcast(bp), F.col("sblk") == F.col("bj")).select(
+        block_col, "bi", "bj", "doc_id", "text", F.lit(1).alias("side")
+    )
+
+    def gram_sets(texts) -> list[set]:
+        return [
+            {t[i : i + n] for i in range(len(t) - n + 1)} if len(t) >= n else set()
+            for t in texts
+        ]
+
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        sets = []
-        ids = pdf["doc_id"].to_numpy()
-        for t in pdf["text"]:
-            sets.append({t[i : i + n] for i in range(len(t) - n + 1)} if len(t) >= n else set())
+        empty = pd.DataFrame({"doc_a": [], "doc_b": [], "jacc_q": []}).astype("int64")
+        same = pdf["bi"].iat[0] == pdf["bj"].iat[0]
+        l = pdf.drop_duplicates("doc_id") if same else pdf[pdf["side"] == 0]
+        r = l if same else pdf[pdf["side"] == 1]
+        if l.empty or r.empty:
+            return empty
+        ls = gram_sets(l["text"])
+        rs = ls if same else gram_sets(r["text"])
         vocab: dict[str, int] = {}
-        for s in sets:
+        for s in ls:
             for g in s:
                 vocab.setdefault(g, len(vocab))
-        empty = pd.DataFrame({"doc_a": [], "doc_b": [], "jacc_q": []}).astype("int64")
+        if not same:
+            for s in rs:
+                for g in s:
+                    vocab.setdefault(g, len(vocab))
         if not vocab:
             return empty
-        inc = np.zeros((len(sets), len(vocab)), dtype=np.float32)
-        for r, s in enumerate(sets):
-            for g in s:
-                inc[r, vocab[g]] = 1.0
-        inter = inc @ inc.T
-        sizes = np.diag(inter).copy()
-        union = sizes[:, None] + sizes[None, :] - inter
+
+        def incidence(sets: list[set]) -> np.ndarray:
+            m = np.zeros((len(sets), len(vocab)), dtype=np.float32)
+            for row, s in enumerate(sets):
+                for g in s:
+                    m[row, vocab[g]] = 1.0
+            return m
+
+        A = incidence(ls)
+        B = A if same else incidence(rs)
+        inter = (A @ B.T).astype(np.float64)
+        sa = A.sum(axis=1, dtype=np.float64)
+        sb_ = sa if same else B.sum(axis=1, dtype=np.float64)
+        union = sa[:, None] + sb_[None, :] - inter
         with np.errstate(invalid="ignore", divide="ignore"):
-            jacc = np.where(union > 0, inter.astype(np.float64) / union, 0.0)
-        ai, bi = np.nonzero(np.triu(jacc >= thr, k=1) & (sizes[:, None] > 0))
+            jacc = np.where(union > 0, inter / union, 0.0)
+        # >= 1 shared gram, like the postings formulation (a pair with no
+        # co-occurring gram never appears in an inverted index)
+        mask = (inter >= 1.0) & (jacc >= thr)
+        if same:
+            mask = np.triu(mask, k=1)
+        ai, bi_ = np.nonzero(mask)
         if not len(ai):
             return empty
-        da, db = ids[ai], ids[bi]
+        da = l["doc_id"].to_numpy()[ai]
+        db = r["doc_id"].to_numpy()[bi_]
         lo, hi = np.minimum(da, db), np.maximum(da, db)
         return pd.DataFrame(
             {
                 "doc_a": lo,
                 "doc_b": hi,
-                "jacc_q": np.floor(jacc[ai, bi] * quant).astype(np.int64),
+                "jacc_q": np.floor(jacc[ai, bi_] * quant).astype(np.int64),
             }
         )
 
     return (
-        docs.select("doc_id", block_col, "text")
-        .groupBy(block_col)
+        left.unionByName(right)
+        .groupBy(block_col, "bi", "bj")
         .applyInPandas(kernel, "doc_a long, doc_b long, jacc_q long")
         .orderBy("doc_a", "doc_b")
     )
@@ -513,6 +579,7 @@ def embedding_neardup_pairs(
     threshold: float = 0.3,
     n_blocks: int | None = None,
     target_block_rows: int = 4096,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine >= threshold, as blocked matrix products.
 
@@ -541,9 +608,11 @@ def embedding_neardup_pairs(
         # executor memory (<= target_block_rows vectors), (b) the
         # nb·(nb+1)/2 block-pair groups should cover cluster parallelism
         # (one GEMM per core beats one giant serial GEMM — measured 2.1s vs
-        # 6.0s at sf0.1). The count() reads parquet row-group stats only.
+        # 6.0s at sf0.1). Pass n_rows (e.g. from catalog/table stats) to
+        # skip the sizing count() job; for a bare parquet scan that count is
+        # answered from row-group metadata, not a data read.
         par = emb.sparkSession.sparkContext.defaultParallelism
-        nb_mem = math.ceil(emb.count() / target_block_rows)
+        nb_mem = math.ceil((n_rows if n_rows is not None else emb.count()) / target_block_rows)
         nb_par = math.ceil(math.sqrt(2 * par))
         n_blocks = max(1, nb_mem, nb_par)
 

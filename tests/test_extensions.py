@@ -44,6 +44,22 @@ def test_ngram_prefix_filter_matches_baseline(spark):
     assert {(a, b) for a, b, _ in base} == {(1, 2), (1, 5), (2, 5)}
 
 
+def test_ngram_gemm_bounded_subblocks_match_baseline(spark):
+    """A block hotter than max_block_rows is hash-split into sub-block pairs;
+    output must stay identical to the postings inverted index — including
+    pairs whose two docs land in different sub-blocks."""
+    rows = [(i, "a", f"the quick brown fox number {i % 3} jumps") for i in range(12)]
+    rows.append((100, "b", "the quick brown fox number 0 jumps"))  # other block
+    df = _docs(spark, rows)
+    base = [tuple(r) for r in ngram_jaccard_pairs(df).collect()]
+    assert len(base) == 66  # C(12,2): every same-source pair clears 0.5
+    # 12-doc block with a 4-doc bound -> 3 sub-blocks; and an explicit
+    # overpartitioned case (more sub-blocks than docs per side)
+    for kw in ({"max_block_rows": 4}, {"n_subblocks": 5}):
+        got = [tuple(r) for r in ngram_jaccard_pairs_gemm(df, **kw).collect()]
+        assert got == base, kw
+
+
 def test_decode_media_golden(spark):
     df = _docs(spark, [(7, "a", "abcd")])  # 4 bytes
     b = multimodal.binary_documents(df)
