@@ -175,8 +175,9 @@ def fingerprints(docs: DataFrame) -> DataFrame:
 def rolling_fingerprint(docs: DataFrame, mod: int = 1_000_000_007) -> DataFrame:
     """(doc_id, fp): polynomial rolling hash h = fold(h·31 + code) mod p over
     the characters — a streaming-friendly fingerprint (computable
-    incrementally over chunks, unlike md5-of-whole-doc). Spark-side only
-    (the DuckDB oracle lacks an init-value fold), covered by unit tests."""
+    incrementally over chunks, unlike md5-of-whole-doc). DuckDB twin:
+    ``list_reduce`` over codepoints with a prepended 0 as the init value
+    (ROLLING_FP_SQL)."""
     chars = F.split(F.lower(F.col("text")), "")
     fp = F.aggregate(
         chars,
@@ -192,6 +193,20 @@ FP_SQL = (
     + " AS fp FROM documents ORDER BY doc_id"
 )
 
+# DuckDB's list_reduce folds from the list's first element, so the init 0 is
+# prepended. greatest(c, 0) maps DuckDB's unicode('') == -1 (the [''] that
+# string_split('', '') yields) to Spark's ascii('') == 0 for empty texts.
+ROLLING_FP_SQL = """
+SELECT doc_id,
+       CAST(list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(lower(text), ''),
+                          c -> CAST(unicode(c) AS BIGINT))),
+         (h, c) -> (h * 31 + greatest(c, CAST(0 AS BIGINT))) % 1000000007
+       ) AS BIGINT) AS fp
+FROM documents ORDER BY doc_id
+"""
+
 
 def queries() -> dict:
     return {
@@ -199,8 +214,6 @@ def queries() -> dict:
         "text_quality": lambda s, d: quality_score(load_table(s, d, "documents")),
         "text_tokens": lambda s, d: token_counts(load_table(s, d, "documents")),
         "text_fingerprint": lambda s, d: fingerprints(load_table(s, d, "documents")),
-        # rows-only driver check (no DuckDB twin: init-value fold; golden
-        # values are pinned by unit test instead)
         "text_rolling_fp": lambda s, d: rolling_fingerprint(load_table(s, d, "documents")),
     }
 
@@ -211,4 +224,5 @@ def oracle_sql() -> dict:
         "text_quality": quality_sql(),
         "text_tokens": TOKENS_SQL,
         "text_fingerprint": FP_SQL,
+        "text_rolling_fp": ROLLING_FP_SQL,
     }
