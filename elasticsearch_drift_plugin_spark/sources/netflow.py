@@ -113,6 +113,8 @@ IE_SRC_PORT = 7
 IE_SRC_IP4 = 8
 IE_DST_PORT = 11
 IE_DST_IP4 = 12
+IE_SRC_IP6 = 27
+IE_DST_IP6 = 28
 IE_SAMPLING = 34
 IE_START_MS = 152
 IE_END_MS = 153
@@ -130,6 +132,7 @@ def _make_ipfix_kernel(payload_col: str, static_templates: dict | None):
     preloaded = {k: list(v) for k, v in (static_templates or {}).items()}
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import ipaddress as _ipaddress
         import struct as _struct
 
         cols = [
@@ -158,9 +161,18 @@ def _make_ipfix_kernel(payload_col: str, static_templates: dict | None):
                                 break
                             ie, flen = _struct.unpack_from(">HH", buf, p)
                             p += 4
-                            if enterprise and ie & 0x8000:  # IPFIX PEN: skip
-                                ie &= 0x7FFF
+                            if enterprise and ie & 0x8000:
+                                # IPFIX enterprise IE: 4-byte PEN follows.
+                                # Qualify the id with the PEN so a private
+                                # IE can never collide with a standard one
+                                # (0x8001 is NOT octetDeltaCount); its bytes
+                                # are still consumed for record alignment.
+                                if p + 4 > sl_end:
+                                    ok = False
+                                    break
+                                pen = _struct.unpack_from(">I", buf, p)[0]
                                 p += 4
+                                ie = (pen << 16) | (ie & 0x7FFF)
                             fields.append((ie, flen))
                         if ok and fields:
                             templates[(dom, tid)] = fields
@@ -189,6 +201,10 @@ def _make_ipfix_kernel(payload_col: str, static_templates: dict | None):
                 row["src_ip"] = ".".join(str(x) for x in buf[fp : fp + 4])
             elif ie == 12 and flen == 4:
                 row["dst_ip"] = ".".join(str(x) for x in buf[fp : fp + 4])
+            elif ie == 27 and flen == 16:  # sourceIPv6Address
+                row["src_ip"] = str(_ipaddress.IPv6Address(bytes(buf[fp : fp + 16])))
+            elif ie == 28 and flen == 16:  # destinationIPv6Address
+                row["dst_ip"] = str(_ipaddress.IPv6Address(bytes(buf[fp : fp + 16])))
             elif ie == 7:
                 row["src_port"] = uint(buf, fp, flen)
             elif ie == 11:
@@ -287,6 +303,13 @@ def parse_ipfix(
     numbering by design). Version dispatch is per packet, so mixed v9/v10
     exporter streams parse in one pass.
 
+    Addresses: IPv4 (IEs 8/12) and IPv6 (IEs 27/28, RFC 5952 compressed
+    text) both land in ``src_ip``/``dst_ip`` — the flow schema is
+    address-family-agnostic like the reference's ES mapping
+    (README.md:58-84). IPFIX enterprise IEs (bit 0x8000 + PEN) are
+    PEN-qualified internally so they never alias a standard IE; their bytes
+    are consumed for alignment and the record still parses.
+
     Absolute times: IPFIX flowStart/EndMilliseconds (152/153) pass through;
     v9's sysuptime-relative FIRST/LAST_SWITCHED (22/21) resolve against the
     v9 header clock (unix_secs*1000 − sys_uptime).
@@ -337,9 +360,15 @@ def ipfix_extract_templates(raw: DataFrame, payload_col: str = "value") -> dict:
                             break
                         ie, flen = struct.unpack_from(">HH", buf, p)
                         p += 4
-                        if ie & 0x8000:
-                            ie &= 0x7FFF
+                        # Enterprise bit is IPFIX-only (mirror the in-band
+                        # kernel): v9 vendor types >= 0x8000 carry no PEN.
+                        if enterprise and ie & 0x8000:
+                            if p + 4 > sl_end:
+                                fields = []
+                                break
+                            pen = struct.unpack_from(">I", buf, p)[0]
                             p += 4
+                            ie = (pen << 16) | (ie & 0x7FFF)
                         fields.append((ie, flen))
                     if fields:
                         out[(dom, tid)] = fields

@@ -224,6 +224,63 @@ def test_mixed_v9_v10_stream(spark):
     assert [(r["value"], r["obs_domain"]) for r in rows] == [(11.0, 7), (22.0, 3)]
 
 
+def test_ipfix_ipv6_addresses(spark):
+    """IPFIX IEs 27/28 (IPv6 src/dst, 16 bytes) land in src_ip/dst_ip as
+    RFC 5952 compressed text; IPv4 and IPv6 records coexist in one stream."""
+    import ipaddress
+
+    v6_fields = [(27, 16), (28, 16), (1, 4), (4, 1)]
+    src = ipaddress.IPv6Address("2001:db8::1")
+    dst = ipaddress.IPv6Address("fe80::dead:beef")
+    rec = src.packed + dst.packed + struct.pack(">IB", 77, 6)
+    dset = struct.pack(">HH", 310, 4 + len(rec)) + rec
+    msg = ipfix_message([ipfix_template_set(tid=310, fields=v6_fields), dset])
+    v4_msg = ipfix_message([ipfix_template_set(), ipfix_data_set([(1, 2, 11, 0, 17)])])
+    rows = netflow.parse_ipfix(_raw(spark, [msg, v4_msg])).orderBy("value").collect()
+    assert len(rows) == 2
+    r6 = rows[1]
+    assert (r6["src_ip"], r6["dst_ip"]) == ("2001:db8::1", "fe80::dead:beef")
+    assert (r6["value"], r6["protocol"]) == (77.0, 6)
+    assert rows[0]["value"] == 11.0  # v4 record unaffected
+
+
+def test_ipfix_enterprise_ie_no_alias_and_alignment(spark):
+    """An enterprise IE with low id 1 (0x8001 + PEN) must NOT be read as
+    octetDeltaCount; its bytes are consumed so later standard fields stay
+    aligned. Wire format per RFC 7011 §3.2: 0x8000|id, length, then PEN."""
+    tid = 320
+    body = struct.pack(">HH", tid, 3)
+    body += struct.pack(">HHI", 0x8000 | 1, 4, 9999)  # enterprise "1", PEN 9999
+    body += struct.pack(">HH", 1, 4)                  # real octetDeltaCount
+    body += struct.pack(">HH", 4, 1)                  # protocol
+    tset = struct.pack(">HH", 2, 4 + len(body)) + body
+    rec = struct.pack(">IIB", 555, 350, 6)  # enterprise bytes, octets, proto
+    dset = struct.pack(">HH", tid, 4 + len(rec)) + rec
+    rows = netflow.parse_ipfix(_raw(spark, [ipfix_message([tset, dset])])).collect()
+    assert len(rows) == 1
+    assert (rows[0]["value"], rows[0]["protocol"]) == (350.0, 6)
+
+
+def test_v9_vendor_type_out_of_band_no_enterprise_skip(spark):
+    """v9 has no enterprise bit: a vendor field type >= 0x8000 in an
+    out-of-band v9 template must parse as a plain (type, len) pair — no
+    4-byte PEN skip — matching the in-band kernel."""
+    fields = [(0x9999, 2), (1, 4), (22, 4), (21, 4), (4, 1)]
+    tmpl_pkt = v9_packet([v9_template_flowset(tid=270, fields=fields)])
+    templates = netflow.ipfix_extract_templates(_raw(spark, [tmpl_pkt]))
+    assert templates == {(3, 270): fields}
+    rec = struct.pack(">HIIIB", 0xABCD, 260, 100, 200, 17)
+    dset = struct.pack(">HH", 270, 4 + len(rec)) + rec
+    data_pkt = v9_packet([dset], sys_uptime=0, unix_secs=0)
+    rows = netflow.parse_netflow_v9(
+        _raw(spark, [data_pkt]), static_templates=templates
+    ).collect()
+    assert len(rows) == 1
+    assert (rows[0]["value"], rows[0]["start_ms"], rows[0]["end_ms"], rows[0]["protocol"]) == (
+        260.0, 100, 200, 17,
+    )
+
+
 def test_ipfix_variable_length_fields(spark):
     """RFC 7011 §7: a varlen IE (0xFFFF in the template, per-record length
     prefix) between numeric fields must be skipped with correct alignment —
