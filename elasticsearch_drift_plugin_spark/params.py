@@ -64,22 +64,57 @@ _FIXED_UNIT_MS = {
 
 _FIXED_RE = re.compile(r"^([+-]?)(\d+)(ms|s|m|h|d|w)$")
 
+# TimeValue sub-ms units → divisor to ms (TimeValue.millis() truncates).
+_SUBMS_UNIT_DIV = {"micros": 1000, "nanos": 1_000_000}
+
+_TV_RE = re.compile(r"^([^a-z]*)(nanos|micros|ms|s|m|h|d|w)$")
+
 
 def parse_offset(offset: int | str | None) -> int:
-    """Offset in ms from a long or a ``±<n><unit>`` string.
+    """Offset in ms from a long or a ``±<n><unit>`` TimeValue string.
 
-    Reference: ProportionalSumAggregationBuilder.java:274-305 (parses either
-    a long or a TimeValue string with leading + / -).
+    Reference: ProportionalSumAggregationBuilder.java:274-305 — strips a
+    leading ``+``/``-`` sign, then delegates to ES core
+    ``TimeValue.parseTimeValue``. Full parity with that parser across the
+    reference's ES range (7.6.2 – 8.18.2):
+
+    - units ``d h m s ms micros nanos`` (sub-ms truncates via
+      ``TimeValue.millis()``); plus ``w``, an extension TimeValue lacks;
+    - bare ``"0"`` is accepted without a unit (``TimeValue.parseTimeValue``
+      special-cases it);
+    - fractional values (``"1.5h"``) are REJECTED: ES removed fractional
+      TimeValues in 7.0 — ``TimeValue.parse`` throws "fractional time
+      values are not supported" in every ES version the reference builds
+      against. We mirror that error rather than inventing an acceptance
+      the reference does not have.
     """
     if offset is None:
         return 0
     if isinstance(offset, int):
         return offset
-    m = _FIXED_RE.match(offset.strip())
+    s = offset.strip()
+    sign = 1
+    if s[:1] in ("+", "-"):
+        sign = -1 if s[0] == "-" else 1
+        s = s[1:]
+    if s == "0":
+        return 0
+    m = _TV_RE.match(s)
     if not m:
-        raise ValueError(f"unparseable offset {offset!r}; expected e.g. '1h', '-30m', 250")
-    sign = -1 if m.group(1) == "-" else 1
-    return sign * int(m.group(2)) * _FIXED_UNIT_MS[m.group(3)]
+        raise ValueError(f"failed to parse offset [{offset}]; expected e.g. '1h', '-30m', 250")
+    num, unit = m.group(1), m.group(2)
+    if not num.isdigit():
+        try:
+            float(num)
+        except ValueError:
+            raise ValueError(f"failed to parse offset [{offset}]") from None
+        # TimeValue.parse parity (ES >= 7.0): fractional values throw
+        raise ValueError(
+            f"failed to parse [{offset}], fractional time values are not supported"
+        )
+    if unit in _SUBMS_UNIT_DIV:
+        return sign * (int(num) // _SUBMS_UNIT_DIV[unit])
+    return sign * int(num) * _FIXED_UNIT_MS[unit]
 
 
 def parse_interval(

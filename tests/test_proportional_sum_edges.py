@@ -178,6 +178,21 @@ def test_offset_parsing():
         parse_offset("1x")
 
 
+def test_offset_parsing_timevalue_parity():
+    """parseStringOffset delegates to ES TimeValue.parseTimeValue
+    (ProportionalSumAggregationBuilder.java:274-305); mirror its full unit
+    table and its error surface."""
+    assert parse_offset("+90m") == 5_400_000
+    assert parse_offset("2d") == 172_800_000
+    assert parse_offset("1500micros") == 1  # TimeValue.millis() truncates
+    assert parse_offset("2500000nanos") == 2
+    assert parse_offset("0") == 0  # bare zero needs no unit
+    # ES >= 7.0 (the reference's whole range): fractional values throw
+    for frac in ("1.5h", "0.5d", "-2.5m"):
+        with pytest.raises(ValueError, match="fractional time values are not supported"):
+            parse_offset(frac)
+
+
 def test_auto_offset_fixed():
     p = normalize(interval=3_600_000, start=7_230_000)
     assert p.offset_ms == 7_230_000 % 3_600_000
