@@ -121,6 +121,44 @@ def test_ivf_assignment_is_total_and_unique(spark):
     assert cells <= set(range(5))
 
 
+def test_quantiles_approx_rank_bound_and_exact_mode(spark):
+    """value_quantiles_approx honors the documented GK guarantee: rank error
+    <= n/accuracy. With accuracy >= n it is rank-exact and equals the
+    quantile_disc element the oracle computes."""
+    from elasticsearch_drift_plugin_spark.operators.stats import (
+        QUANT,
+        value_quantiles_approx,
+    )
+
+    n = 2000
+    vals = sorted(((i * 797) % n) * 0.5 - 300.0 for i in range(n))  # permutation
+    ev = spark.createDataFrame(
+        [("e", v) for v in vals], "event_type string, value double"
+    )
+    # exact mode: accuracy >= n returns the element at the quantile_disc rank
+    got = {
+        r["pct"]: r["val_q"]
+        for r in value_quantiles_approx(ev, accuracy=10_000).collect()
+    }
+    import math
+
+    for pct in (25, 50, 75, 95):
+        idx = math.ceil(pct / 100 * n) - 1  # quantile_disc rank (1-based ceil)
+        assert got[pct] == math.floor(vals[idx] * QUANT), pct
+    # low accuracy: value must still be within the rank tolerance window
+    acc = 20
+    tol = n // acc + 1
+    loose = {
+        r["pct"]: r["val_q"] / QUANT
+        for r in value_quantiles_approx(ev, accuracy=acc).collect()
+    }
+    for pct in (25, 50, 75, 95):
+        idx = math.ceil(pct / 100 * n) - 1
+        lo = vals[max(0, idx - tol)]
+        hi = vals[min(n - 1, idx + tol)]
+        assert lo - 1e-6 <= loose[pct] <= hi + 1e-6, (pct, loose[pct], lo, hi)
+
+
 def test_rolling_fingerprint_golden(spark):
     from elasticsearch_drift_plugin_spark.operators.text import rolling_fingerprint
 
