@@ -250,7 +250,12 @@ def proportional_sum(
     if p.min_doc_count > 1:
         out = out.where(F.col("doc_count") >= p.min_doc_count)
     elif p.min_doc_count == 0:
-        out = _fill_empty_buckets(out, p, group_by, list(extra_aggs), max_fill_buckets)
+        # sweep_ok guarantees extra_aggs is empty on the sweep path, so
+        # `exploded` (explode path only) is always defined when needed
+        out = _fill_empty_buckets(
+            out, p, group_by, extra_aggs, max_fill_buckets,
+            empty_src=exploded if extra_aggs else None,
+        )
 
     out = out.withColumn("key_ts", F.timestamp_millis(F.col(_KEY)))
     cols = [*group_by, "key", "key_ts", "doc_count", "value", *extra_aggs]
@@ -587,8 +592,9 @@ def _fill_empty_buckets(
     agg: DataFrame,
     p: PSumParams,
     group_by: Sequence[str],
-    extra_names: Sequence[str],
+    extra_aggs: dict,
     max_fill_buckets: int,
+    empty_src: DataFrame | None = None,
 ) -> DataFrame:
     """Zero-fill gaps between the min and max observed keys (at final
     reduce — InternalProportionalSumHistogram.java:418-478 addEmptyBuckets),
@@ -650,9 +656,24 @@ def _fill_empty_buckets(
     joined = F.broadcast(spine).join(agg, on=[*group_by, "key"], how="left")
     # Empty bucket = {doc_count: 0, value: 0, empty sub-aggs}
     # (InternalProportionalSumHistogram.java:188-231 EmptyBucketInfo).
-    return joined.withColumn("doc_count", F.coalesce(F.col("doc_count"), F.lit(0))).withColumn(
-        "value", F.coalesce(F.col("value"), F.lit(0.0))
-    )
+    filled = joined.withColumn(
+        "doc_count", F.coalesce(F.col("doc_count"), F.lit(0))
+    ).withColumn("value", F.coalesce(F.col("value"), F.lit(0.0)))
+    if extra_aggs:
+        # Reference-style empty sub-aggregations: ES builds them by reducing
+        # an empty doc set (EmptyBucketInfo); the Spark analog is each extra
+        # agg evaluated over zero rows (count-likes -> 0, collect_list ->
+        # [], sum/min/max -> NULL), delivered to every fill row via a 1-row
+        # broadcast cross join — no collect, stays lazy.
+        empty = empty_src.limit(0).agg(
+            *[a.alias(f"__empty_{n}") for n, a in extra_aggs.items()]
+        )
+        filled = filled.crossJoin(F.broadcast(empty))
+        for n in extra_aggs:
+            filled = filled.withColumn(
+                n, F.coalesce(F.col(n), F.col(f"__empty_{n}"))
+            ).drop(f"__empty_{n}")
+    return filled
 
 
 def _py_floor_fixed(t: int, step: int, off: int) -> int:

@@ -4,6 +4,7 @@ the correctness traps the reference's code encodes."""
 import math
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from elasticsearch_drift_plugin_spark import proportional_sum
@@ -147,6 +148,29 @@ def test_group_by_and_extra_aggs(spark):
     ).collect()
     by_tag = {(r.tag, r.key): (r.value, r.vmax) for r in out}
     assert by_tag[("a", 0)] == (1.0, 1.0) and by_tag[("b", 0)] == (3.0, 3.0)
+
+
+def test_fill_buckets_carry_empty_extra_aggs(spark):
+    """min_doc_count=0 fill rows get each extra agg's empty-aggregation
+    value (the EmptyBucketInfo analog): count-likes fill with 0, max with
+    NULL — not unconditional NULLs."""
+    df = spark.createDataFrame(
+        [(0, 99, 1.0, None, "x"), (300, 399, 2.0, None, "y")], SCHEMA + ", tag string"
+    )
+    out = proportional_sum(
+        df,
+        "start_ms",
+        "end_ms",
+        "value",
+        interval=100,
+        min_doc_count=0,
+        extra_aggs={"vmax": F.max("value"), "ntags": F.count("tag")},
+    ).collect()
+    by_key = {r.key: (r.doc_count, r.vmax, r.ntags) for r in out}
+    assert set(by_key) == {0, 100, 200, 300}
+    assert by_key[0] == (1, 1.0, 1) and by_key[300] == (1, 2.0, 1)
+    for k in (100, 200):  # filled buckets
+        assert by_key[k] == (0, None, 0), k
 
 
 def test_timestamp_input_columns(spark):
