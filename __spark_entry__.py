@@ -36,6 +36,7 @@ from elasticsearch_drift_plugin_spark.operators import (
     stats,
     text,
 )
+from elasticsearch_drift_plugin_spark.streaming import bounded as stream_bounded
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -204,6 +205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(similarity.queries())
     q.update(text.queries())
     q.update(multimodal.queries())
+    # bounded-replay equivalence: the streaming operators over finite input
+    q.update(stream_bounded.queries())
     return q
 
 
@@ -265,4 +268,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(similarity.oracle_sql())
     o.update(text.oracle_sql())
     o.update(multimodal.oracle_sql())
+    o.update(stream_bounded.oracle_sql())
     return o

@@ -95,6 +95,20 @@ def events_flows_duckdb_sql(sf_dir: str) -> str:
     return EVENTS_FLOWS_SQL.format(ts_ms="epoch_ms(ts)", src="events")
 
 
+def events_flows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of :func:`events_flows`: the same derivation SQL over a
+    file-source ``readStream`` of the events parquet (temp views work on
+    streaming DataFrames, so the SQL is shared verbatim — no drift)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # glob form: with a plain single-file path the file source injects that
+    # file as partition-discovery basePath and rejects it (must be a dir);
+    # a glob pattern keeps the parent dir as the base
+    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet*")
+    stream.createOrReplaceTempView("__ev_stream_src")
+    return spark.sql(EVENTS_FLOWS_SQL.format(ts_ms="(ts div 1000000)", src="__ev_stream_src"))
+
+
 def lineitem_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Larger-scale flow proxy from ``lineitem`` (FIXTURES.md §6): day-scale
     durations spanning many buckets at month granularity."""

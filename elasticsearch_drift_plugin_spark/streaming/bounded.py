@@ -1,0 +1,116 @@
+"""Bounded-replay equivalence: run the streaming operators over a FINITE
+file source with ``Trigger.AvailableNow`` and return the final sink table —
+proving the streaming paths compute the same answers as their batch twins
+(and giving the driver's DuckDB gate a real streaming row to check).
+
+Semantics of the replay:
+
+- ``proportional_sum_stream`` runs in ``complete`` output mode, so the
+  memory sink's final contents ARE the full aggregation — watermarking
+  cannot drop anything and multi-batch arrival order is irrelevant. With
+  ``quantize`` the values are bit-identical to the batch operator.
+- ``flow_sessions_stream`` runs in ``update`` mode (required by
+  ``applyInPandasWithState``); the sink accumulates one row per state
+  emission, so the replay collapses them: per (key, session_start) keep the
+  most-advanced emission (max ``n_flows``; the closed row wins ties), then
+  re-derive the batch operator's 1-based ``session_id`` by start order.
+  Sessions are disjoint per key (next start > previous end + gap), so
+  (key, session_start) identifies a session across batches.
+
+Scale note: the replay pattern itself is the production story for backfill
+(stream code over historical files); the memory sink is only the test/gate
+harness — production uses a Delta/parquet sink with the same dedup.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.sessionize import sessionize_sql
+from ..oracle import psum_oracle_sql
+from ..sources.flows import events_flows_duckdb_sql, events_flows_stream
+from .flow_sessions import flow_sessions_stream
+from .proportional_sum_stream import proportional_sum_stream
+
+HOUR = 3_600_000
+
+
+def run_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Run a streaming DataFrame to completion over its bounded source and
+    return the memory-sink table (unique name per run; the query is awaited
+    and stopped before returning)."""
+    name = f"__bounded_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.table(name)
+
+
+def stream_psum_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """proportional_sum_stream over a bounded replay of the events flows —
+    same params as the batch ``psum_sampling`` query, complete-mode sink."""
+    fl = events_flows_stream(spark, sf_dir)
+    agg = proportional_sum_stream(
+        fl, "start_ms", "end_ms", "value", "sampling",
+        interval=6 * HOUR, offset=1, quantize=4,
+    )
+    tbl = run_available_now(agg, "complete")
+    return tbl.select("key", "doc_count", "value").orderBy("key")
+
+
+def stream_flow_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flow_sessions_stream over a bounded replay, collapsed to the batch
+    sessionize output shape (key…, session_id, session_start, session_end,
+    n_flows, value)."""
+    keys = ["event_type", "user_id"]
+    fl = events_flows_stream(spark, sf_dir)
+    agg = flow_sessions_stream(
+        fl, keys, "start_ms", "end_ms", "value", gap_ms=HOUR, quantize=4
+    )
+    tbl = run_available_now(agg, "update")
+    latest = Window.partitionBy(*keys, "session_start").orderBy(
+        F.col("n_flows").desc(), F.col("open").asc()
+    )
+    sid = Window.partitionBy(*keys).orderBy("session_start")
+    return (
+        tbl.withColumn("__rn", F.row_number().over(latest))
+        .where(F.col("__rn") == 1)
+        .withColumn("session_id", F.row_number().over(sid).cast("long"))
+        .select(*keys, "session_id", "session_start", "session_end", "n_flows", "value")
+        .orderBy(*keys, "session_id")
+    )
+
+
+def queries() -> dict:
+    return {
+        "stream_psum_6h": stream_psum_6h,
+        "stream_flow_sessions": stream_flow_sessions,
+    }
+
+
+def oracle_sql() -> dict:
+    # Identical oracles to the batch twins: the whole point of the replay.
+    psum = psum_oracle_sql(
+        events_flows_duckdb_sql(""), quantize=4, interval=6 * HOUR, offset=1
+    )
+    return {
+        "stream_psum_6h": psum,
+        "stream_flow_sessions": sessionize_sql(
+            events_flows_duckdb_sql(""),
+            ["event_type", "user_id"],
+            gap_ms=HOUR,
+            order_tiebreak=("flow_id",),
+            quantize=4,
+        ),
+    }

@@ -32,13 +32,22 @@ def flow_sessions_stream(
     value_col: str,
     gap_ms: int,
     idle_timeout_ms: int | None = None,
+    quantize: int | None = None,
 ) -> DataFrame:
     """Returns a streaming DataFrame ``[key…, session_start, session_end,
-    n_flows, value, open]`` for ``.writeStream.outputMode('update')``."""
+    n_flows, value, open]`` for ``.writeStream.outputMode('update')``.
+
+    ``quantize`` mirrors batch :func:`..operators.sessionize.sessionize`'s
+    deterministic value mode (each fragment's value floored to
+    ``10^-quantize``, summed exactly) so a bounded replay hash-matches the
+    batch oracle; the state then holds the integer quantum sum (exact in a
+    double up to 2^53).
+    """
     keys = list(key_cols)
     s_col, e_col, v_col = start_col, end_col, value_col
     gap = int(gap_ms)
     timeout_ms = idle_timeout_ms
+    scale = float(10**quantize) if quantize is not None else None
     key_schema = ", ".join(
         f"{name} {dtype}"
         for name, dtype in flows.select(*keys).dtypes
@@ -49,18 +58,23 @@ def flow_sessions_stream(
     )
 
     def fn(key, pdfs, state):
+        import math
+
         import pandas as pd
 
         frags = []
         for pdf in pdfs:
             frags.extend(
-                (int(r[s_col]), int(r[e_col]), 0.0 if pd.isna(r[v_col]) else float(r[v_col]))
-                for _, r in pdf.iterrows()
+                (int(s), int(e), 0.0 if pd.isna(v) else float(v))
+                for s, e, v in zip(pdf[s_col], pdf[e_col], pdf[v_col])
             )
+        if scale is not None:
+            frags = [(s, e, float(math.floor(v * scale))) for s, e, v in frags]
         out = []
 
         def row(sess, is_open):
-            return (*key, sess[0], sess[1], sess[2], sess[3], is_open)
+            val = sess[3] / scale if scale is not None else sess[3]
+            return (*key, sess[0], sess[1], sess[2], val, is_open)
 
         if state.hasTimedOut:
             if state.exists:

@@ -47,11 +47,16 @@ def proportional_sum_stream(
     watermark_delay: str = "10 minutes",
     group_by: tuple = (),
     max_buckets_per_row: int = 100_000,
+    quantize: int | None = None,
 ) -> DataFrame:
     """Streaming variant: identical bucket/ratio semantics, watermarked agg.
 
     Returns a streaming DataFrame ``[group_by…, key, key_ts, doc_count,
     value]`` for ``.writeStream.outputMode('update'|'append')``.
+
+    ``quantize`` mirrors the batch operator's deterministic mode (floor each
+    contribution to ``10^-quantize`` and sum exact integers) so a bounded
+    stream replay hash-matches the batch/oracle result bit-for-bit.
     """
     p = normalize(
         interval=interval,
@@ -70,13 +75,20 @@ def proportional_sum_stream(
         group_by=group_by,
         max_buckets_per_row=max_buckets_per_row,
     )
+    if quantize is not None:
+        scale = float(10**quantize)
+        value_agg = F.coalesce(
+            F.sum(F.floor(F.col("__contrib") * F.lit(scale))) / F.lit(scale), F.lit(0.0)
+        ).alias("value")
+    else:
+        value_agg = F.coalesce(F.sum("__contrib"), F.lit(0.0)).alias("value")
     agg = (
         exploded.withColumn("__contrib", contrib)
         .withColumn("key_ts", F.timestamp_millis(F.col("key")))
         .withWatermark("key_ts", watermark_delay)
         .groupBy(*group_by, "key", "key_ts")
         .agg(
-            F.coalesce(F.sum("__contrib"), F.lit(0.0)).alias("value"),
+            value_agg,
             F.count(F.lit(1)).alias("doc_count"),
         )
     )

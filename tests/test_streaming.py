@@ -212,6 +212,31 @@ def test_flow_sessions_stream_merges_and_closes(spark, tmp_path):
     assert by[(500, True)] == (510, 1, 5.0)  # new open session
 
 
+def test_bounded_replay_equals_batch(spark):
+    """The driver-visible bounded-replay queries equal their batch twins on
+    the same sf0.001 data — the streaming/batch equivalence contract."""
+    from elasticsearch_drift_plugin_spark.operators.sessionize import sessionize
+    from elasticsearch_drift_plugin_spark.sources.flows import events_flows
+    from elasticsearch_drift_plugin_spark.streaming import bounded
+
+    sf = "/root/testdata/sf0.001"
+    got_psum = [tuple(r) for r in bounded.stream_psum_6h(spark, sf).collect()]
+    batch = proportional_sum(
+        events_flows(spark, sf), "start_ms", "end_ms", "value", "sampling",
+        interval=6 * HOUR, offset=1, quantize=4,
+    ).select("key", "doc_count", "value").orderBy("key")
+    assert got_psum == [tuple(r) for r in batch.collect()]
+    assert len(got_psum) > 0
+
+    got_sess = [tuple(r) for r in bounded.stream_flow_sessions(spark, sf).collect()]
+    batch_sess = sessionize(
+        events_flows(spark, sf), ["event_type", "user_id"],
+        "start_ms", "end_ms", "value", gap_ms=HOUR, order_tiebreak=("flow_id",),
+    )
+    assert got_sess == [tuple(r) for r in batch_sess.collect()]
+    assert len(got_sess) > 0
+
+
 def test_batch_sessionize_golden(spark):
     from elasticsearch_drift_plugin_spark.operators.sessionize import sessionize
 
