@@ -71,6 +71,101 @@ def asof_join(
     )
 
 
+def asof_join_chunked(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    payload: str,
+    chunk_ms: int,
+) -> DataFrame:
+    """Skew-resistant :func:`asof_join`: identical output, chunked windows.
+
+    The plain operator's running window partitions by the key, so one hot
+    key serializes all its rows into a single task. Here time is split into
+    ``chunk_ms`` chunks and the carry across chunks is PRE-AGGREGATED:
+
+    1. per (key, chunk): the latest right payload inside the chunk — one
+       groupBy, map-side combinable;
+    2. per key: a running window over those chunk summaries (#chunks rows,
+       not #rows) yields each chunk's carry-in payload — the only remaining
+       per-key serial pass, shorter by the rows-per-chunk factor;
+    3. per (key, chunk): the original union-window runs with the carry-in
+       injected as a synthetic right row at the chunk floor — hot keys now
+       parallelize across their chunks.
+
+    Ties: same contract as :func:`asof_join` (right deduped per (key, time)
+    upstream); the chunk summary takes the lexicographic max of
+    (time, payload) so equal-time rows resolve identically in any engine.
+    """
+    step = int(chunk_ms)
+    chunk_of = lambda c: F.floor(c / F.lit(step)).cast("long")  # noqa: E731
+
+    r = right.select(
+        F.col(key),
+        F.col(right_time).alias("__t"),
+        F.col(payload).alias("__p"),
+    ).withColumn("__chunk", chunk_of(F.col("__t")))
+    ptype = r.schema["__p"].dataType
+
+    # 1. chunk summaries: latest right (time, payload) per (key, chunk)
+    summaries = r.groupBy(key, "__chunk").agg(
+        F.max(F.struct(F.col("__t"), F.col("__p"))).alias("__last")
+    )
+    # 2. carry-in per chunk: latest summary payload from any EARLIER chunk,
+    # computed over the spine of chunks present on either side
+    l = left.withColumn("__t", F.col(left_time)).withColumn(
+        "__chunk", chunk_of(F.col(left_time))
+    )
+    spine = (
+        l.select(key, "__chunk").distinct()
+        .unionByName(summaries.select(key, "__chunk"))
+        .distinct()
+    )
+    wprev = (
+        Window.partitionBy(key)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        spine.join(summaries, [key, "__chunk"], "left")
+        .withColumn("__carry", F.last("__last", ignorenulls=True).over(wprev))
+        .select(key, "__chunk", F.col("__carry.__p").alias("__cp"))
+    )
+
+    # 3. chunk-local union window: carry-in sorts before everything in its
+    # chunk (side -1 at the chunk floor), right rows before left at eq. time
+    lcols = list(left.columns)
+    lside = l.select(
+        *lcols, "__chunk", "__t", F.lit(1).alias("__side"),
+        F.lit(None).cast(ptype).alias("__p"),
+    )
+    null_l = [
+        F.col(c) if c == key else F.lit(None).cast(left.schema[c].dataType).alias(c)
+        for c in lcols
+    ]
+    rside = r.select(*null_l, "__chunk", "__t", F.lit(0).alias("__side"), "__p")
+    cside = carry.where(F.col("__cp").isNotNull()).select(
+        *null_l,
+        "__chunk",
+        (F.col("__chunk") * step).alias("__t"),
+        F.lit(-1).alias("__side"),
+        F.col("__cp").alias("__p"),
+    )
+    w = (
+        Window.partitionBy(key, "__chunk")
+        .orderBy(F.col("__t"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        lside.unionByName(rside).unionByName(cside)
+        .withColumn(payload, F.last("__p", ignorenulls=True).over(w))
+        .where(F.col("__side") == 1)
+        .select(*lcols, payload)
+    )
+
+
 def _events_with_custkey(events: DataFrame, customer: DataFrame) -> DataFrame:
     n_cust = customer.count()
     return events.select(

@@ -209,3 +209,76 @@ def test_asof_join_goldens(spark):
         3: "b",    # latest of {100, 150}
         4: None,   # k2's only right row is after t=10
     }
+
+
+def test_asof_chunked_equals_plain_on_skewed_key(spark):
+    """asof_join_chunked must be row-identical to asof_join on a fixture with
+    one hot key (the skew it exists for), empty chunks the carry must cross,
+    boundary-exact times, and lefts before any right."""
+    import random
+
+    from elasticsearch_drift_plugin_spark.operators.asof import asof_join, asof_join_chunked
+
+    rnd = random.Random(7)
+    lrows = [("hot", rnd.randint(0, 100_000), i) for i in range(800)]
+    lrows += [(f"k{i % 5}", rnd.randint(0, 100_000), 1000 + i) for i in range(100)]
+    lrows += [("hot", 0, 9000), ("hot", 5000, 9001), ("cold", 50, 9002)]  # edges
+    rtimes = {("hot", t) for t in rnd.sample(range(0, 100_000), 60)}
+    rtimes |= {(f"k{i % 5}", rnd.randint(0, 100_000)) for i in range(25)}
+    rtimes |= {("hot", 5000)}  # exactly on a chunk boundary
+    rrows = [(k, t, t * 3 + 1) for k, t in rtimes]
+    left = spark.createDataFrame(lrows, "k string, t long, lid long")
+    right = spark.createDataFrame(rrows, "k string, rt long, p long")
+    plain = sorted(
+        tuple(r) for r in asof_join(left, right, "k", "t", "rt", "p").collect()
+    )
+    for chunk in (1000, 5000, 1_000_000):  # incl. one chunk >> data span
+        chunked = sorted(
+            tuple(r)
+            for r in asof_join_chunked(
+                left, right, "k", "t", "rt", "p", chunk_ms=chunk
+            ).collect()
+        )
+        assert chunked == plain, chunk
+
+
+def test_sessionize_chunked_equals_plain_on_skewed_key(spark):
+    """sessionize_chunked must be row-identical to sessionize on a fixture
+    with one hot key, sessions spanning chunk boundaries, and fragments
+    whose ends reach several chunks ahead."""
+    import random
+
+    from elasticsearch_drift_plugin_spark.operators.sessionize import (
+        sessionize,
+        sessionize_chunked,
+    )
+
+    rnd = random.Random(42)
+    rows = []
+    t = 0
+    for i in range(900):  # hot key: bursts split by gap_ms=100
+        t += rnd.choice([5, 20, 150, 400])
+        e = t + (rnd.randint(500, 2500) if i % 37 == 0 else rnd.randint(0, 60))
+        rows.append(("hot", t, e, rnd.randint(0, 300) / 7.0, i))
+    for i in range(60):  # background keys
+        s = rnd.randint(0, 30_000)
+        rows.append((f"k{i % 7}", s, s + rnd.randint(0, 80), 1.5, 1000 + i))
+    df = spark.createDataFrame(
+        rows, "k string, start_ms long, end_ms long, value double, fid long"
+    )
+    plain = [
+        tuple(r)
+        for r in sessionize(
+            df, ["k"], "start_ms", "end_ms", "value", gap_ms=100,
+            order_tiebreak=("fid",),
+        ).collect()
+    ]
+    for chunk in (1000, 7777, 1_000_000):
+        chunked = [
+            tuple(r)
+            for r in sessionize_chunked(
+                df, ["k"], "start_ms", "end_ms", "value", gap_ms=100,
+                chunk_ms=chunk, order_tiebreak=("fid",),
+            ).collect()
+        ]
+        assert chunked == plain, chunk
