@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata (north-star extension, BASELINE.json).
 
-The container has no image/audio codecs, so the *decode kernels* are
-deterministic fakes behind clearly-marked stubs — but everything Spark-side
-is real and tested: the binary column handling, the Arrow batch shape
-through ``mapInPandas``, the output schemas, and the metadata extraction
-expressions. Swapping ``_fake_decode`` for PIL/libav is a one-function
-change that touches no plan structure.
+This container has no image/audio codecs, so the DEFAULT decode kernel is
+a deterministic fake behind a clearly-marked stub — but everything
+Spark-side is real and tested: the binary column handling, the Arrow batch
+shape through ``mapInPandas``, the output schemas, and the metadata
+extraction expressions. ``decode_media(kernel='pil'|'auto')`` switches to
+real Pillow decoding on executors that have it, with zero plan change
+(guarded import inside the kernel); frame extraction stays a stub (libav
+is heavier than a guard).
 
 Scale notes: metadata extraction is pure Catalyst (no Python); the decode
 path is ``mapInPandas`` with Arrow batches — per-partition streaming, no
@@ -79,32 +81,68 @@ def _fake_decode(payload: bytes) -> tuple[int, int, str]:
     return (n % 640 + 1, (n * 31) % 480 + 1, FORMATS[n % 3])
 
 
-def decode_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def decode_media(
+    df: DataFrame, payload_col: str = "payload", kernel: str = "fake"
+) -> DataFrame:
     """Distributed decode via mapInPandas: Arrow-batched, per-partition.
-    Output schema is the real contract; the kernel is the stub above.
+
+    ``kernel`` selects the per-blob decoder — the plan is identical in all
+    modes (one function swap, zero plan change):
+
+    - ``'fake'`` (default): the deterministic stub above — what the oracle
+      gate pins, and the only mode exercisable in this codec-less container;
+    - ``'pil'``: real image decode via Pillow on the executors
+      (``PIL.Image.open``); undecodable blobs yield NULL dims/format.
+      Raises a clear error if Pillow is missing;
+    - ``'auto'``: Pillow when importable on the executor, stub otherwise.
 
     The kernel closure is deliberately self-contained (nested fns pickle by
     value): referencing module-level helpers would make cloudpickle pickle
     them by reference and break on workers without this package on their
     PYTHONPATH (e.g. a driver script running from another directory).
     """
+    if kernel not in ("fake", "pil", "auto"):
+        raise ValueError(f"kernel must be 'fake', 'pil' or 'auto', got {kernel!r}")
 
     formats = list(FORMATS)
-
-    def fake_decode(payload: bytes) -> tuple[int, int, str]:
-        # STUB — mirrors _fake_decode above; inlined for picklability.
-        n = len(payload)
-        return (n % 640 + 1, (n * 31) % 480 + 1, formats[n % 3])
+    mode = kernel
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import importlib
+        import io
+
+        image_mod = None
+        if mode in ("pil", "auto"):
+            try:
+                image_mod = importlib.import_module("PIL.Image")
+            except ImportError:
+                if mode == "pil":
+                    raise ImportError(
+                        "decode_media(kernel='pil') requires Pillow on the "
+                        "executors; install Pillow or use kernel='auto'/'fake'"
+                    ) from None
+
+        def decode(payload: bytes):
+            if image_mod is not None:
+                try:
+                    with image_mod.open(io.BytesIO(payload)) as im:
+                        return (im.width, im.height, (im.format or "").lower() or None)
+                except Exception:
+                    return (None, None, None)  # undecodable blob -> NULLs
+            # STUB — mirrors _fake_decode above; inlined for picklability.
+            n = len(payload)
+            return (n % 640 + 1, (n * 31) % 480 + 1, formats[n % 3])
+
         for pdf in batches:
-            decoded = [fake_decode(bytes(p)) for p in pdf[payload_col]]
+            decoded = [decode(bytes(p)) for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "width": [d[0] for d in decoded],
                     "height": [d[1] for d in decoded],
-                    "n_pixels": [d[0] * d[1] for d in decoded],
+                    "n_pixels": [
+                        None if d[0] is None else d[0] * d[1] for d in decoded
+                    ],
                     "format": [d[2] for d in decoded],
                 }
             )

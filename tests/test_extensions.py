@@ -68,6 +68,33 @@ def test_decode_media_golden(spark):
     assert (row["width"], row["height"], row["n_pixels"], row["format"]) == (5, 125, 625, "jpeg")
 
 
+def test_decode_media_kernel_guard(spark):
+    """kernel='auto' falls back to the stub in this codec-less container
+    (same rows as 'fake'); kernel='pil' fails with a clear install hint;
+    bad kernel names fail fast at plan-build time."""
+    import pytest as _pytest
+
+    df = _docs(spark, [(7, "a", "abcd"), (8, "a", "xy")])
+    b = multimodal.binary_documents(df)
+    fake = [tuple(r) for r in multimodal.decode_media(b).orderBy("doc_id").collect()]
+    auto = [
+        tuple(r)
+        for r in multimodal.decode_media(b, kernel="auto").orderBy("doc_id").collect()
+    ]
+    assert fake == auto and len(fake) == 2
+    with _pytest.raises(ValueError, match="kernel"):
+        multimodal.decode_media(b, kernel="libav")
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with _pytest.raises(Exception, match="Pillow"):
+            multimodal.decode_media(b, kernel="pil").collect()
+
+
 def test_frame_sample_counts(spark):
     df = _docs(spark, [(1, "a", "x" * 10000), (2, "a", "y")])
     b = multimodal.binary_documents(df)
