@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "psum_day_lineitem",
     "flow_sessions",
     "stats_quantiles",
+    "stats_quantiles_approx",
     "stats_top_docs",
     "rel_flows_by_nation",
     "rel_asof_latest_order",
@@ -46,6 +47,7 @@ BENCH_QUERIES = [
     "text_quality",
     "text_tokens",
     "text_fingerprint",
+    "text_rolling_fp",
     "mm_metadata",
     "mm_decode",
 ]

@@ -283,13 +283,17 @@ def ngram_jaccard_pairs_gemm(
     bp = docs.sparkSession.createDataFrame(
         [(i, j) for i in range(nb) for j in range(i, nb)], "bi int, bj int"
     )
-    # nb(nb+1)/2 pair rows — a legitimately tiny broadcast (not per-doc data)
+    # nb(nb+1)/2 pair rows — a legitimately tiny broadcast (not per-doc data).
+    # Diagonal pairs (bi == bj) need no right copy (the kernel reuses the
+    # left side), so with the default nb == 1 the data is shipped exactly
+    # once — zero overhead vs the unbounded formulation.
     left = sb.join(F.broadcast(bp), F.col("sblk") == F.col("bi")).select(
         block_col, "bi", "bj", "doc_id", "text", F.lit(0).alias("side")
     )
-    right = sb.join(F.broadcast(bp), F.col("sblk") == F.col("bj")).select(
-        block_col, "bi", "bj", "doc_id", "text", F.lit(1).alias("side")
-    )
+    right = sb.join(
+        F.broadcast(bp.where(F.col("bi") != F.col("bj"))),
+        F.col("sblk") == F.col("bj"),
+    ).select(block_col, "bi", "bj", "doc_id", "text", F.lit(1).alias("side"))
 
     def gram_sets(texts) -> list[set]:
         return [
