@@ -28,6 +28,7 @@ from elasticsearch_drift_plugin_spark.oracle import psum_oracle_sql
 from elasticsearch_drift_plugin_spark.sources import flows as flows_src
 from elasticsearch_drift_plugin_spark.operators import (
     asof,
+    corpus,
     dedup,
     multimodal,
     relational,
@@ -204,6 +205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(dedup.queries())
     q.update(similarity.queries())
     q.update(text.queries())
+    q.update(corpus.queries())
     q.update(multimodal.queries())
     # bounded-replay equivalence: the streaming operators over finite input
     q.update(stream_bounded.queries())
@@ -267,6 +269,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(dedup.oracle_sql())
     o.update(similarity.oracle_sql())
     o.update(text.oracle_sql())
+    o.update(corpus.oracle_sql())
     o.update(multimodal.oracle_sql())
     o.update(stream_bounded.oracle_sql())
     return o

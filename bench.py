@@ -48,6 +48,10 @@ BENCH_QUERIES = [
     "text_tokens",
     "text_fingerprint",
     "text_rolling_fp",
+    "text_repetition",
+    "text_pii_scan",
+    "corpus_tfidf_top",
+    "corpus_contamination",
     "mm_metadata",
     "mm_decode",
 ]

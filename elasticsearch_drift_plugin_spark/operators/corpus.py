@@ -1,0 +1,199 @@
+"""Corpus-level statistics for training-data curation (north-star
+extensions alongside :mod:`dedup` / :mod:`text`): TF-IDF distinctive
+terms and benchmark-contamination screening.
+
+Scale design:
+
+- TF-IDF is two hash aggregations (term frequency per doc, document
+  frequency per term) plus one shuffle join on the term — the same shape at
+  any corpus size; the per-doc top-k is a ranking window partitioned by
+  doc. Floating point is contained to ONE ``ln`` per distinct term,
+  floored to 1e-6 quanta (``idf_q``); every per-doc score is then exact
+  integer arithmetic (``tf * idf_q``), so the DuckDB oracle matches
+  bit-for-bit and ranking ties are impossible to flip across engines.
+- Contamination joins each document's word n-grams against the benchmark
+  gram set. Benchmark suites are small (thousands of docs), so the gram
+  set is a broadcast hash join — the corpus is scanned once, never
+  shuffled. At larger benchmark sizes swap the broadcast for a Bloom
+  filter built with the same grams (``F.bloom_filter_agg``); the plan
+  shape is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..sources.flows import load_table
+
+QUANT = 1_000_000
+
+
+def _doc_terms(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf): lowercase whitespace tokens, with multiplicity."""
+    return (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+        )
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3, n_docs: int | None = None) -> DataFrame:
+    """(doc_id, rank, term, tf, score_q): each document's ``k`` most
+    distinctive terms by TF-IDF, ``idf = ln((N + 1) / (df + 1))``.
+
+    ``score_q = tf * floor(idf * 1e6)`` — integer, so cross-engine ordering
+    is deterministic; ties break by term. Pass ``n_docs`` from catalog
+    stats to skip the sizing count job (parquet answers it from metadata).
+    """
+    n = n_docs if n_docs is not None else docs.count()
+    terms = _doc_terms(docs)
+    df_tbl = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf_q = F.floor(
+        F.log((F.lit(float(n + 1))) / (F.col("df") + F.lit(1.0))) * F.lit(float(QUANT))
+    ).alias("idf_q")
+    scored = terms.join(df_tbl.select("term", idf_q), "term").select(
+        "doc_id", "term", "tf", (F.col("tf") * F.col("idf_q")).alias("score_q")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_q").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", F.col("rank").cast("long").alias("rank"), "term", "tf", "score_q")
+        .orderBy("doc_id", "rank")
+    )
+
+
+def tfidf_sql(k: int = 3) -> str:
+    return f"""
+WITH terms AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents)
+  WHERE term <> '' GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term,
+         CAST(FLOOR(ln(((SELECT COUNT(*) FROM documents) + 1.0) / (COUNT(*) + 1.0))
+                    * {float(QUANT)}) AS BIGINT) AS idf_q
+  FROM terms GROUP BY term
+),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, t.tf * d.idf_q AS score_q
+  FROM terms t JOIN dfreq d USING (term)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score_q DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, score_q
+FROM ranked WHERE rank <= {k} ORDER BY doc_id, rank
+"""
+
+
+def _word_grams(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, g): distinct word n-grams per document."""
+    toks = docs.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("l"))
+    return (
+        toks.where(F.size("l") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(l) - {n - 1}),"
+                    f" i -> concat_ws(' ', slice(l, i, {n})))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+
+
+def contamination_overlap(
+    corpus: DataFrame, benchmark: DataFrame, n: int = 8
+) -> DataFrame:
+    """(doc_id, n_grams, n_hit, frac_q): per corpus document, the fraction
+    of its distinct word ``n``-grams that appear anywhere in the benchmark
+    set — the standard train/test contamination screen. Documents shorter
+    than ``n`` tokens have no grams and report 0/0/0.
+    """
+    grams = _word_grams(corpus, n)
+    bench = _word_grams(benchmark, n).select("g").distinct()
+    hits = (
+        grams.join(F.broadcast(bench.withColumn("__hit", F.lit(1))), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+    )
+    base = corpus.select("doc_id")
+    return (
+        base.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.coalesce(
+                F.floor(
+                    F.col("n_hit") / F.col("n_grams") * F.lit(float(QUANT))
+                ),
+                F.lit(0),
+            ).alias("frac_q"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def contamination_sql(bench_where: str, corpus_where: str, n: int = 8) -> str:
+    def grams(where: str) -> str:
+        return f"""
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(l) - {n - 1}),
+                                 i -> array_to_string(l[i:i+{n - 1}], ' '))) AS g
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+          FROM documents WHERE {where})
+    WHERE len(l) >= {n})
+"""
+
+    return f"""
+WITH grams AS ({grams(corpus_where)}),
+bench AS (SELECT DISTINCT g FROM ({grams(bench_where)})),
+hits AS (
+  SELECT grams.doc_id, COUNT(*) AS n_grams,
+         COUNT(bench.g) AS n_hit
+  FROM grams LEFT JOIN bench ON grams.g = bench.g
+  GROUP BY grams.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(n_grams, 0) AS n_grams,
+       COALESCE(n_hit, 0) AS n_hit,
+       COALESCE(CAST(FLOOR(CAST(n_hit AS DOUBLE) / n_grams * {float(QUANT)}) AS BIGINT), 0)
+         AS frac_q
+FROM (SELECT doc_id FROM documents WHERE {corpus_where}) d
+LEFT JOIN hits ON hits.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def queries() -> dict:
+    return {
+        "corpus_tfidf_top": lambda s, d: tfidf_top_terms(load_table(s, d, "documents")),
+        "corpus_contamination": lambda s, d: contamination_overlap(
+            load_table(s, d, "documents").where("source <> 'src0'"),
+            load_table(s, d, "documents").where("source = 'src0'"),
+        ),
+    }
+
+
+def oracle_sql() -> dict:
+    return {
+        "corpus_tfidf_top": tfidf_sql(),
+        "corpus_contamination": contamination_sql("source = 'src0'", "source <> 'src0'"),
+    }

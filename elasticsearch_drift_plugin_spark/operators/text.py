@@ -208,6 +208,95 @@ FROM documents ORDER BY doc_id
 """
 
 
+REP_N = 5
+
+
+def repetition_score(docs: DataFrame, n: int = REP_N) -> DataFrame:
+    """(doc_id, n_grams, n_distinct, rep_q): intra-document repetition —
+    1 − distinct/total over word ``n``-grams, the standard boilerplate /
+    looping-generation signal. Pure per-row Catalyst (map-only, no
+    shuffle): the n-gram list is built with ``transform`` over the token
+    array inside the row. Docs shorter than ``n`` tokens report 0/0/0."""
+    # tokenize ONCE into a column; referencing `split(...)` inside the
+    # transform lambda would re-evaluate it per gram index (O(tokens²),
+    # interpreted — measured 5x slower at sf0.1)
+    toked = docs.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("__l"))
+    grams = F.when(
+        F.size("__l") >= n,
+        F.expr(
+            f"transform(sequence(1, size(__l) - {n - 1}),"
+            f" i -> concat_ws(' ', slice(__l, i, {n})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = toked.select("doc_id", grams.alias("__g")).select(
+        "doc_id",
+        F.size("__g").cast("long").alias("n_grams"),
+        F.size(F.array_distinct("__g")).cast("long").alias("n_distinct"),
+    )
+    rep = F.when(
+        F.col("n_grams") > 0,
+        F.floor(
+            (F.lit(1.0) - F.col("n_distinct") / F.col("n_grams")) * F.lit(float(QUANT))
+        ),
+    ).otherwise(F.lit(0))
+    return d.select("doc_id", "n_grams", "n_distinct", rep.alias("rep_q")).orderBy("doc_id")
+
+
+def repetition_sql(n: int = REP_N) -> str:
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN len(l) >= {n}
+              THEN list_transform(generate_series(1, len(l) - {n - 1}),
+                                  i -> array_to_string(l[i:i+{n - 1}], ' '))
+              ELSE [] END AS gs
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents)
+)
+SELECT doc_id,
+       CAST(len(gs) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct,
+       CASE WHEN len(gs) > 0
+            THEN CAST(FLOOR((1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs))
+                            * {float(QUANT)}) AS BIGINT)
+            ELSE 0 END AS rep_q
+FROM g ORDER BY doc_id
+"""
+
+
+# Deliberately simple patterns that parse identically under Java regex and
+# DuckDB's RE2: no backrefs, no lookaround.
+PII_PATTERNS = {
+    "n_emails": "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}",
+    "n_phones": "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "n_ipv4": "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}",
+    "n_urls": "https?://[^ ]+",
+    "n_long_digits": "[0-9]{9,}",
+}
+
+
+def pii_scan(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_emails, n_phones, n_ipv4, n_urls, n_long_digits):
+    per-document counts of scrub-relevant patterns — the screening pass a
+    curation pipeline runs before redaction. Map-only Catalyst
+    (``regexp_count`` per pattern over one lowercased projection)."""
+    low = F.lower(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[
+            F.regexp_count(low, F.lit(pat)).cast("long").alias(name)
+            for name, pat in PII_PATTERNS.items()
+        ],
+    ).orderBy("doc_id")
+
+
+def pii_sql() -> str:
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(lower(text), '{pat}')) AS BIGINT) AS {name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    return f"SELECT doc_id, {counts} FROM documents ORDER BY doc_id"
+
+
 def queries() -> dict:
     return {
         "text_lang_id": lambda s, d: lang_id(load_table(s, d, "documents")),
@@ -215,6 +304,8 @@ def queries() -> dict:
         "text_tokens": lambda s, d: token_counts(load_table(s, d, "documents")),
         "text_fingerprint": lambda s, d: fingerprints(load_table(s, d, "documents")),
         "text_rolling_fp": lambda s, d: rolling_fingerprint(load_table(s, d, "documents")),
+        "text_repetition": lambda s, d: repetition_score(load_table(s, d, "documents")),
+        "text_pii_scan": lambda s, d: pii_scan(load_table(s, d, "documents")),
     }
 
 
@@ -225,4 +316,6 @@ def oracle_sql() -> dict:
         "text_tokens": TOKENS_SQL,
         "text_fingerprint": FP_SQL,
         "text_rolling_fp": ROLLING_FP_SQL,
+        "text_repetition": repetition_sql(),
+        "text_pii_scan": pii_sql(),
     }

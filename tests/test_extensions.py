@@ -186,6 +186,81 @@ def test_quantiles_approx_rank_bound_and_exact_mode(spark):
         assert lo - 1e-6 <= loose[pct] <= hi + 1e-6, (pct, loose[pct], lo, hi)
 
 
+def test_repetition_score_golden(spark):
+    from elasticsearch_drift_plugin_spark.operators.text import repetition_score
+
+    rows = [
+        (1, "s", " ".join(["a b c d e"] * 3)),  # 15 toks, 11 grams, 5 distinct
+        (2, "s", "one two three"),               # < 5 tokens: 0/0/0
+        (3, "s", "v w x y z"),                   # exactly one gram, no repeat
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r.doc_id: (r.n_grams, r.n_distinct, r.rep_q) for r in repetition_score(df).collect()}
+    import math
+
+    assert got[1] == (11, 5, math.floor((1 - 5 / 11) * 1_000_000))
+    assert got[2] == (0, 0, 0)
+    assert got[3] == (1, 1, 0)
+
+
+def test_pii_scan_golden(spark):
+    from elasticsearch_drift_plugin_spark.operators.text import pii_scan
+
+    rows = [
+        (1, "s", "mail me at Bob.Smith@example.com or call 555-123-4567 now"),
+        (2, "s", "host 10.0.0.1 serves https://example.com/x?id=123456789012"),
+        (3, "s", "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r.doc_id: (r.n_emails, r.n_phones, r.n_ipv4, r.n_urls, r.n_long_digits)
+        for r in pii_scan(df).collect()
+    }
+    assert got[1] == (1, 1, 0, 0, 0)
+    assert got[2] == (0, 0, 1, 1, 1)
+    assert got[3] == (0, 0, 0, 0, 0)
+
+
+def test_tfidf_and_contamination_goldens(spark):
+    from elasticsearch_drift_plugin_spark.operators.corpus import (
+        contamination_overlap,
+        tfidf_top_terms,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a", "rare common common"),
+            (2, "a", "common common common"),
+            (3, "a", "other common word"),
+        ],
+    )
+    top = {(r.doc_id, r.rank): (r.term, r.tf) for r in tfidf_top_terms(docs, k=1).collect()}
+    # 'rare'/'other'/'word' appear in one doc (max idf); 'common' in all three
+    assert top[(1, 1)] == ("rare", 1)
+    assert top[(3, 1)][0] in ("other", "word")  # tie -> lexicographic 'other'
+    assert top[(3, 1)] == ("other", 1)
+    # doc 2 has only 'common': still ranked (idf floor may be 0 but rank exists)
+    assert top[(2, 1)][0] == "common"
+
+    bench = _docs(spark, [(100, "b", "q w e r t y u i o p")])
+    corpus = _docs(
+        spark,
+        [
+            (10, "a", "q w e r t y u i o p"),   # full overlap: 3 of 3 grams hit
+            (11, "a", "a b c d e f g h i j"),   # zero overlap
+            (12, "a", "too short"),             # no grams
+        ],
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_hit, r.frac_q)
+        for r in contamination_overlap(corpus, bench).collect()
+    }
+    assert got[10] == (3, 3, 1_000_000)
+    assert got[11] == (3, 0, 0)
+    assert got[12] == (0, 0, 0)
+
+
 def test_rolling_fingerprint_golden(spark):
     from elasticsearch_drift_plugin_spark.operators.text import rolling_fingerprint
 
