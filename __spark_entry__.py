@@ -31,6 +31,7 @@ from elasticsearch_drift_plugin_spark.operators import (
     corpus,
     dedup,
     multimodal,
+    pipeline,
     relational,
     sessionize,
     similarity,
@@ -182,6 +183,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psum_key_format": lambda s, d: _psum_events(
             s, d, interval=DAY, offset=1, key_format="yyyy-MM-dd HH:mm"
         ),
+        # sibling cardinality sub-agg (host-ES surface: ES cardinality agg
+        # nested under the histogram; exact here — approx swap in SCALE.md)
+        "psum_grouped_distinct": lambda s, d: _psum_events(
+            s,
+            d,
+            calendar_interval="day",
+            offset=1,
+            group_by=("event_type",),
+            extra_aggs={"n_users": F.countDistinct("user_id")},
+        ),
+        # ES pipeline aggs over the bucket list: cumulative_sum, derivative,
+        # moving window — one window over the RESULT, never the raw data
+        "pipe_cum_derivative": lambda s, d: pipeline.bucket_pipeline(
+            _psum_events(
+                s, d, calendar_interval="day", offset=1, group_by=("event_type",)
+            ),
+            group_by=("event_type",),
+        ),
         # row 26: unmapped field -> empty result, stable schema
         "psum_unmapped": lambda s, d: _psum_events(
             s, d, sampling_col=None, interval=HOUR, value_override="__missing__"
@@ -245,6 +264,17 @@ def oracle_sql() -> dict[str, str]:
             group_by=("event_type",),
             extra_aggs=(("max_user", "MAX(user_id)"),),
             carry_cols=("user_id",),
+        ),
+        "psum_grouped_distinct": _ev_oracle(
+            calendar_interval="day",
+            offset=1,
+            group_by=("event_type",),
+            extra_aggs=(("n_users", "COUNT(DISTINCT user_id)"),),
+            carry_cols=("user_id",),
+        ),
+        "pipe_cum_derivative": pipeline.bucket_pipeline_sql(
+            _ev_oracle(calendar_interval="day", offset=1, group_by=("event_type",)),
+            group_by=("event_type",),
         ),
         "psum_key_format": _ev_oracle(interval=DAY, offset=1)
         .replace(

@@ -150,6 +150,49 @@ def test_group_by_and_extra_aggs(spark):
     assert by_tag[("a", 0)] == (1.0, 1.0) and by_tag[("b", 0)] == (3.0, 3.0)
 
 
+def test_bucket_pipeline_golden(spark):
+    """ES pipeline-agg semantics over the bucket list: cumulative sum,
+    first-derivative (NULL for the first bucket, like ES derivative),
+    trailing moving-window sum."""
+    from elasticsearch_drift_plugin_spark.operators.pipeline import bucket_pipeline
+
+    rows = [(0, 100, 10.0, None), (100, 200, 4.0, None), (300, 400, 6.0, None)]
+    res = proportional_sum(
+        spark.createDataFrame(rows, SCHEMA),
+        "start_ms", "end_ms", "value", "sampling", interval=100, quantize=4,
+    )
+    out = {
+        r.key: (r.vq, r.cum_q, r.diff_q, r.msum2_q)
+        for r in bucket_pipeline(res, moving_window=2).collect()
+    }
+    # buckets: 0->10, 100->4(+ terminal of flow1: 0), 200->0, 300->6, 400->0
+    assert out[0] == (100000, 100000, None, 100000)
+    assert out[100] == (40000, 140000, -60000, 140000)
+    assert out[300] == (60000, 200000, 60000, 60000)
+
+
+def test_distinct_subagg_exact_vs_approx(spark):
+    """Exact countDistinct sub-agg is the oracle-gated query; the
+    approx_count_distinct swap (HLL, mergeable — the 100 TB cardinality
+    path) must land within its documented relative error on every bucket."""
+    rows = [(i % 4 * 100, i % 4 * 100 + 50, 1.0, None, i % 257) for i in range(2000)]
+    df = spark.createDataFrame(rows, SCHEMA + ", uid long")
+    kw = dict(interval=100, group_by=(), extra_aggs=None)
+    exact = proportional_sum(
+        df, "start_ms", "end_ms", "value", "sampling", interval=100,
+        extra_aggs={"n": F.countDistinct("uid")},
+    ).collect()
+    approx = proportional_sum(
+        df, "start_ms", "end_ms", "value", "sampling", interval=100,
+        extra_aggs={"n": F.approx_count_distinct("uid", rsd=0.05)},
+    ).collect()
+    ex = {r.key: r.n for r in exact}
+    ap = {r.key: r.n for r in approx}
+    assert set(ex) == set(ap)
+    for k, n in ex.items():
+        assert abs(ap[k] - n) <= max(1, 0.15 * n), (k, n, ap[k])
+
+
 def test_fill_buckets_carry_empty_extra_aggs(spark):
     """min_doc_count=0 fill rows get each extra agg's empty-aggregation
     value (the EmptyBucketInfo analog): count-likes fill with 0, max with
