@@ -121,30 +121,38 @@ def contamination_overlap(
     of its distinct word ``n``-grams that appear anywhere in the benchmark
     set — the standard train/test contamination screen. Documents shorter
     than ``n`` tokens have no grams and report 0/0/0.
+
+    Gram-less docs ride through as one NULL-gram sentinel row (excluded
+    from ``count(g)``, never matching the bench join) so the result covers
+    every doc with ONE aggregation — no corpus-sized restore-join.
     """
-    grams = _word_grams(corpus, n)
+    toks = corpus.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("l"))
+    gram_list = F.when(
+        F.size("l") >= n,
+        F.expr(
+            f"transform(sequence(1, size(l) - {n - 1}),"
+            f" i -> concat_ws(' ', slice(l, i, {n})))"
+        ),
+    ).otherwise(F.array(F.lit(None).cast("string")))
+    grams = toks.select("doc_id", F.explode(gram_list).alias("g")).distinct()
     bench = _word_grams(benchmark, n).select("g").distinct()
-    hits = (
+    return (
         grams.join(F.broadcast(bench.withColumn("__hit", F.lit(1))), "g", "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
+            F.count("g").alias("n_grams"),  # count(g) skips the NULL sentinel
             F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_hit"),
         )
-    )
-    base = corpus.select("doc_id")
-    return (
-        base.join(hits, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
-            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
-            F.coalesce(
-                F.floor(
-                    F.col("n_hit") / F.col("n_grams") * F.lit(float(QUANT))
-                ),
-                F.lit(0),
-            ).alias("frac_q"),
+            "n_grams",
+            "n_hit",
+            F.when(
+                F.col("n_grams") > 0,
+                F.floor(F.col("n_hit") / F.col("n_grams") * F.lit(float(QUANT))),
+            )
+            .otherwise(F.lit(0))
+            .alias("frac_q"),
         )
         .orderBy("doc_id")
     )

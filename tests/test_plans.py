@@ -72,6 +72,33 @@ def test_text_ops_are_map_only(spark):
         assert hash_exchange_count(out) == 0
 
 
+def test_repetition_and_pii_are_map_only(spark):
+    from elasticsearch_drift_plugin_spark.operators.text import pii_scan, repetition_score
+
+    docs = spark.createDataFrame(
+        [(1, "s", "a b c d e f g"), (2, "s", "x")],
+        "doc_id long, source string, text string",
+    )
+    for op in (repetition_score, pii_scan):
+        out = op(docs).drop("doc_id")
+        assert not has_python_eval(out)
+        assert hash_exchange_count(out) == 0  # per-row exprs, zero shuffle
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    from elasticsearch_drift_plugin_spark.operators.corpus import contamination_overlap
+
+    docs = spark.createDataFrame(
+        [(i, "a", "q w e r t y u i o p") for i in range(4)],
+        "doc_id long, source string, text string",
+    )
+    plan = explain_str(contamination_overlap(docs, docs))
+    # the benchmark gram set must be the broadcast side; the corpus grams
+    # must never be sort-merge joined (a corpus-sized shuffle at 100 TB)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_ngram_postings_no_forced_broadcast(spark):
     """The per-document gram-count relation is corpus-sized: the postings
     variant must not hint it broadcast (O(corpus) rows on every executor at
