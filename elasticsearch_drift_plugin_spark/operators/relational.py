@@ -80,6 +80,41 @@ ORDER BY user_id
 """
 
 
+def json_props_stats(events: DataFrame) -> DataFrame:
+    """(event_type, n, n_with_k, sum_k, n_distinct_k): aggregates over a
+    field EXTRACTED from the semi-structured ``props`` JSON column — the
+    documents-are-JSON surface of the reference's host (ES source docs;
+    README.md:58-68 shows the netflow JSON shape). ``get_json_object`` is
+    a native Catalyst expression: the extraction runs codegen'd in the
+    scan projection, and column pruning still reaches parquet (only
+    ``event_type``/``props`` are read)."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("__k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("__k").alias("n_with_k"),
+            F.coalesce(F.sum("__k"), F.lit(0)).alias("sum_k"),
+            F.countDistinct("__k").alias("n_distinct_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_PROPS_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       COUNT(k) AS n_with_k,
+       COALESCE(SUM(k), 0) AS sum_k,
+       COUNT(DISTINCT k) AS n_distinct_k
+FROM e GROUP BY event_type ORDER BY event_type
+"""
+
+
 def queries() -> dict:
     return {
         "rel_flows_by_nation": lambda s, d: flows_by_nation(
@@ -90,6 +125,7 @@ def queries() -> dict:
         "rel_users_intersect": lambda s, d: users_in_both(
             load_table(s, d, "events"), "click", "purchase"
         ),
+        "rel_json_props": lambda s, d: json_props_stats(load_table(s, d, "events")),
     }
 
 
@@ -97,4 +133,5 @@ def oracle_sql() -> dict:
     return {
         "rel_flows_by_nation": FLOWS_BY_NATION_SQL,
         "rel_users_intersect": users_in_both_sql("click", "purchase"),
+        "rel_json_props": JSON_PROPS_SQL,
     }
