@@ -28,12 +28,15 @@ BENCH_QUERIES = [
     "psum_empty_fill",
     "psum_cal_year_lineitem",
     "psum_day_lineitem",
+    "psum_grouped_distinct",
+    "pipe_cum_derivative",
     "flow_sessions",
     "stats_quantiles",
     "stats_quantiles_approx",
     "stats_top_docs",
     "rel_flows_by_nation",
     "rel_asof_latest_order",
+    "rel_json_props",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_sig",
