@@ -377,6 +377,171 @@ def ipfix_extract_templates(raw: DataFrame, payload_col: str = "value") -> dict:
 
 
 # ---------------------------------------------------------------------------
+# Options templates (RFC 3954 §6.5.1 / RFC 7011 §3.4.2.2) — sampling config
+# ---------------------------------------------------------------------------
+
+#: Sampling-related IEs commonly delivered via options records.
+IE_SAMPLING_INTERVAL = 34   # samplingInterval (also inline in data records)
+IE_SAMPLING_ALGORITHM = 35  # samplingAlgorithm
+IE_SAMPLER_ID = 48          # samplerId (v9 scope/option)
+IE_SAMPLER_MODE = 49        # samplerMode
+IE_SAMPLER_RANDOM_INTERVAL = 50  # samplerRandomInterval
+
+OPTIONS_SCHEMA = (
+    "obs_domain long, template_id long, scope_ie long, scope_value long, "
+    "sampler_id long, sampling_algorithm long, sampling_interval double"
+)
+
+
+def parse_options(raw: DataFrame, payload_col: str = "value") -> DataFrame:
+    """Options-data records (v9 flowset 1 / IPFIX set 3) → one typed row per
+    record: exporter-level configuration such as the sampling interval that
+    many deployments publish ONLY via options, never inline
+    (``apply_options_sampling`` joins it back onto the flow rows).
+
+    Same per-packet version dispatch as :func:`parse_ipfix`; scope fields
+    are parsed (first scope's IE + integer value are materialized), option
+    fields map IEs 34/35/48/49/50 into the fixed schema. Arrow-batched
+    ``mapInPandas``; the closure is self-contained.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        cols = [
+            "obs_domain", "template_id", "scope_ie", "scope_value",
+            "sampler_id", "sampling_algorithm", "sampling_interval",
+        ]
+
+        def uint(buf, pos, n):
+            return int.from_bytes(buf[pos : pos + n], "big")
+
+        def parse_opt_templates(buf, hdr_len, oset_id, version, templates):
+            pos, end = hdr_len, len(buf)
+            while pos + 4 <= end:
+                set_id, set_len = _struct.unpack_from(">HH", buf, pos)
+                if set_len < 4 or pos + set_len > end:
+                    break
+                if set_id == oset_id:
+                    p, sl_end = pos + 4, pos + set_len
+                    while p + 6 <= sl_end:
+                        if version == 10:
+                            tid, nfields, nscope = _struct.unpack_from(">HHH", buf, p)
+                            p += 6
+                            counts = [(True, nscope), (False, nfields - nscope)]
+                        else:
+                            tid, scope_bytes, opt_bytes = _struct.unpack_from(
+                                ">HHH", buf, p
+                            )
+                            p += 6
+                            counts = [(True, scope_bytes // 4), (False, opt_bytes // 4)]
+                        fields = []
+                        ok = True
+                        for is_scope, cnt in counts:
+                            for _ in range(cnt):
+                                if p + 4 > sl_end:
+                                    ok = False
+                                    break
+                                ie, flen = _struct.unpack_from(">HH", buf, p)
+                                p += 4
+                                if version == 10 and ie & 0x8000:
+                                    if p + 4 > sl_end:
+                                        ok = False
+                                        break
+                                    pen = _struct.unpack_from(">I", buf, p)[0]
+                                    p += 4
+                                    ie = (pen << 16) | (ie & 0x7FFF)
+                                fields.append((is_scope, ie, flen))
+                            if not ok:
+                                break
+                        if ok and fields:
+                            templates[tid] = fields
+                        if not ok:
+                            break
+                pos += set_len
+
+        def parse_opt_data(buf, hdr_len, dom, templates, out):
+            pos, end = hdr_len, len(buf)
+            while pos + 4 <= end:
+                set_id, set_len = _struct.unpack_from(">HH", buf, pos)
+                if set_len < 4 or pos + set_len > end:
+                    break
+                tmpl = templates.get(set_id) if set_id >= 256 else None
+                if tmpl:
+                    rec_len = sum(fl for _, _, fl in tmpl)
+                    p, sl_end = pos + 4, pos + set_len
+                    while rec_len > 0 and p + rec_len <= sl_end:
+                        row = {c: None for c in cols}
+                        row["obs_domain"], row["template_id"] = dom, set_id
+                        fp = p
+                        for is_scope, ie, flen in tmpl:
+                            val = uint(buf, fp, flen)
+                            if is_scope and row["scope_ie"] is None:
+                                row["scope_ie"], row["scope_value"] = ie, val
+                            elif not is_scope:
+                                if ie == 34:
+                                    row["sampling_interval"] = float(val)
+                                elif ie == 50 and row["sampling_interval"] is None:
+                                    row["sampling_interval"] = float(val)
+                                elif ie == 35 or ie == 49:
+                                    row["sampling_algorithm"] = val
+                                elif ie == 48:
+                                    row["sampler_id"] = val
+                            fp += flen
+                        out.append(row)
+                        p = fp
+                pos += set_len
+
+        for pdf in batches:
+            out: list[dict] = []
+            for payload in pdf[payload_col]:
+                buf = bytes(payload)
+                if len(buf) < 16:
+                    continue
+                version = _struct.unpack_from(">H", buf, 0)[0]
+                if version == 10:
+                    msg_len = _struct.unpack_from(">H", buf, 2)[0]
+                    buf = buf[: min(msg_len, len(buf))]
+                    hdr_len, oset_id = 16, 3
+                    dom = _struct.unpack_from(">I", buf, 12)[0]
+                elif version == 9 and len(buf) >= 20:
+                    hdr_len, oset_id = 20, 1
+                    dom = _struct.unpack_from(">I", buf, 16)[0]
+                else:
+                    continue
+                templates: dict = {}
+                parse_opt_templates(buf, hdr_len, oset_id, version, templates)
+                parse_opt_data(buf, hdr_len, dom, templates, out)
+            yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
+                {c: [] for c in cols}
+            )
+
+    return raw.mapInPandas(kernel, OPTIONS_SCHEMA)
+
+
+def apply_options_sampling(flows: DataFrame, options: DataFrame) -> DataFrame:
+    """Fill NULL ``sampling`` on parsed flow rows from the exporter's
+    options-declared sampling interval (latest per obs_domain). The options
+    table is O(#exporters) — broadcast, never a shuffle of the flows."""
+    opt = (
+        options.where(F.col("sampling_interval").isNotNull())
+        .groupBy("obs_domain")
+        .agg(F.last("sampling_interval").alias("__opt_sampling"))
+    )
+    return (
+        flows.join(F.broadcast(opt), "obs_domain", "left")
+        .withColumn(
+            "sampling",
+            F.when(
+                F.col("sampling").isNull() & (F.col("__opt_sampling") > 0),
+                F.col("__opt_sampling"),
+            ).otherwise(F.col("sampling")),
+        )
+        .drop("__opt_sampling")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Unified entry: mixed-version exporter streams
 # ---------------------------------------------------------------------------
 

@@ -295,6 +295,56 @@ def test_ipfix_variable_length_fields(spark):
     assert [(r["value"], r["protocol"]) for r in rows] == [(111.0, 6), (222.0, 17)]
 
 
+def test_v9_options_sampling(spark):
+    """v9 options flowset (id 1): scope SYSTEM + samplerId/algorithm/
+    interval option fields; the options data record yields the exporter's
+    sampling config (RFC 3954 §6.5.1 wire format)."""
+    # template 400: scope len 4 (1 field), option len 12 (3 fields)
+    tbody = struct.pack(">HHH", 400, 4, 12)
+    tbody += struct.pack(">HH", 1, 4)    # scope: System (type 1), 4 bytes
+    tbody += struct.pack(">HH", 48, 2)   # samplerId
+    tbody += struct.pack(">HH", 35, 1)   # samplingAlgorithm
+    tbody += struct.pack(">HH", 34, 4)   # samplingInterval
+    tset = struct.pack(">HH", 1, 4 + len(tbody)) + tbody
+    rec = struct.pack(">IHBI", 7, 3, 2, 100)  # scope=7, sampler 3, alg 2, ivl 100
+    dset = struct.pack(">HH", 400, 4 + len(rec)) + rec
+    pkt = v9_packet([tset, dset])
+    rows = netflow.parse_options(_raw(spark, [pkt])).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["obs_domain"], r["template_id"]) == (3, 400)
+    assert (r["scope_ie"], r["scope_value"]) == (1, 7)
+    assert (r["sampler_id"], r["sampling_algorithm"], r["sampling_interval"]) == (3, 2, 100.0)
+
+
+def test_ipfix_options_sampling_and_enrichment(spark):
+    """IPFIX options template (set 3, scope-count form) + enrichment: flows
+    whose data records carry no sampling IE inherit the options-declared
+    interval per obs_domain via apply_options_sampling."""
+    tbody = struct.pack(">HHH", 500, 3, 1)   # tid, 3 fields total, 1 scope
+    tbody += struct.pack(">HH", 149, 4)      # scope: observationDomainId
+    tbody += struct.pack(">HH", 50, 4)       # samplerRandomInterval
+    tbody += struct.pack(">HH", 49, 1)       # samplerMode
+    tset = struct.pack(">HH", 3, 4 + len(tbody)) + tbody
+    rec = struct.pack(">IIB", 7, 64, 1)
+    dset = struct.pack(">HH", 500, 4 + len(rec)) + rec
+    opt_msg = ipfix_message([tset, dset])  # domain 7
+    opts = netflow.parse_options(_raw(spark, [opt_msg]))
+    r = opts.collect()[0]
+    assert (r["obs_domain"], r["sampling_interval"], r["sampling_algorithm"]) == (7, 64.0, 1)
+
+    # flow records WITHOUT an inline sampling IE (template omits IE 34)
+    fields = [(152, 8), (153, 8), (1, 4), (4, 1)]
+    frec = struct.pack(">QQIB", 1000, 2000, 350, 6)
+    fdset = struct.pack(">HH", 320, 4 + len(frec)) + frec
+    flow_msg = ipfix_message([ipfix_template_set(tid=320, fields=fields), fdset])
+    flows = netflow.parse_ipfix(_raw(spark, [flow_msg]))
+    enriched = netflow.apply_options_sampling(flows, opts).collect()
+    assert len(enriched) == 1
+    assert enriched[0]["sampling"] == 64.0
+    assert enriched[0]["value"] == 350.0
+
+
 def test_parse_flows_mixed_versions(spark):
     v5 = v5_packet(
         [{"src": 1, "dst": 2, "octets": 100, "first": 0, "last": 10}],
