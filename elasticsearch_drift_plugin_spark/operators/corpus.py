@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import HEX15_SQL_FN, md5_hash60
 from ..sources.flows import load_table
 
 QUANT = 1_000_000
@@ -190,6 +191,51 @@ ORDER BY d.doc_id
 """
 
 
+def hash_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    rate: float = 0.25,
+    strata_col: str | None = None,
+    strata_rates: dict | None = None,
+) -> DataFrame:
+    """Deterministic, content-stable sampling: keep a row iff
+    ``md5_60(id) mod 1e6 < rate · 1e6``. No RNG state — the same row makes
+    the same cut in every run, on every engine, at any parallelism (the
+    reproducibility a training-data pipeline needs for ablations), and
+    rates are monotone: a 10% sample is a subset of a 25% one.
+    ``strata_rates`` overrides the rate per ``strata_col`` value
+    (stratified up/down-sampling). Map-only; the predicate reaches the
+    scan."""
+    h = F.pmod(md5_hash60(F.col(id_col).cast("string")), F.lit(QUANT))
+    if strata_rates:
+        rate_col = F.lit(float(rate))
+        for k, v in strata_rates.items():
+            rate_col = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(rate_col)
+        thresh = F.floor(rate_col * F.lit(float(QUANT)))
+    else:
+        thresh = F.lit(int(rate * QUANT))
+    return df.where(h < thresh)
+
+
+def hash_sample_sql(
+    rate: float = 0.25, strata_col: str = "source", strata_rates: dict | None = None
+) -> str:
+    h = HEX15_SQL_FN.format(expr="CAST(doc_id AS VARCHAR)")
+    if strata_rates:
+        whens = " ".join(
+            f"WHEN {strata_col} = '{k}' THEN {int(float(v) * QUANT)}"
+            for k, v in strata_rates.items()
+        )
+        thresh = f"CASE {whens} ELSE {int(rate * QUANT)} END"
+    else:
+        thresh = str(int(rate * QUANT))
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE ({h}) % {QUANT} < {thresh}
+ORDER BY doc_id
+"""
+
+
 def queries() -> dict:
     return {
         "corpus_tfidf_top": lambda s, d: tfidf_top_terms(load_table(s, d, "documents")),
@@ -197,6 +243,12 @@ def queries() -> dict:
             load_table(s, d, "documents").where("source <> 'src0'"),
             load_table(s, d, "documents").where("source = 'src0'"),
         ),
+        "corpus_hash_sample": lambda s, d: hash_sample(
+            load_table(s, d, "documents"),
+            rate=0.25,
+            strata_col="source",
+            strata_rates={"src0": 1.0},
+        ).select("doc_id", "source").orderBy("doc_id"),
     }
 
 
@@ -204,4 +256,7 @@ def oracle_sql() -> dict:
     return {
         "corpus_tfidf_top": tfidf_sql(),
         "corpus_contamination": contamination_sql("source = 'src0'", "source <> 'src0'"),
+        "corpus_hash_sample": hash_sample_sql(
+            rate=0.25, strata_col="source", strata_rates={"src0": 1.0}
+        ),
     }

@@ -69,6 +69,38 @@ FROM documents GROUP BY md5(text) ORDER BY keep_id
 """
 
 
+def incremental_dedup(
+    new_docs: DataFrame, existing_docs: DataFrame, content_col: str = "text"
+) -> DataFrame:
+    """(doc_id): new documents whose content digest does NOT already appear
+    in the existing corpus — the cross-run dedup step an ingest pipeline
+    runs before appending a batch to the training set.
+
+    Left-anti join on md5 digests: the shuffle moves 16-byte keys, never
+    documents; within-batch duplicates also collapse (min doc_id wins),
+    so the output is appendable as-is.
+    """
+    digest = F.md5(F.col(content_col).cast("string"))
+    new_d = new_docs.select("doc_id", digest.alias("__d"))
+    seen = existing_docs.select(digest.alias("__d")).distinct()
+    return (
+        new_d.join(seen, "__d", "left_anti")
+        .groupBy("__d")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+INCREMENTAL_SQL = """
+WITH new_docs AS (SELECT doc_id, md5(text) AS d FROM documents WHERE source <> 'src0'),
+seen AS (SELECT DISTINCT md5(text) AS d FROM documents WHERE source = 'src0')
+SELECT min(doc_id) AS doc_id
+FROM new_docs WHERE d NOT IN (SELECT d FROM seen)
+GROUP BY d ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # char n-gram Jaccard (blocked by a key column)
 # --------------------------------------------------------------------------
@@ -703,6 +735,10 @@ def _docs(spark, sf_dir):
 def queries() -> dict:
     return {
         "dedup_exact": lambda s, d: exact_dedup(_docs(s, d), "text", "doc_id"),
+        "dedup_incremental": lambda s, d: incremental_dedup(
+            _docs(s, d).where("source <> 'src0'"),
+            _docs(s, d).where("source = 'src0'"),
+        ),
         # GEMM kernel: fastest on this corpus's near-clique blocks (see
         # variant docstrings); output identical to the postings variant
         "dedup_ngram_jaccard": lambda s, d: ngram_jaccard_pairs_gemm(_docs(s, d)),
@@ -718,6 +754,7 @@ def queries() -> dict:
 def oracle_sql() -> dict:
     return {
         "dedup_exact": EXACT_SQL,
+        "dedup_incremental": INCREMENTAL_SQL,
         "dedup_ngram_jaccard": NGRAM_SQL,
         "dedup_minhash_sig": minhash_sig_sql(),
         "dedup_minhash_pairs": minhash_pairs_sql(),

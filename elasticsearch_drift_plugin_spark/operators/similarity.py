@@ -308,8 +308,65 @@ def lsh_histogram_sql() -> str:
     )
 
 
+def group_centroids(emb: DataFrame, n_groups: int = 8, quantize: int = 6) -> DataFrame:
+    """(grp, pos, n, mean_q): element-wise mean vector per hash group — the
+    aggregation primitive behind k-means / IVF-centroid training at scale.
+
+    Shape: ``posexplode`` fans each vector into (pos, x) rows, then ONE
+    partial-agg shuffle keyed by (grp, pos) — dims × groups result rows
+    regardless of corpus size. Components are floored to 10^-quantize and
+    summed as exact longs so the cross-engine mean is bit-stable.
+    """
+    scale = float(10**quantize)
+    ex = emb.select(
+        F.pmod(F.col("vec_id"), F.lit(n_groups)).alias("grp"),
+        F.posexplode("embedding").alias("pos", "x"),
+    )
+    return (
+        ex.groupBy("grp", F.col("pos").cast("long").alias("pos"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # float -> double before the scale multiply (exact widening);
+            # the oracle casts ::DOUBLE for the same reason
+            F.sum(F.floor(F.col("x").cast("double") * F.lit(scale))).alias("__sq"),
+        )
+        .select(
+            "grp", "pos", "n",
+            # exact floor division: subtract the non-negative remainder so
+            # the double division is remainder-free (floor of an inexact
+            # long/long double flipped ~1% of boundary cells vs the oracle)
+            ((F.col("__sq") - F.pmod(F.col("__sq"), F.col("n"))) / F.col("n"))
+            .cast("long")
+            .alias("mean_q"),
+        )
+        .orderBy("grp", "pos")
+    )
+
+
+def group_centroids_sql(n_groups: int = 8, quantize: int = 6) -> str:
+    scale = float(10**quantize)
+    return f"""
+WITH ex AS (
+  SELECT ((vec_id % {n_groups} + {n_groups}) % {n_groups}) AS grp,
+         unnest(generate_series(0, len(embedding) - 1)) AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+)
+SELECT grp, CAST(pos AS BIGINT) AS pos, n,
+       CAST((sq - ((sq % n + n) % n)) / n AS BIGINT) AS mean_q
+FROM (
+  SELECT grp, pos, COUNT(*) AS n,
+         SUM(CAST(FLOOR(x * {scale}) AS BIGINT)) AS sq
+  FROM ex GROUP BY grp, pos
+) ORDER BY grp, pos
+"""
+
+
 def queries() -> dict:
     return {
+        "emb_group_centroids": lambda s, d: group_centroids(
+            load_table(s, d, "embeddings")
+        ),
         "ann_cosine_topk": lambda s, d: cosine_topk(
             load_table(s, d, "embeddings"),
             load_table(s, d, "embeddings").where(F.col("vec_id") < 10),
@@ -324,6 +381,7 @@ def queries() -> dict:
 
 def oracle_sql() -> dict:
     return {
+        "emb_group_centroids": group_centroids_sql(),
         "ann_cosine_topk": TOPK_SQL,
         "ann_lsh_histogram": lsh_histogram_sql(),
         "ann_ivf_topk": IVF_TOPK_SQL,

@@ -261,6 +261,44 @@ def test_tfidf_and_contamination_goldens(spark):
     assert got[12] == (0, 0, 0)
 
 
+def test_incremental_dedup_golden(spark):
+    from elasticsearch_drift_plugin_spark.operators.dedup import incremental_dedup
+
+    existing = _docs(spark, [(1, "a", "seen before"), (2, "a", "also seen")])
+    new = _docs(
+        spark,
+        [
+            (10, "b", "seen before"),   # already in corpus: dropped
+            (11, "b", "brand new"),
+            (12, "b", "brand new"),     # in-batch duplicate: min id wins
+            (13, "b", "another new"),
+        ],
+    )
+    got = [r.doc_id for r in incremental_dedup(new, existing).collect()]
+    assert got == [11, 13]
+
+
+def test_hash_sample_deterministic_and_monotone(spark):
+    """The same row makes the same cut in every run; a lower-rate sample is
+    a strict subset of a higher-rate one; strata overrides apply."""
+    from elasticsearch_drift_plugin_spark.operators.corpus import hash_sample
+
+    docs = _docs(spark, [(i, f"src{i % 3}", f"doc {i}") for i in range(300)])
+    s25a = {r.doc_id for r in hash_sample(docs, rate=0.25).collect()}
+    s25b = {r.doc_id for r in hash_sample(docs, rate=0.25).collect()}
+    s10 = {r.doc_id for r in hash_sample(docs, rate=0.10).collect()}
+    assert s25a == s25b
+    assert s10 <= s25a
+    assert 0 < len(s10) < len(s25a) < 300
+    strat = {
+        r.doc_id
+        for r in hash_sample(
+            docs, rate=0.0, strata_col="source", strata_rates={"src1": 1.0}
+        ).collect()
+    }
+    assert strat == {i for i in range(300) if i % 3 == 1}
+
+
 def test_rolling_fingerprint_golden(spark):
     from elasticsearch_drift_plugin_spark.operators.text import rolling_fingerprint
 
