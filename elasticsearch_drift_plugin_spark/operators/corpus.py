@@ -191,6 +191,66 @@ ORDER BY d.doc_id
 """
 
 
+def contamination_overlap_hashed(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    hash_bits: int = 40,
+) -> DataFrame:
+    """Same output shape as :func:`contamination_overlap` but membership is
+    tested against ``hash_bits``-bit gram hashes instead of raw gram
+    strings — the compact-filter path when the benchmark gram set is too
+    large to broadcast raw (8 bytes per gram vs ~50 for an 8-word string).
+
+    One-sided error, like any Bloom-style filter: hash collisions can only
+    ADD hits (no false negatives), with per-gram false-positive rate
+    ``|bench grams| / 2^hash_bits`` (~1e-6 at the defaults for a 1M-gram
+    suite) — so a document that screens clean IS clean. Pure Catalyst:
+    one broadcast equi-join on longs, no UDF, no filter blob.
+    """
+    mask = F.lit((1 << hash_bits) - 1)
+    toks = corpus.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("l"))
+    gram_list = F.when(
+        F.size("l") >= n,
+        F.expr(
+            f"transform(sequence(1, size(l) - {n - 1}),"
+            f" i -> concat_ws(' ', slice(l, i, {n})))"
+        ),
+    ).otherwise(F.array(F.lit(None).cast("string")))
+    grams = (
+        toks.select("doc_id", F.explode(gram_list).alias("g"))
+        .select("doc_id", F.xxhash64("g").bitwiseAND(mask).alias("h"), "g")
+        .select("doc_id", F.when(F.col("g").isNotNull(), F.col("h")).alias("h"))
+        .distinct()
+    )
+    bench = (
+        _word_grams(benchmark, n)
+        .select(F.xxhash64("g").bitwiseAND(mask).alias("h"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        grams.join(F.broadcast(bench), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("h").alias("n_grams"),  # NULL sentinel excluded
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            F.when(
+                F.col("n_grams") > 0,
+                F.floor(F.col("n_hit") / F.col("n_grams") * F.lit(float(QUANT))),
+            )
+            .otherwise(F.lit(0))
+            .alias("frac_q"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def hash_sample(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -261,6 +261,37 @@ def test_tfidf_and_contamination_goldens(spark):
     assert got[12] == (0, 0, 0)
 
 
+def test_contamination_hashed_superset_of_exact(spark):
+    """The hashed-membership variant has no false negatives: every exact
+    hit counts; at 40 bits the counts are identical on a small corpus."""
+    from elasticsearch_drift_plugin_spark.operators.corpus import (
+        contamination_overlap,
+        contamination_overlap_hashed,
+    )
+
+    bench = _docs(spark, [(100, "b", "q w e r t y u i o p")])
+    corpus = _docs(
+        spark,
+        [
+            (10, "a", "q w e r t y u i o p"),
+            (11, "a", "a b c d e f g h i j"),
+            (12, "a", "too short"),
+        ],
+    )
+    exact = {
+        r.doc_id: (r.n_grams, r.n_hit)
+        for r in contamination_overlap(corpus, bench).collect()
+    }
+    hashed = {
+        r.doc_id: (r.n_grams, r.n_hit)
+        for r in contamination_overlap_hashed(corpus, bench).collect()
+    }
+    assert set(exact) == set(hashed)
+    for d, (ng, nh) in exact.items():
+        assert hashed[d][1] >= nh  # one-sided error
+    assert hashed == exact  # at 40 bits, zero collisions here
+
+
 def test_incremental_dedup_golden(spark):
     from elasticsearch_drift_plugin_spark.operators.dedup import incremental_dedup
 
