@@ -308,6 +308,73 @@ def lsh_histogram_sql() -> str:
     )
 
 
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = N_CENTROIDS,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+):
+    """Lloyd k-means over the embedding corpus; returns the fitted centroid
+    list in :func:`ivf_assign`'s ``(cid, vec, norm)`` format, so a fitted
+    index drops straight into :func:`ivf_topk`-style probing.
+
+    Per iteration: assignment is MAP-SIDE (centroids inlined as literals —
+    the corpus is never shuffled), the update is one partial-agg shuffle
+    keyed (cell, pos) producing k·dim rows, and only those k·dim means
+    come back to the driver. Seeding is the deterministic lowest-id rule
+    shared with the one-pass IVF, so runs are reproducible. Empty cells
+    keep their previous centroid (the standard Lloyd convention).
+
+    Iterative driver-loop algorithms are not SQL-expressible, so this is
+    deliberately NOT an oracle query; correctness is pinned by property
+    tests (cost monotonicity, single-cluster fixed points) instead.
+    """
+    cents = _seed_centroids(emb, k, id_col)
+    for _ in range(int(n_iter)):
+        assigned = ivf_assign(emb, cents, id_col)
+        means = (
+            assigned.select("cell", F.posexplode(_as_double(F.col("embedding"))).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.col("pm.m").alias("vec"))
+            .collect()
+        )
+        by_cell = {int(r["cell"]): [float(x) for x in r["vec"]] for r in means}
+        new_cents = []
+        for cid, old_vec, old_nm in cents:
+            vec = by_cell.get(cid, old_vec)
+            acc = 0.0
+            for x in vec:
+                acc += x * x
+            new_cents.append((cid, vec, acc**0.5 or old_nm))
+        cents = new_cents
+    return cents
+
+
+def kmeans_cost_q(emb: DataFrame, cents, id_col: str = "vec_id") -> int:
+    """Σ floor(1e6·(1 − cos(v, assigned centroid))) — the quantized
+    clustering cost used to test Lloyd's monotone-improvement property."""
+    v = _as_double(F.col("embedding"))
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    (dot(v, F.array(*[F.lit(x) for x in vec])) / (l2_norm(v) * F.lit(nm))).alias("c"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, vec, nm in cents
+                if nm > 0
+            ]
+        )
+    )
+    row = emb.select(
+        F.floor((F.lit(1.0) - best.getField("c")) * F.lit(float(QUANT))).alias("c")
+    ).agg(F.sum("c")).first()
+    return int(row[0])
+
+
 def group_centroids(emb: DataFrame, n_groups: int = 8, quantize: int = 6) -> DataFrame:
     """(grp, pos, n, mean_q): element-wise mean vector per hash group — the
     aggregation primitive behind k-means / IVF-centroid training at scale.

@@ -330,6 +330,32 @@ def test_hash_sample_deterministic_and_monotone(spark):
     assert strat == {i for i in range(300) if i % 3 == 1}
 
 
+def test_kmeans_cost_monotone_and_fixed_point(spark):
+    """Lloyd invariants: cost is non-increasing across iterations, and
+    well-separated clusters converge to their exact means."""
+    # two tight clusters far apart, dim 4
+    rows = [(i, [10.0 + (i % 3) * 0.1, 0.0, 0.0, 0.0]) for i in range(0, 12)]
+    rows += [(i, [0.0, 0.0, 20.0 + (i % 3) * 0.1, 0.0]) for i in range(12, 24)]
+    # ids 0,1 seed the two cells (lowest-id seeding needs one in each):
+    rows[1] = (1, [0.0, 0.0, 20.0, 0.0])
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    costs = []
+    for it in (0, 1, 3):
+        cents = similarity.kmeans_fit(emb, k=2, n_iter=it)
+        costs.append(similarity.kmeans_cost_q(emb, cents))
+    assert costs[0] >= costs[1] >= costs[2]
+    # after convergence both centroids point along their cluster's axis
+    cents = similarity.kmeans_fit(emb, k=2, n_iter=3)
+    by_cid = {cid: vec for cid, vec, _ in cents}
+    assert by_cid[0][0] > 1.0 and by_cid[0][2] == 0.0  # x-axis cluster
+    assert by_cid[1][2] > 1.0 and by_cid[1][0] == 0.0  # z-axis cluster
+    # fitted centroids drop into ivf_assign: every vector lands in its cluster
+    assigned = {r.vec_id: r.cell for r in similarity.ivf_assign(emb, cents).collect()}
+    for i in range(24):
+        expect = 0 if (i < 12 and i != 1) else 1
+        assert assigned[i] == expect, (i, assigned[i])
+
+
 def test_rolling_fingerprint_golden(spark):
     from elasticsearch_drift_plugin_spark.operators.text import rolling_fingerprint
 
