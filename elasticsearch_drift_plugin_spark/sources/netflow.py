@@ -126,10 +126,15 @@ IPFIX_SCHEMA = (
 )
 
 
-def _make_ipfix_kernel(payload_col: str, static_templates: dict | None):
+def _make_ipfix_kernel(
+    payload_col: str,
+    static_templates: dict | None,
+    clock_by_domain: dict | None = None,
+):
     """Build the self-contained mapInPandas kernel. Everything the closure
     touches is a local or stdlib/pandas — cloudpickle ships it by value."""
     preloaded = {k: list(v) for k, v in (static_templates or {}).items()}
+    clocks = {int(k): int(v) for k, v in (clock_by_domain or {}).items()}
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import ipaddress as _ipaddress
@@ -272,8 +277,12 @@ def _make_ipfix_kernel(payload_col: str, static_templates: dict | None):
                 if version == 10:
                     msg_len = _struct.unpack_from(">H", buf, 2)[0]
                     buf = buf[: min(msg_len, len(buf))]
-                    hdr_len, tset_id, enterprise, base_ms = 16, 2, True, None
+                    hdr_len, tset_id, enterprise = 16, 2, True
                     dom = _struct.unpack_from(">I", buf, 12)[0]
+                    # IPFIX has no header sysuptime; FIRST/LAST_SWITCHED
+                    # resolve only against an options-delivered boot clock
+                    # (IE 160 systemInitTimeMilliseconds, RFC 7011 §4)
+                    base_ms = clocks.get(dom)
                 elif version == 9:
                     if len(buf) < 20:
                         continue
@@ -297,6 +306,7 @@ def parse_ipfix(
     raw: DataFrame,
     payload_col: str = "value",
     static_templates: dict | None = None,
+    clock_by_domain: dict | None = None,
 ) -> DataFrame:
     """IPFIX (RFC 7011) *and* NetFlow v9 (RFC 3954) messages → one row per
     data record (subset of RFC 7012 IEs / v9 field types, which share
@@ -316,9 +326,13 @@ def parse_ipfix(
 
     ``static_templates``: ``{(obs_domain, template_id): [(ie, len), ...]}``
     for exporters that send templates out-of-band; same-message templates
-    always apply on top. Streaming-safe (stateless per message).
+    always apply on top. ``clock_by_domain``: ``{obs_domain: boot epoch
+    ms}`` (IE 160 via :func:`options_clock`) — IPFIX has no header
+    sysuptime, so v9-style FIRST/LAST_SWITCHED in v10 records resolve only
+    against this options-delivered clock (NULL otherwise). Streaming-safe
+    (stateless per message).
     """
-    kernel = _make_ipfix_kernel(payload_col, static_templates)
+    kernel = _make_ipfix_kernel(payload_col, static_templates, clock_by_domain)
     return raw.mapInPandas(kernel, IPFIX_SCHEMA)
 
 
@@ -386,10 +400,12 @@ IE_SAMPLING_ALGORITHM = 35  # samplingAlgorithm
 IE_SAMPLER_ID = 48          # samplerId (v9 scope/option)
 IE_SAMPLER_MODE = 49        # samplerMode
 IE_SAMPLER_RANDOM_INTERVAL = 50  # samplerRandomInterval
+IE_SYSTEM_INIT_MS = 160     # systemInitTimeMilliseconds (exporter boot clock)
 
 OPTIONS_SCHEMA = (
     "obs_domain long, template_id long, scope_ie long, scope_value long, "
-    "sampler_id long, sampling_algorithm long, sampling_interval double"
+    "sampler_id long, sampling_algorithm long, sampling_interval double, "
+    "system_init_ms long"
 )
 
 
@@ -411,6 +427,7 @@ def parse_options(raw: DataFrame, payload_col: str = "value") -> DataFrame:
         cols = [
             "obs_domain", "template_id", "scope_ie", "scope_value",
             "sampler_id", "sampling_algorithm", "sampling_interval",
+            "system_init_ms",
         ]
 
         def uint(buf, pos, n):
@@ -487,6 +504,8 @@ def parse_options(raw: DataFrame, payload_col: str = "value") -> DataFrame:
                                     row["sampling_algorithm"] = val
                                 elif ie == 48:
                                     row["sampler_id"] = val
+                                elif ie == 160:
+                                    row["system_init_ms"] = val
                             fp += flen
                         out.append(row)
                         p = fp
@@ -517,6 +536,21 @@ def parse_options(raw: DataFrame, payload_col: str = "value") -> DataFrame:
             )
 
     return raw.mapInPandas(kernel, OPTIONS_SCHEMA)
+
+
+def options_clock(options: DataFrame) -> dict:
+    """``{obs_domain: boot epoch ms}`` from options records carrying IE 160
+    (systemInitTimeMilliseconds), latest per exporter — pass to
+    :func:`parse_ipfix` as ``clock_by_domain``. Driver-side by design:
+    O(#exporters) rows, the same dimension-table pattern as
+    :func:`ipfix_extract_templates`."""
+    rows = (
+        options.where(F.col("system_init_ms").isNotNull())
+        .groupBy("obs_domain")
+        .agg(F.last("system_init_ms").alias("c"))
+        .collect()
+    )
+    return {int(r["obs_domain"]): int(r["c"]) for r in rows}
 
 
 def apply_options_sampling(flows: DataFrame, options: DataFrame) -> DataFrame:

@@ -345,6 +345,36 @@ def test_ipfix_options_sampling_and_enrichment(spark):
     assert enriched[0]["value"] == 350.0
 
 
+def test_ipfix_sysuptime_times_resolve_via_options_clock(spark):
+    """IPFIX records with v9-style FIRST/LAST_SWITCHED (22/21) have no
+    header clock; they stay NULL until an options-delivered IE 160 boot
+    clock (options_clock -> clock_by_domain) resolves them."""
+    fields = [(22, 4), (21, 4), (1, 4), (4, 1)]
+    rec = struct.pack(">IIIB", 5_000, 8_000, 42, 6)  # uptimes ms
+    dset = struct.pack(">HH", 330, 4 + len(rec)) + rec
+    flow_msg = ipfix_message([ipfix_template_set(tid=330, fields=fields), dset])
+
+    # without a clock: value parses, times NULL
+    rows = netflow.parse_ipfix(_raw(spark, [flow_msg])).collect()
+    assert rows[0]["value"] == 42.0
+    assert rows[0]["start_ms"] is None and rows[0]["end_ms"] is None
+
+    # options message: scope + systemInitTimeMilliseconds (IE 160)
+    boot = 1_600_000_000_000
+    tbody = struct.pack(">HHH", 600, 2, 1)
+    tbody += struct.pack(">HH", 149, 4)  # scope: observationDomainId
+    tbody += struct.pack(">HH", 160, 8)  # systemInitTimeMilliseconds
+    tset = struct.pack(">HH", 3, 4 + len(tbody)) + tbody
+    orec = struct.pack(">IQ", 7, boot)
+    odset = struct.pack(">HH", 600, 4 + len(orec)) + orec
+    opts = netflow.parse_options(_raw(spark, [ipfix_message([tset, odset])]))
+    clock = netflow.options_clock(opts)
+    assert clock == {7: boot}
+
+    rows = netflow.parse_ipfix(_raw(spark, [flow_msg]), clock_by_domain=clock).collect()
+    assert (rows[0]["start_ms"], rows[0]["end_ms"]) == (boot + 5_000, boot + 8_000)
+
+
 def test_parse_flows_mixed_versions(spark):
     v5 = v5_packet(
         [{"src": 1, "dst": 2, "octets": 100, "first": 0, "last": 10}],
