@@ -177,10 +177,27 @@ def proportional_sum(
         ]
         return spark.createDataFrame([], T.StructType(fields))
 
-    sweep_ok = p.kind == "fixed" and quantize is not None and not extra_aggs
+    # In this engine's UTC-only model (tz = null, reference parity) every
+    # calendar unit except month/year has CONSTANT bucket width, and its
+    # rounding is a fixed floor: trunc(t - off, unit) + off ==
+    # floor_fixed(t, unit_ms, off + unit_epoch_shift) (week shifts by 4
+    # days: 1970-01-01 was a Thursday, weeks floor to Monday). Sweep
+    # therefore covers those units via an equivalent fixed-params rewrite;
+    # only month/year (genuinely variable width) stay explode-only.
+    sweep_p = p
+    if p.kind == "calendar" and p.unit not in ("month", "year"):
+        from ..params import CALENDAR_UNIT_MS_MIN
+
+        shift = 4 * 86400000 if p.unit == "week" else 0
+        sweep_p = PSumParams(
+            "fixed", CALENDAR_UNIT_MS_MIN[p.unit], None, p.offset_ms + shift,
+            p.start, p.end, p.min_doc_count, p.extended_bounds,
+        )
+    sweep_ok = sweep_p.kind == "fixed" and quantize is not None and not extra_aggs
     if strategy == "sweep" and not sweep_ok:
         raise ValueError(
-            "strategy='sweep' requires a fixed interval, quantize, and no extra_aggs"
+            "strategy='sweep' requires a fixed-width interval (fixed, or any "
+            "calendar unit except month/year), quantize, and no extra_aggs"
         )
     if strategy not in ("auto", "sweep", "explode"):
         raise ValueError(f"unknown strategy: {strategy!r}")
@@ -197,7 +214,7 @@ def proportional_sum(
             end_col,
             value_col,
             sampling_col,
-            p,
+            sweep_p,
             list(group_by),
             quantize,
             validate,

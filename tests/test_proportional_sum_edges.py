@@ -150,6 +150,41 @@ def test_group_by_and_extra_aggs(spark):
     assert by_tag[("a", 0)] == (1.0, 1.0) and by_tag[("b", 0)] == (3.0, 3.0)
 
 
+DAY_MS = 86_400_000
+
+
+def test_sweep_covers_fixed_width_calendar_units(spark):
+    """Calendar day/week/hour are constant-width under UTC-only rounding,
+    so sweep must be BIT-identical to explode for them (same quantize
+    guarantee as fixed intervals); month stays explode-only."""
+    import random
+
+    rnd = random.Random(11)
+    base = 1_700_000_000_000
+    rows = []
+    for i in range(120):
+        s = base + rnd.randint(0, 90 * DAY_MS)
+        rows.append(
+            (s, s + rnd.randint(0, 40 * DAY_MS), float(rnd.randint(-50, 200)), None)
+        )
+    rows.append((base, base, 7.0, None))  # zero-duration
+    df = spark.createDataFrame(rows, SCHEMA)
+    for unit, off in (("day", 0), ("day", 3_600_001), ("week", 0), ("week", 5), ("hour", 0)):
+        kw = dict(calendar_interval=unit, offset=off, quantize=6)
+        a = proportional_sum(
+            df, "start_ms", "end_ms", "value", "sampling", strategy="sweep", **kw
+        ).collect()
+        b = proportional_sum(
+            df, "start_ms", "end_ms", "value", "sampling", strategy="explode", **kw
+        ).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b], (unit, off)
+    with pytest.raises(ValueError, match="month/year"):
+        proportional_sum(
+            df, "start_ms", "end_ms", "value", "sampling",
+            calendar_interval="month", quantize=6, strategy="sweep",
+        )
+
+
 def test_bucket_pipeline_golden(spark):
     """ES pipeline-agg semantics over the bucket list: cumulative sum,
     first-derivative (NULL for the first bucket, like ES derivative),
