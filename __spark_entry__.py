@@ -217,6 +217,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         gap_ms=HOUR,
         order_tiebreak=("flow_id",),
     )
+    # hot-key skew variant: time-chunked two-phase plan, SAME oracle as the
+    # plain operator (output contract: row-identical)
+    q["flow_sessions_chunked"] = lambda s, d: sessionize.sessionize_chunked(
+        flows_src.events_flows(s, d),
+        ["event_type", "user_id"],
+        "start_ms",
+        "end_ms",
+        "value",
+        gap_ms=HOUR,
+        chunk_ms=DAY,
+        order_tiebreak=("flow_id",),
+    )
     # --- LLM-pipeline extensions (BASELINE.json north star) ---
     q.update(stats.queries())
     q.update(relational.queries())
@@ -283,6 +295,12 @@ def oracle_sql() -> dict[str, str]:
             "strftime(make_timestamp(key * 1000), '%Y-%m-%d %H:%M') AS key_as_string",
         ),
         "flow_sessions": sessionize.sessionize_sql(
+            flows_src.events_flows_duckdb_sql(""),
+            ["event_type", "user_id"],
+            gap_ms=HOUR,
+            order_tiebreak=("flow_id",),
+        ),
+        "flow_sessions_chunked": sessionize.sessionize_sql(
             flows_src.events_flows_duckdb_sql(""),
             ["event_type", "user_id"],
             gap_ms=HOUR,

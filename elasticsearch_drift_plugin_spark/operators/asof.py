@@ -177,9 +177,16 @@ def _events_with_custkey(events: DataFrame, customer: DataFrame) -> DataFrame:
     ).select("event_id", "ck", F.expr("__raw_ts div 1000000").alias("t_ms"))
 
 
-def latest_order_asof(events: DataFrame, customer: DataFrame, orders: DataFrame) -> DataFrame:
+def latest_order_asof(
+    events: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    chunk_ms: int | None = None,
+) -> DataFrame:
     """(event_id, okey): each event's owning customer's most recent order
-    placed at-or-before the event (NULL if none)."""
+    placed at-or-before the event (NULL if none). ``chunk_ms`` switches to
+    the time-chunked hot-key plan (:func:`asof_join_chunked`) — same
+    output by contract, so both run against the same oracle."""
     ev = _events_with_custkey(events, customer)
     # right side: one row per (cust, date) — max orderkey breaks date ties
     o = (
@@ -191,9 +198,11 @@ def latest_order_asof(events: DataFrame, customer: DataFrame, orders: DataFrame)
         .groupBy("ck", "t_ms")
         .agg(F.max("okey").alias("okey"))
     )
-    return asof_join(ev, o, "ck", "t_ms", "t_ms", "okey").select(
-        "event_id", "okey"
-    ).orderBy("event_id")
+    if chunk_ms is not None:
+        joined = asof_join_chunked(ev, o, "ck", "t_ms", "t_ms", "okey", chunk_ms)
+    else:
+        joined = asof_join(ev, o, "ck", "t_ms", "t_ms", "okey")
+    return joined.select("event_id", "okey").orderBy("event_id")
 
 
 ASOF_SQL = """
@@ -221,8 +230,16 @@ def queries() -> dict:
             load_table(s, d, "customer"),
             load_table(s, d, "orders"),
         ),
+        # hot-key skew variant (time-chunked carry pre-aggregation); output
+        # contract is row-identity, so the SAME DuckDB ASOF oracle applies
+        "rel_asof_chunked": lambda s, d: latest_order_asof(
+            load_table(s, d, "events"),
+            load_table(s, d, "customer"),
+            load_table(s, d, "orders"),
+            chunk_ms=30 * 86_400_000,
+        ),
     }
 
 
 def oracle_sql() -> dict:
-    return {"rel_asof_latest_order": ASOF_SQL}
+    return {"rel_asof_latest_order": ASOF_SQL, "rel_asof_chunked": ASOF_SQL}
