@@ -28,6 +28,7 @@ from elasticsearch_drift_plugin_spark.oracle import psum_oracle_sql
 from elasticsearch_drift_plugin_spark.sources import flows as flows_src
 from elasticsearch_drift_plugin_spark.operators import (
     asof,
+    components,
     corpus,
     dedup,
     multimodal,
@@ -234,6 +235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(relational.queries())
     q.update(asof.queries())
     q.update(dedup.queries())
+    q.update(components.queries())
     q.update(similarity.queries())
     q.update(text.queries())
     q.update(corpus.queries())
@@ -315,6 +317,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(relational.oracle_sql())
     o.update(asof.oracle_sql())
     o.update(dedup.oracle_sql())
+    o.update(components.oracle_sql())
     o.update(similarity.oracle_sql())
     o.update(text.oracle_sql())
     o.update(corpus.oracle_sql())

@@ -1,0 +1,205 @@
+"""Connected components over candidate-duplicate pairs.
+
+The dedup family (dedup.py) emits *pairs* — MinHash/LSH band collisions,
+SimHash matches, embedding near-dups. A training-data pipeline then needs
+pairs -> clusters -> one canonical survivor per cluster; transitive closure
+over the pair graph is what turns "A~B, B~C" into one dedup group {A,B,C}.
+The reference has no graph surface at all (SURVEY.md §2.2 — no joins/set
+ops); this is a north-star extension built for the 100 TB shape.
+
+Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) expressed as DataFrame
+aggregations + joins:
+
+- large-star: every node connects its strictly-larger neighbors to its
+  minimum neighborhood label;
+- small-star: every node connects its not-larger neighbors (and itself) to
+  the minimum of that set.
+
+Both steps are a groupBy(min) + an equi-join on the node key — partial
+aggregation map-side, one shuffle per step, never materializing a
+neighborhood list wider than the join. Converges to a star forest in
+O(log^2 n) rounds w.h.p. (empirically a handful); each round is
+localCheckpoint-ed so the iterative plan does not accumulate lineage —
+the same pattern a cluster deployment would run with a checkpoint dir.
+
+Contrast with the naive min-label propagation (O(diameter) rounds — a
+50-node chain needs 50 rounds; large/small-star needs 4) and with any
+driver-side union-find (single-machine memory = not 100 TB viable).
+
+The DuckDB oracle is a recursive CTE computing full reachability and
+taking MIN over reached nodes — exponentially worse asymptotically, but
+exact at oracle scale, and algorithm-independent: it pins the *semantics*
+(component = min reachable id) rather than mirroring the star algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(u,v) edges -> for each node, link larger neighbors to the min label."""
+    bidir = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = bidir.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = mins.select("u", F.least("u", "mv").alias("m"))
+    return (
+        bidir.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Key each edge by its larger endpoint; link the smaller ones (and the
+    key itself) to the minimum of the group."""
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    relinked = (
+        directed.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+    )
+    self_links = mins.select("u", F.col("m").alias("v"))
+    return relinked.unionByName(self_links).distinct()
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    # XOR, not SUM: overflow-free under ANSI mode, and a sound set
+    # fingerprint because the edge set is distinct at every round.
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """(node, component): transitive closure of an undirected pair graph;
+    ``component`` is the minimum node id reachable from ``node``.
+
+    Only nodes that appear in ``pairs`` are emitted (singletons have no
+    pair row — callers left-join the corpus and coalesce to self).
+
+    ``max_rounds`` is a circuit breaker, not a tuning knob: large/small-star
+    converges in O(log^2 n) rounds w.h.p., so hitting 25 means the input is
+    pathological; we raise rather than return a partial closure.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = _fingerprint(edges)
+    for _ in range(max_rounds):
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        cur = _fingerprint(nxt)
+        edges, done = nxt, cur == prev
+        prev = cur
+        if done:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    # Converged star forest: every edge links a member to its root (the
+    # component minimum). comp(node) = least(node, min neighbor): children
+    # see the root, the root sees a child (larger) and keeps itself.
+    bidir = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return (
+        bidir.groupBy("u")
+        .agg(F.least(F.col("u"), F.min("v")).alias("component"))
+        .select(F.col("u").alias("node"), "component")
+    )
+
+
+def component_summary(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> DataFrame:
+    """(doc_id, component, cluster_size): closure plus per-cluster size —
+    the table a dedup pipeline joins against the corpus to keep one
+    survivor (doc_id == component) per duplicate group.
+    """
+    comp = connected_components(pairs, src=src, dst=dst)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("node").alias("doc_id"), "component", "cluster_size"
+        )
+        .orderBy("doc_id")
+    )
+
+
+JACC_KEEP_Q = 500_000  # verified-Jaccard >= 0.5 becomes a dedup edge
+
+
+def queries() -> dict:
+    from ..sources.flows import load_table
+    from . import dedup
+
+    return {
+        # MinHash/LSH verified pairs at j >= 0.5 -> transitive duplicate
+        # groups; survivor per group = the component id itself
+        "dedup_components": lambda s, d: component_summary(
+            dedup.minhash_lsh_pairs(load_table(s, d, "documents")).where(
+                F.col("jacc_q") >= JACC_KEEP_Q
+            )
+        ),
+    }
+
+
+def oracle_sql() -> dict:
+    from . import dedup
+
+    return {
+        "dedup_components": components_oracle_sql(
+            dedup.minhash_pairs_sql(), f"WHERE jacc_q >= {JACC_KEEP_Q}"
+        ),
+    }
+
+
+def components_oracle_sql(pairs_sql: str, threshold_clause: str = "") -> str:
+    """DuckDB twin: full reachability via a recursive CTE, component = MIN
+    over reached nodes. Semantics-pinning, not algorithm-mirroring."""
+    return f"""
+WITH RECURSIVE __pairs AS ({pairs_sql}),
+__p AS (SELECT doc_a, doc_b FROM __pairs {threshold_clause}),
+__edges AS (
+  SELECT doc_a AS s, doc_b AS t FROM __p
+  UNION
+  SELECT doc_b AS s, doc_a AS t FROM __p
+),
+__nodes AS (SELECT DISTINCT s AS node FROM __edges),
+__walk(node, reach) AS (
+  SELECT node, node FROM __nodes
+  UNION
+  SELECT w.node, e.t FROM __walk w JOIN __edges e ON e.s = w.reach
+),
+__comp AS (
+  SELECT node, MIN(reach) AS component FROM __walk GROUP BY node
+),
+__sizes AS (
+  SELECT component, COUNT(*) AS cluster_size FROM __comp GROUP BY component
+)
+SELECT c.node AS doc_id, c.component, s.cluster_size
+FROM __comp c JOIN __sizes s USING (component)
+ORDER BY doc_id
+"""

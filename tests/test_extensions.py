@@ -479,3 +479,74 @@ def test_sessionize_chunked_equals_plain_on_skewed_key(spark):
             ).collect()
         ]
         assert chunked == plain, chunk
+
+
+# --------------------------------------------------------------------------
+# connected components (operators/components.py)
+# --------------------------------------------------------------------------
+def _cc_bruteforce(edges):
+    """Driver-side union-find ground truth for small fixtures."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _cc_spark(spark, edges, **kw):
+    from elasticsearch_drift_plugin_spark.operators.components import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "doc_a long, doc_b long"
+    )
+    return {
+        r["node"]: r["component"]
+        for r in connected_components(df, **kw).collect()
+    }
+
+
+def test_components_chain_star_and_singleton_pairs(spark):
+    # a 60-node chain (worst case for naive min-propagation: O(n) rounds;
+    # large/small-star closes it in a handful), a star, one isolated pair,
+    # and a self-loop that must be dropped
+    chain = [(i, i + 1) for i in range(100, 160)]
+    star = [(500, x) for x in (501, 502, 503)]
+    edges = chain + star + [(900, 901), (77, 77)]
+    got = _cc_spark(spark, edges)
+    want = _cc_bruteforce([(a, b) for a, b in edges if a != b])
+    assert got == want
+    assert got[159] == 100 and got[503] == 500 and got[901] == 900
+    assert 77 not in got  # self-loop only => not a pair participant
+
+
+def test_components_random_graph_matches_union_find(spark):
+    import random
+
+    rng = random.Random(42)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    assert _cc_spark(spark, edges) == _cc_bruteforce(edges)
+
+
+def test_component_summary_sizes(spark):
+    from elasticsearch_drift_plugin_spark.operators.components import (
+        component_summary,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    rows = {r["doc_id"]: r for r in component_summary(df).collect()}
+    assert rows[3]["component"] == 1 and rows[3]["cluster_size"] == 3
+    assert rows[11]["component"] == 10 and rows[11]["cluster_size"] == 2
