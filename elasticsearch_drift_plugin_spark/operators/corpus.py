@@ -296,6 +296,110 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# global span dedup (C4-style)
+# --------------------------------------------------------------------------
+SPAN_TOKENS = 8
+
+
+def span_dedup(
+    docs: DataFrame,
+    chunk: int = SPAN_TOKENS,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_spans, dup_spans, cleaned_md5): C4-style global span
+    dedup — the corpus keeps only the globally FIRST occurrence (min
+    (doc_id, position)) of every ``chunk``-token span; all later
+    occurrences are removed. ``cleaned_md5`` hashes the document's
+    surviving spans in order, proving the reconstruction, without carrying
+    the cleaned text through the comparison.
+
+    C4 removed any three-sentence span occurring more than once in the
+    corpus (Raffel et al. 2020, §2.2); with no sentence boundaries in the
+    corpus this uses fixed ``chunk``-token windows as the span unit.
+    Documents shorter than one span are excluded (no span to judge).
+
+    Scale shape: spans are grouped on a 60-bit md5 of the span text, so
+    the winner aggregation and the winner join both shuffle 8-byte keys,
+    never span text; the winner per span is ``min(struct(doc_id, pos))``
+    — a hash aggregate with map-side partial combine, so a boilerplate
+    span occurring 10^9 times collapses to one row per map task before
+    the shuffle (a ranking window partitioned by span would instead sort
+    the full hot partition). The reconstruction is a per-doc
+    sort_array over (pos, span) structs — bounded by document length.
+    """
+    toks = F.split(F.col(content_col), " ")
+    spans = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("l"))
+        .where(F.size("l") >= chunk)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(l) div {chunk} - 1),"
+                    f" i -> array_join(slice(l, i * {chunk} + 1, {chunk}), ' '))"
+                )
+            ).alias("pos", "span"),
+        )
+        .withColumn("g", md5_hash60(F.col("span")))
+    )
+    winners = spans.groupBy("g").agg(
+        F.min(F.struct("doc_id", "pos")).alias("w")
+    )
+    marked = spans.join(winners, "g").select(
+        "doc_id",
+        "pos",
+        "span",
+        (
+            (F.col("doc_id") == F.col("w.doc_id")) & (F.col("pos") == F.col("w.pos"))
+        ).alias("kept"),
+    )
+    kept_spans = F.array_sort(
+        F.collect_list(F.when(F.col("kept"), F.struct("pos", "span")))
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias("dup_spans"),
+            F.md5(
+                F.array_join(
+                    F.transform(kept_spans, lambda s: s["span"]), " "
+                )
+            ).alias("cleaned_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def span_dedup_sql(chunk: int = SPAN_TOKENS) -> str:
+    """DuckDB twin keyed on the raw span text (semantics-pinning; the
+    Spark side's 60-bit hash key is an implementation detail)."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+  WHERE len(string_split(text, ' ')) >= {chunk}
+),
+spans AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(l[i * {chunk} + 1 : i * {chunk} + {chunk}], ' ') AS span
+  FROM (SELECT doc_id, l, unnest(range(0, len(l) // {chunk})) AS i FROM t)
+),
+marked AS (
+  SELECT doc_id, pos, span,
+         ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+  FROM spans
+)
+SELECT doc_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS dup_spans,
+       md5(COALESCE(string_agg(span, ' ' ORDER BY pos) FILTER (WHERE rn = 1), ''))
+         AS cleaned_md5
+FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def queries() -> dict:
     return {
         "corpus_tfidf_top": lambda s, d: tfidf_top_terms(load_table(s, d, "documents")),
@@ -303,6 +407,7 @@ def queries() -> dict:
             load_table(s, d, "documents").where("source <> 'src0'"),
             load_table(s, d, "documents").where("source = 'src0'"),
         ),
+        "corpus_span_dedup": lambda s, d: span_dedup(load_table(s, d, "documents")),
         "corpus_hash_sample": lambda s, d: hash_sample(
             load_table(s, d, "documents"),
             rate=0.25,
@@ -316,6 +421,7 @@ def oracle_sql() -> dict:
     return {
         "corpus_tfidf_top": tfidf_sql(),
         "corpus_contamination": contamination_sql("source = 'src0'", "source <> 'src0'"),
+        "corpus_span_dedup": span_dedup_sql(),
         "corpus_hash_sample": hash_sample_sql(
             rate=0.25, strata_col="source", strata_rates={"src0": 1.0}
         ),

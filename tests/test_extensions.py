@@ -550,3 +550,32 @@ def test_component_summary_sizes(spark):
     rows = {r["doc_id"]: r for r in component_summary(df).collect()}
     assert rows[3]["component"] == 1 and rows[3]["cluster_size"] == 3
     assert rows[11]["component"] == 10 and rows[11]["cluster_size"] == 2
+
+
+def test_span_dedup_first_occurrence_semantics(spark):
+    import hashlib
+
+    from elasticsearch_drift_plugin_spark.operators.corpus import span_dedup
+
+    # chunk=2: doc 1 = [A B][C D], doc 2 = [C D][E F] (span "c d" duplicates
+    # doc 1 pos 1), doc 3 = [A B][A B] (intra-doc duplicate: pos 0 wins),
+    # doc 4 = one token -> no full span, excluded
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "c d e f"),
+            (3, "a b a b"),
+            (4, "x"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in span_dedup(docs, chunk=2).collect()}
+    assert sorted(rows) == [1, 2, 3]
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert rows[1]["dup_spans"] == 0 and rows[1]["cleaned_md5"] == h("a b c d")
+    assert rows[2]["dup_spans"] == 1 and rows[2]["cleaned_md5"] == h("e f")
+    # doc 3: "a b" already kept by doc 1 -> both occurrences removed
+    assert rows[3]["dup_spans"] == 2 and rows[3]["cleaned_md5"] == h("")
