@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import dot, l2_norm
+from ..functions.vectors import dot, l2_norm, lit_vec
 from ..sources.flows import load_table
 
 QUANT = 1_000_000
@@ -73,17 +73,23 @@ def cosine_topk(
 
 
 def lsh_buckets(emb: DataFrame, n_planes: int = N_PLANES, dim: int = DIM) -> DataFrame:
-    """(vec_id, bucket): sign-bit bucket under deterministic hyperplanes."""
-    v = _as_double(F.col("embedding"))
-    bucket = None
+    """(vec_id, bucket): sign-bit bucket under deterministic hyperplanes.
+
+    The whole 16-plane signature is ONE parsed expression (see
+    ``_cell_score_sql`` for why: per-element ``F.lit`` costs a py4j round
+    trip each; text costs one parse total)."""
+    bits = []
     for j in range(n_planes):
-        plane = F.array(*[F.lit(x) for x in hyperplane(j, dim)])
-        dj = F.aggregate(
-            F.zip_with(v, plane, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        arr = ",".join(f"{float(x)!r}D" for x in hyperplane(j, dim))
+        dj = (
+            f"aggregate(zip_with(__v, array({arr}), (x, y) -> x * y),"
+            f" 0.0D, (acc, x) -> acc + x)"
         )
-        bit = F.when(dj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return emb.select(F.col("vec_id"), bucket.cast("long").alias("bucket"))
+        bits.append(f"IF({dj} >= 0.0D, {1 << j}, 0)")
+    bucket = F.expr("CAST(" + " + ".join(bits) + " AS BIGINT)")
+    return emb.withColumn("__v", F.expr(_V_DOUBLE_SQL)).select(
+        F.col("vec_id"), bucket.alias("bucket")
+    )
 
 
 def lsh_bucket_histogram(emb: DataFrame) -> DataFrame:
@@ -122,33 +128,36 @@ def _seed_centroids(emb: DataFrame, n_centroids: int, id_col: str = "vec_id"):
     return cents
 
 
-def _cell_score_q(v, vec: list[float], norm: float):
+_V_DOUBLE_SQL = "transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+def _cell_score_sql(vec: list[float], norm: float) -> str:
     # Assignment ranks by floor(dot(v, c)/|c| * 1e6): |v| is constant per row
     # so it cannot change the argmax and is omitted (the oracle omits it too —
     # consistency between engines is what matters, not cosine units).
-    cv = F.array(*[F.lit(x) for x in vec])
-    return F.floor(dot(v, cv) / F.lit(norm) * F.lit(float(QUANT)))
+    # Emitted as SQL text (referencing a prepared `__v` double array): the
+    # whole centroid table inlines in ONE parse instead of ~1e3 py4j calls —
+    # this runs per Lloyd iteration in kmeans_fit, so construction latency
+    # compounds.
+    arr = ",".join(f"{float(x)!r}D" for x in vec)
+    return (
+        f"floor(aggregate(zip_with(__v, array({arr}), (x, y) -> x * y),"
+        f" 0.0D, (acc, x) -> acc + x) / {float(norm)!r}D * {float(QUANT)!r}D)"
+    )
 
 
 def ivf_assign(emb: DataFrame, cents, id_col: str = "vec_id") -> DataFrame:
     """(vec_id, cell, embedding): nearest-centroid assignment, fully map-side
     — the centroid table is inlined as literals so the corpus is never
     shuffled and the whole argmax stays in codegen."""
-    v = _as_double(F.col("embedding"))
-    best = F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    _cell_score_q(v, vec, nm).alias("s"),
-                    F.lit(-cid).alias("neg_cid"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, vec, nm in cents
-            ]
-        )
+    structs = ",".join(
+        f"named_struct('s', {_cell_score_sql(vec, nm)},"
+        f" 'neg_cid', {-cid}, 'cid', {cid})"
+        for cid, vec, nm in cents
     )
-    return emb.select(
-        F.col(id_col), F.col("embedding"), best.getField("cid").alias("cell")
+    best = F.expr(f"array_max(array({structs})).cid")
+    return emb.withColumn("__v", F.expr(_V_DOUBLE_SQL)).select(
+        F.col(id_col), F.col("embedding"), best.alias("cell")
     )
 
 
@@ -169,25 +178,16 @@ def ivf_topk(
     cents = _seed_centroids(corpus, n_centroids, id_col)
     assigned = ivf_assign(corpus, cents, id_col)
 
-    qv = _as_double(F.col("embedding"))
-    probe_cells = F.slice(
-        F.array_sort(
-            F.array(
-                *[
-                    F.struct(
-                        (-_cell_score_q(qv, vec, nm)).alias("neg_s"),
-                        F.lit(cid).alias("cid"),
-                    )
-                    for cid, vec, nm in cents
-                ]
-            )
-        ),
-        1,
-        nprobe,
+    probe_structs = ",".join(
+        f"named_struct('neg_s', -({_cell_score_sql(vec, nm)}), 'cid', {cid})"
+        for cid, vec, nm in cents
     )
-    probes = queries.select(
+    probe_cells = F.expr(
+        f"slice(array_sort(array({probe_structs})), 1, {nprobe})"
+    )
+    probes = queries.withColumn("__v", F.expr(_V_DOUBLE_SQL)).select(
         F.col(id_col).alias("query_id"),
-        qv.alias("qv"),
+        F.col("__v").alias("qv"),
         F.explode(probe_cells).alias("p"),
     ).select("query_id", "qv", F.col("p.cid").alias("cell"))
 
@@ -361,7 +361,7 @@ def kmeans_cost_q(emb: DataFrame, cents, id_col: str = "vec_id") -> int:
         F.array(
             *[
                 F.struct(
-                    (dot(v, F.array(*[F.lit(x) for x in vec])) / (l2_norm(v) * F.lit(nm))).alias("c"),
+                    (dot(v, lit_vec(vec)) / (l2_norm(v) * F.lit(nm))).alias("c"),
                     F.lit(cid).alias("cid"),
                 )
                 for cid, vec, nm in cents
