@@ -31,6 +31,7 @@ from elasticsearch_drift_plugin_spark.operators import (
     components,
     corpus,
     dedup,
+    es_aggs,
     multimodal,
     pipeline,
     relational,
@@ -236,6 +237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(asof.queries())
     q.update(dedup.queries())
     q.update(components.queries())
+    q.update(es_aggs.queries())
     q.update(similarity.queries())
     q.update(text.queries())
     q.update(corpus.queries())
@@ -318,6 +320,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(asof.oracle_sql())
     o.update(dedup.oracle_sql())
     o.update(components.oracle_sql())
+    o.update(es_aggs.oracle_sql())
     o.update(similarity.oracle_sql())
     o.update(text.oracle_sql())
     o.update(corpus.oracle_sql())

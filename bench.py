@@ -56,6 +56,10 @@ BENCH_QUERIES = [
     "corpus_tfidf_top",
     "corpus_contamination",
     "corpus_span_dedup",
+    "es_terms_top_users",
+    "es_range_value",
+    "es_histogram_value",
+    "es_extended_stats",
     "dedup_components",
     "mm_metadata",
     "mm_decode",

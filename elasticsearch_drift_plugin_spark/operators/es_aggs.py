@@ -1,0 +1,384 @@
+"""Host-Elasticsearch sibling aggregations, engine-native.
+
+The reference plugin runs INSIDE an ES `_search` aggregation tree: a real
+query mixes `proportional_sum` with the stock ES bucket/metric aggs —
+`terms`, `range`, `histogram`, `stats`/`extended_stats` — and a plain `sum`
+sibling appears in the reference's own README example
+(`/root/reference/README.md:108-113`). SURVEY.md §2.2 declares these
+host-ES surfaces; this module makes the common ones first-class engine
+operators so a reference user can port an entire search body, not just the
+drift agg.
+
+Semantics follow the public ES aggregation contracts:
+
+- ``terms``: top-``size`` buckets, default order doc_count desc with key
+  asc tie-break; ``min_doc_count`` prunes rare terms.
+- ``range``: half-open ``[from, to)`` buckets; ranges may overlap — a doc
+  lands in EVERY range containing it; missing bound = unbounded; bucket
+  key is ``"from-to"`` with ``*`` for an open bound.
+- ``histogram``: numeric (non-time) buckets at
+  ``floor((v - offset) / interval) * interval + offset``, ``min_doc_count``
+  filter; the time variant is the reference's own operator
+  (proportional_sum generalizes ES date_histogram —
+  `ProportionalSumAggregationBuilder.java`).
+- ``extended_stats``: count/min/max/sum/avg/variance. Sums, mean, and
+  variance are exact integer arithmetic over 1e-6-quantized values
+  (DECIMAL(38,0) for the squared sums — a quantized double squared
+  overflows BIGINT), so cross-engine hashes cannot drift; variance uses
+  ``var_pop = (n·Σx² − (Σx)²) / n²`` in integer quanta².
+
+Scale: every agg here is one partial+final hash aggregation — map-side
+combine, a single shuffle on the bucket key. ``range`` fans out via a
+literal range table (`explode` over a filtered constant array — fan-out
+bounded by #ranges, membership evaluated in codegen). ``terms``'s final
+top-``size`` is a sort of #distinct-terms rows AFTER the aggregation, the
+same reduce ES runs on the coordinating node.
+
+NaN/NULL: ES metric aggs skip docs whose field is missing; the fixtures
+seed NULL and NaN rows, and both engines filter them identically
+(`value IS NOT NULL AND NOT isnan(value)`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.flows import load_table
+
+QUANT = 1_000_000
+
+
+def terms_agg(
+    df: DataFrame,
+    field: str,
+    size: int = 10,
+    min_doc_count: int = 1,
+    value_col: str | None = None,
+) -> DataFrame:
+    """(key, doc_count[, value_q]): ES ``terms`` top-``size`` buckets,
+    doc_count desc / key asc, with an optional quantized sum sub-agg."""
+    aggs = [F.count(F.lit(1)).alias("doc_count")]
+    if value_col is not None:
+        aggs.append(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col(value_col).isNotNull() & ~F.isnan(value_col),
+                        F.floor(F.col(value_col) * F.lit(float(QUANT))),
+                    )
+                ),
+                F.lit(0),
+            ).alias("value_q")
+        )
+    out = (
+        df.groupBy(F.col(field).alias("key"))
+        .agg(*aggs)
+        .where(F.col("doc_count") >= min_doc_count)
+        .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+        .limit(size)
+    )
+    return out
+
+
+def terms_sql(
+    src: str,
+    field: str,
+    size: int = 10,
+    min_doc_count: int = 1,
+    value_col: str | None = None,
+) -> str:
+    val = (
+        f", COALESCE(SUM(CASE WHEN {value_col} IS NOT NULL AND NOT isnan({value_col})"
+        f" THEN CAST(FLOOR({value_col} * {float(QUANT)}) AS BIGINT) END), 0) AS value_q"
+        if value_col
+        else ""
+    )
+    return f"""
+SELECT {field} AS key, COUNT(*) AS doc_count{val}
+FROM {src} GROUP BY {field}
+HAVING COUNT(*) >= {min_doc_count}
+ORDER BY doc_count DESC, key ASC LIMIT {size}
+"""
+
+
+def range_agg(
+    df: DataFrame,
+    field: str,
+    ranges: list[tuple[float | None, float | None]],
+    value_col: str | None = None,
+) -> DataFrame:
+    """(key, range_from, range_to, doc_count[, value_q]): ES ``range``
+    buckets. A doc joins every ``[from, to)`` range containing its value;
+    ``None`` = unbounded. Empty ranges still emit a zero row (ES always
+    returns every requested range).
+
+    The range table is a constant literal array filtered per row in
+    codegen, then exploded — fan-out ≤ #ranges, no join, no shuffle until
+    the final aggregation.
+    """
+    def _key(lo, hi):
+        return f"{'*' if lo is None else format(float(lo), 'g')}-" + (
+            "*" if hi is None else format(float(hi), "g")
+        )
+
+    structs = ",".join(
+        "named_struct('key', '{k}', 'lo', {lo}, 'hi', {hi})".format(
+            k=_key(lo, hi),
+            lo="CAST(NULL AS DOUBLE)" if lo is None else f"{float(lo)!r}D",
+            hi="CAST(NULL AS DOUBLE)" if hi is None else f"{float(hi)!r}D",
+        )
+        for lo, hi in ranges
+    )
+    member = (
+        f"filter(array({structs}), r ->"
+        f" (r.lo IS NULL OR {field} >= r.lo) AND (r.hi IS NULL OR {field} < r.hi))"
+    )
+    hit = df.where(
+        F.col(field).isNotNull() & ~F.isnan(field)
+    ).select(
+        F.explode(F.expr(member)).alias("r"),
+        *( [F.col(value_col)] if value_col else [] ),
+    )
+    aggs = [F.count(F.lit(1)).alias("doc_count")]
+    if value_col is not None:
+        aggs.append(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col(value_col).isNotNull() & ~F.isnan(value_col),
+                        F.floor(F.col(value_col) * F.lit(float(QUANT))),
+                    )
+                ),
+                F.lit(0),
+            ).alias("value_q")
+        )
+    got = hit.groupBy(F.col("r.key").alias("key")).agg(*aggs)
+    spine = F.expr(
+        "array(" + structs + ")"
+    )
+    empty_cols = [F.lit(0).cast("long").alias("doc_count")]
+    if value_col is not None:
+        empty_cols.append(F.lit(0).cast("long").alias("value_q"))
+    all_ranges = (
+        df.sparkSession.range(1)
+        .select(F.explode(spine).alias("r"))
+        .select(
+            F.col("r.key").alias("key"),
+            F.col("r.lo").alias("range_from"),
+            F.col("r.hi").alias("range_to"),
+        )
+    )
+    # join on the (unique) bucket key only: an equality join on the bound
+    # columns would silently drop unbounded ranges (NULL != NULL)
+    filled = (
+        all_ranges.join(got, ["key"], "left")
+        .select(
+            "key",
+            "range_from",
+            "range_to",
+            F.coalesce(F.col("doc_count"), F.lit(0)).alias("doc_count"),
+            *(
+                [F.coalesce(F.col("value_q"), F.lit(0)).alias("value_q")]
+                if value_col
+                else []
+            ),
+        )
+        .orderBy("key")
+    )
+    return filled
+
+
+def range_sql(
+    src: str,
+    field: str,
+    ranges: list[tuple[float | None, float | None]],
+    value_col: str | None = None,
+) -> str:
+    def _key(lo, hi):
+        return f"{'*' if lo is None else format(float(lo), 'g')}-" + (
+            "*" if hi is None else format(float(hi), "g")
+        )
+
+    rows = ", ".join(
+        "({lo}, {hi}, '{k}')".format(
+            lo="CAST(NULL AS DOUBLE)" if lo is None else repr(float(lo)),
+            hi="CAST(NULL AS DOUBLE)" if hi is None else repr(float(hi)),
+            k=_key(lo, hi),
+        )
+        for lo, hi in ranges
+    )
+    val = (
+        f", COALESCE(SUM(CASE WHEN v.{value_col} IS NOT NULL AND NOT isnan(v.{value_col})"
+        f" THEN CAST(FLOOR(v.{value_col} * {float(QUANT)}) AS BIGINT) END), 0) AS value_q"
+        if value_col
+        else ""
+    )
+    return f"""
+WITH r(lo, hi, key) AS (VALUES {rows}),
+v AS (SELECT * FROM {src} WHERE {field} IS NOT NULL AND NOT isnan({field}))
+SELECT r.key AS key, r.lo AS range_from, r.hi AS range_to,
+       COUNT(v.{field}) AS doc_count{val}
+FROM r LEFT JOIN v ON (r.lo IS NULL OR v.{field} >= r.lo)
+                  AND (r.hi IS NULL OR v.{field} < r.hi)
+GROUP BY r.key, r.lo, r.hi
+ORDER BY key
+"""
+
+
+def histogram_agg(
+    df: DataFrame,
+    field: str,
+    interval: float,
+    offset: float = 0.0,
+    min_doc_count: int = 1,
+    value_col: str | None = None,
+) -> DataFrame:
+    """(key, doc_count[, value_q]): ES numeric ``histogram``. Bucket key =
+    ``floor((v - offset) / interval) * interval + offset`` (ES histogram
+    key contract). One partial+final aggregation."""
+    v = F.col(field)
+    key = (
+        F.floor((v - F.lit(float(offset))) / F.lit(float(interval)))
+        * F.lit(float(interval))
+        + F.lit(float(offset))
+    )
+    aggs = [F.count(F.lit(1)).alias("doc_count")]
+    if value_col is not None:
+        aggs.append(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col(value_col).isNotNull() & ~F.isnan(value_col),
+                        F.floor(F.col(value_col) * F.lit(float(QUANT))),
+                    )
+                ),
+                F.lit(0),
+            ).alias("value_q")
+        )
+    return (
+        df.where(v.isNotNull() & ~F.isnan(field))
+        .groupBy(key.alias("key"))
+        .agg(*aggs)
+        .where(F.col("doc_count") >= min_doc_count)
+        .orderBy("key")
+    )
+
+
+def histogram_sql(
+    src: str,
+    field: str,
+    interval: float,
+    offset: float = 0.0,
+    min_doc_count: int = 1,
+    value_col: str | None = None,
+) -> str:
+    val = (
+        f", COALESCE(SUM(CASE WHEN {value_col} IS NOT NULL AND NOT isnan({value_col})"
+        f" THEN CAST(FLOOR({value_col} * {float(QUANT)}) AS BIGINT) END), 0) AS value_q"
+        if value_col
+        else ""
+    )
+    return f"""
+SELECT FLOOR(({field} - {float(offset)}) / {float(interval)}) * {float(interval)}
+         + {float(offset)} AS key,
+       COUNT(*) AS doc_count{val}
+FROM {src}
+WHERE {field} IS NOT NULL AND NOT isnan({field})
+GROUP BY 1 HAVING COUNT(*) >= {min_doc_count}
+ORDER BY key
+"""
+
+
+def extended_stats_agg(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """(group..., count, min, max, sum_q, avg_q, var_q): ES
+    ``extended_stats``, deterministic across engines.
+
+    ``sum_q`` sums 1e-6-quantized values exactly (BIGINT); ``avg_q`` is the
+    integral quotient ``sum_q div count``; ``var_q`` applies
+    ``var_pop = (n·Σx² − (Σx)²) / n²`` entirely in DECIMAL(38,0) quanta² —
+    no float accumulation anywhere, so association order cannot flip a
+    digit. ``min``/``max`` are raw doubles (no arithmetic — both engines
+    return an input value bit-for-bit).
+    """
+    q = F.floor(F.col(value_col) * F.lit(float(QUANT)))
+    clean = df.where(F.col(value_col).isNotNull() & ~F.isnan(value_col)).select(
+        *group_cols, F.col(value_col).alias("__v"), q.alias("__q")
+    )
+    agg = clean.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("count"),
+        F.min("__v").alias("min"),
+        F.max("__v").alias("max"),
+        F.sum("__q").alias("sum_q"),
+        F.sum(F.col("__q").cast("decimal(38,0)") * F.col("__q")).alias("__sumsq"),
+    )
+    return agg.select(
+        *group_cols,
+        "count",
+        "min",
+        "max",
+        "sum_q",
+        F.expr("sum_q div count").alias("avg_q"),
+        F.expr(
+            "CAST((count * __sumsq - CAST(sum_q AS DECIMAL(38,0)) * sum_q)"
+            " div (CAST(count AS DECIMAL(38,0)) * count) AS DECIMAL(38,0))"
+        ).alias("var_q"),
+    ).orderBy(*group_cols)
+
+
+def extended_stats_sql(src: str, group_cols: list[str], value_col: str) -> str:
+    g = ", ".join(group_cols)
+    return f"""
+WITH clean AS (
+  SELECT {g}, {value_col} AS v, CAST(FLOOR({value_col} * {float(QUANT)}) AS BIGINT) AS q
+  FROM {src} WHERE {value_col} IS NOT NULL AND NOT isnan({value_col})
+),
+agg AS (
+  SELECT {g}, COUNT(*) AS count, MIN(v) AS min, MAX(v) AS max,
+         SUM(q) AS sum_q, SUM(CAST(q AS HUGEINT) * q) AS sumsq
+  FROM clean GROUP BY {g}
+)
+SELECT {g}, count, min, max, CAST(sum_q AS BIGINT) AS sum_q,
+       CAST(sum_q // count AS BIGINT) AS avg_q,
+       CAST((count * sumsq - CAST(sum_q AS HUGEINT) * sum_q)
+            // (CAST(count AS HUGEINT) * count) AS DECIMAL(38,0)) AS var_q
+FROM agg ORDER BY {g}
+"""
+
+
+# --------------------------------------------------------------------------
+# driver-contract registry
+# --------------------------------------------------------------------------
+_RANGES = [(None, 25.0), (25.0, 100.0), (50.0, 250.0), (250.0, None)]
+
+
+def queries() -> dict:
+    return {
+        "es_terms_top_users": lambda s, d: terms_agg(
+            load_table(s, d, "events"), "user_id", size=25, value_col="value"
+        ),
+        "es_range_value": lambda s, d: range_agg(
+            load_table(s, d, "events"), "value", _RANGES, value_col="value"
+        ),
+        "es_histogram_value": lambda s, d: histogram_agg(
+            load_table(s, d, "events"), "value", interval=50.0, offset=10.0,
+            min_doc_count=5, value_col="value"
+        ),
+        "es_extended_stats": lambda s, d: extended_stats_agg(
+            load_table(s, d, "events"), ["event_type"], "value"
+        ),
+    }
+
+
+def oracle_sql() -> dict:
+    return {
+        "es_terms_top_users": terms_sql("events", "user_id", size=25, value_col="value"),
+        "es_range_value": range_sql("events", "value", _RANGES, value_col="value"),
+        "es_histogram_value": histogram_sql(
+            "events", "value", interval=50.0, offset=10.0, min_doc_count=5,
+            value_col="value"
+        ),
+        "es_extended_stats": extended_stats_sql("events", ["event_type"], "value"),
+    }

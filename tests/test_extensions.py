@@ -579,3 +579,66 @@ def test_span_dedup_first_occurrence_semantics(spark):
     assert rows[2]["dup_spans"] == 1 and rows[2]["cleaned_md5"] == h("e f")
     # doc 3: "a b" already kept by doc 1 -> both occurrences removed
     assert rows[3]["dup_spans"] == 2 and rows[3]["cleaned_md5"] == h("")
+
+
+# --------------------------------------------------------------------------
+# ES sibling aggregations (operators/es_aggs.py)
+# --------------------------------------------------------------------------
+def test_es_range_overlap_unbounded_and_empty(spark):
+    from elasticsearch_drift_plugin_spark.operators.es_aggs import range_agg
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 30.0), (4, 300.0), (5, None), (6, float("nan"))],
+        "id long, value double",
+    )
+    ranges = [(None, 25.0), (25.0, 100.0), (20.0, 40.0), (1000.0, None)]
+    rows = {r["key"]: r for r in range_agg(df, "value", ranges).collect()}
+    assert rows["*-25"]["doc_count"] == 1          # half-open upper
+    assert rows["25-100"]["doc_count"] == 2
+    assert rows["20-40"]["doc_count"] == 2          # overlapping range double-counts
+    assert rows["1000-*"]["doc_count"] == 0         # empty range still emitted
+    assert rows["1000-*"]["range_to"] is None
+
+
+def test_es_terms_tiebreak_and_min_doc_count(spark):
+    from elasticsearch_drift_plugin_spark.operators.es_aggs import terms_agg
+
+    df = spark.createDataFrame(
+        [("b",), ("b",), ("a",), ("a",), ("c",)], "k string"
+    )
+    rows = terms_agg(df, "k", size=2).collect()
+    # equal counts -> key asc tie-break; size cuts 'c'
+    assert [(r["key"], r["doc_count"]) for r in rows] == [("a", 2), ("b", 2)]
+    rows = terms_agg(df, "k", size=10, min_doc_count=2).collect()
+    assert all(r["doc_count"] >= 2 for r in rows) and len(rows) == 2
+
+
+def test_es_extended_stats_exact_variance(spark):
+    from elasticsearch_drift_plugin_spark.operators.es_aggs import (
+        QUANT,
+        extended_stats_agg,
+    )
+
+    vals = [1.25, 2.5, 2.5, 10.0, 0.0]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals] + [("g", None), ("g", float("nan"))],
+        "grp string, value double",
+    )
+    r = extended_stats_agg(df, ["grp"], "value").collect()[0]
+    q = [int(v * QUANT) for v in vals]
+    n = len(q)
+    assert r["count"] == n and r["min"] == 0.0 and r["max"] == 10.0
+    assert r["sum_q"] == sum(q)
+    assert r["avg_q"] == sum(q) // n
+    assert int(r["var_q"]) == (n * sum(x * x for x in q) - sum(q) ** 2) // (n * n)
+
+
+def test_es_histogram_offset_keys(spark):
+    from elasticsearch_drift_plugin_spark.operators.es_aggs import histogram_agg
+
+    df = spark.createDataFrame(
+        [(9.0,), (10.0,), (59.9,), (60.0,), (-5.0,)], "value double"
+    )
+    rows = {r["key"]: r["doc_count"] for r in histogram_agg(df, "value", 50.0, offset=10.0).collect()}
+    # buckets: [-40,10) [10,60) [60,110)
+    assert rows == {-40.0: 2, 10.0: 2, 60.0: 1}

@@ -123,3 +123,36 @@ def test_flows_by_nation_broadcasts_dimensions(spark, tmp_path):
     plan = explain_str(flows_by_nation(ev, cust, nat))
     assert len(re.findall(r"BroadcastHashJoin \w+ Build", plan)) == 2
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_span_dedup_jvm_only_with_partial_aggs(spark):
+    from elasticsearch_drift_plugin_spark.operators.corpus import span_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    out = span_dedup(docs)
+    plan = explain_str(out)
+    # pure Catalyst: no Python eval anywhere in the span pipeline
+    assert not has_python_eval(out)
+    # the winner aggregation must have a map-side partial (hot boilerplate
+    # spans collapse before the shuffle) — partial+final pairs
+    assert plan.count("HashAggregate") >= 2
+    # shuffle keys are the 60-bit span hashes, never span text
+    assert "BroadcastExchange" not in plan
+
+
+def test_components_rounds_are_jvm_only(spark):
+    from elasticsearch_drift_plugin_spark.operators.components import (
+        _large_star,
+        _small_star,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+    for step in (_large_star, _small_star):
+        out = step(edges)
+        assert not has_python_eval(out)
+        plan = explain_str(out)
+        # min-label aggregation carries a map-side partial before its shuffle
+        assert plan.count("HashAggregate") >= 2
