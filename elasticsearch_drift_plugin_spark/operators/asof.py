@@ -31,10 +31,34 @@ def asof_join(
     left_time: str,
     right_time: str,
     payload: str,
+    direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
-    """Left as-of join: every left row, plus the ``payload`` of the latest
-    right row at-or-before its time (NULL when none). Output = left columns
-    + ``payload``."""
+    """Left as-of join: every left row, plus the ``payload`` of the matched
+    right row (NULL when none). Output = left columns + ``payload``.
+
+    ``direction`` (the pandas ``merge_asof`` surface):
+
+    - ``backward`` (default): latest right at-or-before the left time;
+    - ``forward``: earliest right at-or-after;
+    - ``nearest``: whichever of the two is closer in time; an exact tie in
+      distance resolves backward (deterministic, documented — engines
+      disagree on this edge otherwise).
+
+    ``tolerance`` (same time units as the time columns) drops matches
+    farther than the bound — applied per side before the ``nearest``
+    choice, exactly like pandas.
+
+    Still one union + one sorted window pass per key, O(left + right), no
+    fan-out: ``nearest`` evaluates a backward and a forward frame over the
+    SAME sort, so it costs one extra window function, not a second
+    shuffle."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest: {direction}")
+    # forward: right rows sort AFTER left at equal time so the
+    # current-row-inclusive following frame still sees them (>= contract);
+    # backward/nearest: right rows sort BEFORE left (<= contract)
+    rside_val = 2 if direction == "forward" else 0
     l = left.withColumn("__t", F.col(left_time)).withColumn("__side", F.lit(1))
     r = (
         right.select(
@@ -42,7 +66,7 @@ def asof_join(
             F.col(right_time).alias("__t"),
             F.col(payload).alias("__p"),
         )
-        .withColumn("__side", F.lit(0))
+        .withColumn("__side", F.lit(rside_val))
     )
     lcols = [c for c in left.columns]
     unioned = l.select(
@@ -58,14 +82,38 @@ def asof_join(
             "__p",
         )
     )
-    # right rows sort BEFORE left rows at equal time ⇒ "at-or-before" (<=)
-    w = (
-        Window.partitionBy(key)
-        .orderBy(F.col("__t"), F.col("__side"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    order = Window.partitionBy(key).orderBy(F.col("__t"), F.col("__side"))
+    wback = order.rowsBetween(Window.unboundedPreceding, 0)
+    wfwd = order.rowsBetween(0, Window.unboundedFollowing)
+    rmatch = F.when(F.col("__side") != 1, F.struct("__t", "__p"))
+    unioned = unioned.withColumn("__m", rmatch)
+
+    def _gate(m, dist):
+        ok = m.isNotNull()
+        if tolerance is not None:
+            ok = ok & (dist <= F.lit(int(tolerance)))
+        return ok
+
+    if direction == "backward":
+        m = F.last("__m", ignorenulls=True).over(wback)
+        out = F.when(_gate(m, F.col("__t") - m["__t"]), m["__p"])
+    elif direction == "forward":
+        m = F.first("__m", ignorenulls=True).over(wfwd)
+        out = F.when(_gate(m, m["__t"] - F.col("__t")), m["__p"])
+    else:  # nearest: both frames over one sort. An equal-time right row
+        # sorts into the backward frame only — the forward frame missing it
+        # is harmless because distance 0 always wins backward anyway.
+        b = F.last("__m", ignorenulls=True).over(wback)
+        f = F.first("__m", ignorenulls=True).over(wfwd)
+        bd, fd = F.col("__t") - b["__t"], f["__t"] - F.col("__t")
+        bok, fok = _gate(b, bd), _gate(f, fd)
+        out = (
+            F.when(bok & fok, F.when(fd < bd, f["__p"]).otherwise(b["__p"]))
+            .when(bok, b["__p"])
+            .when(fok, f["__p"])
+        )
     return (
-        unioned.withColumn(payload, F.last("__p", ignorenulls=True).over(w))
+        unioned.withColumn(payload, out)
         .where(F.col("__side") == 1)
         .select(*lcols, payload)
     )
@@ -182,11 +230,14 @@ def latest_order_asof(
     customer: DataFrame,
     orders: DataFrame,
     chunk_ms: int | None = None,
+    direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
-    """(event_id, okey): each event's owning customer's most recent order
-    placed at-or-before the event (NULL if none). ``chunk_ms`` switches to
-    the time-chunked hot-key plan (:func:`asof_join_chunked`) — same
-    output by contract, so both run against the same oracle."""
+    """(event_id, okey): each event's owning customer's matched order under
+    the given as-of ``direction``/``tolerance`` (NULL if none). ``chunk_ms``
+    switches to the time-chunked hot-key plan (:func:`asof_join_chunked`,
+    backward-only) — same output by contract, so both run against the same
+    oracle."""
     ev = _events_with_custkey(events, customer)
     # right side: one row per (cust, date) — max orderkey breaks date ties
     o = (
@@ -201,7 +252,10 @@ def latest_order_asof(
     if chunk_ms is not None:
         joined = asof_join_chunked(ev, o, "ck", "t_ms", "t_ms", "okey", chunk_ms)
     else:
-        joined = asof_join(ev, o, "ck", "t_ms", "t_ms", "okey")
+        joined = asof_join(
+            ev, o, "ck", "t_ms", "t_ms", "okey",
+            direction=direction, tolerance=tolerance,
+        )
     return joined.select("event_id", "okey").orderBy("event_id")
 
 
@@ -222,6 +276,54 @@ FROM ev ASOF LEFT JOIN o ON ev.ck = o.ck AND ev.t_ms >= o.t_ms
 ORDER BY ev.event_id
 """
 
+_ASOF_PRELUDE = """
+WITH ev AS (
+  SELECT event_id,
+         (((user_id % (SELECT COUNT(*) FROM customer))
+           + (SELECT COUNT(*) FROM customer)) % (SELECT COUNT(*) FROM customer)) + 1 AS ck,
+         epoch_ms(ts) AS t_ms
+  FROM events
+),
+o AS (
+  SELECT o_custkey AS ck, epoch_ms(o_orderdate) AS t_ms, max(o_orderkey) AS okey
+  FROM orders GROUP BY 1, 2
+)"""
+
+ASOF_FORWARD_SQL = f"""{_ASOF_PRELUDE}
+SELECT ev.event_id, o.okey
+FROM ev ASOF LEFT JOIN o ON ev.ck = o.ck AND ev.t_ms <= o.t_ms
+ORDER BY ev.event_id
+"""
+
+
+def asof_nearest_sql(tolerance_ms: int) -> str:
+    """Nearest = a backward and a forward ASOF join combined: tolerance
+    gates each side, smaller distance wins, exact tie resolves backward —
+    the same contract :func:`asof_join` documents."""
+    return f"""{_ASOF_PRELUDE},
+b AS (
+  SELECT ev.event_id, ev.t_ms, o.t_ms AS bt, o.okey AS bk
+  FROM ev ASOF LEFT JOIN o ON ev.ck = o.ck AND ev.t_ms >= o.t_ms
+),
+f AS (
+  SELECT ev.event_id, o.t_ms AS ft, o.okey AS fk
+  FROM ev ASOF LEFT JOIN o ON ev.ck = o.ck AND ev.t_ms <= o.t_ms
+)
+SELECT b.event_id,
+       CASE
+         WHEN bok AND fok THEN CASE WHEN ft - t_ms < t_ms - bt THEN fk ELSE bk END
+         WHEN bok THEN bk
+         WHEN fok THEN fk
+       END AS okey
+FROM (
+  SELECT b.*, f.ft, f.fk,
+         (bk IS NOT NULL AND t_ms - bt <= {int(tolerance_ms)}) AS bok,
+         (fk IS NOT NULL AND ft - t_ms <= {int(tolerance_ms)}) AS fok
+  FROM b JOIN f USING (event_id)
+) AS b
+ORDER BY b.event_id
+"""
+
 
 def queries() -> dict:
     return {
@@ -238,8 +340,26 @@ def queries() -> dict:
             load_table(s, d, "orders"),
             chunk_ms=30 * 86_400_000,
         ),
+        "rel_asof_forward": lambda s, d: latest_order_asof(
+            load_table(s, d, "events"),
+            load_table(s, d, "customer"),
+            load_table(s, d, "orders"),
+            direction="forward",
+        ),
+        "rel_asof_nearest": lambda s, d: latest_order_asof(
+            load_table(s, d, "events"),
+            load_table(s, d, "customer"),
+            load_table(s, d, "orders"),
+            direction="nearest",
+            tolerance=90 * 86_400_000,
+        ),
     }
 
 
 def oracle_sql() -> dict:
-    return {"rel_asof_latest_order": ASOF_SQL, "rel_asof_chunked": ASOF_SQL}
+    return {
+        "rel_asof_latest_order": ASOF_SQL,
+        "rel_asof_chunked": ASOF_SQL,
+        "rel_asof_forward": ASOF_FORWARD_SQL,
+        "rel_asof_nearest": asof_nearest_sql(90 * 86_400_000),
+    }

@@ -92,10 +92,34 @@ def stream_flow_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the batch ``exact_dedup`` aggregation (group
+    by content digest, min-id survivor + group size) as a streaming
+    aggregation over a bounded file replay of ``documents``.
+
+    An ingest pipeline runs exactly this shape continuously: the digest
+    groupBy is an incrementally-maintained state-store aggregate — new
+    files only touch the digests they contain; ``complete`` mode here makes
+    the memory sink the full table so the batch oracle applies verbatim.
+    The shuffle key is the 16-byte digest, never document text, identical
+    to the batch plan (operators/dedup.py::exact_dedup).
+    """
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    docs = spark.readStream.schema(schema).parquet(f"{sf_dir}/documents.parquet*")
+    agg = (
+        docs.groupBy(F.md5(F.col("text").cast("string")).alias("__digest"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("group_size"))
+        .select("keep_id", "group_size")
+    )
+    tbl = run_available_now(agg, "complete")
+    return tbl.orderBy("keep_id")
+
+
 def queries() -> dict:
     return {
         "stream_psum_6h": stream_psum_6h,
         "stream_flow_sessions": stream_flow_sessions,
+        "stream_dedup_exact": stream_dedup_exact,
     }
 
 
@@ -104,8 +128,11 @@ def oracle_sql() -> dict:
     psum = psum_oracle_sql(
         events_flows_duckdb_sql(""), quantize=4, interval=6 * HOUR, offset=1
     )
+    from ..operators.dedup import EXACT_SQL
+
     return {
         "stream_psum_6h": psum,
+        "stream_dedup_exact": EXACT_SQL,
         "stream_flow_sessions": sessionize_sql(
             events_flows_duckdb_sql(""),
             ["event_type", "user_id"],

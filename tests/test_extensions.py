@@ -642,3 +642,42 @@ def test_es_histogram_offset_keys(spark):
     rows = {r["key"]: r["doc_count"] for r in histogram_agg(df, "value", 50.0, offset=10.0).collect()}
     # buckets: [-40,10) [10,60) [60,110)
     assert rows == {-40.0: 2, 10.0: 2, 60.0: 1}
+
+
+def test_asof_directions_and_tolerance_goldens(spark):
+    from elasticsearch_drift_plugin_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 1, 100), ("k", 2, 205), ("k", 3, 300), ("k", 4, 999)],
+        "key string, lid long, t long",
+    )
+    right = spark.createDataFrame(
+        [("k", 100, "a"), ("k", 210, "b"), ("k", 300, "c")],
+        "key string, t long, p string",
+    )
+
+    def run(**kw):
+        rows = asof_join(left, right, "key", "t", "t", "p", **kw).collect()
+        return {r["lid"]: r["p"] for r in rows}
+
+    # backward: equal time matches; 205 -> a; 999 -> latest (c)
+    assert run() == {1: "a", 2: "a", 3: "c", 4: "c"}
+    # forward: equal time matches; 205 -> b; 999 -> no following row
+    assert run(direction="forward") == {1: "a", 2: "b", 3: "c", 4: None}
+    # nearest: 205 is 5 from b, 105 from a -> b; exact-distance tie would
+    # resolve backward; 999 falls back to backward side
+    assert run(direction="nearest") == {1: "a", 2: "b", 3: "c", 4: "c"}
+    # tolerance gates each side: 999 - 300 = 699 > 100 -> NULL
+    assert run(direction="nearest", tolerance=100) == {1: "a", 2: "b", 3: "c", 4: None}
+    assert run(tolerance=0) == {1: "a", 2: None, 3: "c", 4: None}
+
+
+def test_asof_nearest_tie_resolves_backward(spark):
+    from elasticsearch_drift_plugin_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 1, 200)], "key string, lid long, t long")
+    right = spark.createDataFrame(
+        [("k", 150, "before"), ("k", 250, "after")], "key string, t long, p string"
+    )
+    rows = asof_join(left, right, "key", "t", "t", "p", direction="nearest").collect()
+    assert rows[0]["p"] == "before"
