@@ -151,17 +151,46 @@ def component_summary(
 JACC_KEEP_Q = 500_000  # verified-Jaccard >= 0.5 becomes a dedup edge
 
 
+def canonical_map(
+    corpus: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, canonical): every corpus document mapped to its dedup
+    survivor — the component minimum for clustered docs, itself otherwise.
+    ``doc_id != canonical`` rows are exactly the set a compaction pass
+    drops; downstream joins can rewrite references through this map.
+
+    One left join corpus←components: the component table is #clustered-docs
+    rows (≪ corpus), and the join key is the document id — co-partitioned
+    with any id-bucketed corpus layout.
+    """
+    comp = connected_components(pairs)
+    return (
+        corpus.select(id_col)
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("canonical"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def queries() -> dict:
     from ..sources.flows import load_table
     from . import dedup
 
+    def _pairs(s, d):
+        return dedup.minhash_lsh_pairs(load_table(s, d, "documents")).where(
+            F.col("jacc_q") >= JACC_KEEP_Q
+        )
+
     return {
         # MinHash/LSH verified pairs at j >= 0.5 -> transitive duplicate
         # groups; survivor per group = the component id itself
-        "dedup_components": lambda s, d: component_summary(
-            dedup.minhash_lsh_pairs(load_table(s, d, "documents")).where(
-                F.col("jacc_q") >= JACC_KEEP_Q
-            )
+        "dedup_components": lambda s, d: component_summary(_pairs(s, d)),
+        # full-corpus survivor map (the compaction step's driving table)
+        "dedup_canonical_map": lambda s, d: canonical_map(
+            load_table(s, d, "documents"), _pairs(s, d)
         ),
     }
 
@@ -173,12 +202,13 @@ def oracle_sql() -> dict:
         "dedup_components": components_oracle_sql(
             dedup.minhash_pairs_sql(), f"WHERE jacc_q >= {JACC_KEEP_Q}"
         ),
+        "dedup_canonical_map": canonical_oracle_sql(
+            dedup.minhash_pairs_sql(), f"WHERE jacc_q >= {JACC_KEEP_Q}"
+        ),
     }
 
 
-def components_oracle_sql(pairs_sql: str, threshold_clause: str = "") -> str:
-    """DuckDB twin: full reachability via a recursive CTE, component = MIN
-    over reached nodes. Semantics-pinning, not algorithm-mirroring."""
+def _closure_ctes(pairs_sql: str, threshold_clause: str) -> str:
     return f"""
 WITH RECURSIVE __pairs AS ({pairs_sql}),
 __p AS (SELECT doc_a, doc_b FROM __pairs {threshold_clause}),
@@ -195,11 +225,26 @@ __walk(node, reach) AS (
 ),
 __comp AS (
   SELECT node, MIN(reach) AS component FROM __walk GROUP BY node
-),
+)"""
+
+
+def components_oracle_sql(pairs_sql: str, threshold_clause: str = "") -> str:
+    """DuckDB twin: full reachability via a recursive CTE, component = MIN
+    over reached nodes. Semantics-pinning, not algorithm-mirroring."""
+    return f"""{_closure_ctes(pairs_sql, threshold_clause)},
 __sizes AS (
   SELECT component, COUNT(*) AS cluster_size FROM __comp GROUP BY component
 )
 SELECT c.node AS doc_id, c.component, s.cluster_size
 FROM __comp c JOIN __sizes s USING (component)
 ORDER BY doc_id
+"""
+
+
+def canonical_oracle_sql(pairs_sql: str, threshold_clause: str = "") -> str:
+    """DuckDB twin of :func:`canonical_map`."""
+    return f"""{_closure_ctes(pairs_sql, threshold_clause)}
+SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical
+FROM documents d LEFT JOIN __comp c ON c.node = d.doc_id
+ORDER BY d.doc_id
 """

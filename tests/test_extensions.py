@@ -681,3 +681,12 @@ def test_asof_nearest_tie_resolves_backward(spark):
     )
     rows = asof_join(left, right, "key", "t", "t", "p", direction="nearest").collect()
     assert rows[0]["p"] == "before"
+
+
+def test_canonical_map_covers_whole_corpus(spark):
+    from elasticsearch_drift_plugin_spark.operators.components import canonical_map
+
+    corpus = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 4), (4, 5)], "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["canonical"] for r in canonical_map(corpus, pairs).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 1, 5: 1}
