@@ -348,10 +348,123 @@ FROM agg ORDER BY {g}
 """
 
 
+def composite_agg(
+    df: DataFrame,
+    sources: list[tuple[str, str, str, float | None]],
+    size: int = 10,
+    after: tuple | None = None,
+) -> DataFrame:
+    """(key cols..., doc_count): ES ``composite`` aggregation — the
+    paginated flat product of bucket sources.
+
+    ``sources`` is ordered ``(name, kind, field, param)`` with kind
+    ``terms`` (raw value) or ``histogram`` (param = interval, ES histogram
+    key contract). Buckets sort lexicographically by source order (asc,
+    the ES default); ``after`` — the last key tuple of the previous page —
+    resumes strictly past it, exactly ES's ``after`` cursor. Docs missing
+    any source value are skipped (ES ``missing_bucket: false`` default).
+
+    Scale shape: pagination pushes BELOW the sort — the strict
+    lexicographic ``after`` predicate filters during the aggregation scan,
+    so each page aggregates only keys past the cursor; the final global
+    sort sees at most the surviving keys and the limit is a TakeOrdered,
+    never a full materialized bucket list. This is what makes composite
+    the ES-sanctioned way to page a 10^9-bucket space — preserved here.
+    """
+    keys = []
+    for name, kind, field, param in sources:
+        v = F.col(field)
+        if kind == "terms":
+            keys.append((name, v))
+        elif kind == "histogram":
+            keys.append(
+                (
+                    name,
+                    F.floor(v / F.lit(float(param))) * F.lit(float(param)),
+                )
+            )
+        else:
+            raise ValueError(f"unsupported composite source kind: {kind}")
+    clean = df
+    for _, kind, field, _ in sources:
+        c = F.col(field)
+        clean = clean.where(c.isNotNull())
+        if kind == "histogram":
+            clean = clean.where(~F.isnan(c))
+    out = clean.select(*[k.alias(n) for n, k in keys])
+    if after is not None:
+        names = [n for n, _ in keys]
+        pred = None
+        # strict lexicographic "greater than the cursor tuple"
+        for i in range(len(names)):
+            eq = None
+            for j in range(i):
+                e = F.col(names[j]) == F.lit(after[j])
+                eq = e if eq is None else (eq & e)
+            gt = F.col(names[i]) > F.lit(after[i])
+            clause = gt if eq is None else (eq & gt)
+            pred = clause if pred is None else (pred | clause)
+        out = out.where(pred)
+    names = [n for n, _ in keys]
+    return (
+        out.groupBy(*names)
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(*names)
+        .limit(size)
+    )
+
+
+def composite_sql(
+    src: str,
+    sources: list[tuple[str, str, str, float | None]],
+    size: int = 10,
+    after: tuple | None = None,
+) -> str:
+    exprs, conds = [], []
+    for name, kind, field, param in sources:
+        if kind == "terms":
+            exprs.append(f"{field} AS {name}")
+        else:
+            exprs.append(
+                f"FLOOR({field} / {float(param)}) * {float(param)} AS {name}"
+            )
+        conds.append(f"{field} IS NOT NULL")
+        if kind == "histogram":
+            conds.append(f"(NOT isnan({field}))")
+    names = [n for n, _, _, _ in sources]
+    where = " AND ".join(conds)
+    after_pred = ""
+    if after is not None:
+        ors = []
+        for i in range(len(names)):
+            parts = [f"{names[j]} = {_sql_lit(after[j])}" for j in range(i)]
+            parts.append(f"{names[i]} > {_sql_lit(after[i])}")
+            ors.append("(" + " AND ".join(parts) + ")")
+        after_pred = "WHERE " + " OR ".join(ors)
+    return f"""
+WITH k AS (SELECT {", ".join(exprs)} FROM {src} WHERE {where})
+SELECT {", ".join(names)}, COUNT(*) AS doc_count
+FROM k {after_pred}
+GROUP BY {", ".join(names)}
+ORDER BY {", ".join(names)} LIMIT {size}
+"""
+
+
+def _sql_lit(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return repr(float(v)) if isinstance(v, float) else str(int(v))
+
+
 # --------------------------------------------------------------------------
 # driver-contract registry
 # --------------------------------------------------------------------------
 _RANGES = [(None, 25.0), (25.0, 100.0), (50.0, 250.0), (250.0, None)]
+_COMPOSITE_SOURCES = [
+    ("etype", "terms", "event_type", None),
+    ("vbucket", "histogram", "value", 100.0),
+]
+_COMPOSITE_AFTER = ("click", 200.0)
 
 
 def queries() -> dict:
@@ -369,6 +482,13 @@ def queries() -> dict:
         "es_extended_stats": lambda s, d: extended_stats_agg(
             load_table(s, d, "events"), ["event_type"], "value"
         ),
+        "es_composite_page": lambda s, d: composite_agg(
+            load_table(s, d, "events"), _COMPOSITE_SOURCES, size=12
+        ),
+        "es_composite_after": lambda s, d: composite_agg(
+            load_table(s, d, "events"), _COMPOSITE_SOURCES, size=12,
+            after=_COMPOSITE_AFTER,
+        ),
     }
 
 
@@ -381,4 +501,8 @@ def oracle_sql() -> dict:
             value_col="value"
         ),
         "es_extended_stats": extended_stats_sql("events", ["event_type"], "value"),
+        "es_composite_page": composite_sql("events", _COMPOSITE_SOURCES, size=12),
+        "es_composite_after": composite_sql(
+            "events", _COMPOSITE_SOURCES, size=12, after=_COMPOSITE_AFTER
+        ),
     }

@@ -690,3 +690,24 @@ def test_canonical_map_covers_whole_corpus(spark):
     pairs = spark.createDataFrame([(1, 4), (4, 5)], "doc_a long, doc_b long")
     got = {r["doc_id"]: r["canonical"] for r in canonical_map(corpus, pairs).collect()}
     assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 1, 5: 1}
+
+
+def test_es_composite_pagination_walks_full_space(spark):
+    from elasticsearch_drift_plugin_spark.operators.es_aggs import composite_agg
+
+    df = spark.createDataFrame(
+        [(t, float(v)) for t in ("a", "b", "c") for v in (5, 15, 25, 35)] * 2,
+        "t string, v double",
+    )
+    sources = [("t", "terms", "t", None), ("vb", "histogram", "v", 10.0)]
+    full = composite_agg(df, sources, size=1000).collect()
+    assert len(full) == 12 and all(r["doc_count"] == 2 for r in full)
+    # page through with size=5 using each page's last key as the cursor
+    seen, after = [], None
+    while True:
+        page = composite_agg(df, sources, size=5, after=after).collect()
+        if not page:
+            break
+        seen.extend(page)
+        after = (page[-1]["t"], page[-1]["vb"])
+    assert [tuple(r) for r in seen] == [tuple(r) for r in full]
