@@ -348,6 +348,64 @@ FROM agg ORDER BY {g}
 """
 
 
+def filters_agg(
+    df: DataFrame,
+    filters: dict[str, str],
+    other_bucket: bool = False,
+    other_key: str = "_other_",
+) -> DataFrame:
+    """(key, doc_count): ES ``filters`` aggregation — one named bucket per
+    predicate (SQL boolean expressions), overlapping allowed; every
+    requested bucket is emitted even when empty. ``other_bucket`` adds the
+    ES ``other_bucket_key`` bucket counting docs matched by NO filter.
+
+    One scan, no join: each row contributes ``count_if(pred)`` to every
+    bucket via conditional aggregation — a single partial+final aggregate
+    producing exactly len(filters)+1 cells per map task, then one tiny
+    unpivot. No per-filter passes, no fan-out.
+    """
+    # COALESCE(pred, FALSE): a NULL predicate (missing field) must behave
+    # as "does not match" — so such docs DO land in the other bucket, the
+    # ES contract
+    aggs = [
+        F.sum(F.expr(f"IF(COALESCE({pred}, FALSE), 1, 0)")).alias(name)
+        for name, pred in filters.items()
+    ]
+    if other_bucket:
+        none = " AND ".join(f"NOT COALESCE(({p}), FALSE)" for p in filters.values())
+        aggs.append(F.sum(F.expr(f"IF({none}, 1, 0)")).alias(other_key))
+    wide = df.agg(*aggs)
+    names = list(filters) + ([other_key] if other_bucket else [])
+    stack = ", ".join(f"'{n}', `{n}`" for n in names)
+    return (
+        wide.selectExpr(f"stack({len(names)}, {stack}) AS (key, doc_count)")
+        .select("key", F.coalesce("doc_count", F.lit(0)).alias("doc_count"))
+        .orderBy("key")
+    )
+
+
+def filters_sql(
+    src: str,
+    filters: dict[str, str],
+    other_bucket: bool = False,
+    other_key: str = "_other_",
+) -> str:
+    arms = [
+        f"SELECT '{name}' AS key,"
+        f" COALESCE(SUM(CASE WHEN COALESCE({pred}, FALSE) THEN 1 ELSE 0 END), 0) AS doc_count"
+        f" FROM {src}"
+        for name, pred in filters.items()
+    ]
+    if other_bucket:
+        none = " AND ".join(f"NOT COALESCE(({p}), FALSE)" for p in filters.values())
+        arms.append(
+            f"SELECT '{other_key}' AS key,"
+            f" COALESCE(SUM(CASE WHEN {none} THEN 1 ELSE 0 END), 0) AS doc_count"
+            f" FROM {src}"
+        )
+    return " UNION ALL ".join(arms) + " ORDER BY key"
+
+
 def composite_agg(
     df: DataFrame,
     sources: list[tuple[str, str, str, float | None]],
@@ -465,6 +523,11 @@ _COMPOSITE_SOURCES = [
     ("vbucket", "histogram", "value", 100.0),
 ]
 _COMPOSITE_AFTER = ("click", 200.0)
+_FILTERS = {
+    "big": "value >= 100",
+    "clicks": "event_type = 'click'",
+    "odd_users": "user_id % 2 = 1",
+}
 
 
 def queries() -> dict:
@@ -489,6 +552,9 @@ def queries() -> dict:
             load_table(s, d, "events"), _COMPOSITE_SOURCES, size=12,
             after=_COMPOSITE_AFTER,
         ),
+        "es_filters_buckets": lambda s, d: filters_agg(
+            load_table(s, d, "events"), _FILTERS, other_bucket=True
+        ),
     }
 
 
@@ -505,4 +571,5 @@ def oracle_sql() -> dict:
         "es_composite_after": composite_sql(
             "events", _COMPOSITE_SOURCES, size=12, after=_COMPOSITE_AFTER
         ),
+        "es_filters_buckets": filters_sql("events", _FILTERS, other_bucket=True),
     }

@@ -711,3 +711,16 @@ def test_es_composite_pagination_walks_full_space(spark):
         seen.extend(page)
         after = (page[-1]["t"], page[-1]["vb"])
     assert [tuple(r) for r in seen] == [tuple(r) for r in full]
+
+
+def test_es_filters_null_predicate_goes_to_other(spark):
+    from elasticsearch_drift_plugin_spark.operators.es_aggs import filters_agg
+
+    df = spark.createDataFrame(
+        [(1, 150.0), (2, 50.0), (3, None)], "id long, v double"
+    )
+    rows = {r["key"]: r["doc_count"] for r in filters_agg(
+        df, {"big": "v >= 100", "small": "v < 100"}, other_bucket=True
+    ).collect()}
+    # NULL v matches neither predicate -> ES puts the doc in _other_
+    assert rows == {"big": 1, "small": 1, "_other_": 1}
