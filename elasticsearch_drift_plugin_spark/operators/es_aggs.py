@@ -555,6 +555,12 @@ def queries() -> dict:
         "es_filters_buckets": lambda s, d: filters_agg(
             load_table(s, d, "events"), _FILTERS, other_bucket=True
         ),
+        "es_auto_date_histogram": lambda s, d: auto_date_histogram(
+            load_table(s, d, "events").select(
+                F.expr("ts div 1000000").alias("t_ms"), "value"
+            ),
+            "t_ms", target_buckets=40, value_col="value",
+        ),
     }
 
 
@@ -572,4 +578,135 @@ def oracle_sql() -> dict:
             "events", _COMPOSITE_SOURCES, size=12, after=_COMPOSITE_AFTER
         ),
         "es_filters_buckets": filters_sql("events", _FILTERS, other_bucket=True),
+        "es_auto_date_histogram": auto_date_histogram_sql(
+            "events", "epoch_ms(ts)", target_buckets=40, value_col="value"
+        ),
     }
+
+
+# --------------------------------------------------------------------------
+# auto_date_histogram (ES ladder, span-based selection)
+# --------------------------------------------------------------------------
+# The public ES auto_date_histogram rounding ladder
+# (second 1/5/10/30, minute 1/5/10/30, hour 1/3/12, day 1/7, month 1/3,
+# year 1/5/10/20/50/100). Fixed-width rungs in ms; calendar rungs in months.
+AUTO_LADDER_FIXED = [
+    ("1s", 1_000), ("5s", 5_000), ("10s", 10_000), ("30s", 30_000),
+    ("1m", 60_000), ("5m", 300_000), ("10m", 600_000), ("30m", 1_800_000),
+    ("1h", 3_600_000), ("3h", 10_800_000), ("12h", 43_200_000),
+    ("1d", 86_400_000), ("7d", 604_800_000),
+]
+AUTO_LADDER_CAL = [
+    ("1M", 1), ("3M", 3), ("1y", 12), ("5y", 60), ("10y", 120),
+    ("20y", 240), ("50y", 600), ("100y", 1200),
+]
+
+
+def auto_date_histogram(
+    df: DataFrame,
+    time_ms_col: str,
+    target_buckets: int = 10,
+    value_col: str | None = None,
+) -> DataFrame:
+    """(key, doc_count[, value_q], interval): ES ``auto_date_histogram`` —
+    the engine picks the coarsest-necessary rounding from the ES ladder so
+    the bucket count stays ≤ ``target_buckets``.
+
+    Selection is span-based and two-phase: one min/max aggregation
+    (driver-collected, two longs — the same legitimate pattern as IVF
+    centroid seeding), then the ladder walk in plain Python, then ONE
+    ordinary histogram aggregation at the chosen rounding. ES instead
+    merges buckets progressively at reduce time; same ladder, same
+    ≤-target contract, simpler plan (two passes over metadata-prunable
+    min/max vs a mutating reduce). Calendar rungs bucket by month index
+    floored to k-month multiples (UTC, month starts — the reference's own
+    tz=null/UTC stance, ProportionalSumAggregationBuilder.java:432-434).
+
+    Empty input returns an empty frame with the finest label.
+    """
+    t = F.col(time_ms_col)
+    row = df.agg(F.min(t).alias("lo"), F.max(t).alias("hi")).collect()[0]
+    lo, hi = row["lo"], row["hi"]
+    label, width, months = AUTO_LADDER_FIXED[0][0], AUTO_LADDER_FIXED[0][1], None
+    if lo is not None:
+        import datetime as _dt
+
+        chosen = None
+        for lab, w in AUTO_LADDER_FIXED:
+            if hi // w - lo // w + 1 <= target_buckets:
+                chosen = (lab, w, None)
+                break
+        if chosen is None:
+            def _mi(ms):
+                d = _dt.datetime.fromtimestamp(ms / 1000, _dt.timezone.utc)
+                return d.year * 12 + d.month - 1
+
+            for lab, k in AUTO_LADDER_CAL:
+                if _mi(hi) // k - _mi(lo) // k + 1 <= target_buckets:
+                    chosen = (lab, None, k)
+                    break
+            if chosen is None:
+                chosen = ("100y", None, 1200)
+        label, width, months = chosen
+    if width is not None:
+        key = (t - (((t % width) + width) % width)).alias("key")
+    else:
+        mi = (F.year(F.timestamp_millis(t)) * 12 + F.month(F.timestamp_millis(t)) - 1)
+        bmi = mi - (mi % months)
+        key = F.unix_millis(
+            F.make_timestamp(
+                (bmi / 12).cast("int"), (bmi % 12 + 1).cast("int"), F.lit(1),
+                F.lit(0), F.lit(0), F.lit(0),
+            )
+        ).alias("key")
+    aggs = [F.count(F.lit(1)).alias("doc_count")]
+    if value_col is not None:
+        aggs.append(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col(value_col).isNotNull() & ~F.isnan(value_col),
+                        F.floor(F.col(value_col) * F.lit(float(QUANT))),
+                    )
+                ),
+                F.lit(0),
+            ).alias("value_q")
+        )
+    return (
+        df.groupBy(key)
+        .agg(*aggs)
+        .withColumn("interval", F.lit(label))
+        .orderBy("key")
+    )
+
+
+def auto_date_histogram_sql(
+    src: str, time_ms_expr: str, target_buckets: int = 10,
+    value_col: str | None = None,
+) -> str:
+    """DuckDB twin for the FIXED-width rungs (the driver-gated data lands
+    there); the calendar rungs are pinned by pytest goldens instead — a
+    CASE-selected scalar width parametrizes fixed grouping, a calendar
+    grouping expression cannot be scalar-parametrized in one statement."""
+    w_case = " ".join(
+        f"WHEN hi // {w} - lo // {w} + 1 <= {target_buckets} THEN {w}"
+        for _, w in AUTO_LADDER_FIXED
+    )
+    l_case = " ".join(
+        f"WHEN hi // {w} - lo // {w} + 1 <= {target_buckets} THEN '{lab}'"
+        for lab, w in AUTO_LADDER_FIXED
+    )
+    val = (
+        f", COALESCE(SUM(CASE WHEN value IS NOT NULL AND NOT isnan(value)"
+        f" THEN CAST(FLOOR(value * {float(QUANT)}) AS BIGINT) END), 0) AS value_q"
+        if value_col
+        else ""
+    )
+    return f"""
+WITH t AS (SELECT {time_ms_expr} AS ms, * FROM {src}),
+mm AS (SELECT MIN(ms) AS lo, MAX(ms) AS hi FROM t),
+sel AS (SELECT CASE {w_case} END AS w, CASE {l_case} END AS label FROM mm)
+SELECT (ms // sel.w) * sel.w AS key, COUNT(*) AS doc_count{val},
+       sel.label AS interval
+FROM t, sel GROUP BY 1, sel.label ORDER BY key
+"""

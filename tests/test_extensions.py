@@ -724,3 +724,31 @@ def test_es_filters_null_predicate_goes_to_other(spark):
     ).collect()}
     # NULL v matches neither predicate -> ES puts the doc in _other_
     assert rows == {"big": 1, "small": 1, "_other_": 1}
+
+
+def test_auto_date_histogram_ladder_selection(spark):
+    from elasticsearch_drift_plugin_spark.operators.es_aggs import (
+        auto_date_histogram,
+    )
+
+    # 100 points over 100 s -> 1s gives 101 > 10, ..., 30s gives 4 <= 10
+    df = spark.createDataFrame([(i * 1000,) for i in range(101)], "t long")
+    rows = auto_date_histogram(df, "t", target_buckets=10).collect()
+    assert rows[0]["interval"] == "30s" and len(rows) == 4
+    assert [r["key"] for r in rows] == [0, 30_000, 60_000, 90_000]
+
+    # 7-year span -> every fixed rung overflows target 5; 3M rung fits?
+    # 7y/3M = 28 > 5 -> 1y = 7 > 5 -> 5y = 2 <= 5
+    ms_2015 = 1420070400000  # 2015-01-01
+    ms_2022 = 1640995200000  # 2022-01-01
+    df = spark.createDataFrame([(ms_2015,), (ms_2022,)], "t long")
+    rows = auto_date_histogram(df, "t", target_buckets=5).collect()
+    assert rows[0]["interval"] == "5y"
+    # 5y rung groups month-index // 60: 2015 -> bucket starting 2010-05?
+    # month index 2015*12 = 24180, 24180 % 60 = 0 -> key = 2015-01-01
+    assert rows[0]["key"] == ms_2015
+
+    # empty input: stable empty frame, finest label
+    empty = spark.createDataFrame([], "t long")
+    out = auto_date_histogram(empty, "t", target_buckets=10)
+    assert out.collect() == [] and "interval" in out.columns
