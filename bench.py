@@ -60,6 +60,10 @@ BENCH_QUERIES = [
     "es_range_value",
     "es_histogram_value",
     "es_extended_stats",
+    "es_composite_page",
+    "es_filters_buckets",
+    "es_auto_date_histogram",
+    "es_significant_terms",
     "dedup_components",
     "mm_metadata",
     "mm_decode",

@@ -561,6 +561,14 @@ def queries() -> dict:
             ),
             "t_ms", target_buckets=40, value_col="value",
         ),
+        "es_significant_terms": lambda s, d: significant_terms(
+            load_table(s, d, "events"), "user_id",
+            "event_type = 'purchase'", size=20,
+        ),
+        "es_percentile_ranks": lambda s, d: percentile_ranks(
+            load_table(s, d, "events"), ["event_type"], "value",
+            [10.0, 50.0, 150.0, 400.0],
+        ),
     }
 
 
@@ -580,6 +588,12 @@ def oracle_sql() -> dict:
         "es_filters_buckets": filters_sql("events", _FILTERS, other_bucket=True),
         "es_auto_date_histogram": auto_date_histogram_sql(
             "events", "epoch_ms(ts)", target_buckets=40, value_col="value"
+        ),
+        "es_significant_terms": significant_terms_sql(
+            "events", "user_id", "event_type = 'purchase'", size=20
+        ),
+        "es_percentile_ranks": percentile_ranks_sql(
+            "events", ["event_type"], "value", [10.0, 50.0, 150.0, 400.0]
         ),
     }
 
@@ -709,4 +723,145 @@ sel AS (SELECT CASE {w_case} END AS w, CASE {l_case} END AS label FROM mm)
 SELECT (ms // sel.w) * sel.w AS key, COUNT(*) AS doc_count{val},
        sel.label AS interval
 FROM t, sel GROUP BY 1, sel.label ORDER BY key
+"""
+
+
+# --------------------------------------------------------------------------
+# significant_terms (foreground vs background lift)
+# --------------------------------------------------------------------------
+def significant_terms(
+    df: DataFrame,
+    field: str,
+    foreground_where: str,
+    size: int = 10,
+    min_doc_count: int = 3,
+) -> DataFrame:
+    """(key, fg_count, bg_count, score_q): ES ``significant_terms`` — terms
+    over-represented in a foreground set relative to the whole corpus.
+
+    Score is the foreground/background frequency lift
+    ``(fg/fg_total) / (bg/bg_total)`` — the first factor of ES's JLH —
+    computed as ONE exact integer: ``fg·bg_total·1e6 div (fg_total·bg)``
+    (DECIMAL(38,0) intermediates), so ranking cannot drift across engines.
+    Top-``size`` by score desc, key asc tie-break; terms below
+    ``min_doc_count`` foreground hits are pruned (the ES guard against
+    one-doc wonders).
+
+    One aggregation pass: per term, total count and conditional foreground
+    count (`count_if`) — no second scan, no join for the fg/bg split; the
+    two scalar totals ride along via a single-row cross join (broadcast).
+    """
+    fg_flag = F.expr(f"IF(COALESCE({foreground_where}, FALSE), 1, 0)")
+    per_term = (
+        df.select(F.col(field).alias("key"), fg_flag.alias("__fg"))
+        .groupBy("key")
+        .agg(
+            F.sum("__fg").alias("fg_count"),
+            F.count(F.lit(1)).alias("bg_count"),
+        )
+    )
+    totals = per_term.agg(
+        F.sum("fg_count").alias("fg_total"), F.sum("bg_count").alias("bg_total")
+    )
+    scored = per_term.join(F.broadcast(totals)).select(
+        "key",
+        "fg_count",
+        "bg_count",
+        F.expr(
+            "CAST((CAST(fg_count AS DECIMAL(38,0)) * bg_total * 1000000)"
+            " div (CAST(fg_total AS DECIMAL(38,0)) * bg_count) AS BIGINT)"
+        ).alias("score_q"),
+    )
+    return (
+        scored.where(F.col("fg_count") >= min_doc_count)
+        .orderBy(F.col("score_q").desc(), F.col("key").asc())
+        .limit(size)
+    )
+
+
+def significant_terms_sql(
+    src: str,
+    field: str,
+    foreground_where: str,
+    size: int = 10,
+    min_doc_count: int = 3,
+) -> str:
+    return f"""
+WITH per_term AS (
+  SELECT {field} AS key,
+         SUM(CASE WHEN COALESCE({foreground_where}, FALSE) THEN 1 ELSE 0 END) AS fg_count,
+         COUNT(*) AS bg_count
+  FROM {src} GROUP BY {field}
+),
+totals AS (SELECT SUM(fg_count) AS fg_total, SUM(bg_count) AS bg_total FROM per_term)
+SELECT key, CAST(fg_count AS BIGINT) AS fg_count, bg_count,
+       CAST((CAST(fg_count AS HUGEINT) * bg_total * 1000000)
+            // (CAST(fg_total AS HUGEINT) * bg_count) AS BIGINT) AS score_q
+FROM per_term, totals
+WHERE fg_count >= {min_doc_count}
+ORDER BY score_q DESC, key ASC LIMIT {size}
+"""
+
+
+# --------------------------------------------------------------------------
+# percentile_ranks (exact)
+# --------------------------------------------------------------------------
+def percentile_ranks(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    at_values: list[float],
+) -> DataFrame:
+    """(group..., at_value, rank_q): ES ``percentile_ranks`` — for each
+    probe value, the fraction of docs with value ≤ probe, exact:
+    ``count_leq · 1e6 div count`` per group. One conditional-aggregation
+    pass computes every probe (no per-probe scans); NULL/NaN skipped like
+    every ES metric agg."""
+    clean = df.where(
+        F.col(value_col).isNotNull() & ~F.isnan(value_col)
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, v in enumerate(at_values):
+        aggs.append(
+            F.sum(
+                F.when(F.col(value_col) <= F.lit(float(v)), 1).otherwise(0)
+            ).alias(f"__le{i}")
+        )
+    wide = clean.groupBy(*group_cols).agg(*aggs)
+    stack = ", ".join(
+        f"{float(v)!r}D, __le{i}" for i, v in enumerate(at_values)
+    )
+    return (
+        wide.selectExpr(
+            *group_cols,
+            "__n",
+            f"stack({len(at_values)}, {stack}) AS (at_value, __le)",
+        )
+        .select(
+            *group_cols,
+            "at_value",
+            F.expr("__le * 1000000 div __n").alias("rank_q"),
+        )
+        .orderBy(*group_cols, "at_value")
+    )
+
+
+def percentile_ranks_sql(
+    src: str, group_cols: list[str], value_col: str, at_values: list[float]
+) -> str:
+    g = ", ".join(group_cols)
+    arms = " UNION ALL ".join(
+        f"SELECT {g}, {float(v)!r} AS at_value,"
+        f" SUM(CASE WHEN {value_col} <= {float(v)!r} THEN 1 ELSE 0 END)"
+        f" * 1000000 // COUNT(*) AS rank_q"
+        f" FROM clean GROUP BY {g}"
+        for v in at_values
+    )
+    return f"""
+WITH clean AS (
+  SELECT * FROM {src}
+  WHERE {value_col} IS NOT NULL AND NOT isnan({value_col})
+)
+{arms}
+ORDER BY {g}, at_value
 """

@@ -752,3 +752,33 @@ def test_auto_date_histogram_ladder_selection(spark):
     empty = spark.createDataFrame([], "t long")
     out = auto_date_histogram(empty, "t", target_buckets=10)
     assert out.collect() == [] and "interval" in out.columns
+
+
+def test_significant_terms_lift_golden(spark):
+    from elasticsearch_drift_plugin_spark.operators.es_aggs import significant_terms
+
+    # term "x" appears 3/4 in fg but 4/8 overall -> lift (3/4)/(4/8) = 1.5
+    rows = spark.createDataFrame(
+        [("x", 1), ("x", 1), ("x", 1), ("y", 1),
+         ("x", 0), ("y", 0), ("y", 0), ("y", 0)],
+        "term string, fg int",
+    )
+    got = {r["key"]: r for r in significant_terms(
+        rows, "term", "fg = 1", min_doc_count=1
+    ).collect()}
+    assert got["x"]["fg_count"] == 3 and got["x"]["bg_count"] == 4
+    assert got["x"]["score_q"] == 1_500_000
+    assert got["y"]["score_q"] == 500_000
+
+
+def test_percentile_ranks_exact(spark):
+    from elasticsearch_drift_plugin_spark.operators.es_aggs import percentile_ranks
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in (1, 2, 3, 4)] + [("g", None)],
+        "grp string, value double",
+    )
+    rows = {r["at_value"]: r["rank_q"] for r in percentile_ranks(
+        df, ["grp"], "value", [0.5, 2.0, 10.0]
+    ).collect()}
+    assert rows == {0.5: 0, 2.0: 500_000, 10.0: 1_000_000}
