@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "text_rolling_fp",
     "text_repetition",
     "text_pii_scan",
+    "text_gopher_filter",
     "corpus_tfidf_top",
     "corpus_contamination",
     "corpus_span_dedup",

@@ -297,6 +297,127 @@ def pii_sql() -> str:
     return f"SELECT doc_id, {counts} FROM documents ORDER BY doc_id"
 
 
+
+# --------------------------------------------------------------------------
+# Gopher-style quality rule battery
+# --------------------------------------------------------------------------
+GOPHER_RULES = (
+    "wc_low", "wc_high", "mwl_low", "mwl_high", "symbol", "stop2",
+)
+
+
+def gopher_filter(
+    docs: DataFrame,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_wl_q: int = 3 * QUANT,
+    max_mean_wl_q: int = 10 * QUANT,
+    max_symbol_q: int = QUANT // 10,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """(doc_id, n_tokens, mean_wl_q, sym_q, n_stop, failed_rules, verdict):
+    the Gopher repetition-free document-quality rules (Rae et al. 2021,
+    "Scaling Language Models", table A1 subset) as one map-only pass:
+
+    - ``wc_low``/``wc_high``: word count within [min_tokens, max_tokens];
+    - ``mwl_low``/``mwl_high``: mean word length in [3, 10] chars
+      (``mean_wl_q`` = total token chars · 1e6 div n_tokens — integer);
+    - ``symbol``: punctuation-to-word ratio ≤ 0.1 (``sym_q`` quantized);
+    - ``stop2``: at least 2 English stopword hits.
+
+    ``failed_rules`` lists the failed rule names in declaration order
+    (empty string = clean); ``verdict`` is ``keep``/``drop``. Zero
+    shuffles — a 100 TB corpus filters at scan speed; every metric is
+    integer-exact so both engines agree on every boundary document.
+    """
+    toks = _tokens()
+    n_tokens = F.size(toks).cast("long")
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_punct = (
+        F.length("text") - F.length(F.regexp_replace("text", PUNCT_RE, ""))
+    ).cast("long")
+    d = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        tok_chars.alias("__tc"),
+        n_punct.alias("__np"),
+        _stop_count("en").alias("n_stop"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"__tc * {QUANT} div n_tokens").alias("mean_wl_q"),
+        F.expr(f"__np * {QUANT} div n_tokens").alias("sym_q"),
+        "n_stop",
+    )
+    fails = [
+        F.when(F.col("n_tokens") < min_tokens, F.lit("wc_low")),
+        F.when(F.col("n_tokens") > max_tokens, F.lit("wc_high")),
+        F.when(F.col("mean_wl_q") < min_mean_wl_q, F.lit("mwl_low")),
+        F.when(F.col("mean_wl_q") > max_mean_wl_q, F.lit("mwl_high")),
+        F.when(F.col("sym_q") > max_symbol_q, F.lit("symbol")),
+        F.when(F.col("n_stop") < min_stop_hits, F.lit("stop2")),
+    ]
+    failed = F.array_join(
+        F.filter(F.array(*fails), lambda x: x.isNotNull()), ","
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "mean_wl_q",
+        "sym_q",
+        "n_stop",
+        failed.alias("failed_rules"),
+        F.when(failed == "", "keep").otherwise("drop").alias("verdict"),
+    ).orderBy("doc_id")
+
+
+def gopher_sql(
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_wl_q: int = 3 * QUANT,
+    max_mean_wl_q: int = 10 * QUANT,
+    max_symbol_q: int = QUANT // 10,
+    min_stop_hits: int = 2,
+) -> str:
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+         CAST(list_sum(list_transform(string_split(lower(text), ' '),
+                                      t -> len(t))) AS BIGINT) AS tc,
+         CAST(len(text) - len(regexp_replace(text, '{PUNCT_RE}', '', 'g')) AS BIGINT) AS np,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+                              t -> list_contains([{stop}], t))) AS BIGINT) AS n_stop
+  FROM documents
+),
+q AS (
+  SELECT doc_id, n_tokens,
+         tc * {QUANT} // n_tokens AS mean_wl_q,
+         np * {QUANT} // n_tokens AS sym_q,
+         n_stop
+  FROM m
+),
+r AS (
+  SELECT *, COALESCE(array_to_string(list_filter([
+      CASE WHEN n_tokens < {min_tokens} THEN 'wc_low' END,
+      CASE WHEN n_tokens > {max_tokens} THEN 'wc_high' END,
+      CASE WHEN mean_wl_q < {min_mean_wl_q} THEN 'mwl_low' END,
+      CASE WHEN mean_wl_q > {max_mean_wl_q} THEN 'mwl_high' END,
+      CASE WHEN sym_q > {max_symbol_q} THEN 'symbol' END,
+      CASE WHEN n_stop < {min_stop_hits} THEN 'stop2' END
+    ], x -> x IS NOT NULL), ','), '') AS failed_rules
+  FROM q
+)
+SELECT doc_id, n_tokens, mean_wl_q, sym_q, n_stop, failed_rules,
+       CASE WHEN failed_rules = '' THEN 'keep' ELSE 'drop' END AS verdict
+FROM r ORDER BY doc_id
+"""
+
 def queries() -> dict:
     return {
         "text_lang_id": lambda s, d: lang_id(load_table(s, d, "documents")),
@@ -306,6 +427,7 @@ def queries() -> dict:
         "text_rolling_fp": lambda s, d: rolling_fingerprint(load_table(s, d, "documents")),
         "text_repetition": lambda s, d: repetition_score(load_table(s, d, "documents")),
         "text_pii_scan": lambda s, d: pii_scan(load_table(s, d, "documents")),
+        "text_gopher_filter": lambda s, d: gopher_filter(load_table(s, d, "documents")),
     }
 
 
@@ -318,4 +440,5 @@ def oracle_sql() -> dict:
         "text_rolling_fp": ROLLING_FP_SQL,
         "text_repetition": repetition_sql(),
         "text_pii_scan": pii_sql(),
+        "text_gopher_filter": gopher_sql(),
     }

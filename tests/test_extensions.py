@@ -782,3 +782,23 @@ def test_percentile_ranks_exact(spark):
         df, ["grp"], "value", [0.5, 2.0, 10.0]
     ).collect()}
     assert rows == {0.5: 0, 2.0: 500_000, 10.0: 1_000_000}
+
+
+def test_gopher_filter_rule_battery(spark):
+    from elasticsearch_drift_plugin_spark.operators.text import gopher_filter
+
+    long_clean = "the " * 30 + "word " * 30  # 60 tokens, stopwords, short words
+    docs = spark.createDataFrame(
+        [
+            (1, long_clean.strip()),
+            (2, "short text only"),                      # wc_low + stop2? has no 2 stop hits
+            (3, ("supercalifragilistic " * 60).strip()), # mwl_high + stop2
+            (4, ("a.b.c.d, " * 60).strip()),             # symbol violations
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_filter(docs).collect()}
+    assert rows[1]["verdict"] == "keep" and rows[1]["failed_rules"] == ""
+    assert "wc_low" in rows[2]["failed_rules"] and rows[2]["verdict"] == "drop"
+    assert "mwl_high" in rows[3]["failed_rules"] and "stop2" in rows[3]["failed_rules"]
+    assert "symbol" in rows[4]["failed_rules"]
