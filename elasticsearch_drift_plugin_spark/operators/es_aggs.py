@@ -569,6 +569,10 @@ def queries() -> dict:
             load_table(s, d, "events"), ["event_type"], "value",
             [10.0, 50.0, 150.0, 400.0],
         ),
+        "es_weighted_avg": lambda s, d: weighted_avg(
+            load_table(s, d, "events"), ["event_type"], "value",
+            "CAST(user_id % 10 + 1 AS DOUBLE)",
+        ),
     }
 
 
@@ -594,6 +598,9 @@ def oracle_sql() -> dict:
         ),
         "es_percentile_ranks": percentile_ranks_sql(
             "events", ["event_type"], "value", [10.0, 50.0, 150.0, 400.0]
+        ),
+        "es_weighted_avg": weighted_avg_sql(
+            "events", ["event_type"], "value", "CAST(user_id % 10 + 1 AS DOUBLE)"
         ),
     }
 
@@ -864,4 +871,60 @@ WITH clean AS (
 )
 {arms}
 ORDER BY {g}, at_value
+"""
+
+
+# --------------------------------------------------------------------------
+# weighted_avg (exact)
+# --------------------------------------------------------------------------
+def weighted_avg(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_expr: str,
+) -> DataFrame:
+    """(group..., n, wavg_q): ES ``weighted_avg`` — Σ(v·w)/Σ(w) per group,
+    exact: both factors quantized to 1e-6 ints, the product summed in
+    DECIMAL(38,0), one integral division at the end (result in value
+    quanta). Docs with missing/NaN value are skipped (ES contract);
+    ``weight_expr`` is any SQL expression (ES ``weight.field``/missing
+    handled by the expression itself)."""
+    clean = df.where(
+        F.col(value_col).isNotNull() & ~F.isnan(value_col)
+    ).select(
+        *group_cols,
+        F.floor(F.col(value_col) * F.lit(float(QUANT))).alias("__vq"),
+        F.floor(F.expr(weight_expr) * F.lit(float(QUANT))).alias("__wq"),
+    )
+    return (
+        clean.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(__vq AS DECIMAL(38,0)) * __wq")).alias("__num"),
+            F.sum(F.col("__wq").cast("decimal(38,0)")).alias("__den"),
+        )
+        .select(
+            *group_cols,
+            "n",
+            F.expr("CAST(__num div __den AS BIGINT)").alias("wavg_q"),
+        )
+        .orderBy(*group_cols)
+    )
+
+
+def weighted_avg_sql(
+    src: str, group_cols: list[str], value_col: str, weight_expr: str
+) -> str:
+    g = ", ".join(group_cols)
+    return f"""
+WITH clean AS (
+  SELECT {g},
+         CAST(FLOOR({value_col} * {float(QUANT)}) AS BIGINT) AS vq,
+         CAST(FLOOR(({weight_expr}) * {float(QUANT)}) AS BIGINT) AS wq
+  FROM {src}
+  WHERE {value_col} IS NOT NULL AND NOT isnan({value_col})
+)
+SELECT {g}, COUNT(*) AS n,
+       CAST(SUM(CAST(vq AS HUGEINT) * wq) // SUM(CAST(wq AS HUGEINT)) AS BIGINT) AS wavg_q
+FROM clean GROUP BY {g} ORDER BY {g}
 """

@@ -802,3 +802,15 @@ def test_gopher_filter_rule_battery(spark):
     assert "wc_low" in rows[2]["failed_rules"] and rows[2]["verdict"] == "drop"
     assert "mwl_high" in rows[3]["failed_rules"] and "stop2" in rows[3]["failed_rules"]
     assert "symbol" in rows[4]["failed_rules"]
+
+
+def test_weighted_avg_exact(spark):
+    from elasticsearch_drift_plugin_spark.operators.es_aggs import weighted_avg
+
+    df = spark.createDataFrame(
+        [("g", 10.0, 1.0), ("g", 20.0, 3.0), ("g", None, 9.0)],
+        "grp string, v double, w double",
+    )
+    r = weighted_avg(df, ["grp"], "v", "w").collect()[0]
+    # (10*1 + 20*3) / 4 = 17.5 -> 17_500_000 quanta
+    assert r["n"] == 2 and r["wavg_q"] == 17_500_000
