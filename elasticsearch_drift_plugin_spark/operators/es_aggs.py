@@ -573,6 +573,17 @@ def queries() -> dict:
             load_table(s, d, "events"), ["event_type"], "value",
             "CAST(user_id % 10 + 1 AS DOUBLE)",
         ),
+        "es_top_metrics": lambda s, d: top_metrics(
+            load_table(s, d, "events"), ["event_type"], "value",
+            ["event_id", "user_id"],
+        ),
+        "es_matrix_stats": lambda s, d: matrix_stats(
+            load_table(s, d, "events").select(
+                "event_type", "value",
+                F.expr("CAST(user_id % 1000 AS DOUBLE)").alias("u"),
+            ),
+            "value", "u", ["event_type"],
+        ),
     }
 
 
@@ -601,6 +612,14 @@ def oracle_sql() -> dict:
         ),
         "es_weighted_avg": weighted_avg_sql(
             "events", ["event_type"], "value", "CAST(user_id % 10 + 1 AS DOUBLE)"
+        ),
+        "es_top_metrics": top_metrics_sql(
+            "events", ["event_type"], "value", ["event_id", "user_id"]
+        ),
+        "es_matrix_stats": matrix_stats_sql(
+            "(SELECT event_type, value, CAST(user_id % 1000 AS DOUBLE) AS u"
+            " FROM events)",
+            "value", "u", ["event_type"],
         ),
     }
 
@@ -927,4 +946,162 @@ WITH clean AS (
 SELECT {g}, COUNT(*) AS n,
        CAST(SUM(CAST(vq AS HUGEINT) * wq) // SUM(CAST(wq AS HUGEINT)) AS BIGINT) AS wavg_q
 FROM clean GROUP BY {g} ORDER BY {g}
+"""
+
+
+# --------------------------------------------------------------------------
+# top_metrics (argmax by sort field)
+# --------------------------------------------------------------------------
+def top_metrics(
+    df: DataFrame,
+    group_cols: list[str],
+    sort_col: str,
+    metric_cols: list[str],
+    descending: bool = True,
+) -> DataFrame:
+    """(group..., sort_value, metrics...): ES ``top_metrics`` — per group,
+    the metric columns of the row with the max (or min) sort value. One
+    ``max(struct(...))`` hash aggregate: the argmax travels with the
+    partial aggregation (map-side combinable), no window, no sort of the
+    group's rows. Ties resolve by the metric tuple itself (documented —
+    deterministic in both engines)."""
+    key = F.col(sort_col) if descending else -F.col(sort_col)
+    s = F.max(
+        F.struct(
+            key.alias("__k"),
+            F.col(sort_col).alias("sort_value"),
+            *[F.col(m) for m in metric_cols],
+        )
+    ).alias("__top")
+    clean = df.where(F.col(sort_col).isNotNull() & ~F.isnan(sort_col))
+    return (
+        clean.groupBy(*group_cols)
+        .agg(s)
+        .select(
+            *group_cols,
+            F.col("__top.sort_value").alias("sort_value"),
+            *[F.col(f"__top.{m}").alias(m) for m in metric_cols],
+        )
+        .orderBy(*group_cols)
+    )
+
+
+def top_metrics_sql(
+    src: str,
+    group_cols: list[str],
+    sort_col: str,
+    metric_cols: list[str],
+    descending: bool = True,
+) -> str:
+    g = ", ".join(group_cols)
+    m = ", ".join(metric_cols)
+    k = f"-{sort_col}" if not descending else sort_col
+    # mirror the struct-max tie-break: order by (key, sort_value, metrics)
+    tie = ", ".join(
+        [f"{k} DESC", f"{sort_col} DESC"] + [f"{c} DESC" for c in metric_cols]
+    )
+    return f"""
+WITH clean AS (
+  SELECT * FROM {src}
+  WHERE {sort_col} IS NOT NULL AND NOT isnan({sort_col})
+),
+r AS (
+  SELECT {g}, {sort_col} AS sort_value, {m},
+         ROW_NUMBER() OVER (PARTITION BY {g} ORDER BY {tie}) AS rn
+  FROM clean
+)
+SELECT {g}, sort_value, {m} FROM r WHERE rn = 1 ORDER BY {g}
+"""
+
+
+# --------------------------------------------------------------------------
+# matrix_stats (exact pairwise covariance / correlation)
+# --------------------------------------------------------------------------
+def matrix_stats(
+    df: DataFrame, x_col: str, y_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """(group..., n, cov_q, corr_mq): ES ``matrix_stats`` for a field pair
+    — population covariance and correlation, deterministic:
+
+    - ``cov_q`` = (n·Σxy − Σx·Σy) div n² in 1e-12 quanta² (exact
+      DECIMAL(38,0) arithmetic over 1e-6-quantized inputs);
+    - ``corr_mq`` = covariance / (σx·σy) in 1e-6 units: numerator and
+      radicands are EXACT DECIMAL(38,0) integers; the final step is one
+      IEEE double divide+sqrt — bit-identical across engines because both
+      round the same exact integers to the same doubles and apply the
+      same IEEE ops; a zero denominator (constant column) yields NULL.
+
+    Rows with either field missing/NaN are skipped pairwise (ES contract).
+    """
+    group_cols = group_cols or []
+    x = F.col(x_col)
+    y = F.col(y_col)
+    clean = df.where(
+        x.isNotNull() & ~F.isnan(x_col) & y.isNotNull() & ~F.isnan(y_col)
+    ).select(
+        *group_cols,
+        F.floor(x * F.lit(float(QUANT))).alias("__x"),
+        F.floor(y * F.lit(float(QUANT))).alias("__y"),
+    )
+    d38 = "CAST({} AS DECIMAL(38,0))"
+    agg = clean.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("__y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.expr(d38.format("__x") + " * __y")).alias("sxy"),
+        F.sum(F.expr(d38.format("__x") + " * __x")).alias("sxx"),
+        F.sum(F.expr(d38.format("__y") + " * __y")).alias("syy"),
+    )
+    out = agg.select(
+        *group_cols,
+        "n",
+        F.expr("CAST((n * sxy - sx * sy) div (CAST(n AS DECIMAL(38,0)) * n)"
+               " AS BIGINT)").alias("cov_q"),
+        F.expr(
+            "CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / NULLIF(SQRT(CAST(n * sxx - sx * sx AS DOUBLE))"
+            "   * SQRT(CAST(n * syy - sy * sy AS DOUBLE)), 0.0D)"
+            " * 1000000.0D) AS BIGINT)"
+        ).alias("corr_mq"),
+    )
+    return out.orderBy(*group_cols) if group_cols else out
+
+
+def matrix_stats_sql(
+    src: str, x_col: str, y_col: str, group_cols: list[str] | None = None
+) -> str:
+    group_cols = group_cols or []
+    g = ", ".join(group_cols)
+    gsel = f"{g}, " if g else ""
+    gby = f"GROUP BY {g}" if g else ""
+    gord = f"ORDER BY {g}" if g else ""
+    return f"""
+WITH clean AS (
+  SELECT {gsel}
+         CAST(FLOOR({x_col} * {float(QUANT)}) AS BIGINT) AS x,
+         CAST(FLOOR({y_col} * {float(QUANT)}) AS BIGINT) AS y
+  FROM {src}
+  WHERE {x_col} IS NOT NULL AND NOT isnan({x_col})
+    AND {y_col} IS NOT NULL AND NOT isnan({y_col})
+),
+agg AS (
+  SELECT {gsel} COUNT(*) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM clean {gby}
+)
+SELECT {gsel} n,
+       -- truncating (not flooring) division to mirror Spark's `div` on
+       -- negative covariances
+       CAST(CASE WHEN (n * sxy - sx * sy) < 0
+                 THEN -((-(n * sxy - sx * sy)) // (CAST(n AS HUGEINT) * n))
+                 ELSE (n * sxy - sx * sy) // (CAST(n AS HUGEINT) * n)
+            END AS BIGINT) AS cov_q,
+       CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+            / NULLIF(SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+              * SQRT(CAST(n * syy - sy * sy AS DOUBLE)), 0.0)
+            * 1000000.0) AS BIGINT) AS corr_mq
+FROM agg {gord}
 """

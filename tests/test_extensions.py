@@ -814,3 +814,37 @@ def test_weighted_avg_exact(spark):
     r = weighted_avg(df, ["grp"], "v", "w").collect()[0]
     # (10*1 + 20*3) / 4 = 17.5 -> 17_500_000 quanta
     assert r["n"] == 2 and r["wavg_q"] == 17_500_000
+
+
+def test_top_metrics_argmax(spark):
+    from elasticsearch_drift_plugin_spark.operators.es_aggs import top_metrics
+
+    df = spark.createDataFrame(
+        [("g", 1.0, 10), ("g", 5.0, 20), ("g", float("nan"), 99), ("h", 2.0, 30)],
+        "grp string, s double, m long",
+    )
+    rows = {r["grp"]: r for r in top_metrics(df, ["grp"], "s", ["m"]).collect()}
+    assert rows["g"]["sort_value"] == 5.0 and rows["g"]["m"] == 20
+    assert rows["h"]["m"] == 30
+    rows = {r["grp"]: r for r in top_metrics(
+        df, ["grp"], "s", ["m"], descending=False
+    ).collect()}
+    assert rows["g"]["sort_value"] == 1.0 and rows["g"]["m"] == 10
+
+
+def test_matrix_stats_exact_cov_and_corr(spark):
+    from elasticsearch_drift_plugin_spark.operators.es_aggs import matrix_stats
+
+    # y = 2x -> corr = 1; cov_pop([1,2,3],[2,4,6]) = 4/3
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.0), (3.0, 6.0)], "x double, y double"
+    )
+    r = matrix_stats(df, "x", "y").collect()[0]
+    assert r["n"] == 3
+    # cov in 1e-12 quanta^2: 4/3 * 1e12, truncated
+    assert r["cov_q"] == (4 * 10**12) // 3
+    assert r["corr_mq"] in (999_999, 1_000_000)  # sqrt rounding at the boundary
+    # anti-correlated pair
+    df = spark.createDataFrame([(1.0, 6.0), (2.0, 4.0), (3.0, 2.0)], "x double, y double")
+    r = matrix_stats(df, "x", "y").collect()[0]
+    assert r["cov_q"] < 0 and r["corr_mq"] in (-1_000_000, -1_000_001)
