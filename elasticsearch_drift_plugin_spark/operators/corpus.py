@@ -400,6 +400,50 @@ FROM marked GROUP BY doc_id ORDER BY doc_id
 """
 
 
+
+# --------------------------------------------------------------------------
+# corpus-wide n-gram heavy hitters (boilerplate mining)
+# --------------------------------------------------------------------------
+def top_ngrams(
+    docs: DataFrame, n: int = 5, size: int = 50, min_df: int = 2
+) -> DataFrame:
+    """(g, df): the ``size`` word ``n``-grams present in the most documents
+    — the exact heavy-hitters pass that seeds boilerplate lists (the spans
+    `span_dedup` then strips). Document frequency, not occurrence count:
+    each doc contributes a gram once (the distinct is per-doc, map-heavy).
+
+    Exact by design: the gram groupBy is a partial+final hash aggregate —
+    a boilerplate gram in 10^9 docs collapses to one row per map task
+    before the shuffle, so exact heavy hitters costs one aggregation at
+    any corpus size (a sketch would only save the final top-``size``
+    sort, which is already bounded by distinct-gram count).
+    """
+    grams = _word_grams(docs, n)
+    return (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+        .orderBy(F.col("df").desc(), F.col("g").asc())
+        .limit(size)
+    )
+
+
+def top_ngrams_sql(n: int = 5, size: int = 50, min_df: int = 2) -> str:
+    return f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(l) - {n - 1}),
+                                 i -> array_to_string(l[i:i+{n - 1}], ' '))) AS g
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents)
+    WHERE len(l) >= {n})
+)
+SELECT g, COUNT(*) AS df FROM grams GROUP BY g
+HAVING COUNT(*) >= {min_df}
+ORDER BY df DESC, g ASC LIMIT {size}
+"""
+
+
 def queries() -> dict:
     return {
         "corpus_tfidf_top": lambda s, d: tfidf_top_terms(load_table(s, d, "documents")),
@@ -408,6 +452,7 @@ def queries() -> dict:
             load_table(s, d, "documents").where("source = 'src0'"),
         ),
         "corpus_span_dedup": lambda s, d: span_dedup(load_table(s, d, "documents")),
+        "corpus_top_ngrams": lambda s, d: top_ngrams(load_table(s, d, "documents")),
         "corpus_hash_sample": lambda s, d: hash_sample(
             load_table(s, d, "documents"),
             rate=0.25,
@@ -422,6 +467,7 @@ def oracle_sql() -> dict:
         "corpus_tfidf_top": tfidf_sql(),
         "corpus_contamination": contamination_sql("source = 'src0'", "source <> 'src0'"),
         "corpus_span_dedup": span_dedup_sql(),
+        "corpus_top_ngrams": top_ngrams_sql(),
         "corpus_hash_sample": hash_sample_sql(
             rate=0.25, strata_col="source", strata_rates={"src0": 1.0}
         ),

@@ -848,3 +848,22 @@ def test_matrix_stats_exact_cov_and_corr(spark):
     df = spark.createDataFrame([(1.0, 6.0), (2.0, 4.0), (3.0, 2.0)], "x double, y double")
     r = matrix_stats(df, "x", "y").collect()[0]
     assert r["cov_q"] < 0 and r["corr_mq"] in (-1_000_000, -1_000_001)
+
+
+def test_top_ngrams_document_frequency(spark):
+    from elasticsearch_drift_plugin_spark.operators.corpus import top_ngrams
+
+    # "a b c d e" appears in docs 1,2 (df=2); doc 3 repeats it intra-doc
+    # (still one vote); "z z z z z" only in doc 3 (df=1, below min_df)
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e x"),
+            (2, "y a b c d e"),
+            (3, "a b c d e a b c d e"),
+            (4, "z z z z z"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = top_ngrams(docs, n=5, size=10, min_df=2).collect()
+    assert rows[0]["g"] == "a b c d e" and rows[0]["df"] == 3
+    assert all(r["df"] >= 2 for r in rows)

@@ -156,3 +156,23 @@ def test_components_rounds_are_jvm_only(spark):
         plan = explain_str(out)
         # min-label aggregation carries a map-side partial before its shuffle
         assert plan.count("HashAggregate") >= 2
+
+
+def test_es_aggs_are_jvm_only_single_shuffle(spark):
+    from elasticsearch_drift_plugin_spark.operators import es_aggs
+
+    df = spark.createDataFrame(
+        [("a", 10.0, 3)], "event_type string, value double, user_id long"
+    )
+    terms = es_aggs.terms_agg(df, "event_type", value_col="value")
+    assert not has_python_eval(terms)
+    # partial+final agg pair; TakeOrdered handles the top-size (no extra sort)
+    assert explain_str(terms).count("HashAggregate") >= 2
+
+    stats = es_aggs.extended_stats_agg(df, ["event_type"], "value")
+    assert not has_python_eval(stats)
+    assert hash_exchange_count(stats) == 1  # one shuffle on the group key
+
+    hist = es_aggs.histogram_agg(df, "value", 50.0)
+    assert not has_python_eval(hist)
+    assert hash_exchange_count(hist) == 1
