@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "es_filters_buckets",
     "es_auto_date_histogram",
     "es_significant_terms",
+    "es_matrix_stats",
     "dedup_components",
     "mm_metadata",
     "mm_decode",
