@@ -867,3 +867,45 @@ def test_top_ngrams_document_frequency(spark):
     rows = top_ngrams(docs, n=5, size=10, min_df=2).collect()
     assert rows[0]["g"] == "a b c d e" and rows[0]["df"] == 3
     assert all(r["df"] >= 2 for r in rows)
+
+
+def test_asof_directions_match_pandas_merge_asof(spark):
+    import pandas as pd
+    import random
+
+    from elasticsearch_drift_plugin_spark.operators.asof import asof_join
+
+    rng = random.Random(7)
+    # left times ≡ 0 (mod 4), right ≡ 1 (mod 4): backward distances ≡ 3,
+    # forward ≡ 1 (mod 4) — exact-distance ties impossible, so pandas'
+    # and our tie conventions never diverge in this comparison
+    left = [("k%d" % rng.randrange(3), 4 * rng.randrange(200)) for _ in range(120)]
+    right_set = {("k%d" % rng.randrange(3), 4 * rng.randrange(200) + 1) for _ in range(80)}
+    right = [(k, t, "p%d_%d" % (hash(k) % 10, t)) for k, t in sorted(right_set)]
+
+    ldf = spark.createDataFrame(
+        [(k, i, t) for i, (k, t) in enumerate(left)], "key string, lid long, t long"
+    )
+    rdf = spark.createDataFrame(right, "key string, t long, p string")
+    lpd = pd.DataFrame(left, columns=["key", "t"]).assign(lid=range(len(left)))
+    rpd = pd.DataFrame(right, columns=["key", "t", "p"])
+
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 40):
+            got = {
+                r["lid"]: r["p"]
+                for r in asof_join(
+                    ldf, rdf, "key", "t", "t", "p",
+                    direction=direction, tolerance=tol,
+                ).collect()
+            }
+            exp_df = pd.merge_asof(
+                lpd.sort_values("t"), rpd.sort_values("t"),
+                on="t", by="key", direction=direction,
+                tolerance=tol,
+            )
+            exp = {
+                int(r.lid): (None if pd.isna(r.p) else r.p)
+                for r in exp_df.itertuples()
+            }
+            assert got == exp, (direction, tol)
