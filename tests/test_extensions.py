@@ -909,3 +909,34 @@ def test_asof_directions_match_pandas_merge_asof(spark):
                 for r in exp_df.itertuples()
             }
             assert got == exp, (direction, tol)
+
+
+def test_extended_and_matrix_stats_match_numpy(spark):
+    import numpy as np
+
+    from elasticsearch_drift_plugin_spark.operators.es_aggs import (
+        QUANT,
+        extended_stats_agg,
+        matrix_stats,
+    )
+
+    rng = np.random.default_rng(11)
+    # quantize inputs so the integer pipeline is exactly representable
+    x = np.floor(rng.uniform(0, 500, 300) * QUANT) / QUANT
+    y = np.floor(rng.uniform(0, 500, 300) * QUANT) / QUANT
+    df = spark.createDataFrame(
+        [("g", float(a), float(b)) for a, b in zip(x, y)],
+        "grp string, x double, y double",
+    )
+    es = extended_stats_agg(df, ["grp"], "x").collect()[0]
+    xq = np.floor(x * QUANT).astype(np.int64)  # same IEEE floor as the operator
+    assert es["sum_q"] == int(xq.sum())
+    # integer var formula == numpy var_pop on the quantized values
+    n = len(xq)
+    want_var = (n * int((xq.astype(object) ** 2).sum()) - int(xq.sum()) ** 2) // (n * n)
+    assert int(es["var_q"]) == want_var
+    assert abs(int(es["var_q"]) / QUANT**2 - np.var(x)) < 1e-4  # 1e-6 quantization noise
+
+    ms = matrix_stats(df, "x", "y").collect()[0]
+    assert abs(ms["cov_q"] / 1e12 - np.cov(x, y, bias=True)[0, 1]) < 1e-4
+    assert abs(ms["corr_mq"] / 1e6 - np.corrcoef(x, y)[0, 1]) < 1e-5
