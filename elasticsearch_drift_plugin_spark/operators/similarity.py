@@ -453,3 +453,77 @@ def oracle_sql() -> dict:
         "ann_lsh_histogram": lsh_histogram_sql(),
         "ann_ivf_topk": IVF_TOPK_SQL,
     }
+
+
+# --------------------------------------------------------------------------
+# IVF index at rest: partition-by-cell layout + partition-pruned probe
+# --------------------------------------------------------------------------
+def write_ivf_index(assigned: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Persist an :func:`ivf_assign` output parquet-partitioned by ``cell``.
+
+    This is the at-rest layout SCALE.md promises: with one directory per
+    IVF cell, a probe that touches ``nprobe`` cells reads ONLY those
+    directories — the other ``n_centroids − nprobe`` cells are pruned at
+    planning time, so probe I/O is ``nprobe/n_centroids`` of the corpus
+    regardless of corpus size."""
+    assigned.write.mode(mode).partitionBy("cell").parquet(path)
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    cents,
+    k: int = 5,
+    nprobe: int = NPROBE,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k probe against a stored cell-partitioned index. The probed
+    cells are computed driver-side from the (tiny) query set and pushed as
+    a literal ``cell IN (...)`` predicate, so Catalyst prunes the cell
+    directories statically — assert with ``plans.explain_str`` showing
+    ``PartitionFilters: [cell IN ...]``. Scoring then proceeds exactly as
+    :func:`ivf_topk` (broadcast probe join, ranking window)."""
+    probe_structs = ",".join(
+        f"named_struct('neg_s', -({_cell_score_sql(vec, nm)}), 'cid', {cid})"
+        for cid, vec, nm in cents
+    )
+    probe_cells = F.expr(
+        f"slice(array_sort(array({probe_structs})), 1, {nprobe})"
+    )
+    probes = queries.withColumn("__v", F.expr(_V_DOUBLE_SQL)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__v").alias("qv"),
+        F.explode(probe_cells).alias("p"),
+    ).select("query_id", "qv", F.col("p.cid").alias("cell"))
+    cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
+    stored = spark.read.parquet(path).where(F.col("cell").isin(cells))
+    c = stored.select(
+        "cell",
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col("embedding")).alias("cv"),
+    )
+    score = dot(F.col("qv"), F.col("cv")) / (
+        l2_norm(F.col("qv")) * l2_norm(F.col("cv"))
+    )
+    scored = (
+        c.join(F.broadcast(probes), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.floor(score * F.lit(float(QUANT))).alias("score_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_q").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("rank").cast("long").alias("rank"), "score_q",
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -940,3 +940,25 @@ def test_extended_and_matrix_stats_match_numpy(spark):
     ms = matrix_stats(df, "x", "y").collect()[0]
     assert abs(ms["cov_q"] / 1e12 - np.cov(x, y, bias=True)[0, 1]) < 1e-4
     assert abs(ms["corr_mq"] / 1e6 - np.corrcoef(x, y)[0, 1]) < 1e-5
+
+
+def test_ivf_index_at_rest_partition_prunes(spark, tmp_path):
+    from elasticsearch_drift_plugin_spark.operators import similarity
+    from elasticsearch_drift_plugin_spark.plans import explain_str
+    from elasticsearch_drift_plugin_spark.sources.flows import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    cents = similarity._seed_centroids(emb, similarity.N_CENTROIDS)
+    assigned = similarity.ivf_assign(emb, cents)
+    path = str(tmp_path / "ivf_index")
+    similarity.write_ivf_index(assigned, path)
+
+    queries = emb.where("vec_id < 5")
+    out = similarity.ivf_topk_from_index(spark, path, queries, cents, k=5)
+    plan = explain_str(out)
+    # the cell IN (...) predicate must reach the scan as a partition filter
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+    # and the stored-index probe must match the in-memory operator
+    expect = similarity.ivf_topk(emb, queries, k=5)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, expect.collect()))
