@@ -538,6 +538,10 @@ def queries() -> dict:
         "es_range_value": lambda s, d: range_agg(
             load_table(s, d, "events"), "value", _RANGES, value_col="value"
         ),
+        "es_histogram_filled": lambda s, d: histogram_agg_filled(
+            load_table(s, d, "events").where("user_id % 25 = 0"),
+            "value", interval=50.0, offset=10.0, value_col="value",
+        ),
         "es_histogram_value": lambda s, d: histogram_agg(
             load_table(s, d, "events"), "value", interval=50.0, offset=10.0,
             min_doc_count=5, value_col="value"
@@ -591,6 +595,10 @@ def oracle_sql() -> dict:
     return {
         "es_terms_top_users": terms_sql("events", "user_id", size=25, value_col="value"),
         "es_range_value": range_sql("events", "value", _RANGES, value_col="value"),
+        "es_histogram_filled": histogram_filled_sql(
+            "(SELECT * FROM events WHERE user_id % 25 = 0)",
+            "value", interval=50.0, offset=10.0, value_col="value",
+        ),
         "es_histogram_value": histogram_sql(
             "events", "value", interval=50.0, offset=10.0, min_doc_count=5,
             value_col="value"
@@ -622,6 +630,78 @@ def oracle_sql() -> dict:
             "value", "u", ["event_type"],
         ),
     }
+
+
+
+def histogram_agg_filled(
+    df: DataFrame,
+    field: str,
+    interval: float,
+    offset: float = 0.0,
+    value_col: str | None = None,
+    max_fill_buckets: int = 100_000,
+) -> DataFrame:
+    """ES numeric ``histogram`` with ``min_doc_count: 0``: every bucket on
+    the grid between the data min and max appears, zero-filled. The spine
+    is a `sequence()` over integer bucket indices (never driver-side),
+    joined to the aggregated buckets on the key — the same shape as the
+    core operator's empty-bucket fill, with the same circuit breaker
+    (``max_fill_buckets`` bounds the spine before it generates).
+    """
+    base = histogram_agg(
+        df, field, interval, offset=offset, min_doc_count=1, value_col=value_col
+    )
+    idx = F.expr(f"CAST(FLOOR((key - {float(offset)}) / {float(interval)}) AS BIGINT)")
+    bounds = base.agg(
+        F.min(idx).alias("lo"), F.max(idx).alias("hi")
+    )
+    spine = (
+        bounds.where(F.col("lo").isNotNull())
+        .select(
+            F.explode(
+                F.expr(
+                    f"CASE WHEN hi - lo + 1 > {int(max_fill_buckets)}"
+                    f" THEN raise_error('histogram fill bucket bomb')"
+                    f" ELSE sequence(lo, hi) END"
+                )
+            ).alias("i")
+        )
+        .select(
+            (F.col("i") * F.lit(float(interval)) + F.lit(float(offset))).alias("key")
+        )
+    )
+    fill = [F.coalesce("doc_count", F.lit(0)).alias("doc_count")]
+    if value_col is not None:
+        fill.append(F.coalesce("value_q", F.lit(0)).alias("value_q"))
+    return spine.join(base, "key", "left").select("key", *fill).orderBy("key")
+
+
+def histogram_filled_sql(
+    src: str,
+    field: str,
+    interval: float,
+    offset: float = 0.0,
+    value_col: str | None = None,
+) -> str:
+    val_sel = ", COALESCE(value_q, 0) AS value_q" if value_col else ""
+    base = histogram_sql(
+        src, field, interval, offset=offset, min_doc_count=1, value_col=value_col
+    )
+    return f"""
+WITH base AS ({base}),
+bounds AS (
+  SELECT CAST(FLOOR((MIN(key) - {float(offset)}) / {float(interval)}) AS BIGINT) AS lo,
+         CAST(FLOOR((MAX(key) - {float(offset)}) / {float(interval)}) AS BIGINT) AS hi
+  FROM base
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi)) * {float(interval)} + {float(offset)} AS key
+  FROM bounds WHERE lo IS NOT NULL
+)
+SELECT spine.key AS key, COALESCE(doc_count, 0) AS doc_count{val_sel}
+FROM spine LEFT JOIN base ON base.key = spine.key
+ORDER BY key
+"""
 
 
 # --------------------------------------------------------------------------

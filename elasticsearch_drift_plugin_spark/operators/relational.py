@@ -115,6 +115,41 @@ FROM e GROUP BY event_type ORDER BY event_type
 """
 
 
+
+def rollup_report(lineitem: DataFrame) -> DataFrame:
+    """(l_returnflag, l_linestatus, gid, n, sum_price_q): multi-level
+    subtotals via Spark's native ``rollup`` — per (flag, status), per flag,
+    and grand total in ONE aggregation pass (Catalyst expands the grouping
+    sets; partial aggregation still applies below the single shuffle).
+    ``gid`` is ``grouping_id()`` so subtotal rows are distinguishable from
+    data rows with NULL-looking keys; sums are 1e-2-quantized (prices have
+    two decimals) exact integers. Oracle: DuckDB ``GROUP BY ROLLUP`` with
+    ``GROUPING()`` — the standard-SQL twin.
+    """
+    q = F.floor(F.col("l_extendedprice") * F.lit(100.0))
+    return (
+        lineitem.select("l_returnflag", "l_linestatus", q.alias("__q"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__q").alias("sum_price_q"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_price_q
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
 def queries() -> dict:
     return {
         "rel_flows_by_nation": lambda s, d: flows_by_nation(
@@ -125,6 +160,9 @@ def queries() -> dict:
         "rel_users_intersect": lambda s, d: users_in_both(
             load_table(s, d, "events"), "click", "purchase"
         ),
+        "rel_rollup_report": lambda s, d: rollup_report(
+            load_table(s, d, "lineitem")
+        ),
         "rel_json_props": lambda s, d: json_props_stats(load_table(s, d, "events")),
     }
 
@@ -134,4 +172,5 @@ def oracle_sql() -> dict:
         "rel_flows_by_nation": FLOWS_BY_NATION_SQL,
         "rel_users_intersect": users_in_both_sql("click", "purchase"),
         "rel_json_props": JSON_PROPS_SQL,
+        "rel_rollup_report": ROLLUP_SQL,
     }

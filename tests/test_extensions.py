@@ -962,3 +962,32 @@ def test_ivf_index_at_rest_partition_prunes(spark, tmp_path):
     # and the stored-index probe must match the in-memory operator
     expect = similarity.ivf_topk(emb, queries, k=5)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_histogram_filled_zero_buckets_and_bomb_guard(spark):
+    import pytest
+
+    from elasticsearch_drift_plugin_spark.operators.es_aggs import (
+        histogram_agg_filled,
+    )
+
+    df = spark.createDataFrame([(5.0,), (255.0,)], "value double")
+    rows = histogram_agg_filled(df, "value", 50.0).collect()
+    # grid 0..250 step 50 -> 6 buckets, 4 zero-filled
+    assert [r["key"] for r in rows] == [0.0, 50.0, 100.0, 150.0, 200.0, 250.0]
+    assert [r["doc_count"] for r in rows] == [1, 0, 0, 0, 0, 1]
+    with pytest.raises(Exception, match="bucket bomb"):
+        histogram_agg_filled(df, "value", 50.0, max_fill_buckets=3).collect()
+
+
+def test_rollup_report_levels(spark):
+    from elasticsearch_drift_plugin_spark.operators.relational import rollup_report
+
+    df = spark.createDataFrame(
+        [("A", "F", 1.00), ("A", "O", 2.00), ("B", "F", 4.00)],
+        "l_returnflag string, l_linestatus string, l_extendedprice double",
+    )
+    rows = {(r["l_returnflag"], r["l_linestatus"], r["gid"]): r for r in rollup_report(df).collect()}
+    assert rows[("A", "F", 0)]["sum_price_q"] == 100
+    assert rows[("A", None, 1)]["sum_price_q"] == 300   # per-flag subtotal
+    assert rows[(None, None, 3)]["sum_price_q"] == 700  # grand total
