@@ -32,6 +32,7 @@ from elasticsearch_drift_plugin_spark.operators import (
     corpus,
     dedup,
     es_aggs,
+    es_metrics,
     multimodal,
     pipeline,
     relational,
@@ -238,6 +239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(dedup.queries())
     q.update(components.queries())
     q.update(es_aggs.queries())
+    q.update(es_metrics.queries())
     q.update(similarity.queries())
     q.update(text.queries())
     q.update(corpus.queries())
@@ -321,6 +323,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(dedup.oracle_sql())
     o.update(components.oracle_sql())
     o.update(es_aggs.oracle_sql())
+    o.update(es_metrics.oracle_sql())
     o.update(similarity.oracle_sql())
     o.update(text.oracle_sql())
     o.update(corpus.oracle_sql())

@@ -1,0 +1,599 @@
+"""Second batch of host-Elasticsearch aggregations, engine-native:
+``missing``, ``median_absolute_deviation``, ``boxplot``, ``string_stats``,
+``rate``, ``date_range``, ``multi_terms``, ``rare_terms``.
+
+Like ``es_aggs.py``, these complete the porting surface around the
+reference's one custom operator: a real search body that contains
+`proportional_sum` (registered `DriftPlugin.java:29-35`) routinely mixes in
+these stock aggs, which the host ES provides (SURVEY.md §2.2). Public ES
+contracts implemented:
+
+- ``missing``: single bucket counting docs whose field is NULL; here
+  grouped per dimension so the result is a table, with the ``value_count``
+  metric (# docs with a value) as the natural sibling.
+- ``median_absolute_deviation``: ES computes an approximate
+  ``median(|x - median(x)|)`` (TDigest); we compute it exactly via two
+  sort-based percentile passes.
+- ``boxplot``: min/max/q1/q2/q3 plus whiskers at the most extreme data
+  points inside the 1.5·IQR Tukey fences (the same fence rule ES documents
+  for its boxplot agg).
+- ``string_stats``: count / min / max / sum of lengths plus the Shannon
+  entropy of the character distribution. Entropy is computed in integer
+  quanta (one floored ``log2`` per distinct character count — the same
+  discipline as corpus TF-IDF) so cross-engine float drift cannot flip the
+  hash: ``H_q = floor(log2(N)·Q) - (Σ c·floor(log2(c)·Q)) div N``.
+- ``rate``: per calendar-month bucket, the quantized value sum divided by
+  the number of rate-unit intervals (days) in THAT bucket — month lengths
+  vary, matching ES's calendar-aware rate scaling.
+- ``date_range``: half-open ``[from, to)`` buckets over epoch-ms with ISO
+  keys; every requested range is returned (zero-filled), docs may land in
+  several overlapping ranges.
+- ``multi_terms``: composite term buckets over several fields, doc_count
+  desc with per-field key asc tie-break, top ``size``.
+- ``rare_terms``: buckets with ``doc_count <= max_doc_count``, ordered
+  count asc then key asc (exact; ES trades exactness for a CuckooFilter —
+  same contract, no false positives here).
+
+Scale: every agg is one partial+final hash aggregation (single shuffle on
+the group key). ``string_stats`` explodes characters map-side — fan-out =
+chars/doc, collapsed by the partial agg before the shuffle, so shuffle rows
+are #(group, char) pairs, not #chars. MAD and boxplot are two aggregation
+passes with a broadcast join of per-group medians/fences (O(#groups) rows —
+the legitimate broadcast-small pattern); exact percentiles shuffle values
+by group (unavoidable for exact results — ``percentile_approx`` is the
+documented 100 TB swap, see stats.py).
+
+NaN/NULL: metric aggs skip docs whose numeric field is NULL or NaN, both
+engines filtering identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.flows import load_table
+
+QUANT = 1_000_000
+_VALID = "value IS NOT NULL AND NOT isnan(value)"
+
+
+def _valid(field: str) -> str:
+    return f"{field} IS NOT NULL AND NOT isnan({field})"
+
+
+# --------------------------------------------------------------------------
+# missing + value_count
+# --------------------------------------------------------------------------
+
+def missing_agg(df: DataFrame, field: str, group_by: list[str]) -> DataFrame:
+    """(group..., missing_count, value_count): ES ``missing`` bucket
+    doc_count and the ``value_count`` metric per group. NULL is missing;
+    NaN is a present (if unusable) value — both engines agree because
+    ``count(field)`` counts NaN rows and skips NULL rows."""
+    return (
+        df.groupBy(*group_by)
+        .agg(
+            (F.count(F.lit(1)) - F.count(field)).alias("missing_count"),
+            F.count(field).alias("value_count"),
+        )
+        .orderBy(*group_by)
+    )
+
+
+def missing_sql(src: str, field: str, group_by: list[str]) -> str:
+    g = ", ".join(group_by)
+    return f"""
+SELECT {g}, COUNT(*) - COUNT({field}) AS missing_count,
+       COUNT({field}) AS value_count
+FROM {src} GROUP BY {g} ORDER BY {g}
+"""
+
+
+# --------------------------------------------------------------------------
+# median_absolute_deviation
+# --------------------------------------------------------------------------
+
+def mad_agg(df: DataFrame, field: str, group_by: list[str]) -> DataFrame:
+    """(group..., mad_q): exact median absolute deviation per group.
+
+    Two percentile passes: per-group median, broadcast back (O(#groups)
+    rows), then the median of absolute deviations. ES's TDigest version is
+    approximate; exactness here is what makes the oracle hashable."""
+    valid = df.where(_valid(field))
+    med = valid.groupBy(*group_by).agg(
+        F.expr(f"percentile({field}, 0.5)").alias("__med")
+    )
+    dev = valid.join(F.broadcast(med), group_by).select(
+        *group_by, F.abs(F.col(field) - F.col("__med")).alias("__dev")
+    )
+    return (
+        dev.groupBy(*group_by)
+        .agg(
+            F.floor(F.expr("percentile(__dev, 0.5)") * F.lit(float(QUANT))).alias(
+                "mad_q"
+            )
+        )
+        .orderBy(*group_by)
+    )
+
+
+def mad_sql(src: str, field: str, group_by: list[str]) -> str:
+    g = ", ".join(group_by)
+    return f"""
+WITH valid AS (SELECT * FROM {src} WHERE {_valid(field)}),
+med AS (SELECT {g}, quantile_cont({field}, 0.5) AS m FROM valid GROUP BY {g})
+SELECT v.{g}, CAST(FLOOR(quantile_cont(ABS(v.{field} - med.m), 0.5)
+                         * {float(QUANT)}) AS BIGINT) AS mad_q
+FROM valid v JOIN med USING ({g})
+GROUP BY v.{g} ORDER BY v.{g}
+"""
+
+
+# --------------------------------------------------------------------------
+# boxplot
+# --------------------------------------------------------------------------
+
+def boxplot_agg(df: DataFrame, field: str, group_by: list[str]) -> DataFrame:
+    """(group..., n, vmin, vmax, q1_q, q2_q, q3_q, lo_whisker, hi_whisker):
+    ES ``boxplot``. Quartiles are exact interpolated percentiles
+    (quantized); whiskers are the most extreme DATA values inside the
+    Tukey fences ``[q1 - 1.5·IQR, q3 + 1.5·IQR]`` — raw doubles, safe to
+    hash because both engines pick an actual input value."""
+    valid = df.where(_valid(field))
+    q = valid.groupBy(*group_by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(field).alias("vmin"),
+        F.max(field).alias("vmax"),
+        F.expr(f"percentile({field}, array(0.25, 0.5, 0.75))").alias("__q"),
+    )
+    q = q.select(
+        *group_by,
+        "n",
+        "vmin",
+        "vmax",
+        F.col("__q")[0].alias("__q1"),
+        F.col("__q")[1].alias("__q2"),
+        F.col("__q")[2].alias("__q3"),
+    )
+    fenced = valid.join(F.broadcast(q), group_by)
+    iqr = F.col("__q3") - F.col("__q1")
+    lo_f = F.col("__q1") - 1.5 * iqr
+    hi_f = F.col("__q3") + 1.5 * iqr
+    wh = fenced.groupBy(*group_by).agg(
+        F.min(F.when(F.col(field) >= lo_f, F.col(field))).alias("lo_whisker"),
+        F.max(F.when(F.col(field) <= hi_f, F.col(field))).alias("hi_whisker"),
+    )
+    out = q.join(wh, group_by).select(
+        *group_by,
+        "n",
+        "vmin",
+        "vmax",
+        F.floor(F.col("__q1") * F.lit(float(QUANT))).alias("q1_q"),
+        F.floor(F.col("__q2") * F.lit(float(QUANT))).alias("q2_q"),
+        F.floor(F.col("__q3") * F.lit(float(QUANT))).alias("q3_q"),
+        "lo_whisker",
+        "hi_whisker",
+    )
+    return out.orderBy(*group_by)
+
+
+def boxplot_sql(src: str, field: str, group_by: list[str]) -> str:
+    g = ", ".join(group_by)
+    return f"""
+WITH valid AS (SELECT * FROM {src} WHERE {_valid(field)}),
+q AS (
+  SELECT {g}, COUNT(*) AS n, MIN({field}) AS vmin, MAX({field}) AS vmax,
+         quantile_cont({field}, 0.25) AS q1,
+         quantile_cont({field}, 0.5)  AS q2,
+         quantile_cont({field}, 0.75) AS q3
+  FROM valid GROUP BY {g}
+),
+wh AS (
+  SELECT v.{g},
+         MIN(CASE WHEN v.{field} >= q.q1 - 1.5 * (q.q3 - q.q1)
+                  THEN v.{field} END) AS lo_whisker,
+         MAX(CASE WHEN v.{field} <= q.q3 + 1.5 * (q.q3 - q.q1)
+                  THEN v.{field} END) AS hi_whisker
+  FROM valid v JOIN q USING ({g}) GROUP BY v.{g}
+)
+SELECT q.{g}, q.n, q.vmin, q.vmax,
+       CAST(FLOOR(q.q1 * {float(QUANT)}) AS BIGINT) AS q1_q,
+       CAST(FLOOR(q.q2 * {float(QUANT)}) AS BIGINT) AS q2_q,
+       CAST(FLOOR(q.q3 * {float(QUANT)}) AS BIGINT) AS q3_q,
+       wh.lo_whisker, wh.hi_whisker
+FROM q JOIN wh USING ({g}) ORDER BY {g}
+"""
+
+
+# --------------------------------------------------------------------------
+# string_stats
+# --------------------------------------------------------------------------
+
+def string_stats_agg(df: DataFrame, text_col: str, group_by: list[str]) -> DataFrame:
+    """(group..., count, min_len, max_len, sum_len, distinct_chars,
+    entropy_q): ES ``string_stats`` with ``show_distribution`` folded into
+    one integer-quantized Shannon entropy over the per-group character
+    distribution.
+
+    ``H = log2(N) - (Σ c·log2 c)/N`` over character counts ``c``; each
+    ``log2`` is floored to 1e-6 quanta BEFORE the sum so both engines do
+    identical integer arithmetic. Fan-out (1 row per character) is
+    collapsed by the partial aggregation before any shuffle."""
+    base = df.where(F.col(text_col).isNotNull())
+    lens = base.groupBy(*group_by).agg(
+        F.count(F.lit(1)).alias("count"),
+        F.min(F.length(text_col)).alias("min_len"),
+        F.max(F.length(text_col)).alias("max_len"),
+        F.sum(F.length(text_col)).alias("sum_len"),
+    )
+    chars = base.select(
+        *group_by,
+        F.explode(F.expr(f"sequence(1, length({text_col}))")).alias("__i"),
+        F.col(text_col).alias("__t"),
+    ).select(*group_by, F.expr("substring(__t, __i, 1)").alias("__ch"))
+    per_char = chars.groupBy(*group_by, "__ch").agg(F.count(F.lit(1)).alias("__c"))
+    ent = per_char.groupBy(*group_by).agg(
+        F.count(F.lit(1)).alias("distinct_chars"),
+        F.sum(
+            F.col("__c") * F.floor(F.log2("__c") * F.lit(float(QUANT)))
+        ).alias("__s"),
+        F.sum("__c").alias("__n"),
+    )
+    ent = ent.select(
+        *group_by,
+        "distinct_chars",
+        (
+            F.floor(F.log2("__n") * F.lit(float(QUANT)))
+            - F.expr("__s div __n")
+        ).alias("entropy_q"),
+    )
+    return lens.join(ent, group_by).orderBy(*group_by)
+
+
+def string_stats_sql(src: str, text_col: str, group_by: list[str]) -> str:
+    g = ", ".join(group_by)
+    return f"""
+WITH base AS (SELECT * FROM {src} WHERE {text_col} IS NOT NULL),
+lens AS (
+  SELECT {g}, COUNT(*) AS count, MIN(LENGTH({text_col})) AS min_len,
+         MAX(LENGTH({text_col})) AS max_len, SUM(LENGTH({text_col})) AS sum_len
+  FROM base GROUP BY {g}
+),
+chars AS (
+  SELECT {g}, SUBSTRING({text_col}, i, 1) AS ch
+  FROM (SELECT {g}, {text_col},
+               UNNEST(GENERATE_SERIES(1, LENGTH({text_col}))) AS i
+        FROM base)
+),
+per_char AS (SELECT {g}, ch, COUNT(*) AS c FROM chars GROUP BY {g}, ch),
+ent AS (
+  SELECT {g}, COUNT(*) AS distinct_chars,
+         SUM(c * CAST(FLOOR(LOG2(c) * {float(QUANT)}) AS BIGINT)) AS s,
+         SUM(c) AS n
+  FROM per_char GROUP BY {g}
+)
+SELECT lens.{g}, lens.count, lens.min_len, lens.max_len, lens.sum_len,
+       ent.distinct_chars,
+       CAST(FLOOR(LOG2(ent.n) * {float(QUANT)}) AS BIGINT) - ent.s // ent.n
+         AS entropy_q
+FROM lens JOIN ent USING ({g}) ORDER BY {g}
+"""
+
+
+# --------------------------------------------------------------------------
+# rate (calendar-aware)
+# --------------------------------------------------------------------------
+
+def rate_agg(df: DataFrame, t_ms: str, value_col: str) -> DataFrame:
+    """(key, doc_count, unit_intervals, rate_q): ES ``rate`` with a monthly
+    date_histogram bucket and ``unit: day`` — the quantized value sum per
+    bucket divided by the number of days in THAT month (28/29/30/31), all
+    in integer math. ``key`` is the bucket start in epoch ms."""
+    bucket = F.date_trunc("month", F.timestamp_millis(F.col(t_ms)))
+    agg = (
+        df.withColumn("__b", bucket)
+        .groupBy("__b")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col(value_col).isNotNull() & ~F.isnan(value_col),
+                        F.floor(F.col(value_col) * F.lit(float(QUANT))),
+                    )
+                ),
+                F.lit(0),
+            ).alias("__sum_q"),
+        )
+    )
+    days = F.datediff(F.add_months(F.col("__b"), 1), F.col("__b")).cast("long")
+    return (
+        agg.select(
+            F.unix_millis("__b").alias("key"),
+            "doc_count",
+            days.alias("unit_intervals"),
+            F.expr("__sum_q").alias("__sq"),
+        )
+        .withColumn("rate_q", F.expr("__sq div unit_intervals"))
+        .drop("__sq")
+        .orderBy("key")
+    )
+
+
+def rate_sql(src: str, t_ms: str, value_col: str) -> str:
+    return f"""
+WITH agg AS (
+  SELECT date_trunc('month', make_timestamp(({t_ms}) * 1000)) AS b,
+         COUNT(*) AS doc_count,
+         COALESCE(SUM(CASE WHEN {value_col} IS NOT NULL AND NOT isnan({value_col})
+                      THEN CAST(FLOOR({value_col} * {float(QUANT)}) AS BIGINT)
+                      END), 0) AS sum_q
+  FROM {src} GROUP BY 1
+)
+SELECT epoch_ms(b) AS key, doc_count,
+       date_diff('day', b, b + INTERVAL 1 MONTH) AS unit_intervals,
+       sum_q // date_diff('day', b, b + INTERVAL 1 MONTH) AS rate_q
+FROM agg ORDER BY key
+"""
+
+
+# --------------------------------------------------------------------------
+# date_range
+# --------------------------------------------------------------------------
+
+def date_range_agg(
+    df: DataFrame,
+    t_ms: str,
+    ranges: list[tuple[str | None, str | None]],
+    value_col: str | None = None,
+) -> DataFrame:
+    """(key, range_from, range_to, doc_count[, value_q]): ES ``date_range``
+    over epoch-ms. ``ranges`` are ISO ``YYYY-MM-DD`` bounds (UTC midnight),
+    half-open ``[from, to)``, ``None`` = unbounded; keys are
+    ``"from-to"`` with ``*`` for an open bound; every requested range is
+    returned, zero-filled. Overlapping ranges double-count by design.
+
+    Same plan as ``range_agg``: constant literal range table filtered per
+    row in codegen, exploded (fan-out ≤ #ranges), one hash aggregation,
+    then a tiny right join against the literal list for zero-fill."""
+    from datetime import datetime, timezone
+
+    def _ms(iso: str) -> int:
+        return int(
+            datetime.fromisoformat(iso).replace(tzinfo=timezone.utc).timestamp() * 1000
+        )
+
+    rows = []
+    for lo, hi in ranges:
+        key = f"{lo or '*'}-{hi or '*'}"
+        rows.append((key, None if lo is None else _ms(lo), None if hi is None else _ms(hi)))
+
+    structs = ",".join(
+        "named_struct('key', '{k}', 'lo', {lo}, 'hi', {hi})".format(
+            k=k,
+            lo="CAST(NULL AS BIGINT)" if lo is None else f"{lo}L",
+            hi="CAST(NULL AS BIGINT)" if hi is None else f"{hi}L",
+        )
+        for k, lo, hi in rows
+    )
+    member = (
+        f"filter(array({structs}), r ->"
+        f" (r.lo IS NULL OR {t_ms} >= r.lo) AND (r.hi IS NULL OR {t_ms} < r.hi))"
+    )
+    aggs = [F.count(F.lit(1)).alias("doc_count")]
+    if value_col is not None:
+        aggs.append(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col(value_col).isNotNull() & ~F.isnan(value_col),
+                        F.floor(F.col(value_col) * F.lit(float(QUANT))),
+                    )
+                ),
+                F.lit(0),
+            ).alias("value_q")
+        )
+    hit = (
+        df.where(F.col(t_ms).isNotNull())
+        .select(F.explode(F.expr(member)).alias("r"), *( [F.col(value_col)] if value_col else [] ))
+        .groupBy(F.col("r.key").alias("key"))
+        .agg(*aggs)
+    )
+    spine = df.sparkSession.createDataFrame(
+        rows, "key string, range_from long, range_to long"
+    )
+    fill = [F.coalesce(F.col("doc_count"), F.lit(0)).alias("doc_count")] + (
+        [F.coalesce(F.col("value_q"), F.lit(0)).alias("value_q")] if value_col else []
+    )
+    return (
+        F.broadcast(spine)
+        .join(hit, "key", "left")
+        .select("key", "range_from", "range_to", *fill)
+        # order by the unique string key: NULL bounds sort differently in
+        # Spark (NULLS FIRST) vs DuckDB (NULLS LAST)
+        .orderBy("key")
+    )
+
+
+def date_range_sql(
+    src: str,
+    t_ms: str,
+    ranges: list[tuple[str | None, str | None]],
+    value_col: str | None = None,
+) -> str:
+    from datetime import datetime, timezone
+
+    def _ms(iso: str) -> int:
+        return int(
+            datetime.fromisoformat(iso).replace(tzinfo=timezone.utc).timestamp() * 1000
+        )
+
+    rows = ", ".join(
+        "('{k}', {lo}, {hi})".format(
+            k=f"{lo or '*'}-{hi or '*'}",
+            lo="CAST(NULL AS BIGINT)" if lo is None else _ms(lo),
+            hi="CAST(NULL AS BIGINT)" if hi is None else _ms(hi),
+        )
+        for lo, hi in ranges
+    )
+    val_sel = (
+        f", COALESCE(SUM(CASE WHEN {value_col} IS NOT NULL AND NOT isnan({value_col})"
+        f" THEN CAST(FLOOR({value_col} * {float(QUANT)}) AS BIGINT) END), 0) AS value_q"
+        if value_col
+        else ""
+    )
+    val_out = ", COALESCE(h.value_q, 0) AS value_q" if value_col else ""
+    return f"""
+WITH r(key, range_from, range_to) AS (VALUES {rows}),
+hit AS (
+  SELECT r.key, COUNT(*) AS doc_count{val_sel}
+  FROM {src} s JOIN r
+    ON (r.range_from IS NULL OR ({t_ms}) >= r.range_from)
+   AND (r.range_to IS NULL OR ({t_ms}) < r.range_to)
+  WHERE ({t_ms}) IS NOT NULL
+  GROUP BY r.key
+)
+SELECT r.key, r.range_from, r.range_to, COALESCE(h.doc_count, 0) AS doc_count{val_out}
+FROM r LEFT JOIN hit h USING (key)
+ORDER BY r.key
+"""
+
+
+# --------------------------------------------------------------------------
+# multi_terms / rare_terms
+# --------------------------------------------------------------------------
+
+def multi_terms_agg(df: DataFrame, fields: list[str], size: int = 10) -> DataFrame:
+    """(field..., doc_count): ES ``multi_terms`` — composite term buckets,
+    doc_count desc with per-field asc tie-break, top ``size``. One hash
+    aggregation; the final top-``size`` sorts #distinct-combination rows,
+    the same coordinator reduce ES runs."""
+    cond = None
+    for f_ in fields:
+        c = F.col(f_).isNotNull()
+        cond = c if cond is None else (cond & c)
+    return (
+        df.where(cond)
+        .groupBy(*fields)
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), *[F.col(f_).asc() for f_ in fields])
+        .limit(size)
+    )
+
+
+def multi_terms_sql(src: str, fields: list[str], size: int = 10) -> str:
+    g = ", ".join(fields)
+    notnull = " AND ".join(f"{f_} IS NOT NULL" for f_ in fields)
+    order = ", ".join(f"{f_} ASC" for f_ in fields)
+    return f"""
+SELECT {g}, COUNT(*) AS doc_count FROM {src}
+WHERE {notnull}
+GROUP BY {g} ORDER BY doc_count DESC, {order} LIMIT {size}
+"""
+
+
+def rare_terms_agg(df: DataFrame, field: str, max_doc_count: int = 1) -> DataFrame:
+    """(key, doc_count): ES ``rare_terms`` — the long tail: every term with
+    ``doc_count <= max_doc_count``, count asc then key asc. ES accepts
+    CuckooFilter false positives to bound memory; this is the exact
+    contract (one hash agg + HAVING — at 100 TB the agg state is
+    #distinct-terms, spillable, and the filter prunes before the sort)."""
+    return (
+        df.where(F.col(field).isNotNull())
+        .groupBy(F.col(field).alias("key"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .where(F.col("doc_count") <= max_doc_count)
+        .orderBy(F.col("doc_count").asc(), F.col("key").asc())
+    )
+
+
+def rare_terms_sql(src: str, field: str, max_doc_count: int = 1) -> str:
+    return f"""
+SELECT {field} AS key, COUNT(*) AS doc_count FROM {src}
+WHERE {field} IS NOT NULL
+GROUP BY {field} HAVING COUNT(*) <= {max_doc_count}
+ORDER BY doc_count ASC, key ASC
+"""
+
+
+# --------------------------------------------------------------------------
+# driver-contract registry
+# --------------------------------------------------------------------------
+
+_DATE_RANGES: list[tuple[str | None, str | None]] = [
+    (None, "2024-01-08"),
+    ("2024-01-08", "2024-01-15"),
+    ("2024-01-12", "2024-01-25"),
+    ("2024-01-25", None),
+]
+
+
+def queries() -> dict:
+    return {
+        "es_missing": lambda s, d: missing_agg(
+            load_table(s, d, "events"), "value", ["event_type"]
+        ),
+        "es_mad": lambda s, d: mad_agg(
+            load_table(s, d, "events"), "value", ["event_type"]
+        ),
+        "es_boxplot": lambda s, d: boxplot_agg(
+            load_table(s, d, "events"), "value", ["event_type"]
+        ),
+        "es_string_stats": lambda s, d: string_stats_agg(
+            load_table(s, d, "documents"), "text", ["source"]
+        ),
+        "es_rate_month": lambda s, d: rate_agg(
+            load_table(s, d, "lineitem").select(
+                F.unix_millis(F.col("l_shipdate").cast("timestamp")).alias("t_ms"),
+                F.col("l_quantity").cast("double").alias("value"),
+            ),
+            "t_ms",
+            "value",
+        ),
+        "es_date_range": lambda s, d: date_range_agg(
+            load_table(s, d, "events").select(
+                F.expr("ts div 1000000").alias("t_ms"), "value"
+            ),
+            "t_ms",
+            _DATE_RANGES,
+            value_col="value",
+        ),
+        "es_multi_terms": lambda s, d: multi_terms_agg(
+            load_table(s, d, "events").select(
+                "event_type", F.pmod(F.col("user_id"), F.lit(7)).alias("u7")
+            ),
+            ["event_type", "u7"],
+            size=15,
+        ),
+        "es_rare_terms": lambda s, d: rare_terms_agg(
+            load_table(s, d, "events"), "user_id", max_doc_count=55
+        ),
+    }
+
+
+def oracle_sql() -> dict:
+    return {
+        "es_missing": missing_sql("events", "value", ["event_type"]),
+        "es_mad": mad_sql("events", "value", ["event_type"]),
+        "es_boxplot": boxplot_sql("events", "value", ["event_type"]),
+        "es_string_stats": string_stats_sql("documents", "text", ["source"]),
+        "es_rate_month": rate_sql(
+            "(SELECT epoch_ms(CAST(l_shipdate AS TIMESTAMP)) AS t_ms,"
+            " CAST(l_quantity AS DOUBLE) AS value FROM lineitem)",
+            "t_ms",
+            "value",
+        ),
+        "es_date_range": date_range_sql(
+            "(SELECT epoch_ms(ts) AS t_ms, value FROM events)",
+            "t_ms",
+            _DATE_RANGES,
+            value_col="value",
+        ),
+        "es_multi_terms": multi_terms_sql(
+            "(SELECT event_type, ((user_id % 7) + 7) % 7 AS u7 FROM events)",
+            ["event_type", "u7"],
+            size=15,
+        ),
+        "es_rare_terms": rare_terms_sql("events", "user_id", max_doc_count=55),
+    }

@@ -1,0 +1,91 @@
+"""Contract tests for the second ES-agg batch (operators/es_metrics.py).
+
+The driver oracle pins cross-engine equality at sf0.01; these pin the
+CONTRACTS on tiny hand-computed fixtures: Tukey whiskers pick data values
+inside the fences, MAD is the exact median of absolute deviations, rate
+divides by the actual month length, date_range zero-fills every requested
+range, rare_terms applies the <= threshold.
+"""
+
+import math
+
+from pyspark.sql import functions as F
+
+from elasticsearch_drift_plugin_spark.operators import es_metrics as m
+
+QUANT = es_metrics_quant = m.QUANT
+
+
+def test_boxplot_whiskers_inside_tukey_fences(spark):
+    # group g: values 1..9 plus outlier 100 -> q1=3.25, q3=7.75, iqr=4.5,
+    # hi fence = 14.5 -> hi whisker is 9 (the most extreme value <= fence)
+    rows = [("g", float(v)) for v in range(1, 10)] + [("g", 100.0)]
+    df = spark.createDataFrame(rows, "k string, value double")
+    out = m.boxplot_agg(df, "value", ["k"]).collect()[0]
+    assert out["vmax"] == 100.0
+    assert out["hi_whisker"] == 9.0
+    assert out["lo_whisker"] == 1.0
+    assert out["q2_q"] == int(5.5 * QUANT)
+
+
+def test_mad_exact_median_of_deviations(spark):
+    # values 1,2,3,4,100 -> median 3, |dev| = 2,1,0,1,97 -> MAD = 1
+    df = spark.createDataFrame(
+        [("g", v) for v in (1.0, 2.0, 3.0, 4.0, 100.0)], "k string, value double"
+    )
+    out = m.mad_agg(df, "value", ["k"]).collect()[0]
+    assert out["mad_q"] == 1 * QUANT
+
+
+def test_missing_counts_null_not_nan(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", float("nan"))], "k string, value double"
+    )
+    out = m.missing_agg(df, "value", ["k"]).collect()[0]
+    # NaN is a present value for count purposes (both engines agree)
+    assert out["missing_count"] == 1
+    assert out["value_count"] == 2
+
+
+def test_rate_divides_by_actual_month_length(spark):
+    # one row in Feb 2024 (29 days, leap) with value 29 -> rate 1/day
+    feb = 1706745600000  # 2024-02-01T00:00:00Z
+    df = spark.createDataFrame([(feb + 1000, 29.0)], "t_ms long, value double")
+    out = m.rate_agg(df, "t_ms", "value").collect()[0]
+    assert out["unit_intervals"] == 29
+    assert out["rate_q"] == 1 * QUANT
+    assert out["key"] == feb
+
+
+def test_date_range_zero_fills_and_double_counts(spark):
+    df = spark.createDataFrame(
+        [(m_ms, 1.0) for m_ms in (1704067200000,)],  # 2024-01-01
+        "t_ms long, value double",
+    )
+    ranges = [(None, "2024-01-08"), ("2024-01-01", "2024-02-01"), ("2030-01-01", None)]
+    out = {r["key"]: r for r in m.date_range_agg(df, "t_ms", ranges).collect()}
+    assert len(out) == 3
+    assert out["*-2024-01-08"]["doc_count"] == 1
+    assert out["2024-01-01-2024-02-01"]["doc_count"] == 1  # overlapping: counted twice
+    assert out["2030-01-01-*"]["doc_count"] == 0  # zero-filled
+
+
+def test_rare_terms_threshold_and_order(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)] * 1 + [("c",)] * 2 + [("d",)] * 9,
+        "k string",
+    )
+    out = m.rare_terms_agg(df, "k", max_doc_count=3).collect()
+    assert [(r["key"], r["doc_count"]) for r in out] == [("b", 1), ("c", 2), ("a", 3)]
+
+
+def test_string_stats_entropy_quantized(spark):
+    # "aab" + "b": chars a:2, b:2, N=4 -> H = log2(4) - (2*1 + 2*1)/4 = 1.0
+    df = spark.createDataFrame([("g", "aab"), ("g", "b")], "k string, text string")
+    out = m.string_stats_agg(df, "text", ["k"]).collect()[0]
+    assert out["distinct_chars"] == 2
+    assert out["sum_len"] == 4
+    expected = math.floor(math.log2(4) * QUANT) - (
+        2 * math.floor(math.log2(2) * QUANT) + 2 * math.floor(math.log2(2) * QUANT)
+    ) // 4
+    assert out["entropy_q"] == expected == 1 * QUANT
