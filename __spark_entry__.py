@@ -204,6 +204,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             group_by=("event_type",),
         ),
+        # ES parent pipeline aggs chained the way a search body stacks them:
+        # bucket_selector -> bucket_script -> bucket_sort (top-k per group)
+        "pipe_selector_topk": lambda s, d: pipeline.bucket_selector_topk(
+            _psum_events(
+                s, d, calendar_interval="day", offset=1, group_by=("event_type",)
+            ),
+            group_by=("event_type",),
+            predicate="vq >= 500000",
+            script="vq div doc_count",
+            size=5,
+        ),
+        # ES sibling pipeline agg family (stats/avg/min/max/sum_bucket)
+        "pipe_stats_bucket": lambda s, d: pipeline.stats_bucket(
+            _psum_events(
+                s, d, calendar_interval="day", offset=1, group_by=("event_type",)
+            ),
+            group_by=("event_type",),
+        ),
+        # ES serial_diff: season differencing over the bucket list (lag 7 days)
+        "pipe_serial_diff": lambda s, d: pipeline.serial_diff(
+            _psum_events(
+                s, d, calendar_interval="day", offset=1, group_by=("event_type",)
+            ),
+            group_by=("event_type",),
+            lag=7,
+        ),
         # row 26: unmapped field -> empty result, stable schema
         "psum_unmapped": lambda s, d: _psum_events(
             s, d, sampling_col=None, interval=HOUR, value_override="__missing__"
@@ -293,6 +319,22 @@ def oracle_sql() -> dict[str, str]:
         "pipe_cum_derivative": pipeline.bucket_pipeline_sql(
             _ev_oracle(calendar_interval="day", offset=1, group_by=("event_type",)),
             group_by=("event_type",),
+        ),
+        "pipe_selector_topk": pipeline.bucket_selector_topk_sql(
+            _ev_oracle(calendar_interval="day", offset=1, group_by=("event_type",)),
+            group_by=("event_type",),
+            predicate="vq >= 500000",
+            script="vq // doc_count",
+            size=5,
+        ),
+        "pipe_stats_bucket": pipeline.stats_bucket_sql(
+            _ev_oracle(calendar_interval="day", offset=1, group_by=("event_type",)),
+            group_by=("event_type",),
+        ),
+        "pipe_serial_diff": pipeline.serial_diff_sql(
+            _ev_oracle(calendar_interval="day", offset=1, group_by=("event_type",)),
+            group_by=("event_type",),
+            lag=7,
         ),
         "psum_key_format": _ev_oracle(interval=DAY, offset=1)
         .replace(

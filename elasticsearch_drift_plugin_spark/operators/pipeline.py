@@ -72,3 +72,146 @@ SELECT {sel_keys}key, vq,
          AS msum{moving_window}_q
 FROM q ORDER BY {sel_keys}key
 """
+
+
+# --------------------------------------------------------------------------
+# bucket_selector + bucket_script + bucket_sort (parent pipeline aggs)
+# --------------------------------------------------------------------------
+
+def bucket_selector_topk(
+    result: DataFrame,
+    group_by=(),
+    predicate: str = "vq >= 0",
+    script: str = "vq div doc_count",
+    size: int = 5,
+    quantize: int = 4,
+) -> DataFrame:
+    """(group…, rank, key, vq, doc_count, script_q): ES ``bucket_selector``
+    → ``bucket_script`` → ``bucket_sort`` chained, the way a real search
+    body stacks them under one histogram:
+
+    - selector: keep buckets satisfying ``predicate`` (SQL over ``vq``,
+      ``doc_count``) — ES drops non-matching buckets from the response;
+    - script: a per-bucket derived metric (integer quanta — ES evaluates a
+      Painless script per bucket);
+    - sort: top ``size`` buckets per owning group by the script value desc,
+      key asc tie-break (ES ``bucket_sort`` with ``size``).
+
+    All on the bucket list (result-sized, not input-sized): a filter, a
+    projection, and one ranking window."""
+    scale = 10**quantize
+    vq = F.round(F.col("value") * F.lit(scale)).cast("long")
+    base = result.select(
+        *group_by, "key", vq.alias("vq"), F.col("doc_count").cast("long").alias("doc_count")
+    )
+    sel = base.where(F.expr(predicate)).withColumn("script_q", F.expr(script))
+    w = Window.partitionBy(*group_by).orderBy(F.col("script_q").desc(), F.col("key").asc())
+    return (
+        sel.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= size)
+        .select(*group_by, "rank", "key", "vq", "doc_count", "script_q")
+        .orderBy(*group_by, "rank")
+    )
+
+
+def bucket_selector_topk_sql(
+    base_sql: str,
+    group_by=(),
+    predicate: str = "vq >= 0",
+    script: str = "vq // doc_count",
+    size: int = 5,
+    quantize: int = 4,
+) -> str:
+    scale = 10**quantize
+    keys = ", ".join(group_by)
+    part = f"PARTITION BY {keys} " if group_by else ""
+    sel_keys = f"{keys}, " if keys else ""
+    return f"""
+WITH base AS ({base_sql}),
+q AS (SELECT {sel_keys}key, CAST(ROUND(value * {scale}) AS BIGINT) AS vq,
+             CAST(doc_count AS BIGINT) AS doc_count FROM base),
+sel AS (SELECT *, {script} AS script_q FROM q WHERE {predicate}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER ({part}ORDER BY script_q DESC, key ASC) AS rank
+  FROM sel
+)
+SELECT {sel_keys}CAST(rank AS BIGINT) AS rank, key, vq, doc_count, script_q
+FROM ranked WHERE rank <= {size} ORDER BY {sel_keys}rank
+"""
+
+
+# --------------------------------------------------------------------------
+# stats_bucket (sibling pipeline agg family)
+# --------------------------------------------------------------------------
+
+def stats_bucket(
+    result: DataFrame, group_by=(), quantize: int = 4
+) -> DataFrame:
+    """(group…, n_buckets, min_q, max_q, sum_q, avg_q): the ES
+    ``stats_bucket`` sibling (subsuming avg/min/max/sum_bucket) over the
+    histogram's bucket values, per owning group. ``avg_q`` is the floored
+    integer mean of quantized values — exact in any engine. One tiny
+    aggregation over bucket rows."""
+    scale = 10**quantize
+    vq = F.round(F.col("value") * F.lit(scale)).cast("long")
+    return (
+        result.select(*group_by, vq.alias("vq"))
+        .groupBy(*group_by)
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.min("vq").alias("min_q"),
+            F.max("vq").alias("max_q"),
+            F.sum("vq").alias("sum_q"),
+        )
+        .withColumn("avg_q", F.expr("sum_q div n_buckets"))
+        .orderBy(*group_by)
+    )
+
+
+def stats_bucket_sql(base_sql: str, group_by=(), quantize: int = 4) -> str:
+    scale = 10**quantize
+    keys = ", ".join(group_by)
+    sel_keys = f"{keys}, " if keys else ""
+    grp = f"GROUP BY {keys} " if keys else ""
+    order = f"ORDER BY {keys}" if keys else ""
+    return f"""
+WITH base AS ({base_sql}),
+q AS (SELECT {sel_keys}CAST(ROUND(value * {scale}) AS BIGINT) AS vq FROM base)
+SELECT {sel_keys}COUNT(*) AS n_buckets, MIN(vq) AS min_q, MAX(vq) AS max_q,
+       SUM(vq) AS sum_q, SUM(vq) // COUNT(*) AS avg_q
+FROM q {grp}{order}
+"""
+
+
+# --------------------------------------------------------------------------
+# serial_diff
+# --------------------------------------------------------------------------
+
+def serial_diff(
+    result: DataFrame, group_by=(), lag: int = 7, quantize: int = 4
+) -> DataFrame:
+    """(group…, key, vq, sdiff_q): ES ``serial_diff`` — the bucket value
+    minus the value ``lag`` buckets earlier (NULL for the first ``lag``
+    buckets, like ES emits nothing there). Season-differencing for
+    histogram output; one window over the bucket list."""
+    scale = 10**quantize
+    vq = F.round(F.col("value") * F.lit(scale)).cast("long")
+    w = Window.partitionBy(*group_by).orderBy("key")
+    return (
+        result.select(*group_by, "key", vq.alias("vq"))
+        .withColumn("sdiff_q", F.col("vq") - F.lag("vq", lag).over(w))
+        .orderBy(*group_by, "key")
+    )
+
+
+def serial_diff_sql(base_sql: str, group_by=(), lag: int = 7, quantize: int = 4) -> str:
+    scale = 10**quantize
+    keys = ", ".join(group_by)
+    part = f"PARTITION BY {keys} " if group_by else ""
+    sel_keys = f"{keys}, " if keys else ""
+    return f"""
+WITH base AS ({base_sql}),
+q AS (SELECT {sel_keys}key, CAST(ROUND(value * {scale}) AS BIGINT) AS vq FROM base)
+SELECT {sel_keys}key, vq, vq - LAG(vq, {lag}) OVER ({part}ORDER BY key) AS sdiff_q
+FROM q ORDER BY {sel_keys}key
+"""

@@ -1,0 +1,45 @@
+"""Contract tests for the parent/sibling pipeline aggs
+(bucket_selector/script/sort chain, stats_bucket, serial_diff)."""
+
+from pyspark.sql import functions as F
+
+from elasticsearch_drift_plugin_spark.operators import pipeline as p
+
+
+def _buckets(spark):
+    # (group, key, doc_count, value) bucket list: group a has 3 buckets
+    rows = [
+        ("a", 1, 2, 10.0),
+        ("a", 2, 5, 50.0),
+        ("a", 3, 1, 30.0),
+        ("b", 1, 4, 100.0),
+    ]
+    return spark.createDataFrame(rows, "g string, key long, doc_count long, value double")
+
+
+def test_selector_drops_then_script_then_topk(spark):
+    out = p.bucket_selector_topk(
+        _buckets(spark),
+        group_by=("g",),
+        predicate="vq >= 300000",  # drops the value=10 bucket (quantize=4)
+        script="vq div doc_count",
+        size=1,
+    ).collect()
+    # a: survivors value 50 (vq/dc=100000) and 30 (vq/dc=300000) -> top is key 3
+    by_g = {r["g"]: r for r in out}
+    assert by_g["a"]["key"] == 3 and by_g["a"]["script_q"] == 300000
+    assert by_g["b"]["key"] == 1 and by_g["b"]["rank"] == 1
+    assert len(out) == 2
+
+
+def test_stats_bucket_integer_mean(spark):
+    out = {r["g"]: r for r in p.stats_bucket(_buckets(spark), group_by=("g",)).collect()}
+    a = out["a"]
+    assert (a["n_buckets"], a["min_q"], a["max_q"], a["sum_q"]) == (3, 100000, 500000, 900000)
+    assert a["avg_q"] == 300000
+
+
+def test_serial_diff_null_head(spark):
+    out = p.serial_diff(_buckets(spark), group_by=("g",), lag=2).collect()
+    a = [r for r in out if r["g"] == "a"]
+    assert [r["sdiff_q"] for r in a] == [None, None, 300000 - 100000]
