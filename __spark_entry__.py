@@ -40,6 +40,7 @@ from elasticsearch_drift_plugin_spark.operators import (
     similarity,
     stats,
     text,
+    training,
 )
 from elasticsearch_drift_plugin_spark.streaming import bounded as stream_bounded
 
@@ -269,6 +270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(similarity.queries())
     q.update(text.queries())
     q.update(corpus.queries())
+    q.update(training.queries())
     q.update(multimodal.queries())
     # bounded-replay equivalence: the streaming operators over finite input
     q.update(stream_bounded.queries())
@@ -369,6 +371,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(similarity.oracle_sql())
     o.update(text.oracle_sql())
     o.update(corpus.oracle_sql())
+    o.update(training.oracle_sql())
     o.update(multimodal.oracle_sql())
     o.update(stream_bounded.oracle_sql())
     return o

@@ -444,6 +444,98 @@ ORDER BY df DESC, g ASC LIMIT {size}
 """
 
 
+def boilerplate_strip(
+    docs: DataFrame, width: int = 8, max_df: int = 2
+) -> DataFrame:
+    """(doc_id, n_chunks, n_removed, kept_text): CCNet-style boilerplate
+    removal — drop every tumbling ``width``-word segment whose DOCUMENT
+    frequency across the corpus exceeds ``max_df`` (navigation chrome,
+    cookie banners, license headers…), and reassemble the surviving text in
+    order. With newline-delimited corpora the segment is the literal line;
+    the synthetic fixture is single-line, so segmentation tumbles over the
+    whitespace token array — the df-threshold semantics are identical.
+
+    Distinct from :func:`span_dedup` (which keeps the FIRST occurrence and
+    drops later repeats): boilerplate removal drops ALL occurrences once a
+    segment is too common — the CCNet/RefinedWeb rule.
+
+    Scale: segments are keyed by ``xxhash64`` (64-bit) so the df
+    aggregation and the flag join move 8-byte keys, never segment text;
+    df is a two-level exact distinct (dedup (hash, doc) then count). The
+    flag join is a plain equi-join on the hash — data-dependent size, left
+    to AQE (NOT broadcast: the common-segment set is O(corpus) in the
+    worst case). Reassembly sorts each doc's surviving chunk structs
+    in-array (``sort_array`` after ``collect_list`` — per-doc data, no
+    extra shuffle)."""
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("__ts"))
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(0, CAST(floor((size(__ts) - 1) / {width}) AS BIGINT))")
+        ).alias("chunk_no"),
+        "__ts",
+    ).select(
+        "doc_id",
+        "chunk_no",
+        F.expr(f"array_join(slice(__ts, chunk_no * {width} + 1, {width}), ' ')").alias(
+            "chunk"
+        ),
+    ).withColumn("__h", F.xxhash64("chunk"))
+    df_per_chunk = (
+        chunks.select("__h", "doc_id")
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    flagged = chunks.join(df_per_chunk, "__h").withColumn(
+        "__bad", F.col("__df") > max_df
+    )
+    kept = F.expr(
+        "filter(sort_array(collect_list(named_struct('no', chunk_no, 'bad', __bad,"
+        " 'chunk', chunk))), s -> NOT s.bad)"
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.col("__bad").cast("long")).alias("n_removed"),
+            kept.alias("__kept"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_removed",
+            F.when(
+                F.size("__kept") > 0,
+                F.expr("array_join(transform(__kept, s -> s.chunk), ' ')"),
+            ).alias("kept_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def boilerplate_sql(width: int = 8, max_df: int = 2) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+chunks AS (
+  SELECT doc_id, i AS chunk_no,
+         array_to_string(ts[(i*{width}+1):(i*{width}+{width})], ' ') AS chunk
+  FROM toks, LATERAL unnest(generate_series(
+       0, CAST(floor((len(ts) - 1) / {width}) AS BIGINT))) AS t(i)
+),
+df AS (SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY chunk),
+flagged AS (
+  SELECT c.doc_id, c.chunk_no, c.chunk, d.df > {max_df} AS bad
+  FROM chunks c JOIN df d USING (chunk)
+)
+SELECT doc_id, COUNT(*) AS n_chunks,
+       SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS n_removed,
+       string_agg(CASE WHEN NOT bad THEN chunk END, ' ' ORDER BY chunk_no)
+         AS kept_text
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def queries() -> dict:
     return {
         "corpus_tfidf_top": lambda s, d: tfidf_top_terms(load_table(s, d, "documents")),
@@ -459,6 +551,9 @@ def queries() -> dict:
             strata_col="source",
             strata_rates={"src0": 1.0},
         ).select("doc_id", "source").orderBy("doc_id"),
+        "corpus_boilerplate": lambda s, d: boilerplate_strip(
+            load_table(s, d, "documents"), width=8, max_df=2
+        ),
     }
 
 
@@ -471,4 +566,5 @@ def oracle_sql() -> dict:
         "corpus_hash_sample": hash_sample_sql(
             rate=0.25, strata_col="source", strata_rates={"src0": 1.0}
         ),
+        "corpus_boilerplate": boilerplate_sql(width=8, max_df=2),
     }

@@ -1,0 +1,246 @@
+"""Training-set assembly operators: sequence packing and domain mixing —
+the last mile of an LLM data pipeline, after dedup/quality/sampling
+(north-star extensions alongside :mod:`corpus` / :mod:`dedup`).
+
+**Sequence packing** (:func:`pack_sequences`): batch documents into
+fixed-capacity training sequences (next-fit by doc order within each
+domain) so short docs share a context window instead of wasting pad
+tokens. Next-fit is inherently a sequential scan, so it runs as an
+Arrow-batched ``applyInPandas`` per (domain) group — the packing loop
+touches one group at a time and the groups pack in parallel. At 100 TB
+you sub-shard the group key (``source, pmod(hash(doc_id), k)``) and pack
+each shard independently: next-fit quality is unaffected (it never looks
+back) and the state per task stays O(1). The DuckDB twin is a recursive
+CTE stepping doc-by-doc — same rule, engine-checkable.
+
+**Domain mixing** (:func:`domain_mix`): temperature-flattened sampling
+rates per domain (the multilingual/data-mixing rule: p_s ∝ n_s^(1/T),
+here T=2 via ``sqrt`` — the one power function IEEE 754 guarantees
+correctly rounded, so both engines compute the identical value). All
+downstream arithmetic is pure 64-bit integer:
+
+    sq_q_s = floor(sqrt(n_s) · 1e6)          (exact in both engines)
+    thr_s  = min(1e6, (1e6 · M · sq_q_s) div (Σ sq_q · n_s))
+    keep   ⇔ md5_60(doc_id) mod 1e6 < thr_s
+
+so the sampled set is deterministic, content-stable (ablation-safe,
+like :func:`corpus.hash_sample`), and bit-identical across engines.
+Map-only over the corpus: the per-domain threshold table is O(#domains)
+rows, broadcast-joined; the predicate reaches the scan.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import HEX15_SQL_FN, md5_hash60
+from ..sources.flows import load_table
+
+QUANT = 1_000_000
+
+
+# --------------------------------------------------------------------------
+# sequence packing
+# --------------------------------------------------------------------------
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = 256,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(group, doc_id, n_tokens, seq_no, seq_offset): next-fit packing of
+    documents into ``capacity``-token sequences, in ``id_col`` order within
+    each ``group_col`` domain.
+
+    Rule: a document joins the current sequence iff it fits in the
+    remaining budget; otherwise it opens the next sequence. An empty
+    sequence accepts any document (oversized docs get a sequence of their
+    own rather than being dropped — truncation is the trainer's call).
+    ``seq_offset`` is the token position where the doc starts."""
+    cap = int(capacity)
+    toks = docs.select(
+        F.col(group_col).alias("group"),
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_no, used = 0, 0
+        seqs, offs = [], []
+        first = True
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if not first and used + n > cap:
+                seq_no += 1
+                used = 0
+            seqs.append(seq_no)
+            offs.append(used)
+            used += n
+            first = False
+        pdf["seq_no"] = pd.Series(seqs, dtype="int64")
+        pdf["seq_offset"] = pd.Series(offs, dtype="int64")
+        return pdf
+
+    out_schema = (
+        "group string, doc_id long, n_tokens long, seq_no long, seq_offset long"
+    )
+    return (
+        toks.groupBy("group")
+        .applyInPandas(_pack, schema=out_schema)
+        .orderBy("group", "doc_id")
+    )
+
+
+def pack_sequences_sql(
+    capacity: int = 256,
+    group_col: str = "source",
+    src: str = "documents",
+) -> str:
+    """Recursive-CTE twin: steps doc-by-doc per group applying the same
+    next-fit rule (used + n <= capacity stays; else new sequence; the
+    first doc of a group always enters sequence 0)."""
+    cap = int(capacity)
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT {group_col} AS grp, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         ROW_NUMBER() OVER (PARTITION BY {group_col} ORDER BY doc_id) AS rn
+  FROM {src}
+),
+pack AS (
+  SELECT grp, doc_id, n, rn, CAST(0 AS BIGINT) AS seq_no, n AS used
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.grp, d.doc_id, d.n, d.rn,
+         CASE WHEN p.used + d.n <= {cap} THEN p.seq_no ELSE p.seq_no + 1 END,
+         CASE WHEN p.used + d.n <= {cap} THEN p.used + d.n ELSE d.n END
+  FROM pack p JOIN d ON d.grp = p.grp AND d.rn = p.rn + 1
+)
+SELECT grp AS "group", doc_id, n AS n_tokens, seq_no, used - n AS seq_offset
+FROM pack ORDER BY "group", doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# domain mixing
+# --------------------------------------------------------------------------
+
+def _mix_thresholds(
+    docs: DataFrame, target_docs: int, group_col: str
+) -> DataFrame:
+    """(group, n_docs, thr_q): per-domain keep-threshold in 1e-6 quanta,
+    temperature-2 flattened toward a ``target_docs`` total."""
+    counts = docs.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    counts = counts.withColumn(
+        "sq_q", F.floor(F.sqrt(F.col("n_docs")) * F.lit(float(QUANT))).cast("long")
+    )
+    total = counts.agg(F.sum("sq_q").alias("s_q"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn(
+            "thr_q",
+            F.least(
+                F.lit(QUANT),
+                F.expr(f"({QUANT}L * {int(target_docs)}L * sq_q) div (s_q * n_docs)"),
+            ),
+        )
+        .select("group", "n_docs", "thr_q")
+    )
+
+
+def domain_mix(
+    docs: DataFrame,
+    target_docs: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, group): the temperature-2 mixed sample — deterministic
+    hash-gated rows under the per-domain thresholds. Rare domains are
+    up-weighted (often to keep-all), head domains down-sampled."""
+    thr = _mix_thresholds(docs, target_docs, group_col)
+    h = F.pmod(md5_hash60(F.col(id_col).cast("string")), F.lit(QUANT))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(group_col).alias("group"))
+        .join(F.broadcast(thr), "group")
+        .where(h < F.col("thr_q"))
+        .select("doc_id", "group")
+        .orderBy("doc_id")
+    )
+
+
+def mix_rates(
+    docs: DataFrame, target_docs: int, group_col: str = "source"
+) -> DataFrame:
+    """(group, n_docs, thr_q): the planned mixing table itself — what a
+    pipeline records next to the run manifest."""
+    return _mix_thresholds(docs, target_docs, group_col).orderBy("group")
+
+
+def _mix_cte(target_docs: int, group_col: str, src: str) -> str:
+    return f"""
+counts AS (
+  SELECT {group_col} AS grp, COUNT(*) AS n_docs,
+         CAST(FLOOR(SQRT(COUNT(*)) * {float(QUANT)}) AS BIGINT) AS sq_q
+  FROM {src} GROUP BY {group_col}
+),
+thr AS (
+  SELECT grp, n_docs,
+         LEAST({QUANT}, ({QUANT} * {int(target_docs)} * sq_q)
+               // ((SELECT SUM(sq_q) FROM counts) * n_docs)) AS thr_q
+  FROM counts
+)"""
+
+
+def domain_mix_sql(
+    target_docs: int, group_col: str = "source", src: str = "documents"
+) -> str:
+    h = HEX15_SQL_FN.format(expr="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH {_mix_cte(target_docs, group_col, src)}
+SELECT d.doc_id, d.{group_col} AS "group"
+FROM {src} d JOIN thr ON thr.grp = d.{group_col}
+WHERE ({h}) % {QUANT} < thr.thr_q
+ORDER BY d.doc_id
+"""
+
+
+def mix_rates_sql(
+    target_docs: int, group_col: str = "source", src: str = "documents"
+) -> str:
+    return f"""
+WITH {_mix_cte(target_docs, group_col, src)}
+SELECT grp AS "group", n_docs, thr_q FROM thr ORDER BY "group"
+"""
+
+
+# --------------------------------------------------------------------------
+# driver-contract registry
+# --------------------------------------------------------------------------
+
+def queries() -> dict:
+    return {
+        "train_pack_sequences": lambda s, d: pack_sequences(
+            load_table(s, d, "documents"), capacity=256
+        ),
+        "train_domain_mix": lambda s, d: domain_mix(
+            load_table(s, d, "documents"), target_docs=250
+        ),
+        "train_mix_rates": lambda s, d: mix_rates(
+            load_table(s, d, "documents"), target_docs=250
+        ),
+    }
+
+
+def oracle_sql() -> dict:
+    return {
+        "train_pack_sequences": pack_sequences_sql(capacity=256),
+        "train_domain_mix": domain_mix_sql(target_docs=250),
+        "train_mix_rates": mix_rates_sql(target_docs=250),
+    }

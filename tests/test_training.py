@@ -1,0 +1,54 @@
+"""Contract tests for training-set assembly (operators/training.py)."""
+
+from pyspark.sql import functions as F
+
+from elasticsearch_drift_plugin_spark.operators import training as tr
+
+
+def test_pack_next_fit_offsets_and_overflow(spark):
+    # capacity 10; doc lengths in id order: 4, 5, 3, 25, 2
+    # -> seq0: [4@0, 5@4], seq1: [3@0], seq2: [25@0 oversized alone], seq3: [2@0]
+    rows = [
+        ("s", 1, "a b c d"),
+        ("s", 2, "a b c d e"),
+        ("s", 3, "a b c"),
+        ("s", 4, " ".join(["w"] * 25)),
+        ("s", 5, "a b"),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    out = {r["doc_id"]: r for r in tr.pack_sequences(df, capacity=10).collect()}
+    assert (out[1]["seq_no"], out[1]["seq_offset"]) == (0, 0)
+    assert (out[2]["seq_no"], out[2]["seq_offset"]) == (0, 4)
+    assert (out[3]["seq_no"], out[3]["seq_offset"]) == (1, 0)
+    assert (out[4]["seq_no"], out[4]["seq_offset"]) == (2, 0)  # oversized, own seq
+    assert (out[5]["seq_no"], out[5]["seq_offset"]) == (3, 0)
+
+
+def test_pack_groups_are_independent(spark):
+    rows = [("a", 1, "x y z"), ("b", 2, "x y z")]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    out = tr.pack_sequences(df, capacity=4).collect()
+    assert all(r["seq_no"] == 0 and r["seq_offset"] == 0 for r in out)
+
+
+def test_mix_rare_domain_kept_whole_head_downsampled(spark):
+    rows = [("head", i) for i in range(400)] + [("rare", 1000 + i) for i in range(4)]
+    df = spark.createDataFrame(rows, "source string, doc_id long").withColumn(
+        "text", F.lit("x")
+    )
+    rates = {r["group"]: r for r in tr.mix_rates(df, target_docs=100).collect()}
+    assert rates["rare"]["thr_q"] == tr.QUANT  # keep-all (rate capped at 1)
+    assert rates["head"]["thr_q"] < tr.QUANT // 2  # strongly downsampled
+    kept = tr.domain_mix(df, target_docs=100).collect()
+    # determinism: same call, same rows
+    kept2 = tr.domain_mix(df, target_docs=100).collect()
+    assert [r["doc_id"] for r in kept] == [r["doc_id"] for r in kept2]
+    assert {r["group"] for r in kept} >= {"rare"}
+
+
+def test_mix_sample_is_monotone_in_target(spark):
+    rows = [("s", i) for i in range(300)]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    small = {r["doc_id"] for r in tr.domain_mix(df, target_docs=50).collect()}
+    big = {r["doc_id"] for r in tr.domain_mix(df, target_docs=150).collect()}
+    assert small <= big  # hash-threshold sampling nests
