@@ -518,8 +518,190 @@ ORDER BY doc_count ASC, key ASC
 
 
 # --------------------------------------------------------------------------
+# adjacency_matrix
+# --------------------------------------------------------------------------
+
+def adjacency_matrix_agg(df: DataFrame, filters: dict[str, str]) -> DataFrame:
+    """(key, doc_count): ES ``adjacency_matrix`` — one bucket per named
+    filter plus one per pairwise intersection (key ``"a&b"`` in name
+    order), empty buckets omitted (the ES contract).
+
+    Same shape as ``filters_agg``: every predicate is evaluated per row in
+    codegen into a literal key array, exploded (fan-out ≤ n + n(n-1)/2),
+    then one hash aggregation — the corpus is scanned once."""
+    names = sorted(filters)
+    singles = [
+        f"CASE WHEN {filters[n]} THEN '{n}' END" for n in names
+    ]
+    pairs = [
+        f"CASE WHEN ({filters[a]}) AND ({filters[b]}) THEN '{a}&{b}' END"
+        for i, a in enumerate(names)
+        for b in names[i + 1 :]
+    ]
+    arr = ", ".join(singles + pairs)
+    return (
+        df.select(
+            F.explode(
+                F.expr(f"filter(array({arr}), x -> x IS NOT NULL)")
+            ).alias("key")
+        )
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy("key")
+    )
+
+
+def adjacency_matrix_sql(src: str, filters: dict[str, str]) -> str:
+    names = sorted(filters)
+    parts = [
+        f"SELECT '{n}' AS key, COUNT(*) AS doc_count FROM {src} WHERE {filters[n]}"
+        for n in names
+    ] + [
+        f"SELECT '{a}&{b}' AS key, COUNT(*) AS doc_count FROM {src}"
+        f" WHERE ({filters[a]}) AND ({filters[b]})"
+        for i, a in enumerate(names)
+        for b in names[i + 1 :]
+    ]
+    union = " UNION ALL ".join(parts)
+    return f"SELECT * FROM ({union}) WHERE doc_count > 0 ORDER BY key"
+
+
+# --------------------------------------------------------------------------
+# diversified_sampler -> sub-aggregation
+# --------------------------------------------------------------------------
+
+def diversified_sampler_terms(
+    df: DataFrame,
+    diversify_col: str,
+    sub_terms_col: str,
+    max_docs_per_value: int = 3,
+    shard_size: int = 200,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(key, doc_count): ES ``diversified_sampler`` feeding a ``terms``
+    sub-agg — cap docs per ``diversify_col`` value, take the best
+    ``shard_size`` overall, then aggregate the SAMPLE.
+
+    ES ranks by relevance score; an engine query has none, so the rank is
+    the deterministic content hash (md5-60 of the doc id) — reproducible
+    on any engine and any parallelism, like ``corpus.hash_sample``. One
+    ranking window applies the per-value cap; the global top-N over the
+    capped survivors is ``orderBy().limit()`` — Spark plans it as
+    TakeOrderedAndProject (per-partition top-N + driver merge of N·#parts
+    rows), never a single-partition sort."""
+    from ..functions.hashing import md5_hash60
+    from pyspark.sql import Window
+
+    h = md5_hash60(F.col(id_col).cast("string"))
+    wv = Window.partitionBy(diversify_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__r", F.row_number().over(wv))
+        .where(F.col("__r") <= max_docs_per_value)
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .limit(shard_size)
+        .groupBy(F.col(sub_terms_col).alias("key"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+    )
+
+
+def diversified_sampler_terms_sql(
+    src: str,
+    diversify_col: str,
+    sub_terms_col: str,
+    max_docs_per_value: int = 3,
+    shard_size: int = 200,
+    id_col: str = "event_id",
+) -> str:
+    from ..functions.hashing import HEX15_SQL_FN
+
+    h = HEX15_SQL_FN.format(expr=f"CAST({id_col} AS VARCHAR)")
+    return f"""
+WITH ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY {diversify_col}
+                               ORDER BY {h} ASC, {id_col} ASC) AS r
+  FROM {src}
+),
+capped AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY {h} ASC, {id_col} ASC) AS g
+  FROM ranked WHERE r <= {max_docs_per_value}
+)
+SELECT {sub_terms_col} AS key, COUNT(*) AS doc_count
+FROM capped WHERE g <= {shard_size}
+GROUP BY {sub_terms_col} ORDER BY doc_count DESC, key ASC
+"""
+
+
+# --------------------------------------------------------------------------
+# t_test (Welch)
+# --------------------------------------------------------------------------
+
+_T_QUANT = 100  # 1e-2 value quanta: sum of squares stays exact in a double
+
+
+def t_test_agg(df: DataFrame, field: str, filter_a: str, filter_b: str) -> DataFrame:
+    """(n_a, n_b, t_q): ES ``t_test`` (heteroscedastic / Welch) between two
+    predicate populations.
+
+    Determinism discipline: values are floored to 1e-2 quanta so Σx and
+    Σx² are EXACT 64-bit integers (≤ 5e12 here — inside double's 2^53
+    integer range, so the int→double conversions are exact too). The final
+    ``t`` is then one fixed double expression over exactly-representable
+    integers — identical bits in any IEEE-754 engine — floored to 1e-6:
+
+        t = (Σa/n_a − Σb/n_b) / sqrt(v_a/(n_a²(n_a−1)) + v_b/(n_b²(n_b−1)))
+        v_i = n_i·Σx² − (Σx)²   (exact integers)
+    """
+    def _side(pred: str, tag: str):
+        x = F.floor(F.col(field) * F.lit(float(_T_QUANT))).cast("long")
+        side = df.where(F.expr(pred)).where(_valid(field)).select(x.alias("x"))
+        return side.agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.sum("x").alias(f"s_{tag}"),
+            F.sum(F.col("x") * F.col("x")).alias(f"ss_{tag}"),
+        )
+
+    joined = _side(filter_a, "a").crossJoin(_side(filter_b, "b"))
+    t_expr = (
+        "(CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b) / "
+        "sqrt(CAST(n_a * ss_a - s_a * s_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1)) + "
+        "     CAST(n_b * ss_b - s_b * s_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1)))"
+    )
+    return joined.select(
+        "n_a", "n_b", F.floor(F.expr(t_expr) * F.lit(float(QUANT))).alias("t_q")
+    )
+
+
+def t_test_sql(src: str, field: str, filter_a: str, filter_b: str) -> str:
+    def _side(pred: str, tag: str) -> str:
+        return f"""
+{tag} AS (
+  SELECT COUNT(*) AS n_{tag}, SUM(x) AS s_{tag}, SUM(x * x) AS ss_{tag}
+  FROM (SELECT CAST(FLOOR({field} * {float(_T_QUANT)}) AS BIGINT) AS x
+        FROM {src} WHERE ({pred}) AND {_valid(field)})
+)"""
+
+    t_expr = (
+        "(CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b) / "
+        "sqrt(CAST(n_a * ss_a - s_a * s_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1)) + "
+        "     CAST(n_b * ss_b - s_b * s_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1)))"
+    )
+    return f"""
+WITH {_side(filter_a, "a")}, {_side(filter_b, "b")}
+SELECT n_a, n_b, CAST(FLOOR(({t_expr}) * {float(QUANT)}) AS BIGINT) AS t_q
+FROM a, b
+"""
+
+
+# --------------------------------------------------------------------------
 # driver-contract registry
 # --------------------------------------------------------------------------
+
+_ADJ_FILTERS = {
+    "big": "value >= 100",
+    "click": "event_type = 'click'",
+    "odd": "user_id % 2 = 1",
+}
 
 _DATE_RANGES: list[tuple[str | None, str | None]] = [
     (None, "2024-01-08"),
@@ -569,6 +751,17 @@ def queries() -> dict:
         "es_rare_terms": lambda s, d: rare_terms_agg(
             load_table(s, d, "events"), "user_id", max_doc_count=55
         ),
+        "es_adjacency_matrix": lambda s, d: adjacency_matrix_agg(
+            load_table(s, d, "events"), _ADJ_FILTERS
+        ),
+        "es_diversified_sampler": lambda s, d: diversified_sampler_terms(
+            load_table(s, d, "events"), "user_id", "event_type",
+            max_docs_per_value=3, shard_size=200,
+        ),
+        "es_t_test": lambda s, d: t_test_agg(
+            load_table(s, d, "events"), "value",
+            "event_type = 'click'", "event_type = 'purchase'",
+        ),
     }
 
 
@@ -596,4 +789,11 @@ def oracle_sql() -> dict:
             size=15,
         ),
         "es_rare_terms": rare_terms_sql("events", "user_id", max_doc_count=55),
+        "es_adjacency_matrix": adjacency_matrix_sql("events", _ADJ_FILTERS),
+        "es_diversified_sampler": diversified_sampler_terms_sql(
+            "events", "user_id", "event_type", max_docs_per_value=3, shard_size=200
+        ),
+        "es_t_test": t_test_sql(
+            "events", "value", "event_type = 'click'", "event_type = 'purchase'"
+        ),
     }

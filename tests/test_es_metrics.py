@@ -89,3 +89,37 @@ def test_string_stats_entropy_quantized(spark):
         2 * math.floor(math.log2(2) * QUANT) + 2 * math.floor(math.log2(2) * QUANT)
     ) // 4
     assert out["entropy_q"] == expected == 1 * QUANT
+
+
+def test_adjacency_matrix_pairs_and_empty_omitted(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "id long, tag string"
+    )
+    out = {r["key"]: r["doc_count"] for r in m.adjacency_matrix_agg(
+        df, {"a": "id >= 2", "b": "tag = 'x'", "c": "id > 99"}
+    ).collect()}
+    assert out == {"a": 2, "b": 2, "a&b": 1}  # 'c' and its pairs omitted
+
+
+def test_diversified_sampler_caps_per_value(spark):
+    rows = [(i, "u%d" % (i % 2), "t") for i in range(20)]
+    df = spark.createDataFrame(rows, "event_id long, user_id string, event_type string")
+    out = m.diversified_sampler_terms(
+        df, "user_id", "event_type", max_docs_per_value=3, shard_size=100
+    ).collect()
+    # 2 user values x cap 3 = 6 sampled docs max
+    assert out[0]["doc_count"] == 6
+
+
+def test_t_test_matches_manual_welch(spark):
+    import math
+    a, b = [1.0, 2.0, 3.0, 4.0], [2.0, 4.0, 6.0, 8.0, 10.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, value double")
+    out = m.t_test_agg(df, "value", "g = 'a'", "g = 'b'").collect()[0]
+    ma, mb = sum(a) / len(a), sum(b) / len(b)
+    va = sum((x - ma) ** 2 for x in a) / (len(a) - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (len(b) - 1)
+    t = (ma - mb) / math.sqrt(va / len(a) + vb / len(b))
+    assert out["n_a"] == 4 and out["n_b"] == 5
+    assert abs(out["t_q"] / m.QUANT - t) < 1e-4
