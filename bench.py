@@ -69,6 +69,15 @@ BENCH_QUERIES = [
     "dedup_components",
     "mm_metadata",
     "mm_decode",
+    "es_mad",
+    "es_boxplot",
+    "es_string_stats",
+    "es_rate_month",
+    "es_diversified_sampler",
+    "pipe_selector_topk",
+    "corpus_boilerplate",
+    "train_pack_sequences",
+    "train_domain_mix",
 ]
 
 

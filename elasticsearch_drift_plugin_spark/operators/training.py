@@ -127,6 +127,72 @@ FROM pack ORDER BY "group", doc_id
 
 
 # --------------------------------------------------------------------------
+# document chunking (RAG / embedding prep)
+# --------------------------------------------------------------------------
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_no, n_tokens, chunk_text): sliding-window chunking —
+    the standard RAG/embedding prep step. Chunk ``i`` covers tokens
+    ``[i·stride, i·stride + chunk_tokens)``; ``stride < chunk_tokens``
+    gives overlapping context. The last chunk may be short; chunk starts
+    past the end emit nothing, but every doc yields ≥ 1 chunk.
+
+    Map-only: token array materialized once per row, windows produced by
+    ``explode(sequence(...))`` + ``slice`` — fan-out = ceil(n/stride),
+    zero shuffle (the plan is scan → project → generate)."""
+    c, s = int(chunk_tokens), int(stride)
+    if not (0 < s <= c):
+        raise ValueError(f"need 0 < stride <= chunk_tokens: {s}, {c}")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("__ts")
+    )
+    return (
+        toks.select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(0, CAST(floor((size(__ts) - 1) / {s}) AS BIGINT))")).alias(
+                "chunk_no"
+            ),
+            "__ts",
+        )
+        .select(
+            "doc_id",
+            "chunk_no",
+            F.expr(f"slice(__ts, chunk_no * {s} + 1, {c})").alias("__w"),
+        )
+        .select(
+            "doc_id",
+            "chunk_no",
+            F.size("__w").cast("long").alias("n_tokens"),
+            F.array_join("__w", " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_no")
+    )
+
+
+def chunk_documents_sql(
+    chunk_tokens: int = 64, stride: int = 48, src: str = "documents"
+) -> str:
+    c, s = int(chunk_tokens), int(stride)
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM {src}),
+w AS (
+  SELECT doc_id, i AS chunk_no, ts[(i*{s}+1):(i*{s}+{c})] AS win
+  FROM toks, LATERAL unnest(generate_series(
+       0, CAST(floor((len(ts) - 1) / {s}) AS BIGINT))) AS t(i)
+)
+SELECT doc_id, chunk_no, CAST(len(win) AS BIGINT) AS n_tokens,
+       array_to_string(win, ' ') AS chunk_text
+FROM w ORDER BY doc_id, chunk_no
+"""
+
+
+# --------------------------------------------------------------------------
 # domain mixing
 # --------------------------------------------------------------------------
 
@@ -235,6 +301,9 @@ def queries() -> dict:
         "train_mix_rates": lambda s, d: mix_rates(
             load_table(s, d, "documents"), target_docs=250
         ),
+        "train_chunk_docs": lambda s, d: chunk_documents(
+            load_table(s, d, "documents"), chunk_tokens=64, stride=48
+        ),
     }
 
 
@@ -243,4 +312,5 @@ def oracle_sql() -> dict:
         "train_pack_sequences": pack_sequences_sql(capacity=256),
         "train_domain_mix": domain_mix_sql(target_docs=250),
         "train_mix_rates": mix_rates_sql(target_docs=250),
+        "train_chunk_docs": chunk_documents_sql(chunk_tokens=64, stride=48),
     }

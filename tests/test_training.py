@@ -52,3 +52,21 @@ def test_mix_sample_is_monotone_in_target(spark):
     small = {r["doc_id"] for r in tr.domain_mix(df, target_docs=50).collect()}
     big = {r["doc_id"] for r in tr.domain_mix(df, target_docs=150).collect()}
     assert small <= big  # hash-threshold sampling nests
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    # 10 tokens, chunk 4, stride 3 -> starts 0,3,6,9: lengths 4,4,4,1
+    text = " ".join(str(i) for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = tr.chunk_documents(df, chunk_tokens=4, stride=3).collect()
+    assert [(r["chunk_no"], r["n_tokens"]) for r in out] == [
+        (0, 4), (1, 4), (2, 4), (3, 1)
+    ]
+    assert out[1]["chunk_text"] == "3 4 5 6"  # overlaps chunk 0 by one token
+    assert out[3]["chunk_text"] == "9"
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    out = tr.chunk_documents(df, chunk_tokens=64, stride=48).collect()
+    assert len(out) == 1 and out[0]["n_tokens"] == 2
