@@ -176,3 +176,39 @@ def test_es_aggs_are_jvm_only_single_shuffle(spark):
     hist = es_aggs.histogram_agg(df, "value", 50.0)
     assert not has_python_eval(hist)
     assert hash_exchange_count(hist) == 1
+
+
+def test_chunk_documents_is_map_only(spark):
+    from elasticsearch_drift_plugin_spark.operators.training import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    out = chunk_documents(docs, chunk_tokens=4, stride=3)
+    # scan -> project -> generate: no shuffle before the serving-edge sort
+    plan = explain_str(out.limit(10))
+    assert not has_python_eval(out)
+    assert hash_exchange_count(out) == 0
+
+
+def test_diversified_sampler_uses_take_ordered(spark):
+    from elasticsearch_drift_plugin_spark.operators.es_metrics import (
+        diversified_sampler_terms,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2, "t")], "event_id long, user_id long, event_type string"
+    )
+    out = diversified_sampler_terms(df, "user_id", "event_type")
+    # the global top-N must be TakeOrderedAndProject (per-partition top-N +
+    # driver merge), never a single-partition global Sort
+    assert "TakeOrderedAndProject" in explain_str(out)
+
+
+def test_string_stats_partial_agg_below_shuffle(spark):
+    from elasticsearch_drift_plugin_spark.operators.es_metrics import string_stats_agg
+
+    docs = spark.createDataFrame([("s", "a b")], "source string, text string")
+    out = string_stats_agg(docs, "text", ["source"])
+    plan = explain_str(out)
+    # char fan-out collapsed map-side: a partial/final HashAggregate pair
+    assert len(re.findall(r"\bHashAggregate\b \(", plan)) >= 4  # two agg pairs
+    assert not has_python_eval(out)
