@@ -290,6 +290,15 @@ def ngram_jaccard_pairs_gemm(
     Each doc is replicated ``n_subblocks + 1`` times; with the default
     auto-sizing (hottest block count, one tiny count agg) that is 1 — i.e.
     zero replication — until a block actually exceeds ``max_block_rows``.
+
+    Gram extraction happens JVM-side as a map-only HOF that hashes each
+    gram to an int64 (``array_distinct(transform(sequence(...), i ->
+    xxhash64(substring(...))))`` — codegen, no explode, no shuffle), so
+    the Arrow hand-off ships dense long arrays instead of millions of
+    3-char strings and the Python kernel never slices text: it
+    ``np.unique``-s the hashes into incidence matrices and calls BLAS.
+    64-bit gram hashing is exact for counting purposes at any realistic
+    per-pair vocabulary (collision odds ~V²/2^64).
     """
     import math
 
@@ -300,10 +309,25 @@ def ngram_jaccard_pairs_gemm(
     quant = float(QUANT)
     n = 3
 
-    base = docs.select("doc_id", block_col, "text")
+    narrow = docs.select("doc_id", block_col, "text").where(F.length("text") >= n)
+    # the gram HOF is the CPU-heavy map step; a small parquet (one split)
+    # would run it single-threaded, so widen only when the scan is narrower
+    # than the cluster — at real scale the input already has enough splits
+    # and this is a no-op (no shuffle added)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < par:
+        narrow = narrow.repartition(par, "doc_id")
+    base = narrow.select(
+        "doc_id",
+        block_col,
+        F.expr(
+            f"array_distinct(transform(sequence(1, length(text) - {n - 1}),"
+            f" i -> xxhash64(substring(text, i, {n}))))"
+        ).alias("ga"),
+    )
     if n_subblocks is None:
         hot = (
-            base.groupBy(block_col)
+            docs.groupBy(block_col)
             .agg(F.count(F.lit(1)).alias("c"))
             .agg(F.max("c").alias("m"))
             .first()["m"]
@@ -320,18 +344,12 @@ def ngram_jaccard_pairs_gemm(
     # left side), so with the default nb == 1 the data is shipped exactly
     # once — zero overhead vs the unbounded formulation.
     left = sb.join(F.broadcast(bp), F.col("sblk") == F.col("bi")).select(
-        block_col, "bi", "bj", "doc_id", "text", F.lit(0).alias("side")
+        block_col, "bi", "bj", "doc_id", "ga", F.lit(0).alias("side")
     )
     right = sb.join(
         F.broadcast(bp.where(F.col("bi") != F.col("bj"))),
         F.col("sblk") == F.col("bj"),
-    ).select(block_col, "bi", "bj", "doc_id", "text", F.lit(1).alias("side"))
-
-    def gram_sets(texts) -> list[set]:
-        return [
-            {t[i : i + n] for i in range(len(t) - n + 1)} if len(t) >= n else set()
-            for t in texts
-        ]
+    ).select(block_col, "bi", "bj", "doc_id", "ga", F.lit(1).alias("side"))
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_a": [], "doc_b": [], "jacc_q": []}).astype("int64")
@@ -340,28 +358,31 @@ def ngram_jaccard_pairs_gemm(
         r = l if same else pdf[pdf["side"] == 1]
         if l.empty or r.empty:
             return empty
-        ls = gram_sets(l["text"])
-        rs = ls if same else gram_sets(r["text"])
-        vocab: dict[str, int] = {}
-        for s in ls:
-            for g in s:
-                vocab.setdefault(g, len(vocab))
-        if not same:
-            for s in rs:
-                for g in s:
-                    vocab.setdefault(g, len(vocab))
-        if not vocab:
+
+        def incidence_input(frame: pd.DataFrame):
+            arrays = [np.asarray(a, dtype=np.int64) for a in frame["ga"]]
+            lens = np.fromiter((len(a) for a in arrays), dtype=np.int64)
+            flat = np.concatenate(arrays) if arrays else np.empty(0, np.int64)
+            return lens, flat
+
+        llens, lflat = incidence_input(l)
+        if same:
+            uniq, codes = np.unique(lflat, return_inverse=True)
+            lcodes, rcodes, rlens = codes, codes, llens
+        else:
+            rlens, rflat = incidence_input(r)
+            uniq, codes = np.unique(np.concatenate([lflat, rflat]), return_inverse=True)
+            lcodes, rcodes = codes[: len(lflat)], codes[len(lflat) :]
+        if not len(uniq):
             return empty
 
-        def incidence(sets: list[set]) -> np.ndarray:
-            m = np.zeros((len(sets), len(vocab)), dtype=np.float32)
-            for row, s in enumerate(sets):
-                for g in s:
-                    m[row, vocab[g]] = 1.0
+        def incidence(lens: np.ndarray, codes: np.ndarray) -> np.ndarray:
+            m = np.zeros((len(lens), len(uniq)), dtype=np.float32)
+            m[np.repeat(np.arange(len(lens)), lens), codes] = 1.0
             return m
 
-        A = incidence(ls)
-        B = A if same else incidence(rs)
+        A = incidence(llens, lcodes)
+        B = A if same else incidence(rlens, rcodes)
         inter = (A @ B.T).astype(np.float64)
         sa = A.sum(axis=1, dtype=np.float64)
         sb_ = sa if same else B.sum(axis=1, dtype=np.float64)
