@@ -223,6 +223,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             group_by=("event_type",),
         ),
+        # ES normalize (percent_of_sum) + moving_percentiles in one pass
+        "pipe_normalize": lambda s, d: pipeline.normalize_buckets(
+            _psum_events(
+                s, d, calendar_interval="day", offset=1, group_by=("event_type",)
+            ),
+            group_by=("event_type",),
+        ),
         # ES serial_diff: season differencing over the bucket list (lag 7 days)
         "pipe_serial_diff": lambda s, d: pipeline.serial_diff(
             _psum_events(
@@ -330,6 +337,10 @@ def oracle_sql() -> dict[str, str]:
             size=5,
         ),
         "pipe_stats_bucket": pipeline.stats_bucket_sql(
+            _ev_oracle(calendar_interval="day", offset=1, group_by=("event_type",)),
+            group_by=("event_type",),
+        ),
+        "pipe_normalize": pipeline.normalize_buckets_sql(
             _ev_oracle(calendar_interval="day", offset=1, group_by=("event_type",)),
             group_by=("event_type",),
         ),

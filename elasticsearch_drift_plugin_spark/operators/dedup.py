@@ -309,14 +309,13 @@ def ngram_jaccard_pairs_gemm(
     quant = float(QUANT)
     n = 3
 
-    narrow = docs.select("doc_id", block_col, "text").where(F.length("text") >= n)
-    # the gram HOF is the CPU-heavy map step; a small parquet (one split)
-    # would run it single-threaded, so widen only when the scan is narrower
-    # than the cluster — at real scale the input already has enough splits
-    # and this is a no-op (no shuffle added)
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if narrow.rdd.getNumPartitions() < par:
-        narrow = narrow.repartition(par, "doc_id")
+    from ..sources.flows import widen_narrow_scan
+
+    # the gram HOF is the CPU-heavy map step; widen a too-narrow scan so it
+    # parallelizes (no-op shuffle-wise when the input has enough splits)
+    narrow = widen_narrow_scan(
+        docs.select("doc_id", block_col, "text").where(F.length("text") >= n), "doc_id"
+    )
     base = narrow.select(
         "doc_id",
         block_col,

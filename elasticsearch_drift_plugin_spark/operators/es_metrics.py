@@ -219,8 +219,12 @@ def string_stats_agg(df: DataFrame, text_col: str, group_by: list[str]) -> DataF
     ``H = log2(N) - (Σ c·log2 c)/N`` over character counts ``c``; each
     ``log2`` is floored to 1e-6 quanta BEFORE the sum so both engines do
     identical integer arithmetic. Fan-out (1 row per character) is
-    collapsed by the partial aggregation before any shuffle."""
-    base = df.where(F.col(text_col).isNotNull())
+    collapsed by the partial aggregation before any shuffle; the
+    char-explode map step widens a too-narrow scan first (a small parquet
+    is one split — single-threaded otherwise)."""
+    from ..sources.flows import widen_narrow_scan
+
+    base = widen_narrow_scan(df.where(F.col(text_col).isNotNull()))
     lens = base.groupBy(*group_by).agg(
         F.count(F.lit(1)).alias("count"),
         F.min(F.length(text_col)).alias("min_len"),

@@ -184,6 +184,78 @@ FROM q {grp}{order}
 
 
 # --------------------------------------------------------------------------
+# normalize (percent_of_sum) + moving_percentiles
+# --------------------------------------------------------------------------
+
+def normalize_buckets(
+    result: DataFrame,
+    group_by=(),
+    quantize: int = 4,
+    window: int = 7,
+    pct: float = 0.5,
+) -> DataFrame:
+    """(group…, key, vq, pct_of_sum_q, mov_p50_q): ES ``normalize``
+    (method ``percent_of_sum``) and ``moving_percentiles`` over the bucket
+    list in one pass — a group-total window plus a trailing-window exact
+    percentile, both partitioned by the owning group.
+
+    ``pct_of_sum_q`` = bucket share of the group total in 1e-6 quanta via
+    integer division (`vq·1e6 div total`). ``mov_p50_q`` is the exact
+    interpolated percentile of the trailing ``window`` buckets (same
+    engine-equality discipline as stats_quantiles), floored to quanta."""
+    scale = 10**quantize
+    vq = F.round(F.col("value") * F.lit(scale)).cast("long")
+    base = result.select(*group_by, "key", vq.alias("vq"))
+    wall = Window.partitionBy(*group_by)
+    wmov = (
+        Window.partitionBy(*group_by).orderBy("key").rowsBetween(-(window - 1), 0)
+    )
+    return base.select(
+        *group_by,
+        "key",
+        "vq",
+        F.expr(f"vq * {QUANT_PCT}L").alias("__num"),
+        F.sum("vq").over(wall).alias("__tot"),
+        F.floor(
+            F.expr(f"percentile(vq, {float(pct)})").over(wmov)
+            * F.lit(float(QUANT_PCT))
+        ).alias("mov_p50_q"),
+    ).select(
+        *group_by,
+        "key",
+        "vq",
+        F.expr("__num div __tot").alias("pct_of_sum_q"),
+        "mov_p50_q",
+    ).orderBy(*group_by, "key")
+
+
+QUANT_PCT = 1_000_000
+
+
+def normalize_buckets_sql(
+    base_sql: str,
+    group_by=(),
+    quantize: int = 4,
+    window: int = 7,
+    pct: float = 0.5,
+) -> str:
+    scale = 10**quantize
+    keys = ", ".join(group_by)
+    part = f"PARTITION BY {keys} " if group_by else ""
+    sel_keys = f"{keys}, " if keys else ""
+    return f"""
+WITH base AS ({base_sql}),
+q AS (SELECT {sel_keys}key, CAST(ROUND(value * {scale}) AS BIGINT) AS vq FROM base)
+SELECT {sel_keys}key, vq,
+       (vq * {QUANT_PCT}) // SUM(vq) OVER ({part.rstrip() or ''}) AS pct_of_sum_q,
+       CAST(FLOOR(quantile_cont(vq, {float(pct)}) OVER ({part}ORDER BY key
+            ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW)
+            * {float(QUANT_PCT)}) AS BIGINT) AS mov_p50_q
+FROM q ORDER BY {sel_keys}key
+"""
+
+
+# --------------------------------------------------------------------------
 # serial_diff
 # --------------------------------------------------------------------------
 

@@ -55,6 +55,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def widen_narrow_scan(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Repartition ``df`` to the cluster's parallelism iff the source scan
+    has fewer splits than cores — a small parquet arrives as ONE split, so
+    any CPU-heavy map step downstream (gram hashing, char explode, regex
+    batteries) would run single-threaded.
+
+    At real scale the input has plenty of splits and this returns ``df``
+    unchanged (no shuffle added); the split count comes from the driver's
+    planning metadata, no job runs."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par, *key_cols) if key_cols else df.repartition(par)
+    return df
+
+
 # --- deterministic flow derivations (shared with the DuckDB oracle) --------
 #
 # FIXTURES.md §6: events is point-in-time; a flow fixture derives as

@@ -43,3 +43,14 @@ def test_serial_diff_null_head(spark):
     out = p.serial_diff(_buckets(spark), group_by=("g",), lag=2).collect()
     a = [r for r in out if r["g"] == "a"]
     assert [r["sdiff_q"] for r in a] == [None, None, 300000 - 100000]
+
+
+def test_normalize_percent_of_sum_and_moving_median(spark):
+    out = p.normalize_buckets(_buckets(spark), group_by=("g",), window=2).collect()
+    a = {r["key"]: r for r in out if r["g"] == "a"}
+    # group a total vq = 900000; bucket key=2 share = 500000/900000
+    assert a[2]["pct_of_sum_q"] == (500000 * 1_000_000) // 900000
+    # trailing-2 median at key 2 = (100000+500000)/2 = 300000 (*1e6 quanta)
+    assert a[2]["mov_p50_q"] == 300000 * 1_000_000
+    b = [r for r in out if r["g"] == "b"]
+    assert b[0]["pct_of_sum_q"] == 1_000_000  # single bucket = 100%
