@@ -287,6 +287,103 @@ SELECT grp AS "group", n_docs, thr_q FROM thr ORDER BY "group"
 
 
 # --------------------------------------------------------------------------
+# end-to-end curation pipeline (composition capstone)
+# --------------------------------------------------------------------------
+
+def curate_pipeline(
+    docs: DataFrame,
+    quality_min_q: int = 450_000,
+    target_docs: int = 150,
+    capacity: int = 256,
+) -> DataFrame:
+    """The whole curation chain as ONE composed plan: exact dedup (keep
+    min doc_id per md5 digest) → quality gate (``text.quality_score`` ≥
+    threshold) → temperature-2 domain mixing over the SURVIVORS →
+    next-fit sequence packing. Returns the packed training manifest
+    (group, doc_id, n_tokens, seq_no, seq_offset).
+
+    This is the operator-composition proof: each stage is the same
+    building block exposed individually, and Catalyst fuses the chain —
+    dedup's digest groupBy and the quality projection share one scan; the
+    mix threshold table is O(#domains) broadcast; only the pack step
+    leaves SQL (Arrow next-fit per domain). The DuckDB twin composes the
+    same stages as CTEs around the recursive pack."""
+    from .text import quality_score
+
+    keep = docs.groupBy(F.md5(F.col("text")).alias("__d")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    scored = quality_score(docs).select("doc_id", "score_q")
+    surv = (
+        docs.join(keep.select("doc_id"), "doc_id")
+        .join(scored, "doc_id")
+        .where(F.col("score_q") >= int(quality_min_q))
+        .select("doc_id", "source", "text")
+    )
+    thr = _mix_thresholds(surv, target_docs, "source")
+    h = F.pmod(md5_hash60(F.col("doc_id").cast("string")), F.lit(QUANT))
+    mixed = (
+        surv.join(F.broadcast(thr), surv["source"] == thr["group"])
+        .where(h < F.col("thr_q"))
+        .select("doc_id", "source", "text")
+    )
+    return pack_sequences(mixed, capacity=capacity)
+
+
+def curate_pipeline_sql(
+    quality_min_q: int = 450_000,
+    target_docs: int = 150,
+    capacity: int = 256,
+    src: str = "documents",
+) -> str:
+    from .text import quality_sql
+
+    cap = int(capacity)
+    h = HEX15_SQL_FN.format(expr="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH RECURSIVE
+keep AS (SELECT min(doc_id) AS doc_id FROM {src} GROUP BY md5(text)),
+scored AS (SELECT doc_id, score_q FROM ({quality_sql()})),
+surv AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM {src} d JOIN keep USING (doc_id) JOIN scored USING (doc_id)
+  WHERE scored.score_q >= {int(quality_min_q)}
+),
+counts AS (
+  SELECT source AS grp, COUNT(*) AS n_docs,
+         CAST(FLOOR(SQRT(COUNT(*)) * {float(QUANT)}) AS BIGINT) AS sq_q
+  FROM surv GROUP BY source
+),
+thr AS (
+  SELECT grp, LEAST({QUANT}, ({QUANT} * {int(target_docs)} * sq_q)
+              // ((SELECT SUM(sq_q) FROM counts) * n_docs)) AS thr_q
+  FROM counts
+),
+mixed AS (
+  SELECT surv.* FROM surv JOIN thr ON thr.grp = surv.source
+  WHERE ({h}) % {QUANT} < thr.thr_q
+),
+d AS (
+  SELECT source AS grp, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM mixed
+),
+pack AS (
+  SELECT grp, doc_id, n, rn, CAST(0 AS BIGINT) AS seq_no, n AS used
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.grp, d.doc_id, d.n, d.rn,
+         CASE WHEN p.used + d.n <= {cap} THEN p.seq_no ELSE p.seq_no + 1 END,
+         CASE WHEN p.used + d.n <= {cap} THEN p.used + d.n ELSE d.n END
+  FROM pack p JOIN d ON d.grp = p.grp AND d.rn = p.rn + 1
+)
+SELECT grp AS "group", doc_id, n AS n_tokens, seq_no, used - n AS seq_offset
+FROM pack ORDER BY "group", doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # driver-contract registry
 # --------------------------------------------------------------------------
 
@@ -304,6 +401,9 @@ def queries() -> dict:
         "train_chunk_docs": lambda s, d: chunk_documents(
             load_table(s, d, "documents"), chunk_tokens=64, stride=48
         ),
+        "train_curate_pipeline": lambda s, d: curate_pipeline(
+            load_table(s, d, "documents")
+        ),
     }
 
 
@@ -313,4 +413,5 @@ def oracle_sql() -> dict:
         "train_domain_mix": domain_mix_sql(target_docs=250),
         "train_mix_rates": mix_rates_sql(target_docs=250),
         "train_chunk_docs": chunk_documents_sql(chunk_tokens=64, stride=48),
+        "train_curate_pipeline": curate_pipeline_sql(),
     }
