@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sources import flows as flows_src
 from ..sources.flows import load_table
 
 
@@ -219,10 +220,8 @@ def _events_with_custkey(events: DataFrame, customer: DataFrame) -> DataFrame:
     return events.select(
         "event_id",
         (F.pmod(F.col("user_id"), F.lit(n_cust)) + 1).alias("ck"),
-        F.col("ts").alias("__raw_ts"),
-        # exact integer ns→ms: epoch ns exceeds 2^53, so double division would
-        # round half the rows 1 ms off the DuckDB oracle's epoch_ms
-    ).select("event_id", "ck", F.expr("__raw_ts div 1000000").alias("t_ms"))
+        flows_src.ts_ms_col(events).alias("t_ms"),
+    )
 
 
 def latest_order_asof(

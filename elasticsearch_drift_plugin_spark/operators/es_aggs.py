@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..sources.flows import load_table
+from ..sources.flows import load_table, ts_ms_col
 
 QUANT = 1_000_000
 
@@ -530,6 +530,11 @@ _FILTERS = {
 }
 
 
+def _events_t_ms(s, d) -> DataFrame:
+    ev = load_table(s, d, "events")
+    return ev.select(ts_ms_col(ev).alias("t_ms"), "value")
+
+
 def queries() -> dict:
     return {
         "es_terms_top_users": lambda s, d: terms_agg(
@@ -560,10 +565,7 @@ def queries() -> dict:
             load_table(s, d, "events"), _FILTERS, other_bucket=True
         ),
         "es_auto_date_histogram": lambda s, d: auto_date_histogram(
-            load_table(s, d, "events").select(
-                F.expr("ts div 1000000").alias("t_ms"), "value"
-            ),
-            "t_ms", target_buckets=40, value_col="value",
+            _events_t_ms(s, d), "t_ms", target_buckets=40, value_col="value",
         ),
         "es_significant_terms": lambda s, d: significant_terms(
             load_table(s, d, "events"), "user_id",

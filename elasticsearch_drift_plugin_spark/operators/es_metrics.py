@@ -52,7 +52,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..sources.flows import load_table
+from ..sources.flows import load_table, ts_ms_col
 
 QUANT = 1_000_000
 _VALID = "value IS NOT NULL AND NOT isnan(value)"
@@ -715,6 +715,11 @@ _DATE_RANGES: list[tuple[str | None, str | None]] = [
 ]
 
 
+def _events_t_ms(s, d) -> DataFrame:
+    ev = load_table(s, d, "events")
+    return ev.select(ts_ms_col(ev).alias("t_ms"), "value")
+
+
 def queries() -> dict:
     return {
         "es_missing": lambda s, d: missing_agg(
@@ -738,12 +743,7 @@ def queries() -> dict:
             "value",
         ),
         "es_date_range": lambda s, d: date_range_agg(
-            load_table(s, d, "events").select(
-                F.expr("ts div 1000000").alias("t_ms"), "value"
-            ),
-            "t_ms",
-            _DATE_RANGES,
-            value_col="value",
+            _events_t_ms(s, d), "t_ms", _DATE_RANGES, value_col="value",
         ),
         "es_multi_terms": lambda s, d: multi_terms_agg(
             load_table(s, d, "events").select(

@@ -14,7 +14,7 @@ scan — column pruning and predicate pushdown stay intact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 TABLES = (
@@ -38,21 +38,95 @@ TABLES = (
 _SCAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver testdata table.
+# Expected logical types per table column, as sets of acceptable Spark
+# simpleString dtypes. The driver owns the testdata and HAS changed physical
+# types between rounds (events.ts: INT64 TIMESTAMP(NANOS) -> timestamp[us]);
+# every accepted alternative must be handled downstream (see ts_ms_sql).
+# A load-time check makes the next silent regeneration fail loudly in ONE
+# place with the offending column named, instead of 28 AnalysisExceptions.
+_TIME_TYPES = frozenset({"bigint", "timestamp", "timestamp_ntz", "date"})
+_EXPECTED_COLS: dict[str, dict[str, frozenset[str]]] = {
+    "events": {
+        "event_id": frozenset({"bigint"}),
+        "ts": _TIME_TYPES,
+        "user_id": frozenset({"bigint"}),
+        "event_type": frozenset({"string"}),
+        "value": frozenset({"double"}),
+        "props": frozenset({"string"}),
+    },
+    "lineitem": {
+        "l_orderkey": frozenset({"bigint"}),
+        "l_shipdate": _TIME_TYPES,
+        "l_extendedprice": frozenset({"double"}),
+        "l_quantity": frozenset({"double"}),
+    },
+    "orders": {"o_orderkey": frozenset({"bigint"}), "o_orderdate": _TIME_TYPES},
+    "documents": {"doc_id": frozenset({"bigint"}), "text": frozenset({"string"})},
+    "embeddings": {
+        "vec_id": frozenset({"bigint"}),
+        "embedding": frozenset({"array<float>", "array<double>"}),
+    },
+}
 
-    The driver's ``events.ts`` is physically INT64 TIMESTAMP(NANOS), which
-    Spark's parquet reader rejects unless ``nanosAsLong`` is on; with it, the
-    column arrives as epoch-*nanosecond* longs (converted downstream with
-    exact integer math — never double division, epoch-ns exceeds 2^53).
+
+def _check_schema(name: str, df: DataFrame) -> None:
+    expected = _EXPECTED_COLS.get(name)
+    if not expected:
+        return
+    dtypes = dict(df.dtypes)
+    for col, ok in expected.items():
+        if col not in dtypes:
+            raise TypeError(
+                f"testdata table '{name}' is missing expected column '{col}' "
+                f"(has: {sorted(dtypes)})"
+            )
+        if dtypes[col] not in ok:
+            raise TypeError(
+                f"testdata table '{name}' column '{col}' has dtype "
+                f"'{dtypes[col]}', expected one of {sorted(ok)} — the driver's "
+                "parquet physical types changed; update the load/convert path"
+            )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table, asserting the expected logical schema.
+
+    ``nanosAsLong`` stays on defensively: if the driver ever regenerates
+    ``events.ts`` as INT64 TIMESTAMP(NANOS) again the scan still succeeds
+    (column arrives as epoch-ns long) and :func:`ts_ms_sql` branches on the
+    observed dtype — never assume the physical type of driver-owned data.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     key = (spark.sparkContext.applicationId, sf_dir, name)
     df = _SCAN_CACHE.get(key)
     if df is None:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _check_schema(name, df)
         _SCAN_CACHE[key] = df
     return df
+
+
+def ts_ms_sql(dtype: str, col: str = "ts") -> str:
+    """Epoch-ms SQL expression for a raw event-time column, branching on the
+    *observed* Spark dtype:
+
+    - ``bigint``  — epoch-ns longs (nanosAsLong read of INT64 TIMESTAMP(NANOS));
+      exact integer ``div`` — epoch-ns exceeds 2^53, double division would
+      round half the rows 1 ms off the DuckDB oracle's ``epoch_ms``.
+    - ``timestamp`` / ``timestamp_ntz`` — ``unix_millis`` after a cast; the
+      session TZ is pinned UTC (session.py) so the NTZ->instant cast is exact
+      integer epoch math matching DuckDB ``epoch_ms(ts)``.
+    """
+    if dtype == "bigint":
+        return f"({col} div 1000000)"
+    if dtype in ("timestamp", "timestamp_ntz", "date"):
+        return f"unix_millis(CAST({col} AS TIMESTAMP))"
+    raise TypeError(f"cannot convert dtype '{dtype}' of column '{col}' to epoch-ms")
+
+
+def ts_ms_col(df: DataFrame, col: str = "ts") -> Column:
+    """Column form of :func:`ts_ms_sql` for DataFrame-API call sites."""
+    return F.expr(ts_ms_sql(dict(df.dtypes)[col], col))
 
 
 def widen_narrow_scan(df: DataFrame, *key_cols: str) -> DataFrame:
@@ -61,11 +135,32 @@ def widen_narrow_scan(df: DataFrame, *key_cols: str) -> DataFrame:
     any CPU-heavy map step downstream (gram hashing, char explode, regex
     batteries) would run single-threaded.
 
-    At real scale the input has plenty of splits and this returns ``df``
-    unchanged (no shuffle added); the split count comes from the driver's
-    planning metadata, no job runs."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    The split estimate uses only analysis-phase metadata (``inputFiles`` +
+    file sizes vs ``maxPartitionBytes``) — no ``.rdd`` materialization, no
+    job. At real scale the input has plenty of splits and this returns
+    ``df`` unchanged (no shuffle added)."""
+    import math
+    import os
+
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+        raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b").lower()
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+        for suf, mult in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("b", 1)):
+            if raw.endswith(suf):
+                max_bytes = int(raw.removesuffix(suf)) * mult
+                break
+        else:
+            max_bytes = int(raw[:-1]) * units[raw[-1]] if raw[-1] in units else int(raw)
+        total = sum(
+            os.path.getsize(f.removeprefix("file:")) for f in files if f.startswith(("file:", "/"))
+        )
+        splits = max(len(files), math.ceil(total / max_bytes)) if files else par
+    except Exception:  # non-file scans (views over streams, in-memory) — assume wide
+        splits = par
+    if splits < par:
         return df.repartition(par, *key_cols) if key_cols else df.repartition(par)
     return df
 
@@ -112,12 +207,14 @@ FROM {src}
 
 
 def events_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flow table derived from ``events`` (ts is epoch-ns long after load)."""
+    """Flow table derived from ``events`` (``ts`` converted per its dtype)."""
     key = (spark.sparkContext.applicationId, sf_dir, "__events_flows")
     df = _SCAN_CACHE.get(key)
     if df is None:
-        load_table(spark, sf_dir, "events").createOrReplaceTempView("__ev_src")
-        df = spark.sql(EVENTS_FLOWS_SQL.format(ts_ms="(ts div 1000000)", src="__ev_src"))
+        ev = load_table(spark, sf_dir, "events")
+        ev.createOrReplaceTempView("__ev_src")
+        ts_ms = ts_ms_sql(dict(ev.dtypes)["ts"])
+        df = spark.sql(EVENTS_FLOWS_SQL.format(ts_ms=ts_ms, src="__ev_src"))
         _SCAN_CACHE[key] = df
     return df
 
@@ -138,7 +235,8 @@ def events_flows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a glob pattern keeps the parent dir as the base
     stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet*")
     stream.createOrReplaceTempView("__ev_stream_src")
-    return spark.sql(EVENTS_FLOWS_SQL.format(ts_ms="(ts div 1000000)", src="__ev_stream_src"))
+    ts_ms = ts_ms_sql(schema["ts"].dataType.simpleString())
+    return spark.sql(EVENTS_FLOWS_SQL.format(ts_ms=ts_ms, src="__ev_stream_src"))
 
 
 def lineitem_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
