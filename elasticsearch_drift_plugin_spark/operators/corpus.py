@@ -529,7 +529,7 @@ flagged AS (
   FROM chunks c JOIN df d USING (chunk)
 )
 SELECT doc_id, COUNT(*) AS n_chunks,
-       SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS n_removed,
+       CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
        string_agg(CASE WHEN NOT bad THEN chunk END, ' ' ORDER BY chunk_no)
          AS kept_text
 FROM flagged GROUP BY doc_id ORDER BY doc_id

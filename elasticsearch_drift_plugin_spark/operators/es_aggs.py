@@ -89,8 +89,9 @@ def terms_sql(
     value_col: str | None = None,
 ) -> str:
     val = (
-        f", COALESCE(SUM(CASE WHEN {value_col} IS NOT NULL AND NOT isnan({value_col})"
-        f" THEN CAST(FLOOR({value_col} * {float(QUANT)}) AS BIGINT) END), 0) AS value_q"
+        f", CAST(COALESCE(SUM(CASE WHEN {value_col} IS NOT NULL AND NOT isnan({value_col})"
+        f" THEN CAST(FLOOR({value_col} * {float(QUANT)}) AS BIGINT) END), 0) AS BIGINT)"
+        " AS value_q"
         if value_col
         else ""
     )
@@ -209,8 +210,9 @@ def range_sql(
         for lo, hi in ranges
     )
     val = (
-        f", COALESCE(SUM(CASE WHEN v.{value_col} IS NOT NULL AND NOT isnan(v.{value_col})"
-        f" THEN CAST(FLOOR(v.{value_col} * {float(QUANT)}) AS BIGINT) END), 0) AS value_q"
+        f", CAST(COALESCE(SUM(CASE WHEN v.{value_col} IS NOT NULL AND NOT isnan(v.{value_col})"
+        f" THEN CAST(FLOOR(v.{value_col} * {float(QUANT)}) AS BIGINT) END), 0) AS BIGINT)"
+        " AS value_q"
         if value_col
         else ""
     )
@@ -274,8 +276,9 @@ def histogram_sql(
     value_col: str | None = None,
 ) -> str:
     val = (
-        f", COALESCE(SUM(CASE WHEN {value_col} IS NOT NULL AND NOT isnan({value_col})"
-        f" THEN CAST(FLOOR({value_col} * {float(QUANT)}) AS BIGINT) END), 0) AS value_q"
+        f", CAST(COALESCE(SUM(CASE WHEN {value_col} IS NOT NULL AND NOT isnan({value_col})"
+        f" THEN CAST(FLOOR({value_col} * {float(QUANT)}) AS BIGINT) END), 0) AS BIGINT)"
+        " AS value_q"
         if value_col
         else ""
     )
@@ -321,9 +324,12 @@ def extended_stats_agg(
         "max",
         "sum_q",
         F.expr("sum_q div count").alias("avg_q"),
+        # BIGINT result: var_pop in quanta^2 fits 63 bits for this data
+        # domain (|q| <= ~5e8 => q^2 <= 2.5e17); the intermediate products
+        # stay DECIMAL(38,0) so the subtraction itself cannot overflow.
         F.expr(
             "CAST((count * __sumsq - CAST(sum_q AS DECIMAL(38,0)) * sum_q)"
-            " div (CAST(count AS DECIMAL(38,0)) * count) AS DECIMAL(38,0))"
+            " div (CAST(count AS DECIMAL(38,0)) * count) AS BIGINT)"
         ).alias("var_q"),
     ).orderBy(*group_cols)
 
@@ -343,7 +349,7 @@ agg AS (
 SELECT {g}, count, min, max, CAST(sum_q AS BIGINT) AS sum_q,
        CAST(sum_q // count AS BIGINT) AS avg_q,
        CAST((count * sumsq - CAST(sum_q AS HUGEINT) * sum_q)
-            // (CAST(count AS HUGEINT) * count) AS DECIMAL(38,0)) AS var_q
+            // (CAST(count AS HUGEINT) * count) AS BIGINT) AS var_q
 FROM agg ORDER BY {g}
 """
 
@@ -392,7 +398,8 @@ def filters_sql(
 ) -> str:
     arms = [
         f"SELECT '{name}' AS key,"
-        f" COALESCE(SUM(CASE WHEN COALESCE({pred}, FALSE) THEN 1 ELSE 0 END), 0) AS doc_count"
+        f" CAST(COALESCE(SUM(CASE WHEN COALESCE({pred}, FALSE) THEN 1 ELSE 0 END), 0)"
+        " AS BIGINT) AS doc_count"
         f" FROM {src}"
         for name, pred in filters.items()
     ]
@@ -400,7 +407,8 @@ def filters_sql(
         none = " AND ".join(f"NOT COALESCE(({p}), FALSE)" for p in filters.values())
         arms.append(
             f"SELECT '{other_key}' AS key,"
-            f" COALESCE(SUM(CASE WHEN {none} THEN 1 ELSE 0 END), 0) AS doc_count"
+            f" CAST(COALESCE(SUM(CASE WHEN {none} THEN 1 ELSE 0 END), 0)"
+            " AS BIGINT) AS doc_count"
             f" FROM {src}"
         )
     return " UNION ALL ".join(arms) + " ORDER BY key"
@@ -685,7 +693,9 @@ def histogram_filled_sql(
     offset: float = 0.0,
     value_col: str | None = None,
 ) -> str:
-    val_sel = ", COALESCE(value_q, 0) AS value_q" if value_col else ""
+    # CASTs: DuckDB parses float literals as DECIMAL, so the spine key would
+    # come out DECIMAL(23,1) (vs Spark DOUBLE) without the explicit cast.
+    val_sel = ", CAST(COALESCE(value_q, 0) AS BIGINT) AS value_q" if value_col else ""
     base = histogram_sql(
         src, field, interval, offset=offset, min_doc_count=1, value_col=value_col
     )
@@ -700,7 +710,7 @@ spine AS (
   SELECT unnest(generate_series(lo, hi)) * {float(interval)} + {float(offset)} AS key
   FROM bounds WHERE lo IS NOT NULL
 )
-SELECT spine.key AS key, COALESCE(doc_count, 0) AS doc_count{val_sel}
+SELECT CAST(spine.key AS DOUBLE) AS key, COALESCE(doc_count, 0) AS doc_count{val_sel}
 FROM spine LEFT JOIN base ON base.key = spine.key
 ORDER BY key
 """
@@ -819,8 +829,9 @@ def auto_date_histogram_sql(
         for lab, w in AUTO_LADDER_FIXED
     )
     val = (
-        f", COALESCE(SUM(CASE WHEN value IS NOT NULL AND NOT isnan(value)"
-        f" THEN CAST(FLOOR(value * {float(QUANT)}) AS BIGINT) END), 0) AS value_q"
+        f", CAST(COALESCE(SUM(CASE WHEN value IS NOT NULL AND NOT isnan(value)"
+        f" THEN CAST(FLOOR(value * {float(QUANT)}) AS BIGINT) END), 0) AS BIGINT)"
+        " AS value_q"
         if value_col
         else ""
     )
@@ -959,9 +970,9 @@ def percentile_ranks_sql(
 ) -> str:
     g = ", ".join(group_cols)
     arms = " UNION ALL ".join(
-        f"SELECT {g}, {float(v)!r} AS at_value,"
-        f" SUM(CASE WHEN {value_col} <= {float(v)!r} THEN 1 ELSE 0 END)"
-        f" * 1000000 // COUNT(*) AS rank_q"
+        f"SELECT {g}, CAST({float(v)!r} AS DOUBLE) AS at_value,"
+        f" CAST(SUM(CASE WHEN {value_col} <= {float(v)!r} THEN 1 ELSE 0 END)"
+        f" * 1000000 // COUNT(*) AS BIGINT) AS rank_q"
         f" FROM clean GROUP BY {g}"
         for v in at_values
     )

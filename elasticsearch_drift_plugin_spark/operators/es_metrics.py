@@ -261,7 +261,8 @@ def string_stats_sql(src: str, text_col: str, group_by: list[str]) -> str:
 WITH base AS (SELECT * FROM {src} WHERE {text_col} IS NOT NULL),
 lens AS (
   SELECT {g}, COUNT(*) AS count, MIN(LENGTH({text_col})) AS min_len,
-         MAX(LENGTH({text_col})) AS max_len, SUM(LENGTH({text_col})) AS sum_len
+         MAX(LENGTH({text_col})) AS max_len,
+         CAST(SUM(LENGTH({text_col})) AS BIGINT) AS sum_len
   FROM base GROUP BY {g}
 ),
 chars AS (
@@ -279,8 +280,8 @@ ent AS (
 )
 SELECT lens.{g}, lens.count, lens.min_len, lens.max_len, lens.sum_len,
        ent.distinct_chars,
-       CAST(FLOOR(LOG2(ent.n) * {float(QUANT)}) AS BIGINT) - ent.s // ent.n
-         AS entropy_q
+       CAST(CAST(FLOOR(LOG2(ent.n) * {float(QUANT)}) AS BIGINT) - ent.s // ent.n
+         AS BIGINT) AS entropy_q
 FROM lens JOIN ent USING ({g}) ORDER BY {g}
 """
 
@@ -337,7 +338,7 @@ WITH agg AS (
 )
 SELECT epoch_ms(b) AS key, doc_count,
        date_diff('day', b, b + INTERVAL 1 MONTH) AS unit_intervals,
-       sum_q // date_diff('day', b, b + INTERVAL 1 MONTH) AS rate_q
+       CAST(sum_q // date_diff('day', b, b + INTERVAL 1 MONTH) AS BIGINT) AS rate_q
 FROM agg ORDER BY key
 """
 
@@ -447,7 +448,7 @@ def date_range_sql(
         if value_col
         else ""
     )
-    val_out = ", COALESCE(h.value_q, 0) AS value_q" if value_col else ""
+    val_out = ", CAST(COALESCE(h.value_q, 0) AS BIGINT) AS value_q" if value_col else ""
     return f"""
 WITH r(key, range_from, range_to) AS (VALUES {rows}),
 hit AS (

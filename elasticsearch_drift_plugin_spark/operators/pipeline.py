@@ -64,12 +64,12 @@ def bucket_pipeline_sql(
 WITH base AS ({base_sql}),
 q AS (SELECT {sel_keys}key, CAST(ROUND(value * {scale}) AS BIGINT) AS vq FROM base)
 SELECT {sel_keys}key, vq,
-       SUM(vq) OVER ({part}ORDER BY key
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_q,
+       CAST(SUM(vq) OVER ({part}ORDER BY key
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_q,
        vq - LAG(vq) OVER ({part}ORDER BY key) AS diff_q,
-       SUM(vq) OVER ({part}ORDER BY key
+       CAST(SUM(vq) OVER ({part}ORDER BY key
                      ROWS BETWEEN {moving_window - 1} PRECEDING AND CURRENT ROW)
-         AS msum{moving_window}_q
+         AS BIGINT) AS msum{moving_window}_q
 FROM q ORDER BY {sel_keys}key
 """
 
@@ -178,7 +178,8 @@ def stats_bucket_sql(base_sql: str, group_by=(), quantize: int = 4) -> str:
 WITH base AS ({base_sql}),
 q AS (SELECT {sel_keys}CAST(ROUND(value * {scale}) AS BIGINT) AS vq FROM base)
 SELECT {sel_keys}COUNT(*) AS n_buckets, MIN(vq) AS min_q, MAX(vq) AS max_q,
-       SUM(vq) AS sum_q, SUM(vq) // COUNT(*) AS avg_q
+       CAST(SUM(vq) AS BIGINT) AS sum_q,
+       CAST(SUM(vq) // COUNT(*) AS BIGINT) AS avg_q
 FROM q {grp}{order}
 """
 
@@ -247,7 +248,8 @@ def normalize_buckets_sql(
 WITH base AS ({base_sql}),
 q AS (SELECT {sel_keys}key, CAST(ROUND(value * {scale}) AS BIGINT) AS vq FROM base)
 SELECT {sel_keys}key, vq,
-       (vq * {QUANT_PCT}) // SUM(vq) OVER ({part.rstrip() or ''}) AS pct_of_sum_q,
+       CAST((vq * {QUANT_PCT}) // SUM(vq) OVER ({part.rstrip() or ''}) AS BIGINT)
+         AS pct_of_sum_q,
        CAST(FLOOR(quantile_cont(vq, {float(pct)}) OVER ({part}ORDER BY key
             ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW)
             * {float(QUANT_PCT)}) AS BIGINT) AS mov_p50_q

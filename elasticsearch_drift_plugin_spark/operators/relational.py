@@ -109,7 +109,7 @@ WITH e AS (
 SELECT event_type,
        COUNT(*) AS n,
        COUNT(k) AS n_with_k,
-       COALESCE(SUM(k), 0) AS sum_k,
+       CAST(COALESCE(SUM(k), 0) AS BIGINT) AS sum_k,
        COUNT(DISTINCT k) AS n_distinct_k
 FROM e GROUP BY event_type ORDER BY event_type
 """

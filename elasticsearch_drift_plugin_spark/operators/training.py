@@ -258,8 +258,8 @@ counts AS (
 ),
 thr AS (
   SELECT grp, n_docs,
-         LEAST({QUANT}, ({QUANT} * {int(target_docs)} * sq_q)
-               // ((SELECT SUM(sq_q) FROM counts) * n_docs)) AS thr_q
+         CAST(LEAST({QUANT}, ({QUANT} * {int(target_docs)} * sq_q)
+               // ((SELECT SUM(sq_q) FROM counts) * n_docs)) AS BIGINT) AS thr_q
   FROM counts
 )"""
 
@@ -355,8 +355,8 @@ counts AS (
   FROM surv GROUP BY source
 ),
 thr AS (
-  SELECT grp, LEAST({QUANT}, ({QUANT} * {int(target_docs)} * sq_q)
-              // ((SELECT SUM(sq_q) FROM counts) * n_docs)) AS thr_q
+  SELECT grp, CAST(LEAST({QUANT}, ({QUANT} * {int(target_docs)} * sq_q)
+              // ((SELECT SUM(sq_q) FROM counts) * n_docs)) AS BIGINT) AS thr_q
   FROM counts
 ),
 mixed AS (
