@@ -22,6 +22,12 @@ def get_spark(app_name: str = "spark-drift", cpus: int | None = None) -> SparkSe
         .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalesce post-shuffle partitions by SIZE, not up to the cluster's
+        # parallelism (the Spark tuning guide's recommended production
+        # setting): at scale partitions stay ~advisory-size; on small inputs
+        # it collapses near-empty shuffle tasks instead of scheduling
+        # hundreds of them.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

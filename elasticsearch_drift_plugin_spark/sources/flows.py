@@ -246,11 +246,21 @@ def events_flows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def lineitem_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Larger-scale flow proxy from ``lineitem`` (FIXTURES.md §6): day-scale
-    durations spanning many buckets at month granularity."""
+    durations spanning many buckets at month granularity.
+
+    The ~120-day ranges mean a large explode fan-out in any downstream
+    proportional_sum (60x at day granularity), so a narrow scan is widened
+    here — the fan-out is a property of THIS fixture's durations, which is
+    why the widen lives in the derivation and not in the operator (the
+    minute-scale ``events_flows`` fans out 2-3x and a forced shuffle there
+    costs more than it buys; measured at sf0.1: psum_day_lineitem
+    3.2 s -> 1.7 s widened, psum_fixed_1h 0.9 s -> 1.3 s if events were
+    widened too). No-op when the scan already has enough splits."""
     key = (spark.sparkContext.applicationId, sf_dir, "__lineitem_flows")
     df = _SCAN_CACHE.get(key)
     if df is None:
-        load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("__li_src")
+        li = widen_narrow_scan(load_table(spark, sf_dir, "lineitem"))
+        li.createOrReplaceTempView("__li_src")
         df = spark.sql(
             LINEITEM_FLOWS_SQL.format(
                 ship_ms="unix_millis(CAST(l_shipdate AS TIMESTAMP))", src="__li_src"
