@@ -1,14 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata (north-star extension, BASELINE.json).
 
-This container has no image/audio codecs, so the DEFAULT decode kernel is
-a deterministic fake behind a clearly-marked stub — but everything
-Spark-side is real and tested: the binary column handling, the Arrow batch
-shape through ``mapInPandas``, the output schemas, and the metadata
-extraction expressions. ``decode_media(kernel='pil'|'auto')`` switches to
-real Pillow decoding on executors that have it, with zero plan change
-(guarded import inside the kernel); frame extraction stays a stub (libav
-is heavier than a guard).
+The full mandated surface: metadata extraction, decode, resize,
+frame-sample, and feature-extract. This container has no image/audio
+codecs, so the DEFAULT decode/resize kernels are deterministic fakes
+behind clearly-marked stubs — but everything Spark-side is real and
+tested: the binary column handling, the Arrow batch shape through
+``mapInPandas``, the output schemas, and the metadata extraction
+expressions. ``decode_media(kernel='pil'|'auto')`` switches to real
+Pillow decoding on executors that have it, with zero plan change (guarded
+import inside the kernel); frame extraction stays a stub (libav is
+heavier than a guard). ``extract_features`` is NOT stubbed — byte-level
+statistical featurization is computable without codecs and runs as a real
+numpy kernel.
 
 Scale notes: metadata extraction is pure Catalyst (no Python); the decode
 path is ``mapInPandas`` with Arrow batches — per-partition streaming, no
@@ -164,6 +168,157 @@ ORDER BY doc_id
 """
 
 
+RESIZE_SCHEMA = (
+    "doc_id long, width long, height long, n_bytes_out long, payload_out binary"
+)
+
+
+def resize_media(
+    df: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    payload_col: str = "payload",
+    kernel: str = "fake",
+) -> DataFrame:
+    """Distributed resize via mapInPandas (Arrow-batched, per-partition).
+
+    ``'fake'`` (default, codec-less container): dimensions come from the
+    same deterministic fake decode as :func:`decode_media`; the output size
+    is an aspect-preserving integer fit into ``(target_w, target_h)``
+    (downscale only — smaller images pass through), and the "resized"
+    payload is the input truncated proportionally to the area ratio, so
+    byte volume shrinks the way a real thumbnail pipeline's would. All
+    output columns are exact integer functions of the input length —
+    value-level oracle-able. ``'pil'`` would be
+    ``Image.open(...).thumbnail((w, h))`` in the same kernel slot (zero
+    plan change); not available in this container.
+    """
+    if kernel != "fake":
+        raise ValueError("only the 'fake' kernel is available in this container")
+    tw, th = int(target_w), int(target_h)
+    if tw < 1 or th < 1:
+        raise ValueError("target dimensions must be >= 1")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"], "width": [], "height": [],
+                   "n_bytes_out": [], "payload_out": []}
+            for p in pdf[payload_col]:
+                b = bytes(p)
+                n = len(b)
+                w, h = n % 640 + 1, (n * 31) % 480 + 1  # fake decode dims
+                if w <= tw and h <= th:
+                    ow, oh = w, h
+                elif w * th <= h * tw:  # height is the limiting side
+                    oh, ow = th, max(1, (w * th) // h)
+                else:
+                    ow, oh = tw, max(1, (h * tw) // w)
+                k = max(1, (n * ow * oh) // (w * h)) if n else 0
+                out["width"].append(ow)
+                out["height"].append(oh)
+                out["n_bytes_out"].append(k)
+                out["payload_out"].append(b[:k])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(fn, RESIZE_SCHEMA)
+
+
+def resize_sql(target_w: int = 224, target_h: int = 224) -> str:
+    """DuckDB twin of the fake-resize integer math (dims + byte count; the
+    truncated payload itself is excluded — binary stringification is not
+    part of the driver's hash contract)."""
+    tw, th = int(target_w), int(target_h)
+    return f"""
+SELECT doc_id, width, height,
+       CASE WHEN n = 0 THEN 0
+            ELSE greatest(1, (n * width * height) // (w * h)) END AS n_bytes_out
+FROM (
+  SELECT doc_id, n, w, h,
+         CASE WHEN w <= {tw} AND h <= {th} THEN w
+              WHEN w * {th} <= h * {tw} THEN greatest(1, (w * {th}) // h)
+              ELSE {tw} END AS width,
+         CASE WHEN w <= {tw} AND h <= {th} THEN h
+              WHEN w * {th} <= h * {tw} THEN {th}
+              ELSE greatest(1, (h * {tw}) // w) END AS height
+  FROM (SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n,
+               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) % 640 + 1 AS w,
+               (CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) * 31) % 480 + 1 AS h
+        FROM documents)
+)
+ORDER BY doc_id
+"""
+
+
+FEATURES_SCHEMA = (
+    "doc_id long, n_bytes long, mean_q long, var_q long, min_b long, max_b long"
+)
+
+
+def extract_features(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Per-blob byte-statistics featurization — REAL (not stubbed): numpy
+    over Arrow batches computes each payload's byte-value distribution
+    moments, the standard cheap featurization for opaque binary columns
+    (format sniffing, corruption screens, entropy-adjacent filters).
+
+    Exact integer outputs so both engines agree bit-for-bit: ``mean_q`` =
+    ``sum*1e6 // n`` (1e-6 quanta), ``var_q`` = population variance via
+    ``(n*Σb² - (Σb)²) // n²`` — int64-safe for any payload under ~50 GB.
+    """
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = {"doc_id": [], "n_bytes": [], "mean_q": [], "var_q": [],
+                "min_b": [], "max_b": []}
+        for pdf in batches:
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                b = np.frombuffer(bytes(p), dtype=np.uint8)
+                n = int(b.size)
+                rows["doc_id"].append(doc_id)
+                rows["n_bytes"].append(n)
+                if n == 0:
+                    rows["mean_q"].append(None)
+                    rows["var_q"].append(None)
+                    rows["min_b"].append(None)
+                    rows["max_b"].append(None)
+                    continue
+                s = int(b.sum(dtype=np.int64))
+                sq = int((b.astype(np.int64) ** 2).sum())
+                rows["mean_q"].append(s * 1_000_000 // n)
+                rows["var_q"].append((n * sq - s * s) // (n * n))
+                rows["min_b"].append(int(b.min()))
+                rows["max_b"].append(int(b.max()))
+        yield pd.DataFrame(rows)
+
+    return df.mapInPandas(fn, FEATURES_SCHEMA)
+
+
+# ASCII corpus ⇒ ord(char) == byte value, so the char-explode SQL (the same
+# shape as the string_stats oracle) reproduces the kernel's byte stats
+# exactly in integers.
+FEATURES_SQL = """
+WITH ch AS (
+  SELECT doc_id, ord(substring(text, i, 1)) AS b
+  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+        FROM documents)
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n, SUM(b) AS s, SUM(b * b) AS sq,
+         MIN(b) AS min_b, MAX(b) AS max_b
+  FROM ch GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_bytes,
+       CAST(a.s * 1000000 // a.n AS BIGINT) AS mean_q,
+       CAST((a.n * a.sq - a.s * a.s) // (a.n * a.n) AS BIGINT) AS var_q,
+       CAST(a.min_b AS BIGINT) AS min_b,
+       CAST(a.max_b AS BIGINT) AS max_b
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 4096) -> DataFrame:
     """'Video' frame sampling stub: one output row per sampled frame index.
     Real frame extraction (ffmpeg/libav) is not available in-container; the
@@ -197,6 +352,12 @@ def queries() -> dict:
         "mm_frames": lambda s, d: frame_sample(
             binary_documents(load_table(s, d, "documents"))
         ).orderBy("doc_id", "frame_idx"),
+        "mm_resize": lambda s, d: resize_media(
+            binary_documents(load_table(s, d, "documents"))
+        ).select("doc_id", "width", "height", "n_bytes_out").orderBy("doc_id"),
+        "mm_features": lambda s, d: extract_features(
+            binary_documents(load_table(s, d, "documents"))
+        ).orderBy("doc_id"),
     }
 
 
@@ -205,4 +366,6 @@ def oracle_sql() -> dict:
         "mm_metadata": METADATA_SQL,
         "mm_decode": DECODE_SQL,
         "mm_frames": FRAMES_SQL,
+        "mm_resize": resize_sql(),
+        "mm_features": FEATURES_SQL,
     }

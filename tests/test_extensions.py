@@ -95,6 +95,38 @@ def test_decode_media_kernel_guard(spark):
             multimodal.decode_media(b, kernel="pil").collect()
 
 
+def test_resize_media_golden(spark):
+    # 1000 bytes: fake dims w=1000%640+1=361, h=(1000*31)%480+1=281;
+    # fits? 361>224 -> scale; w*th=361*224=80864 vs h*tw=281*224=62944:
+    # w*th > h*tw -> width limits: ow=224, oh=max(1, 281*224//361)=174;
+    # k = 1000*224*174 // (361*281) = 38,976,000 // 101,441 = 384
+    df = _docs(spark, [(1, "a", "x" * 1000), (2, "a", "")])
+    b = multimodal.binary_documents(df)
+    rows = {r["doc_id"]: r for r in multimodal.resize_media(b).collect()}
+    r1 = rows[1]
+    assert (r1["width"], r1["height"], r1["n_bytes_out"]) == (224, 174, 384)
+    assert len(bytes(r1["payload_out"])) == 384
+    r2 = rows[2]  # empty payload: 0 bytes out, min dims
+    assert r2["n_bytes_out"] == 0 and len(bytes(r2["payload_out"])) == 0
+    # small image passes through un-upscaled
+    small = _docs(spark, [(3, "a", "abc")])  # w=4, h=94 -> fits 224x224
+    r3 = multimodal.resize_media(multimodal.binary_documents(small)).collect()[0]
+    assert (r3["width"], r3["height"], r3["n_bytes_out"]) == (4, 94, 3)
+
+
+def test_extract_features_golden(spark):
+    df = _docs(spark, [(1, "a", "ab"), (2, "a", "")])
+    b = multimodal.binary_documents(df)
+    rows = {r["doc_id"]: r for r in multimodal.extract_features(b).collect()}
+    r1 = rows[1]  # bytes 97,98: n=2 sum=195 sq=195*... 97^2+98^2=19013
+    assert r1["n_bytes"] == 2
+    assert r1["mean_q"] == 195 * 1_000_000 // 2
+    assert r1["var_q"] == (2 * 19013 - 195 * 195) // 4  # == 0 (floor of 0.25)
+    assert (r1["min_b"], r1["max_b"]) == (97, 98)
+    r2 = rows[2]  # empty payload -> NULL stats, n_bytes 0
+    assert r2["n_bytes"] == 0 and r2["mean_q"] is None and r2["min_b"] is None
+
+
 def test_frame_sample_counts(spark):
     df = _docs(spark, [(1, "a", "x" * 10000), (2, "a", "y")])
     b = multimodal.binary_documents(df)
