@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "dedup_components",
     "mm_metadata",
     "mm_decode",
+    "mm_resize",
+    "mm_features",
     "es_mad",
     "es_boxplot",
     "es_string_stats",
