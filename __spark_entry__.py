@@ -268,6 +268,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             group_by=("event_type",),
         ),
+        # ES percentiles_bucket: exact interpolated percentiles of the
+        # bucket list per group
+        "pipe_percentiles_bucket": lambda s, d: pipeline.percentiles_bucket(
+            _psum_events(
+                s, d, calendar_interval="day", offset=1, group_by=("event_type",)
+            ),
+            group_by=("event_type",),
+        ),
         # ES normalize (percent_of_sum) + moving_percentiles in one pass
         "pipe_normalize": lambda s, d: pipeline.normalize_buckets(
             _psum_events(
@@ -382,6 +390,10 @@ def oracle_sql() -> dict[str, str]:
             size=5,
         ),
         "pipe_stats_bucket": pipeline.stats_bucket_sql(
+            _ev_oracle(calendar_interval="day", offset=1, group_by=("event_type",)),
+            group_by=("event_type",),
+        ),
+        "pipe_percentiles_bucket": pipeline.percentiles_bucket_sql(
             _ev_oracle(calendar_interval="day", offset=1, group_by=("event_type",)),
             group_by=("event_type",),
         ),

@@ -579,6 +579,12 @@ def queries() -> dict:
             load_table(s, d, "events"), "user_id",
             "event_type = 'purchase'", size=20,
         ),
+        "es_significant_text": lambda s, d: significant_text(
+            load_table(s, d, "documents"), "text", "lang = 'zh'", size=25
+        ),
+        "es_value_stats": lambda s, d: value_stats_agg(
+            load_table(s, d, "events"), ["event_type"], "value"
+        ),
         "es_percentile_ranks": lambda s, d: percentile_ranks(
             load_table(s, d, "events"), ["event_type"], "value",
             [10.0, 50.0, 150.0, 400.0],
@@ -625,6 +631,10 @@ def oracle_sql() -> dict:
         "es_significant_terms": significant_terms_sql(
             "events", "user_id", "event_type = 'purchase'", size=20
         ),
+        "es_significant_text": significant_text_sql(
+            "documents", "text", "lang = 'zh'", size=25
+        ),
+        "es_value_stats": value_stats_sql("events", ["event_type"], "value"),
         "es_percentile_ranks": percentile_ranks_sql(
             "events", ["event_type"], "value", [10.0, 50.0, 150.0, 400.0]
         ),
@@ -896,6 +906,112 @@ def significant_terms(
         .orderBy(F.col("score_q").desc(), F.col("key").asc())
         .limit(size)
     )
+
+
+def significant_text(
+    df: DataFrame,
+    text_col: str,
+    foreground_where: str,
+    size: int = 10,
+    min_doc_count: int = 3,
+) -> DataFrame:
+    """(key, fg_count, bg_count, score_q): ES ``significant_text`` — the
+    free-text twin of :func:`significant_terms`. Tokens (whitespace split)
+    counted by DOC frequency — ``array_distinct`` before the explode, the
+    ES de-duplication contract — then the identical exact-integer fg/bg
+    lift, ranking, and pruning (delegated to significant_terms, so the
+    scoring cannot drift between the two).
+
+    Scale: explode of distinct tokens is map-side; everything after is the
+    one aggregation pass significant_terms already does.
+    """
+    toks = df.select(
+        F.expr(f"COALESCE({foreground_where}, FALSE)").alias("__fg_flag"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    ).where(F.col("tok") != "")
+    return significant_terms(
+        toks, "tok", "__fg_flag", size=size, min_doc_count=min_doc_count
+    )
+
+
+def significant_text_sql(
+    src: str,
+    text_col: str,
+    foreground_where: str,
+    size: int = 10,
+    min_doc_count: int = 3,
+) -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_distinct(string_split({text_col}, ' '))) AS key,
+         CASE WHEN COALESCE({foreground_where}, FALSE) THEN 1 ELSE 0 END AS fg
+  FROM {src}
+),
+per_term AS (
+  SELECT key, SUM(fg) AS fg_count, COUNT(*) AS bg_count
+  FROM toks WHERE key <> '' GROUP BY key
+),
+totals AS (SELECT SUM(fg_count) AS fg_total, SUM(bg_count) AS bg_total FROM per_term)
+SELECT key, CAST(fg_count AS BIGINT) AS fg_count, bg_count,
+       CAST((CAST(fg_count AS HUGEINT) * bg_total * 1000000)
+            // (CAST(fg_total AS HUGEINT) * bg_count) AS BIGINT) AS score_q
+FROM per_term, totals
+WHERE fg_count >= {min_doc_count}
+ORDER BY score_q DESC, key ASC LIMIT {size}
+"""
+
+
+def value_stats_agg(df: DataFrame, group_cols: list[str], value_col: str) -> DataFrame:
+    """(group..., value_count, sum_q, avg_q, min, max, cardinality): the ES
+    basic metric-agg family — ``value_count``/``sum``/``avg``/``min``/
+    ``max`` plus exact ``cardinality`` of the quantized value — in ONE
+    partial+final aggregation pass, the way a search body stacks them as
+    siblings. NULL/NaN skipped per every ES metric agg; sums exact in
+    1e-6 quanta; avg is the integral quotient.
+
+    Scale: single shuffle on the group key; countDistinct rewrites to a
+    two-phase expand-aggregate — swap for approx_count_distinct (HLL) when
+    exactness is not required (SCALE.md).
+    """
+    q = F.floor(F.col(value_col) * F.lit(float(QUANT)))
+    clean = df.where(F.col(value_col).isNotNull() & ~F.isnan(value_col)).select(
+        *group_cols, F.col(value_col).alias("__v"), q.alias("__q")
+    )
+    return (
+        clean.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("value_count"),
+            F.sum("__q").alias("sum_q"),
+            F.min("__v").alias("min"),
+            F.max("__v").alias("max"),
+            F.countDistinct("__q").alias("cardinality"),
+        )
+        .select(
+            *group_cols,
+            "value_count",
+            "sum_q",
+            F.expr("sum_q div value_count").alias("avg_q"),
+            "min",
+            "max",
+            "cardinality",
+        )
+        .orderBy(*group_cols)
+    )
+
+
+def value_stats_sql(src: str, group_cols: list[str], value_col: str) -> str:
+    g = ", ".join(group_cols)
+    return f"""
+WITH clean AS (
+  SELECT {g}, {value_col} AS v, CAST(FLOOR({value_col} * {float(QUANT)}) AS BIGINT) AS q
+  FROM {src} WHERE {value_col} IS NOT NULL AND NOT isnan({value_col})
+)
+SELECT {g}, COUNT(*) AS value_count, CAST(SUM(q) AS BIGINT) AS sum_q,
+       CAST(SUM(q) // COUNT(*) AS BIGINT) AS avg_q,
+       MIN(v) AS min, MAX(v) AS max,
+       COUNT(DISTINCT q) AS cardinality
+FROM clean GROUP BY {g} ORDER BY {g}
+"""
 
 
 def significant_terms_sql(

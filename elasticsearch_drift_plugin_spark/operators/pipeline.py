@@ -168,6 +168,59 @@ def stats_bucket(
     )
 
 
+def percentiles_bucket(
+    result: DataFrame, group_by=(), pcts=(0.25, 0.5, 0.75, 0.99), quantize: int = 4
+) -> DataFrame:
+    """(group…, pct, pval_q): ES ``percentiles_bucket`` — exact interpolated
+    percentiles of the histogram's bucket values per owning group, floored
+    to quanta. Spark ``percentile`` is value-identical to DuckDB
+    ``quantile_cont`` (same sort + linear interpolation — the
+    stats_quantiles engine-equality discipline), so the oracle is exact.
+    One tiny aggregation over bucket rows."""
+    scale = 10**quantize
+    vq = F.round(F.col("value") * F.lit(scale)).cast("long")
+    arr = ", ".join(repr(float(p)) for p in pcts)
+    agg = (
+        result.select(*group_by, vq.alias("vq"))
+        .groupBy(*group_by)
+        .agg(F.expr(f"percentile(vq, array({arr}))").alias("__pv"))
+    )
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(float(p)) for p in pcts]).alias("pct"),
+        F.col("__pv").alias("pv"),
+    )
+    return (
+        agg.select(*group_by, F.explode(pairs).alias("z"))
+        .select(
+            *group_by,
+            F.col("z.pct").alias("pct"),
+            F.floor(F.col("z.pv")).cast("long").alias("pval_q"),
+        )
+        .orderBy(*group_by, "pct")
+    )
+
+
+def percentiles_bucket_sql(
+    base_sql: str, group_by=(), pcts=(0.25, 0.5, 0.75, 0.99), quantize: int = 4
+) -> str:
+    scale = 10**quantize
+    keys = ", ".join(group_by)
+    sel_keys = f"{keys}, " if keys else ""
+    grp = f"GROUP BY {keys}" if keys else ""
+    arms = " UNION ALL ".join(
+        f"SELECT {sel_keys}CAST({float(p)!r} AS DOUBLE) AS pct,"
+        f" CAST(FLOOR(quantile_cont(vq, {float(p)!r})) AS BIGINT) AS pval_q"
+        f" FROM q {grp}"
+        for p in pcts
+    )
+    return f"""
+WITH base AS ({base_sql}),
+q AS (SELECT {sel_keys}CAST(ROUND(value * {scale}) AS BIGINT) AS vq FROM base)
+{arms}
+ORDER BY {sel_keys}pct
+"""
+
+
 def stats_bucket_sql(base_sql: str, group_by=(), quantize: int = 4) -> str:
     scale = 10**quantize
     keys = ", ".join(group_by)

@@ -39,6 +39,26 @@ def test_stats_bucket_integer_mean(spark):
     assert a["avg_q"] == 300000
 
 
+def test_percentiles_bucket_exact_interpolation(spark):
+    out = p.percentiles_bucket(_buckets(spark), group_by=("g",), pcts=(0.5,)).collect()
+    by_g = {r["g"]: r for r in out}
+    # group a bucket values (quantized): 100000, 300000, 500000 -> p50 = 300000
+    assert by_g["a"]["pval_q"] == 300000 and by_g["a"]["pct"] == 0.5
+
+
+def test_significant_text_doc_frequency(spark):
+    from elasticsearch_drift_plugin_spark.operators.es_aggs import significant_text
+
+    # "x x x" counts ONCE for doc frequency (array_distinct dedup);
+    # token "x": fg 1 of 1 fg-doc, bg 2 of 3 docs -> lift (1/tot_fg)/(2/tot_bg)
+    df = spark.createDataFrame(
+        [("x x x y", 1), ("x z", 0), ("z y", 0)], "text string, fg int"
+    )
+    got = {r["key"]: r for r in significant_text(df, "text", "fg = 1", min_doc_count=1).collect()}
+    assert got["x"]["bg_count"] == 2  # doc frequency, not term frequency 3+1
+    assert got["x"]["fg_count"] == 1
+
+
 def test_serial_diff_null_head(spark):
     out = p.serial_diff(_buckets(spark), group_by=("g",), lag=2).collect()
     a = [r for r in out if r["g"] == "a"]
