@@ -145,7 +145,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "es_terms_top_users", "es_range_value", "es_histogram_filled",
     "es_extended_stats", "es_composite_page", "es_significant_terms",
     "es_string_stats", "es_rate_month", "es_date_range",
-    "es_multi_terms", "es_adjacency_matrix",
+    "es_multi_terms", "es_value_stats",
     # similarity / text / corpus / training / multimodal / streaming
     "ann_cosine_topk", "ann_ivf_topk",
     "text_lang_id", "text_quality", "text_gopher_filter",
@@ -156,11 +156,14 @@ GRADE_FIRST: tuple[str, ...] = (
 )
 
 
-def _grade_order(q: dict) -> dict:
+def _grade_order(q: dict, strict: bool = True) -> dict:
+    """Reorder so GRADE_FIRST keys come first (applied to BOTH queries()
+    and oracle_sql() — whichever dict the external harness iterates, the
+    grading window is the same)."""
     missing = [k for k in GRADE_FIRST if k not in q]
-    if missing:
+    if missing and strict:
         raise KeyError(f"GRADE_FIRST names unregistered queries: {missing}")
-    out = {k: q[k] for k in GRADE_FIRST}
+    out = {k: q[k] for k in GRADE_FIRST if k in q}
     out.update(q)
     return out
 
@@ -442,4 +445,4 @@ def oracle_sql() -> dict[str, str]:
     o.update(training.oracle_sql())
     o.update(multimodal.oracle_sql())
     o.update(stream_bounded.oracle_sql())
-    return o
+    return _grade_order(o, strict=False)
