@@ -127,6 +127,36 @@ def test_extract_features_golden(spark):
     assert r2["n_bytes"] == 0 and r2["mean_q"] is None and r2["min_b"] is None
 
 
+def test_resize_and_features_invariants(spark):
+    """Randomized invariants over one DataFrame of seeded payloads:
+    resize never upscales past the target box, output bytes are a prefix
+    of the input, and feature moments are internally consistent."""
+    import random
+
+    rnd = random.Random(42)
+    docs = [
+        (i, "a", "".join(chr(rnd.randint(32, 126)) for _ in range(rnd.randint(1, 3000))))
+        for i in range(40)
+    ]
+    b = multimodal.binary_documents(_docs(spark, docs))
+    texts = {i: t for i, _, t in docs}
+    for r in multimodal.resize_media(b, target_w=100, target_h=80).collect():
+        n = len(texts[r["doc_id"]])
+        w, h = n % 640 + 1, (n * 31) % 480 + 1
+        if w <= 100 and h <= 80:
+            assert (r["width"], r["height"]) == (w, h)  # passthrough
+        else:
+            assert r["width"] <= 100 and r["height"] <= 80
+        assert 1 <= r["n_bytes_out"] <= n
+        assert bytes(r["payload_out"]) == texts[r["doc_id"]].encode()[: r["n_bytes_out"]]
+    for r in multimodal.extract_features(b).collect():
+        data = texts[r["doc_id"]].encode()
+        assert r["n_bytes"] == len(data)
+        assert r["min_b"] == min(data) and r["max_b"] == max(data)
+        assert r["min_b"] * 1_000_000 <= r["mean_q"] <= r["max_b"] * 1_000_000
+        assert r["var_q"] >= 0
+
+
 def test_frame_sample_counts(spark):
     df = _docs(spark, [(1, "a", "x" * 10000), (2, "a", "y")])
     b = multimodal.binary_documents(df)
