@@ -286,6 +286,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             group_by=("event_type",),
         ),
+        # ES cumulative_cardinality: exact running distinct users per day,
+        # via the scalable first-seen rewrite (state O(buckets), not O(ids))
+        "pipe_cum_cardinality": lambda s, d: pipeline.cumulative_cardinality(
+            (lambda ev: ev.select(
+                flows_src.ts_ms_col(ev).alias("t_ms"), "user_id"
+            ))(flows_src.load_table(s, d, "events")),
+            "t_ms",
+            "user_id",
+            DAY,
+        ),
         # ES serial_diff: season differencing over the bucket list (lag 7 days)
         "pipe_serial_diff": lambda s, d: pipeline.serial_diff(
             _psum_events(
@@ -403,6 +413,9 @@ def oracle_sql() -> dict[str, str]:
         "pipe_normalize": pipeline.normalize_buckets_sql(
             _ev_oracle(calendar_interval="day", offset=1, group_by=("event_type",)),
             group_by=("event_type",),
+        ),
+        "pipe_cum_cardinality": pipeline.cumulative_cardinality_sql(
+            "events", "epoch_ms(ts)", "user_id", DAY
         ),
         "pipe_serial_diff": pipeline.serial_diff_sql(
             _ev_oracle(calendar_interval="day", offset=1, group_by=("event_type",)),

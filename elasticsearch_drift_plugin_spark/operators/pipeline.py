@@ -168,6 +168,61 @@ def stats_bucket(
     )
 
 
+def cumulative_cardinality(
+    df: DataFrame, time_ms_col: str, id_col: str, step_ms: int
+) -> DataFrame:
+    """(key, new_ids, cum_cardinality): ES ``cumulative_cardinality`` — the
+    running count of DISTINCT ids seen up to and including each time
+    bucket — rewritten for scale as a *first-seen* aggregation: one shuffle
+    by id finds each id's first bucket, a result-sized spine join restores
+    buckets where no new id appeared, and a running sum over the bucket
+    list finishes it. Exact (no HLL) with none of the per-bucket
+    distinct-union state the naive formulation needs — state is O(buckets),
+    not O(ids × buckets).
+    """
+    key = (F.col(time_ms_col) - F.pmod(F.col(time_ms_col), F.lit(int(step_ms)))).alias(
+        "key"
+    )
+    base = df.select(key, F.col(id_col).alias("__id"))
+    buckets = base.select("key").distinct()
+    firsts = (
+        base.groupBy("__id")
+        .agg(F.min("key").alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("new_ids"))
+    )
+    w = Window.orderBy("key").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        buckets.join(firsts, "key", "left")
+        .select("key", F.coalesce("new_ids", F.lit(0)).alias("new_ids"))
+        .select("key", "new_ids", F.sum("new_ids").over(w).alias("cum_cardinality"))
+        .orderBy("key")
+    )
+
+
+def cumulative_cardinality_sql(
+    src: str, time_ms_expr: str, id_col: str, step_ms: int
+) -> str:
+    return f"""
+WITH base AS (
+  SELECT ({time_ms_expr}) - (({time_ms_expr}) % {int(step_ms)}) AS key,
+         {id_col} AS id
+  FROM {src}
+),
+buckets AS (SELECT DISTINCT key FROM base),
+firsts AS (
+  SELECT key, CAST(COUNT(*) AS BIGINT) AS new_ids
+  FROM (SELECT id, MIN(key) AS key FROM base GROUP BY id) GROUP BY key
+)
+SELECT b.key, COALESCE(f.new_ids, 0) AS new_ids,
+       CAST(SUM(COALESCE(f.new_ids, 0)) OVER (ORDER BY b.key
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_cardinality
+FROM buckets b LEFT JOIN firsts f USING (key)
+ORDER BY b.key
+"""
+
+
 def percentiles_bucket(
     result: DataFrame, group_by=(), pcts=(0.25, 0.5, 0.75, 0.99), quantize: int = 4
 ) -> DataFrame:

@@ -59,6 +59,18 @@ def test_significant_text_doc_frequency(spark):
     assert got["x"]["fg_count"] == 1
 
 
+def test_cumulative_cardinality_first_seen(spark):
+    # ids: a in buckets 0,10 (first 0); b in 10 (first 10); c in 20 (first 20)
+    # bucket 10 has activity but only 1 NEW id; cum = 1, 2, 3
+    df = spark.createDataFrame(
+        [(0, "a"), (12, "a"), (13, "b"), (25, "c")], "t long, id string"
+    )
+    out = p.cumulative_cardinality(df, "t", "id", 10).collect()
+    assert [(r["key"], r["new_ids"], r["cum_cardinality"]) for r in out] == [
+        (0, 1, 1), (10, 1, 2), (20, 1, 3),
+    ]
+
+
 def test_serial_diff_null_head(spark):
     out = p.serial_diff(_buckets(spark), group_by=("g",), lag=2).collect()
     a = [r for r in out if r["g"] == "a"]
