@@ -150,8 +150,82 @@ ORDER BY gid, l_returnflag, l_linestatus
 """
 
 
+def cidr_rollup(
+    events: DataFrame, prefix_len: int = 16, size: int = 20
+) -> DataFrame:
+    """(prefix, n_flows, value_q): netflow-style top-talkers rolled up to a
+    CIDR prefix — THE everyday query over flow data the reference's users
+    run around the drift agg (top /16s by traffic).
+
+    The testdata has no address column, so a deterministic source IP
+    derives from ``user_id`` by Knuth multiplicative hashing into the IPv4
+    space — pure integer arithmetic, byte-identical in the DuckDB twin
+    (the same discipline as every flow fixture in sources/flows.py). The
+    rollup itself is what matters for parity: prefix = integer
+    ``div``-floor on the 32-bit address, dotted-quad formatting at the
+    serving edge, one partial+final aggregation, top-``size`` by traffic.
+    """
+    if not 1 <= prefix_len <= 32:
+        raise ValueError("prefix_len must be in [1, 32]")
+    block = 2 ** (32 - prefix_len)
+    ip = F.expr("pmod(user_id * 2654435761, 4294967296)")
+    net = (ip - F.pmod(ip, F.lit(block))).alias("__net")
+    q = F.floor(F.col("value") * F.lit(1_000_000)).alias("__q")
+    agg = (
+        events.where(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select(net, q)
+        .groupBy("__net")
+        .agg(
+            F.count(F.lit(1)).alias("n_flows"),
+            F.sum("__q").alias("value_q"),
+        )
+    )
+    prefix = F.concat_ws(
+        ".",
+        (F.col("__net") / 16777216).cast("long"),
+        F.pmod((F.col("__net") / 65536).cast("long"), F.lit(256)),
+        F.pmod((F.col("__net") / 256).cast("long"), F.lit(256)),
+        F.pmod(F.col("__net"), F.lit(256)),
+    )
+    return (
+        agg.select(
+            F.concat(prefix, F.lit(f"/{prefix_len}")).alias("prefix"),
+            "n_flows",
+            "value_q",
+        )
+        .orderBy(F.col("value_q").desc(), F.col("prefix").asc())
+        .limit(size)
+    )
+
+
+def cidr_rollup_sql(prefix_len: int = 16, size: int = 20) -> str:
+    block = 2 ** (32 - prefix_len)
+    return f"""
+WITH f AS (
+  SELECT ((user_id * 2654435761) % 4294967296 + 4294967296) % 4294967296 AS ip,
+         CAST(FLOOR(value * 1000000) AS BIGINT) AS q
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+),
+agg AS (
+  SELECT ip - (ip % {block}) AS net, COUNT(*) AS n_flows,
+         CAST(SUM(q) AS BIGINT) AS value_q
+  FROM f GROUP BY 1
+)
+SELECT CAST(net // 16777216 AS VARCHAR) || '.' ||
+       CAST((net // 65536) % 256 AS VARCHAR) || '.' ||
+       CAST((net // 256) % 256 AS VARCHAR) || '.' ||
+       CAST(net % 256 AS VARCHAR) || '/{prefix_len}' AS prefix,
+       n_flows, value_q
+FROM agg
+ORDER BY value_q DESC, prefix ASC LIMIT {size}
+"""
+
+
 def queries() -> dict:
     return {
+        "rel_cidr_top_talkers": lambda s, d: cidr_rollup(
+            load_table(s, d, "events")
+        ),
         "rel_flows_by_nation": lambda s, d: flows_by_nation(
             load_table(s, d, "events"),
             load_table(s, d, "customer"),
@@ -169,6 +243,7 @@ def queries() -> dict:
 
 def oracle_sql() -> dict:
     return {
+        "rel_cidr_top_talkers": cidr_rollup_sql(),
         "rel_flows_by_nation": FLOWS_BY_NATION_SQL,
         "rel_users_intersect": users_in_both_sql("click", "purchase"),
         "rel_json_props": JSON_PROPS_SQL,
