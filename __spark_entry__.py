@@ -121,38 +121,40 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver grades the FIRST 50 registered queries only (round-2 lesson:
-# everything after position 50 got zero external evidence, and the es_*
-# families landed entirely past the cap). This list pins the grading window:
-# one-to-several representatives of EVERY operator family, ordered so the
-# reference-parity core (SURVEY §2.1 psum rows) and the never-graded families
-# all get driver evidence. Everything else still registers, after these.
+# everything after position 50 got zero external evidence). Round-4 ROTATION:
+# rounds 1-3 accumulated green driver rows for 69 queries; this window now
+# front-loads the 39 queries that have NEVER had a green driver row (the
+# VERDICT.md r3 "rotate" ask), plus a small keeper set of reference-parity
+# psum rows and one representative per heavy family so SURVEY §2.1 retains
+# fresh driver evidence every round. Everything else still registers, after
+# these, and stays covered by pytest + tools/check_correctness.py.
 GRADE_FIRST: tuple[str, ...] = (
-    # §2.1 psum core — one query per behavior row
-    "psum_fixed_1h", "psum_sampling", "psum_offset_90m", "psum_auto_offset",
-    "psum_clamp", "psum_cal_day", "psum_cal_month_lineitem",
-    "psum_cal_year_lineitem", "psum_precedence", "psum_min_doc_count",
-    "psum_empty_fill", "psum_grouped_fill", "psum_order_value_desc",
-    "psum_grouped_subagg", "psum_key_format", "psum_unmapped",
-    # bucket-pipeline aggs
-    "pipe_cum_derivative", "pipe_stats_bucket",
-    # sessionize / stats / relational / as-of
-    "flow_sessions", "stats_quantiles",
-    "rel_json_props", "rel_rollup_report",
-    "rel_asof_nearest", "rel_asof_chunked",
-    # dedup + connected components
-    "dedup_minhash_pairs", "dedup_ngram_jaccard", "dedup_components",
-    # ES bucket/metric aggs (never graded in r2; 3 graded ones hash-failed)
-    "es_terms_top_users", "es_range_value", "es_histogram_filled",
-    "es_extended_stats", "es_composite_page", "es_significant_terms",
-    "es_string_stats", "es_rate_month", "es_date_range",
-    "es_multi_terms", "es_value_stats",
-    # similarity / text / corpus / training / multimodal / streaming
-    "ann_cosine_topk", "ann_ivf_topk",
-    "text_lang_id", "text_quality", "text_gopher_filter",
-    "corpus_tfidf_top", "corpus_contamination",
-    "train_pack_sequences", "train_mix_rates",
-    "mm_metadata",
-    "stream_psum_6h", "stream_dedup_exact",
+    # --- never-driver-green until r4: pipeline aggs ---
+    "pipe_selector_topk", "pipe_percentiles_bucket", "pipe_normalize",
+    "pipe_cum_cardinality", "pipe_serial_diff",
+    # --- never green: psum sibling distinct + skew/session variants ---
+    "psum_grouped_distinct", "flow_sessions_chunked",
+    # --- never green: relational / as-of ---
+    "rel_cidr_top_talkers", "rel_asof_forward",
+    # --- never green: ES bucket/metric agg batch 2 ---
+    "es_histogram_value", "es_composite_after", "es_filters_buckets",
+    "es_auto_date_histogram", "es_significant_text", "es_percentile_ranks",
+    "es_weighted_avg", "es_top_metrics", "es_matrix_stats", "es_missing",
+    "es_mad", "es_boxplot", "es_rare_terms", "es_adjacency_matrix",
+    "es_diversified_sampler", "es_t_test",
+    # --- never green: embeddings / text / corpus ---
+    "emb_group_centroids", "text_rolling_fp", "text_repetition",
+    "text_pii_scan", "corpus_span_dedup", "corpus_top_ngrams",
+    "corpus_hash_sample", "corpus_boilerplate",
+    # --- never green: training / multimodal / streaming ---
+    "train_domain_mix", "train_chunk_docs", "train_curate_pipeline",
+    "mm_resize", "mm_features", "stream_flow_sessions",
+    # --- keepers: §2.1 reference-parity core re-attested each round ---
+    "psum_fixed_1h", "psum_sampling", "psum_clamp", "psum_cal_day",
+    "psum_precedence", "psum_grouped_subagg", "psum_empty_fill",
+    # --- keepers: one per heavy family ---
+    "dedup_minhash_pairs", "dedup_components", "ann_ivf_topk",
+    "stream_psum_6h",
 )
 
 

@@ -3,6 +3,7 @@ data (the sf-scale oracle comparison lives in tools/check_correctness.py)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from elasticsearch_drift_plugin_spark.operators import multimodal, similarity
@@ -198,6 +199,30 @@ def test_ivf_topk_partial_probe_is_subset(spark):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for ranks in by_q.values():
         assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_cosine_topk_guard_raises_without_brute_force(spark):
+    """The all-pairs baseline refuses to plan a pair count above max_pairs
+    unless the caller explicitly acknowledges with brute_force=True."""
+    emb = _vectors(spark)
+    q = emb.where(F.col("vec_id") < 3)
+    with pytest.raises(ValueError, match="brute_force=True"):
+        similarity.cosine_topk(emb, q, k=4, max_pairs=10)
+    # explicit opt-in skips the guard entirely at any size
+    assert similarity.cosine_topk(emb, q, k=4, max_pairs=10, brute_force=True).count() > 0
+    # under the cap the guarded default still runs
+    assert similarity.cosine_topk(emb, q, k=4).count() > 0
+
+
+def test_ivf_from_index_guard_rejects_large_query_set(spark, tmp_path):
+    emb = _vectors(spark)
+    cents = similarity._seed_centroids(emb, 5)
+    path = str(tmp_path / "ivf_guard_idx")
+    similarity.write_ivf_index(similarity.ivf_assign(emb, cents), path)
+    q = emb.where(F.col("vec_id") < 3)
+    with pytest.raises(ValueError, match="max_query_rows"):
+        similarity.ivf_topk_from_index(spark, path, q, cents, max_query_rows=2)
+    assert similarity.ivf_topk_from_index(spark, path, q, cents, max_query_rows=3).count() > 0
 
 
 def test_ivf_assignment_is_total_and_unique(spark):
