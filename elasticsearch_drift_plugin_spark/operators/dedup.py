@@ -333,8 +333,17 @@ def ngram_jaccard_pairs_gemm(
         # One tiny count-agg job sizes the split; memoized on the input's
         # semanticHash (analysis-only, no job) so repeated runs over the
         # same plan — bench best-of-N, a dashboard refresh — pay it once.
+        # semanticHash alone is a PLAN fingerprint: a parquet rewrite at the
+        # same path within one application would reuse a stale hot-block
+        # count (only the GEMM sub-block sizing, never results, but a grown
+        # hot block could exceed max_block_rows) — fold the input file list
+        # into the key so a rewrite invalidates the memo.
+        try:
+            files_fp = hash(tuple(sorted(docs.inputFiles())))
+        except Exception:  # non-file-backed input (e.g. createDataFrame)
+            files_fp = 0
         memo_key = (docs.sparkSession.sparkContext.applicationId,
-                    docs.semanticHash(), block_col)
+                    docs.semanticHash(), files_fp, block_col)
         hot = _HOT_BLOCK_MEMO.get(memo_key)
         if hot is None:
             hot = (

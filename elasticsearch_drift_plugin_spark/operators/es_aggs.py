@@ -323,10 +323,16 @@ def extended_stats_agg(
         "min",
         "max",
         "sum_q",
-        F.expr("sum_q div count").alias("avg_q"),
+        # FLOOR division (not Spark's truncating `div`): subtract the
+        # nonnegative pmod remainder first so a negative sum_q floors the
+        # way the DuckDB twin's `//` does — `div` alone would differ by 1
+        # for any negative-sum group.
+        F.expr("(sum_q - pmod(sum_q, count)) div count").alias("avg_q"),
         # BIGINT result: var_pop in quanta^2 fits 63 bits for this data
         # domain (|q| <= ~5e8 => q^2 <= 2.5e17); the intermediate products
         # stay DECIMAL(38,0) so the subtraction itself cannot overflow.
+        # (`div` == `//` here: the var_pop numerator n·Σq²−(Σq)² is ≥ 0 by
+        # Cauchy–Schwarz, so truncation and floor agree.)
         F.expr(
             "CAST((count * __sumsq - CAST(sum_q AS DECIMAL(38,0)) * sum_q)"
             " div (CAST(count AS DECIMAL(38,0)) * count) AS BIGINT)"
@@ -896,6 +902,9 @@ def significant_terms(
         "key",
         "fg_count",
         "bg_count",
+        # `div` == the twin's `//` here by construction: numerator and
+        # denominator are products of counts, both provably >= 0, so
+        # truncating and flooring division agree.
         F.expr(
             "CAST((CAST(fg_count AS DECIMAL(38,0)) * bg_total * 1000000)"
             " div (CAST(fg_total AS DECIMAL(38,0)) * bg_count) AS BIGINT)"
@@ -990,7 +999,8 @@ def value_stats_agg(df: DataFrame, group_cols: list[str], value_col: str) -> Dat
             *group_cols,
             "value_count",
             "sum_q",
-            F.expr("sum_q div value_count").alias("avg_q"),
+            # floor (not truncate) so negative sums match the twin's `//`
+            F.expr("(sum_q - pmod(sum_q, value_count)) div value_count").alias("avg_q"),
             "min",
             "max",
             "cardinality",
@@ -1134,7 +1144,10 @@ def weighted_avg(
         .select(
             *group_cols,
             "n",
-            F.expr("CAST(__num div __den AS BIGINT)").alias("wavg_q"),
+            # floor (not truncate): a negative Σ(v·w) must round toward
+            # −∞ to match the twin's `//` (weights are nonnegative per the
+            # ES contract, so pmod's divisor is always positive)
+            F.expr("CAST((__num - pmod(__num, __den)) div __den AS BIGINT)").alias("wavg_q"),
         )
         .orderBy(*group_cols)
     )

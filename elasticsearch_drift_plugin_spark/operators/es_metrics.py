@@ -320,7 +320,8 @@ def rate_agg(df: DataFrame, t_ms: str, value_col: str) -> DataFrame:
             days.alias("unit_intervals"),
             F.expr("__sum_q").alias("__sq"),
         )
-        .withColumn("rate_q", F.expr("__sq div unit_intervals"))
+        # floor (not truncate): a negative month-sum must match the twin's `//`
+        .withColumn("rate_q", F.expr("(__sq - pmod(__sq, unit_intervals)) div unit_intervals"))
         .drop("__sq")
         .orderBy("key")
     )

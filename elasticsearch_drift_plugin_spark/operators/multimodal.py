@@ -66,7 +66,7 @@ def media_metadata(docs: DataFrame) -> DataFrame:
 
 METADATA_SQL = """
 SELECT doc_id,
-       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        h % 640 AS width,
        (h >> 3) % 480 AS height,
        CASE WHEN h % 3 = 0 THEN 'png' WHEN h % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format
@@ -163,7 +163,7 @@ SELECT doc_id,
        (n * 31) % 480 + 1 AS height,
        (n % 640 + 1) * ((n * 31) % 480 + 1) AS n_pixels,
        CASE WHEN n % 3 = 0 THEN 'png' WHEN n % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format
-FROM (SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n FROM documents)
+FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents)
 ORDER BY doc_id
 """
 
@@ -240,9 +240,9 @@ FROM (
          CASE WHEN w <= {tw} AND h <= {th} THEN h
               WHEN w * {th} <= h * {tw} THEN {th}
               ELSE greatest(1, (h * {tw}) // w) END AS height
-  FROM (SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n,
-               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) % 640 + 1 AS w,
-               (CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) * 31) % 480 + 1 AS h
+  FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n,
+               CAST(octet_length(encode(text)) AS BIGINT) % 640 + 1 AS w,
+               (CAST(octet_length(encode(text)) AS BIGINT) * 31) % 480 + 1 AS h
         FROM documents)
 )
 ORDER BY doc_id
@@ -294,14 +294,26 @@ def extract_features(
     return df.mapInPandas(fn, FEATURES_SCHEMA)
 
 
-# ASCII corpus ⇒ ord(char) == byte value, so the char-explode SQL (the same
-# shape as the string_stats oracle) reproduces the kernel's byte stats
-# exactly in integers.
+# Byte-based oracle: the kernel reads the UTF-8 payload bytes, so the twin
+# must too — hex() the blob and decode each byte from its two hex digits
+# (ord('A')=65 ⇒ −55; ord('0')=48 ⇒ −48). A char-explode (ord(substring))
+# only agrees on pure-ASCII corpora and would diverge silently if the driver
+# regenerates documents with real multi-byte text (the corpus has lang='zh'
+# rows), so the oracle is defined over bytes for ANY content.
 FEATURES_SQL = """
-WITH ch AS (
-  SELECT doc_id, ord(substring(text, i, 1)) AS b
-  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
-        FROM documents)
+WITH hx AS (
+  SELECT doc_id, hex(encode(text)) AS hs,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+ch AS (
+  SELECT doc_id,
+         (CASE WHEN c1 >= 65 THEN c1 - 55 ELSE c1 - 48 END) * 16 +
+         (CASE WHEN c2 >= 65 THEN c2 - 55 ELSE c2 - 48 END) AS b
+  FROM (SELECT doc_id,
+               ord(substring(hs, 2 * i - 1, 1)) AS c1,
+               ord(substring(hs, 2 * i, 1)) AS c2
+        FROM (SELECT doc_id, hs, unnest(generate_series(1, n)) AS i FROM hx))
 ),
 agg AS (
   SELECT doc_id, COUNT(*) AS n, SUM(b) AS s, SUM(b * b) AS sq,
@@ -336,7 +348,7 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 4096) -> DataFrame:
 FRAMES_SQL = """
 SELECT doc_id, CAST(unnest(generate_series(0, n_frames - 1)) AS BIGINT) AS frame_idx
 FROM (SELECT doc_id,
-             greatest(CAST(FLOOR(octet_length(CAST(text AS BLOB)) / 4096.0) AS BIGINT), 1)
+             greatest(CAST(FLOOR(octet_length(encode(text)) / 4096.0) AS BIGINT), 1)
                AS n_frames
       FROM documents)
 ORDER BY doc_id, frame_idx

@@ -163,7 +163,8 @@ def stats_bucket(
             F.max("vq").alias("max_q"),
             F.sum("vq").alias("sum_q"),
         )
-        .withColumn("avg_q", F.expr("sum_q div n_buckets"))
+        # floor (not truncate): negative sums must match the twin's `//`
+        .withColumn("avg_q", F.expr("(sum_q - pmod(sum_q, n_buckets)) div n_buckets"))
         .orderBy(*group_by)
     )
 
@@ -333,7 +334,9 @@ def normalize_buckets(
         *group_by,
         "key",
         "vq",
-        F.expr("__num div __tot").alias("pct_of_sum_q"),
+        # floor (not truncate) so negative bucket values match the twin's
+        # `//` (requires a positive group total, like the twin)
+        F.expr("(__num - pmod(__num, __tot)) div __tot").alias("pct_of_sum_q"),
         "mov_p50_q",
     ).orderBy(*group_by, "key")
 

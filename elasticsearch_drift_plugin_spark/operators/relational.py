@@ -168,7 +168,13 @@ def cidr_rollup(
     if not 1 <= prefix_len <= 32:
         raise ValueError("prefix_len must be in [1, 32]")
     block = 2 ** (32 - prefix_len)
-    ip = F.expr("pmod(user_id * 2654435761, 4294967296)")
+    # Knuth hash in DECIMAL(38,0): bigint user_id * 2654435761 silently wraps
+    # in Spark's non-ANSI int64 multiply but errors in DuckDB's, so the
+    # engines would diverge for user_id above ~3.47e9 — widen on BOTH sides
+    # (HUGEINT in the twin) and only narrow after the mod brings it < 2^32.
+    ip = F.expr(
+        "CAST(pmod(CAST(user_id AS DECIMAL(38,0)) * 2654435761, 4294967296) AS BIGINT)"
+    )
     net = (ip - F.pmod(ip, F.lit(block))).alias("__net")
     q = F.floor(F.col("value") * F.lit(1_000_000)).alias("__q")
     agg = (
@@ -202,7 +208,8 @@ def cidr_rollup_sql(prefix_len: int = 16, size: int = 20) -> str:
     block = 2 ** (32 - prefix_len)
     return f"""
 WITH f AS (
-  SELECT ((user_id * 2654435761) % 4294967296 + 4294967296) % 4294967296 AS ip,
+  SELECT CAST(((CAST(user_id AS HUGEINT) * 2654435761) % 4294967296
+               + 4294967296) % 4294967296 AS BIGINT) AS ip,
          CAST(FLOOR(value * 1000000) AS BIGINT) AS q
   FROM events WHERE value IS NOT NULL AND NOT isnan(value)
 ),

@@ -720,6 +720,36 @@ def test_es_extended_stats_exact_variance(spark):
     assert int(r["var_q"]) == (n * sum(x * x for x in q) - sum(q) ** 2) // (n * n)
 
 
+def test_negative_sum_avg_floors_like_python(spark):
+    """ADVICE r3: `div` truncates toward zero, DuckDB `//` floors — a
+    negative-sum group must floor (Python // semantics) in both value_stats
+    and extended_stats avg_q, and in weighted_avg's wavg_q."""
+    from elasticsearch_drift_plugin_spark.operators.es_aggs import (
+        QUANT,
+        extended_stats_agg,
+        value_stats_agg,
+        weighted_avg,
+    )
+
+    vals = [-1.25, -2.5, 0.4]  # sum_q = -3350000, n = 3 -> floor != truncate
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, value double")
+    q = [int(v * QUANT) if v >= 0 else -int(-v * QUANT) for v in vals]
+    # floor() of the quantization itself: floor(-1.25e6) = -1250000 exactly
+    assert sum(q) % len(q) != 0 and sum(q) < 0
+    expect = sum(q) // len(q)
+    vs = value_stats_agg(df, ["grp"], "value").collect()[0]
+    es = extended_stats_agg(df, ["grp"], "value").collect()[0]
+    assert vs["avg_q"] == expect != int(sum(q) / len(q))  # floor, not truncate
+    assert es["avg_q"] == expect
+    wdf = spark.createDataFrame(
+        [("g", -1.25, 1.0), ("g", -2.5, 2.0), ("g", 0.4, 1.0)],
+        "grp string, v double, w double",
+    )
+    wv = weighted_avg(wdf, ["grp"], "v", "w").collect()[0]
+    num = sum(a * b for a, b in zip(q, [QUANT, 2 * QUANT, QUANT]))
+    assert wv["wavg_q"] == num // (4 * QUANT)
+
+
 def test_es_histogram_offset_keys(spark):
     from elasticsearch_drift_plugin_spark.operators.es_aggs import histogram_agg
 
