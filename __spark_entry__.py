@@ -149,9 +149,11 @@ GRADE_FIRST: tuple[str, ...] = (
     # --- never green: training / multimodal / streaming ---
     "train_domain_mix", "train_chunk_docs", "train_curate_pipeline",
     "mm_resize", "mm_features", "stream_flow_sessions",
+    # --- new in r4: tz-aware calendar rounding (never graded by definition) ---
+    "psum_cal_day_tz",
     # --- keepers: §2.1 reference-parity core re-attested each round ---
     "psum_fixed_1h", "psum_sampling", "psum_clamp", "psum_cal_day",
-    "psum_precedence", "psum_grouped_subagg", "psum_empty_fill",
+    "psum_grouped_subagg", "psum_empty_fill",
     # --- keepers: one per heavy family ---
     "dedup_minhash_pairs", "dedup_components", "ann_ivf_topk",
     "stream_psum_6h",
@@ -191,6 +193,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # row 7: calendar intervals (day / week over events, month over lineitem)
         "psum_cal_day": lambda s, d: _psum_events(s, d, calendar_interval="day", offset=1),
+        # time_zone extension: local-midnight day buckets (the reference's
+        # commented-out timeZone() intent; params.py module docstring)
+        "psum_cal_day_tz": lambda s, d: _psum_events(
+            s, d, calendar_interval="day", offset=1, time_zone="America/New_York"
+        ),
+        # tz + month over lineitem: every bucket boundary is a local-midnight
+        # month start and the 1995-2001 span crosses ~12 DST transitions
+        "psum_cal_month_tz": lambda s, d: _psum_lineitem(
+            s, d, calendar_interval="month", offset=1, time_zone="America/New_York",
+            start=LI_START, end=LI_END
+        ),
         "psum_cal_week": lambda s, d: _psum_events(s, d, calendar_interval="week", offset=1),
         "psum_cal_month_lineitem": lambda s, d: _psum_lineitem(
             s, d, calendar_interval="month", offset=1, start=LI_START, end=LI_END
@@ -363,6 +376,13 @@ def oracle_sql() -> dict[str, str]:
             calendar_interval="day", offset=1, start=EV_MID_START, end=EV_MID_END
         ),
         "psum_cal_day": _ev_oracle(calendar_interval="day", offset=1),
+        "psum_cal_day_tz": _ev_oracle(
+            calendar_interval="day", offset=1, time_zone="America/New_York"
+        ),
+        "psum_cal_month_tz": _li_oracle(
+            calendar_interval="month", offset=1, time_zone="America/New_York",
+            start=LI_START, end=LI_END
+        ),
         "psum_cal_week": _ev_oracle(calendar_interval="week", offset=1),
         "psum_day_lineitem": _li_oracle(interval=DAY, offset=1),
         "psum_cal_year_lineitem": _li_oracle(calendar_interval="year", offset=1),

@@ -80,6 +80,10 @@ BENCH_QUERIES = [
     "corpus_boilerplate",
     "train_pack_sequences",
     "train_domain_mix",
+    # r4 additions: the end-to-end curation story (SCALE.md walkthrough,
+    # tracked round-over-round) and the tz-rounding extension
+    "train_curate_pipeline",
+    "psum_cal_day_tz",
 ]
 
 

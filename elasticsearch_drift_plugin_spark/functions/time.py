@@ -37,11 +37,26 @@ def floor_fixed_ms(t_ms: Column, step_ms: int, offset_ms: int) -> Column:
     return t_ms - F.pmod(t_ms - F.lit(offset_ms), F.lit(step_ms))
 
 
-def floor_calendar(t_ms: Column, unit: str, offset_ms: int) -> Column:
-    """Calendar floor (UTC) of epoch-ms, as a *truncated timestamp* column,
-    with the offset already subtracted (callers re-add it when materializing
-    the key). Returned as timestamp so calendar ``sequence`` stepping works."""
-    return F.date_trunc(unit, F.timestamp_millis(t_ms - F.lit(offset_ms)))
+def floor_calendar(t_ms: Column, unit: str, offset_ms: int, tz: str | None = None) -> Column:
+    """Calendar floor of epoch-ms, as a *truncated timestamp* column, with
+    the offset already subtracted (callers re-add it when materializing the
+    key). Returned as timestamp so calendar ``sequence`` stepping works.
+
+    With ``tz`` the returned timestamp is the LOCAL wall-clock floor
+    (``from_utc_timestamp`` then ``date_trunc``): stepping it by
+    ``INTERVAL 1 unit`` walks local wall time — uniform in the local
+    calendar even across DST — and :func:`local_ts_to_utc_ms` converts each
+    boundary back to its UTC instant."""
+    ts = F.timestamp_millis(t_ms - F.lit(offset_ms))
+    if tz:
+        ts = F.from_utc_timestamp(ts, tz)
+    return F.date_trunc(unit, ts)
+
+
+def local_ts_to_utc_ms(ts: Column, tz: str | None) -> Column:
+    """Epoch-ms of a timestamp column; when ``tz`` is set the column holds
+    local wall time in that zone and is converted back to the UTC instant."""
+    return F.unix_millis(F.to_utc_timestamp(ts, tz) if tz else ts)
 
 
 def calendar_interval_expr(unit: str) -> Column:

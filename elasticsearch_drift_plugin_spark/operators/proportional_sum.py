@@ -44,6 +44,7 @@ from ..functions.time import (
     calendar_interval_expr,
     floor_calendar,
     floor_fixed_ms,
+    local_ts_to_utc_ms,
     to_epoch_ms,
 )
 from ..params import PSumParams, normalize, prefilter_bounds
@@ -93,6 +94,7 @@ def proportional_sum(
     offset: int | str = 0,
     start=None,
     end=None,
+    time_zone: str | None = None,
     min_doc_count: int = 1,
     order: Sequence[tuple[str, bool]] | None = None,
     group_by: Sequence[str] = (),
@@ -126,6 +128,15 @@ def proportional_sum(
         Query-range clamp for bucket *generation*; overlap ratios still use
         the unclamped row range (ProportionalSumAggregator.java:107-108,
         :183-186). Accept epoch ms, ISO string, or datetime.
+    time_zone
+        Gated EXTENSION (calendar intervals only): round to wall-clock
+        boundaries of this IANA zone instead of UTC — the semantics of the
+        reference's commented-out ``timeZone()`` plumbing
+        (ProportionalSumAggregationBuilder.java:435-483, tz hardcoded null
+        at :432-434) and of every ES date_histogram with ``time_zone``.
+        Bucket keys are the UTC instants of the local boundaries; DST days
+        are 23/25 h wide and get proportionally less/more of a spanning
+        row's value.
     min_doc_count
         Buckets with fewer docs dropped post-agg
         (InternalProportionalSumHistogram.java:382-387); ``0`` triggers
@@ -143,12 +154,15 @@ def proportional_sum(
         cross-engine mode used by the DuckDB correctness oracle (double SUM
         order under shuffle is otherwise engine-dependent in the last ulps).
     strategy
-        ``'explode'`` (default under ``'auto'``): one row per (flow ×
-        overlapped bucket), collapsed map-side before the shuffle.
-        ``'sweep'``: O(1) rows per flow via quantized difference arrays —
-        opt-in for flows spanning thousands of buckets (requires fixed
-        interval + quantize, no extra_aggs; measured crossover in
-        :func:`_sweep_fixed`).
+        ``'explode'``: one row per (flow × overlapped bucket), collapsed
+        map-side before the shuffle. ``'sweep'``: O(1) rows per flow via
+        quantized difference arrays — for flows spanning thousands of
+        buckets (requires fixed-width interval + quantize, no extra_aggs;
+        measured crossover in :func:`_sweep_fixed`). ``'auto'`` (default):
+        explode, unless the sweep preconditions hold AND a bounded
+        head-sample estimate of buckets-per-flow exceeds
+        ``SWEEP_AUTO_FANOUT`` — then sweep. Both strategies are
+        bit-identical in output.
     """
     p: PSumParams = normalize(
         interval=interval,
@@ -160,6 +174,7 @@ def proportional_sum(
         extended_bounds=(
             tuple(_ms_param(b) for b in extended_bounds) if extended_bounds else None
         ),
+        time_zone=time_zone,
     )
     extra_aggs = dict(extra_aggs or {})
     spark = df.sparkSession
@@ -185,7 +200,7 @@ def proportional_sum(
     # therefore covers those units via an equivalent fixed-params rewrite;
     # only month/year (genuinely variable width) stay explode-only.
     sweep_p = p
-    if p.kind == "calendar" and p.unit not in ("month", "year"):
+    if p.kind == "calendar" and p.unit not in ("month", "year") and p.tz is None:
         from ..params import CALENDAR_UNIT_MS_MIN
 
         shift = 4 * 86400000 if p.unit == "week" else 0
@@ -202,12 +217,21 @@ def proportional_sum(
     if strategy not in ("auto", "sweep", "explode"):
         raise ValueError(f"unknown strategy: {strategy!r}")
 
-    # auto = explode: its map-side partial agg collapses the fan-out before
-    # any shuffle, and measured at sf0.1 it beats sweep up to a few hundred
-    # buckets per flow (6.8s vs 10.6s at ~60×); sweep's flat cost wins at
-    # extreme fan-out (11.5s vs 105s at ~1400×) — opt in when flows span
-    # thousands of buckets.
-    if sweep_ok and strategy == "sweep":
+    # strategy='auto': explode by default — its map-side partial agg
+    # collapses the fan-out before any shuffle and beats sweep up to a few
+    # hundred buckets per flow (sf0.1: 6.8s vs 10.6s at ~60×); sweep's flat
+    # cost wins at extreme fan-out (11.5s vs 105s at ~1400×). When the sweep
+    # preconditions hold, auto spends ONE bounded head-sample job (first
+    # `_AUTO_SAMPLE_ROWS` rows, no full scan) estimating avg buckets/flow
+    # and switches to sweep past the measured crossover. Results are
+    # bit-identical either way (tests/test_property_psum.py), so a biased
+    # head sample can only cost speed, never correctness.
+    use_sweep = strategy == "sweep"
+    if strategy == "auto" and sweep_ok and not df.isStreaming:
+        use_sweep = _estimated_fanout(
+            df, start_col, end_col, sweep_p.step_ms
+        ) >= SWEEP_AUTO_FANOUT
+    if sweep_ok and use_sweep:
         out = _sweep_fixed(
             df,
             start_col,
@@ -365,8 +389,11 @@ def explode_contributions(
         win_end = F.col(_KEY) + F.lit(step)
     else:
         unit = p.unit
-        tb_first = floor_calendar(cs, unit, p.offset_ms)
-        tb_last = floor_calendar(ce, unit, p.offset_ms)
+        # With p.tz the truncated timestamps hold LOCAL wall time: the
+        # sequence steps uniformly in the local calendar (DST-safe) and each
+        # boundary converts back to its UTC instant for key/overlap math.
+        tb_first = floor_calendar(cs, unit, p.offset_ms, p.tz)
+        tb_last = floor_calendar(ce, unit, p.offset_ms, p.tz)
         n_approx = (F.unix_millis(tb_last) - F.unix_millis(tb_first)) / F.lit(p.min_bucket_ms) + 1
         tb_first = _check(
             n_approx <= max_buckets_per_row,
@@ -384,8 +411,10 @@ def explode_contributions(
             e.alias(_E),
             v.alias(_V),
             F.explode(F.sequence(tb_first, tb_last, calendar_interval_expr(unit))).alias(_TB),
-        ).withColumn(_KEY, F.unix_millis(F.col(_TB)) + F.lit(p.offset_ms))
-        win_end = F.unix_millis(F.col(_TB) + calendar_interval_expr(unit)) + F.lit(p.offset_ms)
+        ).withColumn(_KEY, local_ts_to_utc_ms(F.col(_TB), p.tz) + F.lit(p.offset_ms))
+        win_end = local_ts_to_utc_ms(
+            F.col(_TB) + calendar_interval_expr(unit), p.tz
+        ) + F.lit(p.offset_ms)
 
     # Proportional ratio against the UNCLAMPED row range
     # (ProportionalSumAggregator.java:193-204, :222-228 getTimeInWindow):
@@ -589,6 +618,49 @@ def _sweep_fixed(
     )
 
 
+# Measured crossover (sf0.1 lineitem flows, day buckets): explode wins at
+# ~60× fan-out, sweep wins ~10× at ~1400×; the break-even sits in the low
+# hundreds of buckets per flow.
+SWEEP_AUTO_FANOUT = 500
+_AUTO_SAMPLE_ROWS = 1024
+
+# (applicationId, plan semanticHash, start_col, end_col) -> avg width ms.
+# Same rationale as dedup._HOT_BLOCK_MEMO: repeated runs of the same query
+# (bench best-of-N, dashboard refresh) pay the sample job once.
+_WIDTH_MEMO: dict = {}
+
+
+def _estimated_fanout(
+    df: DataFrame, start_col: str, end_col: str, step_ms: int,
+    sample_rows: int = _AUTO_SAMPLE_ROWS,
+) -> float:
+    """Average buckets-per-flow over the first ``sample_rows`` rows — the
+    O(1)-result control-plane job behind ``strategy='auto'``. A head sample
+    (LocalLimit pushes into the scan, so only the first partition(s) are
+    read) is deliberately cheap rather than uniform: the decision only needs
+    the order of magnitude, and a wrong guess changes speed, not results."""
+    key = (
+        df.sparkSession.sparkContext.applicationId,
+        df.semanticHash(),
+        start_col,
+        end_col,
+    )
+    width = _WIDTH_MEMO.get(key)
+    if width is None:
+        schema = {f.name: f.dataType for f in df.schema.fields}
+        s = to_epoch_ms(F.col(start_col), schema[start_col])
+        e = to_epoch_ms(F.col(end_col), schema[end_col])
+        row = (
+            df.select((e - s).alias("__w"))
+            .limit(sample_rows)
+            .agg(F.avg("__w"))
+            .first()
+        )
+        width = float(row[0]) if row[0] is not None else 0.0
+        _WIDTH_MEMO[key] = width
+    return width / float(step_ms)
+
+
 def _order_cols(order, group_by) -> list[Column]:
     """Bucket ordering (ProportionalSumAggregationBuilder.java:322-352;
     applied InternalProportionalSumHistogram.java:505-517): `_key` /
@@ -637,8 +709,8 @@ def _fill_empty_buckets(
         else:
             from ..params import trunc_calendar_ms
 
-            lo = trunc_calendar_ms(eb_lo - p.offset_ms, p.unit) + p.offset_ms
-            hi = trunc_calendar_ms(eb_hi - p.offset_ms, p.unit) + p.offset_ms
+            lo = trunc_calendar_ms(eb_lo - p.offset_ms, p.unit, p.tz) + p.offset_ms
+            hi = trunc_calendar_ms(eb_hi - p.offset_ms, p.unit, p.tz) + p.offset_ms
         bounds = bounds.select(
             *group_by,
             F.least(F.col("__mn"), F.lit(lo)).alias("__mn"),
@@ -660,16 +732,22 @@ def _fill_empty_buckets(
             F.explode(F.sequence(F.col("__mn"), F.col("__mx"), F.lit(p.step_ms))).alias("key"),
         )
     else:
+        # spine stepping mirrors the explode: local wall time when p.tz set
+        def to_tb(c: Column) -> Column:
+            ts = F.timestamp_millis(c - F.lit(p.offset_ms))
+            return F.from_utc_timestamp(ts, p.tz) if p.tz else ts
+
         spine = bounds.select(
             *group_by,
             F.explode(
                 F.sequence(
-                    F.timestamp_millis(F.col("__mn") - F.lit(p.offset_ms)),
-                    F.timestamp_millis(F.col("__mx") - F.lit(p.offset_ms)),
-                    calendar_interval_expr(p.unit),
+                    to_tb(F.col("__mn")), to_tb(F.col("__mx")), calendar_interval_expr(p.unit)
                 )
             ).alias("__tb"),
-        ).select(*group_by, (F.unix_millis(F.col("__tb")) + F.lit(p.offset_ms)).alias("key"))
+        ).select(
+            *group_by,
+            (local_ts_to_utc_ms(F.col("__tb"), p.tz) + F.lit(p.offset_ms)).alias("key"),
+        )
     joined = F.broadcast(spine).join(agg, on=[*group_by, "key"], how="left")
     # Empty bucket = {doc_count: 0, value: 0, empty sub-aggs}
     # (InternalProportionalSumHistogram.java:188-231 EmptyBucketInfo).

@@ -32,8 +32,16 @@ def _floor_fixed(t: str, step: int, off: int) -> str:
     return f"(({t}) - {_pmod(f'({t}) - {off}', step)})"
 
 
-def _trunc_cal(t_ms: str, unit: str, off: int) -> str:
-    """Calendar floor of epoch-ms as a timestamp (offset pre-subtracted)."""
+def _trunc_cal(t_ms: str, unit: str, off: int, tz: str | None = None) -> str:
+    """Calendar floor of epoch-ms as a timestamp (offset pre-subtracted).
+
+    With ``tz`` the result is the LOCAL wall-clock floor: the epoch-ms is
+    lifted to an instant via ``timezone('UTC', ...)`` (session-TZ-independent
+    — never a bare TIMESTAMPTZ cast), converted to the zone's naive local
+    time, then truncated. Mirrors Spark's from_utc_timestamp + date_trunc."""
+    if tz:
+        inst = f"timezone('UTC', make_timestamp((({t_ms}) - {off}) * 1000))"
+        return f"date_trunc('{unit}', timezone('{tz}', {inst}))"
     return f"CAST(date_trunc('{unit}', make_timestamp((({t_ms}) - {off}) * 1000)) AS TIMESTAMP)"
 
 
@@ -52,6 +60,7 @@ def psum_oracle_sql(
     carry_cols: Sequence[str] = (),
     quantize: int = 4,
     where: str | None = None,
+    time_zone: str | None = None,
 ) -> str:
     """SQL mirroring ``proportional_sum(flows, 'start_ms', 'end_ms', 'value',
     ['sampling'], ...)`` over ``flows_sql``, selecting
@@ -63,6 +72,7 @@ def psum_oracle_sql(
         start=start,
         end=end,
         min_doc_count=min_doc_count,
+        time_zone=time_zone,
     )
     scale = 10**quantize
     dims = ", ".join(group_by)
@@ -104,11 +114,17 @@ def psum_oracle_sql(
     else:
         unit, off = p.unit, p.offset_ms
         explode = (
-            f"unnest(generate_series({_trunc_cal(cs, unit, off)}, "
-            f"{_trunc_cal(ce, unit, off)}, INTERVAL 1 {unit})) AS tb"
+            f"unnest(generate_series({_trunc_cal(cs, unit, off, p.tz)}, "
+            f"{_trunc_cal(ce, unit, off, p.tz)}, INTERVAL 1 {unit})) AS tb"
         )
-        win_end = f"(epoch_ms(tb + INTERVAL 1 {unit}) + {off})"
-        key_expr = f"(epoch_ms(tb) + {off})"
+        if p.tz:
+            # tb holds naive LOCAL wall time; each boundary converts back to
+            # its UTC instant (timezone(tz, naive) -> timestamptz)
+            win_end = f"(epoch_ms(timezone('{p.tz}', tb + INTERVAL 1 {unit})) + {off})"
+            key_expr = f"(epoch_ms(timezone('{p.tz}', tb)) + {off})"
+        else:
+            win_end = f"(epoch_ms(tb + INTERVAL 1 {unit}) + {off})"
+            key_expr = f"(epoch_ms(tb) + {off})"
 
     overlap = f"greatest(least({win_end}, e) - greatest({key_expr}, s), 0)"
     ratio = (
@@ -151,6 +167,17 @@ agg AS (
             spine = (
                 f"SELECT {dims_pfx}unnest(generate_series(mn, mx, {p.step_ms})) AS key "
                 f"FROM bounds"
+            )
+        elif p.tz:
+            to_local = (
+                f"timezone('{p.tz}', timezone('UTC', make_timestamp(({{b}} - "
+                f"{p.offset_ms}) * 1000)))"
+            )
+            spine = (
+                f"SELECT {dims_pfx}epoch_ms(timezone('{p.tz}', tb)) + {p.offset_ms} "
+                f"AS key FROM (SELECT {dims_pfx}unnest(generate_series("
+                f"{to_local.format(b='mn')}, {to_local.format(b='mx')}, "
+                f"INTERVAL 1 {p.unit})) AS tb FROM bounds)"
             )
         else:
             spine = (

@@ -14,8 +14,13 @@ reference has — SURVEY.md §4):
   (ProportionalSumAggregatorFactory.java:94-101, verified OffsetIT.java:103-135);
 - fixed interval must be ≥ 1 ms (ProportionalSumAggregationBuilder.java:250-256).
 
-All rounding is UTC: the reference hardcodes ``tz = null``
-(ProportionalSumAggregationBuilder.java:432-434).
+Default rounding is UTC: the reference hardcodes ``tz = null``
+(ProportionalSumAggregationBuilder.java:432-434) — but its commented-out
+``timeZone()`` plumbing (:435-483) shows the intended ES date_histogram
+semantics, so ``time_zone`` is supported here as a gated EXTENSION for
+calendar intervals: bucket boundaries are wall-clock boundaries in the
+given IANA zone (DST days are 23/25 h wide in UTC), keys are the UTC
+instants of those local boundaries.
 """
 
 from __future__ import annotations
@@ -23,7 +28,8 @@ from __future__ import annotations
 import calendar
 import re
 from dataclasses import dataclass
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
+from zoneinfo import ZoneInfo
 
 # Calendar units supported by the reference's unit table
 # (es-8.18.2 ProportionalSumAggregationBuilder.java:78-97). Keys are our
@@ -153,10 +159,13 @@ def parse_interval(
     return "fixed", step, None
 
 
-def trunc_calendar_ms(t_ms: int, unit: str) -> int:
-    """UTC calendar floor of an epoch-ms instant — driver-side twin of the
-    engine's date_trunc-based rounding, used to derive the auto-offset."""
-    dt = datetime.fromtimestamp(t_ms / 1000.0, tz=timezone.utc)
+def trunc_calendar_ms(t_ms: int, unit: str, tz: str | None = None) -> int:
+    """Calendar floor of an epoch-ms instant — driver-side twin of the
+    engine's date_trunc-based rounding, used to derive the auto-offset.
+    With ``tz``, the floor is taken on the LOCAL wall clock of that zone and
+    the returned ms is the UTC instant of the local boundary."""
+    zone = ZoneInfo(tz) if tz else timezone.utc
+    dt = datetime.fromtimestamp(t_ms / 1000.0, tz=zone)
     if unit == "year":
         dt = dt.replace(month=1, day=1, hour=0, minute=0, second=0, microsecond=0)
     elif unit == "month":
@@ -164,7 +173,13 @@ def trunc_calendar_ms(t_ms: int, unit: str) -> int:
     elif unit == "week":
         dt = dt.replace(hour=0, minute=0, second=0, microsecond=0)
         days_from_monday = dt.weekday()
-        return int(dt.timestamp() * 1000) - days_from_monday * 86400000
+        if days_from_monday:
+            # step back in LOCAL calendar days (a flat UTC-ms subtraction
+            # would drift across a DST transition inside the week)
+            dt = (dt - timedelta(days=days_from_monday)).replace(
+                hour=0, minute=0, second=0, microsecond=0
+            )
+        return int(dt.timestamp() * 1000)
     elif unit == "day":
         dt = dt.replace(hour=0, minute=0, second=0, microsecond=0)
     elif unit == "hour":
@@ -178,18 +193,28 @@ def trunc_calendar_ms(t_ms: int, unit: str) -> int:
     return int(dt.timestamp() * 1000)
 
 
-def add_calendar_ms(t_ms: int, unit: str, n: int = 1) -> int:
-    """t_ms advanced by n calendar units (UTC) — spine stepping on the driver."""
-    if unit in ("week", "day", "hour", "minute", "second"):
+def add_calendar_ms(t_ms: int, unit: str, n: int = 1, tz: str | None = None) -> int:
+    """t_ms advanced by n calendar units — spine stepping on the driver.
+    With ``tz``, the step is n LOCAL wall-clock units (a DST day is 23/25 h
+    of UTC time)."""
+    if tz is None and unit in ("week", "day", "hour", "minute", "second"):
         return t_ms + n * CALENDAR_UNIT_MS_MIN[unit if unit != "week" else "week"]
-    dt = datetime.fromtimestamp(t_ms / 1000.0, tz=timezone.utc)
+    zone = ZoneInfo(tz) if tz else timezone.utc
+    dt = datetime.fromtimestamp(t_ms / 1000.0, tz=zone)
     if unit == "year":
         dt = dt.replace(year=dt.year + n)
-    else:  # month
+    elif unit == "month":
         total = dt.year * 12 + (dt.month - 1) + n
         y, m = divmod(total, 12)
         last = calendar.monthrange(y, m + 1)[1]
         dt = dt.replace(year=y, month=m + 1, day=min(dt.day, last))
+    else:
+        # wall-clock arithmetic: strip tzinfo, add, re-localize so the step
+        # is exactly n local units regardless of DST transitions inside it
+        days = {"week": 7, "day": 1}.get(unit, 0)
+        secs = {"hour": 3600, "minute": 60, "second": 1}.get(unit, 0)
+        naive = dt.replace(tzinfo=None) + timedelta(days=days * n, seconds=secs * n)
+        dt = naive.replace(tzinfo=zone)
     return int(dt.timestamp() * 1000)
 
 
@@ -205,6 +230,7 @@ class PSumParams:
     end: int | None
     min_doc_count: int
     extended_bounds: tuple[int, int] | None
+    tz: str | None = None  # IANA zone for calendar rounding (None = UTC parity)
 
     @property
     def min_bucket_ms(self) -> int:
@@ -220,9 +246,22 @@ def normalize(
     end: int | None = None,
     min_doc_count: int = 1,
     extended_bounds: tuple[int, int] | None = None,
+    time_zone: str | None = None,
 ) -> PSumParams:
     kind, step_ms, unit = parse_interval(interval, calendar_interval)
     off = parse_offset(offset)
+    if time_zone is not None:
+        if kind != "calendar":
+            # ES rounds fixed intervals in-zone too, but only the calendar
+            # form is implemented (the case users hit: local-midnight days);
+            # fail loud rather than silently ignoring the parameter.
+            raise ValueError(
+                "time_zone is only supported with calendar_interval"
+            )
+        try:
+            ZoneInfo(time_zone)
+        except Exception:
+            raise ValueError(f"unknown time zone {time_zone!r}") from None
     if start is not None and end is not None and end < start:
         raise ValueError(f"query end {end} < start {start}")
     if min_doc_count < 0:
@@ -233,8 +272,10 @@ def normalize(
         if kind == "fixed":
             off = start % step_ms if start >= 0 else start - _floor_fixed(start, step_ms, 0)
         else:
-            off = start - trunc_calendar_ms(start, unit)
-    return PSumParams(kind, step_ms, unit, off, start, end, min_doc_count, extended_bounds)
+            off = start - trunc_calendar_ms(start, unit, time_zone)
+    return PSumParams(
+        kind, step_ms, unit, off, start, end, min_doc_count, extended_bounds, time_zone
+    )
 
 
 def _floor_fixed(t: int, step: int, off: int) -> int:
@@ -261,10 +302,15 @@ def prefilter_bounds(p: PSumParams) -> tuple[int | None, int | None]:
         if p.kind == "fixed":
             lo = _floor_fixed(p.start, p.step_ms, p.offset_ms)
         else:
-            lo = trunc_calendar_ms(p.start - p.offset_ms, p.unit) + p.offset_ms
+            lo = trunc_calendar_ms(p.start - p.offset_ms, p.unit, p.tz) + p.offset_ms
     if p.end is not None:
         if p.kind == "fixed":
             hi = _floor_fixed(p.end, p.step_ms, p.offset_ms) + p.step_ms
         else:
-            hi = add_calendar_ms(trunc_calendar_ms(p.end - p.offset_ms, p.unit), p.unit, 1) + p.offset_ms
+            hi = (
+                add_calendar_ms(
+                    trunc_calendar_ms(p.end - p.offset_ms, p.unit, p.tz), p.unit, 1, p.tz
+                )
+                + p.offset_ms
+            )
     return lo, hi

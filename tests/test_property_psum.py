@@ -278,3 +278,37 @@ def test_psum_calendar_matches_python_model(spark, rows, unit, offset):
     for k, (dc, v) in expected.items():
         assert got[k][0] == dc, (k, unit, offset)
         assert got[k][1] == __import__("pytest").approx(v, rel=1e-9, abs=1e-9)
+
+
+# --- strategy='auto' crossover selection ----------------------------------
+
+def test_auto_strategy_picks_sweep_on_wide_ranges(spark):
+    """auto estimates buckets-per-flow from a head sample and switches to
+    sweep past SWEEP_AUTO_FANOUT; narrow ranges stay on explode. The sweep
+    plan is identified by its prefix-sum Window (absent from explode)."""
+    from elasticsearch_drift_plugin_spark.operators.proportional_sum import (
+        SWEEP_AUTO_FANOUT,
+    )
+
+    step = 100
+    wide_rows = [(0, step * (SWEEP_AUTO_FANOUT * 2), 10.0, None) for _ in range(4)]
+    narrow_rows = [(0, step * 3, 10.0, None)]
+    wide = spark.createDataFrame(wide_rows, SCHEMA)
+    narrow = spark.createDataFrame(narrow_rows, SCHEMA)
+
+    auto_wide = proportional_sum(
+        wide, "start_ms", "end_ms", "value", "sampling", interval=step, quantize=6
+    )
+    auto_narrow = proportional_sum(
+        narrow, "start_ms", "end_ms", "value", "sampling", interval=step, quantize=6
+    )
+    assert "Window" in auto_wide._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in auto_narrow._jdf.queryExecution().executedPlan().toString()
+    # and the auto-picked sweep result is identical to explicit explode
+    explode = proportional_sum(
+        wide, "start_ms", "end_ms", "value", "sampling",
+        interval=step, quantize=6, strategy="explode",
+    )
+    assert [tuple(r) for r in auto_wide.collect()] == [
+        tuple(r) for r in explode.collect()
+    ]

@@ -488,3 +488,47 @@ def test_offset_boundary_row_calendar(spark):
     rows = [(D - 3600000, D - 1800000, 100.0, None)]
     out = run(spark, rows, calendar_interval="day", offset=1, start=D, end=D + DAY)
     assert [(r.key, r.doc_count, r.value) for r in out] == [(D - DAY + 1, 1, 100.0)]
+
+
+def test_time_zone_day_buckets_across_dst_gap(spark):
+    """time_zone extension: day buckets are LOCAL midnights; the US
+    spring-forward day (2024-03-10, America/New_York) is 23 h wide in UTC
+    and receives proportionally less of a spanning flow's value."""
+    s = 1709985600000  # 2024-03-09T12:00:00Z (07:00 EST)
+    e = 1710244800000  # 2024-03-12T12:00:00Z (08:00 EDT); 72 h duration
+    out = run(
+        spark, [(s, e, 72.0, None)],
+        calendar_interval="day", time_zone="America/New_York",
+    )
+    # local midnights as UTC instants: EST (-05) before the gap, EDT (-04) after
+    mar9, mar10, mar11, mar12 = (
+        1709960400000, 1710046800000, 1710129600000, 1710216000000
+    )
+    assert [(r.key, r.doc_count, round(r.value, 6)) for r in out] == [
+        (mar9, 1, 17.0),   # 17 h of the flow in Mar 9 local
+        (mar10, 1, 23.0),  # DST day: 23 h wide
+        (mar11, 1, 24.0),
+        (mar12, 1, 8.0),
+    ]
+
+
+def test_time_zone_rejects_fixed_interval_and_bad_zone(spark):
+    with pytest.raises(ValueError, match="calendar_interval"):
+        run(spark, [(0, 100, 1.0, None)], interval=100, time_zone="America/New_York")
+    with pytest.raises(ValueError, match="unknown time zone"):
+        run(
+            spark, [(0, 100, 1.0, None)],
+            calendar_interval="day", time_zone="Not/AZone",
+        )
+
+
+def test_time_zone_auto_offset_uses_local_floor(spark):
+    # auto-offset = start - round(start) where round is the LOCAL floor:
+    # a start at exactly local midnight yields offset 0 and local-midnight keys
+    start = 1709960400000  # 2024-03-09T00:00 EST
+    out = run(
+        spark, [(start, start + 3600000, 6.0, None)],
+        calendar_interval="day", time_zone="America/New_York",
+        start=start, end=start + 7200000,
+    )
+    assert [(r.key, r.value) for r in out] == [(start, 6.0)]

@@ -260,3 +260,65 @@ def test_batch_sessionize_golden(spark):
         ("A", 2, 500, 510, 1, 5.0),
         ("B", 1, 0, 5, 1, 9.0),
     ]
+
+
+def test_stream_rate_source_update_mode(spark):
+    """Beyond bounded file replay: drive proportional_sum_stream from the
+    built-in rate-micro-batch source (deterministic rows per trigger) in
+    UPDATE mode — the continuous-ingest shape SCALE.md's Kafka recipe maps
+    onto (`readStream.format('kafka')` swaps in for the source with zero
+    change to the operator)."""
+    import time
+
+    rows_per_batch = 64
+    n_vals = 128  # only values < n_vals contribute (fixed expected state)
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("startTimestamp", BASE)
+        .load()
+        .where(F.col("value") < n_vals)
+        .select(
+            (F.lit(BASE) + (F.col("value") % 48) * 1_800_000).alias("start_ms"),
+            (F.lit(BASE) + (F.col("value") % 48) * 1_800_000 + 5_400_000).alias("end_ms"),
+            F.lit(3.0).alias("value"),
+            F.lit(None).cast("double").alias("sampling"),
+        )
+    )
+    agg = proportional_sum_stream(
+        stream, "start_ms", "end_ms", "value", "sampling",
+        interval=HOUR, watermark_delay="1 day",  # wide: accumulation, not lateness
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("rate_out")
+        .start()
+    )
+    try:
+        batch_rows = [
+            (BASE + (v % 48) * 1_800_000, BASE + (v % 48) * 1_800_000 + 5_400_000,
+             3.0, None)
+            for v in range(n_vals)
+        ]
+        expected = {
+            r.key: (r.doc_count, r.value)
+            for r in proportional_sum(
+                spark.createDataFrame(batch_rows, SCHEMA),
+                "start_ms", "end_ms", "value", "sampling", interval=HOUR,
+            ).collect()
+        }
+        deadline = time.time() + 120
+        got = {}
+        while time.time() < deadline:
+            # update mode re-emits a key on each revision; latest wins
+            got = {
+                r.key: (r.doc_count, r.value)
+                for r in spark.sql("SELECT * FROM rate_out").collect()
+            }
+            if got == expected:
+                break
+            time.sleep(0.5)
+        assert got == expected
+    finally:
+        q.stop()
