@@ -33,6 +33,7 @@ from elasticsearch_drift_plugin_spark.operators import (
     dedup,
     es_aggs,
     es_metrics,
+    geo,
     multimodal,
     pipeline,
     relational,
@@ -149,11 +150,11 @@ GRADE_FIRST: tuple[str, ...] = (
     # --- never green: training / multimodal / streaming ---
     "train_domain_mix", "train_chunk_docs", "train_curate_pipeline",
     "mm_resize", "mm_features", "stream_flow_sessions",
-    # --- new in r4: tz-aware calendar rounding (never graded by definition) ---
-    "psum_cal_day_tz",
+    # --- new in r4 (never graded by definition): tz rounding + geo aggs ---
+    "psum_cal_day_tz", "es_geotile_grid", "es_geo_centroid",
     # --- keepers: §2.1 reference-parity core re-attested each round ---
-    "psum_fixed_1h", "psum_sampling", "psum_clamp", "psum_cal_day",
-    "psum_grouped_subagg", "psum_empty_fill",
+    "psum_fixed_1h", "psum_clamp", "psum_cal_day",
+    "psum_grouped_subagg",
     # --- keepers: one per heavy family ---
     "dedup_minhash_pairs", "dedup_components", "ann_ivf_topk",
     "stream_psum_6h",
@@ -355,6 +356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(components.queries())
     q.update(es_aggs.queries())
     q.update(es_metrics.queries())
+    q.update(geo.queries())
     q.update(similarity.queries())
     q.update(text.queries())
     q.update(corpus.queries())
@@ -474,6 +476,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(components.oracle_sql())
     o.update(es_aggs.oracle_sql())
     o.update(es_metrics.oracle_sql())
+    o.update(geo.oracle_sql())
     o.update(similarity.oracle_sql())
     o.update(text.oracle_sql())
     o.update(corpus.oracle_sql())

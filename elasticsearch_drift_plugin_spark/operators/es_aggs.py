@@ -353,7 +353,8 @@ agg AS (
   FROM clean GROUP BY {g}
 )
 SELECT {g}, count, min, max, CAST(sum_q AS BIGINT) AS sum_q,
-       CAST(sum_q // count AS BIGINT) AS avg_q,
+       -- exact FLOOR (DuckDB integer // truncates): strip the nonneg remainder
+       CAST((sum_q - ((sum_q % count + count) % count)) // count AS BIGINT) AS avg_q,
        CAST((count * sumsq - CAST(sum_q AS HUGEINT) * sum_q)
             // (CAST(count AS HUGEINT) * count) AS BIGINT) AS var_q
 FROM agg ORDER BY {g}
@@ -1017,7 +1018,9 @@ WITH clean AS (
   FROM {src} WHERE {value_col} IS NOT NULL AND NOT isnan({value_col})
 )
 SELECT {g}, COUNT(*) AS value_count, CAST(SUM(q) AS BIGINT) AS sum_q,
-       CAST(SUM(q) // COUNT(*) AS BIGINT) AS avg_q,
+       -- exact FLOOR (DuckDB integer // truncates): strip the nonneg remainder
+       CAST((SUM(q) - ((SUM(q) % COUNT(*) + COUNT(*)) % COUNT(*))) // COUNT(*)
+            AS BIGINT) AS avg_q,
        MIN(v) AS min, MAX(v) AS max,
        COUNT(DISTINCT q) AS cardinality
 FROM clean GROUP BY {g} ORDER BY {g}
@@ -1166,7 +1169,11 @@ WITH clean AS (
   WHERE {value_col} IS NOT NULL AND NOT isnan({value_col})
 )
 SELECT {g}, COUNT(*) AS n,
-       CAST(SUM(CAST(vq AS HUGEINT) * wq) // SUM(CAST(wq AS HUGEINT)) AS BIGINT) AS wavg_q
+       -- exact FLOOR (DuckDB integer // truncates; weights nonnegative)
+       CAST((SUM(CAST(vq AS HUGEINT) * wq)
+             - ((SUM(CAST(vq AS HUGEINT) * wq) % SUM(CAST(wq AS HUGEINT))
+                 + SUM(CAST(wq AS HUGEINT))) % SUM(CAST(wq AS HUGEINT))))
+            // SUM(CAST(wq AS HUGEINT)) AS BIGINT) AS wavg_q
 FROM clean GROUP BY {g} ORDER BY {g}
 """
 

@@ -339,7 +339,11 @@ WITH agg AS (
 )
 SELECT epoch_ms(b) AS key, doc_count,
        date_diff('day', b, b + INTERVAL 1 MONTH) AS unit_intervals,
-       CAST(sum_q // date_diff('day', b, b + INTERVAL 1 MONTH) AS BIGINT) AS rate_q
+       -- exact FLOOR (DuckDB integer // truncates): strip the nonneg remainder
+       CAST((sum_q - ((sum_q % date_diff('day', b, b + INTERVAL 1 MONTH)
+                       + date_diff('day', b, b + INTERVAL 1 MONTH))
+                      % date_diff('day', b, b + INTERVAL 1 MONTH)))
+            // date_diff('day', b, b + INTERVAL 1 MONTH) AS BIGINT) AS rate_q
 FROM agg ORDER BY key
 """
 

@@ -288,7 +288,9 @@ WITH base AS ({base_sql}),
 q AS (SELECT {sel_keys}CAST(ROUND(value * {scale}) AS BIGINT) AS vq FROM base)
 SELECT {sel_keys}COUNT(*) AS n_buckets, MIN(vq) AS min_q, MAX(vq) AS max_q,
        CAST(SUM(vq) AS BIGINT) AS sum_q,
-       CAST(SUM(vq) // COUNT(*) AS BIGINT) AS avg_q
+       -- exact FLOOR (DuckDB integer // truncates): strip the nonneg remainder
+       CAST((SUM(vq) - ((SUM(vq) % COUNT(*) + COUNT(*)) % COUNT(*))) // COUNT(*)
+            AS BIGINT) AS avg_q
 FROM q {grp}{order}
 """
 
@@ -359,7 +361,12 @@ def normalize_buckets_sql(
 WITH base AS ({base_sql}),
 q AS (SELECT {sel_keys}key, CAST(ROUND(value * {scale}) AS BIGINT) AS vq FROM base)
 SELECT {sel_keys}key, vq,
-       CAST((vq * {QUANT_PCT}) // SUM(vq) OVER ({part.rstrip() or ''}) AS BIGINT)
+       -- exact FLOOR (DuckDB integer // truncates; positive group total)
+       CAST((vq * {QUANT_PCT}
+             - (((vq * {QUANT_PCT}) % SUM(vq) OVER ({part.rstrip() or ''})
+                 + SUM(vq) OVER ({part.rstrip() or ''}))
+                % SUM(vq) OVER ({part.rstrip() or ''})))
+            // SUM(vq) OVER ({part.rstrip() or ''}) AS BIGINT)
          AS pct_of_sum_q,
        CAST(FLOOR(quantile_cont(vq, {float(pct)}) OVER ({part}ORDER BY key
             ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW)

@@ -748,6 +748,28 @@ def test_negative_sum_avg_floors_like_python(spark):
     wv = weighted_avg(wdf, ["grp"], "v", "w").collect()[0]
     num = sum(a * b for a, b in zip(q, [QUANT, 2 * QUANT, QUANT]))
     assert wv["wavg_q"] == num // (4 * QUANT)
+    # and the DuckDB twins floor identically (DuckDB integer `//` TRUNCATES
+    # toward zero — the twins must strip the remainder first; regression for
+    # the r4 geo_centroid off-by-one on negative sums)
+    import duckdb
+
+    from elasticsearch_drift_plugin_spark.operators.es_aggs import (
+        extended_stats_sql,
+        value_stats_sql,
+        weighted_avg_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES ('g', -1.25, 1.0), "
+        "('g', -2.5, 2.0), ('g', 0.4, 1.0)) v(grp, value, w)"
+    )
+    assert con.execute(value_stats_sql("t", ["grp"], "value")).fetchall()[0][3] == expect
+    assert con.execute(extended_stats_sql("t", ["grp"], "value")).fetchall()[0][5] == expect
+    wrow = con.execute(
+        weighted_avg_sql("t", ["grp"], "value", "w")
+    ).fetchall()[0]
+    assert wrow[2] == num // (4 * QUANT)
 
 
 def test_es_histogram_offset_keys(spark):
@@ -1108,3 +1130,59 @@ def test_rollup_report_levels(spark):
     assert rows[("A", "F", 0)]["sum_price_q"] == 100
     assert rows[("A", None, 1)]["sum_price_q"] == 300   # per-flag subtotal
     assert rows[(None, None, 3)]["sum_price_q"] == 700  # grand total
+
+
+def test_geo_grid_known_points(spark):
+    """Geohash against the classic reference example and geotile against
+    the formula computed independently in Python."""
+    import math
+
+    from elasticsearch_drift_plugin_spark.operators import geo
+
+    # (57.64911, 10.40744) -> u4pruyd... (Wikipedia's canonical example)
+    df = spark.createDataFrame(
+        [("x", 1, 1.0, 57.64911, 10.40744)],
+        "event_type string, user_id long, value double, lat double, lon double",
+    )
+    row = geo.geohash_grid(df, precision=7).collect()[0]
+    assert row["key"] == "u4pruyd" and row["doc_count"] == 1
+
+    z = 6
+    lat, lon = 40.7, -74.0
+    n = 1 << z
+    exp_x = min(int((lon + 180.0) / 360.0 * n), n - 1)
+    latr = math.radians(lat)
+    exp_y = int(
+        (1 - math.log(math.tan(latr) + 1 / math.cos(latr)) / math.pi) / 2 * n
+    )
+    df2 = spark.createDataFrame(
+        [("x", 1, 1.0, lat, lon)],
+        "event_type string, user_id long, value double, lat double, lon double",
+    )
+    row2 = geo.geotile_grid(df2, zoom=z).collect()[0]
+    assert row2["key"] == f"{z}/{exp_x}/{exp_y}"
+
+
+def test_geo_centroid_floors_negative_hemisphere(spark):
+    from elasticsearch_drift_plugin_spark.operators import geo
+
+    df = spark.createDataFrame(
+        [("x", 1, 1.0, -1.000001, 2.000001), ("x", 2, 1.0, -2.000002, 3.000002)],
+        "event_type string, user_id long, value double, lat double, lon double",
+    )
+    row = geo.geo_centroid_agg(df, ["event_type"]).collect()[0]
+    # sums: lat -3000003, lon 5000003 over n=2 -> floor(-1500001.5), floor(2500001.5)
+    assert (row["lat_udeg"], row["lon_udeg"]) == (-1500002, 2500001)
+
+
+def test_geo_distance_buckets_partition_all_rows(spark):
+    from elasticsearch_drift_plugin_spark.operators import geo
+
+    pts = geo.geo_events(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(200)], "user_id long, value double"
+        ).withColumn("event_type", F.lit("x")).select("event_type", "user_id", "value")
+    )
+    out = geo.geo_distance_agg(pts, origin=(40.7, -74.0)).collect()
+    assert sum(r["doc_count"] for r in out) == 200  # every row in exactly one range
+    assert [r["key"] for r in out][0].startswith("*-")
