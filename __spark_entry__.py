@@ -39,6 +39,7 @@ from elasticsearch_drift_plugin_spark.operators import (
     relational,
     sessionize,
     similarity,
+    sketches,
     stats,
     text,
     training,
@@ -357,6 +358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(es_aggs.queries())
     q.update(es_metrics.queries())
     q.update(geo.queries())
+    q.update(sketches.queries())
     q.update(similarity.queries())
     q.update(text.queries())
     q.update(corpus.queries())
@@ -477,6 +479,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(es_aggs.oracle_sql())
     o.update(es_metrics.oracle_sql())
     o.update(geo.oracle_sql())
+    o.update(sketches.oracle_sql())
     o.update(similarity.oracle_sql())
     o.update(text.oracle_sql())
     o.update(corpus.oracle_sql())

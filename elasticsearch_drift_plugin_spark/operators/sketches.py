@@ -1,0 +1,110 @@
+"""Mergeable-sketch cardinality: ES ``cardinality`` (HLL) and the
+pre-aggregated rollup pattern.
+
+ES's cardinality agg is HyperLogLog++ precisely because per-shard sketches
+merge on the coordinator without rescanning documents
+(SURVEY.md §2.2 host surfaces — the reduce phase the reference rides on).
+The Spark-native equivalent is Apache DataSketches HLL, built into Spark
+≥ 3.5 as ``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate``:
+partial aggregation ships kilobyte sketches, never id sets, so a distinct
+count over 100 TB moves O(groups × 2^lg_k) bytes through the shuffle.
+
+The rollup pair below is the at-rest form of the same algebra — persist one
+sketch per (bucket, group) and answer any time-range cardinality later by
+unioning the stored sketches, no raw-data rescan. That is the pattern a
+flow-retention pipeline runs: raw flows expire, daily sketches stay.
+
+Estimates are engine-specific (DuckDB's HLL is a different implementation),
+so these queries register WITHOUT an oracle twin — the driver records the
+weaker rows-only check, and the numeric contract is pinned by pytest
+invariants instead: determinism, exact-below-threshold behavior, merge
+consistency with a global sketch, and relative error vs exact counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.flows import load_table
+
+LG_K = 12  # 2^12 registers ≈ 4 KB sketches, ~1.6% standard error
+
+
+def cardinality_approx(
+    df: DataFrame, group_cols: list[str], col: str, lg_k: int = LG_K
+) -> DataFrame:
+    """(group..., est): ES ``cardinality`` — approximate distinct count per
+    group via one partial+final HLL aggregation (sketches merge map-side,
+    the shuffle carries ~4 KB per group per partition)."""
+    return (
+        df.groupBy(*group_cols)
+        .agg(
+            F.expr(
+                f"hll_sketch_estimate(hll_sketch_agg({col}, {int(lg_k)}))"
+            ).alias("est")
+        )
+        .orderBy(*group_cols)
+    )
+
+
+def write_cardinality_rollup(
+    df: DataFrame,
+    path: str,
+    time_ms_col: str,
+    id_col: str,
+    group_cols: list[str],
+    bucket_ms: int = 86_400_000,
+    lg_k: int = LG_K,
+    mode: str = "overwrite",
+) -> None:
+    """Persist one HLL sketch per (bucket, group...) — the pre-aggregated
+    rollup. Bucket-partitioned parquet, so a later range query prunes to
+    the touched buckets at planning time."""
+    key = (
+        F.col(time_ms_col) - F.pmod(F.col(time_ms_col), F.lit(int(bucket_ms)))
+    ).alias("bucket_ms")
+    (
+        df.select(key, *group_cols, F.col(id_col).alias("__id"))
+        .groupBy("bucket_ms", *group_cols)
+        .agg(F.expr(f"hll_sketch_agg(__id, {int(lg_k)})").alias("sketch"))
+        .write.mode(mode)
+        .partitionBy("bucket_ms")
+        .parquet(path)
+    )
+
+
+def rollup_cardinality(
+    spark: SparkSession,
+    path: str,
+    group_cols: list[str],
+    start_ms: int | None = None,
+    end_ms: int | None = None,
+) -> DataFrame:
+    """(group..., est): distinct count over [start_ms, end_ms) answered
+    purely from stored sketches — a union per group, zero raw-data scan,
+    with the bucket range pruned as partition filters."""
+    sk = spark.read.parquet(path)
+    if start_ms is not None:
+        sk = sk.where(F.col("bucket_ms") >= int(start_ms))
+    if end_ms is not None:
+        sk = sk.where(F.col("bucket_ms") < int(end_ms))
+    return (
+        sk.groupBy(*group_cols)
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias("est"))
+        .orderBy(*group_cols)
+    )
+
+
+def queries() -> dict:
+    # rows-only driver check (no DuckDB oracle can reproduce DataSketches
+    # estimates); numeric invariants live in tests/test_extensions.py
+    return {
+        "es_cardinality_approx": lambda s, d: cardinality_approx(
+            load_table(s, d, "events"), ["event_type"], "user_id"
+        ),
+    }
+
+
+def oracle_sql() -> dict:
+    return {}

@@ -1186,3 +1186,45 @@ def test_geo_distance_buckets_partition_all_rows(spark):
     out = geo.geo_distance_agg(pts, origin=(40.7, -74.0)).collect()
     assert sum(r["doc_count"] for r in out) == 200  # every row in exactly one range
     assert [r["key"] for r in out][0].startswith("*-")
+
+
+def test_hll_cardinality_invariants(spark, tmp_path):
+    """No oracle can reproduce DataSketches estimates, so the numeric
+    contract is pinned here: determinism, error bound vs exact, and the
+    rollup (stored per-bucket sketches, unioned later) agreeing with a
+    direct sketch over the same rows."""
+    from elasticsearch_drift_plugin_spark.operators import sketches
+
+    day = 86_400_000
+    rows = [
+        (i % 7, (i * 2654435761) % 3000, (i % 20) * day)
+        for i in range(20000)
+    ]
+    df = spark.createDataFrame(rows, "grp long, uid long, t_ms long")
+
+    est1 = {r["grp"]: r["est"] for r in
+            sketches.cardinality_approx(df, ["grp"], "uid").collect()}
+    est2 = {r["grp"]: r["est"] for r in
+            sketches.cardinality_approx(df, ["grp"], "uid").collect()}
+    assert est1 == est2  # deterministic
+    exact = {r["grp"]: r["n"] for r in
+             df.groupBy("grp").agg(F.countDistinct("uid").alias("n")).collect()}
+    for g, e in est1.items():
+        assert abs(e - exact[g]) / exact[g] < 0.05, (g, e, exact[g])
+
+    path = str(tmp_path / "card_rollup")
+    sketches.write_cardinality_rollup(df, path, "t_ms", "uid", ["grp"])
+    # range query over days [5, 15) from stored sketches vs exact
+    lo, hi = 5 * day, 15 * day
+    got = {r["grp"]: r["est"] for r in
+           sketches.rollup_cardinality(spark, path, ["grp"], lo, hi).collect()}
+    sub = df.where((F.col("t_ms") >= lo) & (F.col("t_ms") < hi))
+    sub_exact = {r["grp"]: r["n"] for r in
+                 sub.groupBy("grp").agg(F.countDistinct("uid").alias("n")).collect()}
+    for g, e in got.items():
+        assert abs(e - sub_exact[g]) / sub_exact[g] < 0.05, (g, e, sub_exact[g])
+    # the whole-range rollup matches the direct sketch estimate's ballpark
+    all_roll = {r["grp"]: r["est"] for r in
+                sketches.rollup_cardinality(spark, path, ["grp"]).collect()}
+    for g in est1:
+        assert abs(all_roll[g] - exact[g]) / exact[g] < 0.05
