@@ -721,6 +721,141 @@ _DATE_RANGES: list[tuple[str | None, str | None]] = [
 ]
 
 
+# --------------------------------------------------------------------------
+# variable_width_histogram
+# --------------------------------------------------------------------------
+def variable_width_histogram(
+    df: DataFrame, value_col: str, buckets: int = 8, quantize: int = 4
+) -> DataFrame:
+    """(key, min_q, max_q, doc_count): ES ``variable_width_histogram`` —
+    ``buckets`` clusters of the value distribution. ES runs an online
+    1-pass clusterer whose result depends on shard doc order; this engine
+    uses the deterministic equivalent: split the sorted DISTINCT quantized
+    values at the ``buckets − 1`` largest gaps (tie-break on value), which
+    is the optimal 1-D clustering under the max-gap criterion and identical
+    on every engine.
+
+    Scale note (honest): the gap ranking runs a window over the sorted
+    distinct-value set. Quantization bounds that set (≤ value-range ·
+    10^quantize rows), and the heavy lifting — collapsing raw rows to
+    distinct values with counts — is a partial+final hash agg; only the
+    distinct spine (not the data) passes through the single-partition
+    window, the same shape as the psum empty-fill spine."""
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    from pyspark.sql import Window
+
+    scale = float(10**quantize)
+    q = F.floor(F.col(value_col) * F.lit(scale))
+    vals = (
+        df.where(F.col(value_col).isNotNull() & ~F.isnan(value_col))
+        .select(q.alias("vq"))
+        .groupBy("vq")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wo = Window.orderBy("vq")
+    gapped = vals.select(
+        "vq", "n", (F.col("vq") - F.lag("vq").over(wo)).alias("gap")
+    )
+    wg = Window.orderBy(F.col("gap").desc_nulls_last(), F.col("vq").asc())
+    ranked = gapped.select(
+        "vq", "n", F.when(F.row_number().over(wg) <= buckets - 1, 1).otherwise(0).alias("cut")
+    )
+    wc = Window.orderBy("vq").rowsBetween(Window.unboundedPreceding, 0)
+    clustered = ranked.select("vq", "n", F.sum("cut").over(wc).alias("key"))
+    return (
+        clustered.groupBy("key")
+        .agg(
+            F.min("vq").alias("min_q"),
+            F.max("vq").alias("max_q"),
+            F.sum("n").alias("doc_count"),
+        )
+        .orderBy("key")
+    )
+
+
+def variable_width_histogram_sql(
+    src: str, value_col: str, buckets: int = 8, quantize: int = 4
+) -> str:
+    scale = float(10**quantize)
+    return f"""
+WITH vals AS (
+  SELECT CAST(FLOOR({value_col} * {scale}) AS BIGINT) AS vq, COUNT(*) AS n
+  FROM {src} WHERE {value_col} IS NOT NULL AND NOT isnan({value_col})
+  GROUP BY 1
+),
+gapped AS (
+  SELECT vq, n, vq - lag(vq) OVER (ORDER BY vq) AS gap FROM vals
+),
+ranked AS (
+  SELECT vq, n,
+         CASE WHEN ROW_NUMBER() OVER (ORDER BY gap DESC NULLS LAST, vq ASC)
+                   <= {int(buckets) - 1} THEN 1 ELSE 0 END AS cut
+  FROM gapped
+),
+clustered AS (
+  SELECT vq, n, SUM(cut) OVER (ORDER BY vq
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS key
+  FROM ranked
+)
+SELECT CAST(key AS BIGINT) AS key, MIN(vq) AS min_q, MAX(vq) AS max_q,
+       CAST(SUM(n) AS BIGINT) AS doc_count
+FROM clustered GROUP BY key ORDER BY key
+"""
+
+
+# --------------------------------------------------------------------------
+# categorize_text
+# --------------------------------------------------------------------------
+def categorize_text(
+    df: DataFrame, text_col: str, size: int = 20, tokens: int = 4
+) -> DataFrame:
+    """(key, doc_count, example_id): ES ``categorize_text`` — group
+    semi-structured messages by token pattern. ES's version drains a
+    proprietary ML tokenizer; the engine-neutral equivalent: lowercase,
+    collapse every digit run to ``#``, keep the first ``tokens``
+    whitespace tokens as the category key. Deterministic, pure codegen,
+    one hash agg; top-``size`` by count (key tie-break), lowest doc_id as
+    the exemplar the way ES surfaces a sample message."""
+    skel = F.concat_ws(
+        " ",
+        F.slice(
+            F.split(
+                F.regexp_replace(F.lower(F.col(text_col)), "[0-9]+", "#"),
+                "\\s+",
+            ),
+            1,
+            tokens,
+        ),
+    )
+    return (
+        df.select(skel.alias("key"), F.col("doc_id"))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.min("doc_id").alias("example_id"),
+        )
+        .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+        .limit(size)
+    )
+
+
+def categorize_text_sql(src: str, text_col: str, size: int = 20, tokens: int = 4) -> str:
+    return f"""
+WITH keyed AS (
+  SELECT array_to_string(
+           list_slice(regexp_split_to_array(
+             regexp_replace(lower({text_col}), '[0-9]+', '#', 'g'), '\\s+'),
+             1, {int(tokens)}), ' ') AS key,
+         doc_id
+  FROM {src}
+)
+SELECT key, COUNT(*) AS doc_count, MIN(doc_id) AS example_id
+FROM keyed GROUP BY key
+ORDER BY doc_count DESC, key ASC LIMIT {int(size)}
+"""
+
+
 def _events_t_ms(s, d) -> DataFrame:
     ev = load_table(s, d, "events")
     return ev.select(ts_ms_col(ev).alias("t_ms"), "value")
@@ -772,6 +907,12 @@ def queries() -> dict:
             load_table(s, d, "events"), "value",
             "event_type = 'click'", "event_type = 'purchase'",
         ),
+        "es_variable_width_histogram": lambda s, d: variable_width_histogram(
+            load_table(s, d, "events"), "value"
+        ),
+        "es_categorize_text": lambda s, d: categorize_text(
+            load_table(s, d, "documents"), "text"
+        ),
     }
 
 
@@ -806,4 +947,8 @@ def oracle_sql() -> dict:
         "es_t_test": t_test_sql(
             "events", "value", "event_type = 'click'", "event_type = 'purchase'"
         ),
+        "es_variable_width_histogram": variable_width_histogram_sql(
+            "events", "value"
+        ),
+        "es_categorize_text": categorize_text_sql("documents", "text"),
     }
