@@ -341,8 +341,11 @@ def geo_distance_sql(
         cond = f"{dist} >= {a!r}" + ("" if z is None else f" AND {dist} < {z!r}")
         cases.append(f"WHEN {cond} THEN {i}")
         key = f"*-{z}" if i == 0 else (f"{a}-*" if z is None else f"{a}-{z}")
-        to = "CAST(NULL AS DOUBLE)" if z is None else repr(z)
-        meta.append(f"({i}, '{key}', {a!r}, {to})")
+        # CAST every range edge: bare float literals parse as DECIMAL in
+        # DuckDB, which the oracle-type sweep bans (stringifies differently
+        # from the Spark DOUBLE the driver hashes against)
+        to = "CAST(NULL AS DOUBLE)" if z is None else f"CAST({z!r} AS DOUBLE)"
+        meta.append(f"({i}, '{key}', CAST({a!r} AS DOUBLE), {to})")
     return f"""
 WITH pts AS ({GEO_EVENTS_DUCK}),
 b AS (

@@ -74,6 +74,28 @@ def test_every_query_has_oracle_or_is_documented():
     assert o <= q, f"oracles without queries: {sorted(o - q)}"
     missing = q - o
     # rows-only checked by the driver (weaker gate) — keep this list short
-    # and justified: streaming/stateful or iterative ops with no SQL twin.
+    # and justified: streaming/stateful or iterative ops with no SQL twin,
+    # plus DataSketches HLL estimates no other engine reproduces
+    # (invariant-tested in test_extensions.py::test_hll_cardinality_invariants).
     allowed = {n for n in missing if n.startswith(("stream_", "emb_kmeans", "mm_"))}
+    allowed |= missing & {"es_cardinality_approx"}
     assert missing == allowed, f"queries missing an oracle: {sorted(missing - allowed)}"
+
+
+def test_grading_window_integrity():
+    """GRADE_FIRST must name real queries, fill exactly the driver's 50-slot
+    window, and (rows-only sketch entries aside) every windowed query must
+    carry an oracle twin — a typo here silently forfeits driver evidence."""
+    qs = entry.queries()
+    os_ = entry.oracle_sql()
+    assert len(entry.GRADE_FIRST) == 50
+    assert len(set(entry.GRADE_FIRST)) == 50  # no duplicates
+    missing = [k for k in entry.GRADE_FIRST if k not in qs]
+    assert not missing, missing
+    assert list(qs)[:50] == list(entry.GRADE_FIRST)
+    no_oracle = [k for k in entry.GRADE_FIRST if k not in os_]
+    assert not no_oracle, no_oracle
+    # ordering applied consistently to both dicts the driver might iterate
+    assert list(os_)[: len([k for k in entry.GRADE_FIRST if k in os_])] == [
+        k for k in entry.GRADE_FIRST if k in os_
+    ]
