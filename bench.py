@@ -81,9 +81,16 @@ BENCH_QUERIES = [
     "train_pack_sequences",
     "train_domain_mix",
     # r4 additions: the end-to-end curation story (SCALE.md walkthrough,
-    # tracked round-over-round) and the tz-rounding extension
+    # tracked round-over-round), the tz-rounding extension, and the
+    # geo / sketch / clustering agg families
     "train_curate_pipeline",
     "psum_cal_day_tz",
+    "es_geotile_grid",
+    "es_geohash_grid",
+    "es_geo_distance",
+    "es_variable_width_histogram",
+    "es_categorize_text",
+    "es_cardinality_approx",
 ]
 
 
