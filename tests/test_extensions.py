@@ -1228,3 +1228,52 @@ def test_hll_cardinality_invariants(spark, tmp_path):
                 sketches.rollup_cardinality(spark, path, ["grp"]).collect()}
     for g in est1:
         assert abs(all_roll[g] - exact[g]) / exact[g] < 0.05
+
+
+def test_geohash_matches_independent_bisection_model(spark):
+    """Pin the integer bit-interleave geohash against the textbook
+    bisection algorithm implemented independently in Python."""
+
+    def py_geohash(lat, lon, precision):
+        b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+        lat_lo, lat_hi, lon_lo, lon_hi = -90.0, 90.0, -180.0, 180.0
+        bits, out, even = 0, [], True
+        acc = 0
+        for _ in range(5 * precision):
+            if even:
+                mid = (lon_lo + lon_hi) / 2
+                bit = 1 if lon >= mid else 0
+                lon_lo, lon_hi = (mid, lon_hi) if bit else (lon_lo, mid)
+            else:
+                mid = (lat_lo + lat_hi) / 2
+                bit = 1 if lat >= mid else 0
+                lat_lo, lat_hi = (mid, lat_hi) if bit else (lat_lo, mid)
+            acc = acc * 2 + bit
+            bits += 1
+            if bits == 5:
+                out.append(b32[acc])
+                acc, bits = 0, 0
+            even = not even
+        return "".join(out)
+
+    from elasticsearch_drift_plugin_spark.operators import geo
+
+    import random
+
+    rnd = random.Random(7)
+    pts = [
+        (i, (rnd.randrange(-85_000_000, 85_000_001)) / 1e6,
+         (rnd.randrange(-180_000_000, 180_000_001)) / 1e6)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        [("x", i, 1.0, lat, lon) for i, lat, lon in pts],
+        "event_type string, user_id long, value double, lat double, lon double",
+    )
+    for precision in (3, 6):
+        got = {
+            r["key"]
+            for r in geo.geohash_grid(df, precision=precision, size=1000).collect()
+        }
+        want = {py_geohash(lat, lon, precision) for _, lat, lon in pts}
+        assert got == want, precision
