@@ -204,6 +204,96 @@ def cidr_rollup(
     )
 
 
+def _ip_to_int(ip: str) -> int:
+    parts = [int(p) for p in ip.split(".")]
+    if len(parts) != 4 or any(not 0 <= p <= 255 for p in parts):
+        raise ValueError(f"bad IPv4 address {ip!r}")
+    return (parts[0] << 24) | (parts[1] << 16) | (parts[2] << 8) | parts[3]
+
+
+# ES ip_range fixture ranges over the hash-derived address space
+IP_RANGES: tuple = (
+    ("low", None, "64.0.0.0"),
+    ("mid", "64.0.0.0", "160.0.0.0"),
+    ("high", "160.0.0.0", None),
+    ("mixed", "32.0.0.0", "192.0.0.0"),
+)
+
+
+def ip_range_agg(events: DataFrame, ranges=IP_RANGES) -> DataFrame:
+    """(key, from_ip, to_ip, doc_count, value_q): ES ``ip_range`` — each
+    range is an independent half-open [from, to) bucket over the derived
+    source address (ranges may overlap, like the ES agg; a row lands in
+    every matching range). Same plan shape as ``es_aggs.range_agg``:
+    literal membership fan-out collapsed map-side by the partial agg —
+    fan-out ≤ #ranges, one shuffle of #ranges rows."""
+    ip = F.expr(
+        "CAST(pmod(CAST(user_id AS DECIMAL(38,0)) * 2654435761, 4294967296) AS BIGINT)"
+    )
+    q = F.floor(F.col("value") * F.lit(1_000_000))
+    matches = F.array(
+        *[
+            F.when(
+                ((ip >= F.lit(_ip_to_int(lo))) if lo else F.lit(True))
+                & ((ip < F.lit(_ip_to_int(hi))) if hi else F.lit(True)),
+                F.lit(i),
+            )
+            for i, (_, lo, hi) in enumerate(ranges)
+        ]
+    )
+    hit = (
+        events.where(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select(q.alias("__q"), F.explode(F.array_compact(matches)).alias("__r"))
+        .groupBy("__r")
+        .agg(F.count(F.lit(1)).alias("doc_count"), F.sum("__q").alias("value_q"))
+    )
+    meta = events.sparkSession.createDataFrame(
+        [(i, k, lo, hi) for i, (k, lo, hi) in enumerate(ranges)],
+        "__r int, key string, from_ip string, to_ip string",
+    )
+    return (
+        F.broadcast(meta)
+        .join(hit, "__r", "left")
+        .select(
+            "key", "from_ip", "to_ip",
+            F.coalesce("doc_count", F.lit(0)).alias("doc_count"),
+            F.coalesce("value_q", F.lit(0)).alias("value_q"),
+        )
+        .orderBy("key")
+    )
+
+
+def ip_range_sql(ranges=IP_RANGES) -> str:
+    conds, meta = [], []
+    for i, (k, lo, hi) in enumerate(ranges):
+        cond = []
+        if lo:
+            cond.append(f"ip >= {_ip_to_int(lo)}")
+        if hi:
+            cond.append(f"ip < {_ip_to_int(hi)}")
+        conds.append(
+            f"SELECT {i} AS r, q FROM f WHERE {' AND '.join(cond) or 'TRUE'}"
+        )
+        lo_s = f"'{lo}'" if lo else "CAST(NULL AS VARCHAR)"
+        hi_s = f"'{hi}'" if hi else "CAST(NULL AS VARCHAR)"
+        meta.append(f"({i}, '{k}', {lo_s}, {hi_s})")
+    return f"""
+WITH f AS (
+  SELECT CAST(((CAST(user_id AS HUGEINT) * 2654435761) % 4294967296
+               + 4294967296) % 4294967296 AS BIGINT) AS ip,
+         CAST(FLOOR(value * 1000000) AS BIGINT) AS q
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+),
+hits AS ({' UNION ALL '.join(conds)}),
+agg AS (SELECT r, COUNT(*) AS doc_count, CAST(SUM(q) AS BIGINT) AS value_q
+        FROM hits GROUP BY r),
+meta(r, key, from_ip, to_ip) AS (VALUES {', '.join(meta)})
+SELECT key, from_ip, to_ip,
+       COALESCE(doc_count, 0) AS doc_count, COALESCE(value_q, 0) AS value_q
+FROM meta LEFT JOIN agg USING (r) ORDER BY key
+"""
+
+
 def cidr_rollup_sql(prefix_len: int = 16, size: int = 20) -> str:
     block = 2 ** (32 - prefix_len)
     return f"""
@@ -233,6 +323,7 @@ def queries() -> dict:
         "rel_cidr_top_talkers": lambda s, d: cidr_rollup(
             load_table(s, d, "events")
         ),
+        "es_ip_range": lambda s, d: ip_range_agg(load_table(s, d, "events")),
         "rel_flows_by_nation": lambda s, d: flows_by_nation(
             load_table(s, d, "events"),
             load_table(s, d, "customer"),
@@ -251,6 +342,7 @@ def queries() -> dict:
 def oracle_sql() -> dict:
     return {
         "rel_cidr_top_talkers": cidr_rollup_sql(),
+        "es_ip_range": ip_range_sql(),
         "rel_flows_by_nation": FLOWS_BY_NATION_SQL,
         "rel_users_intersect": users_in_both_sql("click", "purchase"),
         "rel_json_props": JSON_PROPS_SQL,

@@ -322,3 +322,41 @@ def test_stream_rate_source_update_mode(spark):
         assert got == expected
     finally:
         q.stop()
+
+
+def test_stream_cardinality_sketch_equals_batch(spark, tmp_path):
+    """DataSketches HLL aggregates under Structured Streaming; sketches are
+    deterministic, so a bounded replay must produce the exact same estimate
+    as the batch aggregation over the same rows."""
+    from elasticsearch_drift_plugin_spark.operators import sketches
+
+    src = f"{tmp_path}/hll_src"
+    rows = spark.range(5000).selectExpr(
+        "id % 5 AS grp", "(id * 2654435761) % 1200 AS uid"
+    )
+    rows.coalesce(2).write.parquet(src)
+    batch = {
+        r["grp"]: r["est"]
+        for r in sketches.cardinality_approx(
+            spark.read.parquet(src), ["grp"], "uid"
+        ).collect()
+    }
+    st = spark.readStream.schema("grp long, uid long").parquet(src)
+    agg = st.groupBy("grp").agg(
+        F.expr(f"hll_sketch_estimate(hll_sketch_agg(uid, {sketches.LG_K}))").alias("est")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hll_stream_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["grp"]: r["est"]
+        for r in spark.sql("SELECT * FROM hll_stream_out").collect()
+    }
+    assert got == batch
