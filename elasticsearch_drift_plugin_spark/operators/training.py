@@ -126,6 +126,98 @@ FROM pack ORDER BY "group", doc_id
 """
 
 
+def pack_sequences_sharded(
+    docs: DataFrame,
+    capacity: int = 256,
+    n_shards: int = 4,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(group, shard, doc_id, n_tokens, seq_no, seq_offset): the hot-domain
+    recipe SCALE.md documents, made real — sub-shard the pack key so one
+    huge domain parallelizes across ``n_shards`` independent next-fit
+    streams instead of serializing into a single Arrow task. Next-fit never
+    looks back, so per-shard packing quality is identical; only sequence
+    numbering becomes per-(group, shard) — trainers globalize it as
+    ``seq_no * n_shards + shard``.
+
+    The shard key is ``md5-hash(doc_id) % n_shards`` — content-independent,
+    deterministic, and computable in the DuckDB twin (the same
+    ``HEX15_SQL_FN`` discipline as the mix gate)."""
+    cap = int(capacity)
+    toks = docs.select(
+        F.col(group_col).alias("group"),
+        F.pmod(md5_hash60(F.col(id_col).cast("string")), F.lit(int(n_shards)))
+        .cast("long")
+        .alias("shard"),
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_no, used = 0, 0
+        seqs, offs = [], []
+        first = True
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if not first and used + n > cap:
+                seq_no += 1
+                used = 0
+            seqs.append(seq_no)
+            offs.append(used)
+            used += n
+            first = False
+        pdf["seq_no"] = pd.Series(seqs, dtype="int64")
+        pdf["seq_offset"] = pd.Series(offs, dtype="int64")
+        return pdf
+
+    out_schema = (
+        "group string, shard long, doc_id long, n_tokens long, "
+        "seq_no long, seq_offset long"
+    )
+    return (
+        toks.groupBy("group", "shard")
+        .applyInPandas(_pack, schema=out_schema)
+        .orderBy("group", "shard", "doc_id")
+    )
+
+
+def pack_sequences_sharded_sql(
+    capacity: int = 256,
+    n_shards: int = 4,
+    group_col: str = "source",
+    src: str = "documents",
+) -> str:
+    cap = int(capacity)
+    h = HEX15_SQL_FN.format(expr="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT {group_col} AS grp,
+         CAST((({h}) % {int(n_shards)} + {int(n_shards)}) % {int(n_shards)}
+              AS BIGINT) AS shard,
+         doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         ROW_NUMBER() OVER (PARTITION BY {group_col},
+           (({h}) % {int(n_shards)} + {int(n_shards)}) % {int(n_shards)}
+           ORDER BY doc_id) AS rn
+  FROM {src}
+),
+pack AS (
+  SELECT grp, shard, doc_id, n, rn, CAST(0 AS BIGINT) AS seq_no, n AS used
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.grp, d.shard, d.doc_id, d.n, d.rn,
+         CASE WHEN p.used + d.n <= {cap} THEN p.seq_no ELSE p.seq_no + 1 END,
+         CASE WHEN p.used + d.n <= {cap} THEN p.used + d.n ELSE d.n END
+  FROM pack p JOIN d ON d.grp = p.grp AND d.shard = p.shard AND d.rn = p.rn + 1
+)
+SELECT grp AS "group", shard, doc_id, n AS n_tokens, seq_no, used - n AS seq_offset
+FROM pack ORDER BY "group", shard, doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # document chunking (RAG / embedding prep)
 # --------------------------------------------------------------------------
@@ -392,6 +484,9 @@ def queries() -> dict:
         "train_pack_sequences": lambda s, d: pack_sequences(
             load_table(s, d, "documents"), capacity=256
         ),
+        "train_pack_sharded": lambda s, d: pack_sequences_sharded(
+            load_table(s, d, "documents"), capacity=256, n_shards=4
+        ),
         "train_domain_mix": lambda s, d: domain_mix(
             load_table(s, d, "documents"), target_docs=250
         ),
@@ -410,6 +505,7 @@ def queries() -> dict:
 def oracle_sql() -> dict:
     return {
         "train_pack_sequences": pack_sequences_sql(capacity=256),
+        "train_pack_sharded": pack_sequences_sharded_sql(capacity=256, n_shards=4),
         "train_domain_mix": domain_mix_sql(target_docs=250),
         "train_mix_rates": mix_rates_sql(target_docs=250),
         "train_chunk_docs": chunk_documents_sql(chunk_tokens=64, stride=48),

@@ -70,3 +70,36 @@ def test_chunk_documents_short_doc_single_chunk(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     out = tr.chunk_documents(df, chunk_tokens=64, stride=48).collect()
     assert len(out) == 1 and out[0]["n_tokens"] == 2
+
+
+def test_pack_sharded_partitions_and_degenerates_to_plain(spark):
+    """n_shards=1 must reproduce the unsharded packing exactly (plus the
+    constant shard column); with more shards every doc appears once and
+    each (group, shard) stream independently satisfies next-fit."""
+    rows = [
+        ("s", i, " ".join(["w"] * (3 + i % 7))) for i in range(1, 41)
+    ] + [("t", 100 + i, "a b c") for i in range(10)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    plain = [tuple(r) for r in tr.pack_sequences(df, capacity=16).collect()]
+    one = [
+        (r["group"], r["doc_id"], r["n_tokens"], r["seq_no"], r["seq_offset"])
+        for r in tr.pack_sequences_sharded(df, capacity=16, n_shards=1).collect()
+    ]
+    assert one == plain
+    out = tr.pack_sequences_sharded(df, capacity=16, n_shards=4).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(i for _, i, _ in rows)
+    streams = {}
+    for r in sorted(out, key=lambda r: (r["group"], r["shard"], r["doc_id"])):
+        streams.setdefault((r["group"], r["shard"]), []).append(r)
+    for rs in streams.values():
+        used, seq = 0, 0
+        for i, r in enumerate(rs):
+            if i == 0:
+                assert (r["seq_no"], r["seq_offset"]) == (0, 0)
+            elif used + r["n_tokens"] > 16:
+                assert r["seq_no"] == seq + 1 and r["seq_offset"] == 0
+            else:
+                assert r["seq_no"] == seq and r["seq_offset"] == used
+            if r["seq_no"] != seq:
+                seq, used = r["seq_no"], 0
+            used += r["n_tokens"]
