@@ -536,9 +536,126 @@ FROM flagged GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# bigram language-model scoring (KenLM-style quality filter, self-trained)
+# --------------------------------------------------------------------------
+def bigram_lm_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, sum_logp_q, avg_logp_q): score every document
+    under an add-one-smoothed bigram LM trained on the corpus itself — the
+    perplexity-style quality filter real training pipelines run (low
+    average log-probability ⇒ boilerplate/garbled text).
+
+    ``logp(w2|w1) = ln((c(w1,w2) + 1) / (c(w1) + V))`` with ``V`` the
+    corpus vocabulary size; each bigram's logp is floored to 1e-6 quanta
+    (the tfidf/string_stats log-quantization discipline) and summed
+    exactly, so cross-engine hashing is deterministic. Docs with < 2
+    tokens score NULL with ``n_bigrams = 0``.
+
+    Scale shape: two count aggregations (bigram, unigram) + one join of
+    doc-bigrams against the bigram table keyed by (w1, w2) — all
+    partial+final hash aggs; V rides along as a 1-row broadcast. At 100 TB
+    cap the model to the top-V bigrams broadcast + OOV default instead of
+    the full shuffle join (same rewrite as the contamination screen's
+    hashed-membership variant).
+    """
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "").alias("__t"),
+    )
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            # guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of
+            # being empty, so a single-token doc would index out of bounds
+            # under ANSI — emit an explicitly empty array below 2 tokens
+            F.expr(
+                "CASE WHEN size(__t) >= 2 THEN"
+                " transform(sequence(1, size(__t) - 1),"
+                " i -> struct(__t[i - 1] AS w1, __t[i] AS w2))"
+                " ELSE CAST(array() AS array<struct<w1: string, w2: string>>) END"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    uni = toks.select(F.explode("__t").alias("w1"))
+    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cu = uni.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    vocab = uni.agg(F.countDistinct("w1").alias("V"))
+    logp_q = F.floor(
+        F.log(
+            (F.col("cb") + F.lit(1.0))
+            / (F.col("cu") + F.col("V").cast("double"))
+        )
+        * F.lit(float(QUANT))
+    )
+    scored = (
+        big.join(cb, ["w1", "w2"])
+        .join(cu, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", logp_q.alias("__lq"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("__lq").alias("sum_logp_q"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "sum_logp_q",
+            # exact floor mean of (negative) log quanta
+            F.expr(
+                "CASE WHEN n_bigrams > 0 THEN"
+                " (sum_logp_q - pmod(sum_logp_q, n_bigrams)) div n_bigrams"
+                " END"
+            ).alias("avg_logp_q"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BIGRAM_LM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS t
+  FROM documents
+),
+big AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+        FROM toks)
+),
+uni AS (SELECT unnest(t) AS w1 FROM toks),
+cb AS (SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY w1, w2),
+cu AS (SELECT w1, COUNT(*) AS cu FROM uni GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT w1) AS V FROM uni),
+scored AS (
+  SELECT big.doc_id,
+         CAST(FLOOR(ln((cb.cb + 1.0) / (cu.cu + CAST(v.V AS DOUBLE)))
+              * {float(QUANT)}) AS BIGINT) AS lq
+  FROM big JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(lq) AS BIGINT) AS sum_logp_q
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       a.sum_logp_q,
+       CASE WHEN a.n_bigrams > 0 THEN
+         CAST((a.sum_logp_q - ((a.sum_logp_q % a.n_bigrams + a.n_bigrams)
+               % a.n_bigrams)) // a.n_bigrams AS BIGINT)
+       END AS avg_logp_q
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def queries() -> dict:
     return {
         "corpus_tfidf_top": lambda s, d: tfidf_top_terms(load_table(s, d, "documents")),
+        "corpus_lm_score": lambda s, d: bigram_lm_score(load_table(s, d, "documents")),
         "corpus_contamination": lambda s, d: contamination_overlap(
             load_table(s, d, "documents").where("source <> 'src0'"),
             load_table(s, d, "documents").where("source = 'src0'"),
@@ -560,6 +677,7 @@ def queries() -> dict:
 def oracle_sql() -> dict:
     return {
         "corpus_tfidf_top": tfidf_sql(),
+        "corpus_lm_score": BIGRAM_LM_SQL,
         "corpus_contamination": contamination_sql("source = 'src0'", "source <> 'src0'"),
         "corpus_span_dedup": span_dedup_sql(),
         "corpus_top_ngrams": top_ngrams_sql(),

@@ -1277,3 +1277,24 @@ def test_geohash_matches_independent_bisection_model(spark):
         }
         want = {py_geohash(lat, lon, precision) for _, lat, lon in pts}
         assert got == want, precision
+
+
+def test_bigram_lm_score_golden(spark):
+    """Hand-computed add-one bigram LM: corpus 'a b' ×2, 'a c', plus a
+    single-token doc (vocab {a,b,c,x} ⇒ V = 4, c(a) = 3):
+    logp(b|a) = ln(3/7), logp(c|a) = ln(2/7)."""
+    import math
+
+    from elasticsearch_drift_plugin_spark.operators.corpus import bigram_lm_score
+
+    df = _docs(spark, [(1, "s", "a b"), (2, "s", "a b"), (3, "s", "a c"), (4, "s", "x")])
+    got = {r["doc_id"]: r for r in bigram_lm_score(df).collect()}
+    lp_ab = math.floor(math.log((2 + 1) / (3 + 4)) * 1_000_000)
+    lp_ac = math.floor(math.log((1 + 1) / (3 + 4)) * 1_000_000)
+    assert (got[1]["n_bigrams"], got[1]["sum_logp_q"]) == (1, lp_ab)
+    assert got[2]["sum_logp_q"] == lp_ab
+    assert got[3]["sum_logp_q"] == lp_ac
+    assert got[3]["avg_logp_q"] == lp_ac  # single bigram: avg == sum
+    assert got[4]["n_bigrams"] == 0 and got[4]["avg_logp_q"] is None
+    # the common bigram scores higher than the rare one
+    assert got[1]["avg_logp_q"] > got[3]["avg_logp_q"]
