@@ -152,13 +152,13 @@ GRADE_FIRST: tuple[str, ...] = (
     "train_domain_mix", "train_chunk_docs", "train_curate_pipeline",
     "mm_resize", "mm_features", "stream_flow_sessions",
     # --- new in r4 (never graded by definition): tz rounding, geo aggs,
-    # gap-split histogram, text categorization ---
+    # gap-split histogram, text categorization, ip ranges, sharded packing,
+    # bigram LM scoring ---
     "psum_cal_day_tz", "es_geotile_grid", "es_geo_centroid",
     "es_variable_width_histogram", "es_categorize_text",
-    # --- keepers: §2.1 reference-parity core re-attested each round ---
-    "psum_fixed_1h", "psum_cal_day", "psum_grouped_subagg",
-    # --- keepers: one per heavy family ---
-    "dedup_components", "ann_ivf_topk", "stream_psum_6h",
+    "es_ip_range", "train_pack_sharded", "corpus_lm_score",
+    # --- keepers: §2.1 core + the headline ANN path re-attested ---
+    "psum_fixed_1h", "psum_cal_day", "ann_ivf_topk",
 )
 
 
