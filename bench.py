@@ -91,6 +91,9 @@ BENCH_QUERIES = [
     "es_variable_width_histogram",
     "es_categorize_text",
     "es_cardinality_approx",
+    "es_ip_range",
+    "train_pack_sharded",
+    "corpus_lm_score",
 ]
 
 

@@ -1298,3 +1298,45 @@ def test_bigram_lm_score_golden(spark):
     assert got[4]["n_bigrams"] == 0 and got[4]["avg_logp_q"] is None
     # the common bigram scores higher than the rare one
     assert got[1]["avg_logp_q"] > got[3]["avg_logp_q"]
+
+
+def test_psum_rollup_reaggregates_within_quantization_bound(spark, tmp_path):
+    """Hour-grain psum rollup re-aggregated to days must match the direct
+    day-grain query: value within the documented floor-drift bound
+    (< one quantum per extra flow-hour touch), touches = sum of hour
+    doc_counts, and the HLL flow estimate close to the direct day
+    doc_count (distinct flows, since each synthetic flow has a unique id
+    and one range)."""
+    from elasticsearch_drift_plugin_spark import proportional_sum
+    from elasticsearch_drift_plugin_spark.operators import rollup
+
+    DAY = 86_400_000
+    HOUR = 3_600_000
+    rows = []
+    for i in range(400):
+        s = i * 7 * HOUR // 3
+        rows.append((i, s, s + (i % 50) * HOUR // 2 + 1, 10.0 + (i % 13) * 0.37, None))
+    df = spark.createDataFrame(
+        rows, "flow_id long, start_ms long, end_ms long, value double, sampling double"
+    )
+    path = str(tmp_path / "psum_rollup")
+    rollup.write_psum_rollup(df, path, fine_interval_ms=HOUR, quantize=4)
+    rolled = {r["key"]: r for r in rollup.rollup_psum(spark, path, DAY).collect()}
+    direct = {
+        r["key"]: r
+        for r in proportional_sum(
+            df, "start_ms", "end_ms", "value", "sampling", interval=DAY, quantize=4
+        ).collect()
+    }
+    assert set(rolled) == set(direct)
+    for k, d in direct.items():
+        r = rolled[k]
+        bound = (r["touches"] - d["doc_count"] + 1) * 1e-4
+        assert 0 <= d["value"] - r["value"] < bound, (k, d["value"], r["value"], bound)
+        assert abs(r["est_flows"] - d["doc_count"]) / max(d["doc_count"], 1) < 0.05
+        assert r["touches"] >= d["doc_count"]  # touch count over-counts by design
+    # range query prunes to the requested days and stays consistent
+    lo = 2 * DAY
+    hi = 5 * DAY
+    sub = rollup.rollup_psum(spark, path, DAY, start_ms=lo, end_ms=hi).collect()
+    assert {r["key"] for r in sub} == {k for k in direct if lo <= k < hi}
