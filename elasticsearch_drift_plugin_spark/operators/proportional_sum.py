@@ -301,7 +301,13 @@ def proportional_sum(
     out = out.withColumn("key_ts", F.timestamp_millis(F.col(_KEY)))
     cols = [*group_by, "key", "key_ts", "doc_count", "value", *extra_aggs]
     if key_format:
-        out = out.withColumn("key_as_string", F.date_format(F.col("key_ts"), key_format))
+        # with time_zone the formatted key renders the LOCAL wall time of
+        # the bucket boundary (what an ES date_histogram with time_zone
+        # returns in key_as_string); the numeric key stays the UTC instant
+        render_ts = (
+            F.from_utc_timestamp(F.col("key_ts"), p.tz) if p.tz else F.col("key_ts")
+        )
+        out = out.withColumn("key_as_string", F.date_format(render_ts, key_format))
         cols.append("key_as_string")
     out = out.select(*cols)
 

@@ -44,6 +44,7 @@ def proportional_sum_stream(
     offset: int | str = 0,
     start=None,
     end=None,
+    time_zone: str | None = None,
     watermark_delay: str = "10 minutes",
     group_by: tuple = (),
     max_buckets_per_row: int = 100_000,
@@ -64,6 +65,7 @@ def proportional_sum_stream(
         offset=offset,
         start=_ms_param(start),
         end=_ms_param(end),
+        time_zone=time_zone,
     )
     exploded, contrib = explode_contributions(
         stream,

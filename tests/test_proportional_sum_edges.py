@@ -532,3 +532,43 @@ def test_time_zone_auto_offset_uses_local_floor(spark):
         start=start, end=start + 7200000,
     )
     assert [(r.key, r.value) for r in out] == [(start, 6.0)]
+
+
+def test_time_zone_key_format_renders_local_wall_time(spark):
+    s = 1709985600000  # 2024-03-09T12:00:00Z
+    out = run(
+        spark, [(s, s + 3600000, 6.0, None)],
+        calendar_interval="day", time_zone="America/New_York",
+        key_format="yyyy-MM-dd HH:mm",
+    )
+    # bucket key = Mar 9 local midnight = 05:00 UTC; rendered LOCAL
+    assert out[0].key == 1709960400000
+    assert out[0].key_as_string == "2024-03-09 00:00"
+
+
+def test_time_zone_streaming_matches_batch(spark, tmp_path):
+    from elasticsearch_drift_plugin_spark.streaming import proportional_sum_stream
+
+    s = 1709985600000
+    rows = [(s, s + 7200000, 6.0, None)]
+    src = str(tmp_path / "tzsrc")
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    agg = proportional_sum_stream(
+        stream, "start_ms", "end_ms", "value", "sampling",
+        calendar_interval="day", time_zone="America/New_York",
+        watermark_delay="365 days",
+    )
+    q = agg.writeStream.outputMode("update").format("memory").queryName("tz_out").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.key: r.value for r in spark.sql("SELECT * FROM tz_out").collect()}
+    batch = {
+        r.key: r.value
+        for r in run(
+            spark, rows, calendar_interval="day", time_zone="America/New_York"
+        )
+    }
+    assert got == batch and list(got) == [1709960400000]
