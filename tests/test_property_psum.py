@@ -312,3 +312,47 @@ def test_auto_strategy_picks_sweep_on_wide_ranges(spark):
     assert [tuple(r) for r in auto_wide.collect()] == [
         tuple(r) for r in explode.collect()
     ]
+
+
+from elasticsearch_drift_plugin_spark.functions.time import local_ts_to_utc_ms
+
+TZ_SAMPLE = (
+    "America/New_York",   # DST, transitions at 02:00 local
+    "Europe/Berlin",      # DST, +1/+2
+    "Asia/Kolkata",       # fixed +05:30 (half-hour offset)
+    "Australia/Lord_Howe",  # +10:30/+11 with a HALF-HOUR DST shift
+    "Pacific/Kiritimati",   # +14, crossed the dateline in 1994
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    ts=st.lists(
+        st.integers(min_value=0, max_value=4_102_444_800_000),  # 1970..2100
+        min_size=1, max_size=12,
+    ),
+    unit=st.sampled_from(CALENDAR_UNITS),
+    tz=st.sampled_from(TZ_SAMPLE),
+)
+def test_tz_calendar_floor_spark_matches_python(spark, ts, unit, tz):
+    """The tz path: Spark's from_utc_timestamp + date_trunc + to_utc_timestamp
+    round-trip must floor every instant exactly like the zoneinfo-based
+    Python twin that derives auto-offsets and prefilter bounds — including
+    half-hour zones and half-hour DST shifts."""
+    import pyspark.sql.functions as SF
+
+    df = spark.createDataFrame([(t,) for t in ts], "t long")
+    got = {
+        r["t"]: r["fl"]
+        for r in df.select(
+            "t",
+            local_ts_to_utc_ms(floor_calendar(SF.col("t"), unit, 0, tz), tz).alias("fl"),
+        ).collect()
+    }
+    for t in ts:
+        expect = trunc_calendar_ms(t, unit, tz)
+        assert got[t] == expect, (t, unit, tz, got[t], expect)
+        assert expect <= t
+        nxt = add_calendar_ms(expect, unit, 1, tz)
+        assert nxt > expect and trunc_calendar_ms(nxt, unit, tz) == nxt

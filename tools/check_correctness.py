@@ -42,8 +42,15 @@ def table_hash(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results: dict = {}
     spark = get_spark("correctness-check")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -93,6 +100,13 @@ def main():
                         problems.append(f"first diff:\n  spark: {a}\n  duck:  {b}")
                         break
         dt = time.time() - t0
+        results[name] = {
+            "pass": not problems,
+            "spark_rows": len(srows),
+            "oracle_rows": len(orows),
+            "sec": round(dt, 2),
+            "err": "; ".join(problems[:3]) or None,
+        }
         if problems:
             print(f"FAIL  {name} ({dt:.1f}s): " + "; ".join(problems[:3]))
             n_fail += 1
@@ -100,6 +114,11 @@ def main():
             print(f"PASS  {name} ({dt:.1f}s, {len(srows)} rows)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1)
     return 1 if n_fail else 0
 
 
