@@ -96,6 +96,42 @@ def rollup_cardinality(
     )
 
 
+def cardinality_intersect(
+    df: DataFrame,
+    id_col: str,
+    where_a: str,
+    where_b: str,
+    lg_k: int = LG_K,
+) -> DataFrame:
+    """(est_a, est_b, est_union, est_intersect): approximate distinct-id
+    overlap between two predicates via HLL inclusion–exclusion —
+    ``|A∩B| ≈ |A| + |B| − |A∪B|`` (HLL unions are lossless over the same
+    registers, so the subtraction is the standard estimator; error grows
+    when the true intersection is small relative to the union — use exact
+    countDistinct when that matters). ONE pass over the data building two
+    conditional sketches; the union merges them without rescanning."""
+    sk = df.select(
+        F.expr(
+            f"hll_sketch_agg(CASE WHEN {where_a} THEN {id_col} END, {int(lg_k)})"
+        ).alias("ska"),
+        F.expr(
+            f"hll_sketch_agg(CASE WHEN {where_b} THEN {id_col} END, {int(lg_k)})"
+        ).alias("skb"),
+    )
+    return sk.select(
+        F.expr("hll_sketch_estimate(ska)").alias("est_a"),
+        F.expr("hll_sketch_estimate(skb)").alias("est_b"),
+        F.expr("hll_sketch_estimate(hll_union(ska, skb))").alias("est_union"),
+        F.greatest(
+            F.expr(
+                "hll_sketch_estimate(ska) + hll_sketch_estimate(skb)"
+                " - hll_sketch_estimate(hll_union(ska, skb))"
+            ),
+            F.lit(0),
+        ).alias("est_intersect"),
+    )
+
+
 def queries() -> dict:
     # rows-only driver check (no DuckDB oracle can reproduce DataSketches
     # estimates); numeric invariants live in tests/test_extensions.py

@@ -1340,3 +1340,27 @@ def test_psum_rollup_reaggregates_within_quantization_bound(spark, tmp_path):
     hi = 5 * DAY
     sub = rollup.rollup_psum(spark, path, DAY, start_ms=lo, end_ms=hi).collect()
     assert {r["key"] for r in sub} == {k for k in direct if lo <= k < hi}
+
+
+def test_hll_intersection_estimate(spark):
+    """Inclusion-exclusion over conditional sketches: estimates within 5%
+    of exact for a constructed overlap, zero-clamped for disjoint sets."""
+    from elasticsearch_drift_plugin_spark.operators import sketches
+
+    # ids 0..2999 in A; 2000..5999 in B -> |A|=3000 |B|=4000 |A∩B|=1000
+    rows = [(i, "a") for i in range(3000)] + [(i, "b") for i in range(2000, 6000)]
+    df = spark.createDataFrame(rows, "uid long, tag string")
+    r = sketches.cardinality_intersect(
+        df, "uid", "tag = 'a'", "tag = 'b'"
+    ).collect()[0]
+    assert abs(r["est_a"] - 3000) / 3000 < 0.05
+    assert abs(r["est_b"] - 4000) / 4000 < 0.05
+    assert abs(r["est_union"] - 6000) / 6000 < 0.05
+    assert abs(r["est_intersect"] - 1000) / 1000 < 0.25  # differencing amplifies error
+    dj = spark.createDataFrame(
+        [(i, "a") for i in range(500)] + [(1000 + i, "b") for i in range(500)],
+        "uid long, tag string",
+    )
+    r2 = sketches.cardinality_intersect(dj, "uid", "tag = 'a'", "tag = 'b'").collect()[0]
+    assert r2["est_intersect"] <= 0.05 * 1000  # ~0, never negative
+    assert r2["est_intersect"] >= 0
