@@ -192,14 +192,20 @@ def ivf_topk(
     n_centroids: int = N_CENTROIDS,
     nprobe: int = NPROBE,
     id_col: str = "vec_id",
+    cents=None,
 ) -> DataFrame:
     """IVF ANN: probe the ``nprobe`` best cells per query, score only vectors
     assigned there. At scale the corpus is scanned once (assignment is
     map-side) and candidate generation is an equi-join on the cell id with
     the tiny (queries × nprobe) side broadcast — no corpus shuffle at all;
     partitioning the stored corpus by cell makes the probe partition-prunable.
+
+    ``cents`` accepts a pre-fitted centroid list (:func:`kmeans_fit`'s
+    output format) — the trained-index path; default is the deterministic
+    one-pass seeding the oracle reproduces.
     """
-    cents = _seed_centroids(corpus, n_centroids, id_col)
+    if cents is None:
+        cents = _seed_centroids(corpus, n_centroids, id_col)
     assigned = ivf_assign(corpus, cents, id_col)
 
     probe_structs = ",".join(
@@ -470,6 +476,14 @@ def queries() -> dict:
         "ann_ivf_topk": lambda s, d: ivf_topk(
             load_table(s, d, "embeddings"),
             load_table(s, d, "embeddings").where(F.col("vec_id") < 10),
+        ),
+        # trained-index path: Lloyd-fitted centroids feed the same probe.
+        # Iterative fit => no SQL oracle (rows-only driver check; Lloyd
+        # invariants are pytest-pinned in test_extensions.py).
+        "emb_kmeans_ivf_topk": lambda s, d: ivf_topk(
+            load_table(s, d, "embeddings"),
+            load_table(s, d, "embeddings").where(F.col("vec_id") < 10),
+            cents=kmeans_fit(load_table(s, d, "embeddings"), n_iter=2),
         ),
     }
 

@@ -1364,3 +1364,21 @@ def test_hll_intersection_estimate(spark):
     r2 = sketches.cardinality_intersect(dj, "uid", "tag = 'a'", "tag = 'b'").collect()[0]
     assert r2["est_intersect"] <= 0.05 * 1000  # ~0, never negative
     assert r2["est_intersect"] >= 0
+
+
+def test_psum_rollup_range_query_partition_prunes(spark, tmp_path):
+    """The rollup's date filter must reach the scan as a partition filter —
+    the at-rest claim in SCALE.md."""
+    from elasticsearch_drift_plugin_spark.operators import rollup
+    from elasticsearch_drift_plugin_spark.plans import explain_str
+    from elasticsearch_drift_plugin_spark.sources.flows import events_flows
+
+    fl = events_flows(spark, "/root/testdata/sf0.001")
+    path = str(tmp_path / "ru_prune")
+    rollup.write_psum_rollup(fl, path, fine_interval_ms=3_600_000)
+    DAY = 86_400_000
+    lo = 1_704_067_200_000 + 3 * DAY
+    out = rollup.rollup_psum(spark, path, DAY, start_ms=lo, end_ms=lo + 7 * DAY)
+    plan = explain_str(out)
+    assert "PartitionFilters" in plan
+    assert "date_ms" in plan.split("PartitionFilters", 1)[1][:300]
