@@ -157,8 +157,9 @@ GRADE_FIRST: tuple[str, ...] = (
     "psum_cal_day_tz", "es_geotile_grid", "es_geo_centroid",
     "es_variable_width_histogram", "es_categorize_text",
     "es_ip_range", "train_pack_sharded", "corpus_lm_score",
+    "psum_sweep_day_lineitem",
     # --- keepers: §2.1 core + the headline ANN path re-attested ---
-    "psum_fixed_1h", "psum_cal_day", "ann_ivf_topk",
+    "psum_fixed_1h", "ann_ivf_topk",
 )
 
 
@@ -213,6 +214,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # explode-stress: day buckets over ~120-day ranges (~60x fan-out);
         # exercises the partial-agg collapse of the Generate output at volume
         "psum_day_lineitem": lambda s, d: _psum_lineitem(s, d, interval=DAY, offset=1),
+        # the SAME query through the sweep-line strategy: bit-identical
+        # output contract (quantized deltas commute), shares the oracle —
+        # driver-graded evidence for the O(1)-rows-per-flow fast path
+        "psum_sweep_day_lineitem": lambda s, d: _psum_lineitem(
+            s, d, interval=DAY, offset=1, strategy="sweep"
+        ),
         # row 7 cont.: year stepping crosses leap years (lineitem spans 1992-98)
         "psum_cal_year_lineitem": lambda s, d: _psum_lineitem(
             s, d, calendar_interval="year", offset=1
@@ -389,6 +396,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "psum_cal_week": _ev_oracle(calendar_interval="week", offset=1),
         "psum_day_lineitem": _li_oracle(interval=DAY, offset=1),
+        "psum_sweep_day_lineitem": _li_oracle(interval=DAY, offset=1),
         "psum_cal_year_lineitem": _li_oracle(calendar_interval="year", offset=1),
         "psum_cal_month_lineitem": _li_oracle(
             calendar_interval="month", offset=1, start=LI_START, end=LI_END
