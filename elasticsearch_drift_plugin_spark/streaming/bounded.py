@@ -69,6 +69,20 @@ def stream_psum_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.select("key", "doc_count", "value").orderBy("key")
 
 
+def stream_psum_day_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``psum_cal_day_tz``: local-midnight day buckets in
+    America/New_York computed by the streaming operator over a bounded
+    replay — tz rounding and the watermarkable aggregation compose."""
+    fl = events_flows_stream(spark, sf_dir)
+    agg = proportional_sum_stream(
+        fl, "start_ms", "end_ms", "value", "sampling",
+        calendar_interval="day", offset=1, time_zone="America/New_York",
+        quantize=4,
+    )
+    tbl = run_available_now(agg, "complete")
+    return tbl.select("key", "doc_count", "value").orderBy("key")
+
+
 def stream_flow_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """flow_sessions_stream over a bounded replay, collapsed to the batch
     sessionize output shape (key…, session_id, session_start, session_end,
@@ -118,6 +132,7 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict:
     return {
         "stream_psum_6h": stream_psum_6h,
+        "stream_psum_day_tz": stream_psum_day_tz,
         "stream_flow_sessions": stream_flow_sessions,
         "stream_dedup_exact": stream_dedup_exact,
     }
@@ -132,6 +147,10 @@ def oracle_sql() -> dict:
 
     return {
         "stream_psum_6h": psum,
+        "stream_psum_day_tz": psum_oracle_sql(
+            events_flows_duckdb_sql(""), quantize=4,
+            calendar_interval="day", offset=1, time_zone="America/New_York",
+        ),
         "stream_dedup_exact": EXACT_SQL,
         "stream_flow_sessions": sessionize_sql(
             events_flows_duckdb_sql(""),
