@@ -356,3 +356,24 @@ def test_tz_calendar_floor_spark_matches_python(spark, ts, unit, tz):
         assert expect <= t
         nxt = add_calendar_ms(expect, unit, 1, tz)
         assert nxt > expect and trunc_calendar_ms(nxt, unit, tz) == nxt
+
+
+def test_sweep_with_empty_fill_matches_explode(spark):
+    """sweep + min_doc_count=0: the zero-fill spine must span the same
+    observed keys either strategy produces — sparse flows with gaps."""
+    step = 100
+    rows = [
+        (0, 1000, 10.0, None),
+        (5000, 6000, 4.0, None),      # gap of ~40 empty buckets
+        (5900, 5900, 7.0, None),      # zero-duration inside the tail
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    kw = dict(interval=step, quantize=6, min_doc_count=0)
+    sweep = proportional_sum(
+        df, "start_ms", "end_ms", "value", "sampling", strategy="sweep", **kw
+    ).collect()
+    explode = proportional_sum(
+        df, "start_ms", "end_ms", "value", "sampling", strategy="explode", **kw
+    ).collect()
+    assert [tuple(r) for r in sweep] == [tuple(r) for r in explode]
+    assert len(sweep) == 61  # keys 0..6000 inclusive
