@@ -175,6 +175,63 @@ def canonical_map(
     )
 
 
+def quality_canonical_map(
+    corpus: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, canonical): like :func:`canonical_map`, but the survivor per
+    duplicate cluster is the HIGHEST-quality member (``text.quality_score``,
+    ties → lowest id) instead of the minimum id — what a production dedup
+    pass actually keeps. The quality join touches only clustered docs
+    (#clustered ≪ corpus) and the argmax is a window over cluster members,
+    so the added cost is cluster-sized, not corpus-sized."""
+    from pyspark.sql import Window
+
+    from .text import quality_score
+
+    comp = connected_components(pairs).withColumnRenamed("node", id_col)
+    scores = quality_score(corpus).select(id_col, "score_q")
+    w = Window.partitionBy("component").orderBy(
+        F.col("score_q").desc(), F.col(id_col).asc()
+    )
+    survivors = (
+        comp.join(scores, id_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("component", F.col(id_col).alias("__surv"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(comp, id_col, "left")
+        .join(survivors, "component", "left")
+        .select(
+            id_col,
+            F.coalesce("__surv", F.col(id_col)).alias("canonical"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def quality_canonical_oracle_sql(pairs_sql: str, threshold_clause: str = "") -> str:
+    from .text import quality_sql
+
+    return f"""{_closure_ctes(pairs_sql, threshold_clause)},
+__scores AS (SELECT doc_id, score_q FROM ({quality_sql()})),
+__surv AS (
+  SELECT component, doc_id AS surv FROM (
+    SELECT c.component, c.node AS doc_id,
+           ROW_NUMBER() OVER (PARTITION BY c.component
+                              ORDER BY s.score_q DESC, c.node ASC) AS rn
+    FROM __comp c JOIN __scores s ON s.doc_id = c.node
+  ) WHERE rn = 1
+)
+SELECT d.doc_id, COALESCE(v.surv, d.doc_id) AS canonical
+FROM documents d
+LEFT JOIN __comp c ON c.node = d.doc_id
+LEFT JOIN __surv v ON v.component = c.component
+ORDER BY d.doc_id
+"""
+
+
 def queries() -> dict:
     from ..sources.flows import load_table
     from . import dedup
@@ -192,6 +249,10 @@ def queries() -> dict:
         "dedup_canonical_map": lambda s, d: canonical_map(
             load_table(s, d, "documents"), _pairs(s, d)
         ),
+        # production variant: keep the best-quality cluster member
+        "dedup_quality_canonical": lambda s, d: quality_canonical_map(
+            load_table(s, d, "documents"), _pairs(s, d)
+        ),
     }
 
 
@@ -203,6 +264,9 @@ def oracle_sql() -> dict:
             dedup.minhash_pairs_sql(), f"WHERE jacc_q >= {JACC_KEEP_Q}"
         ),
         "dedup_canonical_map": canonical_oracle_sql(
+            dedup.minhash_pairs_sql(), f"WHERE jacc_q >= {JACC_KEEP_Q}"
+        ),
+        "dedup_quality_canonical": quality_canonical_oracle_sql(
             dedup.minhash_pairs_sql(), f"WHERE jacc_q >= {JACC_KEEP_Q}"
         ),
     }
