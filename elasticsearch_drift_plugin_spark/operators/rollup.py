@@ -52,9 +52,16 @@ def write_psum_rollup(
     group_by: tuple = (),
     lg_k: int = LG_K,
     mode: str = "overwrite",
+    dynamic_partitions: bool = False,
 ) -> None:
     """Persist fine-grain psum buckets (quantized exact sums + touch counts
-    + per-bucket flow-id HLL sketch), parquet-partitioned by UTC date."""
+    + per-bucket flow-id HLL sketch), parquet-partitioned by UTC date.
+
+    ``dynamic_partitions=True`` (with ``mode='overwrite'``) replaces ONLY
+    the date partitions present in this batch — the idempotent daily
+    backfill: re-running a day's job overwrites that day's rollup rows and
+    leaves every other day untouched. Requires complete days per run (a
+    partial day would replace the full day's partition)."""
     scale = 10**quantize
     fine = proportional_sum(
         flows,
@@ -69,7 +76,7 @@ def write_psum_rollup(
             "flow_sketch": F.expr(f"hll_sketch_agg({id_col}, {int(lg_k)})")
         },
     )
-    (
+    writer = (
         fine.select(
             *group_by,
             "key",
@@ -80,8 +87,10 @@ def write_psum_rollup(
         )
         .write.mode(mode)
         .partitionBy("date_ms")
-        .parquet(path)
     )
+    if dynamic_partitions:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.parquet(path)
 
 
 def rollup_psum(

@@ -1382,3 +1382,32 @@ def test_psum_rollup_range_query_partition_prunes(spark, tmp_path):
     plan = explain_str(out)
     assert "PartitionFilters" in plan
     assert "date_ms" in plan.split("PartitionFilters", 1)[1][:300]
+
+
+def test_psum_rollup_dynamic_partition_backfill(spark, tmp_path):
+    """Re-running one day's rollup with dynamic partition overwrite replaces
+    only that day; other days' partitions survive untouched."""
+    from elasticsearch_drift_plugin_spark.operators import rollup
+
+    DAY, HOUR = 86_400_000, 3_600_000
+    rows = [
+        (i, d * DAY + (i % 20) * HOUR, d * DAY + (i % 20) * HOUR + 2 * HOUR, 5.0, None)
+        for d in range(3)
+        for i in range(d * 100, d * 100 + 50)
+    ]
+    schema = "flow_id long, start_ms long, end_ms long, value double, sampling double"
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "dyn_rollup")
+    rollup.write_psum_rollup(df, path, fine_interval_ms=HOUR)
+    before = {r["key"]: r["value"] for r in rollup.rollup_psum(spark, path, DAY).collect()}
+    assert set(before) == {0, DAY, 2 * DAY}
+    # re-run ONLY day 1 with doubled values
+    day1 = spark.createDataFrame(
+        [(i, s, e, 10.0, None) for i, s, e, _, _ in rows if DAY <= s < 2 * DAY], schema
+    )
+    rollup.write_psum_rollup(
+        day1, path, fine_interval_ms=HOUR, dynamic_partitions=True
+    )
+    after = {r["key"]: r["value"] for r in rollup.rollup_psum(spark, path, DAY).collect()}
+    assert after[0] == before[0] and after[2 * DAY] == before[2 * DAY]  # untouched
+    assert abs(after[DAY] - 2 * before[DAY]) < 1e-6  # replaced with doubled values
