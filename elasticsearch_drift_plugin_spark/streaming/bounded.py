@@ -29,6 +29,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.geo import geotile_grid_sql
 from ..operators.sessionize import sessionize_sql
 from ..oracle import psum_oracle_sql
 from ..sources.flows import events_flows_duckdb_sql, events_flows_stream
@@ -106,6 +107,20 @@ def stream_flow_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_geotile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ``es_geotile_grid`` as a streaming aggregation over a bounded
+    replay of ``events`` — grid keys compute map-side, the count/sum state
+    is an incrementally-maintained aggregate, and complete mode legalizes
+    the final top-``size`` sort. Same oracle as the batch query."""
+    from ..operators.geo import geo_events, geotile_grid
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet*")
+    agg = geotile_grid(geo_events(ev))
+    tbl = run_available_now(agg, "complete")
+    return tbl.orderBy(F.col("doc_count").desc(), F.col("key").asc())
+
+
 def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: the batch ``exact_dedup`` aggregation (group
     by content digest, min-id survivor + group size) as a streaming
@@ -135,6 +150,7 @@ def queries() -> dict:
         "stream_psum_day_tz": stream_psum_day_tz,
         "stream_flow_sessions": stream_flow_sessions,
         "stream_dedup_exact": stream_dedup_exact,
+        "stream_geotile_grid": stream_geotile_grid,
     }
 
 
@@ -152,6 +168,7 @@ def oracle_sql() -> dict:
             calendar_interval="day", offset=1, time_zone="America/New_York",
         ),
         "stream_dedup_exact": EXACT_SQL,
+        "stream_geotile_grid": geotile_grid_sql(),
         "stream_flow_sessions": sessionize_sql(
             events_flows_duckdb_sql(""),
             ["event_type", "user_id"],
