@@ -63,3 +63,24 @@ def write_histogram_stream(
         .format("parquet")
         .start(path)
     )
+
+
+def create_bucketed_table(
+    spark,
+    name: str,
+    schema_sql: str,
+    bucket_col: str,
+    location: str,
+    n_buckets: int = 64,
+) -> None:
+    """Create a bucketed+sorted parquet table — the co-located join layout
+    SCALE.md prescribes for the curation pipeline's one text-bearing join
+    (survivors ⋈ documents on doc_id): when BOTH sides are bucketed on the
+    join key into the same bucket count, Catalyst plans a SortMergeJoin
+    with ZERO exchanges (plan-asserted in tests/test_plans.py). Populate
+    with ``df.write.insertInto(name)``."""
+    spark.sql(
+        f"CREATE TABLE {name} ({schema_sql}) USING PARQUET "
+        f"CLUSTERED BY ({bucket_col}) SORTED BY ({bucket_col}) "
+        f"INTO {int(n_buckets)} BUCKETS LOCATION '{location}'"
+    )

@@ -212,3 +212,37 @@ def test_string_stats_partial_agg_below_shuffle(spark):
     # char fan-out collapsed map-side: a partial/final HashAggregate pair
     assert len(re.findall(r"\bHashAggregate\b \(", plan)) >= 4  # two agg pairs
     assert not has_python_eval(out)
+
+
+def test_bucketed_join_has_zero_exchanges(spark, tmp_path):
+    """SCALE.md claims pre-bucketing removes the curate pipeline's doc_id
+    join shuffle entirely; pin it: both sides bucketed on the key into the
+    same bucket count => SortMergeJoin with no Exchange in the plan."""
+    from elasticsearch_drift_plugin_spark.sources.sinks import create_bucketed_table
+
+    create_bucketed_table(
+        spark, "__bk_docs", "doc_id BIGINT, v DOUBLE", "doc_id",
+        str(tmp_path / "bk_docs"), n_buckets=8,
+    )
+    create_bucketed_table(
+        spark, "__bk_keep", "doc_id BIGINT, w DOUBLE", "doc_id",
+        str(tmp_path / "bk_keep"), n_buckets=8,
+    )
+    try:
+        spark.range(2000).selectExpr("id AS doc_id", "CAST(id AS DOUBLE) v") \
+            .write.insertInto("__bk_docs")
+        spark.range(0, 2000, 3).selectExpr("id AS doc_id", "CAST(id AS DOUBLE) w") \
+            .write.insertInto("__bk_keep")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("__bk_docs").join(spark.table("__bk_keep"), "doc_id")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan  # bucketing replaced the shuffle
+            assert j.count() == 667
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS __bk_docs")
+        spark.sql("DROP TABLE IF EXISTS __bk_keep")
