@@ -33,6 +33,7 @@ from elasticsearch_drift_plugin_spark.operators import (
     dedup,
     es_aggs,
     es_metrics,
+    frequent_itemsets,
     geo,
     multimodal,
     pipeline,
@@ -364,6 +365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(components.queries())
     q.update(es_aggs.queries())
     q.update(es_metrics.queries())
+    q.update(frequent_itemsets.queries())
     q.update(geo.queries())
     q.update(sketches.queries())
     q.update(similarity.queries())
@@ -486,6 +488,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(components.oracle_sql())
     o.update(es_aggs.oracle_sql())
     o.update(es_metrics.oracle_sql())
+    o.update(frequent_itemsets.oracle_sql())
     o.update(geo.oracle_sql())
     o.update(sketches.oracle_sql())
     o.update(similarity.oracle_sql())

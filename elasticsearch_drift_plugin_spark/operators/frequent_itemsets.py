@@ -1,0 +1,191 @@
+"""ES ``frequent_item_sets`` aggregation, Spark-first.
+
+The host-ES surface (SURVEY.md §2.2): ES 8.x ships a
+``frequent_item_sets`` bucket agg (market-basket analysis over multi-value
+docs). Here a "basket" is a (user_id, utc-day) pair and the items are the
+distinct ``event_type`` values the user produced that day — the natural
+events-table transliteration of the ES docs' own retail example.
+
+Semantics implemented (public ES contract, documented deltas):
+
+- itemsets of size ``min_set_size..max_set_size`` with support (number of
+  baskets containing ALL items) >= ``min_support``;
+- ranked by support desc, then set size desc, then the joined key asc —
+  ES's ECLAT ranking is support-first too; ties there are unspecified, so
+  the key tie-break pins determinism;
+- delta: ES returns only *closed* frequent sets (it drops a set when a
+  superset has identical support); this returns every frequent set —
+  "all frequent sets" is what downstream co-occurrence analyses want, and
+  the closed subset is recoverable with one anti-join over the output.
+
+Scale shape (distributed Apriori, levels 1-3):
+
+1. basket build: one ``distinct`` over (basket, item) — a single shuffle
+   whose width is bounded by #distinct pairs, not #events;
+2. level-1 prune: frequent singletons are aggregated map-side and
+   BROADCAST back as a semi-join filter, so infrequent items never enter
+   the quadratic stage (the classic Apriori anti-monotonicity cut);
+3. level-2/3: self-joins keyed on the basket id — co-partitioned shuffle
+   joins; per-basket fan-out is C(k, 2) / C(k, 3) where k = items per
+   basket AFTER the level-1 cut (k <= |item vocabulary|), the quantity a
+   100 TB run controls via ``min_support``.
+
+Everything is exact integer counting — no floats anywhere, hash-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.flows import load_table, ts_ms_sql
+
+DAY_MS = 86_400_000
+
+
+def event_baskets(events: DataFrame) -> DataFrame:
+    """(basket, item): distinct (user_id × utc-day, event_type) pairs."""
+    # exact integer day index (epoch-ms nonnegative, truncate == floor); the
+    # DuckDB twin uses `//` — never float-divide-then-cast, the engines
+    # round double->int differently (Spark truncates, DuckDB round-nearest)
+    day = F.expr(f"({ts_ms_sql(dict(events.dtypes)['ts'], 'ts')}) div {DAY_MS}")
+    return (
+        events.select(
+            F.concat_ws("#", F.col("user_id").cast("string"), day.cast("string"))
+            .alias("basket"),
+            F.col("event_type").alias("item"),
+        )
+        .distinct()
+    )
+
+
+def frequent_item_sets(
+    baskets: DataFrame,
+    min_support: int = 2,
+    min_set_size: int = 2,
+    max_set_size: int = 3,
+    size: int = 50,
+) -> DataFrame:
+    """(items, set_size, support): frequent itemsets over (basket, item).
+
+    ``baskets`` must be distinct (basket, item) pairs — ``event_baskets``
+    produces that shape. ``items`` is the "a+b+c" sorted join of the set.
+    """
+    if min_support < 1:
+        raise ValueError("min_support must be >= 1")
+    if not 1 <= min_set_size <= max_set_size <= 3:
+        raise ValueError("set sizes must satisfy 1 <= min <= max <= 3")
+
+    # level 1: frequent singletons, broadcast back as the Apriori cut
+    f1 = (
+        baskets.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    bf = baskets.join(F.broadcast(f1.select("item")), "item", "left_semi")
+
+    levels = []
+    if min_set_size <= 1:
+        levels.append(f1.select(F.col("item").alias("items"),
+                                F.lit(1).alias("set_size"), "support"))
+
+    # renamed copies, not `.alias()` views: a 3-way self-join through
+    # aliases can silently resolve the third join condition against the
+    # left side's shared lineage (the trivially-true self-join trap) —
+    # distinct column names make every reference unambiguous
+    b1 = bf.select("basket", F.col("item").alias("i1"))
+    b2 = bf.select("basket", F.col("item").alias("i2"))
+    b3 = bf.select("basket", F.col("item").alias("i3"))
+    pair_rows = b1.join(b2, "basket").where(F.col("i1") < F.col("i2"))
+    if min_set_size <= 2 <= max_set_size:
+        p2 = (
+            pair_rows.groupBy("i1", "i2")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .where(F.col("support") >= min_support)
+        )
+        levels.append(
+            p2.select(F.concat_ws("+", "i1", "i2").alias("items"),
+                      F.lit(2).alias("set_size"), "support")
+        )
+    if max_set_size >= 3:
+        t3 = (
+            pair_rows.join(b3, "basket")
+            .where(F.col("i2") < F.col("i3"))
+            .groupBy("i1", "i2", "i3")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .where(F.col("support") >= min_support)
+        )
+        levels.append(
+            t3.select(F.concat_ws("+", "i1", "i2", "i3").alias("items"),
+                      F.lit(3).alias("set_size"), "support")
+        )
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return (
+        out.orderBy(F.col("support").desc(), F.col("set_size").desc(),
+                    F.col("items").asc())
+        .limit(size)
+    )
+
+
+BASKETS_DUCK = f"""
+SELECT DISTINCT CAST(user_id AS VARCHAR) || '#' ||
+       CAST(epoch_ms(ts) // {DAY_MS} AS VARCHAR) AS basket,
+       event_type AS item
+FROM events
+"""
+
+
+def frequent_item_sets_sql(
+    min_support: int = 2,
+    min_set_size: int = 2,
+    max_set_size: int = 3,
+    size: int = 50,
+) -> str:
+    parts = []
+    if min_set_size <= 1:
+        parts.append(
+            "SELECT item AS items, 1 AS set_size, support FROM f1"
+        )
+    if min_set_size <= 2 <= max_set_size:
+        parts.append(f"""
+SELECT a.item || '+' || b.item AS items, 2 AS set_size, COUNT(*) AS support
+FROM bf a JOIN bf b ON a.basket = b.basket AND a.item < b.item
+GROUP BY 1 HAVING COUNT(*) >= {min_support}""")
+    if max_set_size >= 3:
+        parts.append(f"""
+SELECT a.item || '+' || b.item || '+' || c.item AS items, 3 AS set_size,
+       COUNT(*) AS support
+FROM bf a JOIN bf b ON a.basket = b.basket AND a.item < b.item
+          JOIN bf c ON a.basket = c.basket AND b.item < c.item
+GROUP BY 1 HAVING COUNT(*) >= {min_support}""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH baskets AS ({BASKETS_DUCK}),
+f1 AS (
+  SELECT item, COUNT(*) AS support FROM baskets
+  GROUP BY item HAVING COUNT(*) >= {min_support}
+),
+bf AS (SELECT b.* FROM baskets b WHERE b.item IN (SELECT item FROM f1)),
+sets AS ({union})
+SELECT items, set_size, CAST(support AS BIGINT) AS support
+FROM sets
+ORDER BY support DESC, set_size DESC, items ASC
+LIMIT {size}
+"""
+
+
+def queries() -> dict:
+    return {
+        "es_frequent_item_sets": lambda s, d: frequent_item_sets(
+            event_baskets(load_table(s, d, "events")), min_support=5
+        ),
+    }
+
+
+def oracle_sql() -> dict:
+    return {
+        "es_frequent_item_sets": frequent_item_sets_sql(min_support=5),
+    }

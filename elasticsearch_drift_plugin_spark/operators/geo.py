@@ -28,7 +28,7 @@ parity is the aggregation math:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..sources.flows import load_table
@@ -441,6 +441,115 @@ FROM agg ORDER BY {g}
 """
 
 
+# --------------------------------------------------------------------------
+# geo_line
+# --------------------------------------------------------------------------
+def geo_line_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    sort_col: str = "t_ms",
+    tiebreak_col: str = "event_id",
+    size: int = 500,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """(group..., n_points, total_docs, complete, line): ES ``geo_line``
+    agg — per group, the track of points ordered by ``sort_col`` ascending,
+    truncated to the FIRST ``size`` points (ES keeps the points with the
+    smallest sort values under ``sort_order: asc``); ``complete`` is the ES
+    response flag (line covers every matched doc). The line serializes as
+    space-joined "lon,lat" micro-degree integer pairs (GeoJSON LineString
+    axis order) — exact integers, hash-stable cross-engine.
+
+    Plan: one shuffle on the group key drives BOTH the ranking window and
+    the final per-group assembly (same partitioning, Catalyst reuses the
+    exchange); truncation happens before ``collect_list`` so per-group
+    state is bounded by ``size`` — the unbounded-collect risk ES itself
+    caps at 10 000 points. ES tiebreak on equal sort values is undefined
+    (Lucene doc order); ``tiebreak_col`` pins it for determinism.
+    """
+    if size < 1:
+        raise ValueError("size must be >= 1")
+    w = Window.partitionBy(*group_cols).orderBy("__s", "__tb")
+    wall = Window.partitionBy(*group_cols)
+    pt = F.concat_ws(
+        ",",
+        _udeg(F.col(lon_col)).cast("string"),
+        _udeg(F.col(lat_col)).cast("string"),
+    )
+    ranked = df.select(
+        *group_cols,
+        F.col(sort_col).alias("__s"),
+        F.col(tiebreak_col).alias("__tb"),
+        pt.alias("__pt"),
+    ).select(
+        "*",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wall).alias("__total"),
+    )
+    return (
+        ranked.where(F.col("__rn") <= size)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.max("__total").alias("total_docs"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__s", "__tb", "__pt"))),
+                    lambda r: r["__pt"],
+                ),
+                " ",
+            ).alias("line"),
+        )
+        .select(
+            *group_cols,
+            "n_points",
+            "total_docs",
+            (F.col("n_points") == F.col("total_docs")).alias("complete"),
+            "line",
+        )
+        .orderBy(*group_cols)
+    )
+
+
+def geo_line_sql(group_cols: list[str], size: int = 500) -> str:
+    g = ", ".join(group_cols)
+    return f"""
+WITH pts AS (
+  SELECT event_type, epoch_ms(ts) AS t_ms, event_id,
+         {_LAT_DUCK} AS lat_udeg, {_LON_DUCK} AS lon_udeg
+  FROM events
+),
+r AS (
+  SELECT {g}, t_ms, event_id,
+         CAST(lon_udeg AS VARCHAR) || ',' || CAST(lat_udeg AS VARCHAR) AS pt,
+         row_number() OVER (PARTITION BY {g} ORDER BY t_ms, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY {g}) AS total
+  FROM pts
+)
+SELECT {g}, COUNT(*) AS n_points, MAX(total) AS total_docs,
+       COUNT(*) = MAX(total) AS complete,
+       string_agg(pt, ' ' ORDER BY t_ms, event_id) AS line
+FROM r WHERE rn <= {size}
+GROUP BY {g} ORDER BY {g}
+"""
+
+
+def geo_events_track(events: DataFrame) -> DataFrame:
+    """events + (lat, lon) plus the sort/tiebreak columns geo_line needs.
+    The hash point derives from user_id (module fixture discipline), so a
+    per-group track is a deterministic pseudo-trajectory."""
+    from ..sources.flows import ts_ms_col
+
+    return events.select(
+        "event_type",
+        "event_id",
+        ts_ms_col(events).alias("t_ms"),
+        (F.expr(_LAT_SQL) / F.lit(float(UDEG))).alias("lat"),
+        (F.expr(_LON_SQL) / F.lit(float(UDEG))).alias("lon"),
+    )
+
+
 def queries() -> dict:
     return {
         "es_geotile_grid": lambda s, d: geotile_grid(
@@ -458,6 +567,9 @@ def queries() -> dict:
         "es_geo_centroid": lambda s, d: geo_centroid_agg(
             geo_events(load_table(s, d, "events")), ["event_type"]
         ),
+        "es_geo_line": lambda s, d: geo_line_agg(
+            geo_events_track(load_table(s, d, "events")), ["event_type"]
+        ),
     }
 
 
@@ -468,4 +580,5 @@ def oracle_sql() -> dict:
         "es_geo_distance": geo_distance_sql(origin=(40.7, -74.0)),
         "es_geo_bounds": geo_bounds_sql(["event_type"]),
         "es_geo_centroid": geo_centroid_sql(["event_type"]),
+        "es_geo_line": geo_line_sql(["event_type"]),
     }

@@ -1411,3 +1411,71 @@ def test_psum_rollup_dynamic_partition_backfill(spark, tmp_path):
     after = {r["key"]: r["value"] for r in rollup.rollup_psum(spark, path, DAY).collect()}
     assert after[0] == before[0] and after[2 * DAY] == before[2 * DAY]  # untouched
     assert abs(after[DAY] - 2 * before[DAY]) < 1e-6  # replaced with doubled values
+
+
+def test_geo_line_orders_truncates_and_flags_complete(spark):
+    """geo_line returns the sort-ordered track, truncates to the FIRST
+    `size` points (smallest sort values), and sets `complete` only when
+    every matched doc made it into the line."""
+    from elasticsearch_drift_plugin_spark.operators import geo
+
+    rows = [
+        # group g1: 3 points, out-of-order input, complete at size>=3
+        ("g1", 3, 300, 0.000003, 0.000030),
+        ("g1", 1, 100, 0.000001, 0.000010),
+        ("g1", 2, 200, 0.000002, 0.000020),
+        # group g2: 2 points with equal sort value -> tiebreak on event_id
+        ("g2", 9, 500, 0.000004, 0.000040),
+        ("g2", 8, 500, 0.000005, 0.000050),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, event_id long, t_ms long, lat double, lon double"
+    )
+    full = {r["event_type"]: r for r in
+            geo.geo_line_agg(df, ["event_type"], size=10).collect()}
+    assert full["g1"]["line"] == "10,1 20,2 30,3"
+    assert full["g1"]["complete"] and full["g1"]["n_points"] == 3
+    # equal t_ms: event_id 8 sorts before 9
+    assert full["g2"]["line"] == "50,5 40,4"
+
+    cut = {r["event_type"]: r for r in
+           geo.geo_line_agg(df, ["event_type"], size=2).collect()}
+    assert cut["g1"]["line"] == "10,1 20,2"  # FIRST two by sort value
+    assert not cut["g1"]["complete"]
+    assert cut["g1"]["n_points"] == 2 and cut["g1"]["total_docs"] == 3
+
+
+def test_frequent_item_sets_supports_and_apriori_cut(spark):
+    """Pairs/triples count baskets containing the whole set; items below
+    min_support never reach the quadratic stage (level-1 cut) and the
+    output contains no set built from them."""
+    from elasticsearch_drift_plugin_spark.operators.frequent_itemsets import (
+        frequent_item_sets,
+    )
+
+    rows = [
+        ("b1", "a"), ("b1", "b"), ("b1", "c"),
+        ("b2", "a"), ("b2", "b"),
+        ("b3", "a"), ("b3", "b"), ("b3", "c"),
+        ("b4", "a"), ("b4", "rare"),
+    ]
+    df = spark.createDataFrame(rows, "basket string, item string")
+    out = {(r["items"], r["set_size"]): r["support"]
+           for r in frequent_item_sets(df, min_support=2, min_set_size=1).collect()}
+    assert out[("a", 1)] == 4 and out[("b", 1)] == 3 and out[("c", 1)] == 2
+    assert out[("a+b", 2)] == 3 and out[("a+c", 2)] == 2 and out[("b+c", 2)] == 2
+    assert out[("a+b+c", 3)] == 2
+    assert not any("rare" in k for k, _ in out)  # level-1 cut
+
+
+def test_frequent_item_sets_ranking_and_limit(spark):
+    from elasticsearch_drift_plugin_spark.operators.frequent_itemsets import (
+        frequent_item_sets,
+    )
+
+    rows = [("b%d" % i, it) for i in range(4) for it in ("x", "y")]
+    df = spark.createDataFrame(rows, "basket string, item string")
+    got = frequent_item_sets(df, min_support=1, min_set_size=1, size=2).collect()
+    # support desc, then set size desc (the pair outranks its singletons at
+    # equal support), then items asc
+    assert [(r["items"], r["support"]) for r in got] == [("x+y", 4), ("x", 4)]
