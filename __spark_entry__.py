@@ -38,6 +38,7 @@ from elasticsearch_drift_plugin_spark.operators import (
     multimodal,
     pipeline,
     relational,
+    scripted,
     sessionize,
     similarity,
     sketches,
@@ -367,6 +368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(es_metrics.queries())
     q.update(frequent_itemsets.queries())
     q.update(geo.queries())
+    q.update(scripted.queries())
     q.update(sketches.queries())
     q.update(similarity.queries())
     q.update(text.queries())
@@ -490,6 +492,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(es_metrics.oracle_sql())
     o.update(frequent_itemsets.oracle_sql())
     o.update(geo.oracle_sql())
+    o.update(scripted.oracle_sql())
     o.update(sketches.oracle_sql())
     o.update(similarity.oracle_sql())
     o.update(text.oracle_sql())

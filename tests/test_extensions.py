@@ -1479,3 +1479,45 @@ def test_frequent_item_sets_ranking_and_limit(spark):
     # support desc, then set size desc (the pair outranks its singletons at
     # equal support), then items asc
     assert [(r["items"], r["support"]) for r in got] == [("x+y", 4), ("x", 4)]
+
+
+def test_scripted_metric_partials_merge_exactly(spark):
+    """The map/combine/reduce harness must give the same answer however
+    the input is partitioned (partial states are commutative+associative),
+    and the registered covariance instance must match the closed form."""
+    from elasticsearch_drift_plugin_spark.operators.scripted import cov_scripted
+
+    rows = [("A", uid, float(v)) for uid, v in
+            [(1, 2.5), (2, 7.25), (503, 1.0), (1004, 9.5), (5, 0.125)]]
+    rows += [("B", 10, 4.0), ("B", 20, float("nan")), ("B", 1030, None)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long, value double")
+
+    one = {r["event_type"]: r for r in cov_scripted(df.coalesce(1)).collect()}
+    many = {r["event_type"]: r for r in cov_scripted(df.repartition(7)).collect()}
+    assert one == many
+
+    # closed form for group A, Python ints (x = floor(v*1e6), y = uid%1000)
+    pts = [(int(v * 1_000_000), uid % 1000) for uid, v in
+           [(1, 2.5), (2, 7.25), (503, 1.0), (1004, 9.5), (5, 0.125)]]
+    n = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    assert one["A"]["cov_q"] == (n * sxy - sx * sy) // (n * n)
+    # NaN/NULL metric rows are skipped: B has exactly one surviving doc
+    assert one["B"]["n"] == 1 and one["B"]["cov_q"] == 0
+
+
+def test_scripted_metric_negative_covariance_floors(spark):
+    """Negative covariance exercises the floor (not truncate) division —
+    the cross-engine discipline the DuckDB twin mirrors with HUGEINT."""
+    from elasticsearch_drift_plugin_spark.operators.scripted import cov_scripted
+
+    # y rises while x falls -> negative covariance
+    rows = [("A", 1, 9.0), ("A", 2, 5.0), ("A", 3, 1.0)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long, value double")
+    got = cov_scripted(df).collect()[0]["cov_q"]
+    pts = [(9_000_000, 1), (5_000_000, 2), (1_000_000, 3)]
+    n, sx, sy = 3, sum(x for x, _ in pts), 6
+    sxy = sum(x * y for x, y in pts)
+    want = (n * sxy - sx * sy) // (n * n)
+    assert want < 0 and got == want
