@@ -13,9 +13,29 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _export_package_path() -> None:
+    """Make this package importable on executor Python workers.
+
+    Arrow-kernel operators (mapInPandas/applyInPandas) cloudpickle
+    functions that reference this package; workers import it by name. When
+    the driver script runs OUTSIDE the repo (sys.path.insert only patches
+    the driver), workers would fail with ModuleNotFoundError — local-mode
+    workers inherit the driver's *environment*, not its sys.path, so
+    export the package parent dir via PYTHONPATH before the JVM/daemon
+    starts. On a real cluster the equivalent is ``--py-files`` / a wheel on
+    the executors; this keeps single-machine use zero-config."""
+    parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{parent}{os.pathsep}{existing}" if existing else parent
+        )
+
+
 def get_spark(app_name: str = "spark-drift", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    _export_package_path()
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
