@@ -459,9 +459,63 @@ FROM (
 """
 
 
+def quantize_int8(emb: DataFrame, quantize_scale: int = 9) -> DataFrame:
+    """(vec_id, scale_q, n_dims, qvec): symmetric int8 vector quantization —
+    the 4× storage cut (float32 → int8 + one scale) that makes a 100 TB
+    embedding corpus a 25 TB one, with ≤ 1/254 relative error per
+    component. Per vector: ``m = max(|x|)``, ``q_i = floor(x_i / m · 127)``
+    ∈ [-127, 127]; all-zero vectors quantize to zeros with scale 0.
+
+    Cross-engine determinism: the float32 components widen to double
+    exactly; ``(x / m) * 127`` is the same two IEEE ops in both engines, so
+    the floor is bit-stable (same discipline as the geotile mercator y).
+    ``scale_q`` serializes the dequant factor as ``floor(m · 10^9)``.
+    ``qvec`` joins components with ',' — int8 payloads hash identically as
+    text. Map-only, zero shuffle; the transform runs in codegen.
+    """
+    m = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))))
+    q = F.when(m == 0.0, F.transform(F.col("embedding"), lambda x: F.lit(0).cast("long"))).otherwise(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") / m * F.lit(127.0)),
+        )
+    )
+    return emb.select(
+        "vec_id",
+        F.floor(m * F.lit(float(10**quantize_scale))).cast("long").alias("scale_q"),
+        F.size("embedding").cast("long").alias("n_dims"),
+        F.array_join(F.transform(q, lambda v: v.cast("string")), ",").alias("qvec"),
+    ).orderBy("vec_id")
+
+
+def quantize_int8_sql(quantize_scale: int = 9) -> str:
+    return f"""
+WITH m AS (
+  SELECT vec_id,
+         list_aggregate(list_transform(embedding, x -> abs(x::DOUBLE)), 'max') AS m,
+         embedding
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(FLOOR(m * {float(10 ** quantize_scale)}) AS BIGINT) AS scale_q,
+       CAST(len(embedding) AS BIGINT) AS n_dims,
+       CASE WHEN m = 0
+            THEN array_to_string(list_transform(embedding, x -> 0), ',')
+            ELSE array_to_string(
+                   list_transform(embedding,
+                                  x -> CAST(FLOOR(x::DOUBLE / m * 127.0) AS BIGINT)),
+                   ',')
+       END AS qvec
+FROM m ORDER BY vec_id
+"""
+
+
 def queries() -> dict:
     return {
         "emb_group_centroids": lambda s, d: group_centroids(
+            load_table(s, d, "embeddings")
+        ),
+        "emb_quantize_int8": lambda s, d: quantize_int8(
             load_table(s, d, "embeddings")
         ),
         # brute_force=True: the registry entry IS the documented exact
@@ -491,6 +545,7 @@ def queries() -> dict:
 def oracle_sql() -> dict:
     return {
         "emb_group_centroids": group_centroids_sql(),
+        "emb_quantize_int8": quantize_int8_sql(),
         "ann_cosine_topk": TOPK_SQL,
         "ann_lsh_histogram": lsh_histogram_sql(),
         "ann_ivf_topk": IVF_TOPK_SQL,

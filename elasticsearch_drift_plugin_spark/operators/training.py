@@ -476,6 +476,66 @@ FROM pack ORDER BY "group", doc_id
 
 
 # --------------------------------------------------------------------------
+# train/val/test split assignment
+# --------------------------------------------------------------------------
+
+def split_assign(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+    splits: tuple = (("train", 0.90), ("val", 0.05), ("test", 0.05)),
+) -> DataFrame:
+    """(doc_id, split): deterministic, content-stable train/val/test
+    assignment — ``md5_60(salt || '#' || id) mod 1e6`` against cumulative
+    split thresholds. Properties a training pipeline needs:
+
+    - reproducible on any engine at any parallelism (no RNG state);
+    - stable under corpus growth: a doc's split never changes when other
+      docs are added/removed (hash depends only on the doc id + salt);
+    - re-splittable: changing ``salt`` draws an independent assignment
+      (for cross-validation folds use ``salt=f"fold-{k}"``);
+    - leak-auditable: membership is a pure function, so "which split was
+      this doc in" is answerable later without storing the split table.
+
+    Map-only, zero shuffle (the ``orderBy`` is the serving edge); the
+    predicate evaluates in the scan projection at any scale. Splits must
+    sum to 1 (validated) — the last split absorbs the rounding residue.
+    """
+    total = sum(r for _, r in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split rates must sum to 1, got {total}")
+    h = F.pmod(
+        md5_hash60(F.concat_ws("#", F.lit(salt), F.col(id_col).cast("string"))),
+        F.lit(QUANT),
+    )
+    acc = 0.0
+    expr = None
+    for name, rate in splits[:-1]:
+        acc += rate
+        cond = h < F.lit(int(round(acc * QUANT)))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = splits[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return docs.select(F.col(id_col), expr.alias("split")).orderBy(id_col)
+
+
+def split_assign_sql(
+    salt: str = "split-v1",
+    splits: tuple = (("train", 0.90), ("val", 0.05), ("test", 0.05)),
+) -> str:
+    h = HEX15_SQL_FN.format(expr=f"'{salt}' || '#' || CAST(doc_id AS VARCHAR)")
+    acc = 0.0
+    whens = []
+    for name, rate in splits[:-1]:
+        acc += rate
+        whens.append(f"WHEN ({h}) % {QUANT} < {int(round(acc * QUANT))} THEN '{name}'")
+    return f"""
+SELECT doc_id, CASE {' '.join(whens)} ELSE '{splits[-1][0]}' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # driver-contract registry
 # --------------------------------------------------------------------------
 
@@ -499,6 +559,9 @@ def queries() -> dict:
         "train_curate_pipeline": lambda s, d: curate_pipeline(
             load_table(s, d, "documents")
         ),
+        "train_split_assign": lambda s, d: split_assign(
+            load_table(s, d, "documents")
+        ),
     }
 
 
@@ -510,4 +573,5 @@ def oracle_sql() -> dict:
         "train_mix_rates": mix_rates_sql(target_docs=250),
         "train_chunk_docs": chunk_documents_sql(chunk_tokens=64, stride=48),
         "train_curate_pipeline": curate_pipeline_sql(),
+        "train_split_assign": split_assign_sql(),
     }

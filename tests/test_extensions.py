@@ -1521,3 +1521,47 @@ def test_scripted_metric_negative_covariance_floors(spark):
     sxy = sum(x * y for x, y in pts)
     want = (n * sxy - sx * sy) // (n * n)
     assert want < 0 and got == want
+
+
+def test_split_assign_stable_disjoint_and_salted(spark):
+    from elasticsearch_drift_plugin_spark.operators.training import split_assign
+
+    df = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    a = {r["doc_id"]: r["split"] for r in split_assign(df).collect()}
+    assert set(a.values()) <= {"train", "val", "test"}
+    # growth-stability: adding docs never moves an existing doc's split
+    df2 = spark.createDataFrame([(i,) for i in range(800)], "doc_id long")
+    b = {r["doc_id"]: r["split"] for r in split_assign(df2).collect()}
+    assert all(b[k] == v for k, v in a.items())
+    # rates land near 90/5/5 and every doc is assigned exactly once
+    frac_train = sum(1 for v in b.values() if v == "train") / len(b)
+    assert 0.8 < frac_train < 0.97 and len(b) == 800
+    # a different salt draws an independent assignment (some docs move)
+    c = {r["doc_id"]: r["split"] for r in split_assign(df2, salt="fold-1").collect()}
+    assert any(c[k] != b[k] for k in c)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        split_assign(df, splits=(("train", 0.5), ("val", 0.2)))
+
+
+def test_quantize_int8_bounds_error_and_zero_vector(spark):
+    from elasticsearch_drift_plugin_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(0, [0.5, -1.0, 0.25]), (1, [0.0, 0.0, 0.0]), (2, [3.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    # m=1.0: q = floor(x*127) -> [63, -127, 31]
+    assert rows[0]["qvec"] == "63,-127,31"
+    assert rows[0]["scale_q"] == 1_000_000_000
+    # all-zero vector: defined, scale 0, zero components
+    assert rows[1]["qvec"] == "0,0,0" and rows[1]["scale_q"] == 0
+    # max component maps to exactly 127
+    assert rows[2]["qvec"] == "127"
+    # reconstruction error bound: |x - q*m/127| <= m/127
+    for vid, emb in ((0, [0.5, -1.0, 0.25]),):
+        m = max(abs(v) for v in emb)
+        qs = [int(s) for s in rows[vid]["qvec"].split(",")]
+        for x, q in zip(emb, qs):
+            assert abs(x - q * m / 127.0) <= m / 127.0 + 1e-12
