@@ -232,6 +232,44 @@ ORDER BY d.doc_id
 """
 
 
+def semantic_canonical_map(emb: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(vec_id, canonical, kept): SemDeDup-style semantic pruning — items
+    whose embeddings are near-duplicates (cosine ≥ threshold, transitively)
+    collapse to one survivor; ``kept`` marks the rows a curation pass
+    retains. The published SemDeDup recipe clusters with k-means first and
+    dedups within clusters; here the pair source is pluggable — exact
+    blocked-GEMM pairs (``dedup.embedding_neardup_pairs``) for the oracle,
+    k-means/IVF cells or LSH buckets (similarity.py) as the approximate
+    100 TB pre-bucketing.
+
+    Same plan shape as :func:`canonical_map`: closure over pair graph
+    (pairs-sized), one left join against the corpus (id-co-partitioned).
+    """
+    comp = connected_components(pairs, src="vec_a", dst="vec_b").withColumnRenamed(
+        "node", "vec_id"
+    )
+    return (
+        emb.select("vec_id")
+        .join(comp, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("component", F.col("vec_id")).alias("canonical"),
+        )
+        .withColumn("kept", F.col("canonical") == F.col("vec_id"))
+        .orderBy("vec_id")
+    )
+
+
+def semantic_canonical_oracle_sql(emb_pairs_sql: str) -> str:
+    pairs = f"SELECT vec_a AS doc_a, vec_b AS doc_b FROM ({emb_pairs_sql})"
+    return f"""{_closure_ctes(pairs, "")}
+SELECT e.vec_id, COALESCE(c.component, e.vec_id) AS canonical,
+       COALESCE(c.component, e.vec_id) = e.vec_id AS kept
+FROM embeddings e LEFT JOIN __comp c ON c.node = e.vec_id
+ORDER BY e.vec_id
+"""
+
+
 def queries() -> dict:
     from ..sources.flows import load_table
     from . import dedup
@@ -253,6 +291,11 @@ def queries() -> dict:
         "dedup_quality_canonical": lambda s, d: quality_canonical_map(
             load_table(s, d, "documents"), _pairs(s, d)
         ),
+        # SemDeDup: embedding-cosine near-dup clusters -> one survivor
+        "dedup_semantic": lambda s, d: semantic_canonical_map(
+            load_table(s, d, "embeddings"),
+            dedup.embedding_neardup_pairs(load_table(s, d, "embeddings")),
+        ),
     }
 
 
@@ -269,6 +312,7 @@ def oracle_sql() -> dict:
         "dedup_quality_canonical": quality_canonical_oracle_sql(
             dedup.minhash_pairs_sql(), f"WHERE jacc_q >= {JACC_KEEP_Q}"
         ),
+        "dedup_semantic": semantic_canonical_oracle_sql(dedup.EMB_NEARDUP_SQL),
     }
 
 

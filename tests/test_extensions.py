@@ -1565,3 +1565,28 @@ def test_quantize_int8_bounds_error_and_zero_vector(spark):
         qs = [int(s) for s in rows[vid]["qvec"].split(",")]
         for x, q in zip(emb, qs):
             assert abs(x - q * m / 127.0) <= m / 127.0 + 1e-12
+
+
+def test_semantic_canonical_transitive_and_kept_flags(spark):
+    """Near-identical embeddings collapse transitively to the min-id
+    survivor; orthogonal vectors survive as themselves."""
+    from elasticsearch_drift_plugin_spark.operators.components import (
+        semantic_canonical_map,
+    )
+    from elasticsearch_drift_plugin_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # ~dup of 0
+        (2, [0.99, 0.05, 0.0]),    # ~dup of 1 (and transitively of 0)
+        (3, [0.0, 1.0, 0.0]),      # orthogonal: kept
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_neardup_pairs(emb, threshold=0.99)
+    got = {r["vec_id"]: (r["canonical"], r["kept"])
+           for r in semantic_canonical_map(emb, pairs).collect()}
+    assert got[0] == (0, True)
+    assert got[1] == (0, False) and got[2] == (0, False)
+    assert got[3] == (3, True)
