@@ -652,6 +652,21 @@ ORDER BY d.doc_id
 """
 
 
+def _fuzzy_decon(s, d):
+    from .dedup import minhash_decontaminate
+
+    return minhash_decontaminate(
+        load_table(s, d, "documents").where("source <> 'src0'"),
+        load_table(s, d, "documents").where("source = 'src0'"),
+    )
+
+
+def _fuzzy_decon_sql() -> str:
+    from .dedup import minhash_decon_sql
+
+    return minhash_decon_sql("source = 'src0'", "source <> 'src0'")
+
+
 def queries() -> dict:
     return {
         "corpus_tfidf_top": lambda s, d: tfidf_top_terms(load_table(s, d, "documents")),
@@ -660,6 +675,8 @@ def queries() -> dict:
             load_table(s, d, "documents").where("source <> 'src0'"),
             load_table(s, d, "documents").where("source = 'src0'"),
         ),
+        # fuzzy complement of the exact screen: MinHash near-dup vs bench
+        "corpus_fuzzy_decon": _fuzzy_decon,
         "corpus_span_dedup": lambda s, d: span_dedup(load_table(s, d, "documents")),
         "corpus_top_ngrams": lambda s, d: top_ngrams(load_table(s, d, "documents")),
         "corpus_hash_sample": lambda s, d: hash_sample(
@@ -679,6 +696,7 @@ def oracle_sql() -> dict:
         "corpus_tfidf_top": tfidf_sql(),
         "corpus_lm_score": BIGRAM_LM_SQL,
         "corpus_contamination": contamination_sql("source = 'src0'", "source <> 'src0'"),
+        "corpus_fuzzy_decon": _fuzzy_decon_sql(),
         "corpus_span_dedup": span_dedup_sql(),
         "corpus_top_ngrams": top_ngrams_sql(),
         "corpus_hash_sample": hash_sample_sql(

@@ -548,7 +548,10 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_sql_parts() -> tuple[str, str]:
+def _minhash_sql_parts(where: str = "", tag: str = "") -> tuple[str, str]:
+    """CTE text for shingles + band signatures; ``where`` restricts the
+    source documents (cross-table screens), ``tag`` prefixes the CTE names
+    so two instances can coexist in one WITH clause."""
     hv = HEX15_SQL_FN.format(expr="s")
     mins = ", ".join(
         f"MIN({minhash_sql('hv', a, b)}) AS mh{j}" for j, (a, b) in enumerate(_COEFFS)
@@ -558,19 +561,22 @@ def _minhash_sql_parts() -> tuple[str, str]:
         sig = f"mh{bnd * ROWS_PER_BAND}"
         for r in range(1, ROWS_PER_BAND):
             sig = f"({sig} * 31 + mh{bnd * ROWS_PER_BAND + r})"
-        band_rows.append(f"SELECT doc_id, {bnd} AS band, {sig} AS sig FROM mh")
-    shingles = """
-shingles AS (
+        band_rows.append(
+            f"SELECT doc_id, {bnd} AS band, {sig} AS sig FROM {tag}mh"
+        )
+    wh = f"WHERE {where}" if where else ""
+    shingles = f"""
+{tag}shingles AS (
   SELECT DISTINCT doc_id, l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS s
   FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
-        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents {wh})
         WHERE len(l) >= 3)
 )"""
     sigs = (
         f"WITH {shingles},\n"
-        f"hashed AS (SELECT doc_id, {hv} AS hv FROM shingles),\n"
-        f"mh AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),\n"
-        f"sigs AS ({' UNION ALL '.join(band_rows)})"
+        f"{tag}hashed AS (SELECT doc_id, {hv} AS hv FROM {tag}shingles),\n"
+        f"{tag}mh AS (SELECT doc_id, {mins} FROM {tag}hashed GROUP BY doc_id),\n"
+        f"{tag}sigs AS ({' UNION ALL '.join(band_rows)})"
     )
     return shingles, sigs
 
@@ -600,6 +606,114 @@ JOIN cand ON cand.doc_a = inter.doc_a AND cand.doc_b = inter.doc_b
 JOIN counts ca ON ca.doc_id = inter.doc_a
 JOIN counts cb ON cb.doc_id = inter.doc_b
 ORDER BY inter.doc_a, inter.doc_b
+"""
+
+
+# --------------------------------------------------------------------------
+# cross-table fuzzy decontamination (corpus × benchmark MinHash screen)
+# --------------------------------------------------------------------------
+def minhash_decontaminate(
+    corpus: DataFrame, bench: DataFrame, threshold_q: int = 500_000
+) -> DataFrame:
+    """(doc_id, n_matches, max_jacc_q, contaminated): for every corpus
+    document, its strongest *fuzzy* overlap with the benchmark set — the
+    near-duplicate complement of the exact n-gram screen
+    (``corpus.contamination_overlap``), catching paraphrased/reformatted
+    benchmark leaks an exact gram match misses.
+
+    Shape: both sides get band signatures (map-side after one shingle
+    agg each); candidates come from the (band, sig) equi-join — the LSH
+    bucket bound, corpus×bench pairs never materialize; each candidate is
+    verified with one codegen'd ``array_intersect`` Jaccard. Scales like
+    ``minhash_lsh_pairs`` with the benchmark as the (usually tiny,
+    broadcastable) build side.
+
+    ``contaminated`` flags verified Jaccard ≥ ``threshold_q`` (1e-6 units).
+    Every corpus doc is emitted (0/0/false when no candidate survives).
+    """
+    sa = minhash_signatures(corpus)
+    sb = minhash_signatures(bench).withColumnRenamed("doc_id", "bench_id")
+    cand = (
+        sa.join(sb, ["band", "sig"])
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    shc = _token_shingles(corpus).groupBy("doc_id").agg(
+        F.collect_list("s").alias("sa_a")
+    )
+    shb = (
+        _token_shingles(bench)
+        .groupBy("doc_id")
+        .agg(F.collect_list("s").alias("sa_b"))
+        .withColumnRenamed("doc_id", "bench_id")
+    )
+    inter = F.size(F.array_intersect("sa_a", "sa_b")).cast("long")
+    na = F.size("sa_a").cast("long")
+    nb = F.size("sa_b").cast("long")
+    jacc = inter.cast("double") / (na + nb - inter)
+    ver = (
+        cand.join(shc, "doc_id")
+        .join(shb, "bench_id")
+        .where(inter > 0)
+        .select(
+            "doc_id", F.floor(jacc * F.lit(float(QUANT))).alias("jacc_q")
+        )
+    )
+    agg = ver.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_matches"), F.max("jacc_q").alias("max_jacc_q")
+    )
+    return (
+        corpus.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+            F.coalesce("max_jacc_q", F.lit(0)).alias("max_jacc_q"),
+            (F.coalesce("max_jacc_q", F.lit(0)) >= threshold_q).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def minhash_decon_sql(
+    bench_where: str, corpus_where: str, threshold_q: int = 500_000
+) -> str:
+    _, c_sigs = _minhash_sql_parts(where=corpus_where, tag="c_")
+    _, b_sigs = _minhash_sql_parts(where=bench_where, tag="b_")
+    b_body = b_sigs[len("WITH "):]  # merge into one WITH clause
+    return f"""{c_sigs},
+{b_body},
+cand AS (
+  SELECT DISTINCT c.doc_id AS doc_id, b.doc_id AS bench_id
+  FROM c_sigs c JOIN b_sigs b ON c.band = b.band AND c.sig = b.sig
+),
+ccounts AS (SELECT doc_id, COUNT(*) AS n FROM c_shingles GROUP BY doc_id),
+bcounts AS (SELECT doc_id, COUNT(*) AS n FROM b_shingles GROUP BY doc_id),
+inter AS (
+  SELECT sc.doc_id AS doc_id, sb.doc_id AS bench_id, COUNT(*) AS i
+  FROM c_shingles sc JOIN b_shingles sb ON sc.s = sb.s
+  GROUP BY 1, 2
+),
+ver AS (
+  SELECT cand.doc_id,
+         CAST(FLOOR(CAST(i AS DOUBLE) / (cn.n + bn.n - i) * {float(QUANT)})
+              AS BIGINT) AS jacc_q
+  FROM cand
+  JOIN inter ON inter.doc_id = cand.doc_id AND inter.bench_id = cand.bench_id
+  JOIN ccounts cn ON cn.doc_id = cand.doc_id
+  JOIN bcounts bn ON bn.doc_id = cand.bench_id
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_matches, MAX(jacc_q) AS max_jacc_q
+  FROM ver GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_matches, 0) AS n_matches,
+       COALESCE(a.max_jacc_q, 0) AS max_jacc_q,
+       COALESCE(a.max_jacc_q, 0) >= {threshold_q} AS contaminated
+FROM (SELECT doc_id FROM documents WHERE {corpus_where}) d
+LEFT JOIN agg a ON a.doc_id = d.doc_id
+ORDER BY d.doc_id
 """
 
 

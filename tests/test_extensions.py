@@ -1590,3 +1590,24 @@ def test_semantic_canonical_transitive_and_kept_flags(spark):
     assert got[0] == (0, True)
     assert got[1] == (0, False) and got[2] == (0, False)
     assert got[3] == (3, True)
+
+
+def test_minhash_decontaminate_flags_fuzzy_benchmark_leak(spark):
+    """A corpus doc that is a light edit of a benchmark doc gets flagged;
+    unrelated docs report 0 matches; every corpus doc is emitted."""
+    from elasticsearch_drift_plugin_spark.operators.dedup import (
+        minhash_decontaminate,
+    )
+
+    bench_text = "the quick brown fox jumps over the lazy dog near the river bank today"
+    leaked = bench_text.replace("today", "tonight")  # near-dup, not exact
+    other = "completely different words about spark partitions and shuffle plans here"
+    corpus = spark.createDataFrame(
+        [(1, leaked), (2, other)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in minhash_decontaminate(corpus, bench).collect()}
+    assert len(got) == 2
+    assert got[1]["contaminated"] and got[1]["n_matches"] >= 1
+    assert got[1]["max_jacc_q"] > 500_000
+    assert not got[2]["contaminated"] and got[2]["n_matches"] == 0
