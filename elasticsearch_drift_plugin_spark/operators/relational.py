@@ -318,11 +318,81 @@ ORDER BY value_q DESC, prefix ASC LIMIT {size}
 """
 
 
+def ip_prefix_agg(
+    events: DataFrame, prefix_len: int = 8, min_doc_count: int = 1
+) -> DataFrame:
+    """(key, prefix_length, doc_count, value_q): ES 8.x ``ip_prefix`` agg —
+    one bucket per /``prefix_len`` network containing ≥ ``min_doc_count``
+    docs, keyed by the network address, ordered by the network (the ES
+    key order for IP buckets). Same plan as ``cidr_rollup`` (one partial +
+    final agg over the integer-floored network) with the ES serving
+    contract instead of top-k-by-traffic; ``is_ipv6`` is always false here
+    (the fixture address space is IPv4).
+    """
+    if not 1 <= prefix_len <= 32:
+        raise ValueError("prefix_len must be in [1, 32]")
+    block = 2 ** (32 - prefix_len)
+    ip = F.expr(
+        "CAST(pmod(CAST(user_id AS DECIMAL(38,0)) * 2654435761, 4294967296) AS BIGINT)"
+    )
+    net = (ip - F.pmod(ip, F.lit(block))).alias("__net")
+    q = F.floor(F.col("value") * F.lit(1_000_000)).alias("__q")
+    agg = (
+        events.where(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select(net, q)
+        .groupBy("__net")
+        .agg(F.count(F.lit(1)).alias("doc_count"), F.sum("__q").alias("value_q"))
+        .where(F.col("doc_count") >= min_doc_count)
+    )
+    key = F.concat_ws(
+        ".",
+        (F.col("__net") / 16777216).cast("long"),
+        F.pmod((F.col("__net") / 65536).cast("long"), F.lit(256)),
+        F.pmod((F.col("__net") / 256).cast("long"), F.lit(256)),
+        F.pmod(F.col("__net"), F.lit(256)),
+    )
+    return (
+        agg.select(
+            "__net",
+            key.alias("key"),
+            F.lit(prefix_len).cast("long").alias("prefix_length"),
+            "doc_count",
+            "value_q",
+        )
+        .orderBy("__net")
+        .drop("__net")
+    )
+
+
+def ip_prefix_sql(prefix_len: int = 8, min_doc_count: int = 1) -> str:
+    block = 2 ** (32 - prefix_len)
+    return f"""
+WITH f AS (
+  SELECT CAST(((CAST(user_id AS HUGEINT) * 2654435761) % 4294967296
+               + 4294967296) % 4294967296 AS BIGINT) AS ip,
+         CAST(FLOOR(value * 1000000) AS BIGINT) AS q
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+),
+agg AS (
+  SELECT ip - (ip % {block}) AS net, COUNT(*) AS doc_count,
+         CAST(SUM(q) AS BIGINT) AS value_q
+  FROM f GROUP BY 1 HAVING COUNT(*) >= {min_doc_count}
+)
+SELECT CAST(net // 16777216 AS VARCHAR) || '.' ||
+       CAST((net // 65536) % 256 AS VARCHAR) || '.' ||
+       CAST((net // 256) % 256 AS VARCHAR) || '.' ||
+       CAST(net % 256 AS VARCHAR) AS key,
+       CAST({prefix_len} AS BIGINT) AS prefix_length, doc_count, value_q
+FROM agg ORDER BY net
+"""
+
+
 def queries() -> dict:
     return {
         "rel_cidr_top_talkers": lambda s, d: cidr_rollup(
             load_table(s, d, "events")
         ),
+        "es_ip_prefix": lambda s, d: ip_prefix_agg(load_table(s, d, "events")),
         "es_ip_range": lambda s, d: ip_range_agg(load_table(s, d, "events")),
         "rel_flows_by_nation": lambda s, d: flows_by_nation(
             load_table(s, d, "events"),
@@ -342,6 +412,7 @@ def queries() -> dict:
 def oracle_sql() -> dict:
     return {
         "rel_cidr_top_talkers": cidr_rollup_sql(),
+        "es_ip_prefix": ip_prefix_sql(),
         "es_ip_range": ip_range_sql(),
         "rel_flows_by_nation": FLOWS_BY_NATION_SQL,
         "rel_users_intersect": users_in_both_sql("click", "purchase"),

@@ -1611,3 +1611,28 @@ def test_minhash_decontaminate_flags_fuzzy_benchmark_leak(spark):
     assert got[1]["contaminated"] and got[1]["n_matches"] >= 1
     assert got[1]["max_jacc_q"] > 500_000
     assert not got[2]["contaminated"] and got[2]["n_matches"] == 0
+
+
+def test_ip_prefix_networks_and_min_doc_count(spark):
+    from elasticsearch_drift_plugin_spark.operators.relational import ip_prefix_agg
+
+    # craft user_ids whose Knuth-hash IPs we compute in Python
+    def ip_of(uid):
+        return (uid * 2654435761) % 4294967296
+
+    rows = [(uid, 1.0) for uid in range(1, 40)]
+    df = spark.createDataFrame(rows, "user_id long, value double")
+    got = ip_prefix_agg(df, prefix_len=4).collect()
+    import collections
+    want = collections.Counter((ip_of(u) >> 28) << 28 for u, _ in rows)
+    assert {r["key"]: r["doc_count"] for r in got} == {
+        f"{n >> 24}.{(n >> 16) % 256}.{(n >> 8) % 256}.{n % 256}": c
+        for n, c in want.items()
+    }
+    assert all(r["prefix_length"] == 4 for r in got)
+    # keys come back in network order
+    nets = [tuple(int(p) for p in r["key"].split(".")) for r in got]
+    assert nets == sorted(nets)
+    # min_doc_count prunes sparse networks
+    thick = ip_prefix_agg(df, prefix_len=4, min_doc_count=3).collect()
+    assert all(r["doc_count"] >= 3 for r in thick) and len(thick) < len(got)
