@@ -94,6 +94,15 @@ BENCH_QUERIES = [
     "es_ip_range",
     "train_pack_sharded",
     "corpus_lm_score",
+    # session-2 additions: market-basket FIS (map-side combinations),
+    # geo_line track assembly, the scripted_metric Arrow harness, SemDeDup,
+    # the fuzzy decon screen, and the int8 embedding compactor
+    "es_frequent_item_sets",
+    "es_geo_line",
+    "es_scripted_metric",
+    "dedup_semantic",
+    "corpus_fuzzy_decon",
+    "emb_quantize_int8",
 ]
 
 
