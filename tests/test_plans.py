@@ -246,3 +246,53 @@ def test_bucketed_join_has_zero_exchanges(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS __bk_docs")
         spark.sql("DROP TABLE IF EXISTS __bk_keep")
+
+
+def test_split_and_quantize_are_map_only(spark):
+    from elasticsearch_drift_plugin_spark.operators.similarity import quantize_int8
+    from elasticsearch_drift_plugin_spark.operators.training import split_assign
+
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    out = split_assign(docs)
+    assert not has_python_eval(out)
+    assert hash_exchange_count(out) == 0  # only the serving-edge range sort
+
+    emb = spark.createDataFrame([(1, [0.5, 1.0])], "vec_id long, embedding array<float>")
+    q = quantize_int8(emb)
+    assert not has_python_eval(q)
+    assert hash_exchange_count(q) == 0
+
+
+def test_frequent_item_sets_single_scan_few_shuffles(spark):
+    """Combinations are generated map-side: the basket table is scanned
+    once and the plan carries no basket-keyed joins (the 17-shuffle
+    self-join formulation this replaced is pinned out)."""
+    from elasticsearch_drift_plugin_spark.operators.frequent_itemsets import (
+        frequent_item_sets,
+    )
+
+    b = spark.createDataFrame([("b1", "x"), ("b1", "y")], "basket string, item string")
+    out = frequent_item_sets(b, min_support=1)
+    plan = explain_str(out)
+    assert not has_python_eval(out)
+    # distinct + level-1 agg + basket array agg + itemset agg = <= 4 hash
+    # exchanges; the level-1 cut joins via broadcast, never a shuffle join
+    assert hash_exchange_count(out) <= 4
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_scripted_metric_shuffles_partial_states_only(spark):
+    """The reduce shuffle must sit ABOVE the Arrow map stage (partial
+    states move, raw rows don't)."""
+    from elasticsearch_drift_plugin_spark.operators.scripted import cov_scripted
+
+    df = spark.createDataFrame(
+        [("A", 1, 1.0)], "event_type string, user_id long, value double"
+    )
+    out = cov_scripted(df)
+    plan = explain_str(out)
+    assert plan.index("MapInPandas") > plan.index("FlatMapGroupsInPandas"), (
+        "mapInPandas (partial fold) must be the child of the grouped reduce"
+    )
+    assert hash_exchange_count(out) == 1  # one shuffle: the partial states
