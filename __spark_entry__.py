@@ -341,6 +341,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             group_by=("event_type",),
             lag=7,
         ),
+        # ES moving_fn: builtin MovingFunctions over the trailing window
+        # (ES default frame: current bucket EXCLUDED, shift=0)
+        "pipe_moving_fn": lambda s, d: pipeline.moving_fn(
+            _psum_events(
+                s, d, calendar_interval="day", offset=1, group_by=("event_type",)
+            ),
+            group_by=("event_type",),
+        ),
         # row 26: unmapped field -> empty result, stable schema
         "psum_unmapped": lambda s, d: _psum_events(
             s, d, sampling_col=None, interval=HOUR, value_override="__missing__"
@@ -470,6 +478,10 @@ def oracle_sql() -> dict[str, str]:
             _ev_oracle(calendar_interval="day", offset=1, group_by=("event_type",)),
             group_by=("event_type",),
             lag=7,
+        ),
+        "pipe_moving_fn": pipeline.moving_fn_sql(
+            _ev_oracle(calendar_interval="day", offset=1, group_by=("event_type",)),
+            group_by=("event_type",),
         ),
         "psum_key_format": _ev_oracle(interval=DAY, offset=1)
         .replace(

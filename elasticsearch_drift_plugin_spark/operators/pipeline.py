@@ -407,3 +407,86 @@ q AS (SELECT {sel_keys}key, CAST(ROUND(value * {scale}) AS BIGINT) AS vq FROM ba
 SELECT {sel_keys}key, vq, vq - LAG(vq, {lag}) OVER ({part}ORDER BY key) AS sdiff_q
 FROM q ORDER BY {sel_keys}key
 """
+
+
+def moving_fn(
+    result: DataFrame,
+    group_by=(),
+    window: int = 7,
+    shift: int = 0,
+    quantize: int = 4,
+) -> DataFrame:
+    """(group…, key, vq, mfn_n, mfn_max_q, mfn_min_q, mfn_sum_q,
+    mfn_avg_q): ES ``moving_fn`` with the deterministic builtin
+    MovingFunctions (max / min / sum / unweightedAvg) evaluated in one
+    pass over the bucket list.
+
+    Window contract matches ES: the frame covers the ``window`` buckets
+    BEFORE the current one (current excluded); ``shift`` slides it right —
+    ``shift=1`` includes the current bucket, like the ES parameter. Empty
+    frames yield NULL (ES emits NaN/null there). ``unweightedAvg`` is
+    exact-integer floor division of the quantized sum (the cross-engine
+    quantization discipline; ES itself averages doubles).
+
+    Scripted ``moving_fn`` bodies beyond the builtins map to a custom
+    expression over the same window — or, for genuinely imperative folds,
+    the scripted_metric harness (operators/scripted.py).
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    scale = 10**quantize
+    vq = F.round(F.col("value") * F.lit(scale)).cast("long")
+    w = Window.partitionBy(*group_by).orderBy("key")
+    frame = w.rowsBetween(-window + shift, -1 + shift)
+    n = F.count("vq").over(frame)
+    s = F.sum("vq").over(frame)
+    # floor division on exact longs (sum may be negative for derivative
+    # inputs): subtract the nonnegative remainder first
+    avg = F.when(F.col("__n") > 0, F.expr("(__s - pmod(__s, __n)) div __n"))
+    return (
+        result.select(*group_by, "key", vq.alias("vq"))
+        .withColumn("__n", n)
+        .withColumn("__s", s)
+        .select(
+            *group_by,
+            "key",
+            "vq",
+            F.col("__n").alias("mfn_n"),
+            F.max("vq").over(frame).alias("mfn_max_q"),
+            F.min("vq").over(frame).alias("mfn_min_q"),
+            F.col("__s").alias("mfn_sum_q"),
+            avg.alias("mfn_avg_q"),
+        )
+        .orderBy(*group_by, "key")
+    )
+
+
+def moving_fn_sql(
+    base_sql: str, group_by=(), window: int = 7, shift: int = 0, quantize: int = 4
+) -> str:
+    scale = 10**quantize
+    keys = ", ".join(group_by)
+    part = f"PARTITION BY {keys} " if group_by else ""
+    sel_keys = f"{keys}, " if keys else ""
+    frame = (
+        f"ROWS BETWEEN {window - shift} PRECEDING AND "
+        + (f"{1 - shift} PRECEDING" if shift < 1 else "CURRENT ROW")
+    )
+    win = f"OVER ({part}ORDER BY key {frame})"
+    return f"""
+WITH base AS ({base_sql}),
+q AS (SELECT {sel_keys}key, CAST(ROUND(value * {scale}) AS BIGINT) AS vq FROM base),
+w AS (
+  SELECT {sel_keys}key, vq,
+         COUNT(vq) {win} AS mfn_n,
+         MAX(vq) {win} AS mfn_max_q,
+         MIN(vq) {win} AS mfn_min_q,
+         SUM(vq) {win} AS mfn_sum_q
+  FROM q
+)
+SELECT {sel_keys}key, vq, mfn_n, mfn_max_q, mfn_min_q, mfn_sum_q,
+       CASE WHEN mfn_n > 0 THEN
+         (mfn_sum_q - ((mfn_sum_q % mfn_n + mfn_n) % mfn_n)) // mfn_n
+       END AS mfn_avg_q
+FROM w ORDER BY {sel_keys}key
+"""

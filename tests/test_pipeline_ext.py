@@ -86,3 +86,35 @@ def test_normalize_percent_of_sum_and_moving_median(spark):
     assert a[2]["mov_p50_q"] == 300000 * 1_000_000
     b = [r for r in out if r["g"] == "b"]
     assert b[0]["pct_of_sum_q"] == 1_000_000  # single bucket = 100%
+
+
+def test_moving_fn_excludes_current_bucket_and_shift_includes(spark):
+    """ES window contract: shift=0 frames the `window` buckets BEFORE the
+    current one; shift=1 slides right to include it; empty frames NULL."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_drift_plugin_spark.operators.pipeline import moving_fn
+
+    df = spark.createDataFrame(
+        [(k, float(v)) for k, v in [(1, 10), (2, 20), (3, 30), (4, 40)]],
+        "key long, value double",
+    )
+    q = 10_000  # quantize=4
+    rows = {r["key"]: r for r in moving_fn(df, window=2).collect()}
+    assert rows[1]["mfn_sum_q"] is None and rows[1]["mfn_avg_q"] is None
+    assert rows[2]["mfn_sum_q"] == 10 * q and rows[2]["mfn_n"] == 1
+    assert rows[3]["mfn_sum_q"] == 30 * q  # buckets 1+2
+    assert rows[4]["mfn_sum_q"] == 50 * q  # buckets 2+3
+    assert rows[4]["mfn_max_q"] == 30 * q and rows[4]["mfn_min_q"] == 20 * q
+    assert rows[4]["mfn_avg_q"] == 25 * q
+
+    shifted = {r["key"]: r for r in moving_fn(df, window=2, shift=1).collect()}
+    assert shifted[1]["mfn_sum_q"] == 10 * q  # current included
+    assert shifted[4]["mfn_sum_q"] == 70 * q  # buckets 3+4
+
+    # floor (not truncate) average on negative sums
+    neg = spark.createDataFrame(
+        [(1, -1.0), (2, -2.0), (3, 0.0)], "key long, value double"
+    )
+    got = {r["key"]: r for r in moving_fn(neg, window=2).collect()}
+    assert got[3]["mfn_avg_q"] == (-3 * q) // 2  # floors toward -inf
