@@ -861,8 +861,75 @@ def _events_t_ms(s, d) -> DataFrame:
     return ev.select(ts_ms_col(ev).alias("t_ms"), "value")
 
 
+def random_sampler_agg(
+    events: DataFrame,
+    group_cols: list[str],
+    inv_probability: int = 4,
+    seed_salt: str = "sampler-v1",
+) -> DataFrame:
+    """(group…, n_sampled, doc_count_est, sum_value_q_est): ES
+    ``random_sampler`` — run the sub-aggregation on a p = 1/k document
+    sample and scale doc_count (and here the value sum) back up by k.
+
+    ES samples with a seeded RNG per shard; this engine uses the
+    deterministic salted-hash membership every sampling surface here uses
+    (``corpus.hash_sample`` discipline): reproducible across runs/engines
+    and monotone in p. ``inv_probability`` is an integer so the scale-up
+    is exact integer multiplication — no float estimate drift.
+
+    The sample predicate evaluates in the scan projection (map-side), so
+    at 100 TB the aggregation touches 1/k of the rows — the entire point
+    of the agg. One partial+final aggregation after the filter.
+    """
+    from ..functions.hashing import md5_hash60
+
+    if inv_probability < 1:
+        raise ValueError("inv_probability must be >= 1")
+    h = F.pmod(
+        md5_hash60(
+            F.concat_ws("#", F.lit(seed_salt), F.col("event_id").cast("string"))
+        ),
+        F.lit(inv_probability),
+    )
+    q = F.floor(F.col("value") * F.lit(1_000_000))
+    return (
+        events.where(F.col("value").isNotNull() & ~F.isnan("value"))
+        .where(h == 0)
+        .groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.sum(q).alias("__sq"))
+        .select(
+            *group_cols,
+            "n_sampled",
+            (F.col("n_sampled") * inv_probability).alias("doc_count_est"),
+            (F.col("__sq") * inv_probability).alias("sum_value_q_est"),
+        )
+        .orderBy(*group_cols)
+    )
+
+
+def random_sampler_sql(
+    group_cols: list[str], inv_probability: int = 4, seed_salt: str = "sampler-v1"
+) -> str:
+    from ..functions.hashing import HEX15_SQL_FN
+
+    g = ", ".join(group_cols)
+    h = HEX15_SQL_FN.format(expr=f"'{seed_salt}' || '#' || CAST(event_id AS VARCHAR)")
+    return f"""
+SELECT {g}, COUNT(*) AS n_sampled,
+       COUNT(*) * {inv_probability} AS doc_count_est,
+       CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) * {inv_probability}
+            AS BIGINT) AS sum_value_q_est
+FROM events
+WHERE value IS NOT NULL AND NOT isnan(value) AND ({h}) % {inv_probability} = 0
+GROUP BY {g} ORDER BY {g}
+"""
+
+
 def queries() -> dict:
     return {
+        "es_random_sampler": lambda s, d: random_sampler_agg(
+            load_table(s, d, "events"), ["event_type"]
+        ),
         "es_missing": lambda s, d: missing_agg(
             load_table(s, d, "events"), "value", ["event_type"]
         ),
@@ -918,6 +985,7 @@ def queries() -> dict:
 
 def oracle_sql() -> dict:
     return {
+        "es_random_sampler": random_sampler_sql(["event_type"]),
         "es_missing": missing_sql("events", "value", ["event_type"]),
         "es_mad": mad_sql("events", "value", ["event_type"]),
         "es_boxplot": boxplot_sql("events", "value", ["event_type"]),

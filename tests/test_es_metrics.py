@@ -123,3 +123,29 @@ def test_t_test_matches_manual_welch(spark):
     t = (ma - mb) / math.sqrt(va / len(a) + vb / len(b))
     assert out["n_a"] == 4 and out["n_b"] == 5
     assert abs(out["t_q"] / m.QUANT - t) < 1e-4
+
+
+def test_random_sampler_scales_and_is_estimate_quality(spark):
+    """The sample predicate is deterministic, the scale-up exact integer,
+    and the estimate lands near the exact count on a sizable input."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_drift_plugin_spark.operators.es_metrics import (
+        random_sampler_agg,
+    )
+
+    df = spark.range(4000).select(
+        F.col("id").alias("event_id"),
+        F.lit("A").alias("event_type"),
+        F.lit(2.0).alias("value"),
+    )
+    r1 = random_sampler_agg(df, ["event_type"]).collect()[0]
+    r2 = random_sampler_agg(df, ["event_type"]).collect()[0]
+    assert r1 == r2  # no RNG state
+    assert r1["doc_count_est"] == r1["n_sampled"] * 4
+    assert r1["sum_value_q_est"] == r1["n_sampled"] * 4 * 2_000_000
+    # hash-uniformity: 1/4 sample of 4000 docs within ±15%
+    assert abs(r1["doc_count_est"] - 4000) < 600
+    # a different salt draws a different (still valid) sample
+    r3 = random_sampler_agg(df, ["event_type"], seed_salt="other").collect()[0]
+    assert abs(r3["doc_count_est"] - 4000) < 600
