@@ -221,6 +221,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             start=LI_START, end=LI_END
         ),
         "psum_cal_week": lambda s, d: _psum_events(s, d, calendar_interval="week", offset=1),
+        # tz + ISO week: local-Monday-midnight boundaries across DST
+        "psum_cal_week_tz": lambda s, d: _psum_events(
+            s, d, calendar_interval="week", offset=1, time_zone="America/New_York"
+        ),
         "psum_cal_month_lineitem": lambda s, d: _psum_lineitem(
             s, d, calendar_interval="month", offset=1, start=LI_START, end=LI_END
         ),
@@ -418,6 +422,9 @@ def oracle_sql() -> dict[str, str]:
             start=LI_START, end=LI_END
         ),
         "psum_cal_week": _ev_oracle(calendar_interval="week", offset=1),
+        "psum_cal_week_tz": _ev_oracle(
+            calendar_interval="week", offset=1, time_zone="America/New_York"
+        ),
         "psum_day_lineitem": _li_oracle(interval=DAY, offset=1),
         "psum_sweep_day_lineitem": _li_oracle(interval=DAY, offset=1),
         "psum_cal_year_lineitem": _li_oracle(calendar_interval="year", offset=1),

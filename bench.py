@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "dedup_semantic",
     "corpus_fuzzy_decon",
     "emb_quantize_int8",
+    "pipe_moving_fn",
+    "es_random_sampler",
 ]
 
 

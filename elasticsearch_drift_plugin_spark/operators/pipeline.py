@@ -481,12 +481,12 @@ w AS (
          COUNT(vq) {win} AS mfn_n,
          MAX(vq) {win} AS mfn_max_q,
          MIN(vq) {win} AS mfn_min_q,
-         SUM(vq) {win} AS mfn_sum_q
+         CAST(SUM(vq) {win} AS BIGINT) AS mfn_sum_q
   FROM q
 )
 SELECT {sel_keys}key, vq, mfn_n, mfn_max_q, mfn_min_q, mfn_sum_q,
-       CASE WHEN mfn_n > 0 THEN
+       CAST(CASE WHEN mfn_n > 0 THEN
          (mfn_sum_q - ((mfn_sum_q % mfn_n + mfn_n) % mfn_n)) // mfn_n
-       END AS mfn_avg_q
+       END AS BIGINT) AS mfn_avg_q
 FROM w ORDER BY {sel_keys}key
 """
