@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "emb_quantize_int8",
     "pipe_moving_fn",
     "es_random_sampler",
+    "ann_knn_join",
 ]
 
 

@@ -459,6 +459,159 @@ FROM (
 """
 
 
+def knn_join(
+    emb: DataFrame,
+    k: int = 5,
+    n_blocks: int | None = None,
+    target_block_rows: int = 4096,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """(vec_id, neighbor_id, nn_rank, score_q): exact cosine k-NN SELF-join
+    — every vector's top-``k`` neighbors. The workhorse between
+    ``cosine_topk`` (a few query vectors) and ``embedding_neardup_pairs``
+    (thresholded pairs): cluster analysis, SemDeDup variants, and
+    retrieval-training negatives all start here.
+
+    Scale shape (two-level top-k):
+
+    1. vectors hash into blocks; every block PAIR is one Arrow group whose
+       kernel runs a single BLAS GEMM (the dedup.embedding_neardup_pairs
+       layout) and — the crucial difference — reduces to the per-row
+       top-k INSIDE the kernel, so the shuffle after the GEMM carries at
+       most ``k`` rows per (vector × block), never the n² score matrix;
+    2. one ranking window merges the per-block candidate lists (≤
+       k·n_blocks rows per vector) into the global top-k. Exact: the
+       global top-k is contained in the union of per-block top-ks.
+
+    Determinism: ranking uses the QUANTIZED score (floor 1e-6) with
+    neighbor-id tie-break, both inside the kernel and in the merge window
+    — BLAS vs sequential-fold last-ulp drift cannot reorder the list.
+    For an approximate/cheaper pass at extreme n, pre-bucket with IVF
+    cells (``ivf_assign``) and run this within cells.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if n_blocks is None:
+        par = emb.sparkSession.sparkContext.defaultParallelism
+        nb_mem = math.ceil(
+            (n_rows if n_rows is not None else emb.count()) / target_block_rows
+        )
+        nb_par = math.ceil(math.sqrt(2 * par))
+        n_blocks = max(1, nb_mem, nb_par)
+
+    ed = emb.select(
+        "vec_id", "embedding", F.pmod(F.col("vec_id"), F.lit(n_blocks)).alias("blk")
+    )
+    spark = emb.sparkSession
+    bp = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "bi int, bj int"
+    )
+    left = ed.join(F.broadcast(bp), F.col("blk") == F.col("bi")).select(
+        "bi", "bj", "vec_id", "embedding", F.lit(0).alias("side")
+    )
+    right = ed.join(F.broadcast(bp), F.col("blk") == F.col("bj")).select(
+        "bi", "bj", "vec_id", "embedding", F.lit(1).alias("side")
+    )
+    quant = float(QUANT)
+    kk = int(k)
+
+    # self-pair mask: a finite sentinel below any cosine score_q (>= -1e6-1)
+    # — NOT int64 min, whose negation overflows inside argsort
+    _MASK = -3 * QUANT
+
+    def _row_topk(ids_l, ids_r, sq):
+        """Per-row top-k of the score_q matrix, ties → neighbor id asc.
+        Columns are pre-sorted by neighbor id, so a STABLE sort on
+        -score_q preserves the id-asc order within equal scores."""
+        order = np.argsort(-sq, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(np.arange(sq.shape[0]), order.shape[1])
+        cols = order.ravel()
+        out = pd.DataFrame(
+            {
+                "vec_id": ids_l[rows],
+                "neighbor_id": ids_r[cols],
+                "score_q": sq[rows, cols],
+            }
+        )
+        # a block smaller than k+1 rows can surface masked self-pairs
+        return out[out["score_q"] > _MASK]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"vec_id": [], "neighbor_id": [], "score_q": []}
+        ).astype({"vec_id": "int64", "neighbor_id": "int64", "score_q": "int64"})
+        same = pdf["bi"].iat[0] == pdf["bj"].iat[0]
+        l = pdf[pdf["side"] == 0] if not same else pdf.drop_duplicates("vec_id")
+        r = pdf[pdf["side"] == 1] if not same else l
+        if l.empty or r.empty:
+            return empty
+        l = l.sort_values("vec_id")
+        r = r.sort_values("vec_id")
+        lm = np.stack(l["embedding"].to_numpy()).astype(np.float64)
+        rm = np.stack(r["embedding"].to_numpy()).astype(np.float64)
+        lm /= np.linalg.norm(lm, axis=1, keepdims=True)
+        rm /= np.linalg.norm(rm, axis=1, keepdims=True)
+        sq = np.floor(lm @ rm.T * quant).astype(np.int64)
+        ids_l = l["vec_id"].to_numpy()
+        ids_r = r["vec_id"].to_numpy()
+        if same:
+            np.fill_diagonal(sq, _MASK)  # no self-neighbor
+            return _row_topk(ids_l, ids_r, sq)
+        # disjoint blocks: both directions contribute candidates
+        return pd.concat(
+            [_row_topk(ids_l, ids_r, sq), _row_topk(ids_r, ids_l, sq.T)],
+            ignore_index=True,
+        )
+
+    cand = (
+        left.unionByName(right)
+        .groupBy("bi", "bj")
+        .applyInPandas(kernel, "vec_id long, neighbor_id long, score_q long")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("score_q").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("nn_rank", F.row_number().over(w))
+        .where(F.col("nn_rank") <= k)
+        .select("vec_id", "neighbor_id", "nn_rank", "score_q")
+        .orderBy("vec_id", "nn_rank")
+    )
+
+
+def knn_join_sql(k: int = 5) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+n AS (
+  SELECT vec_id,
+         sqrt((SELECT SUM(x * x) FROM (SELECT unnest(embedding)::DOUBLE AS x))) AS nm
+  FROM e
+),
+p AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(FLOOR((SELECT SUM(x * y) FROM
+                     (SELECT unnest(a.embedding)::DOUBLE AS x,
+                             unnest(b.embedding)::DOUBLE AS y))
+                    / (na.nm * nb.nm) * {float(QUANT)}) AS BIGINT) AS score_q
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+  JOIN n na ON na.vec_id = a.vec_id
+  JOIN n nb ON nb.vec_id = b.vec_id
+),
+r AS (
+  SELECT va, vb, score_q,
+         ROW_NUMBER() OVER (PARTITION BY va ORDER BY score_q DESC, vb ASC) AS rn
+  FROM p
+)
+SELECT va AS vec_id, vb AS neighbor_id, CAST(rn AS BIGINT) AS nn_rank, score_q
+FROM r WHERE rn <= {k} ORDER BY vec_id, nn_rank
+"""
+
+
 def quantize_int8(emb: DataFrame, quantize_scale: int = 9) -> DataFrame:
     """(vec_id, scale_q, n_dims, qvec): symmetric int8 vector quantization —
     the 4× storage cut (float32 → int8 + one scale) that makes a 100 TB
@@ -518,6 +671,7 @@ def queries() -> dict:
         "emb_quantize_int8": lambda s, d: quantize_int8(
             load_table(s, d, "embeddings")
         ),
+        "ann_knn_join": lambda s, d: knn_join(load_table(s, d, "embeddings")),
         # brute_force=True: the registry entry IS the documented exact
         # baseline (skips the guard's two count jobs); ann_ivf_topk is the
         # headline ANN path and leads in the grading window
@@ -546,6 +700,7 @@ def oracle_sql() -> dict:
     return {
         "emb_group_centroids": group_centroids_sql(),
         "emb_quantize_int8": quantize_int8_sql(),
+        "ann_knn_join": knn_join_sql(),
         "ann_cosine_topk": TOPK_SQL,
         "ann_lsh_histogram": lsh_histogram_sql(),
         "ann_ivf_topk": IVF_TOPK_SQL,

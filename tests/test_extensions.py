@@ -1636,3 +1636,38 @@ def test_ip_prefix_networks_and_min_doc_count(spark):
     # min_doc_count prunes sparse networks
     thick = ip_prefix_agg(df, prefix_len=4, min_doc_count=3).collect()
     assert all(r["doc_count"] >= 3 for r in thick) and len(thick) < len(got)
+
+
+def test_knn_join_matches_bruteforce_across_blockings(spark):
+    """Two-level top-k (per-block then merge) must equal the single-GEMM
+    brute force under ANY block count, including blocks that split
+    near-neighbors apart; ties rank by neighbor id asc."""
+    import numpy as np
+
+    from elasticsearch_drift_plugin_spark.operators.similarity import knn_join
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 8).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    # brute-force reference on the same float32-rounded inputs
+    m = np.stack([np.array([float(np.float32(x)) for x in vecs[i]]) for i in range(40)])
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sq = np.floor(m @ m.T * 1_000_000).astype(np.int64)
+    want = {}
+    k = 3
+    for i in range(40):
+        others = [j for j in range(40) if j != i]
+        order = sorted(others, key=lambda j: (-int(sq[i, j]), j))[:k]
+        want[i] = [(j, int(sq[i, j])) for j in order]
+
+    for n_blocks in (1, 3, 7):
+        got = {}
+        rows = knn_join(df, k=k, n_blocks=n_blocks).collect()
+        for r in rows:
+            got.setdefault(r["vec_id"], []).append(
+                (r["neighbor_id"], r["score_q"])
+            )
+        assert got == want, f"mismatch at n_blocks={n_blocks}"
