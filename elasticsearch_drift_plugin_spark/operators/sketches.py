@@ -132,12 +132,132 @@ def cardinality_intersect(
     )
 
 
+def theta_set_ops(
+    df: DataFrame,
+    id_col: str,
+    where_a: str,
+    where_b: str,
+) -> DataFrame:
+    """(est_a, est_b, est_union, est_intersect, est_a_minus_b): distinct-id
+    set algebra between two predicates via Theta sketches — the estimator
+    built FOR intersections/differences. Unlike the HLL
+    inclusion–exclusion in :func:`cardinality_intersect` (error explodes
+    when |A∩B| ≪ |A∪B|), a theta intersection operates on the retained
+    sample directly, so small overlaps stay accurate. One pass builds two
+    conditional sketches; all set ops are sketch-local (no rescan) —
+    kilobytes through the shuffle at any scale."""
+    sk = df.select(
+        F.expr(f"theta_sketch_agg(CASE WHEN {where_a} THEN {id_col} END)").alias("ska"),
+        F.expr(f"theta_sketch_agg(CASE WHEN {where_b} THEN {id_col} END)").alias("skb"),
+    )
+    return sk.select(
+        F.expr("theta_sketch_estimate(ska)").cast("long").alias("est_a"),
+        F.expr("theta_sketch_estimate(skb)").cast("long").alias("est_b"),
+        F.expr("theta_sketch_estimate(theta_union(ska, skb))").cast("long").alias("est_union"),
+        F.expr("theta_sketch_estimate(theta_intersection(ska, skb))").cast("long").alias("est_intersect"),
+        F.expr("theta_sketch_estimate(theta_difference(ska, skb))").cast("long").alias("est_a_minus_b"),
+    )
+
+
+def quantiles_sketch(
+    df: DataFrame, group_cols: list[str], col: str, pcts=(0.25, 0.5, 0.75, 0.95),
+    k: int = 200,
+) -> DataFrame:
+    """(group..., pct, est): approximate per-group quantiles via KLL
+    sketches (DataSketches, Spark ≥ 4.0) — the MERGEABLE quantile
+    estimator: per-partition sketches combine losslessly map-side, so the
+    shuffle carries O(k·log n) bytes per group, never values. This is the
+    100 TB swap for ``stats.value_quantiles`` (exact, sorts values per
+    group) with a-priori rank error ~1.65/k·n; it is also the sketch the
+    rollup-at-rest pattern persists (see write_quantile_rollup)."""
+    agg = df.groupBy(*group_cols).agg(
+        F.expr(f"kll_sketch_agg_double({col}, {int(k)})").alias("__sk")
+    )
+    return _serve_kll_quantiles(agg, group_cols, pcts)
+
+
+def write_quantile_rollup(
+    df: DataFrame,
+    path: str,
+    time_ms_col: str,
+    value_col: str,
+    group_cols: list[str],
+    bucket_ms: int = 86_400_000,
+    k: int = 200,
+    mode: str = "overwrite",
+) -> None:
+    """Persist one KLL sketch per (day-bucket, group): the at-rest quantile
+    rollup. Raw data can expire; any later time-range quantile query merges
+    the stored sketches (``rollup_quantiles``) without a rescan — the same
+    algebra as ``write_cardinality_rollup``, for percentiles."""
+    day = (F.col(time_ms_col) - F.pmod(F.col(time_ms_col), F.lit(bucket_ms))).alias(
+        "bucket_ms"
+    )
+    (
+        df.select(day, *group_cols, F.col(value_col).cast("double").alias("__v"))
+        .groupBy("bucket_ms", *group_cols)
+        .agg(F.expr(f"kll_sketch_agg_double(__v, {int(k)})").alias("sketch"))
+        .write.mode(mode)
+        .partitionBy("bucket_ms")
+        .parquet(path)
+    )
+
+
+def rollup_quantiles(
+    spark: SparkSession,
+    path: str,
+    group_cols: list[str],
+    pcts=(0.25, 0.5, 0.75, 0.95),
+    start_ms: int | None = None,
+    end_ms: int | None = None,
+) -> DataFrame:
+    """Merge stored KLL sketches over a time range (partition-pruned scan)
+    and serve quantile estimates per group."""
+    df = spark.read.parquet(path)
+    if start_ms is not None:
+        df = df.where(F.col("bucket_ms") >= start_ms)
+    if end_ms is not None:
+        df = df.where(F.col("bucket_ms") < end_ms)
+    merged = df.groupBy(*group_cols).agg(
+        F.expr("kll_merge_agg_double(sketch)").alias("__sk")
+    )
+    return _serve_kll_quantiles(merged, group_cols, pcts)
+
+
+def _serve_kll_quantiles(sk_df: DataFrame, group_cols: list[str], pcts) -> DataFrame:
+    """Unpivot one quantile row per requested rank. The rank argument of
+    ``kll_sketch_get_quantile_double`` must be FOLDABLE, so this emits one
+    literal-rank expression per pct (a lambda over an array is rejected)."""
+    ests = F.array(
+        *[F.expr(f"kll_sketch_get_quantile_double(__sk, {float(p)!r})") for p in pcts]
+    )
+    pct_lits = F.array(*[F.lit(int(p * 100)) for p in pcts])
+    return (
+        sk_df.select(*group_cols, F.posexplode(ests).alias("__i", "est"))
+        .select(
+            *group_cols,
+            F.element_at(pct_lits, F.col("__i") + 1).cast("long").alias("pct"),
+            "est",
+        )
+        .orderBy(*group_cols, "pct")
+    )
+
+
 def queries() -> dict:
     # rows-only driver check (no DuckDB oracle can reproduce DataSketches
     # estimates); numeric invariants live in tests/test_extensions.py
     return {
         "es_cardinality_approx": lambda s, d: cardinality_approx(
             load_table(s, d, "events"), ["event_type"], "user_id"
+        ),
+        # modulo cohorts: |A∩B| = users ≡ 0 (mod 6) — a small true overlap,
+        # exactly the regime where theta beats HLL inclusion–exclusion
+        "es_theta_set_ops": lambda s, d: theta_set_ops(
+            load_table(s, d, "events"), "user_id",
+            "user_id % 2 = 0", "user_id % 3 = 0",
+        ),
+        "stats_quantiles_kll": lambda s, d: quantiles_sketch(
+            load_table(s, d, "events"), ["event_type"], "value"
         ),
     }
 

@@ -1671,3 +1671,53 @@ def test_knn_join_matches_bruteforce_across_blockings(spark):
                 (r["neighbor_id"], r["score_q"])
             )
         assert got == want, f"mismatch at n_blocks={n_blocks}"
+
+
+def test_theta_set_ops_exact_below_sample_threshold(spark):
+    """Theta sketches are EXACT while the retained set fits the sample
+    (k=4096 default): small cohorts give exact set algebra."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_drift_plugin_spark.operators.sketches import theta_set_ops
+
+    df = spark.range(600).select(F.col("id").alias("user_id"))
+    r = theta_set_ops(df, "user_id", "user_id % 2 = 0", "user_id % 3 = 0").collect()[0]
+    assert r["est_a"] == 300 and r["est_b"] == 200
+    assert r["est_union"] == 400       # |A∪B| = 300+200-100
+    assert r["est_intersect"] == 100   # multiples of 6
+    assert r["est_a_minus_b"] == 200   # even, not multiple of 3
+
+
+def test_kll_quantiles_close_to_exact_and_rollup_merges(spark, tmp_path):
+    """KLL estimates stay within a few percent of exact quantiles, and the
+    at-rest rollup (per-day sketches, merged later) agrees with the
+    single-pass sketch on the same data."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_drift_plugin_spark.operators import sketches
+
+    DAY = 86_400_000
+    df = spark.range(3000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 7 * DAY).alias("t_ms"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+    )
+    est = {(r["g"], r["pct"]): r["est"]
+           for r in sketches.quantiles_sketch(df, ["g"], "v").collect()}
+    exact = {(r["g"], r["pct"]): r["q"] for r in df.groupBy("g").agg(
+        F.expr("percentile(v, array(0.25, 0.5, 0.75, 0.95))").alias("qs")
+    ).select("g", F.posexplode("qs").alias("i", "q")).select(
+        "g", (F.element_at(F.array(F.lit(25), F.lit(50), F.lit(75), F.lit(95)),
+                           F.col("i") + 1)).alias("pct"), "q").collect()}
+    for key, e in est.items():
+        assert abs(e - exact[key]) <= 0.05 * 1000 + 1, (key, e, exact[key])
+
+    path = str(tmp_path / "kll_rollup")
+    sketches.write_quantile_rollup(df, path, "t_ms", "v", ["g"])
+    merged = {(r["g"], r["pct"]): r["est"]
+              for r in sketches.rollup_quantiles(spark, path, ["g"]).collect()}
+    for key, e in merged.items():
+        assert abs(e - exact[key]) <= 0.05 * 1000 + 1, (key, e, exact[key])
+    # range query prunes partitions and still serves sane estimates
+    part = sketches.rollup_quantiles(spark, path, ["g"], start_ms=0, end_ms=3 * DAY)
+    assert part.count() == 12  # 3 groups x 4 pcts
