@@ -353,6 +353,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             group_by=("event_type",),
         ),
+        # ES 8.x change_point: most-likely step-change split per series —
+        # the drift detector the plugin's name promises
+        "pipe_change_point": lambda s, d: pipeline.change_point(
+            _psum_events(
+                s, d, calendar_interval="day", offset=1, group_by=("event_type",)
+            ),
+            group_by=("event_type",),
+        ),
         # row 26: unmapped field -> empty result, stable schema
         "psum_unmapped": lambda s, d: _psum_events(
             s, d, sampling_col=None, interval=HOUR, value_override="__missing__"
@@ -487,6 +495,10 @@ def oracle_sql() -> dict[str, str]:
             lag=7,
         ),
         "pipe_moving_fn": pipeline.moving_fn_sql(
+            _ev_oracle(calendar_interval="day", offset=1, group_by=("event_type",)),
+            group_by=("event_type",),
+        ),
+        "pipe_change_point": pipeline.change_point_sql(
             _ev_oracle(calendar_interval="day", offset=1, group_by=("event_type",)),
             group_by=("event_type",),
         ),

@@ -490,3 +490,125 @@ SELECT {sel_keys}key, vq, mfn_n, mfn_max_q, mfn_min_q, mfn_sum_q,
        END AS BIGINT) AS mfn_avg_q
 FROM w ORDER BY {sel_keys}key
 """
+
+
+def change_point(
+    result: DataFrame, group_by=(), quantize: int = 4
+) -> DataFrame:
+    """(group…, n_buckets, change_key, n_before, n_after, mean_before_q,
+    mean_after_q, gain_mq): ES 8.x ``change_point`` — the most-likely
+    STEP-CHANGE split of each group's bucket series, i.e. the split
+    maximizing the between-segment variance reduction
+    ``gain(t) = (S₁n₂ − S₂n₁)² / (n₁n₂N)`` (the two-segment
+    maximum-likelihood statistic ES's step_change detector optimizes).
+    The aggregation the drift plugin's own name promises: "where did this
+    flow series shift".
+
+    Everything runs over the RESULT bucket list (result-sized, like every
+    pipe_* agg): prefix sums via one window, candidate gains per split,
+    argmax per group with key-asc tie-break. Integer discipline: S₁/S₂ in
+    exact int64; the numerator difference (≤ Σ|vq|·N, int64-safe) squares
+    in IEEE double identically on both engines; segment means are exact
+    integer floor divisions. ``change_key`` = first bucket key AFTER the
+    change; groups with < 2 buckets emit NULL change fields.
+    """
+    scale = 10**quantize
+    vq = F.round(F.col("value") * F.lit(scale)).cast("long")
+    w = Window.partitionBy(*group_by).orderBy("key")
+    wall = Window.partitionBy(*group_by)
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    base = (
+        result.select(*group_by, "key", vq.alias("vq"))
+        .select(
+            *group_by,
+            "key",
+            "vq",
+            F.row_number().over(w).alias("__i"),
+            F.sum("vq").over(wcum).alias("__s1"),
+            F.count(F.lit(1)).over(wall).alias("__n"),
+            F.sum("vq").over(wall).alias("__s"),
+            F.lead("key").over(w).alias("__next_key"),
+        )
+    )
+    n1 = F.col("__i")
+    n2 = F.col("__n") - n1
+    s1 = F.col("__s1")
+    s2 = F.col("__s") - s1
+    d = (s1 * n2 - s2 * n1).cast("double")
+    gain = (d * d) / (n1 * n2 * F.col("__n")).cast("double")
+    # single-bucket groups keep one row with NULL change fields (ES's
+    # "indeterminable" verdict for too-short series) instead of vanishing
+    ok = n2 > 0
+    cand = base.where(ok | (F.col("__n") == 1)).select(
+        *group_by,
+        F.col("__n").alias("n_buckets"),
+        F.when(ok, F.col("__next_key")).alias("change_key"),
+        F.when(ok, n1).alias("n_before"),
+        F.when(ok, n2).alias("n_after"),
+        F.when(ok, F.expr("(__s1 - pmod(__s1, __i)) div __i")).alias("mean_before_q"),
+        F.when(
+            ok,
+            F.expr("((__s - __s1) - pmod(__s - __s1, __n - __i)) div (__n - __i)"),
+        ).alias("mean_after_q"),
+        F.when(
+            ok,
+            F.floor(gain / F.lit(float(scale)) / F.lit(float(scale)) * F.lit(1000.0)),
+        ).alias("gain_mq"),
+    )
+    wbest = Window.partitionBy(*group_by).orderBy(
+        F.col("gain_mq").desc(), F.col("change_key").asc()
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(wbest))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+        .orderBy(*group_by)
+    )
+
+
+def change_point_sql(base_sql: str, group_by=(), quantize: int = 4) -> str:
+    scale = 10**quantize
+    keys = ", ".join(group_by)
+    part = f"PARTITION BY {keys} " if group_by else ""
+    sel_keys = f"{keys}, " if keys else ""
+    return f"""
+WITH base AS ({base_sql}),
+q AS (SELECT {sel_keys}key, CAST(ROUND(value * {scale}) AS BIGINT) AS vq FROM base),
+pre AS (
+  SELECT {sel_keys}key, vq,
+         ROW_NUMBER() OVER ({part}ORDER BY key) AS i,
+         CAST(SUM(vq) OVER ({part}ORDER BY key
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s1,
+         COUNT(*) OVER ({part}) AS n,
+         CAST(SUM(vq) OVER ({part}) AS BIGINT) AS s,
+         LEAD(key) OVER ({part}ORDER BY key) AS next_key
+  FROM q
+),
+cand AS (
+  SELECT {sel_keys}n AS n_buckets,
+         CASE WHEN n - i > 0 THEN next_key END AS change_key,
+         CASE WHEN n - i > 0 THEN i END AS n_before,
+         CASE WHEN n - i > 0 THEN n - i END AS n_after,
+         CASE WHEN n - i > 0 THEN
+           (s1 - ((s1 % i + i) % i)) // i END AS mean_before_q,
+         CASE WHEN n - i > 0 THEN
+           ((s - s1) - (((s - s1) % (n - i) + (n - i)) % (n - i))) // (n - i)
+         END AS mean_after_q,
+         CASE WHEN n - i > 0 THEN
+           CAST(FLOOR(CAST(s1 * (n - i) - (s - s1) * i AS DOUBLE)
+                      * CAST(s1 * (n - i) - (s - s1) * i AS DOUBLE)
+                      / CAST(i * (n - i) * n AS DOUBLE)
+                      / {float(scale)} / {float(scale)} * 1000.0) AS BIGINT)
+         END AS gain_mq
+  FROM pre WHERE n - i > 0 OR n = 1
+),
+best AS (
+  SELECT *, ROW_NUMBER() OVER ({part}ORDER BY gain_mq DESC, change_key ASC) AS rn
+  FROM cand
+)
+SELECT {sel_keys}CAST(n_buckets AS BIGINT) AS n_buckets, change_key,
+       CAST(n_before AS BIGINT) AS n_before, CAST(n_after AS BIGINT) AS n_after,
+       CAST(mean_before_q AS BIGINT) AS mean_before_q,
+       CAST(mean_after_q AS BIGINT) AS mean_after_q, gain_mq
+FROM best WHERE rn = 1 ORDER BY {sel_keys}n_buckets
+"""

@@ -118,3 +118,26 @@ def test_moving_fn_excludes_current_bucket_and_shift_includes(spark):
     )
     got = {r["key"]: r for r in moving_fn(neg, window=2).collect()}
     assert got[3]["mfn_avg_q"] == (-3 * q) // 2  # floors toward -inf
+
+
+def test_change_point_finds_planted_step(spark):
+    """A series with a planted mean shift must split exactly at the shift;
+    a flat series reports near-zero gain; <2 buckets emit NULL fields."""
+    from elasticsearch_drift_plugin_spark.operators.pipeline import change_point
+
+    rows = [("A", k, 10.0) for k in range(10)] + [("A", k, 50.0) for k in range(10, 20)]
+    rows += [("B", k, 7.0) for k in range(20)]     # flat
+    rows += [("C", 0, 3.0)]                        # single bucket
+    df = spark.createDataFrame(rows, "g string, key long, value double")
+    got = {r["g"]: r for r in change_point(df, group_by=("g",)).collect()}
+
+    a = got["A"]
+    assert a["change_key"] == 10 and a["n_before"] == 10 and a["n_after"] == 10
+    assert a["mean_before_q"] == 100_000 and a["mean_after_q"] == 500_000
+    assert a["gain_mq"] > 0
+
+    b = got["B"]
+    assert b["gain_mq"] == 0  # flat: zero between-segment variance
+
+    c = got["C"]
+    assert c["n_buckets"] == 1 and c["change_key"] is None
