@@ -78,7 +78,11 @@ def test_every_query_has_oracle_or_is_documented():
     # plus DataSketches HLL estimates no other engine reproduces
     # (invariant-tested in test_extensions.py::test_hll_cardinality_invariants).
     allowed = {n for n in missing if n.startswith(("stream_", "emb_kmeans", "mm_"))}
-    allowed |= missing & {"es_cardinality_approx"}
+    allowed |= missing & {
+        # DataSketches estimates (HLL / theta / KLL) — invariant-tested in
+        # test_extensions.py (exact-below-threshold, merge, error bounds)
+        "es_cardinality_approx", "es_theta_set_ops", "stats_quantiles_kll",
+    }
     assert missing == allowed, f"queries missing an oracle: {sorted(missing - allowed)}"
 
 
