@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "pipe_moving_fn",
     "es_random_sampler",
     "ann_knn_join",
+    "pipe_change_point",
 ]
 
 
