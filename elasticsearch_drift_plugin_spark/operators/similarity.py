@@ -465,6 +465,9 @@ def knn_join(
     n_blocks: int | None = None,
     target_block_rows: int = 4096,
     n_rows: int | None = None,
+    *,
+    exhaustive: bool = False,
+    max_pairs: int = MAX_BRUTE_PAIRS,
 ) -> DataFrame:
     """(vec_id, neighbor_id, nn_rank, score_q): exact cosine k-NN SELF-join
     — every vector's top-``k`` neighbors. The workhorse between
@@ -496,11 +499,20 @@ def knn_join(
 
     if k < 1:
         raise ValueError("k must be >= 1")
+    n = n_rows if n_rows is not None else emb.count()
+    # the compute is inherently n² dot products (memory stays block-bounded);
+    # like cosine_topk's brute_force contract, refuse a silent quadratic
+    # blow-up unless the caller acknowledged it — IVF-cell pre-bucketing
+    # (ivf_assign + per-cell knn) is the sub-quadratic alternative
+    if n * n > max_pairs and not exhaustive:
+        raise ValueError(
+            f"knn_join scores {n}^2 = {n * n} pairs > max_pairs={max_pairs}; "
+            "pass exhaustive=True to acknowledge the O(n^2) compute, or "
+            "pre-bucket with ivf_assign and run per cell"
+        )
     if n_blocks is None:
         par = emb.sparkSession.sparkContext.defaultParallelism
-        nb_mem = math.ceil(
-            (n_rows if n_rows is not None else emb.count()) / target_block_rows
-        )
+        nb_mem = math.ceil(n / target_block_rows)
         nb_par = math.ceil(math.sqrt(2 * par))
         n_blocks = max(1, nb_mem, nb_par)
 

@@ -1721,3 +1721,17 @@ def test_kll_quantiles_close_to_exact_and_rollup_merges(spark, tmp_path):
     # range query prunes partitions and still serves sane estimates
     part = sketches.rollup_quantiles(spark, path, ["g"], start_ms=0, end_ms=3 * DAY)
     assert part.count() == 12  # 3 groups x 4 pcts
+
+
+def test_knn_join_guards_quadratic_blowup(spark):
+    import pytest as _pytest
+
+    from elasticsearch_drift_plugin_spark.operators.similarity import knn_join
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(20)], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="exhaustive=True"):
+        knn_join(df, k=2, max_pairs=100)
+    # acknowledged: runs fine
+    assert knn_join(df, k=2, max_pairs=100, exhaustive=True).count() == 40
