@@ -361,6 +361,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             group_by=("event_type",),
         ),
+        # ES ML bucket_count_ks_test: exact two-sample KS D between two
+        # series' bucket-value distributions (integer ECDF comparison)
+        "pipe_ks_test": lambda s, d: pipeline.ks_test(
+            _psum_events(
+                s, d, calendar_interval="day", offset=1, group_by=("event_type",)
+            ),
+            "event_type", "click", "error",
+        ),
         # row 26: unmapped field -> empty result, stable schema
         "psum_unmapped": lambda s, d: _psum_events(
             s, d, sampling_col=None, interval=HOUR, value_override="__missing__"
@@ -501,6 +509,10 @@ def oracle_sql() -> dict[str, str]:
         "pipe_change_point": pipeline.change_point_sql(
             _ev_oracle(calendar_interval="day", offset=1, group_by=("event_type",)),
             group_by=("event_type",),
+        ),
+        "pipe_ks_test": pipeline.ks_test_sql(
+            _ev_oracle(calendar_interval="day", offset=1, group_by=("event_type",)),
+            "event_type", "click", "error",
         ),
         "psum_key_format": _ev_oracle(interval=DAY, offset=1)
         .replace(

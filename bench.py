@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "es_random_sampler",
     "ann_knn_join",
     "pipe_change_point",
+    "pipe_ks_test",
 ]
 
 

@@ -612,3 +612,83 @@ SELECT {sel_keys}CAST(n_buckets AS BIGINT) AS n_buckets, change_key,
        CAST(mean_after_q AS BIGINT) AS mean_after_q, gain_mq
 FROM best WHERE rn = 1 ORDER BY {sel_keys}n_buckets
 """
+
+
+def ks_test(
+    result: DataFrame,
+    group_col: str,
+    side_a: str,
+    side_b: str,
+    quantize: int = 4,
+) -> DataFrame:
+    """(n_a, n_b, d_q): ES ``bucket_count_ks_test`` (ML aggs) — the
+    two-sample Kolmogorov–Smirnov D statistic between two groups' bucket
+    value distributions, computed EXACTLY: at every sample point the ECDF
+    difference ``|cₐ·n_b − c_b·nₐ| / (nₐ·n_b)`` is an integer
+    cross-multiplication (no float ECDFs), so the argmax is
+    engine-deterministic; only the final serving division quantizes.
+    ``d_q`` is D in 1e-6 units.
+
+    One pass over the BUCKET LIST (result-sized): a RANGE-framed running
+    count per side handles ties exactly (all equal values step together,
+    the textbook ECDF-with-ties treatment), then a single max.
+    """
+    scale = 10**quantize
+    vq = F.round(F.col("value") * F.lit(scale)).cast("long")
+    base = (
+        result.where(F.col(group_col).isin(side_a, side_b))
+        .select(
+            F.when(F.col(group_col) == side_a, F.lit(1)).otherwise(F.lit(0)).alias("__a"),
+            vq.alias("vq"),
+        )
+    )
+    wall = Window.partitionBy()
+    wrange = Window.orderBy("vq").rangeBetween(Window.unboundedPreceding, 0)
+    stepped = base.select(
+        F.sum("__a").over(wall).alias("__na"),
+        (F.count(F.lit(1)).over(wall) - F.sum("__a").over(wall)).alias("__nb"),
+        F.sum("__a").over(wrange).alias("__ca"),
+        (F.count(F.lit(1)).over(wrange) - F.sum("__a").over(wrange)).alias("__cb"),
+    )
+    return (
+        stepped.groupBy("__na", "__nb")
+        .agg(F.max(F.abs(F.col("__ca") * F.col("__nb") - F.col("__cb") * F.col("__na"))).alias("__d"))
+        .select(
+            F.col("__na").alias("n_a"),
+            F.col("__nb").alias("n_b"),
+            F.floor(
+                F.col("__d").cast("double")
+                / (F.col("__na") * F.col("__nb")).cast("double")
+                * F.lit(1_000_000.0)
+            ).alias("d_q"),
+        )
+    )
+
+
+def ks_test_sql(
+    base_sql: str, group_col: str, side_a: str, side_b: str, quantize: int = 4
+) -> str:
+    scale = 10**quantize
+    return f"""
+WITH base AS ({base_sql}),
+q AS (
+  SELECT CASE WHEN {group_col} = '{side_a}' THEN 1 ELSE 0 END AS a,
+         CAST(ROUND(value * {scale}) AS BIGINT) AS vq
+  FROM base WHERE {group_col} IN ('{side_a}', '{side_b}')
+),
+stepped AS (
+  SELECT CAST(SUM(a) OVER () AS BIGINT) AS na,
+         CAST(COUNT(*) OVER () - SUM(a) OVER () AS BIGINT) AS nb,
+         CAST(SUM(a) OVER (ORDER BY vq
+              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+         CAST(COUNT(*) OVER (ORDER BY vq
+              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - SUM(a) OVER (ORDER BY vq
+              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb
+  FROM q
+)
+SELECT na AS n_a, nb AS n_b,
+       CAST(FLOOR(CAST(MAX(ABS(ca * nb - cb * na)) AS DOUBLE)
+                  / CAST(na * nb AS DOUBLE) * 1000000.0) AS BIGINT) AS d_q
+FROM stepped GROUP BY na, nb
+"""

@@ -141,3 +141,22 @@ def test_change_point_finds_planted_step(spark):
 
     c = got["C"]
     assert c["n_buckets"] == 1 and c["change_key"] is None
+
+
+def test_ks_test_exact_d_statistic(spark):
+    """KS D on known samples: A={1,2,3,4}, B={3,4,5,6} -> D = 1/2 at v=2
+    (ECDF_A=2/4, ECDF_B=0); identical samples -> D=0."""
+    from elasticsearch_drift_plugin_spark.operators.pipeline import ks_test
+
+    rows = [("a", k, float(v)) for k, v in enumerate([1, 2, 3, 4])]
+    rows += [("b", k, float(v)) for k, v in enumerate([3, 4, 5, 6])]
+    df = spark.createDataFrame(rows, "g string, key long, value double")
+    r = ks_test(df, "g", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (4, 4)
+    assert r["d_q"] == 500_000  # D = 0.5
+
+    same = spark.createDataFrame(
+        [("a", k, float(k)) for k in range(5)] + [("b", k, float(k)) for k in range(5)],
+        "g string, key long, value double",
+    )
+    assert ks_test(same, "g", "a", "b").collect()[0]["d_q"] == 0
