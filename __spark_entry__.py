@@ -369,6 +369,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             "event_type", "click", "error",
         ),
+        # ES ML bucket_correlation: Pearson r between two bucket series
+        "pipe_bucket_correlation": lambda s, d: pipeline.bucket_correlation(
+            _psum_events(
+                s, d, calendar_interval="day", offset=1, group_by=("event_type",)
+            ),
+            "event_type", "click", "view",
+        ),
         # row 26: unmapped field -> empty result, stable schema
         "psum_unmapped": lambda s, d: _psum_events(
             s, d, sampling_col=None, interval=HOUR, value_override="__missing__"
@@ -513,6 +520,10 @@ def oracle_sql() -> dict[str, str]:
         "pipe_ks_test": pipeline.ks_test_sql(
             _ev_oracle(calendar_interval="day", offset=1, group_by=("event_type",)),
             "event_type", "click", "error",
+        ),
+        "pipe_bucket_correlation": pipeline.bucket_correlation_sql(
+            _ev_oracle(calendar_interval="day", offset=1, group_by=("event_type",)),
+            "event_type", "click", "view",
         ),
         "psum_key_format": _ev_oracle(interval=DAY, offset=1)
         .replace(

@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "ann_knn_join",
     "pipe_change_point",
     "pipe_ks_test",
+    "pipe_bucket_correlation",
 ]
 
 

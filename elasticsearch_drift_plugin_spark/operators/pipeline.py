@@ -692,3 +692,76 @@ SELECT na AS n_a, nb AS n_b,
                   / CAST(na * nb AS DOUBLE) * 1000000.0) AS BIGINT) AS d_q
 FROM stepped GROUP BY na, nb
 """
+
+
+def bucket_correlation(
+    result: DataFrame,
+    group_col: str,
+    side_a: str,
+    side_b: str,
+    quantize: int = 4,
+) -> DataFrame:
+    """(n, corr_q): ES ``bucket_correlation`` (ML aggs) — Pearson
+    correlation between two groups' bucket series, matched on the bucket
+    key (inner join: only keys both series populate). Sums accumulate as
+    exact int64 over quantized values; the final Pearson formula runs in
+    IEEE doubles from those exact integers, identically on both engines;
+    ``corr_q`` is r in 1e-6 units. Result-sized: a self-join of the bucket
+    list on the key + one aggregation.
+    """
+    scale = 10**quantize
+    vq = F.round(F.col("value") * F.lit(scale)).cast("long")
+    base = result.select(F.col(group_col).alias("__g"), "key", vq.alias("vq"))
+    a = base.where(F.col("__g") == side_a).select("key", F.col("vq").alias("x"))
+    b = base.where(F.col("__g") == side_b).select("key", F.col("vq").alias("y"))
+    j = a.join(b, "key")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double") / n
+    denx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double") / n
+    deny = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double") / n
+    corr = F.when(
+        (denx > 0) & (deny > 0), num / F.sqrt(denx) / F.sqrt(deny)
+    )
+    return agg.select(
+        F.col("n"),
+        F.floor(corr * F.lit(1_000_000.0)).alias("corr_q"),
+    )
+
+
+def bucket_correlation_sql(
+    base_sql: str, group_col: str, side_a: str, side_b: str, quantize: int = 4
+) -> str:
+    scale = 10**quantize
+    return f"""
+WITH base AS ({base_sql}),
+q AS (SELECT {group_col} AS g, key,
+             CAST(ROUND(value * {scale}) AS BIGINT) AS vq FROM base),
+j AS (
+  SELECT a.vq AS x, b.vq AS y
+  FROM (SELECT key, vq FROM q WHERE g = '{side_a}') a
+  JOIN (SELECT key, vq FROM q WHERE g = '{side_b}') b USING (key)
+),
+agg AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM j
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(FLOOR(CASE WHEN (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+                   AND (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+         THEN (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+              / sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+              / sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+         END * 1000000.0) AS BIGINT) AS corr_q
+FROM agg
+"""

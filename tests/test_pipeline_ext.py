@@ -160,3 +160,39 @@ def test_ks_test_exact_d_statistic(spark):
         "g string, key long, value double",
     )
     assert ks_test(same, "g", "a", "b").collect()[0]["d_q"] == 0
+
+
+def test_bucket_correlation_known_values(spark):
+    """Perfectly correlated / anti-correlated / orthogonal series, keyed
+    join semantics (only shared keys count)."""
+    from elasticsearch_drift_plugin_spark.operators.pipeline import (
+        bucket_correlation,
+    )
+
+    def series(g, vals, keys=None):
+        ks = keys or range(len(vals))
+        return [(g, k, float(v)) for k, v in zip(ks, vals)]
+
+    schema = "g string, key long, value double"
+    up = series("a", [1, 2, 3, 4])
+    assert bucket_correlation(
+        spark.createDataFrame(up + series("b", [2, 4, 6, 8]), schema), "g", "a", "b"
+    ).collect()[0]["corr_q"] == 1_000_000
+    anti = bucket_correlation(
+        spark.createDataFrame(up + series("b", [8, 6, 4, 2]), schema), "g", "a", "b"
+    ).collect()[0]["corr_q"]
+    assert anti == -1_000_000
+    # constant series -> zero variance -> NULL r
+    flat = bucket_correlation(
+        spark.createDataFrame(up + series("b", [5, 5, 5, 5]), schema), "g", "a", "b"
+    ).collect()[0]
+    assert flat["corr_q"] is None
+    # only overlapping keys enter: disjoint tail ignored
+    partial = bucket_correlation(
+        spark.createDataFrame(
+            up + series("b", [2, 4], keys=[0, 1]) + series("b", [9], keys=[99]),
+            schema,
+        ),
+        "g", "a", "b",
+    ).collect()[0]
+    assert partial["n"] == 2 and partial["corr_q"] == 1_000_000
