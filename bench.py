@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "pipe_change_point",
     "pipe_ks_test",
     "pipe_bucket_correlation",
+    "ann_knn_cells",
 ]
 
 

@@ -624,6 +624,110 @@ FROM r WHERE rn <= {k} ORDER BY vec_id, nn_rank
 """
 
 
+def knn_cells(
+    emb: DataFrame, k: int = 5, n_centroids: int = N_CENTROIDS
+) -> DataFrame:
+    """(vec_id, cell, neighbor_id, nn_rank, score_q): the APPROXIMATE k-NN
+    self-join — neighbors restricted to each vector's IVF cell. This is the
+    sub-quadratic path :func:`knn_join` documents: compute drops from n²
+    to Σ|cell|², the shuffle is one repartition by cell, and recall is the
+    IVF trade (neighbors straddling a cell boundary are missed — raise
+    ``n_probe`` semantics by unioning probe cells when that matters).
+
+    Deterministic seed centroids (lowest-id vectors, no Lloyd) make the
+    cell partition itself oracle-reproducible, so "exact k-NN WITHIN the
+    assigned cell" is a well-defined, hash-checkable contract rather than
+    a recall estimate. Hot-cell bound: one Arrow group per cell — for
+    skewed cells run :func:`knn_join` inside the cell (block-pair GEMM)
+    instead of this single-group kernel.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    assigned = ivf_assign(emb, _seed_centroids(emb, n_centroids))
+    quant = float(QUANT)
+    kk = int(k)
+    _MASK = -3 * QUANT
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sq = np.floor(m @ m.T * quant).astype(np.int64)
+        np.fill_diagonal(sq, _MASK)
+        order = np.argsort(-sq, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(np.arange(sq.shape[0]), order.shape[1])
+        cols = order.ravel()
+        ranks = np.tile(np.arange(1, order.shape[1] + 1), sq.shape[0])
+        ids = pdf["vec_id"].to_numpy()
+        out = pd.DataFrame(
+            {
+                "vec_id": ids[rows],
+                "cell": pdf["cell"].to_numpy()[rows],
+                "neighbor_id": ids[cols],
+                "nn_rank": ranks,
+                "score_q": sq[rows, cols],
+            }
+        )
+        return out[out["score_q"] > _MASK]
+
+    return (
+        assigned.groupBy("cell")
+        .applyInPandas(
+            kernel, "vec_id long, cell long, neighbor_id long, nn_rank long, score_q long"
+        )
+        .orderBy("vec_id", "nn_rank")
+    )
+
+
+def knn_cells_sql(k: int = 5, n_centroids: int = N_CENTROIDS) -> str:
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {n_centroids}
+),
+cn AS (
+  SELECT cid, sqrt((SELECT SUM(x * x) FROM (SELECT unnest(cv)::DOUBLE AS x))) AS nm
+  FROM cents
+),
+cell_scores AS (
+  SELECT e.vec_id, c.cid,
+         CAST(FLOOR({_dot_sql('e.embedding', 'c.cv')} / cn.nm * {float(QUANT)}) AS BIGINT) AS s
+  FROM embeddings e CROSS JOIN cents c JOIN cn ON cn.cid = c.cid
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+    FROM cell_scores) WHERE rn = 1
+),
+n AS (
+  SELECT vec_id,
+         sqrt((SELECT SUM(x * x) FROM (SELECT unnest(embedding)::DOUBLE AS x))) AS nm
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id, a.cell, b.vec_id AS neighbor_id,
+         CAST(FLOOR({_dot_sql('ea.embedding', 'eb.embedding')} / (na.nm * nb.nm)
+              * {float(QUANT)}) AS BIGINT) AS score_q
+  FROM assign a
+  JOIN assign b ON b.cell = a.cell AND b.vec_id != a.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  JOIN n na ON na.vec_id = a.vec_id
+  JOIN n nb ON nb.vec_id = b.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY score_q DESC, neighbor_id ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, CAST(cell AS BIGINT) AS cell, neighbor_id,
+       CAST(rn AS BIGINT) AS nn_rank, score_q
+FROM ranked WHERE rn <= {k} ORDER BY vec_id, nn_rank
+"""
+
+
 def quantize_int8(emb: DataFrame, quantize_scale: int = 9) -> DataFrame:
     """(vec_id, scale_q, n_dims, qvec): symmetric int8 vector quantization —
     the 4× storage cut (float32 → int8 + one scale) that makes a 100 TB
@@ -684,6 +788,7 @@ def queries() -> dict:
             load_table(s, d, "embeddings")
         ),
         "ann_knn_join": lambda s, d: knn_join(load_table(s, d, "embeddings")),
+        "ann_knn_cells": lambda s, d: knn_cells(load_table(s, d, "embeddings")),
         # brute_force=True: the registry entry IS the documented exact
         # baseline (skips the guard's two count jobs); ann_ivf_topk is the
         # headline ANN path and leads in the grading window
@@ -713,6 +818,7 @@ def oracle_sql() -> dict:
         "emb_group_centroids": group_centroids_sql(),
         "emb_quantize_int8": quantize_int8_sql(),
         "ann_knn_join": knn_join_sql(),
+        "ann_knn_cells": knn_cells_sql(),
         "ann_cosine_topk": TOPK_SQL,
         "ann_lsh_histogram": lsh_histogram_sql(),
         "ann_ivf_topk": IVF_TOPK_SQL,

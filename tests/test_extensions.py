@@ -1735,3 +1735,31 @@ def test_knn_join_guards_quadratic_blowup(spark):
         knn_join(df, k=2, max_pairs=100)
     # acknowledged: runs fine
     assert knn_join(df, k=2, max_pairs=100, exhaustive=True).count() == 40
+
+
+def test_knn_cells_restricts_to_cell_and_measures_recall(spark):
+    """Cell-restricted k-NN: every neighbor shares the query's cell; on the
+    real embedding fixture its recall vs exact knn_join is imperfect (the
+    IVF trade) but substantial."""
+    from elasticsearch_drift_plugin_spark.operators.similarity import (
+        ivf_assign,
+        _seed_centroids,
+        knn_cells,
+        knn_join,
+    )
+    from elasticsearch_drift_plugin_spark.sources.flows import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cells = {r["vec_id"]: r["cell"]
+             for r in ivf_assign(emb, _seed_centroids(emb, 16)).collect()}
+    approx = knn_cells(emb, k=3).collect()
+    assert all(cells[r["vec_id"]] == cells[r["neighbor_id"]] for r in approx)
+    assert all(cells[r["vec_id"]] == r["cell"] for r in approx)
+
+    exact = {(r["vec_id"], r["neighbor_id"]) for r in knn_join(emb, k=3).collect()}
+    got = {(r["vec_id"], r["neighbor_id"]) for r in approx}
+    recall = len(got & exact) / len(exact)
+    # sf0.001 has ~3 vectors per cell, so cross-cell true neighbors dominate
+    # — recall is structurally low here; the contract is "exact within the
+    # cell" (hash-gated by the driver oracle), recall just has to be real
+    assert 0.05 < recall <= 1.0, recall
