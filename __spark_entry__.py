@@ -225,6 +225,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psum_cal_week_tz": lambda s, d: _psum_events(
             s, d, calendar_interval="week", offset=1, time_zone="America/New_York"
         ),
+        # week-tz over the 1996-1998 lineitem span: every DST transition in
+        # the window lands inside some week bucket (23/25-hour boundaries)
+        "psum_cal_week_tz_lineitem": lambda s, d: _psum_lineitem(
+            s, d, calendar_interval="week", offset=1, time_zone="America/New_York",
+            start=LI_START, end=LI_END
+        ),
         "psum_cal_month_lineitem": lambda s, d: _psum_lineitem(
             s, d, calendar_interval="month", offset=1, start=LI_START, end=LI_END
         ),
@@ -447,6 +453,10 @@ def oracle_sql() -> dict[str, str]:
         "psum_cal_week": _ev_oracle(calendar_interval="week", offset=1),
         "psum_cal_week_tz": _ev_oracle(
             calendar_interval="week", offset=1, time_zone="America/New_York"
+        ),
+        "psum_cal_week_tz_lineitem": _li_oracle(
+            calendar_interval="week", offset=1, time_zone="America/New_York",
+            start=LI_START, end=LI_END
         ),
         "psum_day_lineitem": _li_oracle(interval=DAY, offset=1),
         "psum_sweep_day_lineitem": _li_oracle(interval=DAY, offset=1),
