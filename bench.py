@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "pipe_ks_test",
     "pipe_bucket_correlation",
     "ann_knn_cells",
+    "corpus_topic_terms",
 ]
 
 

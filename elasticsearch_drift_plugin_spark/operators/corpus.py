@@ -652,6 +652,109 @@ ORDER BY d.doc_id
 """
 
 
+def topic_terms(
+    docs: DataFrame,
+    emb: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+) -> DataFrame:
+    """(cell, cluster_docs, rank, term, tf, score_q): topic-model-lite —
+    documents cluster by their EMBEDDINGS (deterministic seed-centroid IVF
+    cells; swap in ``kmeans_fit`` centroids for trained topics), and each
+    cluster is labeled with its ``k`` most distinctive TERMS by
+    cluster-level TF-IDF (``idf = ln((C + 1)/(df_clusters + 1))`` where
+    ``df_clusters`` counts clusters containing the term). The first
+    corpus-exploration query run on any new 100 TB crawl: "what is in
+    here, by theme".
+
+    Shape: map-side cell assignment (centroid literals in codegen) → one
+    id-co-partitioned join docs↔cells → term aggregation per (cell, term)
+    (partial agg collapses before the shuffle) → a broadcast idf join →
+    per-cell ranking window. Integer score discipline as tfidf_top_terms.
+    """
+    from .similarity import _seed_centroids, ivf_assign
+
+    cells = ivf_assign(emb, _seed_centroids(emb, n_clusters)).select(
+        F.col("vec_id").alias("doc_id"), "cell"
+    )
+    terms = _doc_terms(docs).join(cells, "doc_id")
+    ct = terms.groupBy("cell", "term").agg(F.sum("tf").alias("tf"))
+    sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("cluster_docs"))
+    n_cells = n_clusters  # fixed by construction (empty cells carry no terms)
+    df_tbl = ct.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
+    idf_q = F.floor(
+        F.log(F.lit(float(n_cells + 1)) / (F.col("dfc") + F.lit(1.0)))
+        * F.lit(float(QUANT))
+    ).alias("idf_q")
+    scored = ct.join(F.broadcast(df_tbl.select("term", idf_q)), "term").select(
+        "cell", "term", "tf", (F.col("tf") * F.col("idf_q")).alias("score_q")
+    )
+    w = Window.partitionBy("cell").orderBy(F.col("score_q").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .join(F.broadcast(sizes), "cell")
+        .select(
+            F.col("cell").cast("long").alias("cell"), "cluster_docs",
+            F.col("rank").cast("long").alias("rank"), "term", "tf", "score_q",
+        )
+        .orderBy("cell", "rank")
+    )
+
+
+def topic_terms_sql(k: int = 5, n_clusters: int = 16) -> str:
+    from .similarity import QUANT as SQUANT
+    from .similarity import _dot_sql
+
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {n_clusters}
+),
+cn AS (
+  SELECT cid, sqrt((SELECT SUM(x * x) FROM (SELECT unnest(cv)::DOUBLE AS x))) AS nm
+  FROM cents
+),
+cell_scores AS (
+  SELECT e.vec_id, c.cid,
+         CAST(FLOOR({_dot_sql('e.embedding', 'c.cv')} / cn.nm * {float(SQUANT)}) AS BIGINT) AS s
+  FROM embeddings e CROSS JOIN cents c JOIN cn ON cn.cid = c.cid
+),
+assign AS (
+  SELECT vec_id AS doc_id, cid AS cell FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+    FROM cell_scores) WHERE rn = 1
+),
+terms AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents)
+  WHERE term <> '' GROUP BY doc_id, term
+),
+ct AS (
+  SELECT a.cell, t.term, CAST(SUM(t.tf) AS BIGINT) AS tf
+  FROM terms t JOIN assign a USING (doc_id) GROUP BY a.cell, t.term
+),
+sizes AS (SELECT cell, COUNT(*) AS cluster_docs FROM assign GROUP BY cell),
+dfreq AS (
+  SELECT term,
+         CAST(FLOOR(ln({float(n_clusters + 1)} / (COUNT(*) + 1.0))
+                    * {float(QUANT)}) AS BIGINT) AS idf_q
+  FROM ct GROUP BY term
+),
+scored AS (
+  SELECT ct.cell, ct.term, ct.tf, ct.tf * d.idf_q AS score_q
+  FROM ct JOIN dfreq d USING (term)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY cell ORDER BY score_q DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT CAST(r.cell AS BIGINT) AS cell, CAST(s.cluster_docs AS BIGINT) AS cluster_docs,
+       CAST(r.rank AS BIGINT) AS rank, r.term, r.tf, r.score_q
+FROM ranked r JOIN sizes s USING (cell)
+WHERE r.rank <= {k} ORDER BY r.cell, r.rank
+"""
+
+
 def _fuzzy_decon(s, d):
     from .dedup import minhash_decontaminate
 
@@ -670,6 +773,9 @@ def _fuzzy_decon_sql() -> str:
 def queries() -> dict:
     return {
         "corpus_tfidf_top": lambda s, d: tfidf_top_terms(load_table(s, d, "documents")),
+        "corpus_topic_terms": lambda s, d: topic_terms(
+            load_table(s, d, "documents"), load_table(s, d, "embeddings")
+        ),
         "corpus_lm_score": lambda s, d: bigram_lm_score(load_table(s, d, "documents")),
         "corpus_contamination": lambda s, d: contamination_overlap(
             load_table(s, d, "documents").where("source <> 'src0'"),
@@ -694,6 +800,7 @@ def queries() -> dict:
 def oracle_sql() -> dict:
     return {
         "corpus_tfidf_top": tfidf_sql(),
+        "corpus_topic_terms": topic_terms_sql(),
         "corpus_lm_score": BIGRAM_LM_SQL,
         "corpus_contamination": contamination_sql("source = 'src0'", "source <> 'src0'"),
         "corpus_fuzzy_decon": _fuzzy_decon_sql(),

@@ -1763,3 +1763,35 @@ def test_knn_cells_restricts_to_cell_and_measures_recall(spark):
     # — recall is structurally low here; the contract is "exact within the
     # cell" (hash-gated by the driver oracle), recall just has to be real
     assert 0.05 < recall <= 1.0, recall
+
+
+def test_topic_terms_labels_planted_clusters(spark):
+    """Docs with distinct vocabularies whose embeddings point at distinct
+    centroids: each cluster's top term is its own vocabulary, and shared
+    stopwords score below distinctive terms (cluster-level idf)."""
+    from elasticsearch_drift_plugin_spark.operators.corpus import topic_terms
+
+    # centroid ids 0/1 are also members; axis-aligned embeddings
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]),
+         (2, [0.9, 0.1]), (3, [0.95, 0.05]),
+         (4, [0.1, 0.9]), (5, [0.05, 0.95])],
+        "vec_id long, embedding array<float>",
+    )
+    docs = spark.createDataFrame(
+        [(0, "the banana banana split"), (2, "the banana bread"),
+         (3, "banana the smoothie"),
+         (1, "the rocket launch"), (4, "rocket the engine"),
+         (5, "rocket fuel the tank")],
+        "doc_id long, text string",
+    )
+    out = topic_terms(docs, emb, k=2, n_clusters=2).collect()
+    top = {r["cell"]: r["term"] for r in out if r["rank"] == 1}
+    assert top[0] == "banana" and top[1] == "rocket"
+    sizes = {r["cell"]: r["cluster_docs"] for r in out}
+    assert sizes == {0: 3, 1: 3}
+    # "the" appears in both clusters -> idf floor makes its score <= 0,
+    # below any distinctive term
+    for r in out:
+        if r["term"] == "the":
+            assert r["score_q"] <= 0
