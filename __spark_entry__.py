@@ -375,6 +375,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             "event_type", "click", "error",
         ),
+        # trailing-window z-score anomaly flags over the bucket list
+        "pipe_zscore": lambda s, d: pipeline.zscore(
+            _psum_events(
+                s, d, calendar_interval="day", offset=1, group_by=("event_type",)
+            ),
+            group_by=("event_type",),
+        ),
         # ES ML bucket_correlation: Pearson r between two bucket series
         "pipe_bucket_correlation": lambda s, d: pipeline.bucket_correlation(
             _psum_events(
@@ -530,6 +537,10 @@ def oracle_sql() -> dict[str, str]:
         "pipe_ks_test": pipeline.ks_test_sql(
             _ev_oracle(calendar_interval="day", offset=1, group_by=("event_type",)),
             "event_type", "click", "error",
+        ),
+        "pipe_zscore": pipeline.zscore_sql(
+            _ev_oracle(calendar_interval="day", offset=1, group_by=("event_type",)),
+            group_by=("event_type",),
         ),
         "pipe_bucket_correlation": pipeline.bucket_correlation_sql(
             _ev_oracle(calendar_interval="day", offset=1, group_by=("event_type",)),

@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "pipe_bucket_correlation",
     "ann_knn_cells",
     "corpus_topic_terms",
+    "pipe_zscore",
 ]
 
 

@@ -765,3 +765,94 @@ SELECT CAST(n AS BIGINT) AS n,
          END * 1000000.0) AS BIGINT) AS corr_q
 FROM agg
 """
+
+
+def zscore(
+    result: DataFrame,
+    group_by=(),
+    window: int = 7,
+    quantize: int = 4,
+    threshold_mq: int = 3000,
+) -> DataFrame:
+    """(group…, key, vq, n, z_mq, anomaly): trailing-window z-score per
+    bucket — ``z = (v − mean(prev w)) / std(prev w)`` with the current
+    bucket EXCLUDED from its own baseline (the moving_fn frame), the
+    standard streaming anomaly heuristic chained after a drift histogram.
+
+    Exact-integer discipline: the window's Σv and Σv² accumulate in
+    DECIMAL(38,0) (v² overflows int64 for wide windows × large values);
+    the single z formula ``(v·n − S) / √(n·S₂ − S²)`` runs once in IEEE
+    doubles from those exact integers — identical on both engines.
+    ``z_mq`` is z in milli-units; NULL when the baseline has < 2 buckets
+    or zero variance. ``anomaly`` flags |z| ≥ ``threshold_mq`` (default
+    3σ). Result-sized: one window pass over the bucket list.
+    """
+    scale = 10**quantize
+    vq = F.round(F.col("value") * F.lit(scale)).cast("long")
+    w = Window.partitionBy(*group_by).orderBy("key")
+    frame = w.rowsBetween(-window, -1)
+    base = result.select(*group_by, "key", vq.alias("vq"))
+    stepped = base.select(
+        *group_by,
+        "key",
+        "vq",
+        F.count("vq").over(frame).alias("__n"),
+        F.sum(F.col("vq").cast("decimal(38,0)")).over(frame).alias("__s"),
+        F.sum(F.col("vq").cast("decimal(38,0)") * F.col("vq")).over(frame).alias("__s2"),
+    )
+    var_num = (F.col("__n") * F.col("__s2") - F.col("__s") * F.col("__s"))
+    z = (
+        (F.col("vq") * F.col("__n") - F.col("__s")).cast("double")
+        / F.sqrt(var_num.cast("double"))
+    )
+    z_mq = F.when(
+        (F.col("__n") >= 2) & (var_num > 0), F.floor(z * F.lit(1000.0))
+    )
+    return (
+        stepped.select(
+            *group_by,
+            "key",
+            "vq",
+            F.col("__n").alias("n"),
+            z_mq.alias("z_mq"),
+            (F.abs(F.coalesce(z_mq, F.lit(0))) >= threshold_mq).alias("anomaly"),
+        )
+        .orderBy(*group_by, "key")
+    )
+
+
+def zscore_sql(
+    base_sql: str,
+    group_by=(),
+    window: int = 7,
+    quantize: int = 4,
+    threshold_mq: int = 3000,
+) -> str:
+    scale = 10**quantize
+    keys = ", ".join(group_by)
+    part = f"PARTITION BY {keys} " if group_by else ""
+    sel_keys = f"{keys}, " if keys else ""
+    frame = f"ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING"
+    win = f"OVER ({part}ORDER BY key {frame})"
+    return f"""
+WITH base AS ({base_sql}),
+q AS (SELECT {sel_keys}key, CAST(ROUND(value * {scale}) AS BIGINT) AS vq FROM base),
+stepped AS (
+  SELECT {sel_keys}key, vq,
+         COUNT(vq) {win} AS n,
+         SUM(CAST(vq AS HUGEINT)) {win} AS s,
+         SUM(CAST(vq AS HUGEINT) * vq) {win} AS s2
+  FROM q
+),
+z AS (
+  SELECT {sel_keys}key, vq, n,
+         CASE WHEN n >= 2 AND (n * s2 - s * s) > 0 THEN
+           CAST(FLOOR(CAST(vq * n - s AS DOUBLE)
+                      / sqrt(CAST(n * s2 - s * s AS DOUBLE)) * 1000.0) AS BIGINT)
+         END AS z_mq
+  FROM stepped
+)
+SELECT {sel_keys}key, vq, CAST(n AS BIGINT) AS n, z_mq,
+       ABS(COALESCE(z_mq, 0)) >= {threshold_mq} AS anomaly
+FROM z ORDER BY {sel_keys}key
+"""

@@ -196,3 +196,32 @@ def test_bucket_correlation_known_values(spark):
         "g", "a", "b",
     ).collect()[0]
     assert partial["n"] == 2 and partial["corr_q"] == 1_000_000
+
+
+def test_zscore_flags_planted_spike(spark):
+    """A flat series with one spike: the spike bucket gets a huge |z| and
+    the anomaly flag; baseline buckets sit near zero; the first bucket
+    (empty baseline) and zero-variance baselines emit NULL z."""
+    import math
+
+    from elasticsearch_drift_plugin_spark.operators.pipeline import zscore
+
+    vals = [10.0, 11.0, 10.0, 11.0, 10.0, 11.0, 500.0, 10.0]
+    df = spark.createDataFrame(
+        [("g", k, v) for k, v in enumerate(vals)], "g string, key long, value double"
+    )
+    rows = {r["key"]: r for r in zscore(df, group_by=("g",), window=6).collect()}
+    assert rows[0]["z_mq"] is None           # no baseline
+    assert rows[1]["z_mq"] is None           # single-point baseline (n<2)
+    assert rows[6]["anomaly"] and rows[6]["z_mq"] > 3000
+    assert not rows[3]["anomaly"] and abs(rows[3]["z_mq"]) < 3000
+    # closed form for bucket 2: baseline {10,11} (x1e4 quanta)
+    n, s, s2 = 2, 210000, 100000**2 + 110000**2
+    want = math.floor((100000 * n - s) / math.sqrt(n * s2 - s * s) * 1000)
+    assert rows[2]["z_mq"] == want
+    # zero-variance baseline -> NULL
+    flat = spark.createDataFrame(
+        [("g", k, 5.0) for k in range(4)], "g string, key long, value double"
+    )
+    out = zscore(flat, group_by=("g",), window=3).collect()
+    assert all(r["z_mq"] is None for r in out)
