@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "ann_knn_cells",
     "corpus_topic_terms",
     "pipe_zscore",
+    "mm_phash_dedup",
 ]
 
 

@@ -355,6 +355,112 @@ ORDER BY doc_id, frame_idx
 """
 
 
+PHASH_CELLS = 60  # 60-bit hash: stays positive in int64 (md5_hash60 discipline)
+
+
+def perceptual_hash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """(doc_id, phash): average-hash (aHash) over the opaque binary payload
+    — the classic perceptual near-dup signature, codec-free: the payload
+    bytes ARE the pixel domain (a real deployment decodes to grayscale
+    first — ``decode_media(kernel='pil')`` slots in front with zero plan
+    change). The bytes partition into ``PHASH_CELLS`` contiguous cells;
+    bit c is set iff ``CELLS·Σcell_c > Σtotal`` (cell mean above global
+    mean, compared by exact integer cross-multiplication — no division).
+    Arrow-batched numpy kernel, map-only; two payloads differing by small
+    local edits agree on most bits, so Hamming distance ranks near-dups.
+    """
+    cells = PHASH_CELLS
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(payload: bytes) -> int:
+            b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+            n = b.size
+            if n == 0:
+                return 0
+            idx = (np.arange(n, dtype=np.int64) * cells) // n
+            sums = np.zeros(cells, dtype=np.int64)
+            np.add.at(sums, idx, b)
+            total = int(b.sum())
+            h = 0
+            for c in range(cells):
+                if cells * int(sums[c]) > total:
+                    h |= 1 << c
+            return h
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": [one(p) for p in pdf[payload_col]],
+                }
+            )
+
+    return df.mapInPandas(fn, "doc_id long, phash long")
+
+
+def phash_dedup(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """(doc_id, phash, canonical, dup_count): exact perceptual-duplicate
+    groups — docs sharing a phash collapse to the min-id survivor. One
+    signature pass + one window over (phash); for NEAR-dups (Hamming ≤ t)
+    band the 60-bit hash into 4×15-bit keys and join on band equality —
+    the MinHash-LSH shape with the phash as the signature."""
+    from pyspark.sql import Window
+
+    sig = perceptual_hash(df, payload_col)
+    w = Window.partitionBy("phash")
+    return (
+        sig.select(
+            "doc_id",
+            "phash",
+            F.min("doc_id").over(w).alias("canonical"),
+            F.count(F.lit(1)).over(w).alias("dup_count"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PHASH_DEDUP_SQL = f"""
+WITH hx AS (
+  SELECT doc_id, hex(encode(text)) AS hs,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, i, n,
+         (CASE WHEN c1 >= 65 THEN c1 - 55 ELSE c1 - 48 END) * 16 +
+         (CASE WHEN c2 >= 65 THEN c2 - 55 ELSE c2 - 48 END) AS b
+  FROM (SELECT doc_id, n,
+               ord(substring(hs, 2 * i - 1, 1)) AS c1,
+               ord(substring(hs, 2 * i, 1)) AS c2, i
+        FROM (SELECT doc_id, hs, n, unnest(generate_series(1, n)) AS i FROM hx))
+),
+cellsums AS (
+  SELECT doc_id, ((i - 1) * {PHASH_CELLS}) // n AS cell, SUM(b) AS cs
+  FROM ch GROUP BY doc_id, ((i - 1) * {PHASH_CELLS}) // n
+),
+tot AS (SELECT doc_id, SUM(b) AS total FROM ch GROUP BY doc_id),
+hashes AS (
+  SELECT c.doc_id,
+         CAST(SUM(CASE WHEN {PHASH_CELLS} * c.cs > t.total
+                       -- integer shift, NOT `**` (DuckDB pow returns DOUBLE
+                       -- and rounds bits 53+ of the packed hash)
+                       THEN CAST(1 AS BIGINT) << CAST(c.cell AS INT)
+                       ELSE 0 END) AS BIGINT) AS phash
+  FROM cellsums c JOIN tot t USING (doc_id) GROUP BY c.doc_id
+),
+full_h AS (
+  SELECT d.doc_id, COALESCE(h.phash, 0) AS phash
+  FROM documents d LEFT JOIN hashes h USING (doc_id)
+)
+SELECT doc_id, phash,
+       MIN(doc_id) OVER (PARTITION BY phash) AS canonical,
+       COUNT(*) OVER (PARTITION BY phash) AS dup_count
+FROM full_h ORDER BY doc_id
+"""
+
+
 def queries() -> dict:
     return {
         "mm_metadata": lambda s, d: media_metadata(load_table(s, d, "documents")),
@@ -370,6 +476,9 @@ def queries() -> dict:
         "mm_features": lambda s, d: extract_features(
             binary_documents(load_table(s, d, "documents"))
         ).orderBy("doc_id"),
+        "mm_phash_dedup": lambda s, d: phash_dedup(
+            binary_documents(load_table(s, d, "documents"))
+        ),
     }
 
 
@@ -380,4 +489,5 @@ def oracle_sql() -> dict:
         "mm_frames": FRAMES_SQL,
         "mm_resize": resize_sql(),
         "mm_features": FEATURES_SQL,
+        "mm_phash_dedup": PHASH_DEDUP_SQL,
     }

@@ -1795,3 +1795,33 @@ def test_topic_terms_labels_planted_clusters(spark):
     for r in out:
         if r["term"] == "the":
             assert r["score_q"] <= 0
+
+
+def test_phash_near_dup_hamming_and_exact_groups(spark):
+    """aHash contract: identical payloads share a phash (grouped to the
+    min-id survivor); a small local edit flips few of the 60 bits; an
+    unrelated payload flips many."""
+    from elasticsearch_drift_plugin_spark.operators.multimodal import (
+        perceptual_hash,
+        phash_dedup,
+    )
+
+    # uniform base: every cell sum equal -> 60*cs == total -> all bits 0;
+    # a bright local edit lifts exactly its own cell above the mean
+    base = b"\x80" * 2400
+    edited = bytearray(base)
+    edited[200:240] = b"\xff" * 40
+    unrelated = bytes((i * 37 + 11) % 251 for i in range(2048))
+    df = spark.createDataFrame(
+        [(0, base), (1, base), (2, bytes(edited)), (3, unrelated)],
+        "doc_id long, payload binary",
+    )
+    h = {r["doc_id"]: r["phash"] for r in perceptual_hash(df).collect()}
+    assert h[0] == h[1]
+    ham_edit = bin(h[0] ^ h[2]).count("1")
+    ham_far = bin(h[0] ^ h[3]).count("1")
+    assert ham_edit <= 5 < ham_far
+
+    groups = {r["doc_id"]: r for r in phash_dedup(df).collect()}
+    assert groups[1]["canonical"] == 0 and groups[1]["dup_count"] == 2
+    assert groups[3]["canonical"] == 3 and groups[3]["dup_count"] == 1
