@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     "corpus_topic_terms",
     "pipe_zscore",
     "mm_phash_dedup",
+    "stream_zscore_day",
+    "train_epoch_plan",
 ]
 
 

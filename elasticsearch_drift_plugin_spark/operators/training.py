@@ -32,7 +32,7 @@ rows, broadcast-joined; the predicate reaches the scan.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import HEX15_SQL_FN, md5_hash60
@@ -476,6 +476,65 @@ FROM pack ORDER BY "group", doc_id
 
 
 # --------------------------------------------------------------------------
+# epoch shard manifest
+# --------------------------------------------------------------------------
+
+def epoch_plan(
+    docs: DataFrame,
+    capacity: int = 256,
+    seqs_per_shard: int = 8,
+    group_col: str = "source",
+) -> DataFrame:
+    """(group, shard, n_seqs, n_docs, n_tokens, cum_tokens): the epoch
+    manifest a training job consumes — packed sequences grouped into
+    fixed-size shards per domain, with running token totals so a trainer
+    can seek to any budget point ("resume at 2B tokens") without touching
+    the data. Composes :func:`pack_sequences`; the manifest aggregation is
+    result-sized (sequences, not docs) and the cumulative window runs per
+    domain over shard rows only.
+    """
+    if seqs_per_shard < 1:
+        raise ValueError("seqs_per_shard must be >= 1")
+    packed = pack_sequences(docs, capacity=capacity, group_col=group_col)
+    shard = (F.col("seq_no") / F.lit(seqs_per_shard)).cast("long").alias("shard")
+    per = (
+        packed.select("group", shard, "seq_no", "n_tokens")
+        .groupBy("group", "shard")
+        .agg(
+            F.countDistinct("seq_no").alias("n_seqs"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy("group").orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .orderBy("group", "shard")
+    )
+
+
+def epoch_plan_sql(
+    capacity: int = 256, seqs_per_shard: int = 8
+) -> str:
+    return f"""
+WITH packed AS ({pack_sequences_sql(capacity=capacity)}),
+per AS (
+  SELECT "group", seq_no // {seqs_per_shard} AS shard,
+         COUNT(DISTINCT seq_no) AS n_seqs, COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM packed GROUP BY "group", seq_no // {seqs_per_shard}
+)
+SELECT "group", CAST(shard AS BIGINT) AS shard, CAST(n_seqs AS BIGINT) AS n_seqs,
+       CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+       CAST(SUM(n_tokens) OVER (PARTITION BY "group" ORDER BY shard
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+FROM per ORDER BY "group", shard
+"""
+
+
+# --------------------------------------------------------------------------
 # train/val/test split assignment
 # --------------------------------------------------------------------------
 
@@ -562,6 +621,9 @@ def queries() -> dict:
         "train_split_assign": lambda s, d: split_assign(
             load_table(s, d, "documents")
         ),
+        "train_epoch_plan": lambda s, d: epoch_plan(
+            load_table(s, d, "documents"), capacity=256, seqs_per_shard=8
+        ),
     }
 
 
@@ -574,4 +636,5 @@ def oracle_sql() -> dict:
         "train_chunk_docs": chunk_documents_sql(chunk_tokens=64, stride=48),
         "train_curate_pipeline": curate_pipeline_sql(),
         "train_split_assign": split_assign_sql(),
+        "train_epoch_plan": epoch_plan_sql(capacity=256, seqs_per_shard=8),
     }

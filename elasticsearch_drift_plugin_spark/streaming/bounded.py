@@ -144,9 +144,26 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.orderBy("keep_id")
 
 
+def stream_zscore_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift DETECTOR: the trailing-window z-score runs over the
+    streaming histogram's bounded replay — the continuous-anomaly shape
+    (in production: foreachBatch over the update-mode sink, scoring each
+    refreshed bucket against its trailing baseline)."""
+    from ..operators.pipeline import zscore
+
+    fl = events_flows_stream(spark, sf_dir)
+    agg = proportional_sum_stream(
+        fl, "start_ms", "end_ms", "value", "sampling",
+        calendar_interval="day", offset=1, quantize=4,
+    )
+    tbl = run_available_now(agg, "complete")
+    return zscore(tbl.select("key", "doc_count", "value"), group_by=())
+
+
 def queries() -> dict:
     return {
         "stream_psum_6h": stream_psum_6h,
+        "stream_zscore_day": stream_zscore_day,
         "stream_psum_day_tz": stream_psum_day_tz,
         "stream_flow_sessions": stream_flow_sessions,
         "stream_dedup_exact": stream_dedup_exact,
@@ -161,8 +178,15 @@ def oracle_sql() -> dict:
     )
     from ..operators.dedup import EXACT_SQL
 
+    from ..operators.pipeline import zscore_sql
+
     return {
         "stream_psum_6h": psum,
+        "stream_zscore_day": zscore_sql(
+            psum_oracle_sql(events_flows_duckdb_sql(""), quantize=4,
+                            calendar_interval="day", offset=1),
+            group_by=(),
+        ),
         "stream_psum_day_tz": psum_oracle_sql(
             events_flows_duckdb_sql(""), quantize=4,
             calendar_interval="day", offset=1, time_zone="America/New_York",

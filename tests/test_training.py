@@ -103,3 +103,30 @@ def test_pack_sharded_partitions_and_degenerates_to_plain(spark):
             if r["seq_no"] != seq:
                 seq, used = r["seq_no"], 0
             used += r["n_tokens"]
+
+
+def test_epoch_plan_shards_and_cumulative_tokens(spark):
+    """Manifest invariants: shard sizes respect seqs_per_shard, token
+    totals reconcile with the corpus, and cum_tokens is the running sum."""
+    from elasticsearch_drift_plugin_spark.operators.training import epoch_plan
+
+    docs = spark.createDataFrame(
+        [("a", i, " ".join(["w"] * (5 + i % 7))) for i in range(30)]
+        + [("b", 100 + i, " ".join(["w"] * 10)) for i in range(10)],
+        "source string, doc_id long, text string",
+    )
+    out = epoch_plan(docs, capacity=20, seqs_per_shard=2).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["group"], []).append(r)
+    for g, rows in by_g.items():
+        rows.sort(key=lambda r: r["shard"])
+        assert [r["shard"] for r in rows] == list(range(len(rows)))
+        assert all(r["n_seqs"] <= 2 for r in rows)
+        run = 0
+        for r in rows:
+            run += r["n_tokens"]
+            assert r["cum_tokens"] == run
+    total_tokens = sum(r["n_tokens"] for r in out)
+    want = sum(5 + i % 7 for i in range(30)) + 100
+    assert total_tokens == want
