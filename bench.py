@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "mm_phash_dedup",
     "stream_zscore_day",
     "train_epoch_plan",
+    "text_readability",
 ]
 
 

@@ -787,6 +787,8 @@ def zscore(
     or zero variance. ``anomaly`` flags |z| ≥ ``threshold_mq`` (default
     3σ). Result-sized: one window pass over the bucket list.
     """
+    if window < 1:
+        raise ValueError("window must be >= 1")
     scale = 10**quantize
     vq = F.round(F.col("value") * F.lit(scale)).cast("long")
     w = Window.partitionBy(*group_by).orderBy("key")

@@ -298,6 +298,56 @@ def pii_sql() -> str:
 
 
 
+def readability(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_words, n_sents, n_syll, fre_q): Flesch Reading-Ease in
+    exact milli-units — ``206.835 − 1.015·(words/sents) − 84.6·(syll/
+    words)`` with a vowel-group syllable proxy (the standard code-level
+    approximation) and sentences = terminator runs + 1. A staple of
+    curation quality stacks next to the Gopher rules.
+
+    Integer discipline: counts come from ``regexp_count`` (RE2-portable
+    patterns, the pii_scan convention); the final formula evaluates once
+    in IEEE doubles from those exact integers, floored to milli-units —
+    identical on both engines. Map-only, zero shuffle."""
+    low = F.lower(F.col("text"))
+    n_words = (F.size(F.split(low, " +"))).cast("long")
+    n_sents = (F.regexp_count(low, F.lit(r"[.!?]+")) + F.lit(1)).cast("long")
+    n_syll = F.greatest(
+        F.regexp_count(low, F.lit(r"[aeiouy]+")), F.lit(1)
+    ).cast("long")
+    fre = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sents.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double"))
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_syll.alias("n_syll"),
+        F.floor(fre * F.lit(1000.0)).alias("fre_q"),
+    ).orderBy("doc_id")
+
+
+def readability_sql() -> str:
+    return r"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(lower(text), ' +')) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(lower(text), '[.!?]+')) + 1 AS BIGINT) AS n_sents,
+         CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+              AS BIGINT) AS n_syll
+  FROM documents
+)
+SELECT doc_id, n_words, n_sents, n_syll,
+       CAST(FLOOR((206.835
+                   - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+                   - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)))
+                  * 1000.0) AS BIGINT) AS fre_q
+FROM c ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Gopher-style quality rule battery
 # --------------------------------------------------------------------------
@@ -428,6 +478,7 @@ def queries() -> dict:
         "text_repetition": lambda s, d: repetition_score(load_table(s, d, "documents")),
         "text_pii_scan": lambda s, d: pii_scan(load_table(s, d, "documents")),
         "text_gopher_filter": lambda s, d: gopher_filter(load_table(s, d, "documents")),
+        "text_readability": lambda s, d: readability(load_table(s, d, "documents")),
     }
 
 
@@ -441,4 +492,5 @@ def oracle_sql() -> dict:
         "text_repetition": repetition_sql(),
         "text_pii_scan": pii_sql(),
         "text_gopher_filter": gopher_sql(),
+        "text_readability": readability_sql(),
     }

@@ -1825,3 +1825,25 @@ def test_phash_near_dup_hamming_and_exact_groups(spark):
     groups = {r["doc_id"]: r for r in phash_dedup(df).collect()}
     assert groups[1]["canonical"] == 0 and groups[1]["dup_count"] == 2
     assert groups[3]["canonical"] == 3 and groups[3]["dup_count"] == 1
+
+
+def test_readability_known_text_and_monotonicity(spark):
+    """Closed-form check on a known sentence; simple prose scores higher
+    than dense polysyllabic text."""
+    import math
+
+    from elasticsearch_drift_plugin_spark.operators.text import readability
+
+    simple = "the cat sat on the mat. it was fat."
+    dense = "extraordinary multisyllabic vocabulary necessitates considerable comprehension"
+    df = spark.createDataFrame(
+        [(0, simple), (1, dense)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in readability(df).collect()}
+    r0 = rows[0]
+    # 9 whitespace words, 2 terminator runs + 1 = 3 sentences
+    assert r0["n_words"] == 9 and r0["n_sents"] == 3
+    fre = 206.835 - 1.015 * (r0["n_words"] / r0["n_sents"]) \
+        - 84.6 * (r0["n_syll"] / r0["n_words"])
+    assert r0["fre_q"] == math.floor(fre * 1000)
+    assert rows[0]["fre_q"] > rows[1]["fre_q"]
