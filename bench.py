@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "stream_zscore_day",
     "train_epoch_plan",
     "text_readability",
+    "emb_cluster_purity",
 ]
 
 

@@ -728,6 +728,77 @@ FROM ranked WHERE rn <= {k} ORDER BY vec_id, nn_rank
 """
 
 
+def cluster_purity(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
+    """(cell, n, majority_label, n_majority, purity_q): per-IVF-cell label
+    purity plus the standard clustering-evaluation summary — how well the
+    embedding geometry recovers the ``label`` column. Exact integer
+    counting end-to-end (purity_q = n_majority·1e6 div n, floor); ties on
+    the majority label break to the smallest label. The eval loop a
+    training-data team runs after retraining an embedding model, here as
+    one assignment pass + two result-sized aggregations.
+    """
+    assigned = ivf_assign(emb, _seed_centroids(emb, n_centroids)).select(
+        "vec_id", "cell"
+    )
+    lab = emb.select("vec_id", F.col("label").cast("long").alias("label"))
+    cl = assigned.join(lab, "vec_id").groupBy("cell", "label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("cell").orderBy(F.col("c").desc(), F.col("label").asc())
+    top = cl.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
+    sizes = cl.groupBy("cell").agg(F.sum("c").alias("n"))
+    return (
+        top.join(sizes, "cell")
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "n",
+            F.col("label").alias("majority_label"),
+            F.col("c").alias("n_majority"),
+            F.expr("(n_majority * 1000000 - pmod(n_majority * 1000000, n)) div n")
+            .alias("purity_q"),
+        )
+        .orderBy("cell")
+    )
+
+
+def cluster_purity_sql(n_centroids: int = N_CENTROIDS) -> str:
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {n_centroids}
+),
+cn AS (
+  SELECT cid, sqrt((SELECT SUM(x * x) FROM (SELECT unnest(cv)::DOUBLE AS x))) AS nm
+  FROM cents
+),
+cell_scores AS (
+  SELECT e.vec_id, c.cid,
+         CAST(FLOOR({{dot}} / cn.nm * {float(QUANT)}) AS BIGINT) AS s
+  FROM embeddings e CROSS JOIN cents c JOIN cn ON cn.cid = c.cid
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+    FROM cell_scores) WHERE rn = 1
+),
+cl AS (
+  SELECT a.cell, CAST(e.label AS BIGINT) AS label, COUNT(*) AS c
+  FROM assign a JOIN embeddings e USING (vec_id)
+  GROUP BY a.cell, e.label
+),
+top AS (
+  SELECT cell, label, c FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY cell ORDER BY c DESC, label ASC) AS rn
+    FROM cl) WHERE rn = 1
+),
+sizes AS (SELECT cell, CAST(SUM(c) AS BIGINT) AS n FROM cl GROUP BY cell)
+SELECT CAST(t.cell AS BIGINT) AS cell, s.n, t.label AS majority_label,
+       CAST(t.c AS BIGINT) AS n_majority,
+       CAST((t.c * 1000000 - ((t.c * 1000000 % s.n + s.n) % s.n)) // s.n AS BIGINT)
+         AS purity_q
+FROM top t JOIN sizes s USING (cell) ORDER BY t.cell
+""".replace("{dot}", _dot_sql("e.embedding", "c.cv"))
+
+
 def quantize_int8(emb: DataFrame, quantize_scale: int = 9) -> DataFrame:
     """(vec_id, scale_q, n_dims, qvec): symmetric int8 vector quantization —
     the 4× storage cut (float32 → int8 + one scale) that makes a 100 TB
@@ -789,6 +860,9 @@ def queries() -> dict:
         ),
         "ann_knn_join": lambda s, d: knn_join(load_table(s, d, "embeddings")),
         "ann_knn_cells": lambda s, d: knn_cells(load_table(s, d, "embeddings")),
+        "emb_cluster_purity": lambda s, d: cluster_purity(
+            load_table(s, d, "embeddings")
+        ),
         # brute_force=True: the registry entry IS the documented exact
         # baseline (skips the guard's two count jobs); ann_ivf_topk is the
         # headline ANN path and leads in the grading window
@@ -819,6 +893,7 @@ def oracle_sql() -> dict:
         "emb_quantize_int8": quantize_int8_sql(),
         "ann_knn_join": knn_join_sql(),
         "ann_knn_cells": knn_cells_sql(),
+        "emb_cluster_purity": cluster_purity_sql(),
         "ann_cosine_topk": TOPK_SQL,
         "ann_lsh_histogram": lsh_histogram_sql(),
         "ann_ivf_topk": IVF_TOPK_SQL,

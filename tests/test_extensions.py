@@ -1847,3 +1847,20 @@ def test_readability_known_text_and_monotonicity(spark):
         - 84.6 * (r0["n_syll"] / r0["n_words"])
     assert r0["fre_q"] == math.floor(fre * 1000)
     assert rows[0]["fre_q"] > rows[1]["fre_q"]
+
+
+def test_cluster_purity_exact_on_separable_labels(spark):
+    """Axis-aligned clusters with consistent labels -> purity 1.0; a mixed
+    cell reports its majority and exact floored fraction."""
+    from elasticsearch_drift_plugin_spark.operators.similarity import cluster_purity
+
+    rows = [
+        (0, [1.0, 0.0], 7), (2, [0.9, 0.1], 7), (3, [0.95, 0.05], 7),
+        (1, [0.0, 1.0], 8), (4, [0.1, 0.9], 8), (5, [0.05, 0.95], 9),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["cell"]: r for r in cluster_purity(emb, n_centroids=2).collect()}
+    assert out[0]["majority_label"] == 7 and out[0]["purity_q"] == 1_000_000
+    # cell 1: labels 8,8,9 -> majority 8, purity floor(2/3 * 1e6)
+    assert out[1]["majority_label"] == 8
+    assert out[1]["purity_q"] == (2 * 1_000_000) // 3
