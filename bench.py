@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "train_epoch_plan",
     "text_readability",
     "emb_cluster_purity",
+    "corpus_sample_exact",
 ]
 
 

@@ -755,6 +755,55 @@ WHERE r.rank <= {k} ORDER BY r.cell, r.rank
 """
 
 
+def sample_exact(
+    df: DataFrame,
+    n_per_stratum: int = 50,
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """(doc_id, strata, pick_rank): EXACT-size deterministic sampling — the
+    ``n_per_stratum`` docs per stratum whose salted md5 hash ranks lowest.
+    Complements :func:`hash_sample` (probabilistic rate ⇒ binomial size
+    jitter): eval-set construction needs "exactly 5 000 docs per
+    language", reproducibly. Same determinism properties (content-stable,
+    salt-redrawable); NOT growth-stable — adding docs can displace the
+    boundary ranks (inherent to exact-n; documented trade vs hash_sample).
+
+    One ranking window per stratum; with a pre-partition on the stratum
+    the sort is local, and at 100 TB the standard refinement is a
+    hash-threshold prefilter (keep h < (n/N + ε)·MAX first, then rank the
+    survivors) so the window sorts a near-sample-sized set, not the corpus.
+    """
+    if n_per_stratum < 1:
+        raise ValueError("n_per_stratum must be >= 1")
+    h = md5_hash60(F.concat_ws("#", F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy("strata").orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.select(F.col(id_col), F.col(strata_col).alias("strata"))
+        .withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("pick_rank") <= n_per_stratum)
+        .orderBy("strata", "pick_rank")
+    )
+
+
+def sample_exact_sql(
+    n_per_stratum: int = 50, strata_col: str = "source", salt: str = "sample-v1"
+) -> str:
+    h = HEX15_SQL_FN.format(expr=f"'{salt}' || '#' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, {strata_col} AS strata,
+         ROW_NUMBER() OVER (PARTITION BY {strata_col}
+                            ORDER BY {h} ASC, doc_id ASC) AS pick_rank
+  FROM documents
+)
+SELECT doc_id, strata, CAST(pick_rank AS BIGINT) AS pick_rank
+FROM ranked WHERE pick_rank <= {n_per_stratum}
+ORDER BY strata, pick_rank
+"""
+
+
 def _fuzzy_decon(s, d):
     from .dedup import minhash_decontaminate
 
@@ -785,6 +834,9 @@ def queries() -> dict:
         "corpus_fuzzy_decon": _fuzzy_decon,
         "corpus_span_dedup": lambda s, d: span_dedup(load_table(s, d, "documents")),
         "corpus_top_ngrams": lambda s, d: top_ngrams(load_table(s, d, "documents")),
+        "corpus_sample_exact": lambda s, d: sample_exact(
+            load_table(s, d, "documents")
+        ),
         "corpus_hash_sample": lambda s, d: hash_sample(
             load_table(s, d, "documents"),
             rate=0.25,
@@ -806,6 +858,7 @@ def oracle_sql() -> dict:
         "corpus_fuzzy_decon": _fuzzy_decon_sql(),
         "corpus_span_dedup": span_dedup_sql(),
         "corpus_top_ngrams": top_ngrams_sql(),
+        "corpus_sample_exact": sample_exact_sql(),
         "corpus_hash_sample": hash_sample_sql(
             rate=0.25, strata_col="source", strata_rates={"src0": 1.0}
         ),

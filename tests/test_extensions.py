@@ -1864,3 +1864,25 @@ def test_cluster_purity_exact_on_separable_labels(spark):
     # cell 1: labels 8,8,9 -> majority 8, purity floor(2/3 * 1e6)
     assert out[1]["majority_label"] == 8
     assert out[1]["purity_q"] == (2 * 1_000_000) // 3
+
+
+def test_sample_exact_sizes_determinism_and_salt(spark):
+    from elasticsearch_drift_plugin_spark.operators.corpus import sample_exact
+
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 3)) for i in range(300)], "doc_id long, source string"
+    )
+    a = sample_exact(df, n_per_stratum=20).collect()
+    import collections
+    sizes = collections.Counter(r["strata"] for r in a)
+    assert sizes == {"s0": 20, "s1": 20, "s2": 20}  # EXACT sizes
+    assert all(1 <= r["pick_rank"] <= 20 for r in a)
+    # deterministic re-run
+    b = sample_exact(df, n_per_stratum=20).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # a different salt draws a different committee
+    c = sample_exact(df, n_per_stratum=20, salt="v2").collect()
+    assert {r["doc_id"] for r in c} != {r["doc_id"] for r in a}
+    # n larger than a stratum returns the whole stratum
+    small = sample_exact(df.where("doc_id < 5"), n_per_stratum=50).collect()
+    assert len(small) == 5
