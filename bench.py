@@ -118,6 +118,14 @@ BENCH_QUERIES = [
     "text_readability",
     "emb_cluster_purity",
     "corpus_sample_exact",
+    # session-3 additions: ES top_hits, BPE merge-step pair counting,
+    # the bucketed interval join, curriculum staging, signed random
+    # projection
+    "es_top_hits",
+    "corpus_bpe_pairs",
+    "rel_interval_join",
+    "train_curriculum",
+    "emb_rp_project",
 ]
 
 

@@ -819,6 +819,56 @@ def _fuzzy_decon_sql() -> str:
     return minhash_decon_sql("source = 'src0'", "source <> 'src0'")
 
 
+def bpe_pair_counts(docs: DataFrame, k: int = 40) -> DataFrame:
+    """(pair, pair_count): corpus-wide adjacent-character-pair frequencies
+    weighted by word frequency — the argmax step of one BPE merge round
+    (Sennrich et al. 2016, "Neural Machine Translation of Rare Words with
+    Subword Units"): the top pair is the next merge rule a tokenizer
+    trained on this corpus would learn. Tokenizer-vocabulary induction is
+    the canonical side computation of an LLM pre-training pipeline.
+
+    Scale: the only corpus-sized stage is the word-frequency groupBy
+    (map-side partial count, Zipf-bounded output ≪ corpus). Pair
+    generation runs over DISTINCT words via a JVM higher-order function
+    (``transform(sequence(...))``, no Python), so per-round cost is
+    O(|vocab| · avg_len). A full BPE training loop re-runs this plan on
+    the re-segmented vocab per merge — a driver loop with one small
+    shuffle per round, the same shape as ``similarity.kmeans_fit``.
+    """
+    words = docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("w")).where(
+        F.length("w") >= 2
+    )
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    pairs = wc.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").cast("long").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(k)
+    )
+
+
+def bpe_pairs_sql(k: int = 40) -> str:
+    return rf"""
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents
+),
+wc AS (SELECT w, COUNT(*) AS c FROM words WHERE len(w) >= 2 GROUP BY w),
+pairs AS (
+  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, c
+  FROM (SELECT w, c, unnest(range(1, len(w))) AS i FROM wc)
+)
+SELECT pair, CAST(SUM(c) AS BIGINT) AS pair_count
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair LIMIT {k}
+"""
+
+
 def queries() -> dict:
     return {
         "corpus_tfidf_top": lambda s, d: tfidf_top_terms(load_table(s, d, "documents")),
@@ -834,6 +884,7 @@ def queries() -> dict:
         "corpus_fuzzy_decon": _fuzzy_decon,
         "corpus_span_dedup": lambda s, d: span_dedup(load_table(s, d, "documents")),
         "corpus_top_ngrams": lambda s, d: top_ngrams(load_table(s, d, "documents")),
+        "corpus_bpe_pairs": lambda s, d: bpe_pair_counts(load_table(s, d, "documents")),
         "corpus_sample_exact": lambda s, d: sample_exact(
             load_table(s, d, "documents")
         ),
@@ -858,6 +909,7 @@ def oracle_sql() -> dict:
         "corpus_fuzzy_decon": _fuzzy_decon_sql(),
         "corpus_span_dedup": span_dedup_sql(),
         "corpus_top_ngrams": top_ngrams_sql(),
+        "corpus_bpe_pairs": bpe_pairs_sql(),
         "corpus_sample_exact": sample_exact_sql(),
         "corpus_hash_sample": hash_sample_sql(
             rate=0.25, strata_col="source", strata_rates={"src0": 1.0}

@@ -49,7 +49,7 @@ engines filtering identically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..sources.flows import load_table, ts_ms_col
@@ -925,6 +925,69 @@ GROUP BY {g} ORDER BY {g}
 """
 
 
+def top_hits_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    sort_col: str = "value",
+    id_col: str = "event_id",
+    carry_cols: tuple[str, ...] = ("user_id",),
+    size: int = 3,
+) -> DataFrame:
+    """(group..., rank, id, carry..., ``<sort>_q``): ES ``top_hits``
+    sub-agg — the ``size`` best documents per bucket by sort value (desc,
+    id-asc tie-break), projecting a subset of ``_source`` fields.
+
+    ES keeps a per-shard top-``size`` heap and merges heaps at reduce
+    (``TopHitsAggregator``); the Spark twin is a ranking window over the
+    bucket key — one shuffle on the key, partition-local sort, rows with a
+    missing/NaN sort value skipped (ES sorts them last; with real hits
+    present they never reach a small ``size``). At 100 TB the refinement is
+    a map-side per-partition top-``size`` (``slice(sort_array(
+    collect_list(struct)))`` partial agg, the same shard-heap bound ES
+    enforces) before the window, so the shuffle carries ≤ size rows per
+    (input partition, bucket) instead of the full bucket.
+    """
+    keep = F.col(sort_col).isNotNull() & ~F.isnan(F.col(sort_col))
+    w = Window.partitionBy(*group_cols).orderBy(F.col(sort_col).desc(), F.col(id_col))
+    return (
+        df.where(keep)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= size)
+        .select(
+            *group_cols,
+            "rank",
+            id_col,
+            *carry_cols,
+            F.floor(F.col(sort_col) * F.lit(1000000.0)).cast("long").alias(f"{sort_col}_q"),
+        )
+        .orderBy(*group_cols, "rank")
+    )
+
+
+def top_hits_sql(
+    table: str,
+    group_cols: list[str],
+    sort_col: str = "value",
+    id_col: str = "event_id",
+    carry_cols: tuple[str, ...] = ("user_id",),
+    size: int = 3,
+) -> str:
+    g = ", ".join(group_cols)
+    carry = "".join(f", {c}" for c in carry_cols)
+    return f"""
+WITH ranked AS (
+  SELECT {g}, {id_col}{carry},
+         CAST(FLOOR({sort_col} * 1000000.0) AS BIGINT) AS {sort_col}_q,
+         ROW_NUMBER() OVER (PARTITION BY {g}
+                            ORDER BY {sort_col} DESC, {id_col}) AS rank
+  FROM {table}
+  WHERE {sort_col} IS NOT NULL AND NOT isnan({sort_col})
+)
+SELECT {g}, CAST(rank AS BIGINT) AS rank, {id_col}{carry}, {sort_col}_q
+FROM ranked WHERE rank <= {size} ORDER BY {g}, rank
+"""
+
+
 def queries() -> dict:
     return {
         "es_random_sampler": lambda s, d: random_sampler_agg(
@@ -980,6 +1043,9 @@ def queries() -> dict:
         "es_categorize_text": lambda s, d: categorize_text(
             load_table(s, d, "documents"), "text"
         ),
+        "es_top_hits": lambda s, d: top_hits_agg(
+            load_table(s, d, "events"), ["event_type"]
+        ),
     }
 
 
@@ -1019,4 +1085,5 @@ def oracle_sql() -> dict:
             "events", "value"
         ),
         "es_categorize_text": categorize_text_sql("documents", "text"),
+        "es_top_hits": top_hits_sql("events", ["event_type"]),
     }

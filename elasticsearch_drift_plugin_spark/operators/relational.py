@@ -387,6 +387,92 @@ FROM agg ORDER BY net
 """
 
 
+_DAY_MS = 86_400_000
+
+
+def interval_join(
+    events_df: DataFrame,
+    grain_ms: int = 6 * 3_600_000,
+    top_days: int = 10,
+    pre_ms: int = 6 * 3_600_000,
+    post_ms: int = 30 * 3_600_000,
+) -> DataFrame:
+    """(window_key, n_events, value_q): events joined into OVERLAPPING
+    analysis windows ``[day−6h, day+30h)`` anchored on the ``top_days``
+    busiest UTC days — a Flink-style interval join (no equality key)
+    expressed as a Spark composition.
+
+    Scale shape: a naive ``t >= ws AND t < we`` join has no equi-key, so
+    Spark plans a BroadcastNestedLoopJoin — O(N·W) comparisons. This
+    operator quantizes BOTH sides to a coarse grain: each window explodes
+    into the ≤ len/grain + 1 grains it covers, each event maps to one
+    grain, and the join becomes an equi-join on the grain followed by the
+    exact range filter. That is the standard bucketed range join —
+    shuffle-partitionable on the grain key (broadcast here because the
+    window side is tiny), no nested loop, skew bounded by events-per-grain.
+    All boundary math is 64-bit integer (``div`` on nonnegative epoch-ms ==
+    floor division in both engines), so no float reaches the join keys.
+    """
+    from ..sources.flows import ts_ms_col
+
+    ev = events_df.select(ts_ms_col(events_df).alias("t_ms"), "value")
+    days = (
+        ev.groupBy(F.expr(f"t_ms div {_DAY_MS} * {_DAY_MS}").alias("day_ms"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "day_ms")
+        .limit(top_days)
+    )
+    win = days.select(
+        F.col("day_ms").alias("window_key"),
+        (F.col("day_ms") - F.lit(pre_ms)).alias("ws"),
+        (F.col("day_ms") + F.lit(post_ms)).alias("we"),
+    )
+    wing = win.withColumn(
+        "grain",
+        F.explode(F.expr(f"sequence(ws div {grain_ms}, (we - 1) div {grain_ms})")),
+    )
+    evg = ev.withColumn("grain", F.expr(f"t_ms div {grain_ms}"))
+    vq = F.when(
+        F.col("value").isNotNull() & ~F.isnan(F.col("value")),
+        F.floor(F.col("value") * F.lit(1000000.0)).cast("long"),
+    )
+    return (
+        evg.join(F.broadcast(wing), "grain")
+        .where((F.col("t_ms") >= F.col("ws")) & (F.col("t_ms") < F.col("we")))
+        .groupBy("window_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.coalesce(F.sum(vq), F.lit(0)).cast("long").alias("value_q"),
+        )
+        .orderBy("window_key")
+    )
+
+
+def interval_join_sql(
+    top_days: int = 10,
+    pre_ms: int = 6 * 3_600_000,
+    post_ms: int = 30 * 3_600_000,
+) -> str:
+    return f"""
+WITH ev AS (SELECT epoch_ms(ts) AS t_ms, value FROM events),
+days AS (
+  SELECT t_ms // {_DAY_MS} * {_DAY_MS} AS day_ms, COUNT(*) AS c
+  FROM ev GROUP BY 1 ORDER BY c DESC, day_ms LIMIT {top_days}
+),
+win AS (
+  SELECT day_ms AS window_key, day_ms - {pre_ms} AS ws, day_ms + {post_ms} AS we
+  FROM days
+)
+SELECT w.window_key,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COALESCE(SUM(CASE WHEN e.value IS NOT NULL AND NOT isnan(e.value)
+                              THEN CAST(FLOOR(e.value * 1000000.0) AS BIGINT)
+                              END), 0) AS BIGINT) AS value_q
+FROM win w JOIN ev e ON e.t_ms >= w.ws AND e.t_ms < w.we
+GROUP BY w.window_key ORDER BY w.window_key
+"""
+
+
 def queries() -> dict:
     return {
         "rel_cidr_top_talkers": lambda s, d: cidr_rollup(
@@ -406,6 +492,7 @@ def queries() -> dict:
             load_table(s, d, "lineitem")
         ),
         "rel_json_props": lambda s, d: json_props_stats(load_table(s, d, "events")),
+        "rel_interval_join": lambda s, d: interval_join(load_table(s, d, "events")),
     }
 
 
@@ -418,4 +505,5 @@ def oracle_sql() -> dict:
         "rel_users_intersect": users_in_both_sql("click", "purchase"),
         "rel_json_props": JSON_PROPS_SQL,
         "rel_rollup_report": ROLLUP_SQL,
+        "rel_interval_join": interval_join_sql(),
     }

@@ -850,6 +850,78 @@ FROM m ORDER BY vec_id
 """
 
 
+RP_OUT_DIMS = 8
+RP_IN_DIMS = 64
+
+
+def _rp_signs(out_dims: int = RP_OUT_DIMS, in_dims: int = RP_IN_DIMS) -> list[list[int]]:
+    """Deterministic ±1 projection matrix from md5 — the signed random
+    projection of Achlioptas (2003): entries drawn ±1 with equal
+    probability preserve pairwise distances per the JL lemma, with no
+    float matrix to ship (rebuildable from the salt on any engine)."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"rp-v1:{j}:{i}".encode()).hexdigest()[:2], 16) < 128 else -1
+            for i in range(1, in_dims + 1)
+        ]
+        for j in range(1, out_dims + 1)
+    ]
+
+
+def rp_project(emb: DataFrame, out_dims: int = RP_OUT_DIMS) -> DataFrame:
+    """(vec_id, dim, comp_q): signed-random-projection of each embedding
+    from 64 to ``out_dims`` dimensions — the JL-lemma dimensionality
+    reduction that feeds LSH bucketing / coarse clustering at a fraction of
+    the full-vector cost (8 of 64 dims = 8× less shuffle in any downstream
+    pairwise stage).
+
+    Exactness discipline: each term ``floor(float32(x) · s · 1e6)`` is an
+    integer (float32→double exact, ·±1 exact, one IEEE multiply + floor
+    identical in both engines), and integer sums are order-free — so the
+    projection hash-matches the DuckDB twin despite being a float kernel.
+    Map-only: zero shuffle, whole-stage codegen (the sign vectors are
+    array literals folded into the plan).
+    """
+    signs = _rp_signs(out_dims)
+    comps = [
+        F.expr(
+            "aggregate(zip_with(embedding, array({s}), (x, s) -> "
+            "CAST(FLOOR(CAST(x AS DOUBLE) * s * 1000000.0) AS BIGINT)), "
+            "CAST(0 AS BIGINT), (a, x) -> a + x)".format(
+                s=", ".join(str(v) for v in row)
+            )
+        )
+        for row in signs
+    ]
+    return (
+        emb.select("vec_id", F.posexplode(F.array(*comps)).alias("dim0", "comp_q"))
+        .select("vec_id", (F.col("dim0") + 1).cast("long").alias("dim"), "comp_q")
+        .orderBy("vec_id", "dim")
+    )
+
+
+def rp_project_sql(out_dims: int = RP_OUT_DIMS, in_dims: int = RP_IN_DIMS) -> str:
+    mat = ", ".join(
+        "[" + ", ".join(str(v) for v in row) + "]" for row in _rp_signs(out_dims, in_dims)
+    )
+    return f"""
+WITH m AS (SELECT [{mat}] AS mat),
+idx AS (
+  SELECT e.vec_id, e.embedding, mat, j, i
+  FROM embeddings e, m,
+       (SELECT unnest(range(1, {out_dims + 1})) AS j),
+       (SELECT unnest(range(1, {in_dims + 1})) AS i)
+)
+SELECT vec_id, CAST(j AS BIGINT) AS dim,
+       CAST(SUM(CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                           * mat[CAST(j AS INTEGER)][CAST(i AS INTEGER)]
+                           * 1000000.0) AS BIGINT)) AS BIGINT) AS comp_q
+FROM idx GROUP BY vec_id, j ORDER BY vec_id, dim
+"""
+
+
 def queries() -> dict:
     return {
         "emb_group_centroids": lambda s, d: group_centroids(
@@ -858,6 +930,7 @@ def queries() -> dict:
         "emb_quantize_int8": lambda s, d: quantize_int8(
             load_table(s, d, "embeddings")
         ),
+        "emb_rp_project": lambda s, d: rp_project(load_table(s, d, "embeddings")),
         "ann_knn_join": lambda s, d: knn_join(load_table(s, d, "embeddings")),
         "ann_knn_cells": lambda s, d: knn_cells(load_table(s, d, "embeddings")),
         "emb_cluster_purity": lambda s, d: cluster_purity(
@@ -891,6 +964,7 @@ def oracle_sql() -> dict:
     return {
         "emb_group_centroids": group_centroids_sql(),
         "emb_quantize_int8": quantize_int8_sql(),
+        "emb_rp_project": rp_project_sql(),
         "ann_knn_join": knn_join_sql(),
         "ann_knn_cells": knn_cells_sql(),
         "emb_cluster_purity": cluster_purity_sql(),

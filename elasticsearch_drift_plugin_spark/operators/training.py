@@ -594,6 +594,61 @@ FROM documents ORDER BY doc_id
 """
 
 
+def curriculum_order(docs: DataFrame, salt: str = "curr-v1") -> DataFrame:
+    """(stage, doc_id, score_q, shuf_q): curriculum staging — quality-score
+    quartile bins (stage 1 = best quarter first, the easy→hard ordering
+    curriculum-training recipes feed the data loader) plus a deterministic
+    salted-hash intra-stage shuffle key. Sorting the output by
+    ``(stage, shuf_q, doc_id)`` IS the epoch order; changing ``salt``
+    reshuffles within stages without touching stage assignment
+    (ablation-safe, like :func:`corpus.hash_sample`).
+
+    Scale: stages come from VALUE thresholds (the three exact quartiles of
+    the score distribution — an O(1)-row aggregate, broadcast), not from an
+    equal-count NTILE, so assignment is map-only: no corpus-wide window, no
+    single-partition sort. The final orderBy is a distributed range sort.
+    At 100 TB the exact percentile swaps for ``percentile_approx`` exactly
+    as :func:`stats.value_quantiles_approx` documents.
+    """
+    from .text import quality_score
+
+    scored = quality_score(docs).select("doc_id", "score_q")
+    thr = scored.agg(F.expr("percentile(score_q, array(0.75, 0.5, 0.25))").alias("t"))
+    shuf = md5_hash60(
+        F.concat(F.lit(salt + "#"), F.col("doc_id").cast("string"))
+    ) % F.lit(1_000_000)
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .select(
+            F.when(F.col("score_q") >= F.col("t")[0], 1)
+            .when(F.col("score_q") >= F.col("t")[1], 2)
+            .when(F.col("score_q") >= F.col("t")[2], 3)
+            .otherwise(4)
+            .cast("long")
+            .alias("stage"),
+            "doc_id",
+            "score_q",
+            shuf.cast("long").alias("shuf_q"),
+        )
+        .orderBy("stage", "shuf_q", "doc_id")
+    )
+
+
+def curriculum_sql(quality_inner: str, salt: str = "curr-v1") -> str:
+    h = HEX15_SQL_FN.format(expr=f"'{salt}#' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH scored AS (SELECT doc_id, score_q FROM ({quality_inner})),
+thr AS (SELECT quantile_cont(score_q, [0.75, 0.5, 0.25]) AS t FROM scored)
+SELECT CAST(CASE WHEN score_q >= t[1] THEN 1
+                 WHEN score_q >= t[2] THEN 2
+                 WHEN score_q >= t[3] THEN 3
+                 ELSE 4 END AS BIGINT) AS stage,
+       doc_id, score_q,
+       CAST(({h}) % 1000000 AS BIGINT) AS shuf_q
+FROM scored, thr ORDER BY stage, shuf_q, doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # driver-contract registry
 # --------------------------------------------------------------------------
@@ -624,6 +679,9 @@ def queries() -> dict:
         "train_epoch_plan": lambda s, d: epoch_plan(
             load_table(s, d, "documents"), capacity=256, seqs_per_shard=8
         ),
+        "train_curriculum": lambda s, d: curriculum_order(
+            load_table(s, d, "documents")
+        ),
     }
 
 
@@ -637,4 +695,11 @@ def oracle_sql() -> dict:
         "train_curate_pipeline": curate_pipeline_sql(),
         "train_split_assign": split_assign_sql(),
         "train_epoch_plan": epoch_plan_sql(capacity=256, seqs_per_shard=8),
+        "train_curriculum": _curriculum_oracle(),
     }
+
+
+def _curriculum_oracle() -> str:
+    from .text import quality_sql
+
+    return curriculum_sql(quality_sql())

@@ -1,0 +1,111 @@
+"""Round-4 session-3 operators: es_top_hits, corpus_bpe_pairs,
+rel_interval_join, train_curriculum, emb_rp_project.
+
+Each operator is oracle-paired in __spark_entry__; these tests pin the
+semantics the oracle can't see (tie-breaks, NaN handling, overlap
+membership, salt behavior, kernel math vs an independent numpy model).
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from elasticsearch_drift_plugin_spark.operators import (
+    corpus,
+    es_metrics,
+    relational,
+    similarity,
+    training,
+)
+
+
+def test_top_hits_rank_tiebreak_and_nan_skip(spark):
+    rows = [
+        Row(event_type="a", event_id=1, user_id=10, value=5.0),
+        Row(event_type="a", event_id=2, user_id=11, value=9.0),
+        # tie on value -> lower event_id ranks first
+        Row(event_type="a", event_id=3, user_id=12, value=9.0),
+        Row(event_type="a", event_id=4, user_id=13, value=float("nan")),
+        Row(event_type="a", event_id=5, user_id=14, value=None),
+        Row(event_type="b", event_id=6, user_id=15, value=1.5),
+    ]
+    out = es_metrics.top_hits_agg(spark.createDataFrame(rows), ["event_type"], size=2)
+    got = [(r.event_type, r.rank, r.event_id, r.value_q) for r in out.collect()]
+    assert got == [
+        ("a", 1, 2, 9_000_000),
+        ("a", 2, 3, 9_000_000),
+        ("b", 1, 6, 1_500_000),
+    ]
+
+
+def test_bpe_pair_counts_weights_by_word_frequency(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="ab ab ba"), Row(doc_id=2, text="abc x")]
+    )
+    # words >=2 chars: ab(x2), ba(x1), abc(x1); pairs: ab:2+1, ba:1, bc:1
+    got = [(r.pair, r.pair_count) for r in corpus.bpe_pair_counts(docs, k=10).collect()]
+    assert got == [("ab", 3), ("ba", 1), ("bc", 1)]
+
+
+def test_interval_join_overlap_membership_and_boundaries(spark):
+    def ts(day, hour, minute=0):
+        return datetime(2024, 1, day, hour, minute)
+
+    rows = [
+        Row(ts=ts(1, 0, 30), value=1.0),
+        Row(ts=ts(1, 10), value=2.0),
+        Row(ts=ts(1, 20), value=4.0),   # in BOTH windows (overlap region)
+        Row(ts=ts(2, 1), value=8.0),    # in both
+        Row(ts=ts(2, 12), value=16.0),
+        Row(ts=ts(5, 0), value=32.0),   # day 5: 1 event, not a top-2 day
+    ]
+    out = relational.interval_join(spark.createDataFrame(rows), top_days=2)
+    got = {r.window_key: (r.n_events, r.value_q) for r in out.collect()}
+    jan1 = 1704067200000  # 2024-01-01T00:00Z
+    jan2 = jan1 + 86_400_000
+    # window(jan1)=[Dec31 18:00, Jan2 06:00): events 1,2,4 + 8 = 15
+    # window(jan2)=[Jan1 18:00, Jan3 06:00): events 4 + 8 + 16 = 28
+    assert got == {jan1: (4, 15_000_000), jan2: (3, 28_000_000)}
+
+
+def test_curriculum_stage_thresholds_and_salt_stability(spark):
+    # 8 docs whose quality score is driven by token count saturation
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(["the"] * (10 * (i + 1)))) for i in range(8)]
+    )
+    out = training.curriculum_order(docs).collect()
+    assert {r.stage for r in out} <= {1, 2, 3, 4}
+    # stage must be monotone non-increasing in score (higher score -> earlier)
+    by_score = sorted(out, key=lambda r: -r.score_q)
+    stages = [r.stage for r in by_score]
+    assert stages == sorted(stages)
+    # best-quality docs land in stage 1
+    assert by_score[0].stage == 1
+    # salt reshuffles within stages but never moves a doc across stages
+    alt = {r.doc_id: r for r in training.curriculum_order(docs, salt="other").collect()}
+    assert all(alt[r.doc_id].stage == r.stage for r in out)
+    assert any(alt[r.doc_id].shuf_q != r.shuf_q for r in out)
+
+
+def test_rp_project_matches_numpy_model(spark):
+    import numpy as np
+
+    vecs = [
+        Row(vec_id=1, embedding=[0.5 * math.sin(i) for i in range(64)]),
+        Row(vec_id=2, embedding=[0.25 * (i % 7 - 3) for i in range(64)]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = similarity.rp_project(df)
+    got = {(r.vec_id, r.dim): r.comp_q for r in out.collect()}
+    signs = np.array(similarity._rp_signs(), dtype=np.float64)
+    for row in vecs:
+        x = np.array(row.embedding, dtype=np.float32).astype(np.float64)
+        for j in range(8):
+            expect = int(np.sum(np.floor(x * signs[j] * 1_000_000.0)))
+            assert got[(row.vec_id, j + 1)] == expect
+    # every vector projects to exactly 8 dims
+    assert len(got) == 16
