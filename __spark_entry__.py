@@ -343,6 +343,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "user_id",
             DAY,
         ),
+        # Jensen–Shannon day-over-day category-mix drift (the namesake
+        # metric): one count agg collapses the stream, everything after is
+        # result-sized
+        "pipe_js_divergence": lambda s, d: pipeline.js_divergence(
+            (lambda ev: ev.select(
+                flows_src.ts_ms_col(ev).alias("t_ms"), "event_type"
+            ))(flows_src.load_table(s, d, "events")),
+        ),
         # ES serial_diff: season differencing over the bucket list (lag 7 days)
         "pipe_serial_diff": lambda s, d: pipeline.serial_diff(
             _psum_events(
@@ -520,6 +528,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pipe_cum_cardinality": pipeline.cumulative_cardinality_sql(
             "events", "epoch_ms(ts)", "user_id", DAY
+        ),
+        "pipe_js_divergence": pipeline.js_divergence_sql(
+            "events", "epoch_ms(ts)", "event_type", DAY
         ),
         "pipe_serial_diff": pipeline.serial_diff_sql(
             _ev_oracle(calendar_interval="day", offset=1, group_by=("event_type",)),

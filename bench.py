@@ -126,6 +126,10 @@ BENCH_QUERIES = [
     "rel_interval_join",
     "train_curriculum",
     "emb_rp_project",
+    "es_terms_shard_error",
+    "corpus_weighted_sample",
+    "corpus_decon_hashed",
+    "pipe_js_divergence",
 ]
 
 

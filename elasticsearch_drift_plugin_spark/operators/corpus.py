@@ -14,9 +14,12 @@ Scale design:
 - Contamination joins each document's word n-grams against the benchmark
   gram set. Benchmark suites are small (thousands of docs), so the gram
   set is a broadcast hash join — the corpus is scanned once, never
-  shuffled. At larger benchmark sizes swap the broadcast for a Bloom
-  filter built with the same grams (``F.bloom_filter_agg``); the plan
-  shape is unchanged.
+  shuffled. At larger benchmark sizes swap the raw-string broadcast for
+  the compact hashed-membership filter
+  (:func:`contamination_overlap_hashed`: 8-byte gram hashes, one-sided
+  error); the plan shape is unchanged. (Spark's ``bloom_filter_agg`` is
+  internal-only as of 4.1 — the hashed-membership join is the public-API
+  equivalent.)
 """
 
 from __future__ import annotations
@@ -819,6 +822,69 @@ def _fuzzy_decon_sql() -> str:
     return minhash_decon_sql("source = 'src0'", "source <> 'src0'")
 
 
+def weighted_sample(docs: DataFrame, n: int = 100, salt: str = "aes-v1") -> DataFrame:
+    """(doc_id, source, w, key_q): quality-weighted sampling WITHOUT
+    replacement via the Efraimidis–Spirakis A-ES scheme: each doc draws a
+    deterministic uniform ``u`` from a salted md5 and competes on
+    ``ln(u)/w`` (equivalent to the classic ``u^(1/w)`` key — higher-weight
+    docs get keys nearer 0 and win); the global top-``n`` keys ARE a
+    weighted sample. Weight = the heuristic quality score, so this is the
+    "pick a quality-tilted eval committee" primitive, reproducible across
+    runs/engines (change ``salt`` for an independent redraw, like
+    :func:`hash_sample`).
+
+    Scale: one map-side key computation + a global top-``n``
+    (TakeOrderedAndProject — per-partition heaps, no full sort). Key
+    parity follows the corpus-wide floored-log-quanta discipline
+    (one ``ln`` per doc, floored at 1e12 after the weight division).
+    """
+    from .text import quality_score
+
+    scored = (
+        quality_score(docs)
+        .select("doc_id", F.col("score_q").alias("w"))
+        .where(F.col("w") > 0)
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    u = (
+        (
+            md5_hash60(F.concat(F.lit(salt + "#"), F.col("doc_id").cast("string")))
+            % F.lit(1_000_000)
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(1_000_000.0)
+    return (
+        scored.withColumn("__u", u)
+        .select(
+            "doc_id",
+            "source",
+            "w",
+            F.expr("CAST(FLOOR(ln(__u) * 1000000000000.0 / w) AS BIGINT)").alias("key_q"),
+        )
+        .orderBy(F.col("key_q").desc(), "doc_id")
+        .limit(n)
+    )
+
+
+def weighted_sample_sql(quality_inner: str, n: int = 100, salt: str = "aes-v1") -> str:
+    h = HEX15_SQL_FN.format(expr=f"'{salt}#' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH scored AS (
+  SELECT q.doc_id, d.source, q.score_q AS w
+  FROM ({quality_inner}) q JOIN documents d ON d.doc_id = q.doc_id
+  WHERE q.score_q > 0
+),
+keyed AS (
+  SELECT doc_id, source, w,
+         (CAST(({h}) % 1000000 AS DOUBLE) + 0.5) / 1000000.0 AS u
+  FROM scored
+)
+SELECT doc_id, source, w,
+       CAST(FLOOR(ln(u) * 1000000000000.0 / w) AS BIGINT) AS key_q
+FROM keyed ORDER BY key_q DESC, doc_id LIMIT {n}
+"""
+
+
 def bpe_pair_counts(docs: DataFrame, k: int = 40) -> DataFrame:
     """(pair, pair_count): corpus-wide adjacent-character-pair frequencies
     weighted by word frequency — the argmax step of one BPE merge round
@@ -885,6 +951,13 @@ def queries() -> dict:
         "corpus_span_dedup": lambda s, d: span_dedup(load_table(s, d, "documents")),
         "corpus_top_ngrams": lambda s, d: top_ngrams(load_table(s, d, "documents")),
         "corpus_bpe_pairs": lambda s, d: bpe_pair_counts(load_table(s, d, "documents")),
+        "corpus_weighted_sample": lambda s, d: weighted_sample(
+            load_table(s, d, "documents")
+        ),
+        "corpus_decon_hashed": lambda s, d: contamination_overlap_hashed(
+            load_table(s, d, "documents").where("source <> 'src0'"),
+            load_table(s, d, "documents").where("source = 'src0'"),
+        ),
         "corpus_sample_exact": lambda s, d: sample_exact(
             load_table(s, d, "documents")
         ),
@@ -910,9 +983,20 @@ def oracle_sql() -> dict:
         "corpus_span_dedup": span_dedup_sql(),
         "corpus_top_ngrams": top_ngrams_sql(),
         "corpus_bpe_pairs": bpe_pairs_sql(),
+        "corpus_weighted_sample": _weighted_sample_oracle(),
+        # the compact-filter path has one-sided (collision-adds-hits) error;
+        # on this fixed corpus it is collision-free at 40 bits, so it shares
+        # the exact screen's oracle — a deterministic, re-checkable claim
+        "corpus_decon_hashed": contamination_sql("source = 'src0'", "source <> 'src0'"),
         "corpus_sample_exact": sample_exact_sql(),
         "corpus_hash_sample": hash_sample_sql(
             rate=0.25, strata_col="source", strata_rates={"src0": 1.0}
         ),
         "corpus_boilerplate": boilerplate_sql(width=8, max_df=2),
     }
+
+
+def _weighted_sample_oracle() -> str:
+    from .text import quality_sql
+
+    return weighted_sample_sql(quality_sql())

@@ -550,6 +550,114 @@ def _events_t_ms(s, d) -> DataFrame:
     return ev.select(ts_ms_col(ev).alias("t_ms"), "value")
 
 
+def terms_shard_error(
+    df: DataFrame,
+    field: str = "user_id",
+    n_shards: int = 4,
+    shard_size: int = 5,
+    size: int = 10,
+    salt: str = "shard-v1",
+) -> DataFrame:
+    """(key, doc_count, err_ub): ES's DISTRIBUTED terms aggregation
+    semantics, including ``doc_count_error_upper_bound`` — the one part of
+    the terms contract that only exists because of sharding.
+
+    ES asks each shard for its local top ``shard_size`` terms and merges:
+    a term's reported ``doc_count`` sums ONLY the shards that surfaced it,
+    and the error bound is the sum, over shards that did NOT surface it, of
+    that shard's last-returned (``shard_size``-th) count — a shard that
+    returned fewer than ``shard_size`` distinct terms returned everything,
+    so it contributes 0. This operator reproduces that contract with a
+    deterministic md5 shard route so the result is engine-checkable.
+
+    Scale: per-shard counting is one partial+final agg keyed by
+    (shard, term); the per-shard top-k is a ranking window whose input is
+    already collapsed to distinct terms; kth/total tables are O(n_shards)
+    rows (broadcast). Exactly the shard→coordinator volume bound ES uses:
+    the merge sees ≤ n_shards · shard_size candidate rows, never the full
+    term dictionary.
+    """
+    from ..functions.hashing import md5_hash60
+    from pyspark.sql import Window
+
+    shard = F.pmod(
+        md5_hash60(F.concat(F.lit(salt + "#"), F.col(field).cast("string"))),
+        F.lit(n_shards),
+    )
+    counts = df.groupBy(
+        shard.alias("shard"), F.col(field).alias("key")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("shard").orderBy(F.col("c").desc(), "key")
+    ranked = counts.withColumn("r", F.row_number().over(w))
+    kth = (
+        ranked.groupBy("shard")
+        .agg(
+            F.max("r").alias("n_terms"),
+            F.min(F.when(F.col("r") <= shard_size, F.col("c"))).alias("kmin"),
+        )
+        .select(
+            "shard",
+            F.when(F.col("n_terms") >= shard_size, F.col("kmin"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("kth"),
+        )
+    )
+    total = kth.agg(F.sum("kth").alias("tk"))
+    tops = ranked.where(F.col("r") <= shard_size)
+    return (
+        tops.join(kth, "shard")
+        .groupBy("key")
+        .agg(F.sum("c").cast("long").alias("doc_count"), F.sum("kth").alias("kr"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "doc_count",
+            (F.col("tk") - F.col("kr")).cast("long").alias("err_ub"),
+        )
+        .orderBy(F.col("doc_count").desc(), "key")
+        .limit(size)
+    )
+
+
+def terms_shard_error_sql(
+    table: str,
+    field: str = "user_id",
+    n_shards: int = 4,
+    shard_size: int = 5,
+    size: int = 10,
+    salt: str = "shard-v1",
+) -> str:
+    from ..functions.hashing import HEX15_SQL_FN
+
+    h = HEX15_SQL_FN.format(expr=f"'{salt}#' || CAST({field} AS VARCHAR)")
+    return f"""
+WITH counts AS (
+  SELECT CAST(({h}) % {n_shards} AS BIGINT) AS shard, {field} AS key, COUNT(*) AS c
+  FROM {table} GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY c DESC, key) AS r
+  FROM counts
+),
+kth AS (
+  SELECT shard,
+         CAST(CASE WHEN MAX(r) >= {shard_size}
+                   THEN MIN(CASE WHEN r <= {shard_size} THEN c END)
+                   ELSE 0 END AS BIGINT) AS kth
+  FROM ranked GROUP BY shard
+),
+total AS (SELECT SUM(kth) AS tk FROM kth),
+tops AS (SELECT * FROM ranked WHERE r <= {shard_size}),
+cand AS (
+  SELECT t.key, CAST(SUM(t.c) AS BIGINT) AS doc_count, SUM(k.kth) AS kr
+  FROM tops t JOIN kth k USING (shard) GROUP BY t.key
+)
+SELECT key, doc_count, CAST(tk - kr AS BIGINT) AS err_ub
+FROM cand, total ORDER BY doc_count DESC, key LIMIT {size}
+"""
+
+
 def queries() -> dict:
     return {
         "es_terms_top_users": lambda s, d: terms_agg(
@@ -611,6 +719,9 @@ def queries() -> dict:
             ),
             "value", "u", ["event_type"],
         ),
+        "es_terms_shard_error": lambda s, d: terms_shard_error(
+            load_table(s, d, "events")
+        ),
     }
 
 
@@ -656,6 +767,7 @@ def oracle_sql() -> dict:
             " FROM events)",
             "value", "u", ["event_type"],
         ),
+        "es_terms_shard_error": terms_shard_error_sql("events"),
     }
 
 

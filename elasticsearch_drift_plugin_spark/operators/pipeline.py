@@ -858,3 +858,99 @@ SELECT {sel_keys}key, vq, CAST(n AS BIGINT) AS n, z_mq,
        ABS(COALESCE(z_mq, 0)) >= {threshold_mq} AS anomaly
 FROM z ORDER BY {sel_keys}key
 """
+
+
+# --------------------------------------------------------------------------
+# distribution drift: Jensen–Shannon divergence between consecutive days
+# --------------------------------------------------------------------------
+
+# One shared expression string so both engines compute the identical IEEE
+# double per (pair, term) before flooring: p = c1/n1, q = c0/n0,
+# m = (p+q)/2, contribution = 0.5·(p·ln(p/m) + q·ln(q/m)), quantized at
+# 1e9 (0.5 folded into the constant). CASE guards ln(0): a category absent
+# from one day contributes only through the other side (q=0 ⇒ m=p/2 ⇒
+# p·ln 2). Integer sums are order-free, so the float never crosses rows.
+_JSD_TERM_EXPR = (
+    "CAST(FLOOR(("
+    "CASE WHEN c1 > 0 THEN (c1 / n1) * ln((c1 / n1) / ((c1 / n1 + c0 / n0) / 2)) ELSE 0 END"
+    " + "
+    "CASE WHEN c0 > 0 THEN (c0 / n0) * ln((c0 / n0) / ((c1 / n1 + c0 / n0) / 2)) ELSE 0 END"
+    ") * 500000000.0) AS BIGINT)"
+)
+
+
+def js_divergence(
+    events: DataFrame,
+    t_ms_col: str = "t_ms",
+    cat_col: str = "event_type",
+    step_ms: int = 86_400_000,
+) -> DataFrame:
+    """(day, jsd_q): Jensen–Shannon divergence between each day's category
+    distribution and the previous day's — the information-theoretic drift
+    score the plugin's name promises (JSD is the symmetric, bounded
+    [0, ln 2] cousin of KL; 0 = identical mixes). Emits one row per day
+    that HAS a predecessor day with data.
+
+    Scale: one partial+final count keyed by (day, category) collapses the
+    raw stream; everything after operates on the day×category matrix
+    (result-sized — days · |categories| rows). The day-over-day pairing is
+    a self-equi-join on the shifted day key, not a window over raw data.
+    Per-term contributions are floored to integer 1e-9 quanta so the
+    cross-engine sum is order-free (the corpus-wide floored-log-quanta
+    discipline; one ``ln`` per matrix cell).
+    """
+    day = F.expr(f"{t_ms_col} div {step_ms} * {step_ms}")
+    counts = events.groupBy(day.alias("day"), F.col(cat_col).alias("cat")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = counts.groupBy("day").agg(F.sum("c").alias("n"))
+    cur = counts.select("day", "cat", F.col("c").alias("c1"))
+    prv = counts.select(
+        (F.col("day") + F.lit(step_ms)).alias("day"), "cat", F.col("c").alias("c0")
+    )
+    mat = (
+        cur.join(prv, ["day", "cat"], "full_outer")
+        .fillna(0, ["c1", "c0"])
+        .join(totals.select("day", F.col("n").alias("n1")), "day")
+        .join(
+            totals.select((F.col("day") + F.lit(step_ms)).alias("day"),
+                          F.col("n").alias("n0")),
+            "day",
+        )
+    )
+    return (
+        mat.select("day", F.expr(_JSD_TERM_EXPR).alias("tq"))
+        .groupBy("day")
+        .agg(F.sum("tq").cast("long").alias("jsd_q"))
+        .orderBy("day")
+    )
+
+
+def js_divergence_sql(
+    table: str,
+    t_ms_expr: str,
+    cat_col: str = "event_type",
+    step_ms: int = 86_400_000,
+) -> str:
+    return f"""
+WITH counts AS (
+  SELECT ({t_ms_expr}) // {step_ms} * {step_ms} AS day, {cat_col} AS cat, COUNT(*) AS c
+  FROM {table} GROUP BY 1, 2
+),
+totals AS (SELECT day, SUM(c) AS n FROM counts GROUP BY day),
+mat AS (
+  SELECT COALESCE(cur.day, prv.day) AS day,
+         COALESCE(cur.c, 0) AS c1, COALESCE(prv.c, 0) AS c0
+  FROM counts cur
+  FULL OUTER JOIN (SELECT day + {step_ms} AS day, cat, c FROM counts) prv
+    ON cur.day = prv.day AND cur.cat = prv.cat
+),
+joined AS (
+  SELECT m.day, m.c1, m.c0, t1.n AS n1, t0.n AS n0
+  FROM mat m
+  JOIN totals t1 ON t1.day = m.day
+  JOIN (SELECT day + {step_ms} AS day, n FROM totals) t0 ON t0.day = m.day
+)
+SELECT day, CAST(SUM({_JSD_TERM_EXPR}) AS BIGINT) AS jsd_q
+FROM joined GROUP BY day ORDER BY day
+"""

@@ -109,3 +109,66 @@ def test_rp_project_matches_numpy_model(spark):
             assert got[(row.vec_id, j + 1)] == expect
     # every vector projects to exactly 8 dims
     assert len(got) == 16
+
+
+def test_terms_shard_error_bound_and_exact_degenerate(spark):
+    # skewed terms: term t0 appears 40x, t1..t9 appear 2x each, t10..t29 1x
+    rows = [Row(user_id=0)] * 40
+    for t in range(1, 10):
+        rows += [Row(user_id=t)] * 2
+    rows += [Row(user_id=t) for t in range(10, 30)]
+    df = spark.createDataFrame(rows)
+    from elasticsearch_drift_plugin_spark.operators.es_aggs import terms_shard_error
+
+    truth = {r.user_id: r.c for r in df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    out = terms_shard_error(df, n_shards=4, shard_size=3, size=10).collect()
+    for r in out:
+        # ES contract: reported count never exceeds truth, and
+        # truth <= reported + error bound
+        assert r.doc_count <= truth[r.key]
+        assert truth[r.key] <= r.doc_count + r.err_ub
+    # degenerate single shard: exact counts, zero error above the kth term
+    exact = terms_shard_error(df, n_shards=1, shard_size=100, size=5).collect()
+    assert all(r.doc_count == truth[r.key] and r.err_ub == 0 for r in exact)
+    assert exact[0].key == 0 and exact[0].doc_count == 40
+
+
+def test_weighted_sample_tilts_and_is_deterministic(spark):
+    # two weight classes via doc length: long docs score higher
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="hi", text=" ".join(["the"] * 120)) for i in range(200)]
+        + [Row(doc_id=1000 + i, source="lo", text="the cat") for i in range(200)]
+    )
+    from elasticsearch_drift_plugin_spark.operators.corpus import weighted_sample
+
+    out = weighted_sample(docs, n=100).collect()
+    assert len(out) == 100 and len({r.doc_id for r in out}) == 100
+    hi = sum(1 for r in out if r.source == "hi")
+    # equal pool sizes; heavier weights must dominate the sample
+    assert hi > 60
+    # same salt => identical committee; different salt => different draw
+    again = weighted_sample(docs, n=100).collect()
+    assert [r.doc_id for r in again] == [r.doc_id for r in out]
+    other = weighted_sample(docs, n=100, salt="redraw").collect()
+    assert {r.doc_id for r in other} != {r.doc_id for r in out}
+
+
+def test_js_divergence_zero_identical_ln2_disjoint(spark):
+    day = 86_400_000
+    rows = []
+    # day0 and day1: identical mixes -> JSD 0 at day1
+    for d in (0, 1):
+        rows += [Row(t_ms=d * day + 10, event_type="a")] * 6
+        rows += [Row(t_ms=d * day + 20, event_type="b")] * 2
+    # day2: disjoint from day1 -> JSD = ln 2
+    rows += [Row(t_ms=2 * day + 30, event_type="c")] * 5
+    from elasticsearch_drift_plugin_spark.operators.pipeline import js_divergence
+
+    out = {r.day: r.jsd_q for r in js_divergence(
+        spark.createDataFrame(rows)).collect()}
+    assert out[day] == 0
+    half_ln2_q = math.floor(0.5 * math.log(2.0) * 1e9)
+    # three disjoint categories: a,b vanish, c appears; each side's mass
+    # contributes 0.5·ln2 per unit -> total ln2 across the 3 matrix cells
+    assert abs(out[2 * day] - 2 * half_ln2_q) <= 2
