@@ -375,6 +375,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             group_by=("event_type",),
         ),
+        # ES moving_fn holt(): double-exponential smoothing folded over the
+        # bucket list per group (α=β=1/2 — every step a dyadic IEEE op)
+        "pipe_holt_forecast": lambda s, d: pipeline.holt_forecast(
+            _psum_events(
+                s, d, calendar_interval="day", offset=1, group_by=("event_type",)
+            ),
+            group_by=("event_type",),
+        ),
         # ES ML bucket_count_ks_test: exact two-sample KS D between two
         # series' bucket-value distributions (integer ECDF comparison)
         "pipe_ks_test": lambda s, d: pipeline.ks_test(
@@ -542,6 +550,10 @@ def oracle_sql() -> dict[str, str]:
             group_by=("event_type",),
         ),
         "pipe_change_point": pipeline.change_point_sql(
+            _ev_oracle(calendar_interval="day", offset=1, group_by=("event_type",)),
+            group_by=("event_type",),
+        ),
+        "pipe_holt_forecast": pipeline.holt_forecast_sql(
             _ev_oracle(calendar_interval="day", offset=1, group_by=("event_type",)),
             group_by=("event_type",),
         ),

@@ -130,6 +130,10 @@ BENCH_QUERIES = [
     "corpus_weighted_sample",
     "corpus_decon_hashed",
     "pipe_js_divergence",
+    "dedup_containment",
+    "corpus_log_odds",
+    "es_has_child",
+    "pipe_holt_forecast",
 ]
 
 

@@ -885,6 +885,71 @@ FROM keyed ORDER BY key_q DESC, doc_id LIMIT {n}
 """
 
 
+def log_odds_terms(
+    docs: DataFrame,
+    fg_where: str = "lang = 'zh'",
+    k: int = 30,
+) -> DataFrame:
+    """(term, y_fg, y_bg, z_mq): the ``k`` most foreground-distinctive
+    terms by smoothed log-odds z-score (Monroe et al. 2008, "Fightin'
+    Words", +1-smoothed variant): for token counts ``y`` against totals
+    ``n``, delta = ln(odds_fg) − ln(odds_bg), var ≈ 1/(y_fg+1) +
+    1/(y_bg+1), z = delta/sqrt(var). The vocabulary-drift report — "what
+    words make corpus A different from corpus B" — that pairs with
+    :func:`pipe_js_divergence`'s scalar drift score.
+
+    Scale: one (side, term) count agg collapses the corpus; the totals
+    are a 2-row broadcast; scoring is map-only over the vocabulary. One
+    ``ln`` pair + one IEEE ``sqrt`` per term, floored at 1e6 quanta
+    (the corpus-wide log-quanta discipline).
+    """
+    toks = docs.select(
+        F.expr(f"CASE WHEN {fg_where} THEN 1 ELSE 0 END").alias("fg"),
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    counts = toks.groupBy("term").agg(
+        F.sum("fg").alias("y1"),
+        F.sum(F.lit(1) - F.col("fg")).alias("y2"),
+    )
+    totals = counts.agg(F.sum("y1").alias("n1"), F.sum("y2").alias("n2"))
+    z = (
+        "CAST(FLOOR((ln((y1 + 1.0) / (n1 - y1 + 1.0))"
+        " - ln((y2 + 1.0) / (n2 - y2 + 1.0)))"
+        " / sqrt(1.0 / (y1 + 1.0) + 1.0 / (y2 + 1.0)) * 1000000.0) AS BIGINT)"
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            F.col("y1").cast("long").alias("y_fg"),
+            F.col("y2").cast("long").alias("y_bg"),
+            F.expr(z).alias("z_mq"),
+        )
+        .orderBy(F.col("z_mq").desc(), "term")
+        .limit(k)
+    )
+
+
+def log_odds_sql(fg_where: str = "lang = 'zh'", k: int = 30) -> str:
+    return f"""
+WITH toks AS (
+  SELECT CASE WHEN {fg_where} THEN 1 ELSE 0 END AS fg,
+         unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT term, SUM(fg) AS y1, SUM(1 - fg) AS y2
+  FROM toks WHERE term <> '' GROUP BY term
+),
+totals AS (SELECT SUM(y1) AS n1, SUM(y2) AS n2 FROM counts)
+SELECT term, CAST(y1 AS BIGINT) AS y_fg, CAST(y2 AS BIGINT) AS y_bg,
+       CAST(FLOOR((ln((y1 + 1.0) / (n1 - y1 + 1.0))
+                   - ln((y2 + 1.0) / (n2 - y2 + 1.0)))
+                  / sqrt(1.0 / (y1 + 1.0) + 1.0 / (y2 + 1.0)) * 1000000.0) AS BIGINT) AS z_mq
+FROM counts, totals ORDER BY z_mq DESC, term LIMIT {k}
+"""
+
+
 def bpe_pair_counts(docs: DataFrame, k: int = 40) -> DataFrame:
     """(pair, pair_count): corpus-wide adjacent-character-pair frequencies
     weighted by word frequency — the argmax step of one BPE merge round
@@ -951,6 +1016,7 @@ def queries() -> dict:
         "corpus_span_dedup": lambda s, d: span_dedup(load_table(s, d, "documents")),
         "corpus_top_ngrams": lambda s, d: top_ngrams(load_table(s, d, "documents")),
         "corpus_bpe_pairs": lambda s, d: bpe_pair_counts(load_table(s, d, "documents")),
+        "corpus_log_odds": lambda s, d: log_odds_terms(load_table(s, d, "documents")),
         "corpus_weighted_sample": lambda s, d: weighted_sample(
             load_table(s, d, "documents")
         ),
@@ -983,6 +1049,7 @@ def oracle_sql() -> dict:
         "corpus_span_dedup": span_dedup_sql(),
         "corpus_top_ngrams": top_ngrams_sql(),
         "corpus_bpe_pairs": bpe_pairs_sql(),
+        "corpus_log_odds": log_odds_sql(),
         "corpus_weighted_sample": _weighted_sample_oracle(),
         # the compact-filter path has one-sided (collision-adds-hits) error;
         # on this fixed corpus it is collision-free at 40 bits, so it shares

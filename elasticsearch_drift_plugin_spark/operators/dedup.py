@@ -888,6 +888,64 @@ def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
 
 
+
+def containment_pairs(
+    docs: "DataFrame", threshold: float = 0.8, block_col: str = "source"
+) -> "DataFrame":
+    """(doc_a, doc_b, cont_q): pairs whose char-3-gram CONTAINMENT
+    ``|A∩B| / min(|A|, |B|)`` reaches ``threshold`` — the asymmetric
+    cousin of Jaccard. Jaccard misses a short document quoted inside a
+    much longer one (the union dilutes the score); containment is the
+    sub-document-duplication screen web-curation pipelines (RefinedWeb /
+    Dolma lineage) run alongside symmetric near-dup.
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs` (postings →
+    co-occurrence counts, block key rides the postings, hot postings
+    capped), only the final scoring expression differs — so the 100 TB
+    properties are identical.
+    """
+    grams = _char_grams(docs)
+    counts = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = _pair_intersections(grams, [block_col], "g")
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    cont = F.col("i").cast("double") / F.least(F.col("ca.n"), F.col("cb.n"))
+    return (
+        inter.join(ca, F.col("ca.doc_id") == F.col("doc_a"))
+        .join(cb, F.col("cb.doc_id") == F.col("doc_b"))
+        .where(cont >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(cont * F.lit(float(QUANT))).alias("cont_q"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+CONTAINMENT_SQL = f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id, source, substr(text, CAST(i AS INTEGER), 3) AS g
+  FROM (SELECT doc_id, source, text, unnest(generate_series(1, len(text) - 2)) AS i
+        FROM documents WHERE len(text) >= 3)
+),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM grams a JOIN grams b
+    ON a.g = b.g AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(FLOOR(CAST(i AS DOUBLE) / LEAST(ca.n, cb.n) * {float(QUANT)}) AS BIGINT) AS cont_q
+FROM inter
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / LEAST(ca.n, cb.n) >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
+
 def queries() -> dict:
     return {
         "dedup_exact": lambda s, d: exact_dedup(_docs(s, d), "text", "doc_id"),
@@ -904,6 +962,7 @@ def queries() -> dict:
         "dedup_embedding_cosine": lambda s, d: embedding_neardup_pairs(
             load_table(s, d, "embeddings")
         ),
+        "dedup_containment": lambda s, d: containment_pairs(_docs(s, d)),
     }
 
 
@@ -916,4 +975,5 @@ def oracle_sql() -> dict:
         "dedup_minhash_pairs": minhash_pairs_sql(),
         "dedup_simhash": simhash_sql(),
         "dedup_embedding_cosine": EMB_NEARDUP_SQL,
+        "dedup_containment": CONTAINMENT_SQL,
     }

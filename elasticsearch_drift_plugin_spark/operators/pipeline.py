@@ -954,3 +954,86 @@ joined AS (
 SELECT day, CAST(SUM({_JSD_TERM_EXPR}) AS BIGINT) AS jsd_q
 FROM joined GROUP BY day ORDER BY day
 """
+
+
+# --------------------------------------------------------------------------
+# Holt double-exponential smoothing over the bucket list (ES moving_fn
+# MovingFunctions.holt / the holt model of the removed moving_avg agg)
+# --------------------------------------------------------------------------
+
+def holt_forecast(
+    result: DataFrame,
+    group_by=(),
+    key_col: str = "key",
+    value_col: str = "value",
+    quantize: int = 4,
+) -> DataFrame:
+    """(group…, n_buckets, level_mq, trend_mq, fc1_mq, fc2_mq, fc3_mq):
+    Holt linear (double-exponential) smoothing of each group's bucket
+    series with α = β = 1/2, emitting the final level/trend state and a
+    3-step-ahead forecast — ES exposes exactly this as
+    ``MovingFunctions.holt`` inside ``moving_fn``.
+
+    The recurrence (s′ = αx + (1−α)(s+b); b′ = β(s′−s) + (1−β)b) is
+    inherently sequential, but the series is the RESULT bucket list (days
+    per group), so it folds per group with a JVM ``aggregate`` HOF over
+    the key-sorted value array — no window over raw data, no Python.
+    α = β = 1/2 keeps every operation a dyadic IEEE op; the DuckDB twin
+    is a recursive CTE stepping the identical expression tree, so the
+    doubles agree bit-for-bit and the 1e-3 floor quanta hash-match.
+    """
+    scale = 10**quantize
+    vq = F.round(F.col(value_col) * F.lit(scale)).cast("long")
+    base = result.select(*group_by, F.col(key_col).alias("key"), vq.alias("vq"))
+    arr = base.groupBy(*group_by).agg(
+        F.expr("transform(array_sort(collect_list(struct(key, vq))), p -> CAST(p.vq AS DOUBLE))").alias("xs")
+    )
+    fold = (
+        "aggregate(slice(xs, 2, size(xs) - 1), "
+        "named_struct('s', element_at(xs, 1), 'b', CAST(0 AS DOUBLE)), "
+        "(st, x) -> named_struct("
+        "'s', 0.5 * x + 0.5 * (st.s + st.b), "
+        "'b', 0.5 * ((0.5 * x + 0.5 * (st.s + st.b)) - st.s) + 0.5 * st.b))"
+    )
+    st = arr.select(*group_by, F.size("xs").cast("long").alias("n_buckets"),
+                    F.expr(fold).alias("st"))
+    return st.select(
+        *group_by,
+        "n_buckets",
+        F.expr("CAST(FLOOR(st.s * 1000.0) AS BIGINT)").alias("level_mq"),
+        F.expr("CAST(FLOOR(st.b * 1000.0) AS BIGINT)").alias("trend_mq"),
+        F.expr("CAST(FLOOR((st.s + 1.0 * st.b) * 1000.0) AS BIGINT)").alias("fc1_mq"),
+        F.expr("CAST(FLOOR((st.s + 2.0 * st.b) * 1000.0) AS BIGINT)").alias("fc2_mq"),
+        F.expr("CAST(FLOOR((st.s + 3.0 * st.b) * 1000.0) AS BIGINT)").alias("fc3_mq"),
+    ).orderBy(*group_by)
+
+
+def holt_forecast_sql(base_sql: str, group_by=(), quantize: int = 4) -> str:
+    scale = 10**quantize
+    keys = ", ".join(group_by)
+    on_keys = " AND ".join(f"b.{g} = st.{g}" for g in group_by)
+    st_keys = ", ".join(f"st.{g}" for g in group_by)
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT {keys}, key, CAST(ROUND(value * {scale}) AS BIGINT) AS vq,
+         ROW_NUMBER() OVER (PARTITION BY {keys} ORDER BY key) AS rn,
+         COUNT(*) OVER (PARTITION BY {keys}) AS n
+  FROM ({base_sql})
+),
+step AS (
+  SELECT {keys}, rn, n, CAST(vq AS DOUBLE) AS s, CAST(0 AS DOUBLE) AS b
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT {st_keys}, b.rn, b.n,
+         0.5 * CAST(b.vq AS DOUBLE) + 0.5 * (st.s + st.b),
+         0.5 * ((0.5 * CAST(b.vq AS DOUBLE) + 0.5 * (st.s + st.b)) - st.s) + 0.5 * st.b
+  FROM step st JOIN base b ON {on_keys} AND b.rn = st.rn + 1
+)
+SELECT {keys}, CAST(n AS BIGINT) AS n_buckets,
+       CAST(FLOOR(s * 1000.0) AS BIGINT) AS level_mq,
+       CAST(FLOOR(b * 1000.0) AS BIGINT) AS trend_mq,
+       CAST(FLOOR((s + 1.0 * b) * 1000.0) AS BIGINT) AS fc1_mq,
+       CAST(FLOOR((s + 2.0 * b) * 1000.0) AS BIGINT) AS fc2_mq,
+       CAST(FLOOR((s + 3.0 * b) * 1000.0) AS BIGINT) AS fc3_mq
+FROM step WHERE rn = n ORDER BY {keys}
+"""

@@ -473,6 +473,51 @@ GROUP BY w.window_key ORDER BY w.window_key
 """
 
 
+def has_child_agg(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    child_where: str = "l_quantity >= 45",
+) -> DataFrame:
+    """(o_orderpriority, n_parents, n_children, max_child_q1000): ES
+    parent/child ``join`` field semantics — the ``has_child`` query
+    (parents with ≥1 matching child) with a children sub-aggregation,
+    re-expressed relationally: ES colocates parent+child docs on one
+    shard via routing and walks a per-segment ordinal map; Spark's
+    equivalent is a shuffle equi-join on the parent key (the same
+    colocation, per-query instead of at-rest — bucketing lineitem+orders
+    on orderkey makes it at-rest too, see SCALE.md).
+
+    Counts both sides of the ES response: ``n_parents`` = parents whose
+    child set matches (has_child), ``n_children`` = matching children
+    under those parents (children agg), plus a child metric rollup.
+    """
+    kids = lineitem.where(child_where).select(
+        "l_orderkey", F.round(F.col("l_quantity") * F.lit(1000)).cast("long").alias("q1000")
+    )
+    return (
+        orders.select("o_orderkey", "o_orderpriority")
+        .join(kids, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").cast("long").alias("n_parents"),
+            F.count(F.lit(1)).cast("long").alias("n_children"),
+            F.max("q1000").alias("max_child_q1000"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+HAS_CHILD_SQL = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_parents,
+       CAST(COUNT(*) AS BIGINT) AS n_children,
+       CAST(MAX(CAST(ROUND(l.l_quantity * 1000) AS BIGINT)) AS BIGINT) AS max_child_q1000
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_quantity >= 45
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+"""
+
+
 def queries() -> dict:
     return {
         "rel_cidr_top_talkers": lambda s, d: cidr_rollup(
@@ -493,6 +538,9 @@ def queries() -> dict:
         ),
         "rel_json_props": lambda s, d: json_props_stats(load_table(s, d, "events")),
         "rel_interval_join": lambda s, d: interval_join(load_table(s, d, "events")),
+        "es_has_child": lambda s, d: has_child_agg(
+            load_table(s, d, "orders"), load_table(s, d, "lineitem")
+        ),
     }
 
 
@@ -506,4 +554,5 @@ def oracle_sql() -> dict:
         "rel_json_props": JSON_PROPS_SQL,
         "rel_rollup_report": ROLLUP_SQL,
         "rel_interval_join": interval_join_sql(),
+        "es_has_child": HAS_CHILD_SQL,
     }

@@ -172,3 +172,79 @@ def test_js_divergence_zero_identical_ln2_disjoint(spark):
     # three disjoint categories: a,b vanish, c appears; each side's mass
     # contributes 0.5·ln2 per unit -> total ln2 across the 3 matrix cells
     assert abs(out[2 * day] - 2 * half_ln2_q) <= 2
+
+
+def test_containment_catches_subdocument_jaccard_misses(spark):
+    small = "abcdefghij"                      # 8 distinct 3-grams
+    big = small + "klmnopqrstuvwxyz0123456789"  # superset, much larger
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, source="s", text=small), Row(doc_id=2, source="s", text=big)]
+    )
+    from elasticsearch_drift_plugin_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    cont = containment_pairs(docs, threshold=0.8).collect()
+    assert [(r.doc_a, r.doc_b, r.cont_q) for r in cont] == [(1, 2, 1_000_000)]
+    # symmetric Jaccard dilutes the quoted doc below its 0.5 threshold
+    assert ngram_jaccard_pairs(docs, threshold=0.5).collect() == []
+
+
+def test_log_odds_surfaces_planted_foreground_term(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang="zh", text="zebra zebra common") for i in range(10)]
+        + [Row(doc_id=100 + i, lang="en", text="common filler words here")
+           for i in range(10)]
+    )
+    from elasticsearch_drift_plugin_spark.operators.corpus import log_odds_terms
+
+    out = log_odds_terms(docs, fg_where="lang = 'zh'", k=3).collect()
+    assert out[0].term == "zebra" and out[0].y_fg == 20 and out[0].y_bg == 0
+    assert out[0].z_mq > 0
+    # scores must be non-increasing down the ranking
+    assert [r.z_mq for r in out] == sorted((r.z_mq for r in out), reverse=True)
+
+
+def test_has_child_counts_parents_and_children(spark):
+    orders = spark.createDataFrame(
+        [Row(o_orderkey=1, o_orderpriority="1-URGENT"),
+         Row(o_orderkey=2, o_orderpriority="1-URGENT"),
+         Row(o_orderkey=3, o_orderpriority="2-HIGH")]
+    )
+    li = spark.createDataFrame(
+        [Row(l_orderkey=1, l_quantity=50.0),   # matches
+         Row(l_orderkey=1, l_quantity=49.0),   # matches (>=45)
+         Row(l_orderkey=2, l_quantity=10.0),   # no match
+         Row(l_orderkey=3, l_quantity=45.0)]   # matches
+    )
+    from elasticsearch_drift_plugin_spark.operators.relational import has_child_agg
+
+    got = {r.o_orderpriority: (r.n_parents, r.n_children, r.max_child_q1000)
+           for r in has_child_agg(orders, li).collect()}
+    assert got == {"1-URGENT": (1, 2, 50_000), "2-HIGH": (1, 1, 45_000)}
+
+
+def test_holt_forecast_matches_recurrence_model(spark):
+    rows = [Row(g="a", key=i, value=v) for i, v in enumerate([4.0, 8.0])]
+    rows += [Row(g="b", key=i, value=float(v))
+             for i, v in enumerate([3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0])]
+    rows += [Row(g="c", key=0, value=7.0)]  # single bucket: level=x, trend=0
+    from elasticsearch_drift_plugin_spark.operators.pipeline import holt_forecast
+
+    out = {r.g: r for r in holt_forecast(
+        spark.createDataFrame(rows), group_by=("g",), quantize=0).collect()}
+    # hand-computed: s=0.5*8+0.5*4=6, b=0.5*(6-4)+0=1 -> fc 7,8,9
+    assert (out["a"].level_mq, out["a"].trend_mq) == (6000, 1000)
+    assert (out["a"].fc1_mq, out["a"].fc2_mq, out["a"].fc3_mq) == (7000, 8000, 9000)
+    assert (out["c"].level_mq, out["c"].trend_mq) == (7000, 0)
+    # python model for the longer series
+    xs = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0]
+    s, b = xs[0], 0.0
+    for x in xs[1:]:
+        s2 = 0.5 * x + 0.5 * (s + b)
+        b = 0.5 * (s2 - s) + 0.5 * b
+        s = s2
+    assert out["b"].level_mq == math.floor(s * 1000)
+    assert out["b"].trend_mq == math.floor(b * 1000)
+    assert out["b"].n_buckets == 7
