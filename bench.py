@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "corpus_log_odds",
     "es_has_child",
     "pipe_holt_forecast",
+    "stream_js_divergence",
 ]
 
 

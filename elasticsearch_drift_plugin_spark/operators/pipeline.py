@@ -903,6 +903,13 @@ def js_divergence(
     counts = events.groupBy(day.alias("day"), F.col(cat_col).alias("cat")).agg(
         F.count(F.lit(1)).alias("c")
     )
+    return js_divergence_from_counts(counts, step_ms)
+
+
+def js_divergence_from_counts(counts: DataFrame, step_ms: int = 86_400_000) -> DataFrame:
+    """Divergence matrix math over a pre-collapsed (day, cat, c) count
+    table — shared by the batch operator and the streaming twin (which
+    maintains the count table as streaming state and scores on flush)."""
     totals = counts.groupBy("day").agg(F.sum("c").alias("n"))
     cur = counts.select("day", "cat", F.col("c").alias("c1"))
     prv = counts.select(

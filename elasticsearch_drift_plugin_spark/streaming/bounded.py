@@ -168,6 +168,7 @@ def queries() -> dict:
         "stream_flow_sessions": stream_flow_sessions,
         "stream_dedup_exact": stream_dedup_exact,
         "stream_geotile_grid": stream_geotile_grid,
+        "stream_js_divergence": stream_js_divergence,
     }
 
 
@@ -193,6 +194,9 @@ def oracle_sql() -> dict:
         ),
         "stream_dedup_exact": EXACT_SQL,
         "stream_geotile_grid": geotile_grid_sql(),
+        "stream_js_divergence": __import__(
+            "elasticsearch_drift_plugin_spark.operators.pipeline", fromlist=["x"]
+        ).js_divergence_sql("events", "epoch_ms(ts)", "event_type", 86_400_000),
         "stream_flow_sessions": sessionize_sql(
             events_flows_duckdb_sql(""),
             ["event_type", "user_id"],
@@ -201,3 +205,25 @@ def oracle_sql() -> dict:
             quantize=4,
         ),
     }
+
+
+def stream_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distribution-drift: the (day, category) count table is the
+    incrementally-maintained streaming aggregate (the ONLY corpus-sized
+    stage); the Jensen–Shannon matrix math runs over its bounded-replay
+    flush — in production, a foreachBatch hook scoring each refreshed day
+    against its predecessor. Same oracle as batch ``pipe_js_divergence``."""
+    from ..operators.pipeline import js_divergence_from_counts
+    from ..sources.flows import ts_ms_sql
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet*")
+    counts = ev.groupBy(
+        F.expr(f"({ts_ms_sql(dict(ev.dtypes)['ts'], 'ts')}) div 86400000 * 86400000").alias("day"),
+        F.col("event_type").alias("cat"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tbl = run_available_now(counts, "complete")
+    # memory-sink views don't survive DeduplicateRelations in a self-join
+    # (Spark 4.1 MemoryPlan keeps shared attribute ids); the count table is
+    # result-sized, so an eager localCheckpoint is a cheap lineage break
+    return js_divergence_from_counts(tbl.localCheckpoint(eager=True))

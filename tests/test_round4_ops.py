@@ -248,3 +248,18 @@ def test_holt_forecast_matches_recurrence_model(spark):
     assert out["b"].level_mq == math.floor(s * 1000)
     assert out["b"].trend_mq == math.floor(b * 1000)
     assert out["b"].n_buckets == 7
+
+
+def test_stream_js_divergence_equals_batch(spark):
+    from elasticsearch_drift_plugin_spark.operators.pipeline import js_divergence
+    from elasticsearch_drift_plugin_spark.sources.flows import load_table, ts_ms_col
+    from elasticsearch_drift_plugin_spark.streaming.bounded import stream_js_divergence
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    batch = js_divergence(
+        ev.select(ts_ms_col(ev).alias("t_ms"), "event_type")
+    ).collect()
+    stream = stream_js_divergence(spark, sf).collect()
+    assert sorted(map(tuple, stream)) == sorted(map(tuple, batch))
+    assert len(batch) > 0
