@@ -135,6 +135,8 @@ BENCH_QUERIES = [
     "es_has_child",
     "pipe_holt_forecast",
     "stream_js_divergence",
+    "es_rrf_fusion",
+    "corpus_zipf_slope",
 ]
 
 

@@ -1000,6 +1000,92 @@ ORDER BY pair_count DESC, pair LIMIT {k}
 """
 
 
+def zipf_slope(docs: DataFrame, top_n: int = 1000) -> DataFrame:
+    """(n_terms, sx_q, sy_q, slope_mq): ordinary-least-squares slope of the
+    log-log rank–frequency relation over the corpus's ``top_n`` terms —
+    the Zipf-law exponent (natural text ≈ −1; template/boilerplate-heavy
+    corpora flatten toward 0; a sudden exponent shift is a corpus-mix
+    drift signal alongside :func:`log_odds_terms` / ``pipe_js_divergence``).
+
+    Determinism: one floored ``ln`` quantum per term for BOTH x = ln(rank)
+    and y = ln(freq) (the corpus log-quanta discipline); the OLS slope
+    ``(N·Σxy − Σx·Σy) / (N·Σx² − (Σx)²)`` is then pure integer arithmetic
+    in DECIMAL(38,0) (products overflow int64 at N=1000), with an explicit
+    floor-division so the negative slope rounds identically in both
+    engines (Spark ``div`` truncates, DuckDB ``//`` floors — the pmod
+    correction makes them agree; the es_aggs avg_q pattern).
+
+    Scale: term frequencies are one map-side-combined count agg; the
+    rank window and OLS sums act on ``top_n`` rows (result-sized).
+    """
+    terms = (
+        docs.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .orderBy(F.col("f").desc(), "term")
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.col("f").desc(), "term")
+    xy = terms.withColumn("r", F.row_number().over(w)).select(
+        F.expr("CAST(FLOOR(ln(CAST(r AS DOUBLE)) * 1000000.0) AS BIGINT)").alias("xq"),
+        F.expr("CAST(FLOOR(ln(CAST(f AS DOUBLE)) * 1000000.0) AS BIGINT)").alias("yq"),
+    )
+    sums = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("xq").cast("long").alias("sx_q"),
+        F.sum("yq").cast("long").alias("sy_q"),
+        F.sum(F.expr("CAST(xq AS DECIMAL(38,0)) * yq")).alias("sxy"),
+        F.sum(F.expr("CAST(xq AS DECIMAL(38,0)) * xq")).alias("sxx"),
+    )
+    return sums.select(
+        "n_terms",
+        "sx_q",
+        "sy_q",
+        F.expr(
+            "CAST(((CAST(n_terms AS DECIMAL(38,0)) * sxy - CAST(sx_q AS DECIMAL(38,0)) * sy_q) * 1000"
+            " - pmod((CAST(n_terms AS DECIMAL(38,0)) * sxy - CAST(sx_q AS DECIMAL(38,0)) * sy_q) * 1000,"
+            "        CAST(n_terms AS DECIMAL(38,0)) * sxx - CAST(sx_q AS DECIMAL(38,0)) * sx_q))"
+            " div (CAST(n_terms AS DECIMAL(38,0)) * sxx - CAST(sx_q AS DECIMAL(38,0)) * sx_q)"
+            " AS BIGINT)"
+        ).alias("slope_mq"),
+    )
+
+
+def zipf_slope_sql(top_n: int = 1000) -> str:
+    return f"""
+WITH terms AS (
+  SELECT term, COUNT(*) AS f
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
+  WHERE term <> '' GROUP BY term
+  ORDER BY f DESC, term LIMIT {top_n}
+),
+xy AS (
+  SELECT CAST(FLOOR(ln(CAST(ROW_NUMBER() OVER (ORDER BY f DESC, term) AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS xq,
+         CAST(FLOOR(ln(CAST(f AS DOUBLE)) * 1000000.0) AS BIGINT) AS yq
+  FROM terms
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(xq) AS BIGINT) AS sx_q,
+         CAST(SUM(yq) AS BIGINT) AS sy_q,
+         SUM(CAST(xq AS HUGEINT) * yq) AS sxy,
+         SUM(CAST(xq AS HUGEINT) * xq) AS sxx
+  FROM xy
+)
+SELECT n_terms, sx_q, sy_q,
+       CAST(((CAST(n_terms AS HUGEINT) * sxy - CAST(sx_q AS HUGEINT) * sy_q) * 1000
+             - ((((CAST(n_terms AS HUGEINT) * sxy - CAST(sx_q AS HUGEINT) * sy_q) * 1000)
+                 % (CAST(n_terms AS HUGEINT) * sxx - CAST(sx_q AS HUGEINT) * sx_q)
+                 + (CAST(n_terms AS HUGEINT) * sxx - CAST(sx_q AS HUGEINT) * sx_q))
+                % (CAST(n_terms AS HUGEINT) * sxx - CAST(sx_q AS HUGEINT) * sx_q)))
+            // (CAST(n_terms AS HUGEINT) * sxx - CAST(sx_q AS HUGEINT) * sx_q)
+            AS BIGINT) AS slope_mq
+FROM sums
+"""
+
+
 def queries() -> dict:
     return {
         "corpus_tfidf_top": lambda s, d: tfidf_top_terms(load_table(s, d, "documents")),
@@ -1017,6 +1103,7 @@ def queries() -> dict:
         "corpus_top_ngrams": lambda s, d: top_ngrams(load_table(s, d, "documents")),
         "corpus_bpe_pairs": lambda s, d: bpe_pair_counts(load_table(s, d, "documents")),
         "corpus_log_odds": lambda s, d: log_odds_terms(load_table(s, d, "documents")),
+        "corpus_zipf_slope": lambda s, d: zipf_slope(load_table(s, d, "documents")),
         "corpus_weighted_sample": lambda s, d: weighted_sample(
             load_table(s, d, "documents")
         ),
@@ -1050,6 +1137,7 @@ def oracle_sql() -> dict:
         "corpus_top_ngrams": top_ngrams_sql(),
         "corpus_bpe_pairs": bpe_pairs_sql(),
         "corpus_log_odds": log_odds_sql(),
+        "corpus_zipf_slope": zipf_slope_sql(),
         "corpus_weighted_sample": _weighted_sample_oracle(),
         # the compact-filter path has one-sided (collision-adds-hits) error;
         # on this fixed corpus it is collision-free at 40 bits, so it shares

@@ -988,6 +988,88 @@ FROM ranked WHERE rank <= {size} ORDER BY {g}, rank
 """
 
 
+def rrf_fusion(
+    events: DataFrame,
+    window: int = 100,
+    k: int = 60,
+    size: int = 10,
+) -> DataFrame:
+    """(event_id, rank_value, rank_recency, score_q): ES 8.x Reciprocal
+    Rank Fusion (the ``rrf`` retriever): fuse two independent rankings —
+    here value-desc and recency-desc — by ``score = Σ 1/(k + rank_i)``
+    over each ranking's top ``rank_window_size`` results, then take the
+    top ``size`` fused hits. A doc outside one ranking's window
+    contributes 0 from that ranking, exactly the ES contract.
+
+    Scale: each source ranking is a global top-``window`` —
+    TakeOrderedAndProject (per-partition heaps), never a global sort —
+    and ALL downstream work (rank assignment, the fusion join, the final
+    sort) happens on ≤ 2·window rows. Scores are exact integers
+    (``1e12 div (k + rank)`` summed), so ranking ties are engine-stable.
+    """
+    from ..sources.flows import ts_ms_col
+
+    base = events.where(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    ).select("event_id", "value", ts_ms_col(events).alias("t_ms"))
+    wv = Window.orderBy(F.col("value").desc(), "event_id")
+    wr = Window.orderBy(F.col("t_ms").desc(), "event_id")
+    topv = (
+        base.orderBy(F.col("value").desc(), "event_id").limit(window)
+        .withColumn("rank_value", F.row_number().over(wv).cast("long"))
+        .select("event_id", "rank_value")
+    )
+    topr = (
+        base.orderBy(F.col("t_ms").desc(), "event_id").limit(window)
+        .withColumn("rank_recency", F.row_number().over(wr).cast("long"))
+        .select("event_id", "rank_recency")
+    )
+    contrib = lambda c: F.coalesce(
+        F.expr(f"1000000000000 div ({k} + {c})"), F.lit(0)
+    )
+    return (
+        topv.join(topr, "event_id", "full_outer")
+        .select(
+            "event_id",
+            "rank_value",
+            "rank_recency",
+            (contrib("rank_value") + contrib("rank_recency")).cast("long").alias("score_q"),
+        )
+        .orderBy(F.col("score_q").desc(), "event_id")
+        .limit(size)
+    )
+
+
+def rrf_fusion_sql(
+    table: str = "events", window: int = 100, k: int = 60, size: int = 10
+) -> str:
+    return f"""
+WITH base AS (
+  SELECT event_id, value, epoch_ms(ts) AS t_ms FROM {table}
+  WHERE value IS NOT NULL AND NOT isnan(value)
+),
+topv AS (
+  SELECT event_id, CAST(ROW_NUMBER() OVER (ORDER BY value DESC, event_id) AS BIGINT)
+           AS rank_value
+  FROM base ORDER BY value DESC, event_id LIMIT {window}
+),
+topr AS (
+  SELECT event_id, CAST(ROW_NUMBER() OVER (ORDER BY t_ms DESC, event_id) AS BIGINT)
+           AS rank_recency
+  FROM base ORDER BY t_ms DESC, event_id LIMIT {window}
+),
+fused AS (
+  SELECT COALESCE(topv.event_id, topr.event_id) AS event_id,
+         rank_value, rank_recency,
+         COALESCE(1000000000000 // ({k} + rank_value), 0)
+           + COALESCE(1000000000000 // ({k} + rank_recency), 0) AS score_q
+  FROM topv FULL OUTER JOIN topr ON topv.event_id = topr.event_id
+)
+SELECT event_id, rank_value, rank_recency, CAST(score_q AS BIGINT) AS score_q
+FROM fused ORDER BY score_q DESC, event_id LIMIT {size}
+"""
+
+
 def queries() -> dict:
     return {
         "es_random_sampler": lambda s, d: random_sampler_agg(
@@ -1046,6 +1128,7 @@ def queries() -> dict:
         "es_top_hits": lambda s, d: top_hits_agg(
             load_table(s, d, "events"), ["event_type"]
         ),
+        "es_rrf_fusion": lambda s, d: rrf_fusion(load_table(s, d, "events")),
     }
 
 
@@ -1086,4 +1169,5 @@ def oracle_sql() -> dict:
         ),
         "es_categorize_text": categorize_text_sql("documents", "text"),
         "es_top_hits": top_hits_sql("events", ["event_type"]),
+        "es_rrf_fusion": rrf_fusion_sql(),
     }

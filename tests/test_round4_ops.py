@@ -263,3 +263,40 @@ def test_stream_js_divergence_equals_batch(spark):
     stream = stream_js_divergence(spark, sf).collect()
     assert sorted(map(tuple, stream)) == sorted(map(tuple, batch))
     assert len(batch) > 0
+
+
+def test_rrf_fusion_window_and_exact_scores(spark):
+    # values rank: 1,2,3,4,5 by value desc; recency rank: 5,4,3,2,1
+    rows = [Row(event_id=i, ts=datetime(2024, 1, 1, i), value=float(10 - i))
+            for i in range(1, 6)]
+    from elasticsearch_drift_plugin_spark.operators.es_metrics import rrf_fusion
+
+    out = rrf_fusion(spark.createDataFrame(rows), window=3, k=60, size=10).collect()
+    got = {r.event_id: (r.rank_value, r.rank_recency, r.score_q) for r in out}
+    E = 10**12
+    # id 1: value-rank 1, outside recency window (rank by ts desc: 5,4,3)
+    assert got[1] == (1, None, E // 61)
+    # id 3: in both windows (value-rank 3, recency-rank 3)
+    assert got[3] == (3, 3, E // 63 + E // 63)
+    # id 5: recency-rank 1 only
+    assert got[5] == (None, 1, E // 61)
+    # fused ordering: doc in both windows beats single-window docs here
+    assert out[0].event_id == 3
+
+
+def test_zipf_slope_near_minus_one_on_zipfian_counts(spark):
+    # term_i repeated round(600/i) times -> frequencies follow 1/r
+    words = []
+    for i in range(1, 51):
+        words += [f"w{i:03d}"] * max(round(600 / i), 1)
+    docs = spark.createDataFrame([Row(doc_id=1, text=" ".join(words))])
+    from elasticsearch_drift_plugin_spark.operators.corpus import zipf_slope
+
+    row = zipf_slope(docs, top_n=50).collect()[0]
+    assert row.n_terms == 50
+    assert -1100 <= row.slope_mq <= -900
+    # uniform frequencies -> flat log-log line -> slope 0
+    uni = spark.createDataFrame(
+        [Row(doc_id=1, text=" ".join(3 * [f"u{i}" for i in range(1, 41)]))]
+    )
+    assert zipf_slope(uni, top_n=40).collect()[0].slope_mq == 0
