@@ -63,3 +63,57 @@ def test_stream_writer_appends_closed_buckets(spark, tmp_path):
     back = sinks.read_histogram(spark, out)
     got = {r.key: r.value for r in back.collect()}
     assert got[BASE] == pytest.approx(5.0)
+
+
+def test_zorder_write_improves_two_dim_skipping(spark, tmp_path):
+    """Z-order clustering must tighten BOTH columns' per-file min/max
+    envelopes vs a one-dimension sort: a conjunctive range predicate then
+    overlaps fewer files on footer stats alone."""
+    import itertools
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from elasticsearch_drift_plugin_spark.sources.sinks import write_zordered
+
+    # two independent uniform dims (hash-decorrelated)
+    df = spark.range(20_000).select(
+        F.pmod(F.xxhash64(F.col("id")), F.lit(1000)).alias("x"),
+        F.pmod(F.xxhash64(F.col("id") + 7_777_777), F.lit(1000)).alias("y"),
+    )
+    zpath, spath = str(tmp_path / "zord"), str(tmp_path / "sorted")
+    write_zordered(df, zpath, "x", "y", num_files=16)
+    # baseline: same file count, clustered by x only
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(spath)
+
+    def overlapping(path, lo, hi):
+        n = 0
+        for f in sorted(__import__("pathlib").Path(path).glob("*.parquet")):
+            md = pq.ParquetFile(str(f)).metadata
+            mins = {"x": [], "y": []}
+            maxs = {"x": [], "y": []}
+            for rg, ci in itertools.product(range(md.num_row_groups), range(md.num_columns)):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in mins and col.statistics is not None:
+                    mins[name].append(col.statistics.min)
+                    maxs[name].append(col.statistics.max)
+            if not mins["x"]:
+                continue
+            x_overlap = min(mins["x"]) <= hi and max(maxs["x"]) >= lo
+            y_overlap = min(mins["y"]) <= hi and max(maxs["y"]) >= lo
+            if x_overlap and y_overlap:
+                n += 1
+        return n
+
+    # a 10%x10% box: the x-sorted layout prunes on x but y spans ~full
+    # range in every file; z-order bounds both
+    z_hits = overlapping(zpath, 0, 100)
+    s_hits = overlapping(spath, 0, 100)
+    assert z_hits < s_hits
+    # correctness: the rewrite loses/duplicates nothing
+    assert spark.read.parquet(zpath).count() == 20_000
+    back = spark.read.parquet(zpath).groupBy().agg(
+        F.sum("x").alias("sx"), F.sum("y").alias("sy")).collect()[0]
+    orig = df.groupBy().agg(F.sum("x").alias("sx"), F.sum("y").alias("sy")).collect()[0]
+    assert (back.sx, back.sy) == (orig.sx, orig.sy)
