@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "stream_js_divergence",
     "es_rrf_fusion",
     "corpus_zipf_slope",
+    "graph_pagerank",
 ]
 
 

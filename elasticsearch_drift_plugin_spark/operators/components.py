@@ -270,6 +270,61 @@ ORDER BY e.vec_id
 """
 
 
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 10,
+    damping_num: int = 85,
+    quant: int = 1_000_000_000,
+) -> DataFrame:
+    """(node, rank_q): integer-quantized PageRank over the undirected pair
+    graph — the "which duplicate is the hub" / corpus-authority signal a
+    dedup cluster can use to pick survivors (rank-weighted canonical
+    choice), and the third iterative-algorithm shape in the repo next to
+    large/small-star and Lloyd's k-means.
+
+    Determinism: ranks live as INTEGER quanta (1e-9 units). Each
+    iteration a node sends ``(rank_q - rank_q mod deg) div deg`` to every
+    neighbor (exact integer split; the sub-quantum remainder is dropped,
+    bounded by deg quanta per node per round), sums arrive as integer
+    additions (order-free — no float accumulation anywhere), and damping
+    is integer ``(85 · m_q) div 100``. So the fixpoint is bit-identical
+    across partitionings, runs, and engines — unlike float PageRank,
+    whose shuffle-order float sums drift. Mass is NOT renormalized;
+    invariants pin conservation up to the documented dropped remainders.
+
+    Scale: per iteration one groupBy-sum shuffle keyed by node (partial
+    agg map-side) + a broadcast-free equi-join of ranks to edges;
+    localCheckpoint per round caps lineage like the components loop.
+    """
+    bidir = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().localCheckpoint(eager=True)
+    nodes = bidir.select(F.col("u").alias("node")).distinct()
+    deg = bidir.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.withColumn("rank_q", F.lit(quant).cast("long"))
+    base_q = (100 - damping_num) * quant // 100
+    for _ in range(n_iter):
+        contrib = (
+            ranks.join(deg, "node")
+            .withColumn("send_q", F.expr("(rank_q - pmod(rank_q, deg)) div deg"))
+            .join(bidir, F.col("node") == F.col("u"))
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("send_q").alias("m_q"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base_q)
+                    + F.expr(f"({damping_num} * coalesce(m_q, 0)) div 100")
+                ).cast("long").alias("rank_q"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.orderBy(F.col("rank_q").desc(), "node")
+
+
 def queries() -> dict:
     from ..sources.flows import load_table
     from . import dedup
@@ -283,6 +338,11 @@ def queries() -> dict:
         # MinHash/LSH verified pairs at j >= 0.5 -> transitive duplicate
         # groups; survivor per group = the component id itself
         "dedup_components": lambda s, d: component_summary(_pairs(s, d)),
+        # iterative fixpoint => rows-only driver check (like emb_kmeans_*);
+        # conservation/ordering invariants are pytest-pinned
+        "graph_pagerank": lambda s, d: pagerank(
+            _pairs(s, d).select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        ),
         # full-corpus survivor map (the compaction step's driving table)
         "dedup_canonical_map": lambda s, d: canonical_map(
             load_table(s, d, "documents"), _pairs(s, d)

@@ -300,3 +300,28 @@ def test_zipf_slope_near_minus_one_on_zipfian_counts(spark):
         [Row(doc_id=1, text=" ".join(3 * [f"u{i}" for i in range(1, 41)]))]
     )
     assert zipf_slope(uni, top_n=40).collect()[0].slope_mq == 0
+
+
+def test_pagerank_hub_ordering_conservation_determinism(spark):
+    from elasticsearch_drift_plugin_spark.operators.components import pagerank
+
+    # star: 0 is the hub; plus a detached symmetric pair 10-11
+    edges = spark.createDataFrame(
+        [Row(u=0, v=i) for i in range(1, 6)] + [Row(u=10, v=11)]
+    )
+    out = pagerank(edges, n_iter=8).collect()
+    ranks = {r.node: r.rank_q for r in out}
+    # hub dominates its leaves
+    assert all(ranks[0] > ranks[i] for i in range(1, 6))
+    # leaves are symmetric -> identical quanta
+    assert len({ranks[i] for i in range(1, 6)}) == 1
+    # detached pair symmetric
+    assert ranks[10] == ranks[11]
+    # mass conservation: total stays within the dropped sub-quantum budget
+    # (each node drops < deg quanta per round; damping keeps it tiny)
+    total = sum(ranks.values())
+    n, q = 8, 1_000_000_000
+    assert n * q * 0.999 <= total <= n * q
+    # bit-identical across runs (integer fixpoint, no float accumulation)
+    again = {r.node: r.rank_q for r in pagerank(edges, n_iter=8).collect()}
+    assert again == ranks
