@@ -325,3 +325,17 @@ def test_pagerank_hub_ordering_conservation_determinism(spark):
     # bit-identical across runs (integer fixpoint, no float accumulation)
     again = {r.node: r.rank_q for r in pagerank(edges, n_iter=8).collect()}
     assert again == ranks
+
+
+def test_containment_gemm_matches_postings_kernel(spark):
+    from elasticsearch_drift_plugin_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs_gemm,
+    )
+    from elasticsearch_drift_plugin_spark.sources.flows import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = containment_pairs(docs, threshold=0.8).collect()
+    b = ngram_jaccard_pairs_gemm(docs, threshold=0.8, score="containment").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) > 0
