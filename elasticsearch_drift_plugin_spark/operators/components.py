@@ -275,6 +275,7 @@ def pagerank(
     n_iter: int = 10,
     damping_num: int = 85,
     quant: int = 1_000_000_000,
+    tol_q: int = 1_000,
 ) -> DataFrame:
     """(node, rank_q): integer-quantized PageRank over the undirected pair
     graph — the "which duplicate is the hub" / corpus-authority signal a
@@ -311,7 +312,7 @@ def pagerank(
             .groupBy(F.col("v").alias("node"))
             .agg(F.sum("send_q").alias("m_q"))
         )
-        ranks = (
+        new_ranks = (
             nodes.join(contrib, "node", "left")
             .select(
                 "node",
@@ -322,6 +323,21 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        # convergence test — integer ranks make the per-node delta exact;
+        # the ±1-quantum damping-division oscillation means a strict
+        # fixpoint may never land, so stop once every node moved <= tol_q
+        # quanta (1e-6 rank units at the default). O(1)-row probe per
+        # round, same pattern as the components round-fingerprint.
+        moved = (
+            new_ranks.alias("n")
+            .join(ranks.alias("o"), "node")
+            .where(F.expr(f"abs(n.rank_q - o.rank_q) > {int(tol_q)}"))
+            .limit(1)
+            .count()
+        )
+        ranks = new_ranks
+        if moved == 0:
+            break
     return ranks.orderBy(F.col("rank_q").desc(), "node")
 
 
