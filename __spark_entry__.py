@@ -174,6 +174,14 @@ GRADE_FIRST: tuple[str, ...] = (
     # r3 driver green; the IVF shape is further covered by emb_kmeans_*) ---
     "psum_fixed_1h",
 )
+# Round-5 rotation backlog (registered AFTER the r4 window closed, so they
+# have no driver evidence yet — front-load these next round): es_top_hits,
+# es_terms_shard_error, es_has_child, es_rrf_fusion, corpus_bpe_pairs,
+# corpus_weighted_sample, corpus_decon_hashed, corpus_log_odds,
+# corpus_zipf_slope, rel_interval_join, train_curriculum, emb_rp_project,
+# pipe_js_divergence, pipe_holt_forecast, dedup_containment,
+# stream_js_divergence (+ rows-only graph_pagerank). All 16 oracle-paired
+# entries are green in this round's local sweep (CORRECTNESS_SELF_r4).
 
 
 def _grade_order(q: dict, strict: bool = True) -> dict:
