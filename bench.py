@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "es_rrf_fusion",
     "corpus_zipf_slope",
     "graph_pagerank",
+    "es_geo_polygon",
 ]
 
 

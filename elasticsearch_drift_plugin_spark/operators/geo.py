@@ -550,6 +550,77 @@ def geo_events_track(events: DataFrame) -> DataFrame:
     )
 
 
+# default test polygon: a large quadrilateral over the western hemisphere
+# (degrees, (lon, lat) winding order; closed implicitly)
+GEO_POLYGON = ((-120.0, 10.0), (-30.0, 15.0), (20.0, 60.0), (-100.0, 55.0))
+
+
+def _ray_cast_expr(px: str, py: str, polygon=GEO_POLYGON) -> str:
+    """Crossing-parity point-in-polygon over INTEGER micro-degree coords —
+    every comparison is an exact int64 cross-multiplication (max product
+    ~(7.2e8)^2 < 2^63), so both engines get the identical verdict even on
+    edge-grazing points; no float epsilon anywhere."""
+    terms = []
+    n = len(polygon)
+    for i in range(n):
+        x1, y1 = (int(round(c * UDEG)) for c in polygon[i])
+        x2, y2 = (int(round(c * UDEG)) for c in polygon[(i + 1) % n])
+        d = y2 - y1
+        if d == 0:
+            continue  # horizontal edge: never crosses the horizontal ray
+        cmp_op = "<" if d > 0 else ">"
+        terms.append(
+            f"(CASE WHEN ({y1} > {py}) <> ({y2} > {py}) AND "
+            f"({px} - {x1}) * {d} {cmp_op} ({x2} - {x1}) * ({py} - {y1}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return "pmod(" + " + ".join(terms) + ", 2) = 1"
+
+
+def geo_polygon_agg(ev: DataFrame, group_cols=("event_type",)) -> DataFrame:
+    """(group..., n_inside, value_q): ES ``geo_polygon`` filter + sibling
+    metrics — documents whose point falls inside the polygon, counted and
+    summed per bucket. The predicate is the crossing-parity ray cast in
+    exact integer micro-degrees (:func:`_ray_cast_expr`), a map-side
+    filter that reaches the scan; the agg is one partial+final pass.
+    """
+    px = "CAST(ROUND(lon * 1000000.0) AS BIGINT)"
+    py = "CAST(ROUND(lat * 1000000.0) AS BIGINT)"
+    inside = F.expr(_ray_cast_expr(px, py))
+    vq = F.when(
+        F.col("value").isNotNull() & ~F.isnan("value"),
+        F.floor(F.col("value") * F.lit(1000000.0)).cast("long"),
+    )
+    return (
+        ev.where(inside)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_inside"),
+            F.coalesce(F.sum(vq), F.lit(0)).cast("long").alias("value_q"),
+        )
+        .orderBy(*group_cols)
+    )
+
+
+def geo_polygon_sql(group_cols=("event_type",)) -> str:
+    g = ", ".join(group_cols)
+    px = "CAST(ROUND(lon * 1000000.0) AS BIGINT)"
+    py = "CAST(ROUND(lat * 1000000.0) AS BIGINT)"
+    pred = _ray_cast_expr("px", "py")
+    # DuckDB pmod spelling
+    pred = pred.replace("pmod(", "((").replace(", 2) = 1", ") % 2 + 2) % 2 = 1")
+    return f"""
+WITH ev AS ({GEO_EVENTS_DUCK}),
+pts AS (SELECT {g}, value, {px} AS px, {py} AS py FROM ev)
+SELECT {g}, CAST(COUNT(*) AS BIGINT) AS n_inside,
+       CAST(COALESCE(SUM(CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                              THEN CAST(FLOOR(value * 1000000.0) AS BIGINT)
+                              END), 0) AS BIGINT) AS value_q
+FROM pts WHERE {pred}
+GROUP BY {g} ORDER BY {g}
+"""
+
+
 def queries() -> dict:
     return {
         "es_geotile_grid": lambda s, d: geotile_grid(
@@ -570,6 +641,9 @@ def queries() -> dict:
         "es_geo_line": lambda s, d: geo_line_agg(
             geo_events_track(load_table(s, d, "events")), ["event_type"]
         ),
+        "es_geo_polygon": lambda s, d: geo_polygon_agg(
+            geo_events(load_table(s, d, "events"))
+        ),
     }
 
 
@@ -581,4 +655,5 @@ def oracle_sql() -> dict:
         "es_geo_bounds": geo_bounds_sql(["event_type"]),
         "es_geo_centroid": geo_centroid_sql(["event_type"]),
         "es_geo_line": geo_line_sql(["event_type"]),
+        "es_geo_polygon": geo_polygon_sql(),
     }

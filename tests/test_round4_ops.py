@@ -339,3 +339,24 @@ def test_containment_gemm_matches_postings_kernel(spark):
     b = ngram_jaccard_pairs_gemm(docs, threshold=0.8, score="containment").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert len(a) > 0
+
+
+def test_geo_polygon_ray_cast_known_points(spark):
+    from elasticsearch_drift_plugin_spark.operators.geo import _ray_cast_expr
+
+    # unit square (0,0)-(10,0)-(10,10)-(0,10) in degrees
+    square = ((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0))
+    pts = [
+        (5_000_000, 5_000_000, True),     # center
+        (15_000_000, 5_000_000, False),   # right of square
+        (-1, 5_000_000, False),           # just left
+        (5_000_000, 10_000_001, False),   # just above
+        (9_999_999, 9_999_999, True),     # inside near corner
+    ]
+    df = spark.createDataFrame(
+        [Row(px=x, py=y, want=w) for x, y, w in pts]
+    )
+    got = df.select(
+        "want", F.expr(_ray_cast_expr("px", "py", square)).alias("inside")
+    ).collect()
+    assert all(r.inside == r.want for r in got)
