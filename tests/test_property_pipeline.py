@@ -112,3 +112,61 @@ def test_ks_test_matches_ecdf_model(spark, a, b):
     r = ks_test(df, "g", "a", "b").collect()[0]
     assert (r["n_a"], r["n_b"]) == (len(a), len(b))
     assert r["d_q"] == _ref_ks([v * 10_000 for v in a], [v * 10_000 for v in b])
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(st.integers(min_value=0, max_value=10**7),
+                     min_size=1, max_size=40))
+def test_holt_fold_matches_python_model(spark, vals):
+    """The JVM aggregate-HOF fold must reproduce the reference recurrence
+    bit-for-bit (all ops dyadic at alpha=beta=1/2)."""
+    import math
+
+    from pyspark.sql import Row
+
+    from elasticsearch_drift_plugin_spark.operators.pipeline import holt_forecast
+
+    rows = [Row(g="x", key=i, value=float(v)) for i, v in enumerate(vals)]
+    out = holt_forecast(spark.createDataFrame(rows), group_by=("g",),
+                        quantize=0).collect()[0]
+    s, b = float(vals[0]), 0.0
+    for x in vals[1:]:
+        s2 = 0.5 * float(x) + 0.5 * (s + b)
+        b = 0.5 * (s2 - s) + 0.5 * b
+        s = s2
+    assert out.n_buckets == len(vals)
+    assert out.level_mq == math.floor(s * 1000.0)
+    assert out.trend_mq == math.floor(b * 1000.0)
+    assert out.fc2_mq == math.floor((s + 2.0 * b) * 1000.0)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(st.text(alphabet="abcd", min_size=3, max_size=12),
+                      min_size=2, max_size=8))
+def test_containment_matches_bruteforce(spark, texts):
+    """Postings containment == brute-force set arithmetic on arbitrary
+    tiny corpora (threshold 0 => every co-occurring pair emitted)."""
+    from pyspark.sql import Row
+
+    from elasticsearch_drift_plugin_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="s", text=t) for i, t in enumerate(texts)]
+    )
+    got = {(r.doc_a, r.doc_b): r.cont_q
+           for r in containment_pairs(docs, threshold=0.0).collect()}
+    grams = {i: {t[j:j + 3] for j in range(len(t) - 2)}
+             for i, t in enumerate(texts) if len(t) >= 3}
+    want = {}
+    ids = sorted(grams)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(grams[a] & grams[b])
+            if inter >= 1:
+                import math
+                want[(a, b)] = math.floor(
+                    inter / min(len(grams[a]), len(grams[b])) * 1_000_000)
+    assert got == want
