@@ -110,6 +110,20 @@ def _li_oracle(**kw) -> str:
     )
 
 
+def _hard_bounds_oracle() -> str:
+    """hard_bounds == a post-fill key-range filter, so the oracle wraps the
+    plain fill oracle; the bound rounding is params.round_key_ms — the SAME
+    helper the operator calls, so the two sides cannot drift."""
+    from elasticsearch_drift_plugin_spark.params import normalize, round_key_ms
+
+    p = normalize(interval=12 * HOUR, offset=1, min_doc_count=0,
+                  hard_bounds=(EV_MID_START, EV_MID_END))
+    lo, hi = round_key_ms(p, EV_MID_START), round_key_ms(p, EV_MID_END)
+    inner = _ev_oracle(interval=12 * HOUR, offset=1, min_doc_count=0,
+                       where="user_id % 50 = 0")
+    return f"SELECT * FROM ({inner}) WHERE key BETWEEN {lo} AND {hi}"
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-event-type daily proportional_sum over sf0.001 flows."""
     fl = flows_src.events_flows(spark, SF_SMOKE)
@@ -180,7 +194,8 @@ GRADE_FIRST: tuple[str, ...] = (
 # corpus_weighted_sample, corpus_decon_hashed, corpus_log_odds,
 # corpus_zipf_slope, rel_interval_join, train_curriculum, emb_rp_project,
 # pipe_js_divergence, pipe_holt_forecast, dedup_containment,
-# stream_js_divergence (+ rows-only graph_pagerank). All 16 oracle-paired
+# stream_js_divergence, es_geo_polygon, psum_hard_bounds (+ rows-only
+# graph_pagerank). All 18 oracle-paired
 # entries are green in this round's local sweep (CORRECTNESS_SELF_r4).
 
 
@@ -266,6 +281,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # row 19: empty-bucket zero-fill (sparse flows via user filter)
         "psum_empty_fill": lambda s, d: _psum_events(
             s, d, interval=12 * HOUR, offset=1, min_doc_count=0, where="user_id % 50 = 0"
+        ),
+        # ES hard_bounds (the dual of extended_bounds): clip both data
+        # buckets and the zero-fill spine to the rounded bound range
+        "psum_hard_bounds": lambda s, d: _psum_events(
+            s, d, interval=12 * HOUR, offset=1, min_doc_count=0,
+            where="user_id % 50 = 0", hard_bounds=(EV_MID_START, EV_MID_END),
         ),
         # rows 19+25: per-group empty-fill (each owning bucket's histogram
         # reduces independently — bounds must not bleed across groups)
@@ -500,6 +521,7 @@ def oracle_sql() -> dict[str, str]:
         "psum_empty_fill": _ev_oracle(
             interval=12 * HOUR, offset=1, min_doc_count=0, where="user_id % 50 = 0"
         ),
+        "psum_hard_bounds": _hard_bounds_oracle(),
         "psum_grouped_fill": _ev_oracle(
             interval=12 * HOUR, offset=1, min_doc_count=0,
             group_by=("event_type",), where="user_id % 97 = 0"

@@ -100,6 +100,7 @@ def proportional_sum(
     group_by: Sequence[str] = (),
     extra_aggs: Mapping[str, Column] | None = None,
     extended_bounds: tuple | None = None,
+    hard_bounds: tuple | None = None,
     key_format: str | None = None,
     max_buckets_per_row: int = 100_000,
     max_fill_buckets: int = 1_000_000,
@@ -141,6 +142,13 @@ def proportional_sum(
         Buckets with fewer docs dropped post-agg
         (InternalProportionalSumHistogram.java:382-387); ``0`` triggers
         empty-bucket zero-fill (:418-478).
+    hard_bounds
+        ES ``date_histogram`` ``hard_bounds`` (ms pair): only buckets whose
+        key falls in ``[round(lo), round(hi)]`` are returned — data buckets
+        outside are DROPPED and ``min_doc_count=0`` fill never extends past
+        them (the dual of ``extended_bounds``, which can only widen).
+        Applied as a post-aggregation key filter; rounding shares
+        :func:`params.round_key_ms` with the oracle generator.
     group_by
         Extra grouping dimensions — the Spark form of nesting the operator
         under another bucket aggregation (ProportionalSumAggregator.java:118,
@@ -175,6 +183,9 @@ def proportional_sum(
             tuple(_ms_param(b) for b in extended_bounds) if extended_bounds else None
         ),
         time_zone=time_zone,
+        hard_bounds=(
+            tuple(_ms_param(b) for b in hard_bounds) if hard_bounds else None
+        ),
     )
     extra_aggs = dict(extra_aggs or {})
     spark = df.sparkSession
@@ -207,6 +218,7 @@ def proportional_sum(
         sweep_p = PSumParams(
             "fixed", CALENDAR_UNIT_MS_MIN[p.unit], None, p.offset_ms + shift,
             p.start, p.end, p.min_doc_count, p.extended_bounds,
+            hard_bounds=p.hard_bounds,
         )
     sweep_ok = sweep_p.kind == "fixed" and quantize is not None and not extra_aggs
     if strategy == "sweep" and not sweep_ok:
@@ -297,6 +309,16 @@ def proportional_sum(
             out, p, group_by, extra_aggs, max_fill_buckets,
             empty_src=exploded if extra_aggs else None,
         )
+
+    if p.hard_bounds is not None:
+        # ES hard_bounds: keep only buckets keyed inside the (rounded)
+        # bounds — drops data buckets outside AND clips the zero-fill
+        # spine, which can only shrink past the fill step above
+        from ..params import round_key_ms
+
+        hb_lo = round_key_ms(p, p.hard_bounds[0])
+        hb_hi = round_key_ms(p, p.hard_bounds[1])
+        out = out.where((F.col(_KEY) >= hb_lo) & (F.col(_KEY) <= hb_hi))
 
     out = out.withColumn("key_ts", F.timestamp_millis(F.col(_KEY)))
     cols = [*group_by, "key", "key_ts", "doc_count", "value", *extra_aggs]
@@ -708,15 +730,10 @@ def _fill_empty_buckets(
         F.min("key").alias("__mn"), F.max("key").alias("__mx")
     )
     if p.extended_bounds is not None:
-        eb_lo, eb_hi = p.extended_bounds
-        if p.kind == "fixed":
-            lo = _py_floor_fixed(eb_lo, p.step_ms, p.offset_ms)
-            hi = _py_floor_fixed(eb_hi, p.step_ms, p.offset_ms)
-        else:
-            from ..params import trunc_calendar_ms
+        from ..params import round_key_ms
 
-            lo = trunc_calendar_ms(eb_lo - p.offset_ms, p.unit, p.tz) + p.offset_ms
-            hi = trunc_calendar_ms(eb_hi - p.offset_ms, p.unit, p.tz) + p.offset_ms
+        lo = round_key_ms(p, p.extended_bounds[0])
+        hi = round_key_ms(p, p.extended_bounds[1])
         bounds = bounds.select(
             *group_by,
             F.least(F.col("__mn"), F.lit(lo)).alias("__mn"),
@@ -776,6 +793,3 @@ def _fill_empty_buckets(
             ).drop(f"__empty_{n}")
     return filled
 
-
-def _py_floor_fixed(t: int, step: int, off: int) -> int:
-    return t - ((t - off) % step + step) % step

@@ -231,6 +231,7 @@ class PSumParams:
     min_doc_count: int
     extended_bounds: tuple[int, int] | None
     tz: str | None = None  # IANA zone for calendar rounding (None = UTC parity)
+    hard_bounds: tuple[int, int] | None = None  # ES date_histogram hard_bounds
 
     @property
     def min_bucket_ms(self) -> int:
@@ -247,6 +248,7 @@ def normalize(
     min_doc_count: int = 1,
     extended_bounds: tuple[int, int] | None = None,
     time_zone: str | None = None,
+    hard_bounds: tuple[int, int] | None = None,
 ) -> PSumParams:
     kind, step_ms, unit = parse_interval(interval, calendar_interval)
     off = parse_offset(offset)
@@ -266,6 +268,8 @@ def normalize(
         raise ValueError(f"query end {end} < start {start}")
     if min_doc_count < 0:
         raise ValueError("min_doc_count must be >= 0")
+    if hard_bounds is not None and hard_bounds[1] < hard_bounds[0]:
+        raise ValueError(f"hard_bounds max {hard_bounds[1]} < min {hard_bounds[0]}")
     if off == 0 and start is not None:
         # Auto-offset: effectiveOffset = start - round(start)
         # (ProportionalSumAggregatorFactory.java:94-101).
@@ -274,12 +278,22 @@ def normalize(
         else:
             off = start - trunc_calendar_ms(start, unit, time_zone)
     return PSumParams(
-        kind, step_ms, unit, off, start, end, min_doc_count, extended_bounds, time_zone
+        kind, step_ms, unit, off, start, end, min_doc_count, extended_bounds,
+        time_zone, hard_bounds,
     )
 
 
 def _floor_fixed(t: int, step: int, off: int) -> int:
     return t - ((t - off) % step + step) % step
+
+
+def round_key_ms(p: PSumParams, t: int) -> int:
+    """The bucket key owning instant ``t`` under ``p``'s grid — the ONE
+    Python-side rounding used for extended/hard bounds by the operator AND
+    by oracle construction, so the two sides cannot drift."""
+    if p.kind == "fixed":
+        return _floor_fixed(t, p.step_ms, p.offset_ms)
+    return trunc_calendar_ms(t - p.offset_ms, p.unit, p.tz) + p.offset_ms
 
 
 def prefilter_bounds(p: PSumParams) -> tuple[int | None, int | None]:

@@ -360,3 +360,38 @@ def test_geo_polygon_ray_cast_known_points(spark):
         "want", F.expr(_ray_cast_expr("px", "py", square)).alias("inside")
     ).collect()
     assert all(r.inside == r.want for r in got)
+
+
+def test_hard_bounds_clips_fill_and_drops_outside_buckets(spark):
+    from elasticsearch_drift_plugin_spark import proportional_sum
+
+    day = 86_400_000
+    flows = spark.createDataFrame(
+        [
+            # data on day 1 and day 9; fill would span the whole gap
+            (1 * day, 1 * day + 1000, 10.0, None),
+            (9 * day, 9 * day + 1000, 20.0, None),
+        ],
+        "start_ms long, end_ms long, value double, sampling double",
+    )
+    full = proportional_sum(
+        flows, "start_ms", "end_ms", "value", "sampling",
+        interval=day, min_doc_count=0,
+    ).collect()
+    assert len(full) == 9  # days 1..9 inclusive, zero-filled
+    hard = proportional_sum(
+        flows, "start_ms", "end_ms", "value", "sampling",
+        interval=day, min_doc_count=0,
+        hard_bounds=(3 * day, 6 * day + 1),  # rounds to keys day3..day6
+    ).collect()
+    # fill clipped to the hard range; BOTH data buckets dropped (outside)
+    assert [r.key for r in hard] == [3 * day, 4 * day, 5 * day, 6 * day]
+    assert all(r.doc_count == 0 and r.value == 0.0 for r in hard)
+    # reversed bounds rejected at build time
+    import pytest
+
+    with pytest.raises(ValueError):
+        proportional_sum(
+            flows, "start_ms", "end_ms", "value", "sampling",
+            interval=day, hard_bounds=(6 * day, 3 * day),
+        )
