@@ -194,8 +194,8 @@ GRADE_FIRST: tuple[str, ...] = (
 # corpus_weighted_sample, corpus_decon_hashed, corpus_log_odds,
 # corpus_zipf_slope, rel_interval_join, train_curriculum, emb_rp_project,
 # pipe_js_divergence, pipe_holt_forecast, dedup_containment,
-# stream_js_divergence, es_geo_polygon, psum_hard_bounds (+ rows-only
-# graph_pagerank). All 18 oracle-paired
+# stream_js_divergence, es_geo_polygon, psum_hard_bounds, dedup_lsh_eval
+# (+ rows-only graph_pagerank). All 19 oracle-paired
 # entries are green in this round's local sweep (CORRECTNESS_SELF_r4).
 
 

@@ -139,6 +139,8 @@ BENCH_QUERIES = [
     "corpus_zipf_slope",
     "graph_pagerank",
     "es_geo_polygon",
+    "psum_hard_bounds",
+    "dedup_lsh_eval",
 ]
 
 

@@ -955,6 +955,108 @@ ORDER BY doc_a, doc_b
 """
 
 
+def lsh_recall_eval(docs: DataFrame, threshold_q: int = 500_000) -> DataFrame:
+    """(n_true, n_band_pairs, n_hit, recall_q, band_precision_q): measure
+    the MinHash/LSH banding against exact ground truth — the
+    tune-your-bands evaluation every production dedup rollout runs on a
+    sample before committing band/row parameters:
+
+    - ``n_true``: pairs with exact shingle Jaccard ≥ threshold (postings
+      all-pairs — the expensive truth, hence "on a sample");
+    - ``n_band_pairs``: band-collision candidates (pre-verification);
+    - ``n_hit``: candidates whose verified score clears the threshold —
+      a subset of ``n_true`` by construction (verification is exact), so
+      ``recall_q`` is the banding's true-pair coverage and
+      ``band_precision_q`` the candidate-set efficiency.
+
+    Scale: ONLY the truth side is quadratic (bounded by the sample's
+    posting fan-out, the documented eval-scale cost); the candidate side
+    is the production LSH path itself. Counts combine via 1-row
+    aggregates (crossJoin of scalars — the sanctioned pattern).
+    """
+    sh = _token_shingles(docs)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "s")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jacc_q = F.floor(
+        F.col("i").cast("double") / (F.col("ca.n") + F.col("cb.n") - F.col("i"))
+        * F.lit(float(QUANT))
+    )
+    truth = (
+        inter.join(counts.alias("ca"), F.col("ca.doc_id") == F.col("doc_a"))
+        .join(counts.alias("cb"), F.col("cb.doc_id") == F.col("doc_b"))
+        .where(jacc_q >= threshold_q)
+        .select("doc_a", "doc_b")
+    )
+    cand = minhash_lsh_pairs(docs)
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_band = cand.agg(F.count(F.lit(1)).alias("n_band_pairs"))
+    n_hit = cand.where(F.col("jacc_q") >= threshold_q).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        n_true.crossJoin(n_band)
+        .crossJoin(n_hit)
+        .select(
+            "n_true",
+            "n_band_pairs",
+            "n_hit",
+            F.expr(
+                "CASE WHEN n_true > 0 THEN CAST(FLOOR(CAST(n_hit AS DOUBLE)"
+                " / n_true * 1000000.0) AS BIGINT) ELSE 0 END"
+            ).alias("recall_q"),
+            F.expr(
+                "CASE WHEN n_band_pairs > 0 THEN CAST(FLOOR(CAST(n_hit AS DOUBLE)"
+                " / n_band_pairs * 1000000.0) AS BIGINT) ELSE 0 END"
+            ).alias("band_precision_q"),
+        )
+    )
+
+
+def lsh_recall_eval_sql(threshold_q: int = 500_000) -> str:
+    _, sigs = _minhash_sql_parts()
+    return f"""{sigs},
+counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, COUNT(*) AS i
+  FROM shingles sa JOIN shingles sb ON sa.s = sb.s AND sa.doc_id < sb.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT inter.doc_a, inter.doc_b,
+         CAST(FLOOR(CAST(i AS DOUBLE) / (ca.n + cb.n - i) * {float(QUANT)}) AS BIGINT) AS jacc_q
+  FROM inter
+  JOIN counts ca ON ca.doc_id = inter.doc_a
+  JOIN counts cb ON cb.doc_id = inter.doc_b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+candv AS (
+  SELECT s.* FROM scored s JOIN cand USING (doc_a, doc_b)
+),
+agg AS (
+  SELECT (SELECT COUNT(*) FROM scored WHERE jacc_q >= {threshold_q}) AS n_true,
+         (SELECT COUNT(*) FROM candv) AS n_band_pairs,
+         (SELECT COUNT(*) FROM candv WHERE jacc_q >= {threshold_q}) AS n_hit
+)
+SELECT CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_band_pairs AS BIGINT) AS n_band_pairs,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       CASE WHEN n_true > 0 THEN CAST(FLOOR(CAST(n_hit AS DOUBLE) / n_true * 1000000.0) AS BIGINT) ELSE 0 END AS recall_q,
+       CASE WHEN n_band_pairs > 0 THEN CAST(FLOOR(CAST(n_hit AS DOUBLE) / n_band_pairs * 1000000.0) AS BIGINT) ELSE 0 END AS band_precision_q
+FROM agg
+"""
+
+
 def queries() -> dict:
     return {
         "dedup_exact": lambda s, d: exact_dedup(_docs(s, d), "text", "doc_id"),
@@ -976,6 +1078,7 @@ def queries() -> dict:
         "dedup_containment": lambda s, d: ngram_jaccard_pairs_gemm(
             _docs(s, d), threshold=0.8, score="containment"
         ),
+        "dedup_lsh_eval": lambda s, d: lsh_recall_eval(_docs(s, d)),
     }
 
 
@@ -989,4 +1092,5 @@ def oracle_sql() -> dict:
         "dedup_simhash": simhash_sql(),
         "dedup_embedding_cosine": EMB_NEARDUP_SQL,
         "dedup_containment": CONTAINMENT_SQL,
+        "dedup_lsh_eval": lsh_recall_eval_sql(),
     }

@@ -395,3 +395,23 @@ def test_hard_bounds_clips_fill_and_drops_outside_buckets(spark):
             flows, "start_ms", "end_ms", "value", "sampling",
             interval=day, hard_bounds=(6 * day, 3 * day),
         )
+
+
+def test_lsh_recall_eval_bounds_and_edge_cases(spark):
+    from elasticsearch_drift_plugin_spark.operators.dedup import lsh_recall_eval
+
+    # identical docs: one true pair, banding must find it
+    same = spark.createDataFrame(
+        [Row(doc_id=i, source="s", text="alpha beta gamma delta epsilon zeta")
+         for i in (1, 2)]
+    )
+    r = lsh_recall_eval(same).collect()[0]
+    assert (r.n_true, r.n_hit, r.recall_q) == (1, 1, 1_000_000)
+    assert r.n_hit <= r.n_band_pairs
+    # fully disjoint docs: zero everywhere, no division error
+    disj = spark.createDataFrame(
+        [Row(doc_id=1, source="s", text="aa bb cc dd ee"),
+         Row(doc_id=2, source="s", text="ff gg hh ii jj")]
+    )
+    r2 = lsh_recall_eval(disj).collect()[0]
+    assert (r2.n_true, r2.n_band_pairs, r2.n_hit, r2.recall_q) == (0, 0, 0, 0)
