@@ -37,6 +37,7 @@ from elasticsearch_drift_plugin_spark.operators import (
     geo,
     multimodal,
     pipeline,
+    quality,
     relational,
     scripted,
     sessionize,
@@ -194,8 +195,8 @@ GRADE_FIRST: tuple[str, ...] = (
 # corpus_weighted_sample, corpus_decon_hashed, corpus_log_odds,
 # corpus_zipf_slope, rel_interval_join, train_curriculum, emb_rp_project,
 # pipe_js_divergence, pipe_holt_forecast, dedup_containment,
-# stream_js_divergence, es_geo_polygon, psum_hard_bounds, dedup_lsh_eval
-# (+ rows-only graph_pagerank). All 19 oracle-paired
+# stream_js_divergence, es_geo_polygon, psum_hard_bounds, dedup_lsh_eval,
+# rel_data_quality (+ rows-only graph_pagerank). All 20 oracle-paired
 # entries are green in this round's local sweep (CORRECTNESS_SELF_r4).
 
 
@@ -464,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # --- LLM-pipeline extensions (BASELINE.json north star) ---
     q.update(stats.queries())
+    q.update(quality.queries())
     q.update(relational.queries())
     q.update(asof.queries())
     q.update(dedup.queries())
@@ -623,6 +625,7 @@ def oracle_sql() -> dict[str, str]:
         ),
     }
     o.update(stats.oracle_sql())
+    o.update(quality.oracle_sql())
     o.update(relational.oracle_sql())
     o.update(asof.oracle_sql())
     o.update(dedup.oracle_sql())

@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "es_geo_polygon",
     "psum_hard_bounds",
     "dedup_lsh_eval",
+    "rel_data_quality",
 ]
 
 

@@ -415,3 +415,32 @@ def test_lsh_recall_eval_bounds_and_edge_cases(spark):
     )
     r2 = lsh_recall_eval(disj).collect()[0]
     assert (r2.n_true, r2.n_band_pairs, r2.n_hit, r2.recall_q) == (0, 0, 0, 0)
+
+
+def test_check_expectations_rules_and_tolerance(spark):
+    from elasticsearch_drift_plugin_spark.operators.quality import check_expectations
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, v=5.0, cat="a"),
+            Row(id=1, v=float("nan"), cat="b"),   # dup id + NaN
+            Row(id=2, v=None, cat="zzz"),         # null v + out-of-set cat
+            Row(id=3, v=99.0, cat="a"),           # out of range
+        ]
+    )
+    rules = [
+        {"rule": "unique", "col": "id"},
+        {"rule": "valid_number", "col": "v"},
+        {"rule": "in_range", "col": "v", "lo": 0, "hi": 10},
+        {"rule": "in_set", "col": "cat", "allowed": ["a", "b"]},
+    ]
+    got = {(r.rule, r.col): r for r in check_expectations(df, rules).collect()}
+    assert got[("unique", "id")].n_bad == 1
+    assert got[("valid_number", "v")].n_bad == 2      # NaN + NULL
+    assert got[("in_range", "v")].n_bad == 1          # 99 only
+    assert got[("in_set", "cat")].n_bad == 1          # zzz
+    assert all(not r.passed for r in got.values())    # tolerance_q=0
+    # 50% tolerance: every rule passes (worst frac is 2/4)
+    tol = {(r.rule, r.col): r.passed
+           for r in check_expectations(df, rules, tolerance_q=500_000).collect()}
+    assert all(tol.values())
