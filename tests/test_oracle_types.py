@@ -82,6 +82,9 @@ def test_every_query_has_oracle_or_is_documented():
         # DataSketches estimates (HLL / theta / KLL) — invariant-tested in
         # test_extensions.py (exact-below-threshold, merge, error bounds)
         "es_cardinality_approx", "es_theta_set_ops", "stats_quantiles_kll",
+        # iterative integer fixpoint (no SQL twin) — conservation/ordering/
+        # determinism invariants in test_round4_ops.py
+        "graph_pagerank",
     }
     assert missing == allowed, f"queries missing an oracle: {sorted(missing - allowed)}"
 
