@@ -40,6 +40,7 @@ from elasticsearch_drift_plugin_spark.operators import (
     quality,
     relational,
     scripted,
+    search,
     sessionize,
     similarity,
     sketches,
@@ -475,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(frequent_itemsets.queries())
     q.update(geo.queries())
     q.update(scripted.queries())
+    q.update(search.queries())
     q.update(sketches.queries())
     q.update(similarity.queries())
     q.update(text.queries())
@@ -635,6 +637,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(frequent_itemsets.oracle_sql())
     o.update(geo.oracle_sql())
     o.update(scripted.oracle_sql())
+    o.update(search.oracle_sql())
     o.update(sketches.oracle_sql())
     o.update(similarity.oracle_sql())
     o.update(text.oracle_sql())

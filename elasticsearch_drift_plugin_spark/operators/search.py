@@ -1,0 +1,268 @@
+"""ES *query-DSL* surfaces (not aggregations) re-expressed relationally:
+``percolate`` (reverse search), ``more_like_this`` (TF-IDF similarity
+query), and ``intervals``/``span_near`` (positional proximity). Together
+with the agg families these close the remaining search-body constructs a
+reference user runs around the drift operator (SURVEY.md §2.2 — queries
+are host-ES surfaces).
+
+Scale designs:
+
+- **percolate**: ES matches ONE document against thousands of stored
+  queries via an in-memory index of the query terms. Relationally the
+  stored queries are a TABLE of rule rows — tiny next to the corpus — so
+  the match is a broadcast nested evaluation compiled into ONE conditional
+  aggregate per rule batch: the corpus scans once, rules never shuffle it.
+- **more_like_this**: seed-doc top terms (by corpus IDF) are an O(k) rule
+  set; candidate scoring is a broadcast semi-join on those terms + one
+  partial+final agg. Exactly ES's "select interesting terms, run a
+  disjunction" contract, with integer tf·idf_q scores.
+- **intervals near**: per-doc token positions come from one map-side
+  posexplode; the pairwise min-distance check is a per-doc aggregate over
+  the (few) positions of the two probe terms — never a corpus-wide
+  self-join (positions group by doc first).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.flows import load_table
+
+QUANT = 1_000_000
+
+
+# --------------------------------------------------------------------------
+# percolate: stored queries over the event stream
+# --------------------------------------------------------------------------
+
+# the registered stored-query table: (rule_id, predicate-in-both-dialects).
+# Predicates are deliberately engine-portable SQL (same text runs in Spark
+# and DuckDB), the relational stand-in for the ES query DSL bodies.
+PERCOLATE_RULES: tuple[tuple[int, str], ...] = (
+    (1, "event_type = 'error'"),
+    (2, "event_type = 'purchase' AND value >= 100"),
+    (3, "value IS NOT NULL AND NOT isnan(value) AND value < 1"),
+    (4, "user_id % 1000 = 0"),
+    (5, "event_type IN ('click', 'view') AND value >= 400"),
+)
+
+
+def percolate(events: DataFrame, rules=PERCOLATE_RULES) -> DataFrame:
+    """(rule_id, n_matches, value_q): ES ``percolate`` — every stored query
+    evaluated against the incoming document stream, reporting per-rule
+    match counts and a matched-value rollup (the alerting shape: "which
+    registered watches fired, how hard").
+
+    One scan, one aggregation: each rule compiles to a conditional
+    aggregate pair, so N stored queries never multiply the corpus (the
+    broadcast-rules dual of ES's query-index). Rules with zero matches
+    still report (zero-filled via the literal rule spine).
+    """
+    vq = (
+        "CASE WHEN value IS NOT NULL AND NOT isnan(value)"
+        " THEN CAST(FLOOR(value * 1000000.0) AS BIGINT) ELSE 0 END"
+    )
+    aggs = []
+    for rid, pred in rules:
+        aggs.append(
+            F.sum(F.expr(f"CASE WHEN {pred} THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias(f"__n{rid}")
+        )
+        aggs.append(
+            F.sum(F.expr(f"CASE WHEN {pred} THEN {vq} ELSE 0 END"))
+            .cast("long")
+            .alias(f"__v{rid}")
+        )
+    row = events.agg(*aggs)
+    out = None
+    for rid, _ in rules:
+        one = row.select(
+            F.lit(rid).cast("long").alias("rule_id"),
+            F.coalesce(F.col(f"__n{rid}"), F.lit(0)).alias("n_matches"),
+            F.coalesce(F.col(f"__v{rid}"), F.lit(0)).alias("value_q"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("rule_id")
+
+
+def percolate_sql(table: str = "events", rules=PERCOLATE_RULES) -> str:
+    vq = (
+        "CASE WHEN value IS NOT NULL AND NOT isnan(value)"
+        " THEN CAST(FLOOR(value * 1000000.0) AS BIGINT) ELSE 0 END"
+    )
+    selects = []
+    for rid, pred in rules:
+        selects.append(f"SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS __n{rid}")
+        selects.append(f"SUM(CASE WHEN {pred} THEN {vq} ELSE 0 END) AS __v{rid}")
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({rid} AS BIGINT) AS rule_id,"
+        f" CAST(COALESCE(__n{rid}, 0) AS BIGINT) AS n_matches,"
+        f" CAST(COALESCE(__v{rid}, 0) AS BIGINT) AS value_q FROM agg"
+        for rid, _ in rules
+    )
+    return f"""
+WITH agg AS (SELECT {', '.join(selects)} FROM {table})
+SELECT * FROM ({rows}) ORDER BY rule_id
+"""
+
+
+# --------------------------------------------------------------------------
+# more_like_this: similarity query seeded by one document
+# --------------------------------------------------------------------------
+
+def more_like_this(
+    docs: DataFrame, seed_doc_id: int = 7, n_terms: int = 5, size: int = 10
+) -> DataFrame:
+    """(doc_id, n_shared, score_q): ES ``more_like_this`` — pick the seed
+    document's ``n_terms`` most distinctive terms (tf·idf over the corpus,
+    idf floored to integer quanta like :mod:`corpus`'s TF-IDF), then score
+    every other document by the summed tf·idf_q of the shared terms; top
+    ``size`` by score (doc_id tie-break). The seed itself is excluded,
+    like ES.
+
+    Scale: the interesting-term set is O(n_terms) rows (broadcast); the
+    candidate pass is one semi-join on the term + one partial+final agg —
+    the corpus shuffles nothing but its matching (doc, term) pairs.
+    """
+    toks = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+        )
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.count()  # O(1) catalog scalar, like corpus.tfidf_top_terms
+    dfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf_q = F.floor(
+        F.log(F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1.0)))
+        * F.lit(float(QUANT))
+    ).alias("idf_q")
+    scored_terms = toks.join(dfreq.select("term", idf_q), "term").select(
+        "doc_id", "term", "tf", (F.col("tf") * F.col("idf_q")).alias("w_q")
+    )
+    seed = (
+        scored_terms.where(F.col("doc_id") == seed_doc_id)
+        .orderBy(F.col("w_q").desc(), "term")
+        .limit(n_terms)
+        .select("term", F.col("w_q").alias("seed_w_q"))
+    )
+    return (
+        scored_terms.where(F.col("doc_id") != seed_doc_id)
+        .join(F.broadcast(seed), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            F.sum("w_q").cast("long").alias("score_q"),
+        )
+        .orderBy(F.col("score_q").desc(), "doc_id")
+        .limit(size)
+    )
+
+
+def more_like_this_sql(seed_doc_id: int = 7, n_terms: int = 5, size: int = 10) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents)
+  WHERE term <> '' GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term,
+         CAST(FLOOR(ln(((SELECT COUNT(*) FROM documents) + 1.0) / (COUNT(*) + 1.0))
+                    * {float(QUANT)}) AS BIGINT) AS idf_q
+  FROM toks GROUP BY term
+),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, t.tf * d.idf_q AS w_q
+  FROM toks t JOIN dfreq d USING (term)
+),
+seed AS (
+  SELECT term FROM scored WHERE doc_id = {seed_doc_id}
+  ORDER BY w_q DESC, term LIMIT {n_terms}
+)
+SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared,
+       CAST(SUM(s.w_q) AS BIGINT) AS score_q
+FROM scored s JOIN seed USING (term)
+WHERE s.doc_id <> {seed_doc_id}
+GROUP BY s.doc_id ORDER BY score_q DESC, doc_id LIMIT {size}
+"""
+
+
+# --------------------------------------------------------------------------
+# intervals / span_near: positional proximity query
+# --------------------------------------------------------------------------
+
+def intervals_near(
+    docs: DataFrame, term_a: str = "spark", term_b: str = "table", max_gap: int = 3
+) -> DataFrame:
+    """(doc_id, min_dist, n_pairs): ES ``intervals``/``span_near`` — docs
+    where ``term_a`` occurs within ``max_gap`` token positions of
+    ``term_b`` (unordered), with the closest distance and the number of
+    qualifying position pairs.
+
+    Positions come from one map-side ``posexplode``; the pair check is a
+    per-document join of the two terms' (few) position lists — grouped by
+    doc BEFORE pairing, so there is no corpus-wide positional self-join.
+    """
+    pos = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("p", "term"),
+        )
+        .where(F.col("term").isin(term_a, term_b))
+    )
+    a = pos.where(F.col("term") == term_a).select("doc_id", F.col("p").alias("pa"))
+    b = pos.where(F.col("term") == term_b).select("doc_id", F.col("p").alias("pb"))
+    dist = F.abs(F.col("pa") - F.col("pb"))
+    return (
+        a.join(b, "doc_id")
+        .where(dist <= max_gap)
+        .groupBy("doc_id")
+        .agg(
+            F.min(dist).cast("long").alias("min_dist"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def intervals_near_sql(
+    term_a: str = "spark", term_b: str = "table", max_gap: int = 3
+) -> str:
+    return f"""
+WITH pos AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, l[CAST(i AS INTEGER)] AS term
+  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents))
+  WHERE l[CAST(i AS INTEGER)] IN ('{term_a}', '{term_b}')
+)
+SELECT a.doc_id, CAST(MIN(ABS(a.p - b.p)) AS BIGINT) AS min_dist,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM (SELECT doc_id, p FROM pos WHERE term = '{term_a}') a
+JOIN (SELECT doc_id, p FROM pos WHERE term = '{term_b}') b USING (doc_id)
+WHERE ABS(a.p - b.p) <= {max_gap}
+GROUP BY a.doc_id ORDER BY a.doc_id
+"""
+
+
+def queries() -> dict:
+    return {
+        "es_percolate": lambda s, d: percolate(load_table(s, d, "events")),
+        "es_more_like_this": lambda s, d: more_like_this(
+            load_table(s, d, "documents")
+        ),
+        "es_intervals_near": lambda s, d: intervals_near(
+            load_table(s, d, "documents")
+        ),
+    }
+
+
+def oracle_sql() -> dict:
+    return {
+        "es_percolate": percolate_sql(),
+        "es_more_like_this": more_like_this_sql(),
+        "es_intervals_near": intervals_near_sql(),
+    }

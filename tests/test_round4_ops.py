@@ -444,3 +444,48 @@ def test_check_expectations_rules_and_tolerance(spark):
     tol = {(r.rule, r.col): r.passed
            for r in check_expectations(df, rules, tolerance_q=500_000).collect()}
     assert all(tol.values())
+
+
+def test_percolate_rule_matching_and_zero_fill(spark):
+    from elasticsearch_drift_plugin_spark.operators.search import percolate
+
+    events = spark.createDataFrame(
+        [Row(event_type="error", user_id=5, value=2.0),
+         Row(event_type="purchase", user_id=6, value=150.0),
+         Row(event_type="purchase", user_id=7, value=50.0)]
+    )
+    rules = ((1, "event_type = 'error'"),
+             (2, "event_type = 'purchase' AND value >= 100"),
+             (3, "value > 1000"))
+    got = {r.rule_id: (r.n_matches, r.value_q) for r in percolate(events, rules).collect()}
+    assert got == {1: (1, 2_000_000), 2: (1, 150_000_000), 3: (0, 0)}
+
+
+def test_more_like_this_finds_planted_twin(spark):
+    from elasticsearch_drift_plugin_spark.operators.search import more_like_this
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=7, text="quantum flux capacitor resonance chamber"),
+         Row(doc_id=8, text="quantum flux capacitor resonance chamber extra"),
+         Row(doc_id=9, text="completely different words here entirely"),
+         Row(doc_id=10, text="quantum of filler filler filler")]
+    )
+    out = more_like_this(docs, seed_doc_id=7, n_terms=5, size=3).collect()
+    assert out[0].doc_id == 8 and out[0].n_shared == 5
+    # the seed is excluded; the unrelated doc never appears
+    ids = [r.doc_id for r in out]
+    assert 7 not in ids and 9 not in ids
+
+
+def test_intervals_near_distance_semantics(spark):
+    from elasticsearch_drift_plugin_spark.operators.search import intervals_near
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="spark x y table"),        # dist 3 -> match
+         Row(doc_id=2, text="spark a b c d table"),    # dist 5 -> no
+         Row(doc_id=3, text="table spark"),            # dist 1, unordered
+         Row(doc_id=4, text="spark spark table")]      # pairs: d2+d1
+    )
+    got = {r.doc_id: (r.min_dist, r.n_pairs)
+           for r in intervals_near(docs, "spark", "table", max_gap=3).collect()}
+    assert got == {1: (3, 1), 3: (1, 1), 4: (1, 2)}
