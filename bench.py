@@ -142,6 +142,9 @@ BENCH_QUERIES = [
     "psum_hard_bounds",
     "dedup_lsh_eval",
     "rel_data_quality",
+    "es_percolate",
+    "es_more_like_this",
+    "es_intervals_near",
 ]
 
 
