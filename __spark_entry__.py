@@ -197,8 +197,8 @@ GRADE_FIRST: tuple[str, ...] = (
 # corpus_zipf_slope, rel_interval_join, train_curriculum, emb_rp_project,
 # pipe_js_divergence, pipe_holt_forecast, dedup_containment,
 # stream_js_divergence, es_geo_polygon, psum_hard_bounds, dedup_lsh_eval,
-# rel_data_quality, es_percolate, es_more_like_this, es_intervals_near
-# (+ rows-only graph_pagerank). All 23 oracle-paired
+# rel_data_quality, es_percolate, es_more_like_this, es_intervals_near,
+# es_term_suggest (+ rows-only graph_pagerank). All 24 oracle-paired
 # entries are green in this round's local sweep (CORRECTNESS_SELF_r4).
 
 

@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "es_percolate",
     "es_more_like_this",
     "es_intervals_near",
+    "es_term_suggest",
 ]
 
 

@@ -248,6 +248,80 @@ GROUP BY a.doc_id ORDER BY a.doc_id
 """
 
 
+def term_suggest(
+    docs: DataFrame,
+    probes: tuple[str, ...] = ("sparc", "tabel", "qeury"),
+    max_edits: int = 2,
+    size: int = 3,
+) -> DataFrame:
+    """(probe, rank, suggestion, freq, dist): ES *term suggester* — for
+    each (misspelled) probe word, the closest vocabulary words within
+    ``max_edits`` Levenshtein edits, ranked the way ES ranks suggestions
+    (distance asc, then document frequency desc, then term asc), top
+    ``size`` per probe.
+
+    Scale: the corpus collapses to its vocabulary first (one
+    partial+final count agg, Zipf-bounded); the probe set is a literal
+    spine (O(probes) rows) cross-joined against the vocab for the
+    edit-distance check — ``levenshtein`` is a JVM built-in, exact and
+    engine-portable, so the whole candidate pass is map-side over
+    |vocab|·|probes| rows. ES bounds the same cost with FST transducers;
+    at a 100 TB corpus the vocab is still ~millions of rows — cheap.
+    """
+    vocab = (
+        docs.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    spine = docs.sparkSession.createDataFrame(
+        [(p,) for p in probes], "probe string"
+    )
+    from pyspark.sql import Window
+
+    dist = F.levenshtein(F.col("probe"), F.col("term"))
+    w = Window.partitionBy("probe").orderBy(
+        F.col("dist"), F.col("freq").desc(), F.col("term")
+    )
+    return (
+        vocab.crossJoin(F.broadcast(spine))
+        .withColumn("dist", dist.cast("long"))
+        .where(F.col("dist") <= max_edits)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= size)
+        .select("probe", "rank", F.col("term").alias("suggestion"), "freq", "dist")
+        .orderBy("probe", "rank")
+    )
+
+
+def term_suggest_sql(
+    probes: tuple[str, ...] = ("sparc", "tabel", "qeury"),
+    max_edits: int = 2,
+    size: int = 3,
+) -> str:
+    spine = " UNION ALL ".join(f"SELECT '{p}' AS probe" for p in probes)
+    return f"""
+WITH vocab AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
+  WHERE term <> '' GROUP BY term
+),
+spine AS ({spine}),
+cand AS (
+  SELECT s.probe, v.term, v.freq,
+         CAST(levenshtein(s.probe, v.term) AS BIGINT) AS dist
+  FROM vocab v, spine s
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe
+                               ORDER BY dist, freq DESC, term) AS rank
+  FROM cand WHERE dist <= {max_edits}
+)
+SELECT probe, CAST(rank AS BIGINT) AS rank, term AS suggestion, freq, dist
+FROM ranked WHERE rank <= {size} ORDER BY probe, rank
+"""
+
+
 def queries() -> dict:
     return {
         "es_percolate": lambda s, d: percolate(load_table(s, d, "events")),
@@ -257,6 +331,7 @@ def queries() -> dict:
         "es_intervals_near": lambda s, d: intervals_near(
             load_table(s, d, "documents")
         ),
+        "es_term_suggest": lambda s, d: term_suggest(load_table(s, d, "documents")),
     }
 
 
@@ -265,4 +340,5 @@ def oracle_sql() -> dict:
         "es_percolate": percolate_sql(),
         "es_more_like_this": more_like_this_sql(),
         "es_intervals_near": intervals_near_sql(),
+        "es_term_suggest": term_suggest_sql(),
     }

@@ -489,3 +489,19 @@ def test_intervals_near_distance_semantics(spark):
     got = {r.doc_id: (r.min_dist, r.n_pairs)
            for r in intervals_near(docs, "spark", "table", max_gap=3).collect()}
     assert got == {1: (3, 1), 3: (1, 1), 4: (1, 2)}
+
+
+def test_term_suggest_ranks_by_distance_then_frequency(spark):
+    from elasticsearch_drift_plugin_spark.operators.search import term_suggest
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="table table table cable fable"),
+         Row(doc_id=2, text="cable stable")]
+    )
+    out = term_suggest(docs, probes=("tble",), max_edits=2, size=4).collect()
+    ranked = [(r.suggestion, r.dist) for r in out]
+    # dist asc first; among dist ties, higher corpus freq wins, then term
+    assert ranked[0] == ("table", 1)
+    assert ranked[1] == ("cable", 2)  # freq 2 beats fable (1)
+    assert ranked[2] == ("fable", 2)
+    assert all(r.dist <= 2 for r in out)
