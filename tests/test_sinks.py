@@ -86,30 +86,31 @@ def test_zorder_write_improves_two_dim_skipping(spark, tmp_path):
     # baseline: same file count, clustered by x only
     df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(spath)
 
-    def overlapping(path, lo, hi):
-        n = 0
+    def overlapping(path, dim, lo, hi):
+        """# files whose footer min/max for `dim` intersects [lo, hi]."""
+        n_total, n_hit = 0, 0
         for f in sorted(__import__("pathlib").Path(path).glob("*.parquet")):
             md = pq.ParquetFile(str(f)).metadata
-            mins = {"x": [], "y": []}
-            maxs = {"x": [], "y": []}
+            mins, maxs = [], []
             for rg, ci in itertools.product(range(md.num_row_groups), range(md.num_columns)):
                 col = md.row_group(rg).column(ci)
-                name = col.path_in_schema
-                if name in mins and col.statistics is not None:
-                    mins[name].append(col.statistics.min)
-                    maxs[name].append(col.statistics.max)
-            if not mins["x"]:
+                if col.path_in_schema == dim and col.statistics is not None:
+                    mins.append(col.statistics.min)
+                    maxs.append(col.statistics.max)
+            if not mins:
                 continue
-            x_overlap = min(mins["x"]) <= hi and max(maxs["x"]) >= lo
-            y_overlap = min(mins["y"]) <= hi and max(maxs["y"]) >= lo
-            if x_overlap and y_overlap:
-                n += 1
-        return n
+            n_total += 1
+            if min(mins) <= hi and max(maxs) >= lo:
+                n_hit += 1
+        return n_hit, n_total
 
-    # a 10%x10% box: the x-sorted layout prunes on x but y spans ~full
-    # range in every file; z-order bounds both
-    z_hits = overlapping(zpath, 0, 100)
-    s_hits = overlapping(spath, 0, 100)
+    # the structural contrast: in the x-sorted layout EVERY file's y range
+    # spans ~the full domain (y is independent of x), so a y-only range
+    # predicate prunes nothing; z-order bounds y per file
+    z_hits, z_total = overlapping(zpath, "y", 0, 100)
+    s_hits, s_total = overlapping(spath, "y", 0, 100)
+    assert s_hits == s_total          # baseline: zero y-skipping
+    assert z_hits < z_total           # z-order: real y-skipping
     assert z_hits < s_hits
     # correctness: the rewrite loses/duplicates nothing
     assert spark.read.parquet(zpath).count() == 20_000
