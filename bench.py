@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "es_more_like_this",
     "es_intervals_near",
     "es_term_suggest",
+    "stream_percolate",
 ]
 
 

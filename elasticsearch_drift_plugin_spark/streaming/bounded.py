@@ -169,6 +169,7 @@ def queries() -> dict:
         "stream_dedup_exact": stream_dedup_exact,
         "stream_geotile_grid": stream_geotile_grid,
         "stream_js_divergence": stream_js_divergence,
+        "stream_percolate": stream_percolate,
     }
 
 
@@ -194,6 +195,9 @@ def oracle_sql() -> dict:
         ),
         "stream_dedup_exact": EXACT_SQL,
         "stream_geotile_grid": geotile_grid_sql(),
+        "stream_percolate": __import__(
+            "elasticsearch_drift_plugin_spark.operators.search", fromlist=["x"]
+        ).percolate_sql(),
         "stream_js_divergence": __import__(
             "elasticsearch_drift_plugin_spark.operators.pipeline", fromlist=["x"]
         ).js_divergence_sql("events", "epoch_ms(ts)", "event_type", 86_400_000),
@@ -227,3 +231,40 @@ def stream_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (Spark 4.1 MemoryPlan keeps shared attribute ids); the count table is
     # result-sized, so an eager localCheckpoint is a cheap lineage break
     return js_divergence_from_counts(tbl.localCheckpoint(eager=True))
+
+
+def stream_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ``percolate`` — the watch/alerting shape the ES percolator
+    exists for: every stored query evaluated continuously over the event
+    stream as ONE incrementally-maintained conditional aggregate (complete
+    mode legalizes the bounded-replay flush; production uses update mode +
+    per-window keys and alerts on match-count deltas). Same oracle as the
+    batch twin."""
+    from ..operators.search import PERCOLATE_RULES
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet*")
+    vq = (
+        "CASE WHEN value IS NOT NULL AND NOT isnan(value)"
+        " THEN CAST(FLOOR(value * 1000000.0) AS BIGINT) ELSE 0 END"
+    )
+    aggs = []
+    for rid, pred in PERCOLATE_RULES:
+        aggs.append(
+            F.sum(F.expr(f"CASE WHEN {pred} THEN 1 ELSE 0 END"))
+            .cast("long").alias(f"__n{rid}")
+        )
+        aggs.append(
+            F.sum(F.expr(f"CASE WHEN {pred} THEN {vq} ELSE 0 END"))
+            .cast("long").alias(f"__v{rid}")
+        )
+    tbl = run_available_now(ev.agg(*aggs), "complete")
+    out = None
+    for rid, _ in PERCOLATE_RULES:
+        one = tbl.select(
+            F.lit(rid).cast("long").alias("rule_id"),
+            F.coalesce(F.col(f"__n{rid}"), F.lit(0)).alias("n_matches"),
+            F.coalesce(F.col(f"__v{rid}"), F.lit(0)).alias("value_q"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("rule_id")
