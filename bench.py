@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "es_intervals_near",
     "es_term_suggest",
     "stream_percolate",
+    "text_hash_embed",
 ]
 
 

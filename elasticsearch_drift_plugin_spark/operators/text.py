@@ -468,6 +468,74 @@ SELECT doc_id, n_tokens, mean_wl_q, sym_q, n_stop, failed_rules,
 FROM r ORDER BY doc_id
 """
 
+def hash_embed(docs: DataFrame, dims: int = 64) -> DataFrame:
+    """(doc_id, dim, comp_q): feature-hashing TF-IDF document vectors
+    (the "hashing trick", Weinberger et al. 2009) — every term routes to
+    bucket ``md5_60(term) mod dims`` with sign ``±1`` from the next hash
+    bit, accumulating ``tf · idf_q``; the result is a fixed-width sparse
+    embedding computed WITHOUT any trained model, the featurizer that
+    feeds :mod:`similarity`'s ANN/clustering when no neural embedding
+    exists. Output is long-format (zero components omitted), all-integer.
+
+    Scale: one (doc, term) tf agg + a term-keyed idf join (both partial
+    map-side) + one (doc, dim) sum — the exact TF-IDF pipeline shape of
+    :func:`corpus.tfidf_top_terms`, ending at ``dims`` values per doc.
+    """
+    toks = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+        )
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.count()  # O(1) catalog scalar
+    dfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf_q = F.floor(
+        F.log(F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1.0)))
+        * F.lit(float(QUANT))
+    ).alias("idf_q")
+    return (
+        toks.join(dfreq.select("term", idf_q), "term")
+        .withColumn("__h", md5_hash60(F.col("term")))
+        .select(
+            "doc_id",
+            F.pmod(F.col("__h"), F.lit(dims)).cast("long").alias("dim"),
+            # sign bit: the next base-2 digit of the same 60-bit hash
+            # (integer div — `/` would be float division and corrupt the bit)
+            F.expr(f"(1 - 2 * pmod(__h div {dims}, 2)) * tf * idf_q").alias("c"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("c").cast("long").alias("comp_q"))
+        .orderBy("doc_id", "dim")
+    )
+
+
+def hash_embed_sql(dims: int = 64) -> str:
+    h = HEX15_SQL_FN.format(expr="term")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents)
+  WHERE term <> '' GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term,
+         CAST(FLOOR(ln(((SELECT COUNT(*) FROM documents) + 1.0) / (COUNT(*) + 1.0))
+                    * {float(QUANT)}) AS BIGINT) AS idf_q
+  FROM toks GROUP BY term
+),
+routed AS (
+  SELECT t.doc_id,
+         CAST(({h}) % {dims} AS BIGINT) AS dim,
+         (1 - 2 * CAST((({h}) // {dims}) % 2 AS BIGINT)) * t.tf * d.idf_q AS c
+  FROM toks t JOIN dfreq d USING (term)
+)
+SELECT doc_id, dim, CAST(SUM(c) AS BIGINT) AS comp_q
+FROM routed GROUP BY doc_id, dim ORDER BY doc_id, dim
+"""
+
+
 def queries() -> dict:
     return {
         "text_lang_id": lambda s, d: lang_id(load_table(s, d, "documents")),
@@ -479,6 +547,7 @@ def queries() -> dict:
         "text_pii_scan": lambda s, d: pii_scan(load_table(s, d, "documents")),
         "text_gopher_filter": lambda s, d: gopher_filter(load_table(s, d, "documents")),
         "text_readability": lambda s, d: readability(load_table(s, d, "documents")),
+        "text_hash_embed": lambda s, d: hash_embed(load_table(s, d, "documents")),
     }
 
 
@@ -493,4 +562,5 @@ def oracle_sql() -> dict:
         "text_pii_scan": pii_sql(),
         "text_gopher_filter": gopher_sql(),
         "text_readability": readability_sql(),
+        "text_hash_embed": hash_embed_sql(),
     }

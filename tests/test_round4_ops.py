@@ -505,3 +505,59 @@ def test_term_suggest_ranks_by_distance_then_frequency(spark):
     assert ranked[1] == ("cable", 2)  # freq 2 beats fable (1)
     assert ranked[2] == ("fable", 2)
     assert all(r.dist <= 2 for r in out)
+
+
+def test_hash_embed_routing_and_sign_model(spark):
+    """The featurizer must match an independent python model of the same
+    md5 route/sign arithmetic."""
+    import hashlib
+    import math
+
+    from elasticsearch_drift_plugin_spark.operators.text import hash_embed
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta beta"), Row(doc_id=2, text="alpha gamma")]
+    )
+    got = {(r.doc_id, r.dim): r.comp_q for r in hash_embed(docs, dims=8).collect()}
+
+    def h60(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+
+    def idf_q(df):
+        return math.floor(math.log((2 + 1.0) / (df + 1.0)) * 1_000_000)
+
+    tf = {1: {"alpha": 1, "beta": 2}, 2: {"alpha": 1, "gamma": 1}}
+    dfreq = {"alpha": 2, "beta": 1, "gamma": 1}
+    want = {}
+    for d, terms in tf.items():
+        for t, f in terms.items():
+            h = h60(t)
+            dim = h % 8
+            sign = 1 - 2 * ((h // 8) % 2)
+            want[(d, dim)] = want.get((d, dim), 0) + sign * f * idf_q(dfreq[t])
+    want = {k: v for k, v in want.items()}
+    assert got == want
+
+
+def test_terms_shard_error_bound_property(spark):
+    """Property over random skew: for EVERY reported term the ES contract
+    holds (reported <= truth <= reported + bound), across shard counts."""
+    import random
+
+    from elasticsearch_drift_plugin_spark.operators.es_aggs import terms_shard_error
+
+    rng = random.Random(42)
+    rows = []
+    for t in range(40):
+        rows += [Row(user_id=t)] * rng.randint(1, 30)
+    df = spark.createDataFrame(rows)
+    truth = {r.user_id: r.c for r in df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    for n_shards, shard_size in ((2, 3), (4, 5), (8, 2)):
+        out = terms_shard_error(df, n_shards=n_shards, shard_size=shard_size,
+                                size=15).collect()
+        assert out, (n_shards, shard_size)
+        for r in out:
+            assert r.doc_count <= truth[r.key]
+            assert truth[r.key] <= r.doc_count + r.err_ub
+            assert r.err_ub >= 0
