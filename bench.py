@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "es_term_suggest",
     "stream_percolate",
     "text_hash_embed",
+    "emb_pq_codes",
 ]
 
 

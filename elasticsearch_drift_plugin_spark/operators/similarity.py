@@ -922,6 +922,95 @@ FROM idx GROUP BY vec_id, j ORDER BY vec_id, dim
 """
 
 
+def pq_codes(
+    emb: DataFrame, n_sub: int = 8, sub_dim: int = 8, n_cents: int = 16
+) -> DataFrame:
+    """(vec_id, subspace, code, dist_q): Product Quantization (Jégou et
+    al. 2011) — each 64-dim embedding splits into ``n_sub`` contiguous
+    subvectors, each encoded as the id of its nearest subspace centroid:
+    8 bytes per vector instead of 256, the standard ANN compression tier
+    between :func:`quantize_int8` (4×) and raw floats. Codebooks use the
+    deterministic lowest-id seeding of :func:`_seed_centroids`, derived
+    RELATIONALLY (a filter on the same exploded view — no driver collect),
+    so the DuckDB oracle reproduces the index bit-for-bit.
+
+    Exactness: per-term quantized squared distance
+    ``floor((x−c)²·1e6)`` sums as integers (order-free), argmin ties break
+    on centroid id — cross-engine identical.
+
+    Scale: one posexplode (64 rows/vec) → broadcast codebook join
+    (n_sub·sub_dim·n_cents = 1024 rows) → one (vec, subspace, centroid)
+    partial agg → per-(vec, subspace) argmin window. The literal-inline
+    variant (:func:`ivf_assign` style, zero shuffle) is the hot-path
+    optimization; this relational form is the clearer reference shape.
+    """
+    flat = (
+        emb.select(
+            "vec_id", F.posexplode(F.expr(_V_DOUBLE_SQL)).alias("pos", "x")
+        )
+        .select(
+            "vec_id",
+            F.expr(f"pos div {sub_dim}").alias("subspace"),
+            F.expr(f"pos % {sub_dim}").alias("d"),
+            "x",
+        )
+    )
+    cb = flat.where(F.col("vec_id") < n_cents).select(
+        F.col("vec_id").alias("code"), "subspace", "d", F.col("x").alias("cval")
+    )
+    dist = (
+        flat.join(F.broadcast(cb), ["subspace", "d"])
+        .groupBy("vec_id", "subspace", "code")
+        .agg(
+            F.sum(
+                F.expr("CAST(FLOOR((x - cval) * (x - cval) * 1000000.0) AS BIGINT)")
+            ).alias("dist_q")
+        )
+    )
+    w = Window.partitionBy("vec_id", "subspace").orderBy("dist_q", "code")
+    return (
+        dist.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "vec_id",
+            F.col("subspace").cast("long").alias("subspace"),
+            F.col("code").cast("long").alias("code"),
+            F.col("dist_q").cast("long").alias("dist_q"),
+        )
+        .orderBy("vec_id", "subspace")
+    )
+
+
+def pq_codes_sql(n_sub: int = 8, sub_dim: int = 8, n_cents: int = 16) -> str:
+    return f"""
+WITH flat AS (
+  SELECT vec_id,
+         CAST((i - 1) // {sub_dim} AS BIGINT) AS subspace,
+         CAST((i - 1) % {sub_dim} AS BIGINT) AS d,
+         CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings)
+),
+cb AS (
+  SELECT vec_id AS code, subspace, d, x AS cval FROM flat WHERE vec_id < {n_cents}
+),
+dist AS (
+  SELECT f.vec_id, f.subspace, c.code,
+         SUM(CAST(FLOOR((f.x - c.cval) * (f.x - c.cval) * 1000000.0) AS BIGINT))
+           AS dist_q
+  FROM flat f JOIN cb c ON c.subspace = f.subspace AND c.d = f.d
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                               ORDER BY dist_q, code) AS rn
+  FROM dist
+)
+SELECT vec_id, subspace, CAST(code AS BIGINT) AS code, CAST(dist_q AS BIGINT) AS dist_q
+FROM ranked WHERE rn = 1 ORDER BY vec_id, subspace
+"""
+
+
 def queries() -> dict:
     return {
         "emb_group_centroids": lambda s, d: group_centroids(
@@ -931,6 +1020,7 @@ def queries() -> dict:
             load_table(s, d, "embeddings")
         ),
         "emb_rp_project": lambda s, d: rp_project(load_table(s, d, "embeddings")),
+        "emb_pq_codes": lambda s, d: pq_codes(load_table(s, d, "embeddings")),
         "ann_knn_join": lambda s, d: knn_join(load_table(s, d, "embeddings")),
         "ann_knn_cells": lambda s, d: knn_cells(load_table(s, d, "embeddings")),
         "emb_cluster_purity": lambda s, d: cluster_purity(
@@ -965,6 +1055,7 @@ def oracle_sql() -> dict:
         "emb_group_centroids": group_centroids_sql(),
         "emb_quantize_int8": quantize_int8_sql(),
         "emb_rp_project": rp_project_sql(),
+        "emb_pq_codes": pq_codes_sql(),
         "ann_knn_join": knn_join_sql(),
         "ann_knn_cells": knn_cells_sql(),
         "emb_cluster_purity": cluster_purity_sql(),

@@ -561,3 +561,25 @@ def test_terms_shard_error_bound_property(spark):
             assert r.doc_count <= truth[r.key]
             assert truth[r.key] <= r.doc_count + r.err_ub
             assert r.err_ub >= 0
+
+
+def test_pq_codes_self_encoding_and_ranges(spark):
+    import math
+
+    from elasticsearch_drift_plugin_spark.operators.similarity import pq_codes
+
+    vecs = [
+        Row(vec_id=i, embedding=[math.sin(i * 64 + d) for d in range(64)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = pq_codes(df).collect()
+    # 8 codes per vector, codes in [0, 16), subspaces 0..7
+    assert len(out) == 20 * 8
+    assert all(0 <= r.code < 16 and 0 <= r.subspace < 8 for r in out)
+    # codebook vectors encode as THEMSELVES with zero distance
+    for r in out:
+        if r.vec_id < 16:
+            assert r.code == r.vec_id and r.dist_q == 0
+        else:
+            assert r.dist_q >= 0
