@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "stream_percolate",
     "text_hash_embed",
     "emb_pq_codes",
+    "ann_pq_topk",
 ]
 
 

@@ -1011,6 +1011,125 @@ FROM ranked WHERE rn = 1 ORDER BY vec_id, subspace
 """
 
 
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_cents: int = 16,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, adist_q): PQ search by Asymmetric
+    Distance Computation (Jégou et al. 2011): each query precomputes its
+    distance to every subspace centroid (an n_sub·n_cents lookup table,
+    tiny), then a corpus vector's approximate distance is just the SUM of
+    table lookups selected by its stored codes — no corpus float math at
+    query time. Completes :func:`pq_codes` into the full
+    compress-then-search path.
+
+    Scale: corpus side touches only the CODE table (8 small ints per
+    vector); the per-query lookup tables broadcast (queries · 128 rows);
+    the join key is (subspace, code) and the final agg is one
+    partial+final sum per (query, vector) + a top-k window. Exactness:
+    per-term floored integer quanta, same discipline as :func:`pq_codes`.
+    """
+    codes = pq_codes(corpus, n_sub, sub_dim, n_cents).select(
+        F.col("vec_id").alias("neighbor_id"), "subspace", "code"
+    )
+    flat_q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode(F.expr(_V_DOUBLE_SQL)).alias("pos", "x"),
+    ).select(
+        "query_id",
+        F.expr(f"pos div {sub_dim}").alias("subspace"),
+        F.expr(f"pos % {sub_dim}").alias("d"),
+        "x",
+    )
+    cb = (
+        corpus.where(F.col("vec_id") < n_cents)
+        .select("vec_id", F.posexplode(F.expr(_V_DOUBLE_SQL)).alias("pos", "cx"))
+        .select(
+            F.col("vec_id").alias("code"),
+            F.expr(f"pos div {sub_dim}").alias("subspace"),
+            F.expr(f"pos % {sub_dim}").alias("d"),
+            "cx",
+        )
+    )
+    lut = (
+        flat_q.join(F.broadcast(cb), ["subspace", "d"])
+        .groupBy("query_id", "subspace", "code")
+        .agg(
+            F.sum(
+                F.expr("CAST(FLOOR((x - cx) * (x - cx) * 1000000.0) AS BIGINT)")
+            ).alias("dq")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adist_q", "neighbor_id")
+    return (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("dq").cast("long").alias("adist_q"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adist_q")
+        .orderBy("query_id", "rank")
+    )
+
+
+def pq_topk_sql(
+    k: int = 5, n_sub: int = 8, sub_dim: int = 8, n_cents: int = 16,
+    query_where: str = "vec_id < 10",
+) -> str:
+    return f"""
+WITH flat AS (
+  SELECT vec_id,
+         CAST((i - 1) // {sub_dim} AS BIGINT) AS subspace,
+         CAST((i - 1) % {sub_dim} AS BIGINT) AS d,
+         CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings)
+),
+cb AS (
+  SELECT vec_id AS code, subspace, d, x AS cval FROM flat WHERE vec_id < {n_cents}
+),
+dist AS (
+  SELECT f.vec_id, f.subspace, c.code,
+         SUM(CAST(FLOOR((f.x - c.cval) * (f.x - c.cval) * 1000000.0) AS BIGINT))
+           AS dist_q
+  FROM flat f JOIN cb c ON c.subspace = f.subspace AND c.d = f.d
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id AS neighbor_id, subspace, code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                                 ORDER BY dist_q, code) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT f.vec_id AS query_id, f.subspace, c.code,
+         SUM(CAST(FLOOR((f.x - c.cval) * (f.x - c.cval) * 1000000.0) AS BIGINT))
+           AS dq
+  FROM flat f JOIN cb c ON c.subspace = f.subspace AND c.d = f.d
+  WHERE f.{query_where}
+  GROUP BY 1, 2, 3
+),
+adist AS (
+  SELECT l.query_id, cd.neighbor_id, CAST(SUM(l.dq) AS BIGINT) AS adist_q
+  FROM codes cd JOIN lut l ON l.subspace = cd.subspace AND l.code = cd.code
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY adist_q, neighbor_id) AS BIGINT) AS rank
+  FROM adist WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, rank, adist_q
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
 def queries() -> dict:
     return {
         "emb_group_centroids": lambda s, d: group_centroids(
@@ -1021,6 +1140,10 @@ def queries() -> dict:
         ),
         "emb_rp_project": lambda s, d: rp_project(load_table(s, d, "embeddings")),
         "emb_pq_codes": lambda s, d: pq_codes(load_table(s, d, "embeddings")),
+        "ann_pq_topk": lambda s, d: pq_topk(
+            load_table(s, d, "embeddings"),
+            load_table(s, d, "embeddings").where(F.col("vec_id") < 10),
+        ),
         "ann_knn_join": lambda s, d: knn_join(load_table(s, d, "embeddings")),
         "ann_knn_cells": lambda s, d: knn_cells(load_table(s, d, "embeddings")),
         "emb_cluster_purity": lambda s, d: cluster_purity(
@@ -1056,6 +1179,7 @@ def oracle_sql() -> dict:
         "emb_quantize_int8": quantize_int8_sql(),
         "emb_rp_project": rp_project_sql(),
         "emb_pq_codes": pq_codes_sql(),
+        "ann_pq_topk": pq_topk_sql(),
         "ann_knn_join": knn_join_sql(),
         "ann_knn_cells": knn_cells_sql(),
         "emb_cluster_purity": cluster_purity_sql(),

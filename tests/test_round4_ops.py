@@ -583,3 +583,27 @@ def test_pq_codes_self_encoding_and_ranges(spark):
             assert r.code == r.vec_id and r.dist_q == 0
         else:
             assert r.dist_q >= 0
+
+
+def test_pq_topk_adc_finds_planted_neighbor(spark):
+    import math
+
+    from elasticsearch_drift_plugin_spark.operators.similarity import pq_topk
+
+    # 16 codebook seeds + a planted near-identical pair (100, 101)
+    vecs = [
+        Row(vec_id=i, embedding=[math.sin(i * 64 + d) for d in range(64)])
+        for i in range(16)
+    ]
+    base = [math.cos(d * 0.1) for d in range(64)]
+    vecs.append(Row(vec_id=100, embedding=base))
+    vecs.append(Row(vec_id=101, embedding=[x + 0.001 for x in base]))
+    vecs.append(Row(vec_id=102, embedding=[-x for x in base]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = pq_topk(df, df.where("vec_id = 100"), k=20).collect()
+    # ADC over identical codes => the twin ranks first with the minimal
+    # asymmetric distance; the inverted vector scores far worse
+    assert out[0].query_id == 100 and out[0].neighbor_id == 101
+    dist = {r.neighbor_id: r.adist_q for r in out}
+    assert dist[102] > dist[101]
+    assert all(r.adist_q >= 0 for r in out)
