@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "text_hash_embed",
     "emb_pq_codes",
     "ann_pq_topk",
+    "ann_pq_rerank",
 ]
 
 

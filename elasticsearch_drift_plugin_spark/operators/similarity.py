@@ -1130,6 +1130,81 @@ FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """
 
 
+def pq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 30,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, score_q): two-stage retrieval — the
+    production ANN serving shape: a cheap PQ/ADC pass shortlists
+    ``shortlist`` candidates per query (corpus touched only through its
+    8-int codes), then EXACT cosine re-ranks the shortlist and returns
+    top ``k``. Recall ≈ brute force whenever the true neighbors survive
+    the shortlist (pytest-pinned on planted fixtures); cost ≈ the PQ pass
+    plus ``queries × shortlist`` exact scores, never corpus × queries.
+
+    Output contract matches :func:`cosine_topk` (same columns/quanta), so
+    a caller can swap exact → two-stage without touching consumers.
+    """
+    cand = pq_topk(corpus, queries, k=shortlist).select(
+        "query_id", "neighbor_id"
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double(F.col("embedding")).alias("cv"),
+    ).select("neighbor_id", "cv", l2_norm(F.col("cv")).alias("cn"))
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        _as_double(F.col("embedding")).alias("qv"),
+    ).select("query_id", "qv", l2_norm(F.col("qv")).alias("qn"))
+    score = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_q").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.floor(score * F.lit(float(QUANT))).alias("score_q"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score_q")
+        .orderBy("query_id", "rank")
+    )
+
+
+def pq_rerank_sql(k: int = 5, shortlist: int = 30, query_where: str = "vec_id < 10") -> str:
+    inner = pq_topk_sql(k=shortlist, query_where=query_where)
+    return f"""
+WITH cand AS (SELECT query_id, neighbor_id FROM ({inner})),
+cv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(FLOOR(
+           list_dot_product(qc.v, nc.v) / (sqrt(list_dot_product(qc.v, qc.v))
+                                           * sqrt(list_dot_product(nc.v, nc.v)))
+           * {float(QUANT)}) AS BIGINT) AS score_q
+  FROM cand c
+  JOIN cv qc ON qc.vec_id = c.query_id
+  JOIN cv nc ON nc.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score_q DESC, neighbor_id) AS BIGINT) AS rank,
+       score_q
+FROM scored
+QUALIFY rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 def queries() -> dict:
     return {
         "emb_group_centroids": lambda s, d: group_centroids(
@@ -1141,6 +1216,10 @@ def queries() -> dict:
         "emb_rp_project": lambda s, d: rp_project(load_table(s, d, "embeddings")),
         "emb_pq_codes": lambda s, d: pq_codes(load_table(s, d, "embeddings")),
         "ann_pq_topk": lambda s, d: pq_topk(
+            load_table(s, d, "embeddings"),
+            load_table(s, d, "embeddings").where(F.col("vec_id") < 10),
+        ),
+        "ann_pq_rerank": lambda s, d: pq_rerank_topk(
             load_table(s, d, "embeddings"),
             load_table(s, d, "embeddings").where(F.col("vec_id") < 10),
         ),
@@ -1180,6 +1259,7 @@ def oracle_sql() -> dict:
         "emb_rp_project": rp_project_sql(),
         "emb_pq_codes": pq_codes_sql(),
         "ann_pq_topk": pq_topk_sql(),
+        "ann_pq_rerank": pq_rerank_sql(),
         "ann_knn_join": knn_join_sql(),
         "ann_knn_cells": knn_cells_sql(),
         "emb_cluster_purity": cluster_purity_sql(),

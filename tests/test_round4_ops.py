@@ -607,3 +607,26 @@ def test_pq_topk_adc_finds_planted_neighbor(spark):
     dist = {r.neighbor_id: r.adist_q for r in out}
     assert dist[102] > dist[101]
     assert all(r.adist_q >= 0 for r in out)
+
+
+def test_pq_rerank_recovers_exact_top1(spark):
+    import math
+
+    from elasticsearch_drift_plugin_spark.operators.similarity import (
+        cosine_topk,
+        pq_rerank_topk,
+    )
+
+    vecs = [
+        Row(vec_id=i, embedding=[math.sin(i * 64 + d) for d in range(64)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = df.where("vec_id IN (20, 30)")
+    exact = {r.query_id: r.neighbor_id
+             for r in cosine_topk(df, q, k=1, brute_force=True).collect()}
+    staged = {r.query_id: r.neighbor_id
+              for r in pq_rerank_topk(df, q, k=1, shortlist=20).collect()}
+    # with a 50% shortlist the true best neighbor survives stage 1 and the
+    # exact rerank restores the brute-force answer
+    assert staged == exact
