@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "emb_pq_codes",
     "ann_pq_topk",
     "ann_pq_rerank",
+    "train_pack_bfd",
 ]
 
 

@@ -594,6 +594,67 @@ FROM documents ORDER BY doc_id
 """
 
 
+def pack_sequences_bfd(
+    docs: DataFrame,
+    capacity: int = 256,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(group, doc_id, n_tokens, seq_no, seq_offset): best-fit-decreasing
+    packing — the quality counterpart to :func:`pack_sequences`'s next-fit:
+    docs place largest-first into the open sequence with the LEAST
+    remaining room that still fits (11/9·OPT+ worst case vs next-fit's
+    2·OPT), buying fewer pad tokens at the cost of losing next-fit's
+    stream-append property (BFD must see the whole group; next-fit never
+    looks back — that is why next-fit remains the incremental default).
+
+    Same Arrow per-group kernel shape as next-fit; the bin state is a list
+    (not expressible as a recursive CTE), so this registers rows-only and
+    pins its semantics with pytest invariants instead (capacity respected,
+    no doc lost, never more sequences than next-fit on the fixtures,
+    >= the ceil(total/capacity) lower bound).
+    """
+    cap = int(capacity)
+    toks = docs.select(
+        F.col(group_col).alias("group"),
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        used: list[int] = []
+        seqs, offs = [], []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            best, best_rem = -1, None
+            for i, u in enumerate(used):
+                rem = cap - u - n
+                if rem >= 0 and (best_rem is None or rem < best_rem):
+                    best, best_rem = i, rem
+            if best < 0:
+                used.append(0)
+                best = len(used) - 1
+            seqs.append(best)
+            offs.append(used[best])
+            used[best] += n
+        pdf["seq_no"] = pd.Series(seqs, dtype="int64")
+        pdf["seq_offset"] = pd.Series(offs, dtype="int64")
+        return pdf
+
+    out_schema = (
+        "group string, doc_id long, n_tokens long, seq_no long, seq_offset long"
+    )
+    return (
+        toks.groupBy("group")
+        .applyInPandas(_pack, schema=out_schema)
+        .orderBy("group", "doc_id")
+    )
+
+
 def curriculum_order(docs: DataFrame, salt: str = "curr-v1") -> DataFrame:
     """(stage, doc_id, score_q, shuf_q): curriculum staging — quality-score
     quartile bins (stage 1 = best quarter first, the easy→hard ordering
@@ -681,6 +742,10 @@ def queries() -> dict:
         ),
         "train_curriculum": lambda s, d: curriculum_order(
             load_table(s, d, "documents")
+        ),
+        # list-valued bin state => no recursive-CTE twin; rows-only
+        "train_pack_bfd": lambda s, d: pack_sequences_bfd(
+            load_table(s, d, "documents"), capacity=256
         ),
     }
 

@@ -85,6 +85,9 @@ def test_every_query_has_oracle_or_is_documented():
         # iterative integer fixpoint (no SQL twin) — conservation/ordering/
         # determinism invariants in test_round4_ops.py
         "graph_pagerank",
+        # list-valued bin state (no recursive-CTE twin) — capacity/quality
+        # invariants in test_round4_ops.py
+        "train_pack_bfd",
     }
     assert missing == allowed, f"queries missing an oracle: {sorted(missing - allowed)}"
 

@@ -630,3 +630,34 @@ def test_pq_rerank_recovers_exact_top1(spark):
     # with a 50% shortlist the true best neighbor survives stage 1 and the
     # exact rerank restores the brute-force answer
     assert staged == exact
+
+
+def test_bfd_packing_invariants_and_quality(spark):
+    import math
+
+    from elasticsearch_drift_plugin_spark.operators.training import (
+        pack_sequences,
+        pack_sequences_bfd,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source=f"s{i % 2}",
+             text=" ".join(["w"] * (17 + (i * 37) % 120)))
+         for i in range(40)]
+    )
+    cap = 256
+    bfd = pack_sequences_bfd(docs, capacity=cap).collect()
+    nf = pack_sequences(docs, capacity=cap).collect()
+    assert {r.doc_id for r in bfd} == {r.doc_id for r in nf}  # nothing lost
+    # capacity respected per (group, seq)
+    fill: dict = {}
+    for r in bfd:
+        fill[(r.group, r.seq_no)] = fill.get((r.group, r.seq_no), 0) + r.n_tokens
+        assert r.seq_offset + r.n_tokens <= cap
+    assert all(v <= cap for v in fill.values())
+    # quality: never more sequences than next-fit; >= the volume bound
+    for g in ("s0", "s1"):
+        n_bfd = len({r.seq_no for r in bfd if r.group == g})
+        n_nf = len({r.seq_no for r in nf if r.group == g})
+        total = sum(r.n_tokens for r in bfd if r.group == g)
+        assert math.ceil(total / cap) <= n_bfd <= n_nf
