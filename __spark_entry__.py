@@ -199,8 +199,8 @@ GRADE_FIRST: tuple[str, ...] = (
 # stream_js_divergence, es_geo_polygon, psum_hard_bounds, dedup_lsh_eval,
 # rel_data_quality, es_percolate, es_more_like_this, es_intervals_near,
 # es_term_suggest, stream_percolate, text_hash_embed, emb_pq_codes,
-# ann_pq_topk, ann_pq_rerank (+ rows-only graph_pagerank). All 29
-# oracle-paired
+# ann_pq_topk, ann_pq_rerank (+ rows-only graph_pagerank and
+# train_pack_bfd). The oracle-paired ones are all
 # entries are green in this round's local sweep (CORRECTNESS_SELF_r4).
 
 
