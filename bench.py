@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "ann_pq_topk",
     "ann_pq_rerank",
     "train_pack_bfd",
+    "train_neg_samples",
 ]
 
 

@@ -655,6 +655,70 @@ def pack_sequences_bfd(
     )
 
 
+def negative_samples(
+    docs: DataFrame, k: int = 4, n_buckets: int = 32, salt: str = "neg-v1"
+) -> DataFrame:
+    """(doc_id, neg_rank, neg_id): deterministic negative sampling for
+    contrastive objectives — each document draws up to ``k`` negatives by
+    rendezvous hashing: documents bucket by a salted md5, each bucket
+    elects its min-id representative, and doc ``d``'s i-th negative is the
+    representative of bucket ``(h(d) + i) mod n_buckets``. Content-stable
+    (adding documents only perturbs the buckets they land in), salt-
+    redrawable, and bit-identical across engines/runs — the property that
+    makes contrastive pairs reproducible across pipeline reruns.
+
+    Scale: one bucket-rep aggregation (``n_buckets`` output rows,
+    broadcast) + a map-side k-explode and equi-join — the corpus is never
+    self-joined. Emits up to ``k`` rows per doc: an empty bucket or a
+    self-draw yields no row (documented, not padded).
+    """
+    b = F.pmod(
+        md5_hash60(F.concat(F.lit(salt + "#"), F.col("doc_id").cast("string"))),
+        F.lit(int(n_buckets)),
+    )
+    reps = (
+        docs.select(b.alias("bucket"), "doc_id")
+        .groupBy("bucket")
+        .agg(F.min("doc_id").alias("neg_id"))
+    )
+    spine = docs.select("doc_id", b.alias("hb")).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.lit(int(k)))).alias("neg_rank"),
+        "hb",
+    ).select(
+        "doc_id",
+        F.col("neg_rank").cast("long").alias("neg_rank"),
+        F.pmod(F.col("hb") + F.col("neg_rank"), F.lit(int(n_buckets))).alias("bucket"),
+    )
+    return (
+        spine.join(F.broadcast(reps), "bucket")
+        .where(F.col("neg_id") != F.col("doc_id"))
+        .select("doc_id", "neg_rank", "neg_id")
+        .orderBy("doc_id", "neg_rank")
+    )
+
+
+def negative_samples_sql(
+    k: int = 4, n_buckets: int = 32, salt: str = "neg-v1"
+) -> str:
+    h = HEX15_SQL_FN.format(expr=f"'{salt}#' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH hashed AS (
+  SELECT doc_id, CAST(({h}) % {int(n_buckets)} AS BIGINT) AS hb FROM documents
+),
+reps AS (SELECT hb AS bucket, MIN(doc_id) AS neg_id FROM hashed GROUP BY hb),
+spine AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS neg_rank,
+         (hb + i) % {int(n_buckets)} AS bucket
+  FROM hashed, (SELECT unnest(range(1, {int(k) + 1})) AS i)
+)
+SELECT s.doc_id, s.neg_rank, r.neg_id
+FROM spine s JOIN reps r USING (bucket)
+WHERE r.neg_id <> s.doc_id
+ORDER BY s.doc_id, s.neg_rank
+"""
+
+
 def curriculum_order(docs: DataFrame, salt: str = "curr-v1") -> DataFrame:
     """(stage, doc_id, score_q, shuf_q): curriculum staging — quality-score
     quartile bins (stage 1 = best quarter first, the easy→hard ordering
@@ -747,6 +811,9 @@ def queries() -> dict:
         "train_pack_bfd": lambda s, d: pack_sequences_bfd(
             load_table(s, d, "documents"), capacity=256
         ),
+        "train_neg_samples": lambda s, d: negative_samples(
+            load_table(s, d, "documents")
+        ),
     }
 
 
@@ -761,6 +828,7 @@ def oracle_sql() -> dict:
         "train_split_assign": split_assign_sql(),
         "train_epoch_plan": epoch_plan_sql(capacity=256, seqs_per_shard=8),
         "train_curriculum": _curriculum_oracle(),
+        "train_neg_samples": negative_samples_sql(),
     }
 
 

@@ -661,3 +661,27 @@ def test_bfd_packing_invariants_and_quality(spark):
         n_nf = len({r.seq_no for r in nf if r.group == g})
         total = sum(r.n_tokens for r in bfd if r.group == g)
         assert math.ceil(total / cap) <= n_bfd <= n_nf
+
+
+def test_negative_samples_determinism_and_stability(spark):
+    from elasticsearch_drift_plugin_spark.operators.training import negative_samples
+
+    docs = spark.createDataFrame([Row(doc_id=i, text="x") for i in range(60)])
+    out = negative_samples(docs, k=4).collect()
+    # never self-paired; at most k per doc; deterministic
+    assert all(r.neg_id != r.doc_id for r in out)
+    per_doc: dict = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r.neg_rank)
+    assert all(len(v) <= 4 for v in per_doc.values())
+    again = negative_samples(docs, k=4).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    # content stability: adding docs leaves most existing pairs intact
+    more = spark.createDataFrame(
+        [Row(doc_id=i, text="x") for i in range(70)]
+    )
+    grown = {(r.doc_id, r.neg_rank): r.neg_id
+             for r in negative_samples(more, k=4).collect() if r.doc_id < 60}
+    base = {(r.doc_id, r.neg_rank): r.neg_id for r in out}
+    same = sum(1 for key in base if grown.get(key) == base[key])
+    assert same >= len(base) * 0.5  # only perturbed buckets change
