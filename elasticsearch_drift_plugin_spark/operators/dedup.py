@@ -955,7 +955,14 @@ ORDER BY doc_a, doc_b
 """
 
 
-def lsh_recall_eval(docs: DataFrame, threshold_q: int = 500_000) -> DataFrame:
+MAX_EVAL_DOCS = 20_000
+
+
+def lsh_recall_eval(
+    docs: DataFrame,
+    threshold_q: int = 500_000,
+    max_eval_docs: int = MAX_EVAL_DOCS,
+) -> DataFrame:
     """(n_true, n_band_pairs, n_hit, recall_q, band_precision_q): measure
     the MinHash/LSH banding against exact ground truth — the
     tune-your-bands evaluation every production dedup rollout runs on a
@@ -974,6 +981,17 @@ def lsh_recall_eval(docs: DataFrame, threshold_q: int = 500_000) -> DataFrame:
     is the production LSH path itself. Counts combine via 1-row
     aggregates (crossJoin of scalars — the sanctioned pattern).
     """
+    # the truth side is all-pairs by design — the same blind-quadratic
+    # hazard cosine_topk guards against, so the same contract: refuse past
+    # max_eval_docs (one O(1) count job) and tell the caller to sample
+    n_docs = docs.count()
+    if n_docs > max_eval_docs:
+        raise ValueError(
+            f"lsh_recall_eval computes exact all-pairs truth over {n_docs} "
+            f"docs (> max_eval_docs={max_eval_docs}); evaluate on a sample "
+            f"(corpus.hash_sample) or raise max_eval_docs to acknowledge "
+            f"the quadratic cost"
+        )
     sh = _token_shingles(docs)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (

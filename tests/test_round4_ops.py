@@ -685,3 +685,15 @@ def test_negative_samples_determinism_and_stability(spark):
     base = {(r.doc_id, r.neg_rank): r.neg_id for r in out}
     same = sum(1 for key in base if grown.get(key) == base[key])
     assert same >= len(base) * 0.5  # only perturbed buckets change
+
+
+def test_lsh_recall_eval_guards_quadratic_truth(spark):
+    import pytest
+
+    from elasticsearch_drift_plugin_spark.operators.dedup import lsh_recall_eval
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="s", text="a b c d") for i in range(50)]
+    )
+    with pytest.raises(ValueError, match="max_eval_docs"):
+        lsh_recall_eval(docs, max_eval_docs=10)
