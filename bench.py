@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "ann_pq_rerank",
     "train_pack_bfd",
     "train_neg_samples",
+    "stream_data_quality",
 ]
 
 

@@ -170,6 +170,7 @@ def queries() -> dict:
         "stream_geotile_grid": stream_geotile_grid,
         "stream_js_divergence": stream_js_divergence,
         "stream_percolate": stream_percolate,
+        "stream_data_quality": stream_data_quality,
     }
 
 
@@ -195,6 +196,15 @@ def oracle_sql() -> dict:
         ),
         "stream_dedup_exact": EXACT_SQL,
         "stream_geotile_grid": geotile_grid_sql(),
+        "stream_data_quality": __import__(
+            "elasticsearch_drift_plugin_spark.operators.quality", fromlist=["x"]
+        ).check_expectations_sql(
+            "events",
+            [r for r in __import__(
+                "elasticsearch_drift_plugin_spark.operators.quality", fromlist=["x"]
+            ).EVENT_RULES if r["rule"] != "unique"],
+            tolerance_q=20_000,
+        ),
         "stream_percolate": __import__(
             "elasticsearch_drift_plugin_spark.operators.search", fromlist=["x"]
         ).percolate_sql(),
@@ -268,3 +278,39 @@ def stream_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionByName(one)
     return out.orderBy("rule_id")
+
+
+def stream_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming data-quality gate — the expectations suite running
+    CONTINUOUSLY on the ingest stream (the production posture: reject or
+    quarantine a batch whose rule metrics regress). Streaming aggregation
+    cannot maintain count(DISTINCT ...), so the ``unique`` rule stays a
+    batch/audit check and the stream evaluates the conditional-aggregate
+    rules — the exact subset split a real deployment makes. Oracle: the
+    batch twin over the same rules.
+    """
+    from ..operators.quality import EVENT_RULES, _bad_expr
+
+    rules = [r for r in EVENT_RULES if r["rule"] != "unique"]
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet*")
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for i, r in enumerate(rules):
+        aggs.append(F.sum(F.expr(_bad_expr(r))).cast("long").alias(f"__b{i}"))
+    tbl = run_available_now(ev.agg(*aggs), "complete")
+    out = None
+    tol_q = 20_000
+    for i, r in enumerate(rules):
+        one = tbl.select(
+            F.lit(r["rule"]).alias("rule"),
+            F.lit(r["col"]).alias("col"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__b{i}").alias("n_bad"),
+            F.expr(
+                f"CASE WHEN __n > 0 THEN CAST(FLOOR(CAST(__b{i} AS DOUBLE)"
+                f" / __n * 1000000.0) AS BIGINT) ELSE 0 END"
+            ).alias("frac_bad_q"),
+            F.expr(f"__b{i} * 1000000 <= {tol_q} * __n").alias("passed"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("rule", "col")
