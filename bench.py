@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "train_pack_bfd",
     "train_neg_samples",
     "stream_data_quality",
+    "train_shard_by_tokens",
 ]
 
 

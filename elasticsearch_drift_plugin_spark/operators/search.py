@@ -264,8 +264,11 @@ def term_suggest(
     partial+final count agg, Zipf-bounded); the probe set is a literal
     spine (O(probes) rows) cross-joined against the vocab for the
     edit-distance check — ``levenshtein`` is a JVM built-in, exact and
-    engine-portable, so the whole candidate pass is map-side over
-    |vocab|·|probes| rows. ES bounds the same cost with FST transducers;
+    engine-portable on this corpus (pure ASCII, where Spark's and DuckDB's
+    unit-of-edit agree; on multi-byte text the engines count different
+    units — add a load-time octet_length==length assertion before relying
+    on cross-engine parity there). The whole candidate pass is map-side
+    over |vocab|·|probes| rows. ES bounds the same cost with FST transducers;
     at a 100 TB corpus the vocab is still ~millions of rows — cheap.
     """
     vocab = (

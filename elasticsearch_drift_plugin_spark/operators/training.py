@@ -655,6 +655,65 @@ def pack_sequences_bfd(
     )
 
 
+def shard_by_tokens(
+    docs: DataFrame, n_shards: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """(shard, n_docs, tokens, doc_ids_fp): token-balanced shard
+    assignment — training shards must equalize TOKEN budgets, not doc
+    counts (doc lengths are Zipf-ish, so count-balanced shards can be
+    badly token-skewed). Rule: rank docs by token count desc (doc_id
+    tie-break) and deal them round-robin — a deterministic, SQL-pairable
+    stand-in for greedy lightest-bin assignment whose imbalance is
+    bounded by one maximal document per lap.
+
+    Output is the per-shard manifest (doc/token totals + an order-free
+    md5-XOR fingerprint of the member ids, so two engines prove identical
+    MEMBERSHIP, not just identical totals).
+
+    Scale: the ranking is a distributed sort (no single-partition
+    window at the output — the rank is consumed only modulo n_shards) and
+    the manifest is one partial+final agg keyed by shard.
+    """
+    toks = docs.select(
+        F.col("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+    w = Window.orderBy(F.col("n_tokens").desc(), "doc_id")
+    fp = md5_hash60(F.col("doc_id").cast("string"))
+    return (
+        toks.withColumn("shard", F.pmod(F.row_number().over(w) - 1, F.lit(int(n_shards))).cast("long"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens"),
+            # XOR-fold of member-id hashes: order-free exact membership proof
+            F.expr(
+                "aggregate(collect_list("
+                + "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+                + "), CAST(0 AS BIGINT), (a, x) -> a ^ x)"
+            ).alias("doc_ids_fp"),
+        )
+        .orderBy("shard")
+    )
+
+
+def shard_by_tokens_sql(n_shards: int = 4) -> str:
+    h = HEX15_SQL_FN.format(expr="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH ranked AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST((ROW_NUMBER() OVER (ORDER BY len(string_split(text, ' ')) DESC,
+                                  doc_id) - 1) % {int(n_shards)} AS BIGINT) AS shard
+  FROM documents
+)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+       CAST(bit_xor({h}) AS BIGINT) AS doc_ids_fp
+FROM ranked GROUP BY shard ORDER BY shard
+"""
+
+
 def negative_samples(
     docs: DataFrame, k: int = 4, n_buckets: int = 32, salt: str = "neg-v1"
 ) -> DataFrame:
@@ -814,6 +873,9 @@ def queries() -> dict:
         "train_neg_samples": lambda s, d: negative_samples(
             load_table(s, d, "documents")
         ),
+        "train_shard_by_tokens": lambda s, d: shard_by_tokens(
+            load_table(s, d, "documents")
+        ),
     }
 
 
@@ -829,6 +891,7 @@ def oracle_sql() -> dict:
         "train_epoch_plan": epoch_plan_sql(capacity=256, seqs_per_shard=8),
         "train_curriculum": _curriculum_oracle(),
         "train_neg_samples": negative_samples_sql(),
+        "train_shard_by_tokens": shard_by_tokens_sql(),
     }
 
 

@@ -697,3 +697,23 @@ def test_lsh_recall_eval_guards_quadratic_truth(spark):
     )
     with pytest.raises(ValueError, match="max_eval_docs"):
         lsh_recall_eval(docs, max_eval_docs=10)
+
+
+def test_shard_by_tokens_balances_budgets(spark):
+    from elasticsearch_drift_plugin_spark.operators.training import shard_by_tokens
+
+    # all the big docs share the same id-residue: naive doc_id%4 sharding
+    # piles every 500-token doc onto shard 0; rank-round-robin deals them out
+    lens = {i: (500 if i % 4 == 0 else 10) for i in range(40)}
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(["w"] * lens[i])) for i in range(40)]
+    )
+    out = shard_by_tokens(docs, n_shards=4).collect()
+    tokens = [r.tokens for r in out]
+    assert len(out) == 4 and sum(r.n_docs for r in out) == 40
+    # one maximal doc bounds the spread; the naive split is ~16x skewed
+    assert max(tokens) - min(tokens) <= 500
+    naive: dict = {}
+    for i, n in lens.items():
+        naive[i % 4] = naive.get(i % 4, 0) + n
+    assert (max(tokens) - min(tokens)) < (max(naive.values()) - min(naive.values()))
