@@ -200,8 +200,8 @@ GRADE_FIRST: tuple[str, ...] = (
 # rel_data_quality, es_percolate, es_more_like_this, es_intervals_near,
 # es_term_suggest, stream_percolate, text_hash_embed, emb_pq_codes,
 # ann_pq_topk, ann_pq_rerank (+ rows-only graph_pagerank and
-# train_pack_bfd). The oracle-paired ones are all
-# entries are green in this round's local sweep (CORRECTNESS_SELF_r4).
+# train_pack_bfd). All oracle-paired entries are green in this round's
+# local sweep (CORRECTNESS_SELF_r4).
 
 
 def _grade_order(q: dict, strict: bool = True) -> dict:

@@ -57,10 +57,16 @@ def check_expectations(
     """(rule, col, n_rows, n_bad, frac_bad_q, passed): evaluate every rule
     in one aggregation pass over ``df``. ``unique`` rules ride the same
     pass via ``count`` − ``count(DISTINCT)``."""
+    return expectation_unpivot(df.agg(*expectation_aggs(rules)), rules, tolerance_q)
+
+
+def expectation_aggs(rules: list[dict]) -> list:
+    """The one-pass conditional-aggregate list — SHARED by the batch
+    operator and ``streaming.bounded.stream_data_quality`` so the twins
+    cannot drift (streaming callers pre-filter out ``unique`` rules, which
+    need ``count(DISTINCT)`` and are batch/audit-only)."""
     aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
-    names: list[tuple[str, str]] = []
     for i, r in enumerate(rules):
-        names.append((r["rule"], r["col"]))
         if r["rule"] == "unique":
             aggs.append(
                 (F.count(r["col"]) - F.countDistinct(r["col"]))
@@ -69,12 +75,19 @@ def check_expectations(
             )
         else:
             aggs.append(F.sum(F.expr(_bad_expr(r))).cast("long").alias(f"__b{i}"))
-    row = df.agg(*aggs)
+    return aggs
+
+
+def expectation_unpivot(
+    row: DataFrame, rules: list[dict], tolerance_q: int = 0
+) -> DataFrame:
+    """Unpivot the single agg row into the per-rule report — shared with
+    the streaming twin (see ``expectation_aggs``)."""
     out = None
-    for i, (kind, col) in enumerate(names):
+    for i, r in enumerate(rules):
         one = row.select(
-            F.lit(kind).alias("rule"),
-            F.lit(col).alias("col"),
+            F.lit(r["rule"]).alias("rule"),
+            F.lit(r["col"]).alias("col"),
             F.col("__n").alias("n_rows"),
             F.col(f"__b{i}").alias("n_bad"),
             F.expr(

@@ -59,6 +59,13 @@ def percolate(events: DataFrame, rules=PERCOLATE_RULES) -> DataFrame:
     broadcast-rules dual of ES's query-index). Rules with zero matches
     still report (zero-filled via the literal rule spine).
     """
+    return percolate_unpivot(events.agg(*percolate_aggs(rules)), rules)
+
+
+def percolate_aggs(rules=PERCOLATE_RULES) -> list:
+    """The per-rule conditional-aggregate pair list — SHARED by the batch
+    operator and ``streaming.bounded.stream_percolate`` so the two twins
+    cannot drift if the rule compilation changes."""
     vq = (
         "CASE WHEN value IS NOT NULL AND NOT isnan(value)"
         " THEN CAST(FLOOR(value * 1000000.0) AS BIGINT) ELSE 0 END"
@@ -75,7 +82,12 @@ def percolate(events: DataFrame, rules=PERCOLATE_RULES) -> DataFrame:
             .cast("long")
             .alias(f"__v{rid}")
         )
-    row = events.agg(*aggs)
+    return aggs
+
+
+def percolate_unpivot(row: DataFrame, rules=PERCOLATE_RULES) -> DataFrame:
+    """Unpivot the single agg row into (rule_id, n_matches, value_q) —
+    shared with the streaming twin (see ``percolate_aggs``)."""
     out = None
     for rid, _ in rules:
         one = row.select(

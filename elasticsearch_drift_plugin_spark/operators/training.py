@@ -670,18 +670,52 @@ def shard_by_tokens(
     md5-XOR fingerprint of the member ids, so two engines prove identical
     MEMBERSHIP, not just identical totals).
 
-    Scale: the ranking is a distributed sort (no single-partition
-    window at the output — the rank is consumed only modulo n_shards) and
-    the manifest is one partial+final agg keyed by shard.
+    Scale: the global rank is a range-repartitioned sort plus
+    per-partition offsets (the offset table is O(#partitions) scalars on
+    the driver) — NOT a single-partition ``Window.orderBy``, which would
+    funnel the whole corpus through one task; the manifest is one
+    partial+final agg keyed by shard.
     """
     toks = docs.select(
         F.col("doc_id"),
         F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
     )
-    w = Window.orderBy(F.col("n_tokens").desc(), "doc_id")
-    fp = md5_hash60(F.col("doc_id").cast("string"))
+    # distributed global rank: range-partition on the sort key so partition
+    # p holds a contiguous rank slice, rank locally, then add the count of
+    # all earlier partitions (an O(#partitions)-row broadcast join).
+    sort_cols = [F.col("n_tokens").desc(), F.col("doc_id").asc()]
+    ranged = toks.repartitionByRange(*sort_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_offset")
+    )
+    local_w = Window.partitionBy("_pid").orderBy(*sort_cols)
+    ranked = (
+        ranged.withColumn("_local_rank", F.row_number().over(local_w))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "shard",
+            F.pmod(
+                F.col("_offset") + F.col("_local_rank") - 1, F.lit(int(n_shards))
+            ).cast("long"),
+        )
+    )
     return (
-        toks.withColumn("shard", F.pmod(F.row_number().over(w) - 1, F.lit(int(n_shards))).cast("long"))
+        ranked
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -250,34 +250,12 @@ def stream_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode legalizes the bounded-replay flush; production uses update mode +
     per-window keys and alerts on match-count deltas). Same oracle as the
     batch twin."""
-    from ..operators.search import PERCOLATE_RULES
+    from ..operators.search import PERCOLATE_RULES, percolate_aggs, percolate_unpivot
 
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     ev = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet*")
-    vq = (
-        "CASE WHEN value IS NOT NULL AND NOT isnan(value)"
-        " THEN CAST(FLOOR(value * 1000000.0) AS BIGINT) ELSE 0 END"
-    )
-    aggs = []
-    for rid, pred in PERCOLATE_RULES:
-        aggs.append(
-            F.sum(F.expr(f"CASE WHEN {pred} THEN 1 ELSE 0 END"))
-            .cast("long").alias(f"__n{rid}")
-        )
-        aggs.append(
-            F.sum(F.expr(f"CASE WHEN {pred} THEN {vq} ELSE 0 END"))
-            .cast("long").alias(f"__v{rid}")
-        )
-    tbl = run_available_now(ev.agg(*aggs), "complete")
-    out = None
-    for rid, _ in PERCOLATE_RULES:
-        one = tbl.select(
-            F.lit(rid).cast("long").alias("rule_id"),
-            F.coalesce(F.col(f"__n{rid}"), F.lit(0)).alias("n_matches"),
-            F.coalesce(F.col(f"__v{rid}"), F.lit(0)).alias("value_q"),
-        )
-        out = one if out is None else out.unionByName(one)
-    return out.orderBy("rule_id")
+    tbl = run_available_now(ev.agg(*percolate_aggs(PERCOLATE_RULES)), "complete")
+    return percolate_unpivot(tbl, PERCOLATE_RULES)
 
 
 def stream_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -289,28 +267,10 @@ def stream_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules — the exact subset split a real deployment makes. Oracle: the
     batch twin over the same rules.
     """
-    from ..operators.quality import EVENT_RULES, _bad_expr
+    from ..operators.quality import EVENT_RULES, expectation_aggs, expectation_unpivot
 
     rules = [r for r in EVENT_RULES if r["rule"] != "unique"]
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     ev = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet*")
-    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
-    for i, r in enumerate(rules):
-        aggs.append(F.sum(F.expr(_bad_expr(r))).cast("long").alias(f"__b{i}"))
-    tbl = run_available_now(ev.agg(*aggs), "complete")
-    out = None
-    tol_q = 20_000
-    for i, r in enumerate(rules):
-        one = tbl.select(
-            F.lit(r["rule"]).alias("rule"),
-            F.lit(r["col"]).alias("col"),
-            F.col("__n").alias("n_rows"),
-            F.col(f"__b{i}").alias("n_bad"),
-            F.expr(
-                f"CASE WHEN __n > 0 THEN CAST(FLOOR(CAST(__b{i} AS DOUBLE)"
-                f" / __n * 1000000.0) AS BIGINT) ELSE 0 END"
-            ).alias("frac_bad_q"),
-            F.expr(f"__b{i} * 1000000 <= {tol_q} * __n").alias("passed"),
-        )
-        out = one if out is None else out.unionByName(one)
-    return out.orderBy("rule", "col")
+    tbl = run_available_now(ev.agg(*expectation_aggs(rules)), "complete")
+    return expectation_unpivot(tbl, rules, tolerance_q=20_000)
