@@ -155,6 +155,10 @@ BENCH_QUERIES = [
     "train_neg_samples",
     "stream_data_quality",
     "train_shard_by_tokens",
+    # r5 additions: the REAL PNG codec path (encode → inflate/defilter
+    # decode → nearest-neighbor thumbnail)
+    "mm_png_roundtrip",
+    "mm_resize_png",
 ]
 
 

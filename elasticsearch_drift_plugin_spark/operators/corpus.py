@@ -660,10 +660,12 @@ def topic_terms(
     emb: DataFrame,
     k: int = 5,
     n_clusters: int = 16,
+    centroids=None,
 ) -> DataFrame:
     """(cell, cluster_docs, rank, term, tf, score_q): topic-model-lite —
     documents cluster by their EMBEDDINGS (deterministic seed-centroid IVF
-    cells; swap in ``kmeans_fit`` centroids for trained topics), and each
+    cells by default; pass ``centroids=kmeans_fit(emb, k=n_clusters)`` for
+    Lloyd-TRAINED topics — the serving posture, same plan shape), and each
     cluster is labeled with its ``k`` most distinctive TERMS by
     cluster-level TF-IDF (``idf = ln((C + 1)/(df_clusters + 1))`` where
     ``df_clusters`` counts clusters containing the term). The first
@@ -677,7 +679,8 @@ def topic_terms(
     """
     from .similarity import _seed_centroids, ivf_assign
 
-    cells = ivf_assign(emb, _seed_centroids(emb, n_clusters)).select(
+    cents = centroids if centroids is not None else _seed_centroids(emb, n_clusters)
+    cells = ivf_assign(emb, cents).select(
         F.col("vec_id").alias("doc_id"), "cell"
     )
     terms = _doc_terms(docs).join(cells, "doc_id")

@@ -625,7 +625,7 @@ FROM r WHERE rn <= {k} ORDER BY vec_id, nn_rank
 
 
 def knn_cells(
-    emb: DataFrame, k: int = 5, n_centroids: int = N_CENTROIDS
+    emb: DataFrame, k: int = 5, n_centroids: int = N_CENTROIDS, centroids=None
 ) -> DataFrame:
     """(vec_id, cell, neighbor_id, nn_rank, score_q): the APPROXIMATE k-NN
     self-join — neighbors restricted to each vector's IVF cell. This is the
@@ -637,16 +637,19 @@ def knn_cells(
     Deterministic seed centroids (lowest-id vectors, no Lloyd) make the
     cell partition itself oracle-reproducible, so "exact k-NN WITHIN the
     assigned cell" is a well-defined, hash-checkable contract rather than
-    a recall estimate. Hot-cell bound: one Arrow group per cell — for
-    skewed cells run :func:`knn_join` inside the cell (block-pair GEMM)
-    instead of this single-group kernel.
+    a recall estimate; pass ``centroids=kmeans_fit(emb, k=n_centroids)``
+    for Lloyd-TRAINED cells (better-balanced, higher recall — the serving
+    posture; identical plan, no longer oracle-paired). Hot-cell bound: one
+    Arrow group per cell — for skewed cells run :func:`knn_join` inside
+    the cell (block-pair GEMM) instead of this single-group kernel.
     """
     import numpy as np
     import pandas as pd
 
     if k < 1:
         raise ValueError("k must be >= 1")
-    assigned = ivf_assign(emb, _seed_centroids(emb, n_centroids))
+    cents = centroids if centroids is not None else _seed_centroids(emb, n_centroids)
+    assigned = ivf_assign(emb, cents)
     quant = float(QUANT)
     kk = int(k)
     _MASK = -3 * QUANT

@@ -1886,3 +1886,41 @@ def test_sample_exact_sizes_determinism_and_salt(spark):
     # n larger than a stratum returns the whole stratum
     small = sample_exact(df.where("doc_id < 5"), n_per_stratum=50).collect()
     assert len(small) == 5
+
+
+def test_trained_centroids_serve_knn_cells_and_topic_terms(spark):
+    """The kmeans_fit → serving wire: Lloyd-trained centroids (a) beat the
+    lowest-id seed centroids on quantized clustering cost over the real
+    embeddings table, and (b) drop into knn_cells / topic_terms unchanged
+    (same schema, sane results)."""
+    from elasticsearch_drift_plugin_spark.operators import corpus
+    from elasticsearch_drift_plugin_spark.sources.flows import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    docs = load_table(spark, sf, "documents")
+
+    seed = similarity._seed_centroids(emb, 8)
+    trained = similarity.kmeans_fit(emb, k=8, n_iter=3)
+    cost_seed = similarity.kmeans_cost_q(emb, seed)
+    cost_trained = similarity.kmeans_cost_q(emb, trained)
+    assert cost_trained < cost_seed  # training must actually help
+
+    # knn_cells with trained cells: same contract, self-consistent ranks
+    knn = similarity.knn_cells(emb, k=3, centroids=trained).collect()
+    assert knn and {r.nn_rank for r in knn} <= {1, 2, 3}
+    assert all(r.vec_id != r.neighbor_id for r in knn)
+    assert set(knn[0].asDict()) == {
+        "vec_id", "cell", "neighbor_id", "nn_rank", "score_q"
+    }
+
+    # topic_terms with trained topics: same schema, k terms per used cell
+    tt = corpus.topic_terms(docs, emb, k=3, n_clusters=8, centroids=trained)
+    rows = tt.collect()
+    assert rows and set(rows[0].asDict()) == {
+        "cell", "cluster_docs", "rank", "term", "tf", "score_q"
+    }
+    per_cell = {}
+    for r in rows:
+        per_cell.setdefault(r.cell, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_cell.values())
