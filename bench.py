@@ -156,9 +156,11 @@ BENCH_QUERIES = [
     "stream_data_quality",
     "train_shard_by_tokens",
     # r5 additions: the REAL PNG codec path (encode → inflate/defilter
-    # decode → nearest-neighbor thumbnail)
+    # decode → nearest-neighbor thumbnail) and the ES nested-agg pair
     "mm_png_roundtrip",
     "mm_resize_png",
+    "es_nested",
+    "es_reverse_nested",
 ]
 
 

@@ -687,8 +687,12 @@ def queries() -> dict:
         "es_filters_buckets": lambda s, d: filters_agg(
             load_table(s, d, "events"), _FILTERS, other_bucket=True
         ),
+        # span from parquet footer stats: no extra min/max scan job
         "es_auto_date_histogram": lambda s, d: auto_date_histogram(
             _events_t_ms(s, d), "t_ms", target_buckets=40, value_col="value",
+            bounds=__import__(
+                "elasticsearch_drift_plugin_spark.sources.flows", fromlist=["x"]
+            ).parquet_ts_bounds_ms(d, "events", "ts"),
         ),
         "es_significant_terms": lambda s, d: significant_terms(
             load_table(s, d, "events"), "user_id",
@@ -868,26 +872,34 @@ def auto_date_histogram(
     time_ms_col: str,
     target_buckets: int = 10,
     value_col: str | None = None,
+    bounds: tuple[int, int] | None = None,
 ) -> DataFrame:
     """(key, doc_count[, value_q], interval): ES ``auto_date_histogram`` —
     the engine picks the coarsest-necessary rounding from the ES ladder so
     the bucket count stays ≤ ``target_buckets``.
 
-    Selection is span-based and two-phase: one min/max aggregation
-    (driver-collected, two longs — the same legitimate pattern as IVF
-    centroid seeding), then the ladder walk in plain Python, then ONE
-    ordinary histogram aggregation at the chosen rounding. ES instead
-    merges buckets progressively at reduce time; same ladder, same
-    ≤-target contract, simpler plan (two passes over metadata-prunable
-    min/max vs a mutating reduce). Calendar rungs bucket by month index
-    floored to k-month multiples (UTC, month starts — the reference's own
-    tz=null/UTC stance, ProportionalSumAggregationBuilder.java:432-434).
+    Selection is span-based: the (lo, hi) epoch-ms span feeds the ladder
+    walk in plain Python, then ONE ordinary histogram aggregation runs at
+    the chosen rounding. ES instead merges buckets progressively at reduce
+    time; same ladder, same ≤-target contract, simpler plan. Calendar
+    rungs bucket by month index floored to k-month multiples (UTC, month
+    starts — the reference's own tz=null/UTC stance,
+    ProportionalSumAggregationBuilder.java:432-434).
+
+    ``bounds=(lo_ms, hi_ms)`` supplies the span from metadata — parquet
+    footer statistics via ``sources.flows.parquet_ts_bounds_ms`` (zero data
+    read; what the registered query does) or any cached bound. Without it,
+    a min/max aggregation runs first (two longs to the driver) — correct,
+    but an extra full scan the footer path avoids at 100 TB.
 
     Empty input returns an empty frame with the finest label.
     """
     t = F.col(time_ms_col)
-    row = df.agg(F.min(t).alias("lo"), F.max(t).alias("hi")).collect()[0]
-    lo, hi = row["lo"], row["hi"]
+    if bounds is not None:
+        lo, hi = int(bounds[0]), int(bounds[1])
+    else:
+        row = df.agg(F.min(t).alias("lo"), F.max(t).alias("hi")).collect()[0]
+        lo, hi = row["lo"], row["hi"]
     label, width, months = AUTO_LADDER_FIXED[0][0], AUTO_LADDER_FIXED[0][1], None
     if lo is not None:
         import datetime as _dt

@@ -311,9 +311,18 @@ def proportional_sum(
         )
 
     if p.hard_bounds is not None:
-        # ES hard_bounds: keep only buckets keyed inside the (rounded)
-        # bounds — drops data buckets outside AND clips the zero-fill
-        # spine, which can only shrink past the fill step above
+        # hard_bounds (beyond-reference extension — the reference plugin
+        # carries only extended_bounds): keep only buckets keyed inside the
+        # rounded bounds — drops data buckets outside AND clips the
+        # zero-fill spine, which can only shrink past the fill step above.
+        # Boundary convention, deliberate: INCLUSIVE upper after rounding
+        # the max down to its bucket key, i.e. a max landing exactly on a
+        # bucket boundary keeps that bucket. ES core's date_histogram
+        # hard_bounds (LongBounds.contain on the rounded key) may exclude
+        # that exact-boundary bucket; we prefer the symmetric rule because
+        # the operator's own [start, end] query range is inclusive of the
+        # terminal bucket (SURVEY §2 row 11) and both engines + the DuckDB
+        # oracle share round_key_ms, so the contract is self-consistent.
         from ..params import round_key_ms
 
         hb_lo = round_key_ms(p, p.hard_bounds[0])

@@ -518,6 +518,99 @@ GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
 """
 
 
+def nested_parent_docs(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """The ES ``nested``-mapping document shape: each parent row carries an
+    ``items array<struct<...>>`` column of its sub-documents — exactly how
+    a nested index (or a 100 TB parquet lake with nested columns) stores
+    them. Fixture builder for :func:`nested_agg` / :func:`reverse_nested_agg`;
+    at rest this shape needs no build step (parquet holds the arrays), and
+    Spark's nested-schema pruning reads only the struct fields touched.
+    """
+    items = lineitem.select(
+        "l_orderkey",
+        F.struct("l_returnflag", "l_quantity", "l_extendedprice").alias("item"),
+    )
+    return orders.select("o_orderkey", "o_orderpriority").join(
+        items.groupBy("l_orderkey").agg(F.collect_list("item").alias("items")),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    ).select("o_orderkey", "o_orderpriority", "items")
+
+
+def nested_agg(
+    parents: DataFrame,
+    parent_where: str = "o_orderpriority = '1-URGENT'",
+) -> DataFrame:
+    """(key, n_items, qty1000): ES ``nested`` aggregation — switch the
+    aggregation context from parent documents to their nested sub-documents
+    (es-8.18.2 exposes this as the ``nested`` bucket agg; ``doc_count`` is
+    the NESTED doc count, and sub-aggs read nested fields). Spark-native:
+    a parent-level filter, one ``explode`` of the item array (narrow map —
+    no shuffle; nested-schema pruning keeps unread struct fields out of the
+    scan), then an ordinary partial+final aggregation by the nested term.
+    """
+    ex = (
+        parents.where(parent_where)
+        .select(F.explode("items").alias("it"))
+        .select(
+            F.col("it.l_returnflag").alias("key"),
+            F.round(F.col("it.l_quantity") * F.lit(1000)).cast("long").alias("q1000"),
+        )
+    )
+    return (
+        ex.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("q1000").cast("long").alias("qty1000"),
+        )
+        .orderBy("key")
+    )
+
+
+def reverse_nested_agg(
+    parents: DataFrame,
+    parent_where: str = "o_orderpriority = '1-URGENT'",
+) -> DataFrame:
+    """(key, n_items, n_parents): ES ``reverse_nested`` — inside a nested
+    bucket, jump back OUT to the parent-document context, so each nested
+    term bucket also reports how many PARENT docs contain it (the classic
+    "comments by user → how many posts" shape). Spark-native: carry the
+    parent key through the explode and add ``count(DISTINCT parent)``
+    alongside the nested count — one aggregation, no second pass.
+    """
+    ex = (
+        parents.where(parent_where)
+        .select("o_orderkey", F.explode("items").alias("it"))
+        .select("o_orderkey", F.col("it.l_returnflag").alias("key"))
+    )
+    return (
+        ex.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.countDistinct("o_orderkey").cast("long").alias("n_parents"),
+        )
+        .orderBy("key")
+    )
+
+
+# Relational twins: the nested mapping is just a pre-joined parent/child
+# pair, so the oracle re-derives both answers from the flat tables.
+NESTED_SQL = """
+SELECT l.l_returnflag AS key, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(ROUND(l.l_quantity * 1000) AS BIGINT)) AS BIGINT) AS qty1000
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY l.l_returnflag ORDER BY key
+"""
+
+REVERSE_NESTED_SQL = """
+SELECT l.l_returnflag AS key, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_parents
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY l.l_returnflag ORDER BY key
+"""
+
+
 def queries() -> dict:
     return {
         "rel_cidr_top_talkers": lambda s, d: cidr_rollup(
@@ -541,6 +634,16 @@ def queries() -> dict:
         "es_has_child": lambda s, d: has_child_agg(
             load_table(s, d, "orders"), load_table(s, d, "lineitem")
         ),
+        "es_nested": lambda s, d: nested_agg(
+            nested_parent_docs(
+                load_table(s, d, "orders"), load_table(s, d, "lineitem")
+            )
+        ),
+        "es_reverse_nested": lambda s, d: reverse_nested_agg(
+            nested_parent_docs(
+                load_table(s, d, "orders"), load_table(s, d, "lineitem")
+            )
+        ),
     }
 
 
@@ -555,4 +658,6 @@ def oracle_sql() -> dict:
         "rel_rollup_report": ROLLUP_SQL,
         "rel_interval_join": interval_join_sql(),
         "es_has_child": HAS_CHILD_SQL,
+        "es_nested": NESTED_SQL,
+        "es_reverse_nested": REVERSE_NESTED_SQL,
     }

@@ -133,6 +133,58 @@ def ts_ms_col(df: DataFrame, col: str = "ts") -> Column:
     return F.expr(ts_ms_sql(dict(df.dtypes)[col], col))
 
 
+def parquet_ts_bounds_ms(sf_dir: str, name: str = "events", col: str = "ts"):
+    """Epoch-ms ``(lo, hi)`` of an event-time column read from parquet
+    FOOTER statistics only — zero data pages touched, zero Spark jobs.
+
+    This is the scale-correct way to seed span-based planning (e.g.
+    ``auto_date_histogram``'s ladder walk): at 100 TB an extra min/max
+    aggregation is a full-corpus scan, while row-group stats are a few KB
+    of metadata per file. Handles both driver-era physical types (epoch-ns
+    INT64 and timestamp[us]; naive timestamps are UTC per the pinned
+    session TZ). Returns ``None`` when any row group lacks stats — callers
+    fall back to the aggregation path.
+    """
+    import datetime as _dt
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    files = (
+        sorted(_glob.glob(f"{path}/*.parquet")) if _os.path.isdir(path) else [path]
+    )
+    if not files:
+        return None
+
+    def to_ms(v):
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=_dt.timezone.utc)
+            # exact integer math (float .timestamp() can round microseconds)
+            delta = v - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+            us = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+            return us // 1_000
+        return int(v) // 1_000_000  # epoch-ns long
+
+    lo = hi = None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        try:
+            idx = md.schema.names.index(col)
+        except ValueError:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mn, mx = to_ms(st.min), to_ms(st.max)
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+    return None if lo is None else (lo, hi)
+
+
 def widen_narrow_scan(df: DataFrame, *key_cols: str) -> DataFrame:
     """Repartition ``df`` to the cluster's parallelism iff the source scan
     has fewer splits than cores — a small parquet arrives as ONE split, so

@@ -39,23 +39,42 @@ from .proportional_sum_stream import proportional_sum_stream
 HOUR = 3_600_000
 
 
+REPLAY_SHUFFLE_PARTITIONS = 8
+
+
 def run_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Run a streaming DataFrame to completion over its bounded source and
     return the memory-sink table (unique name per run; the query is awaited
-    and stopped before returning)."""
+    and stopped before returning).
+
+    The replay pins a SMALL ``spark.sql.shuffle.partitions`` for the
+    query's lifetime (restored after): a stateful streaming agg creates one
+    state store per shuffle partition and commits each per micro-batch, so
+    a bounded replay at session default (32) pays ~32 store
+    open/commit/fsync cycles for a result-sized table — pure fixed cost,
+    no parallelism won. Production long-lived streams size this to their
+    real key cardinality via their own session conf; this knob only shapes
+    the bounded test/gate harness.
+    """
+    spark = stream_df.sparkSession
     name = f"__bounded_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(REPLAY_SHUFFLE_PARTITIONS))
     try:
-        q.awaitTermination()
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     finally:
-        q.stop()
-    return stream_df.sparkSession.table(name)
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def stream_psum_6h(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -74,3 +74,24 @@ def test_ts_ms_col_matches_duckdb_epoch_ms(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_parquet_footer_bounds_match_aggregated_minmax(spark):
+    """The metadata-only span (parquet footer stats) must equal the scanned
+    min/max of the derived epoch-ms column — guards the footer→ms
+    conversion against driver testdata physical-type changes."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_drift_plugin_spark.sources.flows import (
+        load_table,
+        parquet_ts_bounds_ms,
+        ts_ms_col,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = parquet_ts_bounds_ms(sf, "events", "ts")
+    assert got is not None
+    events = load_table(spark, sf, "events")
+    ev = events.select(ts_ms_col(events, "ts").alias("t"))
+    row = ev.agg(F.min("t").alias("lo"), F.max("t").alias("hi")).first()
+    assert got == (row.lo, row.hi)
