@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "mm_resize_png",
     "es_nested",
     "es_reverse_nested",
+    "es_time_series_rate",
 ]
 
 

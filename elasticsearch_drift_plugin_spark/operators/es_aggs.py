@@ -550,6 +550,97 @@ def _events_t_ms(s, d) -> DataFrame:
     return ev.select(ts_ms_col(ev).alias("t_ms"), "value")
 
 
+def time_series_counter_rate(
+    events: DataFrame,
+    dims: tuple[str, ...] = ("event_type",),
+    bucket_ms: int = 86_400_000,
+    reset_mod: int = 100_000,
+) -> DataFrame:
+    """(dims…, bucket, n_samples, increase): the ES 8.x TSDB surface —
+    ``time_series`` aggregation with a counter-semantics ``rate`` sub-agg
+    (the last ES agg family the engine mirrors; the 8.x docs define a time
+    series by its dimension fields and require ``rate`` inside it to
+    handle COUNTER RESETS: a sample lower than its predecessor means the
+    counter restarted, so the increase since the reset is the new value
+    itself, not the negative delta — the Prometheus ``increase()`` rule).
+
+    Spark-native: one window per series (partitionBy(dims) — the shuffle
+    IS the TSDB at-rest layout: series-hashed, time-sorted within, which
+    is exactly how ES routes TSDB docs to shards by _tsid) computing
+    lag-deltas with the reset rule, then an ordinary partial+final agg to
+    the requested bucket width. No driver involvement, no Python.
+
+    The events table carries gauges, not counters, so the registered query
+    SYNTHESIZES a counter per series — running sum of the quantized value
+    ordered by (t_ms, event_id), wrapped modulo ``reset_mod`` — giving the
+    fixture genuine mid-stream resets that both engines reproduce exactly
+    (integer math end to end).
+    """
+    from pyspark.sql import Window
+
+    t = ts_ms_col(events)
+    base = events.where(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    ).select(
+        *dims,
+        t.alias("t_ms"),
+        "event_id",
+        F.floor(F.col("value") * 1000).cast("long").alias("vq"),
+    )
+    series = Window.partitionBy(*dims).orderBy("t_ms", "event_id")
+    ctr = (F.sum("vq").over(series) % F.lit(int(reset_mod))).alias("counter")
+    with_ctr = base.select(*dims, "t_ms", "event_id", ctr)
+    prev = F.lag("counter").over(Window.partitionBy(*dims).orderBy("t_ms", "event_id"))
+    inc = (
+        F.when(prev.isNull(), F.lit(0))
+        .when(F.col("counter") < prev, F.col("counter"))  # reset: new value
+        .otherwise(F.col("counter") - prev)
+    )
+    return (
+        with_ctr.withColumn("inc", inc)
+        .groupBy(*dims, (F.col("t_ms") - F.col("t_ms") % bucket_ms).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_samples"),
+            F.sum("inc").cast("long").alias("increase"),
+        )
+        .orderBy(*dims, "bucket")
+    )
+
+
+def time_series_counter_rate_sql(
+    time_ms_expr: str,
+    dims: tuple[str, ...] = ("event_type",),
+    bucket_ms: int = 86_400_000,
+    reset_mod: int = 100_000,
+) -> str:
+    d = ", ".join(dims)
+    return f"""
+WITH base AS (
+  SELECT {d}, {time_ms_expr} AS t_ms, event_id,
+         CAST(FLOOR(value * 1000) AS BIGINT) AS vq
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+),
+ctr AS (
+  SELECT {d}, t_ms, event_id,
+         SUM(vq) OVER (PARTITION BY {d} ORDER BY t_ms, event_id
+                       ROWS UNBOUNDED PRECEDING) % {int(reset_mod)} AS counter
+  FROM base
+),
+inc AS (
+  SELECT {d}, t_ms, counter,
+         LAG(counter) OVER (PARTITION BY {d} ORDER BY t_ms, event_id) AS prev
+  FROM ctr
+)
+SELECT {d}, CAST(t_ms - t_ms % {int(bucket_ms)} AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(CASE WHEN prev IS NULL THEN 0
+                     WHEN counter < prev THEN counter
+                     ELSE counter - prev END) AS BIGINT) AS increase
+FROM inc GROUP BY {d}, t_ms - t_ms % {int(bucket_ms)}
+ORDER BY {d}, bucket
+"""
+
+
 def terms_shard_error(
     df: DataFrame,
     field: str = "user_id",
@@ -704,6 +795,9 @@ def queries() -> dict:
         "es_value_stats": lambda s, d: value_stats_agg(
             load_table(s, d, "events"), ["event_type"], "value"
         ),
+        "es_time_series_rate": lambda s, d: time_series_counter_rate(
+            load_table(s, d, "events")
+        ),
         "es_percentile_ranks": lambda s, d: percentile_ranks(
             load_table(s, d, "events"), ["event_type"], "value",
             [10.0, 50.0, 150.0, 400.0],
@@ -747,6 +841,7 @@ def oracle_sql() -> dict:
             "events", _COMPOSITE_SOURCES, size=12, after=_COMPOSITE_AFTER
         ),
         "es_filters_buckets": filters_sql("events", _FILTERS, other_bucket=True),
+        "es_time_series_rate": time_series_counter_rate_sql("epoch_ms(ts)"),
         "es_auto_date_histogram": auto_date_histogram_sql(
             "events", "epoch_ms(ts)", target_buckets=40, value_col="value"
         ),

@@ -421,8 +421,13 @@ def png_documents(docs: DataFrame) -> DataFrame:
     60-bit hash discipline as the rest of the engine). Arrow-batched
     ``mapInPandas`` encode; payloads are spec-complete PNGs (decodable by
     any external viewer), rotating through all five scanline filters."""
+    from ..sources.flows import widen_narrow_scan
+
     h = md5_hash60(F.col("text"))
-    base = docs.select(
+    # CPU-heavy Python kernels downstream (encode + full decode): widen a
+    # single-split scan to cluster parallelism first, or the whole PNG
+    # pipeline runs on one core (no-op when the source has real splits)
+    base = widen_narrow_scan(docs).select(
         "doc_id",
         (h % PNG_MAX_DIM + 1).alias("_w"),
         (F.shiftright(h, 6) % PNG_MAX_DIM + 1).alias("_h"),

@@ -190,7 +190,14 @@ def queries() -> dict:
         "stream_js_divergence": stream_js_divergence,
         "stream_percolate": stream_percolate,
         "stream_data_quality": stream_data_quality,
+        "stream_time_series_rate": _stream_time_series_rate,
     }
+
+
+def _stream_time_series_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .counter_rate import stream_time_series_rate
+
+    return stream_time_series_rate(spark, sf_dir)
 
 
 def oracle_sql() -> dict:
@@ -230,6 +237,9 @@ def oracle_sql() -> dict:
         "stream_js_divergence": __import__(
             "elasticsearch_drift_plugin_spark.operators.pipeline", fromlist=["x"]
         ).js_divergence_sql("events", "epoch_ms(ts)", "event_type", 86_400_000),
+        "stream_time_series_rate": __import__(
+            "elasticsearch_drift_plugin_spark.operators.es_aggs", fromlist=["x"]
+        ).time_series_counter_rate_sql("epoch_ms(ts)"),
         "stream_flow_sessions": sessionize_sql(
             events_flows_duckdb_sql(""),
             ["event_type", "user_id"],

@@ -77,3 +77,68 @@ def test_auto_histogram_bounds_hint_same_result(spark):
         bounds=(1_700_000_000_000, 1_700_000_000_000 + 499 * 60_000),
     )
     assert scan.collect() == hint.collect()
+
+
+def test_time_series_rate_counter_resets(spark):
+    """TSDB counter-rate contract: a sample LOWER than its predecessor is a
+    reset — the increase is the new value, never a negative delta."""
+    from elasticsearch_drift_plugin_spark.operators.es_aggs import (
+        time_series_counter_rate,
+    )
+
+    # one series; vq cumsum with reset_mod=10 -> counters 4,9,(14%10=4: reset),...
+    rows = [
+        (1, "2024-01-01 00:00:01", "s", 0.004),
+        (2, "2024-01-01 00:00:02", "s", 0.005),
+        (3, "2024-01-01 00:00:03", "s", 0.005),  # cum 14 -> counter 4 (reset)
+        (4, "2024-01-02 00:00:01", "s", 0.003),  # cum 17 -> counter 7
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+             "event_type", "value")
+    got = {r.bucket: (r.n_samples, r.increase) for r in
+           time_series_counter_rate(ev, reset_mod=10).collect()}
+    day1 = 1_704_067_200_000
+    # day 1: first sample inc 0, second inc 5, third RESET -> inc = counter 4
+    assert got[day1] == (3, 9)
+    # day 2: 7 - 4 = 3 (no reset)
+    assert got[day1 + 86_400_000] == (1, 3)
+
+
+def test_counter_rate_stream_state_across_batches(spark, tmp_path):
+    """The streaming counter-rate carries (cum_vq, last_counter) state
+    across micro-batches: the first sample of batch 2 gets a real delta
+    against batch 1's tail, not a fresh-series zero."""
+    from elasticsearch_drift_plugin_spark.streaming.counter_rate import (
+        counter_rate_stream,
+    )
+
+    schema = "event_id long, event_type string, t_ms long, value double"
+    src = f"{tmp_path}/ctr"
+    day = 1_704_067_200_000
+    spark.createDataFrame(
+        [(1, "s", day + 1000, 0.004), (2, "s", day + 2000, 0.005)], schema
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = counter_rate_stream(stream, dims=("event_type",), reset_mod=10)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory").queryName("ctr_out").start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: cum 9 + 5 = 14 -> counter 4 < last 9 => RESET, inc = 4
+        spark.createDataFrame(
+            [(3, "s", day + 3000, 0.005)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM ctr_out").collect()
+    # partials: batch1 -> (2 samples, inc 0+5); batch2 -> (1 sample, inc 4)
+    folded = {}
+    for r in rows:
+        n, inc = folded.get(r.bucket, (0, 0))
+        folded[r.bucket] = (n + r.n_samples, inc + r.increase)
+    assert folded == {day: (3, 9)}
