@@ -162,6 +162,8 @@ BENCH_QUERIES = [
     "es_nested",
     "es_reverse_nested",
     "es_time_series_rate",
+    "stream_time_series_rate",
+    "corpus_bpe_encode",
 ]
 
 

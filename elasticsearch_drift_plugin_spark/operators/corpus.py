@@ -1003,6 +1003,124 @@ ORDER BY pair_count DESC, pair LIMIT {k}
 """
 
 
+BPE_END = "</w>"
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 50,
+    max_vocab: int = 50_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """(rank, left, right, pair_count): the FULL BPE merge table (Sennrich
+    et al. 2016) — :func:`bpe_pair_counts` is one argmax round; this runs
+    the whole training loop and returns the learned merge rules in order.
+
+    Scale shape (how production tokenizer training actually works, e.g.
+    GPT-2's BPE): the corpus collapses to a WORD-FREQUENCY table first —
+    one distributed partial+final count, output Zipf-bounded ≪ corpus —
+    capped at the ``max_vocab`` most frequent words (count desc, word asc;
+    the documented truncation), and the merge loop then runs driver-side
+    over that bounded vocab. Driver state is O(max_vocab · avg_len), never
+    corpus-sized; the corpus itself is scanned exactly once.
+
+    Determinism: ties in pair count break lexicographically on (left,
+    right); words segment as characters + the ``</w>`` end marker. The
+    loop stops early when no pair occurs twice. Iterative ⇒ rows-only
+    (no SQL twin); the merge sequence is pinned by the classic
+    low/lower/newest/widest golden in pytest.
+    """
+    rows = (
+        docs.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
+        .where(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(int(max_vocab))
+        .collect()
+    )
+    vocab = [(list(r.w) + [BPE_END], int(r.c)) for r in rows]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(int(n_merges)):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        (left, right), best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best < 2:
+            break
+        merges.append((rank, left, right, best))
+        joined = left + right
+        for syms, _c in vocab:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == left and syms[i + 1] == right:
+                    syms[i : i + 2] = [joined]
+                else:
+                    i += 1
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, pair_count long"
+    )
+
+
+def bpe_encode(
+    docs: DataFrame, merges, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_words, n_tokens): apply a learned BPE merge table to the
+    corpus — the tokenize step of the pre-training pipeline, reporting the
+    per-document subword token count (the budget number every packing /
+    mixing operator downstream consumes).
+
+    ``merges`` is :func:`bpe_train`'s output (collected rows or (left,
+    right) tuples, rank order). The rank table broadcasts inside the Arrow
+    kernel closure (KB-sized); encoding is the standard lowest-rank-first
+    adjacent merge loop per word — map-only over the corpus, no shuffle.
+    """
+    if hasattr(merges, "collect"):
+        merges = merges.collect()
+    ranks = {}
+    for m in merges:
+        left, right = (m.left, m.right) if hasattr(m, "left") else (m[0], m[1])
+        ranks[(left, right)] = len(ranks)
+    end = BPE_END
+
+    def fn(batches):
+        import pandas as pd
+
+        def encode_word(w: str) -> int:
+            syms = list(w) + [end]
+            while len(syms) > 1:
+                best_rank, best_i = None, None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_i = r, i
+                if best_i is None:
+                    break
+                syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+            return len(syms)
+
+        for pdf in batches:
+            n_words, n_tokens = [], []
+            for text in pdf[text_col]:
+                ws = [w for w in str(text).split() if w]
+                n_words.append(len(ws))
+                n_tokens.append(sum(encode_word(w) for w in ws))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "n_words": n_words, "n_tokens": n_tokens}
+            )
+
+    from ..sources.flows import widen_narrow_scan
+
+    return widen_narrow_scan(docs).select("doc_id", text_col).mapInPandas(
+        fn, "doc_id long, n_words long, n_tokens long"
+    ).orderBy("doc_id")
+
+
 def zipf_slope(docs: DataFrame, top_n: int = 1000) -> DataFrame:
     """(n_terms, sx_q, sy_q, slope_mq): ordinary-least-squares slope of the
     log-log rank–frequency relation over the corpus's ``top_n`` terms —
@@ -1105,6 +1223,15 @@ def queries() -> dict:
         "corpus_span_dedup": lambda s, d: span_dedup(load_table(s, d, "documents")),
         "corpus_top_ngrams": lambda s, d: top_ngrams(load_table(s, d, "documents")),
         "corpus_bpe_pairs": lambda s, d: bpe_pair_counts(load_table(s, d, "documents")),
+        # full tokenizer-induction story (iterative => rows-only): train the
+        # merge table, then tokenize the corpus with it
+        "corpus_bpe_train": lambda s, d: bpe_train(
+            load_table(s, d, "documents"), n_merges=30
+        ),
+        "corpus_bpe_encode": lambda s, d: bpe_encode(
+            load_table(s, d, "documents"),
+            bpe_train(load_table(s, d, "documents"), n_merges=30),
+        ),
         "corpus_log_odds": lambda s, d: log_odds_terms(load_table(s, d, "documents")),
         "corpus_zipf_slope": lambda s, d: zipf_slope(load_table(s, d, "documents")),
         "corpus_weighted_sample": lambda s, d: weighted_sample(

@@ -88,6 +88,11 @@ def test_every_query_has_oracle_or_is_documented():
         # list-valued bin state (no recursive-CTE twin) — capacity/quality
         # invariants in test_round4_ops.py
         "train_pack_bfd",
+        # iterative BPE training loop + its tokenizer application — the
+        # Sennrich worked-example golden + monotonicity invariants in
+        # test_round5_ops.py (the one-round argmax, corpus_bpe_pairs, IS
+        # oracle-paired)
+        "corpus_bpe_train", "corpus_bpe_encode",
     }
     assert missing == allowed, f"queries missing an oracle: {sorted(missing - allowed)}"
 

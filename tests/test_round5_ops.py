@@ -142,3 +142,54 @@ def test_counter_rate_stream_state_across_batches(spark, tmp_path):
         n, inc = folded.get(r.bucket, (0, 0))
         folded[r.bucket] = (n + r.n_samples, inc + r.increase)
     assert folded == {day: (3, 9)}
+
+
+def test_bpe_train_classic_golden(spark):
+    """Sennrich et al.'s worked example: vocab low(5) lower(2) newest(6)
+    widest(3) learns es, est, est</w>, lo, low as its first merges."""
+    from elasticsearch_drift_plugin_spark.operators.corpus import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    merges = bpe_train(docs, n_merges=5)
+    got = [(r.left, r.right, r.pair_count) for r in merges.orderBy("rank").collect()]
+    assert got == [
+        ("e", "s", 9),
+        ("es", "t", 9),
+        ("est", "</w>", 9),
+        ("l", "o", 7),
+        ("lo", "w", 7),
+    ]
+
+    # encode an UNSEEN word with the learned table: lowest -> low + est</w>... 
+    # ('low' merge needs rank 5 ('low','e')? no: l+o->lo, lo+w->low, est</w>)
+    enc = bpe_encode(
+        spark.createDataFrame([(1, "lowest newest")], "doc_id long, text string"),
+        merges,
+    ).collect()[0]
+    # lowest: [low, e, st?] -> merges: es, est, est</w>, lo, low => tokens
+    # l o w e s t</w>: es->est->est</w>, lo->low => [low, est</w>] = 2
+    # newest: n e w est</w> -> no (n,e)/(e,w) merges => [n, e, w, est</w>] = 4
+    assert enc.n_words == 2 and enc.n_tokens == 6
+
+
+def test_bpe_encode_monotone_in_merges(spark):
+    """More merges can only shrink (or hold) the token count."""
+    from elasticsearch_drift_plugin_spark.operators.corpus import (
+        bpe_encode,
+        bpe_train,
+    )
+    from elasticsearch_drift_plugin_spark.sources.flows import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    docs = docs.localCheckpoint(eager=True)
+    m10 = bpe_train(docs, n_merges=10)
+    m40 = bpe_train(docs, n_merges=40)
+    t10 = {r.doc_id: r.n_tokens for r in bpe_encode(docs, m10).collect()}
+    t40 = {r.doc_id: r.n_tokens for r in bpe_encode(docs, m40).collect()}
+    assert set(t10) == set(t40) and len(t10) == 50
+    assert all(t40[d] <= t10[d] for d in t10)
+    assert sum(t40.values()) < sum(t10.values())
