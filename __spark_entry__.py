@@ -141,67 +141,47 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver grades the FIRST 50 registered queries only (round-2 lesson:
-# everything after position 50 got zero external evidence). Round-4 ROTATION:
-# rounds 1-3 accumulated green driver rows for 69 queries; this window now
-# front-loads the 39 queries that have NEVER had a green driver row (the
-# VERDICT.md r3 "rotate" ask), plus a small keeper set of reference-parity
-# psum rows and one representative per heavy family so SURVEY §2.1 retains
-# fresh driver evidence every round. Everything else still registers, after
-# these, and stays covered by pytest + tools/check_correctness.py.
+# everything after position 50 got zero external evidence). Round-5 ROTATION:
+# rounds 1-4 accumulated green driver rows for 119 queries; 68 oracle-paired
+# queries have NEVER been driver-stamped, so this window front-loads 50 of
+# them — the 8 r5-new registrations first (freshest code, highest risk),
+# then the r4 session-2/3 backlog, then older never-green families. The 18
+# remaining never-stamped oracle-paired queries (+8 rows-only) are the r6
+# backlog below. Everything else still registers after these and stays
+# covered by pytest + tools/check_correctness.py full sweeps.
 GRADE_FIRST: tuple[str, ...] = (
-    # --- never-driver-green until r4: pipeline aggs (serial_diff yields
-    # its slot to the session-2 additions; lowest cross-engine risk) ---
-    "pipe_selector_topk", "pipe_percentiles_bucket", "pipe_normalize",
-    "pipe_cum_cardinality",
-    # --- never green: psum sibling distinct + skew/session variants ---
-    "psum_grouped_distinct", "flow_sessions_chunked",
-    # --- never green: relational / as-of ---
-    "rel_cidr_top_talkers", "rel_asof_forward",
-    # --- never green: ES bucket/metric agg batch 2 ---
-    "es_histogram_value", "es_composite_after", "es_filters_buckets",
-    "es_auto_date_histogram", "es_significant_text", "es_percentile_ranks",
-    "es_weighted_avg", "es_top_metrics", "es_matrix_stats", "es_missing",
-    "es_mad", "es_boxplot", "es_rare_terms", "es_adjacency_matrix",
-    "es_diversified_sampler", "es_t_test",
-    # --- never green: embeddings / text / corpus (hash_sample's md5 idiom
-    # is re-attested by train_split_assign below) ---
-    "emb_group_centroids", "text_rolling_fp", "text_repetition",
-    "text_pii_scan", "corpus_span_dedup", "corpus_top_ngrams",
-    "corpus_boilerplate",
-    # --- never green: training / multimodal / streaming (domain_mix's
-    # threshold math rides inside train_curate_pipeline; mm_features is the
-    # real-arithmetic media kernel, mm_resize the stub one) ---
-    "train_chunk_docs", "train_curate_pipeline",
-    "mm_features", "stream_flow_sessions",
-    # --- new in r4 (never graded by definition): tz rounding, geo aggs,
-    # gap-split histogram, text categorization, ip ranges, sharded packing,
-    # bigram LM scoring (geo_centroid is exact integer math — lowest geo
-    # risk — so it yields its slot; geotile keeps the trig-risk coverage) ---
-    "psum_cal_day_tz", "es_geotile_grid",
-    "es_variable_width_histogram", "es_categorize_text",
-    "es_ip_range", "train_pack_sharded", "corpus_lm_score",
-    "psum_sweep_day_lineitem",
-    # --- session-2 additions (never graded by definition): geo_line track
-    # assembly, market-basket FIS, the scripted_metric harness, split
-    # assignment, int8 vector quantization, SemDeDup ---
-    "es_geo_line", "es_frequent_item_sets", "es_scripted_metric",
-    "train_split_assign", "emb_quantize_int8", "dedup_semantic",
-    # --- keeper: §2.1 core re-attested every round (ann_ivf_topk has its
-    # r3 driver green; the IVF shape is further covered by emb_kmeans_*) ---
-    "psum_fixed_1h",
+    # --- r5-new (registered this round; no driver evidence by definition):
+    # the REAL PNG codec paths, the ES nested pair, and the TSDB
+    # counter-rate batch + stateful-streaming twins ---
+    "mm_png_roundtrip", "mm_resize_png", "es_nested", "es_reverse_nested",
+    "es_time_series_rate", "stream_time_series_rate",
+    # --- r4 rotation backlog (registered after the r4 window closed) ---
+    "es_top_hits", "es_terms_shard_error", "es_has_child", "es_rrf_fusion",
+    "corpus_bpe_pairs", "corpus_weighted_sample", "corpus_decon_hashed",
+    "corpus_log_odds", "corpus_zipf_slope", "rel_interval_join",
+    "train_curriculum", "emb_rp_project", "pipe_js_divergence",
+    "pipe_holt_forecast", "dedup_containment", "stream_js_divergence",
+    "es_geo_polygon", "psum_hard_bounds", "dedup_lsh_eval",
+    "rel_data_quality", "es_percolate", "es_more_like_this",
+    "es_intervals_near", "es_term_suggest", "stream_percolate",
+    "text_hash_embed", "emb_pq_codes", "ann_pq_topk", "ann_pq_rerank",
+    # --- older never-stamped: pipeline drift family, geo, ANN, corpus ---
+    "pipe_moving_fn", "pipe_change_point", "pipe_ks_test", "pipe_zscore",
+    "pipe_bucket_correlation", "es_ip_prefix", "dedup_quality_canonical",
+    "es_random_sampler", "es_geohash_grid", "es_geo_distance",
+    "ann_knn_join", "ann_knn_cells", "emb_cluster_purity",
+    "text_readability", "corpus_topic_terms",
 )
-# Round-5 rotation backlog (registered AFTER the r4 window closed, so they
-# have no driver evidence yet — front-load these next round): es_top_hits,
-# es_terms_shard_error, es_has_child, es_rrf_fusion, corpus_bpe_pairs,
-# corpus_weighted_sample, corpus_decon_hashed, corpus_log_odds,
-# corpus_zipf_slope, rel_interval_join, train_curriculum, emb_rp_project,
-# pipe_js_divergence, pipe_holt_forecast, dedup_containment,
-# stream_js_divergence, es_geo_polygon, psum_hard_bounds, dedup_lsh_eval,
-# rel_data_quality, es_percolate, es_more_like_this, es_intervals_near,
-# es_term_suggest, stream_percolate, text_hash_embed, emb_pq_codes,
-# ann_pq_topk, ann_pq_rerank (+ rows-only graph_pagerank and
-# train_pack_bfd). All oracle-paired entries are green in this round's
-# local sweep (CORRECTNESS_SELF_r4).
+# Round-6 rotation backlog (never driver-stamped, did not fit this window):
+# psum_cal_month_tz, psum_cal_week_tz, psum_cal_week_tz_lineitem,
+# es_geo_bounds, es_geo_centroid, corpus_fuzzy_decon, corpus_sample_exact,
+# corpus_hash_sample, train_domain_mix, train_epoch_plan, train_neg_samples,
+# train_shard_by_tokens, mm_resize, mm_phash_dedup, stream_zscore_day,
+# stream_psum_day_tz, stream_geotile_grid, stream_data_quality (+ rows-only
+# graph_pagerank, es_cardinality_approx, es_theta_set_ops,
+# stats_quantiles_kll, emb_kmeans_ivf_topk, corpus_bpe_train,
+# corpus_bpe_encode, train_pack_bfd). All oracle-paired entries are green
+# in this round's local sweep (CORRECTNESS_SELF_r5).
 
 
 def _grade_order(q: dict, strict: bool = True) -> dict:
