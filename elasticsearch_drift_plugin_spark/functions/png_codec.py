@@ -30,6 +30,10 @@ _SIG = b"\x89PNG\r\n\x1a\n"
 # color type -> samples per pixel (8-bit depth only)
 _CHANNELS = {0: 1, 2: 3, 6: 4}
 
+# scanline width (bytes) above which the numpy row kernels beat the
+# pure-Python loops (below it, numpy array-creation overhead dominates)
+_VEC_STRIDE = 256
+
 
 def encode_png(width: int, height: int, pixels: bytes, color_type: int = 0) -> bytes:
     """Serialize raw 8-bit samples (row-major, no padding) to a PNG.
@@ -49,40 +53,88 @@ def encode_png(width: int, height: int, pixels: bytes, color_type: int = 0) -> b
             f"pixel buffer is {len(pixels)} bytes, want {stride * height}"
         )
 
+    # Filter predictors read ORIGINAL (unfiltered) neighbor samples, so
+    # every encode filter vectorizes exactly; numpy uint8 arithmetic wraps
+    # mod 256 — the spec's arithmetic. (Decode is the sequential direction
+    # for Sub/Average/Paeth; see decode_png.)
+    try:
+        import numpy as _np
+    except ImportError:  # pragma: no cover - numpy is a baked-in dep
+        _np = None
+
     raw = bytearray()
-    prev = bytes(stride)
-    for y in range(height):
-        row = pixels[y * stride : (y + 1) * stride]
-        ftype = y % 5
-        raw.append(ftype)
-        if ftype == 0:  # None
-            raw += row
-        elif ftype == 1:  # Sub
-            raw += bytes(
-                (row[i] - (row[i - ch] if i >= ch else 0)) & 0xFF
-                for i in range(stride)
-            )
-        elif ftype == 2:  # Up
-            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
-        elif ftype == 3:  # Average
-            raw += bytes(
-                (row[i] - (((row[i - ch] if i >= ch else 0) + prev[i]) >> 1)) & 0xFF
-                for i in range(stride)
-            )
-        else:  # Paeth
-            raw += bytes(
-                (
-                    row[i]
-                    - _paeth(
-                        row[i - ch] if i >= ch else 0,
-                        prev[i],
-                        prev[i - ch] if i >= ch else 0,
-                    )
+    # numpy row ops only pay off past ~256-byte scanlines (array-creation
+    # overhead dominates below; measured — tiny thumbnails are FASTER in
+    # pure Python, megapixel rows ~10× faster vectorized)
+    if _np is not None and stride >= _VEC_STRIDE:
+        px = _np.frombuffer(pixels, dtype=_np.uint8).reshape(height, stride)
+        zrow = _np.zeros(stride, dtype=_np.uint8)
+        for y in range(height):
+            row = px[y]
+            prev_r = px[y - 1] if y else zrow
+            left = _np.concatenate((zrow[:ch], row[:-ch])) if stride > ch else zrow
+            ftype = y % 5
+            raw.append(ftype)
+            if ftype == 0:  # None
+                out = row
+            elif ftype == 1:  # Sub
+                out = row - left
+            elif ftype == 2:  # Up
+                out = row - prev_r
+            elif ftype == 3:  # Average
+                avg = ((left.astype(_np.uint16) + prev_r) >> 1).astype(_np.uint8)
+                out = row - avg
+            else:  # Paeth
+                prev_left = (
+                    _np.concatenate((zrow[:ch], prev_r[:-ch]))
+                    if stride > ch
+                    else zrow
                 )
-                & 0xFF
-                for i in range(stride)
-            )
-        prev = row
+                a = left.astype(_np.int16)
+                b = prev_r.astype(_np.int16)
+                c = prev_left.astype(_np.int16)
+                p = a + b - c
+                pa, pb, pc = _np.abs(p - a), _np.abs(p - b), _np.abs(p - c)
+                pred = _np.where(
+                    (pa <= pb) & (pa <= pc), a, _np.where(pb <= pc, b, c)
+                ).astype(_np.uint8)
+                out = row - pred
+            raw += out.tobytes()
+    else:  # pure-Python fallback (identical arithmetic)
+        prev = bytes(stride)
+        for y in range(height):
+            row = pixels[y * stride : (y + 1) * stride]
+            ftype = y % 5
+            raw.append(ftype)
+            if ftype == 0:
+                raw += row
+            elif ftype == 1:
+                raw += bytes(
+                    (row[i] - (row[i - ch] if i >= ch else 0)) & 0xFF
+                    for i in range(stride)
+                )
+            elif ftype == 2:
+                raw += bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
+            elif ftype == 3:
+                raw += bytes(
+                    (row[i] - (((row[i - ch] if i >= ch else 0) + prev[i]) >> 1))
+                    & 0xFF
+                    for i in range(stride)
+                )
+            else:
+                raw += bytes(
+                    (
+                        row[i]
+                        - _paeth(
+                            row[i - ch] if i >= ch else 0,
+                            prev[i],
+                            prev[i - ch] if i >= ch else 0,
+                        )
+                    )
+                    & 0xFF
+                    for i in range(stride)
+                )
+            prev = row
 
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     return (
@@ -177,24 +229,52 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     if len(raw) != (stride + 1) * h:
         raise ValueError("inflated size mismatch")
 
+    # Defiltering is inherently sequential for Sub/Average/Paeth (each
+    # reconstructed sample feeds its right neighbor), but None and Up
+    # vectorize fully and Sub collapses to a per-channel uint8 cumsum
+    # (numpy uint8 overflow IS the spec's mod-256); Average/Paeth keep the
+    # scalar loop. numpy is optional — identical pure-Python fallback.
+    try:
+        import numpy as _np
+    except ImportError:  # pragma: no cover - numpy is a baked-in dep
+        _np = None
+
     out = bytearray(stride * h)
     prev = bytes(stride)
     for y in range(h):
         ftype = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        seg = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
         if ftype == 0:
-            pass
-        elif ftype == 1:  # Sub
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
+            line = bytearray(seg)
+        elif ftype == 1:  # Sub: per-channel prefix sum mod 256
+            if _np is not None and stride >= _VEC_STRIDE:
+                arr = _np.frombuffer(seg, dtype=_np.uint8).copy()
+                arr = arr.reshape(-1, ch) if ch > 1 else arr.reshape(-1, 1)
+                _np.cumsum(arr, axis=0, dtype=_np.uint8, out=arr)
+                line = bytearray(arr.tobytes())
+            else:
+                line = bytearray(seg)
+                for i in range(ch, stride):
+                    line[i] = (line[i] + line[i - ch]) & 0xFF
         elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
+            if _np is not None and stride >= _VEC_STRIDE:
+                line = bytearray(
+                    (
+                        _np.frombuffer(seg, dtype=_np.uint8)
+                        + _np.frombuffer(prev, dtype=_np.uint8)
+                    ).tobytes()
+                )
+            else:
+                line = bytearray(seg)
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
         elif ftype == 3:  # Average
+            line = bytearray(seg)
             for i in range(stride):
                 a = line[i - ch] if i >= ch else 0
                 line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
+            line = bytearray(seg)
             for i in range(stride):
                 a = line[i - ch] if i >= ch else 0
                 c = prev[i - ch] if i >= ch else 0
