@@ -153,8 +153,8 @@ GRADE_FIRST: tuple[str, ...] = (
     # --- r5-new (registered this round; no driver evidence by definition):
     # the REAL PNG codec paths, the ES nested pair, and the TSDB
     # counter-rate batch + stateful-streaming twins ---
-    "mm_png_roundtrip", "mm_resize_png", "es_nested", "es_reverse_nested",
-    "es_time_series_rate", "stream_time_series_rate",
+    "mm_png_roundtrip", "mm_resize_png", "mm_frames_png", "es_nested",
+    "es_reverse_nested", "es_time_series_rate", "stream_time_series_rate",
     # --- r4 rotation backlog (registered after the r4 window closed) ---
     "es_top_hits", "es_terms_shard_error", "es_has_child", "es_rrf_fusion",
     "corpus_bpe_pairs", "corpus_weighted_sample", "corpus_decon_hashed",
@@ -168,13 +168,14 @@ GRADE_FIRST: tuple[str, ...] = (
     # --- older never-stamped: pipeline drift family, geo, ANN, corpus ---
     "pipe_moving_fn", "pipe_change_point", "pipe_ks_test", "pipe_zscore",
     "pipe_bucket_correlation", "es_ip_prefix", "dedup_quality_canonical",
-    "es_random_sampler", "es_geohash_grid", "es_geo_distance",
+    "es_geohash_grid", "es_geo_distance",
     "ann_knn_join", "ann_knn_cells", "emb_cluster_purity",
     "text_readability", "corpus_topic_terms",
 )
 # Round-6 rotation backlog (never driver-stamped, did not fit this window):
 # psum_cal_month_tz, psum_cal_week_tz, psum_cal_week_tz_lineitem,
-# es_geo_bounds, es_geo_centroid, corpus_fuzzy_decon, corpus_sample_exact,
+# es_random_sampler, es_geo_bounds, es_geo_centroid, corpus_fuzzy_decon,
+# corpus_sample_exact,
 # corpus_hash_sample, train_domain_mix, train_epoch_plan, train_neg_samples,
 # train_shard_by_tokens, mm_resize, mm_phash_dedup, stream_zscore_day,
 # stream_psum_day_tz, stream_geotile_grid, stream_data_quality (+ rows-only

@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "es_time_series_rate",
     "stream_time_series_rate",
     "corpus_bpe_encode",
+    "mm_frames_png",
 ]
 
 

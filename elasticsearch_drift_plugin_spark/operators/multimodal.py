@@ -534,6 +534,142 @@ FROM fit ORDER BY doc_id
 """
 
 
+def png_video_documents(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_frames, payload): a REAL multi-frame media payload — a
+    concatenation of spec-complete PNG frames (PNG streams self-delimit at
+    IEND, so back-to-back frames are a valid, externally-splittable
+    container; the moral equivalent of MJPEG). Frame count and per-frame
+    constant fill derive from the doc's md5 (frame i fill = (base + 7·i)
+    mod 256), so frame extraction has a closed-form oracle."""
+    from ..sources.flows import widen_narrow_scan
+
+    h = md5_hash60(F.col("text"))
+    base = widen_narrow_scan(docs).select(
+        "doc_id",
+        (h % PNG_MAX_DIM + 1).alias("_w"),
+        (F.shiftright(h, 6) % PNG_MAX_DIM + 1).alias("_h"),
+        (F.shiftright(h, 12) % 256).alias("_fill"),
+        (F.shiftright(h, 20) % 4 + 1).alias("n_frames"),
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from elasticsearch_drift_plugin_spark.functions.png_codec import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for w, ht, c, n in zip(
+                pdf["_w"], pdf["_h"], pdf["_fill"], pdf["n_frames"]
+            ):
+                w, ht, c, n = int(w), int(ht), int(c), int(n)
+                payloads.append(
+                    b"".join(
+                        encode_png(w, ht, bytes([(c + 7 * i) % 256]) * (w * ht), 0)
+                        for i in range(n)
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": pdf["n_frames"],
+                    "payload": payloads,
+                }
+            )
+
+    return base.mapInPandas(fn, "doc_id long, n_frames long, payload binary")
+
+
+def split_png_frames(payload: bytes) -> list[bytes]:
+    """REAL container parsing: walk the chunk structure of each
+    concatenated PNG (signature → chunks → IEND) and return the individual
+    frame byte strings. Raises ``ValueError`` on malformed framing."""
+    import struct
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    frames = []
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        if payload[pos : pos + 8] != sig:
+            raise ValueError(f"bad frame signature at offset {pos}")
+        scan = pos + 8
+        while True:
+            if scan + 8 > n:
+                raise ValueError("truncated frame")
+            (length,) = struct.unpack(">I", payload[scan : scan + 4])
+            tag = payload[scan + 4 : scan + 8]
+            scan += 12 + length
+            if tag == b"IEND":
+                break
+        frames.append(payload[pos:scan])
+        pos = scan
+    return frames
+
+
+def frame_sample_png(
+    df: DataFrame, every_k: int = 2, payload_col: str = "payload"
+) -> DataFrame:
+    """(doc_id, frame_idx, width, height, mean_q): REAL frame sampling —
+    split the concatenated-PNG container by chunk structure, keep every
+    ``k``-th frame, FULLY decode the kept frames (inflate + defilter), and
+    report per-frame dims + exact mean. This replaces the byte-offset
+    stub (:func:`frame_sample`) with an honest decode path: skipped
+    frames are never inflated, which is the actual economics of frame
+    sampling (container seeks are cheap, decodes are not)."""
+    if every_k < 1:
+        raise ValueError("every_k must be >= 1")
+    k = int(every_k)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from elasticsearch_drift_plugin_spark.functions.png_codec import decode_png
+
+        for pdf in batches:
+            rows = {c: [] for c in ("doc_id", "frame_idx", "width", "height", "mean_q")}
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    frames = split_png_frames(bytes(p))
+                except ValueError:
+                    continue  # malformed container: drop doc (corruption screen)
+                for i in range(0, len(frames), k):
+                    try:
+                        w, h, _ct, px = decode_png(frames[i])
+                    except ValueError:
+                        continue
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["mean_q"].append(
+                        sum(px) * 1_000_000 // len(px) if px else None
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        fn, "doc_id long, frame_idx long, width long, height long, mean_q long"
+    ).orderBy("doc_id", "frame_idx")
+
+
+def png_frames_sql(every_k: int = 2) -> str:
+    """Closed-form oracle for png_video_documents → frame_sample_png."""
+    k = int(every_k)
+    return f"""
+WITH h AS (SELECT doc_id, CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS hv
+           FROM documents),
+d AS (SELECT doc_id,
+             hv % {PNG_MAX_DIM} + 1 AS w,
+             (hv >> 6) % {PNG_MAX_DIM} + 1 AS h2,
+             (hv >> 12) % 256 AS c,
+             (hv >> 20) % 4 + 1 AS nf
+      FROM h),
+fr AS (SELECT doc_id, w, h2, c,
+              unnest(generate_series(0, CAST(nf - 1 AS BIGINT), {k})) AS i
+       FROM d)
+SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+       CAST(w AS BIGINT) AS width, CAST(h2 AS BIGINT) AS height,
+       CAST(((c + 7 * i) % 256) * 1000000 AS BIGINT) AS mean_q
+FROM fr ORDER BY doc_id, frame_idx
+"""
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 4096) -> DataFrame:
     """'Video' frame sampling stub: one output row per sampled frame index.
     Real frame extraction (ffmpeg/libav) is not available in-container; the
@@ -688,6 +824,9 @@ def queries() -> dict:
         "mm_png_roundtrip": lambda s, d: decode_pixel_stats(
             png_documents(load_table(s, d, "documents"))
         ).orderBy("doc_id"),
+        "mm_frames_png": lambda s, d: frame_sample_png(
+            png_video_documents(load_table(s, d, "documents")), every_k=2
+        ),
         "mm_resize_png": lambda s, d: decode_pixel_stats(
             resize_media(
                 png_documents(load_table(s, d, "documents")),
@@ -709,4 +848,5 @@ def oracle_sql() -> dict:
         "mm_phash_dedup": PHASH_DEDUP_SQL,
         "mm_png_roundtrip": PNG_ROUNDTRIP_SQL,
         "mm_resize_png": png_resize_sql(16, 16),
+        "mm_frames_png": png_frames_sql(2),
     }
