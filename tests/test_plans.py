@@ -296,3 +296,60 @@ def test_scripted_metric_shuffles_partial_states_only(spark):
         "mapInPandas (partial fold) must be the child of the grouped reduce"
     )
     assert hash_exchange_count(out) == 1  # one shuffle: the partial states
+
+
+def test_time_series_rate_plan_shape(spark):
+    """One series-partitioned window shuffle + one bucket agg shuffle; no
+    Python, partial aggregation below the final agg exchange."""
+    from elasticsearch_drift_plugin_spark.operators.es_aggs import (
+        time_series_counter_rate,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, "s", 1_700_000_000_000, 1.0)],
+        "event_id long, event_type string, t long, value double",
+    ).select("event_id", "event_type",
+             F.timestamp_millis(F.col("t")).alias("ts"), "value")
+    out = time_series_counter_rate(ev)
+    assert not has_python_eval(out)
+    s = explain_str(out)
+    # window over the series + final agg (+AQE may show range for orderBy)
+    assert s.count("Window") >= 1
+    assert "HashAggregate" in s
+
+
+def test_nested_agg_no_cartesian_and_partial_agg(spark):
+    from elasticsearch_drift_plugin_spark.operators.relational import (
+        nested_agg,
+        nested_parent_docs,
+    )
+
+    orders = spark.createDataFrame(
+        [(1, "1-URGENT")], "o_orderkey long, o_orderpriority string"
+    )
+    lineitem = spark.createDataFrame(
+        [(1, "A", 2.0, 3.0)],
+        "l_orderkey long, l_returnflag string, l_quantity double,"
+        " l_extendedprice double",
+    )
+    out = nested_agg(nested_parent_docs(orders, lineitem))
+    s = explain_str(out)
+    assert "CartesianProduct" not in s
+    assert not has_python_eval(out)
+    assert "HashAggregate" in s
+
+
+def test_png_pipeline_is_narrow_after_widen(spark):
+    """The PNG chain (encode -> stats) adds exactly ONE exchange (the
+    widen repartition) plus the final sort — each mapInPandas link is
+    narrow, no shuffle between kernels."""
+    from elasticsearch_drift_plugin_spark.operators.multimodal import (
+        decode_pixel_stats,
+        png_documents,
+    )
+
+    docs = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    out = decode_pixel_stats(png_documents(docs))
+    s = explain_str(out)
+    # no hash-partition exchange between the Python kernels
+    assert hash_exchange_count(out) == 0, s
