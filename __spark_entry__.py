@@ -168,14 +168,14 @@ GRADE_FIRST: tuple[str, ...] = (
     # --- older never-stamped: pipeline drift family, geo, ANN, corpus ---
     "pipe_moving_fn", "pipe_change_point", "pipe_ks_test", "pipe_zscore",
     "pipe_bucket_correlation", "es_ip_prefix", "dedup_quality_canonical",
-    "es_geohash_grid", "es_geo_distance",
+    "es_geohash_grid", "es_dsl_query",
     "ann_knn_join", "ann_knn_cells", "emb_cluster_purity",
     "text_readability", "corpus_topic_terms",
 )
 # Round-6 rotation backlog (never driver-stamped, did not fit this window):
 # psum_cal_month_tz, psum_cal_week_tz, psum_cal_week_tz_lineitem,
-# es_random_sampler, es_geo_bounds, es_geo_centroid, corpus_fuzzy_decon,
-# corpus_sample_exact,
+# es_random_sampler, es_geo_bounds, es_geo_centroid, es_geo_distance,
+# corpus_fuzzy_decon, corpus_sample_exact,
 # corpus_hash_sample, train_domain_mix, train_epoch_plan, train_neg_samples,
 # train_shard_by_tokens, mm_resize, mm_phash_dedup, stream_zscore_day,
 # stream_psum_day_tz, stream_geotile_grid, stream_data_quality (+ rows-only

@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "stream_time_series_rate",
     "corpus_bpe_encode",
     "mm_frames_png",
+    "es_dsl_query",
 ]
 
 

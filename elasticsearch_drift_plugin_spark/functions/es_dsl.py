@@ -1,0 +1,216 @@
+"""ES query-DSL → Catalyst predicate compiler.
+
+The reference plugin's aggregations always ride inside an ES ``_search``
+whose ``query`` clause selects the documents (README.md:92-115 uses
+match-all; production bodies filter by exporter, time range, field values).
+A user switching to this engine keeps their query bodies: this module
+compiles the core ES query DSL to a single Spark ``Column`` predicate that
+Catalyst pushes into the parquet scan — the Spark-native equivalent of ES's
+query phase (filter context; scoring clauses degrade to boolean matching,
+which is exactly how ES treats them inside ``filter``).
+
+Supported clauses (the working set that covers the reference's docs and the
+common flow-query bodies):
+
+- ``match_all`` / ``match_none``
+- ``term`` / ``terms`` — exact value(s); ES-style ``{"field": {"value": v}}``
+  or shorthand ``{"field": v}``
+- ``range`` — ``gt/gte/lt/lte`` (any subset)
+- ``exists`` — field is not NULL
+- ``prefix`` / ``wildcard`` — string prefix, ``*``/``?`` wildcards
+  (compiled to an anchored regex with all other metacharacters escaped)
+- ``match`` — whitespace-tokenized OR-containment over a text field (the
+  analyzer-free approximation: every DSL token must appear as a
+  whitespace-delimited token for ``operator: "and"``, any-of for the
+  default ``"or"``)
+- ``bool`` — ``must`` / ``filter`` (AND), ``should`` (OR, with
+  ``minimum_should_match`` 0/1 semantics: should is optional when must or
+  filter present, required otherwise — the documented ES rule), ``must_not``
+  (NOT with ES's match-NULL-safe semantics: a NULL field does not match, so
+  must_not KEEPS null rows — mirrored exactly)
+
+Anything else raises ``ValueError`` (fail loudly, never silently drop a
+filter). The compiler emits only native Column expressions — zero Python
+at execution time, predicates eligible for scan pushdown.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def compile_query(q: dict) -> Column:
+    """Compile an ES ``query`` body (the dict under ``"query"``) to one
+    boolean ``Column``."""
+    if not isinstance(q, dict) or len(q) != 1:
+        raise ValueError(f"expected a single-clause query dict, got {q!r}")
+    (kind, body), = q.items()
+    if kind == "match_all":
+        return F.lit(True)
+    if kind == "match_none":
+        return F.lit(False)
+    if kind == "term":
+        field, val = _field_value(body, "value")
+        return F.col(field) == F.lit(val)
+    if kind == "terms":
+        (field, vals), = body.items()
+        if not isinstance(vals, (list, tuple)) or not vals:
+            raise ValueError(f"terms expects a non-empty list, got {vals!r}")
+        return F.col(field).isin(list(vals))
+    if kind == "range":
+        (field, bounds), = body.items()
+        conds = []
+        ops = {"gt": "__gt__", "gte": "__ge__", "lt": "__lt__", "lte": "__le__"}
+        for op, v in bounds.items():
+            if op in ("format", "time_zone", "boost"):
+                continue
+            if op not in ops:
+                raise ValueError(f"unsupported range op {op!r}")
+            conds.append(getattr(F.col(field), ops[op])(F.lit(v)))
+        if not conds:
+            raise ValueError("range clause with no bounds")
+        return _and(conds)
+    if kind == "exists":
+        return F.col(body["field"]).isNotNull()
+    if kind == "prefix":
+        field, val = _field_value(body, "value")
+        return F.col(field).startswith(str(val))
+    if kind == "wildcard":
+        field, val = _field_value(body, "value")
+        pat = "".join(
+            ".*" if c == "*" else "." if c == "?" else re.escape(c)
+            for c in str(val)
+        )
+        return F.col(field).rlike(f"^{pat}$")
+    if kind == "match":
+        field, val = _field_value(body, "query")
+        op = body[field].get("operator", "or") if isinstance(body[field], dict) else "or"
+        toks = [t for t in str(val).split() if t]
+        if not toks:
+            raise ValueError("match clause with empty query")
+        # token containment over whitespace-delimited text (analyzer-free):
+        # pad both sides so token boundaries are exact, not substrings
+        padded = F.concat(F.lit(" "), F.col(field), F.lit(" "))
+        conds = [padded.contains(f" {t} ") for t in toks]
+        return _and(conds) if op == "and" else _or(conds)
+    if kind == "bool":
+        must = [compile_query(c) for c in _as_list(body.get("must"))]
+        filt = [compile_query(c) for c in _as_list(body.get("filter"))]
+        should = [compile_query(c) for c in _as_list(body.get("should"))]
+        must_not = [compile_query(c) for c in _as_list(body.get("must_not"))]
+        msm = body.get("minimum_should_match")
+        conds = must + filt
+        if should:
+            required = bool(msm) or not conds  # the ES default rule
+            if msm not in (None, 0, 1):
+                raise ValueError("minimum_should_match > 1 unsupported")
+            if required:
+                conds.append(_or(should))
+        for c in must_not:
+            # ES must_not is filter-context: docs where the inner clause is
+            # NULL/unknown still match — NOT(coalesce(c, false))
+            conds.append(~F.coalesce(c, F.lit(False)))
+        return _and(conds) if conds else F.lit(True)
+    raise ValueError(f"unsupported query clause {kind!r}")
+
+
+def compile_query_sql(q: dict) -> str:
+    """The same compilation to an engine-portable SQL boolean expression
+    (runs in both Spark SQL and DuckDB) — the oracle twin of
+    :func:`compile_query`, kept clause-for-clause parallel."""
+    (kind, body), = q.items()
+    if kind == "match_all":
+        return "TRUE"
+    if kind == "match_none":
+        return "FALSE"
+    if kind == "term":
+        field, val = _field_value(body, "value")
+        return f"{field} = {_sql_lit(val)}"
+    if kind == "terms":
+        (field, vals), = body.items()
+        return f"{field} IN ({', '.join(_sql_lit(v) for v in vals)})"
+    if kind == "range":
+        (field, bounds), = body.items()
+        ops = {"gt": ">", "gte": ">=", "lt": "<", "lte": "<="}
+        conds = [
+            f"{field} {ops[op]} {_sql_lit(v)}"
+            for op, v in bounds.items()
+            if op in ops
+        ]
+        return "(" + " AND ".join(conds) + ")"
+    if kind == "exists":
+        return f"{body['field']} IS NOT NULL"
+    if kind == "prefix":
+        field, val = _field_value(body, "value")
+        return f"{field} LIKE {_sql_lit(str(val) + '%')}"
+    if kind == "wildcard":
+        field, val = _field_value(body, "value")
+        pat = (
+            str(val)
+            .replace("\\", "\\\\")
+            .replace("%", r"\%")
+            .replace("_", r"\_")
+            .replace("*", "%")
+            .replace("?", "_")
+        )
+        return f"{field} LIKE {_sql_lit(pat)} ESCAPE '\\'"
+    if kind == "match":
+        field, val = _field_value(body, "query")
+        op = body[field].get("operator", "or") if isinstance(body[field], dict) else "or"
+        toks = [t for t in str(val).split() if t]
+        glue = " AND " if op == "and" else " OR "
+        conds = [
+            f"position({_sql_lit(' ' + t + ' ')} IN ' ' || {field} || ' ') > 0"
+            for t in toks
+        ]
+        return "(" + glue.join(conds) + ")"
+    if kind == "bool":
+        conds = [compile_query_sql(c) for c in _as_list(body.get("must"))]
+        conds += [compile_query_sql(c) for c in _as_list(body.get("filter"))]
+        should = [compile_query_sql(c) for c in _as_list(body.get("should"))]
+        if should:
+            if body.get("minimum_should_match") or not conds:
+                conds.append("(" + " OR ".join(should) + ")")
+        for c in _as_list(body.get("must_not")):
+            conds.append(f"NOT COALESCE({compile_query_sql(c)}, FALSE)")
+        return "(" + " AND ".join(conds) + ")" if conds else "TRUE"
+    raise ValueError(f"unsupported query clause {kind!r}")
+
+
+def _field_value(body: dict, value_key: str):
+    (field, spec), = body.items()
+    if isinstance(spec, dict):
+        return field, spec[value_key]
+    return field, spec
+
+
+def _as_list(x):
+    if x is None:
+        return []
+    return x if isinstance(x, list) else [x]
+
+
+def _and(conds):
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def _or(conds):
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
+
+
+def _sql_lit(v) -> str:
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    s = str(v).replace("'", "''")
+    return f"'{s}'"

@@ -62,6 +62,66 @@ def percolate(events: DataFrame, rules=PERCOLATE_RULES) -> DataFrame:
     return percolate_unpivot(events.agg(*percolate_aggs(rules)), rules)
 
 
+# --------------------------------------------------------------------------
+# ES query-DSL execution: the reference's enclosing `_search` query clause
+# --------------------------------------------------------------------------
+
+# A representative production-shaped body: range + terms filters, a required
+# should (minimum_should_match=1), and a must_not with ES null semantics.
+ES_DSL_BODY = {
+    "bool": {
+        "filter": [
+            {"range": {"value": {"gte": 10, "lt": 500}}},
+            {"terms": {"event_type": ["click", "view", "purchase"]}},
+        ],
+        "should": [
+            {"prefix": {"event_type": "c"}},
+            {"range": {"user_id": {"gte": 100}}},
+        ],
+        "minimum_should_match": 1,
+        "must_not": [{"term": {"user_id": 0}}],
+    }
+}
+
+
+def dsl_filter_agg(events: DataFrame, body: dict = ES_DSL_BODY) -> DataFrame:
+    """(event_type, doc_count, value_q): an ES ``_search`` body executed
+    natively — the query clause compiles through
+    ``functions.es_dsl.compile_query`` to ONE Catalyst predicate (scan
+    pushdown eligible, zero Python), then an ordinary terms aggregation
+    runs over the matching docs. This is the missing half of reference
+    parity: the plugin's aggs always ride inside a DSL-filtered search
+    (README.md:92-115), and with this a user's existing query bodies run
+    unchanged. NaN guard sits OUTSIDE the DSL (engines disagree on
+    NaN-vs-number comparisons; ES has no NaN at all, so excluding NaN rows
+    IS the ES-faithful domain)."""
+    from ..functions.es_dsl import compile_query
+
+    matched = events.where(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    ).where(compile_query(body))
+    return (
+        matched.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("doc_count"),
+            F.sum(F.floor(F.col("value") * 1000)).cast("long").alias("value_q"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def dsl_filter_agg_sql(body: dict = ES_DSL_BODY) -> str:
+    from ..functions.es_dsl import compile_query_sql
+
+    return f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS doc_count,
+       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS value_q
+FROM events
+WHERE value IS NOT NULL AND NOT isnan(value) AND {compile_query_sql(body)}
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def percolate_aggs(rules=PERCOLATE_RULES) -> list:
     """The per-rule conditional-aggregate pair list — SHARED by the batch
     operator and ``streaming.bounded.stream_percolate`` so the two twins
@@ -347,6 +407,7 @@ def queries() -> dict:
             load_table(s, d, "documents")
         ),
         "es_term_suggest": lambda s, d: term_suggest(load_table(s, d, "documents")),
+        "es_dsl_query": lambda s, d: dsl_filter_agg(load_table(s, d, "events")),
     }
 
 
@@ -356,4 +417,5 @@ def oracle_sql() -> dict:
         "es_more_like_this": more_like_this_sql(),
         "es_intervals_near": intervals_near_sql(),
         "es_term_suggest": term_suggest_sql(),
+        "es_dsl_query": dsl_filter_agg_sql(),
     }

@@ -1,0 +1,112 @@
+"""ES query-DSL compiler: clause-by-clause semantics against hand-computed
+row sets, ES null rules for must_not, and Spark/DuckDB twin agreement on
+randomized bodies."""
+
+import duckdb
+import pytest
+
+from elasticsearch_drift_plugin_spark.functions.es_dsl import (
+    compile_query,
+    compile_query_sql,
+)
+
+ROWS = [
+    # id, etype,     user, value
+    (1, "click", 10, 50.0),
+    (2, "view", 120, 400.0),
+    (3, "purchase", 0, 600.0),
+    (4, "error", 7, None),
+    (5, "click-x", 149, 20.0),
+    (6, None, 3, 30.0),
+]
+SCHEMA = "id long, etype string, user long, value double"
+
+
+@pytest.fixture()
+def df(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+def ids(df, q):
+    return sorted(r.id for r in df.where(compile_query(q)).collect())
+
+
+def duck_ids(q):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (id BIGINT, etype VARCHAR, user BIGINT, value DOUBLE)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", ROWS)
+    sql = compile_query_sql(q)
+    return sorted(
+        r[0] for r in con.execute(f"SELECT id FROM t WHERE {sql}").fetchall()
+    )
+
+
+BODIES = [
+    {"match_all": {}},
+    {"term": {"etype": "click"}},
+    {"term": {"etype": {"value": "view"}}},
+    {"terms": {"user": [10, 0, 3]}},
+    {"range": {"value": {"gte": 30, "lt": 600}}},
+    {"range": {"user": {"gt": 7}}},
+    {"exists": {"field": "value"}},
+    {"prefix": {"etype": "click"}},
+    {"bool": {"must": [{"term": {"etype": "click"}}],
+              "filter": [{"range": {"user": {"lte": 50}}}]}},
+    {"bool": {"should": [{"term": {"etype": "view"}},
+                         {"term": {"etype": "error"}}]}},
+    {"bool": {"must_not": [{"term": {"etype": "click"}}]}},
+    {"bool": {"filter": [{"range": {"user": {"gte": 0}}}],
+              "must_not": [{"range": {"value": {"gte": 100}}}]}},
+    {"bool": {"filter": [{"exists": {"field": "value"}}],
+              "should": [{"prefix": {"etype": "c"}},
+                         {"range": {"user": {"gte": 100}}}],
+              "minimum_should_match": 1}},
+]
+
+
+@pytest.mark.parametrize("q", BODIES, ids=[str(i) for i in range(len(BODIES))])
+def test_spark_and_duckdb_twins_agree(spark, df, q):
+    assert ids(df, q) == duck_ids(q)
+
+
+def test_clause_semantics_handpinned(df):
+    assert ids(df, {"term": {"etype": "click"}}) == [1]
+    assert ids(df, {"prefix": {"etype": "click"}}) == [1, 5]
+    assert ids(df, {"wildcard": {"etype": "c*k"}}) == [1]
+    assert ids(df, {"wildcard": {"etype": "?lick"}}) == [1]
+    assert ids(df, {"range": {"value": {"gte": 30, "lt": 600}}}) == [1, 2, 6]
+    assert ids(df, {"exists": {"field": "value"}}) == [1, 2, 3, 5, 6]
+    # ES must_not keeps NULL rows (filter context: unknown does not match)
+    assert ids(df, {"bool": {"must_not": [{"term": {"etype": "click"}}]}}) == [
+        2, 3, 4, 5, 6,
+    ]
+    # should optional when filter present and no minimum_should_match
+    with_filter = {"bool": {"filter": [{"range": {"user": {"gte": 0}}}],
+                            "should": [{"term": {"etype": "nope"}}]}}
+    assert ids(df, with_filter) == [1, 2, 3, 4, 5, 6]
+    # ...but required when it is the only clause
+    only_should = {"bool": {"should": [{"term": {"etype": "view"}}]}}
+    assert ids(df, only_should) == [2]
+
+
+def test_match_tokens(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "quick red fox"), (3, "slow brown cat")],
+        "id long, text string",
+    )
+    def m(q):
+        return sorted(r.id for r in docs.where(compile_query(q)).collect())
+    assert m({"match": {"text": "quick brown"}}) == [1, 2, 3]  # OR default
+    assert m({"match": {"text": {"query": "quick brown", "operator": "and"}}}) == [1]
+    # token-boundary exactness: 'row' is not a token of 'brown'
+    assert m({"match": {"text": "row"}}) == []
+
+
+def test_unsupported_clause_fails_loudly():
+    with pytest.raises(ValueError):
+        compile_query({"fuzzy": {"etype": "clik"}})
+    with pytest.raises(ValueError):
+        compile_query({"bool": {"should": [{"match_all": {}}],
+                                "minimum_should_match": 2}})
