@@ -168,13 +168,14 @@ GRADE_FIRST: tuple[str, ...] = (
     # --- older never-stamped: pipeline drift family, geo, ANN, corpus ---
     "pipe_moving_fn", "pipe_change_point", "pipe_ks_test", "pipe_zscore",
     "pipe_bucket_correlation", "es_ip_prefix", "dedup_quality_canonical",
-    "es_geohash_grid", "es_dsl_query",
+    "es_dsl_query", "es_search_body",
     "ann_knn_join", "ann_knn_cells", "emb_cluster_purity",
     "text_readability", "corpus_topic_terms",
 )
 # Round-6 rotation backlog (never driver-stamped, did not fit this window):
 # psum_cal_month_tz, psum_cal_week_tz, psum_cal_week_tz_lineitem,
-# es_random_sampler, es_geo_bounds, es_geo_centroid, es_geo_distance,
+# es_random_sampler, es_geohash_grid, es_geo_bounds, es_geo_centroid,
+# es_geo_distance,
 # corpus_fuzzy_decon, corpus_sample_exact,
 # corpus_hash_sample, train_domain_mix, train_epoch_plan, train_neg_samples,
 # train_shard_by_tokens, mm_resize, mm_phash_dedup, stream_zscore_day,
@@ -197,10 +198,40 @@ def _grade_order(q: dict, strict: bool = True) -> dict:
     return out
 
 
+# The reference's consumption interface end-to-end: a README-shaped
+# `_search` body (query clause + proportional_sum agg + sibling sum)
+# compiled by functions/es_search.py and executed verbatim. The registered
+# query returns the psum agg's buckets; the sibling and query-clause
+# composition is pinned in tests/test_es_search.py.
+ES_SEARCH_BODY = {
+    "size": 0,
+    "query": {"bool": {"must_not": [{"term": {"user_id": 0}}]}},
+    "aggs": {
+        "bytes_over_time": {
+            "proportional_sum": {
+                "fields": ["start_ms", "end_ms", "value", "sampling"],
+                "interval": 6 * HOUR,
+                "offset": 1,
+                "quantize": 4,
+            }
+        },
+        "bytes_total": {"sum": {"field": "value"}},
+    },
+}
+
+
+def _es_search_body_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    fl = flows_src.events_flows(s, d)
+    return run_search(fl, ES_SEARCH_BODY)["bytes_over_time"].drop("key_ts")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- core operator, SURVEY.md §2.1 rows 1-6, 11-17, 21 ---
         "psum_fixed_1h": lambda s, d: _psum_events(s, d, interval=HOUR, offset=1),
+        "es_search_body": _es_search_body_query,
         # rows 2/4: sampling scale-up applied via the 4th positional field
         "psum_sampling": lambda s, d: _psum_events(s, d, interval=6 * HOUR, offset=1),
         "psum_no_sampling": lambda s, d: _psum_events(
@@ -475,6 +506,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     o = {
         "psum_fixed_1h": _ev_oracle(interval=HOUR, offset=1),
+        "es_search_body": _ev_oracle(
+            interval=6 * HOUR, offset=1, where="user_id != 0"
+        ),
         "psum_sampling": _ev_oracle(interval=6 * HOUR, offset=1),
         "psum_no_sampling": _ev_oracle(interval=6 * HOUR, offset=1, sampling=False),
         "psum_offset_90m": _ev_oracle(interval=6 * HOUR, offset="90m"),

@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "corpus_bpe_encode",
     "mm_frames_png",
     "es_dsl_query",
+    "es_search_body",
 ]
 
 

@@ -1,0 +1,174 @@
+"""ES ``_search`` request compiler — run a whole reference-style search
+body (query clause + aggs tree) against a DataFrame.
+
+This is the consumption interface of the reference plugin: every
+`proportional_sum` the reference ever executes arrives as JSON inside
+``_search`` (README.md:92-115; ProportionalSumAggregationBuilder parses the
+same fields this module maps). With :mod:`es_dsl` compiling the ``query``
+clause and this module compiling ``aggs``, a user's existing request bodies
+run verbatim:
+
+    results = run_search(flows_df, body)       # {agg_name: DataFrame}
+
+Supported ``aggs`` nodes:
+
+- ``proportional_sum`` — the plugin's own agg, full parameter surface
+  (positional ``fields`` [start, end, value(, sampling)], ``interval`` /
+  ``calendar_interval`` (calendar wins — the reference's precedence rule),
+  ``offset``, ``start``/``end``, ``min_doc_count``, ``extended_bounds``,
+  ``hard_bounds``, ``format``, ``order``, ``time_zone``) → the engine's
+  :func:`proportional_sum` operator;
+- ``date_histogram`` — instants (``field`` + ``fixed_interval`` /
+  ``calendar_interval``) as the degenerate zero-duration proportional sum
+  (reference row-12 semantics: the whole value lands in one bucket);
+- ``terms`` — with optional nested metric sub-aggs and a nested
+  ``proportional_sum`` (compiled to the operator's ``group_by``, the
+  reference's §3.3 nesting route);
+- metric leaves ``sum`` / ``avg`` / ``min`` / ``max`` / ``value_count`` /
+  ``cardinality`` — standalone (sibling aggs) or nested under ``terms``.
+
+Unknown agg types raise ``ValueError`` — never silently dropped.
+
+Each top-level agg is an independent DataFrame over the query-filtered
+frame (exactly ES's sibling semantics: siblings share the query context,
+not each other's buckets); ``size`` is accepted and ignored (the engine
+returns no hits — the reference's own examples use ``size: 0``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .es_dsl import compile_query
+
+_METRICS = {
+    "sum": lambda f: F.sum(f),
+    "avg": lambda f: F.avg(f),
+    "min": lambda f: F.min(f),
+    "max": lambda f: F.max(f),
+    "value_count": lambda f: F.count(f).cast("long"),
+    "cardinality": lambda f: F.countDistinct(f).cast("long"),
+}
+
+
+def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
+    """Execute a ``_search`` body; returns ``{agg_name: DataFrame}``."""
+    if "query" in body:
+        df = df.where(compile_query(body["query"]))
+    out: dict[str, DataFrame] = {}
+    for name, node in body.get("aggs", body.get("aggregations", {})).items():
+        out[name] = _compile_agg(df, name, node)
+    return out
+
+
+def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
+    sub = node.get("aggs", node.get("aggregations", {}))
+    kinds = [k for k in node if k not in ("aggs", "aggregations", "meta")]
+    if len(kinds) != 1:
+        raise ValueError(f"agg {name!r} must have exactly one type, got {kinds}")
+    kind = kinds[0]
+    spec = node[kind]
+
+    if kind == "proportional_sum":
+        return _proportional_sum(df, spec, group_by=())
+    if kind == "date_histogram":
+        return _date_histogram(df, spec)
+    if kind == "terms":
+        return _terms(df, spec, sub)
+    if kind in _METRICS:
+        if sub:
+            raise ValueError(f"metric agg {name!r} cannot carry sub-aggs")
+        col = _METRICS[kind](spec["field"]).alias(name)
+        return df.agg(col)
+    raise ValueError(f"unsupported agg type {kind!r} (agg {name!r})")
+
+
+def _proportional_sum(df: DataFrame, spec: dict, group_by) -> DataFrame:
+    from ..operators.proportional_sum import proportional_sum
+
+    fields = spec["fields"]
+    if not 3 <= len(fields) <= 4:
+        raise ValueError("proportional_sum needs fields [start, end, value(, sampling)]")
+    kw = {}
+    for src, dst in (
+        ("interval", "interval"),
+        ("calendar_interval", "calendar_interval"),
+        ("offset", "offset"),
+        ("start", "start"),
+        ("end", "end"),
+        ("min_doc_count", "min_doc_count"),
+        ("extended_bounds", "extended_bounds"),
+        ("hard_bounds", "hard_bounds"),
+        ("format", "key_format"),
+        ("time_zone", "time_zone"),
+        # engine extension (not ES): deterministic integer-quantized sums,
+        # the cross-engine-reproducible mode the oracle gate runs in
+        ("quantize", "quantize"),
+    ):
+        if src in spec:
+            v = spec[src]
+            if src in ("extended_bounds", "hard_bounds"):
+                v = (v["min"], v["max"])
+            kw[dst] = v
+    if "order" in spec:
+        # ES order: {"_key"|"_count"|metric: "asc"|"desc"} or a list of them
+        entries = spec["order"]
+        if isinstance(entries, dict):
+            entries = [entries]
+        order = []
+        for e in entries:
+            (k, d), = e.items()
+            col = {"_key": "key", "_count": "doc_count"}.get(k, k)
+            order.append((col, str(d).lower() == "asc"))
+        kw["order"] = order
+    return proportional_sum(df, *fields, group_by=tuple(group_by), **kw)
+
+
+def _date_histogram(df: DataFrame, spec: dict) -> DataFrame:
+    from ..operators.proportional_sum import proportional_sum
+
+    field = spec["field"]
+    kw = {}
+    if "fixed_interval" in spec or "interval" in spec:
+        kw["interval"] = spec.get("fixed_interval", spec.get("interval"))
+    if "calendar_interval" in spec:
+        kw["calendar_interval"] = spec["calendar_interval"]
+    if "offset" in spec:
+        kw["offset"] = spec["offset"]
+    if "min_doc_count" in spec:
+        kw["min_doc_count"] = spec["min_doc_count"]
+    # zero-duration rows: start == end == the instant; value 1 per doc gives
+    # the ES doc_count histogram, and the `value` column is the doc count
+    inst = df.withColumn("__one", F.lit(1.0))
+    return proportional_sum(inst, field, field, "__one", **kw).drop("value")
+
+
+def _terms(df: DataFrame, spec: dict, sub: dict) -> DataFrame:
+    field = spec["field"]
+    size = int(spec.get("size", 10))
+    aggs = [F.count(F.lit(1)).cast("long").alias("doc_count")]
+    psum_sub = None
+    psum_name = None
+    for sname, snode in sub.items():
+        skinds = [k for k in snode if k not in ("aggs", "aggregations", "meta")]
+        (skind,) = skinds
+        if skind == "proportional_sum":
+            if psum_sub is not None:
+                raise ValueError("one nested proportional_sum per terms agg")
+            psum_sub, psum_name = snode[skind], sname
+            continue
+        if skind not in _METRICS:
+            raise ValueError(f"unsupported sub-agg {skind!r} under terms")
+        aggs.append(_METRICS[skind](snode[skind]["field"]).alias(sname))
+    if psum_sub is not None:
+        # the reference's nesting route (§3.3): the owning terms bucket
+        # becomes the operator's group_by; metric siblings not supported
+        # in the same node (match the reference's one-agg-deep examples)
+        return _proportional_sum(df, psum_sub, group_by=(field,))
+    return (
+        df.groupBy(field)
+        .agg(*aggs)
+        .orderBy(F.col("doc_count").desc(), F.col(field).asc())
+        .limit(size)
+    )

@@ -1,0 +1,122 @@
+"""ES `_search` body compiler: the reference's own README request runs
+verbatim (same numbers as the AggregatorIT golden), sibling aggs share the
+query context, terms nesting routes to group_by, and unsupported nodes
+fail loudly."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+FLOWS = "start_ms long, end_ms long, value double, sampling double"
+
+
+def test_reference_readme_body_verbatim(spark):
+    """README.md:92-115 — one flow (100..450, 350 bytes), interval=100,
+    start=0, end=500 => buckets (100,100),(200,100),(300,100),(400,50) and
+    a sibling total of 350."""
+    flows = spark.createDataFrame([(100, 450, 350.0, None)], FLOWS)
+    body = {
+        "size": 0,
+        "aggs": {
+            "bytes_over_time": {
+                "proportional_sum": {
+                    "fields": ["start_ms", "end_ms", "value"],
+                    "interval": 100,
+                    "start": 0,
+                    "end": 500,
+                }
+            },
+            "bytes_total": {"sum": {"field": "value"}},
+        },
+    }
+    out = run_search(flows, body)
+    assert set(out) == {"bytes_over_time", "bytes_total"}
+    buckets = [(r.key, r.doc_count, r.value) for r in out["bytes_over_time"].collect()]
+    assert buckets == [(100, 1, 100.0), (200, 1, 100.0), (300, 1, 100.0), (400, 1, 50.0)]
+    assert out["bytes_total"].collect()[0][0] == 350.0
+
+
+def test_query_clause_filters_all_siblings(spark):
+    flows = spark.createDataFrame(
+        [(0, 100, 10.0, None), (0, 100, 90.0, None)], FLOWS
+    ).withColumn("tag", F.when(F.col("value") > 50, "big").otherwise("small"))
+    body = {
+        "query": {"term": {"tag": "big"}},
+        "aggs": {
+            "total": {"sum": {"field": "value"}},
+            "n": {"value_count": {"field": "value"}},
+        },
+    }
+    out = run_search(flows, body)
+    assert out["total"].collect()[0][0] == 90.0
+    assert out["n"].collect()[0][0] == 1
+
+
+def test_terms_with_nested_proportional_sum_routes_to_group_by(spark):
+    rows = [
+        ("a", 0, 200, 10.0, None),
+        ("b", 0, 100, 4.0, None),
+        ("b", 100, 200, 6.0, None),
+    ]
+    flows = spark.createDataFrame(
+        rows, "k string, start_ms long, end_ms long, value double, sampling double"
+    )
+    body = {
+        "aggs": {
+            "per_k": {
+                "terms": {"field": "k"},
+                "aggs": {
+                    "over_time": {
+                        "proportional_sum": {
+                            "fields": ["start_ms", "end_ms", "value"],
+                            "interval": 100,
+                        }
+                    }
+                },
+            }
+        }
+    }
+    got = {(r.k, r.key): (r.doc_count, r.value)
+           for r in run_search(flows, body)["per_k"].collect()}
+    # key 200: the reference's inclusive terminal bucket — a flow ending
+    # exactly on a boundary credits that bucket with doc_count, value 0
+    # (SURVEY §2.1 row 11)
+    assert got == {
+        ("a", 0): (1, 5.0), ("a", 100): (1, 5.0), ("a", 200): (1, 0.0),
+        # (b,100): flow (0,100)'s terminal bucket AND flow (100,200)'s
+        # first bucket — every touched bucket counts (row 14)
+        ("b", 0): (1, 4.0), ("b", 100): (2, 6.0), ("b", 200): (1, 0.0),
+    }
+
+
+def test_terms_with_metric_subaggs_and_size(spark):
+    flows = spark.createDataFrame(
+        [("x", 1.0), ("x", 3.0), ("y", 5.0), ("z", 7.0), ("z", 0.0), ("z", 2.0)],
+        "k string, value double",
+    )
+    body = {"aggs": {"per_k": {
+        "terms": {"field": "k", "size": 2},
+        "aggs": {"total": {"sum": {"field": "value"}},
+                 "peak": {"max": {"field": "value"}}},
+    }}}
+    rows = run_search(flows, body)["per_k"].collect()
+    assert [(r.k, r.doc_count, r.total, r.peak) for r in rows] == [
+        ("z", 3, 9.0, 7.0), ("x", 2, 4.0, 3.0),
+    ]
+
+
+def test_date_histogram_counts_instants(spark):
+    ev = spark.createDataFrame([(50,), (150,), (160,), (399,)], "t long")
+    body = {"aggs": {"per_100": {"date_histogram": {"field": "t", "fixed_interval": 100}}}}
+    got = [(r.key, r.doc_count) for r in run_search(ev, body)["per_100"].collect()]
+    assert got == [(0, 1), (100, 2), (300, 1)]
+
+
+def test_unknown_agg_fails_loudly(spark):
+    flows = spark.createDataFrame([(1.0,)], "value double")
+    with pytest.raises(ValueError):
+        run_search(flows, {"aggs": {"x": {"geo_cloud": {"field": "value"}}}})
+    with pytest.raises(ValueError):
+        run_search(flows, {"aggs": {"x": {"sum": {"field": "value"},
+                                          "aggs": {"y": {"sum": {"field": "value"}}}}}})
