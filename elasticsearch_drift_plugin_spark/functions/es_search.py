@@ -62,6 +62,70 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
     return out
 
 
+def render_response(results: dict[str, DataFrame], keyed: bool = False) -> dict:
+    """Shape :func:`run_search` results as the ES response's
+    ``aggregations`` object (the serving edge — collects result-sized
+    frames only, never raw data):
+
+    - bucket frames (any frame with a ``key`` column) → ``{"buckets":
+      [{"key": ..., "key_as_string"?: ..., "doc_count": ..., <metric
+      sub-aggs as {"value": v}>}]}``, or the ``keyed`` object form;
+    - grouped bucket frames (extra leading group columns) → nested
+      ``{"buckets": [{"key": group, "doc_count": Σ, "<name>": {...}}]}``
+      mirroring ES's terms→histogram nesting;
+    - single-row metric frames → ``{"value": v}``.
+    """
+    out = {}
+    for name, df in results.items():
+        cols = [f.name for f in df.schema]
+        if "key" not in cols:
+            row = df.collect()[0]
+            out[name] = {"value": row[0]}
+            continue
+        group_cols = [c for c in cols if c not in (
+            "key", "key_ts", "key_as_string", "doc_count", "value"
+        ) and not c.startswith("__")]
+        metric_cols = [c for c in group_cols if c not in cols[: cols.index("key")]]
+        group_cols = [c for c in group_cols if c in cols[: cols.index("key")]]
+        rows = df.collect()
+
+        def bucket(r):
+            b = {"key": r["key"]}
+            if "key_as_string" in cols:
+                b["key_as_string"] = r["key_as_string"]
+            b["doc_count"] = r["doc_count"]
+            if "value" in cols:
+                b["value"] = r["value"]
+            for m in metric_cols:
+                b[m] = {"value": r[m]}
+            return b
+
+        if group_cols:
+            nested: dict = {}
+            for r in rows:
+                gkey = tuple(r[c] for c in group_cols)
+                nested.setdefault(gkey, []).append(bucket(r))
+            out[name] = {
+                "buckets": [
+                    {
+                        "key": g[0] if len(g) == 1 else list(g),
+                        "doc_count": sum(b["doc_count"] for b in bs),
+                        "buckets": bs,
+                    }
+                    for g, bs in nested.items()
+                ]
+            }
+        elif keyed:
+            out[name] = {
+                "buckets": {
+                    str(b.get("key_as_string", b["key"])): b for b in map(bucket, rows)
+                }
+            }
+        else:
+            out[name] = {"buckets": [bucket(r) for r in rows]}
+    return {"aggregations": out}
+
+
 def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
     sub = node.get("aggs", node.get("aggregations", {}))
     kinds = [k for k in node if k not in ("aggs", "aggregations", "meta")]
@@ -71,9 +135,9 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
     spec = node[kind]
 
     if kind == "proportional_sum":
-        return _proportional_sum(df, spec, group_by=())
+        return _proportional_sum(df, spec, group_by=(), sub=sub)
     if kind == "date_histogram":
-        return _date_histogram(df, spec)
+        return _date_histogram(df, spec, sub=sub)
     if kind == "terms":
         return _terms(df, spec, sub)
     if kind in _METRICS:
@@ -84,7 +148,23 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
     raise ValueError(f"unsupported agg type {kind!r} (agg {name!r})")
 
 
-def _proportional_sum(df: DataFrame, spec: dict, group_by) -> DataFrame:
+def _metric_extra_aggs(sub: dict) -> dict:
+    """Metric-leaf sub-aggs under a histogram node → the operator's
+    ``extra_aggs`` (per-bucket metric columns, the reference's §3.3
+    sub-aggregation route)."""
+    extra = {}
+    for sname, snode in (sub or {}).items():
+        skinds = [k for k in snode if k not in ("aggs", "aggregations", "meta")]
+        (skind,) = skinds
+        if skind not in _METRICS:
+            raise ValueError(
+                f"unsupported sub-agg {skind!r} under a histogram (metric leaves only)"
+            )
+        extra[sname] = _METRICS[skind](snode[skind]["field"]).alias(sname)
+    return extra
+
+
+def _proportional_sum(df: DataFrame, spec: dict, group_by, sub=None) -> DataFrame:
     from ..operators.proportional_sum import proportional_sum
 
     fields = spec["fields"]
@@ -122,14 +202,20 @@ def _proportional_sum(df: DataFrame, spec: dict, group_by) -> DataFrame:
             col = {"_key": "key", "_count": "doc_count"}.get(k, k)
             order.append((col, str(d).lower() == "asc"))
         kw["order"] = order
+    extra = _metric_extra_aggs(sub)
+    if extra:
+        kw["extra_aggs"] = extra
     return proportional_sum(df, *fields, group_by=tuple(group_by), **kw)
 
 
-def _date_histogram(df: DataFrame, spec: dict) -> DataFrame:
+def _date_histogram(df: DataFrame, spec: dict, sub=None) -> DataFrame:
     from ..operators.proportional_sum import proportional_sum
 
     field = spec["field"]
     kw = {}
+    extra = _metric_extra_aggs(sub)
+    if extra:
+        kw["extra_aggs"] = extra
     if "fixed_interval" in spec or "interval" in spec:
         kw["interval"] = spec.get("fixed_interval", spec.get("interval"))
     if "calendar_interval" in spec:
@@ -156,7 +242,7 @@ def _terms(df: DataFrame, spec: dict, sub: dict) -> DataFrame:
         if skind == "proportional_sum":
             if psum_sub is not None:
                 raise ValueError("one nested proportional_sum per terms agg")
-            psum_sub, psum_name = snode[skind], sname
+            psum_sub, psum_name = snode, sname
             continue
         if skind not in _METRICS:
             raise ValueError(f"unsupported sub-agg {skind!r} under terms")
@@ -165,7 +251,10 @@ def _terms(df: DataFrame, spec: dict, sub: dict) -> DataFrame:
         # the reference's nesting route (§3.3): the owning terms bucket
         # becomes the operator's group_by; metric siblings not supported
         # in the same node (match the reference's one-agg-deep examples)
-        return _proportional_sum(df, psum_sub, group_by=(field,))
+        return _proportional_sum(
+            df, psum_sub["proportional_sum"], group_by=(field,),
+            sub=psum_sub.get("aggs", psum_sub.get("aggregations")),
+        )
     return (
         df.groupBy(field)
         .agg(*aggs)

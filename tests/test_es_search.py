@@ -120,3 +120,66 @@ def test_unknown_agg_fails_loudly(spark):
     with pytest.raises(ValueError):
         run_search(flows, {"aggs": {"x": {"sum": {"field": "value"},
                                           "aggs": {"y": {"sum": {"field": "value"}}}}}})
+
+
+def test_metric_subaggs_under_histograms(spark):
+    """ES nesting: metric leaves under proportional_sum / date_histogram
+    map to the operator's extra_aggs (per-bucket metric columns)."""
+    flows = spark.createDataFrame(
+        [(0, 200, 10.0, None, 3.0), (100, 200, 6.0, None, 9.0)],
+        "start_ms long, end_ms long, value double, sampling double, w double",
+    )
+    body = {"aggs": {"over_time": {
+        "proportional_sum": {"fields": ["start_ms", "end_ms", "value"],
+                             "interval": 100},
+        "aggs": {"peak_w": {"max": {"field": "w"}},
+                 "n_vals": {"value_count": {"field": "w"}}},
+    }}}
+    rows = {r.key: (r.doc_count, r.value, r.peak_w, r.n_vals)
+            for r in run_search(flows, body)["over_time"].collect()}
+    assert rows[0] == (1, 5.0, 3.0, 1)
+    assert rows[100] == (2, 11.0, 9.0, 2)
+    # terminal bucket at 200: both flows end there, zero value
+    assert rows[200] == (2, 0.0, 9.0, 2)
+
+    ev = spark.createDataFrame([(50, 2.0), (150, 4.0), (160, 8.0)], "t long, v double")
+    body2 = {"aggs": {"hist": {
+        "date_histogram": {"field": "t", "fixed_interval": 100},
+        "aggs": {"total_v": {"sum": {"field": "v"}}},
+    }}}
+    got = {r.key: (r.doc_count, r.total_v)
+           for r in run_search(ev, body2)["hist"].collect()}
+    assert got == {0: (1, 2.0), 100: (2, 12.0)}
+
+
+def test_render_response_es_shape(spark):
+    """The serving edge: run_search results render as the ES response's
+    aggregations object."""
+    from elasticsearch_drift_plugin_spark.functions.es_search import (
+        render_response,
+    )
+
+    flows = spark.createDataFrame([(100, 450, 350.0, None)], FLOWS)
+    body = {
+        "aggs": {
+            "bytes_over_time": {
+                "proportional_sum": {
+                    "fields": ["start_ms", "end_ms", "value"],
+                    "interval": 100, "start": 0, "end": 500,
+                }
+            },
+            "bytes_total": {"sum": {"field": "value"}},
+        },
+    }
+    resp = render_response(run_search(flows, body))
+    aggs = resp["aggregations"]
+    assert aggs["bytes_total"] == {"value": 350.0}
+    bks = aggs["bytes_over_time"]["buckets"]
+    assert [(b["key"], b["doc_count"], b["value"]) for b in bks] == [
+        (100, 1, 100.0), (200, 1, 100.0), (300, 1, 100.0), (400, 1, 50.0),
+    ]
+    # keyed form mirrors ES keyed:true
+    keyed = render_response(run_search(flows, body), keyed=True)
+    assert set(keyed["aggregations"]["bytes_over_time"]["buckets"]) == {
+        "100", "200", "300", "400",
+    }
