@@ -23,6 +23,10 @@ common flow-query bodies):
   analyzer-free approximation: every DSL token must appear as a
   whitespace-delimited token for ``operator: "and"``, any-of for the
   default ``"or"``)
+- ``match_phrase`` — ordered adjacent tokens (exact under the whitespace
+  analyzer: the phrase as one token-boundary-padded substring)
+- ``ids`` — id-list membership (``values``; relational docs carry the id
+  in a column, ``field`` defaults to ``doc_id``)
 - ``bool`` — ``must`` / ``filter`` (AND), ``should`` (OR, with
   ``minimum_should_match`` 0/1 semantics: should is optional when must or
   filter present, required otherwise — the documented ES rule), ``must_not``
@@ -96,6 +100,21 @@ def compile_query(q: dict) -> Column:
         padded = F.concat(F.lit(" "), F.col(field), F.lit(" "))
         conds = [padded.contains(f" {t} ") for t in toks]
         return _and(conds) if op == "and" else _or(conds)
+    if kind == "match_phrase":
+        field, val = _field_value(body, "query")
+        toks = [t for t in str(val).split() if t]
+        if not toks:
+            raise ValueError("match_phrase with empty query")
+        # exact ordered-adjacent tokens under the whitespace analyzer:
+        # the phrase as one padded substring
+        padded = F.concat(F.lit(" "), F.col(field), F.lit(" "))
+        return padded.contains(" " + " ".join(toks) + " ")
+    if kind == "ids":
+        # ES matches _id; relational docs carry their id in a column —
+        # accept {"values": [...], "field": "doc_id"} (field defaults)
+        vals = body["values"]
+        field = body.get("field", "doc_id")
+        return F.col(field).isin(list(vals))
     if kind == "bool":
         must = [compile_query(c) for c in _as_list(body.get("must"))]
         filt = [compile_query(c) for c in _as_list(body.get("filter"))]
@@ -167,6 +186,15 @@ def compile_query_sql(q: dict) -> str:
             for t in toks
         ]
         return "(" + glue.join(conds) + ")"
+    if kind == "match_phrase":
+        field, val = _field_value(body, "query")
+        toks = [t for t in str(val).split() if t]
+        phrase = " " + " ".join(toks) + " "
+        return f"position({_sql_lit(phrase)} IN ' ' || {field} || ' ') > 0"
+    if kind == "ids":
+        field = body.get("field", "doc_id")
+        vals = body["values"]
+        return f"{field} IN ({', '.join(_sql_lit(v) for v in vals)})"
     if kind == "bool":
         conds = [compile_query_sql(c) for c in _as_list(body.get("must"))]
         conds += [compile_query_sql(c) for c in _as_list(body.get("filter"))]

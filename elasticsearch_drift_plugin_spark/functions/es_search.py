@@ -24,10 +24,18 @@ Supported ``aggs`` nodes:
 - ``terms`` — with optional nested metric sub-aggs and a nested
   ``proportional_sum`` (compiled to the operator's ``group_by``, the
   reference's §3.3 nesting route);
+- ``range`` / ``histogram`` / ``filters`` — the operator family in
+  ``operators.es_aggs`` (the filters node's sub-bodies are themselves DSL
+  queries, compiled through the same clause compiler);
 - metric leaves ``sum`` / ``avg`` / ``min`` / ``max`` / ``value_count`` /
-  ``cardinality`` — standalone (sibling aggs) or nested under ``terms``.
+  ``cardinality`` — standalone (sibling aggs), nested under ``terms``, or
+  nested under ``proportional_sum`` / ``date_histogram`` (compiled to the
+  operator's per-bucket ``extra_aggs``).
 
 Unknown agg types raise ``ValueError`` — never silently dropped.
+:func:`render_response` shapes the result dict as the ES response's
+``aggregations`` object (list or ``keyed`` bucket forms) for the serving
+edge.
 
 Each top-level agg is an independent DataFrame over the query-filtered
 frame (exactly ES's sibling semantics: siblings share the query context,
@@ -41,6 +49,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .es_dsl import compile_query
+from .es_dsl import compile_query_sql as compile_query_sql_expr
 
 _METRICS = {
     "sum": lambda f: F.sum(f),
@@ -140,6 +149,31 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
         return _date_histogram(df, spec, sub=sub)
     if kind == "terms":
         return _terms(df, spec, sub)
+    if kind == "range":
+        from ..operators.es_aggs import range_agg
+
+        ranges = [(r.get("from"), r.get("to")) for r in spec["ranges"]]
+        return range_agg(df, spec["field"], ranges)
+    if kind == "histogram":
+        from ..operators.es_aggs import histogram_agg
+
+        return histogram_agg(
+            df, spec["field"], spec["interval"],
+            offset=spec.get("offset", 0.0),
+            min_doc_count=spec.get("min_doc_count", 1),
+        )
+    if kind == "filters":
+        from ..operators.es_aggs import filters_agg
+
+        named = {
+            fname: compile_query_sql_expr(fnode)
+            for fname, fnode in spec["filters"].items()
+        }
+        return filters_agg(
+            df, named,
+            other_bucket=bool(spec.get("other_bucket")),
+            other_key=spec.get("other_bucket_key", "_other_"),
+        )
     if kind in _METRICS:
         if sub:
             raise ValueError(f"metric agg {name!r} cannot carry sub-aggs")

@@ -183,3 +183,42 @@ def test_render_response_es_shape(spark):
     assert set(keyed["aggregations"]["bytes_over_time"]["buckets"]) == {
         "100", "200", "300", "400",
     }
+
+
+def test_range_histogram_filters_nodes(spark):
+    ev = spark.createDataFrame(
+        [("click", 5.0), ("view", 25.0), ("view", 45.0), ("error", 95.0)],
+        "etype string, value double",
+    )
+    body = {"aggs": {
+        "by_range": {"range": {"field": "value", "ranges": [
+            {"to": 30}, {"from": 30, "to": 90}, {"from": 90}]}},
+        "by_hist": {"histogram": {"field": "value", "interval": 50}},
+        "by_filters": {"filters": {"filters": {
+            "clicks": {"term": {"etype": "click"}},
+            "big": {"range": {"value": {"gte": 40}}},
+        }, "other_bucket": True}},
+    }}
+    out = run_search(ev, body)
+    rng = {(r.range_from, r.range_to): r.doc_count for r in out["by_range"].collect()}
+    assert rng == {(None, 30.0): 2, (30.0, 90.0): 1, (90.0, None): 1}
+    hist = {r.key: r.doc_count for r in out["by_hist"].collect()}
+    assert hist == {0.0: 3, 50.0: 1}  # 5/25/45 -> bucket 0; 95 -> bucket 50
+    flt = {r.key: r.doc_count for r in out["by_filters"].collect()}
+    # other = view(25) only — click(5) matched clicks, 45/95 matched big
+    assert flt == {"clicks": 1, "big": 2, "_other_": 1}
+
+
+def test_match_phrase_and_ids(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "brown quick the")],
+        "doc_id long, text string",
+    )
+    from elasticsearch_drift_plugin_spark.functions.es_dsl import compile_query
+
+    m = lambda q: sorted(
+        r.doc_id for r in docs.where(compile_query(q)).collect()
+    )
+    assert m({"match_phrase": {"text": "quick brown"}}) == [1]
+    assert m({"match_phrase": {"text": "brown quick"}}) == [2]
+    assert m({"ids": {"values": [2, 99]}}) == [2]
