@@ -144,9 +144,13 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
     spec = node[kind]
 
     if kind == "proportional_sum":
-        return _proportional_sum(df, spec, group_by=(), sub=sub)
+        metrics, pipes = _split_sub(sub)
+        return _apply_pipelines(
+            _proportional_sum(df, spec, group_by=(), sub=metrics), pipes
+        )
     if kind == "date_histogram":
-        return _date_histogram(df, spec, sub=sub)
+        metrics, pipes = _split_sub(sub)
+        return _apply_pipelines(_date_histogram(df, spec, sub=metrics), pipes)
     if kind == "terms":
         return _terms(df, spec, sub)
     if kind == "range":
@@ -174,12 +178,76 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
             other_bucket=bool(spec.get("other_bucket")),
             other_key=spec.get("other_bucket_key", "_other_"),
         )
+    if kind == "significant_terms":
+        from ..operators.es_aggs import significant_terms
+
+        # ES: the bucket's own filter is the foreground; accept either a
+        # ready SQL string or a DSL body under "foreground"
+        fg = spec.get("foreground", spec.get("background_filter"))
+        fg_sql = fg if isinstance(fg, str) else compile_query_sql_expr(fg)
+        return significant_terms(
+            df, spec["field"], fg_sql, size=int(spec.get("size", 10)),
+            min_doc_count=int(spec.get("min_doc_count", 3)),
+        )
+    if kind == "missing":
+        from ..operators.es_metrics import missing_agg
+
+        return missing_agg(df, spec["field"], [])
+    if kind == "multi_terms":
+        from ..operators.es_metrics import multi_terms_agg
+
+        fields = [t["field"] for t in spec["terms"]]
+        return multi_terms_agg(df, fields, size=int(spec.get("size", 10)))
+    if kind == "date_range":
+        from ..operators.es_metrics import date_range_agg
+
+        ranges = [(r.get("from"), r.get("to")) for r in spec["ranges"]]
+        return date_range_agg(df, spec["field"], ranges)
     if kind in _METRICS:
         if sub:
             raise ValueError(f"metric agg {name!r} cannot carry sub-aggs")
         col = _METRICS[kind](spec["field"]).alias(name)
         return df.agg(col)
     raise ValueError(f"unsupported agg type {kind!r} (agg {name!r})")
+
+
+_PIPELINE_KINDS = ("cumulative_sum", "derivative")
+
+
+def _split_sub(sub: dict):
+    """Separate a histogram node's sub-aggs into metric leaves (become the
+    operator's extra_aggs) and pipeline nodes (post-process the buckets)."""
+    metrics, pipes = {}, {}
+    for sname, snode in (sub or {}).items():
+        skinds = [k for k in snode if k not in ("aggs", "aggregations", "meta")]
+        (skind,) = skinds
+        (pipes if skind in _PIPELINE_KINDS else metrics)[sname] = snode
+    return metrics, pipes
+
+
+def _apply_pipelines(buckets: DataFrame, pipes: dict, group_cols=()) -> DataFrame:
+    """ES pipeline sub-aggs over the parent's bucket list —
+    ``cumulative_sum`` / ``derivative`` with ``buckets_path`` (``_count``
+    → doc_count; a metric sub-agg name or the operator's ``value``). One
+    window over the RESULT-sized bucket frame, never the raw data; the
+    derivative's first bucket is NULL (the ES contract)."""
+    if not pipes:
+        return buckets
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("key")
+    for sname, snode in pipes.items():
+        (skind,) = [k for k in snode if k not in ("aggs", "aggregations", "meta")]
+        path = snode[skind].get("buckets_path", "value")
+        col = {"_count": "doc_count"}.get(path, path)
+        if skind == "cumulative_sum":
+            buckets = buckets.withColumn(
+                sname,
+                F.sum(col).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+            )
+        else:  # derivative
+            buckets = buckets.withColumn(sname, F.col(col) - F.lag(col).over(w))
+    return buckets.orderBy(*group_cols, "key")
 
 
 def _metric_extra_aggs(sub: dict) -> dict:

@@ -70,15 +70,14 @@ def missing_agg(df: DataFrame, field: str, group_by: list[str]) -> DataFrame:
     """(group..., missing_count, value_count): ES ``missing`` bucket
     doc_count and the ``value_count`` metric per group. NULL is missing;
     NaN is a present (if unusable) value — both engines agree because
-    ``count(field)`` counts NaN rows and skips NULL rows."""
-    return (
-        df.groupBy(*group_by)
-        .agg(
-            (F.count(F.lit(1)) - F.count(field)).alias("missing_count"),
-            F.count(field).alias("value_count"),
-        )
-        .orderBy(*group_by)
+    ``count(field)`` counts NaN rows and skips NULL rows. An empty
+    ``group_by`` gives the whole-index single-bucket form (ES's ungrouped
+    ``missing`` agg)."""
+    out = df.groupBy(*group_by).agg(
+        (F.count(F.lit(1)) - F.count(field)).alias("missing_count"),
+        F.count(field).alias("value_count"),
     )
+    return out.orderBy(*group_by) if group_by else out
 
 
 def missing_sql(src: str, field: str, group_by: list[str]) -> str:

@@ -222,3 +222,48 @@ def test_match_phrase_and_ids(spark):
     assert m({"match_phrase": {"text": "quick brown"}}) == [1]
     assert m({"match_phrase": {"text": "brown quick"}}) == [2]
     assert m({"ids": {"values": [2, 99]}}) == [2]
+
+
+def test_pipeline_subaggs_cumsum_derivative(spark):
+    ev = spark.createDataFrame(
+        [(50, 1.0), (150, 3.0), (250, 5.0)], "t long, v double"
+    )
+    body = {"aggs": {"hist": {
+        "date_histogram": {"field": "t", "fixed_interval": 100},
+        "aggs": {
+            "vsum": {"sum": {"field": "v"}},
+            "running": {"cumulative_sum": {"buckets_path": "vsum"}},
+            "delta": {"derivative": {"buckets_path": "vsum"}},
+            "n_cum": {"cumulative_sum": {"buckets_path": "_count"}},
+        },
+    }}}
+    rows = [(r.key, r.vsum, r.running, r.delta, r.n_cum)
+            for r in run_search(ev, body)["hist"].collect()]
+    assert rows == [
+        (0, 1.0, 1.0, None, 1),
+        (100, 3.0, 4.0, 2.0, 2),
+        (200, 5.0, 9.0, 2.0, 3),
+    ]
+
+
+def test_significant_multi_missing_nodes(spark):
+    ev = spark.createDataFrame(
+        [("click", 1, 1.0), ("click", 1, None), ("view", 2, 2.0),
+         ("view", 1, 4.0), ("error", 9, 8.0)],
+        "etype string, uid long, value double",
+    )
+    body = {"aggs": {
+        "sig": {"significant_terms": {
+            "field": "uid", "foreground": {"term": {"etype": "click"}},
+            "size": 3, "min_doc_count": 1}},
+        "gaps": {"missing": {"field": "value"}},
+        "combos": {"multi_terms": {"terms": [{"field": "etype"}, {"field": "uid"}],
+                                    "size": 10}},
+    }}
+    out = run_search(ev, body)
+    sig = out["sig"].collect()
+    assert sig and sig[0]["key"] == 1  # uid 1 over-represented in clicks
+    gaps = out["gaps"].collect()[0]
+    assert (gaps.missing_count, gaps.value_count) == (1, 4)
+    combos = {(r.etype, r.uid): r.doc_count for r in out["combos"].collect()}
+    assert combos[("click", 1)] == 2 and combos[("error", 9)] == 1
