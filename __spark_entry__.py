@@ -167,7 +167,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "text_hash_embed", "emb_pq_codes", "ann_pq_topk", "ann_pq_rerank",
     # --- older never-stamped: pipeline drift family, geo, ANN, corpus ---
     "pipe_moving_fn", "pipe_change_point", "pipe_ks_test", "pipe_zscore",
-    "pipe_bucket_correlation", "es_ip_prefix", "dedup_quality_canonical",
+    "pipe_bucket_correlation", "es_ip_prefix", "es_search_grouped",
     "es_dsl_query", "es_search_body",
     "ann_knn_join", "ann_knn_cells", "emb_cluster_purity",
     "text_readability", "corpus_topic_terms",
@@ -176,7 +176,7 @@ GRADE_FIRST: tuple[str, ...] = (
 # psum_cal_month_tz, psum_cal_week_tz, psum_cal_week_tz_lineitem,
 # es_random_sampler, es_geohash_grid, es_geo_bounds, es_geo_centroid,
 # es_geo_distance,
-# corpus_fuzzy_decon, corpus_sample_exact,
+# dedup_quality_canonical, corpus_fuzzy_decon, corpus_sample_exact,
 # corpus_hash_sample, train_domain_mix, train_epoch_plan, train_neg_samples,
 # train_shard_by_tokens, mm_resize, mm_phash_dedup, stream_zscore_day,
 # stream_psum_day_tz, stream_geotile_grid, stream_data_quality (+ rows-only
@@ -227,11 +227,40 @@ def _es_search_body_query(s: SparkSession, d: str) -> DataFrame:
     return run_search(fl, ES_SEARCH_BODY)["bytes_over_time"].drop("key_ts")
 
 
+# The §3.3 nesting route through the compiler: terms(event_type) with a
+# nested proportional_sum — compiled to the operator's group_by.
+ES_SEARCH_GROUPED_BODY = {
+    "aggs": {
+        "per_type": {
+            "terms": {"field": "event_type"},
+            "aggs": {
+                "daily": {
+                    "proportional_sum": {
+                        "fields": ["start_ms", "end_ms", "value", "sampling"],
+                        "calendar_interval": "day",
+                        "offset": 1,
+                        "quantize": 4,
+                    }
+                }
+            },
+        }
+    }
+}
+
+
+def _es_search_grouped_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    fl = flows_src.events_flows(s, d)
+    return run_search(fl, ES_SEARCH_GROUPED_BODY)["per_type"].drop("key_ts")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- core operator, SURVEY.md §2.1 rows 1-6, 11-17, 21 ---
         "psum_fixed_1h": lambda s, d: _psum_events(s, d, interval=HOUR, offset=1),
         "es_search_body": _es_search_body_query,
+        "es_search_grouped": _es_search_grouped_query,
         # rows 2/4: sampling scale-up applied via the 4th positional field
         "psum_sampling": lambda s, d: _psum_events(s, d, interval=6 * HOUR, offset=1),
         "psum_no_sampling": lambda s, d: _psum_events(
@@ -508,6 +537,9 @@ def oracle_sql() -> dict[str, str]:
         "psum_fixed_1h": _ev_oracle(interval=HOUR, offset=1),
         "es_search_body": _ev_oracle(
             interval=6 * HOUR, offset=1, where="user_id != 0"
+        ),
+        "es_search_grouped": _ev_oracle(
+            calendar_interval="day", offset=1, group_by=("event_type",)
         ),
         "psum_sampling": _ev_oracle(interval=6 * HOUR, offset=1),
         "psum_no_sampling": _ev_oracle(interval=6 * HOUR, offset=1, sampling=False),

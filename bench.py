@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "mm_frames_png",
     "es_dsl_query",
     "es_search_body",
+    "es_search_grouped",
 ]
 
 
