@@ -332,7 +332,7 @@ def _date_histogram(df: DataFrame, spec: dict, sub=None) -> DataFrame:
     return proportional_sum(inst, field, field, "__one", **kw).drop("value")
 
 
-def _terms(df: DataFrame, spec: dict, sub: dict) -> DataFrame:
+def _terms(df: DataFrame, spec: dict, sub: dict, parents: tuple = ()) -> DataFrame:
     field = spec["field"]
     size = int(spec.get("size", 10))
     aggs = [F.count(F.lit(1)).cast("long").alias("doc_count")]
@@ -341,6 +341,17 @@ def _terms(df: DataFrame, spec: dict, sub: dict) -> DataFrame:
     for sname, snode in sub.items():
         skinds = [k for k in snode if k not in ("aggs", "aggregations", "meta")]
         (skind,) = skinds
+        if skind == "terms":
+            # terms→terms nesting: flatten to composite grouping (each row =
+            # one leaf bucket carrying its parent keys; ES's nested bucket
+            # tree re-assembles at the serving edge via render_response)
+            if len(sub) > 1:
+                raise ValueError("a nested terms node must be the only sub-agg")
+            return _terms(
+                df, snode[skind],
+                snode.get("aggs", snode.get("aggregations", {})),
+                parents=(*parents, field),
+            )
         if skind == "proportional_sum":
             if psum_sub is not None:
                 raise ValueError("one nested proportional_sum per terms agg")
@@ -350,16 +361,17 @@ def _terms(df: DataFrame, spec: dict, sub: dict) -> DataFrame:
             raise ValueError(f"unsupported sub-agg {skind!r} under terms")
         aggs.append(_METRICS[skind](snode[skind]["field"]).alias(sname))
     if psum_sub is not None:
-        # the reference's nesting route (§3.3): the owning terms bucket
-        # becomes the operator's group_by; metric siblings not supported
+        # the reference's nesting route (§3.3): the owning terms bucket(s)
+        # become the operator's group_by; metric siblings not supported
         # in the same node (match the reference's one-agg-deep examples)
         return _proportional_sum(
-            df, psum_sub["proportional_sum"], group_by=(field,),
+            df, psum_sub["proportional_sum"], group_by=(*parents, field),
             sub=psum_sub.get("aggs", psum_sub.get("aggregations")),
         )
+    keys = [*parents, field]
     return (
-        df.groupBy(field)
+        df.groupBy(*keys)
         .agg(*aggs)
-        .orderBy(F.col("doc_count").desc(), F.col(field).asc())
+        .orderBy(F.col("doc_count").desc(), *[F.col(k).asc() for k in keys])
         .limit(size)
     )

@@ -267,3 +267,22 @@ def test_significant_multi_missing_nodes(spark):
     assert (gaps.missing_count, gaps.value_count) == (1, 4)
     combos = {(r.etype, r.uid): r.doc_count for r in out["combos"].collect()}
     assert combos[("click", 1)] == 2 and combos[("error", 9)] == 1
+
+
+def test_terms_nested_terms_composite_buckets(spark):
+    ev = spark.createDataFrame(
+        [("click", "us", 1.0), ("click", "us", 2.0), ("click", "de", 3.0),
+         ("view", "us", 4.0)],
+        "etype string, geo string, value double",
+    )
+    body = {"aggs": {"outer": {
+        "terms": {"field": "etype"},
+        "aggs": {"inner": {
+            "terms": {"field": "geo", "size": 10},
+            "aggs": {"total": {"sum": {"field": "value"}}},
+        }},
+    }}}
+    got = {(r.etype, r.geo): (r.doc_count, r.total)
+           for r in run_search(ev, body)["outer"].collect()}
+    assert got == {("click", "us"): (2, 3.0), ("click", "de"): (1, 3.0),
+                   ("view", "us"): (1, 4.0)}

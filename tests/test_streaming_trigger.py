@@ -220,3 +220,54 @@ def test_flow_sessions_processing_time_trigger(spark, tmp_path):
         assert len(_nonempty_batches(q)) >= 2
     finally:
         q.stop()
+
+
+def test_psum_append_mode_emits_finalized_buckets_once(spark, tmp_path):
+    """APPEND output mode: a bucket is emitted exactly once, only after the
+    watermark passes it — the mode a downstream sink (parquet/Kafka)
+    consumes. File 1's early buckets finalize when file 2's later data
+    advances the watermark; the terminal open buckets stay unemitted."""
+    src = f"{tmp_path}/append_src"
+    spark.createDataFrame(
+        [(BASE, BASE + 2 * HOUR, 8.0, None)], SCHEMA
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    agg = proportional_sum_stream(
+        stream, "start_ms", "end_ms", "value", "sampling",
+        interval=HOUR, watermark_delay="10 minutes", quantize=6,
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .trigger(processingTime="300 milliseconds")
+        .format("memory").queryName("append_out").start()
+    )
+    try:
+        # after batch 1 the watermark is BASE+1h50m (max event key_ts
+        # BASE+2h minus the 10m delay): buckets keyed BASE and BASE+1h are
+        # final and emitted by the follow-up no-data micro-batch; the
+        # terminal bucket BASE+2h (key_ts == 2h > watermark) stays open
+        assert _wait_for(
+            lambda: {r.key for r in spark.sql("SELECT * FROM append_out").collect()}
+            == {BASE, BASE + HOUR},
+            timeout=60,
+        )
+        # later file pushes the watermark past bucket BASE+1h
+        spark.createDataFrame(
+            [(BASE + 4 * HOUR, BASE + 5 * HOUR, 3.0, None)], SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+        assert _wait_for(
+            lambda: {r.key for r in spark.sql("SELECT * FROM append_out").collect()}
+            >= {BASE, BASE + HOUR, BASE + 2 * HOUR},
+            timeout=60,
+        )
+        rows = spark.sql("SELECT * FROM append_out").collect()
+        by = {}
+        for r in rows:
+            by.setdefault(r.key, []).append((r.doc_count, r.value))
+        # exactly once per finalized bucket, with the final accumulated value
+        assert all(len(v) == 1 for v in by.values()), by
+        assert by[BASE] == [(1, 4.0)]
+        assert by[BASE + HOUR] == [(1, 4.0)]
+        assert by[BASE + 2 * HOUR] == [(1, 0.0)]  # terminal zero-overlap
+    finally:
+        q.stop()
