@@ -61,13 +61,40 @@ _METRICS = {
 }
 
 
+_SIBLING_PIPELINES = {
+    "avg_bucket": F.avg,
+    "sum_bucket": F.sum,
+    "min_bucket": F.min,
+    "max_bucket": F.max,
+}
+
+
 def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
-    """Execute a ``_search`` body; returns ``{agg_name: DataFrame}``."""
+    """Execute a ``_search`` body; returns ``{agg_name: DataFrame}``.
+
+    Sibling pipeline aggs (``avg_bucket``/``sum_bucket``/``min_bucket``/
+    ``max_bucket``) resolve after their targets: ``buckets_path``
+    ``"hist>metric"`` aggregates that column of the sibling's bucket frame
+    (result-sized — never a second pass over the data)."""
     if "query" in body:
         df = df.where(compile_query(body["query"]))
+    aggs = body.get("aggs", body.get("aggregations", {}))
     out: dict[str, DataFrame] = {}
-    for name, node in body.get("aggs", body.get("aggregations", {})).items():
+    pipelines = {}
+    for name, node in aggs.items():
+        kinds = [k for k in node if k not in ("aggs", "aggregations", "meta")]
+        if len(kinds) == 1 and kinds[0] in _SIBLING_PIPELINES:
+            pipelines[name] = (kinds[0], node[kinds[0]])
+            continue
         out[name] = _compile_agg(df, name, node)
+    for name, (kind, spec) in pipelines.items():
+        path = spec["buckets_path"]
+        target, _, col = path.partition(">")
+        if target not in out:
+            raise ValueError(f"buckets_path {path!r} references unknown agg")
+        col = col or "value"
+        col = {"_count": "doc_count"}.get(col, col)
+        out[name] = out[target].agg(_SIBLING_PIPELINES[kind](col).alias(name))
     return out
 
 
@@ -177,6 +204,25 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
             df, named,
             other_bucket=bool(spec.get("other_bucket")),
             other_key=spec.get("other_bucket_key", "_other_"),
+        )
+    if kind == "composite":
+        from ..operators.es_aggs import composite_agg
+
+        sources = []
+        for s in spec["sources"]:
+            (sname, snode), = s.items()
+            (skind, sspec), = snode.items()
+            if skind == "terms":
+                sources.append((sname, "terms", sspec["field"], None))
+            elif skind == "histogram":
+                sources.append((sname, "histogram", sspec["field"], sspec["interval"]))
+            else:
+                raise ValueError(f"unsupported composite source {skind!r}")
+        after = spec.get("after")
+        if isinstance(after, dict):
+            after = tuple(after[sname] for sname, *_ in sources)
+        return composite_agg(
+            df, sources, size=int(spec.get("size", 10)), after=after
         )
     if kind == "significant_terms":
         from ..operators.es_aggs import significant_terms

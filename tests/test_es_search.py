@@ -286,3 +286,36 @@ def test_terms_nested_terms_composite_buckets(spark):
            for r in run_search(ev, body)["outer"].collect()}
     assert got == {("click", "us"): (2, 3.0), ("click", "de"): (1, 3.0),
                    ("view", "us"): (1, 4.0)}
+
+
+def test_composite_and_sibling_bucket_pipelines(spark):
+    ev = spark.createDataFrame(
+        [("a", 10.0), ("a", 30.0), ("b", 10.0), ("b", 50.0), ("c", 70.0)],
+        "k string, v double",
+    )
+    body = {"aggs": {
+        "pages": {"composite": {"size": 3, "sources": [
+            {"kk": {"terms": {"field": "k"}}},
+            {"vb": {"histogram": {"field": "v", "interval": 20}}},
+        ]}},
+        "hist": {"date_histogram": {"field": "v", "fixed_interval": 20},
+                 "aggs": {"vsum": {"sum": {"field": "v"}}}},
+        "avg_per_bucket": {"avg_bucket": {"buckets_path": "hist>vsum"}},
+        "total_docs": {"sum_bucket": {"buckets_path": "hist>_count"}},
+    }}
+    out = run_search(ev, body)
+    page1 = [(r.kk, r.vb, r.doc_count) for r in out["pages"].collect()]
+    assert page1 == [("a", 0.0, 1), ("a", 20.0, 1), ("b", 0.0, 1)]
+    # page 2 via after cursor
+    body2 = {"aggs": {"pages": {"composite": {
+        "size": 3, "after": {"kk": "b", "vb": 0.0},
+        "sources": [
+            {"kk": {"terms": {"field": "k"}}},
+            {"vb": {"histogram": {"field": "v", "interval": 20}}},
+        ]}}}}
+    page2 = [(r.kk, r.vb, r.doc_count) for r in run_search(ev, body2)["pages"].collect()]
+    assert page2 == [("b", 40.0, 1), ("c", 60.0, 1)]
+    # sibling pipelines over the histogram's buckets
+    # hist buckets: 0->10+10=20 (2 docs), 20->30 (1), 40->50 (1), 60->70 (1)
+    assert out["avg_per_bucket"].collect()[0][0] == (20.0 + 30.0 + 50.0 + 70.0) / 4
+    assert out["total_docs"].collect()[0][0] == 5
