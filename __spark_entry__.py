@@ -535,8 +535,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     o = {
         "psum_fixed_1h": _ev_oracle(interval=HOUR, offset=1),
+        # must_not(term user_id 0) in ES filter context KEEPS NULL rows —
+        # mirror compile_query's NOT COALESCE(...) exactly, not `!= 0`
+        # (which would drop NULLs and diverge if the fixture ever has them)
         "es_search_body": _ev_oracle(
-            interval=6 * HOUR, offset=1, where="user_id != 0"
+            interval=6 * HOUR, offset=1,
+            where="NOT COALESCE(user_id = 0, FALSE)",
         ),
         "es_search_grouped": _ev_oracle(
             calendar_interval="day", offset=1, group_by=("event_type",)

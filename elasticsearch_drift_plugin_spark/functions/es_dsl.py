@@ -121,11 +121,13 @@ def compile_query(q: dict) -> Column:
         should = [compile_query(c) for c in _as_list(body.get("should"))]
         must_not = [compile_query(c) for c in _as_list(body.get("must_not"))]
         msm = body.get("minimum_should_match")
+        if msm not in (None, 0, 1):
+            raise ValueError("minimum_should_match > 1 unsupported")
         conds = must + filt
         if should:
-            required = bool(msm) or not conds  # the ES default rule
-            if msm not in (None, 0, 1):
-                raise ValueError("minimum_should_match > 1 unsupported")
+            # the ES rule: should is required when msm==1, optional when
+            # msm==0, and defaults to required-iff-no-must/filter
+            required = msm == 1 or (msm is None and not conds)
             if required:
                 conds.append(_or(should))
         for c in must_not:
@@ -154,28 +156,37 @@ def compile_query_sql(q: dict) -> str:
     if kind == "range":
         (field, bounds), = body.items()
         ops = {"gt": ">", "gte": ">=", "lt": "<", "lte": "<="}
-        conds = [
-            f"{field} {ops[op]} {_sql_lit(v)}"
-            for op, v in bounds.items()
-            if op in ops
-        ]
+        conds = []
+        for op, v in bounds.items():
+            if op in ("format", "time_zone", "boost"):
+                continue
+            if op not in ops:  # twin parity: raise exactly like compile_query
+                raise ValueError(f"unsupported range op {op!r}")
+            conds.append(f"{field} {ops[op]} {_sql_lit(v)}")
+        if not conds:
+            raise ValueError("range clause with no bounds")
         return "(" + " AND ".join(conds) + ")"
     if kind == "exists":
         return f"{body['field']} IS NOT NULL"
     if kind == "prefix":
+        # literal prefix: escape LIKE metacharacters with '!' (a backslash
+        # ESCAPE char parses differently in Spark vs DuckDB string literals)
         field, val = _field_value(body, "value")
-        return f"{field} LIKE {_sql_lit(str(val) + '%')}"
+        esc = (
+            str(val).replace("!", "!!").replace("%", "!%").replace("_", "!_")
+        )
+        return f"{field} LIKE {_sql_lit(esc + '%')} ESCAPE '!'"
     if kind == "wildcard":
         field, val = _field_value(body, "value")
         pat = (
             str(val)
-            .replace("\\", "\\\\")
-            .replace("%", r"\%")
-            .replace("_", r"\_")
+            .replace("!", "!!")
+            .replace("%", "!%")
+            .replace("_", "!_")
             .replace("*", "%")
             .replace("?", "_")
         )
-        return f"{field} LIKE {_sql_lit(pat)} ESCAPE '\\'"
+        return f"{field} LIKE {_sql_lit(pat)} ESCAPE '!'"
     if kind == "match":
         field, val = _field_value(body, "query")
         op = body[field].get("operator", "or") if isinstance(body[field], dict) else "or"
@@ -196,11 +207,14 @@ def compile_query_sql(q: dict) -> str:
         vals = body["values"]
         return f"{field} IN ({', '.join(_sql_lit(v) for v in vals)})"
     if kind == "bool":
+        msm = body.get("minimum_should_match")
+        if msm not in (None, 0, 1):  # twin parity with compile_query
+            raise ValueError("minimum_should_match > 1 unsupported")
         conds = [compile_query_sql(c) for c in _as_list(body.get("must"))]
         conds += [compile_query_sql(c) for c in _as_list(body.get("filter"))]
         should = [compile_query_sql(c) for c in _as_list(body.get("should"))]
         if should:
-            if body.get("minimum_should_match") or not conds:
+            if msm == 1 or (msm is None and not conds):
                 conds.append("(" + " OR ".join(should) + ")")
         for c in _as_list(body.get("must_not")):
             conds.append(f"NOT COALESCE({compile_query_sql(c)}, FALSE)")

@@ -98,7 +98,11 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
     return out
 
 
-def render_response(results: dict[str, DataFrame], keyed: bool = False) -> dict:
+def render_response(
+    results: dict[str, DataFrame],
+    keyed: bool = False,
+    sub_names: dict[str, str] | None = None,
+) -> dict:
     """Shape :func:`run_search` results as the ES response's
     ``aggregations`` object (the serving edge — collects result-sized
     frames only, never raw data):
@@ -106,9 +110,12 @@ def render_response(results: dict[str, DataFrame], keyed: bool = False) -> dict:
     - bucket frames (any frame with a ``key`` column) → ``{"buckets":
       [{"key": ..., "key_as_string"?: ..., "doc_count": ..., <metric
       sub-aggs as {"value": v}>}]}``, or the ``keyed`` object form;
-    - grouped bucket frames (extra leading group columns) → nested
-      ``{"buckets": [{"key": group, "doc_count": Σ, "<name>": {...}}]}``
-      mirroring ES's terms→histogram nesting;
+    - grouped bucket frames (extra leading group columns, the
+      terms→histogram nesting) → nested ``{"buckets": [{"key": group,
+      "doc_count": Σ, "<child name>": {"buckets": [...]}}]}`` where the
+      child name comes from ``sub_names[name]`` (``run_search`` records it
+      on the frame, so plain ``render_response(run_search(df, body))``
+      resolves it automatically; explicit ``sub_names`` overrides);
     - single-row metric frames → ``{"value": v}``.
     """
     out = {}
@@ -137,6 +144,9 @@ def render_response(results: dict[str, DataFrame], keyed: bool = False) -> dict:
             return b
 
         if group_cols:
+            child = (sub_names or {}).get(name) or getattr(
+                df, "_es_child_name", "buckets"
+            )
             nested: dict = {}
             for r in rows:
                 gkey = tuple(r[c] for c in group_cols)
@@ -146,7 +156,7 @@ def render_response(results: dict[str, DataFrame], keyed: bool = False) -> dict:
                     {
                         "key": g[0] if len(g) == 1 else list(g),
                         "doc_count": sum(b["doc_count"] for b in bs),
-                        "buckets": bs,
+                        child: {"buckets": bs},
                     }
                     for g, bs in nested.items()
                 ]
@@ -180,6 +190,12 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
         return _apply_pipelines(_date_histogram(df, spec, sub=metrics), pipes)
     if kind == "terms":
         return _terms(df, spec, sub)
+    # the remaining node types do not support sub-aggs here — honor the
+    # module's 'never silently dropped' contract
+    if sub:
+        raise ValueError(
+            f"sub-aggs under {kind!r} (agg {name!r}) are not supported"
+        )
     if kind == "range":
         from ..operators.es_aggs import range_agg
 
@@ -227,9 +243,15 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
     if kind == "significant_terms":
         from ..operators.es_aggs import significant_terms
 
-        # ES: the bucket's own filter is the foreground; accept either a
-        # ready SQL string or a DSL body under "foreground"
-        fg = spec.get("foreground", spec.get("background_filter"))
+        # engine extension: "foreground" selects the foreground set (a DSL
+        # body or ready SQL). ES's background_filter NARROWS THE BACKGROUND
+        # — different semantics — so reject it loudly rather than misread.
+        if "background_filter" in spec:
+            raise ValueError(
+                "significant_terms background_filter is not supported; "
+                "use the 'foreground' extension (selects the foreground set)"
+            )
+        fg = spec["foreground"]
         fg_sql = fg if isinstance(fg, str) else compile_query_sql_expr(fg)
         return significant_terms(
             df, spec["field"], fg_sql, size=int(spec.get("size", 10)),
@@ -379,24 +401,25 @@ def _date_histogram(df: DataFrame, spec: dict, sub=None) -> DataFrame:
 
 
 def _terms(df: DataFrame, spec: dict, sub: dict, parents: tuple = ()) -> DataFrame:
+    """``parents`` carries (field, size) pairs of enclosing terms levels:
+    nesting flattens to composite grouping (one row per leaf bucket with
+    its parent keys; ES's nested tree re-assembles at the serving edge),
+    and EACH level's ``size`` applies at that level — parent buckets rank
+    by their total doc_count, children rank within their parent."""
     field = spec["field"]
     size = int(spec.get("size", 10))
     aggs = [F.count(F.lit(1)).cast("long").alias("doc_count")]
-    psum_sub = None
-    psum_name = None
+    psum_sub = psum_name = None
     for sname, snode in sub.items():
         skinds = [k for k in snode if k not in ("aggs", "aggregations", "meta")]
         (skind,) = skinds
         if skind == "terms":
-            # terms→terms nesting: flatten to composite grouping (each row =
-            # one leaf bucket carrying its parent keys; ES's nested bucket
-            # tree re-assembles at the serving edge via render_response)
             if len(sub) > 1:
                 raise ValueError("a nested terms node must be the only sub-agg")
             return _terms(
                 df, snode[skind],
                 snode.get("aggs", snode.get("aggregations", {})),
-                parents=(*parents, field),
+                parents=(*parents, (field, size)),
             )
         if skind == "proportional_sum":
             if psum_sub is not None:
@@ -406,18 +429,45 @@ def _terms(df: DataFrame, spec: dict, sub: dict, parents: tuple = ()) -> DataFra
         if skind not in _METRICS:
             raise ValueError(f"unsupported sub-agg {skind!r} under terms")
         aggs.append(_METRICS[skind](snode[skind]["field"]).alias(sname))
+    parent_fields = [f for f, _ in parents]
     if psum_sub is not None:
+        if len(sub) > 1:
+            raise ValueError(
+                "metric siblings beside a nested proportional_sum are not "
+                "supported — put them under the proportional_sum node"
+            )
         # the reference's nesting route (§3.3): the owning terms bucket(s)
-        # become the operator's group_by; metric siblings not supported
-        # in the same node (match the reference's one-agg-deep examples)
-        return _proportional_sum(
-            df, psum_sub["proportional_sum"], group_by=(*parents, field),
+        # become the operator's group_by
+        res = _proportional_sum(
+            df, psum_sub["proportional_sum"],
+            group_by=(*parent_fields, field),
             sub=psum_sub.get("aggs", psum_sub.get("aggregations")),
         )
-    keys = [*parents, field]
-    return (
-        df.groupBy(*keys)
-        .agg(*aggs)
-        .orderBy(F.col("doc_count").desc(), *[F.col(k).asc() for k in keys])
-        .limit(size)
+        res._es_child_name = psum_name  # for render_response's nested shape
+        return res
+    keys = [*parent_fields, field]
+    out = df.groupBy(*keys).agg(*aggs)
+    # per-level size: rank each level's buckets by their TOTAL doc_count
+    # (desc, key asc) within their parent, keep the top `size` — windows
+    # over the result-sized bucket frame, never the raw data
+    from pyspark.sql import Window
+
+    levels = [*parents, (field, size)]
+    for i, (lvl_field, lvl_size) in enumerate(levels):
+        above = [f for f, _ in levels[:i]]
+        total = F.sum("doc_count").over(
+            Window.partitionBy(*above, lvl_field)
+        )
+        rank_w = Window.partitionBy(*above).orderBy(
+            F.col("__lvl_total").desc(), F.col(lvl_field).asc()
+        )
+        out = (
+            out.withColumn("__lvl_total", total)
+            .withColumn("__lvl_rank", F.dense_rank().over(rank_w))
+            .where(F.col("__lvl_rank") <= int(lvl_size))
+            .drop("__lvl_total", "__lvl_rank")
+        )
+    return out.orderBy(
+        *[F.col(f).asc() for f in parent_fields],
+        F.col("doc_count").desc(), F.col(field).asc(),
     )

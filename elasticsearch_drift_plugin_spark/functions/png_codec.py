@@ -194,9 +194,9 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     idat = bytearray()
     while pos + 8 <= len(data):
         length, tag = struct.unpack(">I4s", data[pos : pos + 8])
-        body = data[pos + 8 : pos + 8 + length]
-        if len(body) != length:
+        if pos + 12 + length > len(data):
             raise ValueError("truncated chunk")
+        body = data[pos + 8 : pos + 8 + length]
         crc = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])[0]
         if crc != zlib.crc32(tag + body) & 0xFFFFFFFF:
             raise ValueError(f"CRC mismatch in {tag!r}")

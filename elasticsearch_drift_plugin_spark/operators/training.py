@@ -670,47 +670,43 @@ def shard_by_tokens(
     md5-XOR fingerprint of the member ids, so two engines prove identical
     MEMBERSHIP, not just identical totals).
 
-    Scale: the global rank is a range-repartitioned sort plus
-    per-partition offsets (the offset table is O(#partitions) scalars on
-    the driver) — NOT a single-partition ``Window.orderBy``, which would
-    funnel the whole corpus through one task; the manifest is one
-    partial+final agg keyed by shard.
+    Scale: the global rank is VALUE-partitioned, not task-partitioned —
+    rank(doc) = (count of docs with strictly more tokens) + (row_number
+    among same-count docs by doc_id). The per-value count table is tiny
+    (distinct token counts ≪ corpus; its running-sum window is over that
+    result-sized table) and broadcasts back; the per-value row_number
+    windows partition by ``n_tokens`` (bounded by the largest
+    equal-length cohort). No single-partition window over the corpus, and
+    — unlike a ``repartitionByRange`` + ``spark_partition_id`` two-pass —
+    no dependence on sampled range boundaries being identical across two
+    evaluations of the same exchange (RangePartitioner samples, and
+    recomputation under AQE/stage-retry may resample), so ranks are
+    deterministic by construction.
     """
     toks = docs.select(
         F.col("doc_id"),
         F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
     )
-    # distributed global rank: range-partition on the sort key so partition
-    # p holds a contiguous rank slice, rank locally, then add the count of
-    # all earlier partitions (an O(#partitions)-row broadcast join).
-    sort_cols = [F.col("n_tokens").desc(), F.col("doc_id").asc()]
-    ranged = toks.repartitionByRange(*sort_cols).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    offsets = (
-        ranged.groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .withColumn(
-            "_offset",
-            F.coalesce(
-                F.sum("_cnt").over(
-                    Window.orderBy("_pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
+    cnts = toks.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("_cnt"))
+    offsets = cnts.withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum("_cnt").over(
+                Window.orderBy(F.col("n_tokens").desc()).rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
             ),
-        )
-        .select("_pid", "_offset")
-    )
-    local_w = Window.partitionBy("_pid").orderBy(*sort_cols)
+            F.lit(0),
+        ),
+    ).select("n_tokens", "_offset")
+    within = Window.partitionBy("n_tokens").orderBy("doc_id")
     ranked = (
-        ranged.withColumn("_local_rank", F.row_number().over(local_w))
-        .join(F.broadcast(offsets), "_pid")
+        toks.join(F.broadcast(offsets), "n_tokens")
         .withColumn(
             "shard",
             F.pmod(
-                F.col("_offset") + F.col("_local_rank") - 1, F.lit(int(n_shards))
+                F.col("_offset") + F.row_number().over(within) - 1,
+                F.lit(int(n_shards)),
             ).cast("long"),
         )
     )

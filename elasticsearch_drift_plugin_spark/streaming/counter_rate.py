@@ -67,10 +67,17 @@ def counter_rate_stream(
             yield pd.DataFrame([], columns=[*keys, "bucket", "n_samples", "increase"])
             return
         cum, last = (tuple(state.get) if state.exists else (0, None))
+
+        def trunc_mod(a: int) -> int:
+            # Spark/DuckDB % is TRUNCATED remainder (sign of the dividend);
+            # Python % floors — match the batch twin exactly for negative
+            # cumulative sums (negative gauge values are legal input)
+            return a % mod if a >= 0 else -((-a) % mod)
+
         buckets: dict[int, list[int]] = {}
         for t, _eid, vq in sorted(rows):
             cum = cum + vq
-            counter = cum % mod
+            counter = trunc_mod(cum)
             if last is None:
                 inc = 0
             elif counter < last:

@@ -319,3 +319,71 @@ def test_composite_and_sibling_bucket_pipelines(spark):
     # hist buckets: 0->10+10=20 (2 docs), 20->30 (1), 40->50 (1), 60->70 (1)
     assert out["avg_per_bucket"].collect()[0][0] == (20.0 + 30.0 + 50.0 + 70.0) / 4
     assert out["total_docs"].collect()[0][0] == 5
+
+
+def test_review_regressions_round5(spark):
+    """Pinned fixes from the round-5 code review."""
+    from elasticsearch_drift_plugin_spark.functions.es_dsl import (
+        compile_query,
+        compile_query_sql,
+    )
+    from elasticsearch_drift_plugin_spark.functions.es_search import (
+        render_response,
+    )
+
+    # (1) terms-in-terms: leaf size applies PER PARENT, parents keep their
+    # own size — no global top-k over flattened rows
+    rows = [("p1", f"c{i}", 1.0) for i in range(4)]
+    rows += [("p2", "c9", 1.0)] * 10  # p2's single child outweighs all of p1's
+    ev = spark.createDataFrame(rows, "p string, c string, v double")
+    body = {"aggs": {"o": {"terms": {"field": "p", "size": 10},
+                           "aggs": {"i": {"terms": {"field": "c", "size": 2}}}}}}
+    got = {(r.p, r.c): r.doc_count for r in run_search(ev, body)["o"].collect()}
+    # p1 keeps its top-2 children even though each ranks below p2's child
+    assert got == {("p1", "c0"): 1, ("p1", "c1"): 1, ("p2", "c9"): 10}
+
+    # (2) sub-aggs under unsupported nodes raise instead of vanishing
+    with pytest.raises(ValueError):
+        run_search(ev, {"aggs": {"x": {"range": {"field": "v", "ranges": [{"to": 5}]},
+                                       "aggs": {"s": {"sum": {"field": "v"}}}}}})
+    # metric sibling beside a nested proportional_sum raises too
+    with pytest.raises(ValueError):
+        run_search(ev, {"aggs": {"x": {"terms": {"field": "p"}, "aggs": {
+            "ps": {"proportional_sum": {"fields": ["v", "v", "v"], "interval": 1}},
+            "m": {"sum": {"field": "v"}}}}}})
+
+    # (3) minimum_should_match: 0 makes should optional even standalone
+    docs = spark.createDataFrame([(1, "a"), (2, "b")], "id long, t string")
+    q0 = {"bool": {"should": [{"term": {"t": "a"}}], "minimum_should_match": 0}}
+    assert {r.id for r in docs.where(compile_query(q0)).collect()} == {1, 2}
+
+    # (4) prefix SQL twin escapes LIKE metacharacters ('_' must be literal)
+    d2 = spark.createDataFrame([(1, "a_b"), (2, "aXb")], "id long, path string")
+    qp = {"prefix": {"path": "a_b"}}
+    spark_ids = {r.id for r in d2.where(compile_query(qp)).collect()}
+    sql_ids = {r.id for r in d2.where(F.expr(compile_query_sql(qp))).collect()}
+    import duckdb
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t2 (id BIGINT, path VARCHAR)")
+    con.executemany("INSERT INTO t2 VALUES (?, ?)", [(1, "a_b"), (2, "aXb")])
+    duck_ids = {r[0] for r in con.execute(
+        f"SELECT id FROM t2 WHERE {compile_query_sql(qp)}").fetchall()}
+    assert spark_ids == sql_ids == duck_ids == {1}
+
+    # (5) significant_terms rejects ES background_filter loudly
+    with pytest.raises(ValueError):
+        run_search(ev, {"aggs": {"x": {"significant_terms": {
+            "field": "p", "background_filter": {"term": {"c": "c0"}}}}}})
+
+    # (6) grouped render nests children under the sub-agg NAME
+    flows = spark.createDataFrame(
+        [("a", 0, 100, 4.0, None)],
+        "k string, start_ms long, end_ms long, value double, sampling double",
+    )
+    body6 = {"aggs": {"per_k": {"terms": {"field": "k"}, "aggs": {
+        "daily": {"proportional_sum": {
+            "fields": ["start_ms", "end_ms", "value"], "interval": 100}}}}}}
+    resp = render_response(run_search(flows, body6))
+    parent = resp["aggregations"]["per_k"]["buckets"][0]
+    assert parent["key"] == "a" and "daily" in parent
+    assert parent["daily"]["buckets"][0]["key"] == 0
