@@ -193,3 +193,49 @@ def test_bpe_encode_monotone_in_merges(spark):
     assert set(t10) == set(t40) and len(t10) == 50
     assert all(t40[d] <= t10[d] for d in t10)
     assert sum(t40.values()) < sum(t10.values())
+
+
+def test_counter_rate_negative_values_stream_equals_batch(spark, tmp_path):
+    """Negative gauges drive the synthesized cumulative sum negative; the
+    streaming kernel's truncated-mod must match Spark SQL's % (sign of the
+    dividend), so stream and batch twins agree bit-for-bit."""
+    from elasticsearch_drift_plugin_spark.operators.es_aggs import (
+        time_series_counter_rate,
+    )
+    from elasticsearch_drift_plugin_spark.streaming.counter_rate import (
+        counter_rate_stream,
+    )
+
+    day = 1_704_067_200_000
+    rows = [
+        (i, "s", day + i * 3_600_000, v)
+        for i, v in enumerate([5.0, -20.0, 3.0, -1.0, 8.0])
+    ]
+    schema = "event_id long, event_type string, t long, value double"
+    batch = spark.createDataFrame(rows, schema).select(
+        "event_id", "event_type",
+        F.timestamp_millis(F.col("t")).alias("ts"), "value",
+    )
+    expected = {
+        (r.event_type, r.bucket): (r.n_samples, r.increase)
+        for r in time_series_counter_rate(batch, reset_mod=10).collect()
+    }
+
+    src = f"{tmp_path}/neg_ctr"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src).withColumn(
+        "t_ms", F.col("t")
+    )
+    out = counter_rate_stream(stream, dims=("event_type",), reset_mod=10)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("neg_out").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    folded = {}
+    for r in spark.sql("SELECT * FROM neg_out").collect():
+        k = (r.event_type, r.bucket)
+        n, inc = folded.get(k, (0, 0))
+        folded[k] = (n + r.n_samples, inc + r.increase)
+    assert folded == expected
