@@ -75,7 +75,15 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
     Sibling pipeline aggs (``avg_bucket``/``sum_bucket``/``min_bucket``/
     ``max_bucket``) resolve after their targets: ``buckets_path``
     ``"hist>metric"`` aggregates that column of the sibling's bucket frame
-    (result-sized — never a second pass over the data)."""
+    (result-sized — never a second pass over the data).
+
+    ``runtime_mappings`` adds runtime fields before the query/aggs see the
+    frame — ES computes these per-doc from a Painless script; here the
+    ``script.source`` is a SQL expression (the engine's script dialect,
+    same stance as ``scripted_metric``), compiled into the scan projection
+    so Catalyst prunes/pushes around it."""
+    for fname, fspec in body.get("runtime_mappings", {}).items():
+        df = df.withColumn(fname, F.expr(fspec["script"]["source"]))
     if "query" in body:
         df = df.where(compile_query(body["query"]))
     aggs = body.get("aggs", body.get("aggregations", {}))

@@ -387,3 +387,25 @@ def test_review_regressions_round5(spark):
     parent = resp["aggregations"]["per_k"]["buckets"][0]
     assert parent["key"] == "a" and "daily" in parent
     assert parent["daily"]["buckets"][0]["key"] == 0
+
+
+def test_runtime_mappings_fields(spark):
+    """Runtime fields (SQL-dialect scripts) are visible to both the query
+    clause and the aggs."""
+    ev = spark.createDataFrame(
+        [("click", 10.0), ("view", 200.0), ("click", 300.0)],
+        "etype string, value double",
+    )
+    body = {
+        "runtime_mappings": {
+            "value_band": {"type": "keyword",
+                           "script": {"source": "IF(value >= 100, 'hi', 'lo')"}}
+        },
+        "query": {"term": {"value_band": "hi"}},
+        "aggs": {"by_band": {"terms": {"field": "etype"}},
+                 "total": {"sum": {"field": "value"}}},
+    }
+    out = run_search(ev, body)
+    assert out["total"].collect()[0][0] == 500.0
+    got = {r.etype: r.doc_count for r in out["by_band"].collect()}
+    assert got == {"click": 1, "view": 1}
