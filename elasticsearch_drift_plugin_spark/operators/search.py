@@ -122,10 +122,26 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def compile_rules(rules) -> tuple:
+    """Normalize stored queries to ``(rule_id, portable-SQL)`` pairs.
+    Each rule's predicate may be a ready SQL string OR an ES query-DSL
+    body (dict) — the percolator's real-world registration format —
+    compiled through :mod:`..functions.es_dsl` (same text runs in Spark
+    and the DuckDB oracle)."""
+    from ..functions.es_dsl import compile_query_sql
+
+    return tuple(
+        (rid, pred if isinstance(pred, str) else compile_query_sql(pred))
+        for rid, pred in rules
+    )
+
+
 def percolate_aggs(rules=PERCOLATE_RULES) -> list:
     """The per-rule conditional-aggregate pair list — SHARED by the batch
     operator and ``streaming.bounded.stream_percolate`` so the two twins
-    cannot drift if the rule compilation changes."""
+    cannot drift if the rule compilation changes. Rules pass through
+    :func:`compile_rules`, so stored queries may be ES DSL bodies."""
+    rules = compile_rules(rules)
     vq = (
         "CASE WHEN value IS NOT NULL AND NOT isnan(value)"
         " THEN CAST(FLOOR(value * 1000000.0) AS BIGINT) ELSE 0 END"
@@ -160,6 +176,7 @@ def percolate_unpivot(row: DataFrame, rules=PERCOLATE_RULES) -> DataFrame:
 
 
 def percolate_sql(table: str = "events", rules=PERCOLATE_RULES) -> str:
+    rules = compile_rules(rules)
     vq = (
         "CASE WHEN value IS NOT NULL AND NOT isnan(value)"
         " THEN CAST(FLOOR(value * 1000000.0) AS BIGINT) ELSE 0 END"

@@ -409,3 +409,26 @@ def test_runtime_mappings_fields(spark):
     assert out["total"].collect()[0][0] == 500.0
     got = {r.etype: r.doc_count for r in out["by_band"].collect()}
     assert got == {"click": 1, "view": 1}
+
+
+def test_percolate_accepts_dsl_rule_bodies(spark):
+    """The percolator's stored queries can be registered as ES DSL bodies
+    — compiled through the same clause compiler as the search path, and
+    equal to the hand-written SQL rule."""
+    from elasticsearch_drift_plugin_spark.operators.search import percolate
+
+    ev = spark.createDataFrame(
+        [(1, "error", 5, 10.0), (2, "click", 7, 500.0), (3, "error", 9, None)],
+        "event_id long, event_type string, user_id long, value double",
+    )
+    dsl_rules = (
+        (1, {"term": {"event_type": "error"}}),
+        (2, {"bool": {"filter": [{"term": {"event_type": "click"}},
+                                 {"range": {"value": {"gte": 100}}}]}}),
+    )
+    sql_rules = ((1, "event_type = 'error'"),
+                 (2, "event_type = 'click' AND value >= 100"))
+    got_dsl = [tuple(r) for r in percolate(ev, rules=dsl_rules).collect()]
+    got_sql = [tuple(r) for r in percolate(ev, rules=sql_rules).collect()]
+    assert got_dsl == got_sql
+    assert got_dsl[0][:2] == (1, 2)  # two error docs match rule 1
