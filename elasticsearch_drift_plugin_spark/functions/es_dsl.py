@@ -27,6 +27,11 @@ common flow-query bodies):
   analyzer: the phrase as one token-boundary-padded substring)
 - ``ids`` — id-list membership (``values``; relational docs carry the id
   in a column, ``field`` defaults to ``doc_id``)
+- ``geo_bounding_box`` / ``geo_distance`` — relational geo points are two
+  columns (``lat_field``/``lon_field``, default ``lat``/``lon``); the
+  distance filter shares the geo module's IEEE-stable haversine, distances
+  accept ES strings (``"500km"``/``"10mi"``/meters); dateline-crossing
+  boxes raise
 - ``bool`` — ``must`` / ``filter`` (AND), ``should`` (OR, with
   ``minimum_should_match`` 0/1 semantics: should is optional when must or
   filter present, required otherwise — the documented ES rule), ``must_not``
@@ -115,6 +120,24 @@ def compile_query(q: dict) -> Column:
         vals = body["values"]
         field = body.get("field", "doc_id")
         return F.col(field).isin(list(vals))
+    if kind == "geo_bounding_box":
+        lat, lon, tl, br = _geo_fields(body)
+        if tl["lon"] > br["lon"]:
+            raise ValueError("dateline-crossing geo_bounding_box unsupported")
+        return (
+            (F.col(lat) <= F.lit(tl["lat"]))
+            & (F.col(lat) >= F.lit(br["lat"]))
+            & (F.col(lon) >= F.lit(tl["lon"]))
+            & (F.col(lon) <= F.lit(br["lon"]))
+        )
+    if kind == "geo_distance":
+        from ..operators.geo import _haversine_m
+
+        lat = body.get("lat_field", "lat")
+        lon = body.get("lon_field", "lon")
+        olat, olon = body["origin"]["lat"], body["origin"]["lon"]
+        dist_m = _parse_distance_m(body["distance"])
+        return F.expr(_haversine_m(lat, lon, olat, olon)) <= F.lit(dist_m)
     if kind == "bool":
         must = [compile_query(c) for c in _as_list(body.get("must"))]
         filt = [compile_query(c) for c in _as_list(body.get("filter"))]
@@ -206,6 +229,22 @@ def compile_query_sql(q: dict) -> str:
         field = body.get("field", "doc_id")
         vals = body["values"]
         return f"{field} IN ({', '.join(_sql_lit(v) for v in vals)})"
+    if kind == "geo_bounding_box":
+        lat, lon, tl, br = _geo_fields(body)
+        if tl["lon"] > br["lon"]:
+            raise ValueError("dateline-crossing geo_bounding_box unsupported")
+        return (
+            f"({lat} <= {tl['lat']!r} AND {lat} >= {br['lat']!r}"
+            f" AND {lon} >= {tl['lon']!r} AND {lon} <= {br['lon']!r})"
+        )
+    if kind == "geo_distance":
+        from ..operators.geo import _haversine_m
+
+        lat = body.get("lat_field", "lat")
+        lon = body.get("lon_field", "lon")
+        olat, olon = body["origin"]["lat"], body["origin"]["lon"]
+        dist_m = _parse_distance_m(body["distance"])
+        return f"({_haversine_m(lat, lon, olat, olon)} <= {dist_m!r})"
     if kind == "bool":
         msm = body.get("minimum_should_match")
         if msm not in (None, 0, 1):  # twin parity with compile_query
@@ -220,6 +259,27 @@ def compile_query_sql(q: dict) -> str:
             conds.append(f"NOT COALESCE({compile_query_sql(c)}, FALSE)")
         return "(" + " AND ".join(conds) + ")" if conds else "TRUE"
     raise ValueError(f"unsupported query clause {kind!r}")
+
+
+def _geo_fields(body: dict):
+    """(lat_col, lon_col, top_left, bottom_right) — relational geo points
+    are two columns (engine extension ``lat_field``/``lon_field``,
+    defaulting to ``lat``/``lon``)."""
+    lat = body.get("lat_field", "lat")
+    lon = body.get("lon_field", "lon")
+    return lat, lon, body["top_left"], body["bottom_right"]
+
+
+def _parse_distance_m(d) -> float:
+    """ES distance strings (``"500km"``, ``"100m"``, ``"10mi"``) or a bare
+    number of meters."""
+    if isinstance(d, (int, float)):
+        return float(d)
+    s = str(d).strip().lower()
+    for suf, mult in (("km", 1000.0), ("mi", 1609.344), ("m", 1.0)):
+        if s.endswith(suf):
+            return float(s.removesuffix(suf)) * mult
+    raise ValueError(f"cannot parse distance {d!r}")
 
 
 def _field_value(body: dict, value_key: str):

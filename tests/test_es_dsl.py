@@ -110,3 +110,39 @@ def test_unsupported_clause_fails_loudly():
     with pytest.raises(ValueError):
         compile_query({"bool": {"should": [{"match_all": {}}],
                                 "minimum_should_match": 2}})
+
+
+def test_geo_query_clauses(spark):
+    pts = spark.createDataFrame(
+        [(1, 40.7, -74.0), (2, 34.0, -118.2), (3, 41.0, -73.5), (4, -33.9, 151.2)],
+        "id long, lat double, lon double",
+    )
+
+    def ids2(q):
+        return sorted(r.id for r in pts.where(compile_query(q)).collect())
+
+    bbox = {"geo_bounding_box": {
+        "top_left": {"lat": 45.0, "lon": -80.0},
+        "bottom_right": {"lat": 35.0, "lon": -70.0},
+    }}
+    assert ids2(bbox) == [1, 3]
+    near_nyc = {"geo_distance": {"distance": "100km",
+                                 "origin": {"lat": 40.7128, "lon": -74.006}}}
+    assert ids2(near_nyc) == [1, 3]  # LA and Sydney out of range
+    tight = {"geo_distance": {"distance": "10km",
+                              "origin": {"lat": 40.7128, "lon": -74.006}}}
+    assert ids2(tight) == [1]
+    # twin agreement on the same bodies
+    con = duckdb.connect()
+    con.execute("CREATE TABLE g (id BIGINT, lat DOUBLE, lon DOUBLE)")
+    con.executemany("INSERT INTO g VALUES (?, ?, ?)",
+                    [(1, 40.7, -74.0), (2, 34.0, -118.2), (3, 41.0, -73.5),
+                     (4, -33.9, 151.2)])
+    for q in (bbox, near_nyc, tight):
+        duck = sorted(r[0] for r in con.execute(
+            f"SELECT id FROM g WHERE {compile_query_sql(q)}").fetchall())
+        assert duck == ids2(q)
+    with pytest.raises(ValueError):
+        compile_query({"geo_bounding_box": {
+            "top_left": {"lat": 1.0, "lon": 170.0},
+            "bottom_right": {"lat": -1.0, "lon": -170.0}}})
