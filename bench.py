@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "es_dsl_query",
     "es_search_body",
     "es_search_grouped",
+    "es_dsl_geo",
 ]
 
 

@@ -425,7 +425,48 @@ def queries() -> dict:
         ),
         "es_term_suggest": lambda s, d: term_suggest(load_table(s, d, "documents")),
         "es_dsl_query": lambda s, d: dsl_filter_agg(load_table(s, d, "events")),
+        "es_dsl_geo": lambda s, d: _dsl_geo_query(s, d),
     }
+
+
+# a DSL body with the r5 geo clauses: docs within 3000 km of Paris OR
+# inside a mid-Atlantic box, bucketed by event_type
+ES_DSL_GEO_BODY = {
+    "bool": {
+        "should": [
+            {"geo_distance": {"distance": "3000km",
+                              "origin": {"lat": 48.8566, "lon": 2.3522}}},
+            {"geo_bounding_box": {"top_left": {"lat": 20.0, "lon": -60.0},
+                                  "bottom_right": {"lat": -20.0, "lon": -20.0}}},
+        ],
+        "minimum_should_match": 1,
+    }
+}
+
+
+def _dsl_geo_query(s, d):
+    from ..functions.es_dsl import compile_query
+    from .geo import geo_events
+
+    pts = geo_events(load_table(s, d, "events"))
+    return (
+        pts.where(compile_query(ES_DSL_GEO_BODY))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        .orderBy("event_type")
+    )
+
+
+def dsl_geo_sql() -> str:
+    from ..functions.es_dsl import compile_query_sql
+    from .geo import GEO_EVENTS_DUCK
+
+    return f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS doc_count
+FROM ({GEO_EVENTS_DUCK})
+WHERE {compile_query_sql(ES_DSL_GEO_BODY)}
+GROUP BY event_type ORDER BY event_type
+"""
 
 
 def oracle_sql() -> dict:
@@ -435,4 +476,5 @@ def oracle_sql() -> dict:
         "es_intervals_near": intervals_near_sql(),
         "es_term_suggest": term_suggest_sql(),
         "es_dsl_query": dsl_filter_agg_sql(),
+        "es_dsl_geo": dsl_geo_sql(),
     }
