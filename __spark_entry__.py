@@ -173,6 +173,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "text_readability", "corpus_topic_terms",
 )
 # Round-6 rotation backlog (never driver-stamped, did not fit this window):
+# es_dsl_geo (registered after the r5 window was frozen),
 # psum_cal_month_tz, psum_cal_week_tz, psum_cal_week_tz_lineitem,
 # es_random_sampler, es_geohash_grid, es_geo_bounds, es_geo_centroid,
 # es_geo_distance,
