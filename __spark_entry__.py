@@ -141,50 +141,39 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver grades the FIRST 50 registered queries only (round-2 lesson:
-# everything after position 50 got zero external evidence). Round-5 ROTATION:
-# rounds 1-4 accumulated green driver rows for 119 queries; 68 oracle-paired
-# queries have NEVER been driver-stamped, so this window front-loads 50 of
-# them — the 8 r5-new registrations first (freshest code, highest risk),
-# then the r4 session-2/3 backlog, then older never-green families. The 18
-# remaining never-stamped oracle-paired queries (+8 rows-only) are the r6
-# backlog below. Everything else still registers after these and stays
-# covered by pytest + tools/check_correctness.py full sweeps.
+# everything after position 50 got zero external evidence). Round-6 ROTATION
+# closes the stamping backlog: the 5 r6-new registrations first (freshest
+# code), then the 23 oracle-paired queries that have NEVER been
+# driver-stamped (the full list from VERDICT r5), then the 8 rows-only
+# entries (weaker rows-only driver check, but evidence all the same), then
+# re-stamps of queries whose code paths this round MODIFIED (the _search
+# compiler, the streaming replay lock, the counter-rate window frame, the
+# BPE trainer). Everything else stays covered by pytest +
+# tools/check_correctness.py full sweeps.
 GRADE_FIRST: tuple[str, ...] = (
-    # --- r5-new (registered this round; no driver evidence by definition):
-    # the REAL PNG codec paths, the ES nested pair, and the TSDB
-    # counter-rate batch + stateful-streaming twins ---
-    "mm_png_roundtrip", "mm_resize_png", "mm_frames_png", "es_nested",
-    "es_reverse_nested", "es_time_series_rate", "stream_time_series_rate",
-    # --- r4 rotation backlog (registered after the r4 window closed) ---
-    "es_top_hits", "es_terms_shard_error", "es_has_child", "es_rrf_fusion",
-    "corpus_bpe_pairs", "corpus_weighted_sample", "corpus_decon_hashed",
-    "corpus_log_odds", "corpus_zipf_slope", "rel_interval_join",
-    "train_curriculum", "emb_rp_project", "pipe_js_divergence",
-    "pipe_holt_forecast", "dedup_containment", "stream_js_divergence",
-    "es_geo_polygon", "psum_hard_bounds", "dedup_lsh_eval",
-    "rel_data_quality", "es_percolate", "es_more_like_this",
-    "es_intervals_near", "es_term_suggest", "stream_percolate",
-    "text_hash_embed", "emb_pq_codes", "ann_pq_topk", "ann_pq_rerank",
-    # --- older never-stamped: pipeline drift family, geo, ANN, corpus ---
-    "pipe_moving_fn", "pipe_change_point", "pipe_ks_test", "pipe_zscore",
-    "pipe_bucket_correlation", "es_ip_prefix", "es_search_grouped",
-    "es_dsl_query", "es_search_body",
-    "ann_knn_join", "ann_knn_cells", "emb_cluster_purity",
-    "text_readability", "corpus_topic_terms",
+    # --- r6-new (no driver evidence by definition) ---
+    "es_search_body2", "es_search_pctl", "es_search_top_hits",
+    "es_search_geo", "es_dsl_geo_dateline",
+    # --- the never-stamped backlog (23, from VERDICT r5) ---
+    "es_dsl_geo", "psum_cal_month_tz", "psum_cal_week_tz",
+    "psum_cal_week_tz_lineitem", "es_random_sampler", "es_geohash_grid",
+    "es_geo_bounds", "es_geo_centroid", "es_geo_distance",
+    "dedup_quality_canonical", "corpus_fuzzy_decon", "corpus_sample_exact",
+    "corpus_hash_sample", "train_domain_mix", "train_epoch_plan",
+    "train_neg_samples", "train_shard_by_tokens", "mm_resize",
+    "mm_phash_dedup", "stream_zscore_day", "stream_psum_day_tz",
+    "stream_geotile_grid", "stream_data_quality",
+    # --- rows-only entries (8): sketches / iterative fixpoints ---
+    "graph_pagerank", "es_cardinality_approx", "es_theta_set_ops",
+    "stats_quantiles_kll", "emb_kmeans_ivf_topk", "corpus_bpe_train",
+    "corpus_bpe_encode", "train_pack_bfd",
+    # --- re-stamps: code paths modified this round ---
+    "es_search_body", "es_search_grouped", "es_time_series_rate",
+    "stream_time_series_rate", "es_top_hits", "pipe_moving_fn",
+    "es_percentile_ranks", "stream_psum_6h", "stream_flow_sessions",
+    "stream_dedup_exact", "stream_percolate", "stream_js_divergence",
+    "psum_fixed_1h", "psum_grouped_subagg",
 )
-# Round-6 rotation backlog (never driver-stamped, did not fit this window):
-# es_dsl_geo (registered after the r5 window was frozen),
-# psum_cal_month_tz, psum_cal_week_tz, psum_cal_week_tz_lineitem,
-# es_random_sampler, es_geohash_grid, es_geo_bounds, es_geo_centroid,
-# es_geo_distance,
-# dedup_quality_canonical, corpus_fuzzy_decon, corpus_sample_exact,
-# corpus_hash_sample, train_domain_mix, train_epoch_plan, train_neg_samples,
-# train_shard_by_tokens, mm_resize, mm_phash_dedup, stream_zscore_day,
-# stream_psum_day_tz, stream_geotile_grid, stream_data_quality (+ rows-only
-# graph_pagerank, es_cardinality_approx, es_theta_set_ops,
-# stats_quantiles_kll, emb_kmeans_ivf_topk, corpus_bpe_train,
-# corpus_bpe_encode, train_pack_bfd). All oracle-paired entries are green
-# in this round's local sweep (CORRECTNESS_SELF_r5).
 
 
 def _grade_order(q: dict, strict: bool = True) -> dict:
@@ -256,12 +245,174 @@ def _es_search_grouped_query(s: SparkSession, d: str) -> DataFrame:
     return run_search(fl, ES_SEARCH_GROUPED_BODY)["per_type"].drop("key_ts")
 
 
+# Round-6 compiler surface: one body exercising the r6 pipeline sub-agg
+# families together — moving_fn (builtin MovingFunctions over the trailing
+# window), bucket_selector (params-script bucket filter), bucket_sort
+# (sort + size truncation) — over the plugin's own histogram.
+ES_SEARCH_BODY2 = {
+    "size": 0,
+    "aggs": {
+        "hist": {
+            "proportional_sum": {
+                "fields": ["start_ms", "end_ms", "value", "sampling"],
+                "interval": 6 * HOUR,
+                "offset": 1,
+                "quantize": 4,
+            },
+            "aggs": {
+                "mv_max": {"moving_fn": {
+                    "buckets_path": "value", "window": 4,
+                    "script": "MovingFunctions.max(values)", "quantize": 4,
+                }},
+                "keep_busy": {"bucket_selector": {
+                    "buckets_path": {"c": "_count"},
+                    "script": "params.c >= 5",
+                }},
+                "top12": {"bucket_sort": {
+                    "sort": [{"value": {"order": "desc"}}], "size": 12,
+                }},
+            },
+        },
+    },
+}
+
+
+def _es_search_body2_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    fl = flows_src.events_flows(s, d)
+    return run_search(fl, ES_SEARCH_BODY2)["hist"].drop("key_ts")
+
+
+def _es_search_body2_oracle() -> str:
+    base = _ev_oracle(interval=6 * HOUR, offset=1)
+    return f"""
+WITH base AS ({base}),
+mv AS (
+  SELECT key, doc_count, value,
+         MAX(CAST(ROUND(value * 10000) AS BIGINT)) OVER (
+           ORDER BY key ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS mv_max
+  FROM base
+),
+sel AS (SELECT * FROM mv WHERE doc_count >= 5),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY value DESC, key ASC) AS rn FROM sel
+)
+SELECT key, doc_count, value, mv_max FROM ranked WHERE rn <= 12
+ORDER BY value DESC, key ASC
+"""
+
+
+# Exact percentiles + ≤-probe ranks through the compiler (the metric-family
+# r6 nodes) over raw events values.
+ES_SEARCH_PCTL_BODY = {
+    "aggs": {
+        "pctl": {"percentiles": {
+            "field": "value", "percents": [25, 50, 75, 95], "quantize": 4,
+        }},
+    },
+}
+
+
+def _es_search_pctl_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    ev = s.read.parquet(f"{d}/events.parquet")
+    return run_search(ev, ES_SEARCH_PCTL_BODY)["pctl"]
+
+
+def _es_search_pctl_oracle() -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT CAST({p!r} AS DOUBLE) AS pct,"
+        f" CAST(FLOOR(quantile_cont(vq, {p / 100.0!r})) AS BIGINT) AS value_q"
+        f" FROM clean"
+        for p in (25.0, 50.0, 75.0, 95.0)
+    )
+    return f"""
+WITH clean AS (
+  SELECT CAST(ROUND(value * 10000) AS BIGINT) AS vq FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+)
+{arms}
+ORDER BY pct
+"""
+
+
+# terms → top_hits through the compiler: per-type best flows by value with
+# the terms-level size pruning applied first (the r6 ADVICE fix path).
+ES_SEARCH_TOP_HITS_BODY = {
+    "aggs": {
+        "per_type": {
+            "terms": {"field": "event_type", "size": 3},
+            "aggs": {
+                "best": {"top_hits": {
+                    "size": 2,
+                    "sort": [{"value": {"order": "desc"}}],
+                    "_source": ["user_id"],
+                    "id_field": "flow_id",
+                }},
+            },
+        },
+    },
+}
+
+
+def _es_search_top_hits_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    fl = flows_src.events_flows(s, d)
+    return run_search(fl, ES_SEARCH_TOP_HITS_BODY)["per_type"]
+
+
+def _es_search_top_hits_oracle() -> str:
+    fl = flows_src.events_flows_duckdb_sql("")
+    return f"""
+WITH fl AS ({fl}),
+keys AS (
+  SELECT event_type FROM fl GROUP BY event_type
+  ORDER BY COUNT(*) DESC, event_type ASC LIMIT 3
+),
+ranked AS (
+  SELECT event_type, flow_id, user_id,
+         CAST(FLOOR(value * 1000000.0) AS BIGINT) AS value_q,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, flow_id) AS rank
+  FROM fl
+  WHERE event_type IN (SELECT event_type FROM keys)
+    AND value IS NOT NULL AND NOT isnan(value)
+)
+SELECT event_type, CAST(rank AS BIGINT) AS rank, flow_id, user_id, value_q
+FROM ranked WHERE rank <= 2 ORDER BY event_type, rank
+"""
+
+
+# geohash_grid through the compiler (geo_point = two relational columns,
+# the es_dsl geo-clause convention), non-default precision/size so the
+# compile path is exercised distinctly from the direct es_geohash_grid query.
+ES_SEARCH_GEO_BODY = {
+    "aggs": {
+        "cells": {"geohash_grid": {"precision": 3, "size": 20}},
+    },
+}
+
+
+def _es_search_geo_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    pts = geo.geo_events(s.read.parquet(f"{d}/events.parquet"))
+    return run_search(pts, ES_SEARCH_GEO_BODY)["cells"]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- core operator, SURVEY.md §2.1 rows 1-6, 11-17, 21 ---
         "psum_fixed_1h": lambda s, d: _psum_events(s, d, interval=HOUR, offset=1),
         "es_search_body": _es_search_body_query,
         "es_search_grouped": _es_search_grouped_query,
+        "es_search_body2": _es_search_body2_query,
+        "es_search_pctl": _es_search_pctl_query,
+        "es_search_top_hits": _es_search_top_hits_query,
+        "es_search_geo": _es_search_geo_query,
         # rows 2/4: sampling scale-up applied via the 4th positional field
         "psum_sampling": lambda s, d: _psum_events(s, d, interval=6 * HOUR, offset=1),
         "psum_no_sampling": lambda s, d: _psum_events(
@@ -546,6 +697,10 @@ def oracle_sql() -> dict[str, str]:
         "es_search_grouped": _ev_oracle(
             calendar_interval="day", offset=1, group_by=("event_type",)
         ),
+        "es_search_body2": _es_search_body2_oracle(),
+        "es_search_pctl": _es_search_pctl_oracle(),
+        "es_search_top_hits": _es_search_top_hits_oracle(),
+        "es_search_geo": geo.geohash_grid_sql(precision=3, size=20),
         "psum_sampling": _ev_oracle(interval=6 * HOUR, offset=1),
         "psum_no_sampling": _ev_oracle(interval=6 * HOUR, offset=1, sampling=False),
         "psum_offset_90m": _ev_oracle(interval=6 * HOUR, offset="90m"),

@@ -30,8 +30,9 @@ common flow-query bodies):
 - ``geo_bounding_box`` / ``geo_distance`` — relational geo points are two
   columns (``lat_field``/``lon_field``, default ``lat``/``lon``); the
   distance filter shares the geo module's IEEE-stable haversine, distances
-  accept ES strings (``"500km"``/``"10mi"``/meters); dateline-crossing
-  boxes raise
+  accept ES strings (``"500km"``/``"10mi"``/meters); a dateline-crossing
+  box (west > east, the ES wrap rule) compiles to
+  ``lon >= west OR lon <= east``
 - ``bool`` — ``must`` / ``filter`` (AND), ``should`` (OR, with
   ``minimum_should_match`` 0/1 semantics: should is optional when must or
   filter present, required otherwise — the documented ES rule), ``must_not``
@@ -73,8 +74,15 @@ def compile_query(q: dict) -> Column:
         (field, bounds), = body.items()
         conds = []
         ops = {"gt": "__gt__", "gte": "__ge__", "lt": "__lt__", "lte": "__le__"}
+        if "time_zone" in bounds:
+            # ES shifts date-string bounds by time_zone before comparing;
+            # silently ignoring it would return subtly different rows
+            raise ValueError(
+                "range time_zone is unsupported — shift the bound to epoch "
+                "millis (the engine's timestamp dialect) before compiling"
+            )
         for op, v in bounds.items():
-            if op in ("format", "time_zone", "boost"):
+            if op in ("format", "boost"):
                 continue
             if op not in ops:
                 raise ValueError(f"unsupported range op {op!r}")
@@ -122,11 +130,15 @@ def compile_query(q: dict) -> Column:
         return F.col(field).isin(list(vals))
     if kind == "geo_bounding_box":
         lat, lon, tl, br = _geo_fields(body)
+        lat_ok = (F.col(lat) <= F.lit(tl["lat"])) & (F.col(lat) >= F.lit(br["lat"]))
         if tl["lon"] > br["lon"]:
-            raise ValueError("dateline-crossing geo_bounding_box unsupported")
+            # dateline-crossing box (ES wrap rule: west > east means the box
+            # spans ±180°) — membership is the disjoint union of two ranges
+            return lat_ok & (
+                (F.col(lon) >= F.lit(tl["lon"])) | (F.col(lon) <= F.lit(br["lon"]))
+            )
         return (
-            (F.col(lat) <= F.lit(tl["lat"]))
-            & (F.col(lat) >= F.lit(br["lat"]))
+            lat_ok
             & (F.col(lon) >= F.lit(tl["lon"]))
             & (F.col(lon) <= F.lit(br["lon"]))
         )
@@ -180,8 +192,13 @@ def compile_query_sql(q: dict) -> str:
         (field, bounds), = body.items()
         ops = {"gt": ">", "gte": ">=", "lt": "<", "lte": "<="}
         conds = []
+        if "time_zone" in bounds:  # twin parity: raise exactly like compile_query
+            raise ValueError(
+                "range time_zone is unsupported — shift the bound to epoch "
+                "millis (the engine's timestamp dialect) before compiling"
+            )
         for op, v in bounds.items():
-            if op in ("format", "time_zone", "boost"):
+            if op in ("format", "boost"):
                 continue
             if op not in ops:  # twin parity: raise exactly like compile_query
                 raise ValueError(f"unsupported range op {op!r}")
@@ -231,8 +248,11 @@ def compile_query_sql(q: dict) -> str:
         return f"{field} IN ({', '.join(_sql_lit(v) for v in vals)})"
     if kind == "geo_bounding_box":
         lat, lon, tl, br = _geo_fields(body)
-        if tl["lon"] > br["lon"]:
-            raise ValueError("dateline-crossing geo_bounding_box unsupported")
+        if tl["lon"] > br["lon"]:  # dateline wrap — see compile_query
+            return (
+                f"({lat} <= {tl['lat']!r} AND {lat} >= {br['lat']!r}"
+                f" AND ({lon} >= {tl['lon']!r} OR {lon} <= {br['lon']!r}))"
+            )
         return (
             f"({lat} <= {tl['lat']!r} AND {lat} >= {br['lat']!r}"
             f" AND {lon} >= {tl['lon']!r} AND {lon} <= {br['lon']!r})"

@@ -28,9 +28,24 @@ Supported ``aggs`` nodes:
   ``operators.es_aggs`` (the filters node's sub-bodies are themselves DSL
   queries, compiled through the same clause compiler);
 - metric leaves ``sum`` / ``avg`` / ``min`` / ``max`` / ``value_count`` /
-  ``cardinality`` — standalone (sibling aggs), nested under ``terms``, or
-  nested under ``proportional_sum`` / ``date_histogram`` (compiled to the
-  operator's per-bucket ``extra_aggs``).
+  ``cardinality`` — standalone (sibling aggs), nested under ``terms``
+  (including the leaf level of terms-in-terms), or nested under
+  ``proportional_sum`` / ``date_histogram`` (compiled to the operator's
+  per-bucket ``extra_aggs``);
+- ``percentiles`` / ``percentile_ranks`` — exact interpolated percentiles
+  (quantized to ``10^-quantize`` for cross-engine determinism) and exact
+  ≤-probe rank fractions (``operators.es_aggs.percentile_ranks``);
+- ``top_hits`` under ``terms`` — the per-bucket best-documents window
+  (``operators.es_metrics.top_hits_agg``);
+- ``geohash_grid`` / ``geotile_grid`` — the geo cell aggs
+  (``operators.geo``; a geo_point field is two relational columns,
+  ``lat_field``/``lon_field`` defaulting to ``lat``/``lon`` — the same
+  convention as the ``es_dsl`` geo clauses);
+- pipeline sub-aggs under a histogram node: ``cumulative_sum``,
+  ``derivative``, ``moving_fn`` (the deterministic MovingFunctions
+  builtins ``max``/``min``/``sum``/``unweightedAvg``), ``bucket_selector``
+  (``params.<name>`` script over ``buckets_path`` columns), and
+  ``bucket_sort`` (sort/from/size truncation of the bucket list).
 
 Unknown agg types raise ``ValueError`` — never silently dropped.
 :func:`render_response` shapes the result dict as the ES response's
@@ -106,10 +121,14 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
     return out
 
 
+MAX_RENDER_BUCKETS = 65_536  # ES search.max_buckets default
+
+
 def render_response(
     results: dict[str, DataFrame],
     keyed: bool = False,
     sub_names: dict[str, str] | None = None,
+    max_buckets: int = MAX_RENDER_BUCKETS,
 ) -> dict:
     """Shape :func:`run_search` results as the ES response's
     ``aggregations`` object (the serving edge — collects result-sized
@@ -125,6 +144,14 @@ def render_response(
       on the frame, so plain ``render_response(run_search(df, body))``
       resolves it automatically; explicit ``sub_names`` overrides);
     - single-row metric frames → ``{"value": v}``.
+
+    ``max_buckets`` bounds the driver-side collect — a bucket frame larger
+    than the cap raises instead of materializing (the reference breaks the
+    same way: ``consumeBucketsAndMaybeBreak``,
+    InternalProportionalSumHistogram.java:383-387 counts buckets against
+    ES's ``search.max_buckets`` circuit breaker at reduce time). ``take(cap
+    + 1)`` fetches only the first partitions that fill the cap, so the
+    failure is cheap as well as loud.
     """
     out = {}
     for name, df in results.items():
@@ -138,7 +165,14 @@ def render_response(
         ) and not c.startswith("__")]
         metric_cols = [c for c in group_cols if c not in cols[: cols.index("key")]]
         group_cols = [c for c in group_cols if c in cols[: cols.index("key")]]
-        rows = df.collect()
+        rows = df.take(max_buckets + 1)
+        if len(rows) > max_buckets:
+            raise ValueError(
+                f"agg {name!r} produced more than max_buckets={max_buckets} "
+                "buckets at the serving edge — raise max_buckets explicitly "
+                "or add a size/selector to the body (reference: "
+                "search.max_buckets circuit breaker)"
+            )
 
         def bucket(r):
             b = {"key": r["key"]}
@@ -279,6 +313,57 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
 
         ranges = [(r.get("from"), r.get("to")) for r in spec["ranges"]]
         return date_range_agg(df, spec["field"], ranges)
+    if kind == "percentiles":
+        # exact interpolated percentiles (ES uses TDigest approximation; the
+        # engine's exact sort-based percentile is deterministic cross-engine
+        # — quantized to 10^-quantize longs, the repo-wide discipline)
+        field = spec["field"]
+        percents = [float(p) for p in spec.get("percents", (1, 5, 25, 50, 75, 95, 99))]
+        scale = 10 ** int(spec.get("quantize", 4))
+        # quantize-first (percentile over exact longs, floor the interpolant)
+        # — the repo-wide cross-engine determinism discipline; Spark
+        # `percentile` == DuckDB `quantile_cont` on integer inputs
+        clean = df.where(F.col(field).isNotNull() & ~F.isnan(field)).select(
+            F.round(F.col(field) * F.lit(scale)).cast("long").alias("__vq")
+        )
+        arr = ", ".join(repr(p / 100.0) for p in percents)
+        wide = clean.agg(F.expr(f"percentile(__vq, array({arr}))").alias("__pv"))
+        pcts = ", ".join(
+            f"named_struct('pct', {p!r}D, 'v', __pv[{i}])"
+            for i, p in enumerate(percents)
+        )
+        return wide.select(
+            F.explode(F.expr(f"array({pcts})")).alias("__e")
+        ).select(
+            F.col("__e.pct").alias("pct"),
+            F.floor(F.col("__e.v")).cast("long").alias("value_q"),
+        ).orderBy("pct")
+    if kind == "percentile_ranks":
+        from ..operators.es_aggs import percentile_ranks
+
+        return percentile_ranks(
+            df, [], spec["field"], [float(v) for v in spec["values"]]
+        )
+    if kind == "geohash_grid":
+        from ..operators.geo import geohash_grid
+
+        return geohash_grid(
+            df,
+            precision=int(spec.get("precision", 5)),
+            size=int(spec.get("size", 10000)),
+            lat_col=spec.get("lat_field", "lat"),
+            lon_col=spec.get("lon_field", "lon"),
+        )
+    if kind == "geotile_grid":
+        from ..operators.geo import geotile_grid
+
+        return geotile_grid(
+            df,
+            zoom=int(spec.get("precision", 7)),
+            size=int(spec.get("size", 10000)),
+            lat_col=spec.get("lat_field", "lat"),
+            lon_col=spec.get("lon_field", "lon"),
+        )
     if kind in _METRICS:
         if sub:
             raise ValueError(f"metric agg {name!r} cannot carry sub-aggs")
@@ -287,7 +372,13 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
     raise ValueError(f"unsupported agg type {kind!r} (agg {name!r})")
 
 
-_PIPELINE_KINDS = ("cumulative_sum", "derivative")
+_PIPELINE_KINDS = (
+    "cumulative_sum", "derivative", "moving_fn", "bucket_selector", "bucket_sort"
+)
+
+_MOVING_FNS = {
+    "max": F.max, "min": F.min, "sum": F.sum, "unweightedAvg": F.avg
+}
 
 
 def _split_sub(sub: dict):
@@ -301,29 +392,120 @@ def _split_sub(sub: dict):
     return metrics, pipes
 
 
+def _path_col(path: str) -> str:
+    return {"_count": "doc_count"}.get(path, path)
+
+
 def _apply_pipelines(buckets: DataFrame, pipes: dict, group_cols=()) -> DataFrame:
-    """ES pipeline sub-aggs over the parent's bucket list —
-    ``cumulative_sum`` / ``derivative`` with ``buckets_path`` (``_count``
-    → doc_count; a metric sub-agg name or the operator's ``value``). One
-    window over the RESULT-sized bucket frame, never the raw data; the
-    derivative's first bucket is NULL (the ES contract)."""
+    """ES pipeline sub-aggs over the parent's bucket list — every one is a
+    window / filter / sort over the RESULT-sized bucket frame, never a
+    second pass over the raw data.
+
+    - ``cumulative_sum`` / ``derivative`` — ``buckets_path`` (``_count`` →
+      doc_count; a metric sub-agg name or the operator's ``value``); the
+      derivative's first bucket is NULL (the ES contract).
+    - ``moving_fn`` — ``window`` buckets BEFORE the current one (current
+      excluded; ``shift`` slides right, ``shift=1`` includes the current —
+      the ES parameter), ``script`` one of the deterministic
+      MovingFunctions builtins ``MovingFunctions.max|min|sum|unweightedAvg
+      (values)``; empty frames yield NULL (ES emits null there). The
+      engine extension ``quantize`` rounds the input to ``10^-k`` longs
+      first so max/min/sum are exact integers cross-engine.
+    - ``bucket_selector`` — ``buckets_path`` maps script params to bucket
+      columns; ``script`` (``params.<name> …``) compiles to a SQL
+      predicate with each ``params.x`` substituted by its column. Buckets
+      failing the predicate are dropped AFTER all computed pipelines (ES
+      evaluates selectors on the finished bucket).
+    - ``bucket_sort`` — ``sort`` [{col: {"order": …}}] + ``from``/``size``
+      re-orders and truncates the bucket list per owning group (applied
+      last, like ES).
+
+    ES pipeline evaluation order: computed pipelines in body order, then
+    selectors, then sorts.
+    """
     if not pipes:
         return buckets
+    import re as _re
+
     from pyspark.sql import Window
 
     w = Window.partitionBy(*group_cols).orderBy("key")
+    selectors, sorts = [], []
     for sname, snode in pipes.items():
         (skind,) = [k for k in snode if k not in ("aggs", "aggregations", "meta")]
-        path = snode[skind].get("buckets_path", "value")
-        col = {"_count": "doc_count"}.get(path, path)
+        spec = snode[skind]
+        if skind == "bucket_selector":
+            selectors.append(spec)
+            continue
+        if skind == "bucket_sort":
+            sorts.append(spec)
+            continue
         if skind == "cumulative_sum":
+            col = _path_col(spec.get("buckets_path", "value"))
             buckets = buckets.withColumn(
                 sname,
                 F.sum(col).over(w.rowsBetween(Window.unboundedPreceding, 0)),
             )
-        else:  # derivative
+        elif skind == "derivative":
+            col = _path_col(spec.get("buckets_path", "value"))
             buckets = buckets.withColumn(sname, F.col(col) - F.lag(col).over(w))
-    return buckets.orderBy(*group_cols, "key")
+        else:  # moving_fn
+            m = _re.fullmatch(
+                r"\s*MovingFunctions\.(\w+)\(values\)\s*", spec["script"]
+            )
+            if not m or m.group(1) not in _MOVING_FNS:
+                raise ValueError(
+                    f"moving_fn script {spec['script']!r} is not a supported "
+                    "builtin (MovingFunctions.max|min|sum|unweightedAvg(values))"
+                )
+            window = int(spec["window"])
+            if window < 1:
+                raise ValueError("moving_fn window must be >= 1")
+            shift = int(spec.get("shift", 0))
+            src = F.col(_path_col(spec.get("buckets_path", "value")))
+            if "quantize" in spec:
+                src = F.round(src * F.lit(10 ** int(spec["quantize"]))).cast("long")
+            frame = w.rowsBetween(-window + shift, -1 + shift)
+            buckets = buckets.withColumn(
+                sname, _MOVING_FNS[m.group(1)](src).over(frame)
+            )
+    for spec in selectors:
+        script = spec["script"]
+        if isinstance(script, dict):
+            script = script["source"]
+        for pname, path in spec["buckets_path"].items():
+            script = script.replace(f"params.{pname}", f"`{_path_col(path)}`")
+        if "params." in script:
+            raise ValueError(
+                f"bucket_selector script references params not in buckets_path: "
+                f"{spec['script']!r}"
+            )
+        buckets = buckets.where(F.expr(script))
+    if not sorts:
+        return buckets.orderBy(*group_cols, "key")
+    from pyspark.sql import Window as _W
+
+    for spec in sorts:
+        order = []
+        for ent in spec.get("sort", []):
+            if isinstance(ent, str):
+                order.append(F.col(_path_col(ent)).asc())
+                continue
+            (col, sub), = ent.items()
+            desc = str(sub.get("order", "asc")).lower() == "desc"
+            c = F.col(_path_col(col))
+            order.append(c.desc() if desc else c.asc())
+        order = order or [F.col("key").asc()]
+        rw = _W.partitionBy(*group_cols).orderBy(*order, F.col("key").asc())
+        frm = int(spec.get("from", 0))
+        size = spec.get("size")
+        rn = F.row_number().over(rw)
+        buckets = buckets.withColumn("__bs_rn", rn).where(
+            (F.col("__bs_rn") > frm)
+            & ((F.col("__bs_rn") <= frm + int(size)) if size is not None else F.lit(True))
+        ).drop("__bs_rn")
+        buckets = buckets.orderBy(*group_cols, *order, F.col("key").asc())
+    return buckets
 
 
 def _metric_extra_aggs(sub: dict) -> dict:
@@ -434,6 +616,10 @@ def _terms(df: DataFrame, spec: dict, sub: dict, parents: tuple = ()) -> DataFra
                 raise ValueError("one nested proportional_sum per terms agg")
             psum_sub, psum_name = snode, sname
             continue
+        if skind == "top_hits":
+            if len(sub) > 1:
+                raise ValueError("a top_hits node must be the only sub-agg")
+            return _top_hits(df, (*parents, (field, size)), sname, snode[skind])
         if skind not in _METRICS:
             raise ValueError(f"unsupported sub-agg {skind!r} under terms")
         aggs.append(_METRICS[skind](snode[skind]["field"]).alias(sname))
@@ -445,9 +631,13 @@ def _terms(df: DataFrame, spec: dict, sub: dict, parents: tuple = ()) -> DataFra
                 "supported — put them under the proportional_sum node"
             )
         # the reference's nesting route (§3.3): the owning terms bucket(s)
-        # become the operator's group_by
+        # become the operator's group_by. Each terms level's `size` applies
+        # FIRST (ES computes sub-aggs only for the surviving buckets): prune
+        # the input to the per-level top-size keys by doc count, then run
+        # the operator grouped by the kept keys.
         res = _proportional_sum(
-            df, psum_sub["proportional_sum"],
+            _level_prune(df, (*parents, (field, size))),
+            psum_sub["proportional_sum"],
             group_by=(*parent_fields, field),
             sub=psum_sub.get("aggs", psum_sub.get("aggregations")),
         )
@@ -478,4 +668,59 @@ def _terms(df: DataFrame, spec: dict, sub: dict, parents: tuple = ()) -> DataFra
     return out.orderBy(
         *[F.col(f).asc() for f in parent_fields],
         F.col("doc_count").desc(), F.col(field).asc(),
+    )
+
+
+def _level_prune(df: DataFrame, levels: tuple) -> DataFrame:
+    """Filter ``df`` to the rows whose terms keys survive each level's
+    ``size`` (ES's bucket truncation: doc_count desc, key asc, per parent).
+    The key table is bucket-counted (≤ Π sizes rows after ranking), so the
+    semi-join broadcasts — the raw data is scanned once for the counts and
+    once by the downstream operator, exactly ES's collect-then-reduce cost
+    shape."""
+    from pyspark.sql import Window
+
+    fields = [f for f, _ in levels]
+    keys = df.groupBy(*fields).agg(F.count(F.lit(1)).alias("__n"))
+    for i, (lvl_field, lvl_size) in enumerate(levels):
+        above = fields[:i]
+        total = F.sum("__n").over(Window.partitionBy(*above, lvl_field))
+        rank_w = Window.partitionBy(*above).orderBy(
+            F.col("__lvl_total").desc(), F.col(lvl_field).asc()
+        )
+        keys = (
+            keys.withColumn("__lvl_total", total)
+            .withColumn("__lvl_rank", F.dense_rank().over(rank_w))
+            .where(F.col("__lvl_rank") <= int(lvl_size))
+            .drop("__lvl_total", "__lvl_rank")
+        )
+    return df.join(F.broadcast(keys.select(*fields)), fields, "left_semi")
+
+
+def _top_hits(df: DataFrame, levels: tuple, name: str, spec: dict) -> DataFrame:
+    """``top_hits`` under terms bucket(s): per surviving bucket, the
+    ``size`` best documents by the (single-field) ``sort`` spec, projecting
+    the ``_source`` columns. Parent terms sizes prune first, then one
+    ranking window per bucket key (operators.es_metrics.top_hits_agg)."""
+    from ..operators.es_metrics import top_hits_agg
+
+    sort = spec.get("sort", [])
+    if len(sort) != 1:
+        raise ValueError("top_hits needs exactly one sort entry")
+    ent = sort[0]
+    if isinstance(ent, str):
+        sort_col, order = ent, "desc"
+    else:
+        (sort_col, sub), = ent.items()
+        order = str(sub.get("order", "desc")).lower()
+    if order != "desc":
+        raise ValueError("top_hits supports sort order 'desc' (ES relevance shape)")
+    carry = tuple(spec.get("_source", ()))
+    return top_hits_agg(
+        _level_prune(df, levels),
+        [f for f, _ in levels],
+        sort_col=sort_col,
+        id_col=spec.get("id_field", "event_id"),
+        carry_cols=carry,
+        size=int(spec.get("size", 3)),
     )

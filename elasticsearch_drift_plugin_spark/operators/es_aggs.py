@@ -588,7 +588,11 @@ def time_series_counter_rate(
         F.floor(F.col("value") * 1000).cast("long").alias("vq"),
     )
     series = Window.partitionBy(*dims).orderBy("t_ms", "event_id")
-    ctr = (F.sum("vq").over(series) % F.lit(int(reset_mod))).alias("counter")
+    # explicit ROWS frame: Spark's default is RANGE (peers share a value),
+    # while the DuckDB oracle twin uses ROWS UNBOUNDED PRECEDING — the two
+    # diverge if (t_ms, event_id) is ever non-unique within a series
+    run = series.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ctr = (F.sum("vq").over(run) % F.lit(int(reset_mod))).alias("counter")
     with_ctr = base.select(*dims, "t_ms", "event_id", ctr)
     prev = F.lag("counter").over(Window.partitionBy(*dims).orderBy("t_ms", "event_id"))
     inc = (

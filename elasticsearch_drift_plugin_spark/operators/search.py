@@ -426,6 +426,7 @@ def queries() -> dict:
         "es_term_suggest": lambda s, d: term_suggest(load_table(s, d, "documents")),
         "es_dsl_query": lambda s, d: dsl_filter_agg(load_table(s, d, "events")),
         "es_dsl_geo": lambda s, d: _dsl_geo_query(s, d),
+        "es_dsl_geo_dateline": lambda s, d: _dsl_geo_dateline_query(s, d),
     }
 
 
@@ -469,6 +470,41 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+# dateline-crossing box (west > east wraps across ±180° — the ES rule,
+# compiled to `lon >= west OR lon <= east`): the Pacific band
+ES_DSL_GEO_DATELINE_BODY = {
+    "geo_bounding_box": {
+        "top_left": {"lat": 60.0, "lon": 150.0},
+        "bottom_right": {"lat": -60.0, "lon": -150.0},
+    }
+}
+
+
+def _dsl_geo_dateline_query(s, d):
+    from ..functions.es_dsl import compile_query
+    from .geo import geo_events
+
+    pts = geo_events(load_table(s, d, "events"))
+    return (
+        pts.where(compile_query(ES_DSL_GEO_DATELINE_BODY))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        .orderBy("event_type")
+    )
+
+
+def dsl_geo_dateline_sql() -> str:
+    from ..functions.es_dsl import compile_query_sql
+    from .geo import GEO_EVENTS_DUCK
+
+    return f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS doc_count
+FROM ({GEO_EVENTS_DUCK})
+WHERE {compile_query_sql(ES_DSL_GEO_DATELINE_BODY)}
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def oracle_sql() -> dict:
     return {
         "es_percolate": percolate_sql(),
@@ -477,4 +513,5 @@ def oracle_sql() -> dict:
         "es_term_suggest": term_suggest_sql(),
         "es_dsl_query": dsl_filter_agg_sql(),
         "es_dsl_geo": dsl_geo_sql(),
+        "es_dsl_geo_dateline": dsl_geo_dateline_sql(),
     }

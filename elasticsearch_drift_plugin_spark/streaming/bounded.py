@@ -24,6 +24,7 @@ harness — production uses a Delta/parquet sink with the same dedup.
 
 from __future__ import annotations
 
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -40,6 +41,14 @@ HOUR = 3_600_000
 
 
 REPLAY_SHUFFLE_PARTITIONS = 8
+
+# spark.sql.shuffle.partitions is SESSION-global: two concurrent bounded
+# replays could interleave set/restore and leave the session pinned at the
+# replay value. The lock serializes replays (set → run → restore is atomic).
+# A BATCH query planned on the same session while a replay holds the lock
+# still sees the reduced value — the replay harness is single-session test
+# gear; production streams own their session and conf.
+_REPLAY_LOCK = threading.Lock()
 
 
 def run_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
@@ -58,22 +67,23 @@ def run_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """
     spark = stream_df.sparkSession
     name = f"__bounded_{uuid.uuid4().hex[:12]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(REPLAY_SHUFFLE_PARTITIONS))
-    try:
-        q = (
-            stream_df.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
+    with _REPLAY_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(REPLAY_SHUFFLE_PARTITIONS))
         try:
-            q.awaitTermination()
+            q = (
+                stream_df.writeStream.outputMode(output_mode)
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination()
+            finally:
+                q.stop()
         finally:
-            q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 

@@ -142,7 +142,42 @@ def test_geo_query_clauses(spark):
         duck = sorted(r[0] for r in con.execute(
             f"SELECT id FROM g WHERE {compile_query_sql(q)}").fetchall())
         assert duck == ids2(q)
-    with pytest.raises(ValueError):
-        compile_query({"geo_bounding_box": {
-            "top_left": {"lat": 1.0, "lon": 170.0},
-            "bottom_right": {"lat": -1.0, "lon": -170.0}}})
+    # west > east wraps the dateline (r6: no longer rejected) — covered by
+    # test_dateline_crossing_box below
+
+
+def test_dateline_crossing_box(spark, df):
+    pts = spark.createDataFrame(
+        [(1, 10.0, 170.0), (2, 10.0, -170.0), (3, 10.0, 0.0), (4, 70.0, 180.0)],
+        "id long, lat double, lon double",
+    )
+    q = {"geo_bounding_box": {
+        "top_left": {"lat": 60.0, "lon": 150.0},
+        "bottom_right": {"lat": -60.0, "lon": -150.0},
+    }}
+    got = sorted(r.id for r in pts.where(compile_query(q)).collect())
+    # west 150 > east -150 wraps the dateline: 170 and -170 are inside,
+    # lon 0 is outside, lat 70 is above the band
+    assert got == [1, 2]
+    # twin parity on the same rows
+    import duckdb as _duck
+
+    con = _duck.connect()
+    con.execute("CREATE TABLE pts (id BIGINT, lat DOUBLE, lon DOUBLE)")
+    con.executemany(
+        "INSERT INTO pts VALUES (?, ?, ?)",
+        [(1, 10.0, 170.0), (2, 10.0, -170.0), (3, 10.0, 0.0), (4, 70.0, 180.0)],
+    )
+    sql = compile_query_sql(q)
+    got_sql = sorted(
+        r[0] for r in con.execute(f"SELECT id FROM pts WHERE {sql}").fetchall()
+    )
+    assert got_sql == [1, 2]
+
+
+def test_range_time_zone_raises_loudly():
+    q = {"range": {"value": {"gte": "2024-01-01", "time_zone": "+02:00"}}}
+    with pytest.raises(ValueError, match="time_zone"):
+        compile_query(q)
+    with pytest.raises(ValueError, match="time_zone"):
+        compile_query_sql(q)

@@ -432,3 +432,183 @@ def test_percolate_accepts_dsl_rule_bodies(spark):
     got_sql = [tuple(r) for r in percolate(ev, rules=sql_rules).collect()]
     assert got_dsl == got_sql
     assert got_dsl[0][:2] == (1, 2)  # two error docs match rule 1
+
+
+# ---------------------------------------------------------------------------
+# round-6 compiler surface: moving_fn / bucket_selector / bucket_sort,
+# percentiles / percentile_ranks, geo grids, top_hits, terms-size pruning
+# of nested proportional_sum, and the serving-edge bucket cap
+# ---------------------------------------------------------------------------
+
+def _instant_flows(spark):
+    """Zero-duration flows — whole value lands in its own bucket (reference
+    row-12 semantics), giving a hand-checkable histogram at interval=100:
+    buckets 100:10, 200:30, 300:20, 400:40."""
+    rows = [(100, 100, 10.0, None), (200, 200, 30.0, None),
+            (300, 300, 20.0, None), (400, 400, 40.0, None)]
+    return spark.createDataFrame(rows, FLOWS)
+
+
+def test_moving_fn_selector_sort_pipeline(spark):
+    body = {
+        "aggs": {
+            "hist": {
+                "proportional_sum": {
+                    "fields": ["start_ms", "end_ms", "value"],
+                    "interval": 100, "start": 0, "end": 500,
+                },
+                "aggs": {
+                    "mv": {"moving_fn": {
+                        "buckets_path": "value", "window": 2,
+                        "script": "MovingFunctions.max(values)", "quantize": 0,
+                    }},
+                    "sel": {"bucket_selector": {
+                        "buckets_path": {"v": "value"},
+                        "script": "params.v > 15",
+                    }},
+                    "srt": {"bucket_sort": {
+                        "sort": [{"value": {"order": "desc"}}], "size": 2,
+                    }},
+                },
+            },
+        },
+    }
+    out = run_search(_instant_flows(spark), body)["hist"]
+    rows = [(r.key, r.value, r.mv) for r in out.collect()]
+    # ES order: computed pipelines (mv over the 2 PRECEDING buckets,
+    # current excluded; first bucket's frame empty -> NULL), then the
+    # selector (drops 100:10), then sort desc + size 2
+    assert rows == [(400, 40.0, 30), (200, 30.0, 10)]
+
+
+def test_moving_fn_rejects_non_builtin_scripts(spark):
+    fl = _instant_flows(spark)
+    base = {
+        "fields": ["start_ms", "end_ms", "value"],
+        "interval": 100, "start": 0, "end": 500,
+    }
+    with pytest.raises(ValueError, match="builtin"):
+        run_search(fl, {"aggs": {"h": {"proportional_sum": base, "aggs": {
+            "m": {"moving_fn": {"buckets_path": "value", "window": 2,
+                                "script": "MovingFunctions.stdDev(values)"}}}}}})
+    with pytest.raises(ValueError, match="window"):
+        run_search(fl, {"aggs": {"h": {"proportional_sum": base, "aggs": {
+            "m": {"moving_fn": {"buckets_path": "value", "window": 0,
+                                "script": "MovingFunctions.max(values)"}}}}}})
+
+
+def test_bucket_selector_unknown_param_raises(spark):
+    fl = _instant_flows(spark)
+    with pytest.raises(ValueError, match="params"):
+        run_search(fl, {"aggs": {"h": {
+            "proportional_sum": {"fields": ["start_ms", "end_ms", "value"],
+                                 "interval": 100},
+            "aggs": {"s": {"bucket_selector": {
+                "buckets_path": {"v": "value"},
+                "script": "params.v > params.missing",
+            }}},
+        }}})
+
+
+def test_percentiles_and_ranks_nodes(spark):
+    df = spark.createDataFrame([(float(v),) for v in (1, 2, 3, 4)], "value double")
+    out = run_search(df, {"aggs": {
+        "p": {"percentiles": {"field": "value", "percents": [50], "quantize": 1}},
+    }})["p"]
+    # exact interpolated median of quantized longs [10,20,30,40] -> 25
+    assert [(r.pct, r.value_q) for r in out.collect()] == [(50.0, 25)]
+    ranks = run_search(df, {"aggs": {
+        "r": {"percentile_ranks": {"field": "value", "values": [2.0, 4.0]}},
+    }})["r"]
+    assert [(r.at_value, r.rank_q) for r in ranks.collect()] == [
+        (2.0, 500000), (4.0, 1000000)]
+
+
+def test_geo_grid_nodes_compile(spark):
+    pts = spark.createDataFrame(
+        [(48.85, 2.35, 1.0), (48.86, 2.36, 1.0), (-33.86, 151.2, 1.0)],
+        "lat double, lon double, value double",
+    )
+    cells = run_search(pts, {"aggs": {
+        "g": {"geohash_grid": {"precision": 1, "size": 5}},
+    }})["g"].collect()
+    assert sum(r.doc_count for r in cells) == 3
+    assert max(r.doc_count for r in cells) == 2  # the two Paris points share a cell
+    tiles = run_search(pts, {"aggs": {
+        "t": {"geotile_grid": {"precision": 3, "size": 5}},
+    }})["t"].collect()
+    assert sum(r.doc_count for r in tiles) == 3
+    assert all(r.key.startswith("3/") for r in tiles)
+
+
+def test_top_hits_under_terms_with_size_pruning(spark):
+    rows = [
+        # etype, id, val — 'a' has 3 docs, 'b' 2, 'c' 1; terms size=2 keeps a,b
+        ("a", 1, 5.0), ("a", 2, 9.0), ("a", 3, 7.0),
+        ("b", 4, 1.0), ("b", 5, 3.0),
+        ("c", 6, 99.0),
+    ]
+    df = spark.createDataFrame(rows, "etype string, doc long, value double")
+    out = run_search(df, {"aggs": {"t": {
+        "terms": {"field": "etype", "size": 2},
+        "aggs": {"best": {"top_hits": {
+            "size": 2, "sort": [{"value": {"order": "desc"}}],
+            "_source": [], "id_field": "doc",
+        }}},
+    }}})["t"]
+    got = [(r.etype, r.rank, r.doc) for r in out.collect()]
+    assert got == [("a", 1, 2), ("a", 2, 3), ("b", 1, 5), ("b", 2, 4)]
+
+
+def test_terms_size_prunes_nested_proportional_sum(spark):
+    # the r5 ADVICE case: terms size must truncate BEFORE the nested psum
+    rows = [
+        ("big", 0, 100, 10.0, None), ("big", 100, 200, 20.0, None),
+        ("big", 200, 300, 30.0, None),
+        ("small", 0, 100, 99.0, None),
+    ]
+    df = spark.createDataFrame(rows, "etype string, " + FLOWS)
+    out = run_search(df, {"aggs": {"t": {
+        "terms": {"field": "etype", "size": 1},
+        "aggs": {"hist": {"proportional_sum": {
+            "fields": ["start_ms", "end_ms", "value"], "interval": 100,
+        }}},
+    }}})["t"]
+    rows = [(r.etype, r.key, r.value) for r in out.collect()]
+    # bucket 300 is the reference's inclusive terminal bucket (the last flow
+    # ends exactly on the boundary — zero-duration touch, zero contribution)
+    assert rows == [
+        ("big", 0, 10.0), ("big", 100, 20.0),
+        ("big", 200, 30.0), ("big", 300, 0.0),
+    ]
+
+
+def test_cardinality_at_leaf_of_terms_in_terms(spark):
+    rows = [("a", 1, 10), ("a", 1, 11), ("a", 2, 12), ("b", 3, 13)]
+    df = spark.createDataFrame(rows, "etype string, u long, item long")
+    out = run_search(df, {"aggs": {"t": {
+        "terms": {"field": "etype", "size": 10},
+        "aggs": {"inner": {
+            "terms": {"field": "u", "size": 10},
+            "aggs": {"card": {"cardinality": {"field": "item"}}},
+        }},
+    }}})["t"]
+    got = {(r.etype, r.u): (r.doc_count, r.card) for r in out.collect()}
+    assert got == {("a", 1): (2, 2), ("a", 2): (1, 1), ("b", 3): (1, 1)}
+
+
+def test_render_response_bucket_cap(spark):
+    from elasticsearch_drift_plugin_spark.functions.es_search import (
+        render_response,
+    )
+
+    flows = spark.createDataFrame(
+        [(i * 100, i * 100, 1.0, None) for i in range(10)], FLOWS
+    )
+    res = run_search(flows, {"aggs": {"h": {"proportional_sum": {
+        "fields": ["start_ms", "end_ms", "value"], "interval": 100,
+    }}}})
+    with pytest.raises(ValueError, match="max_buckets"):
+        render_response(res, max_buckets=5)
+    ok = render_response(res, max_buckets=100)
+    assert len(ok["aggregations"]["h"]["buckets"]) == 10
