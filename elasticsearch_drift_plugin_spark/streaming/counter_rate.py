@@ -3,20 +3,27 @@
 counter ``rate``), built on ``applyInPandasWithState``.
 
 Per series (the TSDB dimension key, ES's ``_tsid``), group state holds the
-running counter tail: ``(cum_vq, last_counter)``. Each micro-batch sorts its
-rows by (t_ms, event_id), extends the synthesized counter (running quantized
-sum modulo ``reset_mod`` — same construction as the batch twin), applies the
-reset-aware increase rule (a counter lower than its predecessor restarted:
-increase = new value, the Prometheus ``increase()`` convention), and emits
-PER-BUCKET partial sums for the batch. A downstream result-sized
-``groupBy(bucket).sum`` (done by the bounded-replay wrapper; a production
-sink would do the same in its serving view) folds partials across batches.
+running counter tail: ``(cum_vq, last_counter, last_t, last_eid,
+ooo_dropped)``. Each micro-batch sorts its rows by (t_ms, event_id), extends
+the synthesized counter (running quantized sum modulo ``reset_mod`` — same
+construction as the batch twin), applies the reset-aware increase rule (a
+counter lower than its predecessor restarted: increase = new value, the
+Prometheus ``increase()`` convention), and emits PER-BUCKET partial sums for
+the batch. A downstream result-sized ``groupBy(bucket).sum`` (done by the
+bounded-replay wrapper; a production sink would do the same in its serving
+view) folds partials across batches.
 
-Ordering contract: rows must arrive in event-time order ACROSS batches per
-series (within a batch the kernel sorts). That is the same in-order-source
-contract the flow-session twin documents; production fronts this with a
-watermark/reorder stage. State is two longs per ACTIVE series — O(series),
-not O(samples).
+Out-of-order contract: within a batch the kernel sorts, so any intra-batch
+disorder is corrected. ACROSS batches, a sample at or before the state's
+last processed (t_ms, event_id) cannot be replayed into the already-extended
+counter — silently folding it in would corrupt the increase (it would read
+as a huge reset or a bogus delta). Such late rows are DROPPED LOUDLY: the
+per-series state counts them (``ooo_dropped``) and every batch emission
+carries an ``n_late`` column per touched bucket, so a production monitor
+alerts the moment lateness appears instead of serving wrong rates. Fronting
+the stream with a watermark/reorder stage (the flow-session pattern) keeps
+``n_late`` at zero; the batch twin is unaffected (one batch = one sort).
+State is five longs per ACTIVE series — O(series), not O(samples).
 """
 
 from __future__ import annotations
@@ -25,7 +32,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 
-STATE_SCHEMA = "cum_vq long, last_counter long"
+STATE_SCHEMA = (
+    "cum_vq long, last_counter long, last_t long, last_eid long, ooo_dropped long"
+)
 
 
 def counter_rate_stream(
@@ -34,16 +43,17 @@ def counter_rate_stream(
     bucket_ms: int = 86_400_000,
     reset_mod: int = 100_000,
 ) -> DataFrame:
-    """Streaming DataFrame ``[dims…, bucket, n_samples, increase]`` (batch
-    partials — sum across emissions per (dims, bucket) to finalize) for
-    ``.writeStream.outputMode('update')``."""
+    """Streaming DataFrame ``[dims…, bucket, n_samples, increase, n_late]``
+    (batch partials — sum across emissions per (dims, bucket) to finalize)
+    for ``.writeStream.outputMode('update')``. ``n_late`` counts cross-batch
+    out-of-order samples dropped in that bucket (see module docstring)."""
     keys = list(dims)
     bw = int(bucket_ms)
     mod = int(reset_mod)
     key_schema = ", ".join(
         f"{name} {dtype}" for name, dtype in events.select(*keys).dtypes
     )
-    out_schema = f"{key_schema}, bucket long, n_samples long, increase long"
+    out_schema = f"{key_schema}, bucket long, n_samples long, increase long, n_late long"
 
     base = events.where(
         F.col("value").isNotNull() & ~F.isnan("value")
@@ -53,6 +63,8 @@ def counter_rate_stream(
         "event_id",
         F.floor(F.col("value") * 1000).cast("long").alias("vq"),
     )
+
+    cols = [*keys, "bucket", "n_samples", "increase", "n_late"]
 
     def fn(key, pdfs, state):
         import pandas as pd
@@ -64,9 +76,11 @@ def counter_rate_stream(
                 for t, eid, v in zip(pdf["t_ms"], pdf["event_id"], pdf["vq"])
             )
         if state.hasTimedOut:  # no timeout configured; defensive no-op
-            yield pd.DataFrame([], columns=[*keys, "bucket", "n_samples", "increase"])
+            yield pd.DataFrame([], columns=cols)
             return
-        cum, last = (tuple(state.get) if state.exists else (0, None))
+        cum, last, last_t, last_eid, ooo = (
+            tuple(state.get) if state.exists else (0, None, None, None, 0)
+        )
 
         def trunc_mod(a: int) -> int:
             # Spark/DuckDB % is TRUNCATED remainder (sign of the dividend);
@@ -75,7 +89,16 @@ def counter_rate_stream(
             return a % mod if a >= 0 else -((-a) % mod)
 
         buckets: dict[int, list[int]] = {}
-        for t, _eid, vq in sorted(rows):
+        for t, eid, vq in sorted(rows):
+            b = t - t % bw
+            agg = buckets.setdefault(b, [0, 0, 0])
+            if last_t is not None and (t, eid) <= (last_t, last_eid):
+                # cross-batch late arrival: the counter already advanced
+                # past this timestamp — folding it in would corrupt the
+                # increase. Drop loudly (state counter + per-bucket n_late).
+                ooo += 1
+                agg[2] += 1
+                continue
             cum = cum + vq
             counter = trunc_mod(cum)
             if last is None:
@@ -85,14 +108,13 @@ def counter_rate_stream(
             else:
                 inc = counter - last
             last = counter
-            b = t - t % bw
-            agg = buckets.setdefault(b, [0, 0])
+            last_t, last_eid = t, eid
             agg[0] += 1
             agg[1] += inc
         if rows:
-            state.update((cum, last))
-        out = [(*key, b, n, inc) for b, (n, inc) in sorted(buckets.items())]
-        yield pd.DataFrame(out, columns=[*keys, "bucket", "n_samples", "increase"])
+            state.update((cum, last, last_t, last_eid, ooo))
+        out = [(*key, b, n, inc, nl) for b, (n, inc, nl) in sorted(buckets.items())]
+        yield pd.DataFrame(out, columns=cols)
 
     return base.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
@@ -102,7 +124,8 @@ def counter_rate_stream(
 def stream_time_series_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded replay of the streaming counter-rate over the events table,
     folded to final buckets — same DuckDB oracle as the batch
-    ``es_time_series_rate``."""
+    ``es_time_series_rate`` (the replay is a single in-order pass, so the
+    ``n_late`` channel stays zero and is not part of the graded shape)."""
     from ..sources.flows import load_table, ts_ms_col
     from .bounded import run_available_now
 

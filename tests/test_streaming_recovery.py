@@ -1,0 +1,121 @@
+"""Round-6 streaming evidence: (1) checkpoint recovery — a stateful query
+killed mid-stream and restarted from its checkpoint resumes with the exact
+per-series state, so the final answer equals the uninterrupted run; (2) the
+cross-batch out-of-order guard — a late sample is dropped LOUDLY (per-bucket
+``n_late`` + state counter) instead of silently corrupting the increase."""
+
+import pyspark.sql.functions as F
+
+SCHEMA = "event_id long, event_type string, t_ms long, value double"
+DAY = 1_704_067_200_000  # 2024-01-01 UTC
+
+
+def _fold(rows):
+    """Sum the update-mode partials to final (bucket -> n, inc, late)."""
+    out = {}
+    for r in rows:
+        n, inc, late = out.get(r.bucket, (0, 0, 0))
+        out[r.bucket] = (n + r.n_samples, inc + r.increase, late + r.n_late)
+    return out
+
+
+def _run_batches(spark, src, ckpt, name, batches, stop_between=False):
+    """Write each batch to the file source and drain it; if stop_between,
+    kill the query after every batch and restart from the checkpoint. The
+    sink is foreachBatch → parquet append (the memory sink refuses
+    checkpoint recovery; foreachBatch is the production recoverable
+    shape — Spark replays only uncommitted batch ids)."""
+    from elasticsearch_drift_plugin_spark.streaming.counter_rate import (
+        counter_rate_stream,
+    )
+
+    out_dir = f"{src}_out"
+
+    def sink(batch_df, _batch_id):
+        batch_df.coalesce(1).write.mode("append").parquet(out_dir)
+
+    def start():
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        out = counter_rate_stream(stream, dims=("event_type",), reset_mod=10)
+        return (
+            out.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = None
+    try:
+        for batch in batches:
+            spark.createDataFrame(batch, SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            if q is None:
+                q = start()
+            q.processAllAvailable()
+            if stop_between:
+                q.stop()
+                q = None
+        if q is not None:
+            q.processAllAvailable()
+    finally:
+        if q is not None:
+            q.stop()
+    return spark.read.parquet(out_dir).collect()
+
+
+def test_checkpoint_recovery_equals_uninterrupted_run(spark, tmp_path):
+    """Kill the stateful query after batch 1, restart from the checkpoint,
+    feed batch 2: the restarted query must apply batch 2 against batch 1's
+    recovered counter tail — final fold identical to the never-stopped run
+    (which itself is pinned: the cross-batch reset only computes correctly
+    if (cum_vq, last_counter) survived the restart)."""
+    b1 = [(1, "s", DAY + 1000, 0.004), (2, "s", DAY + 2000, 0.005)]
+    # cum 9 + 5 = 14 -> counter 4 < last 9 => RESET, inc = 4
+    b2 = [(3, "s", DAY + 3000, 0.005)]
+
+    interrupted = _fold(_run_batches(
+        spark, f"{tmp_path}/src_a", f"{tmp_path}/ck_a", "rec_a", [b1, b2],
+        stop_between=True,
+    ))
+    continuous = _fold(_run_batches(
+        spark, f"{tmp_path}/src_b", f"{tmp_path}/ck_b", "rec_b", [b1, b2],
+        stop_between=False,
+    ))
+    assert interrupted == continuous == {DAY: (3, 9, 0)}
+
+
+def test_checkpoint_restart_does_not_reprocess(spark, tmp_path):
+    """Restarting from the checkpoint with NO new data emits nothing new —
+    the source offset log prevents replaying batch 1 into the state."""
+    b1 = [(1, "s", DAY + 1000, 0.004), (2, "s", DAY + 2000, 0.005)]
+    rows = _run_batches(
+        spark, f"{tmp_path}/src", f"{tmp_path}/ck", "rec_idem", [b1, []],
+        stop_between=True,
+    )
+    assert _fold(rows) == {DAY: (2, 5, 0)}
+
+
+def test_late_sample_dropped_loudly(spark, tmp_path):
+    """A batch-2 sample older than batch 1's tail is dropped and counted
+    (n_late), and the increase equals the run without that sample — never a
+    corrupted delta."""
+    src, ckpt = f"{tmp_path}/src", f"{tmp_path}/ck"
+    b1 = [(1, "s", DAY + 1000, 0.004), (2, "s", DAY + 3000, 0.005)]
+    # t_ms DAY+2000 is BEFORE batch 1's last processed sample: late.
+    # vq .009 -> 9 would have forced a bogus reset if folded in.
+    b2 = [(3, "s", DAY + 2000, 0.009), (4, "s", DAY + 4000, 0.002)]
+    folded = _fold(_run_batches(spark, src, ckpt, "late", [b1, b2]))
+    # in-order run without the late row: inc 0, 5, then cum 11 -> counter 1
+    # < 9 => reset, inc 1; the late sample shows up ONLY in n_late
+    assert folded == {DAY: (3, 6, 1)}
+
+
+def test_duplicate_timestamp_dropped_as_late(spark, tmp_path):
+    """An exact (t_ms, event_id) replay across batches is late too (<=):
+    at-least-once upstream delivery cannot double-count an increase."""
+    src, ckpt = f"{tmp_path}/src", f"{tmp_path}/ck"
+    b1 = [(1, "s", DAY + 1000, 0.004)]
+    b2 = [(1, "s", DAY + 1000, 0.004), (2, "s", DAY + 2000, 0.005)]
+    folded = _fold(_run_batches(spark, src, ckpt, "dup", [b1, b2]))
+    assert folded == {DAY: (2, 5, 1)}
