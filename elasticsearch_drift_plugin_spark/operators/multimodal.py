@@ -455,15 +455,53 @@ PIXEL_STATS_SCHEMA = (
 )
 
 
-def decode_pixel_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def decode_pixel_stats(
+    df: DataFrame, payload_col: str = "payload", kernel: str = "png"
+) -> DataFrame:
     """(doc_id, width, height, n_pixels, mean_q, min_b, max_b): FULL real
     decode — inflate + defilter every scanline — then exact integer pixel
     statistics (``mean_q`` = sum·10⁶ // n, same quantization as
     :func:`extract_features`). Undecodable/non-PNG blobs yield NULLs
-    (corruption screen posture). Arrow-batched, map-only, no shuffle."""
+    (corruption screen posture). Arrow-batched, map-only, no shuffle.
+
+    ``kernel='png'`` (default) is the in-repo-real path (the pure-Python
+    spec-complete codec — zero third-party deps, the mode the oracle gate
+    pins). ``kernel='pil'`` decodes ANY Pillow-supported format (JPEG,
+    WebP, …) on the executors, converting to 8-bit grayscale (Pillow mode
+    ``"L"``) before the identical stats — same plan, one function swap;
+    raises a clear error if Pillow is missing (pytest golden is
+    skip-if-unavailable since this container ships no Pillow)."""
+    if kernel not in ("png", "pil"):
+        raise ValueError(f"kernel must be 'png' or 'pil', got {kernel!r}")
+    mode = kernel
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from elasticsearch_drift_plugin_spark.functions.png_codec import decode_png
+        import io
+
+        if mode == "pil":
+            try:
+                from PIL import Image  # noqa: N811
+            except ImportError:
+                raise ImportError(
+                    "decode_pixel_stats(kernel='pil') requires Pillow on the "
+                    "executors; use the default kernel='png' (in-repo codec)"
+                ) from None
+
+            def decode(p: bytes):
+                try:
+                    with Image.open(io.BytesIO(p)) as im:
+                        g = im.convert("L")
+                        return g.width, g.height, list(g.getdata())
+                except Exception:
+                    raise ValueError("undecodable") from None
+        else:
+            from elasticsearch_drift_plugin_spark.functions.png_codec import (
+                decode_png,
+            )
+
+            def decode(p: bytes):
+                w, h, _ctype, px = decode_png(p)
+                return w, h, px
 
         for pdf in batches:
             rows = {k: [] for k in (
@@ -472,7 +510,7 @@ def decode_pixel_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame
             for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
                 rows["doc_id"].append(doc_id)
                 try:
-                    w, h, _ctype, px = decode_png(bytes(p))
+                    w, h, px = decode(bytes(p))
                     n = len(px)
                     rows["width"].append(w)
                     rows["height"].append(h)

@@ -239,3 +239,33 @@ def test_counter_rate_negative_values_stream_equals_batch(spark, tmp_path):
         n, inc = folded.get(k, (0, 0))
         folded[k] = (n + r.n_samples, inc + r.increase)
     assert folded == expected
+
+
+def test_bpe_train_1k_merges_wall_clock(spark):
+    """r6: the incremental pair-index trainer sustains 1000 REAL merges
+    (small alphabet -> pairs stay frequent for thousands of rounds) inside
+    a tight wall-clock bound — the full-rescan shape this replaced was
+    O(n_merges x vocab) and would blow through it."""
+    import random
+    import time
+
+    from elasticsearch_drift_plugin_spark.operators.corpus import bpe_train
+
+    rng = random.Random(6)
+    words = [
+        "".join(rng.choices("abcdef", k=rng.randint(4, 10)))
+        for _ in range(15_000)
+    ]
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[i * 500:(i + 1) * 500])) for i in range(30)],
+        "doc_id long, text string",
+    ).localCheckpoint(eager=True)
+    t0 = time.time()
+    merges = bpe_train(docs, n_merges=1000).collect()
+    dt = time.time() - t0
+    assert len(merges) == 1000
+    assert dt < 60.0, f"1k merges took {dt:.1f}s"
+    # counts are the TRUE corpus pair counts at selection time: monotone
+    # sanity on the first rule (most frequent bigram of a 6-letter alphabet
+    # corpus must occur far more than twice)
+    assert merges[0].pair_count > 1000
