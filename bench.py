@@ -169,6 +169,12 @@ BENCH_QUERIES = [
     "es_search_body",
     "es_search_grouped",
     "es_dsl_geo",
+    "es_search_body2",
+    "es_search_pctl",
+    "es_search_top_hits",
+    "es_search_geo",
+    "es_dsl_geo_dateline",
+    "corpus_bpe_train",
 ]
 
 

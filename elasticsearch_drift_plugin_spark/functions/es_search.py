@@ -27,6 +27,9 @@ Supported ``aggs`` nodes:
 - ``range`` / ``histogram`` / ``filters`` — the operator family in
   ``operators.es_aggs`` (the filters node's sub-bodies are themselves DSL
   queries, compiled through the same clause compiler);
+- ``filter`` — the single-bucket context-narrowing agg: its DSL body
+  filters the frame for one nested sub-agg (or yields the one-bucket
+  doc_count frame when it has no children);
 - metric leaves ``sum`` / ``avg`` / ``min`` / ``max`` / ``value_count`` /
   ``cardinality`` — standalone (sibling aggs), nested under ``terms``
   (including the leaf level of terms-in-terms), or nested under
@@ -83,14 +86,20 @@ _SIBLING_PIPELINES = {
     "max_bucket": F.max,
 }
 
+# multi-column sibling pipelines (handled separately from the single-value
+# reducers above): stats_bucket / percentiles_bucket over a sibling's
+# bucket column — result-sized aggregations, never a second data pass
+_SIBLING_MULTI = ("stats_bucket", "percentiles_bucket")
+
 
 def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
     """Execute a ``_search`` body; returns ``{agg_name: DataFrame}``.
 
     Sibling pipeline aggs (``avg_bucket``/``sum_bucket``/``min_bucket``/
-    ``max_bucket``) resolve after their targets: ``buckets_path``
-    ``"hist>metric"`` aggregates that column of the sibling's bucket frame
-    (result-sized — never a second pass over the data).
+    ``max_bucket``/``stats_bucket``/``percentiles_bucket``) resolve after
+    their targets: ``buckets_path`` ``"hist>metric"`` aggregates that
+    column of the sibling's bucket frame (result-sized — never a second
+    pass over the data).
 
     ``runtime_mappings`` adds runtime fields before the query/aggs see the
     frame — ES computes these per-doc from a Painless script; here the
@@ -106,7 +115,9 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
     pipelines = {}
     for name, node in aggs.items():
         kinds = [k for k in node if k not in ("aggs", "aggregations", "meta")]
-        if len(kinds) == 1 and kinds[0] in _SIBLING_PIPELINES:
+        if len(kinds) == 1 and (
+            kinds[0] in _SIBLING_PIPELINES or kinds[0] in _SIBLING_MULTI
+        ):
             pipelines[name] = (kinds[0], node[kinds[0]])
             continue
         out[name] = _compile_agg(df, name, node)
@@ -117,7 +128,31 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
             raise ValueError(f"buckets_path {path!r} references unknown agg")
         col = col or "value"
         col = {"_count": "doc_count"}.get(col, col)
-        out[name] = out[target].agg(_SIBLING_PIPELINES[kind](col).alias(name))
+        if kind == "stats_bucket":
+            out[name] = out[target].agg(
+                F.count(col).cast("long").alias("count"),
+                F.min(col).alias("min"),
+                F.max(col).alias("max"),
+                F.avg(col).alias("avg"),
+                F.sum(col).alias("sum"),
+            )
+        elif kind == "percentiles_bucket":
+            pcts = [float(p) for p in spec.get("percents", (1, 5, 25, 50, 75, 95, 99))]
+            arr = ", ".join(repr(p / 100.0) for p in pcts)
+            wide = out[target].agg(
+                F.expr(f"percentile({col}, array({arr}))").alias("__pv")
+            )
+            entries = ", ".join(
+                f"named_struct('pct', {p!r}D, 'v', __pv[{i}])"
+                for i, p in enumerate(pcts)
+            )
+            out[name] = wide.select(
+                F.explode(F.expr(f"array({entries})")).alias("__e")
+            ).select(
+                F.col("__e.pct").alias("pct"), F.col("__e.v").alias("value")
+            ).orderBy("pct")
+        else:
+            out[name] = out[target].agg(_SIBLING_PIPELINES[kind](col).alias(name))
     return out
 
 
@@ -158,7 +193,11 @@ def render_response(
         cols = [f.name for f in df.schema]
         if "key" not in cols:
             row = df.collect()[0]
-            out[name] = {"value": row[0]}
+            # single metric -> ES {"value": v}; multi-column metric frames
+            # (stats_bucket & co.) -> the ES stats object shape
+            out[name] = (
+                {"value": row[0]} if len(cols) == 1 else row.asDict()
+            )
             continue
         group_cols = [c for c in cols if c not in (
             "key", "key_ts", "key_as_string", "doc_count", "value"
@@ -232,6 +271,23 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
         return _apply_pipelines(_date_histogram(df, spec, sub=metrics), pipes)
     if kind == "terms":
         return _terms(df, spec, sub)
+    if kind == "filter":
+        # ES `filter` single-bucket agg: narrow the context for the
+        # sub-tree. With sub-aggs, recurse on the filtered frame (single
+        # child: its frame, prefixed semantics identical to ES's nesting);
+        # without, emit the one-bucket (doc_count) frame.
+        filtered = df.where(compile_query(spec))
+        if not sub:
+            return filtered.agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        if len(sub) != 1:
+            raise ValueError(
+                f"filter agg {name!r} supports exactly one sub-agg frame "
+                "(register siblings as separate top-level aggs)"
+            )
+        (sname, snode), = sub.items()
+        child = _compile_agg(filtered, sname, snode)
+        child._es_child_name = sname
+        return child
     # the remaining node types do not support sub-aggs here — honor the
     # module's 'never silently dropped' contract
     if sub:
@@ -584,6 +640,10 @@ def _date_histogram(df: DataFrame, spec: dict, sub=None) -> DataFrame:
         kw["offset"] = spec["offset"]
     if "min_doc_count" in spec:
         kw["min_doc_count"] = spec["min_doc_count"]
+    if "time_zone" in spec:
+        kw["time_zone"] = spec["time_zone"]
+    if "format" in spec:
+        kw["key_format"] = spec["format"]
     # zero-duration rows: start == end == the instant; value 1 per doc gives
     # the ES doc_count histogram, and the `value` column is the doc count
     inst = df.withColumn("__one", F.lit(1.0))

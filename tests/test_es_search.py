@@ -612,3 +612,62 @@ def test_render_response_bucket_cap(spark):
         render_response(res, max_buckets=5)
     ok = render_response(res, max_buckets=100)
     assert len(ok["aggregations"]["h"]["buckets"]) == 10
+
+
+def test_filter_agg_node(spark):
+    flows = spark.createDataFrame(
+        [(0, 100, 10.0, None), (0, 100, 90.0, None), (0, 100, 50.0, None)],
+        FLOWS,
+    ).withColumn("tag", F.when(F.col("value") >= 50, "big").otherwise("small"))
+    # bare filter -> one-bucket doc_count
+    out = run_search(flows, {"aggs": {"big_docs": {
+        "filter": {"term": {"tag": "big"}},
+    }}})["big_docs"]
+    assert out.collect()[0].doc_count == 2
+    # filter narrowing a nested sub-agg (ES's context-nesting semantics)
+    out2 = run_search(flows, {"aggs": {"big": {
+        "filter": {"term": {"tag": "big"}},
+        "aggs": {"total": {"sum": {"field": "value"}}},
+    }}})["big"]
+    assert out2.collect()[0][0] == 140.0
+
+
+def test_date_histogram_time_zone_and_format(spark):
+    # 23:00 UTC on Jan 1 is Jan 1 in UTC but Jan 2 in UTC+2 — tz-aware
+    # day rounding through the compiler must shift the bucket
+    t = 1_704_150_000_000  # 2024-01-01T23:00:00Z
+    ev = spark.createDataFrame([(t, t, 1.0, None)], FLOWS)
+    body_utc = {"aggs": {"d": {"date_histogram": {
+        "field": "start_ms", "calendar_interval": "day",
+    }}}}
+    body_tz = {"aggs": {"d": {"date_histogram": {
+        "field": "start_ms", "calendar_interval": "day",
+        "time_zone": "Etc/GMT-2", "format": "yyyy-MM-dd",
+    }}}}
+    k_utc = run_search(ev, body_utc)["d"].collect()[0].key
+    row_tz = run_search(ev, body_tz)["d"].collect()[0]
+    assert k_utc == 1_704_067_200_000          # 2024-01-01T00:00Z
+    assert row_tz.key == 1_704_146_400_000      # 2024-01-01T22:00Z == Jan 2 00:00+02
+    assert row_tz.key_as_string == "2024-01-02"
+
+
+def test_stats_and_percentiles_sibling_pipelines(spark):
+    flows = spark.createDataFrame(
+        [(100, 100, 10.0, None), (200, 200, 30.0, None), (300, 300, 20.0, None)],
+        FLOWS,
+    )
+    body = {"aggs": {
+        "hist": {"proportional_sum": {
+            "fields": ["start_ms", "end_ms", "value"], "interval": 100,
+        }},
+        "stats": {"stats_bucket": {"buckets_path": "hist>value"}},
+        "pcts": {"percentiles_bucket": {
+            "buckets_path": "hist>value", "percents": [50],
+        }},
+    }}
+    out = run_search(flows, body)
+    s = out["stats"].collect()[0]
+    assert (s["count"], s["min"], s["max"], s["avg"], s["sum"]) == (
+        3, 10.0, 30.0, 20.0, 60.0)
+    p = out["pcts"].collect()
+    assert [(r.pct, r.value) for r in p] == [(50.0, 20.0)]

@@ -99,8 +99,10 @@ def test_every_query_has_oracle_or_is_documented():
 
 def test_grading_window_integrity():
     """GRADE_FIRST must name real queries, fill exactly the driver's 50-slot
-    window, and (rows-only sketch entries aside) every windowed query must
-    carry an oracle twin — a typo here silently forfeits driver evidence."""
+    window, and every windowed query must carry an oracle twin EXCEPT the
+    documented rows-only set (round 6 deliberately windows those once — the
+    weaker rows-only driver check is their only possible external
+    evidence) — a typo here silently forfeits driver evidence."""
     qs = entry.queries()
     os_ = entry.oracle_sql()
     assert len(entry.GRADE_FIRST) == 50
@@ -108,7 +110,14 @@ def test_grading_window_integrity():
     missing = [k for k in entry.GRADE_FIRST if k not in qs]
     assert not missing, missing
     assert list(qs)[:50] == list(entry.GRADE_FIRST)
-    no_oracle = [k for k in entry.GRADE_FIRST if k not in os_]
+    rows_only = {
+        "graph_pagerank", "es_cardinality_approx", "es_theta_set_ops",
+        "stats_quantiles_kll", "emb_kmeans_ivf_topk", "corpus_bpe_train",
+        "corpus_bpe_encode", "train_pack_bfd",
+    }
+    no_oracle = [
+        k for k in entry.GRADE_FIRST if k not in os_ and k not in rows_only
+    ]
     assert not no_oracle, no_oracle
     # ordering applied consistently to both dicts the driver might iterate
     assert list(os_)[: len([k for k in entry.GRADE_FIRST if k in os_])] == [

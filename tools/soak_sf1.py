@@ -1,0 +1,111 @@
+"""sf1 soak: one decade beyond the largest driver-provided testdata.
+
+Materializes ~sf1 tables (10× sf0.1) under ``.soak/sf1`` by replicating
+the driver's sf0.1 parquet with key shifts — a VOLUME soak for the memory
+envelope, not a correctness fixture (the oracle gate stays on driver data):
+
+- ``lineitem``: 10 verbatim copies (the psum flagship aggregates ranges —
+  replication multiplies doc_counts/values, never bucket cardinality);
+- ``documents``: doc_ids shifted per replica and every word suffixed with
+  the replica tag, so replicas are fully DISTINCT texts — corpus 10×
+  bigger with the same intra-replica duplicate structure (dedup/minhash
+  output scales exactly 10×, keeping wall-time comparable);
+- ``embeddings``: ids shifted, vectors verbatim (cells get uniformly 10×
+  denser — the IVF stress case).
+
+Then runs the four flagship queries against the soak dir and prints one
+JSON line with per-query seconds. Usage::
+
+    python tools/soak_sf1.py [--rebuild]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".soak/sf1")
+REPLICAS = 10
+
+FLAGSHIPS = (
+    "psum_day_lineitem",
+    "dedup_minhash_pairs",
+    "train_curate_pipeline",
+    "ann_knn_cells",
+)
+
+
+def build(spark):
+    os.makedirs(DST, exist_ok=True)
+
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    li_max = li.agg(F.max("l_orderkey")).collect()[0][0]
+    out = None
+    for i in range(REPLICAS):
+        rep = li.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(i * (li_max + 1))
+        )
+        out = rep if out is None else out.unionByName(rep)
+    out.write.mode("overwrite").parquet(f"{DST}/lineitem.parquet")
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    d_max = docs.agg(F.max("doc_id")).collect()[0][0]
+    out = None
+    for i in range(REPLICAS):
+        rep = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * (d_max + 1)))
+        if i:  # replica 0 stays verbatim; others become distinct texts
+            rep = rep.withColumn(
+                "text", F.regexp_replace("text", r"(\S+)", f"$1{i}")
+            )
+        out = rep if out is None else out.unionByName(rep)
+    out.write.mode("overwrite").parquet(f"{DST}/documents.parquet")
+
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    id_col = emb.columns[0]
+    e_max = emb.agg(F.max(id_col)).collect()[0][0]
+    out = None
+    for i in range(REPLICAS):
+        rep = emb.withColumn(id_col, F.col(id_col) + F.lit(i * (e_max + 1)))
+        out = rep if out is None else out.unionByName(rep)
+    out.write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
+
+
+def main():
+    from elasticsearch_drift_plugin_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark("soak-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    if "--rebuild" in sys.argv or not os.path.exists(f"{DST}/lineitem.parquet"):
+        t0 = time.time()
+        build(spark)
+        print(f"# built {DST} in {time.time() - t0:.0f}s", file=sys.stderr)
+
+    qs = entry.queries()
+    timings, rows = {}, {}
+    for name in FLAGSHIPS:
+        t0 = time.time()
+        n = qs[name](spark, DST).count()
+        timings[name] = round(time.time() - t0, 2)
+        rows[name] = n
+        print(f"# {name}: {timings[name]}s, {n} rows", file=sys.stderr)
+    print(json.dumps({
+        "metric": "soak_sf1_total_sec",
+        "value": round(sum(timings.values()), 2),
+        "unit": "sec",
+        "queries": timings,
+        "rows": rows,
+        "sf": 1,
+    }))
+
+
+if __name__ == "__main__":
+    main()
