@@ -14,16 +14,29 @@ bounded-replay wrapper; a production sink would do the same in its serving
 view) folds partials across batches.
 
 Out-of-order contract: within a batch the kernel sorts, so any intra-batch
-disorder is corrected. ACROSS batches, a sample at or before the state's
-last processed (t_ms, event_id) cannot be replayed into the already-extended
-counter — silently folding it in would corrupt the increase (it would read
-as a huge reset or a bogus delta). Such late rows are DROPPED LOUDLY: the
-per-series state counts them (``ooo_dropped``) and every batch emission
-carries an ``n_late`` column per touched bucket, so a production monitor
-alerts the moment lateness appears instead of serving wrong rates. Fronting
-the stream with a watermark/reorder stage (the flow-session pattern) keeps
-``n_late`` at zero; the batch twin is unaffected (one batch = one sort).
-State is five longs per ACTIVE series — O(series), not O(samples).
+disorder is corrected. ACROSS batches, two defenses compose:
+
+1. ``reorder_delay_ms > 0`` enables a per-series WATERMARK-STYLE TAIL
+   BUFFER (the flow-sessions pattern): rows newer than ``max_t_seen -
+   delay`` are held in state, and only the prefix at or below that
+   per-series watermark is folded into the counter — so any sample no more
+   than ``delay`` late is merged into its correct event-time position
+   and processed exactly like an in-order arrival. Buffered tails flush
+   on the next batch's watermark advance (a bounded replay flushes
+   everything at the final empty trigger — processAllAvailable drains).
+2. A sample at or before the state's last PROCESSED (t_ms, event_id) —
+   i.e. later than the reorder horizon — cannot be replayed into the
+   already-extended counter; silently folding it in would corrupt the
+   increase (a huge bogus reset or delta). Such rows are DROPPED LOUDLY:
+   the per-series state counts them (``ooo_dropped``) and every batch
+   emission carries an ``n_late`` column per touched bucket, so a
+   production monitor alerts the moment excess lateness appears instead
+   of serving wrong rates.
+
+The batch twin is unaffected (one batch = one sort). State is five longs
+per ACTIVE series plus (with reordering) the ≤ delay-window tail arrays —
+O(series · buffered-tail), bounded by the lateness horizon, never
+O(samples).
 """
 
 from __future__ import annotations
@@ -33,7 +46,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 
 STATE_SCHEMA = (
-    "cum_vq long, last_counter long, last_t long, last_eid long, ooo_dropped long"
+    "cum_vq long, last_counter long, last_t long, last_eid long, ooo_dropped long, "
+    "buf_t array<long>, buf_eid array<long>, buf_vq array<long>"
 )
 
 
@@ -42,14 +56,18 @@ def counter_rate_stream(
     dims: tuple[str, ...] = ("event_type",),
     bucket_ms: int = 86_400_000,
     reset_mod: int = 100_000,
+    reorder_delay_ms: int = 0,
 ) -> DataFrame:
     """Streaming DataFrame ``[dims…, bucket, n_samples, increase, n_late]``
     (batch partials — sum across emissions per (dims, bucket) to finalize)
     for ``.writeStream.outputMode('update')``. ``n_late`` counts cross-batch
-    out-of-order samples dropped in that bucket (see module docstring)."""
+    out-of-order samples dropped in that bucket; ``reorder_delay_ms``
+    buffers each series' tail so samples up to that late are re-ordered
+    instead of dropped (see module docstring)."""
     keys = list(dims)
     bw = int(bucket_ms)
     mod = int(reset_mod)
+    delay = int(reorder_delay_ms)
     key_schema = ", ".join(
         f"{name} {dtype}" for name, dtype in events.select(*keys).dtypes
     )
@@ -78,9 +96,13 @@ def counter_rate_stream(
         if state.hasTimedOut:  # no timeout configured; defensive no-op
             yield pd.DataFrame([], columns=cols)
             return
-        cum, last, last_t, last_eid, ooo = (
-            tuple(state.get) if state.exists else (0, None, None, None, 0)
-        )
+        if state.exists:
+            cum, last, last_t, last_eid, ooo, bt, be, bv = tuple(state.get)
+            buffered = list(zip(map(int, bt or ()), map(int, be or ()),
+                                map(int, bv or ())))
+        else:
+            cum, last, last_t, last_eid, ooo = 0, None, None, None, 0
+            buffered = []
 
         def trunc_mod(a: int) -> int:
             # Spark/DuckDB % is TRUNCATED remainder (sign of the dividend);
@@ -88,8 +110,20 @@ def counter_rate_stream(
             # cumulative sums (negative gauge values are legal input)
             return a % mod if a >= 0 else -((-a) % mod)
 
+        merged = sorted(rows + buffered)
+        tail: list[tuple[int, int, int]] = []
+        if delay > 0 and merged:
+            # per-series watermark: newest event time seen (processed tail
+            # included — monotone because the buffer always retains the
+            # batch max until it flushes) minus the lateness allowance
+            wm = max(merged[-1][0], last_t if last_t is not None else merged[-1][0]) - delay
+            process = [r for r in merged if r[0] <= wm]
+            tail = [r for r in merged if r[0] > wm]
+        else:
+            process = merged
+
         buckets: dict[int, list[int]] = {}
-        for t, eid, vq in sorted(rows):
+        for t, eid, vq in process:
             b = t - t % bw
             agg = buckets.setdefault(b, [0, 0, 0])
             if last_t is not None and (t, eid) <= (last_t, last_eid):
@@ -111,8 +145,11 @@ def counter_rate_stream(
             last_t, last_eid = t, eid
             agg[0] += 1
             agg[1] += inc
-        if rows:
-            state.update((cum, last, last_t, last_eid, ooo))
+        if rows or buffered:
+            state.update((
+                cum, last, last_t, last_eid, ooo,
+                [r[0] for r in tail], [r[1] for r in tail], [r[2] for r in tail],
+            ))
         out = [(*key, b, n, inc, nl) for b, (n, inc, nl) in sorted(buckets.items())]
         yield pd.DataFrame(out, columns=cols)
 

@@ -19,7 +19,8 @@ def _fold(rows):
     return out
 
 
-def _run_batches(spark, src, ckpt, name, batches, stop_between=False):
+def _run_batches(spark, src, ckpt, name, batches, stop_between=False,
+                 reorder_delay_ms=0):
     """Write each batch to the file source and drain it; if stop_between,
     kill the query after every batch and restart from the checkpoint. The
     sink is foreachBatch → parquet append (the memory sink refuses
@@ -36,7 +37,8 @@ def _run_batches(spark, src, ckpt, name, batches, stop_between=False):
 
     def start():
         stream = spark.readStream.schema(SCHEMA).parquet(src)
-        out = counter_rate_stream(stream, dims=("event_type",), reset_mod=10)
+        out = counter_rate_stream(stream, dims=("event_type",), reset_mod=10,
+                                  reorder_delay_ms=reorder_delay_ms)
         return (
             out.writeStream.outputMode("update")
             .foreachBatch(sink)
@@ -119,3 +121,55 @@ def test_duplicate_timestamp_dropped_as_late(spark, tmp_path):
     b2 = [(1, "s", DAY + 1000, 0.004), (2, "s", DAY + 2000, 0.005)]
     folded = _fold(_run_batches(spark, src, ckpt, "dup", [b1, b2]))
     assert folded == {DAY: (2, 5, 1)}
+
+
+def test_reorder_buffer_merges_late_sample(spark, tmp_path):
+    """With reorder_delay_ms, a sample up to that late is MERGED into its
+    event-time position (processed exactly as an in-order arrival, n_late
+    stays 0) — the watermark-style tail buffer, the production fronting for
+    bounded lateness."""
+    src, ckpt = f"{tmp_path}/src", f"{tmp_path}/ck"
+    # delay 1500ms. batch 1: wm = 3000-1500 -> processes t+1000 (inc 0),
+    # buffers t+3000. batch 2 carries t+2000 LATE (within delay) + t+6000:
+    # wm = 4500 -> processes 2000 (inc 5), 3000 (cum 14, counter 4 < 9 =>
+    # reset, inc 4), buffers 6000. batch 3 (t+9000) flushes 6000 (inc 3).
+    b1 = [(1, "s", DAY + 1000, 0.004), (2, "s", DAY + 3000, 0.005)]
+    b2 = [(3, "s", DAY + 2000, 0.005), (4, "s", DAY + 6000, 0.003)]
+    b3 = [(5, "s", DAY + 9000, 0.001)]
+    folded = _fold(_run_batches(
+        spark, src, ckpt, "ro", [b1, b2, b3], reorder_delay_ms=1500,
+    ))
+    # t+9000 stays buffered at end-of-replay; the four processed samples
+    # give exactly the in-order increases: 0 + 5 + 4 + 3
+    assert folded == {DAY: (4, 12, 0)}
+
+
+def test_reorder_buffer_survives_restart(spark, tmp_path):
+    """The buffered tail lives in the checkpointed state: kill/restart
+    between the late batch and the flush batch, same answer."""
+    src, ckpt = f"{tmp_path}/src", f"{tmp_path}/ck"
+    b1 = [(1, "s", DAY + 1000, 0.004), (2, "s", DAY + 3000, 0.005)]
+    b2 = [(3, "s", DAY + 2000, 0.005), (4, "s", DAY + 6000, 0.003)]
+    b3 = [(5, "s", DAY + 9000, 0.001)]
+    folded = _fold(_run_batches(
+        spark, src, ckpt, "ror", [b1, b2, b3], reorder_delay_ms=1500,
+        stop_between=True,
+    ))
+    assert folded == {DAY: (4, 12, 0)}
+
+
+def test_reorder_beyond_delay_still_drops_loudly(spark, tmp_path):
+    """A sample later than the reorder horizon cannot be merged (the
+    counter already advanced past it) — it still drops with n_late."""
+    src, ckpt = f"{tmp_path}/src", f"{tmp_path}/ck"
+    # wm after b1 = 9000-1500 = 7500: processes 1000 (inc 0) and 3000
+    # (inc 5), buffers 9000. b2's t+2000 is BEHIND the processed t+3000 —
+    # beyond any reordering the buffer can do -> loud drop; 9000 flushes
+    # (cum 14, counter 4 < 9 => reset, inc 4); 12000 stays buffered.
+    b1 = [(1, "s", DAY + 1000, 0.004), (2, "s", DAY + 3000, 0.005),
+          (3, "s", DAY + 9000, 0.005)]
+    b2 = [(4, "s", DAY + 2000, 0.009), (5, "s", DAY + 12000, 0.002)]
+    folded = _fold(_run_batches(
+        spark, src, ckpt, "rod", [b1, b2], reorder_delay_ms=1500,
+    ))
+    assert folded == {DAY: (3, 9, 1)}
