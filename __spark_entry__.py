@@ -403,6 +403,32 @@ def _es_search_geo_query(s: SparkSession, d: str) -> DataFrame:
     return run_search(pts, ES_SEARCH_GEO_BODY)["cells"]
 
 
+# ES `filter` single-bucket agg narrowing a nested proportional_sum — the
+# context-nesting route (r6 compiler node).
+ES_SEARCH_FILTER_BODY = {
+    "aggs": {
+        "purchases": {
+            "filter": {"term": {"event_type": "purchase"}},
+            "aggs": {
+                "daily": {"proportional_sum": {
+                    "fields": ["start_ms", "end_ms", "value", "sampling"],
+                    "calendar_interval": "day",
+                    "offset": 1,
+                    "quantize": 4,
+                }},
+            },
+        },
+    },
+}
+
+
+def _es_search_filter_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    fl = flows_src.events_flows(s, d)
+    return run_search(fl, ES_SEARCH_FILTER_BODY)["purchases"].drop("key_ts")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- core operator, SURVEY.md §2.1 rows 1-6, 11-17, 21 ---
@@ -413,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_pctl": _es_search_pctl_query,
         "es_search_top_hits": _es_search_top_hits_query,
         "es_search_geo": _es_search_geo_query,
+        "es_search_filter": _es_search_filter_query,
         # rows 2/4: sampling scale-up applied via the 4th positional field
         "psum_sampling": lambda s, d: _psum_events(s, d, interval=6 * HOUR, offset=1),
         "psum_no_sampling": lambda s, d: _psum_events(
@@ -701,6 +728,10 @@ def oracle_sql() -> dict[str, str]:
         "es_search_pctl": _es_search_pctl_oracle(),
         "es_search_top_hits": _es_search_top_hits_oracle(),
         "es_search_geo": geo.geohash_grid_sql(precision=3, size=20),
+        "es_search_filter": _ev_oracle(
+            calendar_interval="day", offset=1,
+            where="event_type = 'purchase'",
+        ),
         "psum_sampling": _ev_oracle(interval=6 * HOUR, offset=1),
         "psum_no_sampling": _ev_oracle(interval=6 * HOUR, offset=1, sampling=False),
         "psum_offset_90m": _ev_oracle(interval=6 * HOUR, offset="90m"),

@@ -175,6 +175,8 @@ BENCH_QUERIES = [
     "es_search_geo",
     "es_dsl_geo_dateline",
     "corpus_bpe_train",
+    "corpus_chunk",
+    "es_search_filter",
 ]
 
 

@@ -1253,6 +1253,90 @@ FROM sums
 """
 
 
+# --------------------------------------------------------------------------
+# token-window chunking (context-length splitting for training pipelines)
+# --------------------------------------------------------------------------
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_no, start_tok, n_tokens, chunk_fp): sliding
+    token-window chunking — the context-length splitter every pre-training
+    pipeline runs before packing. Stride = ``chunk_tokens - overlap``;
+    windows start at every stride multiple below the document's token
+    count, so consecutive chunks share ``overlap`` tokens and the final
+    (possibly short) window is kept. ``chunk_fp`` is the md5 of the chunk's
+    joined tokens — the dedup/lineage handle downstream chunk-level dedup
+    joins on (both engines compute identical md5 hex).
+
+    Map-only: tokenize → explode a bounded integer sequence → slice. No
+    shuffle, no UDF; at 100 TB this is pure scan-parallel work and the
+    output is ≤ ``ceil(tokens/stride)`` rows per doc.
+    """
+    if overlap < 0 or chunk_tokens <= overlap:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = int(chunk_tokens) - int(overlap)
+    toks = F.split(F.col(text_col), " ")
+    base = docs.where(F.length(text_col) > 0).select(
+        "doc_id", toks.alias("__ts"), F.size(toks).alias("__n")
+    )
+    return (
+        base.select(
+            "doc_id",
+            "__ts",
+            "__n",
+            F.explode(
+                F.sequence(F.lit(0), ((F.col("__n") - 1) / stride).cast("int"))
+            ).alias("chunk_no"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_no").cast("long").alias("chunk_no"),
+            (F.col("chunk_no") * stride).cast("long").alias("start_tok"),
+            F.least(
+                F.lit(int(chunk_tokens)),
+                F.col("__n") - F.col("chunk_no") * stride,
+            ).cast("long").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.slice(
+                        F.col("__ts"),
+                        F.col("chunk_no") * stride + 1,
+                        F.lit(int(chunk_tokens)),
+                    ),
+                    " ",
+                )
+            ).alias("chunk_fp"),
+        )
+        .orderBy("doc_id", "chunk_no")
+    )
+
+
+def chunk_documents_sql(
+    chunk_tokens: int = 128, overlap: int = 16, src: str = "documents"
+) -> str:
+    stride = int(chunk_tokens) - int(overlap)
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS ts, len(string_split(text, ' ')) AS n
+  FROM {src} WHERE len(text) > 0
+),
+chunks AS (
+  SELECT doc_id, ts, n, CAST(unnest(range(0, CAST((n - 1) // {stride} AS BIGINT) + 1)) AS BIGINT) AS chunk_no
+  FROM base
+)
+SELECT doc_id, chunk_no,
+       chunk_no * {stride} AS start_tok,
+       CAST(LEAST({int(chunk_tokens)}, n - chunk_no * {stride}) AS BIGINT) AS n_tokens,
+       md5(array_to_string(ts[CAST(chunk_no * {stride} + 1 AS BIGINT) :
+                              CAST(chunk_no * {stride} + {int(chunk_tokens)} AS BIGINT)], ' ')) AS chunk_fp
+FROM chunks
+ORDER BY doc_id, chunk_no
+"""
+
+
 def queries() -> dict:
     return {
         "corpus_tfidf_top": lambda s, d: tfidf_top_terms(load_table(s, d, "documents")),
@@ -1269,6 +1353,11 @@ def queries() -> dict:
         "corpus_span_dedup": lambda s, d: span_dedup(load_table(s, d, "documents")),
         "corpus_top_ngrams": lambda s, d: top_ngrams(load_table(s, d, "documents")),
         "corpus_bpe_pairs": lambda s, d: bpe_pair_counts(load_table(s, d, "documents")),
+        # chunk window sized below the fixture's 10-99 token docs so the
+        # sliding window + overlap actually multiplies (≈ 2-4 chunks/doc)
+        "corpus_chunk": lambda s, d: chunk_documents(
+            load_table(s, d, "documents"), chunk_tokens=32, overlap=8
+        ),
         # full tokenizer-induction story (iterative => rows-only): train the
         # merge table, then tokenize the corpus with it
         "corpus_bpe_train": lambda s, d: bpe_train(
@@ -1312,6 +1401,7 @@ def oracle_sql() -> dict:
         "corpus_span_dedup": span_dedup_sql(),
         "corpus_top_ngrams": top_ngrams_sql(),
         "corpus_bpe_pairs": bpe_pairs_sql(),
+        "corpus_chunk": chunk_documents_sql(chunk_tokens=32, overlap=8),
         "corpus_log_odds": log_odds_sql(),
         "corpus_zipf_slope": zipf_slope_sql(),
         "corpus_weighted_sample": _weighted_sample_oracle(),
