@@ -288,17 +288,13 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
         child = _compile_agg(filtered, sname, snode)
         child._es_child_name = sname
         return child
-    # the remaining node types do not support sub-aggs here — honor the
-    # module's 'never silently dropped' contract
-    if sub:
-        raise ValueError(
-            f"sub-aggs under {kind!r} (agg {name!r}) are not supported"
-        )
     if kind == "range":
         from ..operators.es_aggs import range_agg
 
         ranges = [(r.get("from"), r.get("to")) for r in spec["ranges"]]
-        return range_agg(df, spec["field"], ranges)
+        return range_agg(
+            df, spec["field"], ranges, extra_aggs=_metric_extra_aggs(sub) or None
+        )
     if kind == "histogram":
         from ..operators.es_aggs import histogram_agg
 
@@ -306,6 +302,20 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
             df, spec["field"], spec["interval"],
             offset=spec.get("offset", 0.0),
             min_doc_count=spec.get("min_doc_count", 1),
+            extra_aggs=_metric_extra_aggs(sub) or None,
+        )
+    if kind == "date_range":
+        from ..operators.es_metrics import date_range_agg
+
+        ranges = [(r.get("from"), r.get("to")) for r in spec["ranges"]]
+        return date_range_agg(
+            df, spec["field"], ranges, extra_aggs=_metric_extra_aggs(sub) or None
+        )
+    # the remaining node types do not support sub-aggs here — honor the
+    # module's 'never silently dropped' contract
+    if sub:
+        raise ValueError(
+            f"sub-aggs under {kind!r} (agg {name!r}) are not supported"
         )
     if kind == "filters":
         from ..operators.es_aggs import filters_agg
@@ -364,11 +374,6 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
 
         fields = [t["field"] for t in spec["terms"]]
         return multi_terms_agg(df, fields, size=int(spec.get("size", 10)))
-    if kind == "date_range":
-        from ..operators.es_metrics import date_range_agg
-
-        ranges = [(r.get("from"), r.get("to")) for r in spec["ranges"]]
-        return date_range_agg(df, spec["field"], ranges)
     if kind == "percentiles":
         # exact interpolated percentiles (ES uses TDigest approximation; the
         # engine's exact sort-based percentile is deterministic cross-engine

@@ -108,15 +108,18 @@ def range_agg(
     field: str,
     ranges: list[tuple[float | None, float | None]],
     value_col: str | None = None,
+    extra_aggs: dict | None = None,
 ) -> DataFrame:
-    """(key, range_from, range_to, doc_count[, value_q]): ES ``range``
-    buckets. A doc joins every ``[from, to)`` range containing its value;
-    ``None`` = unbounded. Empty ranges still emit a zero row (ES always
-    returns every requested range).
+    """(key, range_from, range_to, doc_count[, value_q][, extra…]): ES
+    ``range`` buckets. A doc joins every ``[from, to)`` range containing
+    its value; ``None`` = unbounded. Empty ranges still emit a zero row
+    (ES always returns every requested range); their ``extra_aggs`` metric
+    columns are NULL (the ES null-sub-agg-on-empty-bucket contract).
 
     The range table is a constant literal array filtered per row in
     codegen, then exploded — fan-out ≤ #ranges, no join, no shuffle until
-    the final aggregation.
+    the final aggregation; ``extra_aggs`` metrics ride the same
+    aggregation.
     """
     def _key(lo, hi):
         return f"{'*' if lo is None else format(float(lo), 'g')}-" + (
@@ -135,12 +138,11 @@ def range_agg(
         f"filter(array({structs}), r ->"
         f" (r.lo IS NULL OR {field} >= r.lo) AND (r.hi IS NULL OR {field} < r.hi))"
     )
+    # keep every source column in scope for extra_aggs (Catalyst prunes
+    # the unreferenced ones out of the scan)
     hit = df.where(
         F.col(field).isNotNull() & ~F.isnan(field)
-    ).select(
-        F.explode(F.expr(member)).alias("r"),
-        *( [F.col(value_col)] if value_col else [] ),
-    )
+    ).withColumn("r", F.explode(F.expr(member)))
     aggs = [F.count(F.lit(1)).alias("doc_count")]
     if value_col is not None:
         aggs.append(
@@ -154,6 +156,7 @@ def range_agg(
                 F.lit(0),
             ).alias("value_q")
         )
+    aggs.extend((extra_aggs or {}).values())
     got = hit.groupBy(F.col("r.key").alias("key")).agg(*aggs)
     spine = F.expr(
         "array(" + structs + ")"
@@ -184,6 +187,8 @@ def range_agg(
                 if value_col
                 else []
             ),
+            # extra metric columns stay NULL for empty ranges (ES contract)
+            *[F.col(n) for n in (extra_aggs or {})],
         )
         .orderBy("key")
     )
@@ -235,10 +240,13 @@ def histogram_agg(
     offset: float = 0.0,
     min_doc_count: int = 1,
     value_col: str | None = None,
+    extra_aggs: dict | None = None,
 ) -> DataFrame:
-    """(key, doc_count[, value_q]): ES numeric ``histogram``. Bucket key =
-    ``floor((v - offset) / interval) * interval + offset`` (ES histogram
-    key contract). One partial+final aggregation."""
+    """(key, doc_count[, value_q][, extra…]): ES numeric ``histogram``.
+    Bucket key = ``floor((v - offset) / interval) * interval + offset``
+    (ES histogram key contract). One partial+final aggregation.
+    ``extra_aggs`` (name → pre-aliased aggregate Column) are the ES metric
+    sub-aggs, computed in the SAME aggregation — zero extra passes."""
     v = F.col(field)
     key = (
         F.floor((v - F.lit(float(offset))) / F.lit(float(interval)))
@@ -258,6 +266,7 @@ def histogram_agg(
                 F.lit(0),
             ).alias("value_q")
         )
+    aggs.extend((extra_aggs or {}).values())
     return (
         df.where(v.isNotNull() & ~F.isnan(field))
         .groupBy(key.alias("key"))

@@ -356,6 +356,7 @@ def date_range_agg(
     t_ms: str,
     ranges: list[tuple[str | None, str | None]],
     value_col: str | None = None,
+    extra_aggs: dict | None = None,
 ) -> DataFrame:
     """(key, range_from, range_to, doc_count[, value_q]): ES ``date_range``
     over epoch-ms. ``ranges`` are ISO ``YYYY-MM-DD`` bounds (UTC midnight),
@@ -403,9 +404,10 @@ def date_range_agg(
                 F.lit(0),
             ).alias("value_q")
         )
+    aggs.extend((extra_aggs or {}).values())
     hit = (
         df.where(F.col(t_ms).isNotNull())
-        .select(F.explode(F.expr(member)).alias("r"), *( [F.col(value_col)] if value_col else [] ))
+        .withColumn("r", F.explode(F.expr(member)))
         .groupBy(F.col("r.key").alias("key"))
         .agg(*aggs)
     )
@@ -414,7 +416,7 @@ def date_range_agg(
     )
     fill = [F.coalesce(F.col("doc_count"), F.lit(0)).alias("doc_count")] + (
         [F.coalesce(F.col("value_q"), F.lit(0)).alias("value_q")] if value_col else []
-    )
+    ) + [F.col(n) for n in (extra_aggs or {})]  # NULL on empty ranges
     return (
         F.broadcast(spine)
         .join(hit, "key", "left")

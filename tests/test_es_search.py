@@ -343,9 +343,15 @@ def test_review_regressions_round5(spark):
     assert got == {("p1", "c0"): 1, ("p1", "c1"): 1, ("p2", "c9"): 10}
 
     # (2) sub-aggs under unsupported nodes raise instead of vanishing
+    # (range/histogram/date_range accept METRIC sub-aggs since r6, so probe
+    # a still-unsupported pairing: composite, and a bucket sub under range)
+    with pytest.raises(ValueError):
+        run_search(ev, {"aggs": {"x": {
+            "composite": {"sources": [{"p": {"terms": {"field": "p"}}}]},
+            "aggs": {"s": {"sum": {"field": "v"}}}}}})
     with pytest.raises(ValueError):
         run_search(ev, {"aggs": {"x": {"range": {"field": "v", "ranges": [{"to": 5}]},
-                                       "aggs": {"s": {"sum": {"field": "v"}}}}}})
+                                       "aggs": {"t": {"terms": {"field": "p"}}}}}})
     # metric sibling beside a nested proportional_sum raises too
     with pytest.raises(ValueError):
         run_search(ev, {"aggs": {"x": {"terms": {"field": "p"}, "aggs": {
@@ -671,3 +677,41 @@ def test_stats_and_percentiles_sibling_pipelines(spark):
         3, 10.0, 30.0, 20.0, 60.0)
     p = out["pcts"].collect()
     assert [(r.pct, r.value) for r in p] == [(50.0, 20.0)]
+
+
+def test_metric_subaggs_under_range_histogram_date_range(spark):
+    """r6: ES metric sub-aggs under range / histogram / date_range compute
+    in the SAME aggregation; empty ranges keep NULL metrics (the ES
+    null-sub-agg-on-empty-bucket contract)."""
+    df = spark.createDataFrame(
+        [(5.0, 100.0), (15.0, 200.0), (18.0, 300.0)], "v double, w double"
+    )
+    rng = run_search(df, {"aggs": {"r": {
+        "range": {"field": "v", "ranges": [
+            {"to": 10}, {"from": 10, "to": 20}, {"from": 50},
+        ]},
+        "aggs": {"peak": {"max": {"field": "w"}}},
+    }}})["r"]
+    got = {r.key: (r.doc_count, r.peak) for r in rng.collect()}
+    assert got == {"*-10": (1, 100.0), "10-20": (2, 300.0), "50-*": (0, None)}
+
+    hist = run_search(df, {"aggs": {"h": {
+        "histogram": {"field": "v", "interval": 10},
+        "aggs": {"total": {"sum": {"field": "w"}}},
+    }}})["h"]
+    assert {r.key: (r.doc_count, r.total) for r in hist.collect()} == {
+        0.0: (1, 100.0), 10.0: (2, 500.0)}
+
+    ev = spark.createDataFrame(
+        [(1_704_067_200_000, 7.0), (1_706_745_600_000, 9.0)], "t long, w double"
+    )
+    dr = run_search(ev, {"aggs": {"d": {
+        "date_range": {"field": "t", "ranges": [
+            {"from": "2024-01-01", "to": "2024-02-01"},
+            {"from": "2024-02-01"},
+        ]},
+        "aggs": {"avg_w": {"avg": {"field": "w"}}},
+    }}})["d"]
+    got = {r.key: (r.doc_count, r.avg_w) for r in dr.collect()}
+    assert got == {
+        "2024-01-01-2024-02-01": (1, 7.0), "2024-02-01-*": (1, 9.0)}

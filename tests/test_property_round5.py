@@ -104,3 +104,40 @@ def test_counter_rate_matches_direct_recompute(spark, vals, mod):
         agg[0] += 1
         agg[1] += inc
     assert got == {b: tuple(a) for b, a in exp.items()}
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    n_toks=st.integers(min_value=1, max_value=60),
+    chunk=st.integers(min_value=2, max_value=12),
+    overlap=st.integers(min_value=0, max_value=10),
+)
+def test_chunk_documents_covers_every_token_once_per_stride(
+    spark, n_toks, chunk, overlap
+):
+    """r6 chunker invariants for any (doc length, window, overlap):
+    windows start at every stride multiple below n; each window's length
+    is min(chunk, n - start); the union of windows covers [0, n); and
+    consecutive windows overlap by exactly `overlap` tokens (or the
+    remainder when the last window is short)."""
+    from elasticsearch_drift_plugin_spark.operators.corpus import (
+        chunk_documents,
+    )
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    stride = chunk - overlap
+    text = " ".join(f"w{i}" for i in range(n_toks))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        (r.chunk_no, r.start_tok, r.n_tokens)
+        for r in chunk_documents(docs, chunk_tokens=chunk, overlap=overlap).collect()
+    )
+    exp_starts = list(range(0, n_toks, stride))
+    assert [r[1] for r in rows] == exp_starts
+    assert all(n == min(chunk, n_toks - s) for _, s, n in rows)
+    covered = set()
+    for _, s, n in rows:
+        covered |= set(range(s, s + n))
+    assert covered == set(range(n_toks))
