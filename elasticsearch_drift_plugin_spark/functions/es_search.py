@@ -660,11 +660,40 @@ def _terms(df: DataFrame, spec: dict, sub: dict, parents: tuple = ()) -> DataFra
     nesting flattens to composite grouping (one row per leaf bucket with
     its parent keys; ES's nested tree re-assembles at the serving edge),
     and EACH level's ``size`` applies at that level — parent buckets rank
-    by their total doc_count, children rank within their parent."""
+    by their total doc_count, children rank within their parent.
+
+    ``missing`` (ES: bucket docs whose field is NULL under this value)
+    rewrites the field before grouping. ``order`` ({"_key"|"_count"|
+    <metric sub-agg name>: "asc"|"desc"}, or a list) is supported on the
+    LEAF terms level of the metrics path — it drives BOTH the size
+    truncation (ES prunes by the order, not always by count) and the
+    output ordering; a non-default order on a level that carries a nested
+    terms / proportional_sum / top_hits raises (parents rank by count,
+    the ES default)."""
     field = spec["field"]
     size = int(spec.get("size", 10))
+    if "missing" in spec:
+        df = df.withColumn(
+            field, F.coalesce(F.col(field), F.lit(spec["missing"]))
+        )
+    else:
+        # ES terms drops docs whose field is missing (Spark groupBy would
+        # keep a NULL bucket) — unless `missing` buckets them above
+        df = df.where(F.col(field).isNotNull())
     aggs = [F.count(F.lit(1)).cast("long").alias("doc_count")]
     psum_sub = psum_name = None
+    metric_names = set()
+    has_bucket_child = any(
+        k in ("terms", "proportional_sum", "top_hits")
+        for snode in sub.values()
+        for k in snode if k not in ("aggs", "aggregations", "meta")
+    )
+    if "order" in spec and has_bucket_child:
+        raise ValueError(
+            "terms order is supported on the leaf (metrics) level only — "
+            "a level owning nested terms/proportional_sum/top_hits ranks "
+            "by doc_count (the ES default)"
+        )
     for sname, snode in sub.items():
         skinds = [k for k in snode if k not in ("aggs", "aggregations", "meta")]
         (skind,) = skinds
@@ -688,6 +717,7 @@ def _terms(df: DataFrame, spec: dict, sub: dict, parents: tuple = ()) -> DataFra
         if skind not in _METRICS:
             raise ValueError(f"unsupported sub-agg {skind!r} under terms")
         aggs.append(_METRICS[skind](snode[skind]["field"]).alias(sname))
+        metric_names.add(sname)
     parent_fields = [f for f, _ in parents]
     if psum_sub is not None:
         if len(sub) > 1:
@@ -710,14 +740,47 @@ def _terms(df: DataFrame, spec: dict, sub: dict, parents: tuple = ()) -> DataFra
         return res
     keys = [*parent_fields, field]
     out = df.groupBy(*keys).agg(*aggs)
-    # per-level size: rank each level's buckets by their TOTAL doc_count
-    # (desc, key asc) within their parent, keep the top `size` — windows
-    # over the result-sized bucket frame, never the raw data
+    # the leaf level's order spec — ES prunes AND sorts by it; default
+    # (_count desc). _key orders by the term itself; a metric name orders
+    # by that sub-agg column (validated against the registered aliases).
+    entries = spec.get("order", [{"_count": "desc"}])
+    if isinstance(entries, dict):
+        entries = [entries]
+    leaf_order = []
+    for ent in entries:
+        (k, d), = ent.items()
+        asc = str(d).lower() == "asc"
+        if k == "_key":
+            col = field
+        elif k == "_count":
+            col = "doc_count"
+        elif k in metric_names:
+            col = k
+        else:
+            raise ValueError(
+                f"terms order key {k!r} is not _key/_count or a metric "
+                f"sub-agg of this level ({sorted(metric_names)})"
+            )
+        leaf_order.append(F.col(col).asc() if asc else F.col(col).desc())
+    # per-level size: rank each PARENT level's buckets by their TOTAL
+    # doc_count (desc, key asc) within their parent; rank the LEAF level by
+    # its order spec — windows over the result-sized bucket frame, never
+    # the raw data
     from pyspark.sql import Window
 
     levels = [*parents, (field, size)]
     for i, (lvl_field, lvl_size) in enumerate(levels):
         above = [f for f, _ in levels[:i]]
+        if i == len(levels) - 1:
+            rank_w = Window.partitionBy(*above).orderBy(
+                *leaf_order, F.col(lvl_field).asc()
+            )
+            out = (
+                out.withColumn("__lvl_rank", F.row_number().over(rank_w))
+                .where(F.col("__lvl_rank") <= int(lvl_size))
+                .drop("__lvl_rank")
+            )
+            continue
         total = F.sum("doc_count").over(
             Window.partitionBy(*above, lvl_field)
         )
@@ -732,7 +795,7 @@ def _terms(df: DataFrame, spec: dict, sub: dict, parents: tuple = ()) -> DataFra
         )
     return out.orderBy(
         *[F.col(f).asc() for f in parent_fields],
-        F.col("doc_count").desc(), F.col(field).asc(),
+        *leaf_order, F.col(field).asc(),
     )
 
 

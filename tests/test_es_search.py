@@ -715,3 +715,38 @@ def test_metric_subaggs_under_range_histogram_date_range(spark):
     got = {r.key: (r.doc_count, r.avg_w) for r in dr.collect()}
     assert got == {
         "2024-01-01-2024-02-01": (1, 7.0), "2024-02-01-*": (1, 9.0)}
+
+
+def test_terms_order_and_missing(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 9.0), ("c", 5.0), (None, 7.0)],
+        "k string, v double",
+    )
+    # order by metric: size prunes BY THE ORDER (ES contract), not by count
+    body = {"aggs": {"t": {
+        "terms": {"field": "k", "size": 2, "order": {"peak": "desc"},
+                  "missing": "_na_"},
+        "aggs": {"peak": {"max": {"field": "v"}}},
+    }}}
+    rows = [(r.k, r.doc_count, r.peak)
+            for r in run_search(df, body)["t"].collect()]
+    # peaks: b=9, _na_=7, c=5, a=2 -> top2 by peak = b, _na_ (a has the
+    # highest count but loses under metric order; NULL k bucketed as _na_)
+    assert rows == [("b", 1, 9.0), ("_na_", 1, 7.0)]
+
+    # _key asc ordering
+    body2 = {"aggs": {"t": {"terms": {"field": "k", "size": 3,
+                                      "order": {"_key": "asc"}}}}}
+    keys = [r.k for r in run_search(df, body2)["t"].collect()]
+    assert keys == ["a", "b", "c"]  # NULL k dropped without missing=
+
+    # unknown order key raises loudly
+    with pytest.raises(ValueError, match="order key"):
+        run_search(df, {"aggs": {"t": {
+            "terms": {"field": "k", "order": {"nope": "desc"}}}}})
+    # order on a level owning a bucket child raises loudly
+    with pytest.raises(ValueError, match="leaf"):
+        run_search(df, {"aggs": {"t": {
+            "terms": {"field": "k", "order": {"_key": "asc"}},
+            "aggs": {"i": {"terms": {"field": "k"}}},
+        }}})
