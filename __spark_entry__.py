@@ -429,6 +429,83 @@ def _es_search_filter_query(s: SparkSession, d: str) -> DataFrame:
     return run_search(fl, ES_SEARCH_FILTER_BODY)["purchases"].drop("key_ts")
 
 
+# terms with a CUSTOM order (by a metric sub-agg, the ES pruning contract:
+# size truncates by the order) — r6 compiler feature, exact-integer metric
+# so the driver hash is engine-stable.
+ES_SEARCH_TERMS_ORDER_BODY = {
+    "aggs": {
+        "top_users": {
+            "terms": {"field": "user_id", "size": 15, "order": {"card": "desc"}},
+            "aggs": {"card": {"cardinality": {"field": "event_id"}}},
+        },
+    },
+}
+
+
+def _es_search_terms_order_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    ev = s.read.parquet(f"{d}/events.parquet")
+    return run_search(ev, ES_SEARCH_TERMS_ORDER_BODY)["top_users"]
+
+
+ES_SEARCH_TERMS_ORDER_SQL = """
+WITH agg AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS doc_count,
+         CAST(COUNT(DISTINCT event_id) AS BIGINT) AS card
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY card DESC, user_id ASC) AS rn FROM agg
+)
+SELECT user_id, doc_count, card FROM ranked WHERE rn <= 15
+ORDER BY card DESC, user_id
+"""
+
+
+# percentiles as a terms sub-agg (grouped exact percentiles, quantize-first)
+ES_SEARCH_GROUPED_PCTL_BODY = {
+    "aggs": {
+        "per_type": {
+            "terms": {"field": "event_type", "size": 10},
+            "aggs": {"p": {"percentiles": {
+                "field": "value", "percents": [50, 90], "quantize": 4,
+            }}},
+        },
+    },
+}
+
+
+def _es_search_grouped_pctl_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    ev = s.read.parquet(f"{d}/events.parquet")
+    return run_search(ev, ES_SEARCH_GROUPED_PCTL_BODY)["per_type"]
+
+
+def _es_search_grouped_pctl_oracle() -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT event_type, CAST({p!r} AS DOUBLE) AS pct,"
+        f" CAST(FLOOR(quantile_cont(vq, {p / 100.0!r})) AS BIGINT) AS value_q"
+        f" FROM clean GROUP BY event_type"
+        for p in (50.0, 90.0)
+    )
+    return f"""
+WITH keys AS (
+  SELECT event_type FROM events WHERE event_type IS NOT NULL
+  GROUP BY event_type ORDER BY COUNT(*) DESC, event_type LIMIT 10
+),
+clean AS (
+  SELECT event_type, CAST(ROUND(value * 10000) AS BIGINT) AS vq
+  FROM events
+  WHERE event_type IN (SELECT event_type FROM keys)
+    AND value IS NOT NULL AND NOT isnan(value)
+)
+{arms}
+ORDER BY event_type, pct
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- core operator, SURVEY.md §2.1 rows 1-6, 11-17, 21 ---
@@ -440,6 +517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_top_hits": _es_search_top_hits_query,
         "es_search_geo": _es_search_geo_query,
         "es_search_filter": _es_search_filter_query,
+        "es_search_terms_order": _es_search_terms_order_query,
+        "es_search_grouped_pctl": _es_search_grouped_pctl_query,
         # rows 2/4: sampling scale-up applied via the 4th positional field
         "psum_sampling": lambda s, d: _psum_events(s, d, interval=6 * HOUR, offset=1),
         "psum_no_sampling": lambda s, d: _psum_events(
@@ -732,6 +811,8 @@ def oracle_sql() -> dict[str, str]:
             calendar_interval="day", offset=1,
             where="event_type = 'purchase'",
         ),
+        "es_search_terms_order": ES_SEARCH_TERMS_ORDER_SQL,
+        "es_search_grouped_pctl": _es_search_grouped_pctl_oracle(),
         "psum_sampling": _ev_oracle(interval=6 * HOUR, offset=1),
         "psum_no_sampling": _ev_oracle(interval=6 * HOUR, offset=1, sampling=False),
         "psum_offset_90m": _ev_oracle(interval=6 * HOUR, offset="90m"),

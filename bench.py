@@ -177,6 +177,8 @@ BENCH_QUERIES = [
     "corpus_bpe_train",
     "corpus_chunk",
     "es_search_filter",
+    "es_search_terms_order",
+    "es_search_grouped_pctl",
 ]
 
 

@@ -714,6 +714,12 @@ def _terms(df: DataFrame, spec: dict, sub: dict, parents: tuple = ()) -> DataFra
             if len(sub) > 1:
                 raise ValueError("a top_hits node must be the only sub-agg")
             return _top_hits(df, (*parents, (field, size)), sname, snode[skind])
+        if skind == "percentiles":
+            if len(sub) > 1:
+                raise ValueError("a percentiles node must be the only sub-agg")
+            return _grouped_percentiles(
+                df, (*parents, (field, size)), snode[skind]
+            )
         if skind not in _METRICS:
             raise ValueError(f"unsupported sub-agg {skind!r} under terms")
         aggs.append(_METRICS[skind](snode[skind]["field"]).alias(sname))
@@ -796,6 +802,39 @@ def _terms(df: DataFrame, spec: dict, sub: dict, parents: tuple = ()) -> DataFra
     return out.orderBy(
         *[F.col(f).asc() for f in parent_fields],
         *leaf_order, F.col(field).asc(),
+    )
+
+
+def _grouped_percentiles(df: DataFrame, levels: tuple, spec: dict) -> DataFrame:
+    """``percentiles`` under terms bucket(s): per surviving bucket, exact
+    interpolated percentiles of the quantized field (the same
+    quantize-first discipline as the standalone node). Parent terms sizes
+    prune first; one aggregation, exploded to (keys…, pct, value_q)."""
+    field = spec["field"]
+    percents = [float(p) for p in spec.get("percents", (1, 5, 25, 50, 75, 95, 99))]
+    scale = 10 ** int(spec.get("quantize", 4))
+    keys = [f for f, _ in levels]
+    clean = _level_prune(df, levels).where(
+        F.col(field).isNotNull() & ~F.isnan(field)
+    ).select(
+        *keys, F.round(F.col(field) * F.lit(scale)).cast("long").alias("__vq")
+    )
+    arr = ", ".join(repr(p / 100.0) for p in percents)
+    wide = clean.groupBy(*keys).agg(
+        F.expr(f"percentile(__vq, array({arr}))").alias("__pv")
+    )
+    pcts = ", ".join(
+        f"named_struct('pct', {p!r}D, 'v', __pv[{i}])"
+        for i, p in enumerate(percents)
+    )
+    return (
+        wide.select(*keys, F.explode(F.expr(f"array({pcts})")).alias("__e"))
+        .select(
+            *keys,
+            F.col("__e.pct").alias("pct"),
+            F.floor(F.col("__e.v")).cast("long").alias("value_q"),
+        )
+        .orderBy(*keys, "pct")
     )
 
 

@@ -750,3 +750,16 @@ def test_terms_order_and_missing(spark):
             "terms": {"field": "k", "order": {"_key": "asc"}},
             "aggs": {"i": {"terms": {"field": "k"}}},
         }}})
+
+
+def test_percentiles_under_terms(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0)], "k string, v double"
+    )
+    out = run_search(df, {"aggs": {"t": {
+        "terms": {"field": "k", "size": 10},
+        "aggs": {"p": {"percentiles": {
+            "field": "v", "percents": [50], "quantize": 1}}},
+    }}})["t"]
+    got = [(r.k, r.pct, r.value_q) for r in out.collect()]
+    assert got == [("a", 50.0, 20), ("b", 50.0, 100)]
