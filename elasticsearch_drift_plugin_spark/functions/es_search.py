@@ -192,12 +192,30 @@ def render_response(
     for name, df in results.items():
         cols = [f.name for f in df.schema]
         if "key" not in cols:
-            row = df.collect()[0]
-            # single metric -> ES {"value": v}; multi-column metric frames
-            # (stats_bucket & co.) -> the ES stats object shape
-            out[name] = (
-                {"value": row[0]} if len(cols) == 1 else row.asDict()
-            )
+            rows = df.take(max_buckets + 1)
+            if len(rows) > max_buckets:
+                raise ValueError(
+                    f"agg {name!r} produced more than max_buckets="
+                    f"{max_buckets} rows at the serving edge"
+                )
+            if cols[0] == "pct":
+                # percentile family -> ES {"values": {"50.0": v, ...}}
+                # (checked before the single-row path: one requested
+                # percentile still renders as the values object)
+                out[name] = {
+                    "values": {str(r[0]): r[-1] for r in rows}
+                }
+            elif len(rows) == 1:
+                # single metric -> ES {"value": v}; multi-column single-row
+                # frames (stats_bucket & co.) -> the ES stats object shape
+                out[name] = (
+                    {"value": rows[0][0]} if len(cols) == 1
+                    else rows[0].asDict()
+                )
+            else:
+                # generic multi-row metric frame (grouped percentiles,
+                # percentile_ranks, …) -> row-dict list
+                out[name] = {"values": [r.asDict() for r in rows]}
             continue
         group_cols = [c for c in cols if c not in (
             "key", "key_ts", "key_as_string", "doc_count", "value"

@@ -763,3 +763,21 @@ def test_percentiles_under_terms(spark):
     }}})["t"]
     got = [(r.k, r.pct, r.value_q) for r in out.collect()]
     assert got == [("a", 50.0, 20), ("b", 50.0, 100)]
+
+
+def test_render_response_percentile_and_multirow_frames(spark):
+    from elasticsearch_drift_plugin_spark.functions.es_search import (
+        render_response,
+    )
+
+    df = spark.createDataFrame([(float(v),) for v in (1, 2, 3, 4)], "value double")
+    res = run_search(df, {"aggs": {
+        "p": {"percentiles": {"field": "value", "percents": [50, 75], "quantize": 1}},
+        "r": {"percentile_ranks": {"field": "value", "values": [2.0, 4.0]}},
+    }})
+    resp = render_response(res)["aggregations"]
+    assert resp["p"] == {"values": {"50.0": 25, "75.0": 32}}
+    assert resp["r"] == {"values": [
+        {"at_value": 2.0, "rank_q": 500000},
+        {"at_value": 4.0, "rank_q": 1000000},
+    ]}
