@@ -30,6 +30,10 @@ Supported ``aggs`` nodes:
 - ``filter`` — the single-bucket context-narrowing agg: its DSL body
   filters the frame for one nested sub-agg (or yields the one-bucket
   doc_count frame when it has no children);
+- ``global`` — the context-ESCAPING single-bucket agg: its sub-tree sees
+  the unfiltered frame, ignoring the body's ``query``;
+- ``auto_date_histogram`` — span-driven rounding from the ES ladder
+  (``operators.es_aggs.auto_date_histogram``);
 - metric leaves ``sum`` / ``avg`` / ``min`` / ``max`` / ``value_count`` /
   ``cardinality`` — standalone (sibling aggs), nested under ``terms``
   (including the leaf level of terms-in-terms), or nested under
@@ -93,6 +97,7 @@ _SIBLING_MULTI = ("stats_bucket", "percentiles_bucket")
 
 
 def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
+    raw = df  # pre-query frame — the `global` agg node escapes the filter
     """Execute a ``_search`` body; returns ``{agg_name: DataFrame}``.
 
     Sibling pipeline aggs (``avg_bucket``/``sum_bucket``/``min_bucket``/
@@ -119,6 +124,22 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
             kinds[0] in _SIBLING_PIPELINES or kinds[0] in _SIBLING_MULTI
         ):
             pipelines[name] = (kinds[0], node[kinds[0]])
+            continue
+        if kinds == ["global"]:
+            # ES `global`: the sub-tree sees the UNFILTERED index, not the
+            # query context (single child frame, like the filter node)
+            gsub = node.get("aggs", node.get("aggregations", {}))
+            if not gsub:
+                out[name] = raw.agg(
+                    F.count(F.lit(1)).cast("long").alias("doc_count")
+                )
+                continue
+            if len(gsub) != 1:
+                raise ValueError(
+                    f"global agg {name!r} supports exactly one sub-agg frame"
+                )
+            (gname, gnode), = gsub.items()
+            out[name] = _compile_agg(raw, gname, gnode)
             continue
         out[name] = _compile_agg(df, name, node)
     for name, (kind, spec) in pipelines.items():
@@ -392,6 +413,13 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
 
         fields = [t["field"] for t in spec["terms"]]
         return multi_terms_agg(df, fields, size=int(spec.get("size", 10)))
+    if kind == "auto_date_histogram":
+        from ..operators.es_aggs import auto_date_histogram
+
+        return auto_date_histogram(
+            df, spec["field"],
+            target_buckets=int(spec.get("buckets", 10)),
+        )
     if kind == "percentiles":
         # exact interpolated percentiles (ES uses TDigest approximation; the
         # engine's exact sort-based percentile is deterministic cross-engine

@@ -781,3 +781,32 @@ def test_render_response_percentile_and_multirow_frames(spark):
         {"at_value": 2.0, "rank_q": 500000},
         {"at_value": 4.0, "rank_q": 1000000},
     ]}
+
+
+def test_global_and_auto_date_histogram_nodes(spark):
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("b", 30.0)], "k string, v double"
+    )
+    body = {
+        "query": {"term": {"k": "a"}},
+        "aggs": {
+            "filtered_total": {"sum": {"field": "v"}},
+            "all_docs": {"global": {}},
+            "all_total": {"global": {},
+                          "aggs": {"t": {"sum": {"field": "v"}}}},
+        },
+    }
+    out = run_search(df, body)
+    assert out["filtered_total"].collect()[0][0] == 30.0  # query applies
+    assert out["all_docs"].collect()[0].doc_count == 3    # global escapes it
+    assert out["all_total"].collect()[0][0] == 60.0
+
+    ev = spark.createDataFrame(
+        [(i * 3_600_000,) for i in range(48)], "t long"
+    )
+    adh = run_search(ev, {"aggs": {"h": {
+        "auto_date_histogram": {"field": "t", "buckets": 6},
+    }}})["h"]
+    rows = adh.collect()
+    assert 1 <= len(rows) <= 6
+    assert sum(r.doc_count for r in rows) == 48
