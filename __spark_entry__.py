@@ -506,6 +506,100 @@ ORDER BY event_type, pct
 """
 
 
+# Round-6 widening: the standalone metric family through the compiler —
+# weighted_avg + median_absolute_deviation + boxplot as three sibling
+# top-level aggs in ONE body, cross-joined to a single scalar row (each
+# frame is 1 row, so the joins broadcast one row each).
+ES_SEARCH_METRICS3_BODY = {
+    "size": 0,
+    "aggs": {
+        "wa": {"weighted_avg": {"value": {"field": "value"},
+                                "weight": {"field": "user_id"}}},
+        "mad": {"median_absolute_deviation": {"field": "value"}},
+        "bx": {"boxplot": {"field": "value"}},
+    },
+}
+
+
+def _es_search_metrics3_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    ev = s.read.parquet(f"{d}/events.parquet")
+    out = run_search(ev, ES_SEARCH_METRICS3_BODY)
+    wa = out["wa"].withColumnRenamed("n", "n_wa")
+    return wa.crossJoin(out["mad"]).crossJoin(out["bx"])
+
+
+def _es_search_metrics3_oracle() -> str:
+    return """
+WITH clean AS (
+  SELECT value, user_id FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+),
+wq AS (
+  SELECT CAST(FLOOR(value * 1000000.0) AS BIGINT) AS vq,
+         CAST(FLOOR(user_id * 1000000.0) AS BIGINT) AS wq
+  FROM clean
+),
+wa AS (
+  SELECT COUNT(*) AS n_wa,
+         CAST((SUM(CAST(vq AS HUGEINT) * wq)
+               - ((SUM(CAST(vq AS HUGEINT) * wq) % SUM(CAST(wq AS HUGEINT))
+                   + SUM(CAST(wq AS HUGEINT))) % SUM(CAST(wq AS HUGEINT))))
+              // SUM(CAST(wq AS HUGEINT)) AS BIGINT) AS wavg_q
+  FROM wq
+),
+med AS (SELECT quantile_cont(value, 0.5) AS m FROM clean),
+mad AS (
+  SELECT CAST(FLOOR(quantile_cont(ABS(value - (SELECT m FROM med)), 0.5)
+                    * 1000000.0) AS BIGINT) AS mad_q
+  FROM clean
+),
+q AS (
+  SELECT COUNT(*) AS n, MIN(value) AS vmin, MAX(value) AS vmax,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.5) AS q2,
+         quantile_cont(value, 0.75) AS q3
+  FROM clean
+),
+bx AS (
+  SELECT q.n, q.vmin, q.vmax,
+         CAST(FLOOR(q1 * 1000000.0) AS BIGINT) AS q1_q,
+         CAST(FLOOR(q2 * 1000000.0) AS BIGINT) AS q2_q,
+         CAST(FLOOR(q3 * 1000000.0) AS BIGINT) AS q3_q,
+         (SELECT MIN(value) FROM clean
+          WHERE value >= q.q1 - 1.5 * (q.q3 - q.q1)) AS lo_whisker,
+         (SELECT MAX(value) FROM clean
+          WHERE value <= q.q3 + 1.5 * (q.q3 - q.q1)) AS hi_whisker
+  FROM q
+)
+SELECT n_wa, wavg_q, mad_q, n, vmin, vmax, q1_q, q2_q, q3_q,
+       lo_whisker, hi_whisker
+FROM wa, mad, bx
+"""
+
+
+# random_sampler through the compiler: 1/k deterministic sample with a
+# terms sub-agg as the group key (same oracle as the direct operator —
+# the compiled route must land on the identical frame).
+ES_SEARCH_SAMPLER_BODY = {
+    "size": 0,
+    "aggs": {
+        "sampled": {
+            "random_sampler": {"probability": 0.25},
+            "aggs": {"by_type": {"terms": {"field": "event_type"}}},
+        },
+    },
+}
+
+
+def _es_search_sampler_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    ev = s.read.parquet(f"{d}/events.parquet")
+    return run_search(ev, ES_SEARCH_SAMPLER_BODY)["sampled"]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- core operator, SURVEY.md §2.1 rows 1-6, 11-17, 21 ---
@@ -519,6 +613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_filter": _es_search_filter_query,
         "es_search_terms_order": _es_search_terms_order_query,
         "es_search_grouped_pctl": _es_search_grouped_pctl_query,
+        "es_search_metrics3": _es_search_metrics3_query,
+        "es_search_sampler": _es_search_sampler_query,
         # rows 2/4: sampling scale-up applied via the 4th positional field
         "psum_sampling": lambda s, d: _psum_events(s, d, interval=6 * HOUR, offset=1),
         "psum_no_sampling": lambda s, d: _psum_events(
@@ -813,6 +909,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "es_search_terms_order": ES_SEARCH_TERMS_ORDER_SQL,
         "es_search_grouped_pctl": _es_search_grouped_pctl_oracle(),
+        "es_search_metrics3": _es_search_metrics3_oracle(),
+        "es_search_sampler": es_metrics.random_sampler_sql(["event_type"]),
         "psum_sampling": _ev_oracle(interval=6 * HOUR, offset=1),
         "psum_no_sampling": _ev_oracle(interval=6 * HOUR, offset=1, sampling=False),
         "psum_offset_90m": _ev_oracle(interval=6 * HOUR, offset="90m"),

@@ -179,6 +179,8 @@ BENCH_QUERIES = [
     "es_search_filter",
     "es_search_terms_order",
     "es_search_grouped_pctl",
+    "es_search_metrics3",
+    "es_search_sampler",
 ]
 
 

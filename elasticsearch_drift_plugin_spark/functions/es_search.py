@@ -48,6 +48,17 @@ Supported ``aggs`` nodes:
   (``operators.geo``; a geo_point field is two relational columns,
   ``lat_field``/``lon_field`` defaulting to ``lat``/``lon`` — the same
   convention as the ``es_dsl`` geo clauses);
+- the whole standalone metric/bucket family over a general field:
+  ``stats`` / ``extended_stats`` / ``weighted_avg`` /
+  ``median_absolute_deviation`` / ``boxplot`` / ``string_stats`` /
+  ``matrix_stats`` (pairwise) / ``t_test`` (two DSL-filter sides) /
+  ``top_metrics`` / ``rare_terms`` / ``adjacency_matrix`` (DSL filter
+  intersections) / ``variable_width_histogram`` / ``categorize_text`` /
+  ``significant_text`` / ``geo_bounds`` / ``geo_centroid`` — each
+  dispatching to its operator in ``operators.es_aggs`` /
+  ``operators.es_metrics`` / ``operators.geo``;
+- ``random_sampler`` — 1/k deterministic salted-hash sample with exact
+  integer scale-up; accepts one plain ``terms`` sub-agg as the group key;
 - pipeline sub-aggs under a histogram node: ``cumulative_sum``,
   ``derivative``, ``moving_fn`` (the deterministic MovingFunctions
   builtins ``max``/``min``/``sum``/``unweightedAvg``), ``bucket_selector``
@@ -350,6 +361,40 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
         return date_range_agg(
             df, spec["field"], ranges, extra_aggs=_metric_extra_aggs(sub) or None
         )
+    if kind == "random_sampler":
+        # ES runs the sub-tree on a p = 1/k sample and scales counts back
+        # up. The engine's operator fuses the sample predicate with ONE
+        # grouped aggregation, so the only sub-shape it accepts is a single
+        # terms node (→ the group key) or none (→ the global estimate).
+        from ..operators.es_metrics import random_sampler_agg
+
+        group_cols: list[str] = []
+        if sub:
+            if len(sub) != 1:
+                raise ValueError(
+                    "random_sampler supports at most one terms sub-agg"
+                )
+            (sname, snode), = sub.items()
+            skinds = [k for k in snode if k not in ("aggs", "aggregations", "meta")]
+            if skinds != ["terms"] or "aggs" in snode or "aggregations" in snode:
+                raise ValueError(
+                    "random_sampler sub-agg must be a plain terms node"
+                )
+            group_cols = [snode["terms"]["field"]]
+        prob = spec.get("probability")
+        if prob is not None:
+            inv = round(1.0 / float(prob))
+            if abs(1.0 / inv - float(prob)) > 1e-12:
+                raise ValueError(
+                    "probability must be 1/k for integer k (exact integer "
+                    "scale-up — the engine's determinism contract)"
+                )
+        else:
+            inv = int(spec.get("inv_probability", 4))
+        return random_sampler_agg(
+            df, group_cols, inv_probability=inv,
+            seed_salt=str(spec.get("seed", "sampler-v1")),
+        )
     # the remaining node types do not support sub-aggs here — honor the
     # module's 'never silently dropped' contract
     if sub:
@@ -468,6 +513,129 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
             df,
             zoom=int(spec.get("precision", 7)),
             size=int(spec.get("size", 10000)),
+            lat_col=spec.get("lat_field", "lat"),
+            lon_col=spec.get("lon_field", "lon"),
+        )
+    if kind == "stats":
+        from ..operators.es_aggs import value_stats_agg
+
+        return value_stats_agg(df, [], spec["field"])
+    if kind == "extended_stats":
+        from ..operators.es_aggs import extended_stats_agg
+
+        return extended_stats_agg(df, [], spec["field"])
+    if kind == "weighted_avg":
+        from ..operators.es_aggs import weighted_avg
+
+        v = spec["value"]["field"]
+        w = spec["weight"]
+        # ES weight.missing substitutes for docs without a weight
+        w_expr = (
+            f"COALESCE({w['field']}, {float(w['missing'])})"
+            if "missing" in w else w["field"]
+        )
+        return weighted_avg(df, [], v, w_expr)
+    if kind == "median_absolute_deviation":
+        from ..operators.es_metrics import mad_agg
+
+        return mad_agg(df, spec["field"], [])
+    if kind == "boxplot":
+        from ..operators.es_metrics import boxplot_agg
+
+        return boxplot_agg(df, spec["field"], [])
+    if kind == "string_stats":
+        from ..operators.es_metrics import string_stats_agg
+
+        return string_stats_agg(df, spec["field"], [])
+    if kind == "matrix_stats":
+        from ..operators.es_aggs import matrix_stats
+
+        fields = spec["fields"]
+        if len(fields) != 2:
+            raise ValueError(
+                "matrix_stats compiles the pairwise form — exactly two fields"
+            )
+        return matrix_stats(df, fields[0], fields[1])
+    if kind == "t_test":
+        from ..operators.es_metrics import t_test_agg
+
+        a, b = spec["a"], spec["b"]
+        field = a.get("field", spec.get("field"))
+        if b.get("field", field) != field:
+            raise ValueError("t_test sides must probe the same field")
+        return t_test_agg(
+            df, field,
+            compile_query_sql_expr(a["filter"]),
+            compile_query_sql_expr(b["filter"]),
+        )
+    if kind == "top_metrics":
+        from ..operators.es_aggs import top_metrics
+
+        (sort_ent,) = spec["sort"] if isinstance(spec["sort"], list) else [spec["sort"]]
+        (sort_col, order), = sort_ent.items()
+        order = order["order"] if isinstance(order, dict) else order
+        metrics = spec["metrics"]
+        if isinstance(metrics, dict):
+            metrics = [metrics]
+        return top_metrics(
+            df, [], sort_col, [m["field"] for m in metrics],
+            descending=str(order).lower() == "desc",
+        )
+    if kind == "rare_terms":
+        from ..operators.es_metrics import rare_terms_agg
+
+        return rare_terms_agg(
+            df, spec["field"], max_doc_count=int(spec.get("max_doc_count", 1))
+        )
+    if kind == "adjacency_matrix":
+        from ..operators.es_metrics import adjacency_matrix_agg
+
+        named = {
+            fname: compile_query_sql_expr(fnode)
+            for fname, fnode in spec["filters"].items()
+        }
+        return adjacency_matrix_agg(df, named)
+    if kind == "variable_width_histogram":
+        from ..operators.es_metrics import variable_width_histogram
+
+        return variable_width_histogram(
+            df, spec["field"], buckets=int(spec.get("buckets", 8))
+        )
+    if kind == "categorize_text":
+        from ..operators.es_metrics import categorize_text
+
+        return categorize_text(
+            df, spec["field"], size=int(spec.get("size", 20)),
+            tokens=int(spec.get("tokens", 4)),
+            id_col=spec.get("id_field", "doc_id"),
+        )
+    if kind == "significant_text":
+        from ..operators.es_aggs import significant_text
+
+        if "background_filter" in spec:
+            raise ValueError(
+                "significant_text background_filter is not supported; "
+                "use the 'foreground' extension (selects the foreground set)"
+            )
+        fg = spec["foreground"]
+        fg_sql = fg if isinstance(fg, str) else compile_query_sql_expr(fg)
+        return significant_text(
+            df, spec["field"], fg_sql, size=int(spec.get("size", 10)),
+            min_doc_count=int(spec.get("min_doc_count", 3)),
+        )
+    if kind == "geo_bounds":
+        from ..operators.geo import geo_bounds_agg
+
+        return geo_bounds_agg(
+            df, [],
+            lat_col=spec.get("lat_field", "lat"),
+            lon_col=spec.get("lon_field", "lon"),
+        )
+    if kind == "geo_centroid":
+        from ..operators.geo import geo_centroid_agg
+
+        return geo_centroid_agg(
+            df, [],
             lat_col=spec.get("lat_field", "lat"),
             lon_col=spec.get("lon_field", "lon"),
         )

@@ -346,7 +346,7 @@ def extended_stats_agg(
             "CAST((count * __sumsq - CAST(sum_q AS DECIMAL(38,0)) * sum_q)"
             " div (CAST(count AS DECIMAL(38,0)) * count) AS BIGINT)"
         ).alias("var_q"),
-    ).orderBy(*group_cols)
+    ).orderBy(*(group_cols or [F.lit(1)]))
 
 
 def extended_stats_sql(src: str, group_cols: list[str], value_col: str) -> str:
@@ -1238,7 +1238,7 @@ def value_stats_agg(df: DataFrame, group_cols: list[str], value_col: str) -> Dat
             "max",
             "cardinality",
         )
-        .orderBy(*group_cols)
+        .orderBy(*(group_cols or [F.lit(1)]))
     )
 
 
@@ -1384,7 +1384,7 @@ def weighted_avg(
             # ES contract, so pmod's divisor is always positive)
             F.expr("CAST((__num - pmod(__num, __den)) div __den AS BIGINT)").alias("wavg_q"),
         )
-        .orderBy(*group_cols)
+        .orderBy(*(group_cols or [F.lit(1)]))
     )
 
 
@@ -1443,7 +1443,7 @@ def top_metrics(
             F.col("__top.sort_value").alias("sort_value"),
             *[F.col(f"__top.{m}").alias(m) for m in metric_cols],
         )
-        .orderBy(*group_cols)
+        .orderBy(*(group_cols or [F.lit(1)]))
     )
 
 

@@ -62,6 +62,15 @@ def _valid(field: str) -> str:
     return f"{field} IS NOT NULL AND NOT isnan({field})"
 
 
+def _bjoin(left: DataFrame, right: DataFrame, keys: list[str], broadcast: bool = True):
+    """Equi-join on ``keys``, degrading to the 1×N cross join when the
+    group list is empty (the compiler's scalar form — the right side is a
+    single global-aggregate row, so the cross join is a broadcast of one
+    row, not a real cartesian)."""
+    r = F.broadcast(right) if broadcast else right
+    return left.join(r, keys) if keys else left.crossJoin(r)
+
+
 # --------------------------------------------------------------------------
 # missing + value_count
 # --------------------------------------------------------------------------
@@ -103,7 +112,7 @@ def mad_agg(df: DataFrame, field: str, group_by: list[str]) -> DataFrame:
     med = valid.groupBy(*group_by).agg(
         F.expr(f"percentile({field}, 0.5)").alias("__med")
     )
-    dev = valid.join(F.broadcast(med), group_by).select(
+    dev = _bjoin(valid, med, group_by).select(
         *group_by, F.abs(F.col(field) - F.col("__med")).alias("__dev")
     )
     return (
@@ -113,7 +122,7 @@ def mad_agg(df: DataFrame, field: str, group_by: list[str]) -> DataFrame:
                 "mad_q"
             )
         )
-        .orderBy(*group_by)
+        .orderBy(*(group_by or [F.lit(1)]))
     )
 
 
@@ -155,7 +164,7 @@ def boxplot_agg(df: DataFrame, field: str, group_by: list[str]) -> DataFrame:
         F.col("__q")[1].alias("__q2"),
         F.col("__q")[2].alias("__q3"),
     )
-    fenced = valid.join(F.broadcast(q), group_by)
+    fenced = _bjoin(valid, q, group_by)
     iqr = F.col("__q3") - F.col("__q1")
     lo_f = F.col("__q1") - 1.5 * iqr
     hi_f = F.col("__q3") + 1.5 * iqr
@@ -163,7 +172,7 @@ def boxplot_agg(df: DataFrame, field: str, group_by: list[str]) -> DataFrame:
         F.min(F.when(F.col(field) >= lo_f, F.col(field))).alias("lo_whisker"),
         F.max(F.when(F.col(field) <= hi_f, F.col(field))).alias("hi_whisker"),
     )
-    out = q.join(wh, group_by).select(
+    out = _bjoin(q, wh, group_by, broadcast=False).select(
         *group_by,
         "n",
         "vmin",
@@ -174,7 +183,7 @@ def boxplot_agg(df: DataFrame, field: str, group_by: list[str]) -> DataFrame:
         "lo_whisker",
         "hi_whisker",
     )
-    return out.orderBy(*group_by)
+    return out.orderBy(*(group_by or [F.lit(1)]))
 
 
 def boxplot_sql(src: str, field: str, group_by: list[str]) -> str:
@@ -251,7 +260,9 @@ def string_stats_agg(df: DataFrame, text_col: str, group_by: list[str]) -> DataF
             - F.expr("__s div __n")
         ).alias("entropy_q"),
     )
-    return lens.join(ent, group_by).orderBy(*group_by)
+    return _bjoin(lens, ent, group_by, broadcast=False).orderBy(
+        *(group_by or [F.lit(1)])
+    )
 
 
 def string_stats_sql(src: str, text_col: str, group_by: list[str]) -> str:
@@ -809,7 +820,8 @@ FROM clustered GROUP BY key ORDER BY key
 # categorize_text
 # --------------------------------------------------------------------------
 def categorize_text(
-    df: DataFrame, text_col: str, size: int = 20, tokens: int = 4
+    df: DataFrame, text_col: str, size: int = 20, tokens: int = 4,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """(key, doc_count, example_id): ES ``categorize_text`` — group
     semi-structured messages by token pattern. ES's version drains a
@@ -830,11 +842,11 @@ def categorize_text(
         ),
     )
     return (
-        df.select(skel.alias("key"), F.col("doc_id"))
+        df.select(skel.alias("key"), F.col(id_col).alias("__id"))
         .groupBy("key")
         .agg(
             F.count(F.lit(1)).alias("doc_count"),
-            F.min("doc_id").alias("example_id"),
+            F.min("__id").alias("example_id"),
         )
         .orderBy(F.col("doc_count").desc(), F.col("key").asc())
         .limit(size)
@@ -904,7 +916,7 @@ def random_sampler_agg(
             (F.col("n_sampled") * inv_probability).alias("doc_count_est"),
             (F.col("__sq") * inv_probability).alias("sum_value_q_est"),
         )
-        .orderBy(*group_cols)
+        .orderBy(*(group_cols or [F.lit(1)]))
     )
 
 

@@ -380,7 +380,7 @@ def geo_bounds_agg(
             F.min(lon_col).alias("left"),
             F.max(lon_col).alias("right"),
         )
-        .orderBy(*group_cols)
+        .orderBy(*(group_cols or [F.lit(1)]))
     )
 
 
@@ -417,7 +417,7 @@ def geo_centroid_agg(
             F.expr("(__slat - pmod(__slat, n)) div n").alias("lat_udeg"),
             F.expr("(__slon - pmod(__slon, n)) div n").alias("lon_udeg"),
         )
-        .orderBy(*group_cols)
+        .orderBy(*(group_cols or [F.lit(1)]))
     )
 
 

@@ -810,3 +810,130 @@ def test_global_and_auto_date_histogram_nodes(spark):
     rows = adh.collect()
     assert 1 <= len(rows) <= 6
     assert sum(r.doc_count for r in rows) == 48
+
+
+def test_standalone_metric_family_nodes(spark):
+    """Round-6 compiler widening: every standalone metric/bucket family
+    the engine registers dispatches from a body to the SAME frame the
+    operator produces directly (the operators are the oracle-paired
+    layer, so compiled == direct pins the glue)."""
+    from elasticsearch_drift_plugin_spark.operators.es_aggs import (
+        extended_stats_agg, matrix_stats, top_metrics, value_stats_agg,
+        weighted_avg,
+    )
+    from elasticsearch_drift_plugin_spark.operators.es_metrics import (
+        adjacency_matrix_agg, boxplot_agg, categorize_text, mad_agg,
+        rare_terms_agg, string_stats_agg, t_test_agg,
+        variable_width_histogram,
+    )
+
+    rows = [(i, float(i % 7) + 0.25, float(i % 3) + 1.0,
+             f"msg {i % 4} boot", "k%d" % (i % 5)) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, value double, w double, text string, tag string"
+    )
+
+    def same(body_node, direct):
+        (name,) = body_node
+        got = run_search(df, {"aggs": body_node})[name]
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, direct.collect())
+        ), name
+
+    same({"st": {"stats": {"field": "value"}}},
+         value_stats_agg(df, [], "value"))
+    same({"xs": {"extended_stats": {"field": "value"}}},
+         extended_stats_agg(df, [], "value"))
+    same({"wa": {"weighted_avg": {"value": {"field": "value"},
+                                  "weight": {"field": "w"}}}},
+         weighted_avg(df, [], "value", "w"))
+    same({"mad": {"median_absolute_deviation": {"field": "value"}}},
+         mad_agg(df, "value", []))
+    same({"bx": {"boxplot": {"field": "value"}}},
+         boxplot_agg(df, "value", []))
+    same({"ss": {"string_stats": {"field": "text"}}},
+         string_stats_agg(df, "text", []))
+    same({"mx": {"matrix_stats": {"fields": ["value", "w"]}}},
+         matrix_stats(df, "value", "w"))
+    same({"tt": {"t_test": {"a": {"field": "value",
+                                  "filter": {"term": {"tag": "k1"}}},
+                            "b": {"filter": {"term": {"tag": "k2"}}}}}},
+         t_test_agg(df, "value", "tag = 'k1'", "tag = 'k2'"))
+    same({"tm": {"top_metrics": {"metrics": [{"field": "w"}],
+                                 "sort": [{"value": {"order": "desc"}}]}}},
+         top_metrics(df, [], "value", ["w"], descending=True))
+    same({"rt": {"rare_terms": {"field": "tag", "max_doc_count": 8}}},
+         rare_terms_agg(df, "tag", max_doc_count=8))
+    same({"adj": {"adjacency_matrix": {"filters": {
+              "k1": {"term": {"tag": "k1"}},
+              "big": {"range": {"value": {"gte": 3}}}}}}},
+         adjacency_matrix_agg(df, {"k1": "tag = 'k1'", "big": "value >= 3"}))
+    same({"vw": {"variable_width_histogram": {"field": "value",
+                                              "buckets": 4}}},
+         variable_width_histogram(df, "value", buckets=4))
+    same({"ct": {"categorize_text": {"field": "text", "size": 3,
+                                     "id_field": "doc_id"}}},
+         categorize_text(df, "text", size=3))
+
+
+def test_significant_text_and_geo_point_nodes(spark):
+    from elasticsearch_drift_plugin_spark.operators.es_aggs import significant_text
+    from elasticsearch_drift_plugin_spark.operators.geo import (
+        geo_bounds_agg, geo_centroid_agg,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "en"), (2, "alpha gamma", "en"),
+         (3, "delta beta", "fr"), (4, "alpha delta", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    got = run_search(docs, {"aggs": {"sig": {"significant_text": {
+        "field": "text", "foreground": {"term": {"lang": "en"}},
+        "size": 3, "min_doc_count": 1}}}})["sig"]
+    want = significant_text(docs, "text", "lang = 'en'", size=3, min_doc_count=1)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    pts = spark.createDataFrame(
+        [(10.0, 20.0), (-5.0, 40.0), (2.5, -30.0)], "lat double, lon double"
+    )
+    gb = run_search(pts, {"aggs": {"gb": {"geo_bounds": {}}}})["gb"]
+    assert sorted(map(tuple, gb.collect())) == sorted(
+        map(tuple, geo_bounds_agg(pts, []).collect())
+    )
+    gc = run_search(pts, {"aggs": {"gc": {"geo_centroid": {}}}})["gc"]
+    assert sorted(map(tuple, gc.collect())) == sorted(
+        map(tuple, geo_centroid_agg(pts, []).collect())
+    )
+
+
+def test_random_sampler_node_and_loud_failures(spark):
+    from elasticsearch_drift_plugin_spark.operators.es_metrics import (
+        random_sampler_agg,
+    )
+
+    ev = spark.createDataFrame(
+        [(i, float(i), "t%d" % (i % 3)) for i in range(60)],
+        "event_id long, value double, event_type string",
+    )
+    got = run_search(ev, {"aggs": {"s": {
+        "random_sampler": {"probability": 0.5},
+        "aggs": {"by": {"terms": {"field": "event_type"}}},
+    }}})["s"]
+    want = random_sampler_agg(ev, ["event_type"], inv_probability=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    with pytest.raises(ValueError, match="1/k"):
+        run_search(ev, {"aggs": {"s": {"random_sampler": {"probability": 0.3}}}})
+    with pytest.raises(ValueError, match="plain terms"):
+        run_search(ev, {"aggs": {"s": {
+            "random_sampler": {"probability": 0.5},
+            "aggs": {"m": {"avg": {"field": "value"}}},
+        }}})
+    with pytest.raises(ValueError, match="exactly two fields"):
+        run_search(ev, {"aggs": {"m": {"matrix_stats": {
+            "fields": ["value", "value", "value"]}}}})
+    with pytest.raises(ValueError, match="same field"):
+        run_search(ev, {"aggs": {"t": {"t_test": {
+            "a": {"field": "value", "filter": {"term": {"event_type": "t0"}}},
+            "b": {"field": "event_id", "filter": {"term": {"event_type": "t1"}}},
+        }}}})
