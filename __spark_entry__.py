@@ -600,6 +600,53 @@ def _es_search_sampler_query(s: SparkSession, d: str) -> DataFrame:
     return run_search(ev, ES_SEARCH_SAMPLER_BODY)["sampled"]
 
 
+# terms → date_histogram through the compiler (the degenerate-psum nesting
+# route): top-3 event types by count, daily doc_count + exact max metric.
+# min_doc_count=1 pins no-fill semantics (ES's date_histogram default 0
+# fills gaps; the oracle is a plain GROUP BY).
+ES_SEARCH_TERMS_DH_BODY = {
+    "size": 0,
+    "aggs": {
+        "per_type": {
+            "terms": {"field": "event_type", "size": 3},
+            "aggs": {
+                "daily": {
+                    "date_histogram": {"field": "t_ms", "calendar_interval": "day",
+                                       "min_doc_count": 1},
+                    "aggs": {"vmax": {"max": {"field": "value"}}},
+                },
+            },
+        },
+    },
+}
+
+
+def _es_search_terms_dh_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    ev = s.read.parquet(f"{d}/events.parquet")
+    ev = ev.select(
+        flows_src.ts_ms_col(ev).alias("t_ms"), "event_type", "value"
+    )
+    return run_search(ev, ES_SEARCH_TERMS_DH_BODY)["per_type"].drop("key_ts")
+
+
+ES_SEARCH_TERMS_DH_SQL = """
+WITH keys AS (
+  SELECT event_type FROM events WHERE event_type IS NOT NULL
+  GROUP BY event_type ORDER BY COUNT(*) DESC, event_type LIMIT 3
+),
+ev AS (
+  SELECT event_type, epoch_ms(ts) AS t_ms, value FROM events
+  WHERE event_type IN (SELECT event_type FROM keys)
+)
+SELECT event_type,
+       t_ms - ((t_ms % 86400000 + 86400000) % 86400000) AS key,
+       COUNT(*) AS doc_count, MAX(value) AS vmax
+FROM ev GROUP BY event_type, key ORDER BY event_type, key
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- core operator, SURVEY.md §2.1 rows 1-6, 11-17, 21 ---
@@ -615,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_grouped_pctl": _es_search_grouped_pctl_query,
         "es_search_metrics3": _es_search_metrics3_query,
         "es_search_sampler": _es_search_sampler_query,
+        "es_search_terms_dh": _es_search_terms_dh_query,
         # rows 2/4: sampling scale-up applied via the 4th positional field
         "psum_sampling": lambda s, d: _psum_events(s, d, interval=6 * HOUR, offset=1),
         "psum_no_sampling": lambda s, d: _psum_events(
@@ -911,6 +959,7 @@ def oracle_sql() -> dict[str, str]:
         "es_search_grouped_pctl": _es_search_grouped_pctl_oracle(),
         "es_search_metrics3": _es_search_metrics3_oracle(),
         "es_search_sampler": es_metrics.random_sampler_sql(["event_type"]),
+        "es_search_terms_dh": ES_SEARCH_TERMS_DH_SQL,
         "psum_sampling": _ev_oracle(interval=6 * HOUR, offset=1),
         "psum_no_sampling": _ev_oracle(interval=6 * HOUR, offset=1, sampling=False),
         "psum_offset_90m": _ev_oracle(interval=6 * HOUR, offset="90m"),

@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "es_search_grouped_pctl",
     "es_search_metrics3",
     "es_search_sampler",
+    "es_search_terms_dh",
 ]
 
 

@@ -22,8 +22,8 @@ Supported ``aggs`` nodes:
   ``calendar_interval``) as the degenerate zero-duration proportional sum
   (reference row-12 semantics: the whole value lands in one bucket);
 - ``terms`` — with optional nested metric sub-aggs and a nested
-  ``proportional_sum`` (compiled to the operator's ``group_by``, the
-  reference's §3.3 nesting route);
+  ``proportional_sum`` or ``date_histogram`` (compiled to the operator's
+  ``group_by``, the reference's §3.3 nesting route);
 - ``range`` / ``histogram`` / ``filters`` — the operator family in
   ``operators.es_aggs`` (the filters node's sub-bodies are themselves DSL
   queries, compiled through the same clause compiler);
@@ -843,11 +843,11 @@ def _proportional_sum(df: DataFrame, spec: dict, group_by, sub=None) -> DataFram
     return proportional_sum(df, *fields, group_by=tuple(group_by), **kw)
 
 
-def _date_histogram(df: DataFrame, spec: dict, sub=None) -> DataFrame:
+def _date_histogram(df: DataFrame, spec: dict, sub=None, group_by=()) -> DataFrame:
     from ..operators.proportional_sum import proportional_sum
 
     field = spec["field"]
-    kw = {}
+    kw = {"group_by": tuple(group_by)} if group_by else {}
     extra = _metric_extra_aggs(sub)
     if extra:
         kw["extra_aggs"] = extra
@@ -898,7 +898,7 @@ def _terms(df: DataFrame, spec: dict, sub: dict, parents: tuple = ()) -> DataFra
     psum_sub = psum_name = None
     metric_names = set()
     has_bucket_child = any(
-        k in ("terms", "proportional_sum", "top_hits")
+        k in ("terms", "proportional_sum", "date_histogram", "top_hits")
         for snode in sub.values()
         for k in snode if k not in ("aggs", "aggregations", "meta")
     )
@@ -919,9 +919,11 @@ def _terms(df: DataFrame, spec: dict, sub: dict, parents: tuple = ()) -> DataFra
                 snode.get("aggs", snode.get("aggregations", {})),
                 parents=(*parents, (field, size)),
             )
-        if skind == "proportional_sum":
+        if skind in ("proportional_sum", "date_histogram"):
             if psum_sub is not None:
-                raise ValueError("one nested proportional_sum per terms agg")
+                raise ValueError(
+                    "one nested proportional_sum/date_histogram per terms agg"
+                )
             psum_sub, psum_name = snode, sname
             continue
         if skind == "top_hits":
@@ -949,13 +951,22 @@ def _terms(df: DataFrame, spec: dict, sub: dict, parents: tuple = ()) -> DataFra
         # become the operator's group_by. Each terms level's `size` applies
         # FIRST (ES computes sub-aggs only for the surviving buckets): prune
         # the input to the per-level top-size keys by doc count, then run
-        # the operator grouped by the kept keys.
-        res = _proportional_sum(
-            _level_prune(df, (*parents, (field, size))),
-            psum_sub["proportional_sum"],
-            group_by=(*parent_fields, field),
-            sub=psum_sub.get("aggs", psum_sub.get("aggregations")),
-        )
+        # the operator grouped by the kept keys. date_histogram rides the
+        # same route (it IS the zero-duration proportional_sum).
+        pruned = _level_prune(df, (*parents, (field, size)))
+        inner_sub = psum_sub.get("aggs", psum_sub.get("aggregations"))
+        if "date_histogram" in psum_sub:
+            res = _date_histogram(
+                pruned, psum_sub["date_histogram"], sub=inner_sub,
+                group_by=(*parent_fields, field),
+            )
+        else:
+            res = _proportional_sum(
+                pruned,
+                psum_sub["proportional_sum"],
+                group_by=(*parent_fields, field),
+                sub=inner_sub,
+            )
         res._es_child_name = psum_name  # for render_response's nested shape
         return res
     keys = [*parent_fields, field]

@@ -937,3 +937,35 @@ def test_random_sampler_node_and_loud_failures(spark):
             "a": {"field": "value", "filter": {"term": {"event_type": "t0"}}},
             "b": {"field": "event_id", "filter": {"term": {"event_type": "t1"}}},
         }}}})
+
+
+def test_date_histogram_under_terms(spark):
+    """terms → date_histogram nests through the psum group_by route
+    (date_histogram IS the degenerate proportional_sum), with the
+    terms-level size pruning applied first and metric sub-aggs intact."""
+    DAY = 86_400_000
+    rows = []
+    for i in range(12):
+        rows.append(("a" if i % 2 else "b", (i % 3) * DAY + 1000, float(i)))
+    rows.append(("c", 0, 99.0))  # the size=2 pruning victim (1 doc)
+    df = spark.createDataFrame(rows, "tag string, t_ms long, v double")
+    body = {
+        "aggs": {
+            "per_tag": {
+                "terms": {"field": "tag", "size": 2},
+                "aggs": {
+                    "daily": {
+                        "date_histogram": {"field": "t_ms", "calendar_interval": "day"},
+                        "aggs": {"vmax": {"max": {"field": "v"}}},
+                    },
+                },
+            },
+        },
+    }
+    out = run_search(df, body)["per_tag"]
+    got = {(r.tag, r.key): (r.doc_count, r.vmax) for r in out.collect()}
+    assert set(r[0] for r in got) == {"a", "b"}  # c pruned by size=2
+    # tag a: odd i in 0..11 -> i%3 buckets 0,1,2 with counts 2,2,2
+    assert got[("a", 0 * DAY)][0] == 2 and got[("a", 0 * DAY)][1] == 9.0
+    assert got[("b", 2 * DAY)] == (2, 8.0)
+    assert len(got) == 6
