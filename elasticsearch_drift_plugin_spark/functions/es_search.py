@@ -395,11 +395,60 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
             df, group_cols, inv_probability=inv,
             seed_salt=str(spec.get("seed", "sampler-v1")),
         )
+    if kind == "diversified_sampler":
+        # ES: cap docs per diversify value, keep the best shard_size, run
+        # the sub-tree on the sample. The engine's operator fuses the
+        # capped sample with ONE terms sub-agg (relevance rank := the
+        # deterministic content hash — engine queries have no scores).
+        from ..operators.es_metrics import diversified_sampler_terms
+
+        if len(sub) != 1:
+            raise ValueError(
+                "diversified_sampler needs exactly one terms sub-agg"
+            )
+        (sname, snode), = sub.items()
+        skinds = [k for k in snode if k not in ("aggs", "aggregations", "meta")]
+        if skinds != ["terms"] or "aggs" in snode or "aggregations" in snode:
+            raise ValueError(
+                "diversified_sampler sub-agg must be a plain terms node"
+            )
+        return diversified_sampler_terms(
+            df, spec["field"], snode["terms"]["field"],
+            max_docs_per_value=int(spec.get("max_docs_per_value", 1)),
+            shard_size=int(spec.get("shard_size", 100)),
+            id_col=spec.get("id_field", "event_id"),
+        )
     # the remaining node types do not support sub-aggs here — honor the
     # module's 'never silently dropped' contract
     if sub:
         raise ValueError(
             f"sub-aggs under {kind!r} (agg {name!r}) are not supported"
+        )
+    if kind == "rate":
+        # the engine's rate shape: monthly date_histogram buckets, unit=day
+        # (value sum / days-in-that-month, exact integer math). Other
+        # bucket/unit pairs raise rather than misread.
+        from ..operators.es_metrics import rate_agg
+
+        if spec.get("unit", "day") != "day":
+            raise ValueError("rate supports unit='day' (per-month buckets)")
+        return rate_agg(df, spec.get("t_field", "t_ms"), spec["field"])
+    if kind == "geo_line":
+        from ..operators.geo import geo_line_agg
+
+        (sort_field,) = (
+            [spec["sort"]["field"]] if isinstance(spec.get("sort"), dict)
+            else [spec.get("sort", "t_ms")]
+        )
+        if str(spec.get("sort_order", "asc")).lower() != "asc":
+            raise ValueError("geo_line supports sort_order 'asc'")
+        return geo_line_agg(
+            df, [],
+            sort_col=sort_field,
+            tiebreak_col=spec.get("id_field", "event_id"),
+            size=int(spec.get("size", 500)),
+            lat_col=spec.get("lat_field", "lat"),
+            lon_col=spec.get("lon_field", "lon"),
         )
     if kind == "filters":
         from ..operators.es_aggs import filters_agg

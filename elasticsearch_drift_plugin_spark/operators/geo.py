@@ -508,7 +508,7 @@ def geo_line_agg(
             (F.col("n_points") == F.col("total_docs")).alias("complete"),
             "line",
         )
-        .orderBy(*group_cols)
+        .orderBy(*(group_cols or [F.lit(1)]))
     )
 
 
@@ -598,7 +598,7 @@ def geo_polygon_agg(ev: DataFrame, group_cols=("event_type",)) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_inside"),
             F.coalesce(F.sum(vq), F.lit(0)).cast("long").alias("value_q"),
         )
-        .orderBy(*group_cols)
+        .orderBy(*(group_cols or [F.lit(1)]))
     )
 
 

@@ -969,3 +969,43 @@ def test_date_histogram_under_terms(spark):
     assert got[("a", 0 * DAY)][0] == 2 and got[("a", 0 * DAY)][1] == 9.0
     assert got[("b", 2 * DAY)] == (2, 8.0)
     assert len(got) == 6
+
+
+def test_diversified_sampler_rate_geo_line_nodes(spark):
+    from elasticsearch_drift_plugin_spark.operators.es_metrics import (
+        diversified_sampler_terms, rate_agg,
+    )
+    from elasticsearch_drift_plugin_spark.operators.geo import geo_line_agg
+
+    ev = spark.createDataFrame(
+        [(i, (i * 37) % 11, "t%d" % (i % 3), float(i),
+          1_700_000_000_000 + i * 86_400_000 // 2,
+          float(i % 90) - 45.0, float(i % 180) - 90.0)
+         for i in range(50)],
+        "event_id long, user_id long, event_type string, value double,"
+        " t_ms long, lat double, lon double",
+    )
+    got = run_search(ev, {"aggs": {"dv": {
+        "diversified_sampler": {"field": "user_id", "max_docs_per_value": 2,
+                                "shard_size": 20},
+        "aggs": {"by": {"terms": {"field": "event_type"}}},
+    }}})["dv"]
+    want = diversified_sampler_terms(
+        ev, "user_id", "event_type", max_docs_per_value=2, shard_size=20
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    got = run_search(ev, {"aggs": {"r": {"rate": {"field": "value"}}}})["r"]
+    want = rate_agg(ev, "t_ms", "value")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    with pytest.raises(ValueError, match="unit='day'"):
+        run_search(ev, {"aggs": {"r": {"rate": {"field": "value",
+                                                "unit": "hour"}}}})
+
+    got = run_search(ev, {"aggs": {"ln": {"geo_line": {
+        "sort": {"field": "t_ms"}, "size": 10}}}})["ln"]
+    want = geo_line_agg(ev, [], sort_col="t_ms", size=10)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    with pytest.raises(ValueError, match="sort_order"):
+        run_search(ev, {"aggs": {"ln": {"geo_line": {
+            "sort": {"field": "t_ms"}, "sort_order": "desc"}}}})
