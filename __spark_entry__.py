@@ -151,9 +151,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # BPE trainer). Everything else stays covered by pytest +
 # tools/check_correctness.py full sweeps.
 GRADE_FIRST: tuple[str, ...] = (
-    # --- r6-new (no driver evidence by definition) ---
+    # --- r6-new (no driver evidence by definition, 12) ---
     "es_search_body2", "es_search_pctl", "es_search_top_hits",
-    "es_search_geo", "es_dsl_geo_dateline",
+    "es_search_geo", "es_dsl_geo_dateline", "es_search_filter",
+    "es_search_terms_order", "es_search_grouped_pctl", "corpus_chunk",
+    "es_search_metrics3", "es_search_sampler", "es_search_terms_dh",
     # --- the never-stamped backlog (23, from VERDICT r5) ---
     "es_dsl_geo", "psum_cal_month_tz", "psum_cal_week_tz",
     "psum_cal_week_tz_lineitem", "es_random_sampler", "es_geohash_grid",
@@ -167,12 +169,10 @@ GRADE_FIRST: tuple[str, ...] = (
     "graph_pagerank", "es_cardinality_approx", "es_theta_set_ops",
     "stats_quantiles_kll", "emb_kmeans_ivf_topk", "corpus_bpe_train",
     "corpus_bpe_encode", "train_pack_bfd",
-    # --- re-stamps: code paths modified this round ---
-    "es_search_body", "es_search_grouped", "es_time_series_rate",
-    "stream_time_series_rate", "es_top_hits", "pipe_moving_fn",
-    "es_percentile_ranks", "stream_psum_6h", "stream_flow_sessions",
-    "stream_dedup_exact", "stream_percolate", "stream_js_divergence",
-    "psum_fixed_1h", "psum_grouped_subagg",
+    # --- re-stamps: operator code paths modified this round (the
+    # empty-group scalar-form guards touch the grouped forms' plans) ---
+    "es_mad", "es_boxplot", "es_string_stats", "es_geo_line",
+    "es_categorize_text", "es_value_stats", "es_weighted_avg",
 )
 
 
