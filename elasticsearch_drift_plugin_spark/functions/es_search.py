@@ -473,6 +473,27 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
                 sources.append((sname, "terms", sspec["field"], None))
             elif skind == "histogram":
                 sources.append((sname, "histogram", sspec["field"], sspec["interval"]))
+            elif skind == "date_histogram":
+                from ..params import parse_interval, parse_offset
+
+                if "fixed_interval" in sspec:
+                    # an explicit fixed_interval is ALWAYS fixed — "1d"
+                    # must not sniff as the calendar alias (ES keeps the
+                    # two keyword namespaces separate)
+                    step_ms = parse_offset(sspec["fixed_interval"])
+                    if step_ms < 1:
+                        raise ValueError("fixed_interval must be >= 1 ms")
+                else:
+                    ikind, step_ms, _ = parse_interval(
+                        sspec.get("interval"), sspec.get("calendar_interval")
+                    )
+                    if ikind != "fixed":
+                        raise ValueError(
+                            "composite date_histogram source supports fixed "
+                            "intervals (calendar rounding is not a modular "
+                            "floor)"
+                        )
+                sources.append((sname, "date_histogram", sspec["field"], step_ms))
             else:
                 raise ValueError(f"unsupported composite source {skind!r}")
         after = spec.get("after")

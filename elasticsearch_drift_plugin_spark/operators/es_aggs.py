@@ -465,6 +465,13 @@ def composite_agg(
                     F.floor(v / F.lit(float(param))) * F.lit(float(param)),
                 )
             )
+        elif kind == "date_histogram":
+            # epoch-ms key floored to the fixed step in EXACT long math
+            # (the float histogram floor would round keys past 2^53)
+            step = int(param)
+            keys.append(
+                (name, (v - F.pmod(v, F.lit(step))).cast("long"))
+            )
         else:
             raise ValueError(f"unsupported composite source kind: {kind}")
     clean = df

@@ -1009,3 +1009,34 @@ def test_diversified_sampler_rate_geo_line_nodes(spark):
     with pytest.raises(ValueError, match="sort_order"):
         run_search(ev, {"aggs": {"ln": {"geo_line": {
             "sort": {"field": "t_ms"}, "sort_order": "desc"}}}})
+
+
+def test_composite_date_histogram_source(spark):
+    DAY = 86_400_000
+    df = spark.createDataFrame(
+        [("a", 0 * DAY + 5), ("a", 0 * DAY + 9), ("a", 1 * DAY + 1),
+         ("b", 0 * DAY + 2), ("b", 2 * DAY + 7)],
+        "tag string, t_ms long",
+    )
+    body = {"aggs": {"page": {"composite": {
+        "size": 3,
+        "sources": [
+            {"day": {"date_histogram": {"field": "t_ms",
+                                        "fixed_interval": "1d"}}},
+            {"tag": {"terms": {"field": "tag"}}},
+        ],
+    }}}}
+    out = run_search(df, body)["page"]
+    rows = [(r.day, r.tag, r.doc_count) for r in out.collect()]
+    assert rows == [(0, "a", 2), (0, "b", 1), (DAY, "a", 1)]
+    # after-cursor resumes strictly past the page
+    body["aggs"]["page"]["composite"]["after"] = {"day": DAY, "tag": "a"}
+    out2 = run_search(df, body)["page"]
+    assert [(r.day, r.tag, r.doc_count) for r in out2.collect()] == [
+        (2 * DAY, "b", 1)
+    ]
+    with pytest.raises(ValueError, match="fixed"):
+        run_search(df, {"aggs": {"p": {"composite": {"sources": [
+            {"m": {"date_histogram": {"field": "t_ms",
+                                      "calendar_interval": "month"}}},
+        ]}}}})
