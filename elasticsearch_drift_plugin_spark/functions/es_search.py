@@ -60,9 +60,10 @@ Supported ``aggs`` nodes:
 - ``random_sampler`` — 1/k deterministic salted-hash sample with exact
   integer scale-up; accepts one plain ``terms`` sub-agg as the group key;
 - pipeline sub-aggs under a histogram node: ``cumulative_sum``,
-  ``derivative``, ``moving_fn`` (the deterministic MovingFunctions
-  builtins ``max``/``min``/``sum``/``unweightedAvg``), ``bucket_selector``
-  (``params.<name>`` script over ``buckets_path`` columns), and
+  ``derivative``, ``serial_diff``, ``moving_fn`` (the deterministic
+  MovingFunctions builtins ``max``/``min``/``sum``/``unweightedAvg``),
+  ``bucket_script`` / ``bucket_selector`` (``params.<name>`` script over
+  ``buckets_path`` columns), ``normalize`` (the ES 8.x method set), and
   ``bucket_sort`` (sort/from/size truncation of the bucket list).
 
 Unknown agg types raise ``ValueError`` — never silently dropped.
@@ -718,7 +719,8 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
 
 
 _PIPELINE_KINDS = (
-    "cumulative_sum", "derivative", "moving_fn", "bucket_selector", "bucket_sort"
+    "cumulative_sum", "derivative", "moving_fn", "bucket_selector", "bucket_sort",
+    "serial_diff", "bucket_script", "normalize",
 )
 
 _MOVING_FNS = {
@@ -764,6 +766,15 @@ def _apply_pipelines(buckets: DataFrame, pipes: dict, group_cols=()) -> DataFram
     - ``bucket_sort`` — ``sort`` [{col: {"order": …}}] + ``from``/``size``
       re-orders and truncates the bucket list per owning group (applied
       last, like ES).
+    - ``serial_diff`` — ``x_t − x_{t−lag}``; the first ``lag`` buckets are
+      NULL (the ES missing-lag policy).
+    - ``bucket_script`` — computed column from a ``params.<name>`` script
+      over ``buckets_path`` columns (same dialect as ``bucket_selector``).
+    - ``normalize`` — the ES 8.x method set (``rescale_0_1``,
+      ``rescale_0_100``, ``percent_of_sum``, ``mean``, ``z-score``,
+      ``softmax``) over the owning group's whole bucket list; the engine
+      extension ``quantize`` floors to ``10^k``-scaled longs for exact
+      cross-engine comparison.
 
     ES pipeline evaluation order: computed pipelines in body order, then
     selectors, then sorts.
@@ -794,6 +805,60 @@ def _apply_pipelines(buckets: DataFrame, pipes: dict, group_cols=()) -> DataFram
         elif skind == "derivative":
             col = _path_col(spec.get("buckets_path", "value"))
             buckets = buckets.withColumn(sname, F.col(col) - F.lag(col).over(w))
+        elif skind == "serial_diff":
+            # ES serial_diff: x_t − x_{t−lag}; the first `lag` buckets are
+            # NULL (exactly the ES gap-policy for missing lagged buckets)
+            col = _path_col(spec.get("buckets_path", "value"))
+            lag = int(spec.get("lag", 1))
+            if lag < 1:
+                raise ValueError("serial_diff lag must be >= 1")
+            buckets = buckets.withColumn(
+                sname, F.col(col) - F.lag(col, lag).over(w)
+            )
+        elif skind == "bucket_script":
+            # like bucket_selector but PRODUCES a column: params.<name>
+            # placeholders over buckets_path columns, script is a SQL
+            # expression (the engine's script dialect, scripted_metric
+            # stance). NULL inputs yield NULL (ES skips those buckets).
+            script = spec["script"]
+            if isinstance(script, dict):
+                script = script["source"]
+            for pname, path in spec["buckets_path"].items():
+                script = script.replace(f"params.{pname}", f"`{_path_col(path)}`")
+            if "params." in script:
+                raise ValueError(
+                    "bucket_script script references params not in "
+                    f"buckets_path: {spec['script']!r}"
+                )
+            buckets = buckets.withColumn(sname, F.expr(script))
+        elif skind == "normalize":
+            # ES 8.x normalize pipeline — rescale each bucket's metric
+            # against the whole bucket list (per owning group). Formulas
+            # are the documented ES method set; all are one whole-partition
+            # window over the RESULT frame, never a second data pass.
+            col = F.col(_path_col(spec.get("buckets_path", "value"))).cast("double")
+            wall = Window.partitionBy(*group_cols).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+            method = spec["method"]
+            mn, mx = F.min(col).over(wall), F.max(col).over(wall)
+            if method == "rescale_0_1":
+                expr = (col - mn) / (mx - mn)
+            elif method == "rescale_0_100":
+                expr = (col - mn) / (mx - mn) * F.lit(100.0)
+            elif method == "percent_of_sum":
+                expr = col / F.sum(col).over(wall)
+            elif method == "mean":
+                expr = (col - F.avg(col).over(wall)) / (mx - mn)
+            elif method == "z-score":
+                expr = (col - F.avg(col).over(wall)) / F.stddev_pop(col).over(wall)
+            elif method == "softmax":
+                expr = F.exp(col) / F.sum(F.exp(col)).over(wall)
+            else:
+                raise ValueError(f"unsupported normalize method {method!r}")
+            if "quantize" in spec:  # engine extension: exact cross-engine longs
+                expr = F.floor(expr * F.lit(10 ** int(spec["quantize"]))).cast("long")
+            buckets = buckets.withColumn(sname, expr)
         else:  # moving_fn
             m = _re.fullmatch(
                 r"\s*MovingFunctions\.(\w+)\(values\)\s*", spec["script"]

@@ -1040,3 +1040,49 @@ def test_composite_date_histogram_source(spark):
             {"m": {"date_histogram": {"field": "t_ms",
                                       "calendar_interval": "month"}}},
         ]}}}})
+
+
+def test_serial_diff_bucket_script_normalize_pipeline(spark):
+    ev = spark.createDataFrame(
+        [(50, 1.0), (150, 3.0), (250, 5.0), (350, 11.0)], "t long, v double"
+    )
+    body = {"aggs": {"hist": {
+        "date_histogram": {"field": "t", "fixed_interval": 100},
+        "aggs": {
+            "vsum": {"sum": {"field": "v"}},
+            "d2": {"serial_diff": {"buckets_path": "vsum", "lag": 2}},
+            "ratio": {"bucket_script": {
+                "buckets_path": {"v": "vsum", "n": "_count"},
+                "script": "params.v / params.n",
+            }},
+            "pct": {"normalize": {"buckets_path": "vsum",
+                                  "method": "percent_of_sum"}},
+            "r01": {"normalize": {"buckets_path": "vsum",
+                                  "method": "rescale_0_1", "quantize": 3}},
+        },
+    }}}
+    rows = [(r.key, r.vsum, r.d2, r.ratio, r.pct, r.r01)
+            for r in run_search(ev, body)["hist"].collect()]
+    assert rows == [
+        (0, 1.0, None, 1.0, 0.05, 0),
+        (100, 3.0, None, 3.0, 0.15, 200),
+        (200, 5.0, 4.0, 5.0, 0.25, 400),
+        (300, 11.0, 8.0, 11.0, 0.55, 1000),
+    ]
+    # zero-lag and unknown methods refuse loudly
+    import pytest as _pt
+    with _pt.raises(ValueError, match="lag"):
+        run_search(ev, {"aggs": {"h": {
+            "date_histogram": {"field": "t", "fixed_interval": 100},
+            "aggs": {"x": {"serial_diff": {"buckets_path": "_count",
+                                           "lag": 0}}}}}})
+    with _pt.raises(ValueError, match="normalize method"):
+        run_search(ev, {"aggs": {"h": {
+            "date_histogram": {"field": "t", "fixed_interval": 100},
+            "aggs": {"x": {"normalize": {"buckets_path": "_count",
+                                         "method": "median"}}}}}})
+    with _pt.raises(ValueError, match="params not in buckets_path"):
+        run_search(ev, {"aggs": {"h": {
+            "date_histogram": {"field": "t", "fixed_interval": 100},
+            "aggs": {"x": {"bucket_script": {"buckets_path": {"v": "_count"},
+                                             "script": "params.v + params.w"}}}}}})
