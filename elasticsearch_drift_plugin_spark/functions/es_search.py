@@ -59,6 +59,10 @@ Supported ``aggs`` nodes:
   ``operators.es_metrics`` / ``operators.geo``;
 - ``random_sampler`` — 1/k deterministic salted-hash sample with exact
   integer scale-up; accepts one plain ``terms`` sub-agg as the group key;
+- ``nested`` / ``reverse_nested`` — context switch into an
+  ``array<struct>`` path's sub-documents (fields keep their ES spelling
+  ``path.field``); ``reverse_nested`` under a terms sub-agg reports the
+  PARENT doc count per bucket;
 - pipeline sub-aggs under a histogram node: ``cumulative_sum``,
   ``derivative``, ``serial_diff``, ``moving_fn`` (the deterministic
   MovingFunctions builtins ``max``/``min``/``sum``/``unweightedAvg``),
@@ -419,6 +423,71 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
             shard_size=int(spec.get("shard_size", 100)),
             id_col=spec.get("id_field", "event_id"),
         )
+    if kind == "nested":
+        # ES `nested` bucket agg: switch the aggregation context from
+        # parent documents to their nested sub-documents (relational.py's
+        # nested_agg shape, generalized to any array<struct> path). One
+        # narrow explode — no shuffle, and Spark's nested-schema pruning
+        # keeps unread struct fields out of the parquet scan. Nested
+        # fields keep their ES spelling (`path.field` as a literal column
+        # name — Spark resolves the exact name when no struct shadows it),
+        # so the sub-tree's bodies read exactly like the index mapping.
+        # Parent identity rides along for `reverse_nested` sub-aggs.
+        from pyspark.sql import types as T
+
+        path = spec["path"]
+        dt = {f.name: f.dataType for f in df.schema}.get(path)
+        if not (
+            isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType)
+        ):
+            raise ValueError(
+                f"nested path {path!r} must be an array<struct<…>> column"
+            )
+        # the sub-tree is compiled against SAFE flat names (`path__field`)
+        # and the result renamed back to the ES spelling (`path.field`):
+        # dotted literal columns can't be used directly because Spark's
+        # missing-reference resolution digs the whole lineage and resolves
+        # `path.field` as struct access on the original array column.
+        safe = {f.name: f"{path}__{f.name}" for f in dt.elementType.fields}
+        flat = (
+            df.withColumn("__nested_parent", F.monotonically_increasing_id())
+            .withColumn("__it", F.explode(path))
+            .select(
+                "__nested_parent",
+                *[c for c in df.columns if c != path],
+                *[
+                    F.col(f"__it.{fname}").alias(s)
+                    for fname, s in safe.items()
+                ],
+            )
+        )
+        if not sub:
+            return flat.agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        if len(sub) != 1:
+            raise ValueError(
+                f"nested agg {name!r} supports exactly one sub-agg frame "
+                "(register siblings as separate top-level aggs)"
+            )
+
+        def _rewrite(node):
+            if isinstance(node, dict):
+                return {k: _rewrite(v) for k, v in node.items()}
+            if isinstance(node, list):
+                return [_rewrite(v) for v in node]
+            if isinstance(node, str):
+                for fname, s in safe.items():
+                    if node == f"{path}.{fname}":
+                        return s
+                return node
+            return node
+
+        (sname, snode), = sub.items()
+        child = _compile_agg(flat, sname, _rewrite(snode))
+        for fname, s in safe.items():
+            if s in child.columns:
+                child = child.withColumnRenamed(s, f"{path}.{fname}")
+        child._es_child_name = sname
+        return child
     # the remaining node types do not support sub-aggs here — honor the
     # module's 'never silently dropped' contract
     if sub:
@@ -1071,6 +1140,27 @@ def _terms(df: DataFrame, spec: dict, sub: dict, parents: tuple = ()) -> DataFra
             return _grouped_percentiles(
                 df, (*parents, (field, size)), snode[skind]
             )
+        if skind == "reverse_nested":
+            # ES `reverse_nested`: inside a nested bucket, jump back OUT
+            # to the parent-document context — this bucket's doc_count is
+            # the number of PARENT docs owning a matching nested doc
+            # (relational.py reverse_nested_agg semantics). Rides the same
+            # single aggregation as the metric leaves: countDistinct of
+            # the parent identity the nested node carried through.
+            if snode[skind] or snode.get("aggs") or snode.get("aggregations"):
+                raise ValueError(
+                    "reverse_nested supports the plain form (parent "
+                    "doc_count; no parameters or sub-aggs)"
+                )
+            if "__nested_parent" not in df.columns:
+                raise ValueError(
+                    "reverse_nested is only valid inside a nested context"
+                )
+            aggs.append(
+                F.countDistinct("__nested_parent").cast("long").alias(sname)
+            )
+            metric_names.add(sname)
+            continue
         if skind not in _METRICS:
             raise ValueError(f"unsupported sub-agg {skind!r} under terms")
         aggs.append(_METRICS[skind](snode[skind]["field"]).alias(sname))

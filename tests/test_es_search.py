@@ -1086,3 +1086,43 @@ def test_serial_diff_bucket_script_normalize_pipeline(spark):
             "date_histogram": {"field": "t", "fixed_interval": 100},
             "aggs": {"x": {"bucket_script": {"buckets_path": {"v": "_count"},
                                              "script": "params.v + params.w"}}}}}})
+
+
+def test_nested_reverse_nested_nodes(spark):
+    # two parent docs with nested item arrays — the ES nested-mapping shape
+    rows = [
+        (1, "A", [("r", 2.0), ("g", 3.0)]),
+        (2, "B", [("r", 5.0)]),
+        (3, "A", []),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "order_id long, prio string, "
+        "items array<struct<flag string, qty double>>",
+    )
+    # bare nested: doc_count = number of NESTED docs (empty arrays drop)
+    out = run_search(df, {"aggs": {"n": {"nested": {"path": "items"}}}})["n"]
+    assert out.collect()[0].doc_count == 3
+    # nested > terms(flag) + sum(qty) + reverse_nested parent count
+    body = {"aggs": {"n": {
+        "nested": {"path": "items"},
+        "aggs": {"by_flag": {
+            "terms": {"field": "items.flag"},
+            "aggs": {
+                "q": {"sum": {"field": "items.qty"}},
+                "parents": {"reverse_nested": {}},
+            },
+        }},
+    }}}
+    out = run_search(df, body)["n"]
+    got = {r["items.flag"]: (r.doc_count, r.q, r.parents)
+           for r in out.collect()}
+    assert got == {"r": (2, 7.0, 2), "g": (1, 3.0, 1)}
+    # loud failures: bad path, reverse_nested outside nested
+    import pytest as _pt
+    with _pt.raises(ValueError, match="array<struct"):
+        run_search(df, {"aggs": {"n": {"nested": {"path": "prio"}}}})
+    with _pt.raises(ValueError, match="nested context"):
+        run_search(df, {"aggs": {"t": {
+            "terms": {"field": "prio"},
+            "aggs": {"p": {"reverse_nested": {}}}}}})
