@@ -63,6 +63,16 @@ Supported ``aggs`` nodes:
   ``array<struct>`` path's sub-documents (fields keep their ES spelling
   ``path.field``); ``reverse_nested`` under a terms sub-agg reports the
   PARENT doc count per bucket;
+- ``sampler`` — deterministic best-``shard_size`` sample (salted-hash
+  rank, TakeOrdered — never a full sort) feeding one sub-agg frame;
+- ``geo_distance`` — haversine ring ranges from an ``origin`` (object /
+  "lat,lon" string / GeoJSON array forms; ``unit`` m/km/mi), compiled to
+  ``operators.geo.geo_distance_agg``'s contiguous edge ladder;
+- ``ip_range`` — dotted-quad string field → uint32 via a native HOF fold,
+  ``from``/``to``/``mask`` (CIDR) ranges, overlap allowed, request order;
+- ``frequent_item_sets`` — the Apriori operator over per-doc baskets of
+  ``field:value`` items; fractional ``minimum_support`` resolves against
+  the basket count;
 - pipeline sub-aggs under a histogram node: ``cumulative_sum``,
   ``derivative``, ``serial_diff``, ``moving_fn`` (the deterministic
   MovingFunctions builtins ``max``/``min``/``sum``/``unweightedAvg``),
@@ -423,6 +433,32 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
             shard_size=int(spec.get("shard_size", 100)),
             id_col=spec.get("id_field", "event_id"),
         )
+    if kind == "sampler":
+        # ES `sampler`: run the sub-tree on the best `shard_size` docs.
+        # Engine queries carry no relevance scores, so rank := the
+        # deterministic salted content hash (the diversified_sampler
+        # stance), global top-n — Spark executes orderBy+limit as
+        # TakeOrdered (per-partition heap + driver merge of n), never a
+        # full sort, so the plan holds at 100 TB.
+        n = int(spec.get("shard_size", 100))
+        if n < 1:
+            raise ValueError("sampler shard_size must be >= 1")
+        id_col = spec.get("id_field", "event_id")
+        sampled = df.orderBy(
+            F.xxhash64(F.col(id_col), F.lit(str(spec.get("seed", "sampler-v1")))).asc(),
+            F.col(id_col).asc(),
+        ).limit(n)
+        if not sub:
+            return sampled.agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        if len(sub) != 1:
+            raise ValueError(
+                f"sampler agg {name!r} supports exactly one sub-agg frame "
+                "(register siblings as separate top-level aggs)"
+            )
+        (sname, snode), = sub.items()
+        child = _compile_agg(sampled, sname, snode)
+        child._es_child_name = sname
+        return child
     if kind == "nested":
         # ES `nested` bucket agg: switch the aggregation context from
         # parent documents to their nested sub-documents (relational.py's
@@ -493,6 +529,137 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
     if sub:
         raise ValueError(
             f"sub-aggs under {kind!r} (agg {name!r}) are not supported"
+        )
+    if kind == "geo_distance":
+        # ES `geo_distance` range agg → operators.geo.geo_distance_agg.
+        # The operator buckets by a contiguous edge ladder [0,e₁), [e₁,e₂),
+        # …, [e_N,∞); the body's ranges must form that chain (arbitrary
+        # overlapping ranges raise rather than misread).
+        from ..operators.geo import geo_distance_agg
+
+        origin = spec["origin"]
+        if isinstance(origin, str):
+            lat, lon = (float(x) for x in origin.split(","))
+        elif isinstance(origin, (list, tuple)):  # GeoJSON order [lon, lat]
+            lon, lat = float(origin[0]), float(origin[1])
+        else:
+            lat, lon = float(origin["lat"]), float(origin["lon"])
+        unit = spec.get("unit", "m")
+        try:
+            to_km = {"m": 0.001, "km": 1.0, "mi": 1.609344}[unit]
+        except KeyError:
+            raise ValueError(f"unsupported geo_distance unit {unit!r}") from None
+        if "value" not in df.columns:
+            raise ValueError(
+                "geo_distance aggregates doc_count + sum(value); the frame "
+                "has no 'value' column"
+            )
+        edges, prev = [], 0.0
+        ranges = spec["ranges"]
+        for i, r in enumerate(ranges):
+            frm = float(r.get("from", 0.0)) * to_km
+            if abs(frm - prev) > 1e-9:
+                raise ValueError(
+                    "geo_distance ranges must form a contiguous ladder "
+                    f"from 0 (range {i} starts at {frm} km, previous ended "
+                    f"at {prev} km)"
+                )
+            if i < len(ranges) - 1:
+                if "to" not in r:
+                    raise ValueError(
+                        "only the last geo_distance range may be open-ended"
+                    )
+                prev = float(r["to"]) * to_km
+                edges.append(prev)
+            elif "to" in r:
+                raise ValueError("the last geo_distance range must omit 'to'")
+        return geo_distance_agg(
+            df, (lat, lon), tuple(edges),
+            lat_col=spec.get("lat_field", "lat"),
+            lon_col=spec.get("lon_field", "lon"),
+        )
+    if kind == "ip_range":
+        # ES `ip_range` over a dotted-quad string column: address → uint32
+        # via a native HOF fold (JVM-side, no UDF), then the range_agg
+        # membership fan-out — per-row fan-out ≤ #ranges, one partial+final
+        # agg, broadcast metadata join. Ranges may overlap (a doc lands in
+        # every matching bucket) and come back in request order, like ES.
+        from ..operators.relational import _ip_to_int
+
+        field = spec["field"]
+        ip = F.expr(
+            f"aggregate(transform(split({field}, '\\\\.'), "
+            "x -> CAST(x AS BIGINT)), 0L, (a, x) -> a * 256 + x)"
+        )
+        ranges = []
+        for r in spec["ranges"]:
+            if "mask" in r:
+                base, _, bits = r["mask"].partition("/")
+                span = 1 << (32 - int(bits))
+                lo = _ip_to_int(base) // span * span  # align to the block
+                ranges.append((r.get("key", r["mask"]), lo, lo + span))
+            else:
+                lo = _ip_to_int(r["from"]) if "from" in r else None
+                hi = _ip_to_int(r["to"]) if "to" in r else None
+                key = r.get("key", f"{r.get('from', '*')}-{r.get('to', '*')}")
+                ranges.append((key, lo, hi))
+        matches = F.array(*[
+            F.when(
+                ((ip >= F.lit(lo)) if lo is not None else F.lit(True))
+                & ((ip < F.lit(hi)) if hi is not None else F.lit(True)),
+                F.lit(i),
+            )
+            for i, (_, lo, hi) in enumerate(ranges)
+        ])
+        hit = (
+            df.where(F.col(field).isNotNull())
+            .select(F.explode(F.array_compact(matches)).alias("__r"))
+            .groupBy("__r")
+            .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        )
+        meta = df.sparkSession.createDataFrame(
+            [(i, k) for i, (k, _, _) in enumerate(ranges)], "__r int, key string"
+        )
+        return (
+            F.broadcast(meta)
+            .join(hit, "__r", "left")
+            .select(
+                "__r", "key",
+                F.coalesce("doc_count", F.lit(0)).alias("doc_count"),
+            )
+            .orderBy("__r")
+            .drop("__r")
+        )
+    if kind == "frequent_item_sets":
+        # ES 8.x frequent_item_sets → the Apriori operator. Each doc is a
+        # basket (`id_field`); items are `field:value` strings drawn from
+        # the requested fields (the ES per-field item space). A fractional
+        # minimum_support resolves against the basket count (one scalar
+        # count job — O(1) driver traffic), integers pass through.
+        from math import ceil
+
+        from ..operators.frequent_itemsets import frequent_item_sets
+
+        fields = [f["field"] for f in spec["fields"]]
+        id_col = spec.get("id_field", "event_id")
+        baskets = None
+        for f in fields:
+            part = df.where(F.col(f).isNotNull()).select(
+                F.col(id_col).alias("basket"),
+                F.concat_ws(":", F.lit(f), F.col(f).cast("string")).alias("item"),
+            )
+            baskets = part if baskets is None else baskets.unionByName(part)
+        baskets = baskets.distinct()
+        msup = spec.get("minimum_support", 0.1)
+        if isinstance(msup, float) and msup < 1.0:
+            n_tx = baskets.select("basket").distinct().count()
+            msup = max(1, ceil(msup * n_tx))
+        return frequent_item_sets(
+            baskets,
+            min_support=int(msup),
+            min_set_size=int(spec.get("minimum_set_size", 2)),
+            max_set_size=int(spec.get("maximum_set_size", 3)),
+            size=int(spec.get("size", 10)),
         )
     if kind == "rate":
         # the engine's rate shape: monthly date_histogram buckets, unit=day

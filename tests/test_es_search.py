@@ -1126,3 +1126,79 @@ def test_nested_reverse_nested_nodes(spark):
         run_search(df, {"aggs": {"t": {
             "terms": {"field": "prio"},
             "aggs": {"p": {"reverse_nested": {}}}}}})
+
+
+def test_geo_distance_node(spark):
+    df = spark.createDataFrame(
+        [(0.0, 0.0, 1.0), (0.0, 10.0, 2.0), (0.0, 30.0, 4.0)],
+        "lat double, lon double, value double",
+    )
+    body = {"aggs": {"rings": {"geo_distance": {
+        "origin": {"lat": 0.0, "lon": 0.0},
+        "unit": "km",
+        "ranges": [{"to": 1000}, {"from": 1000, "to": 3000}, {"from": 3000}],
+    }}}}
+    out = run_search(df, body)["rings"]
+    rows = [(r.key, r.doc_count) for r in out.collect()]
+    assert rows == [("*-1000.0", 1), ("1000.0-3000.0", 1), ("3000.0-*", 1)]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="contiguous"):
+        run_search(df, {"aggs": {"r": {"geo_distance": {
+            "origin": "0,0", "unit": "km",
+            "ranges": [{"from": 500, "to": 1000}, {"from": 1000}]}}}})
+    with _pt.raises(ValueError, match="omit"):
+        run_search(df, {"aggs": {"r": {"geo_distance": {
+            "origin": "0,0", "unit": "km",
+            "ranges": [{"to": 1000}, {"from": 1000, "to": 3000}]}}}})
+
+
+def test_ip_range_node(spark):
+    df = spark.createDataFrame(
+        [("10.0.0.5",), ("10.0.1.5",), ("192.168.1.1",), (None,)],
+        "src string",
+    )
+    body = {"aggs": {"nets": {"ip_range": {"field": "src", "ranges": [
+        {"to": "10.0.1.0"},
+        {"from": "10.0.1.0", "to": "11.0.0.0", "key": "lab"},
+        {"mask": "192.168.1.77/16"},
+        {"from": "10.0.0.0", "to": "11.0.0.0"},  # overlap: catches both 10.x
+    ]}}}}
+    out = run_search(df, body)["nets"]
+    rows = [(r.key, r.doc_count) for r in out.collect()]
+    assert rows == [
+        ("*-10.0.1.0", 1),
+        ("lab", 1),
+        ("192.168.1.77/16", 1),
+        ("10.0.0.0-11.0.0.0", 2),
+    ]
+
+
+def test_sampler_node(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(10)],
+        "event_id long, tag string",
+    )
+    # cap smaller than the data: exactly shard_size docs survive
+    out = run_search(df, {"aggs": {"s": {"sampler": {"shard_size": 4}}}})["s"]
+    assert out.collect()[0].doc_count == 4
+    # deterministic: same body twice -> identical sampled terms buckets
+    body = {"aggs": {"s": {"sampler": {"shard_size": 4},
+                           "aggs": {"t": {"terms": {"field": "tag"}}}}}}
+    a = [(r.tag, r.doc_count) for r in run_search(df, body)["s"].collect()]
+    b = [(r.tag, r.doc_count) for r in run_search(df, body)["s"].collect()]
+    assert a == b and sum(n for _, n in a) == 4
+
+
+def test_frequent_item_sets_node(spark):
+    df = spark.createDataFrame(
+        [(1, "red", "L"), (2, "red", "L"), (3, "red", "M")],
+        "event_id long, color string, sz string",
+    )
+    body = {"aggs": {"fis": {"frequent_item_sets": {
+        "fields": [{"field": "color"}, {"field": "sz"}],
+        "minimum_support": 0.5, "minimum_set_size": 2, "size": 5,
+    }}}}
+    out = run_search(df, body)["fis"]
+    rows = [(r.items, r.set_size, r.support) for r in out.collect()]
+    assert ("color:red+sz:L", 2, 2) in rows
+    assert all(s >= 2 for _, _, s in rows)
