@@ -80,6 +80,12 @@ Supported ``aggs`` nodes:
   ``buckets_path`` columns), ``normalize`` (the ES 8.x method set), and
   ``bucket_sort`` (sort/from/size truncation of the bucket list).
 
+Sibling pipeline aggs: ``avg_bucket`` / ``sum_bucket`` / ``min_bucket`` /
+``max_bucket`` / ``stats_bucket`` / ``percentiles_bucket`` /
+``change_point`` (most-likely step-change split of a sibling's bucket
+series) / ``bucket_correlation`` (Pearson against a caller-provided
+indicator) — all result-sized, resolved after their targets.
+
 Unknown agg types raise ``ValueError`` — never silently dropped.
 :func:`render_response` shapes the result dict as the ES response's
 ``aggregations`` object (list or ``keyed`` bucket forms) for the serving
@@ -118,8 +124,12 @@ _SIBLING_PIPELINES = {
 
 # multi-column sibling pipelines (handled separately from the single-value
 # reducers above): stats_bucket / percentiles_bucket over a sibling's
-# bucket column — result-sized aggregations, never a second data pass
-_SIBLING_MULTI = ("stats_bucket", "percentiles_bucket")
+# bucket column — result-sized aggregations, never a second data pass.
+# change_point / bucket_correlation are ES 8.x analytic siblings riding
+# the same resolution (operators.pipeline / an inline Pearson corr).
+_SIBLING_MULTI = (
+    "stats_bucket", "percentiles_bucket", "change_point", "bucket_correlation"
+)
 
 
 def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
@@ -182,6 +192,64 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
                 F.max(col).alias("max"),
                 F.avg(col).alias("avg"),
                 F.sum(col).alias("sum"),
+            )
+        elif kind == "change_point":
+            # ES 8.x change_point sibling: most-likely step-change split of
+            # the target's bucket series (operators.pipeline.change_point —
+            # result-sized window math, exact integer discipline)
+            from ..operators.pipeline import change_point as _change_point
+
+            out[name] = _change_point(
+                out[target].select("key", F.col(col).alias("value")),
+                quantize=int(spec.get("quantize", 4)),
+            )
+        elif kind == "bucket_correlation":
+            # ES bucket_correlation (count_correlation function): Pearson
+            # correlation between the target's bucket metric series (key
+            # order) and the caller-provided indicator expectations. A
+            # length mismatch raises AT EXECUTION (ES rejects it too)
+            # via raise_error in the final single-row projection.
+            from pyspark.sql import Window as _W
+
+            exps = [
+                float(x)
+                for x in spec["function"]["count_correlation"]["indicator"][
+                    "expectations"
+                ]
+            ]
+            src = out[target].select(
+                (F.row_number().over(_W.orderBy("key")) - 1).alias("__i"),
+                F.col(col).cast("double").alias("__v"),
+            )
+            lit = src.sparkSession.createDataFrame(
+                list(enumerate(exps)), "__i int, __e double"
+            )
+            # Pearson by hand (NULLIF-guarded) — ANSI mode makes F.corr
+            # throw DIVIDE_BY_ZERO on constant series before the length
+            # check could fire; here a degenerate series yields NULL
+            both = F.col("__v").isNotNull() & F.col("__e").isNotNull()
+            out[name] = (
+                src.join(F.broadcast(lit), "__i", "full_outer")
+                .agg(
+                    F.count(F.lit(1)).alias("__n"),
+                    F.count(F.when(both, 1)).cast("double").alias("__np"),
+                    F.sum(F.when(both, F.col("__v"))).alias("__sv"),
+                    F.sum(F.when(both, F.col("__e"))).alias("__se"),
+                    F.sum(F.when(both, F.col("__v") * F.col("__v"))).alias("__svv"),
+                    F.sum(F.when(both, F.col("__e") * F.col("__e"))).alias("__see"),
+                    F.sum(F.when(both, F.col("__v") * F.col("__e"))).alias("__sve"),
+                )
+                .select(
+                    F.expr(
+                        f"CASE WHEN __n = {len(exps)} THEN "
+                        "(__np * __sve - __sv * __se) / NULLIF(SQRT("
+                        "(__np * __svv - __sv * __sv) * "
+                        "(__np * __see - __se * __se)), 0.0) ELSE "
+                        "raise_error('bucket_correlation: indicator "
+                        "expectations length does not match the bucket "
+                        "count') END"
+                    ).alias(name)
+                )
             )
         elif kind == "percentiles_bucket":
             pcts = [float(p) for p in spec.get("percents", (1, 5, 25, 50, 75, 95, 99))]

@@ -558,12 +558,12 @@ def change_point(
     wbest = Window.partitionBy(*group_by).orderBy(
         F.col("gain_mq").desc(), F.col("change_key").asc()
     )
-    return (
+    best = (
         cand.withColumn("__rn", F.row_number().over(wbest))
         .where(F.col("__rn") == 1)
         .drop("__rn")
-        .orderBy(*group_by)
     )
+    return best.orderBy(*group_by) if group_by else best
 
 
 def change_point_sql(base_sql: str, group_by=(), quantize: int = 4) -> str:

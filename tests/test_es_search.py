@@ -1202,3 +1202,39 @@ def test_frequent_item_sets_node(spark):
     rows = [(r.items, r.set_size, r.support) for r in out.collect()]
     assert ("color:red+sz:L", 2, 2) in rows
     assert all(s >= 2 for _, _, s in rows)
+
+
+def test_change_point_bucket_correlation_siblings(spark):
+    # step series: 1,1,1,10,10 at keys 0..400 — change at key 300
+    ev = spark.createDataFrame(
+        [(50, 1.0), (150, 1.0), (250, 1.0), (350, 10.0), (450, 10.0)],
+        "t long, v double",
+    )
+    body = {"aggs": {
+        "hist": {"date_histogram": {"field": "t", "fixed_interval": 100},
+                 "aggs": {"vs": {"sum": {"field": "v"}}}},
+        "cp": {"change_point": {"buckets_path": "hist>vs"}},
+        "corr": {"bucket_correlation": {
+            "buckets_path": "hist>vs",
+            "function": {"count_correlation": {"indicator": {
+                "expectations": [1.0, 1.0, 1.0, 10.0, 10.0]}}},
+        }},
+    }}
+    res = run_search(ev, body)
+    cp = res["cp"].collect()[0]
+    assert cp.change_key == 300 and cp.n_before == 3 and cp.n_after == 2
+    corr = res["corr"].collect()[0][0]
+    assert abs(corr - 1.0) < 1e-12
+    # indicator length mismatch raises at execution
+    import pytest as _pt
+    bad = {"aggs": {
+        "hist": {"date_histogram": {"field": "t", "fixed_interval": 100},
+                 "aggs": {"vs": {"sum": {"field": "v"}}}},
+        "corr": {"bucket_correlation": {
+            "buckets_path": "hist>vs",
+            "function": {"count_correlation": {"indicator": {
+                "expectations": [1.0, 2.0]}}},
+        }},
+    }}
+    with _pt.raises(Exception, match="does not match the bucket count"):
+        run_search(ev, bad)["corr"].collect()
