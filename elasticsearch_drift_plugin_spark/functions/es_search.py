@@ -401,7 +401,58 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
         )
     if kind == "date_histogram":
         metrics, pipes = _split_sub(sub)
-        return _apply_pipelines(_date_histogram(df, spec, sub=metrics), pipes)
+        # cumulative_cardinality can't run over the bucket frame (running
+        # DISTINCT needs the raw ids) — intercept it here where `df` is in
+        # scope and join the operator's first-seen aggregation onto the
+        # bucket list (operators.pipeline.cumulative_cardinality: one
+        # shuffle by id, O(buckets) state — never per-bucket distinct sets)
+        cumcards = {
+            k: v for k, v in pipes.items() if "cumulative_cardinality" in v
+        }
+        pipes = {k: v for k, v in pipes.items() if k not in cumcards}
+        buckets = _date_histogram(df, spec, sub=metrics)
+        if cumcards:
+            from ..operators.pipeline import cumulative_cardinality
+            from ..params import parse_offset as _parse_tv
+
+            if "fixed_interval" not in spec or spec.get("offset"):
+                raise ValueError(
+                    "cumulative_cardinality requires a fixed_interval "
+                    "date_histogram without offset (calendar rounding is "
+                    "not a modular floor)"
+                )
+            step_ms = _parse_tv(spec["fixed_interval"])
+            for sname, snode in cumcards.items():
+                cspec = snode["cumulative_cardinality"]
+                tgt = cspec["buckets_path"]
+                tnode = metrics.get(tgt, {})
+                if "cardinality" not in tnode:
+                    raise ValueError(
+                        f"cumulative_cardinality buckets_path {tgt!r} must "
+                        "name a cardinality metric sibling under this "
+                        "date_histogram"
+                    )
+                cc = cumulative_cardinality(
+                    df.where(F.col(spec["field"]).isNotNull()),
+                    spec["field"],
+                    tnode["cardinality"]["field"],
+                    step_ms,
+                )
+                buckets = buckets.join(
+                    cc.select("key", F.col("cum_cardinality").alias(sname)),
+                    "key",
+                    "left",
+                )
+            # empty-filled buckets carry the previous running value (the
+            # ES contract): forward-fill over the key order
+            from pyspark.sql import Window as _W
+
+            wf = _W.orderBy("key").rowsBetween(_W.unboundedPreceding, 0)
+            for sname in cumcards:
+                buckets = buckets.withColumn(
+                    sname, F.last(sname, ignorenulls=True).over(wf)
+                )
+        return _apply_pipelines(buckets, pipes)
     if kind == "terms":
         return _terms(df, spec, sub)
     if kind == "filter":
@@ -1024,7 +1075,7 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
 
 _PIPELINE_KINDS = (
     "cumulative_sum", "derivative", "moving_fn", "bucket_selector", "bucket_sort",
-    "serial_diff", "bucket_script", "normalize",
+    "serial_diff", "bucket_script", "normalize", "cumulative_cardinality",
 )
 
 _MOVING_FNS = {
@@ -1100,6 +1151,13 @@ def _apply_pipelines(buckets: DataFrame, pipes: dict, group_cols=()) -> DataFram
         if skind == "bucket_sort":
             sorts.append(spec)
             continue
+        if skind == "cumulative_cardinality":
+            # routed through _PIPELINE_KINDS but resolved at the
+            # date_histogram node (it needs the raw ids, not the buckets)
+            raise ValueError(
+                "cumulative_cardinality is supported under a fixed-interval "
+                "date_histogram only"
+            )
         if skind == "cumulative_sum":
             col = _path_col(spec.get("buckets_path", "value"))
             buckets = buckets.withColumn(

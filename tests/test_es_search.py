@@ -1238,3 +1238,32 @@ def test_change_point_bucket_correlation_siblings(spark):
     }}
     with _pt.raises(Exception, match="does not match the bucket count"):
         run_search(ev, bad)["corr"].collect()
+
+
+def test_cumulative_cardinality_under_date_histogram(spark):
+    # users: u1 @0, u1+u2 @100, u2 @200, u3 @300 -> running distinct 1,2,2,3
+    ev = spark.createDataFrame(
+        [(50, "u1"), (150, "u1"), (160, "u2"), (250, "u2"), (350, "u3")],
+        "t long, uid string",
+    )
+    body = {"aggs": {"hist": {
+        "date_histogram": {"field": "t", "fixed_interval": 100},
+        "aggs": {
+            "u": {"cardinality": {"field": "uid"}},
+            "cu": {"cumulative_cardinality": {"buckets_path": "u"}},
+        },
+    }}}
+    rows = [(r.key, r.u, r.cu) for r in run_search(ev, body)["hist"].collect()]
+    assert rows == [(0, 1, 1), (100, 2, 2), (200, 1, 2), (300, 1, 3)]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="cardinality metric sibling"):
+        run_search(ev, {"aggs": {"h": {
+            "date_histogram": {"field": "t", "fixed_interval": 100},
+            "aggs": {"cu": {"cumulative_cardinality": {"buckets_path": "x"}}},
+        }}})
+    with _pt.raises(ValueError, match="fixed-interval|fixed_interval"):
+        run_search(ev, {"aggs": {"h": {
+            "date_histogram": {"field": "t", "calendar_interval": "month"},
+            "aggs": {"u": {"cardinality": {"field": "uid"}},
+                     "cu": {"cumulative_cardinality": {"buckets_path": "u"}}},
+        }}})
