@@ -84,7 +84,9 @@ Sibling pipeline aggs: ``avg_bucket`` / ``sum_bucket`` / ``min_bucket`` /
 ``max_bucket`` / ``stats_bucket`` / ``percentiles_bucket`` /
 ``change_point`` (most-likely step-change split of a sibling's bucket
 series) / ``bucket_correlation`` (Pearson against a caller-provided
-indicator) — all result-sized, resolved after their targets.
+indicator) / ``bucket_count_ks_test`` (exact two-sample KS D between two
+groups of a grouped sibling) — all result-sized, resolved after their
+targets.
 
 Unknown agg types raise ``ValueError`` — never silently dropped.
 :func:`render_response` shapes the result dict as the ES response's
@@ -128,7 +130,8 @@ _SIBLING_PIPELINES = {
 # change_point / bucket_correlation are ES 8.x analytic siblings riding
 # the same resolution (operators.pipeline / an inline Pearson corr).
 _SIBLING_MULTI = (
-    "stats_bucket", "percentiles_bucket", "change_point", "bucket_correlation"
+    "stats_bucket", "percentiles_bucket", "change_point", "bucket_correlation",
+    "bucket_count_ks_test",
 )
 
 
@@ -250,6 +253,26 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
                         "count') END"
                     ).alias(name)
                 )
+            )
+        elif kind == "bucket_count_ks_test":
+            # ES ML bucket_count_ks_test, the engine's two-sample form:
+            # exact KS D between two groups' bucket-value distributions
+            # (operators.pipeline.ks_test — integer ECDF cross-
+            # multiplication, result-sized). `group_by` names the grouped
+            # target's key column; `a`/`b` pick the two series.
+            from ..operators.pipeline import ks_test as _ks_test
+
+            gcol = spec["group_by"]
+            tcols = out[target].columns
+            if gcol not in tcols:
+                raise ValueError(
+                    f"bucket_count_ks_test group_by {gcol!r} is not a "
+                    f"column of {target!r} ({tcols})"
+                )
+            out[name] = _ks_test(
+                out[target].select(gcol, F.col(col).alias("value")),
+                gcol, spec["a"], spec["b"],
+                quantize=int(spec.get("quantize", 4)),
             )
         elif kind == "percentiles_bucket":
             pcts = [float(p) for p in spec.get("percents", (1, 5, 25, 50, 75, 95, 99))]
@@ -482,11 +505,15 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
     if kind == "histogram":
         from ..operators.es_aggs import histogram_agg
 
-        return histogram_agg(
-            df, spec["field"], spec["interval"],
-            offset=spec.get("offset", 0.0),
-            min_doc_count=spec.get("min_doc_count", 1),
-            extra_aggs=_metric_extra_aggs(sub) or None,
+        metrics, pipes = _split_sub(sub)
+        return _apply_pipelines(
+            histogram_agg(
+                df, spec["field"], spec["interval"],
+                offset=spec.get("offset", 0.0),
+                min_doc_count=spec.get("min_doc_count", 1),
+                extra_aggs=_metric_extra_aggs(metrics) or None,
+            ),
+            pipes,
         )
     if kind == "date_range":
         from ..operators.es_metrics import date_range_agg

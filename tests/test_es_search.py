@@ -1267,3 +1267,35 @@ def test_cumulative_cardinality_under_date_histogram(spark):
             "aggs": {"u": {"cardinality": {"field": "uid"}},
                      "cu": {"cumulative_cardinality": {"buckets_path": "u"}}},
         }}})
+
+
+def test_histogram_pipes_and_ks_test_sibling(spark):
+    ev = spark.createDataFrame(
+        [("a", 10.0, 1.0), ("a", 20.0, 2.0), ("a", 30.0, 4.0),
+         ("b", 10.0, 5.0), ("b", 20.0, 5.0), ("b", 30.0, 5.0)],
+        "g string, x double, v double",
+    )
+    # plain histogram now takes pipeline sub-aggs
+    body = {"aggs": {"h": {
+        "histogram": {"field": "x", "interval": 10},
+        "aggs": {"vs": {"sum": {"field": "v"}},
+                 "run": {"cumulative_sum": {"buckets_path": "vs"}}},
+    }}}
+    rows = [(r.key, r.vs, r.run) for r in run_search(ev, body)["h"].collect()]
+    assert rows == [(10.0, 6.0, 6.0), (20.0, 7.0, 13.0), (30.0, 9.0, 22.0)]
+    # ks_test sibling over a grouped terms>date_histogram-like frame:
+    # build via terms nesting is heavyweight here — use two histograms per
+    # group through the grouped psum route instead
+    body2 = {"aggs": {
+        "per_g": {"terms": {"field": "g", "size": 10},
+                  "aggs": {"h": {"date_histogram": {
+                      "field": "x", "fixed_interval": 10},
+                      "aggs": {"vs": {"sum": {"field": "v"}}}}}},
+        "ks": {"bucket_count_ks_test": {
+            "buckets_path": "per_g>vs", "group_by": "g",
+            "a": "a", "b": "b", "quantize": 0}},
+    }}
+    ks = run_search(ev.withColumn("x", F.col("x").cast("long")), body2)["ks"]
+    r = ks.collect()[0]
+    # a-values {1,2,4}, b-values {5,5,5}: D = 1.0 at vq<5 (3/3 vs 0/3)
+    assert (r.n_a, r.n_b, r.d_q) == (3, 3, 1_000_000)
