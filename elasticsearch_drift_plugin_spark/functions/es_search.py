@@ -70,6 +70,11 @@ Supported ``aggs`` nodes:
   ``operators.geo.geo_distance_agg``'s contiguous edge ladder;
 - ``ip_range`` — dotted-quad string field → uint32 via a native HOF fold,
   ``from``/``to``/``mask`` (CIDR) ranges, overlap allowed, request order;
+- ``ip_prefix`` — one bucket per /``prefix_length`` network over the same
+  string→uint32 fold, keyed by network address (IPv4 only);
+- ``top_hits`` standalone — global best ``size`` docs by the sort spec
+  (TakeOrdered; ``_source.includes`` prunes the scan) — the terms route
+  compiles the per-bucket nested form;
 - ``frequent_item_sets`` — the Apriori operator over per-doc baskets of
   ``field:value`` items; fractional ``minimum_support`` resolves against
   the basket count;
@@ -776,6 +781,66 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
             .orderBy("__r")
             .drop("__r")
         )
+    if kind == "ip_prefix":
+        # ES 8.x ip_prefix over a dotted-quad string field: fold to uint32
+        # (native HOF), floor to the /prefix_length network, one
+        # partial+final agg keyed by the network address (the ES bucket
+        # key order). IPv4 only — is_ipv6 bodies raise.
+        if spec.get("is_ipv6"):
+            raise ValueError("ip_prefix supports IPv4 fields only")
+        field = spec["field"]
+        plen = int(spec["prefix_length"])
+        if not 1 <= plen <= 32:
+            raise ValueError("ip_prefix prefix_length must be in [1, 32]")
+        block = 2 ** (32 - plen)
+        ip = F.expr(
+            f"aggregate(transform(split({field}, '\\\\.'), "
+            "x -> CAST(x AS BIGINT)), 0L, (a, x) -> a * 256 + x)"
+        )
+        net = (ip - F.pmod(ip, F.lit(block))).alias("__net")
+        agg = (
+            df.where(F.col(field).isNotNull())
+            .select(net)
+            .groupBy("__net")
+            .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+            .where(F.col("doc_count") >= int(spec.get("min_doc_count", 1)))
+        )
+        key = F.concat_ws(
+            ".",
+            (F.col("__net") / 16777216).cast("long"),
+            F.pmod((F.col("__net") / 65536).cast("long"), F.lit(256)),
+            F.pmod((F.col("__net") / 256).cast("long"), F.lit(256)),
+            F.pmod(F.col("__net"), F.lit(256)),
+        )
+        return (
+            agg.select(
+                "__net",
+                key.alias("key"),
+                F.lit(plen).cast("long").alias("prefix_length"),
+                "doc_count",
+            )
+            .orderBy("__net")
+            .drop("__net")
+        )
+    if kind == "top_hits":
+        # standalone top_hits (the terms route compiles the nested form):
+        # the global best `size` docs by the sort spec — orderBy+limit is
+        # TakeOrdered (per-partition heap + driver merge), never a full
+        # sort. `_source.includes` prunes the projection (column pruning
+        # reaches the scan).
+        (sort_ent,) = spec["sort"] if isinstance(spec["sort"], list) else [spec["sort"]]
+        (sort_col, order), = sort_ent.items()
+        order = order["order"] if isinstance(order, dict) else order
+        sorted_df = df
+        if isinstance(spec.get("_source"), dict) and "includes" in spec["_source"]:
+            keep = list(spec["_source"]["includes"])
+            if sort_col not in keep:
+                keep.append(sort_col)
+            sorted_df = df.select(*keep)
+        c = F.col(sort_col)
+        return sorted_df.orderBy(
+            c.desc() if str(order).lower() == "desc" else c.asc()
+        ).limit(int(spec.get("size", 3)))
     if kind == "frequent_item_sets":
         # ES 8.x frequent_item_sets → the Apriori operator. Each doc is a
         # basket (`id_field`); items are `field:value` strings drawn from

@@ -1299,3 +1299,25 @@ def test_histogram_pipes_and_ks_test_sibling(spark):
     r = ks.collect()[0]
     # a-values {1,2,4}, b-values {5,5,5}: D = 1.0 at vq<5 (3/3 vs 0/3)
     assert (r.n_a, r.n_b, r.d_q) == (3, 3, 1_000_000)
+
+
+def test_ip_prefix_and_standalone_top_hits(spark):
+    df = spark.createDataFrame(
+        [("10.0.0.5", 3.0), ("10.0.0.200", 1.0), ("10.0.1.7", 5.0),
+         ("192.168.9.9", 2.0), (None, 9.0)],
+        "src string, v double",
+    )
+    out = run_search(df, {"aggs": {"nets": {"ip_prefix": {
+        "field": "src", "prefix_length": 24}}}})["nets"]
+    assert [(r.key, r.prefix_length, r.doc_count) for r in out.collect()] == [
+        ("10.0.0.0", 24, 2), ("10.0.1.0", 24, 1), ("192.168.9.0", 24, 1),
+    ]
+    top = run_search(df, {"aggs": {"best": {"top_hits": {
+        "size": 2, "sort": [{"v": {"order": "desc"}}],
+        "_source": {"includes": ["src"]}}}}})["best"]
+    assert [(r.src, r.v) for r in top.collect()] == [
+        (None, 9.0), ("10.0.1.7", 5.0)]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="IPv4"):
+        run_search(df, {"aggs": {"n": {"ip_prefix": {
+            "field": "src", "prefix_length": 64, "is_ipv6": True}}}})
