@@ -82,8 +82,10 @@ Supported ``aggs`` nodes:
   ``derivative``, ``serial_diff``, ``moving_fn`` (the deterministic
   MovingFunctions builtins ``max``/``min``/``sum``/``unweightedAvg``),
   ``bucket_script`` / ``bucket_selector`` (``params.<name>`` script over
-  ``buckets_path`` columns), ``normalize`` (the ES 8.x method set), and
-  ``bucket_sort`` (sort/from/size truncation of the bucket list).
+  ``buckets_path`` columns), ``normalize`` (the ES 8.x method set),
+  ``moving_percentiles`` (exact interpolated percentile over the trailing
+  window), and ``bucket_sort`` (sort/from/size truncation of the bucket
+  list).
 
 Sibling pipeline aggs: ``avg_bucket`` / ``sum_bucket`` / ``min_bucket`` /
 ``max_bucket`` / ``stats_bucket`` / ``percentiles_bucket`` /
@@ -1168,6 +1170,7 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
 _PIPELINE_KINDS = (
     "cumulative_sum", "derivative", "moving_fn", "bucket_selector", "bucket_sort",
     "serial_diff", "bucket_script", "normalize", "cumulative_cardinality",
+    "moving_percentiles",
 )
 
 _MOVING_FNS = {
@@ -1259,6 +1262,38 @@ def _apply_pipelines(buckets: DataFrame, pipes: dict, group_cols=()) -> DataFram
         elif skind == "derivative":
             col = _path_col(spec.get("buckets_path", "value"))
             buckets = buckets.withColumn(sname, F.col(col) - F.lag(col).over(w))
+        elif skind == "moving_percentiles":
+            # ES moving_percentiles, the engine's exact form: ONE
+            # interpolated percentile (`percent`, default 50) of the
+            # `window` buckets BEFORE the current one (current excluded,
+            # `shift` slides right — the moving_fn frame contract). ES
+            # merges TDigest sketches; over a result-sized bucket list the
+            # exact sort-based percentile is deterministic and just as
+            # cheap. Empty frames yield NULL. The engine extension
+            # `quantize` floors to 10^k-scaled longs (cross-engine form).
+            window = int(spec["window"])
+            if window < 1:
+                raise ValueError("moving_percentiles window must be >= 1")
+            shift = int(spec.get("shift", 0))
+            pct = float(spec.get("percent", 50.0))
+            if not 0.0 <= pct <= 100.0:
+                raise ValueError("moving_percentiles percent must be in [0, 100]")
+            src = F.col(_path_col(spec.get("buckets_path", "value")))
+            frame = w.rowsBetween(-window + shift, -1 + shift)
+            arr = F.array_sort(F.collect_list(src).over(frame))
+            n = F.size(arr)
+            rank = (n - F.lit(1)).cast("double") * F.lit(pct / 100.0)
+            lo = F.floor(rank).cast("int")
+            frac = rank - lo.cast("double")
+            base_v = F.element_at(arr, lo + 1).cast("double")
+            nxt = F.when(lo + 2 <= n, F.element_at(arr, lo + 2).cast("double"))
+            val = F.when(
+                n > 0,
+                base_v + F.coalesce((nxt - base_v) * frac, F.lit(0.0)),
+            )
+            if "quantize" in spec:
+                val = F.floor(val * F.lit(10 ** int(spec["quantize"]))).cast("long")
+            buckets = buckets.withColumn(sname, val)
         elif skind == "serial_diff":
             # ES serial_diff: x_t − x_{t−lag}; the first `lag` buckets are
             # NULL (exactly the ES gap-policy for missing lagged buckets)

@@ -1321,3 +1321,36 @@ def test_ip_prefix_and_standalone_top_hits(spark):
     with _pt.raises(ValueError, match="IPv4"):
         run_search(df, {"aggs": {"n": {"ip_prefix": {
             "field": "src", "prefix_length": 64, "is_ipv6": True}}}})
+
+
+def test_moving_percentiles_pipeline(spark):
+    ev = spark.createDataFrame(
+        [(50, 1.0), (150, 3.0), (250, 9.0), (350, 5.0)], "t long, v double"
+    )
+    body = {"aggs": {"h": {
+        "date_histogram": {"field": "t", "fixed_interval": 100},
+        "aggs": {
+            "vs": {"sum": {"field": "v"}},
+            "p50": {"moving_percentiles": {
+                "buckets_path": "vs", "window": 3, "percent": 50.0}},
+            "p100": {"moving_percentiles": {
+                "buckets_path": "vs", "window": 2, "percent": 100.0,
+                "quantize": 1}},
+        },
+    }}}
+    rows = [(r.key, r.vs, r.p50, r.p100)
+            for r in run_search(ev, body)["h"].collect()]
+    # p50 over trailing 3 (current excluded): [],[1],[1,3],[1,3,9]
+    # p100 over trailing 2 quantized x10:     [],[1],[1,3],[3,9]
+    assert rows == [
+        (0, 1.0, None, None),
+        (100, 3.0, 1.0, 10),
+        (200, 9.0, 2.0, 30),
+        (300, 5.0, 3.0, 90),
+    ]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="percent"):
+        run_search(ev, {"aggs": {"h": {
+            "date_histogram": {"field": "t", "fixed_interval": 100},
+            "aggs": {"x": {"moving_percentiles": {
+                "buckets_path": "_count", "window": 2, "percent": 200}}}}}})
