@@ -102,8 +102,11 @@ edge.
 
 Each top-level agg is an independent DataFrame over the query-filtered
 frame (exactly ES's sibling semantics: siblings share the query context,
-not each other's buckets); ``size`` is accepted and ignored (the engine
-returns no hits — the reference's own examples use ``size: 0``).
+not each other's buckets). Hits retrieval: ``size`` > 0 WITH an explicit
+``sort`` yields the reserved ``"_hits"`` frame (``search_after`` cursor /
+``from`` offset / ``_source.includes`` projection; TakeOrdered, never a
+full sort); a bare ``size`` stays aggs-only (the reference's own examples
+use ``size: 0``, and the engine has no ``_score`` to sort by).
 """
 
 from __future__ import annotations
@@ -163,6 +166,58 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
         df = df.where(compile_query(body["query"]))
     aggs = body.get("aggs", body.get("aggregations", {}))
     out: dict[str, DataFrame] = {}
+    # hits retrieval — the ES response's `hits.hits` section, as the
+    # reserved "_hits" frame. Opt-in: requires BOTH size > 0 AND an
+    # explicit `sort` (engine queries carry no _score, so an unsorted
+    # top-k would be nondeterministic; a bare `size` keeps the historical
+    # aggs-only contract). `search_after` is the cursor form (strictly
+    # past the tuple, lexicographic over the sort), `from` the offset
+    # form; `_source.includes` prunes the projection. orderBy+limit is
+    # TakeOrdered — per-partition heaps, never a full sort.
+    if body.get("size") and "sort" in body:
+        if "_hits" in aggs:
+            raise ValueError('"_hits" is reserved for the hits frame')
+        entries = body["sort"]
+        if isinstance(entries, (str, dict)):
+            entries = [entries]
+        cols, descs = [], []
+        for ent in entries:
+            if isinstance(ent, str):
+                cols.append(ent)
+                descs.append(False)
+            else:
+                (c, o), = ent.items()
+                cols.append(c)
+                descs.append(
+                    str(o["order"] if isinstance(o, dict) else o).lower()
+                    == "desc"
+                )
+        hits = df
+        srcspec = body.get("_source")
+        if isinstance(srcspec, dict) and "includes" in srcspec:
+            keep = list(srcspec["includes"])
+            hits = hits.select(*dict.fromkeys([*keep, *cols]))
+        after = body.get("search_after")
+        if after is not None:
+            if len(after) != len(cols):
+                raise ValueError(
+                    "search_after must supply one value per sort entry"
+                )
+            # strictly past the cursor tuple in the sort's direction
+            pred = F.lit(False)
+            for i in range(len(cols) - 1, -1, -1):
+                c, v = F.col(cols[i]), F.lit(after[i])
+                step = (c < v) if descs[i] else (c > v)
+                pred = step | ((c == v) & pred)
+            hits = hits.where(pred)
+        order = [
+            F.col(c).desc() if d else F.col(c).asc()
+            for c, d in zip(cols, descs)
+        ]
+        frm = int(body.get("from", 0))
+        out["_hits"] = (
+            hits.orderBy(*order).limit(frm + int(body["size"])).offset(frm)
+        )
     pipelines = {}
     for name, node in aggs.items():
         kinds = [k for k in node if k not in ("aggs", "aggregations", "meta")]

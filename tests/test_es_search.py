@@ -1354,3 +1354,31 @@ def test_moving_percentiles_pipeline(spark):
             "date_histogram": {"field": "t", "fixed_interval": 100},
             "aggs": {"x": {"moving_percentiles": {
                 "buckets_path": "_count", "window": 2, "percent": 200}}}}}})
+
+
+def test_hits_retrieval_sort_search_after(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 9.0), (3, "c", 9.0), (4, "d", 1.0),
+         (5, "e", 7.0)],
+        "doc_id long, tag string, v double",
+    )
+    body = {"size": 3, "sort": [{"v": {"order": "desc"}}, {"doc_id": "asc"}],
+            "_source": {"includes": ["tag"]},
+            "query": {"range": {"v": {"gt": 2}}}}
+    hits = run_search(df, body)["_hits"]
+    assert [(r.tag, r.v, r.doc_id) for r in hits.collect()] == [
+        ("b", 9.0, 2), ("c", 9.0, 3), ("e", 7.0, 5)]
+    # cursor: resume strictly after (9.0, 3)
+    body2 = dict(body, search_after=[9.0, 3])
+    assert [(r.tag, r.v, r.doc_id)
+            for r in run_search(df, body2)["_hits"].collect()] == [
+        ("e", 7.0, 5), ("a", 5.0, 1)]
+    # offset form
+    body3 = {"size": 2, "from": 1, "sort": [{"v": "desc"}, {"doc_id": "asc"}]}
+    assert [r.doc_id for r in run_search(df, body3)["_hits"].collect()] == [3, 5]
+    # bare size without sort keeps the historical aggs-only contract
+    out = run_search(df, {"size": 3, "aggs": {"n": {"value_count": {"field": "v"}}}})
+    assert "_hits" not in out
+    import pytest as _pt
+    with _pt.raises(ValueError, match="one value per sort entry"):
+        run_search(df, dict(body, search_after=[9.0]))
