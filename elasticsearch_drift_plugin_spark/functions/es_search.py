@@ -974,10 +974,15 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
         for s in spec["sources"]:
             (sname, snode), = s.items()
             (skind, sspec), = snode.items()
+            # per-source direction + null-bucket flags (ES: order
+            # asc/desc, missing_bucket buckets null-valued docs)
+            om = (sspec.get("order", "asc"), bool(sspec.get("missing_bucket")))
             if skind == "terms":
-                sources.append((sname, "terms", sspec["field"], None))
+                sources.append((sname, "terms", sspec["field"], None, *om))
             elif skind == "histogram":
-                sources.append((sname, "histogram", sspec["field"], sspec["interval"]))
+                sources.append(
+                    (sname, "histogram", sspec["field"], sspec["interval"], *om)
+                )
             elif skind == "date_histogram":
                 from ..params import parse_interval, parse_offset
 
@@ -998,7 +1003,9 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
                             "intervals (calendar rounding is not a modular "
                             "floor)"
                         )
-                sources.append((sname, "date_histogram", sspec["field"], step_ms))
+                sources.append(
+                    (sname, "date_histogram", sspec["field"], step_ms, *om)
+                )
             else:
                 raise ValueError(f"unsupported composite source {skind!r}")
         after = spec.get("after")

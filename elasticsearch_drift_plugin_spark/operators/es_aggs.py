@@ -439,12 +439,17 @@ def composite_agg(
     """(key cols..., doc_count): ES ``composite`` aggregation — the
     paginated flat product of bucket sources.
 
-    ``sources`` is ordered ``(name, kind, field, param)`` with kind
-    ``terms`` (raw value) or ``histogram`` (param = interval, ES histogram
-    key contract). Buckets sort lexicographically by source order (asc,
-    the ES default); ``after`` — the last key tuple of the previous page —
-    resumes strictly past it, exactly ES's ``after`` cursor. Docs missing
-    any source value are skipped (ES ``missing_bucket: false`` default).
+    ``sources`` is ordered ``(name, kind, field, param)`` — or the
+    6-tuple ``(name, kind, field, param, order, missing_bucket)`` — with
+    kind ``terms`` (raw value) or ``histogram`` (param = interval, ES
+    histogram key contract). Buckets sort lexicographically by source
+    order (asc, the ES default; ``order='desc'`` flips a source);
+    ``after`` — the last key tuple of the previous page — resumes
+    strictly past it in the source's direction, exactly ES's ``after``
+    cursor (null-safe when ``missing_bucket`` is on: nulls sort first
+    asc / last desc, the ES contract). Docs missing a source value are
+    skipped unless that source sets ``missing_bucket=True`` (then they
+    land in the null bucket).
 
     Scale shape: pagination pushes BELOW the sort — the strict
     lexicographic ``after`` predicate filters during the aggregation scan,
@@ -453,8 +458,11 @@ def composite_agg(
     never a full materialized bucket list. This is what makes composite
     the ES-sanctioned way to page a 10^9-bucket space — preserved here.
     """
+    srcs = [s if len(s) == 6 else (*s, "asc", False) for s in sources]
     keys = []
-    for name, kind, field, param in sources:
+    for name, kind, field, param, order, missing in srcs:
+        if order not in ("asc", "desc"):
+            raise ValueError(f"composite source order must be asc/desc, got {order!r}")
         v = F.col(field)
         if kind == "terms":
             keys.append((name, v))
@@ -475,30 +483,43 @@ def composite_agg(
         else:
             raise ValueError(f"unsupported composite source kind: {kind}")
     clean = df
-    for _, kind, field, _ in sources:
+    for _, kind, field, _, _, missing in srcs:
         c = F.col(field)
-        clean = clean.where(c.isNotNull())
+        if not missing:
+            clean = clean.where(c.isNotNull())
         if kind == "histogram":
-            clean = clean.where(~F.isnan(c))
+            clean = clean.where(F.isnull(c) | ~F.isnan(c))
     out = clean.select(*[k.alias(n) for n, k in keys])
+    descs = [s[4] == "desc" for s in srcs]
+    names = [n for n, _ in keys]
     if after is not None:
-        names = [n for n, _ in keys]
         pred = None
-        # strict lexicographic "greater than the cursor tuple"
+        # strict lexicographic "past the cursor tuple" in each source's
+        # direction; null-safe (missing_bucket nulls sort first asc /
+        # last desc — the ES contract)
         for i in range(len(names)):
             eq = None
             for j in range(i):
-                e = F.col(names[j]) == F.lit(after[j])
+                e = F.col(names[j]).eqNullSafe(F.lit(after[j]))
                 eq = e if eq is None else (eq & e)
-            gt = F.col(names[i]) > F.lit(after[i])
+            c, v = F.col(names[i]), after[i]
+            if descs[i]:
+                # desc: non-null descending, then the null bucket last
+                gt = F.lit(False) if v is None else ((c < F.lit(v)) | c.isNull())
+            else:
+                # asc: the null bucket first, then non-null ascending
+                gt = c.isNotNull() if v is None else (c > F.lit(v))
             clause = gt if eq is None else (eq & gt)
             pred = clause if pred is None else (pred | clause)
         out = out.where(pred)
-    names = [n for n, _ in keys]
+    order_cols = [
+        (F.col(n).desc_nulls_last() if d else F.col(n).asc_nulls_first())
+        for n, d in zip(names, descs)
+    ]
     return (
         out.groupBy(*names)
         .agg(F.count(F.lit(1)).alias("doc_count"))
-        .orderBy(*names)
+        .orderBy(*order_cols)
         .limit(size)
     )
 
@@ -509,33 +530,53 @@ def composite_sql(
     size: int = 10,
     after: tuple | None = None,
 ) -> str:
+    srcs = [s if len(s) == 6 else (*s, "asc", False) for s in sources]
     exprs, conds = [], []
-    for name, kind, field, param in sources:
+    for name, kind, field, param, _, missing in srcs:
         if kind == "terms":
             exprs.append(f"{field} AS {name}")
         else:
             exprs.append(
                 f"FLOOR({field} / {float(param)}) * {float(param)} AS {name}"
             )
-        conds.append(f"{field} IS NOT NULL")
+        if not missing:
+            conds.append(f"{field} IS NOT NULL")
         if kind == "histogram":
-            conds.append(f"(NOT isnan({field}))")
-    names = [n for n, _, _, _ in sources]
-    where = " AND ".join(conds)
+            conds.append(f"({field} IS NULL OR NOT isnan({field}))")
+    names = [n for n, *_ in srcs]
+    descs = [s[4] == "desc" for s in srcs]
+    where = " AND ".join(conds) or "TRUE"
     after_pred = ""
     if after is not None:
         ors = []
         for i in range(len(names)):
-            parts = [f"{names[j]} = {_sql_lit(after[j])}" for j in range(i)]
-            parts.append(f"{names[i]} > {_sql_lit(after[i])}")
+            parts = [
+                f"{names[j]} IS NOT DISTINCT FROM {_sql_lit(after[j])}"
+                for j in range(i)
+            ]
+            if descs[i]:
+                step = (
+                    "FALSE" if after[i] is None
+                    else f"({names[i]} < {_sql_lit(after[i])} OR {names[i]} IS NULL)"
+                )
+            else:
+                step = (
+                    f"{names[i]} IS NOT NULL" if after[i] is None
+                    else f"{names[i]} > {_sql_lit(after[i])}"
+                )
+            parts.append(step)
             ors.append("(" + " AND ".join(parts) + ")")
         after_pred = "WHERE " + " OR ".join(ors)
+    order_by = ", ".join(
+        f"{n} DESC NULLS LAST" if d else f"{n} ASC NULLS FIRST"
+        for n, d in zip(names, descs)
+    )
     return f"""
 WITH k AS (SELECT {", ".join(exprs)} FROM {src} WHERE {where})
 SELECT {", ".join(names)}, COUNT(*) AS doc_count
 FROM k {after_pred}
 GROUP BY {", ".join(names)}
-ORDER BY {", ".join(names)} LIMIT {size}
+ORDER BY {order_by} LIMIT {size}
 """
 
 

@@ -1382,3 +1382,32 @@ def test_hits_retrieval_sort_search_after(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="one value per sort entry"):
         run_search(df, dict(body, search_after=[9.0]))
+
+
+def test_composite_order_desc_missing_bucket(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 1), (None, 1), (None, 2)],
+        "tag string, n long",
+    )
+    # missing_bucket: nulls form a bucket that sorts FIRST asc
+    body = {"aggs": {"p": {"composite": {"size": 10, "sources": [
+        {"tag": {"terms": {"field": "tag", "missing_bucket": True}}},
+    ]}}}}
+    out = run_search(df, body)["p"]
+    assert [(r.tag, r.doc_count) for r in out.collect()] == [
+        (None, 2), ("a", 2), ("b", 1)]
+    # desc flips the direction and nulls sort LAST
+    body["aggs"]["p"]["composite"]["sources"][0]["tag"]["terms"]["order"] = "desc"
+    out = run_search(df, body)["p"]
+    assert [(r.tag, r.doc_count) for r in out.collect()] == [
+        ("b", 1), ("a", 2), (None, 2)]
+    # cursor resumes past a non-null key toward the null bucket (desc)
+    body["aggs"]["p"]["composite"]["after"] = {"tag": "a"}
+    out = run_search(df, body)["p"]
+    assert [(r.tag, r.doc_count) for r in out.collect()] == [(None, 2)]
+    # cursor AT the null bucket asc: only non-null follow
+    body["aggs"]["p"]["composite"]["sources"][0]["tag"]["terms"]["order"] = "asc"
+    body["aggs"]["p"]["composite"]["after"] = {"tag": None}
+    out = run_search(df, body)["p"]
+    assert [(r.tag, r.doc_count) for r in out.collect()] == [
+        ("a", 2), ("b", 1)]
