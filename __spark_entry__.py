@@ -142,7 +142,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver grades the FIRST 50 registered queries only (round-2 lesson:
 # everything after position 50 got zero external evidence). Round-6 ROTATION
-# closes the stamping backlog: the 17 r6-new registrations first (freshest
+# closes the stamping backlog: the 18 r6-new registrations first (freshest
 # code), then the 23 oracle-paired queries that have NEVER been
 # driver-stamped (the full list from VERDICT r5), then the 8 rows-only
 # entries (weaker rows-only driver check, but evidence all the same), then
@@ -151,13 +151,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # BPE trainer). Everything else stays covered by pytest +
 # tools/check_correctness.py full sweeps.
 GRADE_FIRST: tuple[str, ...] = (
-    # --- r6-new (no driver evidence by definition, 17) ---
+    # --- r6-new (no driver evidence by definition, 18) ---
     "es_search_body2", "es_search_pctl", "es_search_top_hits",
     "es_search_geo", "es_dsl_geo_dateline", "es_search_filter",
     "es_search_terms_order", "es_search_grouped_pctl", "corpus_chunk",
     "es_search_metrics3", "es_search_sampler", "es_search_terms_dh",
     "es_search_pipe2", "es_search_cumcard", "es_search_change_point",
-    "es_search_nested", "es_search_ip_range",
+    "es_search_nested", "es_search_ip_range", "es_search_hits",
     # --- the never-stamped backlog (23, from VERDICT r5) ---
     "es_dsl_geo", "psum_cal_month_tz", "psum_cal_week_tz",
     "psum_cal_week_tz_lineitem", "es_random_sampler", "es_geohash_grid",
@@ -171,10 +171,9 @@ GRADE_FIRST: tuple[str, ...] = (
     "graph_pagerank", "es_cardinality_approx", "es_theta_set_ops",
     "stats_quantiles_kll", "emb_kmeans_ivf_topk", "corpus_bpe_train",
     "corpus_bpe_encode", "train_pack_bfd",
-    # --- re-stamps: operator code paths modified this round (the
-    # empty-group guards touch change_point's plan; es_mad stands in for
-    # the scalar-form family re-checked in the builder sweep) ---
-    "pipe_change_point", "es_mad",
+    # --- re-stamp: the one operator whose plan this round modified
+    # (the empty-group guard in pipeline.change_point) ---
+    "pipe_change_point",
 )
 
 
@@ -848,17 +847,18 @@ ORDER BY doc_count DESC, "items.l_returnflag"
 # to uint32 by the node's native HOF — round-trips the whole string path.
 ES_SEARCH_IP_RANGE_BODY = {
     "size": 0,
+    # chained runtime fields (later scripts see earlier ones): the
+    # DECIMAL hash runs once, the dotted-quad renders from the long
     "runtime_mappings": {
+        "ip_u32": {"script": {"source": (
+            "CAST(pmod(CAST(user_id AS DECIMAL(38,0)) * 2654435761, "
+            "4294967296) AS BIGINT)"
+        )}},
         "src_ip": {"script": {"source": (
-            "CONCAT("
-            "CAST(pmod(CAST(user_id AS DECIMAL(38,0)) * 2654435761, 4294967296)"
-            " div 16777216 AS STRING), '.', "
-            "CAST(pmod(pmod(CAST(user_id AS DECIMAL(38,0)) * 2654435761, "
-            "4294967296) div 65536, 256) AS STRING), '.', "
-            "CAST(pmod(pmod(CAST(user_id AS DECIMAL(38,0)) * 2654435761, "
-            "4294967296) div 256, 256) AS STRING), '.', "
-            "CAST(pmod(pmod(CAST(user_id AS DECIMAL(38,0)) * 2654435761, "
-            "4294967296), 256) AS STRING))"
+            "CONCAT(CAST(ip_u32 div 16777216 AS STRING), '.', "
+            "CAST(pmod(ip_u32 div 65536, 256) AS STRING), '.', "
+            "CAST(pmod(ip_u32 div 256, 256) AS STRING), '.', "
+            "CAST(pmod(ip_u32, 256) AS STRING))"
         )}},
     },
     "aggs": {
@@ -900,6 +900,30 @@ SELECT '10.0.0.0/8',
 """
 
 
+# hits retrieval through the compiler: deterministic top-k page (sort +
+# from offset + _source projection) — TakeOrdered, never a full sort.
+ES_SEARCH_HITS_BODY = {
+    "size": 25,
+    "from": 5,
+    "query": {"range": {"value": {"gte": 100}}},
+    "sort": [{"value": {"order": "desc"}}, {"event_id": "asc"}],
+    "_source": {"includes": ["event_id", "event_type", "value"]},
+}
+
+
+def _es_search_hits_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    return run_search(_events_tms(s, d), ES_SEARCH_HITS_BODY)["_hits"]
+
+
+ES_SEARCH_HITS_SQL = """
+SELECT event_id, event_type, value FROM events
+WHERE value >= 100
+ORDER BY value DESC, event_id ASC LIMIT 25 OFFSET 5
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- core operator, SURVEY.md §2.1 rows 1-6, 11-17, 21 ---
@@ -912,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_change_point": _es_search_cp_query,
         "es_search_nested": _es_search_nested_query,
         "es_search_ip_range": _es_search_ip_range_query,
+        "es_search_hits": _es_search_hits_query,
         "es_search_pctl": _es_search_pctl_query,
         "es_search_top_hits": _es_search_top_hits_query,
         "es_search_geo": _es_search_geo_query,
@@ -1211,6 +1236,7 @@ def oracle_sql() -> dict[str, str]:
         "es_search_change_point": _es_search_cp_oracle(),
         "es_search_nested": ES_SEARCH_NESTED_SQL,
         "es_search_ip_range": ES_SEARCH_IP_RANGE_SQL,
+        "es_search_hits": ES_SEARCH_HITS_SQL,
         "es_search_pctl": _es_search_pctl_oracle(),
         "es_search_top_hits": _es_search_top_hits_oracle(),
         "es_search_geo": geo.geohash_grid_sql(precision=3, size=20),

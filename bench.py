@@ -182,6 +182,11 @@ BENCH_QUERIES = [
     "es_search_metrics3",
     "es_search_sampler",
     "es_search_terms_dh",
+    "es_search_pipe2",
+    "es_search_cumcard",
+    "es_search_change_point",
+    "es_search_nested",
+    "es_search_ip_range",
 ]
 
 
