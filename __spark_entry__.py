@@ -924,6 +924,83 @@ ORDER BY value DESC, event_id ASC LIMIT 25 OFFSET 5
 """
 
 
+# top-level `knn` section (ES 8.x vector search) through the compiler:
+# exact cosine top-k against a literal query_vector with the spec's
+# pre-`filter`, quantized score (same 10^-6 quanta as
+# operators.similarity). Plan: scan → filter → HOF dot/norm projection →
+# TakeOrdered(k). The query vector is a fixed deterministic literal shared
+# verbatim with the DuckDB twin.
+_KNN_QV = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+ES_SEARCH_KNN_BODY = {
+    "knn": {
+        "field": "embedding",
+        "query_vector": _KNN_QV,
+        "k": 8,
+        "num_candidates": 50,
+        "filter": {"range": {"vec_id": {"gte": 10}}},
+    },
+    "_source": {"includes": ["vec_id", "label"]},
+    "size": 8,
+}
+
+
+def _es_search_knn_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    emb = flows_src.load_table(s, d, "embeddings")
+    return run_search(emb, ES_SEARCH_KNN_BODY)["_hits"]
+
+
+_KNN_QV_SQL = "[" + ",".join(repr(float(v)) for v in _KNN_QV) + "]::DOUBLE[]"
+ES_SEARCH_KNN_SQL = f"""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings WHERE vec_id >= 10
+),
+scored AS (
+  SELECT vec_id, label,
+         CAST(FLOOR(
+           list_dot_product({_KNN_QV_SQL}, ev)
+           / (sqrt(list_dot_product({_KNN_QV_SQL}, {_KNN_QV_SQL}))
+              * sqrt(list_dot_product(ev, ev))) * 1e6) AS BIGINT) AS _score_q
+  FROM v
+)
+SELECT vec_id, label, _score_q FROM scored
+ORDER BY _score_q DESC, vec_id, label LIMIT 8
+"""
+
+
+# `collapse` (field collapsing) through the compiler: one hit per
+# user_id — the best under the body's sort — then the global top page.
+ES_SEARCH_COLLAPSE_BODY = {
+    "size": 12,
+    "sort": [{"value": {"order": "desc"}}, {"event_id": "asc"}],
+    "collapse": {"field": "user_id"},
+    "query": {"range": {"value": {"gte": 50}}},
+    "_source": {"includes": ["event_id", "user_id", "value"]},
+}
+
+
+def _es_search_collapse_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    ev = flows_src.load_table(s, d, "events")
+    return run_search(ev, ES_SEARCH_COLLAPSE_BODY)["_hits"]
+
+
+ES_SEARCH_COLLAPSE_SQL = """
+WITH ranked AS (
+  SELECT event_id, user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rn
+  FROM events WHERE value >= 50
+)
+SELECT event_id, user_id, value FROM ranked
+WHERE rn = 1 ORDER BY value DESC, event_id ASC LIMIT 12
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- core operator, SURVEY.md §2.1 rows 1-6, 11-17, 21 ---
@@ -937,6 +1014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_nested": _es_search_nested_query,
         "es_search_ip_range": _es_search_ip_range_query,
         "es_search_hits": _es_search_hits_query,
+        "es_search_knn": _es_search_knn_query,
+        "es_search_collapse": _es_search_collapse_query,
         "es_search_pctl": _es_search_pctl_query,
         "es_search_top_hits": _es_search_top_hits_query,
         "es_search_geo": _es_search_geo_query,
@@ -1237,6 +1316,8 @@ def oracle_sql() -> dict[str, str]:
         "es_search_nested": ES_SEARCH_NESTED_SQL,
         "es_search_ip_range": ES_SEARCH_IP_RANGE_SQL,
         "es_search_hits": ES_SEARCH_HITS_SQL,
+        "es_search_knn": ES_SEARCH_KNN_SQL,
+        "es_search_collapse": ES_SEARCH_COLLAPSE_SQL,
         "es_search_pctl": _es_search_pctl_oracle(),
         "es_search_top_hits": _es_search_top_hits_oracle(),
         "es_search_geo": geo.geohash_grid_sql(precision=3, size=20),

@@ -107,6 +107,11 @@ not each other's buckets). Hits retrieval: ``size`` > 0 WITH an explicit
 ``from`` offset / ``_source.includes`` projection; TakeOrdered, never a
 full sort); a bare ``size`` stays aggs-only (the reference's own examples
 use ``size: 0``, and the engine has no ``_score`` to sort by).
+``collapse`` (field collapsing) keeps the best hit per collapse-field
+value under the body's sort before pagination; a top-level ``knn``
+section (ES 8.x vector search) returns the exact similarity top-k with
+the spec's pre-``filter`` (``num_candidates`` accepted — exact search is
+recall 1.0); the knn+query score-sum union raises.
 """
 
 from __future__ import annotations
@@ -166,6 +171,52 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
         df = df.where(compile_query(body["query"]))
     aggs = body.get("aggs", body.get("aggregations", {}))
     out: dict[str, DataFrame] = {}
+    # top-level `knn` section (ES 8.x vector search): exact top-k by
+    # cosine (or dot_product) similarity of a dense_vector column against
+    # the literal query_vector. The spec's `filter` is the ES pre-filter
+    # (applied BEFORE the top-k, so all k hits satisfy it);
+    # `num_candidates` is an HNSW recall knob — exact search is recall 1.0,
+    # so it is accepted and ignored. ES's knn+query score-sum union is NOT
+    # implemented: combining `knn` with a top-level `query`/`sort`/aggs
+    # raises loudly. Plan: scan → filter → score projection →
+    # TakeOrdered(k) (per-partition heaps — never a full sort), so at
+    # 100 TB the cost is one pass over the filtered vectors.
+    if "knn" in body:
+        if "query" in body or "sort" in body or aggs:
+            raise ValueError(
+                "knn with a top-level query/sort/aggs (ES score-sum union)"
+                " is unsupported — use knn.filter for pre-filtering"
+            )
+        spec = body["knn"]
+        kk = int(spec["k"])
+        sim = spec.get("similarity", "cosine")
+        if sim not in ("cosine", "dot_product"):
+            raise ValueError(f"unsupported knn similarity {sim!r}")
+        from .vectors import dot, l2_norm, lit_vec
+
+        hits = df
+        if "filter" in spec:
+            hits = hits.where(compile_query(spec["filter"]))
+        qv = lit_vec([float(x) for x in spec["query_vector"]])
+        v = F.transform(F.col(spec["field"]), lambda x: x.cast("double"))
+        score = dot(qv, v)
+        if sim == "cosine":
+            score = score / (l2_norm(qv) * l2_norm(v))
+        srcspec = body.get("_source")
+        keep = (
+            list(srcspec["includes"])
+            if isinstance(srcspec, dict) and "includes" in srcspec
+            else [c for c in hits.columns if c != spec["field"]]
+        )
+        # quantized score for cross-engine determinism (same 10^-6 quanta
+        # as operators.similarity); ties break on the _source columns so
+        # the top-k frontier is total-ordered in both engines
+        scored = hits.select(
+            *keep, F.floor(score * F.lit(1e6)).cast("long").alias("_score_q")
+        )
+        order = [F.col("_score_q").desc(), *[F.col(c).asc() for c in keep]]
+        out["_hits"] = scored.orderBy(*order).limit(kk)
+        return out
     # hits retrieval — the ES response's `hits.hits` section, as the
     # reserved "_hits" frame. Opt-in: requires BOTH size > 0 AND an
     # explicit `sort` (engine queries carry no _score, so an unsorted
@@ -194,9 +245,32 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
                 )
         hits = df
         srcspec = body.get("_source")
+        coll = body.get("collapse")
         if isinstance(srcspec, dict) and "includes" in srcspec:
             keep = list(srcspec["includes"])
-            hits = hits.select(*dict.fromkeys([*keep, *cols]))
+            extra = [coll["field"]] if coll else []
+            hits = hits.select(*dict.fromkeys([*keep, *cols, *extra]))
+        if coll:
+            # `collapse`: one hit per distinct collapse-field value — the
+            # best one under the body's own sort (ES field collapsing).
+            # Collapsing happens BEFORE search_after/from pagination, same
+            # as ES. inner_hits (the per-group runner-up lists) is
+            # unsupported and raises. Window rank per collapse key → keep
+            # rank 1; the partial sort runs per key group, never globally.
+            if "inner_hits" in coll:
+                raise ValueError("collapse inner_hits is unsupported")
+            from pyspark.sql.window import Window
+
+            worder = [
+                F.col(c).desc() if d else F.col(c).asc()
+                for c, d in zip(cols, descs)
+            ]
+            w = Window.partitionBy(coll["field"]).orderBy(*worder)
+            hits = (
+                hits.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
         after = body.get("search_after")
         if after is not None:
             if len(after) != len(cols):

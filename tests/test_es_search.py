@@ -1411,3 +1411,62 @@ def test_composite_order_desc_missing_bucket(spark):
     out = run_search(df, body)["p"]
     assert [(r.tag, r.doc_count) for r in out.collect()] == [
         ("a", 2), ("b", 1)]
+
+
+def test_knn_section(spark):
+    # query along +x: cosine is v1 (1,0)=1 > v3 (1,1)=0.7071 == v4
+    # (0.1,-0.1)=0.7071 (quantized tie → vec_id tie-break) > v2 (0,1)=0
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0]), (4, [0.1, -0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    body = {
+        "knn": {"field": "embedding", "query_vector": [1.0, 0.0], "k": 3},
+        "size": 3,
+    }
+    out = run_search(df, body)["_hits"].collect()
+    assert [r.vec_id for r in out] == [1, 3, 4]
+    assert out[0]._score_q == 1_000_000  # cos=1 exactly
+    # pre-filter applies BEFORE the top-k: all k hits satisfy it
+    body["knn"]["filter"] = {"range": {"vec_id": {"gte": 2}}}
+    out = run_search(df, body)["_hits"].collect()
+    assert [r.vec_id for r in out] == [3, 4, 2]
+    # dot_product similarity skips normalization
+    body["knn"] = {
+        "field": "embedding", "query_vector": [2.0, 0.0], "k": 1,
+        "similarity": "dot_product",
+    }
+    out = run_search(df, body)["_hits"].collect()
+    assert out[0].vec_id == 1 and out[0]._score_q == 2_000_000
+    # the ES knn+query score-sum union is refused loudly
+    with pytest.raises(ValueError, match="knn with a top-level"):
+        run_search(df, {"knn": body["knn"], "query": {"term": {"vec_id": 1}}})
+    with pytest.raises(ValueError, match="similarity"):
+        run_search(df, {"knn": {"field": "embedding",
+                                "query_vector": [1.0, 0.0], "k": 1,
+                                "similarity": "l2_norm"}})
+
+
+def test_collapse_field_collapsing(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 9.0), (3, "b", 7.0), (4, "b", 3.0),
+         (5, "c", 9.0)],
+        "event_id long, grp string, value double",
+    )
+    body = {
+        "size": 2,
+        "sort": [{"value": {"order": "desc"}}, {"event_id": "asc"}],
+        "collapse": {"field": "grp"},
+        "_source": {"includes": ["event_id", "value"]},
+    }
+    # best per group: a->2(9.0), b->3(7.0), c->5(9.0); page of 2 by the
+    # sort with event_id tie-break: (2, 9.0), (5, 9.0)
+    out = run_search(df, body)["_hits"].collect()
+    assert [(r.event_id, r.value) for r in out] == [(2, 9.0), (5, 9.0)]
+    # search_after pages past the collapsed frontier, not the raw hits
+    out = run_search(df, dict(body, search_after=[9.0, 2]))["_hits"].collect()
+    assert [(r.event_id, r.value) for r in out] == [(5, 9.0), (3, 7.0)]
+    # inner_hits is refused loudly
+    with pytest.raises(ValueError, match="inner_hits"):
+        run_search(df, dict(body, collapse={"field": "grp",
+                                            "inner_hits": {"name": "x"}}))
