@@ -158,7 +158,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "es_search_metrics3", "es_search_sampler", "es_search_terms_dh",
     "es_search_pipe2", "es_search_cumcard", "es_search_change_point",
     "es_search_nested", "es_search_ip_range", "es_search_hits",
-    "es_search_knn", "es_search_collapse",
+    "es_search_knn", "es_search_collapse", "es_search_highlight",
     # --- the never-stamped backlog (23, from VERDICT r5) ---
     "es_dsl_geo", "psum_cal_month_tz", "psum_cal_week_tz",
     "psum_cal_week_tz_lineitem", "es_random_sampler", "es_geohash_grid",
@@ -168,12 +168,13 @@ GRADE_FIRST: tuple[str, ...] = (
     "train_neg_samples", "train_shard_by_tokens", "mm_resize",
     "mm_phash_dedup", "stream_zscore_day", "stream_psum_day_tz",
     "stream_geotile_grid", "stream_data_quality",
-    # --- rows-only entries (7 of 8): sketches / iterative fixpoints.
-    # corpus_bpe_encode and the pipe_change_point re-stamp yield their
-    # slots to the two new compiled-path registrations (knn / collapse)
-    # so the window stays exactly 50; both remain covered by pytest
-    # goldens and the full tools/check_correctness.py sweep. ---
-    "graph_pagerank", "es_cardinality_approx", "es_theta_set_ops",
+    # --- rows-only entries (6 of 8): sketches / iterative fixpoints.
+    # corpus_bpe_encode, es_theta_set_ops and the pipe_change_point
+    # re-stamp yield their slots to the three new compiled-path
+    # registrations (knn / collapse / highlight) so the window stays
+    # exactly 50; all three remain covered by pytest goldens and the full
+    # tools/check_correctness.py sweep. ---
+    "graph_pagerank", "es_cardinality_approx",
     "stats_quantiles_kll", "emb_kmeans_ivf_topk", "corpus_bpe_train",
     "train_pack_bfd",
 )
@@ -991,6 +992,42 @@ def _es_search_collapse_query(s: SparkSession, d: str) -> DataFrame:
     return run_search(ev, ES_SEARCH_COLLAPSE_BODY)["_hits"]
 
 
+# `highlight` through the compiler: whole-field token highlighting of the
+# match/term tokens (analyzer-free token equality — the same dialect the
+# match clause filters on), native split→transform→array_join.
+ES_SEARCH_HIGHLIGHT_BODY = {
+    "size": 20,
+    "sort": [{"doc_id": "asc"}],
+    "query": {"bool": {
+        "must": [{"match": {"text": {"query": "data spark",
+                                     "operator": "and"}}}],
+        "should": [{"term": {"text": "join"}}],
+    }},
+    "highlight": {"fields": {"text": {}}},
+    "_source": {"includes": ["doc_id"]},
+}
+
+
+def _es_search_highlight_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    docs = flows_src.load_table(s, d, "documents")
+    return run_search(docs, ES_SEARCH_HIGHLIGHT_BODY)["_hits"]
+
+
+ES_SEARCH_HIGHLIGHT_SQL = """
+SELECT doc_id,
+       array_to_string(list_transform(string_split(text, ' '),
+         t -> CASE WHEN t IN ('data', 'spark', 'join')
+                   THEN '<em>' || t || '</em>' ELSE t END), ' ')
+         AS text_highlight
+FROM documents
+WHERE contains(' ' || text || ' ', ' data ')
+  AND contains(' ' || text || ' ', ' spark ')
+ORDER BY doc_id ASC LIMIT 20
+"""
+
+
 ES_SEARCH_COLLAPSE_SQL = """
 WITH ranked AS (
   SELECT event_id, user_id, value,
@@ -1018,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_hits": _es_search_hits_query,
         "es_search_knn": _es_search_knn_query,
         "es_search_collapse": _es_search_collapse_query,
+        "es_search_highlight": _es_search_highlight_query,
         "es_search_pctl": _es_search_pctl_query,
         "es_search_top_hits": _es_search_top_hits_query,
         "es_search_geo": _es_search_geo_query,
@@ -1320,6 +1358,7 @@ def oracle_sql() -> dict[str, str]:
         "es_search_hits": ES_SEARCH_HITS_SQL,
         "es_search_knn": ES_SEARCH_KNN_SQL,
         "es_search_collapse": ES_SEARCH_COLLAPSE_SQL,
+        "es_search_highlight": ES_SEARCH_HIGHLIGHT_SQL,
         "es_search_pctl": _es_search_pctl_oracle(),
         "es_search_top_hits": _es_search_top_hits_oracle(),
         "es_search_geo": geo.geohash_grid_sql(precision=3, size=20),

@@ -336,3 +336,47 @@ def _sql_lit(v) -> str:
         return repr(v)
     s = str(v).replace("'", "''")
     return f"'{s}'"
+
+
+def collect_highlight_terms(q: dict, field: str) -> list[str]:
+    """The query's matched tokens for ``field`` — what ``highlight`` wraps.
+
+    Walks the clause tree the same way :func:`compile_query` compiles it:
+    ``term``/``terms`` values, ``match``/``match_phrase`` whitespace
+    tokens (the engine's analyzer-free token dialect — a phrase
+    highlights per-term, the unified highlighter's default), recursing
+    through ``bool`` ``must``/``should``/``filter``. ``must_not`` is
+    skipped: a doc in the result set cannot contain those tokens. Clause
+    kinds with no token semantics (range/exists/prefix/...) contribute
+    nothing. Order is first-seen, de-duplicated."""
+    out: list[str] = []
+
+    def add(ts):
+        for t in ts:
+            t = str(t)
+            if t and t not in out:
+                out.append(t)
+
+    def walk(node: dict):
+        if not isinstance(node, dict) or len(node) != 1:
+            return
+        (kind, body), = node.items()
+        if kind == "bool":
+            for sect in ("must", "should", "filter"):
+                for sub in _as_list(body.get(sect)):
+                    walk(sub)
+            return
+        if kind in ("term", "terms", "match", "match_phrase"):
+            (f, spec), = body.items()
+            if f != field:
+                return
+            if kind == "term":
+                add([spec["value"] if isinstance(spec, dict) else spec])
+            elif kind == "terms":
+                add(spec)
+            else:
+                val = spec["query"] if isinstance(spec, dict) else spec
+                add(str(val).split())
+
+    walk(q)
+    return out

@@ -111,7 +111,9 @@ use ``size: 0``, and the engine has no ``_score`` to sort by).
 value under the body's sort before pagination; a top-level ``knn``
 section (ES 8.x vector search) returns the exact similarity top-k with
 the spec's pre-``filter`` (``num_candidates`` accepted — exact search is
-recall 1.0); the knn+query score-sum union raises.
+recall 1.0); the knn+query score-sum union raises. ``highlight`` emits a
+``<field>_highlight`` column wrapping every query-matched token
+(whole-field mode; fragmenting raises).
 """
 
 from __future__ import annotations
@@ -244,12 +246,47 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
                     == "desc"
                 )
         hits = df
+        # `highlight`: whole-field highlighting (number_of_fragments: 0) —
+        # every token the query matched for the field, wrapped in
+        # pre/post tags. Token-exact under the engine's analyzer-free
+        # whitespace dialect (the same equality `match` filters on), via
+        # a native split → transform → array_join — no regex, no UDF.
+        hlcols: list[str] = []
+        hl = body.get("highlight")
+        if hl:
+            if "query" not in body:
+                raise ValueError("highlight requires a query clause")
+            from .es_dsl import collect_highlight_terms
+
+            pre = (hl.get("pre_tags") or ["<em>"])[0]
+            post = (hl.get("post_tags") or ["</em>"])[0]
+            for hf, fopts in hl["fields"].items():
+                if fopts and int(fopts.get("number_of_fragments", 0)) != 0:
+                    raise ValueError(
+                        "only number_of_fragments: 0 (whole-field)"
+                        " highlighting is supported"
+                    )
+                terms = collect_highlight_terms(body["query"], hf)
+                if not terms:
+                    raise ValueError(
+                        f"query has no highlightable tokens for {hf!r}"
+                    )
+                wrapped = F.transform(
+                    F.split(F.col(hf), " ", -1),
+                    lambda t: F.when(
+                        t.isin(terms), F.concat(F.lit(pre), t, F.lit(post))
+                    ).otherwise(t),
+                )
+                hits = hits.withColumn(
+                    f"{hf}_highlight", F.array_join(wrapped, " ")
+                )
+                hlcols.append(f"{hf}_highlight")
         srcspec = body.get("_source")
         coll = body.get("collapse")
         if isinstance(srcspec, dict) and "includes" in srcspec:
             keep = list(srcspec["includes"])
             extra = [coll["field"]] if coll else []
-            hits = hits.select(*dict.fromkeys([*keep, *cols, *extra]))
+            hits = hits.select(*dict.fromkeys([*keep, *hlcols, *cols, *extra]))
         if coll:
             # `collapse`: one hit per distinct collapse-field value — the
             # best one under the body's own sort (ES field collapsing).

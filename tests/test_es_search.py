@@ -1470,3 +1470,39 @@ def test_collapse_field_collapsing(spark):
     with pytest.raises(ValueError, match="inner_hits"):
         run_search(df, dict(body, collapse={"field": "grp",
                                             "inner_hits": {"name": "x"}}))
+
+
+def test_highlight_whole_field(spark):
+    df = spark.createDataFrame(
+        [(1, "fast data spark join data"), (2, "slow data row"),
+         (3, "no match here")],
+        "doc_id long, text string",
+    )
+    body = {
+        "size": 10,
+        "sort": [{"doc_id": "asc"}],
+        "query": {"bool": {
+            "must": [{"match": {"text": "data"}}],
+            "should": [{"term": {"text": "join"}}],
+            "must_not": [{"match": {"text": "absent"}}],
+        }},
+        "highlight": {"fields": {"text": {}}},
+        "_source": {"includes": ["doc_id"]},
+    }
+    out = run_search(df, body)["_hits"].collect()
+    # every query token wrapped (must + should, never must_not), token-
+    # exact: "data" wraps, the substring inside other words would not
+    assert [(r.doc_id, r.text_highlight) for r in out] == [
+        (1, "fast <em>data</em> spark <em>join</em> <em>data</em>"),
+        (2, "slow <em>data</em> row"),
+    ]
+    # custom tags
+    body["highlight"]["pre_tags"], body["highlight"]["post_tags"] = ["*"], ["*"]
+    out = run_search(df, body)["_hits"].collect()
+    assert out[1].text_highlight == "slow *data* row"
+    # fragmenting is refused loudly; so is a token-free query
+    with pytest.raises(ValueError, match="number_of_fragments"):
+        run_search(df, dict(body, highlight={
+            "fields": {"text": {"number_of_fragments": 3}}}))
+    with pytest.raises(ValueError, match="no highlightable tokens"):
+        run_search(df, dict(body, query={"range": {"doc_id": {"gte": 0}}}))
