@@ -297,6 +297,66 @@ def pii_sql() -> str:
     return f"SELECT doc_id, {counts} FROM documents ORDER BY doc_id"
 
 
+# Redaction applies most-specific-first so a pattern never eats another's
+# placeholder: URLs (greedy, may contain digits/emails in the path) →
+# emails → phones → IPv4 → bare long digit runs.
+PII_REDACTIONS = (
+    ("[URL]", PII_PATTERNS["n_urls"]),
+    ("[EMAIL]", PII_PATTERNS["n_emails"]),
+    ("[PHONE]", PII_PATTERNS["n_phones"]),
+    ("[IPV4]", PII_PATTERNS["n_ipv4"]),
+    ("[NUMBER]", PII_PATTERNS["n_long_digits"]),
+)
+_PII_TOKEN_RE = "\\[(URL|EMAIL|PHONE|IPV4|NUMBER)\\]"
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, redacted, n_redacted): the scrub pass after
+    :func:`pii_scan` — each PII pattern replaced by its typed placeholder
+    over the lowercased projection (the scan's convention), plus the
+    total placeholder count. Map-only Catalyst: a chain of native
+    ``regexp_replace`` (global in both engines), zero shuffle; at 100 TB
+    this runs embarrassingly parallel at scan parallelism. ``n_redacted``
+    counts placeholders in the OUTPUT (pre-existing literal ``[EMAIL]``
+    strings in a document would inflate it — acceptable for a screening
+    metric; the redacted text itself is exact)."""
+    red = F.lower(F.col(text_col))
+    for ph, pat in PII_REDACTIONS:
+        red = F.regexp_replace(red, F.lit(pat), F.lit(ph))
+    return docs.select(
+        "doc_id",
+        red.alias("redacted"),
+        F.regexp_count(red, F.lit(_PII_TOKEN_RE)).cast("long").alias(
+            "n_redacted"
+        ),
+    ).orderBy("doc_id")
+
+
+def pii_redact_sql(source: str = "documents", text_expr: str = "text") -> str:
+    red = f"lower({text_expr})"
+    for ph, pat in PII_REDACTIONS:
+        red = f"regexp_replace({red}, '{pat}', '{ph}', 'g')"
+    return f"""
+SELECT doc_id, {red} AS redacted,
+       CAST(len(regexp_extract_all({red}, '{_PII_TOKEN_RE}')) AS BIGINT)
+         AS n_redacted
+FROM {source} ORDER BY doc_id
+"""
+
+
+# The driver corpus carries no organic PII, so the registered query
+# decorates each doc with deterministic doc_id-derived PII-shaped spans
+# (one of each pattern class) BEFORE redacting — the same SQL expression
+# evaluated by both engines, so the kernel is exercised on every row.
+PII_DECORATE_EXPR = (
+    "concat(text, ' contact u', cast(doc_id as string),"
+    " '@mail.example.com via http://ex.com/d', cast(doc_id as string),"
+    " ' or 555-123-', lpad(cast(doc_id % 10000 as string), 4, '0'),"
+    " ' at 10.0.', cast(doc_id % 200 as string), '.7 ref 9',"
+    " lpad(cast(doc_id as string), 9, '0'))"
+)
+
+
 
 def readability(docs: DataFrame) -> DataFrame:
     """(doc_id, n_words, n_sents, n_syll, fre_q): Flesch Reading-Ease in
@@ -545,6 +605,11 @@ def queries() -> dict:
         "text_rolling_fp": lambda s, d: rolling_fingerprint(load_table(s, d, "documents")),
         "text_repetition": lambda s, d: repetition_score(load_table(s, d, "documents")),
         "text_pii_scan": lambda s, d: pii_scan(load_table(s, d, "documents")),
+        "text_pii_redact": lambda s, d: pii_redact(
+            load_table(s, d, "documents").withColumn(
+                "text", F.expr(PII_DECORATE_EXPR)
+            )
+        ),
         "text_gopher_filter": lambda s, d: gopher_filter(load_table(s, d, "documents")),
         "text_readability": lambda s, d: readability(load_table(s, d, "documents")),
         "text_hash_embed": lambda s, d: hash_embed(load_table(s, d, "documents")),
@@ -560,6 +625,9 @@ def oracle_sql() -> dict:
         "text_rolling_fp": ROLLING_FP_SQL,
         "text_repetition": repetition_sql(),
         "text_pii_scan": pii_sql(),
+        "text_pii_redact": pii_redact_sql(
+            source=f"(SELECT doc_id, {PII_DECORATE_EXPR.replace('cast(doc_id as string)', 'CAST(doc_id AS VARCHAR)')} AS text FROM documents)"
+        ),
         "text_gopher_filter": gopher_sql(),
         "text_readability": readability_sql(),
         "text_hash_embed": hash_embed_sql(),

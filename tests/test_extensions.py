@@ -1924,3 +1924,25 @@ def test_trained_centroids_serve_knn_cells_and_topic_terms(spark):
     for r in rows:
         per_cell.setdefault(r.cell, []).append(r.rank)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_cell.values())
+
+
+def test_pii_redact_golden(spark):
+    from elasticsearch_drift_plugin_spark.operators.text import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail Bob@Ex.COM now"),
+            (2, "see http://x.io/a@b.cc?id=123456789 ok"),
+            (3, "call 555-123-4567 from 10.0.0.1 ref 123456789"),
+            (4, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.redacted, r.n_redacted) for r in pii_redact(df).collect()}
+    # lowercased projection; email pattern matches the lowered form
+    assert out[1] == ("mail [EMAIL] now", 1)
+    # URL redacts FIRST and greedily eats the embedded email + digits
+    assert out[2] == ("see [URL] ok", 1)
+    # one of each later class; the long-digit run survives phone/ip passes
+    assert out[3] == ("call [PHONE] from [IPV4] ref [NUMBER]", 3)
+    assert out[4] == ("clean text only", 0)
