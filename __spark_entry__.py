@@ -974,6 +974,35 @@ ORDER BY _score_q DESC, vec_id, label LIMIT 8
 """
 
 
+# `script_fields` + the ES 8 `fields` list projection through the
+# compiler: a per-hit computed revenue (the engine's SQL script dialect —
+# the expression string is shared VERBATIM with the DuckDB twin, so the
+# IEEE double arithmetic is op-for-op identical) driving the sort.
+_REV_EXPR = "cast(floor(l_extendedprice * (1.0 - l_discount) * 100.0) as bigint)"
+ES_SEARCH_SCRIPT_FIELDS_BODY = {
+    "size": 25,
+    "query": {"range": {"l_quantity": {"gte": 45}}},
+    "script_fields": {"revenue_c": {"script": {"source": _REV_EXPR}}},
+    "fields": ["l_orderkey", "l_linenumber"],
+    "sort": [{"revenue_c": "desc"}, {"l_orderkey": "asc"},
+             {"l_linenumber": "asc"}],
+}
+
+
+def _es_search_script_fields_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    li = flows_src.load_table(s, d, "lineitem")
+    return run_search(li, ES_SEARCH_SCRIPT_FIELDS_BODY)["_hits"]
+
+
+ES_SEARCH_SCRIPT_FIELDS_SQL = f"""
+SELECT l_orderkey, l_linenumber, {_REV_EXPR} AS revenue_c
+FROM lineitem WHERE l_quantity >= 45
+ORDER BY revenue_c DESC, l_orderkey ASC, l_linenumber ASC LIMIT 25
+"""
+
+
 # `collapse` (field collapsing) through the compiler: one hit per
 # user_id — the best under the body's sort — then the global top page.
 ES_SEARCH_COLLAPSE_BODY = {
@@ -1056,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_knn": _es_search_knn_query,
         "es_search_collapse": _es_search_collapse_query,
         "es_search_highlight": _es_search_highlight_query,
+        "es_search_script_fields": _es_search_script_fields_query,
         "es_search_pctl": _es_search_pctl_query,
         "es_search_top_hits": _es_search_top_hits_query,
         "es_search_geo": _es_search_geo_query,
@@ -1359,6 +1389,7 @@ def oracle_sql() -> dict[str, str]:
         "es_search_knn": ES_SEARCH_KNN_SQL,
         "es_search_collapse": ES_SEARCH_COLLAPSE_SQL,
         "es_search_highlight": ES_SEARCH_HIGHLIGHT_SQL,
+        "es_search_script_fields": ES_SEARCH_SCRIPT_FIELDS_SQL,
         "es_search_pctl": _es_search_pctl_oracle(),
         "es_search_top_hits": _es_search_top_hits_oracle(),
         "es_search_geo": geo.geohash_grid_sql(precision=3, size=20),

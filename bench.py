@@ -187,6 +187,11 @@ BENCH_QUERIES = [
     "es_search_change_point",
     "es_search_nested",
     "es_search_ip_range",
+    "es_search_knn",
+    "es_search_collapse",
+    "es_search_highlight",
+    "es_search_script_fields",
+    "text_pii_redact",
 ]
 
 

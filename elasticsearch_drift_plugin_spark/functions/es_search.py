@@ -113,7 +113,10 @@ section (ES 8.x vector search) returns the exact similarity top-k with
 the spec's pre-``filter`` (``num_candidates`` accepted — exact search is
 recall 1.0); the knn+query score-sum union raises. ``highlight`` emits a
 ``<field>_highlight`` column wrapping every query-matched token
-(whole-field mode; fragmenting raises).
+(whole-field mode; fragmenting raises). ``script_fields`` adds per-hit
+computed columns (SQL-expression scripts, usable as sort keys); the ES 8
+``fields`` list is accepted alongside ``_source.includes`` for
+projection.
 """
 
 from __future__ import annotations
@@ -281,12 +284,37 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
                     f"{hf}_highlight", F.array_join(wrapped, " ")
                 )
                 hlcols.append(f"{hf}_highlight")
+        # `script_fields`: per-hit computed fields — the script.source is
+        # a SQL expression (the engine's script dialect, same stance as
+        # runtime_mappings), projected into the scan so Catalyst
+        # prunes/pushes around it.
+        sfcols: list[str] = []
+        for sfname, sfspec in body.get("script_fields", {}).items():
+            if sfname in hits.columns:
+                raise ValueError(
+                    f"script_field {sfname!r} collides with a column"
+                )
+            hits = hits.withColumn(
+                sfname, F.expr(sfspec["script"]["source"])
+            )
+            sfcols.append(sfname)
         srcspec = body.get("_source")
         coll = body.get("collapse")
+        # projection: `_source.includes` (object form) and/or the ES 8
+        # `fields` list form — union, request order, de-duplicated
+        keep = []
         if isinstance(srcspec, dict) and "includes" in srcspec:
-            keep = list(srcspec["includes"])
+            keep += list(srcspec["includes"])
+        if "fields" in body:
+            keep += [
+                f["field"] if isinstance(f, dict) else f
+                for f in body["fields"]
+            ]
+        if keep:
             extra = [coll["field"]] if coll else []
-            hits = hits.select(*dict.fromkeys([*keep, *hlcols, *cols, *extra]))
+            hits = hits.select(
+                *dict.fromkeys([*keep, *sfcols, *hlcols, *cols, *extra])
+            )
         if coll:
             # `collapse`: one hit per distinct collapse-field value — the
             # best one under the body's own sort (ES field collapsing).

@@ -1506,3 +1506,25 @@ def test_highlight_whole_field(spark):
             "fields": {"text": {"number_of_fragments": 3}}}))
     with pytest.raises(ValueError, match="no highlightable tokens"):
         run_search(df, dict(body, query={"range": {"doc_id": {"gte": 0}}}))
+
+
+def test_script_fields_and_fields_list(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, 0.1), (2, 20.0, 0.5), (3, 30.0, 0.0)],
+        "id long, price double, disc double",
+    )
+    body = {
+        "size": 2,
+        "query": {"range": {"price": {"gte": 15}}},
+        "script_fields": {"rev_c": {"script": {
+            "source": "cast(floor(price * (1.0 - disc) * 100.0) as bigint)"}}},
+        "fields": ["id"],
+        "sort": [{"rev_c": "desc"}, {"id": "asc"}],
+    }
+    out = run_search(df, body)["_hits"]
+    assert out.columns == ["id", "rev_c"]
+    assert [(r.id, r.rev_c) for r in out.collect()] == [(3, 3000), (2, 1000)]
+    # a script field may not shadow an existing column
+    with pytest.raises(ValueError, match="collides"):
+        run_search(df, dict(body, script_fields={"price": {"script": {
+            "source": "price"}}}))
