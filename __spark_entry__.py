@@ -974,6 +974,42 @@ ORDER BY _score_q DESC, vec_id, label LIMIT 8
 """
 
 
+# terms with include-regex + exclude list + min_doc_count through the
+# compiler (order-independent exact metrics: cardinality + max).
+ES_SEARCH_TERMS_FILTERED_BODY = {
+    "size": 0,
+    "aggs": {"types": {
+        "terms": {"field": "event_type", "size": 10,
+                  "include": "(click|view|purchase|error)",
+                  "exclude": ["error"],
+                  "min_doc_count": 5, "shard_size": 500,
+                  "order": {"_key": "asc"}},
+        "aggs": {"users": {"cardinality": {"field": "user_id"}},
+                 "vmax": {"max": {"field": "value"}}},
+    }},
+}
+
+
+def _es_search_terms_filtered_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    ev = flows_src.load_table(s, d, "events")
+    return run_search(ev, ES_SEARCH_TERMS_FILTERED_BODY)["types"]
+
+
+ES_SEARCH_TERMS_FILTERED_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS doc_count,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+       MAX(value) AS vmax
+FROM events
+WHERE event_type IS NOT NULL
+  AND regexp_full_match(event_type, '(click|view|purchase|error)')
+  AND event_type != 'error'
+GROUP BY event_type HAVING COUNT(*) >= 5
+ORDER BY event_type ASC
+"""
+
+
 # `script_fields` + the ES 8 `fields` list projection through the
 # compiler: a per-hit computed revenue (the engine's SQL script dialect —
 # the expression string is shared VERBATIM with the DuckDB twin, so the
@@ -1086,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_collapse": _es_search_collapse_query,
         "es_search_highlight": _es_search_highlight_query,
         "es_search_script_fields": _es_search_script_fields_query,
+        "es_search_terms_filtered": _es_search_terms_filtered_query,
         "es_search_pctl": _es_search_pctl_query,
         "es_search_top_hits": _es_search_top_hits_query,
         "es_search_geo": _es_search_geo_query,
@@ -1390,6 +1427,7 @@ def oracle_sql() -> dict[str, str]:
         "es_search_collapse": ES_SEARCH_COLLAPSE_SQL,
         "es_search_highlight": ES_SEARCH_HIGHLIGHT_SQL,
         "es_search_script_fields": ES_SEARCH_SCRIPT_FIELDS_SQL,
+        "es_search_terms_filtered": ES_SEARCH_TERMS_FILTERED_SQL,
         "es_search_pctl": _es_search_pctl_oracle(),
         "es_search_top_hits": _es_search_top_hits_oracle(),
         "es_search_geo": geo.geohash_grid_sql(precision=3, size=20),

@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "es_search_collapse",
     "es_search_highlight",
     "es_search_script_fields",
+    "es_search_terms_filtered",
     "text_pii_redact",
 ]
 

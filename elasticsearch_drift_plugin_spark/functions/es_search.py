@@ -23,7 +23,10 @@ Supported ``aggs`` nodes:
   (reference row-12 semantics: the whole value lands in one bucket);
 - ``terms`` — with optional nested metric sub-aggs and a nested
   ``proportional_sum`` or ``date_histogram`` (compiled to the operator's
-  ``group_by``, the reference's §3.3 nesting route);
+  ``group_by``, the reference's §3.3 nesting route); ``include`` /
+  ``exclude`` (value list or anchored regex), ``min_doc_count``
+  (leaf-level), ``missing``, ``order``, per-level ``size``;
+  ``shard_size`` accepted and ignored (exact global buckets);
 - ``range`` / ``histogram`` / ``filters`` — the operator family in
   ``operators.es_aggs`` (the filters node's sub-bodies are themselves DSL
   queries, compiled through the same clause compiler);
@@ -1719,6 +1722,26 @@ def _terms(df: DataFrame, spec: dict, sub: dict, parents: tuple = ()) -> DataFra
         # ES terms drops docs whose field is missing (Spark groupBy would
         # keep a NULL bucket) — unless `missing` buckets them above
         df = df.where(F.col(field).isNotNull())
+    # `include` / `exclude`: bucket-key filters — an explicit value list
+    # or an anchored regex (Java dialect), applied BEFORE grouping
+    # (equivalent to ES's key filtering: keys partition the rows, so
+    # filtering rows by key == filtering buckets, and the predicate
+    # pushes into the scan). `shard_size` is accepted and ignored — the
+    # engine computes exact global buckets, there is no per-shard
+    # approximation to widen.
+    inc, exc = spec.get("include"), spec.get("exclude")
+    if inc is not None:
+        df = df.where(
+            F.col(field).isin(list(inc))
+            if isinstance(inc, (list, tuple))
+            else F.col(field).rlike(f"^(?:{inc})$")
+        )
+    if exc is not None:
+        df = df.where(
+            ~F.col(field).isin(list(exc))
+            if isinstance(exc, (list, tuple))
+            else ~F.col(field).rlike(f"^(?:{exc})$")
+        )
     aggs = [F.count(F.lit(1)).cast("long").alias("doc_count")]
     psum_sub = psum_name = None
     metric_names = set()
@@ -1732,6 +1755,14 @@ def _terms(df: DataFrame, spec: dict, sub: dict, parents: tuple = ()) -> DataFra
             "terms order is supported on the leaf (metrics) level only — "
             "a level owning nested terms/proportional_sum/top_hits ranks "
             "by doc_count (the ES default)"
+        )
+    if "min_doc_count" in spec and (
+        has_bucket_child
+        or any("percentiles" in snode for snode in sub.values())
+    ):
+        raise ValueError(
+            "terms min_doc_count is supported on the leaf (metrics) level"
+            " only"
         )
     for sname, snode in sub.items():
         skinds = [k for k in snode if k not in ("aggs", "aggregations", "meta")]
@@ -1817,6 +1848,11 @@ def _terms(df: DataFrame, spec: dict, sub: dict, parents: tuple = ()) -> DataFra
         return res
     keys = [*parent_fields, field]
     out = df.groupBy(*keys).agg(*aggs)
+    # `min_doc_count`: prune sparse buckets BEFORE ranking/size (ES
+    # applies it ahead of the size truncation) — a result-sized filter
+    mdc = int(spec.get("min_doc_count", 1))
+    if mdc > 1:
+        out = out.where(F.col("doc_count") >= mdc)
     # the leaf level's order spec — ES prunes AND sorts by it; default
     # (_count desc). _key orders by the term itself; a metric name orders
     # by that sub-agg column (validated against the registered aliases).

@@ -1528,3 +1528,35 @@ def test_script_fields_and_fields_list(spark):
     with pytest.raises(ValueError, match="collides"):
         run_search(df, dict(body, script_fields={"price": {"script": {
             "source": "price"}}}))
+
+
+def test_terms_include_exclude_min_doc_count(spark):
+    df = spark.createDataFrame(
+        [("aa",), ("aa",), ("aa",), ("ab",), ("ab",), ("bb",), ("cc",)],
+        "tag string",
+    )
+    base = {"field": "tag", "size": 10, "order": {"_key": "asc"}}
+    def terms(spec):
+        return [
+            (r.tag, r.doc_count)
+            for r in run_search(df, {"aggs": {"t": {"terms": spec}}})["t"].collect()
+        ]
+    # include: anchored regex over bucket keys
+    assert terms({**base, "include": "a.*"}) == [("aa", 3), ("ab", 2)]
+    # include: explicit value list; exclude composes
+    assert terms({**base, "include": ["aa", "bb", "cc"],
+                  "exclude": ["cc"]}) == [("aa", 3), ("bb", 1)]
+    # exclude regex
+    assert terms({**base, "exclude": "a.*"}) == [("bb", 1), ("cc", 1)]
+    # min_doc_count prunes sparse buckets before size/order
+    assert terms({**base, "min_doc_count": 2}) == [("aa", 3), ("ab", 2)]
+    # shard_size is accepted (exact engine: no-op)
+    assert terms({**base, "shard_size": 500}) == [
+        ("aa", 3), ("ab", 2), ("bb", 1), ("cc", 1)]
+    # min_doc_count under a bucket-owning level raises
+    with pytest.raises(ValueError, match="min_doc_count"):
+        run_search(df.withColumn("v", F.lit(1.0)), {"aggs": {"t": {
+            "terms": {"field": "tag", "min_doc_count": 2},
+            "aggs": {"h": {"top_hits": {
+                "size": 1, "sort": [{"v": {"order": "desc"}}]}}},
+        }}})
