@@ -353,3 +353,68 @@ def test_png_pipeline_is_narrow_after_widen(spark):
     s = explain_str(out)
     # no hash-partition exchange between the Python kernels
     assert hash_exchange_count(out) == 0, s
+
+
+def test_knn_is_take_ordered_no_full_sort(spark, tmp_path):
+    # knn: scan → filter → score projection → TakeOrdered(k). No global
+    # Sort node, no shuffle beyond the TakeOrdered reduction, and the
+    # pre-filter + column pruning reach the parquet scan.
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    p = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [(i, [float(i), 1.0], i % 3) for i in range(50)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    body = {"knn": {"field": "embedding", "query_vector": [1.0, 0.0], "k": 5,
+                    "filter": {"range": {"vec_id": {"gte": 10}}}},
+            "_source": {"includes": ["vec_id"]}, "size": 5}
+    out = run_search(df, body)["_hits"]
+    plan = explain_str(out)
+    assert "TakeOrderedAndProject" in plan
+    assert " Sort " not in plan  # top-k never global-sorts
+    assert not has_python_eval(out)
+    assert "GreaterThanOrEqual(vec_id,10)" in plan or "gte" in plan.lower()
+
+
+def test_collapse_single_window_exchange(spark):
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0)], "event_id long, grp string, value double"
+    )
+    body = {"size": 3, "sort": [{"value": {"order": "desc"}},
+                                {"event_id": "asc"}],
+            "collapse": {"field": "grp"}}
+    out = run_search(df, body)["_hits"]
+    plan = explain_str(out)
+    # one Window (rank-1 per collapse key) feeding a TakeOrdered, with
+    # Spark's WindowGroupLimit pushed MAP-SIDE (Partial before the
+    # exchange): only one candidate row per key per partition shuffles —
+    # the shape that keeps collapse viable at 100 TB
+    assert len(re.findall(r"\bWindow\b \(", plan)) == 1
+    assert re.search(r"row_number\(\), 1, Partial", plan), plan
+    assert re.search(r"row_number\(\), 1, Final", plan), plan
+    assert "TakeOrderedAndProject" in plan
+    assert not has_python_eval(out)
+
+
+def test_terms_include_pushes_to_scan(spark, tmp_path):
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    p = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [("click", 1.0)], "event_type string, value double"
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    body = {"aggs": {"t": {"terms": {
+        "field": "event_type", "include": ["click", "view"],
+        "min_doc_count": 2}}}}
+    out = run_search(df, body)["t"]
+    plan = explain_str(out)
+    # the include list lands in PushedFilters as an In predicate
+    assert re.search(r"PushedFilters: \[.*In\(event_type", plan), plan
+    # map-side partial agg below the single hash exchange
+    assert len(re.findall(r"\bHashAggregate\b \(", plan)) == 2
+    assert hash_exchange_count(out) == 1
