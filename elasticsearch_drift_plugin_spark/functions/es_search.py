@@ -1998,3 +1998,30 @@ def _top_hits(df: DataFrame, levels: tuple, name: str, spec: dict) -> DataFrame:
         carry_cols=carry,
         size=int(spec.get("size", 3)),
     )
+
+
+def run_count(df: DataFrame, body: dict | None = None) -> DataFrame:
+    """The ES ``_count`` API: one row ``(count)`` of docs matching the
+    body's ``query`` (``match_all`` when absent). One aggregation job —
+    count(*) with the predicate pushed to the scan."""
+    if body and "query" in body:
+        df = df.where(compile_query(body["query"]))
+    return df.agg(F.count(F.lit(1)).cast("long").alias("count"))
+
+
+def run_msearch(tables: dict[str, DataFrame], requests: list) -> list:
+    """The ES ``_msearch`` API: a list of ``{"index": name, "body":
+    {...}}`` requests against named frames; returns the per-request
+    :func:`run_search` result dicts in order. Plans compile eagerly but
+    lazily execute — a caller that materializes them concurrently gets
+    the multi-search parallelism ES provides, from one session."""
+    out = []
+    for req in requests:
+        idx = req["index"]
+        if idx not in tables:
+            raise ValueError(
+                f"msearch index {idx!r} not registered "
+                f"(have {sorted(tables)})"
+            )
+        out.append(run_search(tables[idx], req["body"]))
+    return out

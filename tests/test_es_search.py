@@ -1560,3 +1560,34 @@ def test_terms_include_exclude_min_doc_count(spark):
             "aggs": {"h": {"top_hits": {
                 "size": 1, "sort": [{"v": {"order": "desc"}}]}}},
         }}})
+
+
+def test_count_and_msearch(spark):
+    from elasticsearch_drift_plugin_spark.functions.es_search import (
+        run_count,
+        run_msearch,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, "click", 5.0), (2, "view", 9.0), (3, "click", 7.0)],
+        "event_id long, event_type string, value double",
+    )
+    li = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    assert run_count(ev).collect()[0]["count"] == 3
+    assert run_count(ev, {"query": {"term": {"event_type": "click"}}}) \
+        .collect()[0]["count"] == 2
+    res = run_msearch(
+        {"events": ev, "items": li},
+        [
+            {"index": "events", "body": {"aggs": {"n": {
+                "terms": {"field": "event_type",
+                          "order": {"_key": "asc"}}}}}},
+            {"index": "items", "body": {"aggs": {"s": {
+                "max": {"field": "v"}}}}},
+        ],
+    )
+    assert [(r.event_type, r.doc_count) for r in res[0]["n"].collect()] == [
+        ("click", 2), ("view", 1)]
+    assert res[1]["s"].collect()[0]["s"] == 10.0
+    with pytest.raises(ValueError, match="msearch index"):
+        run_msearch({"events": ev}, [{"index": "nope", "body": {}}])
