@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "text_pii_scan",
     "text_gopher_filter",
     "corpus_tfidf_top",
+    "corpus_manifest",
     "corpus_contamination",
     "corpus_span_dedup",
     "es_terms_top_users",

@@ -1337,8 +1337,114 @@ ORDER BY doc_id, chunk_no
 """
 
 
+# --------------------------------------------------------------------------
+# corpus manifest (per-source data card)
+# --------------------------------------------------------------------------
+
+def corpus_manifest(docs: DataFrame, group_col: str = "source") -> DataFrame:
+    """(source, n_docs, total_ws_tokens, n_exact_dups, q25_score,
+    q50_score, q75_score, avg_chars_q): the per-source data card a
+    curation run records next to its output manifest — corpus size,
+    token volume, exact-duplicate count (md5 fingerprint of the
+    normalized text, :func:`text.fingerprints`'s identity), quality-score
+    quartiles (exact interpolated percentile over the SAME per-doc
+    formula as :func:`text.quality_score` — pinned equal in pytest so the
+    two cannot drift), and the exact mean document length in 1e-6 quanta
+    (pure integer arithmetic: ``(s div n)·Q + ((s mod n)·Q) div n`` —
+    never overflows at any corpus size, unlike ``Q·s``).
+
+    ONE scan and ONE shuffle: every per-doc feature is a map-side
+    projection; the groupBy carries count/sum partials map-side. The
+    exact percentile sorts each source's score list on the reducer —
+    at extreme group sizes swap ``percentile`` for ``percentile_approx``
+    (the :mod:`stats` quantiles trade, same plan otherwise)."""
+    from .text import PUNCT_RE, STOPWORDS
+
+    toks = F.split(F.lower(F.col("text")), " ")
+    n_chars = F.length("text").cast("long")
+    n_tokens = F.size(toks).cast("long")
+    n_punct = (
+        F.length("text") - F.length(F.regexp_replace("text", PUNCT_RE, ""))
+    ).cast("long")
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS["en"]))
+    ).cast("long")
+    tok_sat = F.least(F.lit(1.0), n_tokens.cast("double") / F.lit(100.0))
+    score = (
+        tok_sat * F.lit(0.3)
+        + (n_stop.cast("double") / n_tokens.cast("double")) * F.lit(0.4)
+        + (F.lit(1.0) - n_punct.cast("double") / n_chars.cast("double"))
+        * F.lit(0.3)
+    )
+    fp = md5_hash60(F.regexp_replace(F.lower(F.col("text")), " +", " "))
+    base = docs.select(
+        F.col(group_col).alias("source"),
+        n_chars.alias("n_chars"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("ws_tokens"),
+        F.floor(score * F.lit(float(QUANT))).alias("score_q"),
+        fp.alias("fp"),
+    )
+    out = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ws_tokens").cast("long").alias("total_ws_tokens"),
+        (F.count(F.lit(1)) - F.countDistinct("fp"))
+        .cast("long")
+        .alias("n_exact_dups"),
+        F.expr("percentile(score_q, array(0.25, 0.5, 0.75))").alias("__qv"),
+        F.sum("n_chars").alias("__sc"),
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        "total_ws_tokens",
+        "n_exact_dups",
+        F.floor(F.col("__qv")[0]).cast("long").alias("q25_score"),
+        F.floor(F.col("__qv")[1]).cast("long").alias("q50_score"),
+        F.floor(F.col("__qv")[2]).cast("long").alias("q75_score"),
+        F.expr(
+            f"(__sc div n_docs) * {QUANT}L"
+            f" + ((__sc % n_docs) * {QUANT}L) div n_docs"
+        ).alias("avg_chars_q"),
+    ).orderBy("source")
+
+
+def corpus_manifest_sql(src: str = "documents", group_col: str = "source") -> str:
+    from .text import PUNCT_RE, STOPWORDS
+
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    fp = HEX15_SQL_FN.format(
+        expr="regexp_replace(lower(text), ' +', ' ', 'g')"
+    )
+    return f"""
+WITH per AS (
+  SELECT {group_col} AS source,
+         CAST(len(text) AS BIGINT) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+         CAST(FLOOR((least(1.0, CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 100.0) * 0.3
+            + CAST(len(list_filter(string_split(lower(text), ' '),
+                                   t -> list_contains([{stop}], t))) AS DOUBLE)
+              / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) * 0.4
+            + (1.0 - CAST(len(text) - len(regexp_replace(text, '{PUNCT_RE}', '', 'g')) AS DOUBLE)
+                     / CAST(len(text) AS DOUBLE)) * 0.3)
+           * {float(QUANT)}) AS BIGINT) AS score_q,
+         {fp} AS fp
+  FROM {src}
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+       CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+       CAST(FLOOR(quantile_cont(score_q, 0.25)) AS BIGINT) AS q25_score,
+       CAST(FLOOR(quantile_cont(score_q, 0.50)) AS BIGINT) AS q50_score,
+       CAST(FLOOR(quantile_cont(score_q, 0.75)) AS BIGINT) AS q75_score,
+       (SUM(n_chars) // COUNT(*)) * {QUANT}
+         + ((SUM(n_chars) % COUNT(*)) * {QUANT}) // COUNT(*) AS avg_chars_q
+FROM per GROUP BY source ORDER BY source
+"""
+
+
 def queries() -> dict:
     return {
+        "corpus_manifest": lambda s, d: corpus_manifest(load_table(s, d, "documents")),
         "corpus_tfidf_top": lambda s, d: tfidf_top_terms(load_table(s, d, "documents")),
         "corpus_topic_terms": lambda s, d: topic_terms(
             load_table(s, d, "documents"), load_table(s, d, "embeddings")
@@ -1393,6 +1499,7 @@ def queries() -> dict:
 
 def oracle_sql() -> dict:
     return {
+        "corpus_manifest": corpus_manifest_sql(),
         "corpus_tfidf_top": tfidf_sql(),
         "corpus_topic_terms": topic_terms_sql(),
         "corpus_lm_score": BIGRAM_LM_SQL,

@@ -1946,3 +1946,31 @@ def test_pii_redact_golden(spark):
     # one of each later class; the long-digit run survives phone/ip passes
     assert out[3] == ("call [PHONE] from [IPV4] ref [NUMBER]", 3)
     assert out[4] == ("clean text only", 0)
+
+
+def test_corpus_manifest_pins_quality_formula(spark):
+    # the manifest's inlined per-doc quality score must stay identical to
+    # text.quality_score — this pin makes silent drift impossible
+    from elasticsearch_drift_plugin_spark.operators.corpus import corpus_manifest
+    from elasticsearch_drift_plugin_spark.operators.text import quality_score
+
+    df = spark.createDataFrame(
+        [(1, "the fast data, spark!", "a"), (2, "the fast data, spark!", "a"),
+         (3, "a of to in is on", "b"), (4, "zz qq ww", "b")],
+        "doc_id long, text string, source string",
+    )
+    m = {r.source: r for r in corpus_manifest(df).collect()}
+    scores = {r.doc_id: r.score_q for r in quality_score(df).collect()}
+    # source a: two identical docs -> 1 exact dup; same score -> all
+    # three quartiles equal that score
+    assert m["a"].n_docs == 2 and m["a"].n_exact_dups == 1
+    assert (m["a"].q25_score == m["a"].q50_score == m["a"].q75_score
+            == scores[1])
+    # source b: quartiles interpolate between the two distinct doc scores
+    lo, hi = sorted((scores[3], scores[4]))
+    assert m["b"].n_exact_dups == 0
+    assert m["b"].q25_score == lo + (hi - lo) // 4
+    assert m["b"].q50_score == lo + (hi - lo) // 2
+    # exact integer mean length in 1e-6 quanta
+    assert m["a"].avg_chars_q == 21 * 1_000_000
+    assert m["b"].total_ws_tokens == 6 + 3
