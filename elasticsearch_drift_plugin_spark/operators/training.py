@@ -289,15 +289,27 @@ FROM w ORDER BY doc_id, chunk_no
 # --------------------------------------------------------------------------
 
 def _mix_thresholds(
-    docs: DataFrame, target_docs: int, group_col: str
+    docs: DataFrame, target_docs: int, group_col: str,
+    temperature: float = 2.0,
 ) -> DataFrame:
     """(group, n_docs, thr_q): per-domain keep-threshold in 1e-6 quanta,
-    temperature-2 flattened toward a ``target_docs`` total."""
+    temperature-flattened toward a ``target_docs`` total — the T5/Llama
+    mixing rule ``p_i ∝ n_i^(1/τ)``. τ=1 is proportional (no flattening),
+    τ→∞ approaches uniform-per-domain; τ=2 (the default) keeps the exact
+    ``sqrt`` path (correctly rounded in both engines — bit-parity with
+    the historical twin), other τ use ``pow(n, 1/τ)``."""
     counts = docs.groupBy(F.col(group_col).alias("group")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    w = (
+        F.sqrt(F.col("n_docs"))
+        if temperature == 2.0
+        else F.pow(F.col("n_docs"), F.lit(1.0 / float(temperature)))
+    )
     counts = counts.withColumn(
-        "sq_q", F.floor(F.sqrt(F.col("n_docs")) * F.lit(float(QUANT))).cast("long")
+        "sq_q", F.floor(w * F.lit(float(QUANT))).cast("long")
     )
     total = counts.agg(F.sum("sq_q").alias("s_q"))
     return (
@@ -318,11 +330,12 @@ def domain_mix(
     target_docs: int,
     group_col: str = "source",
     id_col: str = "doc_id",
+    temperature: float = 2.0,
 ) -> DataFrame:
-    """(doc_id, group): the temperature-2 mixed sample — deterministic
+    """(doc_id, group): the temperature-τ mixed sample — deterministic
     hash-gated rows under the per-domain thresholds. Rare domains are
     up-weighted (often to keep-all), head domains down-sampled."""
-    thr = _mix_thresholds(docs, target_docs, group_col)
+    thr = _mix_thresholds(docs, target_docs, group_col, temperature)
     h = F.pmod(md5_hash60(F.col(id_col).cast("string")), F.lit(QUANT))
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.col(group_col).alias("group"))
@@ -334,18 +347,28 @@ def domain_mix(
 
 
 def mix_rates(
-    docs: DataFrame, target_docs: int, group_col: str = "source"
+    docs: DataFrame, target_docs: int, group_col: str = "source",
+    temperature: float = 2.0,
 ) -> DataFrame:
     """(group, n_docs, thr_q): the planned mixing table itself — what a
     pipeline records next to the run manifest."""
-    return _mix_thresholds(docs, target_docs, group_col).orderBy("group")
+    return _mix_thresholds(
+        docs, target_docs, group_col, temperature
+    ).orderBy("group")
 
 
-def _mix_cte(target_docs: int, group_col: str, src: str) -> str:
+def _mix_cte(
+    target_docs: int, group_col: str, src: str, temperature: float = 2.0
+) -> str:
+    w = (
+        "SQRT(COUNT(*))"
+        if temperature == 2.0
+        else f"POW(COUNT(*), {1.0 / float(temperature)!r})"
+    )
     return f"""
 counts AS (
   SELECT {group_col} AS grp, COUNT(*) AS n_docs,
-         CAST(FLOOR(SQRT(COUNT(*)) * {float(QUANT)}) AS BIGINT) AS sq_q
+         CAST(FLOOR({w} * {float(QUANT)}) AS BIGINT) AS sq_q
   FROM {src} GROUP BY {group_col}
 ),
 thr AS (
@@ -370,10 +393,11 @@ ORDER BY d.doc_id
 
 
 def mix_rates_sql(
-    target_docs: int, group_col: str = "source", src: str = "documents"
+    target_docs: int, group_col: str = "source", src: str = "documents",
+    temperature: float = 2.0,
 ) -> str:
     return f"""
-WITH {_mix_cte(target_docs, group_col, src)}
+WITH {_mix_cte(target_docs, group_col, src, temperature)}
 SELECT grp AS "group", n_docs, thr_q FROM thr ORDER BY "group"
 """
 
@@ -878,6 +902,9 @@ def queries() -> dict:
         "train_domain_mix": lambda s, d: domain_mix(
             load_table(s, d, "documents"), target_docs=250
         ),
+        "train_mix_rates_t4": lambda s, d: mix_rates(
+            load_table(s, d, "documents"), target_docs=250, temperature=4.0
+        ),
         "train_mix_rates": lambda s, d: mix_rates(
             load_table(s, d, "documents"), target_docs=250
         ),
@@ -915,6 +942,7 @@ def oracle_sql() -> dict:
         "train_pack_sharded": pack_sequences_sharded_sql(capacity=256, n_shards=4),
         "train_domain_mix": domain_mix_sql(target_docs=250),
         "train_mix_rates": mix_rates_sql(target_docs=250),
+        "train_mix_rates_t4": mix_rates_sql(target_docs=250, temperature=4.0),
         "train_chunk_docs": chunk_documents_sql(chunk_tokens=64, stride=48),
         "train_curate_pipeline": curate_pipeline_sql(),
         "train_split_assign": split_assign_sql(),

@@ -1,5 +1,6 @@
 """Contract tests for training-set assembly (operators/training.py)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from elasticsearch_drift_plugin_spark.operators import training as tr
@@ -130,3 +131,26 @@ def test_epoch_plan_shards_and_cumulative_tokens(spark):
     total_tokens = sum(r["n_tokens"] for r in out)
     want = sum(5 + i % 7 for i in range(30)) + 100
     assert total_tokens == want
+
+
+def test_mix_temperature_flattening(spark):
+    from elasticsearch_drift_plugin_spark.operators.training import mix_rates
+
+    rows = [(i, "head") for i in range(90)] + [(1000 + i, "tail") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    def thr(temp):
+        return {
+            r.group: r.thr_q
+            for r in mix_rates(df, target_docs=50, temperature=temp).collect()
+        }
+
+    t1, t2, t4 = thr(1.0), thr(2.0), thr(4.0)
+    # τ=1 is proportional sampling: every domain keeps the same fraction
+    assert t1["head"] == t1["tail"] == 500_000
+    # higher τ flattens harder: the tail's keep-rate grows until the
+    # keep-all cap (LEAST(QUANT, …)), the head's strictly shrinks
+    assert t1["tail"] < t2["tail"] <= t4["tail"] == 1_000_000
+    assert t1["head"] > t2["head"] > t4["head"]
+    with pytest.raises(ValueError, match="temperature"):
+        mix_rates(df, target_docs=50, temperature=0.0)
