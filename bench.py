@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "text_gopher_filter",
     "corpus_tfidf_top",
     "corpus_manifest",
+    "train_mix_tokens",
     "corpus_contamination",
     "corpus_span_dedup",
     "es_terms_top_users",

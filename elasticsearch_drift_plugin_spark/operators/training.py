@@ -346,6 +346,78 @@ def domain_mix(
     )
 
 
+def mix_rates_tokens(
+    docs: DataFrame,
+    target_tokens: int,
+    group_col: str = "source",
+    temperature: float = 2.0,
+) -> DataFrame:
+    """(group, n_tokens, thr_q): token-budget mixing — the form real
+    pretraining recipes use (the budget is a TOKEN count, not a doc
+    count). Per-domain whitespace-token totals ``T_i`` replace doc
+    counts in the same rule: keep-rate_i = min(1, B·w_i / (Σw · T_i))
+    with ``w_i = T_i^(1/τ)``, so the EXPECTED kept-token total is the
+    budget ``B`` (hash gating stays per-doc — deterministic,
+    join-free replay). Same integer quanta as :func:`mix_rates`; one
+    scan + one tiny broadcast, any corpus size."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    counts = docs.groupBy(F.col(group_col).alias("group")).agg(
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias(
+            "n_tokens"
+        )
+    )
+    w = (
+        F.sqrt(F.col("n_tokens"))
+        if temperature == 2.0
+        else F.pow(F.col("n_tokens"), F.lit(1.0 / float(temperature)))
+    )
+    counts = counts.withColumn(
+        "sq_q", F.floor(w * F.lit(float(QUANT))).cast("long")
+    )
+    total = counts.agg(F.sum("sq_q").alias("s_q"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn(
+            "thr_q",
+            F.least(
+                F.lit(QUANT),
+                F.expr(
+                    f"({QUANT}L * {int(target_tokens)}L * sq_q)"
+                    " div (s_q * n_tokens)"
+                ),
+            ),
+        )
+        .select("group", "n_tokens", "thr_q")
+        .orderBy("group")
+    )
+
+
+def mix_rates_tokens_sql(
+    target_tokens: int,
+    group_col: str = "source",
+    src: str = "documents",
+    temperature: float = 2.0,
+) -> str:
+    w = (
+        "SQRT(SUM(len(string_split(text, ' '))))"
+        if temperature == 2.0
+        else f"POW(SUM(len(string_split(text, ' '))), {1.0 / float(temperature)!r})"
+    )
+    return f"""
+WITH counts AS (
+  SELECT {group_col} AS grp,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(FLOOR({w} * {float(QUANT)}) AS BIGINT) AS sq_q
+  FROM {src} GROUP BY {group_col}
+)
+SELECT grp AS "group", n_tokens,
+       CAST(LEAST({QUANT}, (CAST({QUANT} AS BIGINT) * {int(target_tokens)} * sq_q)
+             // ((SELECT SUM(sq_q) FROM counts) * n_tokens)) AS BIGINT) AS thr_q
+FROM counts ORDER BY "group"
+"""
+
+
 def mix_rates(
     docs: DataFrame, target_docs: int, group_col: str = "source",
     temperature: float = 2.0,
@@ -902,6 +974,9 @@ def queries() -> dict:
         "train_domain_mix": lambda s, d: domain_mix(
             load_table(s, d, "documents"), target_docs=250
         ),
+        "train_mix_tokens": lambda s, d: mix_rates_tokens(
+            load_table(s, d, "documents"), target_tokens=15_000
+        ),
         "train_mix_rates_t4": lambda s, d: mix_rates(
             load_table(s, d, "documents"), target_docs=250, temperature=4.0
         ),
@@ -943,6 +1018,7 @@ def oracle_sql() -> dict:
         "train_domain_mix": domain_mix_sql(target_docs=250),
         "train_mix_rates": mix_rates_sql(target_docs=250),
         "train_mix_rates_t4": mix_rates_sql(target_docs=250, temperature=4.0),
+        "train_mix_tokens": mix_rates_tokens_sql(target_tokens=15_000),
         "train_chunk_docs": chunk_documents_sql(chunk_tokens=64, stride=48),
         "train_curate_pipeline": curate_pipeline_sql(),
         "train_split_assign": split_assign_sql(),

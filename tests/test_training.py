@@ -154,3 +154,24 @@ def test_mix_temperature_flattening(spark):
     assert t1["head"] > t2["head"] > t4["head"]
     with pytest.raises(ValueError, match="temperature"):
         mix_rates(df, target_docs=50, temperature=0.0)
+
+
+def test_mix_tokens_budget_expectation(spark):
+    from elasticsearch_drift_plugin_spark.operators.training import (
+        mix_rates_tokens,
+    )
+
+    rows = [("head", i, " ".join(["w"] * 20)) for i in range(50)] + [
+        ("tail", 1000 + i, " ".join(["w"] * 5)) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    out = {r.group: r for r in mix_rates_tokens(df, target_tokens=300).collect()}
+    assert out["head"].n_tokens == 1000 and out["tail"].n_tokens == 20
+    # tail is tiny -> keep-all; head downsampled toward the token budget
+    assert out["tail"].thr_q == tr.QUANT
+    assert 0 < out["head"].thr_q < tr.QUANT
+    # expected kept tokens ≈ budget: sum(T_i * thr_i) within quantization
+    exp = sum(out[g].n_tokens * out[g].thr_q / tr.QUANT for g in out)
+    assert 250 <= exp <= 310
+    with pytest.raises(ValueError, match="temperature"):
+        mix_rates_tokens(df, target_tokens=300, temperature=-1)
