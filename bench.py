@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "corpus_tfidf_top",
     "corpus_manifest",
     "train_mix_tokens",
+    "es_significant_jlh",
     "corpus_contamination",
     "corpus_span_dedup",
     "es_terms_top_users",

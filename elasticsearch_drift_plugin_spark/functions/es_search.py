@@ -1169,8 +1169,19 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
             )
         fg = spec["foreground"]
         fg_sql = fg if isinstance(fg, str) else compile_query_sql_expr(fg)
+        # ES spells the scoring heuristic as an empty-object sub-key
+        # ({"jlh": {}} / {"chi_square": {}} / {"percentage": {}}); absent
+        # means the engine's exact-integer lift (JLH's first factor)
+        from ..operators.es_aggs import _SIG_SCORE_EXPRS
+
+        heur = [k for k in spec if k in _SIG_SCORE_EXPRS]
+        if len(heur) > 1:
+            raise ValueError(
+                f"significant_terms allows one scoring heuristic, got {heur}"
+            )
         return significant_terms(
             df, spec["field"], fg_sql, size=int(spec.get("size", 10)),
+            score=heur[0] if heur else "lift",
             min_doc_count=int(spec.get("min_doc_count", 3)),
         )
     if kind == "missing":

@@ -850,6 +850,14 @@ def queries() -> dict:
             load_table(s, d, "events"), "user_id",
             "event_type = 'purchase'", size=20,
         ),
+        "es_significant_jlh": lambda s, d: significant_terms(
+            load_table(s, d, "events"), "user_id",
+            "event_type = 'purchase'", size=20, score="jlh",
+        ),
+        "es_significant_chi2": lambda s, d: significant_terms(
+            load_table(s, d, "events"), "user_id",
+            "event_type = 'purchase'", size=20, score="chi_square",
+        ),
         "es_significant_text": lambda s, d: significant_text(
             load_table(s, d, "documents"), "text", "lang = 'zh'", size=25
         ),
@@ -908,6 +916,14 @@ def oracle_sql() -> dict:
         ),
         "es_significant_terms": significant_terms_sql(
             "events", "user_id", "event_type = 'purchase'", size=20
+        ),
+        "es_significant_jlh": significant_terms_sql(
+            "events", "user_id", "event_type = 'purchase'", size=20,
+            score="jlh",
+        ),
+        "es_significant_chi2": significant_terms_sql(
+            "events", "user_id", "event_type = 'purchase'", size=20,
+            score="chi_square",
         ),
         "es_significant_text": significant_text_sql(
             "documents", "text", "lang = 'zh'", size=25
@@ -1145,12 +1161,26 @@ FROM t, sel GROUP BY 1, sel.label ORDER BY key
 # --------------------------------------------------------------------------
 # significant_terms (foreground vs background lift)
 # --------------------------------------------------------------------------
+# ES significance heuristics beyond the exact-integer lift: the published
+# formula family over the same four counts (fgp = fg/fg_total, bgp =
+# bg/bg_total). Scored in DOUBLE from the IDENTICAL expression text in
+# both engines (same IEEE op order -> same bits -> same floor quanta).
+_FGP = "(CAST(fg_count AS DOUBLE) / CAST(fg_total AS DOUBLE))"
+_BGP = "(CAST(bg_count AS DOUBLE) / CAST(bg_total AS DOUBLE))"
+_SIG_SCORE_EXPRS = {
+    "jlh": f"(({_FGP} - {_BGP}) * ({_FGP} / {_BGP}))",
+    "chi_square": f"((({_FGP} - {_BGP}) * ({_FGP} - {_BGP})) / {_BGP})",
+    "percentage": f"({_FGP} / {_BGP})",
+}
+
+
 def significant_terms(
     df: DataFrame,
     field: str,
     foreground_where: str,
     size: int = 10,
     min_doc_count: int = 3,
+    score: str = "lift",
 ) -> DataFrame:
     """(key, fg_count, bg_count, score_q): ES ``significant_terms`` — terms
     over-represented in a foreground set relative to the whole corpus.
@@ -1167,6 +1197,11 @@ def significant_terms(
     count (`count_if`) — no second scan, no join for the fg/bg split; the
     two scalar totals ride along via a single-row cross join (broadcast).
     """
+    if score != "lift" and score not in _SIG_SCORE_EXPRS:
+        raise ValueError(
+            f"unknown significance score {score!r} "
+            f"(have: lift, {', '.join(_SIG_SCORE_EXPRS)})"
+        )
     fg_flag = F.expr(f"IF(COALESCE({foreground_where}, FALSE), 1, 0)")
     per_term = (
         df.select(F.col(field).alias("key"), fg_flag.alias("__fg"))
@@ -1179,17 +1214,23 @@ def significant_terms(
     totals = per_term.agg(
         F.sum("fg_count").alias("fg_total"), F.sum("bg_count").alias("bg_total")
     )
+    if score == "lift":
+        # `div` == the twin's `//` here by construction: numerator and
+        # denominator are products of counts, both provably >= 0, so
+        # truncating and flooring division agree.
+        score_expr = (
+            "CAST((CAST(fg_count AS DECIMAL(38,0)) * bg_total * 1000000)"
+            " div (CAST(fg_total AS DECIMAL(38,0)) * bg_count) AS BIGINT)"
+        )
+    else:
+        score_expr = (
+            f"CAST(FLOOR({_SIG_SCORE_EXPRS[score]} * 1000000.0) AS BIGINT)"
+        )
     scored = per_term.join(F.broadcast(totals)).select(
         "key",
         "fg_count",
         "bg_count",
-        # `div` == the twin's `//` here by construction: numerator and
-        # denominator are products of counts, both provably >= 0, so
-        # truncating and flooring division agree.
-        F.expr(
-            "CAST((CAST(fg_count AS DECIMAL(38,0)) * bg_total * 1000000)"
-            " div (CAST(fg_total AS DECIMAL(38,0)) * bg_count) AS BIGINT)"
-        ).alias("score_q"),
+        F.expr(score_expr).alias("score_q"),
     )
     return (
         scored.where(F.col("fg_count") >= min_doc_count)
@@ -1313,7 +1354,17 @@ def significant_terms_sql(
     foreground_where: str,
     size: int = 10,
     min_doc_count: int = 3,
+    score: str = "lift",
 ) -> str:
+    if score == "lift":
+        score_sql = (
+            "CAST((CAST(fg_count AS HUGEINT) * bg_total * 1000000)\n"
+            "            // (CAST(fg_total AS HUGEINT) * bg_count) AS BIGINT)"
+        )
+    else:
+        score_sql = (
+            f"CAST(FLOOR({_SIG_SCORE_EXPRS[score]} * 1000000.0) AS BIGINT)"
+        )
     return f"""
 WITH per_term AS (
   SELECT {field} AS key,
@@ -1323,8 +1374,7 @@ WITH per_term AS (
 ),
 totals AS (SELECT SUM(fg_count) AS fg_total, SUM(bg_count) AS bg_total FROM per_term)
 SELECT key, CAST(fg_count AS BIGINT) AS fg_count, bg_count,
-       CAST((CAST(fg_count AS HUGEINT) * bg_total * 1000000)
-            // (CAST(fg_total AS HUGEINT) * bg_count) AS BIGINT) AS score_q
+       {score_sql} AS score_q
 FROM per_term, totals
 WHERE fg_count >= {min_doc_count}
 ORDER BY score_q DESC, key ASC LIMIT {size}

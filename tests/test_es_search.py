@@ -1591,3 +1591,37 @@ def test_count_and_msearch(spark):
     assert res[1]["s"].collect()[0]["s"] == 10.0
     with pytest.raises(ValueError, match="msearch index"):
         run_msearch({"events": ev}, [{"index": "nope", "body": {}}])
+
+
+def test_significant_terms_heuristics(spark):
+    from elasticsearch_drift_plugin_spark.operators.es_aggs import (
+        significant_terms,
+    )
+
+    # fg: 4 docs (3×a, 1×b); bg adds 6×b, 2×c -> a is wildly significant
+    rows = [("a", 1)] * 3 + [("b", 1)] + [("b", 0)] * 6 + [("c", 0)] * 2
+    df = spark.createDataFrame(rows, "tag string, fg int")
+    def top(score):
+        out = significant_terms(df, "tag", "fg = 1", size=5,
+                                min_doc_count=1, score=score)
+        return [(r.key, r.score_q) for r in out.collect()]
+
+    lift = top("lift")
+    jlh = top("jlh")
+    chi = top("chi_square")
+    assert lift[0][0] == jlh[0][0] == chi[0][0] == "a"
+    # exact values: fgp_a=3/4, bgp_a=3/12 -> jlh=(0.5)*(3)=1.5
+    assert dict(jlh)["a"] == 1_500_000
+    # chi2 = 0.25 / 0.25 = 1.0
+    assert dict(chi)["a"] == 1_000_000
+    with pytest.raises(ValueError, match="unknown significance"):
+        significant_terms(df, "tag", "fg = 1", score="gnd")
+    # the compiler accepts the ES spelling and rejects two heuristics
+    body = {"aggs": {"s": {"significant_terms": {
+        "field": "tag", "foreground": "fg = 1", "size": 5,
+        "min_doc_count": 1, "jlh": {}}}}}
+    out = run_search(df, body)["s"].collect()
+    assert out[0].key == "a" and out[0].score_q == 1_500_000
+    body["aggs"]["s"]["significant_terms"]["chi_square"] = {}
+    with pytest.raises(ValueError, match="one scoring heuristic"):
+        run_search(df, body)
