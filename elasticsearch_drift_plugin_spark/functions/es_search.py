@@ -2036,3 +2036,34 @@ def run_msearch(tables: dict[str, DataFrame], requests: list) -> list:
             )
         out.append(run_search(tables[idx], req["body"]))
     return out
+
+
+def paginate_composite(df: DataFrame, body: dict, agg_name: str):
+    """Generator over EVERY page of a ``composite`` agg body — the loop an
+    ES client runs with ``after_key``: yield the page, feed its last key
+    tuple back as ``after``, stop when a page comes back short. The body
+    is never mutated (each iteration compiles a fresh copy). Each page is
+    one bounded aggregation job over the full frame — the same
+    cursor-predicate pushdown as ES (the `after` filter prunes at the
+    scan, so later pages aggregate strictly less data)."""
+    import copy
+
+    aggs = body.get("aggs", body.get("aggregations", {}))
+    spec = aggs[agg_name]["composite"]
+    size = int(spec.get("size", 10))
+    src_names = [next(iter(s)) for s in spec["sources"]]
+    after = spec.get("after")
+    while True:
+        b = copy.deepcopy(body)
+        cspec = b.get("aggs", b.get("aggregations"))[agg_name]["composite"]
+        if after is not None:
+            cspec["after"] = after
+        else:
+            cspec.pop("after", None)
+        rows = run_search(df, b)[agg_name].collect()
+        if not rows:
+            return
+        yield rows
+        if len(rows) < size:
+            return
+        after = {n: rows[-1][n] for n in src_names}

@@ -1625,3 +1625,28 @@ def test_significant_terms_heuristics(spark):
     body["aggs"]["s"]["significant_terms"]["chi_square"] = {}
     with pytest.raises(ValueError, match="one scoring heuristic"):
         run_search(df, body)
+
+
+def test_paginate_composite_reassembles_full_result(spark):
+    from elasticsearch_drift_plugin_spark.functions.es_search import (
+        paginate_composite,
+    )
+
+    rows = [(chr(97 + i % 7), float(i % 3)) for i in range(40)]
+    df = spark.createDataFrame(rows, "tag string, v double")
+    body = {"aggs": {"p": {"composite": {"size": 4, "sources": [
+        {"tag": {"terms": {"field": "tag"}}},
+        {"vb": {"histogram": {"field": "v", "interval": 1.0}}},
+    ]}}}}
+    pages = list(paginate_composite(df, body, "p"))
+    assert all(len(p) == 4 for p in pages[:-1])  # full pages then the tail
+    paged = [(r.tag, r.vb, r.doc_count) for p in pages for r in p]
+    whole = [
+        (r.tag, r.vb, r.doc_count)
+        for r in run_search(df, {"aggs": {"p": {"composite": {
+            "size": 10_000, "sources": body["aggs"]["p"]["composite"]["sources"],
+        }}}})["p"].collect()
+    ]
+    assert paged == whole and len(whole) == 21  # 7 tags × 3 buckets
+    # the input body is not mutated by the pagination loop
+    assert "after" not in body["aggs"]["p"]["composite"]
