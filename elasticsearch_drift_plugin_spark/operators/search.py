@@ -414,6 +414,200 @@ FROM ranked WHERE rank <= {size} ORDER BY probe, rank
 """
 
 
+def phrase_suggest(
+    docs: DataFrame,
+    probe: tuple[str, ...] = ("fsat", "dta", "scna"),
+    max_edits: int = 2,
+    cand_size: int = 3,
+    size: int = 5,
+) -> DataFrame:
+    """(rank, phrase, score_q): ES *phrase suggester* — whole-phrase
+    corrections of a misspelled probe, ES's two-stage shape: per-token
+    candidate generation (the :func:`term_suggest` ranking: distance asc,
+    frequency desc, term asc, top ``cand_size``, ``max_edits``
+    Levenshtein; the token itself is its own candidate at distance 0 when
+    in-vocab) then bigram language-model rescoring of every candidate
+    phrase. The LM is the SAME Laplace-smoothed conditional as
+    :func:`corpus.lm_score` (``ln((c(w1,w2)+1)/(c(w1)+V))``, floored 1e-6
+    quanta) so the two scorers cannot drift; phrase score = sum of its
+    adjacent-pair log-probs, ranked desc with phrase-text tie-break.
+
+    Scale: vocab and bigram tables are partial+final count aggs over one
+    corpus scan each; the candidate phrase set is ``cand_size^len(probe)``
+    rows (tiny, broadcast). The big tables are never shuffled to the
+    phrases — needed pair/unigram counts are extracted by broadcast
+    semi-joins (corpus-side scan, result O(candidates)), then the tiny
+    frames join among themselves broadcast-only."""
+    if len(probe) < 2:
+        raise ValueError("phrase_suggest needs a probe of >= 2 tokens")
+    from pyspark.sql import Window
+
+    toks = F.split(F.lower(F.col("text")), " ")
+    words = docs.select(F.explode(toks).alias("term")).where(F.col("term") != "")
+    vocab = words.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    )
+    # bigram counts from adjacent token pairs within each doc
+    pairs = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2").where((F.col("w1") != "") & (F.col("w2") != ""))
+    bigrams = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("cb")
+    )
+    vtotal = vocab.agg(F.countDistinct("term").alias("V"))
+
+    w = Window.partitionBy("slot").orderBy(
+        F.col("dist"), F.col("freq").desc(), F.col("term")
+    )
+    spine = docs.sparkSession.createDataFrame(
+        [(i, t) for i, t in enumerate(probe)], "slot int, tok string"
+    )
+    cands = (
+        vocab.crossJoin(F.broadcast(spine))
+        .withColumn("dist", F.levenshtein(F.col("tok"), F.col("term")).cast("long"))
+        .where(F.col("dist") <= max_edits)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= cand_size)
+        .select("slot", "term")
+    )
+    # assemble candidate phrases: iterative broadcast cross of the per-
+    # slot frames (each <= cand_size rows)
+    phrases = None
+    for i in range(len(probe)):
+        ci = cands.where(F.col("slot") == i).select(
+            F.col("term").alias(f"t{i}")
+        )
+        phrases = ci if phrases is None else phrases.crossJoin(F.broadcast(ci))
+    # needed pair/unigram stats, extracted corpus-side (broadcast semi)
+    need_pairs = None
+    for i in range(len(probe) - 1):
+        p = phrases.select(
+            F.col(f"t{i}").alias("w1"), F.col(f"t{i+1}").alias("w2")
+        )
+        need_pairs = p if need_pairs is None else need_pairs.union(p)
+    need_pairs = need_pairs.distinct()
+    pair_counts = bigrams.join(F.broadcast(need_pairs), ["w1", "w2"], "left_semi")
+    uni_counts = vocab.join(
+        F.broadcast(need_pairs.select(F.col("w1").alias("term")).distinct()),
+        "term",
+        "left_semi",
+    )
+    scored = phrases.crossJoin(F.broadcast(vtotal))
+    score = None
+    for i in range(len(probe) - 1):
+        pc = F.broadcast(
+            pair_counts.select(
+                F.col("w1").alias(f"t{i}"),
+                F.col("w2").alias(f"t{i+1}"),
+                F.col("cb").alias(f"cb{i}"),
+            )
+        )
+        uc = F.broadcast(
+            uni_counts.select(
+                F.col("term").alias(f"t{i}"), F.col("freq").alias(f"cu{i}")
+            )
+        )
+        scored = scored.join(pc, [f"t{i}", f"t{i+1}"], "left").join(
+            uc, f"t{i}", "left"
+        )
+        lp = F.floor(
+            F.log(
+                (F.coalesce(F.col(f"cb{i}"), F.lit(0)) + F.lit(1.0))
+                / (F.coalesce(F.col(f"cu{i}"), F.lit(0))
+                   + F.col("V").cast("double"))
+            )
+            * F.lit(float(QUANT))
+        ).cast("long")
+        score = lp if score is None else score + lp
+    phrase = F.concat_ws(" ", *[F.col(f"t{i}") for i in range(len(probe))])
+    wr = Window.orderBy(F.col("score_q").desc(), F.col("phrase").asc())
+    return (
+        scored.select(phrase.alias("phrase"), score.alias("score_q"))
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= size)
+        .select("rank", "phrase", "score_q")
+        .orderBy("rank")
+    )
+
+
+def phrase_suggest_sql(
+    probe: tuple[str, ...] = ("fsat", "dta", "scna"),
+    max_edits: int = 2,
+    cand_size: int = 3,
+    size: int = 5,
+) -> str:
+    spine = " UNION ALL ".join(
+        f"SELECT {i} AS slot, '{t}' AS tok" for i, t in enumerate(probe)
+    )
+    joins, selects, lps = [], [], []
+    for i in range(len(probe)):
+        joins.append(
+            f"JOIN cands c{i} ON c{i}.slot = {i}"
+        )
+        selects.append(f"c{i}.term AS t{i}")
+    for i in range(len(probe) - 1):
+        lps.append(
+            f"CAST(FLOOR(ln((COALESCE(pc{i}.cb, 0) + 1.0)"
+            f" / (COALESCE(uc{i}.freq, 0) + (SELECT CAST(V AS DOUBLE) FROM vtotal)))"
+            f" * {float(QUANT)}) AS BIGINT)"
+        )
+    pair_joins = "\n  ".join(
+        f"LEFT JOIN bigrams pc{i} ON pc{i}.w1 = p.t{i} AND pc{i}.w2 = p.t{i+1}\n"
+        f"  LEFT JOIN vocab uc{i} ON uc{i}.term = p.t{i}"
+        for i in range(len(probe) - 1)
+    )
+    return f"""
+WITH words AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+vocab AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS freq FROM words
+  WHERE term <> '' GROUP BY term
+),
+toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+bigrams AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM (
+    SELECT ts[i] AS w1, ts[i + 1] AS w2
+    FROM toks, UNNEST(range(1, len(ts))) AS r(i)
+  ) WHERE w1 <> '' AND w2 <> '' GROUP BY w1, w2
+),
+vtotal AS (SELECT COUNT(DISTINCT term) AS V FROM vocab),
+spine AS ({spine}),
+cands AS (
+  SELECT slot, term FROM (
+    SELECT s.slot, v.term,
+           ROW_NUMBER() OVER (PARTITION BY s.slot
+                              ORDER BY levenshtein(s.tok, v.term),
+                                       v.freq DESC, v.term) AS rk
+    FROM vocab v, spine s
+    WHERE levenshtein(s.tok, v.term) <= {max_edits}
+  ) WHERE rk <= {cand_size}
+),
+phrases AS (
+  SELECT {", ".join(selects)} FROM {" ".join(joins).replace("JOIN cands c0 ON c0.slot = 0", "cands c0", 1)}
+  WHERE c0.slot = 0
+),
+scored AS (
+  SELECT p.*, {" + ".join(lps)} AS score_q
+  FROM phrases p
+  {pair_joins}
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_q DESC,
+        {" || ' ' || ".join("t" + str(i) for i in range(len(probe)))} ASC) AS BIGINT) AS rank,
+       {" || ' ' || ".join("t" + str(i) for i in range(len(probe)))} AS phrase, score_q
+FROM scored
+QUALIFY rank <= {size}
+ORDER BY rank
+"""
+
+
+
 def queries() -> dict:
     return {
         "es_percolate": lambda s, d: percolate(load_table(s, d, "events")),
@@ -424,6 +618,7 @@ def queries() -> dict:
             load_table(s, d, "documents")
         ),
         "es_term_suggest": lambda s, d: term_suggest(load_table(s, d, "documents")),
+        "es_phrase_suggest": lambda s, d: phrase_suggest(load_table(s, d, "documents")),
         "es_dsl_query": lambda s, d: dsl_filter_agg(load_table(s, d, "events")),
         "es_dsl_geo": lambda s, d: _dsl_geo_query(s, d),
         "es_dsl_geo_dateline": lambda s, d: _dsl_geo_dateline_query(s, d),
@@ -511,6 +706,7 @@ def oracle_sql() -> dict:
         "es_more_like_this": more_like_this_sql(),
         "es_intervals_near": intervals_near_sql(),
         "es_term_suggest": term_suggest_sql(),
+        "es_phrase_suggest": phrase_suggest_sql(),
         "es_dsl_query": dsl_filter_agg_sql(),
         "es_dsl_geo": dsl_geo_sql(),
         "es_dsl_geo_dateline": dsl_geo_dateline_sql(),

@@ -1974,3 +1974,24 @@ def test_corpus_manifest_pins_quality_formula(spark):
     # exact integer mean length in 1e-6 quanta
     assert m["a"].avg_chars_q == 21 * 1_000_000
     assert m["b"].total_ws_tokens == 6 + 3
+
+
+def test_phrase_suggest_bigram_rescoring(spark):
+    from elasticsearch_drift_plugin_spark.operators.search import phrase_suggest
+
+    # "big data" is a frequent bigram; "bog data" never occurs. Both
+    # 'big' and 'bog' are 1 edit from the probe 'bg', so candidate
+    # generation alone cannot decide — the bigram LM must.
+    rows = [(i, "big data wins big data big data") for i in range(5)] + [
+        (100, "bog swamp"), (101, "data bog")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = phrase_suggest(
+        df, probe=("bg", "data"), max_edits=1, cand_size=3, size=4
+    ).collect()
+    assert out[0].rank == 1 and out[0].phrase == "big data"
+    phrases = [r.phrase for r in out]
+    assert "bog data" in phrases  # candidate survived, outscored
+    assert out[0].score_q > dict((r.phrase, r.score_q) for r in out)["bog data"]
+    with pytest.raises(ValueError, match="probe"):
+        phrase_suggest(df, probe=("solo",))
