@@ -1039,6 +1039,66 @@ ORDER BY revenue_c DESC, l_orderkey ASC, l_linenumber ASC LIMIT 25
 """
 
 
+# the ES 8.14 `retriever` tree through the compiler: RRF fusion of a
+# standard (sorted) retriever and a knn retriever — every ranking is a
+# TakeOrdered window, fusion joins window-sized frames, scores are the
+# exact-integer `Σ 1e12 div (rank_constant + rank_i)` quanta.
+ES_SEARCH_RETRIEVER_BODY = {
+    "retriever": {"rrf": {
+        "id_field": "vec_id",
+        "rank_window_size": 30,
+        "rank_constant": 60,
+        "retrievers": [
+            {"standard": {"query": {"range": {"vec_id": {"lt": 400}}},
+                          "sort": [{"label": {"order": "asc"}},
+                                   {"vec_id": "asc"}]}},
+            {"knn": {"field": "embedding", "query_vector": _KNN_QV,
+                     "k": 20}},
+        ],
+    }},
+    "size": 12,
+}
+
+
+def _es_search_retriever_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    emb = flows_src.load_table(s, d, "embeddings")
+    return run_search(emb, ES_SEARCH_RETRIEVER_BODY)["_hits"]
+
+
+ES_SEARCH_RETRIEVER_SQL = f"""
+WITH std AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY label ASC, vec_id ASC)
+         AS BIGINT) AS rank_0
+  FROM embeddings WHERE vec_id < 400
+  QUALIFY rank_0 <= 30
+),
+kv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings
+),
+kscored AS (
+  SELECT vec_id,
+         CAST(FLOOR(
+           list_dot_product({_KNN_QV_SQL}, ev)
+           / (sqrt(list_dot_product({_KNN_QV_SQL}, {_KNN_QV_SQL}))
+              * sqrt(list_dot_product(ev, ev))) * 1e6) AS BIGINT) AS sq
+  FROM kv
+),
+knn AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sq DESC, vec_id ASC)
+         AS BIGINT) AS rank_1
+  FROM kscored QUALIFY rank_1 <= 20
+)
+SELECT COALESCE(std.vec_id, knn.vec_id) AS vec_id, rank_0, rank_1,
+       COALESCE(1000000000000 // (60 + rank_0), 0)
+         + COALESCE(1000000000000 // (60 + rank_1), 0) AS score_q
+FROM std FULL OUTER JOIN knn ON std.vec_id = knn.vec_id
+ORDER BY score_q DESC, vec_id ASC LIMIT 12
+"""
+
+
 # `collapse` (field collapsing) through the compiler: one hit per
 # user_id — the best under the body's sort — then the global top page.
 ES_SEARCH_COLLAPSE_BODY = {
@@ -1123,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_highlight": _es_search_highlight_query,
         "es_search_script_fields": _es_search_script_fields_query,
         "es_search_terms_filtered": _es_search_terms_filtered_query,
+        "es_search_retriever": _es_search_retriever_query,
         "es_search_pctl": _es_search_pctl_query,
         "es_search_top_hits": _es_search_top_hits_query,
         "es_search_geo": _es_search_geo_query,
@@ -1428,6 +1489,7 @@ def oracle_sql() -> dict[str, str]:
         "es_search_highlight": ES_SEARCH_HIGHLIGHT_SQL,
         "es_search_script_fields": ES_SEARCH_SCRIPT_FIELDS_SQL,
         "es_search_terms_filtered": ES_SEARCH_TERMS_FILTERED_SQL,
+        "es_search_retriever": ES_SEARCH_RETRIEVER_SQL,
         "es_search_pctl": _es_search_pctl_oracle(),
         "es_search_top_hits": _es_search_top_hits_oracle(),
         "es_search_geo": geo.geohash_grid_sql(precision=3, size=20),

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "corpus_manifest",
     "train_mix_tokens",
     "es_significant_jlh",
+    "es_search_retriever",
     "corpus_contamination",
     "corpus_span_dedup",
     "es_terms_top_users",

@@ -189,6 +189,13 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
     # raises loudly. Plan: scan → filter → score projection →
     # TakeOrdered(k) (per-partition heaps — never a full sort), so at
     # 100 TB the cost is one pass over the filtered vectors.
+    if "retriever" in body:
+        if "query" in body or "sort" in body or "knn" in body or aggs:
+            raise ValueError(
+                "a retriever body must not also carry query/sort/knn/aggs"
+            )
+        out["_hits"] = _run_retriever(df, body)
+        return out
     if "knn" in body:
         if "query" in body or "sort" in body or aggs:
             raise ValueError(
@@ -196,34 +203,13 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
                 " is unsupported — use knn.filter for pre-filtering"
             )
         spec = body["knn"]
-        kk = int(spec["k"])
-        sim = spec.get("similarity", "cosine")
-        if sim not in ("cosine", "dot_product"):
-            raise ValueError(f"unsupported knn similarity {sim!r}")
-        from .vectors import dot, l2_norm, lit_vec
-
-        hits = df
-        if "filter" in spec:
-            hits = hits.where(compile_query(spec["filter"]))
-        qv = lit_vec([float(x) for x in spec["query_vector"]])
-        v = F.transform(F.col(spec["field"]), lambda x: x.cast("double"))
-        score = dot(qv, v)
-        if sim == "cosine":
-            score = score / (l2_norm(qv) * l2_norm(v))
         srcspec = body.get("_source")
         keep = (
             list(srcspec["includes"])
             if isinstance(srcspec, dict) and "includes" in srcspec
-            else [c for c in hits.columns if c != spec["field"]]
+            else [c for c in df.columns if c != spec["field"]]
         )
-        # quantized score for cross-engine determinism (same 10^-6 quanta
-        # as operators.similarity); ties break on the _source columns so
-        # the top-k frontier is total-ordered in both engines
-        scored = hits.select(
-            *keep, F.floor(score * F.lit(1e6)).cast("long").alias("_score_q")
-        )
-        order = [F.col("_score_q").desc(), *[F.col(c).asc() for c in keep]]
-        out["_hits"] = scored.orderBy(*order).limit(kk)
+        out["_hits"] = _knn_scored(df, spec, keep).limit(int(spec["k"]))
         return out
     # hits retrieval — the ES response's `hits.hits` section, as the
     # reserved "_hits" frame. Opt-in: requires BOTH size > 0 AND an
@@ -2067,3 +2053,142 @@ def paginate_composite(df: DataFrame, body: dict, agg_name: str):
         if len(rows) < size:
             return
         after = {n: rows[-1][n] for n in src_names}
+
+
+def _knn_scored(df: DataFrame, spec: dict, keep: list) -> DataFrame:
+    """Shared knn scoring: the spec's pre-``filter``, cosine/dot score
+    against the literal ``query_vector`` (quantized to the 10^-6 quanta
+    of ``operators.similarity``), ordered (score desc, keep-cols asc) so
+    the top-k frontier is total-ordered in both engines. Callers limit.
+    ``num_candidates`` is an HNSW recall knob — exact search is recall
+    1.0, so it is accepted and ignored. Plan: scan → filter → HOF score
+    projection → TakeOrdered at the caller's limit (per-partition heaps,
+    never a full sort)."""
+    sim = spec.get("similarity", "cosine")
+    if sim not in ("cosine", "dot_product"):
+        raise ValueError(f"unsupported knn similarity {sim!r}")
+    from .vectors import dot, l2_norm, lit_vec
+
+    hits = df
+    if "filter" in spec:
+        hits = hits.where(compile_query(spec["filter"]))
+    qv = lit_vec([float(x) for x in spec["query_vector"]])
+    v = F.transform(F.col(spec["field"]), lambda x: x.cast("double"))
+    score = dot(qv, v)
+    if sim == "cosine":
+        score = score / (l2_norm(qv) * l2_norm(v))
+    scored = hits.select(
+        *keep, F.floor(score * F.lit(1e6)).cast("long").alias("_score_q")
+    )
+    return scored.orderBy(
+        F.col("_score_q").desc(), *[F.col(c).asc() for c in keep]
+    )
+
+
+def _run_retriever(df: DataFrame, body: dict) -> DataFrame:
+    """The ES 8.14+ ``retriever`` tree. Supported nodes:
+
+    - ``standard`` — ``query`` (optional) + ``sort`` (REQUIRED: the
+      engine has no ``_score``, so the ranking must name its order — the
+      same stance as hits retrieval);
+    - ``knn`` — the vector retriever (ranks by similarity desc);
+    - ``rrf`` — Reciprocal Rank Fusion of its child ``retrievers``:
+      ``score = Σ 1e12 div (rank_constant + rank_i)`` over each child's
+      top ``rank_window_size`` (a doc outside a child's window
+      contributes 0 — the ES contract, same integer quanta as
+      ``operators.es_metrics.rrf_fusion``). Needs ``id_field`` (engine
+      dialect: hit identity is a relational column, ES's implicit
+      ``_id``).
+
+    Scale: each child ranking is a TakeOrdered window; fusion joins
+    window-sized frames only."""
+    spec = body["retriever"]
+    if len(spec) != 1:
+        raise ValueError("retriever must have exactly one node type")
+    (kind, rspec), = spec.items()
+    size = int(body.get("size", 10))
+    if kind == "standard":
+        sub = {k: v for k, v in rspec.items() if k in ("query", "sort")}
+        if "sort" not in sub:
+            raise ValueError(
+                "standard retriever needs an explicit sort (engine hits"
+                " carry no _score)"
+            )
+        sub["size"] = size
+        if "_source" in body:
+            sub["_source"] = body["_source"]
+        return run_search(df, sub)["_hits"]
+    if kind == "knn":
+        return _knn_scored(
+            df, rspec,
+            [c for c in df.columns if c != rspec["field"]],
+        ).limit(int(rspec.get("k", size)))
+    if kind != "rrf":
+        raise ValueError(f"unsupported retriever {kind!r}")
+    id_field = rspec.get("id_field")
+    if not id_field:
+        raise ValueError(
+            "rrf retriever needs id_field (the hit-identity column)"
+        )
+    window = int(rspec.get("rank_window_size", 100))
+    const = int(rspec.get("rank_constant", 60))
+    children = rspec["retrievers"]
+    if len(children) < 2:
+        raise ValueError("rrf needs at least two child retrievers")
+    from pyspark.sql import Window
+
+    ranked = []
+    for i, child in enumerate(children):
+        if len(child) != 1:
+            raise ValueError("each rrf child must have one retriever type")
+        (ckind, cspec), = child.items()
+        if ckind == "standard":
+            if "sort" not in cspec:
+                raise ValueError("standard retriever needs an explicit sort")
+            sub = {k: v for k, v in cspec.items() if k in ("query", "sort")}
+            sub["size"] = window
+            sub["_source"] = {"includes": [id_field]}
+            top = run_search(df, sub)["_hits"]
+            entries = cspec["sort"]
+            if isinstance(entries, (str, dict)):
+                entries = [entries]
+            order = []
+            for ent in entries:
+                if isinstance(ent, str):
+                    order.append(F.col(ent).asc())
+                else:
+                    (c, o), = ent.items()
+                    desc = str(
+                        o["order"] if isinstance(o, dict) else o
+                    ).lower() == "desc"
+                    order.append(F.col(c).desc() if desc else F.col(c).asc())
+        elif ckind == "knn":
+            top = _knn_scored(df, cspec, [id_field]).limit(
+                int(cspec.get("k", window))
+            )
+            order = [F.col("_score_q").desc(), F.col(id_field).asc()]
+        else:
+            raise ValueError(f"unsupported rrf child retriever {ckind!r}")
+        ranked.append(
+            top.withColumn(
+                f"rank_{i}",
+                F.row_number().over(Window.orderBy(*order)).cast("long"),
+            ).select(id_field, f"rank_{i}")
+        )
+    fused = ranked[0]
+    for r in ranked[1:]:
+        fused = fused.join(r, id_field, "full_outer")
+    contrib = [
+        F.coalesce(
+            F.expr(f"1000000000000 div ({const} + rank_{i})"), F.lit(0)
+        )
+        for i in range(len(children))
+    ]
+    score = contrib[0]
+    for c in contrib[1:]:
+        score = score + c
+    return (
+        fused.withColumn("score_q", score.cast("long"))
+        .orderBy(F.col("score_q").desc(), F.col(id_field).asc())
+        .limit(size)
+    )

@@ -1436,8 +1436,9 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(FLOOR(quantile_cont(score_q, 0.25)) AS BIGINT) AS q25_score,
        CAST(FLOOR(quantile_cont(score_q, 0.50)) AS BIGINT) AS q50_score,
        CAST(FLOOR(quantile_cont(score_q, 0.75)) AS BIGINT) AS q75_score,
-       (SUM(n_chars) // COUNT(*)) * {QUANT}
-         + ((SUM(n_chars) % COUNT(*)) * {QUANT}) // COUNT(*) AS avg_chars_q
+       CAST((SUM(n_chars) // COUNT(*)) * {QUANT}
+         + ((SUM(n_chars) % COUNT(*)) * {QUANT}) // COUNT(*) AS BIGINT)
+         AS avg_chars_q
 FROM per GROUP BY source ORDER BY source
 """
 

@@ -1650,3 +1650,51 @@ def test_paginate_composite_reassembles_full_result(spark):
     assert paged == whole and len(whole) == 21  # 7 tags × 3 buckets
     # the input body is not mutated by the pagination loop
     assert "after" not in body["aggs"]["p"]["composite"]
+
+
+def test_retriever_rrf_fusion(spark):
+    rows = [
+        (1, [1.0, 0.0], 9), (2, [0.9, 0.1], 5), (3, [0.0, 1.0], 1),
+        (4, [0.5, 0.5], 2), (5, [-1.0, 0.0], 3),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    body = {
+        "retriever": {"rrf": {
+            "id_field": "vec_id",
+            "rank_constant": 1,
+            "rank_window_size": 3,
+            "retrievers": [
+                {"standard": {"query": {"range": {"label": {"gte": 2}}},
+                              "sort": [{"label": {"order": "asc"}},
+                                       {"vec_id": "asc"}]}},
+                {"knn": {"field": "embedding", "query_vector": [1.0, 0.0],
+                         "k": 3}},
+            ],
+        }},
+        "size": 5,
+    }
+    out = run_search(df, body)["_hits"].collect()
+    got = {r.vec_id: (r.rank_0, r.rank_1, r.score_q) for r in out}
+    # standard (label>=2, label asc): 4(2), 5(3), 2(5) -> ranks 1,2,3
+    # knn (cos desc): 1, 2, 4 -> ranks 1,2,3
+    T = 10 ** 12
+    assert got[2] == (3, 2, T // 4 + T // 3)
+    assert got[4] == (1, 3, T // 2 + T // 4)
+    assert got[1] == (None, 1, T // 2)
+    assert got[5] == (2, None, T // 3)
+    # fusion order: 2 (583G) > 4 (750G)? no: 4=750G top, then 2=583G, 1=500G, 5=333G
+    assert [r.vec_id for r in out] == [4, 2, 1, 5]
+    # loud failures: standard without sort; single child; unknown node
+    with pytest.raises(ValueError, match="explicit sort"):
+        run_search(df, {"retriever": {"standard": {"query": {}}}, "size": 2})
+    with pytest.raises(ValueError, match="at least two"):
+        run_search(df, {"retriever": {"rrf": {
+            "id_field": "vec_id",
+            "retrievers": [{"knn": {"field": "embedding",
+                                    "query_vector": [1.0, 0.0]}}]}}})
+    with pytest.raises(ValueError, match="id_field"):
+        run_search(df, {"retriever": {"rrf": {"retrievers": [{}, {}]}}})
+    # top-level standard / knn retrievers route to the existing paths
+    std = run_search(df, {"retriever": {"standard": {
+        "sort": [{"label": "desc"}, {"vec_id": "asc"}]}}, "size": 2})["_hits"]
+    assert [r.vec_id for r in std.collect()] == [1, 2]
