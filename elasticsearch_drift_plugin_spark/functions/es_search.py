@@ -119,7 +119,12 @@ recall 1.0); the knn+query score-sum union raises. ``highlight`` emits a
 (whole-field mode; fragmenting raises). ``script_fields`` adds per-hit
 computed columns (SQL-expression scripts, usable as sort keys); the ES 8
 ``fields`` list is accepted alongside ``_source.includes`` for
-projection.
+projection. A top-level ``retriever`` tree (ES 8.14) supports
+``standard`` / ``knn`` / ``rrf`` nodes — RRF fuses its children's
+TakeOrdered windows by the exact-integer reciprocal-rank quanta.
+:func:`run_count` and :func:`run_msearch` wrap the ``_count`` /
+``_msearch`` APIs; :func:`paginate_composite` drives the composite
+``after_key`` loop.
 """
 
 from __future__ import annotations
