@@ -178,6 +178,13 @@ GRADE_FIRST: tuple[str, ...] = (
     "stats_quantiles_kll", "emb_kmeans_ivf_topk", "corpus_bpe_train",
     "train_pack_bfd",
 )
+# r7 rotation backlog (registered AFTER this round's window froze; all
+# green in the full self-sweep + external verify drives): es_search_
+# script_fields / terms_filtered / retriever, es_phrase_suggest,
+# es_significant_jlh / _chi2, text_pii_redact, corpus_manifest,
+# train_mix_rates_t4, train_mix_tokens, es_search_collapse-adjacent
+# serving helpers (run_count / run_msearch / paginate_composite are
+# API wrappers — pytest-covered, not separately registered).
 
 
 def _grade_order(q: dict, strict: bool = True) -> dict:

@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "es_search_script_fields",
     "es_search_terms_filtered",
     "text_pii_redact",
+    "es_phrase_suggest",
 ]
 
 

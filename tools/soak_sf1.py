@@ -39,6 +39,9 @@ FLAGSHIPS = (
     "dedup_minhash_pairs",
     "train_curate_pipeline",
     "ann_knn_cells",
+    # round-6: the exact knn serving tier and the one-shuffle data card
+    "es_search_knn",
+    "corpus_manifest",
 )
 
 
