@@ -1245,6 +1245,7 @@ def significant_text(
     foreground_where: str,
     size: int = 10,
     min_doc_count: int = 3,
+    score: str = "lift",
 ) -> DataFrame:
     """(key, fg_count, bg_count, score_q): ES ``significant_text`` — the
     free-text twin of :func:`significant_terms`. Tokens (whitespace split)
@@ -1261,7 +1262,8 @@ def significant_text(
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
     ).where(F.col("tok") != "")
     return significant_terms(
-        toks, "tok", "__fg_flag", size=size, min_doc_count=min_doc_count
+        toks, "tok", "__fg_flag", size=size, min_doc_count=min_doc_count,
+        score=score,
     )
 
 
@@ -1271,7 +1273,17 @@ def significant_text_sql(
     foreground_where: str,
     size: int = 10,
     min_doc_count: int = 3,
+    score: str = "lift",
 ) -> str:
+    if score == "lift":
+        score_sql = (
+            "CAST((CAST(fg_count AS HUGEINT) * bg_total * 1000000)\n"
+            "            // (CAST(fg_total AS HUGEINT) * bg_count) AS BIGINT)"
+        )
+    else:
+        score_sql = (
+            f"CAST(FLOOR({_SIG_SCORE_EXPRS[score]} * 1000000.0) AS BIGINT)"
+        )
     return f"""
 WITH toks AS (
   SELECT unnest(list_distinct(string_split({text_col}, ' '))) AS key,
@@ -1284,8 +1296,7 @@ per_term AS (
 ),
 totals AS (SELECT SUM(fg_count) AS fg_total, SUM(bg_count) AS bg_total FROM per_term)
 SELECT key, CAST(fg_count AS BIGINT) AS fg_count, bg_count,
-       CAST((CAST(fg_count AS HUGEINT) * bg_total * 1000000)
-            // (CAST(fg_total AS HUGEINT) * bg_count) AS BIGINT) AS score_q
+       {score_sql} AS score_q
 FROM per_term, totals
 WHERE fg_count >= {min_doc_count}
 ORDER BY score_q DESC, key ASC LIMIT {size}
