@@ -198,6 +198,8 @@ BENCH_QUERIES = [
     "es_search_terms_filtered",
     "text_pii_redact",
     "es_phrase_suggest",
+    "emb_vector_percolate",
+    "stream_vector_percolate",
 ]
 
 

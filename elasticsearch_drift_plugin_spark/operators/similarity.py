@@ -1208,6 +1208,96 @@ ORDER BY query_id, rank
 """
 
 
+# --------------------------------------------------------------------------
+# vector percolate (continuous semantic alerting)
+# --------------------------------------------------------------------------
+
+# Deterministic stored watch vectors (same generator family as the knn
+# demo literal): the "stored queries" of a semantic alerting system.
+VECTOR_WATCHES = {
+    f"w{j}": [((i * 37 + j * 11) % 19 - 9) / 10.0 for i in range(64)]
+    for j in range(3)
+}
+
+
+def vector_percolate(
+    emb: DataFrame,
+    watches: dict | None = None,
+    threshold_q: int = 150_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ordered: bool = True,
+) -> DataFrame:
+    """(vec_id, watch_id, score_q): the percolator inverted for vectors —
+    every stored WATCH vector evaluated against each incoming embedding,
+    firing rows whose cosine >= the threshold (1e-6 quanta). This is the
+    continuous semantic-alerting shape (route/flag documents whose
+    embedding drifts near a watched concept), the vector twin of
+    :func:`operators.search.percolate`.
+
+    Map-only Catalyst: one projection computes every watch's score via
+    JVM HOFs (the normalized doc vector is materialized ONCE and shared
+    across watches), an inline-table explode emits (watch, score) pairs,
+    the threshold filter prunes before anything shuffles — zero shuffles
+    at any corpus size, which is why the streaming twin is a stateless
+    append (`streaming.bounded.stream_vector_percolate`)."""
+    from ..functions.vectors import dot, l2_norm, lit_vec
+
+    watches = VECTOR_WATCHES if watches is None else watches
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    fires = F.array(*[
+        F.struct(
+            F.lit(name).alias("watch_id"),
+            F.floor(
+                dot(lit_vec(wv), v)
+                / (l2_norm(lit_vec(wv)) * l2_norm(v))
+                * F.lit(1e6)
+            ).cast("long").alias("score_q"),
+        )
+        for name, wv in watches.items()
+    ])
+    out = (
+        emb.select(F.col(id_col).alias("vec_id"), F.explode(fires).alias("f"))
+        .select("vec_id", "f.watch_id", "f.score_q")
+        .where(F.col("score_q") >= int(threshold_q))
+    )
+    # streaming callers pass ordered=False (a stateless stream cannot
+    # sort); the replay harness orders its bounded sink table instead
+    return out.orderBy("vec_id", "watch_id") if ordered else out
+
+
+def vector_percolate_sql(
+    watches: dict | None = None,
+    threshold_q: int = 150_000,
+    src: str = "embeddings",
+) -> str:
+    watches = VECTOR_WATCHES if watches is None else watches
+    vals = ", ".join(
+        "('" + name + "', ["
+        + ",".join(repr(float(x)) for x in wv)
+        + "]::DOUBLE[])"
+        for name, wv in watches.items()
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM {src}
+),
+w AS (SELECT * FROM (VALUES {vals}) AS t(watch_id, wv)),
+s AS (
+  SELECT vec_id, watch_id,
+         CAST(FLOOR(list_dot_product(wv, ev)
+           / (sqrt(list_dot_product(wv, wv)) * sqrt(list_dot_product(ev, ev)))
+           * 1e6) AS BIGINT) AS score_q
+  FROM v, w
+)
+SELECT vec_id, watch_id, score_q FROM s
+WHERE score_q >= {int(threshold_q)}
+ORDER BY vec_id, watch_id
+"""
+
+
+
 def queries() -> dict:
     return {
         "emb_group_centroids": lambda s, d: group_centroids(
@@ -1240,6 +1330,9 @@ def queries() -> dict:
             brute_force=True,
         ),
         "ann_lsh_histogram": lambda s, d: lsh_bucket_histogram(load_table(s, d, "embeddings")),
+        "emb_vector_percolate": lambda s, d: vector_percolate(
+            load_table(s, d, "embeddings")
+        ),
         "ann_ivf_topk": lambda s, d: ivf_topk(
             load_table(s, d, "embeddings"),
             load_table(s, d, "embeddings").where(F.col("vec_id") < 10),
@@ -1268,6 +1361,7 @@ def oracle_sql() -> dict:
         "emb_cluster_purity": cluster_purity_sql(),
         "ann_cosine_topk": TOPK_SQL,
         "ann_lsh_histogram": lsh_histogram_sql(),
+        "emb_vector_percolate": vector_percolate_sql(),
         "ann_ivf_topk": IVF_TOPK_SQL,
     }
 

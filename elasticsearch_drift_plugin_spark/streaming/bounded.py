@@ -199,6 +199,7 @@ def queries() -> dict:
         "stream_geotile_grid": stream_geotile_grid,
         "stream_js_divergence": stream_js_divergence,
         "stream_percolate": stream_percolate,
+        "stream_vector_percolate": stream_vector_percolate,
         "stream_data_quality": stream_data_quality,
         "stream_time_series_rate": _stream_time_series_rate,
     }
@@ -244,6 +245,9 @@ def oracle_sql() -> dict:
         "stream_percolate": __import__(
             "elasticsearch_drift_plugin_spark.operators.search", fromlist=["x"]
         ).percolate_sql(),
+        "stream_vector_percolate": __import__(
+            "elasticsearch_drift_plugin_spark.operators.similarity", fromlist=["x"]
+        ).vector_percolate_sql(),
         "stream_js_divergence": __import__(
             "elasticsearch_drift_plugin_spark.operators.pipeline", fromlist=["x"]
         ).js_divergence_sql("events", "epoch_ms(ts)", "event_type", 86_400_000),
@@ -295,6 +299,22 @@ def stream_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet*")
     tbl = run_available_now(ev.agg(*percolate_aggs(PERCOLATE_RULES)), "complete")
     return percolate_unpivot(tbl, PERCOLATE_RULES)
+
+
+def stream_vector_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming vector percolate — continuous semantic alerting: stored
+    watch vectors scored against every ARRIVING embedding, alert rows
+    appended as they fire. The operator is STATELESS map-only (the batch
+    twin's projection verbatim — shared code so the twins cannot drift),
+    so the replay runs in append mode with no state store at all; a
+    production stream writes the fired alerts straight to its sink."""
+    from ..operators.similarity import vector_percolate
+
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    emb = spark.readStream.schema(schema).parquet(f"{sf_dir}/embeddings.parquet*")
+    fired = vector_percolate(emb, ordered=False)
+    tbl = run_available_now(fired, "append")
+    return tbl.orderBy("vec_id", "watch_id")
 
 
 def stream_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -360,3 +360,24 @@ def test_stream_cardinality_sketch_equals_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM hll_stream_out").collect()
     }
     assert got == batch
+
+
+def test_stream_vector_percolate_matches_batch(spark, tmp_path):
+    # stateless map-only stream: fired alerts == the batch twin exactly
+    import shutil
+
+    from elasticsearch_drift_plugin_spark.operators.similarity import (
+        vector_percolate,
+    )
+    from elasticsearch_drift_plugin_spark.streaming.bounded import (
+        stream_vector_percolate,
+    )
+
+    d = str(tmp_path / "sf")
+    shutil.copytree("/root/testdata/sf0.001", d)
+    batch = vector_percolate(
+        spark.read.parquet(f"{d}/embeddings.parquet")
+    ).collect()
+    stream = stream_vector_percolate(spark, d).collect()
+    assert [tuple(r) for r in stream] == [tuple(r) for r in batch]
+    assert len(batch) > 0  # the threshold actually fires on this corpus
