@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "es_phrase_suggest",
     "emb_vector_percolate",
     "stream_vector_percolate",
+    "ann_rank_eval",
 ]
 
 

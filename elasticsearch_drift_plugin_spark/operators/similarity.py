@@ -1298,6 +1298,97 @@ ORDER BY vec_id, watch_id
 
 
 
+# --------------------------------------------------------------------------
+# rank_eval (the ES _rank_eval API as an ANN-recall instrument)
+# --------------------------------------------------------------------------
+
+def rank_eval(results: DataFrame, truth: DataFrame, k: int = 5) -> DataFrame:
+    """(query_id, hits, precision_q, mrr_q, ndcg_q): the ES ``_rank_eval``
+    API — scores a ranked result set against relevance judgments. Here
+    the judgments are binary (a truth row IS relevant), which is exactly
+    the ANN-recall instrument a 100 TB vector deployment runs: feed an
+    approximate index's top-k as ``results`` and the exact top-k as
+    ``truth``.
+
+    Metrics per query (all exact-integer quanta): ``hits`` (relevant
+    found in the top k), ``precision_q = hits·1e6 div k`` (== recall@k
+    when |truth| = k), ``mrr_q = 1e6 div rank-of-first-relevant`` (0 when
+    none), and binary NDCG@k — per-position gains are
+    ``floor(1e6 / log2(rank+1))`` (ONE floored log per position, the
+    repo's ln-quanta discipline) with the ideal DCG computed in-engine
+    from the same expression, ``ndcg_q = dcg·1e6 div idcg``.
+
+    Scale: both operands are already top-k frames (k rows per query);
+    everything here is window-sized — a join and an agg over O(queries·k)
+    rows."""
+    gain = F.floor(
+        F.lit(1e6) / F.log2(F.col("rank").cast("double") + F.lit(1.0))
+    ).cast("long")
+    r = results.where(F.col("rank") <= k).select(
+        "query_id", "neighbor_id", "rank", gain.alias("gain")
+    )
+    t = truth.where(F.col("rank") <= k).select(
+        "query_id", "neighbor_id", F.lit(1).alias("rel")
+    )
+    j = r.join(t, ["query_id", "neighbor_id"], "left")
+    idcg = F.expr(
+        f"aggregate(sequence(1, {int(k)}), 0L,"
+        " (a, i) -> a + cast(floor(1000000.0"
+        " / log2(cast(i as double) + 1.0)) as bigint))"
+    )
+    agg = j.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("rel"), F.lit(0))).cast("long").alias("hits"),
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("__first"),
+        F.sum(
+            F.when(F.col("rel") == 1, F.col("gain")).otherwise(F.lit(0))
+        ).alias("__dcg"),
+    )
+    return agg.select(
+        "query_id",
+        "hits",
+        F.expr(f"(hits * 1000000) div {int(k)}").alias("precision_q"),
+        F.coalesce(
+            F.expr("1000000 div __first"), F.lit(0).cast("long")
+        ).alias("mrr_q"),
+        F.expr("(__dcg * 1000000)").alias("__dcgs"),
+        idcg.alias("__idcg"),
+    ).select(
+        "query_id", "hits", "precision_q", "mrr_q",
+        F.expr("__dcgs div __idcg").alias("ndcg_q"),
+    ).orderBy("query_id")
+
+
+def rank_eval_sql(results_sql: str, truth_sql: str, k: int = 5) -> str:
+    idcg = (
+        f"(SELECT SUM(CAST(FLOOR(1000000.0 / log2(i + 1.0)) AS BIGINT))"
+        f" FROM range(1, {int(k)} + 1) t(i))"
+    )
+    return f"""
+WITH res AS (SELECT * FROM ({results_sql}) WHERE rank <= {int(k)}),
+tru AS (SELECT * FROM ({truth_sql}) WHERE rank <= {int(k)}),
+j AS (
+  SELECT r.query_id, r.rank,
+         CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS rel,
+         CAST(FLOOR(1000000.0 / log2(CAST(r.rank AS DOUBLE) + 1.0)) AS BIGINT) AS gain
+  FROM res r LEFT JOIN tru t
+    ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+),
+agg AS (
+  SELECT query_id,
+         CAST(SUM(rel) AS BIGINT) AS hits,
+         MIN(CASE WHEN rel = 1 THEN rank END) AS first_hit,
+         SUM(CASE WHEN rel = 1 THEN gain ELSE 0 END) AS dcg
+  FROM j GROUP BY query_id
+)
+SELECT query_id, hits,
+       CAST((hits * 1000000) // {int(k)} AS BIGINT) AS precision_q,
+       CAST(COALESCE(1000000 // first_hit, 0) AS BIGINT) AS mrr_q,
+       CAST((dcg * 1000000) // {idcg} AS BIGINT) AS ndcg_q
+FROM agg ORDER BY query_id
+"""
+
+
+
 def queries() -> dict:
     return {
         "emb_group_centroids": lambda s, d: group_centroids(
@@ -1333,6 +1424,17 @@ def queries() -> dict:
         "emb_vector_percolate": lambda s, d: vector_percolate(
             load_table(s, d, "embeddings")
         ),
+        "ann_rank_eval": lambda s, d: rank_eval(
+            ivf_topk(
+                load_table(s, d, "embeddings"),
+                load_table(s, d, "embeddings").where(F.col("vec_id") < 10),
+            ),
+            cosine_topk(
+                load_table(s, d, "embeddings"),
+                load_table(s, d, "embeddings").where(F.col("vec_id") < 10),
+                brute_force=True,
+            ),
+        ),
         "ann_ivf_topk": lambda s, d: ivf_topk(
             load_table(s, d, "embeddings"),
             load_table(s, d, "embeddings").where(F.col("vec_id") < 10),
@@ -1362,6 +1464,7 @@ def oracle_sql() -> dict:
         "ann_cosine_topk": TOPK_SQL,
         "ann_lsh_histogram": lsh_histogram_sql(),
         "emb_vector_percolate": vector_percolate_sql(),
+        "ann_rank_eval": rank_eval_sql(IVF_TOPK_SQL, TOPK_SQL),
         "ann_ivf_topk": IVF_TOPK_SQL,
     }
 

@@ -1995,3 +1995,28 @@ def test_phrase_suggest_bigram_rescoring(spark):
     assert out[0].score_q > dict((r.phrase, r.score_q) for r in out)["bog data"]
     with pytest.raises(ValueError, match="probe"):
         phrase_suggest(df, probe=("solo",))
+
+
+def test_rank_eval_metrics_golden(spark):
+    from elasticsearch_drift_plugin_spark.operators.similarity import rank_eval
+
+    # truth for q1: {10, 11, 12}; results hit 10 at rank 1, 12 at rank 3.
+    # q2 finds nothing relevant.
+    res = spark.createDataFrame(
+        [(1, 10, 1), (1, 99, 2), (1, 12, 3), (2, 50, 1), (2, 51, 2)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    tru = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 1, 1)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    out = {r.query_id: r for r in rank_eval(res, tru, k=3).collect()}
+    import math
+
+    g = lambda i: math.floor(1e6 / math.log2(i + 1))
+    idcg = g(1) + g(2) + g(3)
+    assert out[1].hits == 2 and out[1].precision_q == 2 * 1_000_000 // 3
+    assert out[1].mrr_q == 1_000_000  # first relevant at rank 1
+    assert out[1].ndcg_q == (g(1) + g(3)) * 1_000_000 // idcg
+    assert (out[2].hits, out[2].precision_q, out[2].mrr_q, out[2].ndcg_q) \
+        == (0, 0, 0, 0)
