@@ -608,6 +608,46 @@ ORDER BY rank
 
 
 
+def terms_enum(
+    df: DataFrame,
+    field: str,
+    prefix: str = "",
+    size: int = 10,
+    case_insensitive: bool = False,
+) -> DataFrame:
+    """(term,): the ES ``_terms_enum`` API — the first ``size`` distinct
+    values of ``field`` with the given prefix, ascending (the
+    autocomplete primitive). One partial+final distinct aggregation with
+    the prefix predicate pushed to the scan, then TakeOrdered over the
+    distinct set — at 100 TB the prefix filter prunes first and the
+    distinct set is vocabulary-sized, not corpus-sized."""
+    col = F.col(field)
+    probe = prefix
+    if case_insensitive:
+        col, probe = F.lower(col), prefix.lower()
+    out = df.where(col.isNotNull())
+    if probe:
+        out = out.where(col.startswith(probe))
+    return (
+        out.select(col.alias("term")).distinct()
+        .orderBy("term").limit(size)
+    )
+
+
+def terms_enum_sql(
+    table: str, field: str, prefix: str = "", size: int = 10,
+    case_insensitive: bool = False,
+) -> str:
+    expr = f"lower({field})" if case_insensitive else field
+    pred = f"AND {expr} LIKE '{prefix}%'" if prefix else ""
+    return f"""
+SELECT DISTINCT {expr} AS term FROM {table}
+WHERE {expr} IS NOT NULL {pred}
+ORDER BY term LIMIT {size}
+"""
+
+
+
 def queries() -> dict:
     return {
         "es_percolate": lambda s, d: percolate(load_table(s, d, "events")),
@@ -619,6 +659,9 @@ def queries() -> dict:
         ),
         "es_term_suggest": lambda s, d: term_suggest(load_table(s, d, "documents")),
         "es_phrase_suggest": lambda s, d: phrase_suggest(load_table(s, d, "documents")),
+        "es_terms_enum": lambda s, d: terms_enum(
+            load_table(s, d, "events"), "event_type", prefix="s", size=10
+        ),
         "es_dsl_query": lambda s, d: dsl_filter_agg(load_table(s, d, "events")),
         "es_dsl_geo": lambda s, d: _dsl_geo_query(s, d),
         "es_dsl_geo_dateline": lambda s, d: _dsl_geo_dateline_query(s, d),
@@ -707,6 +750,7 @@ def oracle_sql() -> dict:
         "es_intervals_near": intervals_near_sql(),
         "es_term_suggest": term_suggest_sql(),
         "es_phrase_suggest": phrase_suggest_sql(),
+        "es_terms_enum": terms_enum_sql("events", "event_type", prefix="s", size=10),
         "es_dsl_query": dsl_filter_agg_sql(),
         "es_dsl_geo": dsl_geo_sql(),
         "es_dsl_geo_dateline": dsl_geo_dateline_sql(),

@@ -2020,3 +2020,19 @@ def test_rank_eval_metrics_golden(spark):
     assert out[1].ndcg_q == (g(1) + g(3)) * 1_000_000 // idcg
     assert (out[2].hits, out[2].precision_q, out[2].mrr_q, out[2].ndcg_q) \
         == (0, 0, 0, 0)
+
+
+def test_terms_enum_prefix_and_case(spark):
+    from elasticsearch_drift_plugin_spark.operators.search import terms_enum
+
+    df = spark.createDataFrame(
+        [("Spark",), ("spark",), ("sort",), ("scan",), ("join",), (None,)],
+        "w string",
+    )
+    assert [r.term for r in terms_enum(df, "w", prefix="s", size=10).collect()] \
+        == ["scan", "sort", "spark"]
+    assert [r.term for r in terms_enum(df, "w", prefix="s", size=10,
+                                       case_insensitive=True).collect()] \
+        == ["scan", "sort", "spark"]
+    assert [r.term for r in terms_enum(df, "w", size=2).collect()] \
+        == ["Spark", "join"]
