@@ -2197,3 +2197,55 @@ def _run_retriever(df: DataFrame, body: dict) -> DataFrame:
         .orderBy(F.col("score_q").desc(), F.col(id_field).asc())
         .limit(size)
     )
+
+
+def validate_query(body: dict) -> tuple[bool, str | None]:
+    """The ES ``_validate/query`` API: compile the body's ``query``
+    clause without executing; ``(True, None)`` or ``(False, reason)``.
+    Both compilers are exercised (Catalyst + the SQL twin) so a body that
+    validates here runs on either engine path."""
+    try:
+        q = body.get("query", {"match_all": {}})
+        compile_query(q)
+        compile_query_sql_expr(q)
+        return True, None
+    except (ValueError, KeyError, TypeError) as ex:
+        return False, f"{type(ex).__name__}: {ex}"
+
+
+def delete_by_query(df: DataFrame, body: dict) -> DataFrame:
+    """The ES ``_delete_by_query`` API, relationally: the frame WITHOUT
+    the matching docs (storage is immutable parquet — deletion is
+    rewriting the complement, the same contract as Delta/Iceberg DELETE;
+    the caller writes the result). The predicate is pushed to the scan.
+    ES's must_not-style null semantics apply: a doc only deletes when the
+    query MATCHES, so NULL-evaluating docs survive."""
+    pred = compile_query(body["query"])
+    # the complement must keep docs where pred is NULL (no match ≠ match)
+    return df.where(~F.coalesce(pred, F.lit(False)))
+
+
+def update_by_query(df: DataFrame, body: dict) -> DataFrame:
+    """The ES ``_update_by_query`` API: apply the body's ``script`` (the
+    engine's SQL-expression dialect: ``{"script": {"source": {col:
+    expr}}}`` — a dict of column → SQL expr, the ctx._source field-set
+    form) to every doc matching ``query`` (all docs when absent),
+    leaving the rest untouched. One map-side projection — conditional
+    per column, no join, no shuffle."""
+    spec = body["script"]["source"]
+    if not isinstance(spec, dict) or not spec:
+        raise ValueError(
+            "update_by_query script.source must be a non-empty"
+            " {column: sql_expr} dict"
+        )
+    pred = (
+        F.coalesce(compile_query(body["query"]), F.lit(False))
+        if "query" in body
+        else F.lit(True)
+    )
+    out = df
+    for col, expr in spec.items():
+        if col not in df.columns:
+            raise ValueError(f"update_by_query target column {col!r} missing")
+        out = out.withColumn(col, F.when(pred, F.expr(expr)).otherwise(F.col(col)))
+    return out

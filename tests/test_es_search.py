@@ -1698,3 +1698,33 @@ def test_retriever_rrf_fusion(spark):
     std = run_search(df, {"retriever": {"standard": {
         "sort": [{"label": "desc"}, {"vec_id": "asc"}]}}, "size": 2})["_hits"]
     assert [r.vec_id for r in std.collect()] == [1, 2]
+
+
+def test_validate_delete_update_by_query(spark):
+    from elasticsearch_drift_plugin_spark.functions.es_search import (
+        delete_by_query,
+        update_by_query,
+        validate_query,
+    )
+
+    assert validate_query({"query": {"term": {"a": 1}}}) == (True, None)
+    ok, err = validate_query({"query": {"fuzzy": {"a": "x"}}})
+    assert not ok and "fuzzy" in err
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0)],
+        "id long, tag string, v double",
+    )
+    # delete: NULL-evaluating docs survive (no match != match)
+    left = delete_by_query(df, {"query": {"term": {"tag": "a"}}})
+    assert sorted(r.id for r in left.collect()) == [2, 3]
+    # update: only matching rows transformed, others byte-identical
+    up = update_by_query(df, {
+        "query": {"range": {"v": {"gte": 20}}},
+        "script": {"source": {"v": "v * 2", "tag": "concat(tag, '!')"}},
+    })
+    got = {r.id: (r.tag, r.v) for r in up.collect()}
+    assert got[1] == ("a", 10.0)
+    assert got[2] == ("b!", 40.0)
+    assert got[3] == (None, 60.0)  # matched; concat(NULL,..) stays NULL
+    with pytest.raises(ValueError, match="missing"):
+        update_by_query(df, {"script": {"source": {"nope": "1"}}})
