@@ -418,3 +418,36 @@ def test_terms_include_pushes_to_scan(spark, tmp_path):
     # map-side partial agg below the single hash exchange
     assert len(re.findall(r"\bHashAggregate\b \(", plan)) == 2
     assert hash_exchange_count(out) == 1
+
+
+def test_vector_percolate_is_map_only(spark, tmp_path):
+    from elasticsearch_drift_plugin_spark.operators.similarity import (
+        vector_percolate,
+    )
+
+    p = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [(i, [float(i % 7), 1.0] + [0.0] * 62) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(p)
+    out = vector_percolate(spark.read.parquet(p), ordered=False)
+    plan = explain_str(out)
+    # the alerting projection is pure map work: no exchange of any kind,
+    # no Python — the property that makes the streaming twin stateless
+    assert "Exchange" not in plan
+    assert not has_python_eval(out)
+    assert "ReadSchema" in plan
+
+
+def test_phrase_suggest_joins_are_broadcast_only(spark):
+    from elasticsearch_drift_plugin_spark.operators.search import phrase_suggest
+
+    df = spark.createDataFrame(
+        [(1, "big data wins"), (2, "big data")], "doc_id long, text string"
+    )
+    out = phrase_suggest(df, probe=("bg", "data"), max_edits=1)
+    plan = explain_str(out)
+    # every join in the plan is broadcast — the corpus-sized vocab and
+    # bigram tables are never shuffled against the candidate spine
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
