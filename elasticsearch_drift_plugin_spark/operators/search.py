@@ -475,6 +475,12 @@ def phrase_suggest(
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= cand_size)
         .select("slot", "term")
+        # candidates are <= slots*cand_size rows but DERIVE from the
+        # corpus-sized vocab; every downstream reference would otherwise
+        # replay that whole subtree (the lazy plan re-derived the corpus
+        # scan dozens of times — measured ex=64 before this). An eager
+        # lineage break pins each tiny frame to ONE corpus pass.
+        .localCheckpoint(eager=True)
     )
     # assemble candidate phrases: iterative broadcast cross of the per-
     # slot frames (each <= cand_size rows)
@@ -491,14 +497,16 @@ def phrase_suggest(
             F.col(f"t{i}").alias("w1"), F.col(f"t{i+1}").alias("w2")
         )
         need_pairs = p if need_pairs is None else need_pairs.union(p)
-    need_pairs = need_pairs.distinct()
-    pair_counts = bigrams.join(F.broadcast(need_pairs), ["w1", "w2"], "left_semi")
+    need_pairs = need_pairs.distinct().localCheckpoint(eager=True)
+    pair_counts = bigrams.join(
+        F.broadcast(need_pairs), ["w1", "w2"], "left_semi"
+    ).localCheckpoint(eager=True)
     uni_counts = vocab.join(
         F.broadcast(need_pairs.select(F.col("w1").alias("term")).distinct()),
         "term",
         "left_semi",
-    )
-    scored = phrases.crossJoin(F.broadcast(vtotal))
+    ).localCheckpoint(eager=True)
+    scored = phrases.crossJoin(F.broadcast(vtotal.localCheckpoint(eager=True)))
     score = None
     for i in range(len(probe) - 1):
         pc = F.broadcast(
