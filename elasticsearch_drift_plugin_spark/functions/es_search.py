@@ -522,8 +522,24 @@ def render_response(
     failure is cheap as well as loud.
     """
     out = {}
+    hits_obj = None
     for name, df in results.items():
         cols = [f.name for f in df.schema]
+        if name == "_hits":
+            # the hits frame renders as the TOP-LEVEL `hits` section of
+            # the ES response (not inside `aggregations`): row dicts in
+            # result order under the same bucket cap
+            rows = df.take(max_buckets + 1)
+            if len(rows) > max_buckets:
+                raise ValueError(
+                    f"_hits produced more than max_buckets={max_buckets}"
+                    " rows at the serving edge"
+                )
+            hits_obj = {
+                "total": {"value": len(rows), "relation": "eq"},
+                "hits": [{"_source": r.asDict()} for r in rows],
+            }
+            continue
         if "key" not in cols:
             rows = df.take(max_buckets + 1)
             if len(rows) > max_buckets:
@@ -601,7 +617,10 @@ def render_response(
             }
         else:
             out[name] = {"buckets": [bucket(r) for r in rows]}
-    return {"aggregations": out}
+    resp = {"aggregations": out}
+    if hits_obj is not None:
+        resp["hits"] = hits_obj
+    return resp
 
 
 def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:

@@ -1728,3 +1728,21 @@ def test_validate_delete_update_by_query(spark):
     assert got[3] == (None, 60.0)  # matched; concat(NULL,..) stays NULL
     with pytest.raises(ValueError, match="missing"):
         update_by_query(df, {"script": {"source": {"nope": "1"}}})
+
+
+def test_render_response_hits_section(spark):
+    from elasticsearch_drift_plugin_spark.functions.es_search import (
+        render_response,
+    )
+
+    df = spark.createDataFrame(
+        [(2, 9.0), (1, 5.0)], "id long, v double"
+    )
+    body = {"size": 2, "sort": [{"v": {"order": "desc"}}],
+            "aggs": {"m": {"max": {"field": "v"}}}}
+    resp = render_response(run_search(df, body))
+    assert resp["hits"]["total"] == {"value": 2, "relation": "eq"}
+    assert resp["hits"]["hits"][0]["_source"] == {"id": 2, "v": 9.0}
+    assert resp["aggregations"]["m"] == {"value": 9.0}
+    with pytest.raises(ValueError, match="max_buckets"):
+        render_response(run_search(df, body), max_buckets=1)
