@@ -2268,3 +2268,54 @@ def update_by_query(df: DataFrame, body: dict) -> DataFrame:
             raise ValueError(f"update_by_query target column {col!r} missing")
         out = out.withColumn(col, F.when(pred, F.expr(expr)).otherwise(F.col(col)))
     return out
+
+
+def field_caps(df: DataFrame, fields: list | None = None) -> dict:
+    """The ES ``_field_caps`` API: per-field capability metadata from the
+    frame's schema (metadata-only — no job runs). ES types map from Spark
+    types (long/integer/double/float/keyword for strings/boolean/date for
+    timestamps/dense_vector for array<float>/nested for array<struct>);
+    every relational column is both searchable and aggregatable."""
+    import fnmatch
+
+    def es_type(dt) -> str:
+        s = dt.simpleString()
+        if s in ("bigint", "long"):
+            return "long"
+        if s in ("int", "integer", "smallint", "tinyint"):
+            return "integer"
+        if s == "double":
+            return "double"
+        if s == "float":
+            return "float"
+        if s == "boolean":
+            return "boolean"
+        if s.startswith("timestamp") or s == "date":
+            return "date"
+        if s in ("array<float>", "array<double>"):
+            return "dense_vector"
+        if s.startswith("array<struct"):
+            return "nested"
+        return "keyword"
+
+    names = [f.name for f in df.schema]
+    if fields:
+        keep = [
+            n for n in names
+            if any(fnmatch.fnmatchcase(n, pat) for pat in fields)
+        ]
+    else:
+        keep = names
+    return {
+        "fields": {
+            f.name: {
+                es_type(f.dataType): {
+                    "type": es_type(f.dataType),
+                    "searchable": True,
+                    "aggregatable": True,
+                }
+            }
+            for f in df.schema
+            if f.name in keep
+        }
+    }

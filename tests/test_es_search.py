@@ -1746,3 +1746,21 @@ def test_render_response_hits_section(spark):
     assert resp["aggregations"]["m"] == {"value": 9.0}
     with pytest.raises(ValueError, match="max_buckets"):
         render_response(run_search(df, body), max_buckets=1)
+
+
+def test_field_caps(spark):
+    from elasticsearch_drift_plugin_spark.functions.es_search import field_caps
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0, [0.1], [(1,)])],
+        "id long, tag string, v double, emb array<float>,"
+        " kids array<struct<k:long>>",
+    )
+    caps = field_caps(df)["fields"]
+    assert caps["id"] == {"long": {"type": "long", "searchable": True,
+                                   "aggregatable": True}}
+    assert "keyword" in caps["tag"] and "double" in caps["v"]
+    assert "dense_vector" in caps["emb"] and "nested" in caps["kids"]
+    # glob patterns filter like ES
+    only = field_caps(df, fields=["t*", "id"])["fields"]
+    assert set(only) == {"tag", "id"}
