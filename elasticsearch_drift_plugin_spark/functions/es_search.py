@@ -214,7 +214,10 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
             if isinstance(srcspec, dict) and "includes" in srcspec
             else [c for c in df.columns if c != spec["field"]]
         )
-        out["_hits"] = _knn_scored(df, spec, keep).limit(int(spec["k"]))
+        # k is the retrieval depth; the body's `size` pages it (ES
+        # returns min(k, size) hits; size=0 yields an empty hits page)
+        page = min(int(spec["k"]), int(body.get("size", 10)))
+        out["_hits"] = _knn_scored(df, spec, keep).limit(page)
         return out
     # hits retrieval — the ES response's `hits.hits` section, as the
     # reserved "_hits" frame. Opt-in: requires BOTH size > 0 AND an
@@ -330,6 +333,11 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
                 .where(F.col("_rn") == 1)
                 .drop("_rn")
             )
+            # the collapse key was force-injected into the projection for
+            # the window only — drop it again unless the request asked
+            # for it (in _source/fields or as a sort key)
+            if keep and coll["field"] not in (*keep, *cols):
+                hits = hits.drop(coll["field"])
         after = body.get("search_after")
         if after is not None:
             if len(after) != len(cols):
@@ -535,8 +543,11 @@ def render_response(
                     f"_hits produced more than max_buckets={max_buckets}"
                     " rows at the serving edge"
                 )
+            # the frame is already page-limited, so the page length is
+            # only a LOWER BOUND on matching docs — "gte", never "eq"
+            # (ES reports gte whenever total tracking is cut off)
             hits_obj = {
-                "total": {"value": len(rows), "relation": "eq"},
+                "total": {"value": len(rows), "relation": "gte"},
                 "hits": [{"_source": r.asDict()} for r in rows],
             }
             continue
@@ -2109,6 +2120,35 @@ def _knn_scored(df: DataFrame, spec: dict, keep: list) -> DataFrame:
     )
 
 
+def _standard_retriever_body(rspec: dict) -> dict:
+    """Normalize a `standard` retriever spec into a hits body: `query` +
+    ES's `filter` (compiled into a bool filter context) + the REQUIRED
+    `sort` (the engine has no _score). Unknown keys raise — silently
+    dropping a filter would return wrong rankings."""
+    if "sort" not in rspec:
+        raise ValueError(
+            "standard retriever needs an explicit sort (engine hits"
+            " carry no _score)"
+        )
+    unknown = set(rspec) - {"query", "filter", "sort"}
+    if unknown:
+        raise ValueError(
+            f"unsupported standard-retriever keys {sorted(unknown)}"
+        )
+    sub = {"sort": rspec["sort"]}
+    if "filter" in rspec:
+        filters = rspec["filter"]
+        if isinstance(filters, dict):
+            filters = [filters]
+        boolq = {"filter": list(filters)}
+        if "query" in rspec:
+            boolq["must"] = [rspec["query"]]
+        sub["query"] = {"bool": boolq}
+    elif "query" in rspec:
+        sub["query"] = rspec["query"]
+    return sub
+
+
 def _run_retriever(df: DataFrame, body: dict) -> DataFrame:
     """The ES 8.14+ ``retriever`` tree. Supported nodes:
 
@@ -2132,12 +2172,7 @@ def _run_retriever(df: DataFrame, body: dict) -> DataFrame:
     (kind, rspec), = spec.items()
     size = int(body.get("size", 10))
     if kind == "standard":
-        sub = {k: v for k, v in rspec.items() if k in ("query", "sort")}
-        if "sort" not in sub:
-            raise ValueError(
-                "standard retriever needs an explicit sort (engine hits"
-                " carry no _score)"
-            )
+        sub = _standard_retriever_body(rspec)
         sub["size"] = size
         if "_source" in body:
             sub["_source"] = body["_source"]
@@ -2146,7 +2181,7 @@ def _run_retriever(df: DataFrame, body: dict) -> DataFrame:
         return _knn_scored(
             df, rspec,
             [c for c in df.columns if c != rspec["field"]],
-        ).limit(int(rspec.get("k", size)))
+        ).limit(min(int(rspec.get("k", size)), size))
     if kind != "rrf":
         raise ValueError(f"unsupported retriever {kind!r}")
     id_field = rspec.get("id_field")
@@ -2167,9 +2202,7 @@ def _run_retriever(df: DataFrame, body: dict) -> DataFrame:
             raise ValueError("each rrf child must have one retriever type")
         (ckind, cspec), = child.items()
         if ckind == "standard":
-            if "sort" not in cspec:
-                raise ValueError("standard retriever needs an explicit sort")
-            sub = {k: v for k, v in cspec.items() if k in ("query", "sort")}
+            sub = _standard_retriever_body(cspec)
             sub["size"] = window
             sub["_source"] = {"includes": [id_field]}
             top = run_search(df, sub)["_hits"]
@@ -2197,7 +2230,13 @@ def _run_retriever(df: DataFrame, body: dict) -> DataFrame:
             top.withColumn(
                 f"rank_{i}",
                 F.row_number().over(Window.orderBy(*order)).cast("long"),
-            ).select(id_field, f"rank_{i}")
+            )
+            .select(id_field, f"rank_{i}")
+            # a non-unique id_field would cross-product through the
+            # full-outer fusion joins; ES ranks each _id once — keep the
+            # best rank per id (window-sized agg, one tiny job)
+            .groupBy(id_field)
+            .agg(F.min(f"rank_{i}").alias(f"rank_{i}"))
         )
     fused = ranked[0]
     for r in ranked[1:]:
@@ -2262,12 +2301,17 @@ def update_by_query(df: DataFrame, body: dict) -> DataFrame:
         if "query" in body
         else F.lit(True)
     )
-    out = df
+    # materialize the match BEFORE any rewrite: a script that mutates a
+    # queried column must not change membership for later script fields
+    # (ES evaluates the query once against the original doc)
+    out = df.withColumn("__matched", pred)
     for col, expr in spec.items():
         if col not in df.columns:
             raise ValueError(f"update_by_query target column {col!r} missing")
-        out = out.withColumn(col, F.when(pred, F.expr(expr)).otherwise(F.col(col)))
-    return out
+        out = out.withColumn(
+            col, F.when(F.col("__matched"), F.expr(expr)).otherwise(F.col(col))
+        )
+    return out.drop("__matched")
 
 
 def field_caps(df: DataFrame, fields: list | None = None) -> dict:
@@ -2280,6 +2324,14 @@ def field_caps(df: DataFrame, fields: list | None = None) -> dict:
 
     def es_type(dt) -> str:
         s = dt.simpleString()
+        if s in ("array<float>", "array<double>"):
+            return "dense_vector"
+        if s.startswith("array<struct"):
+            return "nested"
+        if s.startswith("array<"):
+            # ES has no array type: a list of scalars is a MULTI-VALUED
+            # field of the element type
+            s = s[len("array<"):-1]
         if s in ("bigint", "long"):
             return "long"
         if s in ("int", "integer", "smallint", "tinyint"):
@@ -2292,10 +2344,6 @@ def field_caps(df: DataFrame, fields: list | None = None) -> dict:
             return "boolean"
         if s.startswith("timestamp") or s == "date":
             return "date"
-        if s in ("array<float>", "array<double>"):
-            return "dense_vector"
-        if s.startswith("array<struct"):
-            return "nested"
         return "keyword"
 
     names = [f.name for f in df.schema]

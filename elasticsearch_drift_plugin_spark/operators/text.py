@@ -625,8 +625,10 @@ def oracle_sql() -> dict:
         "text_rolling_fp": ROLLING_FP_SQL,
         "text_repetition": repetition_sql(),
         "text_pii_scan": pii_sql(),
+        # DuckDB accepts STRING as a VARCHAR alias, so the decorate
+        # expression is shared VERBATIM with the Spark side
         "text_pii_redact": pii_redact_sql(
-            source=f"(SELECT doc_id, {PII_DECORATE_EXPR.replace('cast(doc_id as string)', 'CAST(doc_id AS VARCHAR)')} AS text FROM documents)"
+            source=f"(SELECT doc_id, {PII_DECORATE_EXPR} AS text FROM documents)"
         ),
         "text_gopher_filter": gopher_sql(),
         "text_readability": readability_sql(),

@@ -291,22 +291,32 @@ FROM w ORDER BY doc_id, chunk_no
 def _mix_thresholds(
     docs: DataFrame, target_docs: int, group_col: str,
     temperature: float = 2.0,
+    weight_agg=None,
+    weight_name: str = "n_docs",
 ) -> DataFrame:
-    """(group, n_docs, thr_q): per-domain keep-threshold in 1e-6 quanta,
-    temperature-flattened toward a ``target_docs`` total — the T5/Llama
-    mixing rule ``p_i ∝ n_i^(1/τ)``. τ=1 is proportional (no flattening),
-    τ→∞ approaches uniform-per-domain; τ=2 (the default) keeps the exact
-    ``sqrt`` path (correctly rounded in both engines — bit-parity with
-    the historical twin), other τ use ``pow(n, 1/τ)``."""
-    counts = docs.groupBy(F.col(group_col).alias("group")).agg(
-        F.count(F.lit(1)).alias("n_docs")
-    )
+    """(group, <weight_name>, thr_q): per-domain keep-threshold in 1e-6
+    quanta, temperature-flattened toward a ``target_docs`` total — the
+    T5/Llama mixing rule ``p_i ∝ n_i^(1/τ)``. τ=1 is proportional (no
+    flattening), τ→∞ approaches uniform-per-domain; τ=2 (the default)
+    keeps the exact ``sqrt`` path (correctly rounded in both engines —
+    bit-parity with the historical twin), other τ use ``pow(n, 1/τ)``.
+
+    ``weight_agg`` generalizes the per-domain weight: the default counts
+    docs; :func:`mix_rates_tokens` sums tokens. The threshold product is
+    computed in DECIMAL(38,0) — ``1e6 · budget · sq_q`` overflows BIGINT
+    as soon as one domain holds ~4e5 weight at a 15k budget, silently
+    under Spark's non-ANSI wraparound (the DuckDB twin uses HUGEINT)."""
     if temperature <= 0:
         raise ValueError(f"temperature must be > 0, got {temperature}")
+    if weight_agg is None:
+        weight_agg = F.count(F.lit(1))
+    counts = docs.groupBy(F.col(group_col).alias("group")).agg(
+        weight_agg.alias(weight_name)
+    )
     w = (
-        F.sqrt(F.col("n_docs"))
+        F.sqrt(F.col(weight_name))
         if temperature == 2.0
-        else F.pow(F.col("n_docs"), F.lit(1.0 / float(temperature)))
+        else F.pow(F.col(weight_name), F.lit(1.0 / float(temperature)))
     )
     counts = counts.withColumn(
         "sq_q", F.floor(w * F.lit(float(QUANT))).cast("long")
@@ -317,11 +327,16 @@ def _mix_thresholds(
         .withColumn(
             "thr_q",
             F.least(
-                F.lit(QUANT),
-                F.expr(f"({QUANT}L * {int(target_docs)}L * sq_q) div (s_q * n_docs)"),
+                F.lit(QUANT).cast("long"),
+                F.expr(
+                    f"CAST((CAST({QUANT} AS DECIMAL(38,0))"
+                    f" * {int(target_docs)} * sq_q)"
+                    f" div (CAST(s_q AS DECIMAL(38,0)) * {weight_name})"
+                    " AS BIGINT)"
+                ),
             ),
         )
-        .select("group", "n_docs", "thr_q")
+        .select("group", weight_name, "thr_q")
     )
 
 
@@ -357,41 +372,15 @@ def mix_rates_tokens(
     count). Per-domain whitespace-token totals ``T_i`` replace doc
     counts in the same rule: keep-rate_i = min(1, B·w_i / (Σw · T_i))
     with ``w_i = T_i^(1/τ)``, so the EXPECTED kept-token total is the
-    budget ``B`` (hash gating stays per-doc — deterministic,
-    join-free replay). Same integer quanta as :func:`mix_rates`; one
-    scan + one tiny broadcast, any corpus size."""
-    if temperature <= 0:
-        raise ValueError(f"temperature must be > 0, got {temperature}")
-    counts = docs.groupBy(F.col(group_col).alias("group")).agg(
-        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias(
-            "n_tokens"
-        )
-    )
-    w = (
-        F.sqrt(F.col("n_tokens"))
-        if temperature == 2.0
-        else F.pow(F.col("n_tokens"), F.lit(1.0 / float(temperature)))
-    )
-    counts = counts.withColumn(
-        "sq_q", F.floor(w * F.lit(float(QUANT))).cast("long")
-    )
-    total = counts.agg(F.sum("sq_q").alias("s_q"))
-    return (
-        counts.crossJoin(F.broadcast(total))
-        .withColumn(
-            "thr_q",
-            F.least(
-                F.lit(QUANT),
-                F.expr(
-                    f"({QUANT}L * {int(target_tokens)}L * sq_q)"
-                    " div (s_q * n_tokens)"
-                ),
-            ),
-        )
-        .select("group", "n_tokens", "thr_q")
-        .orderBy("group")
-    )
-
+    budget ``B`` (hash gating stays per-doc — deterministic, join-free
+    replay). Delegates to :func:`_mix_thresholds` with a token-sum
+    weight, so the quanta/overflow discipline cannot drift from the
+    doc-count form."""
+    return _mix_thresholds(
+        docs, target_tokens, group_col, temperature,
+        weight_agg=F.sum(F.size(F.split(F.col("text"), " ")).cast("long")),
+        weight_name="n_tokens",
+    ).orderBy("group")
 
 def mix_rates_tokens_sql(
     target_tokens: int,
@@ -412,8 +401,8 @@ WITH counts AS (
   FROM {src} GROUP BY {group_col}
 )
 SELECT grp AS "group", n_tokens,
-       CAST(LEAST({QUANT}, (CAST({QUANT} AS BIGINT) * {int(target_tokens)} * sq_q)
-             // ((SELECT SUM(sq_q) FROM counts) * n_tokens)) AS BIGINT) AS thr_q
+       CAST(LEAST({QUANT}, (CAST({QUANT} AS HUGEINT) * {int(target_tokens)} * sq_q)
+             // (CAST((SELECT SUM(sq_q) FROM counts) AS HUGEINT) * n_tokens)) AS BIGINT) AS thr_q
 FROM counts ORDER BY "group"
 """
 
@@ -445,8 +434,8 @@ counts AS (
 ),
 thr AS (
   SELECT grp, n_docs,
-         CAST(LEAST({QUANT}, ({QUANT} * {int(target_docs)} * sq_q)
-               // ((SELECT SUM(sq_q) FROM counts) * n_docs)) AS BIGINT) AS thr_q
+         CAST(LEAST({QUANT}, (CAST({QUANT} AS HUGEINT) * {int(target_docs)} * sq_q)
+               // (CAST((SELECT SUM(sq_q) FROM counts) AS HUGEINT) * n_docs)) AS BIGINT) AS thr_q
   FROM counts
 )"""
 

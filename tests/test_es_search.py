@@ -1438,6 +1438,11 @@ def test_knn_section(spark):
     }
     out = run_search(df, body)["_hits"].collect()
     assert out[0].vec_id == 1 and out[0]._score_q == 2_000_000
+    # `size` pages the k retrieved hits (ES returns min(k, size))
+    out = run_search(df, {"knn": {"field": "embedding",
+                                  "query_vector": [1.0, 0.0], "k": 3},
+                          "size": 2})["_hits"].collect()
+    assert [r.vec_id for r in out] == [1, 3]
     # the ES knn+query score-sum union is refused loudly
     with pytest.raises(ValueError, match="knn with a top-level"):
         run_search(df, {"knn": body["knn"], "query": {"term": {"vec_id": 1}}})
@@ -1694,6 +1699,15 @@ def test_retriever_rrf_fusion(spark):
                                     "query_vector": [1.0, 0.0]}}]}}})
     with pytest.raises(ValueError, match="id_field"):
         run_search(df, {"retriever": {"rrf": {"retrievers": [{}, {}]}}})
+    # the standard retriever's ES `filter` narrows the ranking; unknown
+    # spec keys raise rather than silently changing results
+    filt = run_search(df, {"retriever": {"standard": {
+        "filter": {"range": {"label": {"lte": 3}}},
+        "sort": [{"label": "desc"}, {"vec_id": "asc"}]}}, "size": 2})["_hits"]
+    assert [r.vec_id for r in filt.collect()] == [5, 4]
+    with pytest.raises(ValueError, match="unsupported standard-retriever"):
+        run_search(df, {"retriever": {"standard": {
+            "sort": [{"label": "asc"}], "min_score": 2}}, "size": 1})
     # top-level standard / knn retrievers route to the existing paths
     std = run_search(df, {"retriever": {"standard": {
         "sort": [{"label": "desc"}, {"vec_id": "asc"}]}}, "size": 2})["_hits"]
@@ -1726,6 +1740,15 @@ def test_validate_delete_update_by_query(spark):
     assert got[1] == ("a", 10.0)
     assert got[2] == ("b!", 40.0)
     assert got[3] == (None, 60.0)  # matched; concat(NULL,..) stays NULL
+    # membership is pinned BEFORE any rewrite: a script that mutates the
+    # queried column must still apply every later field to the doc
+    up2 = update_by_query(df, {
+        "query": {"range": {"v": {"lt": 15}}},
+        "script": {"source": {"v": "v * 2", "tag": "concat(tag, '!')"}},
+    })
+    got2 = {r.id: (r.tag, r.v) for r in up2.collect()}
+    assert got2[1] == ("a!", 20.0)  # v*2 left the query range; tag still updates
+    assert got2[2] == ("b", 20.0)
     with pytest.raises(ValueError, match="missing"):
         update_by_query(df, {"script": {"source": {"nope": "1"}}})
 
@@ -1741,7 +1764,7 @@ def test_render_response_hits_section(spark):
     body = {"size": 2, "sort": [{"v": {"order": "desc"}}],
             "aggs": {"m": {"max": {"field": "v"}}}}
     resp = render_response(run_search(df, body))
-    assert resp["hits"]["total"] == {"value": 2, "relation": "eq"}
+    assert resp["hits"]["total"] == {"value": 2, "relation": "gte"}
     assert resp["hits"]["hits"][0]["_source"] == {"id": 2, "v": 9.0}
     assert resp["aggregations"]["m"] == {"value": 9.0}
     with pytest.raises(ValueError, match="max_buckets"):
