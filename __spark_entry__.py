@@ -1046,6 +1046,62 @@ ORDER BY revenue_c DESC, l_orderkey ASC, l_linenumber ASC LIMIT 25
 """
 
 
+# the write APIs through the compiler: _delete_by_query (complement
+# rewrite, NULL-evaluating docs survive) and _update_by_query (membership
+# pinned before any column rewrite — the script halves exactly the
+# matched rows' values and tags the type, everything else byte-identical).
+ES_DELETE_BODY = {"query": {"bool": {
+    "must": [{"term": {"event_type": "error"}}],
+    "filter": [{"range": {"value": {"gte": 100}}}],
+}}}
+ES_UPDATE_BODY = {
+    "query": {"range": {"value": {"gte": 250}}},
+    "script": {"source": {
+        "value": "value / 2.0",
+        "event_type": "concat(event_type, '_cut')",
+    }},
+}
+
+
+def _es_delete_by_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import (
+        delete_by_query,
+    )
+
+    ev = flows_src.load_table(s, d, "events")
+    return delete_by_query(
+        ev.select("event_id", "event_type", "value"), ES_DELETE_BODY
+    ).orderBy("event_id")
+
+
+ES_DELETE_SQL = """
+SELECT event_id, event_type, value FROM events
+WHERE NOT COALESCE(event_type = 'error' AND value >= 100, FALSE)
+ORDER BY event_id
+"""
+
+
+def _es_update_by_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import (
+        update_by_query,
+    )
+
+    ev = flows_src.load_table(s, d, "events")
+    return update_by_query(
+        ev.select("event_id", "event_type", "value"), ES_UPDATE_BODY
+    ).orderBy("event_id")
+
+
+ES_UPDATE_SQL = """
+SELECT event_id,
+       CASE WHEN COALESCE(value >= 250, FALSE)
+            THEN concat(event_type, '_cut') ELSE event_type END AS event_type,
+       CASE WHEN COALESCE(value >= 250, FALSE)
+            THEN value / 2.0 ELSE value END AS value
+FROM events ORDER BY event_id
+"""
+
+
 # the ES 8.14 `retriever` tree through the compiler: RRF fusion of a
 # standard (sorted) retriever and a knn retriever — every ranking is a
 # TakeOrdered window, fusion joins window-sized frames, scores are the
@@ -1191,6 +1247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_script_fields": _es_search_script_fields_query,
         "es_search_terms_filtered": _es_search_terms_filtered_query,
         "es_search_retriever": _es_search_retriever_query,
+        "es_delete_by_query": _es_delete_by_query,
+        "es_update_by_query": _es_update_by_query,
         "es_search_pctl": _es_search_pctl_query,
         "es_search_top_hits": _es_search_top_hits_query,
         "es_search_geo": _es_search_geo_query,
@@ -1497,6 +1555,8 @@ def oracle_sql() -> dict[str, str]:
         "es_search_script_fields": ES_SEARCH_SCRIPT_FIELDS_SQL,
         "es_search_terms_filtered": ES_SEARCH_TERMS_FILTERED_SQL,
         "es_search_retriever": ES_SEARCH_RETRIEVER_SQL,
+        "es_delete_by_query": ES_DELETE_SQL,
+        "es_update_by_query": ES_UPDATE_SQL,
         "es_search_pctl": _es_search_pctl_oracle(),
         "es_search_top_hits": _es_search_top_hits_oracle(),
         "es_search_geo": geo.geohash_grid_sql(precision=3, size=20),

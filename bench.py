@@ -201,6 +201,8 @@ BENCH_QUERIES = [
     "emb_vector_percolate",
     "stream_vector_percolate",
     "ann_rank_eval",
+    "es_delete_by_query",
+    "es_update_by_query",
 ]
 
 
