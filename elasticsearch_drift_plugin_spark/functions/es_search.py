@@ -1181,15 +1181,17 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
         from ..operators.es_aggs import significant_terms
 
         # engine extension: "foreground" selects the foreground set (a DSL
-        # body or ready SQL). ES's background_filter NARROWS THE BACKGROUND
-        # — different semantics — so reject it loudly rather than misread.
-        if "background_filter" in spec:
-            raise ValueError(
-                "significant_terms background_filter is not supported; "
-                "use the 'foreground' extension (selects the foreground set)"
-            )
+        # body or ready SQL). ES's background_filter NARROWS THE
+        # BACKGROUND: bg counts/totals are taken over docs matching it.
         fg = spec["foreground"]
         fg_sql = fg if isinstance(fg, str) else compile_query_sql_expr(fg)
+        bg_sql = None
+        if "background_filter" in spec:
+            bgspec = spec["background_filter"]
+            bg_sql = (
+                bgspec if isinstance(bgspec, str)
+                else compile_query_sql_expr(bgspec)
+            )
         # ES spells the scoring heuristic as an empty-object sub-key
         # ({"jlh": {}} / {"chi_square": {}} / {"percentage": {}}); absent
         # means the engine's exact-integer lift (JLH's first factor)
@@ -1203,6 +1205,7 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
         return significant_terms(
             df, spec["field"], fg_sql, size=int(spec.get("size", 10)),
             score=heur[0] if heur else "lift",
+            background_where=bg_sql,
             min_doc_count=int(spec.get("min_doc_count", 3)),
         )
     if kind == "missing":

@@ -1181,6 +1181,7 @@ def significant_terms(
     size: int = 10,
     min_doc_count: int = 3,
     score: str = "lift",
+    background_where: str | None = None,
 ) -> DataFrame:
     """(key, fg_count, bg_count, score_q): ES ``significant_terms`` — terms
     over-represented in a foreground set relative to the whole corpus.
@@ -1202,14 +1203,29 @@ def significant_terms(
             f"unknown significance score {score!r} "
             f"(have: lift, {', '.join(_SIG_SCORE_EXPRS)})"
         )
+    # ES background_filter NARROWS the background set: bg counts (and
+    # totals) are taken over docs matching it, instead of the whole
+    # frame. The foreground stays the caller's set — ES does not force
+    # fg ⊆ bg, and neither do we. Still ONE aggregation pass: the bg
+    # membership is just a second conditional count.
     fg_flag = F.expr(f"IF(COALESCE({foreground_where}, FALSE), 1, 0)")
+    bg_flag = (
+        F.expr(f"IF(COALESCE({background_where}, FALSE), 1, 0)")
+        if background_where is not None
+        else F.lit(1)
+    )
     per_term = (
-        df.select(F.col(field).alias("key"), fg_flag.alias("__fg"))
+        df.select(
+            F.col(field).alias("key"),
+            fg_flag.alias("__fg"),
+            bg_flag.alias("__bg"),
+        )
         .groupBy("key")
         .agg(
             F.sum("__fg").alias("fg_count"),
-            F.count(F.lit(1)).alias("bg_count"),
+            F.sum("__bg").alias("bg_count"),
         )
+        .where(F.col("bg_count") > 0)
     )
     totals = per_term.agg(
         F.sum("fg_count").alias("fg_total"), F.sum("bg_count").alias("bg_total")
@@ -1366,6 +1382,7 @@ def significant_terms_sql(
     size: int = 10,
     min_doc_count: int = 3,
     score: str = "lift",
+    background_where: str | None = None,
 ) -> str:
     if score == "lift":
         score_sql = (
@@ -1376,12 +1393,18 @@ def significant_terms_sql(
         score_sql = (
             f"CAST(FLOOR({_SIG_SCORE_EXPRS[score]} * 1000000.0) AS BIGINT)"
         )
+    bg = (
+        f"SUM(CASE WHEN COALESCE({background_where}, FALSE) THEN 1 ELSE 0 END)"
+        if background_where is not None
+        else "COUNT(*)"
+    )
     return f"""
 WITH per_term AS (
   SELECT {field} AS key,
          SUM(CASE WHEN COALESCE({foreground_where}, FALSE) THEN 1 ELSE 0 END) AS fg_count,
-         COUNT(*) AS bg_count
+         {bg} AS bg_count
   FROM {src} GROUP BY {field}
+  HAVING {bg} > 0
 ),
 totals AS (SELECT SUM(fg_count) AS fg_total, SUM(bg_count) AS bg_total FROM per_term)
 SELECT key, CAST(fg_count AS BIGINT) AS fg_count, bg_count,

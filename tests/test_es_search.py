@@ -1787,3 +1787,32 @@ def test_field_caps(spark):
     # glob patterns filter like ES
     only = field_caps(df, fields=["t*", "id"])["fields"]
     assert set(only) == {"tag", "id"}
+
+
+def test_significant_terms_background_filter(spark):
+    from elasticsearch_drift_plugin_spark.operators.es_aggs import (
+        significant_terms,
+    )
+
+    # fg: 2×a, 1×b.  full bg: a=4, b=5, c=3.  narrowed bg (grp='x'):
+    # a=2, b=4 (c excluded entirely -> no bucket)
+    rows = (
+        [("a", 1, "x")] * 2 + [("b", 1, "x")]
+        + [("a", 0, "x")] * 0 + [("a", 0, "y")] * 2 + [("b", 0, "x")] * 3
+        + [("b", 0, "y")] + [("c", 0, "y")] * 3
+    )
+    df = spark.createDataFrame(rows, "tag string, fg int, grp string")
+    # min_doc_count prunes fg-absent terms (c) on both paths
+    wide = {r.key: (r.fg_count, r.bg_count) for r in significant_terms(
+        df, "tag", "fg = 1", min_doc_count=1).collect()}
+    assert wide == {"a": (2, 4), "b": (1, 5)}
+    narrow = {r.key: (r.fg_count, r.bg_count) for r in significant_terms(
+        df, "tag", "fg = 1", min_doc_count=1,
+        background_where="grp = 'x'").collect()}
+    assert narrow == {"a": (2, 2), "b": (1, 4)}  # c has no bg presence
+    # the compiler accepts the ES spelling
+    body = {"aggs": {"s": {"significant_terms": {
+        "field": "tag", "foreground": "fg = 1", "min_doc_count": 1,
+        "background_filter": {"term": {"grp": "x"}}}}}}
+    out = {r.key: r.bg_count for r in run_search(df, body)["s"].collect()}
+    assert out == {"a": 2, "b": 4}
