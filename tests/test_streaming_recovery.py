@@ -173,3 +173,69 @@ def test_reorder_beyond_delay_still_drops_loudly(spark, tmp_path):
         spark, src, ckpt, "rod", [b1, b2], reorder_delay_ms=1500,
     ))
     assert folded == {DAY: (3, 9, 1)}
+
+
+def test_flow_sessions_checkpoint_recovery(spark, tmp_path):
+    """Sessionizer state survives a restart: a session whose flows span
+    the kill/restart boundary must NOT split — the recovered
+    applyInPandasWithState state (open session tail) absorbs the
+    post-restart flow, so the folded result equals the uninterrupted
+    run's single merged session."""
+    from elasticsearch_drift_plugin_spark.streaming.flow_sessions import (
+        flow_sessions_stream,
+    )
+
+    schema = "user string, start_ms long, end_ms long, value double"
+    GAP = 10_000
+    b1 = [("u", 1_000, 2_000, 1.0), ("u", 4_000, 5_000, 2.0)]
+    b2 = [("u", 9_000, 11_000, 4.0)]  # within gap of 5_000 -> same session
+
+    def run(tag, stop_between):
+        src, ckpt = f"{tmp_path}/{tag}_src", f"{tmp_path}/{tag}_ck"
+        out_dir = f"{tmp_path}/{tag}_out"
+
+        def sink(batch_df, _bid):
+            batch_df.coalesce(1).write.mode("append").parquet(out_dir)
+
+        def start():
+            stream = spark.readStream.schema(schema).parquet(src)
+            sess = flow_sessions_stream(
+                stream, ["user"], "start_ms", "end_ms", "value", gap_ms=GAP
+            )
+            return (
+                sess.writeStream.outputMode("update")
+                .foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+        q = None
+        try:
+            for batch in (b1, b2):
+                spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+                    "append"
+                ).parquet(src)
+                if q is None:
+                    q = start()
+                q.processAllAvailable()
+                if stop_between:
+                    q.stop()
+                    q = None
+            if q is not None:
+                q.processAllAvailable()
+        finally:
+            if q is not None:
+                q.stop()
+        # last update per session_start wins (update-mode partials)
+        rows = spark.read.parquet(out_dir).collect()
+        final = {}
+        for r in sorted(rows, key=lambda r: (r.session_start, r.session_end)):
+            final[(r.user, r.session_start)] = (
+                r.session_end, r.n_flows, r.value
+            )
+        return final
+
+    interrupted = run("ri", stop_between=True)
+    continuous = run("rc", stop_between=False)
+    # one session spanning the restart: [1000, 11000], 3 flows, value 7
+    assert interrupted == continuous == {("u", 1_000): (11_000, 3, 7.0)}
