@@ -42,6 +42,9 @@ FLAGSHIPS = (
     # round-6: the exact knn serving tier and the one-shuffle data card
     "es_search_knn",
     "corpus_manifest",
+    # events at sf1 (1M rows): the core psum grid and the collapse page
+    "psum_fixed_1h",
+    "es_search_collapse",
 )
 
 
@@ -70,6 +73,18 @@ def build(spark):
         out = rep if out is None else out.unionByName(rep)
     out.write.mode("overwrite").parquet(f"{DST}/documents.parquet")
 
+    # events: event_ids shifted per replica, timestamps verbatim — the
+    # psum/serving stress case is 10x the docs per bucket, same grid
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    ev_max = ev.agg(F.max("event_id")).collect()[0][0]
+    out = None
+    for i in range(REPLICAS):
+        rep = ev.withColumn(
+            "event_id", F.col("event_id") + F.lit(i * (ev_max + 1))
+        )
+        out = rep if out is None else out.unionByName(rep)
+    out.write.mode("overwrite").parquet(f"{DST}/events.parquet")
+
     emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
     id_col = emb.columns[0]
     e_max = emb.agg(F.max(id_col)).collect()[0][0]
@@ -87,7 +102,9 @@ def main():
 
     spark = get_spark("soak-sf1")
     spark.sparkContext.setLogLevel("ERROR")
-    if "--rebuild" in sys.argv or not os.path.exists(f"{DST}/lineitem.parquet"):
+    if ("--rebuild" in sys.argv
+            or not os.path.exists(f"{DST}/lineitem.parquet")
+            or not os.path.exists(f"{DST}/events.parquet")):
         t0 = time.time()
         build(spark)
         print(f"# built {DST} in {time.time() - t0:.0f}s", file=sys.stderr)
