@@ -202,9 +202,9 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
         out["_hits"] = _run_retriever(df, body)
         return out
     if "knn" in body:
-        if "query" in body or "sort" in body or aggs:
+        if "query" in body or "sort" in body:
             raise ValueError(
-                "knn with a top-level query/sort/aggs (ES score-sum union)"
+                "knn with a top-level query/sort (ES score-sum union)"
                 " is unsupported — use knn.filter for pre-filtering"
             )
         spec = body["knn"]
@@ -214,6 +214,14 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
             if isinstance(srcspec, dict) and "includes" in srcspec
             else [c for c in df.columns if c != spec["field"]]
         )
+        # aggs beside knn run over the k RETRIEVED hits (the ES contract:
+        # facets over the semantic result set, not the whole index)
+        if aggs:
+            topk = _knn_scored(
+                df, spec, [c for c in df.columns if c != spec["field"]]
+            ).limit(int(spec["k"]))
+            for name, node in aggs.items():
+                out[name] = _compile_agg(topk, name, node)
         # k is the retrieval depth; the body's `size` pages it (ES
         # returns min(k, size) hits; size=0 yields an empty hits page)
         page = min(int(spec["k"]), int(body.get("size", 10)))
@@ -246,6 +254,12 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
                     == "desc"
                 )
         hits = df
+        # `post_filter`: narrows the HITS ONLY — sibling aggs above keep
+        # the full query context (the ES faceted-navigation contract:
+        # facet counts stay global while the hit list reflects the
+        # user's facet selection). Applied before collapse/pagination.
+        if "post_filter" in body:
+            hits = hits.where(compile_query(body["post_filter"]))
         # `highlight`: whole-field highlighting (number_of_fragments: 0) —
         # every token the query matched for the field, wrapped in
         # pre/post tags. Token-exact under the engine's analyzer-free
@@ -1183,6 +1197,12 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
         # engine extension: "foreground" selects the foreground set (a DSL
         # body or ready SQL). ES's background_filter NARROWS THE
         # BACKGROUND: bg counts/totals are taken over docs matching it.
+        if "foreground" not in spec:
+            raise ValueError(
+                "significant_terms needs the 'foreground' extension (ES"
+                " derives the foreground from the enclosing bucket; the"
+                " engine takes it explicitly as a DSL body or SQL)"
+            )
         fg = spec["foreground"]
         fg_sql = fg if isinstance(fg, str) else compile_query_sql_expr(fg)
         bg_sql = None

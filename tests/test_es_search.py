@@ -376,8 +376,9 @@ def test_review_regressions_round5(spark):
         f"SELECT id FROM t2 WHERE {compile_query_sql(qp)}").fetchall()}
     assert spark_ids == sql_ids == duck_ids == {1}
 
-    # (5) significant_terms rejects ES background_filter loudly
-    with pytest.raises(ValueError):
+    # (5, amended r6) background_filter is now SUPPORTED (narrows the
+    # background); a missing foreground still fails loudly
+    with pytest.raises(ValueError, match="foreground"):
         run_search(ev, {"aggs": {"x": {"significant_terms": {
             "field": "p", "background_filter": {"term": {"c": "c0"}}}}}})
 
@@ -1816,3 +1817,40 @@ def test_significant_terms_background_filter(spark):
         "background_filter": {"term": {"grp": "x"}}}}}}
     out = {r.key: r.bg_count for r in run_search(df, body)["s"].collect()}
     assert out == {"a": 2, "b": 4}
+
+
+def test_knn_with_aggs_and_post_filter(spark):
+    rows = [
+        (1, [1.0, 0.0], "a"), (2, [0.9, 0.1], "a"), (3, [0.8, 0.1], "b"),
+        (4, [0.0, 1.0], "b"), (5, [-1.0, 0.0], "a"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, tag string")
+    # aggs beside knn facet over the k RETRIEVED hits (1,2,3), not the index
+    res = run_search(df, {
+        "knn": {"field": "embedding", "query_vector": [1.0, 0.0], "k": 3},
+        "size": 2,
+        "aggs": {"tags": {"terms": {"field": "tag",
+                                    "order": {"_key": "asc"}}}},
+    })
+    assert [(r.tag, r.doc_count) for r in res["tags"].collect()] == [
+        ("a", 2), ("b", 1)]
+    assert [r.vec_id for r in res["_hits"].collect()] == [1, 2]  # size pages k
+
+
+def test_post_filter_hits_only(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 9.0), (2, "b", 7.0), (3, "a", 5.0)],
+        "id long, tag string, v double",
+    )
+    res = run_search(df, {
+        "size": 10, "sort": [{"v": "desc"}],
+        "query": {"range": {"v": {"gte": 6}}},
+        "post_filter": {"term": {"tag": "a"}},
+        "aggs": {"tags": {"terms": {"field": "tag",
+                                    "order": {"_key": "asc"}}}},
+    })
+    # facet counts keep the FULL query context (both tags)...
+    assert [(r.tag, r.doc_count) for r in res["tags"].collect()] == [
+        ("a", 1), ("b", 1)]
+    # ...while the hit list reflects the facet selection
+    assert [r.id for r in res["_hits"].collect()] == [1]
