@@ -1046,6 +1046,44 @@ ORDER BY revenue_c DESC, l_orderkey ASC, l_linenumber ASC LIMIT 25
 """
 
 
+# knn + sibling aggs through the compiler: facets computed over the k
+# RETRIEVED hits (the ES contract — facet the semantic result set).
+ES_SEARCH_KNN_FACETS_BODY = {
+    "knn": {"field": "embedding", "query_vector": _KNN_QV, "k": 25},
+    "size": 0,
+    "aggs": {"labels": {"terms": {"field": "label", "size": 20,
+                                  "order": {"_key": "asc"}}}},
+}
+
+
+def _es_search_knn_facets(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    emb = flows_src.load_table(s, d, "embeddings")
+    return run_search(emb, ES_SEARCH_KNN_FACETS_BODY)["labels"]
+
+
+ES_SEARCH_KNN_FACETS_SQL = f"""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings
+),
+scored AS (
+  SELECT vec_id, label,
+         CAST(FLOOR(
+           list_dot_product({_KNN_QV_SQL}, ev)
+           / (sqrt(list_dot_product({_KNN_QV_SQL}, {_KNN_QV_SQL}))
+              * sqrt(list_dot_product(ev, ev))) * 1e6) AS BIGINT) AS sq
+  FROM v
+),
+topk AS (SELECT * FROM scored ORDER BY sq DESC, vec_id, label LIMIT 25)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS doc_count
+FROM topk WHERE label IS NOT NULL
+GROUP BY label ORDER BY label ASC
+"""
+
+
 # the write APIs through the compiler: _delete_by_query (complement
 # rewrite, NULL-evaluating docs survive) and _update_by_query (membership
 # pinned before any column rewrite — the script halves exactly the
@@ -1247,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_script_fields": _es_search_script_fields_query,
         "es_search_terms_filtered": _es_search_terms_filtered_query,
         "es_search_retriever": _es_search_retriever_query,
+        "es_search_knn_facets": _es_search_knn_facets,
         "es_delete_by_query": _es_delete_by_query,
         "es_update_by_query": _es_update_by_query,
         "es_search_pctl": _es_search_pctl_query,
@@ -1555,6 +1594,7 @@ def oracle_sql() -> dict[str, str]:
         "es_search_script_fields": ES_SEARCH_SCRIPT_FIELDS_SQL,
         "es_search_terms_filtered": ES_SEARCH_TERMS_FILTERED_SQL,
         "es_search_retriever": ES_SEARCH_RETRIEVER_SQL,
+        "es_search_knn_facets": ES_SEARCH_KNN_FACETS_SQL,
         "es_delete_by_query": ES_DELETE_SQL,
         "es_update_by_query": ES_UPDATE_SQL,
         "es_search_pctl": _es_search_pctl_oracle(),

@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     "emb_vector_percolate",
     "stream_vector_percolate",
     "ann_rank_eval",
+    "es_search_knn_facets",
     "es_delete_by_query",
     "es_update_by_query",
 ]
