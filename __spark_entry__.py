@@ -1046,6 +1046,43 @@ ORDER BY revenue_c DESC, l_orderkey ASC, l_linenumber ASC LIMIT 25
 """
 
 
+# inference pipeline agg through the compiler: an inline linear model
+# over per-bucket metrics (order-independent inputs — count + max — so
+# the double arithmetic is engine-identical).
+ES_SEARCH_INFERENCE_BODY = {
+    "size": 0,
+    "aggs": {"h": {
+        "histogram": {"field": "value", "interval": 100.0},
+        "aggs": {
+            "vmax": {"max": {"field": "value"}},
+            "pred": {"inference": {
+                "model": {"type": "linear",
+                          "coefficients": {"m": 0.25, "n": -0.5},
+                          "intercept": 10.0},
+                "buckets_path": {"m": "vmax", "n": "_count"},
+            }},
+        },
+    }},
+}
+
+
+def _es_search_inference(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    ev = flows_src.load_table(s, d, "events")
+    return run_search(ev, ES_SEARCH_INFERENCE_BODY)["h"]
+
+
+ES_SEARCH_INFERENCE_SQL = """
+SELECT FLOOR(value / 100.0) * 100.0 AS key,
+       CAST(COUNT(*) AS BIGINT) AS doc_count,
+       MAX(value) AS vmax,
+       10.0 + 0.25 * MAX(value) + -0.5 * CAST(COUNT(*) AS DOUBLE) AS pred
+FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+GROUP BY 1 ORDER BY key
+"""
+
+
 # knn + sibling aggs through the compiler: facets computed over the k
 # RETRIEVED hits (the ES contract — facet the semantic result set).
 ES_SEARCH_KNN_FACETS_BODY = {
@@ -1285,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_script_fields": _es_search_script_fields_query,
         "es_search_terms_filtered": _es_search_terms_filtered_query,
         "es_search_retriever": _es_search_retriever_query,
+        "es_search_inference": _es_search_inference,
         "es_search_knn_facets": _es_search_knn_facets,
         "es_delete_by_query": _es_delete_by_query,
         "es_update_by_query": _es_update_by_query,
@@ -1594,6 +1632,7 @@ def oracle_sql() -> dict[str, str]:
         "es_search_script_fields": ES_SEARCH_SCRIPT_FIELDS_SQL,
         "es_search_terms_filtered": ES_SEARCH_TERMS_FILTERED_SQL,
         "es_search_retriever": ES_SEARCH_RETRIEVER_SQL,
+        "es_search_inference": ES_SEARCH_INFERENCE_SQL,
         "es_search_knn_facets": ES_SEARCH_KNN_FACETS_SQL,
         "es_delete_by_query": ES_DELETE_SQL,
         "es_update_by_query": ES_UPDATE_SQL,

@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     "stream_vector_percolate",
     "ann_rank_eval",
     "es_search_knn_facets",
+    "es_search_inference",
     "es_delete_by_query",
     "es_update_by_query",
 ]

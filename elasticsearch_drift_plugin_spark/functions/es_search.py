@@ -1429,7 +1429,7 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
 _PIPELINE_KINDS = (
     "cumulative_sum", "derivative", "moving_fn", "bucket_selector", "bucket_sort",
     "serial_diff", "bucket_script", "normalize", "cumulative_cardinality",
-    "moving_percentiles",
+    "moving_percentiles", "inference",
 )
 
 _MOVING_FNS = {
@@ -1579,6 +1579,36 @@ def _apply_pipelines(buckets: DataFrame, pipes: dict, group_cols=()) -> DataFram
                     f"buckets_path: {spec['script']!r}"
                 )
             buckets = buckets.withColumn(sname, F.expr(script))
+        elif skind == "inference":
+            # ES inference pipeline agg with an INLINE model (engine
+            # dialect: ES references a stored ml model; the engine takes
+            # the weights in the body — deterministic, twin-exact).
+            # linear: y = intercept + Σ coef_f · x_f over buckets_path
+            # inputs; logistic adds the sigmoid, quantized 1e-6.
+            model = spec["model"]
+            mtype = model.get("type", "linear")
+            if mtype not in ("linear", "logistic"):
+                raise ValueError(f"unsupported inference model {mtype!r}")
+            coefs = model["coefficients"]
+            paths = spec["buckets_path"]
+            missing = set(coefs) - set(paths)
+            if missing:
+                raise ValueError(
+                    f"inference coefficients without buckets_path: "
+                    f"{sorted(missing)}"
+                )
+            y = F.lit(float(model.get("intercept", 0.0)))
+            for pname, wgt in coefs.items():
+                y = y + F.lit(float(wgt)) * F.col(
+                    _path_col(paths[pname])
+                ).cast("double")
+            if mtype == "logistic":
+                y = F.lit(1.0) / (F.lit(1.0) + F.exp(-y))
+                buckets = buckets.withColumn(
+                    sname, F.floor(y * F.lit(1e6)).cast("long")
+                )
+            else:
+                buckets = buckets.withColumn(sname, y)
         elif skind == "normalize":
             # ES 8.x normalize pipeline — rescale each bucket's metric
             # against the whole bucket list (per owning group). Formulas

@@ -1854,3 +1854,41 @@ def test_post_filter_hits_only(spark):
         ("a", 1), ("b", 1)]
     # ...while the hit list reflects the facet selection
     assert [r.id for r in res["_hits"].collect()] == [1]
+
+
+def test_inference_pipeline_agg(spark):
+    df = spark.createDataFrame(
+        [(0.0, 1.0), (1.0, 2.0), (2.0, 4.0), (10.0, 8.0)], "x double, v double"
+    )
+    body = {"aggs": {"h": {
+        "histogram": {"field": "x", "interval": 1.0},
+        "aggs": {
+            "s": {"sum": {"field": "v"}},
+            "pred": {"inference": {
+                "model": {"type": "linear",
+                          "coefficients": {"total": 2.0, "n": -1.0},
+                          "intercept": 0.5},
+                "buckets_path": {"total": "s", "n": "_count"},
+            }},
+        },
+    }}}
+    out = {r.key: r.pred for r in run_search(df, body)["h"].collect()}
+    # bucket 0: sum=1, n=1 -> 0.5 + 2 - 1 = 1.5 ; bucket 10: sum=8 -> 15.5
+    assert out[0.0] == 1.5 and out[2.0] == 7.5 and out[10.0] == 15.5
+    # logistic wraps the same linear form in a sigmoid (quantized)
+    body["aggs"]["h"]["aggs"]["pred"]["inference"]["model"] = {
+        "type": "logistic", "coefficients": {"n": 1.0}, "intercept": -1.0}
+    out = {r.key: r.pred for r in run_search(df, body)["h"].collect()}
+    assert out[0.0] == 500_000  # sigmoid(0) = 0.5 exactly
+    with pytest.raises(ValueError, match="unsupported inference"):
+        run_search(df, {"aggs": {"h": {
+            "histogram": {"field": "x", "interval": 1.0},
+            "aggs": {"p": {"inference": {
+                "model": {"type": "tree", "coefficients": {}},
+                "buckets_path": {}}}}}}})
+    with pytest.raises(ValueError, match="without buckets_path"):
+        run_search(df, {"aggs": {"h": {
+            "histogram": {"field": "x", "interval": 1.0},
+            "aggs": {"p": {"inference": {
+                "model": {"coefficients": {"z": 1.0}},
+                "buckets_path": {}}}}}}})
