@@ -1638,14 +1638,6 @@ def _apply_pipelines(buckets: DataFrame, pipes: dict, group_cols=()) -> DataFram
                 expr = F.floor(expr * F.lit(10 ** int(spec["quantize"]))).cast("long")
             buckets = buckets.withColumn(sname, expr)
         else:  # moving_fn
-            m = _re.fullmatch(
-                r"\s*MovingFunctions\.(\w+)\(values\)\s*", spec["script"]
-            )
-            if not m or m.group(1) not in _MOVING_FNS:
-                raise ValueError(
-                    f"moving_fn script {spec['script']!r} is not a supported "
-                    "builtin (MovingFunctions.max|min|sum|unweightedAvg(values))"
-                )
             window = int(spec["window"])
             if window < 1:
                 raise ValueError("moving_fn window must be >= 1")
@@ -1654,9 +1646,60 @@ def _apply_pipelines(buckets: DataFrame, pipes: dict, group_cols=()) -> DataFram
             if "quantize" in spec:
                 src = F.round(src * F.lit(10 ** int(spec["quantize"]))).cast("long")
             frame = w.rowsBetween(-window + shift, -1 + shift)
-            buckets = buckets.withColumn(
-                sname, _MOVING_FNS[m.group(1)](src).over(frame)
+            script = spec["script"]
+            m = _re.fullmatch(r"\s*MovingFunctions\.(\w+)\(values\)\s*", script)
+            m_ewma = _re.fullmatch(
+                r"\s*MovingFunctions\.ewma\(values,\s*([0-9.]+)\)\s*", script
             )
+            m_std = _re.fullmatch(
+                r"\s*MovingFunctions\.stdDev\(values,\s*"
+                r"MovingFunctions\.unweightedAvg\(values\)\)\s*", script
+            )
+            if m and m.group(1) in _MOVING_FNS:
+                expr = _MOVING_FNS[m.group(1)](src).over(frame)
+            elif m_std:
+                # population stddev around the window mean — the ES
+                # builtin's documented pairing
+                expr = F.stddev_pop(src).over(frame)
+            elif m and m.group(1) == "linearWeightedAvg":
+                # weights 1..n rising toward the most recent bucket:
+                # Σ i·v_i / Σ i over the frame values in window order
+                vals = F.collect_list(src.cast("double")).over(frame)
+                n = F.size(vals)
+                num = F.aggregate(
+                    F.zip_with(
+                        vals,
+                        F.transform(
+                            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+                            lambda i: i.cast("double"),
+                        ),
+                        lambda v, i: v * i,
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                den = (n * (n + 1) / F.lit(2)).cast("double")
+                expr = F.when(n > 0, num / den)
+            elif m_ewma:
+                # ES ewma fold: avg = α·v + (1−α)·avg, seeded by the first
+                # window value; empty window → NULL
+                alpha = float(m_ewma.group(1))
+                vals = F.collect_list(src.cast("double")).over(frame)
+                expr = F.aggregate(
+                    vals,
+                    F.lit(None).cast("double"),
+                    lambda acc, x: F.coalesce(
+                        F.lit(alpha) * x + F.lit(1.0 - alpha) * acc, x
+                    ),
+                )
+            else:
+                raise ValueError(
+                    f"moving_fn script {script!r} is not a supported builtin"
+                    " (MovingFunctions.max|min|sum|unweightedAvg|"
+                    "linearWeightedAvg(values), .ewma(values, a), or"
+                    " .stdDev(values, MovingFunctions.unweightedAvg(values)))"
+                )
+            buckets = buckets.withColumn(sname, expr)
     for spec in selectors:
         script = spec["script"]
         if isinstance(script, dict):

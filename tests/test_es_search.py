@@ -1892,3 +1892,32 @@ def test_inference_pipeline_agg(spark):
             "aggs": {"p": {"inference": {
                 "model": {"coefficients": {"z": 1.0}},
                 "buckets_path": {}}}}}}})
+
+
+def test_moving_fn_extended_builtins(spark):
+    df = spark.createDataFrame(
+        [(float(i), float(v)) for i, v in enumerate([2, 4, 6, 8])],
+        "x double, v double",
+    )
+    def run(script, window=3):
+        body = {"aggs": {"h": {
+            "histogram": {"field": "x", "interval": 1.0},
+            "aggs": {"s": {"sum": {"field": "v"}},
+                     "f": {"moving_fn": {"buckets_path": "s",
+                                         "window": window,
+                                         "script": script}}},
+        }}}
+        return [r.f for r in run_search(df, body)["h"].collect()]
+
+    # linearWeightedAvg over [2,4] = (1*2 + 2*4)/3 = 10/3
+    lwa = run("MovingFunctions.linearWeightedAvg(values)")
+    assert lwa[0] is None and lwa[1] == 2.0
+    assert abs(lwa[2] - 10.0 / 3.0) < 1e-12
+    # ewma(0.5) over [2,4,6]: ((2*0.5+... seeded 2) -> 3 -> 4.5
+    ew = run("MovingFunctions.ewma(values, 0.5)")
+    assert ew[0] is None and ew[1] == 2.0 and ew[2] == 3.0 and ew[3] == 4.5
+    # stdDev over [2,4] around mean 3 -> 1.0 (population)
+    sd = run("MovingFunctions.stdDev(values, MovingFunctions.unweightedAvg(values))")
+    assert sd[2] == 1.0
+    with pytest.raises(ValueError, match="not a supported builtin"):
+        run("MovingFunctions.holtWinters(values)")
