@@ -1243,6 +1243,7 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
         return auto_date_histogram(
             df, spec["field"],
             target_buckets=int(spec.get("buckets", 10)),
+            minimum_interval=spec.get("minimum_interval"),
         )
     if kind == "percentiles":
         # exact interpolated percentiles (ES uses TDigest approximation; the

@@ -1045,6 +1045,7 @@ def auto_date_histogram(
     target_buckets: int = 10,
     value_col: str | None = None,
     bounds: tuple[int, int] | None = None,
+    minimum_interval: str | None = None,
 ) -> DataFrame:
     """(key, doc_count[, value_q], interval): ES ``auto_date_histogram`` —
     the engine picks the coarsest-necessary rounding from the ES ladder so
@@ -1064,6 +1065,11 @@ def auto_date_histogram(
     a min/max aggregation runs first (two longs to the driver) — correct,
     but an extra full scan the footer path avoids at 100 TB.
 
+    ``minimum_interval`` (ES param) floors the ladder walk: rungs finer
+    than the named unit are skipped, so sparse data cannot produce
+    needlessly fine buckets. Accepts any ladder label (``"1m"``,
+    ``"1h"``, ``"1d"``, ``"1M"``, ...).
+
     Empty input returns an empty frame with the finest label.
     """
     t = F.col(time_ms_col)
@@ -1076,8 +1082,26 @@ def auto_date_histogram(
     if lo is not None:
         import datetime as _dt
 
+        fixed = AUTO_LADDER_FIXED
+        cal = AUTO_LADDER_CAL
+        if minimum_interval is not None:
+            labels = [l for l, _ in AUTO_LADDER_FIXED] + [
+                l for l, _ in AUTO_LADDER_CAL
+            ]
+            if minimum_interval not in labels:
+                raise ValueError(
+                    f"minimum_interval {minimum_interval!r} is not a ladder"
+                    f" rung (have {labels})"
+                )
+            if minimum_interval in dict(AUTO_LADDER_FIXED):
+                idx = labels.index(minimum_interval)
+                fixed = AUTO_LADDER_FIXED[idx:]
+            else:
+                fixed = []
+                idx = [l for l, _ in AUTO_LADDER_CAL].index(minimum_interval)
+                cal = AUTO_LADDER_CAL[idx:]
         chosen = None
-        for lab, w in AUTO_LADDER_FIXED:
+        for lab, w in fixed:
             if hi // w - lo // w + 1 <= target_buckets:
                 chosen = (lab, w, None)
                 break
@@ -1086,7 +1110,7 @@ def auto_date_histogram(
                 d = _dt.datetime.fromtimestamp(ms / 1000, _dt.timezone.utc)
                 return d.year * 12 + d.month - 1
 
-            for lab, k in AUTO_LADDER_CAL:
+            for lab, k in cal:
                 if _mi(hi) // k - _mi(lo) // k + 1 <= target_buckets:
                     chosen = (lab, None, k)
                     break

@@ -1921,3 +1921,34 @@ def test_moving_fn_extended_builtins(spark):
     assert sd[2] == 1.0
     with pytest.raises(ValueError, match="not a supported builtin"):
         run("MovingFunctions.holtWinters(values)")
+
+
+def test_auto_date_histogram_minimum_interval(spark):
+    from elasticsearch_drift_plugin_spark.operators.es_aggs import (
+        auto_date_histogram,
+    )
+
+    HOUR = 3_600_000
+    # 5 hours of data: unconstrained auto picks an hour-or-finer rung;
+    # minimum_interval="1d" forces the daily rung (one bucket)
+    df = spark.createDataFrame(
+        [(i * HOUR,) for i in range(5)], "t long"
+    )
+    free = auto_date_histogram(df, "t", target_buckets=10).collect()
+    assert len(free) > 1
+    floored = auto_date_histogram(
+        df, "t", target_buckets=10, minimum_interval="1d"
+    ).collect()
+    assert len(floored) == 1 and floored[0].interval == "1d"
+    # a calendar minimum skips every fixed rung
+    monthly = auto_date_histogram(
+        df, "t", target_buckets=10, minimum_interval="1M"
+    ).collect()
+    assert len(monthly) == 1 and monthly[0].interval == "1M"
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="ladder rung"):
+        auto_date_histogram(df, "t", minimum_interval="7m")
+    # the compiler forwards the parameter
+    out = run_search(df, {"aggs": {"a": {"auto_date_histogram": {
+        "field": "t", "buckets": 10, "minimum_interval": "1d"}}}})["a"]
+    assert out.collect()[0].interval == "1d"
