@@ -83,12 +83,20 @@ Supported ``aggs`` nodes:
   the basket count;
 - pipeline sub-aggs under a histogram node: ``cumulative_sum``,
   ``derivative``, ``serial_diff``, ``moving_fn`` (the deterministic
-  MovingFunctions builtins ``max``/``min``/``sum``/``unweightedAvg``),
-  ``bucket_script`` / ``bucket_selector`` (``params.<name>`` script over
-  ``buckets_path`` columns), ``normalize`` (the ES 8.x method set),
-  ``moving_percentiles`` (exact interpolated percentile over the trailing
-  window), and ``bucket_sort`` (sort/from/size truncation of the bucket
-  list).
+  MovingFunctions builtins ``max``/``min``/``sum``/``unweightedAvg``/
+  ``linearWeightedAvg``/``ewma(values, a)``/``stdDev(values,
+  unweightedAvg(values))``), ``bucket_script`` / ``bucket_selector``
+  (``params.<name>`` script over ``buckets_path`` columns), ``normalize``
+  (the ES 8.x method set), ``moving_percentiles`` (exact interpolated
+  percentile over the trailing window), ``inference`` (inline
+  linear/logistic model over ``buckets_path`` inputs — the engine takes
+  the weights in the body), and ``bucket_sort`` (sort/from/size
+  truncation of the bucket list). ``significant_terms`` supports ES's
+  ``background_filter`` (narrows the background set) and the scoring
+  heuristics ``jlh``/``chi_square``/``percentage``;
+  ``auto_date_histogram`` takes ``minimum_interval``. ``post_filter``
+  narrows the hits only (aggs keep the query context); aggs beside a
+  ``knn`` section facet the k retrieved hits.
 
 Sibling pipeline aggs: ``avg_bucket`` / ``sum_bucket`` / ``min_bucket`` /
 ``max_bucket`` / ``stats_bucket`` / ``percentiles_bucket`` /
