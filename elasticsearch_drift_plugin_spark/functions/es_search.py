@@ -750,9 +750,33 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
             df, spec["field"], ranges, extra_aggs=_metric_extra_aggs(sub) or None
         )
     if kind == "histogram":
-        from ..operators.es_aggs import histogram_agg
+        from ..operators.es_aggs import histogram_agg, histogram_agg_filled
 
         metrics, pipes = _split_sub(sub)
+        if int(spec.get("min_doc_count", 1)) == 0:
+            # zero-fill contract: the grid between data min/max (widened
+            # by extended_bounds) appears complete, empties zero-filled
+            if metrics:
+                raise ValueError(
+                    "histogram min_doc_count=0 (zero-fill) does not carry"
+                    " metric sub-aggs — register them as a sibling agg"
+                )
+            eb = spec.get("extended_bounds")
+            return _apply_pipelines(
+                histogram_agg_filled(
+                    df, spec["field"], spec["interval"],
+                    offset=spec.get("offset", 0.0),
+                    extended_bounds=(
+                        (float(eb["min"]), float(eb["max"])) if eb else None
+                    ),
+                ),
+                pipes,
+            )
+        if "extended_bounds" in spec:
+            raise ValueError(
+                "histogram extended_bounds requires min_doc_count: 0"
+                " (ES only widens the grid when empty buckets render)"
+            )
         return _apply_pipelines(
             histogram_agg(
                 df, spec["field"], spec["interval"],

@@ -955,6 +955,7 @@ def histogram_agg_filled(
     offset: float = 0.0,
     value_col: str | None = None,
     max_fill_buckets: int = 100_000,
+    extended_bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """ES numeric ``histogram`` with ``min_doc_count: 0``: every bucket on
     the grid between the data min and max appears, zero-filled. The spine
@@ -962,14 +963,22 @@ def histogram_agg_filled(
     joined to the aggregated buckets on the key — the same shape as the
     core operator's empty-bucket fill, with the same circuit breaker
     (``max_fill_buckets`` bounds the spine before it generates).
+    ``extended_bounds=(min, max)`` WIDENS the grid beyond the data (the ES
+    parameter: empty buckets out to the requested range; it never narrows).
     """
     base = histogram_agg(
         df, field, interval, offset=offset, min_doc_count=1, value_col=value_col
     )
     idx = F.expr(f"CAST(FLOOR((key - {float(offset)}) / {float(interval)}) AS BIGINT)")
-    bounds = base.agg(
-        F.min(idx).alias("lo"), F.max(idx).alias("hi")
-    )
+    lo_agg, hi_agg = F.min(idx), F.max(idx)
+    if extended_bounds is not None:
+        eb_lo, eb_hi = (
+            int((float(b) - float(offset)) // float(interval))
+            for b in extended_bounds
+        )
+        lo_agg = F.least(lo_agg, F.lit(eb_lo))
+        hi_agg = F.greatest(hi_agg, F.lit(eb_hi))
+    bounds = base.agg(lo_agg.alias("lo"), hi_agg.alias("hi"))
     spine = (
         bounds.where(F.col("lo").isNotNull())
         .select(

@@ -1952,3 +1952,18 @@ def test_auto_date_histogram_minimum_interval(spark):
     out = run_search(df, {"aggs": {"a": {"auto_date_histogram": {
         "field": "t", "buckets": 10, "minimum_interval": "1d"}}}})["a"]
     assert out.collect()[0].interval == "1d"
+
+
+def test_histogram_zero_fill_extended_bounds(spark):
+    df = spark.createDataFrame([(5.0,), (25.0,)], "v double")
+    body = {"aggs": {"h": {"histogram": {
+        "field": "v", "interval": 10.0, "min_doc_count": 0,
+        "extended_bounds": {"min": -10.0, "max": 40.0}}}}}
+    out = [(r.key, r.doc_count) for r in run_search(df, body)["h"].collect()]
+    assert out == [(-10.0, 0), (0.0, 1), (10.0, 0), (20.0, 1),
+                   (30.0, 0), (40.0, 0)]
+    # extended_bounds without zero-fill is refused (ES renders no empties)
+    with pytest.raises(ValueError, match="extended_bounds requires"):
+        run_search(df, {"aggs": {"h": {"histogram": {
+            "field": "v", "interval": 10.0,
+            "extended_bounds": {"min": 0, "max": 1}}}}})
