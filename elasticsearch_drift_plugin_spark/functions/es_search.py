@@ -1848,6 +1848,14 @@ def _date_histogram(df: DataFrame, spec: dict, sub=None, group_by=()) -> DataFra
         kw["offset"] = spec["offset"]
     if "min_doc_count" in spec:
         kw["min_doc_count"] = spec["min_doc_count"]
+    # ES spells bounds {"min": x, "max": y}; the operator takes tuples
+    for bname in ("extended_bounds", "hard_bounds"):
+        if bname in spec:
+            b = spec[bname]
+            kw[bname] = (
+                (int(b["min"]), int(b["max"]))
+                if isinstance(b, dict) else tuple(b)
+            )
     if "time_zone" in spec:
         kw["time_zone"] = spec["time_zone"]
     if "format" in spec:

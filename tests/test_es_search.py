@@ -1967,3 +1967,20 @@ def test_histogram_zero_fill_extended_bounds(spark):
         run_search(df, {"aggs": {"h": {"histogram": {
             "field": "v", "interval": 10.0,
             "extended_bounds": {"min": 0, "max": 1}}}}})
+
+
+def test_date_histogram_bounds_through_compiler(spark):
+    H = 3_600_000
+    df = spark.createDataFrame([(2 * H,), (3 * H,)], "t long")
+    body = {"aggs": {"d": {"date_histogram": {
+        "field": "t", "fixed_interval": "1h", "min_doc_count": 0,
+        "extended_bounds": {"min": 0, "max": 5 * H}}}}}
+    out = [(r.key, r.doc_count) for r in run_search(df, body)["d"].collect()]
+    assert out == [(0, 0), (H, 0), (2 * H, 1), (3 * H, 1),
+                   (4 * H, 0), (5 * H, 0)]
+    # hard_bounds clips the rendered grid
+    body = {"aggs": {"d": {"date_histogram": {
+        "field": "t", "fixed_interval": "1h",
+        "hard_bounds": {"min": 3 * H, "max": 9 * H}}}}}
+    out = [(r.key, r.doc_count) for r in run_search(df, body)["d"].collect()]
+    assert out == [(3 * H, 1)]
