@@ -1139,14 +1139,15 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
             size=int(spec.get("size", 10)),
         )
     if kind == "rate":
-        # the engine's rate shape: monthly date_histogram buckets, unit=day
-        # (value sum / days-in-that-month, exact integer math). Other
-        # bucket/unit pairs raise rather than misread.
+        # the engine's rate shape: monthly date_histogram buckets with
+        # any unit that divides a month integrally (second/minute/hour/
+        # day/month — exact integer math); week/quarter/year raise.
         from ..operators.es_metrics import rate_agg
 
-        if spec.get("unit", "day") != "day":
-            raise ValueError("rate supports unit='day' (per-month buckets)")
-        return rate_agg(df, spec.get("t_field", "t_ms"), spec["field"])
+        return rate_agg(
+            df, spec.get("t_field", "t_ms"), spec["field"],
+            unit=spec.get("unit", "day"),
+        )
     if kind == "geo_line":
         from ..operators.geo import geo_line_agg
 

@@ -300,11 +300,27 @@ FROM lens JOIN ent USING ({g}) ORDER BY {g}
 # rate (calendar-aware)
 # --------------------------------------------------------------------------
 
-def rate_agg(df: DataFrame, t_ms: str, value_col: str) -> DataFrame:
+# months contain an integer number of these units — rate stays exact
+# integer math. week/quarter/year are NOT integer multiples of a month
+# and would force fractional division, so they raise.
+RATE_UNITS_PER_DAY = {
+    "second": 86_400, "minute": 1_440, "hour": 24, "day": 1, "month": None
+}
+
+
+def rate_agg(
+    df: DataFrame, t_ms: str, value_col: str, unit: str = "day"
+) -> DataFrame:
     """(key, doc_count, unit_intervals, rate_q): ES ``rate`` with a monthly
-    date_histogram bucket and ``unit: day`` — the quantized value sum per
-    bucket divided by the number of days in THAT month (28/29/30/31), all
-    in integer math. ``key`` is the bucket start in epoch ms."""
+    date_histogram bucket — the quantized value sum per bucket divided by
+    how many ``unit``s that month holds (second/minute/hour/day exact per
+    actual month length; ``month`` → 1), all in integer math. ``key`` is
+    the bucket start in epoch ms."""
+    if unit not in RATE_UNITS_PER_DAY:
+        raise ValueError(
+            f"rate unit {unit!r} is not an integer divisor of a month"
+            f" (have {sorted(RATE_UNITS_PER_DAY)})"
+        )
     bucket = F.date_trunc("month", F.timestamp_millis(F.col(t_ms)))
     agg = (
         df.withColumn("__b", bucket)
@@ -322,7 +338,14 @@ def rate_agg(df: DataFrame, t_ms: str, value_col: str) -> DataFrame:
             ).alias("__sum_q"),
         )
     )
-    days = F.datediff(F.add_months(F.col("__b"), 1), F.col("__b")).cast("long")
+    per_day = RATE_UNITS_PER_DAY[unit]
+    if per_day is None:
+        days = F.lit(1).cast("long")
+    else:
+        days = (
+            F.datediff(F.add_months(F.col("__b"), 1), F.col("__b"))
+            * F.lit(per_day)
+        ).cast("long")
     return (
         agg.select(
             F.unix_millis("__b").alias("key"),
@@ -337,7 +360,12 @@ def rate_agg(df: DataFrame, t_ms: str, value_col: str) -> DataFrame:
     )
 
 
-def rate_sql(src: str, t_ms: str, value_col: str) -> str:
+def rate_sql(src: str, t_ms: str, value_col: str, unit: str = "day") -> str:
+    per_day = RATE_UNITS_PER_DAY[unit]
+    ui = (
+        "1" if per_day is None
+        else f"(date_diff('day', b, b + INTERVAL 1 MONTH) * {per_day})"
+    )
     return f"""
 WITH agg AS (
   SELECT date_trunc('month', make_timestamp(({t_ms}) * 1000)) AS b,
@@ -348,12 +376,9 @@ WITH agg AS (
   FROM {src} GROUP BY 1
 )
 SELECT epoch_ms(b) AS key, doc_count,
-       date_diff('day', b, b + INTERVAL 1 MONTH) AS unit_intervals,
+       CAST({ui} AS BIGINT) AS unit_intervals,
        -- exact FLOOR (DuckDB integer // truncates): strip the nonneg remainder
-       CAST((sum_q - ((sum_q % date_diff('day', b, b + INTERVAL 1 MONTH)
-                       + date_diff('day', b, b + INTERVAL 1 MONTH))
-                      % date_diff('day', b, b + INTERVAL 1 MONTH)))
-            // date_diff('day', b, b + INTERVAL 1 MONTH) AS BIGINT) AS rate_q
+       CAST((sum_q - ((sum_q % {ui} + {ui}) % {ui})) // {ui} AS BIGINT) AS rate_q
 FROM agg ORDER BY key
 """
 

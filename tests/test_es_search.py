@@ -1984,3 +1984,22 @@ def test_date_histogram_bounds_through_compiler(spark):
         "hard_bounds": {"min": 3 * H, "max": 9 * H}}}}}
     out = [(r.key, r.doc_count) for r in run_search(df, body)["d"].collect()]
     assert out == [(3 * H, 1)]
+
+
+def test_rate_units(spark):
+    DAY = 86_400_000
+    # 31 days of January 2024 (ts at day 5), value 31000 exactly
+    df = spark.createDataFrame(
+        [(1_704_067_200_000 + 5 * DAY, 31_000.0)], "t_ms long, v double"
+    )
+    def rate(unit):
+        out = run_search(df, {"aggs": {"r": {"rate": {
+            "field": "v", "unit": unit}}}})["r"].collect()[0]
+        return out.unit_intervals, out.rate_q
+    Q = 1_000_000
+    assert rate("day") == (31, 31_000 * Q // 31)
+    assert rate("hour") == (31 * 24, 31_000 * Q // (31 * 24))
+    assert rate("minute") == (31 * 1440, 31_000 * Q // (31 * 1440))
+    assert rate("month") == (1, 31_000 * Q)
+    with pytest.raises(ValueError, match="integer divisor"):
+        rate("week")
