@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "ann_rank_eval",
     "es_search_knn_facets",
     "es_search_inference",
+    "es_composite_month",
     "es_delete_by_query",
     "es_update_by_query",
 ]

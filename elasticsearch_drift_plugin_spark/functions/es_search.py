@@ -1204,15 +1204,23 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
                     if step_ms < 1:
                         raise ValueError("fixed_interval must be >= 1 ms")
                 else:
-                    ikind, step_ms, _ = parse_interval(
+                    ikind, step_ms, iunit = parse_interval(
                         sspec.get("interval"), sspec.get("calendar_interval")
                     )
                     if ikind != "fixed":
-                        raise ValueError(
-                            "composite date_histogram source supports fixed "
-                            "intervals (calendar rounding is not a modular "
-                            "floor)"
+                        # calendar rounding is not a modular floor — route
+                        # month/quarter/year to the date_trunc source
+                        if iunit not in ("month", "quarter", "year"):
+                            raise ValueError(
+                                "composite calendar date_histogram source"
+                                " supports month/quarter/year (finer"
+                                " calendar units: use fixed_interval)"
+                            )
+                        sources.append(
+                            (sname, "date_histogram_cal", sspec["field"],
+                             iunit, *om)
                         )
+                        continue
                 sources.append(
                     (sname, "date_histogram", sspec["field"], step_ms, *om)
                 )

@@ -480,6 +480,22 @@ def composite_agg(
             keys.append(
                 (name, (v - F.pmod(v, F.lit(step))).cast("long"))
             )
+        elif kind == "date_histogram_cal":
+            # calendar source: param = 'month'|'quarter'|'year' — the
+            # UTC period start in epoch ms (date_trunc in both engines)
+            if param not in ("month", "quarter", "year"):
+                raise ValueError(
+                    f"calendar composite source supports month/quarter/"
+                    f"year, got {param!r}"
+                )
+            keys.append(
+                (
+                    name,
+                    F.unix_millis(
+                        F.date_trunc(param, F.timestamp_millis(v))
+                    ),
+                )
+            )
         else:
             raise ValueError(f"unsupported composite source kind: {kind}")
     clean = df
@@ -535,6 +551,11 @@ def composite_sql(
     for name, kind, field, param, _, missing in srcs:
         if kind == "terms":
             exprs.append(f"{field} AS {name}")
+        elif kind == "date_histogram_cal":
+            exprs.append(
+                f"epoch_ms(date_trunc('{param}',"
+                f" make_timestamp({field} * 1000))) AS {name}"
+            )
         else:
             exprs.append(
                 f"FLOOR({field} / {float(param)}) * {float(param)} AS {name}"
@@ -829,6 +850,14 @@ def queries() -> dict:
         "es_extended_stats": lambda s, d: extended_stats_agg(
             load_table(s, d, "events"), ["event_type"], "value"
         ),
+        "es_composite_month": lambda s, d: composite_agg(
+            (lambda ev: ev.select(
+                ts_ms_col(ev).alias("t_ms"), "event_type"
+            ))(load_table(s, d, "events")),
+            [("m", "date_histogram_cal", "t_ms", "month"),
+             ("etype", "terms", "event_type", None)],
+            size=30,
+        ),
         "es_composite_page": lambda s, d: composite_agg(
             load_table(s, d, "events"), _COMPOSITE_SOURCES, size=12
         ),
@@ -905,6 +934,12 @@ def oracle_sql() -> dict:
             value_col="value"
         ),
         "es_extended_stats": extended_stats_sql("events", ["event_type"], "value"),
+        "es_composite_month": composite_sql(
+            "(SELECT epoch_ms(ts) AS t_ms, event_type FROM events)",
+            [("m", "date_histogram_cal", "t_ms", "month"),
+             ("etype", "terms", "event_type", None)],
+            size=30,
+        ),
         "es_composite_page": composite_sql("events", _COMPOSITE_SOURCES, size=12),
         "es_composite_after": composite_sql(
             "events", _COMPOSITE_SOURCES, size=12, after=_COMPOSITE_AFTER

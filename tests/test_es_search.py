@@ -2003,3 +2003,27 @@ def test_rate_units(spark):
     assert rate("month") == (1, 31_000 * Q)
     with pytest.raises(ValueError, match="integer divisor"):
         rate("week")
+
+
+def test_composite_calendar_source(spark):
+    JAN, FEB, APR = 1_704_067_200_000, 1_706_745_600_000, 1_711_929_600_000
+    DAY = 86_400_000
+    df = spark.createDataFrame(
+        [(JAN + 3 * DAY,), (JAN + 20 * DAY,), (FEB + DAY,), (APR,)],
+        "t long",
+    )
+    body = {"aggs": {"p": {"composite": {"size": 10, "sources": [
+        {"m": {"date_histogram": {"field": "t",
+                                  "calendar_interval": "month"}}},
+    ]}}}}
+    out = [(r.m, r.doc_count) for r in run_search(df, body)["p"].collect()]
+    assert out == [(JAN, 2), (FEB, 1), (APR, 1)]
+    # after-cursor pages past the month key
+    body["aggs"]["p"]["composite"]["after"] = {"m": JAN}
+    out = [(r.m, r.doc_count) for r in run_search(df, body)["p"].collect()]
+    assert out == [(FEB, 1), (APR, 1)]
+    # finer calendar units are refused
+    with pytest.raises(ValueError, match="month/quarter/year"):
+        run_search(df, {"aggs": {"p": {"composite": {"sources": [
+            {"w": {"date_histogram": {"field": "t",
+                                      "calendar_interval": "week"}}}]}}}})
