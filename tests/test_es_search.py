@@ -999,9 +999,14 @@ def test_diversified_sampler_rate_geo_line_nodes(spark):
     got = run_search(ev, {"aggs": {"r": {"rate": {"field": "value"}}}})["r"]
     want = rate_agg(ev, "t_ms", "value")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
-    with pytest.raises(ValueError, match="unit='day'"):
+    # (amended r6) unit='hour' is now supported (integer divisor of a
+    # month); week remains a loud error (fractional months)
+    hr = run_search(ev, {"aggs": {"r": {"rate": {"field": "value",
+                                                 "unit": "hour"}}}})["r"]
+    assert all(r.unit_intervals % 24 == 0 for r in hr.collect())
+    with pytest.raises(ValueError, match="integer divisor"):
         run_search(ev, {"aggs": {"r": {"rate": {"field": "value",
-                                                "unit": "hour"}}}})
+                                                "unit": "week"}}}})
 
     got = run_search(ev, {"aggs": {"ln": {"geo_line": {
         "sort": {"field": "t_ms"}, "size": 10}}}})["ln"]
