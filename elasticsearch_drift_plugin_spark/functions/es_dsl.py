@@ -52,12 +52,69 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def translate_simple_query_string(body: dict) -> dict:
+    """Rewrite a ``simple_query_string`` clause into the engine's bool/
+    match/match_phrase dialect — ONE translation feeding BOTH compilers,
+    so the Catalyst and SQL twins cannot drift.
+
+    Supported subset (documented; anything else raises): whitespace-
+    separated terms joined by ``default_operator`` (``or`` default, ES's
+    own default), leading ``-`` negation, and double-quoted phrases.
+    Lucene operators ``| + ( ) * ~`` are NOT implemented — loud error,
+    never a silent misread."""
+    import re as _re
+
+    fields = body.get("fields")
+    if not fields or len(fields) != 1:
+        raise ValueError(
+            "simple_query_string needs exactly one entry in 'fields'"
+            " (multi-field OR expansion is not implemented)"
+        )
+    field = fields[0]
+    q = body["query"]
+    bad = set(q) & set("|+()*~")
+    if bad:
+        raise ValueError(
+            f"simple_query_string operators {sorted(bad)} are not"
+            " implemented (supported: terms, -negation, \"phrases\","
+            " default_operator)"
+        )
+    toks = _re.findall(r'-?"[^"]*"|\S+', q)
+    if not toks:
+        raise ValueError("simple_query_string with empty query")
+    pos, neg = [], []
+    for tok in toks:
+        is_neg = tok.startswith("-")
+        if is_neg:
+            tok = tok[1:]
+        if tok.startswith('"') and tok.endswith('"') and len(tok) >= 2:
+            clause = {"match_phrase": {field: tok[1:-1]}}
+        elif tok:
+            clause = {"match": {field: tok}}
+        else:
+            raise ValueError("simple_query_string: empty term")
+        (neg if is_neg else pos).append(clause)
+    op = str(body.get("default_operator", "or")).lower()
+    if op not in ("or", "and"):
+        raise ValueError(f"default_operator must be and/or, got {op!r}")
+    out: dict = {}
+    if pos:
+        out["must" if op == "and" else "should"] = pos
+    if neg:
+        out["must_not"] = neg
+    if not out:
+        raise ValueError("simple_query_string with no effective terms")
+    return {"bool": out}
+
+
 def compile_query(q: dict) -> Column:
     """Compile an ES ``query`` body (the dict under ``"query"``) to one
     boolean ``Column``."""
     if not isinstance(q, dict) or len(q) != 1:
         raise ValueError(f"expected a single-clause query dict, got {q!r}")
     (kind, body), = q.items()
+    if kind == "simple_query_string":
+        return compile_query(translate_simple_query_string(body))
     if kind == "match_all":
         return F.lit(True)
     if kind == "match_none":
@@ -178,6 +235,8 @@ def compile_query_sql(q: dict) -> str:
     (runs in both Spark SQL and DuckDB) — the oracle twin of
     :func:`compile_query`, kept clause-for-clause parallel."""
     (kind, body), = q.items()
+    if kind == "simple_query_string":
+        return compile_query_sql(translate_simple_query_string(body))
     if kind == "match_all":
         return "TRUE"
     if kind == "match_none":

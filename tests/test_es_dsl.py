@@ -181,3 +181,51 @@ def test_range_time_zone_raises_loudly():
         compile_query(q)
     with pytest.raises(ValueError, match="time_zone"):
         compile_query_sql(q)
+
+
+def test_simple_query_string(spark):
+    import duckdb
+    import pytest
+
+    from elasticsearch_drift_plugin_spark.functions.es_dsl import (
+        compile_query,
+        compile_query_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "big data wins"), (2, "big iron"), (3, "data lake"),
+         (4, "big data lake")],
+        "id long, text string",
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    [(1, "big data wins"), (2, "big iron"),
+                     (3, "data lake"), (4, "big data lake")])
+
+    def both(q):
+        clause = {"simple_query_string": q}
+        s = {r.id for r in df.where(compile_query(clause)).collect()}
+        d = {r[0] for r in con.execute(
+            f"SELECT id FROM t WHERE {compile_query_sql(clause)}").fetchall()}
+        assert s == d
+        return s
+
+    base = {"fields": ["text"]}
+    # default OR
+    assert both({**base, "query": "big data"}) == {1, 2, 3, 4}
+    # AND
+    assert both({**base, "query": "big data",
+                 "default_operator": "and"}) == {1, 4}
+    # negation composes with the positive set
+    assert both({**base, "query": "big -iron"}) == {1, 4}
+    # quoted phrase is ordered-adjacent
+    assert both({**base, "query": '"data lake"'}) == {3, 4}
+    assert both({**base, "query": '-"data lake" big'}) == {1, 2}
+    # loud failures: lucene operators, multi-field, empty
+    with pytest.raises(ValueError, match="not\\s+implemented"):
+        both({**base, "query": "big | data"})
+    with pytest.raises(ValueError, match="exactly one entry"):
+        both({"fields": ["a", "b"], "query": "x"})
+    with pytest.raises(ValueError, match="empty query"):
+        both({**base, "query": "   "})
