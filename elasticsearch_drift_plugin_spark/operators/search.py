@@ -656,6 +656,35 @@ ORDER BY term LIMIT {size}
 
 
 
+# simple_query_string end-to-end: the translated clause filters the
+# documents corpus, bucketed by source — same translation in both engines.
+SQS_BODY = {"fields": ["text"], "query": 'data -slow "table scan"',
+            "default_operator": "or"}
+
+
+def sqs_filter_agg(docs: DataFrame) -> DataFrame:
+    from ..functions.es_dsl import compile_query
+
+    return (
+        docs.where(compile_query({"simple_query_string": SQS_BODY}))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        .orderBy("source")
+    )
+
+
+def sqs_filter_agg_sql() -> str:
+    from ..functions.es_dsl import compile_query_sql
+
+    pred = compile_query_sql({"simple_query_string": SQS_BODY})
+    return f"""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS doc_count
+FROM documents WHERE {pred}
+GROUP BY source ORDER BY source
+"""
+
+
+
 def queries() -> dict:
     return {
         "es_percolate": lambda s, d: percolate(load_table(s, d, "events")),
@@ -671,6 +700,7 @@ def queries() -> dict:
             load_table(s, d, "events"), "event_type", prefix="s", size=10
         ),
         "es_dsl_query": lambda s, d: dsl_filter_agg(load_table(s, d, "events")),
+        "es_dsl_sqs": lambda s, d: sqs_filter_agg(load_table(s, d, "documents")),
         "es_dsl_geo": lambda s, d: _dsl_geo_query(s, d),
         "es_dsl_geo_dateline": lambda s, d: _dsl_geo_dateline_query(s, d),
     }
@@ -760,6 +790,7 @@ def oracle_sql() -> dict:
         "es_phrase_suggest": phrase_suggest_sql(),
         "es_terms_enum": terms_enum_sql("events", "event_type", prefix="s", size=10),
         "es_dsl_query": dsl_filter_agg_sql(),
+        "es_dsl_sqs": sqs_filter_agg_sql(),
         "es_dsl_geo": dsl_geo_sql(),
         "es_dsl_geo_dateline": dsl_geo_dateline_sql(),
     }
