@@ -179,6 +179,25 @@ def compile_query(q: dict) -> Column:
         # the phrase as one padded substring
         padded = F.concat(F.lit(" "), F.col(field), F.lit(" "))
         return padded.contains(" " + " ".join(toks) + " ")
+    if kind == "fuzzy":
+        # ES fuzzy: terms within `fuzziness` edits (Levenshtein is a
+        # JVM/DuckDB builtin — exact, same unit-of-edit on ASCII; the
+        # AUTO ladder resolves from the probe length, the ES table).
+        # Plain Levenshtein: a transposition counts 2 (ES's
+        # fuzzy_transpositions:false mode — Damerau is in neither engine)
+        field, val = _field_value(body, "value")
+        spec = body[field] if isinstance(body[field], dict) else {}
+        fz = spec.get("fuzziness", "AUTO")
+        if fz == "AUTO":
+            n = len(str(val))
+            fz = 0 if n <= 2 else (1 if n <= 5 else 2)
+        return F.levenshtein(F.col(field), F.lit(str(val))) <= int(fz)
+    if kind == "regexp":
+        # ES regexp is ANCHORED (full-value match). Dialect: Java regex
+        # here, RE2 in the twin — portable for the common subset (no
+        # lookaround/backrefs), same stance as the PII patterns.
+        field, val = _field_value(body, "value")
+        return F.col(field).rlike(f"^(?:{val})$")
     if kind == "ids":
         # ES matches _id; relational docs carry their id in a column —
         # accept {"values": [...], "field": "doc_id"} (field defaults)
@@ -301,6 +320,18 @@ def compile_query_sql(q: dict) -> str:
         toks = [t for t in str(val).split() if t]
         phrase = " " + " ".join(toks) + " "
         return f"position({_sql_lit(phrase)} IN ' ' || {field} || ' ') > 0"
+    if kind == "fuzzy":
+        field, val = _field_value(body, "value")
+        spec = body[field] if isinstance(body[field], dict) else {}
+        fz = spec.get("fuzziness", "AUTO")
+        if fz == "AUTO":
+            n = len(str(val))
+            fz = 0 if n <= 2 else (1 if n <= 5 else 2)
+        return f"levenshtein({field}, {_sql_lit(str(val))}) <= {int(fz)}"
+    if kind == "regexp":
+        field, val = _field_value(body, "value")
+        # DuckDB regexp_matches is unanchored; wrap for the ES full-match
+        return f"regexp_matches({field}, {_sql_lit('^(?:' + str(val) + ')$')})"
     if kind == "ids":
         field = body.get("field", "doc_id")
         vals = body["values"]

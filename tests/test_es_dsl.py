@@ -105,8 +105,9 @@ def test_match_tokens(spark):
 
 
 def test_unsupported_clause_fails_loudly():
+    # (fuzzy graduated to a supported clause in r6 — terms_set remains out)
     with pytest.raises(ValueError):
-        compile_query({"fuzzy": {"etype": "clik"}})
+        compile_query({"terms_set": {"etype": {"terms": ["a"]}}})
     with pytest.raises(ValueError):
         compile_query({"bool": {"should": [{"match_all": {}}],
                                 "minimum_should_match": 2}})
@@ -229,3 +230,35 @@ def test_simple_query_string(spark):
         both({"fields": ["a", "b"], "query": "x"})
     with pytest.raises(ValueError, match="empty query"):
         both({**base, "query": "   "})
+
+
+def test_fuzzy_and_regexp_clauses(spark):
+    import duckdb
+
+    from elasticsearch_drift_plugin_spark.functions.es_dsl import (
+        compile_query,
+        compile_query_sql,
+    )
+
+    rows = [(1, "spark"), (2, "sprak"), (3, "spa"), (4, "hadoop")]
+    df = spark.createDataFrame(rows, "id long, w string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, w VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+
+    def both(clause):
+        s = {r.id for r in df.where(compile_query(clause)).collect()}
+        d = {r[0] for r in con.execute(
+            f"SELECT id FROM t WHERE {compile_query_sql(clause)}").fetchall()}
+        assert s == d
+        return s
+
+    # AUTO fuzziness: len('spark')=5 -> 1 edit; plain Levenshtein counts
+    # the 'sprak' transposition as 2 (fuzzy_transpositions:false mode)
+    assert both({"fuzzy": {"w": "spark"}}) == {1}
+    # explicit fuzziness widens to the transposition and the 2-char drop
+    assert both({"fuzzy": {"w": {"value": "spark", "fuzziness": 2}}}) \
+        == {1, 2, 3}
+    # regexp is ANCHORED full-match in both engines
+    assert both({"regexp": {"w": "sp.*k"}}) == {1, 2}
+    assert both({"regexp": {"w": "spa"}}) == {3}

@@ -1728,8 +1728,8 @@ def test_validate_delete_update_by_query(spark):
     )
 
     assert validate_query({"query": {"term": {"a": 1}}}) == (True, None)
-    ok, err = validate_query({"query": {"fuzzy": {"a": "x"}}})
-    assert not ok and "fuzzy" in err
+    ok, err = validate_query({"query": {"terms_set": {"a": {"terms": []}}}})
+    assert not ok and "terms_set" in err
     df = spark.createDataFrame(
         [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0)],
         "id long, tag string, v double",
