@@ -179,12 +179,15 @@ GRADE_FIRST: tuple[str, ...] = (
     "train_pack_bfd",
 )
 # r7 rotation backlog (registered AFTER this round's window froze; all
-# green in the full self-sweep + external verify drives): es_search_
-# script_fields / terms_filtered / retriever, es_phrase_suggest,
-# es_significant_jlh / _chi2, text_pii_redact, corpus_manifest,
-# train_mix_rates_t4, train_mix_tokens, es_search_collapse-adjacent
-# serving helpers (run_count / run_msearch / paginate_composite are
-# API wrappers — pytest-covered, not separately registered).
+# green in the full self-sweep + external verify drives):
+# es_search_script_fields / terms_filtered / retriever / inference /
+# knn_facets, es_phrase_suggest, es_terms_enum, es_significant_jlh /
+# _chi2, es_delete_by_query, es_update_by_query, es_composite_month,
+# es_dsl_sqs, text_pii_redact, corpus_manifest, train_mix_rates_t4,
+# train_mix_tokens, emb_vector_percolate, stream_vector_percolate,
+# ann_rank_eval. (run_count / run_msearch / paginate_composite /
+# validate_query / field_caps are API wrappers — pytest-covered, not
+# separately registered.)
 
 
 def _grade_order(q: dict, strict: bool = True) -> dict:

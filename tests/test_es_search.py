@@ -1041,10 +1041,12 @@ def test_composite_date_histogram_source(spark):
     assert [(r.day, r.tag, r.doc_count) for r in out2.collect()] == [
         (2 * DAY, "b", 1)
     ]
-    with pytest.raises(ValueError, match="fixed"):
+    # (amended r6) calendar month/quarter/year sources are now supported
+    # (date_trunc route); finer calendar units still raise
+    with pytest.raises(ValueError, match="month/quarter/year"):
         run_search(df, {"aggs": {"p": {"composite": {"sources": [
             {"m": {"date_histogram": {"field": "t_ms",
-                                      "calendar_interval": "month"}}},
+                                      "calendar_interval": "week"}}},
         ]}}}})
 
 
