@@ -25,6 +25,15 @@ common flow-query bodies):
   default ``"or"``)
 - ``match_phrase`` — ordered adjacent tokens (exact under the whitespace
   analyzer: the phrase as one token-boundary-padded substring)
+- ``simple_query_string`` — the documented Lucene-syntax subset (terms
+  joined by ``default_operator``, ``-`` negation, quoted phrases; the
+  ``| + ( ) * ~`` operators raise), translated ONCE into bool/match
+  clauses feeding both compilers
+- ``fuzzy`` — Levenshtein distance ≤ ``fuzziness`` (AUTO ladder from the
+  probe length; plain Levenshtein — transpositions count 2, ES's
+  fuzzy_transpositions:false mode)
+- ``regexp`` — anchored full-value regex (Java dialect here, RE2 in the
+  twin — portable for the lookaround-free subset)
 - ``ids`` — id-list membership (``values``; relational docs carry the id
   in a column, ``field`` defaults to ``doc_id``)
 - ``geo_bounding_box`` / ``geo_distance`` — relational geo points are two

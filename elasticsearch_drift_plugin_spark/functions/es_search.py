@@ -2252,7 +2252,11 @@ def _knn_scored(df: DataFrame, spec: dict, keep: list) -> DataFrame:
 
     hits = df
     if "filter" in spec:
-        hits = hits.where(compile_query(spec["filter"]))
+        filters = spec["filter"]
+        if isinstance(filters, dict):
+            filters = [filters]
+        for f in filters:  # ES accepts one filter or a list (ANDed)
+            hits = hits.where(compile_query(f))
     qv = lit_vec([float(x) for x in spec["query_vector"]])
     v = F.transform(F.col(spec["field"]), lambda x: x.cast("double"))
     score = dot(qv, v)
