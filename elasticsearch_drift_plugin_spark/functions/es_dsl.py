@@ -188,6 +188,17 @@ def compile_query(q: dict) -> Column:
         # the phrase as one padded substring
         padded = F.concat(F.lit(" "), F.col(field), F.lit(" "))
         return padded.contains(" " + " ".join(toks) + " ")
+    if kind == "match_phrase_prefix":
+        # ES match_phrase_prefix: the phrase's leading tokens exact and
+        # adjacent, the LAST token a prefix — the search-as-you-type
+        # query. Token-boundary contains on the padded text with the
+        # final token unterminated.
+        field, val = _field_value(body, "query")
+        toks = [t for t in str(val).split() if t]
+        if not toks:
+            raise ValueError("match_phrase_prefix with empty query")
+        padded = F.concat(F.lit(" "), F.col(field), F.lit(" "))
+        return padded.contains(" " + " ".join(toks))
     if kind == "fuzzy":
         # ES fuzzy: terms within `fuzziness` edits (Levenshtein is a
         # JVM/DuckDB builtin — exact, same unit-of-edit on ASCII; the
@@ -329,6 +340,13 @@ def compile_query_sql(q: dict) -> str:
         toks = [t for t in str(val).split() if t]
         phrase = " " + " ".join(toks) + " "
         return f"position({_sql_lit(phrase)} IN ' ' || {field} || ' ') > 0"
+    if kind == "match_phrase_prefix":
+        field, val = _field_value(body, "query")
+        toks = [t for t in str(val).split() if t]
+        if not toks:
+            raise ValueError("match_phrase_prefix with empty query")
+        probe = " " + " ".join(toks)
+        return f"contains(' ' || {field} || ' ', {_sql_lit(probe)})"
     if kind == "fuzzy":
         field, val = _field_value(body, "value")
         spec = body[field] if isinstance(body[field], dict) else {}

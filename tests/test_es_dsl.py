@@ -262,3 +262,33 @@ def test_fuzzy_and_regexp_clauses(spark):
     # regexp is ANCHORED full-match in both engines
     assert both({"regexp": {"w": "sp.*k"}}) == {1, 2}
     assert both({"regexp": {"w": "spa"}}) == {3}
+
+
+def test_match_phrase_prefix(spark):
+    import duckdb
+
+    from elasticsearch_drift_plugin_spark.functions.es_dsl import (
+        compile_query,
+        compile_query_sql,
+    )
+
+    rows = [(1, "big data lake"), (2, "big database"), (3, "a big dataset"),
+            (4, "data big")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+
+    def both(q):
+        clause = {"match_phrase_prefix": q}
+        s = {r.id for r in df.where(compile_query(clause)).collect()}
+        d = {r[0] for r in con.execute(
+            f"SELECT id FROM t WHERE {compile_query_sql(clause)}").fetchall()}
+        assert s == d
+        return s
+
+    # leading token exact + adjacent, trailing token a PREFIX
+    assert both({"text": "big data"}) == {1, 2, 3}
+    # the prefix must start a token right after the exact ones
+    assert both({"text": {"query": "big datas"}}) == {3}
+    assert both({"text": "data"}) == {1, 2, 3, 4}
