@@ -1049,6 +1049,32 @@ ORDER BY revenue_c DESC, l_orderkey ASC, l_linenumber ASC LIMIT 25
 """
 
 
+# `post_filter` through the compiler: the hit list reflects the facet
+# selection while sibling aggs keep the full query context (the ES
+# faceted-navigation contract). Registered output = the filtered page.
+ES_SEARCH_POST_FILTER_BODY = {
+    "size": 15,
+    "query": {"range": {"value": {"gte": 200}}},
+    "post_filter": {"term": {"event_type": "view"}},
+    "sort": [{"value": {"order": "desc"}}, {"event_id": "asc"}],
+    "_source": {"includes": ["event_id", "event_type", "value"]},
+}
+
+
+def _es_search_post_filter(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    ev = flows_src.load_table(s, d, "events")
+    return run_search(ev, ES_SEARCH_POST_FILTER_BODY)["_hits"]
+
+
+ES_SEARCH_POST_FILTER_SQL = """
+SELECT event_id, event_type, value FROM events
+WHERE value >= 200 AND event_type = 'view'
+ORDER BY value DESC, event_id ASC LIMIT 15
+"""
+
+
 # inference pipeline agg through the compiler: an inline linear model
 # over per-bucket metrics (order-independent inputs — count + max — so
 # the double arithmetic is engine-identical).
@@ -1325,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_script_fields": _es_search_script_fields_query,
         "es_search_terms_filtered": _es_search_terms_filtered_query,
         "es_search_retriever": _es_search_retriever_query,
+        "es_search_post_filter": _es_search_post_filter,
         "es_search_inference": _es_search_inference,
         "es_search_knn_facets": _es_search_knn_facets,
         "es_delete_by_query": _es_delete_by_query,
@@ -1635,6 +1662,7 @@ def oracle_sql() -> dict[str, str]:
         "es_search_script_fields": ES_SEARCH_SCRIPT_FIELDS_SQL,
         "es_search_terms_filtered": ES_SEARCH_TERMS_FILTERED_SQL,
         "es_search_retriever": ES_SEARCH_RETRIEVER_SQL,
+        "es_search_post_filter": ES_SEARCH_POST_FILTER_SQL,
         "es_search_inference": ES_SEARCH_INFERENCE_SQL,
         "es_search_knn_facets": ES_SEARCH_KNN_FACETS_SQL,
         "es_delete_by_query": ES_DELETE_SQL,
