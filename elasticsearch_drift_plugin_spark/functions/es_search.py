@@ -942,8 +942,9 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
         child._es_child_name = sname
         return child
     # the remaining node types do not support sub-aggs here — honor the
-    # module's 'never silently dropped' contract
-    if sub:
+    # module's 'never silently dropped' contract (filters is downstream
+    # and takes one metric sub-agg itself)
+    if sub and kind != "filters":
         raise ValueError(
             f"sub-aggs under {kind!r} (agg {name!r}) are not supported"
         )
@@ -1172,10 +1173,23 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
             fname: compile_query_sql_expr(fnode)
             for fname, fnode in spec["filters"].items()
         }
+        metric = None
+        if sub:
+            if len(sub) != 1:
+                raise ValueError(
+                    "filters supports exactly one metric sub-agg"
+                )
+            (mname, mnode), = sub.items()
+            (mkind, mspec), = (
+                (k, v) for k, v in mnode.items()
+                if k not in ("aggs", "aggregations", "meta")
+            )
+            metric = (mname, mkind, mspec["field"])
         return filters_agg(
             df, named,
             other_bucket=bool(spec.get("other_bucket")),
             other_key=spec.get("other_bucket_key", "_other_"),
+            metric=metric,
         )
     if kind == "composite":
         from ..operators.es_aggs import composite_agg

@@ -370,11 +370,21 @@ FROM agg ORDER BY {g}
 """
 
 
+_FILTER_METRICS = {
+    "sum": "SUM",
+    "avg": "AVG",
+    "min": "MIN",
+    "max": "MAX",
+    "value_count": "COUNT",
+}
+
+
 def filters_agg(
     df: DataFrame,
     filters: dict[str, str],
     other_bucket: bool = False,
     other_key: str = "_other_",
+    metric: tuple[str, str, str] | None = None,
 ) -> DataFrame:
     """(key, doc_count): ES ``filters`` aggregation — one named bucket per
     predicate (SQL boolean expressions), overlapping allowed; every
@@ -385,25 +395,52 @@ def filters_agg(
     bucket via conditional aggregation — a single partial+final aggregate
     producing exactly len(filters)+1 cells per map task, then one tiny
     unpivot. No per-filter passes, no fan-out.
+
+    ``metric=(name, kind, field)`` adds ONE metric sub-agg per bucket
+    (sum/avg/min/max/value_count), riding the SAME aggregation as a
+    second conditional cell per bucket — still one pass.
     """
+    if metric is not None and metric[1] not in _FILTER_METRICS:
+        raise ValueError(
+            f"filters metric sub-agg supports {sorted(_FILTER_METRICS)},"
+            f" got {metric[1]!r}"
+        )
     # COALESCE(pred, FALSE): a NULL predicate (missing field) must behave
     # as "does not match" — so such docs DO land in the other bucket, the
     # ES contract
-    aggs = [
-        F.sum(F.expr(f"IF(COALESCE({pred}, FALSE), 1, 0)")).alias(name)
-        for name, pred in filters.items()
-    ]
+    none = " AND ".join(f"NOT COALESCE(({p}), FALSE)" for p in filters.values())
+    preds = dict(filters)
     if other_bucket:
-        none = " AND ".join(f"NOT COALESCE(({p}), FALSE)" for p in filters.values())
-        aggs.append(F.sum(F.expr(f"IF({none}, 1, 0)")).alias(other_key))
+        preds[other_key] = none
+    aggs = []
+    for name, pred in preds.items():
+        aggs.append(
+            F.sum(F.expr(f"IF(COALESCE({pred}, FALSE), 1, 0)")).alias(f"__c_{name}")
+        )
+        if metric is not None:
+            mname, mkind, mfield = metric
+            fn = _FILTER_METRICS[mkind]
+            aggs.append(
+                F.expr(
+                    f"{fn}(IF(COALESCE({pred}, FALSE), {mfield}, NULL))"
+                ).alias(f"__m_{name}")
+            )
     wide = df.agg(*aggs)
-    names = list(filters) + ([other_key] if other_bucket else [])
-    stack = ", ".join(f"'{n}', `{n}`" for n in names)
-    return (
-        wide.selectExpr(f"stack({len(names)}, {stack}) AS (key, doc_count)")
-        .select("key", F.coalesce("doc_count", F.lit(0)).alias("doc_count"))
-        .orderBy("key")
-    )
+    names = list(preds)
+    if metric is None:
+        stack = ", ".join(f"'{n}', `__c_{n}`" for n in names)
+        cols = "(key, doc_count)"
+    else:
+        stack = ", ".join(f"'{n}', `__c_{n}`, `__m_{n}`" for n in names)
+        cols = f"(key, doc_count, {metric[0]})"
+    out = wide.selectExpr(f"stack({len(names)}, {stack}) AS {cols}")
+    sel = ["key", F.coalesce("doc_count", F.lit(0)).alias("doc_count")]
+    if metric is not None:
+        mcol = F.col(metric[0])
+        if metric[1] == "value_count":
+            mcol = F.coalesce(mcol, F.lit(0)).cast("long")
+        sel.append(mcol.alias(metric[0]))
+    return out.select(*sel).orderBy("key")
 
 
 def filters_sql(

@@ -2034,3 +2034,31 @@ def test_composite_calendar_source(spark):
         run_search(df, {"aggs": {"p": {"composite": {"sources": [
             {"w": {"date_histogram": {"field": "t",
                                       "calendar_interval": "week"}}}]}}}})
+
+
+def test_filters_metric_sub_agg(spark):
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("b", 5.0), (None, 7.0)],
+        "tag string, v double",
+    )
+    body = {"aggs": {"f": {
+        "filters": {"filters": {"as": {"term": {"tag": "a"}},
+                                "bs": {"term": {"tag": "b"}}},
+                    "other_bucket": True},
+        "aggs": {"total": {"sum": {"field": "v"}}},
+    }}}
+    out = {r.key: (r.doc_count, r.total)
+           for r in run_search(df, body)["f"].collect()}
+    # NULL-tag doc lands in the other bucket (ES contract), metric rides
+    assert out == {"as": (2, 30.0), "bs": (1, 5.0), "_other_": (1, 7.0)}
+    # value_count zero-fills an empty bucket
+    body["aggs"]["f"]["aggs"] = {"n": {"value_count": {"field": "v"}}}
+    body["aggs"]["f"]["filters"]["filters"]["cs"] = {"term": {"tag": "c"}}
+    out = {r.key: (r.doc_count, r.n)
+           for r in run_search(df, body)["f"].collect()}
+    assert out["cs"] == (0, 0)
+    with pytest.raises(ValueError, match="exactly one metric"):
+        run_search(df, {"aggs": {"f": {
+            "filters": {"filters": {"as": {"term": {"tag": "a"}}}},
+            "aggs": {"x": {"sum": {"field": "v"}},
+                     "y": {"max": {"field": "v"}}}}}})
