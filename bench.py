@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "es_composite_month",
     "es_dsl_sqs",
     "es_search_post_filter",
+    "es_filters_metric",
     "es_delete_by_query",
     "es_update_by_query",
 ]

@@ -448,22 +448,30 @@ def filters_sql(
     filters: dict[str, str],
     other_bucket: bool = False,
     other_key: str = "_other_",
+    metric: tuple[str, str, str] | None = None,
 ) -> str:
-    arms = [
-        f"SELECT '{name}' AS key,"
-        f" CAST(COALESCE(SUM(CASE WHEN COALESCE({pred}, FALSE) THEN 1 ELSE 0 END), 0)"
-        " AS BIGINT) AS doc_count"
-        f" FROM {src}"
-        for name, pred in filters.items()
-    ]
+    none = " AND ".join(f"NOT COALESCE(({p}), FALSE)" for p in filters.values())
+    preds = dict(filters)
     if other_bucket:
-        none = " AND ".join(f"NOT COALESCE(({p}), FALSE)" for p in filters.values())
-        arms.append(
-            f"SELECT '{other_key}' AS key,"
-            f" CAST(COALESCE(SUM(CASE WHEN {none} THEN 1 ELSE 0 END), 0)"
-            " AS BIGINT) AS doc_count"
-            f" FROM {src}"
+        preds[other_key] = none
+    arms = []
+    for name, pred in preds.items():
+        cols = (
+            f"SELECT '{name}' AS key,"
+            f" CAST(COALESCE(SUM(CASE WHEN COALESCE({pred}, FALSE)"
+            " THEN 1 ELSE 0 END), 0) AS BIGINT) AS doc_count"
         )
+        if metric is not None:
+            mname, mkind, mfield = metric
+            fn = _FILTER_METRICS[mkind]
+            mexpr = (
+                f"{fn}(CASE WHEN COALESCE({pred}, FALSE)"
+                f" THEN {mfield} END)"
+            )
+            if mkind == "value_count":
+                mexpr = f"CAST(COALESCE({mexpr}, 0) AS BIGINT)"
+            cols += f", {mexpr} AS {mname}"
+        arms.append(cols + f" FROM {src}")
     return " UNION ALL ".join(arms) + " ORDER BY key"
 
 
@@ -887,6 +895,10 @@ def queries() -> dict:
         "es_extended_stats": lambda s, d: extended_stats_agg(
             load_table(s, d, "events"), ["event_type"], "value"
         ),
+        "es_filters_metric": lambda s, d: filters_agg(
+            load_table(s, d, "events"), _FILTERS, other_bucket=True,
+            metric=("vmax", "max", "value"),
+        ),
         "es_composite_month": lambda s, d: composite_agg(
             (lambda ev: ev.select(
                 ts_ms_col(ev).alias("t_ms"), "event_type"
@@ -971,6 +983,10 @@ def oracle_sql() -> dict:
             value_col="value"
         ),
         "es_extended_stats": extended_stats_sql("events", ["event_type"], "value"),
+        "es_filters_metric": filters_sql(
+            "events", _FILTERS, other_bucket=True,
+            metric=("vmax", "max", "value"),
+        ),
         "es_composite_month": composite_sql(
             "(SELECT epoch_ms(ts) AS t_ms, event_type FROM events)",
             [("m", "date_histogram_cal", "t_ms", "month"),
