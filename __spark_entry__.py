@@ -183,7 +183,8 @@ GRADE_FIRST: tuple[str, ...] = (
 # es_search_script_fields / terms_filtered / retriever / inference /
 # knn_facets, es_phrase_suggest, es_terms_enum, es_significant_jlh /
 # _chi2, es_delete_by_query, es_update_by_query, es_composite_month,
-# es_dsl_sqs, text_pii_redact, corpus_manifest, train_mix_rates_t4,
+# es_dsl_sqs, es_search_post_filter, es_filters_metric,
+# text_pii_redact, corpus_manifest, train_mix_rates_t4,
 # train_mix_tokens, emb_vector_percolate, stream_vector_percolate,
 # ann_rank_eval. (run_count / run_msearch / paginate_composite /
 # validate_query / field_caps are API wrappers — pytest-covered, not
