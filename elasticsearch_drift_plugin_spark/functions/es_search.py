@@ -172,7 +172,6 @@ _SIBLING_MULTI = (
 
 
 def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
-    raw = df  # pre-query frame — the `global` agg node escapes the filter
     """Execute a ``_search`` body; returns ``{agg_name: DataFrame}``.
 
     Sibling pipeline aggs (``avg_bucket``/``sum_bucket``/``min_bucket``/
@@ -188,6 +187,9 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
     so Catalyst prunes/pushes around it."""
     for fname, fspec in body.get("runtime_mappings", {}).items():
         df = df.withColumn(fname, F.expr(fspec["script"]["source"]))
+    # pre-query frame — the `global` agg node escapes the filter but, as
+    # in ES, still sees runtime-mapped fields (captured AFTER the loop)
+    raw = df
     if "query" in body:
         df = df.where(compile_query(body["query"]))
     aggs = body.get("aggs", body.get("aggregations", {}))
@@ -448,6 +450,9 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
             src = out[target].select(
                 (F.row_number().over(_W.orderBy("key")) - 1).alias("__i"),
                 F.col(col).cast("double").alias("__v"),
+                F.lit(1).alias("__isb"),  # bucket-side marker: survives the
+                # full_outer join even when __v is NULL, so BOTH mismatch
+                # directions (more buckets / fewer buckets) are counted
             )
             lit = src.sparkSession.createDataFrame(
                 list(enumerate(exps)), "__i int, __e double"
@@ -459,7 +464,7 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
             out[name] = (
                 src.join(F.broadcast(lit), "__i", "full_outer")
                 .agg(
-                    F.count(F.lit(1)).alias("__n"),
+                    F.count("__isb").alias("__n"),
                     F.count(F.when(both, 1)).cast("double").alias("__np"),
                     F.sum(F.when(both, F.col("__v"))).alias("__sv"),
                     F.sum(F.when(both, F.col("__e"))).alias("__se"),
@@ -1129,7 +1134,10 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
             baskets = part if baskets is None else baskets.unionByName(part)
         baskets = baskets.distinct()
         msup = spec.get("minimum_support", 0.1)
-        if isinstance(msup, float) and msup < 1.0:
+        # ES minimum_support is a FRACTION of baskets; any float <= 1.0 is
+        # fractional (1.0 = "every basket"), so only float > 1.0 (or an
+        # int) passes through as an absolute count
+        if isinstance(msup, float) and msup <= 1.0:
             n_tx = baskets.select("basket").distinct().count()
             msup = max(1, ceil(msup * n_tx))
         return frequent_item_sets(

@@ -22,8 +22,12 @@ disorder is corrected. ACROSS batches, two defenses compose:
    per-series watermark is folded into the counter — so any sample no more
    than ``delay`` late is merged into its correct event-time position
    and processed exactly like an in-order arrival. Buffered tails flush
-   on the next batch's watermark advance (a bounded replay flushes
-   everything at the final empty trigger — processAllAvailable drains).
+   on the next batch's watermark advance. Rows still inside the reorder
+   horizon when the stream ends REMAIN BUFFERED (standard watermark
+   semantics: with ``GroupStateTimeout.NoTimeout`` the state function is
+   only invoked for groups with new input, so there is no drain-on-close;
+   ``tests/test_streaming_recovery.py`` pins that a ``t+9000`` tail stays
+   buffered at end-of-replay).
 2. A sample at or before the state's last PROCESSED (t_ms, event_id) —
    i.e. later than the reorder horizon — cannot be replayed into the
    already-extended counter; silently folding it in would corrupt the

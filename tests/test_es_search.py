@@ -802,6 +802,18 @@ def test_global_and_auto_date_histogram_nodes(spark):
     assert out["all_docs"].collect()[0].doc_count == 3    # global escapes it
     assert out["all_total"].collect()[0][0] == 60.0
 
+    # runtime fields are visible to global aggs too (ES computes runtime
+    # mappings before query/agg evaluation; the global node escapes only
+    # the QUERY, not the mapping)
+    rt_body = {
+        "runtime_mappings": {"v2": {"script": {"source": "v * 2"}}},
+        "query": {"term": {"k": "a"}},
+        "aggs": {"all_v2": {"global": {},
+                            "aggs": {"t": {"sum": {"field": "v2"}}}}},
+    }
+    assert run_search(df, rt_body)["all_v2"].collect()[0][0] == 120.0
+    assert run_search.__doc__ is not None  # docstring not shadowed
+
     ev = spark.createDataFrame(
         [(i * 3_600_000,) for i in range(48)], "t long"
     )
@@ -1210,6 +1222,14 @@ def test_frequent_item_sets_node(spark):
     rows = [(r.items, r.set_size, r.support) for r in out.collect()]
     assert ("color:red+sz:L", 2, 2) in rows
     assert all(s >= 2 for _, _, s in rows)
+    # minimum_support=1.0 is a legal ES FRACTION ("in 100% of baskets"),
+    # not the absolute count 1 — only color:red spans all 3 baskets, and
+    # no 2-item set does, so the strictest setting returns nothing
+    strict = {"aggs": {"fis": {"frequent_item_sets": {
+        "fields": [{"field": "color"}, {"field": "sz"}],
+        "minimum_support": 1.0, "minimum_set_size": 2, "size": 5,
+    }}}}
+    assert run_search(df, strict)["fis"].count() == 0
 
 
 def test_change_point_bucket_correlation_siblings(spark):
@@ -1246,6 +1266,19 @@ def test_change_point_bucket_correlation_siblings(spark):
     }}
     with _pt.raises(Exception, match="does not match the bucket count"):
         run_search(ev, bad)["corr"].collect()
+    # the OTHER direction — fewer buckets (5) than expectations (7) — must
+    # raise too, not silently return a partial Pearson over matched pairs
+    bad2 = {"aggs": {
+        "hist": {"date_histogram": {"field": "t", "fixed_interval": 100},
+                 "aggs": {"vs": {"sum": {"field": "v"}}}},
+        "corr": {"bucket_correlation": {
+            "buckets_path": "hist>vs",
+            "function": {"count_correlation": {"indicator": {
+                "expectations": [1.0, 1.0, 1.0, 10.0, 10.0, 10.0, 10.0]}}},
+        }},
+    }}
+    with _pt.raises(Exception, match="does not match the bucket count"):
+        run_search(ev, bad2)["corr"].collect()
 
 
 def test_cumulative_cardinality_under_date_histogram(spark):
