@@ -224,18 +224,27 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
             if isinstance(srcspec, dict) and "includes" in srcspec
             else [c for c in df.columns if c != spec["field"]]
         )
+        # `index` hint (engine extension): route through a stored IVF
+        # index instead of the exact corpus scan — the 100 TB tier. The
+        # probed cells are the only partitions read.
+        if "index" in spec:
+            scorer = lambda kp: _knn_indexed_scored(  # noqa: E731
+                df.sparkSession, spec, kp
+            )
+        else:
+            scorer = lambda kp: _knn_scored(df, spec, kp)  # noqa: E731
         # aggs beside knn run over the k RETRIEVED hits (the ES contract:
         # facets over the semantic result set, not the whole index)
         if aggs:
-            topk = _knn_scored(
-                df, spec, [c for c in df.columns if c != spec["field"]]
+            topk = scorer(
+                [c for c in df.columns if c != spec["field"]]
             ).limit(int(spec["k"]))
             for name, node in aggs.items():
                 out[name] = _compile_agg(topk, name, node)
         # k is the retrieval depth; the body's `size` pages it (ES
         # returns min(k, size) hits; size=0 yields an empty hits page)
         page = min(int(spec["k"]), int(body.get("size", 10)))
-        out["_hits"] = _knn_scored(df, spec, keep).limit(page)
+        out["_hits"] = scorer(keep).limit(page)
         return out
     # hits retrieval — the ES response's `hits.hits` section, as the
     # reserved "_hits" frame. Opt-in: requires BOTH size > 0 AND an
@@ -340,17 +349,57 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
             # `collapse`: one hit per distinct collapse-field value — the
             # best one under the body's own sort (ES field collapsing).
             # Collapsing happens BEFORE search_after/from pagination, same
-            # as ES. inner_hits (the per-group runner-up lists) is
-            # unsupported and raises. Window rank per collapse key → keep
-            # rank 1; the partial sort runs per key group, never globally.
-            if "inner_hits" in coll:
-                raise ValueError("collapse inner_hits is unsupported")
+            # as ES. Window rank per collapse key → keep rank 1; the
+            # partial sort runs per key group, never globally.
             from pyspark.sql.window import Window
 
             worder = [
                 F.col(c).desc() if d else F.col(c).asc()
                 for c, d in zip(cols, descs)
             ]
+            # inner_hits (the per-group runner-up lists) → the reserved
+            # "_inner_hits" frame: top-`size` rows PER collapse group
+            # under the inner_hits' own sort (default: the body's sort),
+            # tagged with _inner_rank. ES nests these lists inside each
+            # returned hit; the engine's flattened form carries every
+            # group (a serving edge joins them onto its hits page) — the
+            # same one-window-pass shape as the collapse itself.
+            ih = coll.get("inner_hits")
+            if ih is not None:
+                ient = ih.get("sort", [])
+                if isinstance(ient, (str, dict)):
+                    ient = [ient]
+                icols, idescs = [], []
+                for ent in ient:
+                    if isinstance(ent, str):
+                        icols.append(ent)
+                        idescs.append(False)
+                    else:
+                        (c, o), = ent.items()
+                        icols.append(c)
+                        idescs.append(
+                            str(o if isinstance(o, str) else o.get("order", "asc"))
+                            .lower() == "desc"
+                        )
+                missing = [c for c in icols if c not in hits.columns]
+                if missing:
+                    raise ValueError(
+                        f"collapse inner_hits sort fields {missing} are not"
+                        " in the hits projection — include them in"
+                        " _source/fields"
+                    )
+                iworder = [
+                    F.col(c).desc() if d else F.col(c).asc()
+                    for c, d in zip(icols, idescs)
+                ] or worder
+                iw = Window.partitionBy(coll["field"]).orderBy(*iworder)
+                out["_inner_hits"] = (
+                    hits.withColumn(
+                        "_inner_rank", F.row_number().over(iw)
+                    )
+                    .where(F.col("_inner_rank") <= int(ih.get("size", 3)))
+                    .orderBy(coll["field"], "_inner_rank")
+                )
             w = Window.partitionBy(coll["field"]).orderBy(*worder)
             hits = (
                 hits.withColumn("_rn", F.row_number().over(w))
@@ -685,6 +734,35 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
             k: v for k, v in pipes.items() if "cumulative_cardinality" in v
         }
         pipes = {k: v for k, v in pipes.items() if k not in cumcards}
+        # bucket sub-agg: a single terms child flattens to a composite
+        # grouping — one row per (histogram bucket, term), with the terms
+        # node's OWN metric leaves riding the same aggregation pass and
+        # its `size` ranking applied per bucket (doc_count desc, key asc)
+        tsub = _extract_terms_sub(metrics)
+        if tsub is not None:
+            tspec, tchildren = tsub
+            if pipes or cumcards:
+                raise ValueError(
+                    "pipeline sub-aggs beside a terms child of a"
+                    " date_histogram are unsupported (the bucket frame is"
+                    " flattened per term)"
+                )
+            if int(spec.get("min_doc_count", 1)) == 0 or any(
+                b in spec for b in ("extended_bounds", "hard_bounds")
+            ):
+                raise ValueError(
+                    "date_histogram zero-fill/bounds with a terms child is"
+                    " unsupported — bucket-level fill semantics diverge"
+                    " per term"
+                )
+            tfield = tspec["field"]
+            flat = _date_histogram(
+                df.where(F.col(tfield).isNotNull()), spec,
+                sub=tchildren, group_by=(tfield,),
+            )
+            return _rank_terms_per_bucket(
+                flat, tfield, int(tspec.get("size", 10))
+            )
         buckets = _date_histogram(df, spec, sub=metrics)
         if cumcards:
             from ..operators.pipeline import cumulative_cardinality
@@ -758,6 +836,33 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
         from ..operators.es_aggs import histogram_agg, histogram_agg_filled
 
         metrics, pipes = _split_sub(sub)
+        # single terms child: same flattening contract as date_histogram
+        tsub = _extract_terms_sub(metrics)
+        if tsub is not None:
+            tspec, tchildren = tsub
+            if pipes:
+                raise ValueError(
+                    "pipeline sub-aggs beside a terms child of a histogram"
+                    " are unsupported (the bucket frame is flattened per"
+                    " term)"
+                )
+            if "min_doc_count" in spec or "extended_bounds" in spec:
+                raise ValueError(
+                    "histogram min_doc_count/extended_bounds with a terms"
+                    " child is unsupported — bucket-level semantics"
+                    " diverge per term"
+                )
+            tfield = tspec["field"]
+            flat = histogram_agg(
+                df.where(F.col(tfield).isNotNull()),
+                spec["field"], spec["interval"],
+                offset=spec.get("offset", 0.0),
+                extra_aggs=_metric_extra_aggs(tchildren) or None,
+                group_cols=(tfield,),
+            )
+            return _rank_terms_per_bucket(
+                flat, tfield, int(tspec.get("size", 10))
+            )
         if int(spec.get("min_doc_count", 1)) == 0:
             # zero-fill contract: the grid between data min/max (widened
             # by extended_bounds) appears complete, empties zero-filled
@@ -1455,16 +1560,21 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
     if kind == "significant_text":
         from ..operators.es_aggs import significant_text
 
-        if "background_filter" in spec:
-            raise ValueError(
-                "significant_text background_filter is not supported; "
-                "use the 'foreground' extension (selects the foreground set)"
-            )
         fg = spec["foreground"]
         fg_sql = fg if isinstance(fg, str) else compile_query_sql_expr(fg)
+        # background_filter narrows the background set, same contract as
+        # the significant_terms node (bg counts/totals over matching docs)
+        bg_sql = None
+        if "background_filter" in spec:
+            bgspec = spec["background_filter"]
+            bg_sql = (
+                bgspec if isinstance(bgspec, str)
+                else compile_query_sql_expr(bgspec)
+            )
         return significant_text(
             df, spec["field"], fg_sql, size=int(spec.get("size", 10)),
             min_doc_count=int(spec.get("min_doc_count", 3)),
+            background_where=bg_sql,
         )
     if kind == "geo_bounds":
         from ..operators.geo import geo_bounds_agg
@@ -1801,6 +1911,57 @@ def _apply_pipelines(buckets: DataFrame, pipes: dict, group_cols=()) -> DataFram
         ).drop("__bs_rn")
         buckets = buckets.orderBy(*group_cols, *order, F.col("key").asc())
     return buckets
+
+
+def _extract_terms_sub(metrics: dict):
+    """At most one ``terms`` node among a histogram's non-pipeline
+    sub-aggs → ``(terms_spec, child_aggs)``; ``None`` if absent. The
+    terms child must be the ONLY non-pipeline sub-agg — a sibling metric
+    leaf would silently aggregate per (bucket, term) instead of per
+    bucket, so that composition raises instead. Only ``field``/``size``
+    terms options are supported here (``order``/``include``/``missing``
+    under a histogram raise loudly — per-bucket variants of those have no
+    single flattened grouping)."""
+    tnames = [
+        n for n, s in (metrics or {}).items()
+        if "terms" in {k for k in s if k not in ("aggs", "aggregations", "meta")}
+    ]
+    if not tnames:
+        return None
+    if len(metrics) > 1:
+        raise ValueError(
+            "a terms sub-agg under a histogram must be the only"
+            " non-pipeline sub-agg (sibling metric leaves would aggregate"
+            " per (bucket, term)) — register siblings as a separate agg"
+        )
+    (tname,) = tnames
+    tnode = metrics[tname]
+    tspec = tnode["terms"]
+    unsupported = set(tspec) - {"field", "size"}
+    if unsupported:
+        raise ValueError(
+            f"terms under a histogram supports field/size only, got"
+            f" {sorted(unsupported)}"
+        )
+    return tspec, tnode.get("aggs", tnode.get("aggregations", {}))
+
+
+def _rank_terms_per_bucket(buckets: DataFrame, tfield: str, size: int) -> DataFrame:
+    """ES per-bucket terms ranking over the flattened (bucket, term) frame:
+    top-``size`` terms per histogram bucket by doc_count desc, key asc —
+    the window partitions by the RESULT-sized bucket key, never the raw
+    data."""
+    from pyspark.sql import Window as _W
+
+    rw = _W.partitionBy("key").orderBy(
+        F.col("doc_count").desc(), F.col(tfield).asc()
+    )
+    return (
+        buckets.withColumn("__tr", F.row_number().over(rw))
+        .where(F.col("__tr") <= int(size))
+        .drop("__tr")
+        .orderBy("key", F.col("doc_count").desc(), F.col(tfield).asc())
+    )
 
 
 def _metric_extra_aggs(sub: dict) -> dict:
@@ -2280,6 +2441,63 @@ def _knn_scored(df: DataFrame, spec: dict, keep: list) -> DataFrame:
         for f in filters:  # ES accepts one filter or a list (ANDed)
             hits = hits.where(compile_query(f))
     qv = lit_vec([float(x) for x in spec["query_vector"]])
+    v = F.transform(F.col(spec["field"]), lambda x: x.cast("double"))
+    score = dot(qv, v)
+    if sim == "cosine":
+        score = score / (l2_norm(qv) * l2_norm(v))
+    scored = hits.select(
+        *keep, F.floor(score * F.lit(1e6)).cast("long").alias("_score_q")
+    )
+    return scored.orderBy(
+        F.col("_score_q").desc(), *[F.col(c).asc() for c in keep]
+    )
+
+
+def _knn_indexed_scored(spark, spec: dict, keep: list) -> DataFrame:
+    """knn through a stored IVF index (``spec["index"] = {"path",
+    "nprobe"}``, built by ``operators.similarity.build_ivf_index``): read
+    the centroid table at ``path/_centroids`` (O(n_centroids · dim)
+    bytes), rank cells for the literal query vector DRIVER-SIDE with the
+    exact arithmetic of ``ivf_assign``'s cell score (sequential-fold dot,
+    ``floor(dot / |c| · 1e6)`` integer quanta, ties to the lower cid), and
+    scan ONLY the probed cell partitions — Catalyst prunes the rest at
+    planning time, so probe I/O is nprobe/n_centroids of the corpus at
+    any scale. Scoring/ordering then matches the exact tier bit-for-bit
+    within the probed cells (the ``ann_knn_cells`` determinism contract:
+    cell assignment and probe selection are integer-quantized, so the
+    candidate SET is engine-reproducible)."""
+    import math
+
+    from .vectors import dot, l2_norm, lit_vec
+
+    ispec = spec["index"]
+    nprobe = int(ispec.get("nprobe", 4))
+    cents = spark.read.parquet(ispec["path"] + "/_centroids").collect()
+    qv_list = [float(x) for x in spec["query_vector"]]
+    ranked = []
+    for r in cents:
+        acc = 0.0
+        for x, y in zip(qv_list, r["embedding"]):
+            acc += x * y  # sequential fold == the stored assignment's order
+        ranked.append((-math.floor(acc / r["nm"] * 1e6), int(r["cid"])))
+    probed = [cid for _, cid in sorted(ranked)[:nprobe]]
+    hits = spark.read.parquet(ispec["path"]).where(F.col("cell").isin(probed))
+    missing = [c for c in keep if c not in hits.columns]
+    if missing:
+        raise ValueError(
+            f"knn index at {ispec['path']!r} does not carry columns"
+            f" {missing} — rebuild with build_ivf_index(keep_cols=...)"
+        )
+    sim = spec.get("similarity", "cosine")
+    if sim not in ("cosine", "dot_product"):
+        raise ValueError(f"unsupported knn similarity {sim!r}")
+    if "filter" in spec:
+        filters = spec["filter"]
+        if isinstance(filters, dict):
+            filters = [filters]
+        for f in filters:
+            hits = hits.where(compile_query(f))
+    qv = lit_vec(qv_list)
     v = F.transform(F.col(spec["field"]), lambda x: x.cast("double"))
     score = dot(qv, v)
     if sim == "cosine":

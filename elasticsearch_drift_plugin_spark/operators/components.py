@@ -354,8 +354,9 @@ def queries() -> dict:
         # MinHash/LSH verified pairs at j >= 0.5 -> transitive duplicate
         # groups; survivor per group = the component id itself
         "dedup_components": lambda s, d: component_summary(_pairs(s, d)),
-        # iterative fixpoint => rows-only driver check (like emb_kmeans_*);
-        # conservation/ordering invariants are pytest-pinned
+        # iterative fixpoint, but integer-quantized => oracle-PAIRED via a
+        # recursive-CTE replay (pagerank_oracle_sql); conservation/ordering
+        # invariants additionally pytest-pinned
         "graph_pagerank": lambda s, d: pagerank(
             _pairs(s, d).select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         ),
@@ -385,11 +386,73 @@ def oracle_sql() -> dict:
         "dedup_canonical_map": canonical_oracle_sql(
             dedup.minhash_pairs_sql(), f"WHERE jacc_q >= {JACC_KEEP_Q}"
         ),
+        "graph_pagerank": pagerank_oracle_sql(
+            dedup.minhash_pairs_sql(), f"WHERE jacc_q >= {JACC_KEEP_Q}"
+        ),
         "dedup_quality_canonical": quality_canonical_oracle_sql(
             dedup.minhash_pairs_sql(), f"WHERE jacc_q >= {JACC_KEEP_Q}"
         ),
         "dedup_semantic": semantic_canonical_oracle_sql(dedup.EMB_NEARDUP_SQL),
     }
+
+
+def pagerank_oracle_sql(
+    pairs_sql: str,
+    threshold_clause: str = "",
+    n_iter: int = 10,
+    damping_num: int = 85,
+    quant: int = 1_000_000_000,
+    tol_q: int = 1_000,
+) -> str:
+    """DuckDB twin of :func:`pagerank` — possible ONLY because the operator
+    quantizes ranks to integers (every step is order-free integer
+    arithmetic, so a recursive CTE reproduces the fixpoint bit-exactly;
+    float PageRank could never be cross-engine hash-matched).
+
+    The recursion carries the full iteration history ``(it, node,
+    rank_q)``; every node has >= 1 inbound edge by construction (the edge
+    set is symmetrized), so the per-iteration GROUP BY covers all nodes
+    and the operator's left-join-coalesce never fires. The operator's
+    early stop (break once no node moved > ``tol_q``) is replayed OUTSIDE
+    the recursion: iterations are cheap at oracle scale, so all ``n_iter``
+    are materialized and the emitted snapshot is the first one whose
+    predecessor delta is within tolerance — exactly the loop's exit state.
+    """
+    base_q = (100 - damping_num) * quant // 100
+    return f"""
+WITH RECURSIVE __pairs AS ({pairs_sql}),
+__pp AS (SELECT doc_a, doc_b FROM __pairs {threshold_clause}),
+__e(u, v) AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT doc_a AS u, doc_b AS v FROM __pp
+    UNION ALL SELECT doc_b AS u, doc_a AS v FROM __pp
+  )
+),
+__deg AS (SELECT u AS node, COUNT(*) AS deg FROM __e GROUP BY u),
+__pr(it, node, rank_q) AS (
+  SELECT 0, node, CAST({quant} AS BIGINT) FROM __deg
+  UNION ALL
+  SELECT t.it + 1, e.v,
+         CAST({base_q} + ({damping_num}
+              * SUM((t.rank_q - t.rank_q % d.deg) // d.deg)) // 100 AS BIGINT)
+  FROM __pr t JOIN __deg d ON d.node = t.node JOIN __e e ON e.u = t.node
+  WHERE t.it < {int(n_iter)}
+  GROUP BY t.it, e.v
+),
+__moved AS (
+  SELECT n.it,
+         MAX(CASE WHEN abs(n.rank_q - o.rank_q) > {int(tol_q)}
+             THEN 1 ELSE 0 END) AS any_moved
+  FROM __pr n JOIN __pr o ON o.node = n.node AND o.it = n.it - 1
+  GROUP BY n.it
+),
+__stop AS (
+  SELECT COALESCE(MIN(it) FILTER (WHERE any_moved = 0), {int(n_iter)}) AS s
+  FROM __moved
+)
+SELECT node, rank_q FROM __pr WHERE it = (SELECT s FROM __stop)
+ORDER BY rank_q DESC, node
+"""
 
 
 def _closure_ctes(pairs_sql: str, threshold_clause: str) -> str:

@@ -1006,6 +1006,85 @@ ORDER BY pair_count DESC, pair LIMIT {k}
 BPE_END = "</w>"
 
 
+def bpe_train_sql(n_merges: int = 30, max_vocab: int = 50_000) -> str:
+    r"""DuckDB twin of :func:`bpe_train` — possible because the merge loop
+    is a DETERMINISTIC fold over a SQL-derivable word-frequency table, so
+    ``n_merges`` unrolled re-segmentation steps replay it exactly.
+
+    Per step k over the positions table ``s{{k-1}}`` (one row per (word,
+    position, symbol)): the winning pair is the full-recount argmax
+    (count desc, left, right — the operator's lazy-heap key yields the
+    identical sequence), and the merge applies LEFT-TO-RIGHT
+    NON-OVERLAPPING exactly like the kernel's scan: within each maximal
+    run of consecutive match positions (gaps-and-islands on the
+    row-number index) only every ODD member merges — the even ones lost
+    their left symbol to the previous merge. A step whose best count is
+    < 2 emits nothing and passes the state through unchanged (LEFT JOIN
+    ON TRUE against the empty best row), mirroring the loop's early
+    break. Every per-step CTE is MATERIALIZED — each is referenced more
+    than once, and inlining would grow the plan exponentially in k.
+    """
+    parts = []
+    for k in range(1, int(n_merges) + 1):
+        parts.append(f"""
+a{k} AS MATERIALIZED (
+  SELECT w, c, pos, sym,
+         ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS idx,
+         LEAD(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+  FROM s{k - 1}
+),
+best{k} AS MATERIALIZED (
+  SELECT sym AS l, nxt AS r, cnt, {k - 1} AS rank
+  FROM (SELECT sym, nxt, SUM(c) AS cnt FROM a{k}
+        WHERE nxt IS NOT NULL GROUP BY sym, nxt)
+  WHERE cnt >= 2 ORDER BY cnt DESC, sym, nxt LIMIT 1
+),
+mt{k} AS MATERIALIZED (
+  SELECT a.w, a.c, a.pos, a.sym, a.idx, b.l, b.r,
+         CASE WHEN a.sym = b.l AND a.nxt = b.r THEN 1 ELSE 0 END AS ism
+  FROM a{k} a LEFT JOIN best{k} b ON TRUE
+),
+act{k} AS MATERIALIZED (
+  SELECT w, idx FROM (
+    SELECT w, idx,
+           ROW_NUMBER() OVER (PARTITION BY w, grp ORDER BY idx) AS j
+    FROM (SELECT w, idx,
+                 idx - ROW_NUMBER() OVER (PARTITION BY w ORDER BY idx) AS grp
+          FROM mt{k} WHERE ism = 1))
+  WHERE j % 2 = 1
+),
+s{k} AS MATERIALIZED (
+  SELECT m.w, m.c, m.pos,
+         CASE WHEN act.idx IS NOT NULL THEN m.l || m.r ELSE m.sym END AS sym
+  FROM mt{k} m
+  LEFT JOIN act{k} act ON act.w = m.w AND act.idx = m.idx
+  WHERE NOT EXISTS (SELECT 1 FROM act{k} a2
+                    WHERE a2.w = m.w AND a2.idx = m.idx - 1)
+)""")
+    steps = ",".join(parts)
+    sel = " UNION ALL ".join(
+        f'SELECT CAST(rank AS BIGINT) AS rank, l AS "left", r AS "right", '
+        f"CAST(cnt AS BIGINT) AS pair_count FROM best{k}"
+        for k in range(1, int(n_merges) + 1)
+    )
+    return rf"""
+WITH wfreq AS MATERIALIZED (
+  SELECT w, COUNT(*) AS c
+  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents)
+  WHERE len(w) >= 1
+  GROUP BY w ORDER BY c DESC, w LIMIT {int(max_vocab)}
+),
+s0 AS MATERIALIZED (
+  SELECT w, c, i AS pos, substr(w, CAST(i AS INTEGER), 1) AS sym
+  FROM (SELECT w, c, unnest(range(1, len(w) + 1)) AS i FROM wfreq)
+  UNION ALL
+  SELECT w, c, len(w) + 1, '{BPE_END}' FROM wfreq
+),
+{steps}
+SELECT * FROM ({sel}) ORDER BY rank
+"""
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 50,
@@ -1035,9 +1114,12 @@ def bpe_train(
     change pushes a fresh entry (stale ones are skipped on pop), so the
     selection sequence is identical to a full recount each round. Words
     segment as characters + the ``</w>`` end marker. The loop stops early
-    when no pair occurs twice. Iterative ⇒ rows-only (no SQL twin); the
-    merge sequence is pinned by the classic low/lower/newest/widest golden
-    in pytest.
+    when no pair occurs twice. The fold is deterministic over a
+    SQL-derivable word-freq table, so it IS oracle-paired:
+    :func:`bpe_train_sql` unrolls the merge steps as full-recount
+    re-segmentation rounds — any drift in the incremental accounting
+    would hash-mismatch there; the classic low/lower/newest/widest golden
+    is additionally pinned in pytest.
     """
     import heapq
     from collections import Counter
@@ -1465,8 +1547,9 @@ def queries() -> dict:
         "corpus_chunk": lambda s, d: chunk_documents(
             load_table(s, d, "documents"), chunk_tokens=32, overlap=8
         ),
-        # full tokenizer-induction story (iterative => rows-only): train the
-        # merge table, then tokenize the corpus with it
+        # full tokenizer-induction story: train the merge table (oracle-
+        # paired via the unrolled bpe_train_sql replay), then tokenize the
+        # corpus with it (encode stays rows-only — its golden is in pytest)
         "corpus_bpe_train": lambda s, d: bpe_train(
             load_table(s, d, "documents"), n_merges=30
         ),
@@ -1509,6 +1592,7 @@ def oracle_sql() -> dict:
         "corpus_span_dedup": span_dedup_sql(),
         "corpus_top_ngrams": top_ngrams_sql(),
         "corpus_bpe_pairs": bpe_pairs_sql(),
+        "corpus_bpe_train": bpe_train_sql(n_merges=30),
         "corpus_chunk": chunk_documents_sql(chunk_tokens=32, overlap=8),
         "corpus_log_odds": log_odds_sql(),
         "corpus_zipf_slope": zipf_slope_sql(),

@@ -241,12 +241,15 @@ def histogram_agg(
     min_doc_count: int = 1,
     value_col: str | None = None,
     extra_aggs: dict | None = None,
+    group_cols: tuple = (),
 ) -> DataFrame:
-    """(key, doc_count[, value_q][, extra…]): ES numeric ``histogram``.
-    Bucket key = ``floor((v - offset) / interval) * interval + offset``
-    (ES histogram key contract). One partial+final aggregation.
-    ``extra_aggs`` (name → pre-aliased aggregate Column) are the ES metric
-    sub-aggs, computed in the SAME aggregation — zero extra passes."""
+    """(group…, key, doc_count[, value_q][, extra…]): ES numeric
+    ``histogram``. Bucket key = ``floor((v - offset) / interval) *
+    interval + offset`` (ES histogram key contract). One partial+final
+    aggregation. ``extra_aggs`` (name → pre-aliased aggregate Column) are
+    the ES metric sub-aggs, computed in the SAME aggregation — zero extra
+    passes. ``group_cols`` prepends grouping dimensions (the compiler's
+    terms-under-histogram flattening: one row per (bucket, term))."""
     v = F.col(field)
     key = (
         F.floor((v - F.lit(float(offset))) / F.lit(float(interval)))
@@ -269,10 +272,10 @@ def histogram_agg(
     aggs.extend((extra_aggs or {}).values())
     return (
         df.where(v.isNotNull() & ~F.isnan(field))
-        .groupBy(key.alias("key"))
+        .groupBy(*group_cols, key.alias("key"))
         .agg(*aggs)
         .where(F.col("doc_count") >= min_doc_count)
-        .orderBy("key")
+        .orderBy(*group_cols, "key")
     )
 
 
@@ -1383,24 +1386,33 @@ def significant_text(
     size: int = 10,
     min_doc_count: int = 3,
     score: str = "lift",
+    background_where: str | None = None,
 ) -> DataFrame:
     """(key, fg_count, bg_count, score_q): ES ``significant_text`` — the
     free-text twin of :func:`significant_terms`. Tokens (whitespace split)
     counted by DOC frequency — ``array_distinct`` before the explode, the
     ES de-duplication contract — then the identical exact-integer fg/bg
     lift, ranking, and pruning (delegated to significant_terms, so the
-    scoring cannot drift between the two).
+    scoring cannot drift between the two). ``background_where`` is ES's
+    ``background_filter`` — it NARROWS the background set (bg counts and
+    totals over matching docs only), same contract as significant_terms.
 
     Scale: explode of distinct tokens is map-side; everything after is the
     one aggregation pass significant_terms already does.
     """
-    toks = df.select(
+    cols = [
         F.expr(f"COALESCE({foreground_where}, FALSE)").alias("__fg_flag"),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
-    ).where(F.col("tok") != "")
+    ]
+    if background_where is not None:
+        cols.insert(
+            1, F.expr(f"COALESCE({background_where}, FALSE)").alias("__bg_flag")
+        )
+    toks = df.select(*cols).where(F.col("tok") != "")
     return significant_terms(
         toks, "tok", "__fg_flag", size=size, min_doc_count=min_doc_count,
         score=score,
+        background_where="__bg_flag" if background_where is not None else None,
     )
 
 
@@ -1411,6 +1423,7 @@ def significant_text_sql(
     size: int = 10,
     min_doc_count: int = 3,
     score: str = "lift",
+    background_where: str | None = None,
 ) -> str:
     if score == "lift":
         score_sql = (
@@ -1421,18 +1434,25 @@ def significant_text_sql(
         score_sql = (
             f"CAST(FLOOR({_SIG_SCORE_EXPRS[score]} * 1000000.0) AS BIGINT)"
         )
+    bg = (
+        f"CASE WHEN COALESCE({background_where}, FALSE) THEN 1 ELSE 0 END"
+        if background_where is not None
+        else "1"
+    )
     return f"""
 WITH toks AS (
   SELECT unnest(list_distinct(string_split({text_col}, ' '))) AS key,
-         CASE WHEN COALESCE({foreground_where}, FALSE) THEN 1 ELSE 0 END AS fg
+         CASE WHEN COALESCE({foreground_where}, FALSE) THEN 1 ELSE 0 END AS fg,
+         {bg} AS bg
   FROM {src}
 ),
 per_term AS (
-  SELECT key, SUM(fg) AS fg_count, COUNT(*) AS bg_count
-  FROM toks WHERE key <> '' GROUP BY key
+  SELECT key, SUM(fg) AS fg_count, SUM(bg) AS bg_count
+  FROM toks WHERE key <> '' GROUP BY key HAVING SUM(bg) > 0
 ),
 totals AS (SELECT SUM(fg_count) AS fg_total, SUM(bg_count) AS bg_total FROM per_term)
-SELECT key, CAST(fg_count AS BIGINT) AS fg_count, bg_count,
+SELECT key, CAST(fg_count AS BIGINT) AS fg_count,
+       CAST(bg_count AS BIGINT) AS bg_count,
        {score_sql} AS score_q
 FROM per_term, totals
 WHERE fg_count >= {min_doc_count}

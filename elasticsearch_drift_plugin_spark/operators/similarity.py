@@ -170,10 +170,14 @@ def _cell_score_sql(vec: list[float], norm: float) -> str:
     )
 
 
-def ivf_assign(emb: DataFrame, cents, id_col: str = "vec_id") -> DataFrame:
-    """(vec_id, cell, embedding): nearest-centroid assignment, fully map-side
-    — the centroid table is inlined as literals so the corpus is never
-    shuffled and the whole argmax stays in codegen."""
+def ivf_assign(
+    emb: DataFrame, cents, id_col: str = "vec_id", keep_cols: tuple = ()
+) -> DataFrame:
+    """(vec_id, embedding[, keep…], cell): nearest-centroid assignment,
+    fully map-side — the centroid table is inlined as literals so the
+    corpus is never shuffled and the whole argmax stays in codegen.
+    ``keep_cols`` rides payload columns (e.g. a label) into the index so
+    a serving path never has to join back to the corpus."""
     structs = ",".join(
         f"named_struct('s', {_cell_score_sql(vec, nm)},"
         f" 'neg_cid', {-cid}, 'cid', {cid})"
@@ -181,7 +185,8 @@ def ivf_assign(emb: DataFrame, cents, id_col: str = "vec_id") -> DataFrame:
     )
     best = F.expr(f"array_max(array({structs})).cid")
     return emb.withColumn("__v", F.expr(_V_DOUBLE_SQL)).select(
-        F.col(id_col), F.col("embedding"), best.alias("cell")
+        F.col(id_col), F.col("embedding"),
+        *[F.col(c) for c in keep_cols], best.alias("cell"),
     )
 
 
@@ -1481,6 +1486,34 @@ def write_ivf_index(assigned: DataFrame, path: str, mode: str = "overwrite") -> 
     planning time, so probe I/O is ``nprobe/n_centroids`` of the corpus
     regardless of corpus size."""
     assigned.write.mode(mode).partitionBy("cell").parquet(path)
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = N_CENTROIDS,
+    id_col: str = "vec_id",
+    keep_cols: tuple = (),
+    mode: str = "overwrite",
+):
+    """Seed centroids, assign, and persist a SELF-DESCRIBING IVF index:
+    the cell-partitioned vectors at ``path`` plus the centroid table at
+    ``path/_centroids`` (an underscore-prefixed subdir — parquet readers
+    treat it as hidden metadata, so ``spark.read.parquet(path)`` still
+    sees only the cells). A consumer (the ``_search`` knn node's
+    ``index`` hint) needs nothing but the path: it reads the centroids
+    (O(n_centroids · dim) bytes), picks its probe cells, and scans only
+    those partitions. Returns the centroid list in :func:`kmeans_fit`'s
+    (cid, vec, norm) format."""
+    cents = _seed_centroids(emb, n_centroids, id_col)
+    write_ivf_index(
+        ivf_assign(emb, cents, id_col, keep_cols=keep_cols), path, mode=mode
+    )
+    emb.sparkSession.createDataFrame(
+        [(cid, vec, nm) for cid, vec, nm in cents],
+        "cid long, embedding array<double>, nm double",
+    ).coalesce(1).write.mode(mode).parquet(path + "/_centroids")
+    return cents
 
 
 def ivf_topk_from_index(

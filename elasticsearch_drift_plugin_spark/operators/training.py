@@ -694,11 +694,13 @@ def pack_sequences_bfd(
     stream-append property (BFD must see the whole group; next-fit never
     looks back — that is why next-fit remains the incremental default).
 
-    Same Arrow per-group kernel shape as next-fit; the bin state is a list
-    (not expressible as a recursive CTE), so this registers rows-only and
-    pins its semantics with pytest invariants instead (capacity respected,
-    no doc lost, never more sequences than next-fit on the fixtures,
-    >= the ceil(total/capacity) lower bound).
+    Same Arrow per-group kernel shape as next-fit. The bin state is a
+    list, but DuckDB's LIST-typed recursive CTEs can carry it, so the
+    deterministic fold IS oracle-paired (:func:`pack_sequences_bfd_sql`
+    replays the same largest-first best-fit rule step by step); pytest
+    additionally pins the packing invariants (capacity respected, no doc
+    lost, never more sequences than next-fit on the fixtures, >= the
+    ceil(total/capacity) lower bound).
     """
     cap = int(capacity)
     toks = docs.select(
@@ -738,6 +740,58 @@ def pack_sequences_bfd(
         .applyInPandas(_pack, schema=out_schema)
         .orderBy("group", "doc_id")
     )
+
+
+def pack_sequences_bfd_sql(
+    capacity: int = 256,
+    group_col: str = "source",
+    src: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`pack_sequences_bfd`: the recursive CTE carries
+    the open-bin load vector as a LIST column and replays the exact
+    largest-first best-fit rule per step — rems = cap - used - n over the
+    list, the winner is the FIRST index attaining the minimal non-negative
+    remainder (``list_position`` returns the first occurrence, matching
+    the kernel's strict `<` scan), else a new bin is appended."""
+    cap = int(capacity)
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT {group_col} AS grp, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         ROW_NUMBER() OVER (PARTITION BY {group_col}
+                            ORDER BY len(string_split(text, ' ')) DESC, doc_id) AS rn
+  FROM {src}
+),
+pack AS (
+  SELECT grp, doc_id, n, rn, CAST(0 AS BIGINT) AS seq_no,
+         CAST(0 AS BIGINT) AS seq_offset, [n] AS used
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT s.grp, s.doc_id, s.n, s.rn,
+         CASE WHEN s.best_rem IS NULL THEN CAST(len(s.used) AS BIGINT)
+              ELSE CAST(s.best_idx - 1 AS BIGINT) END,
+         CASE WHEN s.best_rem IS NULL THEN CAST(0 AS BIGINT)
+              ELSE s.used[s.best_idx] END,
+         CASE WHEN s.best_rem IS NULL THEN list_append(s.used, s.n)
+              ELSE list_transform(s.used,
+                   (x, i) -> CASE WHEN i = s.best_idx THEN x + s.n ELSE x END)
+         END
+  FROM (
+    SELECT p.used, d.grp, d.doc_id, d.n, d.rn,
+           list_aggregate(list_filter(
+               list_transform(p.used, u -> {cap} - u - d.n),
+               x -> x >= 0), 'min') AS best_rem,
+           list_position(
+               list_transform(p.used, u -> {cap} - u - d.n),
+               list_aggregate(list_filter(
+                   list_transform(p.used, u -> {cap} - u - d.n),
+                   x -> x >= 0), 'min')) AS best_idx
+    FROM pack p JOIN d ON d.grp = p.grp AND d.rn = p.rn + 1
+  ) s
+)
+SELECT grp AS "group", doc_id, n AS n_tokens, seq_no, seq_offset
+FROM pack ORDER BY "group", doc_id
+"""
 
 
 def shard_by_tokens(
@@ -987,7 +1041,8 @@ def queries() -> dict:
         "train_curriculum": lambda s, d: curriculum_order(
             load_table(s, d, "documents")
         ),
-        # list-valued bin state => no recursive-CTE twin; rows-only
+        # list-valued bin state, carried by a LIST-typed recursive CTE =>
+        # oracle-paired (pack_sequences_bfd_sql)
         "train_pack_bfd": lambda s, d: pack_sequences_bfd(
             load_table(s, d, "documents"), capacity=256
         ),
@@ -1003,6 +1058,7 @@ def queries() -> dict:
 def oracle_sql() -> dict:
     return {
         "train_pack_sequences": pack_sequences_sql(capacity=256),
+        "train_pack_bfd": pack_sequences_bfd_sql(capacity=256),
         "train_pack_sharded": pack_sequences_sharded_sql(capacity=256, n_shards=4),
         "train_domain_mix": domain_mix_sql(target_docs=250),
         "train_mix_rates": mix_rates_sql(target_docs=250),

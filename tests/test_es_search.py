@@ -906,6 +906,19 @@ def test_significant_text_and_geo_point_nodes(spark):
     want = significant_text(docs, "text", "lang = 'en'", size=3, min_doc_count=1)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
+    # background_filter narrows the BACKGROUND set (bg counts/totals over
+    # matching docs only); foreground unchanged. Excluding doc 4 from the
+    # background: bg for 'alpha' drops 3→2, 'delta' 2→1
+    bg = run_search(docs, {"aggs": {"sig": {"significant_text": {
+        "field": "text", "foreground": {"term": {"lang": "en"}},
+        "background_filter": {"range": {"doc_id": {"lte": 3}}},
+        "size": 10, "min_doc_count": 1}}}})["sig"]
+    rows = {r.key: (r.fg_count, r.bg_count) for r in bg.collect()}
+    assert rows["alpha"] == (2, 2) and rows["beta"] == (1, 2)
+    assert rows["gamma"] == (1, 1)
+    # 'delta' is foreground-absent (fg_count 0 < min_doc_count 1) -> pruned
+    assert "delta" not in rows
+
     pts = spark.createDataFrame(
         [(10.0, 20.0), (-5.0, 40.0), (2.5, -30.0)], "lat double, lon double"
     )
@@ -1493,6 +1506,55 @@ def test_knn_section(spark):
                                 "similarity": "l2_norm"}})
 
 
+def test_terms_under_histogram(spark):
+    # numeric histogram owning a terms child: one row per (bucket, term),
+    # terms ranked per bucket (doc_count desc, key asc), child metric
+    # leaves ride the same aggregation pass
+    df = spark.createDataFrame(
+        [(5, "a", 1.0), (7, "a", 2.0), (9, "b", 3.0),
+         (15, "b", 4.0), (17, "b", 5.0), (19, "a", 6.0), (21, None, 7.0)],
+        "n long, tag string, v double",
+    )
+    body = {"aggs": {"h": {
+        "histogram": {"field": "n", "interval": 10},
+        "aggs": {"tags": {"terms": {"field": "tag", "size": 1},
+                          "aggs": {"mx": {"max": {"field": "v"}}}}},
+    }}}
+    rows = [(r.tag, r.key, r.doc_count, r.mx)
+            for r in run_search(df, body)["h"].collect()]
+    # bucket 0: a×2 beats b×1; bucket 10: b×2 beats a×1; the NULL-tag doc
+    # (21) is dropped (ES terms semantics); size=1 keeps the winner only
+    assert rows == [("a", 0.0, 2, 2.0), ("b", 10.0, 2, 5.0)]
+
+    # date_histogram variant: same flattening through the psum route
+    ev = spark.createDataFrame(
+        [(50, "x"), (60, "x"), (70, "y"), (150, "y"), (160, "y")],
+        "t long, tag string",
+    )
+    dh = {"aggs": {"h": {
+        "date_histogram": {"field": "t", "fixed_interval": 100},
+        "aggs": {"tags": {"terms": {"field": "tag", "size": 1}}},
+    }}}
+    got = [(r.tag, r.key, r.doc_count)
+           for r in run_search(ev, dh)["h"].drop("key_ts").collect()]
+    assert got == [("x", 0, 2), ("y", 100, 2)]
+
+    # unsupported compositions stay loud: sibling metric beside the terms
+    # child, and terms options beyond field/size
+    with pytest.raises(ValueError, match="only non-pipeline sub-agg"):
+        run_search(df, {"aggs": {"h": {
+            "histogram": {"field": "n", "interval": 10},
+            "aggs": {"tags": {"terms": {"field": "tag"}},
+                     "mv": {"max": {"field": "v"}}},
+        }}})
+    with pytest.raises(ValueError, match="field/size only"):
+        run_search(df, {"aggs": {"h": {
+            "histogram": {"field": "n", "interval": 10},
+            "aggs": {"tags": {"terms": {"field": "tag",
+                                        "order": {"_key": "asc"}}}},
+        }}})
+
+
 def test_collapse_field_collapsing(spark):
     df = spark.createDataFrame(
         [(1, "a", 5.0), (2, "a", 9.0), (3, "b", 7.0), (4, "b", 3.0),
@@ -1512,10 +1574,23 @@ def test_collapse_field_collapsing(spark):
     # search_after pages past the collapsed frontier, not the raw hits
     out = run_search(df, dict(body, search_after=[9.0, 2]))["_hits"].collect()
     assert [(r.event_id, r.value) for r in out] == [(5, 9.0), (3, 7.0)]
-    # inner_hits is refused loudly
-    with pytest.raises(ValueError, match="inner_hits"):
-        run_search(df, dict(body, collapse={"field": "grp",
-                                            "inner_hits": {"name": "x"}}))
+    # inner_hits → the reserved "_inner_hits" frame: top-size rows PER
+    # collapse group under the inner sort (default: the body's sort)
+    res = run_search(df, dict(body, collapse={
+        "field": "grp", "inner_hits": {"name": "x", "size": 2}}))
+    inner = [(r.grp, r.event_id, r._inner_rank)
+             for r in res["_inner_hits"].collect()]
+    assert inner == [("a", 2, 1), ("a", 1, 2),
+                     ("b", 3, 1), ("b", 4, 2),
+                     ("c", 5, 1)]
+    # the collapsed hits page is unchanged by inner_hits
+    assert [(r.event_id, r.value) for r in res["_hits"].collect()] == [
+        (2, 9.0), (5, 9.0)]
+    # an inner sort referencing a column outside the projection raises
+    with pytest.raises(ValueError, match="not.*in the hits projection"):
+        run_search(df, dict(body, collapse={
+            "field": "grp",
+            "inner_hits": {"sort": [{"missing_col": "asc"}]}}))["_inner_hits"]
 
 
 def test_highlight_whole_field(spark):

@@ -1103,6 +1103,56 @@ def test_ivf_index_at_rest_partition_prunes(spark, tmp_path):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, expect.collect()))
 
 
+def test_knn_index_hint_through_compiler(spark, tmp_path):
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+    from elasticsearch_drift_plugin_spark.operators import similarity
+    from elasticsearch_drift_plugin_spark.plans import explain_str
+    from elasticsearch_drift_plugin_spark.sources.flows import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    path = str(tmp_path / "knn_ivf")
+    similarity.build_ivf_index(emb, path, keep_cols=("label",))
+    qv = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+    body = {
+        "knn": {"field": "embedding", "query_vector": qv, "k": 6,
+                "index": {"path": path, "nprobe": 4}},
+        "_source": {"includes": ["vec_id", "label"]},
+        "size": 6,
+    }
+    hits = run_search(emb, body)["_hits"]
+    plan = explain_str(hits)
+    # the probed cells reach the index scan as a PARTITION filter — the
+    # other n_centroids - nprobe directories are pruned at planning time
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:200]
+    rows = hits.collect()
+    assert len(rows) == 6
+    # every indexed hit carries the exact tier's score for that vector —
+    # the index changes the CANDIDATE SET (probed cells), never the score
+    exact = {
+        r.vec_id: r._score_q
+        for r in run_search(
+            emb, {"knn": {"field": "embedding", "query_vector": qv,
+                          "k": emb.count()},
+                  "_source": {"includes": ["vec_id", "label"]},
+                  "size": emb.count()},
+        )["_hits"].collect()
+    }
+    for r in rows:
+        assert exact[r.vec_id] == r._score_q
+    # a keep column the index does not carry fails loud
+    import pytest
+
+    similarity.build_ivf_index(emb, str(tmp_path / "bare"))
+    with pytest.raises(ValueError, match="does not carry"):
+        run_search(emb, {
+            "knn": {"field": "embedding", "query_vector": qv, "k": 3,
+                    "index": {"path": str(tmp_path / "bare"), "nprobe": 2}},
+            "_source": {"includes": ["vec_id", "label"]}, "size": 3,
+        })["_hits"].collect()
+
+
 def test_histogram_filled_zero_buckets_and_bomb_guard(spark):
     import pytest
 
