@@ -1195,6 +1195,150 @@ def bpe_train(
     )
 
 
+def bpe_train_distributed(
+    docs: DataFrame,
+    n_merges: int = 50,
+    max_vocab: int = 50_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`bpe_train` with the vocab table resident on the EXECUTORS —
+    the shape for vocabularies too large (or merge counts too long) for a
+    driver-held symbol table. Bit-identical merge sequence to the driver
+    backend (same argmax key, same left-to-right merge rule), pinned by
+    pytest equality on the goldens and a random corpus.
+
+    Per merge, ONE Arrow ``mapInPandas`` pass over the partitioned vocab
+    applies the broadcast winning pair and emits per-partition
+    PAIR-COUNT DELTAS (tagged rows in the same frame, so one job yields
+    both the rewritten vocab and the deltas); the driver folds the deltas
+    into its count heap — driver state is O(#distinct pairs), never
+    O(vocab · avg_len). ``localCheckpoint`` every merge materializes the
+    step and caps lineage at O(1).
+
+    Cost model: the per-merge Spark job costs the local dispatch floor
+    (~30-60 ms) + an O(vocab/partitions) vectorized scan — at cluster
+    scale the scan is the win (no driver pinning, no corpus-sized
+    collect); below ~50k merges on a laptop the driver backend is faster
+    because dispatch dominates. Both backends share the corpus-sized
+    word-count stage; only the Zipf-bounded vocab iterates.
+    """
+    from collections import Counter
+
+    spark = docs.sparkSession
+    wc = (
+        docs.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
+        .where(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(int(max_vocab))
+    )
+    vocab = wc.select(
+        "w", "c",
+        F.concat(F.split("w", ""), F.array(F.lit(BPE_END))).alias("syms"),
+        F.lit(None).cast("string").alias("dl"),
+        F.lit(None).cast("string").alias("dr"),
+        F.lit(None).cast("long").alias("dc"),
+    ).localCheckpoint(eager=True)
+
+    # initial pair counts: one aggregation, result bounded by the distinct
+    # adjacent-pair count (alphabet²-ish), never vocab-sized rows × length
+    init = (
+        vocab.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(syms[i - 1] AS l, syms[i] AS r))"
+                )
+            ).alias("p"),
+            "c",
+        )
+        .groupBy("p.l", "p.r")
+        .agg(F.sum("c").alias("n"))
+        .collect()
+    )
+    import heapq
+
+    counts: dict[tuple[str, str], int] = {(r.l, r.r): int(r.n) for r in init}
+    heap = [(-c, p) for p, c in counts.items()]
+    heapq.heapify(heap)
+
+    schema = (
+        "w string, c long, syms array<string>, dl string, dr string, dc long"
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(int(n_merges)):
+        while heap:
+            negc, pair = heap[0]
+            if counts.get(pair, 0) == -negc:
+                break
+            heapq.heappop(heap)
+        if not heap or -heap[0][0] < 2:
+            break
+        best = -heap[0][0]
+        left, right = heap[0][1]
+        merges.append((rank, left, right, best))
+
+        def _apply(batches, left=left, right=right):
+            import pandas as pd
+
+            for pdf in batches:
+                delta: Counter = Counter()
+                syms_out = []
+                for syms, c in zip(pdf["syms"], pdf["c"]):
+                    syms = list(syms)
+                    old = None
+                    i = 0
+                    while i < len(syms) - 1:
+                        if syms[i] == left and syms[i + 1] == right:
+                            if old is None:
+                                old = Counter(zip(syms, syms[1:]))
+                                # restart unchanged-prefix scan is not
+                                # needed: the merge loop below continues
+                                # from i, identical to the driver kernel
+                            syms[i : i + 2] = [left + right]
+                        else:
+                            i += 1
+                    if old is not None:
+                        new = Counter(zip(syms, syms[1:]))
+                        c = int(c)
+                        for p in old.keys() | new.keys():
+                            d = new.get(p, 0) - old.get(p, 0)
+                            if d:
+                                delta[p] += d * c
+                    syms_out.append(syms)
+                pdf = pdf.copy()
+                pdf["syms"] = syms_out
+                yield pdf[["w", "c", "syms", "dl", "dr", "dc"]]
+                if delta:
+                    yield pd.DataFrame(
+                        {
+                            "w": [None] * len(delta),
+                            "c": [0] * len(delta),
+                            "syms": [[]] * len(delta),
+                            "dl": [p[0] for p in delta],
+                            "dr": [p[1] for p in delta],
+                            "dc": [int(v) for v in delta.values()],
+                        }
+                    )
+
+        stepped = vocab.mapInPandas(_apply, schema=schema).localCheckpoint(
+            eager=True
+        )
+        for r in stepped.where(F.col("w").isNull()).collect():
+            p = (r.dl, r.dr)
+            c = counts.get(p, 0) + int(r.dc)
+            if c > 0:
+                counts[p] = c
+                heapq.heappush(heap, (-c, p))
+            else:
+                counts.pop(p, None)
+        vocab = stepped.where(F.col("w").isNotNull())
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, pair_count long"
+    )
+
+
 def bpe_encode(
     docs: DataFrame, merges, text_col: str = "text"
 ) -> DataFrame:

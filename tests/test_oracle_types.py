@@ -80,29 +80,25 @@ def test_every_query_has_oracle_or_is_documented():
     allowed = {n for n in missing if n.startswith(("stream_", "emb_kmeans", "mm_"))}
     allowed |= missing & {
         # DataSketches estimates (HLL / theta / KLL) — invariant-tested in
-        # test_extensions.py (exact-below-threshold, merge, error bounds)
+        # test_extensions.py (exact-below-threshold, merge, error bounds).
+        # These are the only TRUE rows-only entries left: round 7 oracle-
+        # paired the deterministic fixpoints (graph_pagerank /
+        # train_pack_bfd / corpus_bpe_train).
         "es_cardinality_approx", "es_theta_set_ops", "stats_quantiles_kll",
-        # iterative integer fixpoint (no SQL twin) — conservation/ordering/
-        # determinism invariants in test_round4_ops.py
-        "graph_pagerank",
-        # list-valued bin state (no recursive-CTE twin) — capacity/quality
-        # invariants in test_round4_ops.py
-        "train_pack_bfd",
-        # iterative BPE training loop + its tokenizer application — the
-        # Sennrich worked-example golden + monotonicity invariants in
-        # test_round5_ops.py (the one-round argmax, corpus_bpe_pairs, IS
-        # oracle-paired)
-        "corpus_bpe_train", "corpus_bpe_encode",
+        # BPE tokenizer APPLICATION (encode) — the trainer is oracle-paired;
+        # encode's lowest-rank-first loop is golden-pinned in
+        # test_round5_ops.py
+        "corpus_bpe_encode",
     }
     assert missing == allowed, f"queries missing an oracle: {sorted(missing - allowed)}"
 
 
 def test_grading_window_integrity():
     """GRADE_FIRST must name real queries, fill exactly the driver's 50-slot
-    window, and every windowed query must carry an oracle twin EXCEPT the
-    documented rows-only set (round 6 deliberately windows those once — the
-    weaker rows-only driver check is their only possible external
-    evidence) — a typo here silently forfeits driver evidence."""
+    window, and — as of round 7 — EVERY windowed query must carry an oracle
+    twin (the true sketches stay out of the window), so the driver
+    artifact reads 50/50 with zero `no_oracle` rows. A typo here silently
+    forfeits driver evidence."""
     qs = entry.queries()
     os_ = entry.oracle_sql()
     assert len(entry.GRADE_FIRST) == 50
@@ -110,14 +106,7 @@ def test_grading_window_integrity():
     missing = [k for k in entry.GRADE_FIRST if k not in qs]
     assert not missing, missing
     assert list(qs)[:50] == list(entry.GRADE_FIRST)
-    rows_only = {
-        "graph_pagerank", "es_cardinality_approx", "es_theta_set_ops",
-        "stats_quantiles_kll", "emb_kmeans_ivf_topk", "corpus_bpe_train",
-        "corpus_bpe_encode", "train_pack_bfd",
-    }
-    no_oracle = [
-        k for k in entry.GRADE_FIRST if k not in os_ and k not in rows_only
-    ]
+    no_oracle = [k for k in entry.GRADE_FIRST if k not in os_]
     assert not no_oracle, no_oracle
     # ordering applied consistently to both dicts the driver might iterate
     assert list(os_)[: len([k for k in entry.GRADE_FIRST if k in os_])] == [

@@ -241,6 +241,44 @@ def test_counter_rate_negative_values_stream_equals_batch(spark, tmp_path):
     assert folded == expected
 
 
+def test_bpe_train_distributed_matches_driver(spark):
+    """r7: the executor-resident trainer (per-merge Arrow pair-delta
+    kernel, driver holds only the count heap) produces the BIT-IDENTICAL
+    merge sequence to the driver backend — on the classic Sennrich golden
+    and on a random multi-partition corpus — inside a wall-clock bound
+    (per-merge cost = one local job dispatch + a vectorized vocab scan)."""
+    import random
+    import time
+
+    from elasticsearch_drift_plugin_spark.operators.corpus import (
+        bpe_train,
+        bpe_train_distributed,
+    )
+
+    golden = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    docs = spark.createDataFrame(
+        [(0, " ".join(golden))], "doc_id long, text string"
+    )
+    want = [tuple(r) for r in bpe_train(docs, n_merges=12).collect()]
+    got = [tuple(r) for r in bpe_train_distributed(docs, n_merges=12).collect()]
+    assert got == want and len(want) == 12
+
+    rng = random.Random(11)
+    words = [
+        "".join(rng.choices("abcd", k=rng.randint(3, 8))) for _ in range(4000)
+    ]
+    docs2 = spark.createDataFrame(
+        [(i, " ".join(words[i * 500:(i + 1) * 500])) for i in range(8)],
+        "doc_id long, text string",
+    ).repartition(8).localCheckpoint(eager=True)
+    t0 = time.time()
+    got2 = [tuple(r) for r in bpe_train_distributed(docs2, n_merges=60).collect()]
+    dt = time.time() - t0
+    want2 = [tuple(r) for r in bpe_train(docs2, n_merges=60).collect()]
+    assert got2 == want2 and len(want2) == 60
+    assert dt < 120.0, f"60 distributed merges took {dt:.1f}s"
+
+
 def test_bpe_train_1k_merges_wall_clock(spark):
     """r6: the incremental pair-index trainer sustains 1000 REAL merges
     (small alphabet -> pairs stay frequent for thousands of rounds) inside

