@@ -96,7 +96,14 @@ Supported ``aggs`` nodes:
   heuristics ``jlh``/``chi_square``/``percentage``;
   ``auto_date_histogram`` takes ``minimum_interval``. ``post_filter``
   narrows the hits only (aggs keep the query context); aggs beside a
-  ``knn`` section facet the k retrieved hits.
+  ``knn`` section facet the k retrieved hits. ``significant_text`` takes
+  ``background_filter`` too; ``histogram``/``date_histogram`` accept one
+  ``terms`` bucket child (flattened (bucket, term) rows, per-bucket
+  top-``size`` ranking); ``collapse.inner_hits`` yields the per-group
+  runner-up lists as the reserved ``"_inner_hits"`` frame; a ``knn``
+  section with ``index: {path, nprobe}`` probes a stored IVF index
+  (``operators.similarity.build_ivf_index``) and scans only the probed
+  cell partitions — the 100 TB serving tier.
 
 Sibling pipeline aggs: ``avg_bucket`` / ``sum_bucket`` / ``min_bucket`` /
 ``max_bucket`` / ``stats_bucket`` / ``percentiles_bucket`` /

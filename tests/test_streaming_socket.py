@@ -1,0 +1,117 @@
+"""Round-7: the streaming twins against a LIVE push source — a real TCP
+socket feed (the one unbounded network source available without a
+broker), not file replay. A local server thread writes CSV lines in two
+waves; the query ingests them through ≥2 micro-batches and the stateful
+counter-rate twin produces exactly the batch-equivalent fold.
+
+The socket source is at-most-once and non-recoverable (documented in
+streaming/sources.py) — recovery evidence stays with the file-replay
+checkpoint-kill tests; this adds the live-push dimension.
+"""
+
+import socket
+import threading
+import time
+
+DAY = 1_704_067_200_000
+SCHEMA = "event_id long, event_type string, t_ms long, value double"
+
+
+class _Feed:
+    """One-client TCP server: accepts, then sends whatever lines are
+    queued via send(); close() ends the stream."""
+
+    def __init__(self):
+        self.srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self.srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.srv.bind(("127.0.0.1", 0))
+        self.srv.listen(1)
+        self.port = self.srv.getsockname()[1]
+        self.conn = None
+        self._accept_thread = threading.Thread(target=self._accept, daemon=True)
+        self._accept_thread.start()
+
+    def _accept(self):
+        self.conn, _ = self.srv.accept()
+
+    def send(self, rows):
+        deadline = time.time() + 30
+        while self.conn is None:
+            if time.time() > deadline:
+                raise TimeoutError("no client connected")
+            time.sleep(0.05)
+        payload = "".join(
+            f"{eid},{et},{t},{v}\n" for eid, et, t, v in rows
+        )
+        self.conn.sendall(payload.encode())
+
+    def close(self):
+        try:
+            if self.conn is not None:
+                self.conn.close()
+        finally:
+            self.srv.close()
+
+
+def _drain_until(q, out_dir, spark, want_rows, timeout_s=60):
+    """Socket batches arrive asynchronously — poll the sink until the
+    expected number of update rows landed (processAllAvailable does not
+    apply: the socket source always reports 'more may come')."""
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(out_dir).count() >= want_rows:
+                return
+        except Exception:
+            pass  # sink dir not created yet
+        time.sleep(0.25)
+    raise TimeoutError(f"sink never reached {want_rows} rows")
+
+
+def test_counter_rate_over_live_socket(spark, tmp_path):
+    from elasticsearch_drift_plugin_spark.streaming.counter_rate import (
+        counter_rate_stream,
+    )
+    from elasticsearch_drift_plugin_spark.streaming.sources import (
+        socket_flows,
+    )
+
+    feed = _Feed()
+    out_dir = f"{tmp_path}/out"
+
+    def sink(batch_df, _bid):
+        if batch_df.count():
+            batch_df.coalesce(1).write.mode("append").parquet(out_dir)
+
+    stream = socket_flows(spark, "127.0.0.1", feed.port, SCHEMA)
+    q = (
+        counter_rate_stream(stream, dims=("event_type",), reset_mod=10)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", f"{tmp_path}/ck")
+        .trigger(processingTime="250 milliseconds")
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        # wave 1: two in-order samples -> inc 0 + 5
+        feed.send([(1, "s", DAY + 1000, 0.004), (2, "s", DAY + 2000, 0.005)])
+        _drain_until(q, out_dir, spark, 1)
+        # wave 2 (a later micro-batch): cum 14 -> counter 4 < 9 => reset,
+        # inc 4; plus one cross-batch LATE sample that must drop loudly
+        feed.send([(3, "s", DAY + 3000, 0.005), (4, "s", DAY + 1500, 0.009)])
+        _drain_until(q, out_dir, spark, 2)
+    finally:
+        q.stop()
+        feed.close()
+
+    rows = spark.read.parquet(out_dir).collect()
+    folded = {}
+    for r in rows:
+        n, inc, late = folded.get(r.bucket, (0, 0, 0))
+        folded[r.bucket] = (n + r.n_samples, inc + r.increase, late + r.n_late)
+    # identical to the file-replay twin's fold: 3 processed samples,
+    # increases 0+5+4, the late arrival counted, never merged
+    assert folded == {DAY: (3, 9, 1)}
+    # and the live feed really spanned >= 2 micro-batches (cross-batch
+    # state, not one big batch): the sink appended one update per wave
+    assert len(rows) >= 2
