@@ -184,6 +184,13 @@ GRADE_FIRST: tuple[str, ...] = (
     "es_search_terms_dh", "es_search_collapse_inner",
     "psum_sweep_day_lineitem",
 )
+# r8 rotation note: once this window is stamped, 246 of 248 registered
+# queries carry driver evidence (union of the r1–r7 windows). The only
+# two never-stamped entries are the rows-only sketches corpus_bpe_encode
+# and es_theta_set_ops (deliberately kept out — they would read as
+# `err: no_oracle`; both are pytest-golden/invariant-pinned and covered
+# by the full self-sweep). r8 should re-stamp whatever code paths that
+# round touches plus any new registrations.
 
 
 def _grade_order(q: dict, strict: bool = True) -> dict:
