@@ -184,13 +184,15 @@ GRADE_FIRST: tuple[str, ...] = (
     "es_search_terms_dh", "es_search_collapse_inner",
     "psum_sweep_day_lineitem",
 )
-# r8 rotation note: once this window is stamped, 246 of 248 registered
-# queries carry driver evidence (union of the r1–r7 windows). The only
-# two never-stamped entries are the rows-only sketches corpus_bpe_encode
-# and es_theta_set_ops (deliberately kept out — they would read as
+# r8 rotation backlog: mm_audio_features (registered after this round's
+# window froze; oracle-paired, self-sweep green). Once this window is
+# stamped, 246 of 249 registered queries carry driver evidence (union of
+# the r1–r7 windows). The only two never-stamped entries besides that
+# backlog are the rows-only sketches corpus_bpe_encode and
+# es_theta_set_ops (deliberately kept out — they would read as
 # `err: no_oracle`; both are pytest-golden/invariant-pinned and covered
-# by the full self-sweep). r8 should re-stamp whatever code paths that
-# round touches plus any new registrations.
+# by the full self-sweep). r8 should window the backlog + re-stamps of
+# whatever code paths that round touches.
 
 
 def _grade_order(q: dict, strict: bool = True) -> dict:

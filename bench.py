@@ -217,6 +217,7 @@ BENCH_QUERIES = [
     "es_search_collapse_inner",
     "es_search_knn_indexed",
     "es_msearch_shared",
+    "mm_audio_features",
 ]
 
 

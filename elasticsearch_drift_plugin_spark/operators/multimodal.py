@@ -26,6 +26,7 @@ spreads large blobs evenly.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from struct import error as struct_error
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -838,6 +839,123 @@ FROM full_h ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# REAL audio path: pure-stdlib RIFF/WAVE PCM16 (functions/wav_codec.py)
+# --------------------------------------------------------------------------
+# Same posture as the PNG pair: payloads are genuine playable .wav files
+# (RIFF chunks, fmt header, PCM16 data) and the decode kernel really walks
+# the container. Synthesized signals are SQUARE WAVES with md5-derived
+# half-period/amplitude/length, so every feature column has an exact
+# integer closed form the DuckDB oracle computes — a broken header parse,
+# byte order, or feature kernel breaks the value hash.
+
+WAV_RATE = 8000  # canonical telephony rate; fixed so duration_ms is exact
+
+
+def wav_documents(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): one REAL mono PCM16 WAV per document — square
+    wave with half-period 4–35 samples, amplitude 500–1999, length
+    400–1999 samples, all md5-derived (the engine's 60-bit hash
+    discipline). Arrow-batched encode; payloads play in any player."""
+    from ..sources.flows import widen_narrow_scan
+
+    h = md5_hash60(F.col("text"))
+    base = widen_narrow_scan(docs).select(
+        "doc_id",
+        (h % 32 + 4).alias("_p2"),
+        (F.shiftright(h, 6) % 1500 + 500).alias("_amp"),
+        (F.shiftright(h, 12) % 1600 + 400).alias("_n"),
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from elasticsearch_drift_plugin_spark.functions.wav_codec import (
+            encode_wav,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for p2, amp, n in zip(pdf["_p2"], pdf["_amp"], pdf["_n"]):
+                p2, amp, n = int(p2), int(amp), int(n)
+                i = np.arange(n)
+                x = np.where((i // p2) % 2 == 0, amp, -amp).astype("<i2")
+                payloads.append(encode_wav(WAV_RATE, x))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return base.mapInPandas(fn, "doc_id long, payload binary")
+
+
+AUDIO_STATS_SCHEMA = (
+    "doc_id long, sample_rate long, n_samples long, duration_ms long,"
+    " mean_sq long, zero_crossings long"
+)
+
+
+def decode_audio_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """(doc_id, sample_rate, n_samples, duration_ms, mean_sq,
+    zero_crossings): REAL WAV decode (RIFF chunk walk, header validation)
+    then exact integer signal features — ``duration_ms`` =
+    n·1000 div rate, ``mean_sq`` = Σx² div n (the energy feature, exact
+    in int64), ``zero_crossings`` = sign flips (the classic cheap
+    pitch/voicing proxy). Undecodable payloads yield NULLs (corruption
+    screen posture, like the PNG decoder). Arrow-batched, map-only."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from elasticsearch_drift_plugin_spark.functions.wav_codec import (
+            decode_wav,
+        )
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    rate, x = decode_wav(bytes(payload))
+                    xl = x.astype(np.int64)
+                    n = len(xl)
+                    out.append((
+                        int(doc_id), rate, n,
+                        n * 1000 // rate,
+                        int((xl * xl).sum()) // n if n else None,
+                        int(((xl[1:] * xl[:-1]) < 0).sum()) if n else 0,
+                    ))
+                except (ValueError, struct_error):
+                    out.append((int(doc_id), None, None, None, None, None))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples", "duration_ms",
+                    "mean_sq", "zero_crossings",
+                ],
+            )
+
+    return df.mapInPandas(fn, AUDIO_STATS_SCHEMA)
+
+
+# closed forms: a ±amp square wave has Σx² = n·amp² exactly (mean_sq =
+# amp²) and flips sign exactly at the half-period boundaries — crossings
+# = floor((n-1) / p2); samples are never zero so the < 0 product test is
+# exact.
+AUDIO_STATS_SQL = f"""
+WITH h AS (SELECT doc_id, CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS hv
+           FROM documents),
+p AS (SELECT doc_id,
+             hv % 32 + 4 AS p2,
+             (hv >> 6) % 1500 + 500 AS amp,
+             (hv >> 12) % 1600 + 400 AS n
+      FROM h)
+SELECT doc_id,
+       CAST({WAV_RATE} AS BIGINT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000 // {WAV_RATE} AS BIGINT) AS duration_ms,
+       CAST(amp * amp AS BIGINT) AS mean_sq,
+       CAST((n - 1) // p2 AS BIGINT) AS zero_crossings
+FROM p ORDER BY doc_id
+"""
+
+
 def queries() -> dict:
     return {
         "mm_metadata": lambda s, d: media_metadata(load_table(s, d, "documents")),
@@ -873,6 +991,11 @@ def queries() -> dict:
             payload_col="payload_out",
         ).select("doc_id", "width", "height", "n_pixels", "mean_q")
         .orderBy("doc_id"),
+        # REAL-codec audio path: genuine RIFF/WAVE PCM16 encode → chunk-walk
+        # decode → exact integer signal features (energy + zero crossings)
+        "mm_audio_features": lambda s, d: decode_audio_stats(
+            wav_documents(load_table(s, d, "documents"))
+        ).orderBy("doc_id"),
     }
 
 
@@ -887,4 +1010,5 @@ def oracle_sql() -> dict:
         "mm_png_roundtrip": PNG_ROUNDTRIP_SQL,
         "mm_resize_png": png_resize_sql(16, 16),
         "mm_frames_png": png_frames_sql(2),
+        "mm_audio_features": AUDIO_STATS_SQL,
     }

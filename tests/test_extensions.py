@@ -2086,3 +2086,55 @@ def test_terms_enum_prefix_and_case(spark):
         == ["scan", "sort", "spark"]
     assert [r.term for r in terms_enum(df, "w", size=2).collect()] \
         == ["Spark", "join"]
+
+
+def test_wav_codec_roundtrip_chunkwalk_and_corruption(spark):
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from elasticsearch_drift_plugin_spark.functions.wav_codec import (
+        decode_wav,
+        encode_wav,
+    )
+    from elasticsearch_drift_plugin_spark.operators.multimodal import (
+        decode_audio_stats,
+    )
+
+    x = np.array([100, -200, 300, -32768, 32767], dtype="<i2")
+    payload = encode_wav(8000, x)
+    rate, back = decode_wav(payload)
+    assert rate == 8000 and np.array_equal(back, x)
+    # the payload is a spec-complete file: stdlib `wave` agrees
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        assert (w.getnchannels(), w.getsampwidth(), w.getframerate()) == (1, 2, 8000)
+        assert np.array_equal(np.frombuffer(w.readframes(5), dtype="<i2"), x)
+    # real chunk walking: a LIST chunk (odd size -> pad byte) between
+    # fmt and data must be skipped, not tripped over
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = payload[:fmt_end] + extra + payload[fmt_end:]
+    rate2, back2 = decode_wav(spliced)
+    assert rate2 == 8000 and np.array_equal(back2, x)
+    # corruption raises, never guesses
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"\x89PNG" + payload[4:])
+    with pytest.raises(ValueError, match="mono PCM16"):
+        bad = bytearray(payload)
+        bad[22] = 2  # channels = 2
+        decode_wav(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(payload[:-3])
+    # and the Arrow kernel converts corruption to NULLs (screen posture)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"junkjunkjunkjunk" * 4))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in decode_audio_stats(df).collect()}
+    assert rows[1].n_samples == 5 and rows[1].sample_rate == 8000
+    assert rows[1].zero_crossings == 4  # every adjacent pair flips sign
+    assert rows[2].n_samples is None and rows[2].mean_sq is None
