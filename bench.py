@@ -218,6 +218,7 @@ BENCH_QUERIES = [
     "es_search_knn_indexed",
     "es_msearch_shared",
     "mm_audio_features",
+    "es_dsl_msm",
 ]
 
 

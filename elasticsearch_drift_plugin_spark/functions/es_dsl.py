@@ -42,9 +42,10 @@ common flow-query bodies):
   accept ES strings (``"500km"``/``"10mi"``/meters); a dateline-crossing
   box (west > east, the ES wrap rule) compiles to
   ``lon >= west OR lon <= east``
-- ``bool`` — ``must`` / ``filter`` (AND), ``should`` (OR, with
-  ``minimum_should_match`` 0/1 semantics: should is optional when must or
-  filter present, required otherwise — the documented ES rule), ``must_not``
+- ``bool`` — ``must`` / ``filter`` (AND), ``should`` (OR, with full
+  integer ``minimum_should_match``: 0 = optional, 1 = required OR, N > 1 =
+  at-least-N flag-sum in filter context; absent ⇒ the documented ES rule —
+  required iff no must/filter. Percentage forms stay loud), ``must_not``
   (NOT with ES's match-NULL-safe semantics: a NULL field does not match, so
   must_not KEEPS null rows — mirrored exactly)
 
@@ -252,14 +253,29 @@ def compile_query(q: dict) -> Column:
         should = [compile_query(c) for c in _as_list(body.get("should"))]
         must_not = [compile_query(c) for c in _as_list(body.get("must_not"))]
         msm = body.get("minimum_should_match")
-        if msm not in (None, 0, 1):
-            raise ValueError("minimum_should_match > 1 unsupported")
+        if msm is not None and (not isinstance(msm, int) or msm < 0):
+            # ES also accepts percentages / negative counts — loud until
+            # someone needs them (a silently-wrong match set is worse)
+            raise ValueError(
+                f"minimum_should_match must be a non-negative int, got {msm!r}"
+            )
         conds = must + filt
         if should:
-            # the ES rule: should is required when msm==1, optional when
+            # the ES rule: should is required when msm>=1, optional when
             # msm==0, and defaults to required-iff-no-must/filter
-            required = msm == 1 or (msm is None and not conds)
-            if required:
+            if isinstance(msm, int) and msm > 1:
+                # "at least N of the should clauses": count matches in
+                # filter context (NULL/unknown = no match) — one codegen
+                # expression, no extra pass
+                flags = [
+                    F.when(F.coalesce(c, F.lit(False)), 1).otherwise(0)
+                    for c in should
+                ]
+                total = flags[0]
+                for fl in flags[1:]:
+                    total = total + fl
+                conds.append(total >= F.lit(int(msm)))
+            elif msm == 1 or (msm is None and not conds):
                 conds.append(_or(should))
         for c in must_not:
             # ES must_not is filter-context: docs where the inner clause is
@@ -384,13 +400,22 @@ def compile_query_sql(q: dict) -> str:
         return f"({_haversine_m(lat, lon, olat, olon)} <= {dist_m!r})"
     if kind == "bool":
         msm = body.get("minimum_should_match")
-        if msm not in (None, 0, 1):  # twin parity with compile_query
-            raise ValueError("minimum_should_match > 1 unsupported")
+        if msm is not None and (not isinstance(msm, int) or msm < 0):
+            # twin parity with compile_query
+            raise ValueError(
+                f"minimum_should_match must be a non-negative int, got {msm!r}"
+            )
         conds = [compile_query_sql(c) for c in _as_list(body.get("must"))]
         conds += [compile_query_sql(c) for c in _as_list(body.get("filter"))]
         should = [compile_query_sql(c) for c in _as_list(body.get("should"))]
         if should:
-            if msm == 1 or (msm is None and not conds):
+            if isinstance(msm, int) and msm > 1:
+                total = " + ".join(
+                    f"(CASE WHEN COALESCE({c}, FALSE) THEN 1 ELSE 0 END)"
+                    for c in should
+                )
+                conds.append(f"(({total}) >= {int(msm)})")
+            elif msm == 1 or (msm is None and not conds):
                 conds.append("(" + " OR ".join(should) + ")")
         for c in _as_list(body.get("must_not")):
             conds.append(f"NOT COALESCE({compile_query_sql(c)}, FALSE)")

@@ -685,6 +685,41 @@ GROUP BY source ORDER BY source
 
 
 
+# bool minimum_should_match > 1 end-to-end (r7): "at least 2 of the three
+# should clauses" filters events, bucketed by event_type — the flag-sum
+# translation is identical in both engines.
+MSM_BODY = {"bool": {
+    "should": [
+        {"term": {"event_type": "click"}},
+        {"range": {"value": {"gte": 50}}},
+        {"term": {"user_id": 0}},
+    ],
+    "minimum_should_match": 2,
+}}
+
+
+def msm_filter_agg(events: DataFrame) -> DataFrame:
+    from ..functions.es_dsl import compile_query
+
+    return (
+        events.where(compile_query(MSM_BODY))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        .orderBy("event_type")
+    )
+
+
+def msm_filter_agg_sql() -> str:
+    from ..functions.es_dsl import compile_query_sql
+
+    pred = compile_query_sql(MSM_BODY)
+    return f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS doc_count
+FROM events WHERE {pred}
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def queries() -> dict:
     return {
         "es_percolate": lambda s, d: percolate(load_table(s, d, "events")),
@@ -701,6 +736,7 @@ def queries() -> dict:
         ),
         "es_dsl_query": lambda s, d: dsl_filter_agg(load_table(s, d, "events")),
         "es_dsl_sqs": lambda s, d: sqs_filter_agg(load_table(s, d, "documents")),
+        "es_dsl_msm": lambda s, d: msm_filter_agg(load_table(s, d, "events")),
         "es_dsl_geo": lambda s, d: _dsl_geo_query(s, d),
         "es_dsl_geo_dateline": lambda s, d: _dsl_geo_dateline_query(s, d),
     }
@@ -791,6 +827,7 @@ def oracle_sql() -> dict:
         "es_terms_enum": terms_enum_sql("events", "event_type", prefix="s", size=10),
         "es_dsl_query": dsl_filter_agg_sql(),
         "es_dsl_sqs": sqs_filter_agg_sql(),
+        "es_dsl_msm": msm_filter_agg_sql(),
         "es_dsl_geo": dsl_geo_sql(),
         "es_dsl_geo_dateline": dsl_geo_dateline_sql(),
     }

@@ -108,9 +108,38 @@ def test_unsupported_clause_fails_loudly():
     # (fuzzy graduated to a supported clause in r6 — terms_set remains out)
     with pytest.raises(ValueError):
         compile_query({"terms_set": {"etype": {"terms": ["a"]}}})
-    with pytest.raises(ValueError):
+    # msm counts graduated in r7; percentages stay loud
+    with pytest.raises(ValueError, match="non-negative int"):
         compile_query({"bool": {"should": [{"match_all": {}}],
-                                "minimum_should_match": 2}})
+                                "minimum_should_match": "75%"}})
+
+
+def test_minimum_should_match_counts(spark):
+    # "at least N of the should clauses" — flag-sum in filter context
+    df = spark.createDataFrame(
+        [(1, "a", 10, None), (2, "a", 99, "x"), (3, "b", 99, "x"),
+         (4, "a", 10, "x")],
+        "id long, k string, v long, s string",
+    )
+    q = {"bool": {"should": [{"term": {"k": "a"}},
+                             {"range": {"v": {"gte": 50}}},
+                             {"term": {"s": "x"}}],
+                  "minimum_should_match": 2}}
+    got = sorted(r.id for r in df.where(compile_query(q)).collect())
+    # 1: only k=a (s NULL does not match — filter context). 2: all three.
+    # 3: v+s. 4: k+s.
+    assert got == [2, 3, 4]
+    # the SQL twin agrees clause-for-clause
+    from pyspark.sql import functions as F
+
+    got_sql = sorted(
+        r.id for r in df.where(F.expr(compile_query_sql(q))).collect()
+    )
+    assert got_sql == [2, 3, 4]
+    # msm larger than the clause count matches nothing (ES behavior)
+    assert df.where(
+        compile_query(dict(q, bool=dict(q["bool"], minimum_should_match=4)))
+    ).count() == 0
 
 
 def test_geo_query_clauses(spark):
