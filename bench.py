@@ -219,6 +219,7 @@ BENCH_QUERIES = [
     "es_msearch_shared",
     "mm_audio_features",
     "es_dsl_msm",
+    "train_span_corruption",
 ]
 
 

@@ -883,6 +883,172 @@ FROM ranked GROUP BY shard ORDER BY shard
 """
 
 
+def span_corruption(
+    docs: DataFrame,
+    block: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "t5-v1",
+) -> DataFrame:
+    """(doc_id, n_tokens, n_spans, n_masked, masked_fp): T5/UL2-style span
+    corruption PLAN — which token positions each document masks — fully
+    deterministic and content-stable, so the denoising objective is
+    reproducible across pipeline reruns and engines.
+
+    Rule (the SQL-pairable reformulation of iid span sampling): tokens
+    partition into fixed blocks of ``block``; block ``b`` of doc ``d``
+    draws one span from ``md5(salt#d#b)`` — length 2–4 (mean 3, i.e.
+    ~15% noise at the default block of 20, the T5 operating point),
+    start uniform over the feasible offsets. No sequential dependency
+    between blocks ⇒ one map-side explode + one aggregation, and the
+    identical arithmetic runs in the DuckDB twin. ``masked_fp`` is the
+    order-free XOR of per-masked-position hashes — exact MEMBERSHIP
+    proof of the mask set, not just its size (the shard_by_tokens
+    fingerprint discipline). Trailing partial blocks clip naturally
+    (positions past n don't exist); a doc too short to mask fingerprints
+    as 0.
+
+    :func:`span_corruption_text` materializes the actual
+    ``<extra_id_k>`` inputs/targets from the same rule (pytest-pinned;
+    string assembly has no clean SQL twin, the plan columns here are the
+    oracle-gated contract).
+    """
+    b = int(block)
+    n = F.size(F.split(F.col(text_col), " "))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.sequence(F.lit(0), n - 1)).alias("pos"),
+    )
+    blk = (F.col("pos") / b).cast("long")
+    hb = md5_hash60(
+        F.concat_ws("#", F.lit(salt), F.col("doc_id").cast("string"),
+                    blk.cast("string"))
+    )
+    span_len = F.pmod(hb, F.lit(3)) + 2
+    start = F.pmod(F.shiftright(hb, 8), F.lit(b) - span_len + 1)
+    off = F.pmod(F.col("pos"), F.lit(b))
+    masked = (off >= start) & (off < start + span_len)
+    hi = md5_hash60(
+        F.concat_ws("#", F.col("doc_id").cast("string"),
+                    F.col("pos").cast("string"))
+    )
+    return (
+        base.select("doc_id", blk.alias("blk"), masked.alias("m"), hi.alias("hi"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.countDistinct(F.when(F.col("m"), F.col("blk")))
+            .cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("m"), 1).otherwise(0))
+            .cast("long").alias("n_masked"),
+            F.coalesce(
+                F.expr("bit_xor(CASE WHEN m THEN hi END)"), F.lit(0)
+            ).cast("long").alias("masked_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def span_corruption_sql(block: int = 20, salt: str = "t5-v1") -> str:
+    b = int(block)
+    hb = HEX15_SQL_FN.format(
+        expr=f"'{salt}' || '#' || CAST(doc_id AS VARCHAR) || '#' ||"
+             " CAST(blk AS VARCHAR)"
+    )
+    hi = HEX15_SQL_FN.format(
+        expr="CAST(doc_id AS VARCHAR) || '#' || CAST(pos AS VARCHAR)"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(range(0, len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+flagged AS (
+  SELECT doc_id, pos, blk,
+         (pos % {b}) >= start AND (pos % {b}) < start + span_len AS m
+  FROM (
+    SELECT doc_id, pos, blk,
+           hv % 3 + 2 AS span_len,
+           (hv >> 8) % ({b} - (hv % 3 + 2) + 1) AS start
+    FROM (SELECT doc_id, pos, pos // {b} AS blk, {hb} AS hv FROM toks)
+  )
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT CASE WHEN m THEN blk END) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       CAST(COALESCE(bit_xor(CASE WHEN m THEN {hi} END), 0) AS BIGINT)
+         AS masked_fp
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def span_corruption_text(
+    docs: DataFrame,
+    block: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "t5-v1",
+) -> DataFrame:
+    """(doc_id, inputs, targets): the materialized T5 denoising pair —
+    masked spans replaced by ``<extra_id_k>`` sentinels in ``inputs``,
+    and ``targets`` = the sentinel-delimited masked spans (the exact T5
+    target format, ending with the final sentinel). Same mask rule as
+    :func:`span_corruption` (the Python kernel reproduces the md5
+    arithmetic bit-for-bit; pytest pins the two agree). Arrow map-only."""
+    import hashlib
+
+    b = int(block)
+
+    def _mask_plan(doc_id: int, n: int):
+        out = []
+        for blk in range((n + b - 1) // b):
+            hv = int(
+                hashlib.md5(f"{salt}#{doc_id}#{blk}".encode()).hexdigest()[:15],
+                16,
+            )
+            ln = hv % 3 + 2
+            st = (hv >> 8) % (b - ln + 1)
+            out.append((blk * b + st, ln))
+        return out
+
+    def fn(batches):
+        for pdf in batches:
+            inputs, targets = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = str(text).split(" ")
+                n = len(toks)
+                masked = [False] * n
+                for st, ln in _mask_plan(int(doc_id), n):
+                    for i in range(st, min(st + ln, n)):
+                        masked[i] = True
+                inp, tgt, k, i = [], [], 0, 0
+                while i < n:
+                    if masked[i]:
+                        inp.append(f"<extra_id_{k}>")
+                        tgt.append(f"<extra_id_{k}>")
+                        while i < n and masked[i]:
+                            tgt.append(toks[i])
+                            i += 1
+                        k += 1
+                    else:
+                        inp.append(toks[i])
+                        i += 1
+                tgt.append(f"<extra_id_{k}>")
+                inputs.append(" ".join(inp))
+                targets.append(" ".join(tgt))
+            out = pdf[[id_col]].copy()
+            out.columns = ["doc_id"]
+            out["inputs"] = inputs
+            out["targets"] = targets
+            yield out
+
+    return docs.mapInPandas(
+        fn, "doc_id long, inputs string, targets string"
+    ).orderBy("doc_id")
+
+
 def negative_samples(
     docs: DataFrame, k: int = 4, n_buckets: int = 32, salt: str = "neg-v1"
 ) -> DataFrame:
@@ -1049,6 +1215,12 @@ def queries() -> dict:
         "train_neg_samples": lambda s, d: negative_samples(
             load_table(s, d, "documents")
         ),
+        # T5/UL2 denoising: the deterministic span-corruption PLAN
+        # (membership-fingerprinted mask sets; the materialized
+        # <extra_id_k> pair is pytest-pinned via span_corruption_text)
+        "train_span_corruption": lambda s, d: span_corruption(
+            load_table(s, d, "documents")
+        ),
         "train_shard_by_tokens": lambda s, d: shard_by_tokens(
             load_table(s, d, "documents")
         ),
@@ -1070,6 +1242,7 @@ def oracle_sql() -> dict:
         "train_epoch_plan": epoch_plan_sql(capacity=256, seqs_per_shard=8),
         "train_curriculum": _curriculum_oracle(),
         "train_neg_samples": negative_samples_sql(),
+        "train_span_corruption": span_corruption_sql(),
         "train_shard_by_tokens": shard_by_tokens_sql(),
     }
 

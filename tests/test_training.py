@@ -175,3 +175,53 @@ def test_mix_tokens_budget_expectation(spark):
     assert 250 <= exp <= 310
     with pytest.raises(ValueError, match="temperature"):
         mix_rates_tokens(df, target_tokens=300, temperature=-1)
+
+
+def test_span_corruption_plan_and_text_agree(spark):
+    """r7: the T5 span-corruption PLAN (oracle-gated counts + mask-set
+    fingerprint) and the materialized <extra_id_k> text pair derive from
+    the SAME md5 rule — n_masked/n_spans recomputed from the text must
+    match the plan exactly, and the target format is the T5 contract
+    (sentinel-delimited spans, trailing final sentinel)."""
+    import re
+
+    from elasticsearch_drift_plugin_spark.operators.training import (
+        span_corruption,
+        span_corruption_text,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}w{j}" for j in range(5 + (i * 13) % 60)))
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    plan = {r.doc_id: r for r in span_corruption(docs).collect()}
+    text = {r.doc_id: r for r in span_corruption_text(docs).collect()}
+    assert set(plan) == set(text) == set(range(30))
+    for d in range(30):
+        p, t = plan[d], text[d]
+        sent = re.compile(r"<extra_id_\d+>")
+        in_toks = t.inputs.split(" ")
+        tgt_toks = t.targets.split(" ")
+        # masked count from the text: target tokens that are not sentinels
+        masked_from_text = sum(1 for w in tgt_toks if not sent.fullmatch(w))
+        spans_from_text = sum(1 for w in in_toks if sent.fullmatch(w))
+        kept = sum(1 for w in in_toks if not sent.fullmatch(w))
+        assert masked_from_text == p.n_masked
+        assert spans_from_text == p.n_spans
+        assert kept + masked_from_text == p.n_tokens
+        # T5 format: targets end with the FINAL sentinel (k = n_spans),
+        # sentinels strictly increasing from 0
+        ks = [int(w[10:-1]) for w in tgt_toks if sent.fullmatch(w)]
+        assert ks == list(range(p.n_spans + 1))
+        assert tgt_toks[-1] == f"<extra_id_{p.n_spans}>"
+        # noise rate near the 15% operating point on full blocks
+        if p.n_tokens >= 40:
+            assert 0.05 <= p.n_masked / p.n_tokens <= 0.25
+    # content-stable: same doc -> same mask; different salt -> different
+    plan2 = {r.doc_id: r for r in span_corruption(docs).collect()}
+    assert {d: p.masked_fp for d, p in plan.items()} == {
+        d: p.masked_fp for d, p in plan2.items()}
+    alt = {r.doc_id: r.masked_fp
+           for r in span_corruption(docs, salt="ul2-v2").collect()}
+    assert any(alt[d] != plan[d].masked_fp for d in alt)
