@@ -220,6 +220,7 @@ BENCH_QUERIES = [
     "mm_audio_features",
     "es_dsl_msm",
     "train_span_corruption",
+    "es_dsl_terms_set",
 ]
 
 

@@ -137,6 +137,35 @@ def compile_query(q: dict) -> Column:
         if not isinstance(vals, (list, tuple)) or not vals:
             raise ValueError(f"terms expects a non-empty list, got {vals!r}")
         return F.col(field).isin(list(vals))
+    if kind == "terms_set":
+        # ES terms_set: the (array-valued) field matches iff it contains
+        # at least `minimum_should_match` of the given terms — matched
+        # terms count DISTINCT (array_intersect dedups, the ES rule), a
+        # NULL/missing field never matches. `minimum_should_match_field`
+        # reads the per-doc requirement from another column (the ES
+        # "required_matches" pattern); scripts stay loud.
+        (field, spec), = body.items()
+        terms = spec.get("terms")
+        if not isinstance(terms, (list, tuple)) or not terms:
+            raise ValueError(f"terms_set expects a non-empty terms list, got {terms!r}")
+        if "minimum_should_match_script" in spec:
+            raise ValueError(
+                "terms_set minimum_should_match_script is unsupported —"
+                " use minimum_should_match or minimum_should_match_field"
+            )
+        if "minimum_should_match" in spec:
+            req = F.lit(int(spec["minimum_should_match"]))
+        elif "minimum_should_match_field" in spec:
+            req = F.col(spec["minimum_should_match_field"])
+        else:
+            raise ValueError(
+                "terms_set needs minimum_should_match or"
+                " minimum_should_match_field"
+            )
+        matched = F.size(F.array_intersect(
+            F.col(field), F.array(*[F.lit(t) for t in terms])
+        ))
+        return matched >= req
     if kind == "range":
         (field, bounds), = body.items()
         conds = []
@@ -302,6 +331,28 @@ def compile_query_sql(q: dict) -> str:
     if kind == "terms":
         (field, vals), = body.items()
         return f"{field} IN ({', '.join(_sql_lit(v) for v in vals)})"
+    if kind == "terms_set":
+        (field, spec), = body.items()
+        terms = spec.get("terms")
+        if not isinstance(terms, (list, tuple)) or not terms:
+            raise ValueError(f"terms_set expects a non-empty terms list, got {terms!r}")
+        if "minimum_should_match_script" in spec:
+            raise ValueError(
+                "terms_set minimum_should_match_script is unsupported —"
+                " use minimum_should_match or minimum_should_match_field"
+            )
+        if "minimum_should_match" in spec:
+            req = str(int(spec["minimum_should_match"]))
+        elif "minimum_should_match_field" in spec:
+            req = spec["minimum_should_match_field"]
+        else:
+            raise ValueError(
+                "terms_set needs minimum_should_match or"
+                " minimum_should_match_field"
+            )
+        arr = "[" + ", ".join(_sql_lit(t) for t in terms) + "]"
+        # DuckDB list_intersect dedups like Spark's array_intersect
+        return f"(len(list_intersect({field}, {arr})) >= {req})"
     if kind == "range":
         (field, bounds), = body.items()
         ops = {"gt": ">", "gte": ">=", "lt": "<", "lte": "<="}

@@ -720,6 +720,40 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+# terms_set end-to-end (r7): "at least 2 of these 4 tokens appear in the
+# document" — the array-membership count clause over the tokenized text,
+# identical dedup semantics in both engines (array_intersect /
+# list_intersect both count DISTINCT matched terms).
+TERMS_SET_BODY = {"terms_set": {"toks": {
+    "terms": ["data", "spark", "join", "table"],
+    "minimum_should_match": 2,
+}}}
+
+
+def terms_set_filter_agg(docs: DataFrame) -> DataFrame:
+    from ..functions.es_dsl import compile_query
+
+    return (
+        docs.withColumn("toks", F.split("text", " "))
+        .where(compile_query(TERMS_SET_BODY))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        .orderBy("source")
+    )
+
+
+def terms_set_filter_agg_sql() -> str:
+    from ..functions.es_dsl import compile_query_sql
+
+    pred = compile_query_sql(TERMS_SET_BODY)
+    return f"""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS doc_count
+FROM (SELECT source, string_split(text, ' ') AS toks FROM documents)
+WHERE {pred}
+GROUP BY source ORDER BY source
+"""
+
+
 def queries() -> dict:
     return {
         "es_percolate": lambda s, d: percolate(load_table(s, d, "events")),
@@ -737,6 +771,9 @@ def queries() -> dict:
         "es_dsl_query": lambda s, d: dsl_filter_agg(load_table(s, d, "events")),
         "es_dsl_sqs": lambda s, d: sqs_filter_agg(load_table(s, d, "documents")),
         "es_dsl_msm": lambda s, d: msm_filter_agg(load_table(s, d, "events")),
+        "es_dsl_terms_set": lambda s, d: terms_set_filter_agg(
+            load_table(s, d, "documents")
+        ),
         "es_dsl_geo": lambda s, d: _dsl_geo_query(s, d),
         "es_dsl_geo_dateline": lambda s, d: _dsl_geo_dateline_query(s, d),
     }
@@ -828,6 +865,7 @@ def oracle_sql() -> dict:
         "es_dsl_query": dsl_filter_agg_sql(),
         "es_dsl_sqs": sqs_filter_agg_sql(),
         "es_dsl_msm": msm_filter_agg_sql(),
+        "es_dsl_terms_set": terms_set_filter_agg_sql(),
         "es_dsl_geo": dsl_geo_sql(),
         "es_dsl_geo_dateline": dsl_geo_dateline_sql(),
     }

@@ -105,13 +105,49 @@ def test_match_tokens(spark):
 
 
 def test_unsupported_clause_fails_loudly():
-    # (fuzzy graduated to a supported clause in r6 — terms_set remains out)
-    with pytest.raises(ValueError):
+    # terms_set graduated in r7, but still requires an msm source, and
+    # scripts stay loud
+    with pytest.raises(ValueError, match="minimum_should_match"):
         compile_query({"terms_set": {"etype": {"terms": ["a"]}}})
+    with pytest.raises(ValueError, match="script"):
+        compile_query({"terms_set": {"etype": {
+            "terms": ["a"],
+            "minimum_should_match_script": {"source": "params.n"}}}})
     # msm counts graduated in r7; percentages stay loud
     with pytest.raises(ValueError, match="non-negative int"):
         compile_query({"bool": {"should": [{"match_all": {}}],
                                 "minimum_should_match": "75%"}})
+
+
+def test_terms_set_clause(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a b c x", 2), (2, "a q q q", 2), (3, "a a b b", 3),
+         (4, None, 1)],
+        "id long, text string, req long",
+    ).withColumn("toks", F.split("text", " "))
+    q = {"terms_set": {"toks": {"terms": ["a", "b", "c"],
+                                "minimum_should_match": 2}}}
+    # doc 3: duplicated matches count DISTINCT (a,b => 2); doc 4 (NULL
+    # field) never matches
+    assert sorted(r.id for r in df.where(compile_query(q)).collect()) == [1, 3]
+    # the SQL twin is DuckDB dialect (list literals / list_intersect) —
+    # cross-check it where it runs: against the oracle engine
+    got_sql = sorted(
+        r[0] for r in duckdb.sql(
+            "SELECT id FROM (SELECT 1 AS id, ['a','b','c','x'] AS toks"
+            " UNION ALL SELECT 2, ['a','q','q','q']"
+            " UNION ALL SELECT 3, ['a','a','b','b']"
+            " UNION ALL SELECT 4, CAST(NULL AS VARCHAR[]))"
+            f" WHERE {compile_query_sql(q)}"
+        ).fetchall()
+    )
+    assert got_sql == [1, 3]
+    # per-doc requirement column: doc 3 needs 3 distinct matches -> out
+    qf = {"terms_set": {"toks": {"terms": ["a", "b", "c"],
+                                 "minimum_should_match_field": "req"}}}
+    assert sorted(r.id for r in df.where(compile_query(qf)).collect()) == [1]
 
 
 def test_minimum_should_match_counts(spark):
