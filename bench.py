@@ -221,6 +221,7 @@ BENCH_QUERIES = [
     "es_dsl_msm",
     "train_span_corruption",
     "es_dsl_terms_set",
+    "mm_audio_frames",
 ]
 
 

@@ -934,6 +934,89 @@ def decode_audio_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame
     return df.mapInPandas(fn, AUDIO_STATS_SCHEMA)
 
 
+def audio_frame_features(
+    df: DataFrame, frame: int = 400, payload_col: str = "payload"
+) -> DataFrame:
+    """(doc_id, frame_idx, n, mean_sq, zero_crossings): the temporal
+    decomposition of :func:`decode_audio_stats` — REAL WAV decode, then
+    per fixed window of ``frame`` samples (50 ms at 8 kHz) the same exact
+    integer features. This is the audio analogue of the video path's
+    frame sampling: the unit a VAD / segment-level quality filter
+    consumes. The final short window keeps its true length (never padded
+    — padding would corrupt the energy). Corrupt payloads contribute no
+    frames (the corruption screen runs upstream on the doc-level stats).
+    Arrow-batched, map-only; output is frames-sized, bounded by
+    n_samples/frame per doc."""
+    w = int(frame)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from elasticsearch_drift_plugin_spark.functions.wav_codec import (
+            decode_wav,
+        )
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    _, x = decode_wav(bytes(payload))
+                except (ValueError, struct_error):
+                    continue
+                xl = x.astype(np.int64)
+                n = len(xl)
+                for f in range((n + w - 1) // w):
+                    seg = xl[f * w : (f + 1) * w]
+                    m = len(seg)
+                    zc = int(((seg[1:] * seg[:-1]) < 0).sum())
+                    # crossings at window seams belong to the LEFT pair's
+                    # window? No — pairs span (i-1, i); a window only sees
+                    # pairs fully inside it, so seam pairs are counted by
+                    # neither (the closed form mirrors this exactly)
+                    out.append((
+                        int(doc_id), f, m,
+                        int((seg * seg).sum()) // m,
+                        zc,
+                    ))
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "frame_idx", "n", "mean_sq",
+                         "zero_crossings"],
+            )
+
+    return df.mapInPandas(
+        fn,
+        "doc_id long, frame_idx long, n long, mean_sq long,"
+        " zero_crossings long",
+    ).orderBy("doc_id", "frame_idx")
+
+
+def audio_frames_sql(frame: int = 400) -> str:
+    w = int(frame)
+    return f"""
+WITH h AS (SELECT doc_id, CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS hv
+           FROM documents),
+p AS (SELECT doc_id,
+             hv % 32 + 4 AS p2,
+             (hv >> 6) % 1500 + 500 AS amp,
+             (hv >> 12) % 1600 + 400 AS n
+      FROM h),
+frames AS (
+  SELECT doc_id, p2, amp, n, unnest(range(0, (n + {w} - 1) // {w})) AS f
+  FROM p
+)
+SELECT doc_id,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST(least((f + 1) * {w}, n) - f * {w} AS BIGINT) AS n,
+       CAST(amp * amp AS BIGINT) AS mean_sq,
+       -- crossings between in-window consecutive pairs (i-1, i), i.e.
+       -- i in [f*w + 1, end): count of half-period boundaries there
+       CAST((least((f + 1) * {w}, n) - 1) // p2 - (f * {w}) // p2 AS BIGINT)
+         AS zero_crossings
+FROM frames ORDER BY doc_id, frame_idx
+"""
+
+
 # closed forms: a ±amp square wave has Σx² = n·amp² exactly (mean_sq =
 # amp²) and flips sign exactly at the half-period boundaries — crossings
 # = floor((n-1) / p2); samples are never zero so the < 0 product test is
@@ -996,6 +1079,10 @@ def queries() -> dict:
         "mm_audio_features": lambda s, d: decode_audio_stats(
             wav_documents(load_table(s, d, "documents"))
         ).orderBy("doc_id"),
+        # temporal decomposition: 50 ms windows, same exact features
+        "mm_audio_frames": lambda s, d: audio_frame_features(
+            wav_documents(load_table(s, d, "documents"))
+        ),
     }
 
 
@@ -1011,4 +1098,5 @@ def oracle_sql() -> dict:
         "mm_resize_png": png_resize_sql(16, 16),
         "mm_frames_png": png_frames_sql(2),
         "mm_audio_features": AUDIO_STATS_SQL,
+        "mm_audio_frames": audio_frames_sql(),
     }

@@ -2138,3 +2138,40 @@ def test_wav_codec_roundtrip_chunkwalk_and_corruption(spark):
     assert rows[1].n_samples == 5 and rows[1].sample_rate == 8000
     assert rows[1].zero_crossings == 4  # every adjacent pair flips sign
     assert rows[2].n_samples is None and rows[2].mean_sq is None
+
+
+def test_audio_frame_features_windows(spark):
+    """r7: per-window features agree with whole-signal stats and the seam
+    rule (pairs spanning a window boundary belong to neither window)."""
+    import numpy as np
+
+    from elasticsearch_drift_plugin_spark.functions.wav_codec import encode_wav
+    from elasticsearch_drift_plugin_spark.operators.multimodal import (
+        audio_frame_features,
+        decode_audio_stats,
+    )
+
+    # 10 samples alternating every 3: + + + - - - + + + -
+    x = np.where((np.arange(10) // 3) % 2 == 0, 700, -700).astype("<i2")
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(8000, x)))], "doc_id long, payload binary"
+    )
+    rows = [(r.frame_idx, r.n, r.mean_sq, r.zero_crossings)
+            for r in audio_frame_features(df, frame=4).collect()]
+    # windows: [0..4) pairs at i=1..3 -> crossing at i=3 (1);
+    # [4..8) pairs i=5..7 -> crossing at i=6 (1); [8..10) pair i=9 -> 1
+    assert rows == [(0, 4, 490000, 1), (1, 4, 490000, 1), (2, 2, 490000, 1)]
+    # seam rule: whole-signal crossings (3: i=3,6,9) equal the window sum
+    # here because no crossing lands ON a seam (seams at 4, 8)
+    whole = decode_audio_stats(df).collect()[0]
+    assert whole.zero_crossings == sum(r[3] for r in rows)
+    # now a seam-landing crossing: alternate every 4 with frame 4 — every
+    # crossing (i=4, 8) sits ON a seam, so no window sees any pair
+    y = np.where((np.arange(10) // 4) % 2 == 0, 500, -500).astype("<i2")
+    df2 = spark.createDataFrame(
+        [(2, bytearray(encode_wav(8000, y)))], "doc_id long, payload binary"
+    )
+    rows2 = [(r.frame_idx, r.zero_crossings)
+             for r in audio_frame_features(df2, frame=4).collect()]
+    assert rows2 == [(0, 0), (1, 0), (2, 0)]
+    assert decode_audio_stats(df2).collect()[0].zero_crossings == 2
