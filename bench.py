@@ -222,6 +222,7 @@ BENCH_QUERIES = [
     "train_span_corruption",
     "es_dsl_terms_set",
     "mm_audio_frames",
+    "mm_scene_changes",
 ]
 
 

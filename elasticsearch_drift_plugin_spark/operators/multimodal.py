@@ -839,6 +839,124 @@ FROM full_h ORDER BY doc_id
 """
 
 
+def png_scene_video_documents(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_frames, payload): the SHOT-STRUCTURED variant of
+    :func:`png_video_documents` — frames group into scenes of md5-derived
+    length (1–3 frames), constant fill WITHIN a scene and a +7 (mod 256)
+    step BETWEEN scenes, so shot-boundary detection has a closed-form
+    oracle while every frame is still a genuine PNG."""
+    from ..sources.flows import widen_narrow_scan
+
+    h = md5_hash60(F.col("text"))
+    base = widen_narrow_scan(docs).select(
+        "doc_id",
+        (h % PNG_MAX_DIM + 1).alias("_w"),
+        (F.shiftright(h, 6) % PNG_MAX_DIM + 1).alias("_h"),
+        (F.shiftright(h, 12) % 256).alias("_fill"),
+        (F.shiftright(h, 20) % 6 + 2).alias("n_frames"),
+        (F.shiftright(h, 23) % 3 + 1).alias("_slen"),
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from elasticsearch_drift_plugin_spark.functions.png_codec import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for w, ht, c, n, sl in zip(
+                pdf["_w"], pdf["_h"], pdf["_fill"], pdf["n_frames"], pdf["_slen"]
+            ):
+                w, ht, c, n, sl = int(w), int(ht), int(c), int(n), int(sl)
+                payloads.append(
+                    b"".join(
+                        encode_png(
+                            w, ht,
+                            bytes([(c + 7 * (i // sl)) % 256]) * (w * ht), 0,
+                        )
+                        for i in range(n)
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": pdf["n_frames"],
+                    "payload": payloads,
+                }
+            )
+
+    return base.mapInPandas(fn, "doc_id long, n_frames long, payload binary")
+
+
+def scene_changes(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """(doc_id, n_frames, n_scenes, diff_total): shot-boundary detection —
+    split the container, FULLY decode every frame, and compare consecutive
+    frames by exact integer mean-absolute-pixel-difference (a boundary is
+    any nonzero difference; ``diff_total`` sums the boundary magnitudes,
+    the evidence a thresholding detector would rank). This is the video
+    twin of the audio frame features: temporal ANALYSIS on top of the
+    container the sampling path already parses. Malformed containers drop
+    (corruption screen); consecutive frames with different dims raise —
+    that is a broken container, not a scene cut. Arrow-batched, map-only."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from elasticsearch_drift_plugin_spark.functions.png_codec import decode_png
+
+        for pdf in batches:
+            out = []
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    frames = [decode_png(f) for f in split_png_frames(bytes(p))]
+                except ValueError:
+                    continue
+                n_scenes, diff_total = 1, 0
+                for (w0, h0, _c0, a), (w1, h1, _c1, b) in zip(frames, frames[1:]):
+                    if (w0, h0) != (w1, h1):
+                        raise ValueError(
+                            "scene_changes: frame dims changed mid-container"
+                        )
+                    sad = sum(abs(x - y) for x, y in zip(a, b))
+                    mad = sad // len(a)  # exact for the constant-fill space
+                    if sad:
+                        n_scenes += 1
+                        diff_total += mad
+                out.append((int(doc_id), len(frames), n_scenes, diff_total))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_frames", "n_scenes", "diff_total"]
+            )
+
+    return df.mapInPandas(
+        fn, "doc_id long, n_frames long, n_scenes long, diff_total long"
+    ).orderBy("doc_id")
+
+
+# closed forms: scenes = ceil(n_frames / slen); each boundary k (at frame
+# i = k·slen) has fill step |(base + 7k) mod 256 - (base + 7(k-1)) mod
+# 256| — computed EXACTLY in SQL from the same md5-derived params, wrap
+# included.
+SCENE_CHANGES_SQL = """
+WITH h AS (SELECT doc_id, CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS hv
+           FROM documents),
+p AS (SELECT doc_id,
+             (hv >> 12) % 256 AS base,
+             (hv >> 20) % 6 + 2 AS n,
+             (hv >> 23) % 3 + 1 AS sl
+      FROM h),
+bounds AS (
+  SELECT doc_id, n, sl, unnest(range(1, (n + sl - 1) // sl)) AS k FROM p
+),
+diffs AS (
+  SELECT doc_id,
+         abs((base + 7 * k) % 256 - (base + 7 * (k - 1)) % 256) AS d
+  FROM bounds JOIN p USING (doc_id)
+)
+SELECT p.doc_id,
+       CAST(p.n AS BIGINT) AS n_frames,
+       CAST((p.n + p.sl - 1) // p.sl AS BIGINT) AS n_scenes,
+       CAST(COALESCE(SUM(d.d), 0) AS BIGINT) AS diff_total
+FROM p LEFT JOIN diffs d ON d.doc_id = p.doc_id
+GROUP BY p.doc_id, p.n, p.sl ORDER BY p.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # REAL audio path: pure-stdlib RIFF/WAVE PCM16 (functions/wav_codec.py)
 # --------------------------------------------------------------------------
@@ -1083,6 +1201,11 @@ def queries() -> dict:
         "mm_audio_frames": lambda s, d: audio_frame_features(
             wav_documents(load_table(s, d, "documents"))
         ),
+        # video temporal ANALYSIS: shot-boundary detection over the
+        # shot-structured real-PNG container (full per-frame decode)
+        "mm_scene_changes": lambda s, d: scene_changes(
+            png_scene_video_documents(load_table(s, d, "documents"))
+        ),
     }
 
 
@@ -1099,4 +1222,5 @@ def oracle_sql() -> dict:
         "mm_frames_png": png_frames_sql(2),
         "mm_audio_features": AUDIO_STATS_SQL,
         "mm_audio_frames": audio_frames_sql(),
+        "mm_scene_changes": SCENE_CHANGES_SQL,
     }

@@ -2175,3 +2175,32 @@ def test_audio_frame_features_windows(spark):
              for r in audio_frame_features(df2, frame=4).collect()]
     assert rows2 == [(0, 0), (1, 0), (2, 0)]
     assert decode_audio_stats(df2).collect()[0].zero_crossings == 2
+
+
+def test_scene_changes_detects_shot_boundaries(spark):
+    """r7: shot detection really decodes — a hand-built container with
+    known scene structure yields the exact boundary count and magnitudes,
+    and a mid-container dim change raises (broken container, not a cut)."""
+    import pytest
+
+    from elasticsearch_drift_plugin_spark.functions.png_codec import encode_png
+    from elasticsearch_drift_plugin_spark.operators.multimodal import (
+        scene_changes,
+    )
+
+    def frame(fill, w=4, h=3):
+        return encode_png(w, h, bytes([fill]) * (w * h), 0)
+
+    # scenes: [10,10] [30] [250,250,250] -> 3 scenes, diffs 20 + 220
+    payload = b"".join(frame(f) for f in (10, 10, 30, 250, 250, 250))
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    r = scene_changes(df).collect()[0]
+    assert (r.n_frames, r.n_scenes, r.diff_total) == (6, 3, 240)
+    bad = frame(10) + encode_png(5, 5, bytes([10]) * 25, 0)
+    df2 = spark.createDataFrame(
+        [(2, bytearray(bad))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="dims changed"):
+        scene_changes(df2).collect()
