@@ -223,6 +223,7 @@ BENCH_QUERIES = [
     "es_dsl_terms_set",
     "mm_audio_frames",
     "mm_scene_changes",
+    "emb_matryoshka_eval",
 ]
 
 

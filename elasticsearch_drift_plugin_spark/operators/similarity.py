@@ -248,6 +248,94 @@ def ivf_topk(
     )
 
 
+def matryoshka_eval(
+    emb: DataFrame,
+    dims: tuple = (8, 16, 32),
+    k: int = 5,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(dim, n_hits, recall_q): the Matryoshka (MRL) ladder evaluation —
+    recall@k of PREFIX-TRUNCATED cosine top-k against the full-dimension
+    truth, one row per candidate dimension. This is the measurement that
+    licenses serving embeddings at a fraction of their stored width
+    (truncate + renormalize ≡ cosine on the prefix): pick the smallest
+    dim whose recall clears the product bar.
+
+    Exactness: every per-dim top-k uses the engine's quantized-score /
+    id-tie-break total order, so the neighbor SETS are engine-reproducible
+    and ``recall_q`` (hits·10⁶ div (queries·k)) hash-matches the DuckDB
+    twin. Scale: the truth and each rung are the documented broadcast-
+    query scans (corpus never shuffles); at 100 TB swap the brute-force
+    rungs for IVF probes — the harness only joins (query, neighbor) sets.
+    """
+    queries = emb.where(F.col(id_col) < int(n_queries))
+    truth = cosine_topk(emb, queries, k=k, brute_force=True).select(
+        "query_id", "neighbor_id"
+    )
+    per_dim = []
+    for d in dims:
+        te = emb.select(
+            F.col(id_col), F.slice(F.col("embedding"), 1, int(d)).alias("embedding")
+        )
+        tk = cosine_topk(
+            te, te.where(F.col(id_col) < int(n_queries)), k=k, brute_force=True
+        ).select("query_id", "neighbor_id")
+        per_dim.append(
+            tk.join(truth, ["query_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+            .select(F.lit(int(d)).cast("long").alias("dim"), "n_hits")
+        )
+    out = per_dim[0]
+    for f in per_dim[1:]:
+        out = out.unionByName(f)
+    denom = int(n_queries) * int(k)
+    return out.select(
+        "dim", "n_hits",
+        F.expr(f"CAST(n_hits * 1000000 div {denom} AS BIGINT)").alias("recall_q"),
+    ).orderBy("dim")
+
+
+def matryoshka_eval_sql(
+    dims: tuple = (8, 16, 32), k: int = 5, n_queries: int = 10
+) -> str:
+    def topk_cte(tag: str, sl: str) -> str:
+        return f"""
+n{tag} AS (
+  SELECT vec_id,
+         sqrt((SELECT SUM(x * x) FROM (SELECT unnest(embedding{sl})::DOUBLE AS x))) AS nm
+  FROM embeddings
+),
+t{tag} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             CAST(FLOOR({_dot_sql(f'q.embedding{sl}', f'c.embedding{sl}')}
+                  / (nq.nm * nc.nm) * {float(QUANT)}) AS BIGINT) DESC,
+             c.vec_id) AS rank
+    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+    JOIN n{tag} nq ON nq.vec_id = q.vec_id
+    JOIN n{tag} nc ON nc.vec_id = c.vec_id
+    WHERE q.vec_id < {int(n_queries)}
+  ) WHERE rank <= {int(k)}
+)"""
+
+    ctes = [topk_cte("full", "")]
+    sels = []
+    for d in dims:
+        ctes.append(topk_cte(f"d{d}", f"[1:{int(d)}]"))
+        sels.append(
+            f"SELECT CAST({int(d)} AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT)"
+            f" AS n_hits FROM td{d} JOIN tfull USING (query_id, neighbor_id)"
+        )
+    denom = int(n_queries) * int(k)
+    return (
+        "WITH " + ",".join(ctes) + "\nSELECT dim, n_hits,\n"
+        f"       CAST(n_hits * 1000000 // {denom} AS BIGINT) AS recall_q\n"
+        "FROM (" + " UNION ALL ".join(sels) + ") ORDER BY dim"
+    )
+
+
 def _dot_sql(a_expr: str, b_expr: str) -> str:
     return (
         f"(SELECT SUM(x * y) FROM (SELECT unnest({a_expr})::DOUBLE AS x, "
@@ -1426,6 +1514,10 @@ def queries() -> dict:
             brute_force=True,
         ),
         "ann_lsh_histogram": lambda s, d: lsh_bucket_histogram(load_table(s, d, "embeddings")),
+        # MRL ladder: recall@k of prefix-truncated cosine vs full-dim truth
+        "emb_matryoshka_eval": lambda s, d: matryoshka_eval(
+            load_table(s, d, "embeddings")
+        ),
         "emb_vector_percolate": lambda s, d: vector_percolate(
             load_table(s, d, "embeddings")
         ),
@@ -1467,6 +1559,7 @@ def oracle_sql() -> dict:
         "ann_knn_cells": knn_cells_sql(),
         "emb_cluster_purity": cluster_purity_sql(),
         "ann_cosine_topk": TOPK_SQL,
+        "emb_matryoshka_eval": matryoshka_eval_sql(),
         "ann_lsh_histogram": lsh_histogram_sql(),
         "emb_vector_percolate": vector_percolate_sql(),
         "ann_rank_eval": rank_eval_sql(IVF_TOPK_SQL, TOPK_SQL),

@@ -2204,3 +2204,33 @@ def test_scene_changes_detects_shot_boundaries(spark):
     )
     with pytest.raises(Exception, match="dims changed"):
         scene_changes(df2).collect()
+
+
+def test_matryoshka_eval_full_width_is_perfect(spark):
+    """r7: the MRL ladder's full-width rung IS the truth — recall 1.0
+    exactly — and prefix rungs are bounded by it; a constructed corpus
+    where the first 2 dims already separate neighbors hits 1.0 early."""
+    from elasticsearch_drift_plugin_spark.operators.similarity import (
+        matryoshka_eval,
+    )
+    from elasticsearch_drift_plugin_spark.sources.flows import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = {r.dim: r for r in matryoshka_eval(emb, dims=(8, 64), k=5).collect()}
+    assert rows[64].recall_q == 1_000_000  # full width == truth
+    assert 0 <= rows[8].recall_q <= 1_000_000
+    assert rows[8].n_hits <= rows[64].n_hits
+
+    # first-2-dims-separable corpus: clusters along dim 0/1, noise after
+    # (offsets keep every prefix nonzero — a zero-norm vector has no
+    # cosine and the operator throws loudly under ANSI, by design)
+    toy = spark.createDataFrame(
+        [(i, [float(i % 3) + 1.0, (float(i % 3) + 1.0) * 2.0]
+              + [0.001 * ((i * 7) % 5) + 0.001] * 6)
+         for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    toy_rows = {r.dim: r for r in
+                matryoshka_eval(toy, dims=(2, 8), k=3, n_queries=3).collect()}
+    assert toy_rows[8].recall_q == 1_000_000
+    assert toy_rows[2].recall_q >= 600_000  # the prefix already separates
