@@ -185,11 +185,11 @@ GRADE_FIRST: tuple[str, ...] = (
     "psum_sweep_day_lineitem",
 )
 # r8 rotation backlog: mm_audio_features, mm_audio_frames,
-# mm_scene_changes, es_dsl_msm, train_span_corruption, es_dsl_terms_set,
-# emb_matryoshka_eval (registered after this round's window froze;
-# oracle-paired, verified green at sf0.01). Once this window is stamped,
-# 246 of 255 registered queries carry driver evidence (union of the
-# r1–r7 windows). The only two never-stamped entries besides that
+# mm_scene_changes, es_dsl_msm, train_span_corruption, train_span_ul2x,
+# es_dsl_terms_set, emb_matryoshka_eval (registered after this round's
+# window froze; oracle-paired, verified green at sf0.01). Once this
+# window is stamped, 246 of 256 registered queries carry driver evidence
+# (union of the r1–r7 windows). The only two never-stamped entries besides that
 # backlog are the rows-only sketches corpus_bpe_encode and
 # es_theta_set_ops (deliberately kept out — they would read as
 # `err: no_oracle`; both are pytest-golden/invariant-pinned and covered

@@ -224,6 +224,7 @@ BENCH_QUERIES = [
     "mm_audio_frames",
     "mm_scene_changes",
     "emb_matryoshka_eval",
+    "train_span_ul2x",
 ]
 
 

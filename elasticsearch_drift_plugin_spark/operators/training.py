@@ -889,6 +889,8 @@ def span_corruption(
     id_col: str = "doc_id",
     text_col: str = "text",
     salt: str = "t5-v1",
+    span_min: int = 2,
+    span_max: int = 4,
 ) -> DataFrame:
     """(doc_id, n_tokens, n_spans, n_masked, masked_fp): T5/UL2-style span
     corruption PLAN — which token positions each document masks — fully
@@ -899,7 +901,11 @@ def span_corruption(
     partition into fixed blocks of ``block``; block ``b`` of doc ``d``
     draws one span from ``md5(salt#d#b)`` — length 2–4 (mean 3, i.e.
     ~15% noise at the default block of 20, the T5 operating point),
-    start uniform over the feasible offsets. No sequential dependency
+    start uniform over the feasible offsets; ``span_min``/``span_max``
+    parameterize the denoiser family — the default is T5's R-denoiser
+    operating point (~15% noise, mean span 3); UL2's X-denoiser is e.g.
+    ``block=8, span_min=3, span_max=6`` (~55% noise, long spans) and its
+    S-denoiser degenerates to one big block. No sequential dependency
     between blocks ⇒ one map-side explode + one aggregation, and the
     identical arithmetic runs in the DuckDB twin. ``masked_fp`` is the
     order-free XOR of per-masked-position hashes — exact MEMBERSHIP
@@ -913,7 +919,9 @@ def span_corruption(
     string assembly has no clean SQL twin, the plan columns here are the
     oracle-gated contract).
     """
-    b = int(block)
+    b, smin, smax = int(block), int(span_min), int(span_max)
+    if not 1 <= smin <= smax < b:
+        raise ValueError(f"need 1 <= span_min <= span_max < block, got {smin}/{smax}/{b}")
     n = F.size(F.split(F.col(text_col), " "))
     base = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -924,7 +932,7 @@ def span_corruption(
         F.concat_ws("#", F.lit(salt), F.col("doc_id").cast("string"),
                     blk.cast("string"))
     )
-    span_len = F.pmod(hb, F.lit(3)) + 2
+    span_len = F.pmod(hb, F.lit(smax - smin + 1)) + smin
     start = F.pmod(F.shiftright(hb, 8), F.lit(b) - span_len + 1)
     off = F.pmod(F.col("pos"), F.lit(b))
     masked = (off >= start) & (off < start + span_len)
@@ -949,8 +957,10 @@ def span_corruption(
     )
 
 
-def span_corruption_sql(block: int = 20, salt: str = "t5-v1") -> str:
-    b = int(block)
+def span_corruption_sql(
+    block: int = 20, salt: str = "t5-v1", span_min: int = 2, span_max: int = 4
+) -> str:
+    b, smin, w = int(block), int(span_min), int(span_max) - int(span_min) + 1
     hb = HEX15_SQL_FN.format(
         expr=f"'{salt}' || '#' || CAST(doc_id AS VARCHAR) || '#' ||"
              " CAST(blk AS VARCHAR)"
@@ -969,8 +979,8 @@ flagged AS (
          (pos % {b}) >= start AND (pos % {b}) < start + span_len AS m
   FROM (
     SELECT doc_id, pos, blk,
-           hv % 3 + 2 AS span_len,
-           (hv >> 8) % ({b} - (hv % 3 + 2) + 1) AS start
+           hv % {w} + {smin} AS span_len,
+           (hv >> 8) % ({b} - (hv % {w} + {smin}) + 1) AS start
     FROM (SELECT doc_id, pos, pos // {b} AS blk, {hb} AS hv FROM toks)
   )
 )
@@ -990,6 +1000,8 @@ def span_corruption_text(
     id_col: str = "doc_id",
     text_col: str = "text",
     salt: str = "t5-v1",
+    span_min: int = 2,
+    span_max: int = 4,
 ) -> DataFrame:
     """(doc_id, inputs, targets): the materialized T5 denoising pair —
     masked spans replaced by ``<extra_id_k>`` sentinels in ``inputs``,
@@ -999,7 +1011,7 @@ def span_corruption_text(
     arithmetic bit-for-bit; pytest pins the two agree). Arrow map-only."""
     import hashlib
 
-    b = int(block)
+    b, smin, w = int(block), int(span_min), int(span_max) - int(span_min) + 1
 
     def _mask_plan(doc_id: int, n: int):
         out = []
@@ -1008,7 +1020,7 @@ def span_corruption_text(
                 hashlib.md5(f"{salt}#{doc_id}#{blk}".encode()).hexdigest()[:15],
                 16,
             )
-            ln = hv % 3 + 2
+            ln = hv % w + smin
             st = (hv >> 8) % (b - ln + 1)
             out.append((blk * b + st, ln))
         return out
@@ -1221,6 +1233,12 @@ def queries() -> dict:
         "train_span_corruption": lambda s, d: span_corruption(
             load_table(s, d, "documents")
         ),
+        # UL2 X-denoiser operating point: short blocks, long spans (~55%
+        # noise) — same plan machinery, different severity
+        "train_span_ul2x": lambda s, d: span_corruption(
+            load_table(s, d, "documents"), block=8, span_min=3, span_max=6,
+            salt="ul2x-v1",
+        ),
         "train_shard_by_tokens": lambda s, d: shard_by_tokens(
             load_table(s, d, "documents")
         ),
@@ -1243,6 +1261,9 @@ def oracle_sql() -> dict:
         "train_curriculum": _curriculum_oracle(),
         "train_neg_samples": negative_samples_sql(),
         "train_span_corruption": span_corruption_sql(),
+        "train_span_ul2x": span_corruption_sql(
+            block=8, span_min=3, span_max=6, salt="ul2x-v1"
+        ),
         "train_shard_by_tokens": shard_by_tokens_sql(),
     }
 
