@@ -265,35 +265,58 @@ def matryoshka_eval(
     Exactness: every per-dim top-k uses the engine's quantized-score /
     id-tie-break total order, so the neighbor SETS are engine-reproducible
     and ``recall_q`` (hits·10⁶ div (queries·k)) hash-matches the DuckDB
-    twin. Scale: the truth and each rung are the documented broadcast-
-    query scans (corpus never shuffles); at 100 TB swap the brute-force
-    rungs for IVF probes — the harness only joins (query, neighbor) sets.
+    twin. Scale: ALL rungs + the truth score in ONE corpus pass — the
+    broadcast-query join computes every sliced dot in the same projection
+    and the per-rung rank windows share one query_id exchange (4 in-
+    partition sorts, not 4 scans); at 100 TB swap the brute-force pass
+    for IVF probes — the harness only intersects (query, neighbor) sets.
     """
-    queries = emb.where(F.col(id_col) < int(n_queries))
-    truth = cosine_topk(emb, queries, k=k, brute_force=True).select(
-        "query_id", "neighbor_id"
+    tags = [("full", None)] + [(f"d{d}", int(d)) for d in dims]
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col("embedding")).alias("cv"),
     )
-    per_dim = []
-    for d in dims:
-        te = emb.select(
-            F.col(id_col), F.slice(F.col("embedding"), 1, int(d)).alias("embedding")
+    q = emb.where(F.col(id_col) < int(n_queries)).select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col("embedding")).alias("qv"),
+    )
+    pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    score_cols = []
+    for tag, d in tags:
+        qv = F.col("qv") if d is None else F.slice(F.col("qv"), 1, d)
+        cv = F.col("cv") if d is None else F.slice(F.col("cv"), 1, d)
+        s = dot(qv, cv) / (l2_norm(qv) * l2_norm(cv))
+        score_cols.append(
+            F.floor(s * F.lit(float(QUANT))).alias(f"s_{tag}")
         )
-        tk = cosine_topk(
-            te, te.where(F.col(id_col) < int(n_queries)), k=k, brute_force=True
-        ).select("query_id", "neighbor_id")
-        per_dim.append(
-            tk.join(truth, ["query_id", "neighbor_id"])
-            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
-            .select(F.lit(int(d)).cast("long").alias("dim"), "n_hits")
+    scored = pairs.select("query_id", "neighbor_id", *score_cols)
+    ranked = scored
+    for tag, _ in tags:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col(f"s_{tag}").desc(), F.col("neighbor_id")
         )
-    out = per_dim[0]
-    for f in per_dim[1:]:
-        out = out.unionByName(f)
+        ranked = ranked.withColumn(f"r_{tag}", F.row_number().over(w))
+    in_truth = F.col("r_full") <= int(k)
+    aggs = [
+        F.sum(
+            F.when(in_truth & (F.col(f"r_d{d}") <= int(k)), 1).otherwise(0)
+        ).cast("long").alias(f"h_{d}")
+        for d in dims
+    ]
+    one = ranked.agg(*aggs)
+    stack = ", ".join(f"CAST({int(d)} AS BIGINT), h_{d}" for d in dims)
     denom = int(n_queries) * int(k)
-    return out.select(
-        "dim", "n_hits",
-        F.expr(f"CAST(n_hits * 1000000 div {denom} AS BIGINT)").alias("recall_q"),
-    ).orderBy("dim")
+    return (
+        one.select(
+            F.expr(f"stack({len(dims)}, {stack}) AS (dim, n_hits)")
+        )
+        .select(
+            "dim", "n_hits",
+            F.expr(f"CAST(n_hits * 1000000 div {denom} AS BIGINT)")
+            .alias("recall_q"),
+        )
+        .orderBy("dim")
+    )
 
 
 def matryoshka_eval_sql(
