@@ -492,16 +492,64 @@ def _token_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
+def _shingle_arrays(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, sa): each doc's DISTINCT k-token shingles as one array —
+    the map-side twin of :func:`_token_shingles` (``explode(sa)`` yields
+    exactly its rows). One narrow HOF projection, no explode, no shuffle:
+    the per-doc formulation is what keeps MinHash embarrassingly parallel
+    at corpus scale (the exploded frame shuffles Σ|shingles| rows through
+    every downstream groupBy). The scan is widened first so the
+    shingle/md5 HOFs parallelize even when the sample is one parquet
+    split (no-op at real scale — see :func:`widen_narrow_scan`)."""
+    from ..sources.flows import widen_narrow_scan
+
+    docs = widen_narrow_scan(docs, "doc_id")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("l"))
+    return toks.where(F.size("l") >= k).select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, size(l) - {k - 1}), i -> "
+                "concat_ws(' ', element_at(l, i), element_at(l, i + 1),"
+                " element_at(l, i + 2)))"
+            )
+        ).alias("sa"),
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, shingle_arrays: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, band, sig): per-band combined MinHash signature. Docs whose
-    4-hash band signature collides are near-dup candidates."""
-    sh = _token_shingles(docs)
-    hv = sh.select("doc_id", md5_hash60(F.col("s")).alias("hv"))
-    mh = hv.groupBy("doc_id").agg(
+    4-hash band signature collides are near-dup candidates.
+
+    Entirely map-side until the caller's band join: each permutation's min
+    is an ``array_min(transform(...))`` over the doc's shingle array —
+    same md5-derived 60-bit values as the exploded/groupBy formulation
+    (oracle-identical), but the corpus-wide shingle shuffle is GONE. At
+    100 TB that shuffle (Σ|shingles| ≈ tokens-per-doc × corpus rows) was
+    the dominant cost of signature building; per-doc HOFs are free
+    parallelism. ``shingle_arrays`` lets a caller share a materialized
+    :func:`_shingle_arrays` frame."""
+    sa = _shingle_arrays(docs) if shingle_arrays is None else shingle_arrays
+    hv = sa.select(
+        "doc_id",
+        F.expr(
+            "transform(sa, s -> "
+            "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS LONG))"
+        ).alias("ha"),
+    )
+    mh = hv.select(
+        "doc_id",
         *[
-            F.min(minhash_expr(F.col("hv"), a, b)).alias(f"mh{j}")
+            F.array_min(
+                F.expr(
+                    f"transform(ha, h -> ({a} * pmod(h, {MINHASH_P}) + {b})"
+                    f" % {MINHASH_P})"
+                )
+            ).alias(f"mh{j}")
             for j, (a, b) in enumerate(_COEFFS)
-        ]
+        ],
     )
     band_sigs = []
     for bnd in range(BANDS):
@@ -516,7 +564,9 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame, shingle_arrays: DataFrame | None = None
+) -> DataFrame:
     """Banded candidates, verified with exact shingle Jaccard (no threshold:
     the band collision IS the filter; jacc_q lets callers cut further).
 
@@ -527,7 +577,8 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     whose signatures collide without any shared shingle (theoretical) are
     dropped, matching the inverted-index formulation the oracle uses.
     """
-    sigs = minhash_signatures(docs)
+    sa_frame = _shingle_arrays(docs) if shingle_arrays is None else shingle_arrays
+    sigs = minhash_signatures(docs, shingle_arrays=sa_frame)
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
         a.join(b, ["band", "sig"])
@@ -535,9 +586,7 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh_arr = _token_shingles(docs).groupBy("doc_id").agg(
-        F.collect_list("s").alias("sa")
-    )
+    sh_arr = sa_frame
     inter = F.size(F.array_intersect("sa_a", "sa_b")).cast("long")
     na = F.size("sa_a").cast("long")
     nb = F.size("sa_b").cast("long")
@@ -630,8 +679,8 @@ def minhash_decontaminate(
     (``corpus.contamination_overlap``), catching paraphrased/reformatted
     benchmark leaks an exact gram match misses.
 
-    Shape: both sides get band signatures (map-side after one shingle
-    agg each); candidates come from the (band, sig) equi-join — the LSH
+    Shape: both sides get band signatures (map-side per-doc HOFs, no
+    shingle shuffle); candidates come from the (band, sig) equi-join — the LSH
     bucket bound, corpus×bench pairs never materialize; each candidate is
     verified with one codegen'd ``array_intersect`` Jaccard. Scales like
     ``minhash_lsh_pairs`` with the benchmark as the (usually tiny,
@@ -640,21 +689,20 @@ def minhash_decontaminate(
     ``contaminated`` flags verified Jaccard ≥ ``threshold_q`` (1e-6 units).
     Every corpus doc is emitted (0/0/false when no candidate survives).
     """
-    sa = minhash_signatures(corpus)
-    sb = minhash_signatures(bench).withColumnRenamed("doc_id", "bench_id")
+    sh_c = _shingle_arrays(corpus)
+    sh_b = _shingle_arrays(bench)
+    sa = minhash_signatures(corpus, shingle_arrays=sh_c)
+    sb = minhash_signatures(bench, shingle_arrays=sh_b).withColumnRenamed(
+        "doc_id", "bench_id"
+    )
     cand = (
         sa.join(sb, ["band", "sig"])
         .select("doc_id", "bench_id")
         .distinct()
     )
-    shc = _token_shingles(corpus).groupBy("doc_id").agg(
-        F.collect_list("s").alias("sa_a")
-    )
-    shb = (
-        _token_shingles(bench)
-        .groupBy("doc_id")
-        .agg(F.collect_list("s").alias("sa_b"))
-        .withColumnRenamed("doc_id", "bench_id")
+    shc = sh_c.withColumnRenamed("sa", "sa_a")
+    shb = sh_b.withColumnRenamed("sa", "sa_b").withColumnRenamed(
+        "doc_id", "bench_id"
     )
     inter = F.size(F.array_intersect("sa_a", "sa_b")).cast("long")
     na = F.size("sa_a").cast("long")
@@ -980,6 +1028,17 @@ def lsh_recall_eval(
     posting fan-out, the documented eval-scale cost); the candidate side
     is the production LSH path itself. Counts combine via 1-row
     aggregates (crossJoin of scalars — the sanctioned pattern).
+
+    Plan hygiene (round-8): every piece — doc shingle counts, the truth
+    self-join's exploded postings, and both shingle uses inside the LSH
+    path — derives from ONE per-doc shingle-array frame
+    (:func:`_shingle_arrays`); lazily each reference replayed the corpus
+    scan + explode (measured 22 exchanges / 4 scalar cartesians before).
+    The frame is eval-sample-sized, so an eager ``localCheckpoint`` pins
+    it to one derivation (the ``es_phrase_suggest`` recipe); the band/hit
+    counts fuse into one conditional aggregate over ``cand`` (making it
+    single-reference — no pin needed), so the final collect is ONE job
+    whose truth and candidate subtrees schedule concurrently.
     """
     # the truth side is all-pairs by design — the same blind-quadratic
     # hazard cosine_topk guards against, so the same contract: refuse past
@@ -992,8 +1051,9 @@ def lsh_recall_eval(
             f"(corpus.hash_sample) or raise max_eval_docs to acknowledge "
             f"the quadratic cost"
         )
-    sh = _token_shingles(docs)
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = _shingle_arrays(docs).localCheckpoint(eager=True)
+    counts = sa.select("doc_id", F.size("sa").cast("long").alias("n"))
+    sh = sa.select("doc_id", F.explode("sa").alias("s"))
     inter = (
         sh.alias("x")
         .join(sh.alias("y"), "s")
@@ -1008,20 +1068,19 @@ def lsh_recall_eval(
         * F.lit(float(QUANT))
     )
     truth = (
-        inter.join(counts.alias("ca"), F.col("ca.doc_id") == F.col("doc_a"))
-        .join(counts.alias("cb"), F.col("cb.doc_id") == F.col("doc_b"))
+        inter.join(F.broadcast(counts.alias("ca")), F.col("ca.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(counts.alias("cb")), F.col("cb.doc_id") == F.col("doc_b"))
         .where(jacc_q >= threshold_q)
         .select("doc_a", "doc_b")
     )
-    cand = minhash_lsh_pairs(docs)
+    cand = minhash_lsh_pairs(docs, shingle_arrays=sa)
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
-    n_band = cand.agg(F.count(F.lit(1)).alias("n_band_pairs"))
-    n_hit = cand.where(F.col("jacc_q") >= threshold_q).agg(
-        F.count(F.lit(1)).alias("n_hit")
+    band = cand.agg(
+        F.count(F.lit(1)).alias("n_band_pairs"),
+        F.count_if(F.col("jacc_q") >= threshold_q).alias("n_hit"),
     )
     return (
-        n_true.crossJoin(n_band)
-        .crossJoin(n_hit)
+        n_true.crossJoin(band)
         .select(
             "n_true",
             "n_band_pairs",
