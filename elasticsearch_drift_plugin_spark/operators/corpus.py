@@ -1205,25 +1205,29 @@ def bpe_train_distributed(
     the shape for vocabularies too large (or merge counts too long) for a
     driver-held symbol table. Bit-identical merge sequence to the driver
     backend (same argmax key, same left-to-right merge rule), pinned by
-    pytest equality on the goldens and a random corpus.
+    pytest equality on the goldens and a random corpus, and driver-checked
+    against the same unrolled-replay oracle as ``corpus_bpe_train``.
 
-    Per merge, ONE Arrow ``mapInPandas`` pass over the partitioned vocab
-    applies the broadcast winning pair and emits per-partition
-    PAIR-COUNT DELTAS (tagged rows in the same frame, so one job yields
-    both the rewritten vocab and the deltas); the driver folds the deltas
-    into its count heap — driver state is O(#distinct pairs), never
-    O(vocab · avg_len). ``localCheckpoint`` every merge materializes the
-    step and caps lineage at O(1).
+    Per merge, ONE codegen'd job over the partitioned vocab: an
+    ``aggregate`` fold applies the winning pair left-to-right (provably
+    the same result as the driver kernel's in-place scan — the merged
+    token ``left+right`` can never equal ``left``, so a fresh merge never
+    re-merges in the same pass), and the changed rows' old/new adjacent
+    pairs explode into ±count PAIR DELTAS that one tiny aggregate ships
+    to the driver. The driver folds them into its count heap — driver
+    state is O(#distinct pairs), never O(vocab · avg_len). A lazy
+    ``localCheckpoint`` per merge (materialized by that same delta job)
+    caps lineage at O(1). No Python executes anywhere in the loop: the
+    earlier Arrow ``mapInPandas`` kernel paid a ~350 ms Python-worker
+    round trip per merge; the fold is whole-stage-codegen'd JVM.
 
-    Cost model: the per-merge Spark job costs the local dispatch floor
-    (~30-60 ms) + an O(vocab/partitions) vectorized scan — at cluster
+    Cost model: the per-merge job costs the local dispatch floor
+    (~80 ms) + an O(vocab/partitions) vectorized scan — at cluster
     scale the scan is the win (no driver pinning, no corpus-sized
-    collect); below ~50k merges on a laptop the driver backend is faster
-    because dispatch dominates. Both backends share the corpus-sized
-    word-count stage; only the Zipf-bounded vocab iterates.
+    collect); below ~100k merges on a laptop the driver backend is
+    faster because dispatch dominates. Both backends share the
+    corpus-sized word-count stage; only the Zipf-bounded vocab iterates.
     """
-    from collections import Counter
-
     spark = docs.sparkSession
     wc = (
         docs.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
@@ -1236,10 +1240,15 @@ def bpe_train_distributed(
     vocab = wc.select(
         "w", "c",
         F.concat(F.split("w", ""), F.array(F.lit(BPE_END))).alias("syms"),
-        F.lit(None).cast("string").alias("dl"),
-        F.lit(None).cast("string").alias("dr"),
-        F.lit(None).cast("long").alias("dc"),
     ).localCheckpoint(eager=True)
+    # size the iterated frame to the vocab, not to the cluster: a
+    # Zipf-bounded vocab spread over 32 near-empty partitions multiplies
+    # the per-merge task floor for zero parallelism gain. ~8k words per
+    # partition keeps task payloads real; a max_vocab-sized table still
+    # fans out fully.
+    n_rows = vocab.count()
+    n_parts = max(1, min(spark.sparkContext.defaultParallelism, n_rows // 8192))
+    vocab = vocab.repartition(n_parts).localCheckpoint(eager=True)
 
     # initial pair counts: one aggregation, result bounded by the distinct
     # adjacent-pair count (alphabet²-ish), never vocab-sized rows × length
@@ -1263,10 +1272,52 @@ def bpe_train_distributed(
     heap = [(-c, p) for p, c in counts.items()]
     heapq.heapify(heap)
 
-    schema = (
-        "w string, c long, syms array<string>, dl string, dr string, dc long"
-    )
+    def _adj_pairs(col_name: str, sign: int):
+        """±c-weighted adjacent-pair structs of a symbol array (typed empty
+        below 2 symbols — ``sequence(1, 0)`` would DESCEND, not vanish)."""
+        col = F.col(col_name)
+        pair_t = "array<struct<l:string,r:string,d:long>>"
+        return F.when(F.size(col) < 2, F.array().cast(pair_t)).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(col) - 1),
+                lambda i: F.struct(
+                    F.get(col, i - 1).alias("l"),
+                    F.get(col, i).alias("r"),
+                    (F.lit(sign) * F.col("c")).cast("long").alias("d"),
+                ),
+            )
+        )
+
     merges: list[tuple[int, str, str, int]] = []
+    # the merge loop issues one tiny-aggregate job per merge; AQE's
+    # per-query replanning and a 32-way shuffle add ~0.25 s/job of pure
+    # overhead on a delta frame bounded by #changed-pairs. Scope both off
+    # for the loop (restored in the finally) — the deltas stay one small
+    # partition at any vocab size.
+    conf = spark.conf
+    saved = {
+        "spark.sql.adaptive.enabled": conf.get("spark.sql.adaptive.enabled"),
+        "spark.sql.shuffle.partitions": conf.get("spark.sql.shuffle.partitions"),
+    }
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        _run_merge_loop(
+            vocab, counts, heap, merges, int(n_merges), _adj_pairs
+        )
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, pair_count long"
+    )
+
+
+def _run_merge_loop(vocab, counts, heap, merges, n_merges, _adj_pairs):
+    """The sequential argmax-merge loop of :func:`bpe_train_distributed` —
+    one codegen'd Spark job per merge, vocab resident on executors."""
+    import heapq
+
     for rank in range(int(n_merges)):
         while heap:
             negc, pair = heap[0]
@@ -1279,64 +1330,53 @@ def bpe_train_distributed(
         left, right = heap[0][1]
         merges.append((rank, left, right, best))
 
-        def _apply(batches, left=left, right=right):
-            import pandas as pd
+        # the fold replaces adjacent (left, right) with the merged token in
+        # one left-to-right pass; F.lit keeps arbitrary corpus symbols out
+        # of any SQL string. F.get is 0-based and NULL-safe on empty acc.
+        merged_tok = F.lit(left + right)
+        lit_l, lit_r = F.lit(left), F.lit(right)
 
-            for pdf in batches:
-                delta: Counter = Counter()
-                syms_out = []
-                for syms, c in zip(pdf["syms"], pdf["c"]):
-                    syms = list(syms)
-                    old = None
-                    i = 0
-                    while i < len(syms) - 1:
-                        if syms[i] == left and syms[i + 1] == right:
-                            if old is None:
-                                old = Counter(zip(syms, syms[1:]))
-                                # restart unchanged-prefix scan is not
-                                # needed: the merge loop below continues
-                                # from i, identical to the driver kernel
-                            syms[i : i + 2] = [left + right]
-                        else:
-                            i += 1
-                    if old is not None:
-                        new = Counter(zip(syms, syms[1:]))
-                        c = int(c)
-                        for p in old.keys() | new.keys():
-                            d = new.get(p, 0) - old.get(p, 0)
-                            if d:
-                                delta[p] += d * c
-                    syms_out.append(syms)
-                pdf = pdf.copy()
-                pdf["syms"] = syms_out
-                yield pdf[["w", "c", "syms", "dl", "dr", "dc"]]
-                if delta:
-                    yield pd.DataFrame(
-                        {
-                            "w": [None] * len(delta),
-                            "c": [0] * len(delta),
-                            "syms": [[]] * len(delta),
-                            "dl": [p[0] for p in delta],
-                            "dr": [p[1] for p in delta],
-                            "dc": [int(v) for v in delta.values()],
-                        }
-                    )
+        def _step(acc, x):
+            last = F.get(acc, F.size(acc) - 1)
+            hit = last.eqNullSafe(lit_l) & (x == lit_r)
+            return F.when(
+                hit,
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(merged_tok)
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
 
-        stepped = vocab.mapInPandas(_apply, schema=schema).localCheckpoint(
-            eager=True
+        stepped = vocab.select(
+            "w",
+            "c",
+            "syms",
+            F.aggregate(
+                "syms", F.array().cast("array<string>"), _step
+            ).alias("nsyms"),
+            # lazy checkpoint: the delta collect right below is the frame's
+            # first action and materializes it — ONE codegen'd job per merge
+        ).localCheckpoint(eager=False)
+        deltas = (
+            stepped.where(F.col("nsyms") != F.col("syms"))
+            .select(
+                F.explode(
+                    F.concat(_adj_pairs("syms", -1), _adj_pairs("nsyms", +1))
+                ).alias("p")
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("p.d").alias("d"))
+            .where("d <> 0")
+            .collect()
         )
-        for r in stepped.where(F.col("w").isNull()).collect():
-            p = (r.dl, r.dr)
-            c = counts.get(p, 0) + int(r.dc)
+        for r in deltas:
+            p = (r.l, r.r)
+            c = counts.get(p, 0) + int(r.d)
             if c > 0:
                 counts[p] = c
                 heapq.heappush(heap, (-c, p))
             else:
                 counts.pop(p, None)
-        vocab = stepped.where(F.col("w").isNotNull())
-    return spark.createDataFrame(
-        merges, "rank long, left string, right string, pair_count long"
-    )
+        vocab = stepped.select("w", "c", F.col("nsyms").alias("syms"))
 
 
 def bpe_encode(
@@ -1697,6 +1737,15 @@ def queries() -> dict:
         "corpus_bpe_train": lambda s, d: bpe_train(
             load_table(s, d, "documents"), n_merges=30
         ),
+        # the executor-resident backend against the SAME unrolled-replay
+        # oracle: the bit-identity claim is driver-checked, not pytest-only.
+        # Wall-clock here is 30 sequential argmax JOBS x the local dispatch
+        # floor (~0.2 s each) by construction — the backend exists for
+        # vocab/merge scales where the driver backend can't pin the table,
+        # not to win a 31-word demo corpus (cost model in the docstring).
+        "corpus_bpe_train_dist": lambda s, d: bpe_train_distributed(
+            load_table(s, d, "documents"), n_merges=30
+        ),
         "corpus_bpe_encode": lambda s, d: bpe_encode(
             load_table(s, d, "documents"),
             bpe_train(load_table(s, d, "documents"), n_merges=30),
@@ -1737,6 +1786,7 @@ def oracle_sql() -> dict:
         "corpus_top_ngrams": top_ngrams_sql(),
         "corpus_bpe_pairs": bpe_pairs_sql(),
         "corpus_bpe_train": bpe_train_sql(n_merges=30),
+        "corpus_bpe_train_dist": bpe_train_sql(n_merges=30),
         "corpus_chunk": chunk_documents_sql(chunk_tokens=32, overlap=8),
         "corpus_log_odds": log_odds_sql(),
         "corpus_zipf_slope": zipf_slope_sql(),
