@@ -655,6 +655,248 @@ ORDER BY d.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling")
+# --------------------------------------------------------------------------
+DSIR_BUCKETS = 8192
+
+
+def _hashed_gram_counts(docs: DataFrame, buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """(doc_id, b, cnt): per-doc hashed n-gram bucket counts — DSIR's
+    feature map. Grams are unigrams + space-joined bigrams (a unigram can
+    never contain a space, so the two families can't collide), bucketed by
+    the cross-engine md5 hash mod ``buckets``. One map-side HOF projection
+    + explode + a (doc_id, b)-keyed count: narrow, no corpus self-join.
+    The scan is widened so the md5 battery parallelizes on single-split
+    samples (no-op at real scale)."""
+    from ..sources.flows import widen_narrow_scan
+
+    docs = widen_narrow_scan(docs, "doc_id")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "").alias("__t"),
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.col("__t"),
+                # sequence(1, 0) DESCENDS — guard single-token docs
+                F.expr(
+                    "CASE WHEN size(__t) >= 2 THEN"
+                    " transform(sequence(1, size(__t) - 1),"
+                    " i -> concat_ws(' ', __t[i - 1], __t[i]))"
+                    " ELSE CAST(array() AS array<string>) END"
+                ),
+            )
+        ).alias("g"),
+    )
+    return grams.select(
+        "doc_id", (md5_hash60(F.col("g")) % F.lit(int(buckets))).alias("b")
+    ).groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_where: str = "source = 'src0'",
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """(doc_id, n_grams, dsir_q): each RAW document's DSIR importance
+    weight — its log likelihood-ratio between a hashed-n-gram bag model of
+    the TARGET distribution and one of the raw distribution,
+    ``Σ_b cnt_doc[b] · (ln p̂_t[b] − ln p̂_r[b])`` with add-one smoothing
+    over ``buckets`` hash buckets. High ``dsir_q`` ⇒ the doc looks like
+    the target domain; this is the standard public data-selection operator
+    for pre-training corpora (DSIR, Xie et al. 2023).
+
+    Float discipline: each bucket's two log-probabilities are floored to
+    1e-6 quanta INDEPENDENTLY (the ``bigram_lm_score`` convention), so the
+    per-doc weight is an exact integer sum — cross-engine hashable.
+
+    Scale shape: the bucket tables are bounded by ``buckets`` (8k rows) —
+    each is aggregated once and PINNED (eager ``localCheckpoint``), so the
+    two corpus-scale gram passes (one per side) run exactly once for model
+    fitting; scoring replays the raw gram pass once more against the
+    broadcast λ table (recompute-over-persist is the honest choice for a
+    corpus-sized intermediate). The gram totals Nt/Nr are O(1) scalar
+    collects off the pinned tables. No corpus self-join anywhere.
+    """
+    raw = docs.where(f"NOT ({target_where})")
+    target = docs.where(target_where)
+    doc_b = _hashed_gram_counts(raw, buckets)
+    cr = (
+        doc_b.groupBy("b")
+        .agg(F.sum("cnt").alias("cr"))
+        .localCheckpoint(eager=True)
+    )
+    ct = (
+        _hashed_gram_counts(target, buckets)
+        .groupBy("b")
+        .agg(F.sum("cnt").alias("ct"))
+        .localCheckpoint(eager=True)
+    )
+    n_t = ct.agg(F.sum("ct")).collect()[0][0] or 0
+    n_r = cr.agg(F.sum("cr")).collect()[0][0] or 0
+    bl = float(buckets)
+    lam = cr.join(ct, "b", "left").select(
+        "b",
+        (
+            F.floor(
+                F.log(
+                    (F.coalesce("ct", F.lit(0)) + F.lit(1.0))
+                    / F.lit(float(n_t) + bl)
+                )
+                * F.lit(float(QUANT))
+            )
+            - F.floor(
+                F.log((F.col("cr") + F.lit(1.0)) / F.lit(float(n_r) + bl))
+                * F.lit(float(QUANT))
+            )
+        ).alias("lam_q"),
+    )
+    scored = (
+        doc_b.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.sum(F.col("cnt") * F.col("lam_q")).alias("dsir_q"),
+        )
+    )
+    return (
+        raw.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            "dsir_q",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dsir_weights_sql(
+    target_where: str = "source = 'src0'", buckets: int = DSIR_BUCKETS
+) -> str:
+    h = HEX15_SQL_FN.format(expr="g")
+    bl = float(buckets)
+    return f"""
+WITH raw_toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS t
+  FROM documents WHERE NOT ({target_where})
+),
+tgt_toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS t
+  FROM documents WHERE {target_where}
+),
+raw_grams AS (
+  SELECT doc_id, unnest(list_concat(t,
+           CASE WHEN len(t) >= 2 THEN
+             list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])
+           ELSE [] END)) AS g
+  FROM raw_toks
+),
+tgt_grams AS (
+  SELECT doc_id, unnest(list_concat(t,
+           CASE WHEN len(t) >= 2 THEN
+             list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])
+           ELSE [] END)) AS g
+  FROM tgt_toks
+),
+doc_b AS (
+  SELECT doc_id, ({h}) % {int(buckets)} AS b, COUNT(*) AS cnt
+  FROM raw_grams GROUP BY 1, 2
+),
+cr AS (SELECT b, SUM(cnt) AS cr FROM doc_b GROUP BY b),
+ct AS (
+  SELECT ({h}) % {int(buckets)} AS b, COUNT(*) AS ct
+  FROM tgt_grams GROUP BY 1
+),
+nt AS (SELECT SUM(ct) AS Nt FROM ct),
+nr AS (SELECT SUM(cr) AS Nr FROM cr),
+lam AS (
+  SELECT cr.b,
+         CAST(FLOOR(ln((COALESCE(ct.ct, 0) + 1.0) / (nt.Nt + {bl})) * {float(QUANT)}) AS BIGINT)
+         - CAST(FLOOR(ln((cr.cr + 1.0) / (nr.Nr + {bl})) * {float(QUANT)}) AS BIGINT) AS lam_q
+  FROM cr LEFT JOIN ct USING (b) CROSS JOIN nt CROSS JOIN nr
+),
+scored AS (
+  SELECT doc_b.doc_id, SUM(cnt) AS n_grams, SUM(cnt * lam_q) AS dsir_q
+  FROM doc_b JOIN lam USING (b) GROUP BY doc_b.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(s.dsir_q AS BIGINT) AS dsir_q
+FROM (SELECT doc_id FROM documents WHERE NOT ({target_where})) d
+LEFT JOIN scored s USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def dsir_sample(
+    docs: DataFrame,
+    n: int = 100,
+    salt: str = "dsir-v1",
+    target_where: str = "source = 'src0'",
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """(doc_id, dsir_q, key_q): DSIR's selection step — a weighted sample
+    WITHOUT replacement of the raw corpus, proportional to the importance
+    weights, via Gumbel-top-k (the log-space twin of
+    :func:`weighted_sample`'s A-ES keys, so enormous ``exp(dsir)`` ratios
+    never materialize): ``key = logw + Gumbel(0,1)`` with the Gumbel drawn
+    from the same salted-md5 deterministic uniform, and the global top-n
+    keys ARE the resample (Gumbel-top-k ≡ successive weighted draws).
+
+    Scale: map-side keys over :func:`dsir_weights`' output + one global
+    top-n (TakeOrderedAndProject — per-partition heaps, no full sort).
+    """
+    w = dsir_weights(docs, target_where=target_where, buckets=buckets).where(
+        F.col("dsir_q").isNotNull()
+    )
+    u = (
+        (
+            md5_hash60(F.concat(F.lit(salt + "#"), F.col("doc_id").cast("string")))
+            % F.lit(1_000_000)
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(1_000_000.0)
+    return (
+        w.withColumn("__u", u)
+        .select(
+            "doc_id",
+            "dsir_q",
+            (
+                F.col("dsir_q")
+                + F.floor(-F.log(-F.log("__u")) * F.lit(float(QUANT))).cast("long")
+            ).alias("key_q"),
+        )
+        .orderBy(F.col("key_q").desc(), "doc_id")
+        .limit(int(n))
+    )
+
+
+def dsir_sample_sql(
+    n: int = 100,
+    salt: str = "dsir-v1",
+    target_where: str = "source = 'src0'",
+    buckets: int = DSIR_BUCKETS,
+) -> str:
+    h = HEX15_SQL_FN.format(expr=f"'{salt}#' || CAST(doc_id AS VARCHAR)")
+    inner = dsir_weights_sql(target_where=target_where, buckets=buckets)
+    return f"""
+WITH w AS ({inner}),
+keyed AS (
+  SELECT doc_id, dsir_q,
+         (CAST(({h}) % 1000000 AS DOUBLE) + 0.5) / 1000000.0 AS u
+  FROM w WHERE dsir_q IS NOT NULL
+)
+SELECT doc_id, dsir_q,
+       dsir_q + CAST(FLOOR(-ln(-ln(u)) * {float(QUANT)}) AS BIGINT) AS key_q
+FROM keyed ORDER BY key_q DESC, doc_id LIMIT {int(n)}
+"""
+
+
 def topic_terms(
     docs: DataFrame,
     emb: DataFrame,
@@ -1751,6 +1993,15 @@ def queries() -> dict:
             bpe_train(load_table(s, d, "documents"), n_merges=30),
         ),
         "corpus_log_odds": lambda s, d: log_odds_terms(load_table(s, d, "documents")),
+        # DSIR (Xie et al. 2023): hashed-n-gram importance weights of the
+        # raw corpus against the src0 "target" domain, then the Gumbel-
+        # top-k resample those weights drive
+        "corpus_dsir_weights": lambda s, d: dsir_weights(
+            load_table(s, d, "documents")
+        ),
+        "corpus_dsir_sample": lambda s, d: dsir_sample(
+            load_table(s, d, "documents")
+        ),
         "corpus_zipf_slope": lambda s, d: zipf_slope(load_table(s, d, "documents")),
         "corpus_weighted_sample": lambda s, d: weighted_sample(
             load_table(s, d, "documents")
@@ -1789,6 +2040,8 @@ def oracle_sql() -> dict:
         "corpus_bpe_train_dist": bpe_train_sql(n_merges=30),
         "corpus_chunk": chunk_documents_sql(chunk_tokens=32, overlap=8),
         "corpus_log_odds": log_odds_sql(),
+        "corpus_dsir_weights": dsir_weights_sql(),
+        "corpus_dsir_sample": dsir_sample_sql(),
         "corpus_zipf_slope": zipf_slope_sql(),
         "corpus_weighted_sample": _weighted_sample_oracle(),
         # the compact-filter path has one-sided (collision-adds-hits) error;
