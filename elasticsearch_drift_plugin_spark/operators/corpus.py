@@ -897,6 +897,205 @@ FROM keyed ORDER BY key_q DESC, doc_id LIMIT {int(n)}
 """
 
 
+# --------------------------------------------------------------------------
+# in-engine quality classifier (hashed-feature logistic regression, the
+# GPT-3/CCNet-style "looks like the curated domain" gate)
+# --------------------------------------------------------------------------
+CLF_DIMS = 64
+CLF_ITERS = 8
+CLF_LR_NUM = 1
+CLF_LR_DEN = 50
+
+
+def _clf_features(docs: DataFrame, dims: int = CLF_DIMS) -> DataFrame:
+    """(doc_id, dim, comp_q): the classifier's design matrix — the
+    :func:`text.hash_embed` hashed TF-IDF vector plus an intercept row
+    (``dim = -1``, x = 1.0) per document, long-format integer quanta."""
+    from .text import hash_embed
+
+    feats = hash_embed(docs, dims=dims).select("doc_id", "dim", "comp_q")
+    icpt = docs.select(
+        "doc_id",
+        F.lit(-1).cast("long").alias("dim"),
+        F.lit(QUANT).cast("long").alias("comp_q"),
+    )
+    return feats.unionByName(icpt)
+
+
+def _hardsig_q(m12_sql: str, idiv: str = "div") -> str:
+    """Integer hard-sigmoid ``clip(0.5 + z/4, 0, 1)`` in 1e-6 quanta from a
+    1e-12-quanta margin — slope 1/4 matches ``sigmoid'(0)`` exactly, and
+    the clip keeps EVERY training op in exact integer arithmetic (no exp,
+    no ln), so the replay is bit-identical across engines by construction
+    rather than by ulp luck. ``idiv`` is the engine's INTEGER division
+    operator (Spark ``div``, DuckDB ``//`` — float ``/`` would round
+    >2^53 margins); the floor-adjusted numerator is an exact multiple of
+    the divisor, so truncating and flooring division coincide."""
+    z6 = (
+        f"((({m12_sql}) - ((({m12_sql}) % 1000000 + 1000000) % 1000000))"
+        f" {idiv} 1000000)"
+    )
+    return (
+        f"LEAST(1000000, GREATEST(0, 500000 + "
+        f"CAST((({z6}) - ((({z6}) % 4 + 4) % 4)) {idiv} 4 AS BIGINT)))"
+    )
+
+
+def quality_clf(
+    docs: DataFrame,
+    target_where: str = "source = 'src0'",
+    dims: int = CLF_DIMS,
+    n_iter: int = CLF_ITERS,
+    lr_num: int = CLF_LR_NUM,
+    lr_den: int = CLF_LR_DEN,
+) -> DataFrame:
+    """(doc_id, y, clf_q): logistic-regression quality gate TRAINED
+    IN-ENGINE — full-batch gradient descent on hashed TF-IDF features,
+    positives = the curated/target domain (``target_where``), the
+    public GPT-3 / CCNet data-filtering recipe. ``clf_q`` is the final
+    model's hard-sigmoid score in 1e-6 quanta.
+
+    Determinism (the ``graph_pagerank`` technique, taken further): the
+    sigmoid is the integer hard-sigmoid ``clip(0.5 + z/4)`` and every
+    margin/residual/gradient/update is exact int64 arithmetic on floored
+    quanta — zero float ops anywhere in training, so the whole fixpoint
+    replays bit-identically in SQL (:func:`quality_clf_sql` unrolls the
+    iterations as MATERIALIZED CTEs).
+
+    Scale shape: the design matrix is one hashed-TF-IDF pass (train on a
+    bounded ``hash_sample`` at real scale — a quality classifier never
+    needs the full corpus; int64 gradient headroom also assumes a
+    ≲1e5-doc training sample), pinned once and reused by all iterations;
+    each iteration is ONE job (margins → residuals → 65-row gradient
+    collect); weights broadcast back as a literal map. Scoring the full
+    corpus afterwards is map-side against the final weights.
+    """
+    n = docs.count()
+    feats = _clf_features(docs, dims).localCheckpoint(eager=True)
+    labels = docs.select(
+        "doc_id",
+        F.expr(
+            f"CAST(CASE WHEN {target_where} THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("y"),
+    )
+    w: dict[int, int] = {d: 0 for d in range(-1, int(dims))}
+    spark = docs.sparkSession
+    conf = spark.conf
+    saved = {
+        "spark.sql.adaptive.enabled": conf.get("spark.sql.adaptive.enabled"),
+        "spark.sql.shuffle.partitions": conf.get("spark.sql.shuffle.partitions"),
+    }
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        den = int(lr_den) * int(n) * QUANT
+        for _ in range(int(n_iter)):
+            margins = (
+                feats.withColumn("wq", _wmap_col(w)[F.col("dim")])
+                .groupBy("doc_id")
+                .agg(F.sum(F.expr("comp_q * coalesce(wq, 0)")).alias("m12"))
+            )
+            resid = labels.join(margins, "doc_id").select(
+                "doc_id",
+                F.expr(f"{_hardsig_q('m12')} - y * {QUANT}").alias("r"),
+            )
+            grads = (
+                feats.join(resid, "doc_id")
+                .groupBy("dim")
+                .agg(F.sum(F.expr("comp_q * r")).alias("S"))
+                .collect()
+            )
+            for row in grads:
+                w[int(row.dim)] -= (int(lr_num) * int(row.S)) // den
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+    final = (
+        feats.withColumn("wq", _wmap_col(w)[F.col("dim")])
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr("comp_q * coalesce(wq, 0)")).alias("m12"))
+    )
+    return (
+        labels.join(final, "doc_id")
+        .select("doc_id", "y", F.expr(_hardsig_q("m12")).alias("clf_q"))
+        .orderBy("doc_id")
+    )
+
+
+def _wmap_col(w: dict[int, int]):
+    return F.create_map(
+        *[x for d, v in w.items() for x in (F.lit(int(d)), F.lit(int(v)))]
+    )
+
+
+def quality_clf_sql(
+    target_where: str = "source = 'src0'",
+    dims: int = CLF_DIMS,
+    n_iter: int = CLF_ITERS,
+    lr_num: int = CLF_LR_NUM,
+    lr_den: int = CLF_LR_DEN,
+) -> str:
+    """DuckDB twin of :func:`quality_clf`: the training loop unrolled as
+    MATERIALIZED CTE rounds (the ``bpe_train_sql`` discipline — every
+    multiply-referenced step materialized or planning explodes)."""
+    from .text import hash_embed_sql
+
+    hs = _hardsig_q("m12", idiv="//")
+    # floored integer division (both engines' operators truncate/floor
+    # differently on negatives; spell out floor division explicitly)
+    step = (
+        f"(({lr_num} * COALESCE(g.S, 0)) - ((({lr_num} * COALESCE(g.S, 0)) % den.d"
+        f" + den.d) % den.d)) // den.d"
+    )
+    rounds = []
+    prev = "w0"
+    for k in range(1, int(n_iter) + 1):
+        rounds.append(
+            f"""m{k} AS MATERIALIZED (
+  SELECT f.doc_id, SUM(f.comp_q * w.wq) AS m12
+  FROM feats f JOIN {prev} w USING (dim) GROUP BY 1
+),
+r{k} AS MATERIALIZED (
+  SELECT l.doc_id, {hs} - l.y * {QUANT} AS r
+  FROM labels l JOIN m{k} USING (doc_id)
+),
+g{k} AS MATERIALIZED (
+  SELECT f.dim, SUM(f.comp_q * rr.r) AS S
+  FROM feats f JOIN r{k} rr USING (doc_id) GROUP BY 1
+),
+w{k} AS MATERIALIZED (
+  SELECT w.dim, CAST(w.wq - ({step}) AS BIGINT) AS wq
+  FROM {prev} w LEFT JOIN g{k} g USING (dim) CROSS JOIN den
+)"""
+        )
+        prev = f"w{k}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH emb AS MATERIALIZED ({hash_embed_sql(dims)}),
+feats AS MATERIALIZED (
+  SELECT doc_id, dim, comp_q FROM emb
+  UNION ALL
+  SELECT doc_id, CAST(-1 AS BIGINT) AS dim, CAST({QUANT} AS BIGINT) AS comp_q
+  FROM documents
+),
+labels AS MATERIALIZED (
+  SELECT doc_id, CAST(CASE WHEN {target_where} THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM documents
+),
+den AS (SELECT {int(lr_den)} * (SELECT COUNT(*) FROM documents) * {QUANT} AS d),
+w0 AS (SELECT CAST(unnest(generate_series(-1, {int(dims) - 1})) AS BIGINT) AS dim,
+              CAST(0 AS BIGINT) AS wq),
+{rounds_sql},
+final AS (
+  SELECT f.doc_id, SUM(f.comp_q * w.wq) AS m12
+  FROM feats f JOIN {prev} w USING (dim) GROUP BY 1
+)
+SELECT l.doc_id, l.y, CAST({hs} AS BIGINT) AS clf_q
+FROM labels l JOIN final m ON l.doc_id = m.doc_id
+ORDER BY l.doc_id
+"""
+
+
 def topic_terms(
     docs: DataFrame,
     emb: DataFrame,
@@ -2002,6 +2201,12 @@ def queries() -> dict:
         "corpus_dsir_sample": lambda s, d: dsir_sample(
             load_table(s, d, "documents")
         ),
+        # in-engine trained quality gate: hashed-feature logistic
+        # regression, every training op exact int64 (hard-sigmoid), so
+        # even the 8-iteration fixpoint is oracle-paired
+        "corpus_quality_clf": lambda s, d: quality_clf(
+            load_table(s, d, "documents")
+        ),
         "corpus_zipf_slope": lambda s, d: zipf_slope(load_table(s, d, "documents")),
         "corpus_weighted_sample": lambda s, d: weighted_sample(
             load_table(s, d, "documents")
@@ -2042,6 +2247,7 @@ def oracle_sql() -> dict:
         "corpus_log_odds": log_odds_sql(),
         "corpus_dsir_weights": dsir_weights_sql(),
         "corpus_dsir_sample": dsir_sample_sql(),
+        "corpus_quality_clf": quality_clf_sql(),
         "corpus_zipf_slope": zipf_slope_sql(),
         "corpus_weighted_sample": _weighted_sample_oracle(),
         # the compact-filter path has one-sided (collision-adds-hits) error;
