@@ -141,60 +141,59 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver grades the FIRST 50 registered queries only (round-2 lesson:
-# everything after position 50 got zero external evidence). Round-7
-# ROTATION, per VERDICT r6: (a) the 22-query r6-late backlog +
-# pipe_serial_diff (clears the only stale failure in the cumulative
-# driver record); (b) the three formerly rows-only deterministic
-# fixpoints, NOW ORACLE-PAIRED this round (graph_pagerank via a
-# recursive-CTE integer-PageRank replay, train_pack_bfd via a LIST-state
-# recursive CTE, corpus_bpe_train via unrolled re-segmentation rounds) —
-# their driver stamps upgrade from rows-only to hash-match; (c) the r7-new
-# registrations; (d) re-stamps of queries whose code paths this round
-# MODIFIED (bucket_correlation guard, frequent_item_sets support
-# resolution, the _search compiler corners). The true sketches
+# everything after position 50 got zero external evidence). Round-9
+# ROTATION, per VERDICT r8 item 1 (rotated at round START this time):
+# (a) the 11 never-stamped queries — the 8-query r7 backlog
+# (mm_audio_features/frames, mm_scene_changes, es_dsl_msm,
+# es_dsl_terms_set, train_span_corruption/ul2x, emb_matryoshka_eval)
+# plus the 3 r8 registrations (corpus_dsir_weights, corpus_dsir_sample,
+# corpus_bpe_train_dist); (b) re-stamps of every path round 8 MODIFIED
+# but shipped without driver re-verification (dedup.py minhash/LSH
+# family, corpus.py BPE family); (c) re-stamps of paths round 9 touches
+# (es_dsl minimum_should_match strictness, es_search knn tail dedup +
+# compiler corners, IVF memo key, quality-clf curate wiring); (d) r9-new
+# registrations appended as they land. The true sketches
 # (es_cardinality_approx / es_theta_set_ops / stats_quantiles_kll /
 # emb_kmeans_ivf_topk / corpus_bpe_encode) stay OUT of the window — they
 # are rows-only by nature and would read as `err: no_oracle`; pytest
 # invariants + the full self-sweep cover them. Everything else stays
-# covered by pytest + tools/check_correctness.py full sweeps.
+# covered by pytest + tools/check_correctness.py full sweeps. Once this
+# window is stamped, every oracle-paired registration carries driver
+# evidence (union of the r1–r9 windows).
 GRADE_FIRST: tuple[str, ...] = (
-    # --- the r6-late backlog (22) + the stale-record clear (1) ---
-    "es_search_script_fields", "es_search_terms_filtered",
-    "es_search_retriever", "es_search_inference", "es_search_knn_facets",
-    "es_phrase_suggest", "es_terms_enum", "es_significant_jlh",
-    "es_significant_chi2", "es_delete_by_query", "es_update_by_query",
-    "es_composite_month", "es_dsl_sqs", "es_search_post_filter",
-    "es_filters_metric", "text_pii_redact", "corpus_manifest",
-    "train_mix_rates_t4", "train_mix_tokens", "emb_vector_percolate",
-    "stream_vector_percolate", "ann_rank_eval",
-    "pipe_serial_diff",
-    # --- newly oracle-paired deterministic fixpoints (3) ---
-    "graph_pagerank", "train_pack_bfd", "corpus_bpe_train",
-    # --- r7-new registrations ---
-    "es_search_body3", "es_search_knn_indexed", "es_search_hist_subagg",
-    "es_msearch_shared",
-    # --- re-stamps: paths modified this round ---
-    "pipe_bucket_correlation", "es_frequent_item_sets",
-    # --- re-stamps: compiler/serving surface still hot this round ---
-    "es_search_body2", "es_search_knn", "es_search_collapse",
-    "es_search_highlight", "es_search_hits", "es_search_nested",
-    "es_search_ip_range", "es_search_grouped", "es_search_body",
-    "es_search_pipe2", "es_search_cumcard", "es_search_change_point",
-    "es_search_pctl", "es_search_top_hits", "es_search_sampler",
-    "es_search_terms_dh", "es_search_collapse_inner",
-    "psum_sweep_day_lineitem",
+    # --- never-stamped backlog: r7 registrations (8) ---
+    "mm_audio_features", "mm_audio_frames", "mm_scene_changes",
+    "es_dsl_msm", "es_dsl_terms_set",
+    "train_span_corruption", "train_span_ul2x",
+    "emb_matryoshka_eval",
+    # --- never-stamped backlog: r8 registrations (3) ---
+    "corpus_dsir_weights", "corpus_dsir_sample", "corpus_bpe_train_dist",
+    # --- r9-new: the finished trained-classifier gate (VERDICT r8 item
+    #     2) — the standalone scorer and the clf-gated curate chain ---
+    "corpus_quality_clf", "train_curate_clf",
+    # --- re-stamps: dedup.py paths rewritten in r8 (map-side MinHash,
+    #     pinned-frame lsh_eval, shared shingle arrays) ---
+    "dedup_minhash_sig", "dedup_minhash_pairs", "dedup_lsh_eval",
+    "corpus_fuzzy_decon", "dedup_ngram_jaccard", "dedup_containment",
+    "dedup_components", "dedup_semantic", "corpus_contamination",
+    "corpus_span_dedup", "corpus_decon_hashed",
+    # --- re-stamps: corpus.py BPE paths rewritten in r8 ---
+    "corpus_bpe_train", "corpus_bpe_pairs",
+    # --- re-stamps: paths r9 touches (es_dsl msm strictness; knn
+    #     scored-tail dedup; IVF memo; curate pipeline; sampling) ---
+    "es_dsl_query", "es_dsl_sqs",
+    "es_search_knn", "es_search_knn_indexed", "es_search_knn_facets",
+    "ann_ivf_topk", "train_curate_pipeline",
+    "corpus_weighted_sample", "corpus_sample_exact",
+    # --- re-stamps: compiler corners hot again in r9 (item 6) ---
+    "es_search_body", "es_search_body2", "es_search_body3",
+    "es_search_hist_subagg", "es_search_collapse_inner",
+    "es_msearch_shared", "es_search_sampler", "es_search_change_point",
+    "es_search_retriever", "es_search_inference",
+    # --- continuity: headline psum + the flow_sessions re-measure ---
+    "psum_sweep_day_lineitem", "psum_fixed_1h", "psum_cal_day",
+    "flow_sessions",
 )
-# r8 rotation backlog: mm_audio_features, mm_audio_frames,
-# mm_scene_changes, es_dsl_msm, train_span_corruption, train_span_ul2x,
-# es_dsl_terms_set, emb_matryoshka_eval (registered after this round's
-# window froze; oracle-paired, verified green at sf0.01). Once this
-# window is stamped, 246 of 256 registered queries carry driver evidence
-# (union of the r1–r7 windows). The only two never-stamped entries besides that
-# backlog are the rows-only sketches corpus_bpe_encode and
-# es_theta_set_ops (deliberately kept out — they would read as
-# `err: no_oracle`; both are pytest-golden/invariant-pinned and covered
-# by the full self-sweep). r8 should window the backlog + re-stamps of
-# whatever code paths that round touches.
 
 
 def _grade_order(q: dict, strict: bool = True) -> dict:
@@ -1466,8 +1465,12 @@ def _es_search_knn_indexed_query(s: SparkSession, d: str) -> DataFrame:
     )
 
     emb = flows_src.load_table(s, d, "embeddings")
-    path = f"/tmp/spark_graft_ivf_{_os.path.basename(d.rstrip('/'))}"
-    key = (path, _os.path.getmtime(f"{d.rstrip('/')}/embeddings.parquet"))
+    # key/memo on the RESOLVED dir: two sf dirs with the same basename
+    # (e.g. a symlink or a copy at another root) must not share an index
+    # (ADVICE r7)
+    real = _os.path.realpath(d.rstrip("/"))
+    path = f"/tmp/spark_graft_ivf_{real.replace('/', '_')}"
+    key = (path, _os.path.getmtime(f"{real}/embeddings.parquet"))
     if _IVF_BUILT.get(key) != "ok":
         build_ivf_index(emb, path, keep_cols=("label",))
         _IVF_BUILT[key] = "ok"

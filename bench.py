@@ -225,6 +225,13 @@ BENCH_QUERIES = [
     "mm_scene_changes",
     "emb_matryoshka_eval",
     "train_span_ul2x",
+    # r8 additions: DSIR importance resampling + the pure-JVM BPE loop
+    "corpus_dsir_weights",
+    "corpus_dsir_sample",
+    "corpus_bpe_train_dist",
+    # r9 additions: the finished trained quality gate + clf-gated curate
+    "corpus_quality_clf",
+    "train_curate_clf",
 ]
 
 
@@ -250,10 +257,16 @@ def _msearch_amortization(spark, sf_dir: str) -> dict[str, float]:
          "body": {"aggs": {"m": {"min": {"field": "value"}}}}},
     ]
     parts = [r["m"] for r in run_msearch({"events": ev}, reqs)]
-    t0 = time.time()
+    # warm BOTH forms untimed before either timing window, so neither
+    # probe pays the first-execution codegen/scan warmup for the other
+    # (ADVICE r7: the fused form previously ran first and ate it)
     fused = parts[0]
     for p in parts[1:]:
         fused = fused.unionByName(p)
+    fused.write.format("noop").mode("overwrite").save()
+    for p in parts:
+        p.write.format("noop").mode("overwrite").save()
+    t0 = time.time()
     fused.write.format("noop").mode("overwrite").save()
     t_fused = time.time() - t0
     t0 = time.time()

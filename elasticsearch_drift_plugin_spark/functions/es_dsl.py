@@ -282,9 +282,13 @@ def compile_query(q: dict) -> Column:
         should = [compile_query(c) for c in _as_list(body.get("should"))]
         must_not = [compile_query(c) for c in _as_list(body.get("must_not"))]
         msm = body.get("minimum_should_match")
-        if msm is not None and (not isinstance(msm, int) or msm < 0):
+        if msm is not None and (
+            not isinstance(msm, int) or isinstance(msm, bool) or msm < 0
+        ):
             # ES also accepts percentages / negative counts — loud until
-            # someone needs them (a silently-wrong match set is worse)
+            # someone needs them (a silently-wrong match set is worse).
+            # bool is an int subclass in Python: `True` would silently
+            # mean 1 — reject it too (ADVICE r7)
             raise ValueError(
                 f"minimum_should_match must be a non-negative int, got {msm!r}"
             )

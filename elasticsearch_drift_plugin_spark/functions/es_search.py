@@ -2475,8 +2475,6 @@ def _knn_indexed_scored(spark, spec: dict, keep: list) -> DataFrame:
     candidate SET is engine-reproducible)."""
     import math
 
-    from .vectors import dot, l2_norm, lit_vec
-
     ispec = spec["index"]
     nprobe = int(ispec.get("nprobe", 4))
     cents = spark.read.parquet(ispec["path"] + "/_centroids").collect()
@@ -2495,26 +2493,9 @@ def _knn_indexed_scored(spark, spec: dict, keep: list) -> DataFrame:
             f"knn index at {ispec['path']!r} does not carry columns"
             f" {missing} — rebuild with build_ivf_index(keep_cols=...)"
         )
-    sim = spec.get("similarity", "cosine")
-    if sim not in ("cosine", "dot_product"):
-        raise ValueError(f"unsupported knn similarity {sim!r}")
-    if "filter" in spec:
-        filters = spec["filter"]
-        if isinstance(filters, dict):
-            filters = [filters]
-        for f in filters:
-            hits = hits.where(compile_query(f))
-    qv = lit_vec(qv_list)
-    v = F.transform(F.col(spec["field"]), lambda x: x.cast("double"))
-    score = dot(qv, v)
-    if sim == "cosine":
-        score = score / (l2_norm(qv) * l2_norm(v))
-    scored = hits.select(
-        *keep, F.floor(score * F.lit(1e6)).cast("long").alias("_score_q")
-    )
-    return scored.orderBy(
-        F.col("_score_q").desc(), *[F.col(c).asc() for c in keep]
-    )
+    # filter / similarity / scoring / ordering are the exact tier's —
+    # delegate so the two paths cannot drift (ADVICE r7)
+    return _knn_scored(hits, spec, keep)
 
 
 def _standard_retriever_body(rspec: dict) -> dict:

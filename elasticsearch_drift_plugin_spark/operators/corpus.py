@@ -905,6 +905,12 @@ CLF_DIMS = 64
 CLF_ITERS = 8
 CLF_LR_NUM = 1
 CLF_LR_DEN = 50
+# full-batch training holds a dims+1 Python weight dict and collects a
+# (dims+1)-row gradient per iteration — cheap — but the int64 gradient
+# accumulator (sum of comp_q * r, each ≤ 1e6 * 1e6) only has ~9e18/1e12
+# ≈ 9e6 docs of headroom, and a quality classifier never needs more than
+# a sample anyway. Enforced like dedup.MAX_EVAL_DOCS, not just documented.
+MAX_CLF_TRAIN_DOCS = 100_000
 
 
 def _clf_features(docs: DataFrame, dims: int = CLF_DIMS) -> DataFrame:
@@ -948,6 +954,7 @@ def quality_clf(
     n_iter: int = CLF_ITERS,
     lr_num: int = CLF_LR_NUM,
     lr_den: int = CLF_LR_DEN,
+    max_train_docs: int = MAX_CLF_TRAIN_DOCS,
 ) -> DataFrame:
     """(doc_id, y, clf_q): logistic-regression quality gate TRAINED
     IN-ENGINE — full-batch gradient descent on hashed TF-IDF features,
@@ -970,7 +977,18 @@ def quality_clf(
     collect); weights broadcast back as a literal map. Scoring the full
     corpus afterwards is map-side against the final weights.
     """
+    # bounded-sample contract, ENFORCED (the lsh_recall_eval discipline):
+    # full-batch GD over the whole corpus is never the right call at real
+    # scale — train on corpus.hash_sample and score the full corpus with
+    # the frozen weights instead
     n = docs.count()
+    if n > max_train_docs:
+        raise ValueError(
+            f"quality_clf trains full-batch over {n} docs "
+            f"(> max_train_docs={max_train_docs}); train on a sample "
+            f"(corpus.hash_sample) and score the corpus with the frozen "
+            f"weights, or raise max_train_docs to acknowledge the cost"
+        )
     feats = _clf_features(docs, dims).localCheckpoint(eager=True)
     labels = docs.select(
         "doc_id",

@@ -560,6 +560,102 @@ FROM pack ORDER BY "group", doc_id
 """
 
 
+def curate_pipeline_clf(
+    docs: DataFrame,
+    clf_min_q: int = 390_000,
+    target_docs: int = 150,
+    capacity: int = 256,
+) -> DataFrame:
+    """:func:`curate_pipeline` with the TRAINED gate swapped in: exact
+    dedup → ``corpus.quality_clf`` score gate (``clf_q ≥ clf_min_q``) →
+    temperature-2 domain mixing → next-fit packing. The heuristic
+    ``text.quality_score`` threshold becomes a learned
+    looks-like-the-target-domain margin (GPT-3 / CCNet recipe) — the
+    rest of the chain is byte-identical composition.
+
+    The classifier trains and scores over the FULL input (labels =
+    ``source = 'src0'``), and the gate is applied to the dedup
+    survivors via an id join — so the SQL twin composes
+    ``quality_clf_sql`` as one subquery CTE and the score table is
+    computed once. At real scale ``quality_clf``'s enforced
+    ``max_train_docs`` contract applies: train on ``corpus.hash_sample``
+    and broadcast the frozen weights; here the registered fixture is
+    sample-sized by construction."""
+    from .corpus import quality_clf
+
+    keep = docs.groupBy(F.md5(F.col("text")).alias("__d")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    scored = quality_clf(docs).select("doc_id", "clf_q")
+    surv = (
+        docs.join(keep.select("doc_id"), "doc_id")
+        .join(scored, "doc_id")
+        .where(F.col("clf_q") >= int(clf_min_q))
+        .select("doc_id", "source", "text")
+    )
+    thr = _mix_thresholds(surv, target_docs, "source")
+    h = F.pmod(md5_hash60(F.col("doc_id").cast("string")), F.lit(QUANT))
+    mixed = (
+        surv.join(F.broadcast(thr), surv["source"] == thr["group"])
+        .where(h < F.col("thr_q"))
+        .select("doc_id", "source", "text")
+    )
+    return pack_sequences(mixed, capacity=capacity)
+
+
+def curate_pipeline_clf_sql(
+    clf_min_q: int = 390_000,
+    target_docs: int = 150,
+    capacity: int = 256,
+    src: str = "documents",
+) -> str:
+    from .corpus import quality_clf_sql
+
+    cap = int(capacity)
+    h = HEX15_SQL_FN.format(expr="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH RECURSIVE
+keep AS (SELECT min(doc_id) AS doc_id FROM {src} GROUP BY md5(text)),
+scored AS MATERIALIZED (SELECT doc_id, clf_q FROM ({quality_clf_sql()})),
+surv AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM {src} d JOIN keep USING (doc_id) JOIN scored USING (doc_id)
+  WHERE scored.clf_q >= {int(clf_min_q)}
+),
+counts AS (
+  SELECT source AS grp, COUNT(*) AS n_docs,
+         CAST(FLOOR(SQRT(COUNT(*)) * {float(QUANT)}) AS BIGINT) AS sq_q
+  FROM surv GROUP BY source
+),
+thr AS (
+  SELECT grp, CAST(LEAST({QUANT}, ({QUANT} * {int(target_docs)} * sq_q)
+              // ((SELECT SUM(sq_q) FROM counts) * n_docs)) AS BIGINT) AS thr_q
+  FROM counts
+),
+mixed AS (
+  SELECT surv.* FROM surv JOIN thr ON thr.grp = surv.source
+  WHERE ({h}) % {QUANT} < thr.thr_q
+),
+d AS (
+  SELECT source AS grp, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM mixed
+),
+pack AS (
+  SELECT grp, doc_id, n, rn, CAST(0 AS BIGINT) AS seq_no, n AS used
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.grp, d.doc_id, d.n, d.rn,
+         CASE WHEN p.used + d.n <= {cap} THEN p.seq_no ELSE p.seq_no + 1 END,
+         CASE WHEN p.used + d.n <= {cap} THEN p.used + d.n ELSE d.n END
+  FROM pack p JOIN d ON d.grp = p.grp AND d.rn = p.rn + 1
+)
+SELECT grp AS "group", doc_id, n AS n_tokens, seq_no, used - n AS seq_offset
+FROM pack ORDER BY "group", doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # epoch shard manifest
 # --------------------------------------------------------------------------
@@ -1210,6 +1306,10 @@ def queries() -> dict:
         "train_curate_pipeline": lambda s, d: curate_pipeline(
             load_table(s, d, "documents")
         ),
+        # the same chain gated by the in-engine TRAINED classifier
+        "train_curate_clf": lambda s, d: curate_pipeline_clf(
+            load_table(s, d, "documents")
+        ),
         "train_split_assign": lambda s, d: split_assign(
             load_table(s, d, "documents")
         ),
@@ -1256,6 +1356,7 @@ def oracle_sql() -> dict:
         "train_mix_tokens": mix_rates_tokens_sql(target_tokens=15_000),
         "train_chunk_docs": chunk_documents_sql(chunk_tokens=64, stride=48),
         "train_curate_pipeline": curate_pipeline_sql(),
+        "train_curate_clf": curate_pipeline_clf_sql(),
         "train_split_assign": split_assign_sql(),
         "train_epoch_plan": epoch_plan_sql(capacity=256, seqs_per_shard=8),
         "train_curriculum": _curriculum_oracle(),
