@@ -872,13 +872,20 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
             )
         if int(spec.get("min_doc_count", 1)) == 0:
             # zero-fill contract: the grid between data min/max (widened
-            # by extended_bounds) appears complete, empties zero-filled
-            if metrics:
-                raise ValueError(
-                    "histogram min_doc_count=0 (zero-fill) does not carry"
-                    " metric sub-aggs — register them as a sibling agg"
-                )
+            # by extended_bounds) appears complete, empties zero-filled.
+            # Metric sub-aggs ride the same pass (wired r9 — formerly a
+            # loud raise): a filled bucket carries the metric's ES
+            # empty-reduce value — 0 for sum/value_count/cardinality,
+            # NULL for min/max/avg (es-8.18.2
+            # InternalProportionalSumHistogram.java:480-521's reduce of
+            # an empty proto-bucket renders the same way).
             eb = spec.get("extended_bounds")
+            zero_kinds = ("sum", "value_count", "cardinality")
+            fill_zero = {
+                sname
+                for sname, snode in (metrics or {}).items()
+                if any(k in snode for k in zero_kinds)
+            }
             return _apply_pipelines(
                 histogram_agg_filled(
                     df, spec["field"], spec["interval"],
@@ -886,6 +893,8 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
                     extended_bounds=(
                         (float(eb["min"]), float(eb["max"])) if eb else None
                     ),
+                    extra_aggs=_metric_extra_aggs(metrics) or None,
+                    extra_fill_zero=fill_zero,
                 ),
                 pipes,
             )

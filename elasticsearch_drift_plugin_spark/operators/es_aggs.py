@@ -1047,6 +1047,8 @@ def histogram_agg_filled(
     value_col: str | None = None,
     max_fill_buckets: int = 100_000,
     extended_bounds: tuple[float, float] | None = None,
+    extra_aggs: dict | None = None,
+    extra_fill_zero: set | None = None,
 ) -> DataFrame:
     """ES numeric ``histogram`` with ``min_doc_count: 0``: every bucket on
     the grid between the data min and max appears, zero-filled. The spine
@@ -1056,9 +1058,17 @@ def histogram_agg_filled(
     (``max_fill_buckets`` bounds the spine before it generates).
     ``extended_bounds=(min, max)`` WIDENS the grid beyond the data (the ES
     parameter: empty buckets out to the requested range; it never narrows).
+
+    ``extra_aggs`` (r9): metric sub-aggs ride the same aggregation pass as
+    the unfilled operator; on the ZERO-FILLED buckets each metric takes
+    its ES empty-reduce value — 0 for the counting family
+    (``extra_fill_zero`` names: sum / value_count / cardinality), NULL for
+    the order-statistics family (min / max / avg), exactly the bucket an
+    empty ES histogram bucket renders.
     """
     base = histogram_agg(
-        df, field, interval, offset=offset, min_doc_count=1, value_col=value_col
+        df, field, interval, offset=offset, min_doc_count=1,
+        value_col=value_col, extra_aggs=extra_aggs,
     )
     idx = F.expr(f"CAST(FLOOR((key - {float(offset)}) / {float(interval)}) AS BIGINT)")
     lo_agg, hi_agg = F.min(idx), F.max(idx)
@@ -1088,6 +1098,14 @@ def histogram_agg_filled(
     fill = [F.coalesce("doc_count", F.lit(0)).alias("doc_count")]
     if value_col is not None:
         fill.append(F.coalesce("value_q", F.lit(0)).alias("value_q"))
+    dtypes = {f.name: f.dataType for f in base.schema.fields}
+    for name in (extra_aggs or {}):
+        if name in (extra_fill_zero or ()):
+            fill.append(
+                F.coalesce(F.col(name), F.lit(0).cast(dtypes[name])).alias(name)
+            )
+        else:
+            fill.append(F.col(name))
     return spine.join(base, "key", "left").select("key", *fill).orderBy("key")
 
 
