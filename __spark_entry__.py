@@ -193,6 +193,12 @@ GRADE_FIRST: tuple[str, ...] = (
     # --- continuity: headline psum + the flow_sessions re-measure ---
     "psum_sweep_day_lineitem", "psum_fixed_1h", "psum_cal_day",
     "flow_sessions",
+    # --- slot 50 (r10 fix): r9 shipped 49 entries and the driver padded
+    #     the window with the first unpinned registration, which was
+    #     es_search_grouped. Pin it explicitly so the tuple matches what
+    #     the driver actually graded (CORRECTNESS_r09 record preserved)
+    #     and test_grading_window_integrity holds at exactly 50. ---
+    "es_search_grouped",
 )
 
 
@@ -1469,7 +1475,13 @@ def _es_search_knn_indexed_query(s: SparkSession, d: str) -> DataFrame:
     # (e.g. a symlink or a copy at another root) must not share an index
     # (ADVICE r7)
     real = _os.path.realpath(d.rstrip("/"))
-    path = f"/tmp/spark_graft_ivf_{real.replace('/', '_')}"
+    # replace('/', '_') alone is non-injective (/a/b_c vs /a/b/c collide);
+    # suffix a hash of the full realpath so distinct dirs never share an
+    # index path (ADVICE r9)
+    import hashlib as _hashlib
+
+    _tag = _hashlib.md5(real.encode()).hexdigest()[:12]
+    path = f"/tmp/spark_graft_ivf_{_os.path.basename(real)}_{_tag}"
     key = (path, _os.path.getmtime(f"{real}/embeddings.parquet"))
     if _IVF_BUILT.get(key) != "ok":
         build_ivf_index(emb, path, keep_cols=("label",))

@@ -1052,6 +1052,7 @@ def quality_clf_sql(
     n_iter: int = CLF_ITERS,
     lr_num: int = CLF_LR_NUM,
     lr_den: int = CLF_LR_DEN,
+    src: str = "documents",
 ) -> str:
     """DuckDB twin of :func:`quality_clf`: the training loop unrolled as
     MATERIALIZED CTE rounds (the ``bpe_train_sql`` discipline — every
@@ -1089,18 +1090,18 @@ w{k} AS MATERIALIZED (
         prev = f"w{k}"
     rounds_sql = ",\n".join(rounds)
     return f"""
-WITH emb AS MATERIALIZED ({hash_embed_sql(dims)}),
+WITH emb AS MATERIALIZED ({hash_embed_sql(dims, src=src)}),
 feats AS MATERIALIZED (
   SELECT doc_id, dim, comp_q FROM emb
   UNION ALL
   SELECT doc_id, CAST(-1 AS BIGINT) AS dim, CAST({QUANT} AS BIGINT) AS comp_q
-  FROM documents
+  FROM {src}
 ),
 labels AS MATERIALIZED (
   SELECT doc_id, CAST(CASE WHEN {target_where} THEN 1 ELSE 0 END AS BIGINT) AS y
-  FROM documents
+  FROM {src}
 ),
-den AS (SELECT {int(lr_den)} * (SELECT COUNT(*) FROM documents) * {QUANT} AS d),
+den AS (SELECT {int(lr_den)} * (SELECT COUNT(*) FROM {src}) * {QUANT} AS d),
 w0 AS (SELECT CAST(unnest(generate_series(-1, {int(dims) - 1})) AS BIGINT) AS dim,
               CAST(0 AS BIGINT) AS wq),
 {rounds_sql},

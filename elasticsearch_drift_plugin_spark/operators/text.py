@@ -571,17 +571,17 @@ def hash_embed(docs: DataFrame, dims: int = 64) -> DataFrame:
     )
 
 
-def hash_embed_sql(dims: int = 64) -> str:
+def hash_embed_sql(dims: int = 64, src: str = "documents") -> str:
     h = HEX15_SQL_FN.format(expr="term")
     return f"""
 WITH toks AS (
   SELECT doc_id, term, COUNT(*) AS tf
-  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents)
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM {src})
   WHERE term <> '' GROUP BY doc_id, term
 ),
 dfreq AS (
   SELECT term,
-         CAST(FLOOR(ln(((SELECT COUNT(*) FROM documents) + 1.0) / (COUNT(*) + 1.0))
+         CAST(FLOOR(ln(((SELECT COUNT(*) FROM {src}) + 1.0) / (COUNT(*) + 1.0))
                     * {float(QUANT)}) AS BIGINT) AS idf_q
   FROM toks GROUP BY term
 ),

@@ -616,7 +616,7 @@ def curate_pipeline_clf_sql(
     return f"""
 WITH RECURSIVE
 keep AS (SELECT min(doc_id) AS doc_id FROM {src} GROUP BY md5(text)),
-scored AS MATERIALIZED (SELECT doc_id, clf_q FROM ({quality_clf_sql()})),
+scored AS MATERIALIZED (SELECT doc_id, clf_q FROM ({quality_clf_sql(src=src)})),
 surv AS (
   SELECT d.doc_id, d.source, d.text
   FROM {src} d JOIN keep USING (doc_id) JOIN scored USING (doc_id)
