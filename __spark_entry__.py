@@ -141,64 +141,44 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver grades the FIRST 50 registered queries only (round-2 lesson:
-# everything after position 50 got zero external evidence). Round-9
-# ROTATION, per VERDICT r8 item 1 (rotated at round START this time):
-# (a) the 11 never-stamped queries — the 8-query r7 backlog
-# (mm_audio_features/frames, mm_scene_changes, es_dsl_msm,
-# es_dsl_terms_set, train_span_corruption/ul2x, emb_matryoshka_eval)
-# plus the 3 r8 registrations (corpus_dsir_weights, corpus_dsir_sample,
-# corpus_bpe_train_dist); (b) re-stamps of every path round 8 MODIFIED
-# but shipped without driver re-verification (dedup.py minhash/LSH
-# family, corpus.py BPE family); (c) re-stamps of paths round 9 touches
-# (es_dsl minimum_should_match strictness, es_search knn tail dedup +
-# compiler corners, IVF memo key, quality-clf curate wiring); (d) r9-new
-# registrations appended as they land. The true sketches
+# everything after position 50 got zero external evidence). Round-10
+# ROTATION (at round start): as of r9 the union of windows covers every
+# oracle-paired registration, so the window's job shifts to EVIDENCE
+# FRESHNESS — (a) r10-new registrations (es_search_body4, the r9 compiler
+# corner histogram min_doc_count:0 + metric sub-aggs), (b) re-stamps of
+# every path r10 MODIFIES (quality_clf_sql src threading -> the clf pair;
+# IVF memo path -> es_search_knn_indexed), then (c) the 46 queries whose
+# last driver stamp is OLDEST (r1: 5, r2: 13, r3: 28 — computed from the
+# committed CORRECTNESS_r0*.json artifacts), so no registration's
+# external evidence ages past ~7 rounds. The true sketches
 # (es_cardinality_approx / es_theta_set_ops / stats_quantiles_kll /
 # emb_kmeans_ivf_topk / corpus_bpe_encode) stay OUT of the window — they
 # are rows-only by nature and would read as `err: no_oracle`; pytest
-# invariants + the full self-sweep cover them. Everything else stays
-# covered by pytest + tools/check_correctness.py full sweeps. Once this
-# window is stamped, every oracle-paired registration carries driver
-# evidence (union of the r1–r9 windows).
+# invariants + the full self-sweep cover them.
 GRADE_FIRST: tuple[str, ...] = (
-    # --- never-stamped backlog: r7 registrations (8) ---
-    "mm_audio_features", "mm_audio_frames", "mm_scene_changes",
-    "es_dsl_msm", "es_dsl_terms_set",
-    "train_span_corruption", "train_span_ul2x",
-    "emb_matryoshka_eval",
-    # --- never-stamped backlog: r8 registrations (3) ---
-    "corpus_dsir_weights", "corpus_dsir_sample", "corpus_bpe_train_dist",
-    # --- r9-new: the finished trained-classifier gate (VERDICT r8 item
-    #     2) — the standalone scorer and the clf-gated curate chain ---
-    "corpus_quality_clf", "train_curate_clf",
-    # --- re-stamps: dedup.py paths rewritten in r8 (map-side MinHash,
-    #     pinned-frame lsh_eval, shared shingle arrays) ---
-    "dedup_minhash_sig", "dedup_minhash_pairs", "dedup_lsh_eval",
-    "corpus_fuzzy_decon", "dedup_ngram_jaccard", "dedup_containment",
-    "dedup_components", "dedup_semantic", "corpus_contamination",
-    "corpus_span_dedup", "corpus_decon_hashed",
-    # --- re-stamps: corpus.py BPE paths rewritten in r8 ---
-    "corpus_bpe_train", "corpus_bpe_pairs",
-    # --- re-stamps: paths r9 touches (es_dsl msm strictness; knn
-    #     scored-tail dedup; IVF memo; curate pipeline; sampling) ---
-    "es_dsl_query", "es_dsl_sqs",
-    "es_search_knn", "es_search_knn_indexed", "es_search_knn_facets",
-    "ann_ivf_topk", "train_curate_pipeline",
-    "corpus_weighted_sample", "corpus_sample_exact",
-    # --- re-stamps: compiler corners hot again in r9 (item 6) ---
-    "es_search_body", "es_search_body2", "es_search_body3",
-    "es_search_hist_subagg", "es_search_collapse_inner",
-    "es_msearch_shared", "es_search_sampler", "es_search_change_point",
-    "es_search_retriever", "es_search_inference",
-    # --- continuity: headline psum + the flow_sessions re-measure ---
-    "psum_sweep_day_lineitem", "psum_fixed_1h", "psum_cal_day",
-    "flow_sessions",
-    # --- slot 50 (r10 fix): r9 shipped 49 entries and the driver padded
-    #     the window with the first unpinned registration, which was
-    #     es_search_grouped. Pin it explicitly so the tuple matches what
-    #     the driver actually graded (CORRECTNESS_r09 record preserved)
-    #     and test_grading_window_integrity holds at exactly 50. ---
-    "es_search_grouped",
+    # --- r10-new + r10-touched paths ---
+    "es_search_body4", "corpus_quality_clf", "train_curate_clf",
+    "es_search_knn_indexed",
+    # --- freshness: last stamped r1 (5) ---
+    "ann_lsh_histogram", "mm_decode", "mm_frames",
+    "text_fingerprint", "text_tokens",
+    # --- freshness: last stamped r2 (13) ---
+    "dedup_canonical_map", "dedup_embedding_cosine", "dedup_exact",
+    "dedup_incremental", "dedup_simhash", "psum_cal_week",
+    "psum_day_lineitem", "psum_no_sampling", "rel_asof_latest_order",
+    "rel_flows_by_nation", "rel_users_intersect",
+    "stats_quantiles_approx", "stats_top_docs",
+    # --- freshness: last stamped r3 (28) ---
+    "ann_cosine_topk", "corpus_tfidf_top", "es_composite_page",
+    "es_date_range", "es_extended_stats", "es_histogram_filled",
+    "es_multi_terms", "es_range_value", "es_rate_month",
+    "es_significant_terms", "es_string_stats", "es_terms_top_users",
+    "es_value_stats", "mm_metadata", "pipe_cum_derivative",
+    "pipe_stats_bucket", "psum_auto_offset", "psum_cal_month_lineitem",
+    "psum_cal_year_lineitem", "psum_clamp", "psum_empty_fill",
+    "psum_grouped_fill", "psum_grouped_subagg", "psum_key_format",
+    "psum_min_doc_count", "psum_offset_90m", "psum_order_value_desc",
+    "psum_precedence",
 )
 
 
@@ -1429,6 +1409,79 @@ def _es_search_body3_oracle() -> str:
     )
 
 
+# Round-10 registration (VERDICT r9 item 2): the r9-wired compiler corner
+# — histogram `min_doc_count: 0` + `extended_bounds` with metric sub-aggs
+# of BOTH fill families. Fill buckets (guaranteed by the out-of-data
+# extended_bounds at every SF) carry the ES empty-reduce values: 0 for
+# sum/value_count/cardinality, NULL for min/max/avg
+# (es-8.18.2 InternalProportionalSumHistogram.java:480-521).
+ES_SEARCH_BODY4 = {
+    "size": 0,
+    "query": {"range": {"n_chars": {"gte": 60}}},
+    "aggs": {
+        "len_hist": {
+            "histogram": {
+                "field": "n_chars",
+                "interval": 50,
+                "min_doc_count": 0,
+                "extended_bounds": {"min": -150, "max": 700},
+            },
+            "aggs": {
+                "ch_sum": {"sum": {"field": "n_chars"}},
+                "ch_cnt": {"value_count": {"field": "doc_id"}},
+                "src_card": {"cardinality": {"field": "source"}},
+                "ch_min": {"min": {"field": "n_chars"}},
+                "ch_max": {"max": {"field": "n_chars"}},
+                "ch_avg": {"avg": {"field": "n_chars"}},
+            },
+        }
+    },
+}
+
+
+def _es_search_body4_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    docs = flows_src.load_table(s, d, "documents")
+    return run_search(docs, ES_SEARCH_BODY4)["len_hist"]
+
+
+# Spine indices: floor(-150/50) = -3, floor(700/50) = 14 (the compiled
+# extended_bounds grid); data-side lo/hi widen only when the filtered data
+# exceeds the bounds. SUM over BIGINT must cast HUGEINT -> BIGINT; avg is
+# an exact-integer-sum / count double division, identical IEEE both sides.
+ES_SEARCH_BODY4_SQL = """
+WITH base AS (
+  SELECT FLOOR((n_chars - 0.0) / 50.0) * 50.0 + 0.0 AS key,
+         COUNT(*) AS doc_count,
+         CAST(SUM(n_chars) AS BIGINT) AS ch_sum,
+         CAST(COUNT(doc_id) AS BIGINT) AS ch_cnt,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS src_card,
+         MIN(n_chars) AS ch_min, MAX(n_chars) AS ch_max,
+         AVG(n_chars) AS ch_avg
+  FROM documents WHERE n_chars >= 60
+  GROUP BY 1
+),
+b AS (
+  SELECT LEAST(CAST(FLOOR(MIN(key) / 50.0) AS BIGINT), -3) AS lo,
+         GREATEST(CAST(FLOOR(MAX(key) / 50.0) AS BIGINT), 14) AS hi
+  FROM base
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi)) AS DOUBLE) * 50.0 + 0.0 AS key
+  FROM b WHERE lo IS NOT NULL
+)
+SELECT s.key,
+       COALESCE(doc_count, 0) AS doc_count,
+       COALESCE(ch_sum, 0) AS ch_sum,
+       COALESCE(ch_cnt, 0) AS ch_cnt,
+       COALESCE(src_card, 0) AS src_card,
+       ch_min, ch_max, ch_avg
+FROM spine s LEFT JOIN base USING (key)
+ORDER BY s.key
+"""
+
+
 ES_SEARCH_HIST_SUBAGG_SQL = """
 WITH flat AS (
   SELECT lang,
@@ -1610,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_collapse": _es_search_collapse_query,
         "es_search_collapse_inner": _es_search_collapse_inner_query,
         "es_search_body3": _es_search_body3_query,
+        "es_search_body4": _es_search_body4_query,
         "es_search_hist_subagg": _es_search_hist_subagg_query,
         "es_msearch_shared": _es_msearch_shared_query,
         "es_search_highlight": _es_search_highlight_query,
@@ -1926,6 +1980,7 @@ def oracle_sql() -> dict[str, str]:
         "es_search_collapse": ES_SEARCH_COLLAPSE_SQL,
         "es_search_collapse_inner": ES_SEARCH_COLLAPSE_INNER_SQL,
         "es_search_body3": _es_search_body3_oracle(),
+        "es_search_body4": ES_SEARCH_BODY4_SQL,
         "es_search_hist_subagg": ES_SEARCH_HIST_SUBAGG_SQL,
         "es_msearch_shared": ES_MSEARCH_SHARED_SQL,
         "es_search_highlight": ES_SEARCH_HIGHLIGHT_SQL,

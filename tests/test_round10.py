@@ -1,0 +1,147 @@
+"""Round-10 pins: histogram ``min_doc_count: 0`` zero-fill WITH metric
+sub-aggs (wired r9 in the `_search` compiler, shipped untested — VERDICT r9
+item 2). The contract is ES's empty-bucket reduce
+(es-8.18.2 InternalProportionalSumHistogram.java:480-521 renders an empty
+proto-bucket): counting metrics (sum / value_count / cardinality) read 0 on
+a filled bucket; order-statistics metrics (min / max / avg) read NULL.
+
+The table below pins EVERY kind in functions/es_search.py:_METRICS — if a
+new metric kind is added without a fill rule it lands in the NULL branch;
+this test forces the author to decide its empty-reduce value explicitly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_drift_plugin_spark.functions.es_search import _METRICS, run_search
+from elasticsearch_drift_plugin_spark.operators.es_aggs import histogram_agg_filled
+
+# kind -> empty-reduce value on a zero-filled bucket (ES semantics)
+EMPTY_REDUCE = {
+    "sum": 0,
+    "value_count": 0,
+    "cardinality": 0,
+    "min": None,
+    "max": None,
+    "avg": None,
+}
+
+
+def test_empty_reduce_table_covers_every_metric_kind():
+    """Adding a metric kind to _METRICS without deciding its zero-fill
+    value must fail HERE (not silently default to NULL in the compiler)."""
+    assert set(EMPTY_REDUCE) == set(_METRICS)
+
+
+@pytest.fixture(scope="module")
+def gap_df(spark):
+    # buckets 0 and 200 populated, bucket 100 EMPTY (the fill target)
+    rows = [
+        (10.0, 7, "a"),
+        (20.0, 9, "a"),
+        (250.0, 4, "b"),
+    ]
+    return spark.createDataFrame(rows, "v double, m long, s string")
+
+
+def _extra_aggs():
+    return {f"m_{k}": _METRICS[k]("m").alias(f"m_{k}") for k in sorted(_METRICS)}
+
+
+def test_histogram_fill_metric_empty_reduce(gap_df):
+    out = histogram_agg_filled(
+        gap_df,
+        "v",
+        100.0,
+        extra_aggs=_extra_aggs(),
+        extra_fill_zero={f"m_{k}" for k, z in EMPTY_REDUCE.items() if z == 0},
+    ).collect()
+    by_key = {r["key"]: r for r in out}
+    assert sorted(by_key) == [0.0, 100.0, 200.0]
+    fill = by_key[100.0]
+    assert fill["doc_count"] == 0
+    for kind, want in EMPTY_REDUCE.items():
+        assert fill[f"m_{kind}"] == want, (kind, fill[f"m_{kind}"])
+    # populated buckets keep real metric values (the fill coalesce must
+    # not clobber them)
+    assert by_key[0.0]["m_sum"] == 16 and by_key[0.0]["m_avg"] == 8.0
+    assert by_key[0.0]["m_cardinality"] == 2 and by_key[0.0]["m_value_count"] == 2
+    assert by_key[200.0]["m_min"] == 4 and by_key[200.0]["m_max"] == 4
+
+
+def test_histogram_fill_metrics_extended_bounds(gap_df):
+    """extended_bounds widens the grid; the out-of-data buckets carry the
+    same empty-reduce metric values as interior gaps."""
+    out = histogram_agg_filled(
+        gap_df,
+        "v",
+        100.0,
+        extended_bounds=(-200.0, 400.0),
+        extra_aggs=_extra_aggs(),
+        extra_fill_zero={"m_sum", "m_value_count", "m_cardinality"},
+    ).collect()
+    keys = [r["key"] for r in out]
+    assert keys == [-200.0, -100.0, 0.0, 100.0, 200.0, 300.0, 400.0]
+    for r in out:
+        if r["key"] in (-200.0, -100.0, 100.0, 300.0, 400.0):
+            assert r["doc_count"] == 0
+            assert r["m_sum"] == 0 and r["m_value_count"] == 0
+            assert r["m_cardinality"] == 0
+            assert r["m_min"] is None and r["m_max"] is None and r["m_avg"] is None
+
+
+def test_search_compiler_zero_fill_with_metrics(gap_df):
+    """The `_search` body route (functions/es_search.py:872): histogram
+    min_doc_count: 0 with metric children compiles to the filled operator
+    and classifies each child by its metric kind."""
+    body = {
+        "size": 0,
+        "aggs": {
+            "h": {
+                "histogram": {
+                    "field": "v",
+                    "interval": 100,
+                    "min_doc_count": 0,
+                    "extended_bounds": {"min": 0, "max": 300},
+                },
+                "aggs": {
+                    "msum": {"sum": {"field": "m"}},
+                    "mcnt": {"value_count": {"field": "m"}},
+                    "mcard": {"cardinality": {"field": "s"}},
+                    "mmin": {"min": {"field": "m"}},
+                    "mavg": {"avg": {"field": "m"}},
+                },
+            }
+        },
+    }
+    out = {r["key"]: r for r in run_search(gap_df, body)["h"].collect()}
+    assert sorted(out) == [0.0, 100.0, 200.0, 300.0]
+    for k in (100.0, 300.0):
+        r = out[k]
+        assert (r["doc_count"], r["msum"], r["mcnt"], r["mcard"]) == (0, 0, 0, 0)
+        assert r["mmin"] is None and r["mavg"] is None
+    assert out[0.0]["msum"] == 16 and out[0.0]["mcard"] == 1
+    assert out[200.0]["mmin"] == 4 and out[200.0]["mavg"] == 4.0
+
+
+def test_search_zero_fill_rejects_pipeline_free_ride(gap_df):
+    """Bucket-pipeline children still ride _apply_pipelines on the FILLED
+    frame — derivative over a fill bucket sees doc_count 0, not a hole."""
+    body = {
+        "size": 0,
+        "aggs": {
+            "h": {
+                "histogram": {"field": "v", "interval": 100, "min_doc_count": 0},
+                "aggs": {
+                    "msum": {"sum": {"field": "m"}},
+                    "d": {"derivative": {"buckets_path": "msum"}},
+                },
+            }
+        },
+    }
+    out = {r["key"]: r for r in run_search(gap_df, body)["h"].collect()}
+    # derivative of the zero-filled sum: 16 -> 0 -> 4 gives -16 then +4
+    assert out[100.0]["d"] == -16 and out[200.0]["d"] == 4
+    assert out[0.0]["d"] is None
