@@ -232,6 +232,10 @@ BENCH_QUERIES = [
     # r9 additions: the finished trained quality gate + clf-gated curate
     "corpus_quality_clf",
     "train_curate_clf",
+    # r10 additions: the zero-fill-with-metrics compiler corner + the
+    # minimum_should_match spec grammar
+    "es_search_body4",
+    "es_dsl_msm_pct",
 ]
 
 

@@ -42,10 +42,14 @@ common flow-query bodies):
   accept ES strings (``"500km"``/``"10mi"``/meters); a dateline-crossing
   box (west > east, the ES wrap rule) compiles to
   ``lon >= west OR lon <= east``
-- ``bool`` — ``must`` / ``filter`` (AND), ``should`` (OR, with full
-  integer ``minimum_should_match``: 0 = optional, 1 = required OR, N > 1 =
-  at-least-N flag-sum in filter context; absent ⇒ the documented ES rule —
-  required iff no must/filter. Percentage forms stay loud), ``must_not``
+- ``bool`` — ``must`` / ``filter`` (AND), ``should`` (OR, with the FULL
+  ``minimum_should_match`` spec grammar via the Lucene
+  ``calculateMinShouldMatch`` algorithm — integers, negatives,
+  ``"P%"``/``"-P%"`` percentages (float32 truncation parity), and
+  conditional ``"U<spec"`` chains — resolved to one integer at compile
+  time: 0 = optional, 1 = required OR, N > 1 = at-least-N flag-sum in
+  filter context, N > clause count = match-nothing; absent ⇒ the
+  documented ES rule — required iff no must/filter), ``must_not``
   (NOT with ES's match-NULL-safe semantics: a NULL field does not match, so
   must_not KEEPS null rows — mirrored exactly)
 
@@ -115,6 +119,60 @@ def translate_simple_query_string(body: dict) -> dict:
     if not out:
         raise ValueError("simple_query_string with no effective terms")
     return {"bool": out}
+
+
+def calculate_min_should_match(optional_clause_count: int, spec) -> int:
+    """ES bool-query ``minimum_should_match`` spec → effective integer,
+    Lucene/Solr ``calculateMinShouldMatch`` parity (the public algorithm
+    ES delegates to): positive/negative integers, ``"N"``/``"-N"``
+    strings, percentages ``"P%"``/``"-P%"`` (negative = how many may be
+    MISSING), and space-separated conditionals ``"U<spec"`` ("for more
+    than U clauses, apply spec"; count ≤ the first threshold ⇒ all
+    required). Percentage math reproduces Lucene's float32
+    ``(count * percent) * (1/100f)`` truncation-toward-zero (e.g.
+    ``"76%"`` of 5 clauses is 3 — 3.8 truncates; ``"-25%"`` of 5 is 4 —
+    -1.25 truncates to -1 missing). Results < 0 clamp to 0 (no constraint);
+    results above the clause count are returned as-is — the bool
+    compiler maps those to match-nothing, Lucene's BooleanQuery rule."""
+    import numpy as np
+
+    if isinstance(spec, bool):
+        raise ValueError(f"minimum_should_match must not be a bool: {spec!r}")
+    if isinstance(spec, int):
+        result = optional_clause_count + spec if spec < 0 else spec
+        return max(result, 0)
+    s = str(spec).strip()
+    try:
+        if "<" in s:
+            result = optional_clause_count
+            # Solr normalizes spaces around '<' away, then splits the
+            # conditional specs on whitespace
+            for part in s.replace(" <", "<").replace("< ", "<").split():
+                upper_s, _, sub = part.partition("<")
+                if not sub:
+                    raise ValueError
+                if optional_clause_count <= int(upper_s):
+                    return result
+                result = calculate_min_should_match(optional_clause_count, sub)
+            return result
+        if s.endswith("%"):
+            percent = int(s[:-1])
+            calc = float(
+                np.float32(optional_clause_count * percent)
+                * (np.float32(1.0) / np.float32(100.0))
+            )
+            result = (
+                optional_clause_count + int(calc) if calc < 0 else int(calc)
+            )
+        else:
+            calc = int(s)
+            result = optional_clause_count + calc if calc < 0 else calc
+    except ValueError:
+        raise ValueError(
+            f"invalid minimum_should_match spec {spec!r} — expected an"
+            " integer, 'N'/'-N', 'P%'/'-P%', or conditional 'U<spec' forms"
+        ) from None
+    return max(result, 0)
 
 
 def compile_query(q: dict) -> Column:
@@ -282,21 +340,22 @@ def compile_query(q: dict) -> Column:
         should = [compile_query(c) for c in _as_list(body.get("should"))]
         must_not = [compile_query(c) for c in _as_list(body.get("must_not"))]
         msm = body.get("minimum_should_match")
-        if msm is not None and (
-            not isinstance(msm, int) or isinstance(msm, bool) or msm < 0
-        ):
-            # ES also accepts percentages / negative counts — loud until
-            # someone needs them (a silently-wrong match set is worse).
-            # bool is an int subclass in Python: `True` would silently
-            # mean 1 — reject it too (ADVICE r7)
-            raise ValueError(
-                f"minimum_should_match must be a non-negative int, got {msm!r}"
-            )
         conds = must + filt
         if should:
-            # the ES rule: should is required when msm>=1, optional when
-            # msm==0, and defaults to required-iff-no-must/filter
-            if isinstance(msm, int) and msm > 1:
+            # the ES rule: should is required when the effective msm >= 1,
+            # optional when 0, and defaults to required-iff-no-must/filter.
+            # Specs (ints, negatives, percentages, conditionals) resolve
+            # to ONE integer at COMPILE time — the should-clause count is
+            # static — via the Lucene calculateMinShouldMatch algorithm.
+            if msm is None:
+                eff = 1 if not conds else 0
+            else:
+                eff = calculate_min_should_match(len(should), msm)
+            if eff > len(should):
+                # Lucene BooleanQuery: minShouldMatch above the optional
+                # clause count matches NOTHING
+                conds.append(F.lit(False))
+            elif eff > 1:
                 # "at least N of the should clauses": count matches in
                 # filter context (NULL/unknown = no match) — one codegen
                 # expression, no extra pass
@@ -307,8 +366,8 @@ def compile_query(q: dict) -> Column:
                 total = flags[0]
                 for fl in flags[1:]:
                     total = total + fl
-                conds.append(total >= F.lit(int(msm)))
-            elif msm == 1 or (msm is None and not conds):
+                conds.append(total >= F.lit(int(eff)))
+            elif eff == 1:
                 conds.append(_or(should))
         for c in must_not:
             # ES must_not is filter-context: docs where the inner clause is
@@ -455,22 +514,25 @@ def compile_query_sql(q: dict) -> str:
         return f"({_haversine_m(lat, lon, olat, olon)} <= {dist_m!r})"
     if kind == "bool":
         msm = body.get("minimum_should_match")
-        if msm is not None and (not isinstance(msm, int) or msm < 0):
-            # twin parity with compile_query
-            raise ValueError(
-                f"minimum_should_match must be a non-negative int, got {msm!r}"
-            )
         conds = [compile_query_sql(c) for c in _as_list(body.get("must"))]
         conds += [compile_query_sql(c) for c in _as_list(body.get("filter"))]
         should = [compile_query_sql(c) for c in _as_list(body.get("should"))]
         if should:
-            if isinstance(msm, int) and msm > 1:
+            # twin parity with compile_query: the SAME compile-time
+            # integer from the shared Lucene spec resolver
+            if msm is None:
+                eff = 1 if not conds else 0
+            else:
+                eff = calculate_min_should_match(len(should), msm)
+            if eff > len(should):
+                conds.append("FALSE")
+            elif eff > 1:
                 total = " + ".join(
                     f"(CASE WHEN COALESCE({c}, FALSE) THEN 1 ELSE 0 END)"
                     for c in should
                 )
-                conds.append(f"(({total}) >= {int(msm)})")
-            elif msm == 1 or (msm is None and not conds):
+                conds.append(f"(({total}) >= {int(eff)})")
+            elif eff == 1:
                 conds.append("(" + " OR ".join(should) + ")")
         for c in _as_list(body.get("must_not")):
             conds.append(f"NOT COALESCE({compile_query_sql(c)}, FALSE)")

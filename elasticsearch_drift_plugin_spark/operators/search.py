@@ -698,6 +698,44 @@ MSM_BODY = {"bool": {
 }}
 
 
+# the spec-grammar forms (r10): a negative percentage over FOUR should
+# clauses — Lucene calculateMinShouldMatch resolves "-25%" of 4 to 3 at
+# compile time (one clause may be missing), identical flag-sum plan to
+# the integer form. The conditional/percentage resolver itself is
+# unit-pinned in tests/test_round10.py.
+MSM_PCT_BODY = {"bool": {
+    "should": [
+        {"term": {"event_type": "click"}},
+        {"range": {"value": {"gte": 50}}},
+        {"terms": {"user_id": [0, 1, 2, 3, 4, 5, 6, 7, 8, 9]}},
+        {"range": {"value": {"lt": 200}}},
+    ],
+    "minimum_should_match": "-25%",
+}}
+
+
+def msm_pct_filter_agg(events: DataFrame) -> DataFrame:
+    from ..functions.es_dsl import compile_query
+
+    return (
+        events.where(compile_query(MSM_PCT_BODY))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        .orderBy("event_type")
+    )
+
+
+def msm_pct_filter_agg_sql() -> str:
+    from ..functions.es_dsl import compile_query_sql
+
+    pred = compile_query_sql(MSM_PCT_BODY)
+    return f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS doc_count
+FROM events WHERE {pred}
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def msm_filter_agg(events: DataFrame) -> DataFrame:
     from ..functions.es_dsl import compile_query
 
@@ -771,6 +809,9 @@ def queries() -> dict:
         "es_dsl_query": lambda s, d: dsl_filter_agg(load_table(s, d, "events")),
         "es_dsl_sqs": lambda s, d: sqs_filter_agg(load_table(s, d, "documents")),
         "es_dsl_msm": lambda s, d: msm_filter_agg(load_table(s, d, "events")),
+        "es_dsl_msm_pct": lambda s, d: msm_pct_filter_agg(
+            load_table(s, d, "events")
+        ),
         "es_dsl_terms_set": lambda s, d: terms_set_filter_agg(
             load_table(s, d, "documents")
         ),
@@ -865,6 +906,7 @@ def oracle_sql() -> dict:
         "es_dsl_query": dsl_filter_agg_sql(),
         "es_dsl_sqs": sqs_filter_agg_sql(),
         "es_dsl_msm": msm_filter_agg_sql(),
+        "es_dsl_msm_pct": msm_pct_filter_agg_sql(),
         "es_dsl_terms_set": terms_set_filter_agg_sql(),
         "es_dsl_geo": dsl_geo_sql(),
         "es_dsl_geo_dateline": dsl_geo_dateline_sql(),

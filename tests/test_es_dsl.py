@@ -113,10 +113,14 @@ def test_unsupported_clause_fails_loudly():
         compile_query({"terms_set": {"etype": {
             "terms": ["a"],
             "minimum_should_match_script": {"source": "params.n"}}}})
-    # msm counts graduated in r7; percentages stay loud
-    with pytest.raises(ValueError, match="non-negative int"):
+    # msm counts graduated in r7; the full spec grammar (percentages,
+    # negatives, conditionals) graduated in r10 — garbage still raises
+    with pytest.raises(ValueError, match="minimum_should_match"):
         compile_query({"bool": {"should": [{"match_all": {}}],
-                                "minimum_should_match": "75%"}})
+                                "minimum_should_match": "many"}})
+    with pytest.raises(ValueError, match="minimum_should_match"):
+        compile_query({"bool": {"should": [{"match_all": {}}],
+                                "minimum_should_match": True}})
 
 
 def test_terms_set_clause(spark):

@@ -126,6 +126,109 @@ def test_search_compiler_zero_fill_with_metrics(gap_df):
     assert out[200.0]["mmin"] == 4 and out[200.0]["mavg"] == 4.0
 
 
+# ---------------------------------------------------------------------------
+# minimum_should_match spec grammar (r10): percentages / negatives /
+# conditionals via the Lucene calculateMinShouldMatch algorithm
+# ---------------------------------------------------------------------------
+
+
+def test_calculate_min_should_match_lucene_parity():
+    from elasticsearch_drift_plugin_spark.functions.es_dsl import (
+        calculate_min_should_match as c,
+    )
+
+    # documented ES/Solr examples
+    assert c(4, "75%") == 3
+    assert c(5, "76%") == 3          # 3.8 truncates toward zero
+    assert c(10, "-25%") == 8        # -2.5 -> -2 missing
+    assert c(5, "-25%") == 4         # -1.25 -> -1 missing
+    assert c(3, "3<90%") == 3        # count <= threshold: all required
+    assert c(10, "3<90%") == 9
+    assert c(2, "2<-25% 9<-3") == 2  # docs' canonical multi-conditional
+    assert c(5, "2<-25% 9<-3") == 4
+    assert c(10, "2<-25% 9<-3") == 7
+    # integer and stringed-integer forms
+    assert c(10, 3) == 3 and c(10, "3") == 3
+    assert c(10, -3) == 7 and c(10, "-3") == 7
+    assert c(3, 5) == 5              # impossible — compiler maps to FALSE
+    assert c(10, "-200%") == 0       # clamps to no-constraint
+    for bad in ("abc", "10%%", True, "5<", "x<50%"):
+        with pytest.raises(ValueError):
+            c(5, bad)
+
+
+def test_bool_msm_percentage_compiles_both_engines(spark):
+    """A "-25%" spec over 4 should clauses resolves to 3 and produces the
+    identical match set in the Column compiler and the SQL twin."""
+    import duckdb
+
+    from elasticsearch_drift_plugin_spark.functions.es_dsl import (
+        compile_query,
+        compile_query_sql,
+    )
+
+    body = {"bool": {
+        "should": [
+            {"term": {"a": 1}},
+            {"term": {"b": 1}},
+            {"term": {"c": 1}},
+            {"term": {"d": 1}},
+        ],
+        "minimum_should_match": "-25%",
+    }}
+    rows = [
+        (1, 1, 1, 1, "all"),
+        (1, 1, 1, 0, "three"),
+        (1, 1, 0, 0, "two"),
+        (1, None, None, 0, "one+nulls"),
+    ]
+    df = spark.createDataFrame(rows, "a int, b int, c int, d int, tag string")
+    got = sorted(r["tag"] for r in df.where(compile_query(body)).collect())
+    assert got == ["all", "three"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (a INT, b INT, c INT, d INT, tag VARCHAR)"
+    )
+    con.executemany("INSERT INTO t VALUES (?,?,?,?,?)", rows)
+    sql_got = sorted(
+        r[0]
+        for r in con.execute(
+            f"SELECT tag FROM t WHERE {compile_query_sql(body)}"
+        ).fetchall()
+    )
+    assert sql_got == got
+
+
+def test_bool_msm_impossible_matches_nothing(spark):
+    from elasticsearch_drift_plugin_spark.functions.es_dsl import (
+        compile_query,
+        compile_query_sql,
+    )
+
+    body = {"bool": {
+        "should": [{"term": {"a": 1}}, {"term": {"b": 1}}],
+        "minimum_should_match": 5,
+    }}
+    df = spark.createDataFrame([(1, 1)], "a int, b int")
+    assert df.where(compile_query(body)).count() == 0
+    assert "FALSE" in compile_query_sql(body)
+
+
+def test_bool_msm_zero_via_negative_keeps_should_optional(spark):
+    """"-100%" resolves to 0: should clauses become purely optional, so a
+    row matching none of them still passes the must clause."""
+    from elasticsearch_drift_plugin_spark.functions.es_dsl import compile_query
+
+    body = {"bool": {
+        "must": [{"term": {"m": 1}}],
+        "should": [{"term": {"a": 9}}, {"term": {"b": 9}}],
+        "minimum_should_match": "-100%",
+    }}
+    df = spark.createDataFrame([(1, 0, 0), (0, 9, 9)], "m int, a int, b int")
+    out = df.where(compile_query(body)).collect()
+    assert [(r["m"], r["a"]) for r in out] == [(1, 0)]
+
+
 def test_search_zero_fill_rejects_pipeline_free_ride(gap_df):
     """Bucket-pipeline children still ride _apply_pipelines on the FILLED
     frame — derivative over a fill bucket sees doc_count 0, not a hole."""
