@@ -158,7 +158,8 @@ def entry(spark: SparkSession) -> DataFrame:
 GRADE_FIRST: tuple[str, ...] = (
     # --- r10-new + r10-touched paths ---
     "es_search_body4", "es_dsl_msm_pct", "corpus_quality_clf",
-    "train_curate_clf", "es_search_knn_indexed",
+    "corpus_quality_clf_sampled", "train_curate_clf",
+    "es_search_knn_indexed",
     # --- freshness: last stamped r1 (5) ---
     "ann_lsh_histogram", "mm_decode", "mm_frames",
     "text_fingerprint", "text_tokens",
@@ -177,7 +178,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "pipe_stats_bucket", "psum_auto_offset", "psum_cal_month_lineitem",
     "psum_cal_year_lineitem", "psum_clamp", "psum_empty_fill",
     "psum_grouped_fill", "psum_grouped_subagg", "psum_key_format",
-    "psum_min_doc_count", "psum_offset_90m", "psum_order_value_desc",
+    "psum_min_doc_count", "psum_offset_90m",
 )
 
 

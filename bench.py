@@ -232,10 +232,12 @@ BENCH_QUERIES = [
     # r9 additions: the finished trained quality gate + clf-gated curate
     "corpus_quality_clf",
     "train_curate_clf",
-    # r10 additions: the zero-fill-with-metrics compiler corner + the
-    # minimum_should_match spec grammar
+    # r10 additions: the zero-fill-with-metrics compiler corner, the
+    # minimum_should_match spec grammar, and the train-on-sample clf
+    # serving path
     "es_search_body4",
     "es_dsl_msm_pct",
+    "corpus_quality_clf_sampled",
 ]
 
 

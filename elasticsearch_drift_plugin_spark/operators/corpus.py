@@ -979,25 +979,46 @@ def quality_clf(
     """
     # bounded-sample contract, ENFORCED (the lsh_recall_eval discipline):
     # full-batch GD over the whole corpus is never the right call at real
-    # scale — train on corpus.hash_sample and score the full corpus with
-    # the frozen weights instead
+    # scale — train on a sample (quality_clf_sampled / corpus.hash_sample)
+    # and score the full corpus with the frozen weights instead
     n = docs.count()
     if n > max_train_docs:
         raise ValueError(
             f"quality_clf trains full-batch over {n} docs "
             f"(> max_train_docs={max_train_docs}); train on a sample "
-            f"(corpus.hash_sample) and score the corpus with the frozen "
-            f"weights, or raise max_train_docs to acknowledge the cost"
+            f"(quality_clf_sampled, or corpus.hash_sample + the frozen "
+            f"weights), or raise max_train_docs to acknowledge the cost"
         )
     feats = _clf_features(docs, dims).localCheckpoint(eager=True)
-    labels = docs.select(
+    labels = _clf_labels(docs, target_where)
+    w = _clf_gd(feats, labels, n, dims, n_iter, lr_num, lr_den)
+    return _clf_score(feats, labels, w)
+
+
+def _clf_labels(docs: DataFrame, target_where: str) -> DataFrame:
+    return docs.select(
         "doc_id",
         F.expr(
             f"CAST(CASE WHEN {target_where} THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("y"),
     )
+
+
+def _clf_gd(
+    feats: DataFrame,
+    labels: DataFrame,
+    n: int,
+    dims: int,
+    n_iter: int,
+    lr_num: int,
+    lr_den: int,
+) -> dict[int, int]:
+    """The integer full-batch GD loop over a (pinned) feature frame:
+    each iteration is ONE job — margins → residuals → a ``dims+1``-row
+    gradient collect; ``n`` is the training-doc count entering the
+    denominator. Returns the frozen integer weight map."""
     w: dict[int, int] = {d: 0 for d in range(-1, int(dims))}
-    spark = docs.sparkSession
+    spark = feats.sparkSession
     conf = spark.conf
     saved = {
         "spark.sql.adaptive.enabled": conf.get("spark.sql.adaptive.enabled"),
@@ -1028,6 +1049,12 @@ def quality_clf(
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+    return w
+
+
+def _clf_score(feats: DataFrame, labels: DataFrame, w: dict[int, int]) -> DataFrame:
+    """Map-side scoring against frozen weights (broadcast literal map) —
+    the path that runs over the FULL corpus at any scale."""
     final = (
         feats.withColumn("wq", _wmap_col(w)[F.col("dim")])
         .groupBy("doc_id")
@@ -1038,6 +1065,50 @@ def quality_clf(
         .select("doc_id", "y", F.expr(_hardsig_q("m12")).alias("clf_q"))
         .orderBy("doc_id")
     )
+
+
+def quality_clf_sampled(
+    docs: DataFrame,
+    sample_rate: float = 0.5,
+    target_where: str = "source = 'src0'",
+    dims: int = CLF_DIMS,
+    n_iter: int = CLF_ITERS,
+    lr_num: int = CLF_LR_NUM,
+    lr_den: int = CLF_LR_DEN,
+    max_train_docs: int = MAX_CLF_TRAIN_DOCS,
+) -> DataFrame:
+    """:func:`quality_clf`'s 100 TB serving recipe made concrete: train
+    the gate on a DETERMINISTIC :func:`hash_sample` cut of the corpus
+    (``md5_60(doc_id) mod 1e6 < rate·1e6`` — content-stable, no RNG
+    state) and score the FULL corpus map-side with the frozen weights.
+    Features (including the IDF table) are computed over the full corpus
+    ONCE — the sample restricts which rows enter the gradient, not what
+    the vectorizer sees — so sampled and full-batch scores live on the
+    same feature scale. The ``max_train_docs`` guard applies to the
+    SAMPLE: if the cut is still too big, lower the rate.
+
+    Only the SAMPLE-sized training matrix is pinned (the GD loop replays
+    it ``n_iter`` times); the corpus-sized feature frame is consumed
+    exactly once by the final scoring pass, so it stays LAZY — no
+    corpus-sized materialization anywhere."""
+    feats = _clf_features(docs, dims)
+    labels = _clf_labels(docs, target_where)
+    cut = F.pmod(md5_hash60(F.col("doc_id").cast("string")), F.lit(QUANT)) < F.lit(
+        int(float(sample_rate) * QUANT)
+    )
+    train_ids = docs.where(cut).select("doc_id")
+    n = train_ids.count()
+    if n > max_train_docs:
+        raise ValueError(
+            f"quality_clf_sampled: the {sample_rate} sample still holds "
+            f"{n} docs (> max_train_docs={max_train_docs}); lower the rate"
+        )
+    tfeats = feats.join(F.broadcast(train_ids), "doc_id").localCheckpoint(
+        eager=True
+    )
+    tlabels = labels.join(F.broadcast(train_ids), "doc_id")
+    w = _clf_gd(tfeats, tlabels, n, dims, n_iter, lr_num, lr_den)
+    return _clf_score(feats, labels, w)
 
 
 def _wmap_col(w: dict[int, int]):
@@ -1053,10 +1124,14 @@ def quality_clf_sql(
     lr_num: int = CLF_LR_NUM,
     lr_den: int = CLF_LR_DEN,
     src: str = "documents",
+    train_where: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`quality_clf`: the training loop unrolled as
     MATERIALIZED CTE rounds (the ``bpe_train_sql`` discipline — every
-    multiply-referenced step materialized or planning explodes)."""
+    multiply-referenced step materialized or planning explodes).
+    ``train_where`` (the :func:`quality_clf_sampled` twin) restricts
+    which doc_ids enter the GD rounds and the denominator; features and
+    the final scoring pass stay corpus-wide, mirroring the Spark side."""
     from .text import hash_embed_sql
 
     hs = _hardsig_q("m12", idiv="//")
@@ -1066,21 +1141,22 @@ def quality_clf_sql(
         f"(({lr_num} * COALESCE(g.S, 0)) - ((({lr_num} * COALESCE(g.S, 0)) % den.d"
         f" + den.d) % den.d)) // den.d"
     )
+    tf, tl = ("tfeats", "tlabels") if train_where else ("feats", "labels")
     rounds = []
     prev = "w0"
     for k in range(1, int(n_iter) + 1):
         rounds.append(
             f"""m{k} AS MATERIALIZED (
   SELECT f.doc_id, SUM(f.comp_q * w.wq) AS m12
-  FROM feats f JOIN {prev} w USING (dim) GROUP BY 1
+  FROM {tf} f JOIN {prev} w USING (dim) GROUP BY 1
 ),
 r{k} AS MATERIALIZED (
   SELECT l.doc_id, {hs} - l.y * {QUANT} AS r
-  FROM labels l JOIN m{k} USING (doc_id)
+  FROM {tl} l JOIN m{k} USING (doc_id)
 ),
 g{k} AS MATERIALIZED (
   SELECT f.dim, SUM(f.comp_q * rr.r) AS S
-  FROM feats f JOIN r{k} rr USING (doc_id) GROUP BY 1
+  FROM {tf} f JOIN r{k} rr USING (doc_id) GROUP BY 1
 ),
 w{k} AS MATERIALIZED (
   SELECT w.dim, CAST(w.wq - ({step}) AS BIGINT) AS wq
@@ -1089,6 +1165,18 @@ w{k} AS MATERIALIZED (
         )
         prev = f"w{k}"
     rounds_sql = ",\n".join(rounds)
+    train_src = f"(SELECT * FROM {src} WHERE {train_where})" if train_where else src
+    train_ctes = (
+        f"""tfeats AS MATERIALIZED (
+  SELECT f.* FROM feats f JOIN {train_src} t USING (doc_id)
+),
+tlabels AS MATERIALIZED (
+  SELECT l.* FROM labels l JOIN {train_src} t USING (doc_id)
+),
+"""
+        if train_where
+        else ""
+    )
     return f"""
 WITH emb AS MATERIALIZED ({hash_embed_sql(dims, src=src)}),
 feats AS MATERIALIZED (
@@ -1101,7 +1189,7 @@ labels AS MATERIALIZED (
   SELECT doc_id, CAST(CASE WHEN {target_where} THEN 1 ELSE 0 END AS BIGINT) AS y
   FROM {src}
 ),
-den AS (SELECT {int(lr_den)} * (SELECT COUNT(*) FROM {src}) * {QUANT} AS d),
+{train_ctes}den AS (SELECT {int(lr_den)} * (SELECT COUNT(*) FROM {train_src}) * {QUANT} AS d),
 w0 AS (SELECT CAST(unnest(generate_series(-1, {int(dims) - 1})) AS BIGINT) AS dim,
               CAST(0 AS BIGINT) AS wq),
 {rounds_sql},
@@ -2226,6 +2314,13 @@ def queries() -> dict:
         "corpus_quality_clf": lambda s, d: quality_clf(
             load_table(s, d, "documents")
         ),
+        # the 100 TB serving recipe: train on the deterministic 50%
+        # hash-sample, score the FULL corpus with frozen weights — the
+        # path the max_train_docs guard points users at, now registered
+        # and oracle-paired end-to-end
+        "corpus_quality_clf_sampled": lambda s, d: quality_clf_sampled(
+            load_table(s, d, "documents"), sample_rate=0.5
+        ),
         "corpus_zipf_slope": lambda s, d: zipf_slope(load_table(s, d, "documents")),
         "corpus_weighted_sample": lambda s, d: weighted_sample(
             load_table(s, d, "documents")
@@ -2267,6 +2362,12 @@ def oracle_sql() -> dict:
         "corpus_dsir_weights": dsir_weights_sql(),
         "corpus_dsir_sample": dsir_sample_sql(),
         "corpus_quality_clf": quality_clf_sql(),
+        "corpus_quality_clf_sampled": quality_clf_sql(
+            train_where=(
+                f"({HEX15_SQL_FN.format(expr='CAST(doc_id AS VARCHAR)')})"
+                f" % {QUANT} < {int(0.5 * QUANT)}"
+            )
+        ),
         "corpus_zipf_slope": zipf_slope_sql(),
         "corpus_weighted_sample": _weighted_sample_oracle(),
         # the compact-filter path has one-sided (collision-adds-hits) error;

@@ -127,6 +127,79 @@ def test_search_compiler_zero_fill_with_metrics(gap_df):
 
 
 # ---------------------------------------------------------------------------
+# quality_clf_sampled (r10): the train-on-sample serving path
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def clf_docs(spark):
+    rows = [
+        (i, "src0" if i % 3 == 0 else "src1",
+         ("alpha beta gamma " * (1 + i % 4)) + (f"tok{i % 7} " * 3))
+        for i in range(60)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_quality_clf_sampled_scores_full_corpus(clf_docs):
+    from elasticsearch_drift_plugin_spark.operators.corpus import (
+        quality_clf_sampled,
+    )
+
+    out = quality_clf_sampled(clf_docs, sample_rate=0.5).collect()
+    # every doc scored (training on the sample, scoring EVERYONE)
+    assert len(out) == 60
+    assert all(0 <= r["clf_q"] <= 1_000_000 for r in out)
+    # deterministic: the hash-sample has no RNG state
+    again = quality_clf_sampled(clf_docs, sample_rate=0.5).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
+def test_quality_clf_sampled_guard_applies_to_sample(clf_docs):
+    from elasticsearch_drift_plugin_spark.operators.corpus import (
+        quality_clf_sampled,
+    )
+
+    with pytest.raises(ValueError, match="lower the rate"):
+        quality_clf_sampled(clf_docs, sample_rate=1.0, max_train_docs=10)
+
+
+def test_quality_clf_sampled_sql_twin_bit_identical(clf_docs):
+    """The sampled trainer replays bit-identically in DuckDB — the same
+    integer-GD discipline as the full-batch twin, with the training CTEs
+    restricted by the hash-sample predicate."""
+    import duckdb
+
+    from elasticsearch_drift_plugin_spark.functions.hashing import HEX15_SQL_FN
+    from elasticsearch_drift_plugin_spark.operators.corpus import (
+        QUANT,
+        quality_clf_sampled,
+        quality_clf_sql,
+    )
+
+    spark_rows = [
+        tuple(r) for r in quality_clf_sampled(clf_docs, sample_rate=0.5).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, source VARCHAR, text VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO documents VALUES (?,?,?)",
+        [(r[0], r[1], r[2]) for r in clf_docs.collect()],
+    )
+    pred = (
+        f"({HEX15_SQL_FN.format(expr='CAST(doc_id AS VARCHAR)')})"
+        f" % {QUANT} < {int(0.5 * QUANT)}"
+    )
+    duck_rows = [
+        tuple(r)
+        for r in con.execute(quality_clf_sql(train_where=pred)).fetchall()
+    ]
+    assert spark_rows == duck_rows
+
+
+# ---------------------------------------------------------------------------
 # minimum_should_match spec grammar (r10): percentages / negatives /
 # conditionals via the Lucene calculateMinShouldMatch algorithm
 # ---------------------------------------------------------------------------
