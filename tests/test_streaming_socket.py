@@ -119,3 +119,96 @@ def test_counter_rate_over_live_socket(spark, tmp_path):
     # and the live feed really spanned >= 2 micro-batches (cross-batch
     # state, not one big batch): the sink appended one update per wave
     assert len(rows) >= 2
+
+
+def test_socket_continuous_bounded_state(spark, tmp_path):
+    """~15 s mini continuous soak (the full 3-minute run lives in
+    tools/soak_socket.py; SCALE.md records its numbers): a steady live
+    push over a FIXED key space must show (a) strictly monotone batchIds
+    and (b) stateful-operator rows bounded by the KEY cardinality — one
+    state row per series, never per sample — while input keeps growing.
+    Gates on the query's own progress log only (no wall-clock row
+    expectations), so host load cannot flake it."""
+    import threading
+
+    from elasticsearch_drift_plugin_spark.streaming.counter_rate import (
+        counter_rate_stream,
+    )
+    from elasticsearch_drift_plugin_spark.streaming.sources import (
+        socket_flows,
+    )
+
+    n_keys = 8
+    feed = _Feed()
+    stop = threading.Event()
+    sent = {"n": 0}
+
+    def pump():
+        eid = 0
+        t_ms = DAY
+        while not stop.is_set():
+            try:
+                feed.send(
+                    [
+                        (eid + i, f"k{(eid + i) % n_keys}", t_ms + i * 5,
+                         float((eid + i) % 97))
+                        for i in range(100)
+                    ]
+                )
+            except (OSError, TimeoutError):
+                return
+            sent["n"] += 100
+            eid += 100
+            t_ms += 500
+            time.sleep(0.1)
+
+    q = (
+        counter_rate_stream(
+            socket_flows(spark, "127.0.0.1", feed.port, SCHEMA),
+            dims=("event_type",),
+            bucket_ms=86_400_000,
+            reset_mod=1_000_000_000,
+        )
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", f"{tmp_path}/ck")
+        .trigger(processingTime="300 milliseconds")
+        .foreachBatch(lambda df, bid: df.count())
+        .start()
+    )
+    pump_t = threading.Thread(target=pump, daemon=True)
+    pump_t.start()
+    progress = {}
+    try:
+        deadline = time.time() + 90
+        # run until the query has committed >= 2000 input rows across
+        # >= 4 distinct batches — enough to observe state settling
+        while time.time() < deadline:
+            for p in q.recentProgress:
+                progress[int(p["batchId"])] = p
+            done = sum(int(p["numInputRows"]) for p in progress.values())
+            if done >= 2000 and len(progress) >= 4:
+                break
+            time.sleep(0.25)
+        else:
+            raise TimeoutError("query never processed 2000 rows / 4 batches")
+    finally:
+        stop.set()
+        pump_t.join(timeout=5)
+        q.stop()
+        feed.close()
+
+    bids = sorted(progress)
+    # monotone, gapless-enough progress (batch ids strictly increase)
+    assert bids == sorted(set(bids)) and len(bids) >= 4
+    # bounded state: every batch's state rows <= key cardinality (one
+    # 1-day bucket by construction), and the LAST batch is no bigger
+    # than the first warm batch — growth stopped once keys were seen
+    srows = [
+        int(p["stateOperators"][0]["numRowsTotal"])
+        for p in (progress[b] for b in bids)
+        if p.get("stateOperators")
+    ]
+    assert srows and max(srows) <= n_keys
+    warm = [s for s in srows if s == n_keys]
+    assert warm, f"state never reached the key count: {srows}"
+    assert srows[-1] <= n_keys
