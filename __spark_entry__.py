@@ -157,8 +157,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # invariants + the full self-sweep cover them.
 GRADE_FIRST: tuple[str, ...] = (
     # --- r10-new + r10-touched paths ---
-    "es_search_body4", "es_dsl_msm_pct", "corpus_quality_clf",
-    "corpus_quality_clf_sampled", "train_curate_clf",
+    "es_search_body4", "es_search_hist_fill_terms", "es_dsl_msm_pct",
+    "corpus_quality_clf", "corpus_quality_clf_sampled", "train_curate_clf",
     "es_search_knn_indexed",
     # --- freshness: last stamped r1 (5) ---
     "ann_lsh_histogram", "mm_decode", "mm_frames",
@@ -178,7 +178,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "pipe_stats_bucket", "psum_auto_offset", "psum_cal_month_lineitem",
     "psum_cal_year_lineitem", "psum_clamp", "psum_empty_fill",
     "psum_grouped_fill", "psum_grouped_subagg", "psum_key_format",
-    "psum_min_doc_count", "psum_offset_90m",
+    "psum_min_doc_count",
 )
 
 
@@ -1446,6 +1446,72 @@ def _es_search_body4_query(s: SparkSession, d: str) -> DataFrame:
     return run_search(docs, ES_SEARCH_BODY4)["len_hist"]
 
 
+# Round-10: the zero-fill-with-terms-child corner (SCOPE.md §E) — the
+# same grid as body4 but owned by a terms child: grid keys with no term
+# rows render ONCE with a NULL term, doc_count 0, and the child metric's
+# empty-reduce value (NULL for max).
+ES_SEARCH_HIST_FILL_TERMS = {
+    "size": 0,
+    "aggs": {
+        "len_hist": {
+            "histogram": {
+                "field": "n_chars",
+                "interval": 50,
+                "min_doc_count": 0,
+                "extended_bounds": {"min": -150, "max": 700},
+            },
+            "aggs": {
+                "langs": {
+                    "terms": {"field": "lang", "size": 3},
+                    "aggs": {"mx": {"max": {"field": "n_chars"}}},
+                }
+            },
+        }
+    },
+}
+
+
+def _es_search_hist_fill_terms_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    docs = flows_src.load_table(s, d, "documents")
+    return run_search(docs, ES_SEARCH_HIST_FILL_TERMS)["len_hist"]
+
+
+ES_SEARCH_HIST_FILL_TERMS_SQL = """
+WITH flat AS (
+  SELECT lang,
+         FLOOR((n_chars - 0.0) / 50.0) * 50.0 + 0.0 AS key,
+         COUNT(*) AS doc_count, MAX(n_chars) AS mx
+  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+                               ORDER BY doc_count DESC, lang ASC) AS rn
+  FROM flat
+),
+kept AS (SELECT lang, key, doc_count, mx FROM ranked WHERE rn <= 3),
+b AS (
+  SELECT LEAST(CAST(FLOOR(MIN(FLOOR((n_chars - 0.0) / 50.0))) AS BIGINT), -3) AS lo,
+         GREATEST(CAST(FLOOR(MAX(FLOOR((n_chars - 0.0) / 50.0))) AS BIGINT), 14) AS hi
+  FROM documents WHERE n_chars IS NOT NULL
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi)) AS DOUBLE) * 50.0 + 0.0 AS key
+  FROM b WHERE lo IS NOT NULL
+),
+fills AS (
+  SELECT CAST(NULL AS VARCHAR) AS lang, s.key,
+         CAST(0 AS BIGINT) AS doc_count, CAST(NULL AS BIGINT) AS mx
+  FROM spine s LEFT JOIN (SELECT DISTINCT key FROM kept) k USING (key)
+  WHERE k.key IS NULL
+)
+SELECT * FROM (SELECT * FROM kept UNION ALL SELECT * FROM fills)
+ORDER BY key, doc_count DESC, lang ASC
+"""
+
+
 # Spine indices: floor(-150/50) = -3, floor(700/50) = 14 (the compiled
 # extended_bounds grid); data-side lo/hi widen only when the filtered data
 # exceeds the bounds. SUM over BIGINT must cast HUGEINT -> BIGINT; avg is
@@ -1664,6 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_collapse_inner": _es_search_collapse_inner_query,
         "es_search_body3": _es_search_body3_query,
         "es_search_body4": _es_search_body4_query,
+        "es_search_hist_fill_terms": _es_search_hist_fill_terms_query,
         "es_search_hist_subagg": _es_search_hist_subagg_query,
         "es_msearch_shared": _es_msearch_shared_query,
         "es_search_highlight": _es_search_highlight_query,
@@ -1981,6 +2048,7 @@ def oracle_sql() -> dict[str, str]:
         "es_search_collapse_inner": ES_SEARCH_COLLAPSE_INNER_SQL,
         "es_search_body3": _es_search_body3_oracle(),
         "es_search_body4": ES_SEARCH_BODY4_SQL,
+        "es_search_hist_fill_terms": ES_SEARCH_HIST_FILL_TERMS_SQL,
         "es_search_hist_subagg": ES_SEARCH_HIST_SUBAGG_SQL,
         "es_msearch_shared": ES_MSEARCH_SHARED_SQL,
         "es_search_highlight": ES_SEARCH_HIGHLIGHT_SQL,

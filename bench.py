@@ -236,6 +236,7 @@ BENCH_QUERIES = [
     # minimum_should_match spec grammar, and the train-on-sample clf
     # serving path
     "es_search_body4",
+    "es_search_hist_fill_terms",
     "es_dsl_msm_pct",
     "corpus_quality_clf_sampled",
 ]

@@ -853,11 +853,13 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
                     " are unsupported (the bucket frame is flattened per"
                     " term)"
                 )
-            if "min_doc_count" in spec or "extended_bounds" in spec:
+            mdc = int(spec.get("min_doc_count", 1))
+            if mdc > 1:
                 raise ValueError(
-                    "histogram min_doc_count/extended_bounds with a terms"
-                    " child is unsupported — bucket-level semantics"
-                    " diverge per term"
+                    "histogram min_doc_count > 1 with a terms child is"
+                    " unsupported — the flattened frame carries per-TERM"
+                    " doc_counts, so the bucket-level threshold has no"
+                    " single column to filter on"
                 )
             tfield = tspec["field"]
             flat = histogram_agg(
@@ -867,9 +869,57 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
                 extra_aggs=_metric_extra_aggs(tchildren) or None,
                 group_cols=(tfield,),
             )
-            return _rank_terms_per_bucket(
+            ranked = _rank_terms_per_bucket(
                 flat, tfield, int(tspec.get("size", 10))
             )
+            if mdc == 0:
+                # zero-fill under a terms child (r10 — formerly a loud
+                # raise): the bucket GRID comes from the UNGROUPED filled
+                # histogram (all field-bearing docs + extended_bounds);
+                # grid keys absent from the flattened frame appear ONCE
+                # with a NULL term — the flattened rendering of ES's
+                # empty-bucket-with-empty-terms-array — and the terms
+                # child's metrics take their empty-reduce values (0 for
+                # sum/value_count/cardinality, NULL for min/max/avg).
+                eb = spec.get("extended_bounds")
+                zero_kinds = ("sum", "value_count", "cardinality")
+                fill_zero = {
+                    sname
+                    for sname, snode in (tchildren or {}).items()
+                    if any(k in snode for k in zero_kinds)
+                }
+                grid = histogram_agg_filled(
+                    df, spec["field"], spec["interval"],
+                    offset=spec.get("offset", 0.0),
+                    extended_bounds=(
+                        (float(eb["min"]), float(eb["max"])) if eb else None
+                    ),
+                ).select("key")
+                dtypes = {f.name: f.dataType for f in ranked.schema.fields}
+                fill_cols = [
+                    F.lit(None).cast(dtypes[tfield]).alias(tfield),
+                    F.col("key"),
+                    F.lit(0).cast(dtypes["doc_count"]).alias("doc_count"),
+                ] + [
+                    (
+                        F.lit(0).cast(dtypes[m]) if m in fill_zero
+                        else F.lit(None).cast(dtypes[m])
+                    ).alias(m)
+                    for m in (tchildren or {})
+                ]
+                missing = grid.join(
+                    ranked.select("key").distinct(), "key", "left_anti"
+                ).select(fill_cols)
+                ranked = (
+                    ranked.unionByName(missing)
+                    .orderBy(
+                        "key", F.col("doc_count").desc(), F.col(tfield).asc()
+                    )
+                )
+            # extended_bounds with min_doc_count >= 1 is an ES no-op (the
+            # widened empty buckets are filtered right back out) — accept
+            # it like ES does; mdc == 1 is the plain flattened frame
+            return ranked
         if int(spec.get("min_doc_count", 1)) == 0:
             # zero-fill contract: the grid between data min/max (widened
             # by extended_bounds) appears complete, empties zero-filled.
@@ -898,11 +948,10 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
                 ),
                 pipes,
             )
-        if "extended_bounds" in spec:
-            raise ValueError(
-                "histogram extended_bounds requires min_doc_count: 0"
-                " (ES only widens the grid when empty buckets render)"
-            )
+        # extended_bounds with min_doc_count >= 1 is accepted and ignored
+        # — ES parity: the widened buckets are empty by construction, so
+        # the min_doc_count filter removes them again (the parameter only
+        # has visible effect when empty buckets render)
         return _apply_pipelines(
             histogram_agg(
                 df, spec["field"], spec["interval"],

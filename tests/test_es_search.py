@@ -2077,11 +2077,14 @@ def test_histogram_zero_fill_extended_bounds(spark):
     out = [(r.key, r.doc_count) for r in run_search(df, body)["h"].collect()]
     assert out == [(-10.0, 0), (0.0, 1), (10.0, 0), (20.0, 1),
                    (30.0, 0), (40.0, 0)]
-    # extended_bounds without zero-fill is refused (ES renders no empties)
-    with pytest.raises(ValueError, match="extended_bounds requires"):
-        run_search(df, {"aggs": {"h": {"histogram": {
-            "field": "v", "interval": 10.0,
-            "extended_bounds": {"min": 0, "max": 1}}}}})
+    # extended_bounds without zero-fill is an ES NO-OP (r10 — formerly a
+    # loud raise): the widened buckets are empty, so min_doc_count >= 1
+    # filters them right back out; accepted like ES accepts it
+    out = [(r.key, r.doc_count) for r in run_search(df, {"aggs": {"h": {
+        "histogram": {"field": "v", "interval": 10.0,
+                      "extended_bounds": {"min": -90, "max": 90}}}}})["h"]
+        .collect()]
+    assert out == [(0.0, 1), (20.0, 1)]
 
 
 def test_date_histogram_bounds_through_compiler(spark):

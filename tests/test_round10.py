@@ -302,6 +302,86 @@ def test_bool_msm_zero_via_negative_keeps_should_optional(spark):
     assert [(r["m"], r["a"]) for r in out] == [(1, 0)]
 
 
+def test_histogram_terms_child_zero_fill(spark):
+    """r10: histogram min_doc_count: 0 + extended_bounds WITH a terms
+    child (formerly a loud raise). Grid keys with no term rows appear
+    once with a NULL term, doc_count 0, and the child metrics'
+    empty-reduce values — the flattened rendering of ES's empty bucket
+    whose terms sub-agg has an empty buckets array."""
+    rows = [
+        (10.0, "a", 5),
+        (15.0, "b", 7),
+        (250.0, "a", 3),
+    ]
+    df = spark.createDataFrame(rows, "v double, t string, m long")
+    body = {
+        "size": 0,
+        "aggs": {
+            "h": {
+                "histogram": {
+                    "field": "v",
+                    "interval": 100,
+                    "min_doc_count": 0,
+                    "extended_bounds": {"min": 0, "max": 300},
+                },
+                "aggs": {
+                    "langs": {
+                        "terms": {"field": "t", "size": 3},
+                        "aggs": {
+                            "msum": {"sum": {"field": "m"}},
+                            "mmax": {"max": {"field": "m"}},
+                        },
+                    }
+                },
+            }
+        },
+    }
+    out = run_search(df, body)["h"].collect()
+    by_key: dict = {}
+    for r in out:
+        by_key.setdefault(r["key"], []).append(r)
+    assert sorted(by_key) == [0.0, 100.0, 200.0, 300.0]
+    # populated bucket 0: two term rows, ranked doc_count desc, term asc
+    assert [(r["t"], r["doc_count"], r["msum"]) for r in by_key[0.0]] == [
+        ("a", 1, 5), ("b", 1, 7),
+    ]
+    # fill buckets 100 and 300: exactly one NULL-term row each with the
+    # empty-reduce metric values
+    for k in (100.0, 300.0):
+        (r,) = by_key[k]
+        assert r["t"] is None and r["doc_count"] == 0
+        assert r["msum"] == 0 and r["mmax"] is None
+    assert [(r["t"], r["doc_count"]) for r in by_key[200.0]] == [("a", 1)]
+
+
+def test_histogram_extended_bounds_noop_with_min_doc_count_1(spark):
+    """ES parity: extended_bounds with min_doc_count >= 1 is accepted and
+    has no visible effect (the widened empty buckets are filtered back
+    out) — both with and without a terms child."""
+    df = spark.createDataFrame(
+        [(10.0, "a", 1), (250.0, "b", 2)], "v double, t string, m long"
+    )
+    plain = {
+        "size": 0,
+        "aggs": {"h": {"histogram": {
+            "field": "v", "interval": 100,
+            "extended_bounds": {"min": -500, "max": 900},
+        }}},
+    }
+    keys = [r["key"] for r in run_search(df, plain)["h"].collect()]
+    assert keys == [0.0, 200.0]
+    terms_child = {
+        "size": 0,
+        "aggs": {"h": {
+            "histogram": {"field": "v", "interval": 100,
+                          "extended_bounds": {"min": -500, "max": 900}},
+            "aggs": {"ts": {"terms": {"field": "t"}}},
+        }},
+    }
+    out = run_search(df, terms_child)["h"].collect()
+    assert [(r["key"], r["t"]) for r in out] == [(0.0, "a"), (200.0, "b")]
+
+
 def test_search_zero_fill_rejects_pipeline_free_ride(gap_df):
     """Bucket-pipeline children still ride _apply_pipelines on the FILLED
     frame — derivative over a fill bucket sees doc_count 0, not a hole."""
