@@ -157,7 +157,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # invariants + the full self-sweep cover them.
 GRADE_FIRST: tuple[str, ...] = (
     # --- r10-new + r10-touched paths ---
-    "es_search_body4", "es_search_hist_fill_terms", "es_dsl_msm_pct",
+    "es_search_body4", "es_search_hist_fill_terms",
+    "es_search_dh_fill_terms", "es_dsl_msm_pct",
     "corpus_quality_clf", "corpus_quality_clf_sampled", "train_curate_clf",
     "es_search_knn_indexed",
     # --- freshness: last stamped r1 (5) ---
@@ -178,7 +179,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "pipe_stats_bucket", "psum_auto_offset", "psum_cal_month_lineitem",
     "psum_cal_year_lineitem", "psum_clamp", "psum_empty_fill",
     "psum_grouped_fill", "psum_grouped_subagg", "psum_key_format",
-    "psum_min_doc_count",
 )
 
 
@@ -650,6 +650,92 @@ SELECT event_type,
        t_ms - ((t_ms % 86400000 + 86400000) % 86400000) AS key,
        COUNT(*) AS doc_count, MAX(value) AS vmax
 FROM ev GROUP BY event_type, key ORDER BY event_type, key
+"""
+
+
+# Round-10: date_histogram (owning) zero-fill WITH a terms child —
+# the calendar twin of es_search_hist_fill_terms (SCOPE.md §E). The
+# extended_bounds reach one day before / three days past the 2024-01
+# events span at every SF, so fill buckets (NULL term, doc_count 0,
+# value_count 0, max NULL) are guaranteed. Metrics are order-free
+# (max / value_count) — no float-sum cross-engine risk.
+ES_SEARCH_DH_FILL_TERMS = {
+    "size": 0,
+    "aggs": {
+        "daily": {
+            "date_histogram": {
+                "field": "t_ms",
+                "fixed_interval": "1d",
+                "min_doc_count": 0,
+                "extended_bounds": {
+                    "min": 1_703_980_800_000,  # 2023-12-31
+                    "max": 1_706_918_400_000,  # 2024-02-03
+                },
+            },
+            "aggs": {
+                "types": {
+                    "terms": {"field": "event_type", "size": 2},
+                    "aggs": {
+                        "vmax": {"max": {"field": "value"}},
+                        "vcnt": {"value_count": {"field": "value"}},
+                    },
+                }
+            },
+        }
+    },
+}
+
+
+def _es_search_dh_fill_terms_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    ev = s.read.parquet(f"{d}/events.parquet")
+    ev = ev.select(
+        flows_src.ts_ms_col(ev).alias("t_ms"), "event_type", "value"
+    )
+    return run_search(ev, ES_SEARCH_DH_FILL_TERMS)["daily"].drop("key_ts")
+
+
+# day indices: 1_703_980_800_000 / 86_400_000 = 19722; the max bound is
+# 19756. Grid bounds come from ALL timestamp-bearing docs (term-NULL docs
+# widen the grid, matching the compiler's ungrouped grid pass).
+ES_SEARCH_DH_FILL_TERMS_SQL = """
+WITH ev AS (
+  SELECT event_type, epoch_ms(ts) AS t_ms, value FROM events
+),
+flat AS (
+  SELECT event_type,
+         t_ms - ((t_ms % 86400000 + 86400000) % 86400000) AS key,
+         COUNT(*) AS doc_count,
+         MAX(value) AS vmax,
+         CAST(COUNT(value) AS BIGINT) AS vcnt
+  FROM ev WHERE event_type IS NOT NULL AND t_ms IS NOT NULL
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+                               ORDER BY doc_count DESC, event_type ASC) AS rn
+  FROM flat
+),
+kept AS (SELECT event_type, key, doc_count, vmax, vcnt FROM ranked WHERE rn <= 2),
+b AS (
+  SELECT LEAST(MIN(t_ms // 86400000), 19722) AS lo,
+         GREATEST(MAX(t_ms // 86400000), 19756) AS hi
+  FROM ev WHERE t_ms IS NOT NULL
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi)) * 86400000 AS key
+  FROM b WHERE lo IS NOT NULL
+),
+fills AS (
+  SELECT CAST(NULL AS VARCHAR) AS event_type, s.key,
+         CAST(0 AS BIGINT) AS doc_count,
+         CAST(NULL AS DOUBLE) AS vmax, CAST(0 AS BIGINT) AS vcnt
+  FROM spine s LEFT JOIN (SELECT DISTINCT key FROM kept) k USING (key)
+  WHERE k.key IS NULL
+)
+SELECT * FROM (SELECT * FROM kept UNION ALL SELECT * FROM fills)
+ORDER BY key, doc_count DESC, event_type ASC
 """
 
 
@@ -1731,6 +1817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_body3": _es_search_body3_query,
         "es_search_body4": _es_search_body4_query,
         "es_search_hist_fill_terms": _es_search_hist_fill_terms_query,
+        "es_search_dh_fill_terms": _es_search_dh_fill_terms_query,
         "es_search_hist_subagg": _es_search_hist_subagg_query,
         "es_msearch_shared": _es_msearch_shared_query,
         "es_search_highlight": _es_search_highlight_query,
@@ -2049,6 +2136,7 @@ def oracle_sql() -> dict[str, str]:
         "es_search_body3": _es_search_body3_oracle(),
         "es_search_body4": ES_SEARCH_BODY4_SQL,
         "es_search_hist_fill_terms": ES_SEARCH_HIST_FILL_TERMS_SQL,
+        "es_search_dh_fill_terms": ES_SEARCH_DH_FILL_TERMS_SQL,
         "es_search_hist_subagg": ES_SEARCH_HIST_SUBAGG_SQL,
         "es_msearch_shared": ES_MSEARCH_SHARED_SQL,
         "es_search_highlight": ES_SEARCH_HIGHLIGHT_SQL,

@@ -237,6 +237,7 @@ BENCH_QUERIES = [
     # serving path
     "es_search_body4",
     "es_search_hist_fill_terms",
+    "es_search_dh_fill_terms",
     "es_dsl_msm_pct",
     "corpus_quality_clf_sampled",
 ]

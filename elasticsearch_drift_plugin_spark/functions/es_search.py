@@ -754,22 +754,69 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
                     " date_histogram are unsupported (the bucket frame is"
                     " flattened per term)"
                 )
-            if int(spec.get("min_doc_count", 1)) == 0 or any(
-                b in spec for b in ("extended_bounds", "hard_bounds")
-            ):
+            mdc = int(spec.get("min_doc_count", 1))
+            if mdc > 1:
                 raise ValueError(
-                    "date_histogram zero-fill/bounds with a terms child is"
-                    " unsupported — bucket-level fill semantics diverge"
-                    " per term"
+                    "date_histogram min_doc_count > 1 with a terms child"
+                    " is unsupported — the flattened frame carries"
+                    " per-TERM doc_counts, so the bucket-level threshold"
+                    " has no single column to filter on"
                 )
             tfield = tspec["field"]
+            # the grouped frame never fills per term (that would invent a
+            # per-term grid ES does not have); extended_bounds with
+            # min_doc_count >= 1 is the ES no-op, dropped here too.
+            # hard_bounds CLIPS data buckets, which is bucket-level and
+            # term-independent, so it stays on the grouped pass.
+            tflat_spec = {
+                k: v for k, v in spec.items()
+                if k not in ("min_doc_count", "extended_bounds")
+            }
             flat = _date_histogram(
-                df.where(F.col(tfield).isNotNull()), spec,
+                df.where(F.col(tfield).isNotNull()), tflat_spec,
                 sub=tchildren, group_by=(tfield,),
             )
-            return _rank_terms_per_bucket(
+            ranked = _rank_terms_per_bucket(
                 flat, tfield, int(tspec.get("size", 10))
             )
+            if mdc == 0:
+                # zero-fill under a terms child (r10, the numeric-histogram
+                # contract): the grid comes from the UNGROUPED zero-filled
+                # date_histogram (data span + extended_bounds, calendar or
+                # fixed); grid keys with no term rows render ONCE with a
+                # NULL term, doc_count 0, and the child metrics' ES
+                # empty-reduce values.
+                zero_kinds = ("sum", "value_count", "cardinality")
+                fill_zero = {
+                    sname
+                    for sname, snode in (tchildren or {}).items()
+                    if any(k in snode for k in zero_kinds)
+                }
+                grid = _date_histogram(df, spec, sub=None)
+                dtypes = {f.name: f.dataType for f in ranked.schema.fields}
+                metric_names = list(tchildren or {})
+                grid_cols = [c for c in grid.columns if c != "doc_count"]
+                missing = grid.join(
+                    ranked.select("key").distinct(), "key", "left_anti"
+                ).select(
+                    F.lit(None).cast(dtypes[tfield]).alias(tfield),
+                    *grid_cols,
+                    F.lit(0).cast(dtypes["doc_count"]).alias("doc_count"),
+                    *[
+                        (
+                            F.lit(0).cast(dtypes[m]) if m in fill_zero
+                            else F.lit(None).cast(dtypes[m])
+                        ).alias(m)
+                        for m in metric_names
+                    ],
+                )
+                ranked = (
+                    ranked.unionByName(missing.select(ranked.columns))
+                    .orderBy(
+                        "key", F.col("doc_count").desc(), F.col(tfield).asc()
+                    )
+                )
+            return ranked
         buckets = _date_histogram(df, spec, sub=metrics)
         if cumcards:
             from ..operators.pipeline import cumulative_cardinality

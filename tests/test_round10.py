@@ -354,6 +354,51 @@ def test_histogram_terms_child_zero_fill(spark):
     assert [(r["t"], r["doc_count"]) for r in by_key[200.0]] == [("a", 1)]
 
 
+def test_date_histogram_terms_child_zero_fill(spark):
+    """r10: the calendar twin of the histogram terms-child fill — grid
+    from the ungrouped zero-filled date_histogram (fixed AND calendar
+    intervals), NULL-term rows carry doc_count 0 + empty-reduce metrics."""
+    H = 3_600_000
+    rows = [(1 * H + 5, "a", 2.0), (1 * H + 9, "b", 3.0), (4 * H + 1, "a", 7.0)]
+    df = spark.createDataFrame(rows, "t long, term string, m double")
+    body = {"aggs": {"d": {
+        "date_histogram": {"field": "t", "fixed_interval": "1h",
+                           "min_doc_count": 0,
+                           "extended_bounds": {"min": 0, "max": 5 * H}},
+        "aggs": {"ts": {"terms": {"field": "term", "size": 3},
+                        "aggs": {"ms": {"sum": {"field": "m"}},
+                                 "mm": {"min": {"field": "m"}}}}},
+    }}}
+    out = run_search(df, body)["d"].collect()
+    got = [(r["term"], r["key"], r["doc_count"], r["ms"], r["mm"]) for r in out]
+    assert got == [
+        (None, 0, 0, 0.0, None),
+        ("a", 1 * H, 1, 2.0, 2.0),
+        ("b", 1 * H, 1, 3.0, 3.0),
+        (None, 2 * H, 0, 0.0, None),
+        (None, 3 * H, 0, 0.0, None),
+        ("a", 4 * H, 1, 7.0, 7.0),
+        (None, 5 * H, 0, 0.0, None),
+    ]
+    # calendar interval takes the same path (the psum calendar spine)
+    cal = {"aggs": {"d": {
+        "date_histogram": {"field": "t", "calendar_interval": "hour",
+                           "min_doc_count": 0},
+        "aggs": {"ts": {"terms": {"field": "term"}}},
+    }}}
+    kv = [(r["term"], r["key"], r["doc_count"])
+          for r in run_search(df, cal)["d"].collect()]
+    assert kv == [("a", H, 1), ("b", H, 1), (None, 2 * H, 0),
+                  (None, 3 * H, 0), ("a", 4 * H, 1)]
+    # min_doc_count > 1 with a terms child stays loud
+    with pytest.raises(ValueError, match="min_doc_count > 1"):
+        run_search(df, {"aggs": {"d": {
+            "date_histogram": {"field": "t", "fixed_interval": "1h",
+                               "min_doc_count": 2},
+            "aggs": {"ts": {"terms": {"field": "term"}}},
+        }}})
+
+
 def test_histogram_extended_bounds_noop_with_min_doc_count_1(spark):
     """ES parity: extended_bounds with min_doc_count >= 1 is accepted and
     has no visible effect (the widened empty buckets are filtered back
