@@ -240,6 +240,7 @@ BENCH_QUERIES = [
     "es_search_dh_fill_terms",
     "es_dsl_msm_pct",
     "corpus_quality_clf_sampled",
+    "es_top_hits_asc",
 ]
 
 

@@ -2460,8 +2460,6 @@ def _top_hits(df: DataFrame, levels: tuple, name: str, spec: dict) -> DataFrame:
     else:
         (sort_col, sub), = ent.items()
         order = str(sub.get("order", "desc")).lower()
-    if order != "desc":
-        raise ValueError("top_hits supports sort order 'desc' (ES relevance shape)")
     carry = tuple(spec.get("_source", ()))
     return top_hits_agg(
         _level_prune(df, levels),
@@ -2470,6 +2468,7 @@ def _top_hits(df: DataFrame, levels: tuple, name: str, spec: dict) -> DataFrame:
         id_col=spec.get("id_field", "event_id"),
         carry_cols=carry,
         size=int(spec.get("size", 3)),
+        order=order,
     )
 
 

@@ -970,10 +970,12 @@ def top_hits_agg(
     id_col: str = "event_id",
     carry_cols: tuple[str, ...] = ("user_id",),
     size: int = 3,
+    order: str = "desc",
 ) -> DataFrame:
     """(group..., rank, id, carry..., ``<sort>_q``): ES ``top_hits``
-    sub-agg — the ``size`` best documents per bucket by sort value (desc,
-    id-asc tie-break), projecting a subset of ``_source`` fields.
+    sub-agg — the ``size`` best documents per bucket by sort value
+    (``order`` desc/asc — r10 adds asc; id-asc tie-break), projecting a
+    subset of ``_source`` fields.
 
     ES keeps a per-shard top-``size`` heap and merges heaps at reduce
     (``TopHitsAggregator``); the Spark twin is a ranking window over the
@@ -985,8 +987,11 @@ def top_hits_agg(
     enforces) before the window, so the shuffle carries ≤ size rows per
     (input partition, bucket) instead of the full bucket.
     """
+    if order not in ("desc", "asc"):
+        raise ValueError(f"top_hits sort order must be asc/desc, got {order!r}")
     keep = F.col(sort_col).isNotNull() & ~F.isnan(F.col(sort_col))
-    w = Window.partitionBy(*group_cols).orderBy(F.col(sort_col).desc(), F.col(id_col))
+    skey = F.col(sort_col).desc() if order == "desc" else F.col(sort_col).asc()
+    w = Window.partitionBy(*group_cols).orderBy(skey, F.col(id_col))
     return (
         df.where(keep)
         .withColumn("rank", F.row_number().over(w).cast("long"))
@@ -1009,6 +1014,7 @@ def top_hits_sql(
     id_col: str = "event_id",
     carry_cols: tuple[str, ...] = ("user_id",),
     size: int = 3,
+    order: str = "desc",
 ) -> str:
     g = ", ".join(group_cols)
     carry = "".join(f", {c}" for c in carry_cols)
@@ -1017,7 +1023,7 @@ WITH ranked AS (
   SELECT {g}, {id_col}{carry},
          CAST(FLOOR({sort_col} * 1000000.0) AS BIGINT) AS {sort_col}_q,
          ROW_NUMBER() OVER (PARTITION BY {g}
-                            ORDER BY {sort_col} DESC, {id_col}) AS rank
+                            ORDER BY {sort_col} {order.upper()}, {id_col}) AS rank
   FROM {table}
   WHERE {sort_col} IS NOT NULL AND NOT isnan({sort_col})
 )
@@ -1166,6 +1172,10 @@ def queries() -> dict:
         "es_top_hits": lambda s, d: top_hits_agg(
             load_table(s, d, "events"), ["event_type"]
         ),
+        # r10: ascending sort (SCOPE.md §E) — the cheapest-first shape
+        "es_top_hits_asc": lambda s, d: top_hits_agg(
+            load_table(s, d, "events"), ["event_type"], order="asc"
+        ),
         "es_rrf_fusion": lambda s, d: rrf_fusion(load_table(s, d, "events")),
     }
 
@@ -1207,5 +1217,6 @@ def oracle_sql() -> dict:
         ),
         "es_categorize_text": categorize_text_sql("documents", "text"),
         "es_top_hits": top_hits_sql("events", ["event_type"]),
+        "es_top_hits_asc": top_hits_sql("events", ["event_type"], order="asc"),
         "es_rrf_fusion": rrf_fusion_sql(),
     }
