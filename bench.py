@@ -241,6 +241,7 @@ BENCH_QUERIES = [
     "es_dsl_msm_pct",
     "corpus_quality_clf_sampled",
     "es_top_hits_asc",
+    "es_composite_week",
 ]
 
 

@@ -1447,17 +1447,33 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
                         sspec.get("interval"), sspec.get("calendar_interval")
                     )
                     if ikind != "fixed":
-                        # calendar rounding is not a modular floor — route
-                        # month/quarter/year to the date_trunc source
-                        if iunit not in ("month", "quarter", "year"):
+                        # month/quarter/year are true calendar rounding —
+                        # the date_trunc source. Sub-month calendar units
+                        # are FIXED-WIDTH under the engine's pinned-UTC
+                        # contract (the reference hardcodes tz = null):
+                        # minute/hour/day are epoch-aligned modular
+                        # floors, week is the Monday-anchored floor
+                        # (anchor 1969-12-29) — keyset paging stays exact.
+                        if iunit in ("month", "quarter", "year"):
+                            sources.append(
+                                (sname, "date_histogram_cal",
+                                 sspec["field"], iunit, *om)
+                            )
+                            continue
+                        cal_fixed = {
+                            "minute": (60_000, 0),
+                            "hour": (3_600_000, 0),
+                            "day": (86_400_000, 0),
+                            "week": (604_800_000, -259_200_000),
+                        }
+                        if iunit not in cal_fixed:
                             raise ValueError(
                                 "composite calendar date_histogram source"
-                                " supports month/quarter/year (finer"
-                                " calendar units: use fixed_interval)"
+                                f" does not support unit {iunit!r}"
                             )
                         sources.append(
-                            (sname, "date_histogram_cal", sspec["field"],
-                             iunit, *om)
+                            (sname, "date_histogram", sspec["field"],
+                             cal_fixed[iunit], *om)
                         )
                         continue
                 sources.append(

@@ -523,10 +523,18 @@ def composite_agg(
             )
         elif kind == "date_histogram":
             # epoch-ms key floored to the fixed step in EXACT long math
-            # (the float histogram floor would round keys past 2^53)
-            step = int(param)
+            # (the float histogram floor would round keys past 2^53).
+            # param may be (step, anchor): the anchored form carries
+            # calendar units that are fixed-width under the engine's
+            # pinned-UTC contract but not epoch-aligned (week floors to
+            # Monday — anchor 1969-12-29 = -259_200_000 ms)
+            step, anchor = param if isinstance(param, tuple) else (param, 0)
+            step, anchor = int(step), int(anchor)
             keys.append(
-                (name, (v - F.pmod(v, F.lit(step))).cast("long"))
+                (
+                    name,
+                    (v - F.pmod(v - F.lit(anchor), F.lit(step))).cast("long"),
+                )
             )
         elif kind == "date_histogram_cal":
             # calendar source: param = 'month'|'quarter'|'year' — the
@@ -603,6 +611,14 @@ def composite_sql(
             exprs.append(
                 f"epoch_ms(date_trunc('{param}',"
                 f" make_timestamp({field} * 1000))) AS {name}"
+            )
+        elif kind == "date_histogram" and isinstance(param, tuple):
+            # anchored fixed-width calendar unit (week -> Monday anchor):
+            # exact integer floor, twin of the operator's pmod form
+            step, anchor = int(param[0]), int(param[1])
+            exprs.append(
+                f"({field} - ((({field} - {anchor}) % {step} + {step})"
+                f" % {step})) AS {name}"
             )
         else:
             exprs.append(
@@ -913,6 +929,16 @@ def queries() -> dict:
         "es_composite_page": lambda s, d: composite_agg(
             load_table(s, d, "events"), _COMPOSITE_SOURCES, size=12
         ),
+        # r10 (SCOPE.md §E): sub-month calendar composite source — ISO
+        # weeks via the Monday-anchored fixed floor (pinned-UTC contract)
+        "es_composite_week": lambda s, d: composite_agg(
+            (lambda ev: ev.select(
+                ts_ms_col(ev).alias("t_ms"), "event_type"
+            ))(load_table(s, d, "events")),
+            [("wk", "date_histogram", "t_ms", (604_800_000, -259_200_000)),
+             ("etype", "terms", "event_type", None)],
+            size=30,
+        ),
         "es_composite_after": lambda s, d: composite_agg(
             load_table(s, d, "events"), _COMPOSITE_SOURCES, size=12,
             after=_COMPOSITE_AFTER,
@@ -997,6 +1023,12 @@ def oracle_sql() -> dict:
             size=30,
         ),
         "es_composite_page": composite_sql("events", _COMPOSITE_SOURCES, size=12),
+        "es_composite_week": composite_sql(
+            "(SELECT epoch_ms(ts) AS t_ms, event_type FROM events)",
+            [("wk", "date_histogram", "t_ms", (604_800_000, -259_200_000)),
+             ("etype", "terms", "event_type", None)],
+            size=30,
+        ),
         "es_composite_after": composite_sql(
             "events", _COMPOSITE_SOURCES, size=12, after=_COMPOSITE_AFTER
         ),

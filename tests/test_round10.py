@@ -427,6 +427,55 @@ def test_histogram_extended_bounds_noop_with_min_doc_count_1(spark):
     assert [(r["key"], r["t"]) for r in out] == [(0.0, "a"), (200.0, "b")]
 
 
+def test_composite_calendar_sub_month_sources(spark):
+    """r10: composite date_histogram sources with sub-month calendar
+    units — fixed-width under the pinned-UTC contract. Week floors to
+    MONDAY (the 1969-12-29 anchor), matching Spark's own
+    date_trunc('week'); day/hour are epoch-aligned; after-paging stays
+    exact keyset arithmetic."""
+    DAY = 86_400_000
+    # 1969-12-29 is the Monday before epoch; 2024-01-01 is also a Monday
+    jan1 = 1_704_067_200_000
+    rows = [
+        (jan1 + 2 * DAY, "a"),        # week of 2024-01-01
+        (jan1 + 9 * DAY, "a"),        # week of 2024-01-08
+        (jan1 + 9 * DAY + 5, "b"),
+    ]
+    df = spark.createDataFrame(rows, "t long, term string")
+    body = {"aggs": {"c": {"composite": {
+        "size": 10,
+        "sources": [
+            {"wk": {"date_histogram": {"field": "t",
+                                       "calendar_interval": "week"}}},
+            {"tm": {"terms": {"field": "term"}}},
+        ],
+    }}}}
+    out = [(r["wk"], r["tm"], r["doc_count"])
+           for r in run_search(df, body)["c"].collect()]
+    assert out == [
+        (jan1, "a", 1),
+        (jan1 + 7 * DAY, "a", 1),
+        (jan1 + 7 * DAY, "b", 1),
+    ]
+    # week floor agrees with Spark's calendar date_trunc on those instants
+    from pyspark.sql import functions as SF
+    trunc = df.select(
+        SF.unix_millis(SF.date_trunc("week", SF.timestamp_millis("t"))).alias("w")
+    ).collect()
+    assert sorted({r["w"] for r in trunc}) == [jan1, jan1 + 7 * DAY]
+    # after-cursor resumes strictly past (week1, 'a')
+    body["aggs"]["c"]["composite"]["after"] = {"wk": jan1 + 7 * DAY, "tm": "a"}
+    out2 = [(r["wk"], r["tm"]) for r in run_search(df, body)["c"].collect()]
+    assert out2 == [(jan1 + 7 * DAY, "b")]
+    # calendar day source = epoch-aligned floor
+    body_day = {"aggs": {"c": {"composite": {
+        "sources": [{"d": {"date_histogram": {
+            "field": "t", "calendar_interval": "day"}}}],
+    }}}}
+    days = [r["d"] for r in run_search(df, body_day)["c"].collect()]
+    assert days == [jan1 + 2 * DAY, jan1 + 9 * DAY]
+
+
 def test_search_zero_fill_rejects_pipeline_free_ride(gap_df):
     """Bucket-pipeline children still ride _apply_pipelines on the FILLED
     frame — derivative over a fill bucket sees doc_count 0, not a hole."""
