@@ -161,6 +161,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "es_search_dh_fill_terms", "es_dsl_msm_pct",
     "corpus_quality_clf", "corpus_quality_clf_sampled", "train_curate_clf",
     "es_search_knn_indexed", "es_top_hits_asc", "es_composite_week",
+    "es_matrix_stats_multi",
     # --- freshness: last stamped r1 (5) ---
     "ann_lsh_histogram", "mm_decode", "mm_frames",
     "text_fingerprint", "text_tokens",
@@ -175,7 +176,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "es_date_range", "es_extended_stats", "es_histogram_filled",
     "es_multi_terms", "es_range_value", "es_rate_month",
     "es_significant_terms", "es_string_stats", "es_terms_top_users",
-    "es_value_stats", "pipe_cum_derivative",
+    "pipe_cum_derivative",
     "pipe_stats_bucket", "psum_auto_offset", "psum_cal_month_lineitem",
     "psum_cal_year_lineitem", "psum_clamp", "psum_empty_fill",
     "psum_grouped_fill", "psum_grouped_subagg",

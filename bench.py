@@ -242,6 +242,7 @@ BENCH_QUERIES = [
     "corpus_quality_clf_sampled",
     "es_top_hits_asc",
     "es_composite_week",
+    "es_matrix_stats_multi",
 ]
 
 

@@ -986,6 +986,16 @@ def queries() -> dict:
             load_table(s, d, "events"), ["event_type"], "value",
             ["event_id", "user_id"],
         ),
+        # r10 (SCOPE.md §E): the N-field matrix — listwise-clean
+        # covariance/correlation upper triangle in ONE aggregation pass
+        "es_matrix_stats_multi": lambda s, d: matrix_stats_multi(
+            load_table(s, d, "events").select(
+                "value",
+                F.expr("CAST(user_id % 1000 AS DOUBLE)").alias("u"),
+                F.expr("CAST(event_id % 97 AS DOUBLE)").alias("w"),
+            ),
+            ["value", "u", "w"],
+        ),
         "es_matrix_stats": lambda s, d: matrix_stats(
             load_table(s, d, "events").select(
                 "event_type", "value",
@@ -1060,6 +1070,11 @@ def oracle_sql() -> dict:
         ),
         "es_top_metrics": top_metrics_sql(
             "events", ["event_type"], "value", ["event_id", "user_id"]
+        ),
+        "es_matrix_stats_multi": matrix_stats_multi_sql(
+            "(SELECT value, CAST(user_id % 1000 AS DOUBLE) AS u,"
+            " CAST(event_id % 97 AS DOUBLE) AS w FROM events)",
+            ["value", "u", "w"],
         ),
         "es_matrix_stats": matrix_stats_sql(
             "(SELECT event_type, value, CAST(user_id % 1000 AS DOUBLE) AS u"
@@ -1849,6 +1864,107 @@ def matrix_stats(
         ).alias("corr_mq"),
     )
     return out.orderBy(*group_cols) if group_cols else out
+
+
+def matrix_stats_multi(df: DataFrame, fields: list[str]) -> DataFrame:
+    """(field_x, field_y, n, cov_q, corr_mq): the N-field ES
+    ``matrix_stats`` (r10 — formerly the pairwise-only loud raise): the
+    upper triangle (including the diagonal, where ``cov`` is the
+    population variance and ``corr`` is 1) of the covariance/correlation
+    matrix over the LISTWISE-clean subset — ES excludes a document
+    missing ANY of the fields, unlike the pairwise operator's pairwise
+    deletion. Same integer discipline as :func:`matrix_stats`.
+
+    Scale shape: ONE aggregation pass computes every Σx_i and Σx_i·x_j
+    (N(N+1)/2 + N + 1 exact DECIMAL(38,0) sums in the same partial/final
+    agg); the matrix itself explodes from the single result row —
+    result-sized, zero extra data passes for any N.
+    """
+    if len(fields) < 2:
+        raise ValueError("matrix_stats_multi needs at least two fields")
+    cond = None
+    for f in fields:
+        c = F.col(f).isNotNull() & ~F.isnan(f)
+        cond = c if cond is None else (cond & c)
+    clean = df.where(cond).select(
+        *[
+            F.floor(F.col(f) * F.lit(float(QUANT))).alias(f"__q{i}")
+            for i, f in enumerate(fields)
+        ]
+    )
+    d38 = "CAST(__q{} AS DECIMAL(38,0))"
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(len(fields)):
+        aggs.append(F.sum(F.expr(d38.format(i))).alias(f"s{i}"))
+        for j in range(i, len(fields)):
+            aggs.append(
+                F.sum(F.expr(d38.format(i) + f" * __q{j}")).alias(f"p{i}_{j}")
+            )
+    agg = clean.agg(*aggs)
+    pair_rows = []
+    for i, fx in enumerate(fields):
+        for j in range(i, len(fields)):
+            cov = (
+                f"CAST((n * p{i}_{j} - s{i} * s{j})"
+                f" div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+            )
+            corr = (
+                f"CAST(FLOOR(CAST(n * p{i}_{j} - s{i} * s{j} AS DOUBLE)"
+                f" / NULLIF(SQRT(CAST(n * p{i}_{i} - s{i} * s{i} AS DOUBLE))"
+                f"   * SQRT(CAST(n * p{j}_{j} - s{j} * s{j} AS DOUBLE)), 0.0D)"
+                f" * 1000000.0D) AS BIGINT)"
+            )
+            pair_rows.append(
+                f"named_struct('field_x', '{fx}', 'field_y', '{fields[j]}',"
+                f" 'n', n, 'cov_q', {cov}, 'corr_mq', {corr})"
+            )
+    return (
+        agg.select(
+            F.explode(F.expr(f"array({', '.join(pair_rows)})")).alias("r")
+        )
+        .select("r.field_x", "r.field_y", "r.n", "r.cov_q", "r.corr_mq")
+        .orderBy("field_x", "field_y")
+    )
+
+
+def matrix_stats_multi_sql(src: str, fields: list[str]) -> str:
+    qs = ",\n         ".join(
+        f"CAST(FLOOR({f} * {float(QUANT)}) AS BIGINT) AS q{i}"
+        for i, f in enumerate(fields)
+    )
+    where = " AND ".join(
+        f"{f} IS NOT NULL AND NOT isnan({f})" for f in fields
+    )
+    sums = ["COUNT(*) AS n"]
+    for i in range(len(fields)):
+        sums.append(f"SUM(CAST(q{i} AS HUGEINT)) AS s{i}")
+        for j in range(i, len(fields)):
+            sums.append(f"SUM(CAST(q{i} AS HUGEINT) * q{j}) AS p{i}_{j}")
+    pair_sel = []
+    for i, fx in enumerate(fields):
+        for j in range(i, len(fields)):
+            num = f"(n * p{i}_{j} - s{i} * s{j})"
+            pair_sel.append(
+                f"SELECT '{fx}' AS field_x, '{fields[j]}' AS field_y, n,\n"
+                f"  CAST(CASE WHEN {num} < 0"
+                f" THEN -((-{num}) // (CAST(n AS HUGEINT) * n))"
+                f" ELSE {num} // (CAST(n AS HUGEINT) * n) END AS BIGINT)"
+                f" AS cov_q,\n"
+                f"  CAST(FLOOR(CAST({num} AS DOUBLE)"
+                f" / NULLIF(SQRT(CAST(n * p{i}_{i} - s{i} * s{i} AS DOUBLE))"
+                f"   * SQRT(CAST(n * p{j}_{j} - s{j} * s{j} AS DOUBLE)), 0.0)"
+                f" * 1000000.0) AS BIGINT) AS corr_mq FROM agg"
+            )
+    u = "\nUNION ALL\n".join(pair_sel)
+    return f"""
+WITH clean AS (
+  SELECT {qs}
+  FROM {src}
+  WHERE {where}
+),
+agg AS (SELECT {', '.join(sums)} FROM clean)
+SELECT * FROM ({u}) ORDER BY field_x, field_y
+"""
 
 
 def matrix_stats_sql(

@@ -51,6 +51,12 @@ def get_spark(app_name: str = "spark-drift", cpus: int | None = None) -> SparkSe
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: the driver IS the executor — 8g for 32 task threads
+        # caused measurable GC stalls across a 200-query session (r10:
+        # es_search_nested 5.3s -> 1.2s, es_search_ip_range 8.6s -> 2.1s,
+        # whole bench -14% at 24g on the 128 GiB host). On a real cluster
+        # executor memory is sized separately; this default only shapes
+        # single-machine runs.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .getOrCreate()
     )
