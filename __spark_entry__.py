@@ -161,7 +161,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "es_search_dh_fill_terms", "es_dsl_msm_pct",
     "corpus_quality_clf", "corpus_quality_clf_sampled", "train_curate_clf",
     "es_search_knn_indexed", "es_top_hits_asc", "es_composite_week",
-    "es_matrix_stats_multi",
+    "es_matrix_stats_multi", "es_search_hl_frag", "es_geo_line_desc",
     # --- freshness: last stamped r1 (5) ---
     "ann_lsh_histogram", "mm_decode", "mm_frames",
     "text_fingerprint", "text_tokens",
@@ -172,8 +172,8 @@ GRADE_FIRST: tuple[str, ...] = (
     "rel_flows_by_nation", "rel_users_intersect",
     "stats_quantiles_approx", "stats_top_docs",
     # --- freshness: last stamped r3 (28) ---
-    "ann_cosine_topk", "corpus_tfidf_top", "es_composite_page",
-    "es_date_range", "es_extended_stats", "es_histogram_filled",
+    "ann_cosine_topk", "corpus_tfidf_top",
+    "es_date_range", "es_extended_stats",
     "es_multi_terms", "es_range_value", "es_rate_month",
     "es_significant_terms", "es_string_stats", "es_terms_top_users",
     "pipe_cum_derivative",
@@ -1399,6 +1399,63 @@ ORDER BY doc_id ASC LIMIT 20
 """
 
 
+# Round-10 (SCOPE.md §E): FRAGMENT highlighting — number_of_fragments: 2,
+# fragment_size: 5 TOKENS (the analyzer-free dialect counts tokens, not
+# chars): first 2 matched positions in document order, ±2-token windows,
+# matches wrapped, fragments joined with ' … '.
+ES_SEARCH_HL_FRAG_BODY = {
+    "size": 20,
+    "sort": [{"doc_id": "asc"}],
+    "query": {"bool": {
+        "must": [{"match": {"text": {"query": "data spark",
+                                     "operator": "and"}}}],
+    }},
+    "highlight": {"fields": {"text": {
+        "number_of_fragments": 2, "fragment_size": 5,
+    }}},
+    "_source": {"includes": ["doc_id"]},
+}
+
+
+def _es_search_hl_frag_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    docs = flows_src.load_table(s, d, "documents")
+    return run_search(docs, ES_SEARCH_HL_FRAG_BODY)["_hits"]
+
+
+# DuckDB replay: 1-based indexed lambdas; positions kept 0-based to mirror
+# the Spark expression; list_slice is 1-based inclusive.
+ES_SEARCH_HL_FRAG_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE contains(' ' || text || ' ', ' data ')
+    AND contains(' ' || text || ' ', ' spark ')
+),
+frag AS (
+  SELECT doc_id,
+    array_to_string(
+      list_transform(
+        list_slice(
+          list_filter(
+            list_transform(toks, (x, i) ->
+              CASE WHEN x IN ('data', 'spark') THEN i - 1 END),
+            p -> p IS NOT NULL),
+          1, 2),
+        p -> array_to_string(
+          list_transform(
+            list_slice(toks, greatest(0, p - 2) + 1,
+                       least(len(toks) - 1, p + 2) + 1),
+            t -> CASE WHEN t IN ('data', 'spark')
+                      THEN '<em>' || t || '</em>' ELSE t END),
+          ' ')),
+      ' … ') AS text_highlight
+  FROM base
+)
+SELECT doc_id, text_highlight FROM frag ORDER BY doc_id ASC LIMIT 20
+"""
+
+
 ES_SEARCH_COLLAPSE_SQL = """
 WITH ranked AS (
   SELECT event_id, user_id, value,
@@ -1822,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_hist_subagg": _es_search_hist_subagg_query,
         "es_msearch_shared": _es_msearch_shared_query,
         "es_search_highlight": _es_search_highlight_query,
+        "es_search_hl_frag": _es_search_hl_frag_query,
         "es_search_script_fields": _es_search_script_fields_query,
         "es_search_terms_filtered": _es_search_terms_filtered_query,
         "es_search_retriever": _es_search_retriever_query,
@@ -2141,6 +2199,7 @@ def oracle_sql() -> dict[str, str]:
         "es_search_hist_subagg": ES_SEARCH_HIST_SUBAGG_SQL,
         "es_msearch_shared": ES_MSEARCH_SHARED_SQL,
         "es_search_highlight": ES_SEARCH_HIGHLIGHT_SQL,
+        "es_search_hl_frag": ES_SEARCH_HL_FRAG_SQL,
         "es_search_script_fields": ES_SEARCH_SCRIPT_FIELDS_SQL,
         "es_search_terms_filtered": ES_SEARCH_TERMS_FILTERED_SQL,
         "es_search_retriever": ES_SEARCH_RETRIEVER_SQL,

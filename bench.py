@@ -243,6 +243,8 @@ BENCH_QUERIES = [
     "es_top_hits_asc",
     "es_composite_week",
     "es_matrix_stats_multi",
+    "es_search_hl_frag",
+    "es_geo_line_desc",
 ]
 
 

@@ -301,25 +301,68 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
             pre = (hl.get("pre_tags") or ["<em>"])[0]
             post = (hl.get("post_tags") or ["</em>"])[0]
             for hf, fopts in hl["fields"].items():
-                if fopts and int(fopts.get("number_of_fragments", 0)) != 0:
-                    raise ValueError(
-                        "only number_of_fragments: 0 (whole-field)"
-                        " highlighting is supported"
-                    )
                 terms = collect_highlight_terms(body["query"], hf)
                 if not terms:
                     raise ValueError(
                         f"query has no highlightable tokens for {hf!r}"
                     )
-                wrapped = F.transform(
-                    F.split(F.col(hf), " ", -1),
-                    lambda t: F.when(
-                        t.isin(terms), F.concat(F.lit(pre), t, F.lit(post))
-                    ).otherwise(t),
-                )
-                hits = hits.withColumn(
-                    f"{hf}_highlight", F.array_join(wrapped, " ")
-                )
+                nfrag = int((fopts or {}).get("number_of_fragments", 0))
+                if nfrag < 0:
+                    raise ValueError("number_of_fragments must be >= 0")
+                if nfrag > 0:
+                    # fragment mode (r10 — formerly a loud raise): the
+                    # engine's analyzer-free dialect counts fragment_size
+                    # in TOKENS (ES counts chars under its analyzers —
+                    # no offsets exist here). Contract: the first
+                    # `number_of_fragments` matched positions in document
+                    # order each yield one fragment — the ±half-window
+                    # around the match, matched tokens wrapped — joined
+                    # with ' … '. Overlapping windows are NOT merged
+                    # (each fragment is independent); deterministic and
+                    # replayed exactly by the DuckDB twin.
+                    fsize = int((fopts or {}).get("fragment_size", 7))
+                    if fsize < 1:
+                        raise ValueError("fragment_size must be >= 1")
+                    lo_off = (fsize - 1) // 2
+                    hi_off = fsize // 2
+                    tarr = (
+                        "array(" + ", ".join(f"'{t}'" for t in terms) + ")"
+                    )
+                    wrap = (
+                        f"CASE WHEN array_contains({tarr}, __t)"
+                        f" THEN concat('{pre}', __t, '{post}')"
+                        f" ELSE __t END"
+                    )
+                    frag_expr = (
+                        f"array_join(transform("
+                        f"  slice(filter(sequence(0, size(__toks) - 1),"
+                        f"        __i -> array_contains({tarr}, __toks[__i])),"
+                        f"        1, {nfrag}),"
+                        f"  __p -> array_join(transform("
+                        f"    slice(__toks, greatest(0, __p - {lo_off}) + 1,"
+                        f"      least(size(__toks) - 1, __p + {hi_off})"
+                        f"      - greatest(0, __p - {lo_off}) + 1),"
+                        f"    __t -> {wrap}), ' ')"
+                        f"), ' … ')"
+                    )
+                    hits = (
+                        hits.withColumn(
+                            "__toks", F.split(F.col(hf), " ", -1)
+                        )
+                        .withColumn(f"{hf}_highlight", F.expr(frag_expr))
+                        .drop("__toks")
+                    )
+                else:
+                    wrapped = F.transform(
+                        F.split(F.col(hf), " ", -1),
+                        lambda t: F.when(
+                            t.isin(terms),
+                            F.concat(F.lit(pre), t, F.lit(post)),
+                        ).otherwise(t),
+                    )
+                    hits = hits.withColumn(
+                        f"{hf}_highlight", F.array_join(wrapped, " ")
+                    )
                 hlcols.append(f"{hf}_highlight")
         # `script_fields`: per-hit computed fields — the script.source is
         # a SQL expression (the engine's script dialect, same stance as
@@ -1381,8 +1424,6 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
             [spec["sort"]["field"]] if isinstance(spec.get("sort"), dict)
             else [spec.get("sort", "t_ms")]
         )
-        if str(spec.get("sort_order", "asc")).lower() != "asc":
-            raise ValueError("geo_line supports sort_order 'asc'")
         return geo_line_agg(
             df, [],
             sort_col=sort_field,
@@ -1390,6 +1431,7 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
             size=int(spec.get("size", 500)),
             lat_col=spec.get("lat_field", "lat"),
             lon_col=spec.get("lon_field", "lon"),
+            sort_order=str(spec.get("sort_order", "asc")).lower(),
         )
     if kind == "filters":
         from ..operators.es_aggs import filters_agg

@@ -452,6 +452,7 @@ def geo_line_agg(
     size: int = 500,
     lat_col: str = "lat",
     lon_col: str = "lon",
+    sort_order: str = "asc",
 ) -> DataFrame:
     """(group..., n_points, total_docs, complete, line): ES ``geo_line``
     agg — per group, the track of points ordered by ``sort_col`` ascending,
@@ -470,7 +471,13 @@ def geo_line_agg(
     """
     if size < 1:
         raise ValueError("size must be >= 1")
-    w = Window.partitionBy(*group_cols).orderBy("__s", "__tb")
+    if sort_order not in ("asc", "desc"):
+        raise ValueError(f"geo_line sort_order must be asc/desc, got {sort_order!r}")
+    # desc (r10): ES keeps the points with the LARGEST sort values and
+    # emits the track in descending sort order — the ranking window flips
+    # its sort key and the assembled line reverses (tiebreak stays asc)
+    skey = F.col("__s").desc() if sort_order == "desc" else F.col("__s").asc()
+    w = Window.partitionBy(*group_cols).orderBy(skey, "__tb")
     wall = Window.partitionBy(*group_cols)
     pt = F.concat_ws(
         ",",
@@ -494,8 +501,11 @@ def geo_line_agg(
             F.count(F.lit(1)).alias("n_points"),
             F.max("__total").alias("total_docs"),
             F.array_join(
+                # __rn already encodes the direction-aware order (window
+                # key flips for desc; tiebreak stays asc in both) — sort
+                # the collected points by rank, never re-derive the order
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("__s", "__tb", "__pt"))),
+                    F.array_sort(F.collect_list(F.struct("__rn", "__pt"))),
                     lambda r: r["__pt"],
                 ),
                 " ",
@@ -512,8 +522,11 @@ def geo_line_agg(
     )
 
 
-def geo_line_sql(group_cols: list[str], size: int = 500) -> str:
+def geo_line_sql(
+    group_cols: list[str], size: int = 500, sort_order: str = "asc"
+) -> str:
     g = ", ".join(group_cols)
+    so = "DESC" if sort_order == "desc" else "ASC"
     return f"""
 WITH pts AS (
   SELECT event_type, epoch_ms(ts) AS t_ms, event_id,
@@ -523,13 +536,13 @@ WITH pts AS (
 r AS (
   SELECT {g}, t_ms, event_id,
          CAST(lon_udeg AS VARCHAR) || ',' || CAST(lat_udeg AS VARCHAR) AS pt,
-         row_number() OVER (PARTITION BY {g} ORDER BY t_ms, event_id) AS rn,
+         row_number() OVER (PARTITION BY {g} ORDER BY t_ms {so}, event_id) AS rn,
          COUNT(*) OVER (PARTITION BY {g}) AS total
   FROM pts
 )
 SELECT {g}, COUNT(*) AS n_points, MAX(total) AS total_docs,
        COUNT(*) = MAX(total) AS complete,
-       string_agg(pt, ' ' ORDER BY t_ms, event_id) AS line
+       string_agg(pt, ' ' ORDER BY t_ms {so}, event_id) AS line
 FROM r WHERE rn <= {size}
 GROUP BY {g} ORDER BY {g}
 """
@@ -641,6 +654,12 @@ def queries() -> dict:
         "es_geo_line": lambda s, d: geo_line_agg(
             geo_events_track(load_table(s, d, "events")), ["event_type"]
         ),
+        # r10 (SCOPE.md §E): desc keeps the LARGEST sort values and emits
+        # the track newest-first — the "most recent N positions" shape
+        "es_geo_line_desc": lambda s, d: geo_line_agg(
+            geo_events_track(load_table(s, d, "events")), ["event_type"],
+            size=40, sort_order="desc",
+        ),
         "es_geo_polygon": lambda s, d: geo_polygon_agg(
             geo_events(load_table(s, d, "events"))
         ),
@@ -655,5 +674,8 @@ def oracle_sql() -> dict:
         "es_geo_bounds": geo_bounds_sql(["event_type"]),
         "es_geo_centroid": geo_centroid_sql(["event_type"]),
         "es_geo_line": geo_line_sql(["event_type"]),
+        "es_geo_line_desc": geo_line_sql(
+            ["event_type"], size=40, sort_order="desc"
+        ),
         "es_geo_polygon": geo_polygon_sql(),
     }

@@ -476,6 +476,64 @@ def test_composite_calendar_sub_month_sources(spark):
     assert days == [jan1 + 2 * DAY, jan1 + 9 * DAY]
 
 
+def test_highlight_fragments_token_windows(spark):
+    """r10 fragment highlighting: first N matched positions in document
+    order, ±half-window token fragments, matches wrapped, ' … ' joined;
+    overlapping windows stay independent (documented contract)."""
+    df = spark.createDataFrame(
+        [(1, "a b data c d e spark f g h i j data k")], "doc_id long, text string"
+    )
+    body = {
+        "size": 5,
+        "sort": [{"doc_id": "asc"}],
+        "query": {"match": {"text": "data"}},
+        "highlight": {"fields": {"text": {
+            "number_of_fragments": 2, "fragment_size": 5,
+        }}},
+        "_source": {"includes": ["doc_id"]},
+    }
+    (r,) = run_search(df, body)["_hits"].collect()
+    # matches at positions 2 and 12; windows ±2 tokens (the second
+    # clips at the document end: 10..13 -> "i j data k")
+    assert r["text_highlight"] == (
+        "a b <em>data</em> c d … i j <em>data</em> k"
+    )
+    # window clipping at the document edges
+    df2 = spark.createDataFrame([(1, "data x")], "doc_id long, text string")
+    (r2,) = run_search(df2, body)["_hits"].collect()
+    assert r2["text_highlight"] == "<em>data</em> x"
+    # number_of_fragments caps the fragment count, not the matches in a
+    # window: 3 matches, 2 fragments
+    df3 = spark.createDataFrame(
+        [(1, "data a data b data c")], "doc_id long, text string"
+    )
+    (r3,) = run_search(df3, body)["_hits"].collect()
+    assert r3["text_highlight"].count("…") == 1
+    assert r3["text_highlight"].startswith("<em>data</em> a <em>data</em>")
+
+
+def test_geo_line_desc_keeps_latest_points(spark):
+    """sort_order desc (r10): ES keeps the points with the LARGEST sort
+    values and emits the track newest-first; asc is unchanged."""
+    from elasticsearch_drift_plugin_spark.operators.geo import geo_line_agg
+
+    rows = [(i, "g", float(i), float(i), float(-i)) for i in range(6)]
+    df = spark.createDataFrame(rows, "event_id long, g string, t double, lat double, lon double")
+    asc = geo_line_agg(df, ["g"], sort_col="t", size=3).collect()[0]
+    desc = geo_line_agg(
+        df, ["g"], sort_col="t", size=3, sort_order="desc"
+    ).collect()[0]
+    assert asc["n_points"] == desc["n_points"] == 3
+    assert not asc["complete"] and not desc["complete"]
+    # asc keeps t=0,1,2 oldest-first; desc keeps t=5,4,3 newest-first
+    assert asc["line"].split(" ")[0].endswith(",0")
+    first_lon, first_lat = desc["line"].split(" ")[0].split(",")
+    assert first_lat == str(5 * 1_000_000)
+    assert [p.split(",")[1] for p in desc["line"].split(" ")] == [
+        "5000000", "4000000", "3000000"
+    ]
+
+
 def test_search_zero_fill_rejects_pipeline_free_ride(gap_df):
     """Bucket-pipeline children still ride _apply_pipelines on the FILLED
     frame — derivative over a fill bucket sees doc_count 0, not a hole."""
