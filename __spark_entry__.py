@@ -162,6 +162,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "corpus_quality_clf", "corpus_quality_clf_sampled", "train_curate_clf",
     "es_search_knn_indexed", "es_top_hits_asc", "es_composite_week",
     "es_matrix_stats_multi", "es_search_hl_frag", "es_geo_line_desc",
+    "es_completion_suggest",
     # --- freshness: last stamped r1 (5) ---
     "ann_lsh_histogram", "mm_decode", "mm_frames",
     "text_fingerprint", "text_tokens",
@@ -173,7 +174,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "stats_quantiles_approx", "stats_top_docs",
     # --- freshness: last stamped r3 (28) ---
     "ann_cosine_topk", "corpus_tfidf_top",
-    "es_date_range", "es_extended_stats",
+    "es_date_range",
     "es_multi_terms", "es_range_value", "es_rate_month",
     "es_significant_terms", "es_string_stats", "es_terms_top_users",
     "pipe_cum_derivative",

@@ -245,6 +245,7 @@ BENCH_QUERIES = [
     "es_matrix_stats_multi",
     "es_search_hl_frag",
     "es_geo_line_desc",
+    "es_completion_suggest",
 ]
 
 

@@ -1503,6 +1503,7 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
                             )
                             continue
                         cal_fixed = {
+                            "second": (1_000, 0),
                             "minute": (60_000, 0),
                             "hour": (3_600_000, 0),
                             "day": (86_400_000, 0),

@@ -386,6 +386,73 @@ def term_suggest(
     )
 
 
+def completion_suggest(
+    docs: DataFrame,
+    prefixes: tuple[str, ...] = ("s", "c", "t"),
+    size: int = 3,
+    field: str = "text",
+) -> DataFrame:
+    """(prefix, rank, option, weight): ES *completion suggester* (r10) in
+    the engine's analyzer-free dialect — for each typed prefix, the
+    corpus-vocabulary terms starting with it, ranked by weight (document
+    frequency — ES's default weight when none is indexed) desc then term
+    asc, top ``size`` per prefix.
+
+    Scale: ES answers from an index-time FST; the relational twin
+    collapses the corpus to its vocabulary ONCE (partial+final count agg,
+    Zipf-bounded) and probes it with a broadcast prefix spine — the
+    prefix predicate is sargable (``startswith`` compiles to a range
+    check), so with a materialized/sorted vocab table the probe is an
+    index-range scan, never a corpus pass.
+    """
+    vocab = (
+        docs.select(F.explode(F.split(F.lower(F.col(field)), " ")).alias("option"))
+        .where(F.col("option") != "")
+        .groupBy("option")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )
+    spine = docs.sparkSession.createDataFrame(
+        [(p,) for p in prefixes], "prefix string"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("prefix").orderBy(
+        F.col("weight").desc(), F.col("option")
+    )
+    return (
+        vocab.join(
+            F.broadcast(spine), F.col("option").startswith(F.col("prefix"))
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= size)
+        .select("prefix", "rank", "option", "weight")
+        .orderBy("prefix", "rank")
+    )
+
+
+def completion_suggest_sql(
+    prefixes: tuple[str, ...] = ("s", "c", "t"),
+    size: int = 3,
+) -> str:
+    spine = " UNION ALL ".join(f"SELECT '{p}' AS prefix" for p in prefixes)
+    return f"""
+WITH vocab AS (
+  SELECT term AS option, CAST(COUNT(*) AS BIGINT) AS weight
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
+  WHERE term <> '' GROUP BY term
+),
+probes AS ({spine}),
+ranked AS (
+  SELECT p.prefix, v.option, v.weight,
+         ROW_NUMBER() OVER (PARTITION BY p.prefix
+                            ORDER BY v.weight DESC, v.option ASC) AS rank
+  FROM vocab v JOIN probes p ON starts_with(v.option, p.prefix)
+)
+SELECT prefix, CAST(rank AS BIGINT) AS rank, option, weight
+FROM ranked WHERE rank <= {int(size)} ORDER BY prefix, rank
+"""
+
+
 def term_suggest_sql(
     probes: tuple[str, ...] = ("sparc", "tabel", "qeury"),
     max_edits: int = 2,
@@ -802,6 +869,9 @@ def queries() -> dict:
             load_table(s, d, "documents")
         ),
         "es_term_suggest": lambda s, d: term_suggest(load_table(s, d, "documents")),
+        "es_completion_suggest": lambda s, d: completion_suggest(
+            load_table(s, d, "documents")
+        ),
         "es_phrase_suggest": lambda s, d: phrase_suggest(load_table(s, d, "documents")),
         "es_terms_enum": lambda s, d: terms_enum(
             load_table(s, d, "events"), "event_type", prefix="s", size=10
@@ -901,6 +971,7 @@ def oracle_sql() -> dict:
         "es_more_like_this": more_like_this_sql(),
         "es_intervals_near": intervals_near_sql(),
         "es_term_suggest": term_suggest_sql(),
+        "es_completion_suggest": completion_suggest_sql(),
         "es_phrase_suggest": phrase_suggest_sql(),
         "es_terms_enum": terms_enum_sql("events", "event_type", prefix="s", size=10),
         "es_dsl_query": dsl_filter_agg_sql(),

@@ -1037,9 +1037,16 @@ def test_diversified_sampler_rate_geo_line_nodes(spark):
         "sort": {"field": "t_ms"}, "size": 10}}}})["ln"]
     want = geo_line_agg(ev, [], sort_col="t_ms", size=10)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # (amended r10) sort_order desc is supported: newest-first track,
+    # same point budget; a bogus order still raises
+    dsc = run_search(ev, {"aggs": {"ln": {"geo_line": {
+        "sort": {"field": "t_ms"}, "sort_order": "desc", "size": 10}}}})["ln"]
+    (a,), (d,) = want.collect(), dsc.collect()
+    assert d["n_points"] == a["n_points"]
+    assert d["line"].split(" ")[0] == a["line"].split(" ")[-1] or d["line"] != a["line"]
     with pytest.raises(ValueError, match="sort_order"):
         run_search(ev, {"aggs": {"ln": {"geo_line": {
-            "sort": {"field": "t_ms"}, "sort_order": "desc"}}}})
+            "sort": {"field": "t_ms"}, "sort_order": "sideways"}}}})
 
 
 def test_composite_date_histogram_source(spark):
@@ -1066,13 +1073,15 @@ def test_composite_date_histogram_source(spark):
     assert [(r.day, r.tag, r.doc_count) for r in out2.collect()] == [
         (2 * DAY, "b", 1)
     ]
-    # (amended r6) calendar month/quarter/year sources are now supported
-    # (date_trunc route); finer calendar units still raise
-    with pytest.raises(ValueError, match="month/quarter/year"):
-        run_search(df, {"aggs": {"p": {"composite": {"sources": [
-            {"m": {"date_histogram": {"field": "t_ms",
-                                      "calendar_interval": "week"}}},
-        ]}}}})
+    # (amended r10) ALL calendar units are supported: month/quarter/year
+    # via date_trunc, sub-month as anchored fixed floors. Week floors to
+    # Monday (epoch day 0 is a Thursday: 0..3*DAY land in the week of
+    # 1969-12-29, i.e. key -3*DAY).
+    wk = run_search(df, {"aggs": {"p": {"composite": {"sources": [
+        {"w": {"date_histogram": {"field": "t_ms",
+                                  "calendar_interval": "week"}}},
+    ]}}}})["p"].collect()
+    assert [(r.w, r.doc_count) for r in wk] == [(-3 * DAY, 5)]
 
 
 def test_serial_diff_bucket_script_normalize_pipeline(spark):
@@ -1621,10 +1630,15 @@ def test_highlight_whole_field(spark):
     body["highlight"]["pre_tags"], body["highlight"]["post_tags"] = ["*"], ["*"]
     out = run_search(df, body)["_hits"].collect()
     assert out[1].text_highlight == "slow *data* row"
-    # fragmenting is refused loudly; so is a token-free query
+    # (amended r10) fragmenting is supported (token windows — deep pins
+    # in tests/test_round10.py); a negative count and a token-free query
+    # stay loud
+    frag = run_search(df, dict(body, highlight={
+        "fields": {"text": {"number_of_fragments": 3}}}))["_hits"].collect()
+    assert all("<em>" in r.text_highlight for r in frag)
     with pytest.raises(ValueError, match="number_of_fragments"):
         run_search(df, dict(body, highlight={
-            "fields": {"text": {"number_of_fragments": 3}}}))
+            "fields": {"text": {"number_of_fragments": -1}}}))
     with pytest.raises(ValueError, match="no highlightable tokens"):
         run_search(df, dict(body, query={"range": {"doc_id": {"gte": 0}}}))
 
@@ -2140,11 +2154,16 @@ def test_composite_calendar_source(spark):
     body["aggs"]["p"]["composite"]["after"] = {"m": JAN}
     out = [(r.m, r.doc_count) for r in run_search(df, body)["p"].collect()]
     assert out == [(FEB, 1), (APR, 1)]
-    # finer calendar units are refused
-    with pytest.raises(ValueError, match="month/quarter/year"):
+    # (amended r10) sub-month calendar units are anchored fixed floors;
+    # a unit outside the ES calendar table still raises
+    wk = run_search(df, {"aggs": {"p": {"composite": {"sources": [
+        {"w": {"date_histogram": {"field": "t",
+                                  "calendar_interval": "week"}}}]}}}})["p"]
+    assert sum(r.doc_count for r in wk.collect()) == 4
+    with pytest.raises(ValueError, match="unknown calendar interval"):
         run_search(df, {"aggs": {"p": {"composite": {"sources": [
             {"w": {"date_histogram": {"field": "t",
-                                      "calendar_interval": "week"}}}]}}}})
+                                      "calendar_interval": "fortnight"}}}]}}}})
 
 
 def test_filters_metric_sub_agg(spark):
