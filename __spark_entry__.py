@@ -162,7 +162,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "corpus_quality_clf", "corpus_quality_clf_sampled", "train_curate_clf",
     "es_search_knn_indexed", "es_top_hits_asc", "es_composite_week",
     "es_matrix_stats_multi", "es_search_hl_frag", "es_geo_line_desc",
-    "es_completion_suggest",
+    "es_completion_suggest", "es_search_cumcard_cal",
     # --- freshness: last stamped r1 (5) ---
     "ann_lsh_histogram", "mm_decode", "mm_frames",
     "text_fingerprint", "text_tokens",
@@ -174,7 +174,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "stats_quantiles_approx", "stats_top_docs",
     # --- freshness: last stamped r3 (28) ---
     "ann_cosine_topk", "corpus_tfidf_top",
-    "es_date_range",
     "es_multi_terms", "es_range_value", "es_rate_month",
     "es_significant_terms", "es_string_stats", "es_terms_top_users",
     "pipe_cum_derivative",
@@ -829,6 +828,55 @@ def _es_search_cumcard_query(s: SparkSession, d: str) -> DataFrame:
 ES_SEARCH_CUMCARD_SQL = """
 WITH ev AS (
   SELECT epoch_ms(ts) - ((epoch_ms(ts) % 86400000 + 86400000) % 86400000)
+           AS key, user_id
+  FROM events WHERE ts IS NOT NULL
+),
+b AS (
+  SELECT key, CAST(COUNT(*) AS BIGINT) AS doc_count,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS u
+  FROM ev GROUP BY key
+),
+firsts AS (
+  SELECT key, CAST(COUNT(*) AS BIGINT) AS new_ids
+  FROM (SELECT user_id, MIN(key) AS key FROM ev GROUP BY user_id)
+  GROUP BY key
+)
+SELECT b.key, b.doc_count, b.u,
+       CAST(SUM(COALESCE(f.new_ids, 0)) OVER (ORDER BY b.key
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cu
+FROM b LEFT JOIN firsts f USING (key) ORDER BY b.key
+"""
+
+
+# Round-10 (SCOPE.md §E): cumulative_cardinality under a CALENDAR
+# date_histogram (weekly new/returning users) — the first-seen fold keys
+# on date_trunc('week'), the same UTC calendar key the bucket grid uses.
+ES_SEARCH_CUMCARD_CAL_BODY = {
+    "size": 0,
+    "aggs": {
+        "weekly": {
+            "date_histogram": {"field": "t_ms", "calendar_interval": "week",
+                               "min_doc_count": 1},
+            "aggs": {
+                "u": {"cardinality": {"field": "user_id"}},
+                "cu": {"cumulative_cardinality": {"buckets_path": "u"}},
+            },
+        },
+    },
+}
+
+
+def _es_search_cumcard_cal_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    return run_search(_events_tms(s, d), ES_SEARCH_CUMCARD_CAL_BODY)[
+        "weekly"
+    ].drop("key_ts")
+
+
+ES_SEARCH_CUMCARD_CAL_SQL = """
+WITH ev AS (
+  SELECT epoch_ms(date_trunc('week', make_timestamp(epoch_ms(ts) * 1000)))
            AS key, user_id
   FROM events WHERE ts IS NOT NULL
 ),
@@ -1865,6 +1913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_body2": _es_search_body2_query,
         "es_search_pipe2": _es_search_pipe2_query,
         "es_search_cumcard": _es_search_cumcard_query,
+        "es_search_cumcard_cal": _es_search_cumcard_cal_query,
         "es_search_change_point": _es_search_cp_query,
         "es_search_nested": _es_search_nested_query,
         "es_search_ip_range": _es_search_ip_range_query,
@@ -2185,6 +2234,7 @@ def oracle_sql() -> dict[str, str]:
         "es_search_body2": _es_search_body2_oracle(),
         "es_search_pipe2": ES_SEARCH_PIPE2_SQL,
         "es_search_cumcard": ES_SEARCH_CUMCARD_SQL,
+        "es_search_cumcard_cal": ES_SEARCH_CUMCARD_CAL_SQL,
         "es_search_change_point": _es_search_cp_oracle(),
         "es_search_nested": ES_SEARCH_NESTED_SQL,
         "es_search_ip_range": ES_SEARCH_IP_RANGE_SQL,

@@ -246,6 +246,7 @@ BENCH_QUERIES = [
     "es_search_hl_frag",
     "es_geo_line_desc",
     "es_completion_suggest",
+    "es_search_cumcard_cal",
 ]
 
 

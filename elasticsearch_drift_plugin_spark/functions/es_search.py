@@ -865,13 +865,27 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
             from ..operators.pipeline import cumulative_cardinality
             from ..params import parse_offset as _parse_tv
 
-            if "fixed_interval" not in spec or spec.get("offset"):
+            # r10 (SCOPE.md §E): any first-seen-orderable grid works —
+            # fixed (with offset) via the shifted modular floor, calendar
+            # via date_trunc; only calendar+offset (the one psum rounding
+            # the first-seen key can't mirror cheaply) stays loud.
+            cc_kw: dict = {}
+            if "calendar_interval" in spec:
+                if spec.get("offset"):
+                    raise ValueError(
+                        "cumulative_cardinality under a calendar"
+                        " date_histogram does not support offset"
+                    )
+                cc_kw["calendar_unit"] = spec["calendar_interval"]
+            elif "fixed_interval" in spec:
+                cc_kw["step_ms"] = _parse_tv(spec["fixed_interval"])
+                if spec.get("offset"):
+                    cc_kw["offset_ms"] = _parse_tv(spec["offset"])
+            else:
                 raise ValueError(
-                    "cumulative_cardinality requires a fixed_interval "
-                    "date_histogram without offset (calendar rounding is "
-                    "not a modular floor)"
+                    "cumulative_cardinality needs a fixed_interval or"
+                    " calendar_interval date_histogram"
                 )
-            step_ms = _parse_tv(spec["fixed_interval"])
             for sname, snode in cumcards.items():
                 cspec = snode["cumulative_cardinality"]
                 tgt = cspec["buckets_path"]
@@ -886,7 +900,7 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
                     df.where(F.col(spec["field"]).isNotNull()),
                     spec["field"],
                     tnode["cardinality"]["field"],
-                    step_ms,
+                    **cc_kw,
                 )
                 buckets = buckets.join(
                     cc.select("key", F.col("cum_cardinality").alias(sname)),

@@ -170,7 +170,12 @@ def stats_bucket(
 
 
 def cumulative_cardinality(
-    df: DataFrame, time_ms_col: str, id_col: str, step_ms: int
+    df: DataFrame,
+    time_ms_col: str,
+    id_col: str,
+    step_ms: int | None = None,
+    calendar_unit: str | None = None,
+    offset_ms: int = 0,
 ) -> DataFrame:
     """(key, new_ids, cum_cardinality): ES ``cumulative_cardinality`` — the
     running count of DISTINCT ids seen up to and including each time
@@ -180,10 +185,26 @@ def cumulative_cardinality(
     list finishes it. Exact (no HLL) with none of the per-bucket
     distinct-union state the naive formulation needs — state is O(buckets),
     not O(ids × buckets).
+
+    r10: the bucket key generalizes past the epoch-aligned modular floor —
+    ``offset_ms`` shifts a fixed grid, ``calendar_unit`` floors by the
+    UTC calendar (``date_trunc``, matching the date_histogram operator's
+    calendar keys). MIN(first-seen) is order-based, so any monotone key
+    expression preserves the algorithm.
     """
-    key = (F.col(time_ms_col) - F.pmod(F.col(time_ms_col), F.lit(int(step_ms)))).alias(
-        "key"
-    )
+    t = F.col(time_ms_col)
+    if calendar_unit is not None:
+        if step_ms is not None or offset_ms:
+            raise ValueError(
+                "cumulative_cardinality takes EITHER calendar_unit OR"
+                " step_ms(+offset_ms)"
+            )
+        key = F.unix_millis(
+            F.date_trunc(calendar_unit, F.timestamp_millis(t))
+        ).alias("key")
+    else:
+        off = int(offset_ms)
+        key = (t - F.pmod(t - F.lit(off), F.lit(int(step_ms)))).alias("key")
     base = df.select(key, F.col(id_col).alias("__id"))
     buckets = base.select("key").distinct()
     firsts = (
@@ -202,11 +223,24 @@ def cumulative_cardinality(
 
 
 def cumulative_cardinality_sql(
-    src: str, time_ms_expr: str, id_col: str, step_ms: int
+    src: str,
+    time_ms_expr: str,
+    id_col: str,
+    step_ms: int | None = None,
+    calendar_unit: str | None = None,
+    offset_ms: int = 0,
 ) -> str:
+    if calendar_unit is not None:
+        key = (
+            f"epoch_ms(date_trunc('{calendar_unit}',"
+            f" make_timestamp(({time_ms_expr}) * 1000)))"
+        )
+    else:
+        t, off, step = time_ms_expr, int(offset_ms), int(step_ms)
+        key = f"({t}) - (((({t}) - {off}) % {step} + {step}) % {step})"
     return f"""
 WITH base AS (
-  SELECT ({time_ms_expr}) - (({time_ms_expr}) % {int(step_ms)}) AS key,
+  SELECT {key} AS key,
          {id_col} AS id
   FROM {src}
 ),
