@@ -162,7 +162,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "corpus_quality_clf", "corpus_quality_clf_sampled", "train_curate_clf",
     "es_search_knn_indexed", "es_top_hits_asc", "es_composite_week",
     "es_matrix_stats_multi", "es_search_hl_frag", "es_geo_line_desc",
-    "es_completion_suggest", "es_search_cumcard_cal",
+    "es_completion_suggest", "es_search_cumcard_cal", "es_search_knn_l2",
     # --- freshness: last stamped r1 (5) ---
     "ann_lsh_histogram", "mm_decode", "mm_frames",
     "text_fingerprint", "text_tokens",
@@ -173,7 +173,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "rel_flows_by_nation", "rel_users_intersect",
     "stats_quantiles_approx", "stats_top_docs",
     # --- freshness: last stamped r3 (28) ---
-    "ann_cosine_topk", "corpus_tfidf_top",
+    "ann_cosine_topk",
     "es_multi_terms", "es_range_value", "es_rate_month",
     "es_significant_terms", "es_string_stats", "es_terms_top_users",
     "pipe_cum_derivative",
@@ -1112,6 +1112,50 @@ ORDER BY _score_q DESC, vec_id, label LIMIT 8
 """
 
 
+# Round-10 (SCOPE.md §E): knn `similarity: l2_norm` — ES ranks by
+# smallest distance, _score = 1/(1+d²); d² = q·q + v·v − 2·q·v so both
+# engines replay the identical IEEE op sequence (the cosine parity
+# argument). Quantized floor keeps the frontier total-ordered.
+ES_SEARCH_KNN_L2_BODY = {
+    "knn": {
+        "field": "embedding",
+        "query_vector": _KNN_QV,
+        "k": 8,
+        "similarity": "l2_norm",
+        "filter": {"range": {"vec_id": {"gte": 10}}},
+    },
+    "_source": {"includes": ["vec_id", "label"]},
+    "size": 8,
+}
+
+
+def _es_search_knn_l2_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    emb = flows_src.load_table(s, d, "embeddings")
+    return run_search(emb, ES_SEARCH_KNN_L2_BODY)["_hits"]
+
+
+ES_SEARCH_KNN_L2_SQL = f"""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings WHERE vec_id >= 10
+),
+scored AS (
+  SELECT vec_id, label,
+         CAST(FLOOR(
+           1.0 / (1.0 + (list_dot_product({_KNN_QV_SQL}, {_KNN_QV_SQL})
+                         + list_dot_product(ev, ev)
+                         - 2.0 * list_dot_product({_KNN_QV_SQL}, ev)))
+           * 1e6) AS BIGINT) AS _score_q
+  FROM v
+)
+SELECT vec_id, label, _score_q FROM scored
+ORDER BY _score_q DESC, vec_id, label LIMIT 8
+"""
+
+
 # terms with include-regex + exclude list + min_doc_count through the
 # compiler (order-independent exact metrics: cardinality + max).
 ES_SEARCH_TERMS_FILTERED_BODY = {
@@ -1914,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_pipe2": _es_search_pipe2_query,
         "es_search_cumcard": _es_search_cumcard_query,
         "es_search_cumcard_cal": _es_search_cumcard_cal_query,
+        "es_search_knn_l2": _es_search_knn_l2_query,
         "es_search_change_point": _es_search_cp_query,
         "es_search_nested": _es_search_nested_query,
         "es_search_ip_range": _es_search_ip_range_query,
@@ -2235,6 +2280,7 @@ def oracle_sql() -> dict[str, str]:
         "es_search_pipe2": ES_SEARCH_PIPE2_SQL,
         "es_search_cumcard": ES_SEARCH_CUMCARD_SQL,
         "es_search_cumcard_cal": ES_SEARCH_CUMCARD_CAL_SQL,
+        "es_search_knn_l2": ES_SEARCH_KNN_L2_SQL,
         "es_search_change_point": _es_search_cp_oracle(),
         "es_search_nested": ES_SEARCH_NESTED_SQL,
         "es_search_ip_range": ES_SEARCH_IP_RANGE_SQL,

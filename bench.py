@@ -247,6 +247,7 @@ BENCH_QUERIES = [
     "es_geo_line_desc",
     "es_completion_suggest",
     "es_search_cumcard_cal",
+    "es_search_knn_l2",
 ]
 
 

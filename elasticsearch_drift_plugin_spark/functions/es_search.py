@@ -2613,7 +2613,7 @@ def _knn_scored(df: DataFrame, spec: dict, keep: list) -> DataFrame:
     projection → TakeOrdered at the caller's limit (per-partition heaps,
     never a full sort)."""
     sim = spec.get("similarity", "cosine")
-    if sim not in ("cosine", "dot_product"):
+    if sim not in ("cosine", "dot_product", "l2_norm", "max_inner_product"):
         raise ValueError(f"unsupported knn similarity {sim!r}")
     from .vectors import dot, l2_norm, lit_vec
 
@@ -2626,9 +2626,23 @@ def _knn_scored(df: DataFrame, spec: dict, keep: list) -> DataFrame:
             hits = hits.where(compile_query(f))
     qv = lit_vec([float(x) for x in spec["query_vector"]])
     v = F.transform(F.col(spec["field"]), lambda x: x.cast("double"))
-    score = dot(qv, v)
-    if sim == "cosine":
-        score = score / (l2_norm(qv) * l2_norm(v))
+    if sim == "l2_norm":
+        # r10: ES ranks l2_norm by SMALLEST distance; _score = 1/(1+d²)
+        # is the same total order. d² spelled as q·q + v·v − 2·q·v so the
+        # DuckDB twin (list_dot_product) replays the identical IEEE op
+        # sequence — the same parity argument as the cosine score.
+        d2 = dot(qv, qv) + dot(v, v) - F.lit(2.0) * dot(qv, v)
+        score = F.lit(1.0) / (F.lit(1.0) + d2)
+    else:
+        score = dot(qv, v)
+        if sim == "cosine":
+            score = score / (l2_norm(qv) * l2_norm(v))
+        elif sim == "max_inner_product":
+            # ES's piecewise positive transform: dot<0 -> 1/(1-dot),
+            # else dot+1 — strictly monotone in the raw inner product
+            score = F.when(
+                score < 0, F.lit(1.0) / (F.lit(1.0) - score)
+            ).otherwise(score + F.lit(1.0))
     scored = hits.select(
         *keep, F.floor(score * F.lit(1e6)).cast("long").alias("_score_q")
     )

@@ -534,6 +534,31 @@ def test_geo_line_desc_keeps_latest_points(spark):
     ]
 
 
+def test_knn_similarity_kinds(spark):
+    """r10: the full ES knn similarity set — l2_norm ranks by smallest
+    distance (_score = 1/(1+d²)), max_inner_product applies ES's
+    piecewise positive transform; unknown kinds stay loud."""
+    rows = [
+        (1, [1.0, 0.0]),   # dot 1, d²=0 vs q=[1,0]
+        (2, [0.0, 1.0]),   # dot 0, d²=2
+        (3, [-1.0, 0.0]),  # dot -1, d²=4
+        (4, [2.0, 0.0]),   # dot 2, d²=1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def ids(sim):
+        body = {"knn": {"field": "embedding", "query_vector": [1.0, 0.0],
+                        "k": 4, "similarity": sim},
+                "_source": {"includes": ["vec_id"]}, "size": 4}
+        return [r["vec_id"] for r in run_search(df, body)["_hits"].collect()]
+
+    assert ids("l2_norm") == [1, 4, 2, 3]            # by distance
+    assert ids("max_inner_product") == [4, 1, 2, 3]  # by raw dot
+    assert ids("dot_product") == [4, 1, 2, 3]
+    with pytest.raises(ValueError, match="similarity"):
+        ids("hamming")
+
+
 def test_search_zero_fill_rejects_pipeline_free_ride(gap_df):
     """Bucket-pipeline children still ride _apply_pipelines on the FILLED
     frame — derivative over a fill bucket sees doc_count 0, not a hole."""
