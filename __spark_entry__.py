@@ -163,6 +163,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "es_search_knn_indexed", "es_top_hits_asc", "es_composite_week",
     "es_matrix_stats_multi", "es_search_hl_frag", "es_geo_line_desc",
     "es_completion_suggest", "es_search_cumcard_cal", "es_search_knn_l2",
+    "stream_new_users",
     # --- freshness: last stamped r1 (5) ---
     "ann_lsh_histogram", "mm_decode", "mm_frames",
     "text_fingerprint", "text_tokens",
@@ -173,7 +174,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "rel_flows_by_nation", "rel_users_intersect",
     "stats_quantiles_approx", "stats_top_docs",
     # --- freshness: last stamped r3 (28) ---
-    "ann_cosine_topk",
     "es_multi_terms", "es_range_value", "es_rate_month",
     "es_significant_terms", "es_string_stats", "es_terms_top_users",
     "pipe_cum_derivative",

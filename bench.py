@@ -248,6 +248,7 @@ BENCH_QUERIES = [
     "es_completion_suggest",
     "es_search_cumcard_cal",
     "es_search_knn_l2",
+    "stream_new_users",
 ]
 
 

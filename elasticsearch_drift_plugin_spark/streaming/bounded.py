@@ -173,6 +173,58 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.orderBy("keep_id")
 
 
+def stream_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming "new vs returning users" (r10): the batch
+    ``cumulative_cardinality`` first-seen fold split at its natural
+    streaming boundary — the STATEFUL half (per-id MIN hourly bucket) runs
+    as an incrementally-maintained streaming aggregate whose state is ONE
+    row per distinct id (never per event; at production scale a watermark
+    + state TTL bounds the id horizon), and the result-sized halves
+    (new-ids-per-bucket rollup + the running total) compute on the sink.
+    Buckets where no NEW id appeared don't emit a row (the batch operator
+    zero-fills from the full bucket spine; the streaming sink only sees
+    first-arrival keys) — the oracle mirrors that contract."""
+    from ..sources.flows import ts_ms_col
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet*")
+    t = ts_ms_col(ev)
+    hour = (t - F.pmod(t, F.lit(3_600_000))).alias("key")
+    agg = (
+        ev.where(F.col("ts").isNotNull())
+        .select(hour, "user_id")
+        .groupBy("user_id")
+        .agg(F.min("key").alias("key"))
+    )
+    tbl = run_available_now(agg, "complete")
+    firsts = tbl.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("new_ids")
+    )
+    w = Window.orderBy("key").rowsBetween(Window.unboundedPreceding, 0)
+    return firsts.select(
+        "key", "new_ids", F.sum("new_ids").over(w).cast("long").alias("cum_new")
+    ).orderBy("key")
+
+
+STREAM_NEW_USERS_SQL = """
+WITH ev AS (
+  SELECT epoch_ms(ts) - ((epoch_ms(ts) % 3600000 + 3600000) % 3600000)
+           AS key, user_id
+  FROM events WHERE ts IS NOT NULL
+),
+firsts AS (
+  SELECT key, CAST(COUNT(*) AS BIGINT) AS new_ids
+  FROM (SELECT user_id, MIN(key) AS key FROM ev GROUP BY user_id)
+  GROUP BY key
+)
+SELECT key, new_ids,
+       CAST(SUM(new_ids) OVER (ORDER BY key
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_new
+FROM firsts ORDER BY key
+"""
+
+
 def stream_zscore_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming drift DETECTOR: the trailing-window z-score runs over the
     streaming histogram's bounded replay — the continuous-anomaly shape
@@ -196,6 +248,7 @@ def queries() -> dict:
         "stream_psum_day_tz": stream_psum_day_tz,
         "stream_flow_sessions": stream_flow_sessions,
         "stream_dedup_exact": stream_dedup_exact,
+        "stream_new_users": stream_new_users,
         "stream_geotile_grid": stream_geotile_grid,
         "stream_js_divergence": stream_js_divergence,
         "stream_percolate": stream_percolate,
@@ -232,6 +285,7 @@ def oracle_sql() -> dict:
             calendar_interval="day", offset=1, time_zone="America/New_York",
         ),
         "stream_dedup_exact": EXACT_SQL,
+        "stream_new_users": STREAM_NEW_USERS_SQL,
         "stream_geotile_grid": geotile_grid_sql(),
         "stream_data_quality": __import__(
             "elasticsearch_drift_plugin_spark.operators.quality", fromlist=["x"]
