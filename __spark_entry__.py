@@ -163,9 +163,9 @@ GRADE_FIRST: tuple[str, ...] = (
     "es_search_knn_indexed", "es_top_hits_asc", "es_composite_week",
     "es_matrix_stats_multi", "es_search_hl_frag", "es_geo_line_desc",
     "es_completion_suggest", "es_search_cumcard_cal", "es_search_knn_l2",
-    "stream_new_users",
-    # --- freshness: last stamped r1 (5) ---
-    "ann_lsh_histogram", "mm_decode", "mm_frames",
+    "stream_new_users", "es_dsl_range_tz",
+    # --- freshness: last stamped r1 ---
+    "mm_decode", "mm_frames",
     "text_fingerprint", "text_tokens",
     # --- freshness: last stamped r2 (13) ---
     "dedup_canonical_map", "dedup_embedding_cosine", "dedup_exact",

@@ -249,6 +249,7 @@ BENCH_QUERIES = [
     "es_search_cumcard_cal",
     "es_search_knn_l2",
     "stream_new_users",
+    "es_dsl_range_tz",
 ]
 
 

@@ -175,6 +175,74 @@ def calculate_min_should_match(optional_clause_count: int, spec) -> int:
     return max(result, 0)
 
 
+def resolve_range_bounds(bounds: dict) -> dict:
+    """ES ``range`` date handling at COMPILE time (r10 — formerly a loud
+    raise on ``time_zone``): date-STRING bounds parse in the clause's
+    ``time_zone`` (default UTC) and apply ES's rounding rule — ``gte``/
+    ``lt`` round DOWN to the start of the string's resolution unit,
+    ``gt``/``lte`` round UP to the last millisecond of it (DateMathParser
+    round-up), so ``{"lte": "2024-03-10"}`` includes the whole local day.
+    Wall-clock arithmetic (Python aware-datetime + timedelta) matches
+    ES's calendar stepping across DST. Numeric bounds pass through —
+    ``time_zone`` has no effect on epoch-ms values in ES either. Returns
+    the op→epoch-ms/number dict; both query compilers share it, so the
+    emitted predicates are identical."""
+    from datetime import datetime, timedelta, timezone as _tzmod
+    from zoneinfo import ZoneInfo
+
+    tz = bounds.get("time_zone")
+    if not tz:
+        tzinfo = _tzmod.utc
+    elif re.fullmatch(r"[+-]\d{2}:\d{2}", tz):
+        # ES accepts raw UTC offsets ("+02:00") as well as IANA names
+        sign = 1 if tz[0] == "+" else -1
+        tzinfo = _tzmod(
+            sign * timedelta(hours=int(tz[1:3]), minutes=int(tz[4:6]))
+        )
+    else:
+        try:
+            tzinfo = ZoneInfo(tz)
+        except Exception:
+            raise ValueError(f"unknown range time_zone {tz!r}") from None
+    fmts = [
+        ("%Y-%m-%dT%H:%M:%S", timedelta(seconds=1)),
+        ("%Y-%m-%dT%H:%M", timedelta(minutes=1)),
+        ("%Y-%m-%dT%H", timedelta(hours=1)),
+        ("%Y-%m-%d", timedelta(days=1)),
+    ]
+
+    def to_ms(v, round_up: bool):
+        if not isinstance(v, str):
+            return v
+        for fmt, span in fmts:
+            try:
+                dt = datetime.strptime(v, fmt).replace(tzinfo=tzinfo)
+            except ValueError:
+                continue
+            if round_up:
+                # wall-clock next-unit start minus 1 ms (aware-datetime
+                # + timedelta is wall arithmetic; .timestamp() re-derives
+                # the UTC offset, handling 23/25-hour DST days like ES)
+                return int((dt + span).timestamp() * 1000) - 1
+            return int(dt.timestamp() * 1000)
+        raise ValueError(
+            f"cannot parse range date bound {v!r} — expected"
+            " YYYY-MM-DD[THH[:MM[:SS]]]"
+        )
+
+    out = {}
+    for op, v in bounds.items():
+        if op == "time_zone":
+            continue
+        if op in ("gt", "lte"):
+            out[op] = to_ms(v, round_up=True)
+        elif op in ("gte", "lt"):
+            out[op] = to_ms(v, round_up=False)
+        else:
+            out[op] = v
+    return out
+
+
 def compile_query(q: dict) -> Column:
     """Compile an ES ``query`` body (the dict under ``"query"``) to one
     boolean ``Column``."""
@@ -228,13 +296,7 @@ def compile_query(q: dict) -> Column:
         (field, bounds), = body.items()
         conds = []
         ops = {"gt": "__gt__", "gte": "__ge__", "lt": "__lt__", "lte": "__le__"}
-        if "time_zone" in bounds:
-            # ES shifts date-string bounds by time_zone before comparing;
-            # silently ignoring it would return subtly different rows
-            raise ValueError(
-                "range time_zone is unsupported — shift the bound to epoch "
-                "millis (the engine's timestamp dialect) before compiling"
-            )
+        bounds = resolve_range_bounds(bounds)
         for op, v in bounds.items():
             if op in ("format", "boost"):
                 continue
@@ -420,11 +482,9 @@ def compile_query_sql(q: dict) -> str:
         (field, bounds), = body.items()
         ops = {"gt": ">", "gte": ">=", "lt": "<", "lte": "<="}
         conds = []
-        if "time_zone" in bounds:  # twin parity: raise exactly like compile_query
-            raise ValueError(
-                "range time_zone is unsupported — shift the bound to epoch "
-                "millis (the engine's timestamp dialect) before compiling"
-            )
+        # twin parity: the SAME compile-time date/tz resolution, so both
+        # engines compare against identical epoch-ms literals
+        bounds = resolve_range_bounds(bounds)
         for op, v in bounds.items():
             if op in ("format", "boost"):
                 continue

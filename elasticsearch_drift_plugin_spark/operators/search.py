@@ -781,6 +781,41 @@ MSM_PCT_BODY = {"bool": {
 }}
 
 
+# range over DATE-STRING bounds in a named time_zone (r10, SCOPE.md §E):
+# "the New-York day of 2024-01-10 through 2024-01-12 inclusive" — bounds
+# resolve at compile time (ES rounding: gte -> local midnight, lte -> the
+# last ms of the local day), identical epoch-ms literals in both engines.
+RANGE_TZ_BODY = {"bool": {"filter": [{"range": {"t_ms": {
+    "gte": "2024-01-10", "lte": "2024-01-12",
+    "time_zone": "America/New_York",
+}}}]}}
+
+
+def range_tz_filter_agg(events: DataFrame) -> DataFrame:
+    from ..functions.es_dsl import compile_query
+    from ..sources.flows import ts_ms_col
+
+    ev = events.select(ts_ms_col(events).alias("t_ms"), "event_type")
+    return (
+        ev.where(compile_query(RANGE_TZ_BODY))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        .orderBy("event_type")
+    )
+
+
+def range_tz_filter_agg_sql() -> str:
+    from ..functions.es_dsl import compile_query_sql
+
+    pred = compile_query_sql(RANGE_TZ_BODY)
+    return f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS doc_count
+FROM (SELECT epoch_ms(ts) AS t_ms, event_type FROM events)
+WHERE {pred}
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def msm_pct_filter_agg(events: DataFrame) -> DataFrame:
     from ..functions.es_dsl import compile_query
 
@@ -879,6 +914,9 @@ def queries() -> dict:
         "es_dsl_query": lambda s, d: dsl_filter_agg(load_table(s, d, "events")),
         "es_dsl_sqs": lambda s, d: sqs_filter_agg(load_table(s, d, "documents")),
         "es_dsl_msm": lambda s, d: msm_filter_agg(load_table(s, d, "events")),
+        "es_dsl_range_tz": lambda s, d: range_tz_filter_agg(
+            load_table(s, d, "events")
+        ),
         "es_dsl_msm_pct": lambda s, d: msm_pct_filter_agg(
             load_table(s, d, "events")
         ),
@@ -977,6 +1015,7 @@ def oracle_sql() -> dict:
         "es_dsl_query": dsl_filter_agg_sql(),
         "es_dsl_sqs": sqs_filter_agg_sql(),
         "es_dsl_msm": msm_filter_agg_sql(),
+        "es_dsl_range_tz": range_tz_filter_agg_sql(),
         "es_dsl_msm_pct": msm_pct_filter_agg_sql(),
         "es_dsl_terms_set": terms_set_filter_agg_sql(),
         "es_dsl_geo": dsl_geo_sql(),

@@ -245,12 +245,18 @@ def test_dateline_crossing_box(spark, df):
     assert got_sql == [1, 2]
 
 
-def test_range_time_zone_raises_loudly():
+def test_range_time_zone_resolves_at_compile_time(spark):
+    # (amended r10) date-string bounds + time_zone now resolve to epoch-ms
+    # literals at compile time (deep pins in tests/test_round10.py); an
+    # unknown zone stays loud in BOTH compilers
     q = {"range": {"value": {"gte": "2024-01-01", "time_zone": "+02:00"}}}
+    assert "1704060000000" in str(compile_query(q)._jc)
+    assert "1704060000000" in compile_query_sql(q)
+    bad = {"range": {"value": {"gte": "2024-01-01", "time_zone": "Mars/Olympus"}}}
     with pytest.raises(ValueError, match="time_zone"):
-        compile_query(q)
+        compile_query(bad)
     with pytest.raises(ValueError, match="time_zone"):
-        compile_query_sql(q)
+        compile_query_sql(bad)
 
 
 def test_simple_query_string(spark):

@@ -534,6 +534,52 @@ def test_geo_line_desc_keeps_latest_points(spark):
     ]
 
 
+def test_range_date_string_time_zone(spark):
+    """r10: range date-string bounds resolve at compile time in the
+    clause's time_zone with ES's rounding (gte/lt -> unit start, gt/lte
+    -> unit end), wall-clock across DST: 2024-03-10 is a 23-hour day in
+    America/New_York."""
+    from elasticsearch_drift_plugin_spark.functions.es_dsl import (
+        compile_query,
+        compile_query_sql,
+        resolve_range_bounds,
+    )
+
+    b = resolve_range_bounds(
+        {"gte": "2024-03-10", "lte": "2024-03-10",
+         "time_zone": "America/New_York"}
+    )
+    assert b["gte"] == 1_710_046_800_000          # 00:00 EST (UTC-5)
+    assert b["lte"] == 1_710_129_600_000 - 1      # next midnight EDT (UTC-4) - 1ms
+    assert b["lte"] - b["gte"] == 23 * 3_600_000 - 1  # the 23-hour day
+    # UTC default + finer resolutions + round-up on gt
+    b2 = resolve_range_bounds({"gt": "2024-01-01T05", "lt": "2024-01-02"})
+    assert b2["gt"] == 1_704_085_200_000 + 3_600_000 - 1  # end of the 05h hour
+    assert b2["lt"] == 1_704_153_600_000
+    # raw UTC-offset zones, the other ES time_zone spelling
+    b3 = resolve_range_bounds({"gte": "2024-01-01", "time_zone": "+02:00"})
+    assert b3["gte"] == 1_704_067_200_000 - 2 * 3_600_000
+    # live predicate: both compilers agree on the matched set
+    rows = [(1, 1_710_046_800_000), (2, 1_710_129_599_999),
+            (3, 1_710_129_600_000), (4, 1_710_046_799_999)]
+    df = spark.createDataFrame(rows, "id long, t long")
+    body = {"range": {"t": {"gte": "2024-03-10", "lte": "2024-03-10",
+                            "time_zone": "America/New_York"}}}
+    got = sorted(r["id"] for r in df.where(compile_query(body)).collect())
+    assert got == [1, 2]
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t2 (id BIGINT, t BIGINT)")
+    con.executemany("INSERT INTO t2 VALUES (?,?)", rows)
+    sql_got = sorted(r[0] for r in con.execute(
+        f"SELECT id FROM t2 WHERE {compile_query_sql(body)}").fetchall())
+    assert sql_got == got
+    # garbage date strings stay loud
+    with pytest.raises(ValueError, match="cannot parse range date"):
+        resolve_range_bounds({"gte": "03/10/2024"})
+
+
 def test_knn_similarity_kinds(spark):
     """r10: the full ES knn similarity set — l2_norm ranks by smallest
     distance (_score = 1/(1+d²)), max_inner_product applies ES's
