@@ -1324,9 +1324,20 @@ def test_cumulative_cardinality_under_date_histogram(spark):
             "date_histogram": {"field": "t", "fixed_interval": 100},
             "aggs": {"cu": {"cumulative_cardinality": {"buckets_path": "x"}}},
         }}})
-    with _pt.raises(ValueError, match="fixed-interval|fixed_interval"):
+    # (amended r10) calendar grids are supported (date_trunc first-seen
+    # keys); with all five samples inside one month the running distinct
+    # is the total
+    cal = run_search(ev, {"aggs": {"h": {
+        "date_histogram": {"field": "t", "calendar_interval": "month"},
+        "aggs": {"u": {"cardinality": {"field": "uid"}},
+                 "cu": {"cumulative_cardinality": {"buckets_path": "u"}}},
+    }}})["h"].collect()
+    assert [(r.u, r.cu) for r in cal] == [(3, 3)]
+    # calendar + offset stays loud
+    with _pt.raises(ValueError, match="offset"):
         run_search(ev, {"aggs": {"h": {
-            "date_histogram": {"field": "t", "calendar_interval": "month"},
+            "date_histogram": {"field": "t", "calendar_interval": "month",
+                               "offset": "1h"},
             "aggs": {"u": {"cardinality": {"field": "uid"}},
                      "cu": {"cumulative_cardinality": {"buckets_path": "u"}}},
         }}})
@@ -1509,10 +1520,16 @@ def test_knn_section(spark):
     # the ES knn+query score-sum union is refused loudly
     with pytest.raises(ValueError, match="knn with a top-level"):
         run_search(df, {"knn": body["knn"], "query": {"term": {"vec_id": 1}}})
+    # (amended r10) l2_norm is supported — rank by smallest distance
+    # (deep pins in tests/test_round10.py); unknown kinds stay loud
+    l2 = run_search(df, {"knn": {"field": "embedding",
+                                 "query_vector": [1.0, 0.0], "k": 1,
+                                 "similarity": "l2_norm"}})["_hits"].collect()
+    assert l2[0].vec_id == 1
     with pytest.raises(ValueError, match="similarity"):
         run_search(df, {"knn": {"field": "embedding",
                                 "query_vector": [1.0, 0.0], "k": 1,
-                                "similarity": "l2_norm"}})
+                                "similarity": "hamming"}})
 
 
 def test_terms_under_histogram(spark):
