@@ -798,13 +798,6 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
                     " flattened per term)"
                 )
             mdc = int(spec.get("min_doc_count", 1))
-            if mdc > 1:
-                raise ValueError(
-                    "date_histogram min_doc_count > 1 with a terms child"
-                    " is unsupported — the flattened frame carries"
-                    " per-TERM doc_counts, so the bucket-level threshold"
-                    " has no single column to filter on"
-                )
             tfield = tspec["field"]
             # the grouped frame never fills per term (that would invent a
             # per-term grid ES does not have); extended_bounds with
@@ -855,6 +848,22 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
                 )
                 ranked = (
                     ranked.unionByName(missing.select(ranked.columns))
+                    .orderBy(
+                        "key", F.col("doc_count").desc(), F.col(tfield).asc()
+                    )
+                )
+            if mdc > 1:
+                # r10: bucket-level threshold from the UNGROUPED
+                # date_histogram (term-NULL docs count toward the bucket,
+                # matching ES); surviving keys semi-join the flattened
+                # frame
+                keep = _date_histogram(
+                    df,
+                    {k: v for k, v in spec.items() if k != "extended_bounds"},
+                    sub=None,
+                ).select("key")
+                ranked = (
+                    ranked.join(keep, "key", "left_semi")
                     .orderBy(
                         "key", F.col("doc_count").desc(), F.col(tfield).asc()
                     )
@@ -958,13 +967,6 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
                     " term)"
                 )
             mdc = int(spec.get("min_doc_count", 1))
-            if mdc > 1:
-                raise ValueError(
-                    "histogram min_doc_count > 1 with a terms child is"
-                    " unsupported — the flattened frame carries per-TERM"
-                    " doc_counts, so the bucket-level threshold has no"
-                    " single column to filter on"
-                )
             tfield = tspec["field"]
             flat = histogram_agg(
                 df.where(F.col(tfield).isNotNull()),
@@ -1023,6 +1025,23 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
             # extended_bounds with min_doc_count >= 1 is an ES no-op (the
             # widened empty buckets are filtered right back out) — accept
             # it like ES does; mdc == 1 is the plain flattened frame
+            if mdc > 1:
+                # r10 (formerly a loud raise): the bucket-level threshold
+                # comes from the UNGROUPED histogram over ALL docs (ES
+                # counts term-NULL docs toward the bucket); surviving
+                # keys semi-join the flattened frame — one extra data
+                # pass, shuffles carry bucket keys only
+                keep = histogram_agg(
+                    df, spec["field"], spec["interval"],
+                    offset=spec.get("offset", 0.0),
+                    min_doc_count=mdc,
+                ).select("key")
+                ranked = (
+                    ranked.join(keep, "key", "left_semi")
+                    .orderBy(
+                        "key", F.col("doc_count").desc(), F.col(tfield).asc()
+                    )
+                )
             return ranked
         if int(spec.get("min_doc_count", 1)) == 0:
             # zero-fill contract: the grid between data min/max (widened

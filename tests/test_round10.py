@@ -390,13 +390,31 @@ def test_date_histogram_terms_child_zero_fill(spark):
           for r in run_search(df, cal)["d"].collect()]
     assert kv == [("a", H, 1), ("b", H, 1), (None, 2 * H, 0),
                   (None, 3 * H, 0), ("a", 4 * H, 1)]
-    # min_doc_count > 1 with a terms child stays loud
-    with pytest.raises(ValueError, match="min_doc_count > 1"):
-        run_search(df, {"aggs": {"d": {
-            "date_histogram": {"field": "t", "fixed_interval": "1h",
-                               "min_doc_count": 2},
-            "aggs": {"ts": {"terms": {"field": "term"}}},
-        }}})
+    # min_doc_count > 1 with a terms child (second r10 pass): the
+    # bucket-level threshold comes from the UNGROUPED histogram, so the
+    # 2-doc bucket at 1h survives and the 1-doc bucket at 4h drops
+    out2 = run_search(df, {"aggs": {"d": {
+        "date_histogram": {"field": "t", "fixed_interval": "1h",
+                           "min_doc_count": 2},
+        "aggs": {"ts": {"terms": {"field": "term"}}},
+    }}})["d"].collect()
+    assert [(r["term"], r["key"], r["doc_count"]) for r in out2] == [
+        ("a", 1 * H, 1), ("b", 1 * H, 1),
+    ]
+
+
+def test_histogram_terms_child_min_doc_count_counts_null_terms(spark):
+    """The bucket-level threshold counts docs whose TERM field is null
+    (ES: min_doc_count applies to the histogram bucket, terms drops its
+    own nulls) — a bucket with 1 termed + 1 term-null doc survives
+    min_doc_count: 2 and shows its single term row."""
+    rows = [(10.0, "a"), (20.0, None), (250.0, "b")]
+    df = spark.createDataFrame(rows, "v double, t string")
+    out = run_search(df, {"aggs": {"h": {
+        "histogram": {"field": "v", "interval": 100, "min_doc_count": 2},
+        "aggs": {"ts": {"terms": {"field": "t"}}},
+    }}})["h"].collect()
+    assert [(r["t"], r["key"], r["doc_count"]) for r in out] == [("a", 0.0, 1)]
 
 
 def test_histogram_extended_bounds_noop_with_min_doc_count_1(spark):
