@@ -257,3 +257,74 @@ def test_composite_week_keys_are_mondays(ts, spark):
     )
     assert got == want
     assert sum(r["doc_count"] for r in out) == len(ts)
+
+
+# ---------------------------------------------------------------------------
+# the whole histogram+terms-child min_doc_count surface vs a python model
+# ---------------------------------------------------------------------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),           # value
+            st.sampled_from(["a", "b", "c", None]),           # term
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    mdc=st.integers(min_value=0, max_value=3),
+    size=st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=20, deadline=None)
+def test_histogram_terms_child_mdc_surface_model(rows, mdc, size, spark):
+    """Random corpora through the compiler vs a direct python model of
+    the documented contract: per-(bucket, term) counts ranked per bucket
+    (count desc, term asc, top `size`); mdc==0 adds NULL-term rows for
+    grid keys with no term rows; mdc>1 keeps only buckets whose TOTAL
+    doc count (including term-null docs) meets the threshold."""
+    from collections import Counter
+
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    interval = 10
+    df = spark.createDataFrame(
+        [(float(v), t) for v, t in rows], "v double, t string"
+    )
+    body = {"aggs": {"h": {
+        "histogram": {"field": "v", "interval": interval,
+                      "min_doc_count": mdc},
+        "aggs": {"ts": {"terms": {"field": "t", "size": size}}},
+    }}}
+    got = [
+        (r["key"], r["t"], r["doc_count"])
+        for r in run_search(df, body)["h"].collect()
+    ]
+
+    # --- python model ---
+    key = lambda v: float((v // interval) * interval)
+    bucket_total = Counter(key(v) for v, _ in rows)
+    pair = Counter((key(v), t) for v, t in rows if t is not None)
+    want = []
+    for k in sorted(bucket_total):
+        terms = sorted(
+            ((t, c) for (kk, t), c in pair.items() if kk == k),
+            key=lambda x: (-x[1], x[0]),
+        )[:size]
+        if mdc == 0 and not terms:
+            want.append((k, None, 0))
+        elif mdc > 1:
+            if bucket_total[k] >= mdc:
+                want.extend((k, t, c) for t, c in terms)
+        else:
+            want.extend((k, t, c) for t, c in terms)
+    if mdc == 0:
+        # grid completeness: interior gap keys appear as NULL-term rows
+        ks = sorted(bucket_total)
+        full = [float(x) for x in range(int(ks[0]), int(ks[-1]) + 1, interval)]
+        have = {k for k, *_ in want}
+        for k in full:
+            if k not in have:
+                want.append((k, None, 0))
+        want.sort(key=lambda r: (r[0], -r[2], r[1] or ""))
+    assert got == want, (rows, mdc, size)
