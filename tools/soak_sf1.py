@@ -64,6 +64,16 @@ FLAGSHIPS = (
     "corpus_bpe_train_dist",
     "corpus_quality_clf",
     "train_curate_clf",
+    # round-10 newcomers: the two-data-pass terms-child fills, the
+    # sampled clf serving path, the N-field matrix (one agg pass), the
+    # calendar first-seen fold, and the streaming first-seen twin
+    "es_search_body4",
+    "es_search_hist_fill_terms",
+    "es_search_dh_fill_terms",
+    "corpus_quality_clf_sampled",
+    "es_matrix_stats_multi",
+    "es_search_cumcard_cal",
+    "stream_new_users",
 )
 
 
