@@ -808,10 +808,17 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
                 k: v for k, v in spec.items()
                 if k not in ("min_doc_count", "extended_bounds")
             }
-            flat = _date_histogram(
-                df.where(F.col(tfield).isNotNull()), tflat_spec,
-                sub=tchildren, group_by=(tfield,),
+            # ONE corpus aggregation (the numeric-branch discipline): the
+            # NULL-term group stays in the frame so bucket totals and the
+            # fill-grid bounds derive from it without a second data pass
+            flat_all = _date_histogram(
+                df, tflat_spec, sub=tchildren, group_by=(tfield,),
             )
+            if mdc != 1:
+                # pin the result-sized bucket frame on the multi-reference
+                # fill/threshold paths (see the numeric branch)
+                flat_all = flat_all.localCheckpoint(eager=True)
+            flat = flat_all.where(F.col(tfield).isNotNull())
             ranked = _rank_terms_per_bucket(
                 flat, tfield, int(tspec.get("size", 10))
             )
@@ -828,7 +835,19 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
                     for sname, snode in (tchildren or {}).items()
                     if any(k in snode for k in zero_kinds)
                 }
-                grid = _date_histogram(df, spec, sub=None)
+                # the calendar/fixed fill spine machinery runs over a
+                # 2-instant bounds frame (the frame's own min/max keys,
+                # already rounded) — result-sized, never a second pass
+                tiny = (
+                    flat_all.agg(
+                        F.min("key").alias("__lo"), F.max("key").alias("__hi")
+                    )
+                    .where(F.col("__lo").isNotNull())
+                    .select(
+                        F.explode(F.array("__lo", "__hi")).alias(spec["field"])
+                    )
+                )
+                grid = _date_histogram(tiny, spec, sub=None)
                 dtypes = {f.name: f.dataType for f in ranked.schema.fields}
                 metric_names = list(tchildren or {})
                 grid_cols = [c for c in grid.columns if c != "doc_count"]
@@ -853,15 +872,15 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
                     )
                 )
             if mdc > 1:
-                # r10: bucket-level threshold from the UNGROUPED
-                # date_histogram (term-NULL docs count toward the bucket,
-                # matching ES); surviving keys semi-join the flattened
-                # frame
-                keep = _date_histogram(
-                    df,
-                    {k: v for k, v in spec.items() if k != "extended_bounds"},
-                    sub=None,
-                ).select("key")
+                # r10: bucket-level threshold rolls up from the
+                # (bucket, term) frame incl. the NULL-term group (ES
+                # counts those docs toward the bucket) — result-sized
+                keep = (
+                    flat_all.groupBy("key")
+                    .agg(F.sum("doc_count").alias("__n"))
+                    .where(F.col("__n") >= mdc)
+                    .select("key")
+                )
                 ranked = (
                     ranked.join(keep, "key", "left_semi")
                     .orderBy(
@@ -968,13 +987,26 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
                 )
             mdc = int(spec.get("min_doc_count", 1))
             tfield = tspec["field"]
-            flat = histogram_agg(
-                df.where(F.col(tfield).isNotNull()),
-                spec["field"], spec["interval"],
+            # ONE corpus aggregation (r10 second pass over this path):
+            # the (bucket, term) frame keeps the NULL-term group — those
+            # docs count toward the BUCKET (ES) while the terms child
+            # drops them — so bucket totals, fill-grid bounds, and the
+            # per-term rows all derive from this single frame; Catalyst's
+            # exchange reuse shares the aggregation across the consumers.
+            flat_all = histogram_agg(
+                df, spec["field"], spec["interval"],
                 offset=spec.get("offset", 0.0),
                 extra_aggs=_metric_extra_aggs(tchildren) or None,
                 group_cols=(tfield,),
             )
+            if mdc != 1:
+                # the fill/threshold paths reference this frame 3-4 times
+                # and Catalyst duplicates the whole subtree per reference
+                # (column pruning defeats exchange reuse) — PIN the
+                # result-sized bucket frame so the corpus aggregates ONCE
+                # (the es_phrase_suggest tiny-frame discipline)
+                flat_all = flat_all.localCheckpoint(eager=True)
+            flat = flat_all.where(F.col(tfield).isNotNull())
             ranked = _rank_terms_per_bucket(
                 flat, tfield, int(tspec.get("size", 10))
             )
@@ -994,8 +1026,12 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
                     for sname, snode in (tchildren or {}).items()
                     if any(k in snode for k in zero_kinds)
                 }
+                # grid from the BUCKET frame's own keys (keys are already
+                # floored, so re-histogramming them is the identity) —
+                # the fill spine machinery runs over a result-sized input
                 grid = histogram_agg_filled(
-                    df, spec["field"], spec["interval"],
+                    flat_all.select(F.col("key").alias(spec["field"])),
+                    spec["field"], spec["interval"],
                     offset=spec.get("offset", 0.0),
                     extended_bounds=(
                         (float(eb["min"]), float(eb["max"])) if eb else None
@@ -1027,15 +1063,15 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
             # it like ES does; mdc == 1 is the plain flattened frame
             if mdc > 1:
                 # r10 (formerly a loud raise): the bucket-level threshold
-                # comes from the UNGROUPED histogram over ALL docs (ES
-                # counts term-NULL docs toward the bucket); surviving
-                # keys semi-join the flattened frame — one extra data
-                # pass, shuffles carry bucket keys only
-                keep = histogram_agg(
-                    df, spec["field"], spec["interval"],
-                    offset=spec.get("offset", 0.0),
-                    min_doc_count=mdc,
-                ).select("key")
+                # rolls up from the (bucket, term) frame — the NULL-term
+                # group keeps ES's count-all-docs semantics — and the
+                # surviving keys semi-join back; result-sized throughout
+                keep = (
+                    flat_all.groupBy("key")
+                    .agg(F.sum("doc_count").alias("__n"))
+                    .where(F.col("__n") >= mdc)
+                    .select("key")
+                )
                 ranked = (
                     ranked.join(keep, "key", "left_semi")
                     .orderBy(
