@@ -874,6 +874,58 @@ def _es_search_cumcard_cal_query(s: SparkSession, d: str) -> DataFrame:
     ].drop("key_ts")
 
 
+# Round-11 (SCOPE.md §E, the last loud cumcard corner): CALENDAR grid
+# WITH offset — Monday weeks shifted +3d (Thursday-anchored), the ES
+# alias spelling '1w' (normalized via params.parse_interval; raw alias
+# would NULL under date_trunc). Key = trunc(t − off) + off on BOTH the
+# bucket grid (params.round_key_ms) and the first-seen fold.
+ES_SEARCH_CUMCARD_CAL_OFF_BODY = {
+    "size": 0,
+    "aggs": {
+        "weekly": {
+            "date_histogram": {"field": "t_ms", "calendar_interval": "1w",
+                               "offset": "3d", "min_doc_count": 1},
+            "aggs": {
+                "u": {"cardinality": {"field": "user_id"}},
+                "cu": {"cumulative_cardinality": {"buckets_path": "u"}},
+            },
+        },
+    },
+}
+
+
+def _es_search_cumcard_cal_off_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    return run_search(_events_tms(s, d), ES_SEARCH_CUMCARD_CAL_OFF_BODY)[
+        "weekly"
+    ].drop("key_ts")
+
+
+ES_SEARCH_CUMCARD_CAL_OFF_SQL = """
+WITH ev AS (
+  SELECT epoch_ms(date_trunc('week',
+           make_timestamp((epoch_ms(ts) - 259200000) * 1000))) + 259200000
+           AS key, user_id
+  FROM events WHERE ts IS NOT NULL
+),
+b AS (
+  SELECT key, CAST(COUNT(*) AS BIGINT) AS doc_count,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS u
+  FROM ev GROUP BY key
+),
+firsts AS (
+  SELECT key, CAST(COUNT(*) AS BIGINT) AS new_ids
+  FROM (SELECT user_id, MIN(key) AS key FROM ev GROUP BY user_id)
+  GROUP BY key
+)
+SELECT b.key, b.doc_count, b.u,
+       CAST(SUM(COALESCE(f.new_ids, 0)) OVER (ORDER BY b.key
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cu
+FROM b LEFT JOIN firsts f USING (key) ORDER BY b.key
+"""
+
+
 ES_SEARCH_CUMCARD_CAL_SQL = """
 WITH ev AS (
   SELECT epoch_ms(date_trunc('week', make_timestamp(epoch_ms(ts) * 1000)))
@@ -1958,6 +2010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_pipe2": _es_search_pipe2_query,
         "es_search_cumcard": _es_search_cumcard_query,
         "es_search_cumcard_cal": _es_search_cumcard_cal_query,
+        "es_search_cumcard_cal_off": _es_search_cumcard_cal_off_query,
         "es_search_knn_l2": _es_search_knn_l2_query,
         "es_search_change_point": _es_search_cp_query,
         "es_search_nested": _es_search_nested_query,
@@ -2280,6 +2333,7 @@ def oracle_sql() -> dict[str, str]:
         "es_search_pipe2": ES_SEARCH_PIPE2_SQL,
         "es_search_cumcard": ES_SEARCH_CUMCARD_SQL,
         "es_search_cumcard_cal": ES_SEARCH_CUMCARD_CAL_SQL,
+        "es_search_cumcard_cal_off": ES_SEARCH_CUMCARD_CAL_OFF_SQL,
         "es_search_knn_l2": ES_SEARCH_KNN_L2_SQL,
         "es_search_change_point": _es_search_cp_oracle(),
         "es_search_nested": ES_SEARCH_NESTED_SQL,

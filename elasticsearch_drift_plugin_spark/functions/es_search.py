@@ -895,16 +895,26 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
 
             # r10 (SCOPE.md §E): any first-seen-orderable grid works —
             # fixed (with offset) via the shifted modular floor, calendar
-            # via date_trunc; only calendar+offset (the one psum rounding
-            # the first-seen key can't mirror cheaply) stays loud.
+            # (r11: with offset too) via the shifted date_trunc floor
+            # trunc(t−off)+off — the SAME key params.round_key_ms gives
+            # the bucket grid, so the join aligns. The ES alias is
+            # normalized through params.parse_interval ('1w'→'week');
+            # date_trunc would silently NULL on the raw alias. time_zone
+            # stays loud (the first-seen key has no zone-aware floor).
             cc_kw: dict = {}
             if "calendar_interval" in spec:
-                if spec.get("offset"):
+                if spec.get("time_zone"):
                     raise ValueError(
                         "cumulative_cardinality under a calendar"
-                        " date_histogram does not support offset"
+                        " date_histogram does not support time_zone"
                     )
-                cc_kw["calendar_unit"] = spec["calendar_interval"]
+                from ..params import parse_interval as _parse_iv
+
+                cc_kw["calendar_unit"] = _parse_iv(
+                    None, spec["calendar_interval"]
+                )[2]
+                if spec.get("offset"):
+                    cc_kw["offset_ms"] = _parse_tv(spec["offset"])
             elif "fixed_interval" in spec:
                 cc_kw["step_ms"] = _parse_tv(spec["fixed_interval"])
                 if spec.get("offset"):
@@ -1923,8 +1933,8 @@ def _apply_pipelines(buckets: DataFrame, pipes: dict, group_cols=()) -> DataFram
             # routed through _PIPELINE_KINDS but resolved at the
             # date_histogram node (it needs the raw ids, not the buckets)
             raise ValueError(
-                "cumulative_cardinality is supported under a fixed-interval "
-                "date_histogram only"
+                "cumulative_cardinality is supported under a date_histogram"
+                " (fixed or calendar interval, with offset) only"
             )
         if skind == "cumulative_sum":
             col = _path_col(spec.get("buckets_path", "value"))

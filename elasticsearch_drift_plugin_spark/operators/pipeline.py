@@ -20,6 +20,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Canonical date_trunc units both engines agree on (Spark date_trunc
+# returns NULL — not an error — for anything else, so gate loudly).
+_CC_CALENDAR_UNITS = frozenset(
+    {"year", "quarter", "month", "week", "day", "hour", "minute", "second"}
+)
+
 
 def bucket_pipeline(
     result: DataFrame,
@@ -191,16 +197,35 @@ def cumulative_cardinality(
     UTC calendar (``date_trunc``, matching the date_histogram operator's
     calendar keys). MIN(first-seen) is order-based, so any monotone key
     expression preserves the algorithm.
+
+    r11: ``calendar_unit`` + ``offset_ms`` compose — the key is the
+    shifted calendar floor ``trunc(t − off) + off``, exactly the
+    date_histogram operator's calendar+offset key (params.round_key_ms),
+    so the compiler's bucket join stays aligned. ``calendar_unit`` must
+    be a CANONICAL unit name (``'week'``, not the ES alias ``'1w'`` —
+    Spark/DuckDB ``date_trunc`` silently return NULL on unknown formats;
+    callers normalize via ``params.parse_interval``); unknown units
+    raise here.
     """
     t = F.col(time_ms_col)
     if calendar_unit is not None:
-        if step_ms is not None or offset_ms:
+        if step_ms is not None:
             raise ValueError(
                 "cumulative_cardinality takes EITHER calendar_unit OR"
-                " step_ms(+offset_ms)"
+                " step_ms"
             )
-        key = F.unix_millis(
-            F.date_trunc(calendar_unit, F.timestamp_millis(t))
+        if calendar_unit not in _CC_CALENDAR_UNITS:
+            raise ValueError(
+                f"cumulative_cardinality calendar_unit {calendar_unit!r}"
+                f" must be canonical, one of {sorted(_CC_CALENDAR_UNITS)}"
+                " (normalize ES aliases via params.parse_interval)"
+            )
+        off = int(offset_ms)
+        key = (
+            F.unix_millis(
+                F.date_trunc(calendar_unit, F.timestamp_millis(t - F.lit(off)))
+            )
+            + F.lit(off)
         ).alias("key")
     else:
         off = int(offset_ms)
@@ -231,9 +256,15 @@ def cumulative_cardinality_sql(
     offset_ms: int = 0,
 ) -> str:
     if calendar_unit is not None:
+        if calendar_unit not in _CC_CALENDAR_UNITS:
+            raise ValueError(
+                f"cumulative_cardinality calendar_unit {calendar_unit!r}"
+                f" must be canonical, one of {sorted(_CC_CALENDAR_UNITS)}"
+            )
+        off = int(offset_ms)
         key = (
             f"epoch_ms(date_trunc('{calendar_unit}',"
-            f" make_timestamp(({time_ms_expr}) * 1000)))"
+            f" make_timestamp((({time_ms_expr}) - {off}) * 1000))) + {off}"
         )
     else:
         t, off, step = time_ms_expr, int(offset_ms), int(step_ms)

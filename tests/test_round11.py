@@ -1,0 +1,109 @@
+"""Round-11 pins.
+
+1. ``cumulative_cardinality`` calendar-grid hardening (ADVICE r10 medium):
+   ES alias spellings (``'1w'``, ``'1M'``) are normalized through
+   ``params.parse_interval`` before hitting ``date_trunc`` — the raw alias
+   would make Spark's ``date_trunc`` return NULL and silently NULL the
+   whole cum column. Pinned by a golden where every key must be non-NULL.
+2. Calendar + offset composition (VERDICT r10 item 7, SCOPE.md §E): the
+   first-seen key is the shifted calendar floor ``trunc(t − off) + off``,
+   exactly ``params.round_key_ms``'s calendar+offset key, so the bucket
+   join aligns.
+3. ``time_zone`` on a cumcard-carrying calendar date_histogram stays a
+   LOUD raise (no zone-aware first-seen floor), and non-canonical units
+   raise at the operator instead of NULLing.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+from elasticsearch_drift_plugin_spark.operators.pipeline import (
+    cumulative_cardinality,
+)
+
+DAY = 86_400_000
+
+
+def _ms(iso: str) -> int:
+    return int(
+        datetime.fromisoformat(iso).replace(tzinfo=timezone.utc).timestamp() * 1000
+    )
+
+
+@pytest.fixture(scope="module")
+def cc_df(spark):
+    # 2024-01-01 is a Monday. Users appear across three ISO weeks.
+    rows = [
+        (_ms("2024-01-01T10:00:00"), 1),  # week of Jan 1
+        (_ms("2024-01-02T10:00:00"), 2),
+        (_ms("2024-01-08T10:00:00"), 1),  # week of Jan 8 (1 returns)
+        (_ms("2024-01-09T10:00:00"), 3),
+        (_ms("2024-01-16T10:00:00"), 4),  # week of Jan 15
+    ]
+    return spark.createDataFrame(rows, "t_ms long, user_id long")
+
+
+def _body(hist: dict) -> dict:
+    return {
+        "size": 0,
+        "aggs": {
+            "g": {
+                "date_histogram": {"field": "t_ms", **hist},
+                "aggs": {
+                    "u": {"cardinality": {"field": "user_id"}},
+                    "cu": {"cumulative_cardinality": {"buckets_path": "u"}},
+                },
+            }
+        },
+    }
+
+
+def test_cumcard_calendar_alias_normalized(cc_df):
+    """'1w' (the ES alias) must produce the SAME buckets as 'week' — and
+    no NULL keys/cums (the pre-fix failure mode: date_trunc('1w') → NULL
+    keys → join misses → cum silently NULL)."""
+    out_alias = run_search(cc_df, _body({"calendar_interval": "1w"}))["g"]
+    out_word = run_search(cc_df, _body({"calendar_interval": "week"}))["g"]
+    ra = [(r["key"], r["u"], r["cu"]) for r in out_alias.collect()]
+    rw = [(r["key"], r["u"], r["cu"]) for r in out_word.collect()]
+    assert ra == rw
+    assert all(None not in t for t in ra)
+    assert [t[2] for t in ra] == [2, 3, 4]  # running distinct users
+
+
+def test_cumcard_calendar_with_offset(cc_df):
+    """offset '3d' shifts Monday weeks to Thursday anchors: Jan 1-3 land
+    in the bucket anchored Thu Dec 28; Jan 4+ in Thu-anchored weeks."""
+    out = run_search(
+        cc_df, _body({"calendar_interval": "week", "offset": "3d"})
+    )["g"]
+    rows = [(r["key"], r["u"], r["cu"]) for r in out.collect()]
+    thu_dec28 = _ms("2023-12-28T00:00:00")
+    # events Jan 1/2 → Dec 28 bucket; Jan 8/9 → Jan 4 bucket; Jan 16 → Jan 11
+    assert [r[0] for r in rows] == [
+        thu_dec28, thu_dec28 + 7 * DAY, thu_dec28 + 14 * DAY,
+    ]
+    assert [r[2] for r in rows] == [2, 3, 4]
+    # every key is the shifted calendar floor round_key_ms computes
+    from elasticsearch_drift_plugin_spark.params import normalize, round_key_ms
+
+    p = normalize(calendar_interval="week", offset="3d")
+    assert all(round_key_ms(p, k) == k for k, _, _ in rows)
+
+
+def test_cumcard_calendar_time_zone_raises(cc_df):
+    with pytest.raises(ValueError, match="time_zone"):
+        run_search(
+            cc_df,
+            _body({"calendar_interval": "week", "time_zone": "Europe/Berlin"}),
+        )
+
+
+def test_cumcard_operator_rejects_non_canonical_unit(cc_df):
+    with pytest.raises(ValueError, match="canonical"):
+        cumulative_cardinality(cc_df, "t_ms", "user_id", calendar_unit="1w")
