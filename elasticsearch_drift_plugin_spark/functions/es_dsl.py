@@ -61,6 +61,7 @@ at execution time, predicates eligible for scan pushdown.
 from __future__ import annotations
 
 import re
+from datetime import datetime
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -175,19 +176,101 @@ def calculate_min_should_match(optional_clause_count: int, spec) -> int:
     return max(result, 0)
 
 
+# A string bound engages DATE parsing only when it looks like one — a
+# date-shaped literal or a date-math expression ("now…" / "anchor||math").
+# Anything else passes through verbatim, preserving ES's lexicographic
+# ranges over keyword fields ({"range": {"tag": {"gte": "m"}}}).
+_DATE_SHAPE = re.compile(r"\d{4}-\d{2}-\d{2}(T\d{2}(:\d{2}(:\d{2})?)?)?$")
+_MATH_OP = re.compile(r"([+\-/])(\d*)([yMwdhHms])")
+_MATH_UNIT = {
+    "y": "year", "M": "month", "w": "week", "d": "day",
+    "h": "hour", "H": "hour", "m": "minute", "s": "second",
+}
+
+
+def _eval_date_math(expr: str, tzinfo, round_up: bool, now_ms, fmts) -> int:
+    """ES date-math (JavaDateMathParser.parseMath semantics) resolved at
+    COMPILE time: anchor (``now`` or ``<date>||``) then left-to-right
+    ``±N<unit>`` calendar steps and ``/<unit>`` roundings. ``roundUp``
+    (the gt/lte side) fills an anchor date's missing fields to their max
+    (the existing plain-date rule) and makes ``/u`` round to the unit's
+    last millisecond; ``now`` is always an exact instant. Calendar
+    arithmetic and floors go through params.add_calendar_ms /
+    trunc_calendar_ms — the ONE wall-clock engine psum grids use — so DST
+    stepping matches the rest of the engine. ``now`` must be supplied
+    explicitly (epoch ms) for reproducibility: a cluster-clock-implicit
+    now would make query results non-replayable."""
+    from ..params import add_calendar_ms, trunc_calendar_ms
+
+    if expr.startswith("now"):
+        if now_ms is None:
+            raise ValueError(
+                f"range bound {expr!r} is now-anchored — pass an explicit"
+                " reference instant as the clause's 'now' (epoch ms):"
+                ' {"range": {f: {"gte": "now-1d/d", "now": <ms>}}}'
+            )
+        t, math = int(now_ms), expr[3:]
+    else:
+        anchor, _, math = expr.partition("||")
+        t = None
+        for fmt, span in fmts:
+            try:
+                dt = datetime.strptime(anchor, fmt).replace(tzinfo=tzinfo)
+            except ValueError:
+                continue
+            t = (
+                int((dt + span).timestamp() * 1000) - 1
+                if round_up
+                else int(dt.timestamp() * 1000)
+            )
+            break
+        if t is None:
+            raise ValueError(
+                f"cannot parse date-math anchor {anchor!r} — expected"
+                " YYYY-MM-DD[THH[:MM[:SS]]]||math"
+            )
+    pos = 0
+    for m in _MATH_OP.finditer(math):
+        if m.start() != pos:
+            break
+        op, n_s, u = m.groups()
+        unit = _MATH_UNIT[u]
+        if op == "/":
+            if n_s:
+                raise ValueError(f"date-math rounding takes no number: {expr!r}")
+            t = trunc_calendar_ms(t, unit, tzinfo)
+            if round_up:
+                t = add_calendar_ms(t, unit, 1, tzinfo) - 1
+        else:
+            n = int(n_s) if n_s else 1
+            t = add_calendar_ms(t, unit, n if op == "+" else -n, tzinfo)
+        pos = m.end()
+    if pos != len(math):
+        raise ValueError(
+            f"unparseable date-math tail {math[pos:]!r} in {expr!r} —"
+            " expected ±N(y|M|w|d|h|H|m|s) steps and /unit roundings"
+        )
+    return t
+
+
 def resolve_range_bounds(bounds: dict) -> dict:
     """ES ``range`` date handling at COMPILE time (r10 — formerly a loud
-    raise on ``time_zone``): date-STRING bounds parse in the clause's
-    ``time_zone`` (default UTC) and apply ES's rounding rule — ``gte``/
-    ``lt`` round DOWN to the start of the string's resolution unit,
-    ``gt``/``lte`` round UP to the last millisecond of it (DateMathParser
-    round-up), so ``{"lte": "2024-03-10"}`` includes the whole local day.
-    Wall-clock arithmetic (Python aware-datetime + timedelta) matches
-    ES's calendar stepping across DST. Numeric bounds pass through —
-    ``time_zone`` has no effect on epoch-ms values in ES either. Returns
-    the op→epoch-ms/number dict; both query compilers share it, so the
-    emitted predicates are identical."""
-    from datetime import datetime, timedelta, timezone as _tzmod
+    raise on ``time_zone``; r11 adds date MATH): date-STRING bounds parse
+    in the clause's ``time_zone`` (default UTC) and apply ES's rounding
+    rule — ``gte``/``lt`` round DOWN to the start of the string's
+    resolution unit, ``gt``/``lte`` round UP to the last millisecond of it
+    (DateMathParser round-up), so ``{"lte": "2024-03-10"}`` includes the
+    whole local day. Date-MATH bounds (``now-1d/d``, ``now/w``,
+    ``2024-01-01||+1M/d``) resolve the same way; ``now``-anchored forms
+    require an explicit ``now`` (epoch ms) sibling key — the engine's
+    reproducibility contract (ES reads the coordinator clock; a replayed
+    query must not drift). Wall-clock arithmetic matches ES's calendar
+    stepping across DST. Numeric bounds pass through — ``time_zone`` has
+    no effect on epoch-ms values in ES either — and non-date-shaped
+    strings pass through VERBATIM (lexicographic keyword ranges).
+    Returns the op→epoch-ms/number/verbatim dict; both query compilers
+    share it, so the emitted predicates are identical."""
+    from datetime import timedelta, timezone as _tzmod
     from zoneinfo import ZoneInfo
 
     tz = bounds.get("time_zone")
@@ -204,6 +287,7 @@ def resolve_range_bounds(bounds: dict) -> dict:
             tzinfo = ZoneInfo(tz)
         except Exception:
             raise ValueError(f"unknown range time_zone {tz!r}") from None
+    now_ms = bounds.get("now")
     fmts = [
         ("%Y-%m-%dT%H:%M:%S", timedelta(seconds=1)),
         ("%Y-%m-%dT%H:%M", timedelta(minutes=1)),
@@ -214,25 +298,35 @@ def resolve_range_bounds(bounds: dict) -> dict:
     def to_ms(v, round_up: bool):
         if not isinstance(v, str):
             return v
-        for fmt, span in fmts:
-            try:
-                dt = datetime.strptime(v, fmt).replace(tzinfo=tzinfo)
-            except ValueError:
-                continue
-            if round_up:
-                # wall-clock next-unit start minus 1 ms (aware-datetime
-                # + timedelta is wall arithmetic; .timestamp() re-derives
-                # the UTC offset, handling 23/25-hour DST days like ES)
-                return int((dt + span).timestamp() * 1000) - 1
-            return int(dt.timestamp() * 1000)
-        raise ValueError(
-            f"cannot parse range date bound {v!r} — expected"
-            " YYYY-MM-DD[THH[:MM[:SS]]]"
-        )
+        if v.startswith("now") or "||" in v:
+            return _eval_date_math(v, tzinfo, round_up, now_ms, fmts)
+        if _DATE_SHAPE.fullmatch(v):
+            for fmt, span in fmts:
+                try:
+                    dt = datetime.strptime(v, fmt).replace(tzinfo=tzinfo)
+                except ValueError:
+                    continue
+                if round_up:
+                    # wall-clock next-unit start minus 1 ms (aware-datetime
+                    # + timedelta is wall arithmetic; .timestamp() re-derives
+                    # the UTC offset, handling 23/25-hour DST days like ES)
+                    return int((dt + span).timestamp() * 1000) - 1
+                return int(dt.timestamp() * 1000)
+            raise ValueError(
+                f"cannot parse range date bound {v!r} — expected"
+                " YYYY-MM-DD[THH[:MM[:SS]]]"
+            )
+        if tz:
+            # a time_zone on a non-date bound is a category error —
+            # loud beats silently comparing strings to epoch ms
+            raise ValueError(
+                f"range time_zone given but bound {v!r} is not date-shaped"
+            )
+        return v  # keyword/lexicographic bound — verbatim
 
     out = {}
     for op, v in bounds.items():
-        if op == "time_zone":
+        if op in ("time_zone", "now"):
             continue
         if op in ("gt", "lte"):
             out[op] = to_ms(v, round_up=True)

@@ -791,6 +791,49 @@ RANGE_TZ_BODY = {"bool": {"filter": [{"range": {"t_ms": {
 }}}]}}
 
 
+# range date MATH (r11, SCOPE.md §E — the most user-probable former
+# raise; Kibana-style clients emit it constantly): "the 7 full days
+# before today, Mondays-anchored rounding" over an EXPLICIT reference
+# instant. `now` anchors resolve at compile time against the clause's
+# `now` key (epoch ms) — the engine's reproducibility contract (ES reads
+# the coordinator clock; a replayed query must not drift). gte `now-1w/d`
+# floors to the day start a week back; lt `now/d` floors to today's
+# start, excluding the partial current day. The second clause is a
+# LEXICOGRAPHIC keyword range (non-date string bounds pass VERBATIM —
+# the r10 regression surface ADVICE flagged).
+DATE_MATH_NOW_MS = 1705314600000  # 2024-01-15T10:30:00Z, a Monday
+DATE_MATH_BODY = {"bool": {"filter": [
+    {"range": {"t_ms": {"gte": "now-1w/d", "lt": "now/d",
+                        "now": DATE_MATH_NOW_MS}}},
+    {"range": {"event_type": {"gte": "c", "lte": "t"}}},
+]}}
+
+
+def date_math_filter_agg(events: DataFrame) -> DataFrame:
+    from ..functions.es_dsl import compile_query
+    from ..sources.flows import ts_ms_col
+
+    ev = events.select(ts_ms_col(events).alias("t_ms"), "event_type")
+    return (
+        ev.where(compile_query(DATE_MATH_BODY))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        .orderBy("event_type")
+    )
+
+
+def date_math_filter_agg_sql() -> str:
+    from ..functions.es_dsl import compile_query_sql
+
+    pred = compile_query_sql(DATE_MATH_BODY)
+    return f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS doc_count
+FROM (SELECT epoch_ms(ts) AS t_ms, event_type FROM events)
+WHERE {pred}
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def range_tz_filter_agg(events: DataFrame) -> DataFrame:
     from ..functions.es_dsl import compile_query
     from ..sources.flows import ts_ms_col
@@ -917,6 +960,9 @@ def queries() -> dict:
         "es_dsl_range_tz": lambda s, d: range_tz_filter_agg(
             load_table(s, d, "events")
         ),
+        "es_dsl_date_math": lambda s, d: date_math_filter_agg(
+            load_table(s, d, "events")
+        ),
         "es_dsl_msm_pct": lambda s, d: msm_pct_filter_agg(
             load_table(s, d, "events")
         ),
@@ -1016,6 +1062,7 @@ def oracle_sql() -> dict:
         "es_dsl_sqs": sqs_filter_agg_sql(),
         "es_dsl_msm": msm_filter_agg_sql(),
         "es_dsl_range_tz": range_tz_filter_agg_sql(),
+        "es_dsl_date_math": date_math_filter_agg_sql(),
         "es_dsl_msm_pct": msm_pct_filter_agg_sql(),
         "es_dsl_terms_set": terms_set_filter_agg_sql(),
         "es_dsl_geo": dsl_geo_sql(),

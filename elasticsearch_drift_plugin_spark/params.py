@@ -159,12 +159,24 @@ def parse_interval(
     return "fixed", step, None
 
 
-def trunc_calendar_ms(t_ms: int, unit: str, tz: str | None = None) -> int:
+def _as_zone(tz):
+    """IANA name / tzinfo instance / None → tzinfo (UTC default). The
+    tzinfo form lets es_dsl's range compiler reuse the ONE calendar
+    rounding engine for raw-offset zones ('+02:00') ZoneInfo can't name."""
+    if tz is None:
+        return timezone.utc
+    if isinstance(tz, str):
+        return ZoneInfo(tz)
+    return tz
+
+
+def trunc_calendar_ms(t_ms: int, unit: str, tz=None) -> int:
     """Calendar floor of an epoch-ms instant — driver-side twin of the
     engine's date_trunc-based rounding, used to derive the auto-offset.
-    With ``tz``, the floor is taken on the LOCAL wall clock of that zone and
-    the returned ms is the UTC instant of the local boundary."""
-    zone = ZoneInfo(tz) if tz else timezone.utc
+    With ``tz`` (IANA name or tzinfo), the floor is taken on the LOCAL
+    wall clock of that zone and the returned ms is the UTC instant of the
+    local boundary."""
+    zone = _as_zone(tz)
     dt = datetime.fromtimestamp(t_ms / 1000.0, tz=zone)
     if unit == "year":
         dt = dt.replace(month=1, day=1, hour=0, minute=0, second=0, microsecond=0)
@@ -193,13 +205,13 @@ def trunc_calendar_ms(t_ms: int, unit: str, tz: str | None = None) -> int:
     return int(dt.timestamp() * 1000)
 
 
-def add_calendar_ms(t_ms: int, unit: str, n: int = 1, tz: str | None = None) -> int:
+def add_calendar_ms(t_ms: int, unit: str, n: int = 1, tz=None) -> int:
     """t_ms advanced by n calendar units — spine stepping on the driver.
-    With ``tz``, the step is n LOCAL wall-clock units (a DST day is 23/25 h
-    of UTC time)."""
+    With ``tz`` (IANA name or tzinfo), the step is n LOCAL wall-clock units
+    (a DST day is 23/25 h of UTC time)."""
     if tz is None and unit in ("week", "day", "hour", "minute", "second"):
         return t_ms + n * CALENDAR_UNIT_MS_MIN[unit if unit != "week" else "week"]
-    zone = ZoneInfo(tz) if tz else timezone.utc
+    zone = _as_zone(tz)
     dt = datetime.fromtimestamp(t_ms / 1000.0, tz=zone)
     if unit == "year":
         dt = dt.replace(year=dt.year + n)

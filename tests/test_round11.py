@@ -107,3 +107,89 @@ def test_cumcard_calendar_time_zone_raises(cc_df):
 def test_cumcard_operator_rejects_non_canonical_unit(cc_df):
     with pytest.raises(ValueError, match="canonical"):
         cumulative_cardinality(cc_df, "t_ms", "user_id", calendar_unit="1w")
+
+
+# ---------------------------------------------------------------------------
+# range date MATH (VERDICT r10 item 2, SCOPE.md §E): now+expr/unit resolved
+# at compile time against an explicit `now` (epoch ms). Expected values are
+# HAND-DERIVED epoch constants — independent of the resolver under test.
+# ---------------------------------------------------------------------------
+
+from elasticsearch_drift_plugin_spark.functions.es_dsl import (  # noqa: E402
+    resolve_range_bounds,
+)
+
+NOW = _ms("2024-01-15T10:30:00")  # a Monday
+
+
+@pytest.mark.parametrize(
+    "bound,op,expect",
+    [
+        # gte/lt round DOWN through /unit; gt/lte round UP (last ms)
+        ("now-1d/d", "gte", _ms("2024-01-14T00:00:00")),
+        ("now-1d/d", "lte", _ms("2024-01-15T00:00:00") - 1),
+        ("now/w", "gte", _ms("2024-01-15T00:00:00")),  # Monday floor
+        ("now/w", "lte", _ms("2024-01-22T00:00:00") - 1),
+        ("now-90m", "gte", NOW - 90 * 60_000),  # no rounding op → exact
+        ("now-90m", "lte", NOW - 90 * 60_000),  # now is always an instant
+        ("now+1M/M", "gte", _ms("2024-02-01T00:00:00")),
+        # anchored math: the anchor itself takes the round-up fill on the
+        # gt/lte side (JavaDateMathParser parses missing fields to max)
+        ("2024-01-01||+1M/d", "gte", _ms("2024-02-01T00:00:00")),
+        ("2024-01-01||+1M/d", "lte", _ms("2024-02-02T00:00:00") - 1),
+        ("2024-01-31||+1M", "gte", _ms("2024-02-29T00:00:00")),  # month clamp, leap
+    ],
+)
+def test_date_math_resolution(bound, op, expect):
+    out = resolve_range_bounds({op: bound, "now": NOW})
+    assert out[op] == expect
+
+
+def test_date_math_tz_day_floor():
+    # Berlin midnight of the `now` day = 23:00 UTC the previous day
+    out = resolve_range_bounds(
+        {"gte": "now/d", "now": NOW, "time_zone": "Europe/Berlin"}
+    )
+    assert out["gte"] == _ms("2024-01-14T23:00:00")
+
+
+def test_keyword_string_bounds_pass_verbatim():
+    """The r10 regression surface (ADVICE): lexicographic keyword ranges
+    must compile unchanged, not force-parse as dates."""
+    assert resolve_range_bounds({"gte": "m", "lt": "t"}) == {"gte": "m", "lt": "t"}
+
+
+def test_date_math_raises():
+    with pytest.raises(ValueError, match="now-anchored"):
+        resolve_range_bounds({"gte": "now-1d/d"})  # no explicit now
+    with pytest.raises(ValueError, match="unparseable date-math tail"):
+        resolve_range_bounds({"gte": "now-1q", "now": NOW})
+    with pytest.raises(ValueError, match="rounding takes no number"):
+        resolve_range_bounds({"gte": "now/2d", "now": NOW})
+    with pytest.raises(ValueError, match="not date-shaped"):
+        resolve_range_bounds({"gte": "m", "time_zone": "UTC"})
+
+
+def test_date_math_compiles_identically_in_both_engines(spark):
+    """The registered es_dsl_date_math body: Spark predicate and DuckDB
+    predicate come from the same resolver — pin the Spark-side row set
+    against a hand-built filter."""
+    from elasticsearch_drift_plugin_spark.functions.es_dsl import compile_query
+    from elasticsearch_drift_plugin_spark.operators.search import DATE_MATH_BODY
+
+    rows = [
+        (_ms("2024-01-07T23:59:59"), "click"),   # before gte → out
+        (_ms("2024-01-08T00:00:00"), "click"),   # on gte → in
+        (_ms("2024-01-14T23:59:59"), "search"),  # last ms before lt → in
+        (_ms("2024-01-15T00:00:00"), "search"),  # on lt → out
+        (_ms("2024-01-10T12:00:00"), "view"),    # event_type > 't' → out
+    ]
+    df = spark.createDataFrame(rows, "t_ms long, event_type string")
+    got = sorted(
+        (r["t_ms"], r["event_type"])
+        for r in df.where(compile_query(DATE_MATH_BODY)).collect()
+    )
+    assert got == [
+        (_ms("2024-01-08T00:00:00"), "click"),
+        (_ms("2024-01-14T23:59:59"), "search"),
+    ]
