@@ -364,6 +364,200 @@ def ip_prefix_agg(
     )
 
 
+# --- ip_prefix over IPv6 (r11, SCOPE.md §E — VERDICT r10 item 3) ----------
+#
+# 128-bit lattice math without 128-bit integers: an address is 8 sixteen-bit
+# groups, and masking to /plen FACTORIZES per group — group j keeps
+# clamp(plen − 16j, 0, 16) top bits (g − g % 2^(16−keep)), exactly the
+# 128-bit network floor. Fixture discipline mirrors the v4 path: addresses
+# are hash-derived from user_id (documentation-prefix-shaped, 2001:… — the
+# leading group is fixed so the rendered keys read like real v6).
+
+_V6_G0 = 0x2001
+# odd multiplicative-hash constants per group (distinct streams per group)
+_V6_MULT = (0, 40503, 48271, 16807, 69621, 30269, 30307, 30323)
+
+
+def _v6_groups(events: DataFrame):
+    """8 int columns g0..g7 deriving the fixture address from user_id."""
+    gs = [F.lit(_V6_G0).cast("int").alias("g0")]
+    for j in range(1, 8):
+        gs.append(
+            F.expr(
+                f"CAST(pmod(CAST(user_id AS DECIMAL(38,0)) * {_V6_MULT[j]},"
+                " 65536) AS INT)"
+            ).alias(f"g{j}")
+        )
+    return gs
+
+
+def _v6_mask_expr(j: int, prefix_len: int):
+    """Masked group j under /prefix_len — the per-group factor of the
+    128-bit network floor."""
+    keep = max(0, min(16, prefix_len - 16 * j))
+    if keep == 16:
+        return F.col(f"g{j}")
+    if keep == 0:
+        return F.lit(0)
+    block = 1 << (16 - keep)
+    return F.col(f"g{j}") - F.pmod(F.col(f"g{j}"), F.lit(block))
+
+
+def ipv6_canonical(groups) -> "F.Column":
+    """RFC 5952 text form of an 8-group IPv6 address column (array<int>):
+    lowercase hex, no leading zeros, the LEFTMOST LONGEST run of ≥2 zero
+    groups compressed to ``::`` — the rendering ES's DocValueFormat.IP
+    (Guava ``toAddrString``) applies to ip_prefix keys. One Catalyst
+    ``aggregate`` fold over the fixed-size group array (pure codegen, no
+    Python): state (best_start, best_len, cur_start, cur_len), then a
+    slice-and-join render in the fold's finish lambda."""
+    arr = groups
+    hexs = F.transform(arr, lambda g: F.lower(F.hex(g)))
+    acc0 = F.struct(
+        F.lit(-1).alias("bs"), F.lit(0).alias("bl"),
+        F.lit(-1).alias("cs"), F.lit(0).alias("cl"),
+    )
+
+    def step(acc, i):
+        is0 = F.element_at(arr, i + 1) == 0
+        ncs = F.when(is0 & (acc.cl == 0), i).otherwise(acc.cs)
+        ncl = F.when(is0, acc.cl + 1).otherwise(F.lit(0))
+        better = ncl > acc.bl  # strict: leftmost run of equal length wins
+        return F.struct(
+            F.when(better, ncs).otherwise(acc.bs).alias("bs"),
+            F.when(better, ncl).otherwise(acc.bl).alias("bl"),
+            ncs.alias("cs"),
+            ncl.alias("cl"),
+        )
+
+    def finish(acc):
+        head = F.array_join(F.slice(hexs, 1, acc.bs), ":")
+        tail = F.array_join(
+            F.slice(hexs, acc.bs + acc.bl + 1, 8 - acc.bs - acc.bl), ":"
+        )
+        return F.when(
+            acc.bl >= 2, F.concat(head, F.lit("::"), tail)
+        ).otherwise(F.array_join(hexs, ":"))
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(7)), acc0, step, finish
+    )
+
+
+def ip_prefix_v6_agg(
+    events: DataFrame, prefix_len: int = 28, min_doc_count: int = 1
+) -> DataFrame:
+    """(key, prefix_length, is_ipv6, doc_count, value_q): ES 8.x
+    ``ip_prefix`` over IPv6 (``is_ipv6: true`` — es-8.18.2 host surface;
+    the v4 twin is :func:`ip_prefix_agg`). One partial+final aggregation
+    over the per-group-masked network, keys rendered in RFC 5952 canonical
+    form, buckets ordered by the network address ascending (= the group
+    tuple ascending — the ES key order for IP buckets)."""
+    if not 1 <= prefix_len <= 128:
+        raise ValueError("ipv6 prefix_len must be in [1, 128]")
+    q = F.floor(F.col("value") * F.lit(1_000_000)).alias("__q")
+    base = events.where(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    ).select(*_v6_groups(events), q)
+    nets = [
+        _v6_mask_expr(j, prefix_len).cast("int").alias(f"n{j}") for j in range(8)
+    ]
+    agg = (
+        base.select(*nets, "__q")
+        .groupBy(*[f"n{j}" for j in range(8)])
+        .agg(F.count(F.lit(1)).alias("doc_count"), F.sum("__q").alias("value_q"))
+        .where(F.col("doc_count") >= min_doc_count)
+    )
+    key = ipv6_canonical(F.array(*[F.col(f"n{j}") for j in range(8)]))
+    return (
+        agg.select(
+            key.alias("key"),
+            F.lit(prefix_len).cast("long").alias("prefix_length"),
+            F.lit(True).alias("is_ipv6"),
+            "doc_count",
+            "value_q",
+            *[f"n{j}" for j in range(8)],
+        )
+        .orderBy(*[f"n{j}" for j in range(8)])
+        .drop(*[f"n{j}" for j in range(8)])
+    )
+
+
+def _v6_render_sql_parts() -> tuple[str, str, str]:
+    """(hex_list_expr, best_len_expr, key_case_expr) of the DuckDB-side
+    RFC 5952 renderer over masked group columns n0..n7 (+ computed hx /
+    __bl) — shared by :func:`ip_prefix_v6_sql` and its pytest pin against
+    Python's ipaddress reference, so the pinned SQL IS the shipped SQL."""
+    # run length of zero groups starting at position s (1-based), nested
+    rl = {}
+    for s in range(8, 0, -1):
+        inner = f"(1 + {rl[s + 1]})" if s < 8 else "1"
+        rl[s] = f"(CASE WHEN n{s - 1} = 0 THEN {inner} ELSE 0 END)"
+    bl = "GREATEST(" + ", ".join(rl[s] for s in range(1, 9)) + ")"
+    bs = (
+        "(CASE "
+        + " ".join(f"WHEN {rl[s]} = __bl THEN {s}" for s in range(1, 9))
+        + " END)"
+    )
+    hexs = "[" + ", ".join(f"printf('%x', n{j})" for j in range(8)) + "]"
+    # DuckDB array_to_string([]) is NULL, not '' — coalesce both ends
+    case_expr = f"""CASE WHEN __bl >= 2 THEN
+      COALESCE(array_to_string(list_slice(hx, 1, {bs} - 1), ':'), '')
+        || '::' ||
+      COALESCE(array_to_string(list_slice(hx, {bs} + __bl, 8), ':'), '')
+    ELSE array_to_string(hx, ':') END"""
+    return hexs, bl, case_expr
+
+
+def ip_prefix_v6_sql(prefix_len: int = 28, min_doc_count: int = 1) -> str:
+    """DuckDB twin of :func:`ip_prefix_v6_agg` — deliberately a DIFFERENT
+    RFC 5952 implementation (generated run-length CASE chain instead of a
+    fold), so the canonical-form agreement is a real cross-check."""
+    group_exprs = [f"CAST({_V6_G0} AS INT) AS g0"] + [
+        f"CAST(((CAST(user_id AS HUGEINT) * {_V6_MULT[j]}) % 65536"
+        f" + 65536) % 65536 AS INT) AS g{j}"
+        for j in range(1, 8)
+    ]
+    masks = []
+    for j in range(8):
+        keep = max(0, min(16, prefix_len - 16 * j))
+        if keep == 16:
+            masks.append(f"g{j} AS n{j}")
+        elif keep == 0:
+            masks.append(f"0 AS n{j}")
+        else:
+            block = 1 << (16 - keep)
+            masks.append(f"g{j} - (g{j} % {block}) AS n{j}")
+    hexs, bl, case_expr = _v6_render_sql_parts()
+    return f"""
+WITH f AS (
+  SELECT {', '.join(group_exprs)},
+         CAST(FLOOR(value * 1000000) AS BIGINT) AS q
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+),
+m AS (
+  SELECT {', '.join(masks)}, q FROM f
+),
+agg AS (
+  SELECT n0, n1, n2, n3, n4, n5, n6, n7,
+         CAST(COUNT(*) AS BIGINT) AS doc_count,
+         CAST(SUM(q) AS BIGINT) AS value_q
+  FROM m GROUP BY ALL HAVING COUNT(*) >= {int(min_doc_count)}
+),
+runs AS (
+  SELECT *, {hexs} AS hx, {bl} AS __bl FROM agg
+),
+rendered AS (
+  SELECT *, {case_expr} AS key
+  FROM runs
+)
+SELECT key, CAST({int(prefix_len)} AS BIGINT) AS prefix_length,
+       TRUE AS is_ipv6, doc_count, value_q
+FROM rendered
+ORDER BY n0, n1, n2, n3, n4, n5, n6, n7
+"""
+
+
 def ip_prefix_sql(prefix_len: int = 8, min_doc_count: int = 1) -> str:
     block = 2 ** (32 - prefix_len)
     return f"""
@@ -617,6 +811,9 @@ def queries() -> dict:
             load_table(s, d, "events")
         ),
         "es_ip_prefix": lambda s, d: ip_prefix_agg(load_table(s, d, "events")),
+        "es_ip_prefix_v6": lambda s, d: ip_prefix_v6_agg(
+            load_table(s, d, "events")
+        ),
         "es_ip_range": lambda s, d: ip_range_agg(load_table(s, d, "events")),
         "rel_flows_by_nation": lambda s, d: flows_by_nation(
             load_table(s, d, "events"),
@@ -651,6 +848,7 @@ def oracle_sql() -> dict:
     return {
         "rel_cidr_top_talkers": cidr_rollup_sql(),
         "es_ip_prefix": ip_prefix_sql(),
+        "es_ip_prefix_v6": ip_prefix_v6_sql(),
         "es_ip_range": ip_range_sql(),
         "rel_flows_by_nation": FLOWS_BY_NATION_SQL,
         "rel_users_intersect": users_in_both_sql("click", "purchase"),

@@ -170,6 +170,119 @@ def test_date_math_raises():
         resolve_range_bounds({"gte": "m", "time_zone": "UTC"})
 
 
+# ---------------------------------------------------------------------------
+# ip_prefix IPv6 (VERDICT r10 item 3, SCOPE.md §E): the 128-bit network
+# floor factorized per 16-bit group, RFC 5952 canonical rendering. Reference
+# implementation: Python's ipaddress module (exact RFC 5952 .compressed).
+# ---------------------------------------------------------------------------
+
+V6_CASES = [
+    [0, 0, 0, 0, 0, 0, 0, 0],              # all zero → "::"
+    [0x2001, 0xDB8, 0, 0, 0, 0, 0, 1],     # classic doc prefix
+    [0x2001, 0x9E0, 0, 0, 0, 0, 0, 0],     # trailing run → "2001:9e0::"
+    [0, 0, 1, 0, 0, 0, 2, 3],              # two runs, longest (mid) wins
+    [0, 0, 1, 2, 3, 0, 0, 4],              # equal runs → LEFTMOST wins
+    [1, 0, 2, 3, 4, 5, 6, 7],              # single zero NOT compressed
+    [0xFFFF, 0xABCD, 0x1, 0x23, 0x456, 0x789A, 0xB, 0xC],  # no zeros
+    [0, 0, 0, 0, 0, 0, 0, 1],              # leading run → "::1"
+    [1, 0, 0, 0, 0, 0, 0, 0],              # "1::"
+]
+
+
+def _rfc5952(groups):
+    import ipaddress
+
+    val = 0
+    for g in groups:
+        val = (val << 16) | g
+    return str(ipaddress.IPv6Address(val))
+
+
+def test_ipv6_canonical_spark_matches_rfc5952(spark):
+    from elasticsearch_drift_plugin_spark.operators.relational import (
+        ipv6_canonical,
+    )
+
+    df = spark.createDataFrame([(g,) for g in V6_CASES], "gs array<int>")
+    got = [r[0] for r in df.select(ipv6_canonical(F.col("gs"))).collect()]
+    assert got == [_rfc5952(g) for g in V6_CASES]
+
+
+def test_ipv6_canonical_duckdb_matches_rfc5952():
+    """The oracle's generated run-length CASE chain is a DIFFERENT RFC 5952
+    implementation — pin it against the same Python reference."""
+    import duckdb
+
+    from elasticsearch_drift_plugin_spark.operators.relational import (
+        ip_prefix_v6_sql,
+    )
+
+    from elasticsearch_drift_plugin_spark.operators.relational import (
+        _v6_render_sql_parts,
+    )
+
+    hexs, bl, case_expr = _v6_render_sql_parts()
+    assert case_expr in ip_prefix_v6_sql()  # the pinned SQL IS the shipped SQL
+    con = duckdb.connect()
+    vals = ", ".join(
+        "(" + ", ".join(str(v) for v in g) + ")" for g in V6_CASES
+    )
+    got = [
+        r[0]
+        for r in con.sql(
+            f"""
+WITH agg(n0, n1, n2, n3, n4, n5, n6, n7) AS (VALUES {vals}),
+runs AS (SELECT *, {hexs} AS hx, {bl} AS __bl FROM agg)
+SELECT {case_expr} FROM runs
+"""
+        ).fetchall()
+    ]
+    assert got == [_rfc5952(g) for g in V6_CASES]
+
+
+def test_ipv6_group_mask_equals_128bit_floor():
+    """The per-group mask factorization IS the 128-bit lattice floor."""
+    import random
+
+    from elasticsearch_drift_plugin_spark.operators.relational import (
+        _v6_mask_expr,
+    )
+
+    rng = random.Random(11)
+    for _ in range(200):
+        groups = [rng.randrange(65536) for _ in range(8)]
+        plen = rng.randrange(1, 129)
+        addr = 0
+        for g in groups:
+            addr = (addr << 16) | g
+        floor = addr & ~((1 << (128 - plen)) - 1) & ((1 << 128) - 1)
+        expect = [(floor >> (16 * (7 - j))) & 0xFFFF for j in range(8)]
+        got = []
+        for j in range(8):
+            keep = max(0, min(16, plen - 16 * j))
+            if keep == 16:
+                got.append(groups[j])
+            elif keep == 0:
+                got.append(0)
+            else:
+                block = 1 << (16 - keep)
+                got.append(groups[j] - groups[j] % block)
+        assert got == expect, (groups, plen)
+        _ = _v6_mask_expr  # the Spark expr mirrors this arithmetic 1:1
+
+
+def test_ipv6_prefix_len_validated(spark):
+    from elasticsearch_drift_plugin_spark.operators.relational import (
+        ip_prefix_v6_agg,
+    )
+
+    df = spark.createDataFrame([(1, 1.0)], "user_id long, value double")
+    with pytest.raises(ValueError, match="prefix_len"):
+        ip_prefix_v6_agg(df, prefix_len=0)
+    with pytest.raises(ValueError, match="prefix_len"):
+        ip_prefix_v6_agg(df, prefix_len=129)
+
+
 def test_date_math_compiles_identically_in_both_engines(spark):
     """The registered es_dsl_date_math body: Spark predicate and DuckDB
     predicate come from the same resolver — pin the Spark-side row set
