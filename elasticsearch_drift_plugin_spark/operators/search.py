@@ -394,8 +394,9 @@ def completion_suggest(
 ) -> DataFrame:
     """(prefix, rank, option, weight): ES *completion suggester* (r10) in
     the engine's analyzer-free dialect — for each typed prefix, the
-    corpus-vocabulary terms starting with it, ranked by weight (document
-    frequency — ES's default weight when none is indexed) desc then term
+    corpus-vocabulary terms starting with it, ranked by weight (DOCUMENT
+    frequency — countDistinct(doc_id), r11: a doc containing the term
+    twice contributes 1, the ES default-weight semantics) desc then term
     asc, top ``size`` per prefix.
 
     Scale: ES answers from an index-time FST; the relational twin
@@ -406,10 +407,13 @@ def completion_suggest(
     index-range scan, never a corpus pass.
     """
     vocab = (
-        docs.select(F.explode(F.split(F.lower(F.col(field)), " ")).alias("option"))
+        docs.select(
+            F.col("doc_id"),
+            F.explode(F.split(F.lower(F.col(field)), " ")).alias("option"),
+        )
         .where(F.col("option") != "")
         .groupBy("option")
-        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+        .agg(F.countDistinct("doc_id").cast("long").alias("weight"))
     )
     spine = docs.sparkSession.createDataFrame(
         [(p,) for p in prefixes], "prefix string"
@@ -437,8 +441,9 @@ def completion_suggest_sql(
     spine = " UNION ALL ".join(f"SELECT '{p}' AS prefix" for p in prefixes)
     return f"""
 WITH vocab AS (
-  SELECT term AS option, CAST(COUNT(*) AS BIGINT) AS weight
-  FROM (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
+  SELECT term AS option, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS weight
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents)
   WHERE term <> '' GROUP BY term
 ),
 probes AS ({spine}),

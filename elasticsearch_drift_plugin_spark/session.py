@@ -32,6 +32,26 @@ def _export_package_path() -> None:
         )
 
 
+def _default_driver_memory() -> str:
+    """min(24g, ~50% of MemAvailable), floor 2g. 24g fixes the measured
+    32-thread GC stalls on the 128 GiB bench host (r10), but a hardcoded
+    24g OOM-kills the JVM in a container/cgroup with less than that
+    (ADVICE r10) — so the default scales down with the machine.
+    SPARK_DRIVER_MEMORY always wins."""
+    env = os.environ.get("SPARK_DRIVER_MEMORY")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    avail_gib = int(line.split()[1]) / (1024 * 1024)
+                    return f"{max(2, min(24, int(avail_gib * 0.5)))}g"
+    except OSError:
+        pass
+    return "8g"
+
+
 def get_spark(app_name: str = "spark-drift", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
@@ -56,7 +76,8 @@ def get_spark(app_name: str = "spark-drift", cpus: int | None = None) -> SparkSe
         # es_search_nested 5.3s -> 1.2s, es_search_ip_range 8.6s -> 2.1s,
         # whole bench -14% at 24g on the 128 GiB host). On a real cluster
         # executor memory is sized separately; this default only shapes
-        # single-machine runs.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # single-machine runs — and clamps to available memory so small
+        # containers don't get OOM-killed (r11).
+        .config("spark.driver.memory", _default_driver_memory())
         .getOrCreate()
     )

@@ -1333,11 +1333,22 @@ def test_cumulative_cardinality_under_date_histogram(spark):
                  "cu": {"cumulative_cardinality": {"buckets_path": "u"}}},
     }}})["h"].collect()
     assert [(r.u, r.cu) for r in cal] == [(3, 3)]
-    # calendar + offset stays loud
-    with _pt.raises(ValueError, match="offset"):
+    # calendar + offset GRADUATED r11 (shifted floor trunc(t-off)+off;
+    # golden + alias-normalization pins live in tests/test_round11.py) —
+    # it must compile and keep every key/cum non-NULL
+    cal_off = run_search(ev, {"aggs": {"h": {
+        "date_histogram": {"field": "t", "calendar_interval": "month",
+                           "offset": "1h"},
+        "aggs": {"u": {"cardinality": {"field": "uid"}},
+                 "cu": {"cumulative_cardinality": {"buckets_path": "u"}}},
+    }}})["h"].collect()
+    assert [(r.u, r.cu) for r in cal_off] == [(3, 3)]
+    assert all(r.key is not None for r in cal_off)
+    # time_zone on the cumcard grid stays loud
+    with _pt.raises(ValueError, match="time_zone"):
         run_search(ev, {"aggs": {"h": {
             "date_histogram": {"field": "t", "calendar_interval": "month",
-                               "offset": "1h"},
+                               "time_zone": "Europe/Berlin"},
             "aggs": {"u": {"cardinality": {"field": "uid"}},
                      "cu": {"cumulative_cardinality": {"buckets_path": "u"}}},
         }}})
