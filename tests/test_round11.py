@@ -283,6 +283,74 @@ def test_ipv6_prefix_len_validated(spark):
         ip_prefix_v6_agg(df, prefix_len=129)
 
 
+# ---------------------------------------------------------------------------
+# BPE multi-merge batching (VERDICT r10 item 5): the batched loop must be
+# BIT-IDENTICAL to the sequential argmax loop — same merges, same ranks,
+# same pair counts — on the Sennrich worked example (whose merges CHAIN:
+# es → est → est</w>, forcing batch truncations) and on the driver corpus.
+# ---------------------------------------------------------------------------
+
+
+def _sennrich_docs(spark):
+    rows = [
+        ("low " * 5).strip(),
+        ("lower " * 2).strip(),
+        ("newest " * 6).strip(),
+        ("widest " * 3).strip(),
+    ]
+    return spark.createDataFrame([(r,) for r in rows], "text string")
+
+
+def test_bpe_batched_bit_identical_sennrich(spark):
+    from elasticsearch_drift_plugin_spark.operators.corpus import (
+        bpe_train,
+        bpe_train_distributed,
+    )
+
+    docs = _sennrich_docs(spark)
+    seq = [tuple(r) for r in bpe_train_distributed(docs, n_merges=10, merge_batch=1).collect()]
+    bat = [tuple(r) for r in bpe_train_distributed(docs, n_merges=10, merge_batch=8).collect()]
+    drv = [tuple(r) for r in bpe_train(docs, n_merges=10).collect()]
+    assert seq == bat == drv
+    # the classic first merges: (e,s) then the CHAINED (es,t), (est,</w>)
+    assert [(m[1], m[2]) for m in seq[:3]] == [("e", "s"), ("es", "t"), ("est", "</w>")]
+
+
+def test_bpe_batched_bit_identical_driver_corpus(spark):
+    from elasticsearch_drift_plugin_spark.operators.corpus import (
+        bpe_train_distributed,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    seq = [tuple(r) for r in bpe_train_distributed(docs, n_merges=20, merge_batch=1).collect()]
+    bat = [tuple(r) for r in bpe_train_distributed(docs, n_merges=20, merge_batch=8).collect()]
+    assert seq == bat
+
+
+def test_bpe_batched_nasty_symbols(spark):
+    """Symbols now enter SQL text (_sql_str escaping) — quotes, backslashes
+    and unicode must fold identically in both loop backends."""
+    from elasticsearch_drift_plugin_spark.operators.corpus import (
+        bpe_train_distributed,
+    )
+
+    rows = [("d'o d'o d'o a\\b a\\b éé éé éé",)]
+    docs = spark.createDataFrame(rows * 3, "text string")
+    seq = [tuple(r) for r in bpe_train_distributed(docs, n_merges=6, merge_batch=1).collect()]
+    bat = [tuple(r) for r in bpe_train_distributed(docs, n_merges=6, merge_batch=8).collect()]
+    assert seq == bat and len(seq) >= 3
+    syms = {m[1] for m in seq} | {m[2] for m in seq}
+    assert any("'" in s or "\\" in s or "é" in s for s in syms)
+
+
+def test_sql_str_escaping_round_trips(spark):
+    from elasticsearch_drift_plugin_spark.operators.corpus import _sql_str
+
+    for s in ["a'b", "a\\b", "a\\'b", "é中", "a\\\\b''"]:
+        got = spark.sql(f"SELECT {_sql_str(s)} AS v").collect()[0]["v"]
+        assert got == s, (s, got)
+
+
 def test_date_math_compiles_identically_in_both_engines(spark):
     """The registered es_dsl_date_math body: Spark predicate and DuckDB
     predicate come from the same resolver — pin the Spark-side row set
