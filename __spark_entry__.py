@@ -141,45 +141,44 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver grades the FIRST 50 registered queries only (round-2 lesson:
-# everything after position 50 got zero external evidence). Round-10
-# ROTATION (at round start): as of r9 the union of windows covers every
-# oracle-paired registration, so the window's job shifts to EVIDENCE
-# FRESHNESS — (a) r10-new registrations (es_search_body4, the r9 compiler
-# corner histogram min_doc_count:0 + metric sub-aggs), (b) re-stamps of
-# every path r10 MODIFIES (quality_clf_sql src threading -> the clf pair;
-# IVF memo path -> es_search_knn_indexed), then (c) the 46 queries whose
-# last driver stamp is OLDEST (r1: 5, r2: 13, r3: 28 — computed from the
-# committed CORRECTNESS_r0*.json artifacts), so no registration's
-# external evidence ages past ~7 rounds. The true sketches
-# (es_cardinality_approx / es_theta_set_ops / stats_quantiles_kll /
-# emb_kmeans_ivf_topk / corpus_bpe_encode) stay OUT of the window — they
-# are rows-only by nature and would read as `err: no_oracle`; pytest
-# invariants + the full self-sweep cover them.
+# everything after position 50 got zero external evidence). Round-11
+# ROTATION (at round start; last-stamp rounds computed by
+# tools/stamp_age.py from the committed CORRECTNESS_r*.json artifacts,
+# freshness enforced by tests/test_stamp_age.py): (a) the 3 r11-new
+# registrations (range date math, ip_prefix IPv6, cumcard calendar+offset),
+# (b) re-stamps of every path r11 MODIFIES (cumcard calendar key
+# normalization -> es_search_cumcard_cal; resolve_range_bounds date-math
+# rewrite -> es_dsl_range_tz; completion weight -> es_completion_suggest;
+# merge batching -> corpus_bpe_train_dist), then (c) the 43 queries whose
+# last driver stamp is OLDEST, oldest first (r1: ann_lsh_histogram; all
+# 27 r3 stamps; the first 15 of the 44 r4 stamps — r12 takes the rest).
+# The true sketches (es_cardinality_approx / es_theta_set_ops /
+# stats_quantiles_kll / emb_kmeans_ivf_topk / corpus_bpe_encode) stay OUT
+# of the window — they are rows-only by nature and would read as
+# `err: no_oracle`; pytest invariants + the full self-sweep cover them.
 GRADE_FIRST: tuple[str, ...] = (
-    # --- r10-new + r10-touched paths ---
-    "es_search_body4", "es_search_hist_fill_terms",
-    "es_search_dh_fill_terms", "es_dsl_msm_pct",
-    "corpus_quality_clf", "corpus_quality_clf_sampled", "train_curate_clf",
-    "es_search_knn_indexed", "es_top_hits_asc", "es_composite_week",
-    "es_matrix_stats_multi", "es_search_hl_frag", "es_geo_line_desc",
-    "es_completion_suggest", "es_search_cumcard_cal", "es_search_knn_l2",
-    "stream_new_users", "es_dsl_range_tz",
+    # --- r11-new + r11-touched paths ---
+    "es_dsl_date_math", "es_ip_prefix_v6", "es_search_cumcard_cal_off",
+    "es_search_cumcard_cal", "es_dsl_range_tz", "es_completion_suggest",
+    "corpus_bpe_train_dist",
     # --- freshness: last stamped r1 ---
-    "mm_decode", "mm_frames",
-    "text_fingerprint", "text_tokens",
-    # --- freshness: last stamped r2 (13) ---
-    "dedup_canonical_map", "dedup_embedding_cosine", "dedup_exact",
-    "dedup_incremental", "dedup_simhash", "psum_cal_week",
-    "psum_day_lineitem", "psum_no_sampling", "rel_asof_latest_order",
-    "rel_flows_by_nation", "rel_users_intersect",
-    "stats_quantiles_approx", "stats_top_docs",
-    # --- freshness: last stamped r3 (28) ---
-    "es_multi_terms", "es_range_value", "es_rate_month",
-    "es_significant_terms", "es_string_stats", "es_terms_top_users",
-    "pipe_cum_derivative",
-    "pipe_stats_bucket", "psum_auto_offset", "psum_cal_month_lineitem",
-    "psum_cal_year_lineitem", "psum_clamp", "psum_empty_fill",
-    "psum_grouped_fill", "psum_grouped_subagg",
+    "ann_lsh_histogram",
+    # --- freshness: last stamped r3 (27) ---
+    "ann_cosine_topk", "corpus_tfidf_top", "es_composite_page",
+    "es_date_range", "es_extended_stats", "es_histogram_filled",
+    "es_value_stats", "mm_metadata", "psum_key_format",
+    "psum_min_doc_count", "psum_offset_90m", "psum_order_value_desc",
+    "psum_precedence", "psum_sampling", "psum_unmapped",
+    "rel_asof_chunked", "rel_asof_nearest", "rel_json_props",
+    "rel_rollup_report", "stats_quantiles", "stream_dedup_exact",
+    "stream_psum_6h", "text_gopher_filter", "text_lang_id",
+    "text_quality", "train_mix_rates", "train_pack_sequences",
+    # --- freshness: last stamped r4 (first 15 of 44) ---
+    "corpus_boilerplate", "corpus_lm_score", "corpus_top_ngrams",
+    "emb_group_centroids", "emb_quantize_int8", "es_adjacency_matrix",
+    "es_auto_date_histogram", "es_boxplot", "es_categorize_text",
+    "es_composite_after", "es_diversified_sampler", "es_filters_buckets",
+    "es_geo_line", "es_geotile_grid", "es_histogram_value",
 )
 
 
