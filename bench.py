@@ -250,6 +250,10 @@ BENCH_QUERIES = [
     "es_search_knn_l2",
     "stream_new_users",
     "es_dsl_range_tz",
+    # r11 graduations
+    "es_dsl_date_math",
+    "es_ip_prefix_v6",
+    "es_search_cumcard_cal_off",
 ]
 
 
