@@ -144,21 +144,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # everything after position 50 got zero external evidence). Round-11
 # ROTATION (at round start; last-stamp rounds computed by
 # tools/stamp_age.py from the committed CORRECTNESS_r*.json artifacts,
-# freshness enforced by tests/test_stamp_age.py): (a) the 3 r11-new
-# registrations (range date math, ip_prefix IPv6, cumcard calendar+offset),
+# freshness enforced by tests/test_stamp_age.py): (a) the 4 r11-new
+# registrations (range date math, ip_prefix IPv6 — operator + compiler
+# routes, cumcard calendar+offset),
 # (b) re-stamps of every path r11 MODIFIES (cumcard calendar key
 # normalization -> es_search_cumcard_cal; resolve_range_bounds date-math
 # rewrite -> es_dsl_range_tz; completion weight -> es_completion_suggest;
-# merge batching -> corpus_bpe_train_dist), then (c) the 43 queries whose
+# merge batching -> corpus_bpe_train_dist), then (c) the 42 queries whose
 # last driver stamp is OLDEST, oldest first (r1: ann_lsh_histogram; all
-# 27 r3 stamps; the first 15 of the 44 r4 stamps — r12 takes the rest).
+# 27 r3 stamps; the first 14 of the 44 r4 stamps — r12 takes the rest).
 # The true sketches (es_cardinality_approx / es_theta_set_ops /
 # stats_quantiles_kll / emb_kmeans_ivf_topk / corpus_bpe_encode) stay OUT
 # of the window — they are rows-only by nature and would read as
 # `err: no_oracle`; pytest invariants + the full self-sweep cover them.
 GRADE_FIRST: tuple[str, ...] = (
     # --- r11-new + r11-touched paths ---
-    "es_dsl_date_math", "es_ip_prefix_v6", "es_search_cumcard_cal_off",
+    "es_dsl_date_math", "es_ip_prefix_v6", "es_search_ip_prefix_v6",
+    "es_search_cumcard_cal_off",
     "es_search_cumcard_cal", "es_dsl_range_tz", "es_completion_suggest",
     "corpus_bpe_train_dist",
     # --- freshness: last stamped r1 ---
@@ -178,7 +180,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "emb_group_centroids", "emb_quantize_int8", "es_adjacency_matrix",
     "es_auto_date_histogram", "es_boxplot", "es_categorize_text",
     "es_composite_after", "es_diversified_sampler", "es_filters_buckets",
-    "es_geo_line", "es_geotile_grid", "es_histogram_value",
+    "es_geo_line", "es_geotile_grid",
 )
 
 
@@ -1090,6 +1092,51 @@ SELECT '10.0.0.0/8',
        (SELECT CAST(COUNT(*) AS BIGINT) FROM f
         WHERE ip >= 167772160 AND ip < 184549376)
 """
+
+
+# ip_prefix is_ipv6 through the compiler (r11, SCOPE.md §F): the runtime
+# mapping renders a FULL-form colon-hex v6 address from the same hash
+# constants the operator fixture uses; the compiler must parse the text
+# back to groups, mask to /28, and render RFC 5952 canonical keys — a
+# lossless render→parse round trip the direct-derivation oracle
+# (operators.relational.ip_prefix_v6_sql) cross-checks. The value filter
+# matches the oracle's NaN/NULL discipline.
+# BIGINT hash arithmetic, not DECIMAL(38,0): user_id * 69621 stays far
+# inside int64 (BigDecimal per-row math measured 1.5 s/1M rows — half
+# this query's cost), and DuckDB's HUGEINT oracle agrees exactly when
+# nothing overflows.
+_V6_RM_SCRIPT = "lower(concat(hex(8193), " + ", ".join(
+    f"':', hex(CAST(pmod(user_id * {c}, 65536) AS INT))"
+    for c in (40503, 48271, 16807, 69621, 30269, 30307, 30323)
+) + "))"
+
+ES_SEARCH_IP_PREFIX_V6_BODY = {
+    "size": 0,
+    "runtime_mappings": {"src_ip6": {"script": {"source": _V6_RM_SCRIPT}}},
+    "aggs": {
+        "nets": {"ip_prefix": {"field": "src_ip6", "prefix_length": 28,
+                               "is_ipv6": True}},
+    },
+}
+
+
+def _es_search_ip_prefix_v6_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    ev = _events_tms(s, d).where("value IS NOT NULL AND NOT isnan(value)")
+    return run_search(ev, ES_SEARCH_IP_PREFIX_V6_BODY)["nets"]
+
+
+def _es_search_ip_prefix_v6_oracle() -> str:
+    from elasticsearch_drift_plugin_spark.operators.relational import (
+        ip_prefix_v6_sql,
+    )
+
+    return (
+        "SELECT key, prefix_length, is_ipv6, doc_count FROM ("
+        + ip_prefix_v6_sql(prefix_len=28)
+        + ")"
+    )
 
 
 # hits retrieval through the compiler: deterministic top-k page (sort +
@@ -2014,6 +2061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_change_point": _es_search_cp_query,
         "es_search_nested": _es_search_nested_query,
         "es_search_ip_range": _es_search_ip_range_query,
+        "es_search_ip_prefix_v6": _es_search_ip_prefix_v6_query,
         "es_search_hits": _es_search_hits_query,
         "es_search_knn": _es_search_knn_query,
         "es_search_knn_indexed": _es_search_knn_indexed_query,
@@ -2337,6 +2385,7 @@ def oracle_sql() -> dict[str, str]:
         "es_search_change_point": _es_search_cp_oracle(),
         "es_search_nested": ES_SEARCH_NESTED_SQL,
         "es_search_ip_range": ES_SEARCH_IP_RANGE_SQL,
+        "es_search_ip_prefix_v6": _es_search_ip_prefix_v6_oracle(),
         "es_search_hits": ES_SEARCH_HITS_SQL,
         "es_search_knn": ES_SEARCH_KNN_SQL,
         "es_search_knn_indexed": _es_search_knn_indexed_oracle(),

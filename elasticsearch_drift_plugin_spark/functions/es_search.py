@@ -1396,9 +1396,14 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
         # ES 8.x ip_prefix over a dotted-quad string field: fold to uint32
         # (native HOF), floor to the /prefix_length network, one
         # partial+final agg keyed by the network address (the ES bucket
-        # key order). IPv4 only — is_ipv6 bodies raise.
+        # key order). is_ipv6 (r11): colon-hex text (full or
+        # ::-compressed) parses to 8 sixteen-bit groups natively, the
+        # /plen mask factorizes per group (exactly the 128-bit lattice —
+        # operators.relational's graduation), keys render RFC 5952
+        # canonical. Embedded-IPv4 tails ('::ffff:1.2.3.4') are outside
+        # the dialect.
         if spec.get("is_ipv6"):
-            raise ValueError("ip_prefix supports IPv4 fields only")
+            return _ip_prefix_v6_agg_compiled(df, spec)
         field = spec["field"]
         plen = int(spec["prefix_length"])
         if not 1 <= plen <= 32:
@@ -2272,6 +2277,76 @@ def _proportional_sum(df: DataFrame, spec: dict, group_by, sub=None) -> DataFram
     if extra:
         kw["extra_aggs"] = extra
     return proportional_sum(df, *fields, group_by=tuple(group_by), **kw)
+
+
+# IPv6 text (full or ::-compressed colon-hex) → array<int> of the 8
+# sixteen-bit groups, pure codegen: split the halves around '::', hex-parse
+# each group (conv), pad the elision with zeros. '{f}' is the column name.
+# The parse needs the text SIX times (contains + both halves twice each +
+# the fallback) — binding it to lambda variables (a 1-element transform
+# for the text, another for the split halves) evaluates the field
+# expression ONCE per row; this matters when the field is a runtime
+# mapping whose render is itself non-trivial (Catalyst inlines runtime
+# columns per reference).
+_V6_GROUPS_SQL = (
+    "element_at(transform(array({f}), s -> "
+    "CASE WHEN contains(s, '::') THEN element_at("
+    "transform(array(struct("
+    "filter(split(split_part(s, '::', 1), ':'), x -> x != '') AS lo,"
+    " filter(split(split_part(s, '::', 2), ':'), x -> x != '') AS hi)),"
+    " h -> concat("
+    "transform(h.lo, x -> CAST(conv(x, 16, 10) AS INT)), "
+    "array_repeat(0, 8 - size(h.lo) - size(h.hi)), "
+    "transform(h.hi, x -> CAST(conv(x, 16, 10) AS INT)))), 1)"
+    " ELSE transform(split(s, ':'), x -> CAST(conv(x, 16, 10) AS INT))"
+    " END), 1)"
+)
+
+
+def _ip_prefix_v6_agg_compiled(df: DataFrame, spec: dict) -> DataFrame:
+    """The `_search` route of ip_prefix over IPv6 text fields: parse →
+    per-group /plen mask (the factorized 128-bit network floor) → ONE
+    partial+final aggregation → RFC 5952 canonical keys on result-sized
+    rows (operators.relational.ipv6_canonical, the pinned renderer),
+    buckets in network order with is_ipv6: true — the ES 8.x contract
+    (es-8.18.2 host surface; the operator twin is
+    operators.relational.ip_prefix_v6_agg)."""
+    from ..operators.relational import ipv6_canonical
+
+    field = spec["field"]
+    plen = int(spec["prefix_length"])
+    if not 1 <= plen <= 128:
+        raise ValueError("ipv6 ip_prefix prefix_length must be in [1, 128]")
+    groups = F.expr(_V6_GROUPS_SQL.format(f=field))
+    nets = []
+    for j in range(8):
+        g = F.element_at(groups, j + 1)
+        keep = max(0, min(16, plen - 16 * j))
+        if keep == 0:
+            g = F.lit(0)
+        elif keep < 16:
+            block = 1 << (16 - keep)
+            g = g - F.pmod(g, F.lit(block))
+        nets.append(g.cast("int").alias(f"__n{j}"))
+    agg = (
+        df.where(F.col(field).isNotNull())
+        .select(*nets)
+        .groupBy(*[f"__n{j}" for j in range(8)])
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        .where(F.col("doc_count") >= int(spec.get("min_doc_count", 1)))
+    )
+    key = ipv6_canonical(F.array(*[F.col(f"__n{j}") for j in range(8)]))
+    return (
+        agg.select(
+            key.alias("key"),
+            F.lit(plen).cast("long").alias("prefix_length"),
+            F.lit(True).alias("is_ipv6"),
+            "doc_count",
+            *[f"__n{j}" for j in range(8)],
+        )
+        .orderBy(*[f"__n{j}" for j in range(8)])
+        .drop(*[f"__n{j}" for j in range(8)])
+    )
 
 
 def _date_histogram(df: DataFrame, spec: dict, sub=None, group_by=()) -> DataFrame:

@@ -1112,9 +1112,16 @@ def quality_clf_sampled(
 
 
 def _wmap_col(w: dict[int, int]):
-    return F.create_map(
-        *[x for d, v in w.items() for x in (F.lit(int(d)), F.lit(int(v)))]
-    )
+    """The integer weight map as ONE parsed SQL literal. The
+    Column-algebra spelling (``F.create_map`` over 130 ``F.lit`` calls)
+    costs ~95 ms of driver-side Py4J per call — the GD loop calls this
+    every iteration, so the clf family was paying ~0.8 s/query of pure
+    plan-building (the corpus_bpe_train_dist r11 finding, same cause).
+    Keys/values are ints, so no string escaping is involved; values take
+    the BIGINT literal suffix to keep the map type stable regardless of
+    magnitude."""
+    entries = ", ".join(f"{int(d)}, {int(v)}L" for d, v in w.items())
+    return F.expr(f"map({entries})")
 
 
 def quality_clf_sql(

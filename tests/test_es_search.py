@@ -1402,10 +1402,25 @@ def test_ip_prefix_and_standalone_top_hits(spark):
         "_source": {"includes": ["src"]}}}}})["best"]
     assert [(r.src, r.v) for r in top.collect()] == [
         (None, 9.0), ("10.0.1.7", 5.0)]
+    # is_ipv6 GRADUATED r11: colon-hex text (full OR ::-compressed) parses
+    # to the 8-group lattice, /plen masks per group, keys RFC 5952
+    v6 = spark.createDataFrame(
+        [("2001:db8:0:0:0:0:0:1",),      # full form
+         ("2001:db8::2",),              # compressed, same /32 network
+         ("2001:DB8:ffff::9",),         # uppercase hex, same /32
+         ("fe80::1",), (None,)],
+        "src string",
+    )
+    out6 = run_search(v6, {"aggs": {"n": {"ip_prefix": {
+        "field": "src", "prefix_length": 32, "is_ipv6": True}}}})["n"]
+    assert [(r.key, r.prefix_length, r.is_ipv6, r.doc_count)
+            for r in out6.collect()] == [
+        ("2001:db8::", 32, True, 3), ("fe80::", 32, True, 1),
+    ]
     import pytest as _pt
-    with _pt.raises(ValueError, match="IPv4"):
-        run_search(df, {"aggs": {"n": {"ip_prefix": {
-            "field": "src", "prefix_length": 64, "is_ipv6": True}}}})
+    with _pt.raises(ValueError, match="prefix_length"):
+        run_search(v6, {"aggs": {"n": {"ip_prefix": {
+            "field": "src", "prefix_length": 129, "is_ipv6": True}}}})
 
 
 def test_moving_percentiles_pipeline(spark):

@@ -593,9 +593,12 @@ def test_range_date_string_time_zone(spark):
     sql_got = sorted(r[0] for r in con.execute(
         f"SELECT id FROM t2 WHERE {compile_query_sql(body)}").fetchall())
     assert sql_got == got
-    # garbage date strings stay loud
-    with pytest.raises(ValueError, match="cannot parse range date"):
-        resolve_range_bounds({"gte": "03/10/2024"})
+    # r11 (ADVICE r10): a non-date-shaped string WITHOUT time_zone is a
+    # lexicographic keyword bound — verbatim, not force-parsed...
+    assert resolve_range_bounds({"gte": "03/10/2024"}) == {"gte": "03/10/2024"}
+    # ...but WITH time_zone it is a category error and stays loud
+    with pytest.raises(ValueError, match="not date-shaped"):
+        resolve_range_bounds({"gte": "03/10/2024", "time_zone": "UTC"})
 
 
 def test_knn_similarity_kinds(spark):
