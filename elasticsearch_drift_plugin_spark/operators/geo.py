@@ -9,9 +9,12 @@ them alongside the bucket/metric families in es_aggs.py / es_metrics.py.
 Fixture discipline (same as relational.cidr_rollup): the testdata carries
 no coordinates, so a deterministic point derives from ``user_id`` by two
 independent Knuth-style multiplicative hashes into micro-degrees — pure
-integer arithmetic in DECIMAL(38,0)/HUGEINT on BOTH engines (the ADVICE-r3
-overflow lesson), byte-identical in the DuckDB twins. What matters for
-parity is the aggregation math:
+integer arithmetic, int64-exact for every intermediate (hash products
+max ~3.5e9·user_id, cell indexes ~3.9e17; the session's ANSI mode throws
+loudly if a future widening ever overflows — the ADVICE-r3 lesson was
+silent wraps, and r11 measured per-row DECIMAL(38,0) at ~1.5 s/1M rows),
+byte-identical in the DuckDB twins. What matters for parity is the
+aggregation math:
 
 - grid keys: EXACT integer cell arithmetic on micro-degrees wherever the
   projection is linear (geohash, geotile x); the geotile y (Web-Mercator)
@@ -37,12 +40,16 @@ UDEG = 1_000_000  # micro-degrees per degree
 
 # lat in [-85e6, 85e6] udeg (inside the Web-Mercator domain), lon in
 # [-180e6, 180e6]. Two different odd multipliers -> independent coordinates.
+# BIGINT hash arithmetic (r11): user_id * 2654435761 fits int64 up to
+# user_id ~3.47e9 and ANSI mode throws loudly on overflow; per-row
+# DECIMAL(38,0) math measured ~1.5 s per million rows. DuckDB twins stay
+# HUGEINT — values agree exactly when nothing overflows.
 _LAT_SQL = (
-    "CAST(pmod(CAST(user_id AS DECIMAL(38,0)) * 2654435761, 170000001)"
+    "CAST(pmod(user_id * 2654435761, 170000001)"
     " - 85000000 AS BIGINT)"
 )
 _LON_SQL = (
-    "CAST(pmod(CAST(user_id AS DECIMAL(38,0)) * 2246822519, 360000001)"
+    "CAST(pmod(user_id * 2246822519, 360000001)"
     " - 180000000 AS BIGINT)"
 )
 
@@ -101,10 +108,11 @@ def geotile_grid(
         raise ValueError("zoom must be in [0, 29]")
     n = 1 << zoom
     lon_q = _udeg(F.col(lon_col))
-    # floor((lon + 180) / 360 * n) with zero rounding: integer widening via
-    # DECIMAL so zoom 29 * 360e6 cannot overflow int64
+    # floor((lon + 180) / 360 * n): exact int64 — 360e6 udeg * 2^29 tops
+    # out at 1.9e17, far inside BIGINT (the old DECIMAL(38,0) widening
+    # cost ~1.5 s/1M rows of per-row BigDecimal, r11 measurement)
     x = F.expr(
-        f"CAST((CAST({UDEG * 180} + round({lon_col} * {float(UDEG)}) AS DECIMAL(38,0))"
+        f"CAST((CAST({UDEG * 180} + round({lon_col} * {float(UDEG)}) AS BIGINT)"
         f" * {n}) div {UDEG * 360} AS BIGINT)"
     )
     x = F.least(x, F.lit(n - 1))  # lon == +180 belongs to the last tile
@@ -162,13 +170,15 @@ def _geohash_exprs(precision: int, lat_col: str, lon_col: str):
     bits = 5 * precision
     lon_bits = (bits + 1) // 2
     lat_bits = bits // 2
-    # exact integer cell index: (udeg + range) * 2^bits div (2 * range)
+    # exact integer cell index: (udeg + range) * 2^bits div (2 * range) —
+    # int64-exact (360e6 * 2^30 = 3.9e17 max at precision 12; ANSI throws
+    # loudly if a future widening ever overflows)
     lon_cell = (
-        f"CAST((CAST({UDEG * 180} + round({lon_col} * {float(UDEG)}) AS DECIMAL(38,0))"
+        f"CAST((CAST({UDEG * 180} + round({lon_col} * {float(UDEG)}) AS BIGINT)"
         f" * {1 << lon_bits}) div {UDEG * 360} AS BIGINT)"
     )
     lat_cell = (
-        f"CAST((CAST({UDEG * 90} + round({lat_col} * {float(UDEG)}) AS DECIMAL(38,0))"
+        f"CAST((CAST({UDEG * 90} + round({lat_col} * {float(UDEG)}) AS BIGINT)"
         f" * {1 << lat_bits}) div {UDEG * 180} AS BIGINT)"
     )
     # clamp the +180/+90 edge into the last cell
@@ -238,8 +248,11 @@ def geohash_grid(
 
 def geohash_grid_sql(precision: int = 4, size: int = 30) -> str:
     lon_cell, lat_cell, packed = _geohash_exprs(precision, "lat", "lon")
-    lon_cell = lon_cell.replace("DECIMAL(38,0)", "HUGEINT").replace(" div ", " // ")
-    lat_cell = lat_cell.replace("DECIMAL(38,0)", "HUGEINT").replace(" div ", " // ")
+    # DuckDB dialect: only the floor-division operator differs (BIGINT
+    # arithmetic is shared — the cell index maxes at 3.9e17, see
+    # _geohash_exprs)
+    lon_cell = lon_cell.replace(" div ", " // ")
+    lat_cell = lat_cell.replace(" div ", " // ")
     packed_expr = packed.replace("LON", "lonc").replace("LAT", "latc")
     chars = _geohash_chars(f"({packed_expr})", precision, "chr")
     return f"""

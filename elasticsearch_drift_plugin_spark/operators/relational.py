@@ -168,12 +168,13 @@ def cidr_rollup(
     if not 1 <= prefix_len <= 32:
         raise ValueError("prefix_len must be in [1, 32]")
     block = 2 ** (32 - prefix_len)
-    # Knuth hash in DECIMAL(38,0): bigint user_id * 2654435761 silently wraps
-    # in Spark's non-ANSI int64 multiply but errors in DuckDB's, so the
-    # engines would diverge for user_id above ~3.47e9 — widen on BOTH sides
-    # (HUGEINT in the twin) and only narrow after the mod brings it < 2^32.
+    # Knuth hash in BIGINT: user_id * 2654435761 fits int64 up to
+    # user_id ~3.47e9, and under the session's ANSI mode an overflow
+    # THROWS (loud, never a silent wrap) — while per-row DECIMAL(38,0)
+    # math costs ~1.5 s per million rows (r11 measurement). The DuckDB
+    # twin stays HUGEINT; values agree exactly when nothing overflows.
     ip = F.expr(
-        "CAST(pmod(CAST(user_id AS DECIMAL(38,0)) * 2654435761, 4294967296) AS BIGINT)"
+        "CAST(pmod(user_id * 2654435761, 4294967296) AS BIGINT)"
     )
     net = (ip - F.pmod(ip, F.lit(block))).alias("__net")
     q = F.floor(F.col("value") * F.lit(1_000_000)).alias("__q")
@@ -228,7 +229,7 @@ def ip_range_agg(events: DataFrame, ranges=IP_RANGES) -> DataFrame:
     literal membership fan-out collapsed map-side by the partial agg —
     fan-out ≤ #ranges, one shuffle of #ranges rows."""
     ip = F.expr(
-        "CAST(pmod(CAST(user_id AS DECIMAL(38,0)) * 2654435761, 4294967296) AS BIGINT)"
+        "CAST(pmod(user_id * 2654435761, 4294967296) AS BIGINT)"
     )
     q = F.floor(F.col("value") * F.lit(1_000_000))
     matches = F.array(
@@ -333,7 +334,7 @@ def ip_prefix_agg(
         raise ValueError("prefix_len must be in [1, 32]")
     block = 2 ** (32 - prefix_len)
     ip = F.expr(
-        "CAST(pmod(CAST(user_id AS DECIMAL(38,0)) * 2654435761, 4294967296) AS BIGINT)"
+        "CAST(pmod(user_id * 2654435761, 4294967296) AS BIGINT)"
     )
     net = (ip - F.pmod(ip, F.lit(block))).alias("__net")
     q = F.floor(F.col("value") * F.lit(1_000_000)).alias("__q")
