@@ -144,15 +144,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # everything after position 50 got zero external evidence). Round-11
 # ROTATION (at round start; last-stamp rounds computed by
 # tools/stamp_age.py from the committed CORRECTNESS_r*.json artifacts,
-# freshness enforced by tests/test_stamp_age.py): (a) the 4 r11-new
+# freshness enforced by tests/test_stamp_age.py): (a) the 5 r11-new
 # registrations (range date math, ip_prefix IPv6 — operator + compiler
-# routes, cumcard calendar+offset),
+# routes, cumcard calendar+offset, significant_terms foreground
+# inference),
 # (b) re-stamps of every path r11 MODIFIES (cumcard calendar key
 # normalization -> es_search_cumcard_cal; resolve_range_bounds date-math
 # rewrite -> es_dsl_range_tz; completion weight -> es_completion_suggest;
-# merge batching -> corpus_bpe_train_dist), then (c) the 42 queries whose
+# merge batching -> corpus_bpe_train_dist), then (c) the 41 queries whose
 # last driver stamp is OLDEST, oldest first (r1: ann_lsh_histogram; all
-# 27 r3 stamps; the first 14 of the 44 r4 stamps — r12 takes the rest).
+# 27 r3 stamps; the first 13 of the 44 r4 stamps — r12 takes the rest).
 # The true sketches (es_cardinality_approx / es_theta_set_ops /
 # stats_quantiles_kll / emb_kmeans_ivf_topk / corpus_bpe_encode) stay OUT
 # of the window — they are rows-only by nature and would read as
@@ -160,7 +161,7 @@ def entry(spark: SparkSession) -> DataFrame:
 GRADE_FIRST: tuple[str, ...] = (
     # --- r11-new + r11-touched paths ---
     "es_dsl_date_math", "es_ip_prefix_v6", "es_search_ip_prefix_v6",
-    "es_search_cumcard_cal_off",
+    "es_search_cumcard_cal_off", "es_search_sig_inferred",
     "es_search_cumcard_cal", "es_dsl_range_tz", "es_completion_suggest",
     "corpus_bpe_train_dist",
     # --- freshness: last stamped r1 ---
@@ -179,7 +180,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "corpus_boilerplate", "corpus_lm_score", "corpus_top_ngrams",
     "emb_group_centroids", "emb_quantize_int8", "es_adjacency_matrix",
     "es_auto_date_histogram", "es_boxplot", "es_categorize_text",
-    "es_composite_after", "es_diversified_sampler", "es_filters_buckets",
+    "es_composite_after", "es_diversified_sampler",
     "es_geo_line", "es_geotile_grid",
 )
 
@@ -1140,6 +1141,38 @@ def _es_search_ip_prefix_v6_oracle() -> str:
     )
 
 
+# significant_terms with the ES-NATIVE foreground inference (r11, SCOPE.md
+# §D row closed): no 'foreground' extension — the body's query IS the
+# foreground and the background is the whole index, exactly ES's top-level
+# rule. Oracle: the explicit-foreground operator twin over the same
+# predicate, so inference must land on the identical fg/bg split.
+ES_SEARCH_SIG_INFERRED_BODY = {
+    "size": 0,
+    "query": {"term": {"event_type": "purchase"}},
+    "aggs": {
+        "sig_users": {"significant_terms": {"field": "user_id", "size": 20}},
+    },
+}
+
+
+def _es_search_sig_inferred_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    return run_search(_events_tms(s, d), ES_SEARCH_SIG_INFERRED_BODY)[
+        "sig_users"
+    ]
+
+
+def _es_search_sig_inferred_oracle() -> str:
+    from elasticsearch_drift_plugin_spark.operators.es_aggs import (
+        significant_terms_sql,
+    )
+
+    return significant_terms_sql(
+        "events", "user_id", "event_type = 'purchase'", size=20
+    )
+
+
 # hits retrieval through the compiler: deterministic top-k page (sort +
 # from offset + _source projection) — TakeOrdered, never a full sort.
 ES_SEARCH_HITS_BODY = {
@@ -2063,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_nested": _es_search_nested_query,
         "es_search_ip_range": _es_search_ip_range_query,
         "es_search_ip_prefix_v6": _es_search_ip_prefix_v6_query,
+        "es_search_sig_inferred": _es_search_sig_inferred_query,
         "es_search_hits": _es_search_hits_query,
         "es_search_knn": _es_search_knn_query,
         "es_search_knn_indexed": _es_search_knn_indexed_query,
@@ -2387,6 +2421,7 @@ def oracle_sql() -> dict[str, str]:
         "es_search_nested": ES_SEARCH_NESTED_SQL,
         "es_search_ip_range": ES_SEARCH_IP_RANGE_SQL,
         "es_search_ip_prefix_v6": _es_search_ip_prefix_v6_oracle(),
+        "es_search_sig_inferred": _es_search_sig_inferred_oracle(),
         "es_search_hits": ES_SEARCH_HITS_SQL,
         "es_search_knn": ES_SEARCH_KNN_SQL,
         "es_search_knn_indexed": _es_search_knn_indexed_oracle(),

@@ -490,6 +490,27 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
         ):
             pipelines[name] = (kinds[0], node[kinds[0]])
             continue
+        if kinds[0] in ("significant_terms", "significant_text") and (
+            len(kinds) == 1
+            and "foreground" not in node[kinds[0]]
+            and "query" in body
+        ):
+            # ES-native foreground inference (r11, SCOPE.md §D row closed):
+            # at top level ES takes foreground = the query's hit set and
+            # background = the WHOLE index — so compile the body's query
+            # to the foreground predicate and run the agg over the RAW
+            # (pre-query) frame. With no `query` either, the explicit
+            # `foreground` extension below stays required (fg == bg is
+            # meaningless — every score is 1).
+            node = {
+                **node,
+                kinds[0]: {
+                    **node[kinds[0]],
+                    "foreground": compile_query_sql_expr(body["query"]),
+                },
+            }
+            out[name] = _compile_agg(raw, name, node)
+            continue
         if kinds == ["global"]:
             # ES `global`: the sub-tree sees the UNFILTERED index, not the
             # query context (single child frame, like the filter node)
@@ -1622,9 +1643,11 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
         # BACKGROUND: bg counts/totals are taken over docs matching it.
         if "foreground" not in spec:
             raise ValueError(
-                "significant_terms needs the 'foreground' extension (ES"
-                " derives the foreground from the enclosing bucket; the"
-                " engine takes it explicitly as a DSL body or SQL)"
+                "significant_terms needs a foreground: in a _search body"
+                " with a query it is inferred (fg = the query hits, bg ="
+                " the whole index — the ES top-level rule, r11); standalone"
+                " or query-less use takes the 'foreground' extension"
+                " explicitly as a DSL body or SQL"
             )
         fg = spec["foreground"]
         fg_sql = fg if isinstance(fg, str) else compile_query_sql_expr(fg)
@@ -1815,6 +1838,14 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
     if kind == "significant_text":
         from ..operators.es_aggs import significant_text
 
+        if "foreground" not in spec:
+            raise ValueError(
+                "significant_text needs a foreground: in a _search body"
+                " with a query it is inferred (fg = the query hits, bg ="
+                " the whole index — the ES top-level rule, r11); standalone"
+                " or query-less use takes the 'foreground' extension"
+                " explicitly as a DSL body or SQL"
+            )
         fg = spec["foreground"]
         fg_sql = fg if isinstance(fg, str) else compile_query_sql_expr(fg)
         # background_filter narrows the background set, same contract as

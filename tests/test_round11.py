@@ -284,6 +284,61 @@ def test_ipv6_prefix_len_validated(spark):
 
 
 # ---------------------------------------------------------------------------
+# significant_terms/_text ES-native foreground inference (r11): in a
+# _search body WITH a query, foreground = the query's hit set and
+# background = the WHOLE index (ES's top-level rule) — no 'foreground'
+# extension needed. Pinned: inferred == explicit-foreground operator.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sig_df(spark):
+    rows = (
+        [("purchase", 1)] * 5 + [("purchase", 2)] * 2
+        + [("click", 1)] * 1 + [("click", 3)] * 10 + [("view", 2)] * 3
+    )
+    return spark.createDataFrame(rows, "event_type string, user_id long")
+
+
+def test_sig_terms_foreground_inferred_equals_explicit(sig_df):
+    from elasticsearch_drift_plugin_spark.operators.es_aggs import (
+        significant_terms,
+    )
+
+    inferred = run_search(sig_df, {
+        "size": 0,
+        "query": {"term": {"event_type": "purchase"}},
+        "aggs": {"s": {"significant_terms": {"field": "user_id",
+                                             "size": 10,
+                                             "min_doc_count": 1}}},
+    })["s"]
+    explicit = significant_terms(
+        sig_df, "user_id", "event_type = 'purchase'", size=10,
+        min_doc_count=1,
+    )
+    assert sorted(map(tuple, inferred.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+    # the background is the WHOLE index: user 1's bg count must include
+    # the click row (6 docs), not just the purchase hits
+    rows = {r["key"]: r for r in inferred.collect()}
+    assert rows[1]["bg_count"] == 6 and rows[1]["fg_count"] == 5
+
+
+def test_sig_terms_queryless_still_needs_explicit_foreground(sig_df):
+    with pytest.raises(ValueError, match="foreground"):
+        run_search(sig_df, {
+            "size": 0,
+            "aggs": {"s": {"significant_terms": {"field": "user_id"}}},
+        })
+    with pytest.raises(ValueError, match="foreground"):
+        run_search(sig_df, {
+            "size": 0,
+            "aggs": {"s": {"significant_text": {"field": "event_type"}}},
+        })
+
+
+# ---------------------------------------------------------------------------
 # BPE multi-merge batching (VERDICT r10 item 5): the batched loop must be
 # BIT-IDENTICAL to the sequential argmax loop — same merges, same ranks,
 # same pair counts — on the Sennrich worked example (whose merges CHAIN:
