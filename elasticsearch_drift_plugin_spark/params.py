@@ -214,7 +214,10 @@ def add_calendar_ms(t_ms: int, unit: str, n: int = 1, tz=None) -> int:
     zone = _as_zone(tz)
     dt = datetime.fromtimestamp(t_ms / 1000.0, tz=zone)
     if unit == "year":
-        dt = dt.replace(year=dt.year + n)
+        # day-of-month clamps like the month branch (java.time rule):
+        # Feb 29 + 1y = Feb 28 — a bare replace() raises instead (r11)
+        last = calendar.monthrange(dt.year + n, dt.month)[1]
+        dt = dt.replace(year=dt.year + n, day=min(dt.day, last))
     elif unit == "month":
         total = dt.year * 12 + (dt.month - 1) + n
         y, m = divmod(total, 12)

@@ -1,0 +1,171 @@
+"""Round-11 property tests.
+
+1. Date-math resolver vs an INDEPENDENT pure-Python model: random
+   ``now±N<unit>`` / ``/unit`` expressions evaluated against a
+   dateutil-free reference built directly on datetime field surgery —
+   none of the params.py calendar helpers — so a shared bug cannot hide.
+2. RFC 5952 renderer (Spark fold) vs Python's ipaddress on random group
+   vectors with zero-heavy distributions (the compression-relevant part
+   of the space).
+3. BPE batched-vs-sequential equivalence on random small corpora (the
+   bit-identity contract beyond the fixed goldens).
+"""
+
+from __future__ import annotations
+
+import calendar as _cal
+import random
+from datetime import datetime, timedelta, timezone
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from elasticsearch_drift_plugin_spark.functions.es_dsl import (
+    resolve_range_bounds,
+)
+
+UNITS = ["y", "M", "w", "d", "h", "H", "m", "s"]
+_UNIT_NAME = {
+    "y": "year", "M": "month", "w": "week", "d": "day",
+    "h": "hour", "H": "hour", "m": "minute", "s": "second",
+}
+
+
+def _model_trunc(dt: datetime, unit: str) -> datetime:
+    if unit == "year":
+        return dt.replace(month=1, day=1, hour=0, minute=0, second=0,
+                          microsecond=0)
+    if unit == "month":
+        return dt.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+    if unit == "week":
+        d0 = dt.replace(hour=0, minute=0, second=0, microsecond=0)
+        return d0 - timedelta(days=d0.weekday())
+    if unit == "day":
+        return dt.replace(hour=0, minute=0, second=0, microsecond=0)
+    if unit == "hour":
+        return dt.replace(minute=0, second=0, microsecond=0)
+    if unit == "minute":
+        return dt.replace(second=0, microsecond=0)
+    return dt.replace(microsecond=0)
+
+
+def _model_add(dt: datetime, unit: str, n: int) -> datetime:
+    if unit == "year":
+        last = _cal.monthrange(dt.year + n, dt.month)[1]
+        return dt.replace(year=dt.year + n, day=min(dt.day, last))
+    if unit == "month":
+        total = dt.year * 12 + (dt.month - 1) + n
+        y, m = divmod(total, 12)
+        last = _cal.monthrange(y, m + 1)[1]
+        return dt.replace(year=y, month=m + 1, day=min(dt.day, last))
+    span = {"week": 7 * 86400, "day": 86400, "hour": 3600,
+            "minute": 60, "second": 1}[unit]
+    return dt + timedelta(seconds=span * n)
+
+
+def _model_eval(expr: str, now_ms: int, round_up: bool) -> int:
+    """Pure-datetime UTC reference for now-anchored math."""
+    assert expr.startswith("now")
+    dt = datetime.fromtimestamp(now_ms / 1000.0, tz=timezone.utc)
+    i = 3
+    while i < len(expr):
+        op = expr[i]
+        if op == "/":
+            unit = _UNIT_NAME[expr[i + 1]]
+            dt = _model_trunc(dt, unit)
+            if round_up:
+                dt = _model_add(dt, unit, 1) - timedelta(milliseconds=1)
+            i += 2
+        else:
+            j = i + 1
+            while expr[j].isdigit():
+                j += 1
+            n = int(expr[i + 1:j]) if j > i + 1 else 1
+            unit = _UNIT_NAME[expr[j]]
+            dt = _model_add(dt, unit, n if op == "+" else -n)
+            i = j + 1
+    return int(dt.timestamp() * 1000)
+
+
+@st.composite
+def date_math_exprs(draw):
+    parts = []
+    for _ in range(draw(st.integers(0, 3))):
+        op = draw(st.sampled_from(["+", "-"]))
+        n = draw(st.integers(0, 40))
+        n_s = "" if (n == 1 and draw(st.booleans())) else str(n)
+        parts.append(f"{op}{n_s}{draw(st.sampled_from(UNITS))}")
+    if draw(st.booleans()):
+        parts.append("/" + draw(st.sampled_from(UNITS)))
+    return "now" + "".join(parts)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    expr=date_math_exprs(),
+    now_ms=st.integers(0, 4_102_444_800_000),  # 1970..2100
+    op=st.sampled_from(["gte", "lt", "gt", "lte"]),
+)
+def test_date_math_matches_pure_datetime_model(expr, now_ms, op):
+    got = resolve_range_bounds({op: expr, "now": now_ms})[op]
+    want = _model_eval(expr, now_ms, round_up=op in ("gt", "lte"))
+    assert got == want, (expr, now_ms, op)
+
+
+# ---------------------------------------------------------------------------
+# RFC 5952 rendering — randomized, zero-heavy groups
+# ---------------------------------------------------------------------------
+
+
+def _rfc5952(groups):
+    import ipaddress
+
+    val = 0
+    for g in groups:
+        val = (val << 16) | g
+    return str(ipaddress.IPv6Address(val))
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_ipv6_canonical_random_groups(spark, seed):
+    from pyspark.sql import functions as F
+
+    from elasticsearch_drift_plugin_spark.operators.relational import (
+        ipv6_canonical,
+    )
+
+    rng = random.Random(seed)
+    cases = [
+        [rng.choice([0, 0, 0, rng.randrange(65536)]) for _ in range(8)]
+        for _ in range(120)
+    ]
+    df = spark.createDataFrame([(g,) for g in cases], "gs array<int>")
+    got = [r[0] for r in df.select(ipv6_canonical(F.col("gs"))).collect()]
+    assert got == [_rfc5952(g) for g in cases]
+
+
+# ---------------------------------------------------------------------------
+# BPE batched == sequential on random corpora
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_bpe_batched_equals_sequential_random_corpus(spark, seed):
+    from elasticsearch_drift_plugin_spark.operators.corpus import (
+        bpe_train_distributed,
+    )
+
+    rng = random.Random(seed)
+    alphabet = "abcdef"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 6)))
+        for _ in range(40)
+    ]
+    docs = spark.createDataFrame(
+        [(" ".join(rng.choices(words, k=12)),) for _ in range(25)],
+        "text string",
+    )
+    seq = [tuple(r) for r in bpe_train_distributed(docs, n_merges=12, merge_batch=1).collect()]
+    bat = [tuple(r) for r in bpe_train_distributed(docs, n_merges=12, merge_batch=8).collect()]
+    assert seq == bat and len(seq) >= 5

@@ -138,6 +138,9 @@ NOW = _ms("2024-01-15T10:30:00")  # a Monday
         ("2024-01-01||+1M/d", "gte", _ms("2024-02-01T00:00:00")),
         ("2024-01-01||+1M/d", "lte", _ms("2024-02-02T00:00:00") - 1),
         ("2024-01-31||+1M", "gte", _ms("2024-02-29T00:00:00")),  # month clamp, leap
+        # leap-day + 1y clamps to Feb 28 (java.time plusYears rule) —
+        # a bare datetime.replace raised here before r11
+        ("2024-02-29||+1y", "gte", _ms("2025-02-28T00:00:00")),
     ],
 )
 def test_date_math_resolution(bound, op, expect):
