@@ -151,9 +151,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # (b) re-stamps of every path r11 MODIFIES (cumcard calendar key
 # normalization -> es_search_cumcard_cal; resolve_range_bounds date-math
 # rewrite -> es_dsl_range_tz; completion weight -> es_completion_suggest;
-# merge batching -> corpus_bpe_train_dist), then (c) the 41 queries whose
+# merge batching -> corpus_bpe_train_dist), then (c) the queries whose
 # last driver stamp is OLDEST, oldest first (r1: ann_lsh_histogram; all
-# 27 r3 stamps; the first 13 of the 44 r4 stamps — r12 takes the rest).
+# 27 r3 stamps; the first 12 of the 44 r4 stamps — r12 takes the rest).
 # The true sketches (es_cardinality_approx / es_theta_set_ops /
 # stats_quantiles_kll / emb_kmeans_ivf_topk / corpus_bpe_encode) stay OUT
 # of the window — they are rows-only by nature and would read as
@@ -161,7 +161,8 @@ def entry(spark: SparkSession) -> DataFrame:
 GRADE_FIRST: tuple[str, ...] = (
     # --- r11-new + r11-touched paths ---
     "es_dsl_date_math", "es_ip_prefix_v6", "es_search_ip_prefix_v6",
-    "es_search_cumcard_cal_off", "es_search_sig_inferred",
+    "es_search_cumcard_cal_off", "es_search_cumcard_cal_tz",
+    "es_search_sig_inferred",
     "es_search_cumcard_cal", "es_dsl_range_tz", "es_completion_suggest",
     "corpus_bpe_train_dist",
     # --- freshness: last stamped r1 ---
@@ -181,7 +182,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "emb_group_centroids", "emb_quantize_int8", "es_adjacency_matrix",
     "es_auto_date_histogram", "es_boxplot", "es_categorize_text",
     "es_composite_after", "es_diversified_sampler",
-    "es_geo_line", "es_geotile_grid",
+    "es_geo_line",
 )
 
 
@@ -902,6 +903,63 @@ def _es_search_cumcard_cal_off_query(s: SparkSession, d: str) -> DataFrame:
     return run_search(_events_tms(s, d), ES_SEARCH_CUMCARD_CAL_OFF_BODY)[
         "weekly"
     ].drop("key_ts")
+
+
+# Round-11 (SCOPE.md §D graduation, second pass): CALENDAR grid WITH
+# time_zone — local-midnight New-York days; the first-seen fold floors on
+# the LOCAL wall clock and keys on the UTC instant of the local boundary
+# (floor_calendar/local_ts_to_utc_ms, the same helpers the bucket grid
+# uses). Jan-2024 events make every key land at 05:00 UTC — a UTC-floor
+# regression would shift the whole key set and hash-mismatch; the DST
+# crossing itself is pinned in tests/test_round11.py over a March-2024
+# frame (the 23-hour NY day).
+ES_SEARCH_CUMCARD_CAL_TZ_BODY = {
+    "size": 0,
+    "aggs": {
+        "daily": {
+            "date_histogram": {"field": "t_ms", "calendar_interval": "day",
+                               "time_zone": "America/New_York",
+                               "min_doc_count": 1},
+            "aggs": {
+                "u": {"cardinality": {"field": "user_id"}},
+                "cu": {"cumulative_cardinality": {"buckets_path": "u"}},
+            },
+        },
+    },
+}
+
+
+def _es_search_cumcard_cal_tz_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    return run_search(_events_tms(s, d), ES_SEARCH_CUMCARD_CAL_TZ_BODY)[
+        "daily"
+    ].drop("key_ts")
+
+
+ES_SEARCH_CUMCARD_CAL_TZ_SQL = """
+WITH ev AS (
+  SELECT epoch_ms(timezone('America/New_York', date_trunc('day',
+           timezone('America/New_York',
+             timezone('UTC', make_timestamp(epoch_ms(ts) * 1000))))))
+           AS key, user_id
+  FROM events WHERE ts IS NOT NULL
+),
+b AS (
+  SELECT key, CAST(COUNT(*) AS BIGINT) AS doc_count,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS u
+  FROM ev GROUP BY key
+),
+firsts AS (
+  SELECT key, CAST(COUNT(*) AS BIGINT) AS new_ids
+  FROM (SELECT user_id, MIN(key) AS key FROM ev GROUP BY user_id)
+  GROUP BY key
+)
+SELECT b.key, b.doc_count, b.u,
+       CAST(SUM(COALESCE(f.new_ids, 0)) OVER (ORDER BY b.key
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cu
+FROM b LEFT JOIN firsts f USING (key) ORDER BY b.key
+"""
 
 
 ES_SEARCH_CUMCARD_CAL_OFF_SQL = """
@@ -2091,6 +2149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_cumcard": _es_search_cumcard_query,
         "es_search_cumcard_cal": _es_search_cumcard_cal_query,
         "es_search_cumcard_cal_off": _es_search_cumcard_cal_off_query,
+        "es_search_cumcard_cal_tz": _es_search_cumcard_cal_tz_query,
         "es_search_knn_l2": _es_search_knn_l2_query,
         "es_search_change_point": _es_search_cp_query,
         "es_search_nested": _es_search_nested_query,
@@ -2416,6 +2475,7 @@ def oracle_sql() -> dict[str, str]:
         "es_search_cumcard": ES_SEARCH_CUMCARD_SQL,
         "es_search_cumcard_cal": ES_SEARCH_CUMCARD_CAL_SQL,
         "es_search_cumcard_cal_off": ES_SEARCH_CUMCARD_CAL_OFF_SQL,
+        "es_search_cumcard_cal_tz": ES_SEARCH_CUMCARD_CAL_TZ_SQL,
         "es_search_knn_l2": ES_SEARCH_KNN_L2_SQL,
         "es_search_change_point": _es_search_cp_oracle(),
         "es_search_nested": ES_SEARCH_NESTED_SQL,

@@ -920,17 +920,24 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
             # trunc(t−off)+off — the SAME key params.round_key_ms gives
             # the bucket grid, so the join aligns. The ES alias is
             # normalized through params.parse_interval ('1w'→'week');
-            # date_trunc would silently NULL on the raw alias. time_zone
-            # stays loud (the first-seen key has no zone-aware floor).
+            # date_trunc would silently NULL on the raw alias. r11
+            # (second pass): time_zone joins too — the first-seen key is
+            # the zone-aware floor built from the SAME floor_calendar /
+            # local_ts_to_utc_ms helpers the bucket grid uses.
             cc_kw: dict = {}
             if "calendar_interval" in spec:
-                if spec.get("time_zone"):
-                    raise ValueError(
-                        "cumulative_cardinality under a calendar"
-                        " date_histogram does not support time_zone"
-                    )
                 from ..params import parse_interval as _parse_iv
 
+                if spec.get("time_zone"):
+                    from zoneinfo import ZoneInfo
+
+                    try:
+                        ZoneInfo(spec["time_zone"])
+                    except Exception:
+                        raise ValueError(
+                            f"unknown time zone {spec['time_zone']!r}"
+                        ) from None
+                    cc_kw["tz"] = spec["time_zone"]
                 cc_kw["calendar_unit"] = _parse_iv(
                     None, spec["calendar_interval"]
                 )[2]

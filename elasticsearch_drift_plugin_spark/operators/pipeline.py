@@ -182,6 +182,7 @@ def cumulative_cardinality(
     step_ms: int | None = None,
     calendar_unit: str | None = None,
     offset_ms: int = 0,
+    tz: str | None = None,
 ) -> DataFrame:
     """(key, new_ids, cum_cardinality): ES ``cumulative_cardinality`` — the
     running count of DISTINCT ids seen up to and including each time
@@ -206,6 +207,13 @@ def cumulative_cardinality(
     Spark/DuckDB ``date_trunc`` silently return NULL on unknown formats;
     callers normalize via ``params.parse_interval``); unknown units
     raise here.
+
+    r11 (second pass): ``tz`` (IANA name, calendar grids only) floors on
+    the LOCAL wall clock and keys on the UTC instant of the local
+    boundary — built from the SAME :func:`functions.time.floor_calendar`
+    / :func:`functions.time.local_ts_to_utc_ms` helpers the
+    date_histogram grid uses, so the compiler's bucket join stays
+    aligned across DST by construction.
     """
     t = F.col(time_ms_col)
     if calendar_unit is not None:
@@ -220,14 +228,19 @@ def cumulative_cardinality(
                 f" must be canonical, one of {sorted(_CC_CALENDAR_UNITS)}"
                 " (normalize ES aliases via params.parse_interval)"
             )
+        from ..functions.time import floor_calendar, local_ts_to_utc_ms
+
         off = int(offset_ms)
         key = (
-            F.unix_millis(
-                F.date_trunc(calendar_unit, F.timestamp_millis(t - F.lit(off)))
-            )
+            local_ts_to_utc_ms(floor_calendar(t, calendar_unit, off, tz), tz)
             + F.lit(off)
         ).alias("key")
     else:
+        if tz is not None:
+            raise ValueError(
+                "cumulative_cardinality tz requires a calendar_unit grid"
+                " (fixed grids are zone-free epoch arithmetic)"
+            )
         off = int(offset_ms)
         key = (t - F.pmod(t - F.lit(off), F.lit(int(step_ms)))).alias("key")
     base = df.select(key, F.col(id_col).alias("__id"))
@@ -254,6 +267,7 @@ def cumulative_cardinality_sql(
     step_ms: int | None = None,
     calendar_unit: str | None = None,
     offset_ms: int = 0,
+    tz: str | None = None,
 ) -> str:
     if calendar_unit is not None:
         if calendar_unit not in _CC_CALENDAR_UNITS:
@@ -262,11 +276,29 @@ def cumulative_cardinality_sql(
                 f" must be canonical, one of {sorted(_CC_CALENDAR_UNITS)}"
             )
         off = int(offset_ms)
-        key = (
-            f"epoch_ms(date_trunc('{calendar_unit}',"
-            f" make_timestamp((({time_ms_expr}) - {off}) * 1000))) + {off}"
-        )
+        if tz is not None:
+            # oracle._trunc_cal discipline: lift epoch-ms to an instant
+            # via timezone('UTC', ...) (session-TZ-independent), convert
+            # to the zone's naive local time, truncate, convert the local
+            # boundary back to its UTC instant
+            inst = (
+                f"timezone('UTC',"
+                f" make_timestamp((({time_ms_expr}) - {off}) * 1000))"
+            )
+            key = (
+                f"epoch_ms(timezone('{tz}', date_trunc('{calendar_unit}',"
+                f" timezone('{tz}', {inst})))) + {off}"
+            )
+        else:
+            key = (
+                f"epoch_ms(date_trunc('{calendar_unit}',"
+                f" make_timestamp((({time_ms_expr}) - {off}) * 1000))) + {off}"
+            )
     else:
+        if tz is not None:
+            raise ValueError(
+                "cumulative_cardinality tz requires a calendar_unit grid"
+            )
         t, off, step = time_ms_expr, int(offset_ms), int(step_ms)
         key = f"({t}) - (((({t}) - {off}) % {step} + {step}) % {step})"
     return f"""

@@ -9,9 +9,12 @@
    first-seen key is the shifted calendar floor ``trunc(t − off) + off``,
    exactly ``params.round_key_ms``'s calendar+offset key, so the bucket
    join aligns.
-3. ``time_zone`` on a cumcard-carrying calendar date_histogram stays a
-   LOUD raise (no zone-aware first-seen floor), and non-canonical units
-   raise at the operator instead of NULLing.
+3. ``time_zone`` on a cumcard-carrying calendar date_histogram (second
+   r11 pass): the first-seen fold floors on the LOCAL wall clock via the
+   same floor_calendar/local_ts_to_utc_ms helpers the bucket grid uses —
+   DST pinned on the 2024-03-10 spring-forward; unknown zones and
+   fixed-grid tz raise loudly, and non-canonical units raise at the
+   operator instead of NULLing.
 """
 
 from __future__ import annotations
@@ -96,17 +99,51 @@ def test_cumcard_calendar_with_offset(cc_df):
     assert all(round_key_ms(p, k) == k for k, _, _ in rows)
 
 
-def test_cumcard_calendar_time_zone_raises(cc_df):
-    with pytest.raises(ValueError, match="time_zone"):
+def test_cumcard_calendar_time_zone_dst(spark):
+    """r11 second pass (SCOPE.md §D graduation): calendar + time_zone —
+    the first-seen fold floors on the LOCAL wall clock. New-York days
+    across the 2024-03-10 spring-forward: local midnights sit at 05:00
+    UTC before the transition and 04:00 UTC after (the 23-hour day), and
+    every key must equal params.trunc_calendar_ms's zone floor."""
+    from elasticsearch_drift_plugin_spark.params import trunc_calendar_ms
+
+    tz = "America/New_York"
+    rows = [
+        (_ms("2024-03-09T06:00:00"), 1),  # Mar 9 01:00 EST → Sat Mar 9
+        (_ms("2024-03-10T04:30:00"), 2),  # Mar 9 23:30 EST → Sat Mar 9
+        (_ms("2024-03-10T07:00:00"), 1),  # Mar 10 03:00 EDT → Sun Mar 10
+        (_ms("2024-03-11T05:00:00"), 3),  # Mar 11 01:00 EDT → Mon Mar 11
+    ]
+    df = spark.createDataFrame(rows, "t_ms long, user_id long")
+    out = run_search(
+        df, _body({"calendar_interval": "day", "time_zone": tz})
+    )["g"]
+    got = [(r["key"], r["u"], r["cu"]) for r in out.collect()]
+    sat = _ms("2024-03-09T05:00:00")   # NY midnight, EST (UTC−5)
+    sun = _ms("2024-03-10T05:00:00")   # NY midnight, still EST
+    mon = _ms("2024-03-11T04:00:00")   # NY midnight, EDT (UTC−4): 23 h day
+    assert got == [(sat, 2, 2), (sun, 1, 2), (mon, 1, 3)]
+    assert all(trunc_calendar_ms(k, "day", tz) == k for k, _, _ in got)
+
+
+def test_cumcard_unknown_time_zone_raises(cc_df):
+    with pytest.raises(ValueError, match="unknown time zone"):
         run_search(
             cc_df,
-            _body({"calendar_interval": "week", "time_zone": "Europe/Berlin"}),
+            _body({"calendar_interval": "week", "time_zone": "Mars/Olympus"}),
         )
 
 
 def test_cumcard_operator_rejects_non_canonical_unit(cc_df):
     with pytest.raises(ValueError, match="canonical"):
         cumulative_cardinality(cc_df, "t_ms", "user_id", calendar_unit="1w")
+
+
+def test_cumcard_operator_rejects_tz_on_fixed_grid(cc_df):
+    with pytest.raises(ValueError, match="calendar_unit grid"):
+        cumulative_cardinality(
+            cc_df, "t_ms", "user_id", step_ms=DAY, tz="America/New_York"
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -432,3 +469,43 @@ def test_date_math_compiles_identically_in_both_engines(spark):
         (_ms("2024-01-08T00:00:00"), "click"),
         (_ms("2024-01-14T23:59:59"), "search"),
     ]
+
+
+def test_cumcard_tz_sql_twin_matches_operator():
+    """cumulative_cardinality_sql with tz (the DuckDB twin) on the DST
+    frame: the zone floor expression (timezone/date_trunc/timezone) must
+    produce the same (key, new_ids, cum) rows the Spark operator does —
+    pinned against the hand-derived expectation from the DST test."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev AS SELECT * FROM (VALUES "
+        f"({_ms('2024-03-09T06:00:00')}, 1),"
+        f"({_ms('2024-03-10T04:30:00')}, 2),"
+        f"({_ms('2024-03-10T07:00:00')}, 1),"
+        f"({_ms('2024-03-11T05:00:00')}, 3)) t(t_ms, user_id)"
+    )
+    from elasticsearch_drift_plugin_spark.operators.pipeline import (
+        cumulative_cardinality_sql,
+    )
+
+    sql = cumulative_cardinality_sql(
+        "ev", "t_ms", "user_id", calendar_unit="day", tz="America/New_York"
+    )
+    got = [tuple(r) for r in con.execute(sql).fetchall()]
+    sat = _ms("2024-03-09T05:00:00")
+    sun = _ms("2024-03-10T05:00:00")
+    mon = _ms("2024-03-11T04:00:00")
+    assert got == [(sat, 2, 2), (sun, 0, 2), (mon, 1, 3)]
+
+
+def test_cumcard_sql_rejects_tz_on_fixed_grid():
+    from elasticsearch_drift_plugin_spark.operators.pipeline import (
+        cumulative_cardinality_sql,
+    )
+
+    with pytest.raises(ValueError, match="calendar_unit grid"):
+        cumulative_cardinality_sql(
+            "ev", "t_ms", "user_id", step_ms=DAY, tz="America/New_York"
+        )
