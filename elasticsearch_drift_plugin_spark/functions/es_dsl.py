@@ -337,12 +337,105 @@ def resolve_range_bounds(bounds: dict) -> dict:
     return out
 
 
+def desugar_compound(kind: str, body: dict) -> dict | None:
+    """Rewrite ES compound/score-shaping query kinds to the engine's core
+    clause set, or ``None`` when ``kind`` is not a compound. ONE rewrite
+    shared by :func:`compile_query` and :func:`compile_query_sql` — the
+    two compilers compile the same desugared tree, so they cannot drift.
+
+    The engine is a filter-context dialect (no ``_score``), so kinds whose
+    only effect beyond matching is score shaping reduce to their matching
+    semantics — exactly what ES computes for them inside a ``bool.filter``:
+
+    - ``constant_score`` → its ``filter`` clause.
+    - ``dis_max`` → OR of ``queries`` (tie_breaker shapes scores only).
+    - ``boosting`` → its ``positive`` clause (ES matches on positive;
+      ``negative`` only DEMOTES scores — it never excludes. A filter-mode
+      reading that dropped negative matches would diverge from ES).
+    - ``multi_match`` → per ES ``type``:
+      * ``best_fields`` / ``most_fields`` (default): a doc matches when
+        ANY of ``fields`` matches the equivalent ``match`` query — the two
+        types differ only in how scores combine (dis_max vs sum).
+        ``operator`` and ``minimum_should_match`` thread into each
+        per-field match (msm desugars to a per-token bool, resolved by the
+        shared Lucene spec resolver).
+      * ``cross_fields``: term-centric — EVERY term (under ``operator:
+        and``; any term under ``or``) must appear in at least one field.
+      * ``phrase`` / ``phrase_prefix``: the match_phrase /
+        match_phrase_prefix form per field, OR across fields.
+      Per-field boosts (``"title^3"``) strip — boost is score-only.
+    """
+    if kind == "constant_score":
+        return body["filter"]
+    if kind == "dis_max":
+        qs = body.get("queries")
+        if not isinstance(qs, (list, tuple)) or not qs:
+            raise ValueError("dis_max needs a non-empty queries list")
+        return {"bool": {"should": list(qs), "minimum_should_match": 1}}
+    if kind == "boosting":
+        if "positive" not in body:
+            raise ValueError("boosting needs a positive clause")
+        return body["positive"]
+    if kind == "multi_match":
+        query = body.get("query")
+        fields = [str(f).split("^")[0] for f in body.get("fields", [])]
+        if not fields:
+            raise ValueError(
+                "multi_match needs an explicit non-empty fields list"
+                " (the engine has no index mapping to default from)"
+            )
+        mtype = body.get("type", "best_fields")
+        op = body.get("operator", "or")
+        msm = body.get("minimum_should_match")
+        toks = [t for t in str(query).split() if t]
+        if not toks:
+            raise ValueError("multi_match with empty query")
+        if mtype in ("best_fields", "most_fields"):
+            if msm is not None:
+                per_field = [
+                    {"bool": {
+                        "should": [{"match": {f: t}} for t in toks],
+                        "minimum_should_match": msm,
+                    }}
+                    for f in fields
+                ]
+            else:
+                per_field = [
+                    {"match": {f: {"query": query, "operator": op}}}
+                    for f in fields
+                ]
+            return {"bool": {"should": per_field, "minimum_should_match": 1}}
+        if mtype == "cross_fields":
+            term_any = [
+                {"bool": {"should": [{"match": {f: t}} for f in fields],
+                          "minimum_should_match": 1}}
+                for t in toks
+            ]
+            if op == "and":
+                return {"bool": {"must": term_any}}
+            return {"bool": {"should": term_any, "minimum_should_match": 1}}
+        if mtype in ("phrase", "phrase_prefix"):
+            inner = "match_phrase" if mtype == "phrase" else "match_phrase_prefix"
+            return {"bool": {
+                "should": [{inner: {f: {"query": query}}} for f in fields],
+                "minimum_should_match": 1,
+            }}
+        raise ValueError(
+            f"unsupported multi_match type {mtype!r} (best_fields,"
+            " most_fields, cross_fields, phrase, phrase_prefix)"
+        )
+    return None
+
+
 def compile_query(q: dict) -> Column:
     """Compile an ES ``query`` body (the dict under ``"query"``) to one
     boolean ``Column``."""
     if not isinstance(q, dict) or len(q) != 1:
         raise ValueError(f"expected a single-clause query dict, got {q!r}")
     (kind, body), = q.items()
+    desugared = desugar_compound(kind, body)
+    if desugared is not None:
+        return compile_query(desugared)
     if kind == "simple_query_string":
         return compile_query(translate_simple_query_string(body))
     if kind == "match_all":
@@ -538,6 +631,9 @@ def compile_query_sql(q: dict) -> str:
     (runs in both Spark SQL and DuckDB) — the oracle twin of
     :func:`compile_query`, kept clause-for-clause parallel."""
     (kind, body), = q.items()
+    desugared = desugar_compound(kind, body)
+    if desugared is not None:
+        return compile_query_sql(desugared)
     if kind == "simple_query_string":
         return compile_query_sql(translate_simple_query_string(body))
     if kind == "match_all":

@@ -814,6 +814,86 @@ DATE_MATH_BODY = {"bool": {"filter": [
 ]}}
 
 
+# multi_match (r11): the field-OR / term-centric compound text query —
+# Kibana's default search box emits it. The engine desugars it (ONE rewrite
+# shared by both compilers, functions.es_dsl.desugar_compound) to the core
+# clause set; in the filter-context dialect best_fields/most_fields differ
+# only in score shaping, so the hit set is "any field matches the match
+# query". cross_fields is term-centric: under operator:and EVERY term must
+# appear in at least one of the fields — here "merge" (text vocabulary)
+# AND "src3" (a source key), a cross-column conjunction no single-field
+# match can express. Boost suffixes strip (score-only).
+MULTI_MATCH_BODY = {"bool": {"filter": [
+    {"multi_match": {"query": "merge src3", "type": "cross_fields",
+                     "operator": "and", "fields": ["text^2", "source"]}},
+]}}
+
+
+# the score-shaping compounds (r11): constant_score / dis_max / boosting
+# reduce to their matching semantics in filter context — constant_score
+# wraps its filter, dis_max ORs its queries (tie_breaker is score-only),
+# boosting matches its positive clause (ES demotes but never EXCLUDES
+# negative matches — a filter-mode reading that dropped them would
+# diverge). The composed body: docs that (contain "window" OR are from
+# src5) AND match the boosting positive ("data" docs, demoted-not-dropped
+# when they also contain "slow").
+COMPOUND_BODY = {"bool": {"filter": [
+    {"constant_score": {"filter": {"dis_max": {"queries": [
+        {"match": {"text": "window"}},
+        {"term": {"source": "src5"}},
+    ]}}}},
+    {"boosting": {
+        "positive": {"match": {"text": "data"}},
+        "negative": {"match": {"text": "slow"}},
+        "negative_boost": 0.2,
+    }},
+]}}
+
+
+def multi_match_filter_agg(docs: DataFrame) -> DataFrame:
+    from ..functions.es_dsl import compile_query
+
+    return (
+        docs.where(compile_query(MULTI_MATCH_BODY))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        .orderBy("lang")
+    )
+
+
+def multi_match_filter_agg_sql() -> str:
+    from ..functions.es_dsl import compile_query_sql
+
+    pred = compile_query_sql(MULTI_MATCH_BODY)
+    return f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS doc_count
+FROM documents WHERE {pred}
+GROUP BY lang ORDER BY lang
+"""
+
+
+def compound_filter_agg(docs: DataFrame) -> DataFrame:
+    from ..functions.es_dsl import compile_query
+
+    return (
+        docs.where(compile_query(COMPOUND_BODY))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        .orderBy("lang")
+    )
+
+
+def compound_filter_agg_sql() -> str:
+    from ..functions.es_dsl import compile_query_sql
+
+    pred = compile_query_sql(COMPOUND_BODY)
+    return f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS doc_count
+FROM documents WHERE {pred}
+GROUP BY lang ORDER BY lang
+"""
+
+
 def date_math_filter_agg(events: DataFrame) -> DataFrame:
     from ..functions.es_dsl import compile_query
     from ..sources.flows import ts_ms_col
@@ -971,6 +1051,12 @@ def queries() -> dict:
         "es_dsl_msm_pct": lambda s, d: msm_pct_filter_agg(
             load_table(s, d, "events")
         ),
+        "es_dsl_multi_match": lambda s, d: multi_match_filter_agg(
+            load_table(s, d, "documents")
+        ),
+        "es_dsl_compound": lambda s, d: compound_filter_agg(
+            load_table(s, d, "documents")
+        ),
         "es_dsl_terms_set": lambda s, d: terms_set_filter_agg(
             load_table(s, d, "documents")
         ),
@@ -1069,6 +1155,8 @@ def oracle_sql() -> dict:
         "es_dsl_range_tz": range_tz_filter_agg_sql(),
         "es_dsl_date_math": date_math_filter_agg_sql(),
         "es_dsl_msm_pct": msm_pct_filter_agg_sql(),
+        "es_dsl_multi_match": multi_match_filter_agg_sql(),
+        "es_dsl_compound": compound_filter_agg_sql(),
         "es_dsl_terms_set": terms_set_filter_agg_sql(),
         "es_dsl_geo": dsl_geo_sql(),
         "es_dsl_geo_dateline": dsl_geo_dateline_sql(),

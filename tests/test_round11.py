@@ -509,3 +509,134 @@ def test_cumcard_sql_rejects_tz_on_fixed_grid():
         cumulative_cardinality_sql(
             "ev", "t_ms", "user_id", step_ms=DAY, tz="America/New_York"
         )
+
+
+# ---------------------------------------------------------------------------
+# r11 DSL compounds: multi_match / constant_score / dis_max / boosting
+# desugar to the core clause set via ONE shared rewrite (desugar_compound),
+# so the Spark and SQL compilers cannot drift. Filter-context semantics:
+# score-shaping kinds reduce to their matching behavior.
+# ---------------------------------------------------------------------------
+
+from elasticsearch_drift_plugin_spark.functions.es_dsl import (  # noqa: E402
+    compile_query,
+    compile_query_sql,
+    desugar_compound,
+)
+
+
+@pytest.fixture(scope="module")
+def mm_df(spark):
+    rows = [
+        (0, "alpha beta gamma", "src1"),
+        (1, "alpha delta", "src2"),
+        (2, "beta delta", "src1"),
+        (3, "epsilon", "src2"),
+        (4, "alpha beta", "src3"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def _ids(df, q):
+    return sorted(r["doc_id"] for r in df.where(compile_query(q)).collect())
+
+
+def test_multi_match_best_fields_or(mm_df):
+    # any field matches the match query (per-field OR of terms)
+    q = {"multi_match": {"query": "gamma src2", "fields": ["text", "source"]}}
+    assert _ids(mm_df, q) == [0, 1, 3]
+
+
+def test_multi_match_best_fields_and_requires_one_field_all_terms(mm_df):
+    # operator:and is FIELD-centric — both terms in the SAME field
+    q = {"multi_match": {"query": "alpha beta", "operator": "and",
+                         "fields": ["text", "source"]}}
+    assert _ids(mm_df, q) == [0, 4]
+
+
+def test_multi_match_cross_fields_and_is_term_centric(mm_df):
+    # each term in at least ONE field: "alpha" in text AND "src2" in source
+    q = {"multi_match": {"query": "alpha src2", "type": "cross_fields",
+                         "operator": "and", "fields": ["text", "source"]}}
+    assert _ids(mm_df, q) == [1]
+    # the field-centric reading would match nothing — pin the distinction
+    qf = {"multi_match": {"query": "alpha src2", "operator": "and",
+                          "fields": ["text", "source"]}}
+    assert _ids(mm_df, qf) == []
+
+
+def test_multi_match_msm_and_boost_strip(mm_df):
+    # 2 of the 3 terms must appear in one field; ^boosts are score-only
+    q = {"multi_match": {"query": "alpha beta zeta", "fields": ["text^3"],
+                         "minimum_should_match": 2}}
+    assert _ids(mm_df, q) == [0, 4]  # docs with ≥2 of the three terms
+
+
+def test_multi_match_phrase(mm_df):
+    q = {"multi_match": {"query": "beta gamma", "type": "phrase",
+                         "fields": ["text", "source"]}}
+    assert _ids(mm_df, q) == [0]  # adjacent-ordered only
+
+
+def test_constant_score_dis_max_boosting(mm_df):
+    q = {"constant_score": {"filter": {"term": {"source": "src3"}}}}
+    assert _ids(mm_df, q) == [4]
+    q = {"dis_max": {"queries": [{"term": {"source": "src3"}},
+                                 {"match": {"text": "epsilon"}}]}}
+    assert _ids(mm_df, q) == [3, 4]
+    # boosting NEVER excludes negative matches (ES demotes scores only)
+    q = {"boosting": {"positive": {"match": {"text": "alpha"}},
+                      "negative": {"match": {"text": "delta"}},
+                      "negative_boost": 0.1}}
+    assert _ids(mm_df, q) == [0, 1, 4]
+
+
+def test_compound_sql_twin_matches_spark(mm_df):
+    """Every compound compiles to the SAME hit set through both compilers
+    (DuckDB evaluates the SQL predicate on the same rows)."""
+    import duckdb
+
+    rows = [(r["doc_id"], r["text"], r["source"]) for r in mm_df.collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs (doc_id BIGINT, text VARCHAR, source VARCHAR)"
+    )
+    con.executemany("INSERT INTO docs VALUES (?, ?, ?)", rows)
+    bodies = [
+        {"multi_match": {"query": "gamma src2", "fields": ["text", "source"]}},
+        {"multi_match": {"query": "alpha src2", "type": "cross_fields",
+                         "operator": "and", "fields": ["text", "source"]}},
+        {"multi_match": {"query": "alpha beta zeta", "fields": ["text"],
+                         "minimum_should_match": 2}},
+        {"multi_match": {"query": "beta gamma", "type": "phrase",
+                         "fields": ["text", "source"]}},
+        {"dis_max": {"queries": [{"term": {"source": "src3"}},
+                                 {"match": {"text": "epsilon"}}]}},
+        {"constant_score": {"filter": {"prefix": {"source": "src1"}}}},
+        {"boosting": {"positive": {"match": {"text": "alpha"}},
+                      "negative": {"match": {"text": "delta"}},
+                      "negative_boost": 0.1}},
+    ]
+    for q in bodies:
+        sql_ids = sorted(
+            r[0] for r in con.execute(
+                f"SELECT doc_id FROM docs WHERE {compile_query_sql(q)}"
+            ).fetchall()
+        )
+        assert sql_ids == _ids(mm_df, q), q
+
+
+def test_compound_raises():
+    with pytest.raises(ValueError, match="fields"):
+        desugar_compound("multi_match", {"query": "x"})
+    with pytest.raises(ValueError, match="empty query"):
+        desugar_compound("multi_match", {"query": " ", "fields": ["text"]})
+    with pytest.raises(ValueError, match="multi_match type"):
+        desugar_compound(
+            "multi_match",
+            {"query": "x", "fields": ["text"], "type": "bool_prefix"},
+        )
+    with pytest.raises(ValueError, match="queries list"):
+        desugar_compound("dis_max", {"queries": []})
+    with pytest.raises(ValueError, match="positive"):
+        desugar_compound("boosting", {"negative": {"term": {"a": 1}}})
