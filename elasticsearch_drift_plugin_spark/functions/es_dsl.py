@@ -29,6 +29,16 @@ common flow-query bodies):
   joined by ``default_operator``, ``-`` negation, quoted phrases; the
   ``| + ( ) * ~`` operators raise), translated ONCE into bool/match
   clauses feeding both compilers
+- ``query_string`` (r11) — the full Lucene search-bar grammar subset:
+  AND/OR/NOT (&&/||/!), ``+``/``-`` modifiers with BooleanQuery
+  optional-beside-required semantics, field-scoped groups, ``[a TO b]``
+  ranges and comparison shorthand, wildcards/prefix/fuzzy/regexp/
+  ``_exists_``, escapes — lexer + parser in ``functions/query_string.py``,
+  one translation feeding both compilers
+- ``multi_match`` / ``constant_score`` / ``dis_max`` / ``boosting``
+  (r11) — desugared by :func:`desugar_compound` (one shared rewrite) to
+  this core set; filter-context semantics (score shaping drops, boosting
+  demotes-never-excludes, cross_fields is term-centric)
 - ``fuzzy`` — Levenshtein distance ≤ ``fuzziness`` (AUTO ladder from the
   probe length; plain Levenshtein — transpositions count 2, ES's
   fuzzy_transpositions:false mode)
@@ -436,6 +446,10 @@ def compile_query(q: dict) -> Column:
     desugared = desugar_compound(kind, body)
     if desugared is not None:
         return compile_query(desugared)
+    if kind == "query_string":
+        from .query_string import translate_query_string
+
+        return compile_query(translate_query_string(body))
     if kind == "simple_query_string":
         return compile_query(translate_simple_query_string(body))
     if kind == "match_all":
@@ -634,6 +648,10 @@ def compile_query_sql(q: dict) -> str:
     desugared = desugar_compound(kind, body)
     if desugared is not None:
         return compile_query_sql(desugared)
+    if kind == "query_string":
+        from .query_string import translate_query_string
+
+        return compile_query_sql(translate_query_string(body))
     if kind == "simple_query_string":
         return compile_query_sql(translate_simple_query_string(body))
     if kind == "match_all":

@@ -850,6 +850,42 @@ COMPOUND_BODY = {"bool": {"filter": [
 ]}}
 
 
+# query_string (r11): the Lucene search-bar grammar — parsed and lowered
+# to the core clause set by functions.query_string.translate_query_string
+# (one translation, both compilers). This body exercises phrases, prefix
+# and single-char wildcards, AND/OR groups, '-' prohibition, and a
+# numeric range, with implicit adjacency at default_operator=and:
+# docs that (contain the phrase "table scan" OR a merg*-prefixed token)
+# AND come from src10-src19 AND are not German AND have 100-2000 chars.
+QUERY_STRING_BODY = {
+    "query": '(text:"table scan" OR text:merg*) AND source:src1? '
+             '-lang:de n_chars:[100 TO 2000]',
+    "default_operator": "and",
+}
+
+
+def query_string_filter_agg(docs: DataFrame) -> DataFrame:
+    from ..functions.es_dsl import compile_query
+
+    return (
+        docs.where(compile_query({"query_string": QUERY_STRING_BODY}))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        .orderBy("lang")
+    )
+
+
+def query_string_filter_agg_sql() -> str:
+    from ..functions.es_dsl import compile_query_sql
+
+    pred = compile_query_sql({"query_string": QUERY_STRING_BODY})
+    return f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS doc_count
+FROM documents WHERE {pred}
+GROUP BY lang ORDER BY lang
+"""
+
+
 def multi_match_filter_agg(docs: DataFrame) -> DataFrame:
     from ..functions.es_dsl import compile_query
 
@@ -1051,6 +1087,9 @@ def queries() -> dict:
         "es_dsl_msm_pct": lambda s, d: msm_pct_filter_agg(
             load_table(s, d, "events")
         ),
+        "es_dsl_query_string": lambda s, d: query_string_filter_agg(
+            load_table(s, d, "documents")
+        ),
         "es_dsl_multi_match": lambda s, d: multi_match_filter_agg(
             load_table(s, d, "documents")
         ),
@@ -1155,6 +1194,7 @@ def oracle_sql() -> dict:
         "es_dsl_range_tz": range_tz_filter_agg_sql(),
         "es_dsl_date_math": date_math_filter_agg_sql(),
         "es_dsl_msm_pct": msm_pct_filter_agg_sql(),
+        "es_dsl_query_string": query_string_filter_agg_sql(),
         "es_dsl_multi_match": multi_match_filter_agg_sql(),
         "es_dsl_compound": compound_filter_agg_sql(),
         "es_dsl_terms_set": terms_set_filter_agg_sql(),
