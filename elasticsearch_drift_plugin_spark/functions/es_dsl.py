@@ -35,10 +35,14 @@ common flow-query bodies):
   ranges and comparison shorthand, wildcards/prefix/fuzzy/regexp/
   ``_exists_``, escapes — lexer + parser in ``functions/query_string.py``,
   one translation feeding both compilers
-- ``multi_match`` / ``constant_score`` / ``dis_max`` / ``boosting``
+- ``multi_match`` / ``constant_score`` / ``dis_max`` / ``boosting`` /
+  ``pinned`` / ``rank_feature`` / ``distance_feature`` /
+  ``match_bool_prefix`` / ``combined_fields``
   (r11) — desugared by :func:`desugar_compound` (one shared rewrite) to
   this core set; filter-context semantics (score shaping drops, boosting
-  demotes-never-excludes, cross_fields is term-centric)
+  demotes-never-excludes, pinned is a hit-set union, rank/distance
+  feature match field-carrying docs, cross_fields/combined_fields are
+  term-centric, match_bool_prefix ends in a TOKEN prefix)
 - ``fuzzy`` — Levenshtein distance ≤ ``fuzziness`` (AUTO ladder from the
   probe length; plain Levenshtein — transpositions count 2, ES's
   fuzzy_transpositions:false mode)
@@ -377,6 +381,56 @@ def desugar_compound(kind: str, body: dict) -> dict | None:
     """
     if kind == "constant_score":
         return body["filter"]
+    if kind == "pinned":
+        # ES pinned: organic hits with the pinned ids PROMOTED — pinned
+        # docs match even when they miss the organic query, so the hit
+        # set is the union (promotion order is score-only)
+        ids = body.get("ids")
+        organic = body.get("organic")
+        if not ids or organic is None:
+            raise ValueError("pinned needs ids and organic")
+        id_clause = {"ids": {"values": list(ids), **(
+            {"field": body["field"]} if "field" in body else {}
+        )}}
+        return {"bool": {"should": [id_clause, organic],
+                         "minimum_should_match": 1}}
+    if kind in ("rank_feature", "distance_feature"):
+        # both are score-shaping queries that MATCH every doc carrying
+        # the field (ES: rank_feature/distance_feature docs) — in filter
+        # context that is exactly `exists`
+        return {"exists": {"field": body["field"]}}
+    if kind == "match_bool_prefix":
+        # ES match_bool_prefix: each term a term-level match, the LAST a
+        # prefix (search-as-you-type without phrase ordering); operator /
+        # minimum_should_match as in match
+        (field, spec), = body.items()
+        if isinstance(spec, dict):
+            query, op = spec["query"], spec.get("operator", "or")
+            msm = spec.get("minimum_should_match")
+        else:
+            query, op, msm = spec, "or", None
+        toks = [t for t in str(query).split() if t]
+        if not toks:
+            raise ValueError("match_bool_prefix with empty query")
+        clauses = [{"match": {field: t}} for t in toks[:-1]]
+        # the last term is a TOKEN prefix over analyzed text — exactly a
+        # one-token match_phrase_prefix (keyword `prefix` would anchor to
+        # the whole field value)
+        clauses.append({"match_phrase_prefix": {field: {"query": toks[-1]}}})
+        if op == "and":
+            return {"bool": {"must": clauses}}
+        return {"bool": {"should": clauses,
+                         "minimum_should_match": 1 if msm is None else msm}}
+    if kind == "combined_fields":
+        # ES combined_fields is TERM-CENTRIC (each term in at least one
+        # field under operator:and) — the cross_fields hit set
+        return {"multi_match": {
+            "query": body["query"], "fields": body.get("fields", []),
+            "type": "cross_fields",
+            "operator": body.get("operator", "or"),
+            **({"minimum_should_match": body["minimum_should_match"]}
+               if "minimum_should_match" in body else {}),
+        }}
     if kind == "dis_max":
         qs = body.get("queries")
         if not isinstance(qs, (list, tuple)) or not qs:
@@ -423,7 +477,9 @@ def desugar_compound(kind: str, body: dict) -> dict | None:
             ]
             if op == "and":
                 return {"bool": {"must": term_any}}
-            return {"bool": {"should": term_any, "minimum_should_match": 1}}
+            return {"bool": {"should": term_any,
+                             "minimum_should_match":
+                                 1 if msm is None else msm}}
         if mtype in ("phrase", "phrase_prefix"):
             inner = "match_phrase" if mtype == "phrase" else "match_phrase_prefix"
             return {"bool": {

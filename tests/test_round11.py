@@ -640,3 +640,67 @@ def test_compound_raises():
         desugar_compound("dis_max", {"queries": []})
     with pytest.raises(ValueError, match="positive"):
         desugar_compound("boosting", {"negative": {"term": {"a": 1}}})
+
+
+def test_pinned_rank_feature_match_bool_prefix(mm_df):
+    # pinned: hit set = organic UNION pinned ids (promotion is score-only)
+    q = {"pinned": {"ids": [3], "organic": {"match": {"text": "alpha"}},
+                    "field": "doc_id"}}
+    assert _ids(mm_df, q) == [0, 1, 3, 4]
+    # rank_feature / distance_feature match docs CARRYING the field
+    df2 = mm_df.withColumn(
+        "pagerank", F.when(F.col("doc_id") < 2, F.col("doc_id") * 1.0)
+    )
+    for kind in ("rank_feature", "distance_feature"):
+        got = sorted(
+            r["doc_id"] for r in df2.where(
+                compile_query({kind: {"field": "pagerank"}})
+            ).collect()
+        )
+        assert got == [0, 1], kind
+    # match_bool_prefix: all-but-last exact tokens, last a prefix
+    q = {"match_bool_prefix": {"text": {"query": "alpha bet",
+                                        "operator": "and"}}}
+    assert _ids(mm_df, q) == [0, 4]
+    q = {"match_bool_prefix": {"text": "gamma epsil"}}
+    assert _ids(mm_df, q) == [0, 3]  # or: any term / prefix hits
+
+
+def test_combined_fields_is_term_centric(mm_df):
+    q = {"combined_fields": {"query": "alpha src2", "operator": "and",
+                             "fields": ["text", "source"]}}
+    assert _ids(mm_df, q) == [1]
+    q = {"combined_fields": {"query": "alpha beta epsilon",
+                             "fields": ["text", "source"],
+                             "minimum_should_match": 2}}
+    assert _ids(mm_df, q) == [0, 4]  # ≥2 of the terms somewhere
+
+
+def test_new_compounds_sql_twin(mm_df):
+    import duckdb
+
+    rows = [(r["doc_id"], r["text"], r["source"]) for r in mm_df.collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs2 (doc_id BIGINT, text VARCHAR, source VARCHAR)"
+    )
+    con.executemany("INSERT INTO docs2 VALUES (?, ?, ?)", rows)
+    bodies = [
+        {"pinned": {"ids": [3], "organic": {"match": {"text": "alpha"}},
+                    "field": "doc_id"}},
+        {"match_bool_prefix": {"text": {"query": "alpha bet",
+                                        "operator": "and"}}},
+        {"match_bool_prefix": {"text": "gamma epsil"}},
+        {"combined_fields": {"query": "alpha src2", "operator": "and",
+                             "fields": ["text", "source"]}},
+        {"combined_fields": {"query": "alpha beta epsilon",
+                             "fields": ["text", "source"],
+                             "minimum_should_match": 2}},
+    ]
+    for q in bodies:
+        sql_ids = sorted(
+            r[0] for r in con.execute(
+                f"SELECT doc_id FROM docs2 WHERE {compile_query_sql(q)}"
+            ).fetchall()
+        )
+        assert sql_ids == _ids(mm_df, q), q
