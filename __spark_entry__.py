@@ -153,7 +153,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # rewrite -> es_dsl_range_tz; completion weight -> es_completion_suggest;
 # merge batching -> corpus_bpe_train_dist), then (c) the queries whose
 # last driver stamp is OLDEST, oldest first (r1: ann_lsh_histogram; all
-# 27 r3 stamps; the first 9 of the 44 r4 stamps — r12 takes the rest).
+# 27 r3 stamps; the first 8 of the 44 r4 stamps — r12 takes the rest).
 # The true sketches (es_cardinality_approx / es_theta_set_ops /
 # stats_quantiles_kll / emb_kmeans_ivf_topk / corpus_bpe_encode) stay OUT
 # of the window — they are rows-only by nature and would read as
@@ -163,7 +163,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "es_dsl_date_math", "es_ip_prefix_v6", "es_search_ip_prefix_v6",
     "es_search_cumcard_cal_off", "es_search_cumcard_cal_tz",
     "es_dsl_multi_match", "es_dsl_compound", "es_dsl_query_string",
-    "es_search_sig_inferred",
+    "es_search_slice", "es_search_sig_inferred",
     "es_search_cumcard_cal", "es_dsl_range_tz", "es_completion_suggest",
     "corpus_bpe_train_dist",
     # --- freshness: last stamped r1 ---
@@ -181,7 +181,7 @@ GRADE_FIRST: tuple[str, ...] = (
     # --- freshness: last stamped r4 (first 15 of 44) ---
     "corpus_boilerplate", "corpus_lm_score", "corpus_top_ngrams",
     "emb_group_centroids", "emb_quantize_int8", "es_adjacency_matrix",
-    "es_auto_date_histogram", "es_boxplot", "es_categorize_text",
+    "es_auto_date_histogram", "es_boxplot",
 )
 
 
@@ -1254,6 +1254,33 @@ ORDER BY value DESC, event_id ASC LIMIT 25 OFFSET 5
 """
 
 
+# `slice` (r11): sliced scan — the ES parallel-export contract. Slice 2
+# of 5 over a numeric id (the engine's documented modulo slicing; ES
+# hashes _id), composed with a query filter and cursor-style sort. The
+# slice predicate reaches the parquet scan, so each export worker reads
+# only its share.
+ES_SEARCH_SLICE_BODY = {
+    "size": 30,
+    "query": {"range": {"value": {"gte": 50}}},
+    "sort": [{"event_id": "asc"}],
+    "slice": {"id": 2, "max": 5, "field": "event_id"},
+    "_source": {"includes": ["event_id", "event_type", "value"]},
+}
+
+
+def _es_search_slice_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    return run_search(_events_tms(s, d), ES_SEARCH_SLICE_BODY)["_hits"]
+
+
+ES_SEARCH_SLICE_SQL = """
+SELECT event_id, event_type, value FROM events
+WHERE value >= 50 AND ((event_id % 5) + 5) % 5 = 2
+ORDER BY event_id ASC LIMIT 30
+"""
+
+
 # top-level `knn` section (ES 8.x vector search) through the compiler:
 # exact cosine top-k against a literal query_vector with the spec's
 # pre-`filter`, quantized score (same 10^-6 quanta as
@@ -2156,6 +2183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_ip_prefix_v6": _es_search_ip_prefix_v6_query,
         "es_search_sig_inferred": _es_search_sig_inferred_query,
         "es_search_hits": _es_search_hits_query,
+        "es_search_slice": _es_search_slice_query,
         "es_search_knn": _es_search_knn_query,
         "es_search_knn_indexed": _es_search_knn_indexed_query,
         "es_search_collapse": _es_search_collapse_query,
@@ -2482,6 +2510,7 @@ def oracle_sql() -> dict[str, str]:
         "es_search_ip_prefix_v6": _es_search_ip_prefix_v6_oracle(),
         "es_search_sig_inferred": _es_search_sig_inferred_oracle(),
         "es_search_hits": ES_SEARCH_HITS_SQL,
+        "es_search_slice": ES_SEARCH_SLICE_SQL,
         "es_search_knn": ES_SEARCH_KNN_SQL,
         "es_search_knn_indexed": _es_search_knn_indexed_oracle(),
         "es_search_collapse": ES_SEARCH_COLLAPSE_SQL,

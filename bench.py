@@ -254,6 +254,12 @@ BENCH_QUERIES = [
     "es_dsl_date_math",
     "es_ip_prefix_v6",
     "es_search_cumcard_cal_off",
+    # r11 second pass: zone-aware cumcard + the compound/Lucene DSL tier
+    "es_search_cumcard_cal_tz",
+    "es_dsl_multi_match",
+    "es_dsl_compound",
+    "es_dsl_query_string",
+    "es_search_slice",
 ]
 
 

@@ -280,6 +280,25 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
                     == "desc"
                 )
         hits = df
+        # `slice` (r11): sliced scan — the ES parallel-export contract
+        # (each worker takes one disjoint slice; the union of slices is
+        # the full result). ES hashes _id; the engine's documented
+        # slicing function is modulo over a NUMERIC id column
+        # (`slice.field`, default doc_id) — deterministic, portable to
+        # the SQL twin, and what real export jobs slice on. The predicate
+        # reaches the scan as a codegen filter, so at 100 TB each worker
+        # reads and keeps only its share.
+        sl = body.get("slice")
+        if sl is not None:
+            smax, sid = int(sl["max"]), int(sl["id"])
+            if not (smax >= 2 and 0 <= sid < smax):
+                raise ValueError(
+                    "slice needs max >= 2 and 0 <= id < max (ES contract)"
+                )
+            sfield = sl.get("field", "doc_id")
+            hits = hits.where(
+                F.pmod(F.col(sfield).cast("long"), F.lit(smax)) == sid
+            )
         # `post_filter`: narrows the HITS ONLY — sibling aggs above keep
         # the full query context (the ES faceted-navigation contract:
         # facet counts stay global while the hit list reflects the

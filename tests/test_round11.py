@@ -704,3 +704,29 @@ def test_new_compounds_sql_twin(mm_df):
             ).fetchall()
         )
         assert sql_ids == _ids(mm_df, q), q
+
+
+def test_slice_partitions_are_disjoint_and_complete(spark):
+    """`slice` (r11): the ES parallel-export contract — slices are
+    disjoint and their union is the full (unsliced) result."""
+    rows = [(i, float(i % 7) * 30) for i in range(40)]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    base = {"size": 100, "query": {"range": {"value": {"gte": 30}}},
+            "sort": [{"event_id": "asc"}],
+            "_source": {"includes": ["event_id"]}}
+    full = [r["event_id"] for r in run_search(df, base)["_hits"].collect()]
+    seen: list[int] = []
+    for sid in range(3):
+        body = {**base, "slice": {"id": sid, "max": 3, "field": "event_id"}}
+        part = [r["event_id"] for r in run_search(df, body)["_hits"].collect()]
+        assert not set(part) & set(seen)
+        seen += part
+    assert sorted(seen) == full
+
+
+def test_slice_validation(spark):
+    df = spark.createDataFrame([(1, 1.0)], "event_id long, value double")
+    base = {"size": 5, "sort": [{"event_id": "asc"}]}
+    for bad in ({"id": 3, "max": 3}, {"id": -1, "max": 3}, {"id": 0, "max": 1}):
+        with pytest.raises(ValueError, match="slice"):
+            run_search(df, {**base, "slice": {**bad, "field": "event_id"}})
