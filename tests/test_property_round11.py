@@ -169,3 +169,99 @@ def test_bpe_batched_equals_sequential_random_corpus(spark, seed):
     seq = [tuple(r) for r in bpe_train_distributed(docs, n_merges=12, merge_batch=1).collect()]
     bat = [tuple(r) for r in bpe_train_distributed(docs, n_merges=12, merge_batch=8).collect()]
     assert seq == bat and len(seq) >= 5
+
+
+# ---------------------------------------------------------------------------
+# 4. query_string parser (r11 second pass): random grammar trees rendered to
+#    Lucene text; the Spark predicate (compile_query) and the DuckDB twin
+#    (compile_query_sql) must select identical hit sets on a shared fixture.
+#    The tree is generated STRUCTURALLY (we know the intended grammar), so a
+#    lexer/parser bug that misreads precedence, modifiers, or ranges shows
+#    up as a cross-engine mismatch or a loud raise on valid input.
+# ---------------------------------------------------------------------------
+
+_QS_VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+_QS_ROWS = [
+    (i,
+     " ".join(_QS_VOCAB[(i + j) % 6] for j in range(3)),
+     f"src{i % 4}",
+     (i * 37) % 100)
+    for i in range(12)
+]
+
+
+def _qs_leaf(rng: random.Random) -> str:
+    kind = rng.randrange(6)
+    if kind == 0:
+        return rng.choice(_QS_VOCAB)                       # bare term
+    if kind == 1:
+        return f"text:{rng.choice(_QS_VOCAB)}"             # field term
+    if kind == 2:
+        a = rng.choice(_QS_VOCAB)
+        b = rng.choice(_QS_VOCAB)
+        return f'text:"{a} {b}"'                           # phrase
+    if kind == 3:
+        lo, hi = sorted((rng.randrange(100), rng.randrange(100)))
+        lb = "[" if rng.random() < 0.5 else "{"
+        rb = "]" if rng.random() < 0.5 else "}"
+        return f"n:{lb}{lo} TO {hi}{rb}"                   # range
+    if kind == 4:
+        return f"src:src{rng.randrange(4)}*"[:-1] + ("*" if rng.random() < 0.5 else "?")
+    op = rng.choice([">", ">=", "<", "<="])
+    return f"n:{op}{rng.randrange(100)}"                   # comparison
+
+
+def _qs_node(rng: random.Random, depth: int) -> str:
+    if depth <= 0 or rng.random() < 0.4:
+        leaf = _qs_leaf(rng)
+        if rng.random() < 0.15:
+            return f"NOT {leaf}"
+        return leaf
+    n = rng.randrange(2, 4)
+    parts = [_qs_node(rng, depth - 1) for _ in range(n)]
+    out = [parts[0]]
+    for p in parts[1:]:
+        j = rng.choice(["", "AND ", "OR "])
+        out.append(f"{j}{p}")
+    body = " ".join(out)
+    if rng.random() < 0.3:
+        mod = rng.choice(["+", "-", ""])
+        return f"{mod}({body})"
+    return f"({body})"
+
+
+def test_query_string_cross_engine_property(spark):
+    import duckdb
+
+    from elasticsearch_drift_plugin_spark.functions.es_dsl import (
+        compile_query,
+        compile_query_sql,
+    )
+
+    df = spark.createDataFrame(
+        _QS_ROWS, "doc_id long, text string, src string, n long"
+    ).cache()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (doc_id BIGINT, text VARCHAR, src VARCHAR, n BIGINT)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", _QS_ROWS)
+    rng = random.Random(0xE5D11)
+    checked = 0
+    for _ in range(40):
+        qtext = _qs_node(rng, 2)
+        body = {"query_string": {
+            "query": qtext, "default_field": "text",
+            "default_operator": rng.choice(["or", "and"]),
+        }}
+        spark_ids = sorted(
+            r["doc_id"] for r in df.where(compile_query(body)).collect()
+        )
+        sql_ids = sorted(
+            r[0] for r in con.execute(
+                f"SELECT doc_id FROM t WHERE {compile_query_sql(body)}"
+            ).fetchall()
+        )
+        assert spark_ids == sql_ids, qtext
+        checked += 1
+    assert checked == 40
