@@ -74,6 +74,16 @@ FLAGSHIPS = (
     "es_matrix_stats_multi",
     "es_search_cumcard_cal",
     "stream_new_users",
+    # round-11 second pass: the zone-aware first-seen fold, the compound
+    # and Lucene DSL tiers (token-containment filters over the 10×
+    # corpus — no pushdown by nature, the scan-bound case), and the
+    # sliced-export scan (the slice predicate must prune scan output,
+    # keeping per-slice cost ~1/max of the full page)
+    "es_search_cumcard_cal_tz",
+    "es_dsl_multi_match",
+    "es_dsl_compound",
+    "es_dsl_query_string",
+    "es_search_slice",
 )
 
 
