@@ -451,3 +451,47 @@ def test_phrase_suggest_joins_are_broadcast_only(spark):
     # bigram tables are never shuffled against the candidate spine
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_dsl_compounds_are_jvm_only_with_pushdown(spark, tmp_path):
+    """r11 DSL tier: the compiled compound/query_string predicates are
+    pure codegen (no Python), and the pushdown-eligible legs (numeric
+    range, slice modulo's column scan) reach the parquet reader while the
+    token-containment legs evaluate in the same filter stage."""
+    from elasticsearch_drift_plugin_spark.functions.es_dsl import compile_query
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "alpha beta", "src1", 120, 5.0)],
+        "doc_id long, text string, source string, n_chars long, value double",
+    ).write.parquet(path)
+    docs = spark.read.parquet(path)
+
+    qs = docs.where(compile_query({"query_string": {
+        "query": "text:alpha AND n_chars:[100 TO 2000]",
+    }}))
+    assert not has_python_eval(qs)
+    plan = explain_str(qs)
+    assert "Exchange" not in plan
+    # the range leg pushes; GreaterThanOrEqual/LessThanOrEqual on n_chars
+    assert re.search(r"PushedFilters: \[.*n_chars.*\]", plan), plan
+
+    mm = docs.where(compile_query({"multi_match": {
+        "query": "alpha src1", "type": "cross_fields", "operator": "and",
+        "fields": ["text", "source"],
+    }}))
+    assert not has_python_eval(mm)
+    assert "Exchange" not in explain_str(mm)
+
+    hits = run_search(docs, {
+        "size": 10, "sort": [{"doc_id": "asc"}],
+        "query": {"range": {"value": {"gte": 1}}},
+        "slice": {"id": 0, "max": 4, "field": "doc_id"},
+        "_source": {"includes": ["doc_id", "value"]},
+    })["_hits"]
+    assert not has_python_eval(hits)
+    hplan = explain_str(hits)
+    # the value range pushes to the scan; the slice pmod filters inline
+    assert re.search(r"PushedFilters: \[.*value.*\]", hplan), hplan
+    assert "pmod" in hplan
