@@ -153,7 +153,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # rewrite -> es_dsl_range_tz; completion weight -> es_completion_suggest;
 # merge batching -> corpus_bpe_train_dist), then (c) the queries whose
 # last driver stamp is OLDEST, oldest first (r1: ann_lsh_histogram; all
-# 27 r3 stamps; the first 8 of the 44 r4 stamps — r12 takes the rest).
+# 27 r3 stamps; the first 7 of the 44 r4 stamps — r12 takes the rest).
 # The true sketches (es_cardinality_approx / es_theta_set_ops /
 # stats_quantiles_kll / emb_kmeans_ivf_topk / corpus_bpe_encode) stay OUT
 # of the window — they are rows-only by nature and would read as
@@ -163,7 +163,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "es_dsl_date_math", "es_ip_prefix_v6", "es_search_ip_prefix_v6",
     "es_search_cumcard_cal_off", "es_search_cumcard_cal_tz",
     "es_dsl_multi_match", "es_dsl_compound", "es_dsl_query_string",
-    "es_search_slice", "es_search_sig_inferred",
+    "es_search_slice", "es_dsl_nested", "es_search_sig_inferred",
     "es_search_cumcard_cal", "es_dsl_range_tz", "es_completion_suggest",
     "corpus_bpe_train_dist",
     # --- freshness: last stamped r1 ---
@@ -181,7 +181,7 @@ GRADE_FIRST: tuple[str, ...] = (
     # --- freshness: last stamped r4 (first 15 of 44) ---
     "corpus_boilerplate", "corpus_lm_score", "corpus_top_ngrams",
     "emb_group_centroids", "emb_quantize_int8", "es_adjacency_matrix",
-    "es_auto_date_histogram", "es_boxplot",
+    "es_auto_date_histogram",
 )
 
 
@@ -1080,6 +1080,50 @@ def _es_search_nested_query(s: SparkSession, d: str) -> DataFrame:
         flows_src.load_table(s, d, "lineitem"),
     )
     return run_search(parents, ES_SEARCH_NESTED_BODY)["items"]
+
+
+# `nested` QUERY kind (r11): the parent matches when ANY element of its
+# items array<struct> satisfies the inner tree — compiled to F.exists
+# over the array (zero-shuffle codegen; nested-schema pruning reads only
+# the touched struct fields). The ORACLE is derived INDEPENDENTLY from
+# the relational form (EXISTS subquery over orders⋈lineitem), not by
+# replaying the list_filter twin — a stronger cross-check.
+ES_DSL_NESTED_BODY = {"nested": {"path": "items", "query": {"bool": {
+    "must": [
+        {"range": {"items.l_quantity": {"gte": 45}}},
+        {"term": {"items.l_returnflag": "R"}},
+    ],
+}}}}
+
+
+def _es_dsl_nested_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_dsl import compile_query
+    from elasticsearch_drift_plugin_spark.operators.relational import (
+        nested_parent_docs,
+    )
+
+    parents = nested_parent_docs(
+        flows_src.load_table(s, d, "orders"),
+        flows_src.load_table(s, d, "lineitem"),
+    )
+    return (
+        parents.where(compile_query(ES_DSL_NESTED_BODY))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ES_DSL_NESTED_SQL = """
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS doc_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_quantity >= 45 AND l.l_returnflag = 'R'
+)
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+"""
 
 
 ES_SEARCH_NESTED_SQL = """
@@ -2179,6 +2223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_knn_l2": _es_search_knn_l2_query,
         "es_search_change_point": _es_search_cp_query,
         "es_search_nested": _es_search_nested_query,
+        "es_dsl_nested": _es_dsl_nested_query,
         "es_search_ip_range": _es_search_ip_range_query,
         "es_search_ip_prefix_v6": _es_search_ip_prefix_v6_query,
         "es_search_sig_inferred": _es_search_sig_inferred_query,
@@ -2506,6 +2551,7 @@ def oracle_sql() -> dict[str, str]:
         "es_search_knn_l2": ES_SEARCH_KNN_L2_SQL,
         "es_search_change_point": _es_search_cp_oracle(),
         "es_search_nested": ES_SEARCH_NESTED_SQL,
+        "es_dsl_nested": ES_DSL_NESTED_SQL,
         "es_search_ip_range": ES_SEARCH_IP_RANGE_SQL,
         "es_search_ip_prefix_v6": _es_search_ip_prefix_v6_oracle(),
         "es_search_sig_inferred": _es_search_sig_inferred_oracle(),

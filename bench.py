@@ -260,6 +260,7 @@ BENCH_QUERIES = [
     "es_dsl_compound",
     "es_dsl_query_string",
     "es_search_slice",
+    "es_dsl_nested",
 ]
 
 

@@ -43,6 +43,10 @@ common flow-query bodies):
   demotes-never-excludes, pinned is a hit-set union, rank/distance
   feature match field-carrying docs, cross_fields/combined_fields are
   term-centric, match_bool_prefix ends in a TOKEN prefix)
+- ``nested`` (r11) — any-element match over an ``array<struct>`` column
+  via an ``F.exists`` lambda (zero-shuffle codegen, nested-schema
+  pruning); inner subset term/terms/range/exists/match/match_phrase/bool,
+  loud beyond it; DuckDB twin via ``list_filter``
 - ``fuzzy`` — Levenshtein distance ≤ ``fuzziness`` (AUTO ladder from the
   probe length; plain Levenshtein — transpositions count 2, ES's
   fuzzy_transpositions:false mode)
@@ -653,6 +657,21 @@ def compile_query(q: dict) -> Column:
         olat, olon = body["origin"]["lat"], body["origin"]["lon"]
         dist_m = _parse_distance_m(body["distance"])
         return F.expr(_haversine_m(lat, lon, olat, olon)) <= F.lit(dist_m)
+    if kind == "nested":
+        # ES nested query: the parent matches when ANY element of the
+        # nested array satisfies the inner query (filter context ignores
+        # score_mode). Flattened-frame engine: the nested docs live in an
+        # array<struct> column named by `path`; the inner tree compiles
+        # to a lambda predicate under F.exists — a zero-shuffle codegen
+        # map over the array, with nested-schema pruning reading only the
+        # touched struct fields. NULL/missing arrays never match (the
+        # exists HOF yields NULL → false in filter context), matching ES.
+        path, inner = body["path"], body.get("query")
+        if inner is None:
+            raise ValueError("nested needs a query")
+        return F.exists(
+            F.col(path), lambda x: _compile_nested_inner(inner, path, x)
+        )
     if kind == "bool":
         must = [compile_query(c) for c in _as_list(body.get("must"))]
         filt = [compile_query(c) for c in _as_list(body.get("filter"))]
@@ -694,6 +713,122 @@ def compile_query(q: dict) -> Column:
             conds.append(~F.coalesce(c, F.lit(False)))
         return _and(conds) if conds else F.lit(True)
     raise ValueError(f"unsupported query clause {kind!r}")
+
+
+def _nested_field(field: str, path: str):
+    """Inner field name: ES spells nested fields ``path.field``; bare
+    names are accepted too (the engine's struct carries the leaf name)."""
+    return field[len(path) + 1:] if field.startswith(path + ".") else field
+
+
+def _compile_nested_inner(q: dict, path: str, x) -> Column:
+    """Compile the supported inner-clause subset over a nested array
+    element ``x`` (a lambda variable Column). Kept deliberately small —
+    term/terms/range/exists/match/match_phrase/bool — and LOUD beyond it
+    (the flattened engine cannot nest arbitrary clause kinds inside a
+    lambda without bespoke support; add kinds here as they prove needed).
+    """
+    (kind, body), = q.items()
+    fld = lambda f: x[_nested_field(f, path)]  # noqa: E731
+    if kind == "term":
+        field, val = _field_value(body, "value")
+        return fld(field) == F.lit(val)
+    if kind == "terms":
+        (field, vals), = body.items()
+        return fld(field).isin(list(vals))
+    if kind == "range":
+        (field, bounds), = body.items()
+        ops = {"gt": "__gt__", "gte": "__ge__", "lt": "__lt__", "lte": "__le__"}
+        bounds = resolve_range_bounds(bounds)
+        conds = [
+            getattr(fld(field), ops[op])(F.lit(v))
+            for op, v in bounds.items()
+            if op not in ("format", "boost")
+        ]
+        if not conds:
+            raise ValueError("nested range clause with no bounds")
+        return _and(conds)
+    if kind == "exists":
+        return fld(body["field"]).isNotNull()
+    if kind in ("match", "match_phrase"):
+        field, val = _field_value(body, "query")
+        toks = [t for t in str(val).split() if t]
+        if not toks:
+            raise ValueError(f"nested {kind} with empty query")
+        padded = F.concat(F.lit(" "), fld(field), F.lit(" "))
+        if kind == "match_phrase":
+            return padded.contains(" " + " ".join(toks) + " ")
+        op = body[field].get("operator", "or") if isinstance(body[field], dict) else "or"
+        conds = [padded.contains(f" {t} ") for t in toks]
+        return _and(conds) if op == "and" else _or(conds)
+    if kind == "bool":
+        conds = [
+            _compile_nested_inner(c, path, x)
+            for c in (*_as_list(body.get("must")), *_as_list(body.get("filter")))
+        ]
+        should = [
+            _compile_nested_inner(c, path, x) for c in _as_list(body.get("should"))
+        ]
+        if should:
+            conds.append(_or(should))
+        for c in _as_list(body.get("must_not")):
+            conds.append(
+                ~F.coalesce(_compile_nested_inner(c, path, x), F.lit(False))
+            )
+        return _and(conds) if conds else F.lit(True)
+    raise ValueError(f"unsupported clause {kind!r} inside nested")
+
+
+def _compile_nested_inner_sql(q: dict, path: str) -> str:
+    """DuckDB twin of :func:`_compile_nested_inner` over lambda var
+    ``_x`` (struct field access by dot)."""
+    (kind, body), = q.items()
+    fld = lambda f: f"_x.{_nested_field(f, path)}"  # noqa: E731
+    if kind == "term":
+        field, val = _field_value(body, "value")
+        return f"{fld(field)} = {_sql_lit(val)}"
+    if kind == "terms":
+        (field, vals), = body.items()
+        return f"{fld(field)} IN ({', '.join(_sql_lit(v) for v in vals)})"
+    if kind == "range":
+        (field, bounds), = body.items()
+        ops = {"gt": ">", "gte": ">=", "lt": "<", "lte": "<="}
+        bounds = resolve_range_bounds(bounds)
+        conds = [
+            f"{fld(field)} {ops[op]} {_sql_lit(v)}"
+            for op, v in bounds.items()
+            if op not in ("format", "boost")
+        ]
+        if not conds:
+            raise ValueError("nested range clause with no bounds")
+        return "(" + " AND ".join(conds) + ")"
+    if kind == "exists":
+        return f"{fld(body['field'])} IS NOT NULL"
+    if kind in ("match", "match_phrase"):
+        field, val = _field_value(body, "query")
+        toks = [t for t in str(val).split() if t]
+        padded = f"' ' || {fld(field)} || ' '"
+        if kind == "match_phrase":
+            return f"position({_sql_lit(' ' + ' '.join(toks) + ' ')} IN {padded}) > 0"
+        op = body[field].get("operator", "or") if isinstance(body[field], dict) else "or"
+        glue = " AND " if op == "and" else " OR "
+        return "(" + glue.join(
+            f"position({_sql_lit(' ' + t + ' ')} IN {padded}) > 0" for t in toks
+        ) + ")"
+    if kind == "bool":
+        conds = [
+            _compile_nested_inner_sql(c, path)
+            for c in (*_as_list(body.get("must")), *_as_list(body.get("filter")))
+        ]
+        should = [
+            _compile_nested_inner_sql(c, path) for c in _as_list(body.get("should"))
+        ]
+        if should:
+            conds.append("(" + " OR ".join(should) + ")")
+        for c in _as_list(body.get("must_not")):
+            conds.append(f"NOT COALESCE({_compile_nested_inner_sql(c, path)}, FALSE)")
+        return "(" + " AND ".join(conds) + ")" if conds else "TRUE"
+    raise ValueError(f"unsupported clause {kind!r} inside nested")
 
 
 def compile_query_sql(q: dict) -> str:
@@ -836,6 +971,12 @@ def compile_query_sql(q: dict) -> str:
         olat, olon = body["origin"]["lat"], body["origin"]["lon"]
         dist_m = _parse_distance_m(body["distance"])
         return f"({_haversine_m(lat, lon, olat, olon)} <= {dist_m!r})"
+    if kind == "nested":
+        path, inner = body["path"], body.get("query")
+        if inner is None:
+            raise ValueError("nested needs a query")
+        pred = _compile_nested_inner_sql(inner, path)
+        return f"(len(list_filter({path}, _x -> {pred})) > 0)"
     if kind == "bool":
         msm = body.get("minimum_should_match")
         conds = [compile_query_sql(c) for c in _as_list(body.get("must"))]

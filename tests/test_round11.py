@@ -730,3 +730,88 @@ def test_slice_validation(spark):
     for bad in ({"id": 3, "max": 3}, {"id": -1, "max": 3}, {"id": 0, "max": 1}):
         with pytest.raises(ValueError, match="slice"):
             run_search(df, {**base, "slice": {**bad, "field": "event_id"}})
+
+
+# ---------------------------------------------------------------------------
+# `nested` QUERY kind (r11): parent matches when ANY array element
+# satisfies the inner tree (F.exists lambda; DuckDB twin via list_filter).
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def nested_df(spark):
+    rows = [
+        (0, [(10, "A", "red fox"), (50, "R", "lazy dog")]),
+        (1, [(46, "R", "red fox jumps")]),
+        (2, [(46, "A", "dog")]),
+        (3, []),
+        (4, None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "pid long, items array<struct<qty: long, flag: string, note: string>>",
+    )
+
+
+def _nids(df, q):
+    return sorted(r["pid"] for r in df.where(compile_query(q)).collect())
+
+
+def test_nested_query_any_element_semantics(nested_df):
+    q = {"nested": {"path": "items", "query": {"bool": {"must": [
+        {"range": {"items.qty": {"gte": 45}}},
+        {"term": {"items.flag": "R"}},
+    ]}}}}
+    # doc 0: the qty-50 element IS flag R → match; doc 1 same element
+    # matches both; doc 2 fails flag on its only qualifying element;
+    # empty/NULL arrays never match (ES)
+    assert _nids(nested_df, q) == [0, 1]
+    q = {"nested": {"path": "items", "query":
+         {"match": {"items.note": "fox dog"}}}}
+    assert _nids(nested_df, q) == [0, 1, 2]
+    q = {"nested": {"path": "items", "query":
+         {"match_phrase": {"items.note": "red fox"}}}}
+    assert _nids(nested_df, q) == [0, 1]
+    # exists over the element field; bare (un-prefixed) names accepted
+    q = {"nested": {"path": "items", "query": {"exists": {"field": "qty"}}}}
+    assert _nids(nested_df, q) == [0, 1, 2]
+
+
+def test_nested_query_sql_twin(nested_df):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE p AS SELECT * FROM (VALUES "
+        "(0, [{'qty': 10, 'flag': 'A', 'note': 'red fox'},"
+        "     {'qty': 50, 'flag': 'R', 'note': 'lazy dog'}]),"
+        "(1, [{'qty': 46, 'flag': 'R', 'note': 'red fox jumps'}]),"
+        "(2, [{'qty': 46, 'flag': 'A', 'note': 'dog'}]),"
+        "(3, CAST([] AS STRUCT(qty BIGINT, flag VARCHAR, note VARCHAR)[])),"
+        "(4, NULL)) t(pid, items)"
+    )
+    bodies = [
+        {"nested": {"path": "items", "query": {"bool": {"must": [
+            {"range": {"items.qty": {"gte": 45}}},
+            {"term": {"items.flag": "R"}},
+        ]}}}},
+        {"nested": {"path": "items", "query":
+         {"match": {"items.note": "fox dog"}}}},
+        {"nested": {"path": "items", "query": {"bool": {
+            "should": [{"term": {"items.flag": "R"}},
+                       {"range": {"items.qty": {"lt": 20}}}],
+            "must_not": [{"match_phrase": {"items.note": "lazy dog"}}],
+        }}}},
+    ]
+    for q in bodies:
+        sql_ids = sorted(r[0] for r in con.execute(
+            f"SELECT pid FROM p WHERE {compile_query_sql(q)}"
+        ).fetchall())
+        assert sql_ids == _nids(nested_df, q), q
+
+
+def test_nested_query_raises(nested_df):
+    with pytest.raises(ValueError, match="nested needs a query"):
+        compile_query({"nested": {"path": "items"}})
+    with pytest.raises(ValueError, match="inside nested"):
+        compile_query({"nested": {"path": "items", "query":
+                       {"wildcard": {"items.note": "f*"}}}})
