@@ -261,6 +261,7 @@ BENCH_QUERIES = [
     "es_dsl_query_string",
     "es_search_slice",
     "es_dsl_nested",
+    "corpus_domain_cap",
 ]
 
 

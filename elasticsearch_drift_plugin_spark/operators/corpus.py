@@ -254,6 +254,67 @@ def contamination_overlap_hashed(
     )
 
 
+def domain_cap(
+    df: DataFrame,
+    domain_col: str = "source",
+    cap: int = 10,
+    priority_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``cap`` documents per domain — the standard curation
+    guard against domain skew (a handful of hot domains otherwise
+    dominating a crawl-derived mixture; every production pre-training
+    recipe carries a per-domain cap).
+
+    Priority: highest ``priority_col`` first (a quality score, length,
+    recency — NULLs lose), ``id_col`` ascending as the deterministic
+    tie-break, so the kept set is identical in any engine and across
+    reruns. Without a priority column the cap keeps the lowest ids.
+
+    One hash-partitioned window: Spark plans ``row_number <= cap`` as
+    WindowGroupLimit (per-partition top-``cap`` heaps BEFORE the shuffle,
+    then per-key limits after) — at 100 TB each task retains at most
+    ``cap`` rows per domain it sees, so the shuffle carries
+    O(domains × cap × tasks), never the raw corpus."""
+    if cap < 1:
+        raise ValueError("domain_cap cap must be >= 1")
+    from pyspark.sql.window import Window
+
+    order = (
+        [F.col(priority_col).desc_nulls_last(), F.col(id_col).asc()]
+        if priority_col
+        else [F.col(id_col).asc()]
+    )
+    w = Window.partitionBy(domain_col).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= int(cap))
+        .drop("__rn")
+    )
+
+
+def domain_cap_sql(
+    domain_col: str = "source",
+    cap: int = 10,
+    priority_col: str | None = None,
+    id_col: str = "doc_id",
+) -> str:
+    order = (
+        f"{priority_col} DESC NULLS LAST, {id_col} ASC"
+        if priority_col
+        else f"{id_col} ASC"
+    )
+    return f"""
+SELECT doc_id, {domain_col}
+FROM (
+  SELECT doc_id, {domain_col},
+         row_number() OVER (PARTITION BY {domain_col} ORDER BY {order}) AS rn
+  FROM documents
+) WHERE rn <= {int(cap)}
+ORDER BY doc_id
+"""
+
+
 def hash_sample(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -2544,6 +2605,9 @@ def queries() -> dict:
             strata_col="source",
             strata_rates={"src0": 1.0},
         ).select("doc_id", "source").orderBy("doc_id"),
+        "corpus_domain_cap": lambda s, d: domain_cap(
+            load_table(s, d, "documents"), cap=5, priority_col="n_chars"
+        ).select("doc_id", "source").orderBy("doc_id"),
         "corpus_boilerplate": lambda s, d: boilerplate_strip(
             load_table(s, d, "documents"), width=8, max_df=2
         ),
@@ -2584,6 +2648,7 @@ def oracle_sql() -> dict:
         "corpus_hash_sample": hash_sample_sql(
             rate=0.25, strata_col="source", strata_rates={"src0": 1.0}
         ),
+        "corpus_domain_cap": domain_cap_sql(cap=5, priority_col="n_chars"),
         "corpus_boilerplate": boilerplate_sql(width=8, max_df=2),
     }
 

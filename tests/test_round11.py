@@ -815,3 +815,26 @@ def test_nested_query_raises(nested_df):
     with pytest.raises(ValueError, match="inside nested"):
         compile_query({"nested": {"path": "items", "query":
                        {"wildcard": {"items.note": "f*"}}}})
+
+
+def test_domain_cap_semantics_and_plan(spark):
+    """corpus domain_cap (r11): at most `cap` docs per domain, highest
+    priority first, doc_id tie-break; NULL priorities lose. The plan must
+    carry WindowGroupLimit (per-partition top-cap heaps before the
+    shuffle — the 100 TB guarantee that tasks never retain more than cap
+    rows per domain)."""
+    from elasticsearch_drift_plugin_spark.operators.corpus import domain_cap
+    from elasticsearch_drift_plugin_spark.plans import explain_str
+
+    rows = [
+        (0, "a", 10), (1, "a", 30), (2, "a", 30), (3, "a", None),
+        (4, "b", 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = domain_cap(df, cap=2, priority_col="n_chars")
+    got = sorted((r["doc_id"]) for r in out.collect())
+    # domain a: n_chars 30 ties -> doc 1 then doc 2; NULL (doc 3) loses
+    assert got == [1, 2, 4]
+    assert "WindowGroupLimit" in explain_str(out)
+    with pytest.raises(ValueError, match="cap"):
+        domain_cap(df, cap=0)
