@@ -267,11 +267,17 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
         entries = body["sort"]
         if isinstance(entries, (str, dict)):
             entries = [entries]
-        cols, descs = [], []
+        # ES sorts docs MISSING the sort field LAST by default (the
+        # `missing` parameter: "_last" default, "_first" to flip) —
+        # Spark's bare .asc() is nulls-FIRST, so the NULL placement must
+        # be explicit or the engine silently diverges from ES on any
+        # nullable sort key (r11 parity fix).
+        cols, descs, miss_first = [], [], []
         for ent in entries:
             if isinstance(ent, str):
                 cols.append(ent)
                 descs.append(False)
+                miss_first.append(False)
             else:
                 (c, o), = ent.items()
                 cols.append(c)
@@ -279,6 +285,20 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
                     str(o["order"] if isinstance(o, dict) else o).lower()
                     == "desc"
                 )
+                m = o.get("missing", "_last") if isinstance(o, dict) else "_last"
+                if m not in ("_last", "_first"):
+                    raise ValueError(
+                        "sort missing must be _last or _first (custom"
+                        " missing values are not supported)"
+                    )
+                miss_first.append(m == "_first")
+
+        def _sort_col(c: str, desc: bool, mfirst: bool):
+            col = F.col(c)
+            if desc:
+                return col.desc_nulls_first() if mfirst else col.desc_nulls_last()
+            return col.asc_nulls_first() if mfirst else col.asc_nulls_last()
+
         hits = df
         # `slice` (r11): sliced scan — the ES parallel-export contract
         # (each worker takes one disjoint slice; the union of slices is
@@ -423,8 +443,8 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
             from pyspark.sql.window import Window
 
             worder = [
-                F.col(c).desc() if d else F.col(c).asc()
-                for c, d in zip(cols, descs)
+                _sort_col(c, d, m)
+                for c, d, m in zip(cols, descs, miss_first)
             ]
             # inner_hits (the per-group runner-up lists) → the reserved
             # "_inner_hits" frame: top-`size` rows PER collapse group
@@ -458,7 +478,7 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
                         " _source/fields"
                     )
                 iworder = [
-                    F.col(c).desc() if d else F.col(c).asc()
+                    _sort_col(c, d, False)
                     for c, d in zip(icols, idescs)
                 ] or worder
                 iw = Window.partitionBy(coll["field"]).orderBy(*iworder)
@@ -486,7 +506,11 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
                 raise ValueError(
                     "search_after must supply one value per sort entry"
                 )
-            # strictly past the cursor tuple in the sort's direction
+            # strictly past the cursor tuple in the sort's direction.
+            # NULL sort keys never satisfy the strict comparison, so rows
+            # missing a sort field are unreachable through a cursor —
+            # same as ES's guidance to page on a total-order key (use a
+            # tie-break id column, which the fixtures do).
             pred = F.lit(False)
             for i in range(len(cols) - 1, -1, -1):
                 c, v = F.col(cols[i]), F.lit(after[i])
@@ -494,8 +518,8 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
                 pred = step | ((c == v) & pred)
             hits = hits.where(pred)
         order = [
-            F.col(c).desc() if d else F.col(c).asc()
-            for c, d in zip(cols, descs)
+            _sort_col(c, d, m)
+            for c, d, m in zip(cols, descs, miss_first)
         ]
         frm = int(body.get("from", 0))
         out["_hits"] = (

@@ -838,3 +838,26 @@ def test_domain_cap_semantics_and_plan(spark):
     assert "WindowGroupLimit" in explain_str(out)
     with pytest.raises(ValueError, match="cap"):
         domain_cap(df, cap=0)
+
+
+def test_sort_missing_last_default_and_first_override(spark):
+    """ES sorts docs missing the sort field LAST by default (`missing`
+    param, '_first' to flip) — Spark's bare .asc() is nulls-FIRST, so
+    this pins the r11 parity fix on both directions."""
+    rows = [(0, 5.0), (1, None), (2, 1.0), (3, None), (4, 9.0)]
+    df = spark.createDataFrame(rows, "doc_id long, value double")
+
+    def hits(sort):
+        return [r["doc_id"] for r in run_search(df, {
+            "size": 10, "sort": sort,
+            "_source": {"includes": ["doc_id", "value"]},
+        })["_hits"].collect()]
+
+    assert hits([{"value": "asc"}, {"doc_id": "asc"}]) == [2, 0, 4, 1, 3]
+    assert hits([{"value": "desc"}, {"doc_id": "asc"}]) == [4, 0, 2, 1, 3]
+    assert hits([{"value": {"order": "asc", "missing": "_first"}},
+                 {"doc_id": "asc"}]) == [1, 3, 2, 0, 4]
+    assert hits([{"value": {"order": "desc", "missing": "_first"}},
+                 {"doc_id": "asc"}]) == [1, 3, 4, 0, 2]
+    with pytest.raises(ValueError, match="_last or _first"):
+        hits([{"value": {"order": "asc", "missing": 0}}])
