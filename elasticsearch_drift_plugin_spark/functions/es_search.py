@@ -420,15 +420,29 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
         srcspec = body.get("_source")
         coll = body.get("collapse")
         # projection: `_source.includes` (object form) and/or the ES 8
-        # `fields` list form — union, request order, de-duplicated
+        # `fields` list form — union, request order, de-duplicated.
+        # Both accept ES wildcard patterns ("l_*"): globs expand against
+        # the frame's columns in column order (r11); a pattern matching
+        # nothing raises (a silent empty expansion would drop data).
+        def _expand(pat: str) -> list[str]:
+            if "*" not in pat and "?" not in pat:
+                return [pat]
+            import fnmatch
+
+            got = [c for c in hits.columns if fnmatch.fnmatchcase(c, pat)]
+            if not got:
+                raise ValueError(
+                    f"field pattern {pat!r} matches no columns"
+                )
+            return got
+
         keep = []
         if isinstance(srcspec, dict) and "includes" in srcspec:
-            keep += list(srcspec["includes"])
+            for p in srcspec["includes"]:
+                keep += _expand(p)
         if "fields" in body:
-            keep += [
-                f["field"] if isinstance(f, dict) else f
-                for f in body["fields"]
-            ]
+            for f in body["fields"]:
+                keep += _expand(f["field"] if isinstance(f, dict) else f)
         if keep:
             extra = [coll["field"]] if coll else []
             hits = hits.select(

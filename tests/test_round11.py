@@ -861,3 +861,24 @@ def test_sort_missing_last_default_and_first_override(spark):
                  {"doc_id": "asc"}]) == [1, 3, 4, 0, 2]
     with pytest.raises(ValueError, match="_last or _first"):
         hits([{"value": {"order": "asc", "missing": 0}}])
+
+
+def test_fields_wildcard_patterns(spark):
+    """`fields` / `_source.includes` accept ES wildcard patterns: globs
+    expand against the frame's columns; no-match patterns raise."""
+    rows = [(1, 2.0, 3.0, "x")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, l_qty double, l_price double, note string"
+    )
+    out = run_search(df, {
+        "size": 5, "sort": [{"doc_id": "asc"}],
+        "_source": {"includes": ["doc_id", "l_*"]},
+    })["_hits"]
+    assert out.columns == ["doc_id", "l_qty", "l_price"]
+    out = run_search(df, {
+        "size": 5, "sort": [{"doc_id": "asc"}], "fields": ["no?e"],
+    })["_hits"]
+    assert out.columns == ["note", "doc_id"]  # sort key kept in projection
+    with pytest.raises(ValueError, match="matches no columns"):
+        run_search(df, {"size": 5, "sort": [{"doc_id": "asc"}],
+                        "fields": ["zz_*"]})
