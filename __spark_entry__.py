@@ -153,7 +153,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # rewrite -> es_dsl_range_tz; completion weight -> es_completion_suggest;
 # merge batching -> corpus_bpe_train_dist), then (c) the queries whose
 # last driver stamp is OLDEST, oldest first (r1: ann_lsh_histogram; all
-# 27 r3 stamps; the first 6 of the 44 r4 stamps — r12 takes the rest).
+# 27 r3 stamps; the first 5 of the 44 r4 stamps — r12 takes the rest).
 # The true sketches (es_cardinality_approx / es_theta_set_ops /
 # stats_quantiles_kll / emb_kmeans_ivf_topk / corpus_bpe_encode) stay OUT
 # of the window — they are rows-only by nature and would read as
@@ -164,7 +164,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "es_search_cumcard_cal_off", "es_search_cumcard_cal_tz",
     "es_dsl_multi_match", "es_dsl_compound", "es_dsl_query_string",
     "es_search_slice", "es_dsl_nested", "corpus_domain_cap",
-    "es_search_sig_inferred",
+    "corpus_clf_calibration", "es_search_sig_inferred",
     "es_search_cumcard_cal", "es_dsl_range_tz", "es_completion_suggest",
     "corpus_bpe_train_dist",
     # --- freshness: last stamped r1 ---
@@ -179,9 +179,9 @@ GRADE_FIRST: tuple[str, ...] = (
     "rel_rollup_report", "stats_quantiles", "stream_dedup_exact",
     "stream_psum_6h", "text_gopher_filter", "text_lang_id",
     "text_quality", "train_mix_rates", "train_pack_sequences",
-    # --- freshness: last stamped r4 (first 15 of 44) ---
+    # --- freshness: last stamped r4 (first 5 of 44) ---
     "corpus_boilerplate", "corpus_lm_score", "corpus_top_ngrams",
-    "emb_group_centroids", "emb_quantize_int8", "es_adjacency_matrix",
+    "emb_group_centroids", "emb_quantize_int8",
 )
 
 

@@ -262,6 +262,7 @@ BENCH_QUERIES = [
     "es_search_slice",
     "es_dsl_nested",
     "corpus_domain_cap",
+    "corpus_clf_calibration",
 ]
 
 

@@ -1128,6 +1128,51 @@ def _clf_score(feats: DataFrame, labels: DataFrame, w: dict[int, int]) -> DataFr
     )
 
 
+def clf_calibration(scored: DataFrame, bins: int = 10) -> DataFrame:
+    """(bin, n, pos, mean_clf_q, emp_q): reliability bins for a trained
+    quality classifier — the evaluation loop every production data-filter
+    needs before its threshold is trusted (is a 0.8 score actually right
+    80% of the time?). Equal-width bins over the 1e-6-quanta score; per
+    bin the doc count, positive count, mean predicted score and the
+    empirical positive rate, all exact int64 (floored quanta) so the
+    DuckDB twin replays bit-identically. ONE result-sized aggregation
+    over the scored frame — at 100 TB this is a map-side-combinable
+    groupBy on ≤ ``bins`` keys."""
+    if bins < 2:
+        raise ValueError("clf_calibration needs bins >= 2")
+    b = F.least(
+        F.floor(F.col("clf_q") * bins / F.lit(QUANT)), F.lit(bins - 1)
+    ).cast("long")
+    return (
+        scored.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+            F.floor(F.sum("clf_q") / F.count(F.lit(1))).cast("long")
+            .alias("mean_clf_q"),
+        )
+        .select(
+            "bin", "n", "pos", "mean_clf_q",
+            F.floor(F.col("pos") * F.lit(QUANT) / F.col("n")).cast("long")
+            .alias("emp_q"),
+        )
+        .orderBy("bin")
+    )
+
+
+def clf_calibration_sql(bins: int = 10) -> str:
+    inner = quality_clf_sql()
+    return f"""
+WITH scored AS ({inner})
+SELECT LEAST(CAST(FLOOR(clf_q * {bins} / {QUANT}.0) AS BIGINT), {bins - 1}) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(y) AS BIGINT) AS pos,
+       CAST(FLOOR(SUM(clf_q) / COUNT(*)) AS BIGINT) AS mean_clf_q,
+       CAST(FLOOR(SUM(y) * {QUANT}.0 / COUNT(*)) AS BIGINT) AS emp_q
+FROM scored GROUP BY 1 ORDER BY bin
+"""
+
+
 def quality_clf_sampled(
     docs: DataFrame,
     sample_rate: float = 0.5,
@@ -2608,6 +2653,9 @@ def queries() -> dict:
         "corpus_domain_cap": lambda s, d: domain_cap(
             load_table(s, d, "documents"), cap=5, priority_col="n_chars"
         ).select("doc_id", "source").orderBy("doc_id"),
+        "corpus_clf_calibration": lambda s, d: clf_calibration(
+            quality_clf(load_table(s, d, "documents"))
+        ),
         "corpus_boilerplate": lambda s, d: boilerplate_strip(
             load_table(s, d, "documents"), width=8, max_df=2
         ),
@@ -2649,6 +2697,7 @@ def oracle_sql() -> dict:
             rate=0.25, strata_col="source", strata_rates={"src0": 1.0}
         ),
         "corpus_domain_cap": domain_cap_sql(cap=5, priority_col="n_chars"),
+        "corpus_clf_calibration": clf_calibration_sql(),
         "corpus_boilerplate": boilerplate_sql(width=8, max_df=2),
     }
 

@@ -882,3 +882,27 @@ def test_fields_wildcard_patterns(spark):
     with pytest.raises(ValueError, match="matches no columns"):
         run_search(df, {"size": 5, "sort": [{"doc_id": "asc"}],
                         "fields": ["zz_*"]})
+
+
+def test_clf_calibration_invariants(spark):
+    """Reliability bins: partition of the scored set (Σn == docs), exact
+    integer rates within [0, 1e6], bin ids in range and ordered."""
+    from elasticsearch_drift_plugin_spark.operators.corpus import (
+        clf_calibration,
+    )
+
+    rows = [(i, i % 2, q) for i, q in enumerate(
+        [0, 120_000, 480_000, 510_000, 760_000, 999_999, 1_000_000]
+    )]
+    scored = spark.createDataFrame(rows, "doc_id long, y long, clf_q long")
+    out = clf_calibration(scored, bins=4).collect()
+    assert [r["bin"] for r in out] == sorted(r["bin"] for r in out)
+    assert all(0 <= r["bin"] < 4 for r in out)
+    assert sum(r["n"] for r in out) == len(rows)
+    for r in out:
+        assert 0 <= r["emp_q"] <= 1_000_000
+        assert 0 <= r["pos"] <= r["n"]
+    # the saturated 1e6 score clamps into the LAST bin, not bins
+    assert max(r["bin"] for r in out) == 3
+    with pytest.raises(ValueError, match="bins"):
+        clf_calibration(scored, bins=1)
