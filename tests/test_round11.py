@@ -906,3 +906,34 @@ def test_clf_calibration_invariants(spark):
     assert max(r["bin"] for r in out) == 3
     with pytest.raises(ValueError, match="bins"):
         clf_calibration(scored, bins=1)
+
+
+def test_search_after_pages_tile_the_full_result(spark):
+    """Client-style cursor loop: walking search_after pages (size 7, sort
+    value desc + doc_id asc tie-break) must reproduce the unpaginated
+    sorted result exactly — no gaps, no overlaps, including duplicate
+    sort values crossing page boundaries."""
+    rows = [(i, float((i * 13) % 5)) for i in range(40)]  # heavy ties
+    df = spark.createDataFrame(rows, "doc_id long, value double")
+    base = {
+        "size": 7,
+        "sort": [{"value": "desc"}, {"doc_id": "asc"}],
+        "_source": {"includes": ["doc_id", "value"]},
+    }
+    full = [
+        (r["doc_id"], r["value"])
+        for r in run_search(df, {**base, "size": 100})["_hits"].collect()
+    ]
+    pages, cursor = [], None
+    for _ in range(20):
+        body = dict(base)
+        if cursor is not None:
+            body["search_after"] = cursor
+        page = run_search(df, body)["_hits"].collect()
+        if not page:
+            break
+        pages += [(r["doc_id"], r["value"]) for r in page]
+        cursor = [page[-1]["value"], page[-1]["doc_id"]]
+    else:
+        raise AssertionError("cursor loop did not terminate")
+    assert pages == full
