@@ -265,3 +265,125 @@ def test_query_string_cross_engine_property(spark):
         assert spark_ids == sql_ids, qtext
         checked += 1
     assert checked == 40
+
+
+# ---------------------------------------------------------------------------
+# 5. Compound-kind desugar vs an INDEPENDENT Python model (r11 third pass):
+#    the cross-engine twin sweeps share desugar_compound, so a desugaring
+#    bug passes both engines. This model evaluates the ES semantics
+#    directly on rows — token sets, term-centric cross_fields, BooleanQuery
+#    optional-beside-required — with none of the production code.
+# ---------------------------------------------------------------------------
+
+_CP_VOCAB = ["ant", "bee", "cat", "dog", "elk", "fox"]
+_CP_ROWS = [
+    (i,
+     " ".join(_CP_VOCAB[(i * 2 + j) % 6] for j in range(1 + i % 4)),
+     " ".join(_CP_VOCAB[(i + j) % 6] for j in range(1 + (i * 3) % 3)))
+    for i in range(14)
+]
+
+
+def _toks(s):
+    return s.split(" ") if s else []
+
+
+def _model_match(text, query, op="or"):
+    qt = [t for t in query.split() if t]
+    hits = [t in _toks(text) for t in qt]
+    return all(hits) if op == "and" else any(hits)
+
+
+def _model_eval(q, row):
+    _, text, src = row
+    fields = {"text": text, "src": src}
+    (kind, body), = q.items()
+    if kind == "multi_match":
+        query, ftypes = body["query"], body.get("type", "best_fields")
+        op = body.get("operator", "or")
+        msm = body.get("minimum_should_match")
+        names = [f.split("^")[0] for f in body["fields"]]
+        terms = query.split()
+        if ftypes in ("best_fields", "most_fields"):
+            if msm is not None:
+                need = msm if msm >= 0 else max(0, len(terms) + msm)
+                return any(
+                    sum(t in _toks(fields[f]) for t in terms) >= need
+                    for f in names
+                )
+            return any(_model_match(fields[f], query, op) for f in names)
+        if ftypes == "cross_fields":
+            per_term = [
+                any(t in _toks(fields[f]) for f in names) for t in terms
+            ]
+            return all(per_term) if op == "and" else any(per_term)
+        raise AssertionError(ftypes)
+    if kind == "dis_max":
+        return any(_model_eval(c, row) for c in body["queries"])
+    if kind == "boosting":
+        return _model_eval(body["positive"], row)
+    if kind == "pinned":
+        return row[0] in body["ids"] or _model_eval(body["organic"], row)
+    if kind == "match_bool_prefix":
+        (f, spec), = body.items()
+        query = spec["query"] if isinstance(spec, dict) else spec
+        op = spec.get("operator", "or") if isinstance(spec, dict) else "or"
+        toks = query.split()
+        ftoks = _toks(fields[f])
+        checks = [t in ftoks for t in toks[:-1]] + [
+            any(ft.startswith(toks[-1]) for ft in ftoks)
+        ]
+        return all(checks) if op == "and" else any(checks)
+    if kind == "match":
+        (f, v), = body.items()
+        return _model_match(fields[f], v)
+    raise AssertionError(kind)
+
+
+def _random_compound(rng: random.Random) -> dict:
+    k = rng.randrange(5)
+    q2 = " ".join(rng.choice(_CP_VOCAB) for _ in range(rng.randrange(1, 4)))
+    flds = rng.choice([["text"], ["src"], ["text", "src"], ["text^2", "src"]])
+    if k == 0:
+        mm = {"query": q2, "fields": flds,
+              "type": rng.choice(["best_fields", "most_fields", "cross_fields"]),
+              "operator": rng.choice(["or", "and"])}
+        if mm["type"] != "cross_fields" and rng.random() < 0.4:
+            mm["minimum_should_match"] = rng.choice([1, 2, -1])
+            mm.pop("operator")
+        return {"multi_match": mm}
+    if k == 1:
+        return {"dis_max": {"queries": [
+            {"match": {"text": rng.choice(_CP_VOCAB)}},
+            {"match": {"src": rng.choice(_CP_VOCAB)}},
+        ]}}
+    if k == 2:
+        return {"boosting": {
+            "positive": {"match": {"text": q2}},
+            "negative": {"match": {"src": rng.choice(_CP_VOCAB)}},
+            "negative_boost": 0.3,
+        }}
+    if k == 3:
+        return {"pinned": {"ids": [rng.randrange(14) for _ in range(2)],
+                           "organic": {"match": {"text": q2}},
+                           "field": "doc_id"}}
+    return {"match_bool_prefix": {
+        rng.choice(["text", "src"]):
+        {"query": q2, "operator": rng.choice(["or", "and"])}
+    }}
+
+
+def test_compound_desugar_vs_python_model(spark):
+    from elasticsearch_drift_plugin_spark.functions.es_dsl import compile_query
+
+    df = spark.createDataFrame(
+        _CP_ROWS, "doc_id long, text string, src string"
+    ).cache()
+    rng = random.Random(0xC0417)
+    for _ in range(40):
+        q = _random_compound(rng)
+        want = sorted(r[0] for r in _CP_ROWS if _model_eval(q, r))
+        got = sorted(
+            r["doc_id"] for r in df.where(compile_query(q)).collect()
+        )
+        assert got == want, q
