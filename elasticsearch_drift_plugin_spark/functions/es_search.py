@@ -316,6 +316,18 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
                     "slice needs max >= 2 and 0 <= id < max (ES contract)"
                 )
             sfield = sl.get("field", "doc_id")
+            from pyspark.sql import types as T
+
+            stype = dict(hits.dtypes).get(sfield)
+            ftype = hits.schema[sfield].dataType if stype else None
+            if not isinstance(
+                ftype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+            ):
+                raise ValueError(
+                    f"slice.field {sfield!r} must be an integral column"
+                    f" (got {stype}) — the engine's documented slicing is"
+                    " modulo over a numeric id"
+                )
             hits = hits.where(
                 F.pmod(F.col(sfield).cast("long"), F.lit(smax)) == sid
             )

@@ -730,6 +730,11 @@ def test_slice_validation(spark):
     for bad in ({"id": 3, "max": 3}, {"id": -1, "max": 3}, {"id": 0, "max": 1}):
         with pytest.raises(ValueError, match="slice"):
             run_search(df, {**base, "slice": {**bad, "field": "event_id"}})
+    # non-integral slice fields raise (a silent cast would mis-slice)
+    with pytest.raises(ValueError, match="integral"):
+        run_search(df, {**base, "slice": {"id": 0, "max": 2, "field": "value"}})
+    with pytest.raises(ValueError, match="integral"):
+        run_search(df, {**base, "slice": {"id": 0, "max": 2, "field": "nope"}})
 
 
 # ---------------------------------------------------------------------------
