@@ -261,6 +261,12 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
     # past the tuple, lexicographic over the sort), `from` the offset
     # form; `_source.includes` prunes the projection. orderBy+limit is
     # TakeOrdered — per-partition heaps, never a full sort.
+    if "slice" in body and not (body.get("size") and "sort" in body):
+        raise ValueError(
+            "slice applies to the hits page — the body needs size > 0 and"
+            " an explicit sort (a silently unsliced response would break"
+            " the export contract)"
+        )
     if body.get("size") and "sort" in body:
         if "_hits" in aggs:
             raise ValueError('"_hits" is reserved for the hits frame')

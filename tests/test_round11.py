@@ -942,3 +942,10 @@ def test_search_after_pages_tile_the_full_result(spark):
     else:
         raise AssertionError("cursor loop did not terminate")
     assert pages == full
+
+
+def test_slice_outside_hits_path_raises(spark):
+    df = spark.createDataFrame([(1, 1.0)], "event_id long, value double")
+    with pytest.raises(ValueError, match="hits page"):
+        run_search(df, {"size": 0, "slice": {"id": 0, "max": 2},
+                        "aggs": {"m": {"stats": {"field": "value"}}}})
