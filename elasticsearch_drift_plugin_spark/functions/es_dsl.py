@@ -54,7 +54,9 @@ common flow-query bodies):
   twin — portable for the lookaround-free subset)
 - ``ids`` — id-list membership (``values``; relational docs carry the id
   in a column, ``field`` defaults to ``doc_id``)
-- ``geo_bounding_box`` / ``geo_distance`` — relational geo points are two
+- ``geo_bounding_box`` / ``geo_distance`` / ``geo_polygon`` (r11 — the
+  agg's exact-int64 crossing-parity ray cast as a filter, so the query
+  and agg verdicts cannot disagree) — relational geo points are two
   columns (``lat_field``/``lon_field``, default ``lat``/``lon``); the
   distance filter shares the geo module's IEEE-stable haversine, distances
   accept ES strings (``"500km"``/``"10mi"``/meters); a dateline-crossing
@@ -657,6 +659,8 @@ def compile_query(q: dict) -> Column:
         olat, olon = body["origin"]["lat"], body["origin"]["lon"]
         dist_m = _parse_distance_m(body["distance"])
         return F.expr(_haversine_m(lat, lon, olat, olon)) <= F.lit(dist_m)
+    if kind == "geo_polygon":
+        return F.expr(_geo_polygon_pred(body))
     if kind == "nested":
         # ES nested query: the parent matches when ANY element of the
         # nested array satisfies the inner query (filter context ignores
@@ -713,6 +717,31 @@ def compile_query(q: dict) -> Column:
             conds.append(~F.coalesce(c, F.lit(False)))
         return _and(conds) if conds else F.lit(True)
     raise ValueError(f"unsupported query clause {kind!r}")
+
+
+def _geo_polygon_pred(body: dict, duck: bool = False) -> str:
+    """ES ``geo_polygon`` query (legacy-but-ubiquitous point-in-polygon
+    filter): the same exact-int64 crossing-parity ray cast the
+    ``geo_polygon`` AGG uses (operators.geo._ray_cast_expr — micro-degree
+    integer cross-multiplications, no float epsilon), so the query and
+    agg verdicts can never disagree. ``points`` is the ES list of
+    ``{lat, lon}`` dicts; ``lat_field``/``lon_field`` as elsewhere."""
+    from ..operators.geo import _ray_cast_expr
+
+    pts = body.get("points")
+    if not isinstance(pts, (list, tuple)) or len(pts) < 3:
+        raise ValueError("geo_polygon needs >= 3 points")
+    polygon = tuple((float(p["lon"]), float(p["lat"])) for p in pts)
+    lat = body.get("lat_field", "lat")
+    lon = body.get("lon_field", "lon")
+    px = f"CAST(ROUND({lon} * 1000000.0) AS BIGINT)"
+    py = f"CAST(ROUND({lat} * 1000000.0) AS BIGINT)"
+    pred = _ray_cast_expr(px, py, polygon)
+    if duck:  # DuckDB has no pmod()
+        pred = pred.replace("pmod(", "((").replace(
+            ", 2) = 1", ") % 2 + 2) % 2 = 1"
+        )
+    return pred
 
 
 def _nested_field(field: str, path: str):
@@ -971,6 +1000,8 @@ def compile_query_sql(q: dict) -> str:
         olat, olon = body["origin"]["lat"], body["origin"]["lon"]
         dist_m = _parse_distance_m(body["distance"])
         return f"({_haversine_m(lat, lon, olat, olon)} <= {dist_m!r})"
+    if kind == "geo_polygon":
+        return f"({_geo_polygon_pred(body, duck=True)})"
     if kind == "nested":
         path, inner = body["path"], body.get("query")
         if inner is None:

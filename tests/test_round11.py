@@ -949,3 +949,39 @@ def test_slice_outside_hits_path_raises(spark):
     with pytest.raises(ValueError, match="hits page"):
         run_search(df, {"size": 0, "slice": {"id": 0, "max": 2},
                         "aggs": {"m": {"stats": {"field": "value"}}}})
+
+
+def test_geo_polygon_query_kind(spark):
+    """geo_polygon DSL kind: the agg's exact-int64 ray cast as a filter —
+    a triangle over the origin; on-the-fence and outside points excluded,
+    DuckDB twin bit-identical."""
+    import duckdb
+
+    from elasticsearch_drift_plugin_spark.functions.es_dsl import (
+        compile_query,
+        compile_query_sql,
+    )
+
+    tri = [{"lat": 0.0, "lon": -10.0}, {"lat": 10.0, "lon": 10.0},
+           {"lat": -10.0, "lon": 10.0}]
+    rows = [
+        (0, 0.0, 0.0),     # inside
+        (1, 0.0, 9.0),     # inside, near the right edge
+        (2, 0.0, 11.0),    # outside (right of the triangle)
+        (3, 9.9, 9.9),     # inside, just under the A->B edge (y=9.95 at x=9.9)
+        (4, -5.0, 0.0),    # inside
+        (5, 50.0, 50.0),   # far outside
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lat double, lon double")
+    q = {"geo_polygon": {"points": tri}}
+    got = sorted(r["doc_id"] for r in df.where(compile_query(q)).collect())
+    assert got == [0, 1, 3, 4]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE g (doc_id BIGINT, lat DOUBLE, lon DOUBLE)")
+    con.executemany("INSERT INTO g VALUES (?, ?, ?)", rows)
+    sql_ids = sorted(r[0] for r in con.execute(
+        f"SELECT doc_id FROM g WHERE {compile_query_sql(q)}"
+    ).fetchall())
+    assert sql_ids == got
+    with pytest.raises(ValueError, match=">= 3 points"):
+        compile_query({"geo_polygon": {"points": tri[:2]}})
