@@ -288,13 +288,13 @@ def _toks(s):
     return s.split(" ") if s else []
 
 
-def _model_match(text, query, op="or"):
+def _cp_model_match(text, query, op="or"):
     qt = [t for t in query.split() if t]
     hits = [t in _toks(text) for t in qt]
     return all(hits) if op == "and" else any(hits)
 
 
-def _model_eval(q, row):
+def _cp_model_eval(q, row):
     _, text, src = row
     fields = {"text": text, "src": src}
     (kind, body), = q.items()
@@ -311,7 +311,7 @@ def _model_eval(q, row):
                     sum(t in _toks(fields[f]) for t in terms) >= need
                     for f in names
                 )
-            return any(_model_match(fields[f], query, op) for f in names)
+            return any(_cp_model_match(fields[f], query, op) for f in names)
         if ftypes == "cross_fields":
             per_term = [
                 any(t in _toks(fields[f]) for f in names) for t in terms
@@ -319,11 +319,11 @@ def _model_eval(q, row):
             return all(per_term) if op == "and" else any(per_term)
         raise AssertionError(ftypes)
     if kind == "dis_max":
-        return any(_model_eval(c, row) for c in body["queries"])
+        return any(_cp_model_eval(c, row) for c in body["queries"])
     if kind == "boosting":
-        return _model_eval(body["positive"], row)
+        return _cp_model_eval(body["positive"], row)
     if kind == "pinned":
-        return row[0] in body["ids"] or _model_eval(body["organic"], row)
+        return row[0] in body["ids"] or _cp_model_eval(body["organic"], row)
     if kind == "match_bool_prefix":
         (f, spec), = body.items()
         query = spec["query"] if isinstance(spec, dict) else spec
@@ -336,7 +336,7 @@ def _model_eval(q, row):
         return all(checks) if op == "and" else any(checks)
     if kind == "match":
         (f, v), = body.items()
-        return _model_match(fields[f], v)
+        return _cp_model_match(fields[f], v)
     raise AssertionError(kind)
 
 
@@ -382,7 +382,7 @@ def test_compound_desugar_vs_python_model(spark):
     rng = random.Random(0xC0417)
     for _ in range(40):
         q = _random_compound(rng)
-        want = sorted(r[0] for r in _CP_ROWS if _model_eval(q, r))
+        want = sorted(r[0] for r in _CP_ROWS if _cp_model_eval(q, r))
         got = sorted(
             r["doc_id"] for r in df.where(compile_query(q)).collect()
         )
