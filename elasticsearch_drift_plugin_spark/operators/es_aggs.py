@@ -1272,7 +1272,9 @@ def auto_date_histogram(
                 break
         if chosen is None:
             def _mi(ms):
-                d = _dt.datetime.fromtimestamp(ms / 1000, _dt.timezone.utc)
+                from ..params import _ms_to_dt
+
+                d = _ms_to_dt(ms, _dt.timezone.utc)
                 return d.year * 12 + d.month - 1
 
             for lab, k in cal:

@@ -64,7 +64,11 @@ def _ms_param(x) -> int | None:
     if isinstance(x, datetime):
         if x.tzinfo is None:
             x = x.replace(tzinfo=timezone.utc)
-        return int(x.timestamp() * 1000)
+        # exact integer ms (int(ts*1000) truncates a float ulp below the
+        # true value for sub-second instants — the r11 precision sweep)
+        from ..params import _dt_to_ms
+
+        return _dt_to_ms(x)
     raise TypeError(f"cannot interpret {x!r} as epoch ms")
 
 

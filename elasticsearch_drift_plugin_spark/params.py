@@ -170,6 +170,23 @@ def _as_zone(tz):
     return tz
 
 
+_EPOCH_UTC = datetime(1970, 1, 1, tzinfo=timezone.utc)
+
+
+def _ms_to_dt(t_ms: int, zone) -> datetime:
+    """EXACT epoch-ms → aware datetime. ``fromtimestamp(t/1000.0)`` loses
+    a unit in the last place once ``t·1000`` exceeds float53 exactness
+    (any modern epoch with a sub-second component) — timedelta carries
+    integer microseconds instead, then the zone conversion is absolute."""
+    return (_EPOCH_UTC + timedelta(milliseconds=int(t_ms))).astimezone(zone)
+
+
+def _dt_to_ms(dt: datetime) -> int:
+    """EXACT aware datetime → epoch-ms (``int(ts*1000)`` truncates a
+    float ulp below the true value — the r11 1 ms property-test catch)."""
+    return (dt - _EPOCH_UTC) // timedelta(milliseconds=1)
+
+
 def trunc_calendar_ms(t_ms: int, unit: str, tz=None) -> int:
     """Calendar floor of an epoch-ms instant — driver-side twin of the
     engine's date_trunc-based rounding, used to derive the auto-offset.
@@ -177,7 +194,7 @@ def trunc_calendar_ms(t_ms: int, unit: str, tz=None) -> int:
     wall clock of that zone and the returned ms is the UTC instant of the
     local boundary."""
     zone = _as_zone(tz)
-    dt = datetime.fromtimestamp(t_ms / 1000.0, tz=zone)
+    dt = _ms_to_dt(t_ms, zone)
     if unit == "year":
         dt = dt.replace(month=1, day=1, hour=0, minute=0, second=0, microsecond=0)
     elif unit == "month":
@@ -191,7 +208,7 @@ def trunc_calendar_ms(t_ms: int, unit: str, tz=None) -> int:
             dt = (dt - timedelta(days=days_from_monday)).replace(
                 hour=0, minute=0, second=0, microsecond=0
             )
-        return int(dt.timestamp() * 1000)
+        return _dt_to_ms(dt)
     elif unit == "day":
         dt = dt.replace(hour=0, minute=0, second=0, microsecond=0)
     elif unit == "hour":
@@ -202,7 +219,7 @@ def trunc_calendar_ms(t_ms: int, unit: str, tz=None) -> int:
         dt = dt.replace(microsecond=0)
     else:
         raise ValueError(f"unknown calendar unit {unit!r}")
-    return int(dt.timestamp() * 1000)
+    return _dt_to_ms(dt)
 
 
 def add_calendar_ms(t_ms: int, unit: str, n: int = 1, tz=None) -> int:
@@ -212,7 +229,7 @@ def add_calendar_ms(t_ms: int, unit: str, n: int = 1, tz=None) -> int:
     if tz is None and unit in ("week", "day", "hour", "minute", "second"):
         return t_ms + n * CALENDAR_UNIT_MS_MIN[unit if unit != "week" else "week"]
     zone = _as_zone(tz)
-    dt = datetime.fromtimestamp(t_ms / 1000.0, tz=zone)
+    dt = _ms_to_dt(t_ms, zone)
     if unit == "year":
         # day-of-month clamps like the month branch (java.time rule):
         # Feb 29 + 1y = Feb 28 — a bare replace() raises instead (r11)
@@ -230,7 +247,7 @@ def add_calendar_ms(t_ms: int, unit: str, n: int = 1, tz=None) -> int:
         secs = {"hour": 3600, "minute": 60, "second": 1}.get(unit, 0)
         naive = dt.replace(tzinfo=None) + timedelta(days=days * n, seconds=secs * n)
         dt = naive.replace(tzinfo=zone)
-    return int(dt.timestamp() * 1000)
+    return _dt_to_ms(dt)
 
 
 @dataclass(frozen=True)

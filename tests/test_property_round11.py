@@ -85,7 +85,13 @@ def _model_eval(expr: str, now_ms: int, round_up: bool) -> int:
             unit = _UNIT_NAME[expr[j]]
             dt = _model_add(dt, unit, n if op == "+" else -n)
             i = j + 1
-    return int(dt.timestamp() * 1000)
+    # exact integer epoch-ms: float .timestamp()*1000 loses an ulp at
+    # ...999 round-up boundaries (~5e11 ms magnitudes exceed float53
+    # exactness for the *1000 product), which showed as a 1 ms model
+    # error against the exact resolver
+    return (
+        dt - datetime(1970, 1, 1, tzinfo=timezone.utc)
+    ) // timedelta(milliseconds=1)
 
 
 @st.composite
