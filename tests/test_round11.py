@@ -985,3 +985,30 @@ def test_geo_polygon_query_kind(spark):
     assert sql_ids == got
     with pytest.raises(ValueError, match=">= 3 points"):
         compile_query({"geo_polygon": {"points": tri[:2]}})
+
+
+def test_epoch_ms_conversions_are_exact():
+    """r11 precision fix: ms↔datetime hops are exact integers. The float
+    path lost 1 ms (int(ts*1000) truncating an ulp low) — pinned on the
+    two falsifying shapes the property model caught plus a late-epoch
+    sub-second boundary."""
+    from elasticsearch_drift_plugin_spark.functions.es_dsl import (
+        resolve_range_bounds,
+    )
+    from elasticsearch_drift_plugin_spark.params import (
+        add_calendar_ms,
+        trunc_calendar_ms,
+    )
+
+    # now=6 ms + week arithmetic must keep the 6 ms remainder exactly
+    got = resolve_range_bounds({"gte": "now-2w+16w+0y", "now": 6})["gte"]
+    assert got == 6 + 14 * 7 * 86_400_000
+    # round-up through /M lands on the exact last ms of the month
+    got = resolve_range_bounds({"gt": "now+0y+36M+14y/M", "now": 0})["gt"]
+    assert got == 539_135_999_999  # 1987-02-01T00:00:00Z − 1 ms
+    # direct engine hops at a ...999 boundary and with ms remainders
+    assert trunc_calendar_ms(539_135_999_999, "month") == 536_457_600_000
+    assert add_calendar_ms(1_705_314_600_123, "hour", 1) == 1_705_318_200_123
+    assert add_calendar_ms(
+        1_705_314_600_123, "day", 1, "America/New_York"
+    ) == 1_705_401_000_123
