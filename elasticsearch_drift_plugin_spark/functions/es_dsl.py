@@ -378,7 +378,9 @@ def desugar_compound(kind: str, body: dict) -> dict | None:
         types differ only in how scores combine (dis_max vs sum).
         ``operator`` and ``minimum_should_match`` thread into each
         per-field match (msm desugars to a per-token bool, resolved by the
-        shared Lucene spec resolver).
+        shared Lucene spec resolver; under ``operator: and`` every term is
+        REQUIRED and Lucene applies msm to optional clauses only, so msm
+        is a no-op there).
       * ``cross_fields``: term-centric — EVERY term (under ``operator:
         and``; any term under ``or``) must appear in at least one field.
       * ``phrase`` / ``phrase_prefix``: the match_phrase /
@@ -461,7 +463,7 @@ def desugar_compound(kind: str, body: dict) -> dict | None:
         if not toks:
             raise ValueError("multi_match with empty query")
         if mtype in ("best_fields", "most_fields"):
-            if msm is not None:
+            if msm is not None and op != "and":
                 per_field = [
                     {"bool": {
                         "should": [{"match": {f: t}} for t in toks],
@@ -470,6 +472,10 @@ def desugar_compound(kind: str, body: dict) -> dict | None:
                     for f in fields
                 ]
             else:
+                # operator:and makes every term REQUIRED; Lucene applies
+                # minimum_should_match to OPTIONAL clauses only, so msm is
+                # a no-op beside operator:and (ADVICE r11 — the msm branch
+                # must not demote required terms to at-least-msm)
                 per_field = [
                     {"match": {f: {"query": query, "operator": op}}}
                     for f in fields
@@ -799,7 +805,27 @@ def _compile_nested_inner(q: dict, path: str, x) -> Column:
             _compile_nested_inner(c, path, x) for c in _as_list(body.get("should"))
         ]
         if should:
-            conds.append(_or(should))
+            # the SAME ES rule as the top-level bool branch (ADVICE r11:
+            # should beside must was wrongly required here): optional when
+            # must/filter present and msm unset, else the resolved msm
+            msm = body.get("minimum_should_match")
+            if msm is None:
+                eff = 1 if not conds else 0
+            else:
+                eff = calculate_min_should_match(len(should), msm)
+            if eff > len(should):
+                conds.append(F.lit(False))
+            elif eff > 1:
+                flags = [
+                    F.when(F.coalesce(c, F.lit(False)), 1).otherwise(0)
+                    for c in should
+                ]
+                total = flags[0]
+                for fl in flags[1:]:
+                    total = total + fl
+                conds.append(total >= F.lit(int(eff)))
+            elif eff == 1:
+                conds.append(_or(should))
         for c in _as_list(body.get("must_not")):
             conds.append(
                 ~F.coalesce(_compile_nested_inner(c, path, x), F.lit(False))
@@ -853,27 +879,49 @@ def _compile_nested_inner_sql(q: dict, path: str) -> str:
             _compile_nested_inner_sql(c, path) for c in _as_list(body.get("should"))
         ]
         if should:
-            conds.append("(" + " OR ".join(should) + ")")
+            # twin parity with _compile_nested_inner: the same resolved msm
+            msm = body.get("minimum_should_match")
+            if msm is None:
+                eff = 1 if not conds else 0
+            else:
+                eff = calculate_min_should_match(len(should), msm)
+            if eff > len(should):
+                conds.append("FALSE")
+            elif eff > 1:
+                total = " + ".join(
+                    f"(CASE WHEN COALESCE({c}, FALSE) THEN 1 ELSE 0 END)"
+                    for c in should
+                )
+                conds.append(f"(({total}) >= {int(eff)})")
+            elif eff == 1:
+                conds.append("(" + " OR ".join(should) + ")")
         for c in _as_list(body.get("must_not")):
             conds.append(f"NOT COALESCE({_compile_nested_inner_sql(c, path)}, FALSE)")
         return "(" + " AND ".join(conds) + ")" if conds else "TRUE"
     raise ValueError(f"unsupported clause {kind!r} inside nested")
 
 
-def compile_query_sql(q: dict) -> str:
-    """The same compilation to an engine-portable SQL boolean expression
-    (runs in both Spark SQL and DuckDB) — the oracle twin of
-    :func:`compile_query`, kept clause-for-clause parallel."""
+def compile_query_sql(q: dict, dialect: str = "duckdb") -> str:
+    """The same compilation to a SQL boolean expression — the oracle twin
+    of :func:`compile_query`, kept clause-for-clause parallel. Every
+    clause emits a spelling valid in BOTH Spark SQL and DuckDB except
+    ``nested``, whose array-lambda spelling differs per engine
+    (DuckDB ``len(list_filter(...))`` vs Spark ``exists(...)``) —
+    ``dialect`` ("duckdb" default, the oracle consumer; or "spark")
+    selects it (ADVICE r11: the old single spelling failed to parse in
+    Spark)."""
+    if dialect not in ("duckdb", "spark"):
+        raise ValueError(f"unknown SQL dialect {dialect!r}")
     (kind, body), = q.items()
     desugared = desugar_compound(kind, body)
     if desugared is not None:
-        return compile_query_sql(desugared)
+        return compile_query_sql(desugared, dialect)
     if kind == "query_string":
         from .query_string import translate_query_string
 
-        return compile_query_sql(translate_query_string(body))
+        return compile_query_sql(translate_query_string(body), dialect)
     if kind == "simple_query_string":
-        return compile_query_sql(translate_simple_query_string(body))
+        return compile_query_sql(translate_simple_query_string(body), dialect)
     if kind == "match_all":
         return "TRUE"
     if kind == "match_none":
@@ -1007,12 +1055,14 @@ def compile_query_sql(q: dict) -> str:
         if inner is None:
             raise ValueError("nested needs a query")
         pred = _compile_nested_inner_sql(inner, path)
+        if dialect == "spark":
+            return f"(exists({path}, _x -> {pred}))"
         return f"(len(list_filter({path}, _x -> {pred})) > 0)"
     if kind == "bool":
         msm = body.get("minimum_should_match")
-        conds = [compile_query_sql(c) for c in _as_list(body.get("must"))]
-        conds += [compile_query_sql(c) for c in _as_list(body.get("filter"))]
-        should = [compile_query_sql(c) for c in _as_list(body.get("should"))]
+        conds = [compile_query_sql(c, dialect) for c in _as_list(body.get("must"))]
+        conds += [compile_query_sql(c, dialect) for c in _as_list(body.get("filter"))]
+        should = [compile_query_sql(c, dialect) for c in _as_list(body.get("should"))]
         if should:
             # twin parity with compile_query: the SAME compile-time
             # integer from the shared Lucene spec resolver
@@ -1031,7 +1081,7 @@ def compile_query_sql(q: dict) -> str:
             elif eff == 1:
                 conds.append("(" + " OR ".join(should) + ")")
         for c in _as_list(body.get("must_not")):
-            conds.append(f"NOT COALESCE({compile_query_sql(c)}, FALSE)")
+            conds.append(f"NOT COALESCE({compile_query_sql(c, dialect)}, FALSE)")
         return "(" + " AND ".join(conds) + ")" if conds else "TRUE"
     raise ValueError(f"unsupported query clause {kind!r}")
 

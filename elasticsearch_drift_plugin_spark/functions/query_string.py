@@ -127,6 +127,18 @@ def _coerce(s: str):
     return _unescape(s)
 
 
+def _unescaped_at(s: str, i: int) -> bool:
+    """True when ``s[i]`` is NOT escaped — preceded by an even run of
+    backslashes (Lucene's escaping rule pairs each ``\\`` with the next
+    character)."""
+    bs = 0
+    j = i - 1
+    while j >= 0 and s[j] == "\\":
+        bs += 1
+        j -= 1
+    return bs % 2 == 0
+
+
 def _split_field(text: str) -> tuple[str | None, str]:
     """Split ``field:rest`` on the first UNESCAPED colon."""
     i, n = 0, len(text)
@@ -277,7 +289,13 @@ class _Parser:
         return {"range": {field: bounds}}
 
     def _phrase_clause(self, text: str, ctx: str | None) -> dict:
-        explicit, rest = _split_field(text)
+        # a token starting with '"' has NO field prefix — a colon inside
+        # the quotes is phrase text, not a field separator (ADVICE r11:
+        # '"foo:bar"' must not split into a bogus field)
+        if text.startswith('"'):
+            explicit, rest = None, text
+        else:
+            explicit, rest = _split_field(text)
         field = self._field_for(explicit, ctx)
         if not rest.endswith('"'):
             raise ValueError(
@@ -310,10 +328,16 @@ class _Parser:
             if v is None:
                 raise ValueError(f"query_string: open comparison {text!r}")
             return {"range": {field: {op: v}}}
-        rest = _BOOST_SUFFIX.sub("", rest)  # boosts are score-only
+        # boost/fuzzy suffix detection must be escape-aware (ADVICE r11:
+        # Lucene 'foo\~' is a literal tilde, not a fuzzy operator)
+        bm = _BOOST_SUFFIX.search(rest)
+        if bm and _unescaped_at(rest, bm.start()):
+            rest = rest[: bm.start()]  # boosts are score-only
         if rest.startswith("/") and rest.endswith("/") and len(rest) >= 2:
             return {"regexp": {field: {"value": rest[1:-1]}}}
         fz = _FUZZY_SUFFIX.search(rest)
+        if fz and not _unescaped_at(rest, fz.start()):
+            fz = None
         if fz:
             probe = _unescape(rest[: fz.start()])
             if not probe:

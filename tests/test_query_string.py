@@ -166,3 +166,42 @@ def test_sql_twin_matches_spark(qs_df):
             ).fetchall()
         )
         assert sql_ids == _ids(qs_df, qs), qs
+
+
+# --- ADVICE r11 regressions --------------------------------------------------
+
+def test_quoted_phrase_with_colon_is_not_a_field(qs_df):
+    # '"foo:bar"': the colon is phrase TEXT — the old parse split a bogus
+    # field '"foo' and dropped the first phrase character
+    node = translate_query_string(
+        {"query": '"foo:bar"', "default_field": "text"}
+    )
+    assert node == {"match_phrase": {"text": "foo:bar"}}
+    # a fielded phrase with a colon inside the quotes keeps the field
+    node = translate_query_string({"query": 'text:"foo:bar"'})
+    assert node == {"match_phrase": {"text": "foo:bar"}}
+    # slop on the colon-carrying unfielded phrase still raises loudly
+    with pytest.raises(ValueError):
+        translate_query_string(
+            {"query": '"foo:bar"~2', "default_field": "text"}
+        )
+    # and a real hit-set: the unfielded quoted phrase behaves as a phrase
+    assert _ids(qs_df, {"query": '"table scan"', "default_field": "text"}) \
+        == [3]
+
+
+def test_escaped_fuzzy_and_boost_suffixes_are_literal():
+    # Lucene 'foo\~' escapes the tilde — a literal term, NOT a fuzzy probe
+    node = translate_query_string({"query": "text:foo\\~"})
+    assert node == {"match": {"text": "foo~"}}
+    # escaped '^' is not a boost either
+    node = translate_query_string({"query": "text:foo\\^2"})
+    assert node == {"match": {"text": "foo^2"}}
+    # a DOUBLE backslash is a literal backslash — the operator stays live
+    node = translate_query_string({"query": "source:foo\\\\~1"})
+    assert node == {"fuzzy": {"source": {"value": "foo\\", "fuzziness": 1}}}
+    # unescaped forms unchanged
+    node = translate_query_string({"query": "source:foo~1"})
+    assert node == {"fuzzy": {"source": {"value": "foo", "fuzziness": 1}}}
+    node = translate_query_string({"query": "text:gamma^2"})
+    assert node == {"match": {"text": "gamma"}}

@@ -1,0 +1,152 @@
+"""Round-12 regressions — the r11 ADVICE findings, pinned.
+
+1. nested inner `bool` applies the SAME ES minimum_should_match rule as
+   the top-level bool branch (should is OPTIONAL beside must/filter when
+   msm is unset; an explicit msm resolves through the shared Lucene
+   algorithm) — previously should was silently required and msm ignored,
+   in BOTH twins, so oracle pairing could not catch it.
+2. multi_match best_fields/most_fields with operator:'and' keeps every
+   term required even when minimum_should_match is also set (Lucene
+   applies msm to optional clauses only).
+3. compile_query_sql grows a `dialect` param: nested emits
+   `exists(...)` for Spark SQL and `len(list_filter(...))` for DuckDB —
+   the single DuckDB spelling failed to parse through F.expr.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_drift_plugin_spark.functions.es_dsl import (
+    compile_query,
+    compile_query_sql,
+)
+
+# same element shapes as the r11 nested fixture, distinct values so each
+# assertion discriminates the old behavior from the fixed one
+NROWS = [
+    (0, [(10, "A", "red fox"), (50, "R", "lazy dog")]),
+    (1, [(46, "R", "red fox jumps")]),
+    (2, [(46, "A", "dog")]),
+    (3, []),
+    (4, None),
+]
+NSCHEMA = "pid long, items array<struct<qty: long, flag: string, note: string>>"
+
+
+@pytest.fixture(scope="module")
+def nested_df(spark):
+    return spark.createDataFrame(NROWS, NSCHEMA)
+
+
+@pytest.fixture(scope="module")
+def nested_duck():
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE p AS SELECT * FROM (VALUES "
+        "(0, [{'qty': 10, 'flag': 'A', 'note': 'red fox'},"
+        "     {'qty': 50, 'flag': 'R', 'note': 'lazy dog'}]),"
+        "(1, [{'qty': 46, 'flag': 'R', 'note': 'red fox jumps'}]),"
+        "(2, [{'qty': 46, 'flag': 'A', 'note': 'dog'}]),"
+        "(3, CAST([] AS STRUCT(qty BIGINT, flag VARCHAR, note VARCHAR)[])),"
+        "(4, NULL)) t(pid, items)"
+    )
+    return con
+
+
+def _nids(df, q):
+    return sorted(r["pid"] for r in df.where(compile_query(q)).collect())
+
+
+def _check_all_routes(nested_df, nested_duck, q, expect):
+    """One hit-set assertion across ALL FOUR routes: Catalyst Columns,
+    the DuckDB SQL twin, and the Spark-dialect SQL twin through F.expr."""
+    assert _nids(nested_df, q) == expect, ("spark", q)
+    duck_ids = sorted(r[0] for r in nested_duck.execute(
+        f"SELECT pid FROM p WHERE {compile_query_sql(q)}"
+    ).fetchall())
+    assert duck_ids == expect, ("duckdb", q)
+    spark_sql_ids = sorted(
+        r["pid"]
+        for r in nested_df.where(
+            F.expr(compile_query_sql(q, dialect="spark"))
+        ).collect()
+    )
+    assert spark_sql_ids == expect, ("spark-sql", q)
+
+
+def test_nested_bool_should_optional_beside_must(nested_df, nested_duck):
+    # ES rule: with must present and msm unset, should is score-only —
+    # the must-only element condition decides (qty>=40 in ANY element).
+    # The old compile required the should too (→ only doc 2).
+    q = {"nested": {"path": "items", "query": {"bool": {
+        "must": [{"range": {"items.qty": {"gte": 40}}}],
+        "should": [{"term": {"items.flag": "A"}}],
+    }}}}
+    _check_all_routes(nested_df, nested_duck, q, [0, 1, 2])
+
+
+def test_nested_bool_explicit_msm_1_beside_must(nested_df, nested_duck):
+    # explicit msm=1 DOES require one should per matching element
+    q = {"nested": {"path": "items", "query": {"bool": {
+        "must": [{"range": {"items.qty": {"gte": 40}}}],
+        "should": [{"term": {"items.flag": "A"}}],
+        "minimum_should_match": 1,
+    }}}}
+    _check_all_routes(nested_df, nested_duck, q, [2])
+
+
+def test_nested_bool_msm_2_counts_should_clauses(nested_df, nested_duck):
+    # msm=2 of two shoulds — the old compile treated this as OR (doc 0
+    # matched via flag A alone); the fix demands both on one element
+    q = {"nested": {"path": "items", "query": {"bool": {
+        "should": [{"term": {"items.flag": "A"}},
+                   {"match": {"items.note": "dog"}}],
+        "minimum_should_match": 2,
+    }}}}
+    _check_all_routes(nested_df, nested_duck, q, [2])
+    # msm above the clause count matches nothing (Lucene BooleanQuery)
+    q["nested"]["query"]["bool"]["minimum_should_match"] = 3
+    _check_all_routes(nested_df, nested_duck, q, [])
+
+
+def test_nested_sql_spark_dialect_parses_and_duckdb_default_kept():
+    q = {"nested": {"path": "items",
+                    "query": {"term": {"items.flag": "R"}}}}
+    assert "list_filter" in compile_query_sql(q)  # default = duckdb
+    assert "exists(items" in compile_query_sql(q, dialect="spark")
+    with pytest.raises(ValueError, match="dialect"):
+        compile_query_sql(q, dialect="postgres")
+
+
+# --- multi_match operator:'and' + minimum_should_match ---------------------
+
+MM_ROWS = [
+    (0, "alpha beta", "x"),
+    (1, "alpha", "beta"),
+    (2, "alpha", "x"),
+    (3, "beta gamma", "alpha beta"),
+]
+MM_SCHEMA = "doc_id long, f1 string, f2 string"
+
+
+def test_multi_match_operator_and_ignores_msm(spark):
+    df = spark.createDataFrame(MM_ROWS, MM_SCHEMA)
+    q = {"multi_match": {"query": "alpha beta", "fields": ["f1", "f2"],
+                         "operator": "and", "minimum_should_match": 1}}
+    # operator:and ⇒ SOME field carries ALL terms (docs 0 and 3); the old
+    # msm branch demoted the terms to at-least-1 (docs 0,1,2,3)
+    got = sorted(r["doc_id"] for r in df.where(compile_query(q)).collect())
+    assert got == [0, 3]
+    got_sql = sorted(
+        r["doc_id"] for r in df.where(F.expr(compile_query_sql(q))).collect()
+    )
+    assert got_sql == [0, 3]
+    # without operator:and, msm still threads per-field (any 1 of 2 terms)
+    q_or = {"multi_match": {"query": "alpha beta", "fields": ["f1", "f2"],
+                            "minimum_should_match": 1}}
+    got_or = sorted(r["doc_id"] for r in df.where(compile_query(q_or)).collect())
+    assert got_or == [0, 1, 2, 3]
