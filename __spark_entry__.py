@@ -168,7 +168,7 @@ GRADE_FIRST: tuple[str, ...] = (
     # --- freshness: remaining 3 slots -> oldest r5 stamps (r13 takes
     # the rest of the r5 backlog); swapped for r12 newcomers as they
     # register ---
-    "ann_knn_cells", "ann_knn_join", "ann_pq_rerank",
+    "es_dsl_has_child", "es_dsl_has_parent", "ann_knn_cells",
     # --- freshness: last stamped r4 (all 39 — clears the r4 backlog) ---
     "es_adjacency_matrix", "es_auto_date_histogram", "es_boxplot",
     "es_categorize_text", "es_composite_after", "es_diversified_sampler",
@@ -1136,6 +1136,87 @@ FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 WHERE o.o_orderpriority = '1-URGENT'
 GROUP BY l.l_returnflag
 ORDER BY doc_count DESC, "items.l_returnflag"
+"""
+
+
+# has_child / has_parent QUERY kinds (r12): ES join-field semantics over
+# the relational lake — orders are the parents, lineitem rows the
+# children, joined on orderkey (the key ES's join mapping would route
+# both sides on). Compiled by functions.es_dsl.apply_query: each join
+# clause is ONE aggregate over the other frame + a LEFT join marker on
+# the join key, composing with the rest of the tree as a boolean (so it
+# works under bool/must_not). The ORACLE is derived INDEPENDENTLY as a
+# correlated COUNT/EXISTS subquery — not by replaying the join plan.
+ES_DSL_HAS_CHILD_BODY = {"bool": {
+    "must": [{"has_child": {
+        "type": "line",
+        "query": {"range": {"l_quantity": {"gte": 45}}},
+        "min_children": 2,
+        "score_mode": "none",  # score-shaping only — ignored
+    }}],
+    "must_not": [{"term": {"o_orderpriority": "5-LOW"}}],
+}}
+
+
+def _es_dsl_has_child_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_dsl import apply_query
+
+    orders = flows_src.load_table(s, d, "orders")
+    lineitem = flows_src.load_table(s, d, "lineitem")
+    rel = {"line": (lineitem, "o_orderkey", "l_orderkey")}
+    return (
+        apply_query(orders, ES_DSL_HAS_CHILD_BODY, rel)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ES_DSL_HAS_CHILD_SQL = """
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS doc_count
+FROM orders o
+WHERE o.o_orderpriority <> '5-LOW'
+  AND (SELECT COUNT(*) FROM lineitem l
+       WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45) >= 2
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+"""
+
+
+# has_parent through the `_search` surface (run_search relations=...):
+# children (lineitem) whose parent order matches, AND a child-side
+# clause beside it — evidencing composition of a join kind with plain
+# clauses inside one bool.
+ES_SEARCH_HAS_PARENT_BODY = {
+    "size": 0,
+    "query": {"bool": {"must": [
+        {"has_parent": {"parent_type": "order",
+                        "query": {"term": {"o_orderpriority": "1-URGENT"}}}},
+        {"range": {"l_discount": {"gte": 0.05}}},
+    ]}},
+    "aggs": {"by_flag": {"terms": {"field": "l_returnflag",
+                                   "order": {"_key": "asc"}}}},
+}
+
+
+def _es_dsl_has_parent_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    orders = flows_src.load_table(s, d, "orders")
+    lineitem = flows_src.load_table(s, d, "lineitem")
+    rel = {"order": (orders, "l_orderkey", "o_orderkey")}
+    return run_search(lineitem, ES_SEARCH_HAS_PARENT_BODY, relations=rel)[
+        "by_flag"
+    ]
+
+
+ES_DSL_HAS_PARENT_SQL = """
+SELECT l.l_returnflag, CAST(COUNT(*) AS BIGINT) AS doc_count
+FROM lineitem l
+WHERE l.l_discount >= 0.05
+  AND EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l.l_orderkey
+                AND o.o_orderpriority = '1-URGENT')
+GROUP BY l.l_returnflag ORDER BY l.l_returnflag
 """
 
 
@@ -2225,6 +2306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_change_point": _es_search_cp_query,
         "es_search_nested": _es_search_nested_query,
         "es_dsl_nested": _es_dsl_nested_query,
+        "es_dsl_has_child": _es_dsl_has_child_query,
+        "es_dsl_has_parent": _es_dsl_has_parent_query,
         "es_search_ip_range": _es_search_ip_range_query,
         "es_search_ip_prefix_v6": _es_search_ip_prefix_v6_query,
         "es_search_sig_inferred": _es_search_sig_inferred_query,
@@ -2553,6 +2636,8 @@ def oracle_sql() -> dict[str, str]:
         "es_search_change_point": _es_search_cp_oracle(),
         "es_search_nested": ES_SEARCH_NESTED_SQL,
         "es_dsl_nested": ES_DSL_NESTED_SQL,
+        "es_dsl_has_child": ES_DSL_HAS_CHILD_SQL,
+        "es_dsl_has_parent": ES_DSL_HAS_PARENT_SQL,
         "es_search_ip_range": ES_SEARCH_IP_RANGE_SQL,
         "es_search_ip_prefix_v6": _es_search_ip_prefix_v6_oracle(),
         "es_search_sig_inferred": _es_search_sig_inferred_oracle(),

@@ -722,6 +722,13 @@ def compile_query(q: dict) -> Column:
             # NULL/unknown still match — NOT(coalesce(c, false))
             conds.append(~F.coalesce(c, F.lit(False)))
         return _and(conds) if conds else F.lit(True)
+    if kind in ("has_child", "has_parent"):
+        raise ValueError(
+            f"{kind} is a two-frame JOIN kind — a single-frame predicate"
+            " cannot express it; use functions.es_dsl.apply_query(df,"
+            " query, relations={name: (other_frame, key_on_df,"
+            " key_on_other)}) or run_search(..., relations=...)"
+        )
     raise ValueError(f"unsupported query clause {kind!r}")
 
 
@@ -1083,6 +1090,13 @@ def compile_query_sql(q: dict, dialect: str = "duckdb") -> str:
         for c in _as_list(body.get("must_not")):
             conds.append(f"NOT COALESCE({compile_query_sql(c, dialect)}, FALSE)")
         return "(" + " AND ".join(conds) + ")" if conds else "TRUE"
+    if kind in ("has_child", "has_parent"):
+        raise ValueError(
+            f"{kind} is a two-frame JOIN kind — a single-frame predicate"
+            " cannot express it; use functions.es_dsl.apply_query(df,"
+            " query, relations={name: (other_frame, key_on_df,"
+            " key_on_other)}) or run_search(..., relations=...)"
+        )
     raise ValueError(f"unsupported query clause {kind!r}")
 
 
@@ -1185,3 +1199,126 @@ def collect_highlight_terms(q: dict, field: str) -> list[str]:
 
     walk(q)
     return out
+
+
+# ---------------------------------------------------------------------------
+# parent/child JOIN query kinds (r12): has_child / has_parent
+# ---------------------------------------------------------------------------
+
+def _rewrite_join_clauses(q: dict, relations: dict, sinks: list) -> dict:
+    """Walk a query tree, replacing each ``has_child`` / ``has_parent``
+    node with a boolean-marker ``term`` over a synthetic flag column and
+    recording how to materialize that flag (one aggregate over the other
+    frame + a LEFT join on the join key). Recurses through ``bool``
+    sections only — a join kind buried inside any other compound raises
+    in compile_query afterwards (loud, never silently dropped)."""
+    (kind, body), = q.items()
+    if kind in ("has_child", "has_parent"):
+        if "inner_hits" in body:
+            raise ValueError(
+                f"{kind} inner_hits is not supported — run a second"
+                " _search over the child frame with the same inner query"
+                " to fetch them"
+            )
+        rel_key = "type" if kind == "has_child" else "parent_type"
+        name = body.get(rel_key)
+        if not name:
+            raise ValueError(f"{kind} needs {rel_key}")
+        if name not in relations:
+            raise ValueError(
+                f"{kind} relation {name!r} is not declared — pass"
+                " relations={name: (other_frame, key_on_this_frame,"
+                " key_on_other_frame)}"
+            )
+        inner = body.get("query")
+        if inner is None:
+            raise ValueError(f"{kind} needs a query")
+        other, local_key, other_key = relations[name]
+        i = len(sinks)
+        flag, keycol = f"__rel{i}_match", f"__rel{i}_key"
+        matched = other.where(compile_query(inner))
+        if kind == "has_child":
+            mn = int(body.get("min_children", 1))
+            mx = body.get("max_children")
+            if mn < 1:
+                raise ValueError(
+                    "has_child min_children=0 also matches parents with NO"
+                    " children — express that as a should of has_child and"
+                    " a must_not of an unconstrained has_child"
+                )
+            if mn > 1 or mx is not None:
+                cnt = matched.groupBy(
+                    F.col(other_key).alias(keycol)
+                ).agg(F.count(F.lit(1)).alias("__c"))
+                cond = F.col("__c") >= F.lit(mn)
+                if mx is not None:
+                    cond = cond & (F.col("__c") <= F.lit(int(mx)))
+                keys = cnt.where(cond).select(
+                    keycol, F.lit(True).alias(flag)
+                )
+            else:
+                keys = (
+                    matched.select(F.col(other_key).alias(keycol))
+                    .distinct()
+                    .withColumn(flag, F.lit(True))
+                )
+        else:
+            keys = (
+                matched.select(F.col(other_key).alias(keycol))
+                .distinct()
+                .withColumn(flag, F.lit(True))
+            )
+        sinks.append((flag, keycol, keys, local_key))
+        return {"term": {flag: True}}
+    if kind == "bool":
+        nb: dict = {}
+        for sect in ("must", "filter", "should", "must_not"):
+            if sect in body:
+                nb[sect] = [
+                    _rewrite_join_clauses(c, relations, sinks)
+                    for c in _as_list(body[sect])
+                ]
+        for extra, v in body.items():
+            if extra not in nb:
+                nb[extra] = v
+        return {"bool": nb}
+    return q
+
+
+def apply_query(df, query: dict, relations: dict | None = None):
+    """ES query execution at the DATAFRAME level: the full
+    :func:`compile_query` clause set PLUS the parent/child join kinds
+    ``has_child`` / ``has_parent``, which a single-frame Column predicate
+    cannot express (ES join-field mapping, es-8.18.2 join datatype docs).
+
+    ``relations`` maps each ES relation name to the other side of the
+    join: ``{name: (other_frame, key_on_this_frame, key_on_other_frame)}``.
+
+    - ``has_child {"type": name, "query": Q, "min_children": m,
+      "max_children": M}`` keeps rows of ``df`` (the parents) whose count
+      of rows in ``relations[name]`` matching ``Q`` lies in ``[m, M]``
+      (ES defaults m=1, M unbounded). ``score_mode`` is score-shaping
+      only and is ignored in filter context; ``inner_hits`` raises.
+    - ``has_parent {"parent_type": name, "query": Q}`` keeps rows of
+      ``df`` (the children) whose parent row matches ``Q``; ``score`` is
+      score-only and ignored.
+
+    Execution shape (the 100 TB design): each join clause becomes ONE
+    aggregate over the other frame — the distinct matching join keys, or
+    ``(key, count)`` when min/max_children constrain — then a LEFT join
+    marker on the join key: an equi-shuffle on exactly the key ES routes
+    parent+child docs on. AQE broadcasts the key set when it is small;
+    bucketing both frames on the join key makes the join co-located at
+    rest. The marker column is an ordinary boolean, so the clause
+    composes under ``bool``/``should``/``must_not`` (a parent with no
+    matching children carries NULL → no-match in filter context, which
+    must_not keeps — ES parity); markers drop from the output."""
+    sinks: list = []
+    q2 = _rewrite_join_clauses(query, relations, sinks) if relations else query
+    if not sinks:
+        return df.where(compile_query(q2))
+    for flag, keycol, keys, local_key in sinks:
+        df = df.join(
+            keys, F.col(local_key) == F.col(keycol), "left"
+        ).drop(keycol)
+    return df.where(compile_query(q2)).drop(*[s[0] for s in sinks])

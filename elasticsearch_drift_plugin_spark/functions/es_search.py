@@ -178,8 +178,18 @@ _SIBLING_MULTI = (
 )
 
 
-def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
+def run_search(
+    df: DataFrame, body: dict, relations: dict | None = None
+) -> dict[str, DataFrame]:
     """Execute a ``_search`` body; returns ``{agg_name: DataFrame}``.
+
+    ``relations`` (r12) declares the parent/child join sides for
+    ``has_child`` / ``has_parent`` QUERY kinds —
+    ``{name: (other_frame, key_on_df, key_on_other)}``, the engine's
+    stand-in for the ES join-field mapping; the body's ``query`` then
+    routes through :func:`~..functions.es_dsl.apply_query` (join-marker
+    semi-join compilation). Without it, those kinds raise with the
+    workaround named.
 
     Sibling pipeline aggs (``avg_bucket``/``sum_bucket``/``min_bucket``/
     ``max_bucket``/``stats_bucket``/``percentiles_bucket``) resolve after
@@ -198,7 +208,12 @@ def run_search(df: DataFrame, body: dict) -> dict[str, DataFrame]:
     # in ES, still sees runtime-mapped fields (captured AFTER the loop)
     raw = df
     if "query" in body:
-        df = df.where(compile_query(body["query"]))
+        if relations:
+            from .es_dsl import apply_query
+
+            df = apply_query(df, body["query"], relations)
+        else:
+            df = df.where(compile_query(body["query"]))
     aggs = body.get("aggs", body.get("aggregations", {}))
     out: dict[str, DataFrame] = {}
     # top-level `knn` section (ES 8.x vector search): exact top-k by

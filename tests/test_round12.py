@@ -150,3 +150,139 @@ def test_multi_match_operator_and_ignores_msm(spark):
                             "minimum_should_match": 1}}
     got_or = sorted(r["doc_id"] for r in df.where(compile_query(q_or)).collect())
     assert got_or == [0, 1, 2, 3]
+
+
+# --- has_child / has_parent QUERY kinds (r12) -------------------------------
+
+from elasticsearch_drift_plugin_spark.functions.es_dsl import apply_query
+
+PARENTS = [(1, "A"), (2, "A"), (3, "B"), (4, "B")]
+CHILDREN = [
+    # pid 1: two matching children; pid 2: one matching; pid 3: none
+    # matching (one child below threshold); pid 4: no children at all
+    (1, 50), (1, 60), (1, 5),
+    (2, 70),
+    (3, 10),
+]
+
+
+@pytest.fixture(scope="module")
+def pc(spark):
+    p = spark.createDataFrame(PARENTS, "pid long, grp string")
+    c = spark.createDataFrame(CHILDREN, "cpid long, qty long")
+    return p, c, {"kid": (c, "pid", "cpid")}
+
+
+def _pids(df):
+    return sorted(r["pid"] for r in df.select("pid").collect())
+
+
+def test_has_child_basic_and_min_max(pc):
+    p, c, rel = pc
+    inner = {"range": {"qty": {"gte": 40}}}
+    q = {"has_child": {"type": "kid", "query": inner}}
+    assert _pids(apply_query(p, q, rel)) == [1, 2]
+    q = {"has_child": {"type": "kid", "query": inner, "min_children": 2}}
+    assert _pids(apply_query(p, q, rel)) == [1]
+    q = {"has_child": {"type": "kid", "query": inner, "max_children": 1}}
+    assert _pids(apply_query(p, q, rel)) == [2]
+    # min+max window
+    q = {"has_child": {"type": "kid", "query": inner,
+                       "min_children": 1, "max_children": 1}}
+    assert _pids(apply_query(p, q, rel)) == [2]
+
+
+def test_has_child_composes_in_bool(pc):
+    p, c, rel = pc
+    inner = {"range": {"qty": {"gte": 40}}}
+    # must_not: parents WITHOUT a matching child — including pid 4,
+    # which has no children at all (NULL marker kept by must_not)
+    q = {"bool": {"must_not": [{"has_child": {"type": "kid",
+                                              "query": inner}}]}}
+    assert _pids(apply_query(p, q, rel)) == [3, 4]
+    # beside a parent-side clause
+    q = {"bool": {"must": [{"term": {"grp": "A"}},
+                           {"has_child": {"type": "kid", "query": inner,
+                                          "min_children": 2}}]}}
+    assert _pids(apply_query(p, q, rel)) == [1]
+    # under should with another clause (OR semantics over the marker)
+    q = {"bool": {"should": [{"term": {"grp": "B"}},
+                             {"has_child": {"type": "kid", "query": inner,
+                                            "min_children": 2}}],
+                  "minimum_should_match": 1}}
+    assert _pids(apply_query(p, q, rel)) == [1, 3, 4]
+
+
+def test_has_parent(pc):
+    p, c, rel_child = pc
+    rel = {"par": (p, "cpid", "pid")}
+    q = {"has_parent": {"parent_type": "par",
+                        "query": {"term": {"grp": "A"}}}}
+    got = sorted(
+        (r["cpid"], r["qty"]) for r in apply_query(c, q, rel).collect()
+    )
+    assert got == [(1, 5), (1, 50), (1, 60), (2, 70)]
+    # composed with a child-side clause
+    q = {"bool": {"must": [
+        {"has_parent": {"parent_type": "par",
+                        "query": {"term": {"grp": "A"}}}},
+        {"range": {"qty": {"gte": 40}}},
+    ]}}
+    got = sorted(r["qty"] for r in apply_query(c, q, rel).collect())
+    assert got == [50, 60, 70]
+
+
+def test_join_kinds_loud_raises(pc):
+    p, c, rel = pc
+    inner = {"range": {"qty": {"gte": 40}}}
+    # compile_query names the DataFrame-level workaround
+    with pytest.raises(ValueError, match="apply_query"):
+        compile_query({"has_child": {"type": "kid", "query": inner}})
+    with pytest.raises(ValueError, match="apply_query"):
+        compile_query_sql({"has_parent": {"parent_type": "p",
+                                          "query": inner}})
+    # inner_hits / min_children=0 / undeclared relation / missing query
+    with pytest.raises(ValueError, match="inner_hits"):
+        apply_query(p, {"has_child": {"type": "kid", "query": inner,
+                                      "inner_hits": {}}}, rel)
+    with pytest.raises(ValueError, match="min_children"):
+        apply_query(p, {"has_child": {"type": "kid", "query": inner,
+                                      "min_children": 0}}, rel)
+    with pytest.raises(ValueError, match="not declared"):
+        apply_query(p, {"has_child": {"type": "nope", "query": inner}}, rel)
+    with pytest.raises(ValueError, match="needs a query"):
+        apply_query(p, {"has_child": {"type": "kid"}}, rel)
+    # without relations the helpful compile_query raise still fires
+    with pytest.raises(ValueError, match="apply_query"):
+        apply_query(p, {"has_child": {"type": "kid", "query": inner}})
+
+
+def test_join_kind_plan_is_equi_join_no_marker_columns(pc):
+    p, c, rel = pc
+    q = {"has_child": {"type": "kid",
+                       "query": {"range": {"qty": {"gte": 40}}}}}
+    out = apply_query(p, q, rel)
+    # marker/key scaffolding must not leak into the result schema
+    assert out.columns == ["pid", "grp"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_run_search_relations_route(pc):
+    from elasticsearch_drift_plugin_spark.functions.es_search import (
+        run_search,
+    )
+
+    p, c, rel = pc
+    body = {
+        "size": 0,
+        "query": {"has_child": {"type": "kid",
+                                "query": {"range": {"qty": {"gte": 40}}}}},
+        "aggs": {"by_grp": {"terms": {"field": "grp",
+                                      "order": {"_key": "asc"}}}},
+    }
+    got = run_search(p, body, relations=rel)["by_grp"].collect()
+    assert [(r[0], r["doc_count"]) for r in got] == [("A", 2)]
+    # without relations, the loud single-frame raise
+    with pytest.raises(ValueError, match="apply_query"):
+        run_search(p, body)
