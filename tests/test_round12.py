@@ -286,3 +286,18 @@ def test_run_search_relations_route(pc):
     # without relations, the loud single-frame raise
     with pytest.raises(ValueError, match="apply_query"):
         run_search(p, body)
+
+
+def test_more_like_this_missing_seed_is_empty(spark):
+    """r12 single-pass rewrite edge: a seed doc with no terms (absent
+    doc_id) yields an EMPTY typed frame, not an error or a full scan."""
+    from elasticsearch_drift_plugin_spark.operators.search import (
+        more_like_this,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma")], "doc_id long, text string"
+    )
+    out = more_like_this(docs, seed_doc_id=99, n_terms=3, size=5)
+    assert out.columns == ["doc_id", "n_shared", "score_q"]
+    assert out.count() == 0
