@@ -974,6 +974,33 @@ CLF_LR_DEN = 50
 MAX_CLF_TRAIN_DOCS = 100_000
 
 
+# Trained-weight memo (VERDICT r11 item 4): quality_clf /
+# clf_calibration / train_curate_clf each re-ran the IDENTICAL bounded
+# GD train per bench pass (~3-11 s each). Training is exact-int64
+# deterministic, so frozen weights are safely reusable when the input
+# is byte-identical: key = (backing files + mtimes, canonical plan
+# semantic hash, every training param) — the knn index-at-rest mtime
+# memo pattern. ONLY file-backed frames memoize (an in-memory test
+# frame's semantic hash does not pin its data).
+_CLF_WEIGHTS_MEMO: dict[tuple, dict[int, int]] = {}
+
+
+def _clf_memo_key(docs: DataFrame, *params) -> tuple | None:
+    import os
+
+    files = tuple(sorted(docs.inputFiles()))
+    if not files:
+        return None
+    mtimes = []
+    for f in files:
+        p = f[len("file:"):] if f.startswith("file:") else f
+        try:
+            mtimes.append(os.path.getmtime(p))
+        except OSError:
+            return None
+    return (files, tuple(mtimes), docs.semanticHash(), params)
+
+
 def _clf_features(docs: DataFrame, dims: int = CLF_DIMS) -> DataFrame:
     """(doc_id, dim, comp_q): the classifier's design matrix — the
     :func:`text.hash_embed` hashed TF-IDF vector plus an intercept row
@@ -1038,6 +1065,16 @@ def quality_clf(
     collect); weights broadcast back as a literal map. Scoring the full
     corpus afterwards is map-side against the final weights.
     """
+    labels = _clf_labels(docs, target_where)
+    key = _clf_memo_key(
+        docs, "full", target_where, dims, n_iter, lr_num, lr_den,
+        max_train_docs,
+    )
+    w = _CLF_WEIGHTS_MEMO.get(key) if key is not None else None
+    if w is not None:
+        # frozen-weight replay: scoring is one lazy map-side pass — no
+        # count, no checkpoint, no GD jobs
+        return _clf_score(_clf_features(docs, dims), labels, w)
     # bounded-sample contract, ENFORCED (the lsh_recall_eval discipline):
     # full-batch GD over the whole corpus is never the right call at real
     # scale — train on a sample (quality_clf_sampled / corpus.hash_sample)
@@ -1051,8 +1088,9 @@ def quality_clf(
             f"weights), or raise max_train_docs to acknowledge the cost"
         )
     feats = _clf_features(docs, dims).localCheckpoint(eager=True)
-    labels = _clf_labels(docs, target_where)
     w = _clf_gd(feats, labels, n, dims, n_iter, lr_num, lr_den)
+    if key is not None:
+        _CLF_WEIGHTS_MEMO[key] = w
     return _clf_score(feats, labels, w)
 
 
@@ -1199,6 +1237,13 @@ def quality_clf_sampled(
     corpus-sized materialization anywhere."""
     feats = _clf_features(docs, dims)
     labels = _clf_labels(docs, target_where)
+    key = _clf_memo_key(
+        docs, "sampled", float(sample_rate), target_where, dims, n_iter,
+        lr_num, lr_den, max_train_docs,
+    )
+    w = _CLF_WEIGHTS_MEMO.get(key) if key is not None else None
+    if w is not None:
+        return _clf_score(feats, labels, w)
     cut = F.pmod(md5_hash60(F.col("doc_id").cast("string")), F.lit(QUANT)) < F.lit(
         int(float(sample_rate) * QUANT)
     )
@@ -1214,6 +1259,8 @@ def quality_clf_sampled(
     )
     tlabels = labels.join(F.broadcast(train_ids), "doc_id")
     w = _clf_gd(tfeats, tlabels, n, dims, n_iter, lr_num, lr_den)
+    if key is not None:
+        _CLF_WEIGHTS_MEMO[key] = w
     return _clf_score(feats, labels, w)
 
 

@@ -301,3 +301,47 @@ def test_more_like_this_missing_seed_is_empty(spark):
     out = more_like_this(docs, seed_doc_id=99, n_terms=3, size=5)
     assert out.columns == ["doc_id", "n_shared", "score_q"]
     assert out.count() == 0
+
+
+# --- quality-clf trained-weight memo (r12) ----------------------------------
+
+def test_clf_weight_memo_trains_once_per_input(spark, monkeypatch):
+    """The clf family (quality_clf / clf_calibration / train_curate_clf)
+    shares ONE deterministic train per (input fingerprint, params): the
+    second call replays frozen weights (no GD), and the outputs are
+    byte-identical. Sampled training keys separately. In-memory frames
+    (no backing files) never memoize."""
+    from elasticsearch_drift_plugin_spark.operators import corpus
+
+    calls = {"n": 0}
+    real_gd = corpus._clf_gd
+
+    def counting_gd(*a, **k):
+        calls["n"] += 1
+        return real_gd(*a, **k)
+
+    monkeypatch.setattr(corpus, "_clf_gd", counting_gd)
+    corpus._CLF_WEIGHTS_MEMO.clear()
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    first = corpus.quality_clf(docs).collect()
+    assert calls["n"] == 1
+    again = corpus.quality_clf(docs).collect()
+    assert calls["n"] == 1  # memo hit — no second train
+    assert first == again
+    # a fresh load of the same table hits the same key (files+mtimes+
+    # semantic hash are load-stable)
+    docs2 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus.quality_clf(docs2).collect()
+    assert calls["n"] == 1
+    # different params → different key → its own train
+    corpus.quality_clf_sampled(docs, sample_rate=0.5).collect()
+    assert calls["n"] == 2
+    corpus.quality_clf_sampled(docs, sample_rate=0.5).collect()
+    assert calls["n"] == 2
+    # an in-memory frame must NOT memoize (its data is not fingerprinted)
+    mem = spark.createDataFrame(
+        [(1, "alpha beta", "src0"), (2, "gamma delta", "src1")] * 3,
+        "doc_id long, text string, source string",
+    ).withColumn("doc_id", F.monotonically_increasing_id())
+    assert corpus._clf_memo_key(mem, "full") is None
