@@ -168,7 +168,7 @@ GRADE_FIRST: tuple[str, ...] = (
     # --- freshness: remaining 3 slots -> oldest r5 stamps (r13 takes
     # the rest of the r5 backlog); swapped for r12 newcomers as they
     # register ---
-    "es_dsl_has_child", "es_dsl_has_parent", "ann_knn_cells",
+    "es_dsl_has_child", "es_dsl_has_parent", "pipe_cumcard_fixed_tz",
     # --- freshness: last stamped r4 (all 39 — clears the r4 backlog) ---
     "es_adjacency_matrix", "es_auto_date_histogram", "es_boxplot",
     "es_categorize_text", "es_composite_after", "es_diversified_sampler",
@@ -2499,6 +2499,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "user_id",
             DAY,
         ),
+        # r12 (SCOPE §E close-out): the zone-shifted FIXED grid — ES
+        # rounds fixed intervals in-zone (Rounding.TimeIntervalRounding);
+        # a 6h grid floored on America/New_York wall clock keys at
+        # 05/11/17/23 UTC under EST, so a UTC-floor regression shifts the
+        # whole key set. Operator route (the `_search` date_histogram
+        # keeps its engine-wide fixed+time_zone raise: proportional
+        # interval machinery needs uniform UTC stepping).
+        "pipe_cumcard_fixed_tz": lambda s, d: pipeline.cumulative_cardinality(
+            (lambda ev: ev.select(
+                flows_src.ts_ms_col(ev).alias("t_ms"), "user_id"
+            ))(flows_src.load_table(s, d, "events")),
+            "t_ms",
+            "user_id",
+            step_ms=6 * HOUR,
+            tz="America/New_York",
+        ),
         # Jensen–Shannon day-over-day category-mix drift (the namesake
         # metric): one count agg collapses the stream, everything after is
         # result-sized
@@ -2754,6 +2770,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pipe_cum_cardinality": pipeline.cumulative_cardinality_sql(
             "events", "epoch_ms(ts)", "user_id", DAY
+        ),
+        "pipe_cumcard_fixed_tz": pipeline.cumulative_cardinality_sql(
+            "events", "epoch_ms(ts)", "user_id", 6 * HOUR,
+            tz="America/New_York",
         ),
         "pipe_js_divergence": pipeline.js_divergence_sql(
             "events", "epoch_ms(ts)", "event_type", DAY

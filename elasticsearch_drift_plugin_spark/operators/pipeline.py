@@ -208,12 +208,21 @@ def cumulative_cardinality(
     callers normalize via ``params.parse_interval``); unknown units
     raise here.
 
-    r11 (second pass): ``tz`` (IANA name, calendar grids only) floors on
+    r11 (second pass): ``tz`` (IANA name) on CALENDAR grids floors on
     the LOCAL wall clock and keys on the UTC instant of the local
     boundary — built from the SAME :func:`functions.time.floor_calendar`
     / :func:`functions.time.local_ts_to_utc_ms` helpers the
     date_histogram grid uses, so the compiler's bucket join stays
     aligned across DST by construction.
+
+    r12: ``tz`` composes with FIXED grids too (ES rounds fixed
+    intervals in-zone — Rounding.TimeIntervalRounding): the grid floors
+    on local wall-clock millis and keys on the UTC instant of the local
+    boundary, ``utc(floor_fixed(local(t), step, offset))``. Note the
+    `_search` compiler's date_histogram still rejects fixed+time_zone
+    engine-wide (params.resolve: the proportional-interval machinery
+    needs uniform UTC stepping) — this OPERATOR route is the supported
+    spelling for the zone-shifted fixed cumcard.
     """
     t = F.col(time_ms_col)
     if calendar_unit is not None:
@@ -236,13 +245,29 @@ def cumulative_cardinality(
             + F.lit(off)
         ).alias("key")
     else:
-        if tz is not None:
-            raise ValueError(
-                "cumulative_cardinality tz requires a calendar_unit grid"
-                " (fixed grids are zone-free epoch arithmetic)"
-            )
         off = int(offset_ms)
-        key = (t - F.pmod(t - F.lit(off), F.lit(int(step_ms)))).alias("key")
+        if tz is not None:
+            # r12 (SCOPE §E, the last cumcard corner): ES rounds FIXED
+            # intervals in-zone too (Rounding.TimeIntervalRounding) —
+            # the grid floors on the LOCAL wall clock and the key is the
+            # UTC instant of the local boundary: utc(floor_fixed(local)).
+            # First-seen needs no uniform bucket stepping (buckets are
+            # the observed distinct keys), so the zone-shifted grid
+            # composes with MIN() unchanged. DST note: local boundaries
+            # inside a spring-forward gap / fall-back overlap resolve by
+            # the engine's to_utc_timestamp rule — the same stance as
+            # the calendar-grid tz path (local_ts_to_utc_ms).
+            local_ms = F.unix_millis(
+                F.from_utc_timestamp(F.timestamp_millis(t), tz)
+            )
+            floored = local_ms - F.pmod(
+                local_ms - F.lit(off), F.lit(int(step_ms))
+            )
+            key = F.unix_millis(
+                F.to_utc_timestamp(F.timestamp_millis(floored), tz)
+            ).alias("key")
+        else:
+            key = (t - F.pmod(t - F.lit(off), F.lit(int(step_ms)))).alias("key")
     base = df.select(key, F.col(id_col).alias("__id"))
     buckets = base.select("key").distinct()
     firsts = (
@@ -295,12 +320,23 @@ def cumulative_cardinality_sql(
                 f" make_timestamp((({time_ms_expr}) - {off}) * 1000))) + {off}"
             )
     else:
-        if tz is not None:
-            raise ValueError(
-                "cumulative_cardinality tz requires a calendar_unit grid"
-            )
         t, off, step = time_ms_expr, int(offset_ms), int(step_ms)
-        key = f"({t}) - (((({t}) - {off}) % {step} + {step}) % {step})"
+        if tz is not None:
+            # r12 fixed+tz twin: local wall-clock millis via the DuckDB
+            # two-hop (interpret naive as UTC -> convert to zone-local
+            # naive), modular floor in local millis, then the local
+            # boundary back to its UTC instant
+            lw = (
+                f"epoch_ms(timezone('{tz}',"
+                f" timezone('UTC', make_timestamp(({t}) * 1000))))"
+            )
+            fl = f"(({lw}) - ((({lw}) - {off}) % {step} + {step}) % {step})"
+            key = (
+                f"epoch_ms(timezone('{tz}',"
+                f" make_timestamp(({fl}) * 1000)))"
+            )
+        else:
+            key = f"({t}) - (((({t}) - {off}) % {step} + {step}) % {step})"
     return f"""
 WITH base AS (
   SELECT {key} AS key,

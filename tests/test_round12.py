@@ -345,3 +345,44 @@ def test_clf_weight_memo_trains_once_per_input(spark, monkeypatch):
         "doc_id long, text string, source string",
     ).withColumn("doc_id", F.monotonically_increasing_id())
     assert corpus._clf_memo_key(mem, "full") is None
+
+
+# --- cumulative_cardinality on a zone-shifted FIXED grid (r12) --------------
+
+def test_cumcard_fixed_tz_dst_crossing(spark):
+    """6h fixed grid in America/New_York across the 2024-03-10 spring
+    forward: keys are the UTC instants of LOCAL 6h boundaries, so the
+    bucket starting local-midnight Mar 10 sits at 05:00Z (EST) while the
+    NEXT boundary (06:00 local, now EDT) sits at 10:00Z — a 5-hour UTC
+    gap a zone-free modular floor cannot produce."""
+    from elasticsearch_drift_plugin_spark.operators.pipeline import (
+        cumulative_cardinality,
+    )
+
+    iso = lambda s: int(  # noqa: E731
+        __import__("datetime").datetime.fromisoformat(s).timestamp() * 1000
+    )
+    rows = [
+        (iso("2024-03-10T04:59:00+00:00"), 1),  # 23:59 EST Mar 9
+        (iso("2024-03-10T05:30:00+00:00"), 2),  # 00:30 EST Mar 10
+        (iso("2024-03-10T08:30:00+00:00"), 3),  # 04:30 EDT (post-jump)
+        (iso("2024-03-10T08:30:00+00:00"), 2),  # repeat id: not new
+        (iso("2024-03-10T10:30:00+00:00"), 4),  # 06:30 EDT
+    ]
+    df = spark.createDataFrame(rows, "t_ms long, user_id long")
+    got = [
+        (r["key"], r["new_ids"], r["cum_cardinality"])
+        for r in cumulative_cardinality(
+            df, "t_ms", "user_id", step_ms=6 * 3600 * 1000,
+            tz="America/New_York",
+        ).collect()
+    ]
+    k_1800_est = iso("2024-03-09T18:00:00-05:00")  # 23:00Z Mar 9
+    k_0000_est = iso("2024-03-10T00:00:00-05:00")  # 05:00Z Mar 10
+    k_0600_edt = iso("2024-03-10T06:00:00-04:00")  # 10:00Z Mar 10
+    assert got == [
+        (k_1800_est, 1, 1),
+        (k_0000_est, 2, 3),   # ids 2 and 3 first seen here (5h UTC span)
+        (k_0600_edt, 1, 4),
+    ]
+    assert k_0600_edt - k_0000_est == 5 * 3600 * 1000  # the DST pinch
