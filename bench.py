@@ -263,6 +263,11 @@ BENCH_QUERIES = [
     "es_dsl_nested",
     "corpus_domain_cap",
     "corpus_clf_calibration",
+    # r12 additions: the parent/child JOIN query kinds and the
+    # zone-shifted fixed cumcard grid
+    "es_dsl_has_child",
+    "es_dsl_has_parent",
+    "pipe_cumcard_fixed_tz",
 ]
 
 
@@ -310,6 +315,22 @@ def _msearch_amortization(spark, sf_dir: str) -> dict[str, float]:
     }
 
 
+def _dispatch_floor(spark, n: int = 5) -> float:
+    """Per-job dispatch floor: best-of-``n`` wall time of a trivial
+    1-row job (range(1) → noop sink). Everything slower than this is
+    query work; a HIGH floor in an artifact flags hypervisor steal /
+    CPU contention in that measurement window (VERDICT r11 item 5 —
+    the calibration probe that lets weak-set classification normalize
+    honestly across windows instead of re-litigating host variance)."""
+    best = None
+    for _ in range(max(n, 1)):
+        t0 = time.time()
+        spark.range(1).write.format("noop").mode("overwrite").save()
+        el = time.time() - t0
+        best = el if best is None else min(best, el)
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("spark-drift-bench")
@@ -317,6 +338,7 @@ def main() -> None:
     qs = entrymod.queries()
     # untimed warmup: JVM/codegen/parquet-footer caches, not query work
     qs["dedup_exact"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    floor_start = _dispatch_floor(spark)
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -333,6 +355,9 @@ def main() -> None:
     # kept OUT of `queries`/total: both probes re-run es_msearch_shared's
     # work, so folding them in would double-count the headline metric
     amortization = _msearch_amortization(spark, sf_dir)
+    # floor probed at BOTH ends: a start/end divergence localizes a host
+    # slowdown to part of the window
+    dispatch_floor = {"start": floor_start, "end": _dispatch_floor(spark)}
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     total = round(sum(timings.values()), 3)
@@ -351,6 +376,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "amortization": amortization,
+                "dispatch_floor": dispatch_floor,
                 "sf": sf_val,
             },
             fh,
@@ -368,6 +394,7 @@ def main() -> None:
                 "queries": headline,
                 "n_queries": len(timings),
                 "amortization": amortization,
+                "dispatch_floor": dispatch_floor,
                 "sf": sf_val,
             }
         )
