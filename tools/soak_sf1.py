@@ -84,6 +84,17 @@ FLAGSHIPS = (
     "es_dsl_compound",
     "es_dsl_query_string",
     "es_search_slice",
+    # round-12 (VERDICT r11 item 8 + newcomers): the WindowGroupLimit
+    # domain cap, the calibration bins over the memoized clf, the nested
+    # at-rest array<struct> query, the parent/child JOIN query kinds
+    # (orders now replicated with lineitem-aligned key shifts), and the
+    # zone-shifted fixed cumcard fold
+    "corpus_domain_cap",
+    "corpus_clf_calibration",
+    "es_dsl_nested",
+    "es_dsl_has_child",
+    "es_dsl_has_parent",
+    "pipe_cumcard_fixed_tz",
 )
 
 
@@ -99,6 +110,19 @@ def build(spark):
         )
         out = rep if out is None else out.unionByName(rep)
     out.write.mode("overwrite").parquet(f"{DST}/lineitem.parquet")
+
+    # orders: o_orderkey shifted by the SAME per-replica constant as
+    # lineitem's l_orderkey, so the parent/child join stays aligned
+    # (r12: es_dsl_nested / has_child / has_parent soak over 10× both
+    # sides of the join)
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    out = None
+    for i in range(REPLICAS):
+        rep = orders.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(i * (li_max + 1))
+        )
+        out = rep if out is None else out.unionByName(rep)
+    out.write.mode("overwrite").parquet(f"{DST}/orders.parquet")
 
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
     d_max = docs.agg(F.max("doc_id")).collect()[0][0]
@@ -143,7 +167,8 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     if ("--rebuild" in sys.argv
             or not os.path.exists(f"{DST}/lineitem.parquet")
-            or not os.path.exists(f"{DST}/events.parquet")):
+            or not os.path.exists(f"{DST}/events.parquet")
+            or not os.path.exists(f"{DST}/orders.parquet")):
         t0 = time.time()
         build(spark)
         print(f"# built {DST} in {time.time() - t0:.0f}s", file=sys.stderr)
