@@ -1322,3 +1322,43 @@ def apply_query(df, query: dict, relations: dict | None = None):
             keys, F.col(local_key) == F.col(keycol), "left"
         ).drop(keycol)
     return df.where(compile_query(q2)).drop(*[s[0] for s in sinks])
+
+
+def inject_now(node, now_ms: int):
+    """Serving-edge default for now-anchored date math (r12).
+
+    The compilers demand an explicit ``now`` (epoch ms) on every
+    now-anchored range bound — the reproducibility contract (ES reads
+    the coordinator clock; a replayed query must not drift). This shim
+    is the EDGE's one sanctioned place to stamp that clock: it walks a
+    query/body tree and returns a deep copy where every ``range`` field
+    spec carrying a now-anchored bound and NO explicit ``now`` gains
+    ``"now": now_ms``. An explicit ``now`` always wins (never
+    overwritten), so stamped bodies replay byte-stable — log the
+    STAMPED body, not the raw one. Non-range nodes and non-now bounds
+    pass through untouched."""
+    now_ms = int(now_ms)
+    if isinstance(node, list):
+        return [inject_now(c, now_ms) for c in node]
+    if not isinstance(node, dict):
+        return node
+    out = {}
+    for k, v in node.items():
+        if k == "range" and isinstance(v, dict):
+            nv = {}
+            for field, spec in v.items():
+                if (
+                    isinstance(spec, dict)
+                    and "now" not in spec
+                    and any(
+                        isinstance(b, str) and b.startswith("now")
+                        for op, b in spec.items()
+                        if op in ("gt", "gte", "lt", "lte")
+                    )
+                ):
+                    spec = {**spec, "now": now_ms}
+                nv[field] = spec
+            out[k] = nv
+        else:
+            out[k] = inject_now(v, now_ms)
+    return out

@@ -179,9 +179,19 @@ _SIBLING_MULTI = (
 
 
 def run_search(
-    df: DataFrame, body: dict, relations: dict | None = None
+    df: DataFrame,
+    body: dict,
+    relations: dict | None = None,
+    now_ms: int | None = None,
 ) -> dict[str, DataFrame]:
     """Execute a ``_search`` body; returns ``{agg_name: DataFrame}``.
+
+    ``now_ms`` (r12) is the serving-edge clock stamp for now-anchored
+    date math: when set, every ``range`` spec with a ``now...`` bound
+    and no explicit ``now`` gains ``"now": now_ms`` before compilation
+    (:func:`~.es_dsl.inject_now`) — the one sanctioned place the
+    coordinator clock enters, keeping the compilers' explicit-now
+    reproducibility contract intact (log the stamped body to replay).
 
     ``relations`` (r12) declares the parent/child join sides for
     ``has_child`` / ``has_parent`` QUERY kinds —
@@ -202,6 +212,10 @@ def run_search(
     ``script.source`` is a SQL expression (the engine's script dialect,
     same stance as ``scripted_metric``), compiled into the scan projection
     so Catalyst prunes/pushes around it."""
+    if now_ms is not None:
+        from .es_dsl import inject_now
+
+        body = inject_now(body, now_ms)
     for fname, fspec in body.get("runtime_mappings", {}).items():
         df = df.withColumn(fname, F.expr(fspec["script"]["source"]))
     # pre-query frame — the `global` agg node escapes the filter but, as

@@ -386,3 +386,56 @@ def test_cumcard_fixed_tz_dst_crossing(spark):
         (k_0600_edt, 1, 4),
     ]
     assert k_0600_edt - k_0000_est == 5 * 3600 * 1000  # the DST pinch
+
+
+# --- serving-edge now stamping (r12) ----------------------------------------
+
+def test_inject_now_stamps_only_unanchored_now_bounds(spark):
+    from elasticsearch_drift_plugin_spark.functions.es_dsl import inject_now
+
+    body = {
+        "query": {"bool": {
+            "must": [
+                {"range": {"t": {"gte": "now-1d/d"}}},          # stamped
+                {"range": {"t": {"lt": "now", "now": 123}}},    # explicit kept
+                {"range": {"v": {"gte": 100}}},                 # numeric untouched
+                {"range": {"d": {"gte": "2024-01-01"}}},        # date untouched
+            ],
+            "should": [{"bool": {"must_not": [
+                {"range": {"t": {"gt": "now/w"}}},              # nested: stamped
+            ]}}],
+        }},
+        "aggs": {"m": {"max": {"field": "v"}}},
+    }
+    out = inject_now(body, 1_700_000_000_000)
+    must = out["query"]["bool"]["must"]
+    assert must[0]["range"]["t"]["now"] == 1_700_000_000_000
+    assert must[1]["range"]["t"]["now"] == 123
+    assert "now" not in must[2]["range"]["v"]
+    assert "now" not in must[3]["range"]["d"]
+    deep = out["query"]["bool"]["should"][0]["bool"]["must_not"][0]
+    assert deep["range"]["t"]["now"] == 1_700_000_000_000
+    # the input tree is untouched (deep copy)
+    assert "now" not in body["query"]["bool"]["must"][0]["range"]["t"]
+
+
+def test_run_search_now_ms_equals_explicit_now(spark):
+    from elasticsearch_drift_plugin_spark.functions.es_search import (
+        run_search,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1_700_000_000_000 - 3_600_000), (2, 1_700_000_000_000 - 90_000_000)],
+        "doc_id long, t long",
+    )
+    implicit = {"query": {"range": {"t": {"gte": "now-1d/d"}}},
+                "aggs": {"n": {"value_count": {"field": "doc_id"}}}}
+    explicit = {"query": {"range": {"t": {"gte": "now-1d/d",
+                                          "now": 1_700_000_000_000}}},
+                "aggs": {"n": {"value_count": {"field": "doc_id"}}}}
+    got = run_search(df, implicit, now_ms=1_700_000_000_000)["n"].collect()
+    want = run_search(df, explicit)["n"].collect()
+    assert got == want
+    # without now_ms the reproducibility contract still raises
+    with pytest.raises(ValueError, match="now"):
+        run_search(df, implicit)
