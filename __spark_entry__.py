@@ -169,6 +169,7 @@ GRADE_FIRST: tuple[str, ...] = (
     # the rest of the r5 backlog); swapped for r12 newcomers as they
     # register ---
     "es_dsl_has_child", "es_dsl_has_parent", "pipe_cumcard_fixed_tz",
+    "es_search_has_child_inner",
     # --- freshness: last stamped r4 (all 39 — clears the r4 backlog) ---
     "es_adjacency_matrix", "es_auto_date_histogram", "es_boxplot",
     "es_categorize_text", "es_composite_after", "es_diversified_sampler",
@@ -182,7 +183,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "psum_cal_day_tz", "psum_grouped_distinct", "rel_asof_forward",
     "rel_cidr_top_talkers", "stream_flow_sessions", "text_pii_scan",
     "text_repetition", "text_rolling_fp", "train_chunk_docs",
-    "train_pack_sharded", "train_split_assign",
+    "train_pack_sharded",
 )
 
 
@@ -1217,6 +1218,54 @@ WHERE l.l_discount >= 0.05
               WHERE o.o_orderkey = l.l_orderkey
                 AND o.o_orderpriority = '1-URGENT')
 GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+"""
+
+
+# has_child `inner_hits` (r12): the reserved "_inner_hits" frame (the
+# collapse contract) — matching children of the HIT parents, top-`size`
+# per parent under the spec's (total) sort, tagged _inner_rank. The
+# ORACLE derives the hit set independently from matched-child counts
+# and ranks with a window — not by replaying the join-marker plan.
+ES_SEARCH_HAS_CHILD_INNER_BODY = {
+    "size": 0,
+    "query": {"has_child": {
+        "type": "line",
+        "query": {"range": {"l_quantity": {"gte": 48}}},
+        "min_children": 2,
+        "inner_hits": {"size": 2,
+                       "sort": [{"l_quantity": "desc"},
+                                {"l_linenumber": "asc"}]},
+    }},
+}
+
+
+def _es_search_has_child_inner_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    orders = flows_src.load_table(s, d, "orders")
+    lineitem = flows_src.load_table(s, d, "lineitem")
+    rel = {"line": (lineitem, "o_orderkey", "l_orderkey")}
+    return run_search(orders, ES_SEARCH_HAS_CHILD_INNER_BODY, relations=rel)[
+        "_inner_hits"
+    ].select("l_orderkey", "l_linenumber", "l_quantity", "_inner_rank")
+
+
+ES_SEARCH_HAS_CHILD_INNER_SQL = """
+WITH matched AS (
+  SELECT l_orderkey, l_linenumber, l_quantity
+  FROM lineitem WHERE l_quantity >= 48
+),
+hits AS (
+  SELECT l_orderkey FROM matched GROUP BY l_orderkey HAVING COUNT(*) >= 2
+),
+ranked AS (
+  SELECT m.*, ROW_NUMBER() OVER (PARTITION BY m.l_orderkey
+           ORDER BY m.l_quantity DESC, m.l_linenumber ASC) AS rk
+  FROM matched m JOIN hits USING (l_orderkey)
+)
+SELECT l_orderkey, l_linenumber, l_quantity,
+       CAST(rk AS BIGINT) AS "_inner_rank"
+FROM ranked WHERE rk <= 2 ORDER BY l_orderkey, rk
 """
 
 
@@ -2308,6 +2357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_dsl_nested": _es_dsl_nested_query,
         "es_dsl_has_child": _es_dsl_has_child_query,
         "es_dsl_has_parent": _es_dsl_has_parent_query,
+        "es_search_has_child_inner": _es_search_has_child_inner_query,
         "es_search_ip_range": _es_search_ip_range_query,
         "es_search_ip_prefix_v6": _es_search_ip_prefix_v6_query,
         "es_search_sig_inferred": _es_search_sig_inferred_query,
@@ -2654,6 +2704,7 @@ def oracle_sql() -> dict[str, str]:
         "es_dsl_nested": ES_DSL_NESTED_SQL,
         "es_dsl_has_child": ES_DSL_HAS_CHILD_SQL,
         "es_dsl_has_parent": ES_DSL_HAS_PARENT_SQL,
+        "es_search_has_child_inner": ES_SEARCH_HAS_CHILD_INNER_SQL,
         "es_search_ip_range": ES_SEARCH_IP_RANGE_SQL,
         "es_search_ip_prefix_v6": _es_search_ip_prefix_v6_oracle(),
         "es_search_sig_inferred": _es_search_sig_inferred_oracle(),

@@ -1205,20 +1205,30 @@ def collect_highlight_terms(q: dict, field: str) -> list[str]:
 # parent/child JOIN query kinds (r12): has_child / has_parent
 # ---------------------------------------------------------------------------
 
-def _rewrite_join_clauses(q: dict, relations: dict, sinks: list) -> dict:
+def _rewrite_join_clauses(
+    q: dict, relations: dict, sinks: list, inner_sink: list | None = None
+) -> dict:
     """Walk a query tree, replacing each ``has_child`` / ``has_parent``
     node with a boolean-marker ``term`` over a synthetic flag column and
     recording how to materialize that flag (one aggregate over the other
     frame + a LEFT join on the join key). Recurses through ``bool``
     sections only — a join kind buried inside any other compound raises
-    in compile_query afterwards (loud, never silently dropped)."""
+    in compile_query afterwards (loud, never silently dropped).
+
+    ``inner_sink`` (r12): when a list is provided (the ``run_search``
+    route), an ``inner_hits`` spec on a join clause is RECORDED there
+    (relation name, matched other-side frame, join keys, spec) instead
+    of raising — run_search materializes the reserved ``"_inner_hits"``
+    frame from it. The direct :func:`apply_query` route keeps the loud
+    raise (it returns exactly one frame)."""
     (kind, body), = q.items()
     if kind in ("has_child", "has_parent"):
-        if "inner_hits" in body:
+        if "inner_hits" in body and inner_sink is None:
             raise ValueError(
-                f"{kind} inner_hits is not supported — run a second"
-                " _search over the child frame with the same inner query"
-                " to fetch them"
+                f"{kind} inner_hits needs the run_search route (the"
+                " reserved '_inner_hits' frame) — apply_query returns"
+                " exactly one frame; or run a second _search over the"
+                " other frame with the same inner query"
             )
         rel_key = "type" if kind == "has_child" else "parent_type"
         name = body.get(rel_key)
@@ -1269,13 +1279,21 @@ def _rewrite_join_clauses(q: dict, relations: dict, sinks: list) -> dict:
                 .withColumn(flag, F.lit(True))
             )
         sinks.append((flag, keycol, keys, local_key))
+        if "inner_hits" in body and inner_sink is not None:
+            inner_sink.append({
+                "name": body["inner_hits"].get("name", name),
+                "matched": matched,
+                "other_key": other_key,
+                "local_key": local_key,
+                "spec": body["inner_hits"],
+            })
         return {"term": {flag: True}}
     if kind == "bool":
         nb: dict = {}
         for sect in ("must", "filter", "should", "must_not"):
             if sect in body:
                 nb[sect] = [
-                    _rewrite_join_clauses(c, relations, sinks)
+                    _rewrite_join_clauses(c, relations, sinks, inner_sink)
                     for c in _as_list(body[sect])
                 ]
         for extra, v in body.items():
@@ -1285,7 +1303,10 @@ def _rewrite_join_clauses(q: dict, relations: dict, sinks: list) -> dict:
     return q
 
 
-def apply_query(df, query: dict, relations: dict | None = None):
+def apply_query(
+    df, query: dict, relations: dict | None = None,
+    _inner_sink: list | None = None,
+):
     """ES query execution at the DATAFRAME level: the full
     :func:`compile_query` clause set PLUS the parent/child join kinds
     ``has_child`` / ``has_parent``, which a single-frame Column predicate
@@ -1312,9 +1333,15 @@ def apply_query(df, query: dict, relations: dict | None = None):
     rest. The marker column is an ordinary boolean, so the clause
     composes under ``bool``/``should``/``must_not`` (a parent with no
     matching children carries NULL → no-match in filter context, which
-    must_not keeps — ES parity); markers drop from the output."""
+    must_not keeps — ES parity); markers drop from the output.
+
+    ``_inner_sink`` is the run_search plumbing for ``inner_hits`` (see
+    :func:`_rewrite_join_clauses`); direct callers leave it None."""
     sinks: list = []
-    q2 = _rewrite_join_clauses(query, relations, sinks) if relations else query
+    q2 = (
+        _rewrite_join_clauses(query, relations, sinks, _inner_sink)
+        if relations else query
+    )
     if not sinks:
         return df.where(compile_query(q2))
     for flag, keycol, keys, local_key in sinks:

@@ -178,6 +178,47 @@ _SIBLING_MULTI = (
 )
 
 
+def _join_inner_hits_frame(hits: DataFrame, rec: dict) -> DataFrame:
+    """Materialize one has_child/has_parent ``inner_hits`` record (from
+    es_dsl's join-clause rewriter) against the final hit frame: semi-join
+    the matched other-side rows to the hit set's join keys, then one
+    window pass per key — top-``size`` (ES default 3) under the spec's
+    sort, tagged ``_inner_rank``. The sort is REQUIRED (filter context
+    has no ``_score`` to default to) and should be total for
+    deterministic output; ``row_number`` breaks residual ties
+    arbitrarily, as ES does."""
+    from pyspark.sql.window import Window
+
+    spec = rec["spec"]
+    size = int(spec.get("size", 3))
+    ents = spec.get("sort")
+    if not ents:
+        raise ValueError(
+            "has_child/has_parent inner_hits needs an explicit sort"
+            " (filter context has no _score); e.g."
+            ' {"sort": [{"l_quantity": "desc"}]}'
+        )
+    if isinstance(ents, (str, dict)):
+        ents = [ents]
+    order = []
+    for ent in ents:
+        if isinstance(ent, str):
+            order.append(F.col(ent).asc())
+        else:
+            (c, o), = ent.items()
+            d = str(o if isinstance(o, str) else o.get("order", "asc"))
+            order.append(F.col(c).desc() if d.lower() == "desc" else F.col(c).asc())
+    matched, ok, lk = rec["matched"], rec["other_key"], rec["local_key"]
+    keys = hits.select(F.col(lk).alias("__pk")).distinct()
+    joined = matched.join(keys, F.col(ok) == F.col("__pk"), "left_semi")
+    w = Window.partitionBy(ok).orderBy(*order)
+    return (
+        joined.withColumn("_inner_rank", F.row_number().over(w))
+        .where(F.col("_inner_rank") <= size)
+        .orderBy(ok, "_inner_rank")
+    )
+
+
 def run_search(
     df: DataFrame,
     body: dict,
@@ -221,15 +262,32 @@ def run_search(
     # pre-query frame — the `global` agg node escapes the filter but, as
     # in ES, still sees runtime-mapped fields (captured AFTER the loop)
     raw = df
+    join_inner: list = []
     if "query" in body:
         if relations:
             from .es_dsl import apply_query
 
-            df = apply_query(df, body["query"], relations)
+            df = apply_query(
+                df, body["query"], relations, _inner_sink=join_inner
+            )
         else:
             df = df.where(compile_query(body["query"]))
     aggs = body.get("aggs", body.get("aggregations", {}))
     out: dict[str, DataFrame] = {}
+    if join_inner:
+        # has_child/has_parent `inner_hits` → the reserved "_inner_hits"
+        # frame (the collapse contract): the other side's rows matching
+        # the inner query, restricted to join keys present in the HIT
+        # set, top-`size` per key under the spec's sort, tagged
+        # _inner_rank. ES nests these lists inside each returned hit;
+        # the engine's flattened form carries every key (a serving edge
+        # joins them onto its hits page).
+        if len(join_inner) > 1:
+            raise ValueError(
+                "at most one has_child/has_parent inner_hits per body —"
+                " fetch additional lists with a second _search"
+            )
+        out["_inner_hits"] = _join_inner_hits_frame(df, join_inner[0])
     # top-level `knn` section (ES 8.x vector search): exact top-k by
     # cosine (or dot_product) similarity of a dense_vector column against
     # the literal query_vector. The spec's `filter` is the ES pre-filter

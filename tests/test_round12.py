@@ -439,3 +439,41 @@ def test_run_search_now_ms_equals_explicit_now(spark):
     # without now_ms the reproducibility contract still raises
     with pytest.raises(ValueError, match="now"):
         run_search(df, implicit)
+
+
+def test_has_child_inner_hits_frame(pc):
+    """inner_hits via run_search: the reserved '_inner_hits' frame holds
+    the matching children of HIT parents only, top-size per parent under
+    the spec sort; apply_query (single-frame route) keeps the loud
+    raise; a missing sort raises (no _score in filter context)."""
+    from elasticsearch_drift_plugin_spark.functions.es_search import (
+        run_search,
+    )
+
+    p, c, rel = pc
+    body = {
+        "size": 0,
+        "query": {"has_child": {
+            "type": "kid",
+            "query": {"range": {"qty": {"gte": 40}}},
+            "min_children": 2,
+            "inner_hits": {"size": 1, "sort": [{"qty": "desc"}]},
+        }},
+        "aggs": {"n": {"value_count": {"field": "pid"}}},
+    }
+    out = run_search(p, body, relations=rel)
+    # only pid 1 has >= 2 matching children; its top-1 child by qty desc
+    ih = [(r["cpid"], r["qty"], r["_inner_rank"])
+          for r in out["_inner_hits"].collect()]
+    assert ih == [(1, 60, 1)]
+    assert [r[0] for r in out["n"].collect()] == [1]
+    # sort required
+    bad = {"query": {"has_child": {"type": "kid",
+                                   "query": {"range": {"qty": {"gte": 40}}},
+                                   "inner_hits": {}}},
+           "aggs": {"n": {"value_count": {"field": "pid"}}}}
+    with pytest.raises(ValueError, match="sort"):
+        run_search(p, bad, relations=rel)
+    # the direct apply_query route still raises loudly
+    with pytest.raises(ValueError, match="run_search"):
+        apply_query(p, bad["query"], rel)
