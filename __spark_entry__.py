@@ -169,7 +169,7 @@ GRADE_FIRST: tuple[str, ...] = (
     # the rest of the r5 backlog); swapped for r12 newcomers as they
     # register ---
     "es_dsl_has_child", "es_dsl_has_parent", "pipe_cumcard_fixed_tz",
-    "es_search_has_child_inner",
+    "es_search_has_child_inner", "es_search_geo_sort",
     # --- freshness: last stamped r4 (all 39 — clears the r4 backlog) ---
     "es_adjacency_matrix", "es_auto_date_histogram", "es_boxplot",
     "es_categorize_text", "es_composite_after", "es_diversified_sampler",
@@ -183,7 +183,6 @@ GRADE_FIRST: tuple[str, ...] = (
     "psum_cal_day_tz", "psum_grouped_distinct", "rel_asof_forward",
     "rel_cidr_top_talkers", "stream_flow_sessions", "text_pii_scan",
     "text_repetition", "text_rolling_fp", "train_chunk_docs",
-    "train_pack_sharded",
 )
 
 
@@ -1248,6 +1247,46 @@ def _es_search_has_child_inner_query(s: SparkSession, d: str) -> DataFrame:
     return run_search(orders, ES_SEARCH_HAS_CHILD_INNER_BODY, relations=rel)[
         "_inner_hits"
     ].select("l_orderkey", "l_linenumber", "l_quantity", "_inner_rank")
+
+
+# `_geo_distance` sort (r12): hits ordered by great-circle distance
+# from an origin, the distance itself projected as the `_geo_distance`
+# column (the flattened equivalent of ES's per-hit sort value). The
+# haversine is the engine's IEEE-stable shared expression — bit-equal
+# in Spark and DuckDB — so the raw double column hash-pairs. user_id
+# tie-break makes the sort total.
+ES_SEARCH_GEO_SORT_BODY = {
+    "size": 15,
+    "sort": [{"_geo_distance": {"origin": {"lat": 40.7, "lon": -74.0},
+                                "unit": "km", "order": "asc"}},
+             {"user_id": "asc"}],
+    "_source": {"includes": ["user_id", "lat", "lon"]},
+}
+
+
+def _es_search_geo_sort_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    pts = geo.geo_events(s.read.parquet(f"{d}/events.parquet"))
+    return run_search(pts, ES_SEARCH_GEO_SORT_BODY)["_hits"]
+
+
+def _es_search_geo_sort_oracle() -> str:
+    from elasticsearch_drift_plugin_spark.operators.geo import (
+        GEO_EVENTS_DUCK,
+        _haversine_m,
+    )
+
+    dist = _haversine_m("lat", "lon", 40.7, -74.0)
+    return f"""
+WITH pts AS ({GEO_EVENTS_DUCK}),
+d AS (
+  SELECT user_id, lat, lon, {dist} / 1000.0 AS "_geo_distance"
+  FROM pts
+)
+SELECT user_id, lat, lon, "_geo_distance"
+FROM d ORDER BY "_geo_distance", user_id LIMIT 15
+"""
 
 
 ES_SEARCH_HAS_CHILD_INNER_SQL = """
@@ -2358,6 +2397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_dsl_has_child": _es_dsl_has_child_query,
         "es_dsl_has_parent": _es_dsl_has_parent_query,
         "es_search_has_child_inner": _es_search_has_child_inner_query,
+        "es_search_geo_sort": _es_search_geo_sort_query,
         "es_search_ip_range": _es_search_ip_range_query,
         "es_search_ip_prefix_v6": _es_search_ip_prefix_v6_query,
         "es_search_sig_inferred": _es_search_sig_inferred_query,
@@ -2705,6 +2745,7 @@ def oracle_sql() -> dict[str, str]:
         "es_dsl_has_child": ES_DSL_HAS_CHILD_SQL,
         "es_dsl_has_parent": ES_DSL_HAS_PARENT_SQL,
         "es_search_has_child_inner": ES_SEARCH_HAS_CHILD_INNER_SQL,
+        "es_search_geo_sort": _es_search_geo_sort_oracle(),
         "es_search_ip_range": ES_SEARCH_IP_RANGE_SQL,
         "es_search_ip_prefix_v6": _es_search_ip_prefix_v6_oracle(),
         "es_search_sig_inferred": _es_search_sig_inferred_oracle(),

@@ -360,6 +360,59 @@ def run_search(
         entries = body["sort"]
         if isinstance(entries, (str, dict)):
             entries = [entries]
+        # `_geo_distance` sort (r12): ES sorts hits by great-circle
+        # distance from an origin; relationally the geo point is the
+        # lat/lon column pair (the geo-agg convention). The distance —
+        # in `unit`, ES default m — is projected as the VISIBLE column
+        # `_geo_distance`: the flattened equivalent of the per-hit sort
+        # value ES returns, so `search_after` cursors over it exactly
+        # like ES. One codegen expression (the shared IEEE-stable
+        # haversine), no shuffle beyond the TakeOrdered heap.
+        gd_seen = False
+        rewritten = []
+        for ent in entries:
+            if isinstance(ent, dict) and "_geo_distance" in ent:
+                if gd_seen:
+                    raise ValueError(
+                        "at most one _geo_distance sort entry per body"
+                    )
+                gd_seen = True
+                from ..operators.geo import _haversine_m
+
+                spec = ent["_geo_distance"]
+                if "mode" in spec:
+                    raise ValueError(
+                        "_geo_distance sort mode (multi-valued points) is"
+                        " unsupported — points are single lat/lon columns"
+                    )
+                origin = spec.get("origin")
+                if origin is None:
+                    raise ValueError("_geo_distance sort needs an origin")
+                if isinstance(origin, str):
+                    olat, olon = (float(x) for x in origin.split(","))
+                elif isinstance(origin, (list, tuple)):  # GeoJSON [lon, lat]
+                    olon, olat = float(origin[0]), float(origin[1])
+                else:
+                    olat, olon = float(origin["lat"]), float(origin["lon"])
+                unit = spec.get("unit", "m")
+                try:
+                    div = {"m": 1.0, "km": 1000.0, "mi": 1609.344}[unit]
+                except KeyError:
+                    raise ValueError(
+                        f"unsupported _geo_distance unit {unit!r}"
+                    ) from None
+                dist = F.expr(_haversine_m(
+                    spec.get("lat_field", "lat"),
+                    spec.get("lon_field", "lon"),
+                    olat, olon,
+                )) / F.lit(float(div))
+                df = df.withColumn("_geo_distance", dist)
+                rewritten.append(
+                    {"_geo_distance": str(spec.get("order", "asc"))}
+                )
+            else:
+                rewritten.append(ent)
+        entries = rewritten
         # ES sorts docs MISSING the sort field LAST by default (the
         # `missing` parameter: "_last" default, "_first" to flip) —
         # Spark's bare .asc() is nulls-FIRST, so the NULL placement must

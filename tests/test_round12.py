@@ -477,3 +477,46 @@ def test_has_child_inner_hits_frame(pc):
     # the direct apply_query route still raises loudly
     with pytest.raises(ValueError, match="run_search"):
         apply_query(p, bad["query"], rel)
+
+
+def test_geo_distance_sort_semantics(spark):
+    """_geo_distance sort: hits ordered by haversine distance from the
+    origin; the distance (in unit) is the visible _geo_distance column;
+    search_after cursors over it; mode / unknown units / missing origin
+    raise loudly."""
+    from elasticsearch_drift_plugin_spark.functions.es_search import (
+        run_search,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 40.7, -74.0), (2, 40.7, -73.0), (3, 41.7, -74.0),
+         (4, 40.7, -74.5)],
+        "doc_id long, lat double, lon double",
+    )
+    body = {
+        "size": 3,
+        "sort": [{"_geo_distance": {"origin": "40.7,-74.0", "unit": "km"}},
+                 {"doc_id": "asc"}],
+        "_source": {"includes": ["doc_id"]},
+    }
+    hits = run_search(df, body)["_hits"].collect()
+    assert [r["doc_id"] for r in hits] == [1, 4, 2]
+    assert hits[0]["_geo_distance"] == 0.0
+    # ~42 km for 0.5 deg lon at 40.7N; 1 deg lon ~84 km; 1 deg lat ~111 km
+    assert 40 < hits[1]["_geo_distance"] < 45
+    # search_after cursors over the distance value, ES-style
+    after = {**body, "search_after": [hits[-1]["_geo_distance"],
+                                      hits[-1]["doc_id"]]}
+    rest = run_search(df, after)["_hits"].collect()
+    assert [r["doc_id"] for r in rest] == [3]
+    for bad in [
+        {"size": 1, "sort": [{"_geo_distance": {"origin": "0,0",
+                                                "mode": "min"}}]},
+        {"size": 1, "sort": [{"_geo_distance": {"origin": "0,0",
+                                                "unit": "furlong"}}]},
+        {"size": 1, "sort": [{"_geo_distance": {"unit": "km"}}]},
+        {"size": 1, "sort": [{"_geo_distance": {"origin": "0,0"}},
+                             {"_geo_distance": {"origin": "1,1"}}]},
+    ]:
+        with pytest.raises(ValueError):
+            run_search(df, bad)
