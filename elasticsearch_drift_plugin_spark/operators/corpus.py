@@ -784,38 +784,50 @@ def dsir_weights(
     collects off the pinned tables. No corpus self-join anywhere.
     """
     raw = docs.where(f"NOT ({target_where})")
-    target = docs.where(target_where)
     doc_b = _hashed_gram_counts(raw, buckets)
-    cr = (
-        doc_b.groupBy("b")
-        .agg(F.sum("cnt").alias("cr"))
-        .localCheckpoint(eager=True)
-    )
-    ct = (
-        _hashed_gram_counts(target, buckets)
-        .groupBy("b")
-        .agg(F.sum("cnt").alias("ct"))
-        .localCheckpoint(eager=True)
-    )
-    n_t = ct.agg(F.sum("ct")).collect()[0][0] or 0
-    n_r = cr.agg(F.sum("cr")).collect()[0][0] or 0
-    bl = float(buckets)
-    lam = cr.join(ct, "b", "left").select(
-        "b",
-        (
-            F.floor(
-                F.log(
-                    (F.coalesce("ct", F.lit(0)) + F.lit(1.0))
-                    / F.lit(float(n_t) + bl)
+    # λ-table memo (r12, the quality-clf pattern): the fitted model is a
+    # BOUNDED `buckets`-row table, deterministic in (input fingerprint,
+    # params) — dsir_weights + dsir_sample re-fit the identical model
+    # per session otherwise. The value is a session-bound checkpointed
+    # frame, so a stale session invalidates the entry.
+    key = _clf_memo_key(docs, "dsir-lam", target_where, int(buckets))
+    cached = _DSIR_LAM_MEMO.get(key) if key is not None else None
+    if cached is not None and cached[0] is docs.sparkSession:
+        lam = cached[1]
+    else:
+        target = docs.where(target_where)
+        cr = (
+            doc_b.groupBy("b")
+            .agg(F.sum("cnt").alias("cr"))
+            .localCheckpoint(eager=True)
+        )
+        ct = (
+            _hashed_gram_counts(target, buckets)
+            .groupBy("b")
+            .agg(F.sum("cnt").alias("ct"))
+            .localCheckpoint(eager=True)
+        )
+        n_t = ct.agg(F.sum("ct")).collect()[0][0] or 0
+        n_r = cr.agg(F.sum("cr")).collect()[0][0] or 0
+        bl = float(buckets)
+        lam = cr.join(ct, "b", "left").select(
+            "b",
+            (
+                F.floor(
+                    F.log(
+                        (F.coalesce("ct", F.lit(0)) + F.lit(1.0))
+                        / F.lit(float(n_t) + bl)
+                    )
+                    * F.lit(float(QUANT))
                 )
-                * F.lit(float(QUANT))
-            )
-            - F.floor(
-                F.log((F.col("cr") + F.lit(1.0)) / F.lit(float(n_r) + bl))
-                * F.lit(float(QUANT))
-            )
-        ).alias("lam_q"),
-    )
+                - F.floor(
+                    F.log((F.col("cr") + F.lit(1.0)) / F.lit(float(n_r) + bl))
+                    * F.lit(float(QUANT))
+                )
+            ).alias("lam_q"),
+        ).localCheckpoint(eager=True)
+        if key is not None:
+            _DSIR_LAM_MEMO[key] = (docs.sparkSession, lam)
     scored = (
         doc_b.join(F.broadcast(lam), "b")
         .groupBy("doc_id")
@@ -983,6 +995,11 @@ MAX_CLF_TRAIN_DOCS = 100_000
 # memo pattern. ONLY file-backed frames memoize (an in-memory test
 # frame's semantic hash does not pin its data).
 _CLF_WEIGHTS_MEMO: dict[tuple, dict[int, int]] = {}
+
+# (session, checkpointed λ frame) per (input fingerprint, params) — the
+# DSIR model-fit twin of the weights memo; session-bound because the
+# value references checkpoint RDDs (validated on lookup).
+_DSIR_LAM_MEMO: dict[tuple, tuple] = {}
 
 
 def _clf_memo_key(docs: DataFrame, *params) -> tuple | None:

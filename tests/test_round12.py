@@ -520,3 +520,37 @@ def test_geo_distance_sort_semantics(spark):
     ]:
         with pytest.raises(ValueError):
             run_search(df, bad)
+
+
+def test_dsir_lambda_memo_fits_once_per_input(spark, monkeypatch):
+    """dsir_weights / dsir_sample share ONE λ-model fit per (input
+    fingerprint, params): the target-side gram aggregation runs once; a
+    repeat call replays the checkpointed λ table and the outputs are
+    byte-identical. A stale-session entry is ignored."""
+    from elasticsearch_drift_plugin_spark.operators import corpus
+
+    calls = {"n": 0}
+    real = corpus._hashed_gram_counts
+
+    def counting(df, buckets):
+        calls["n"] += 1
+        return real(df, buckets)
+
+    monkeypatch.setattr(corpus, "_hashed_gram_counts", counting)
+    corpus._DSIR_LAM_MEMO.clear()
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    first = corpus.dsir_weights(docs).collect()
+    n_fit = calls["n"]
+    assert n_fit == 2  # raw gram pass + target gram pass
+    again = corpus.dsir_weights(docs).collect()
+    assert calls["n"] == n_fit + 1  # only the raw scoring pass
+    assert first == again
+    # dsir_sample rides the same memo
+    corpus.dsir_sample(docs).collect()
+    assert calls["n"] == n_fit + 2
+    # a dead-session entry is treated as a miss, not a broken frame
+    (key, (sess, lam)), = corpus._DSIR_LAM_MEMO.items()
+    corpus._DSIR_LAM_MEMO[key] = (object(), lam)
+    corpus.dsir_weights(docs).collect()
+    assert calls["n"] == n_fit + 4  # re-fit: raw + target passes again
