@@ -170,6 +170,7 @@ GRADE_FIRST: tuple[str, ...] = (
     # register ---
     "es_dsl_has_child", "es_dsl_has_parent", "pipe_cumcard_fixed_tz",
     "es_search_has_child_inner", "es_search_geo_sort",
+    "es_search_cumcard_fixed_tz",
     # --- freshness: last stamped r4 (all 39 — clears the r4 backlog) ---
     "es_adjacency_matrix", "es_auto_date_histogram", "es_boxplot",
     "es_categorize_text", "es_composite_after", "es_diversified_sampler",
@@ -182,7 +183,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "pipe_normalize", "pipe_percentiles_bucket", "pipe_selector_topk",
     "psum_cal_day_tz", "psum_grouped_distinct", "rel_asof_forward",
     "rel_cidr_top_talkers", "stream_flow_sessions", "text_pii_scan",
-    "text_repetition", "text_rolling_fp", "train_chunk_docs",
+    "text_repetition", "text_rolling_fp",
 )
 
 
@@ -913,6 +914,68 @@ def _es_search_cumcard_cal_off_query(s: SparkSession, d: str) -> DataFrame:
 # regression would shift the whole key set and hash-mismatch; the DST
 # crossing itself is pinned in tests/test_round11.py over a March-2024
 # frame (the 23-hour NY day).
+# Round-12 (SCOPE §E/§F): the zone-shifted FIXED grid through the FULL
+# `_search` compiler — date_histogram fixed_interval + time_zone now
+# executes in local wall-clock ms (instants only) with keys converted
+# back to UTC boundaries, and the cumulative_cardinality first-seen fold
+# shares the identical utc(floor_fixed(local)) key, so the bucket join
+# aligns. 6h grid in America/New_York: EST keys land at 05/11/17/23 UTC,
+# so a zone-free modular floor shifts the whole key set.
+ES_SEARCH_CUMCARD_FIXED_TZ_BODY = {
+    "size": 0,
+    "aggs": {
+        "q6h": {
+            "date_histogram": {"field": "t_ms", "fixed_interval": "6h",
+                               "time_zone": "America/New_York",
+                               "min_doc_count": 1},
+            "aggs": {
+                "u": {"cardinality": {"field": "user_id"}},
+                "cu": {"cumulative_cardinality": {"buckets_path": "u"}},
+            },
+        },
+    },
+}
+
+
+def _es_search_cumcard_fixed_tz_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    return run_search(_events_tms(s, d), ES_SEARCH_CUMCARD_FIXED_TZ_BODY)[
+        "q6h"
+    ].drop("key_ts")
+
+
+ES_SEARCH_CUMCARD_FIXED_TZ_SQL = """
+WITH lw AS (
+  SELECT epoch_ms(timezone('America/New_York',
+           timezone('UTC', make_timestamp(epoch_ms(ts) * 1000)))) AS l,
+         user_id
+  FROM events WHERE ts IS NOT NULL
+),
+ev AS (
+  SELECT epoch_ms(timezone('America/New_York',
+           make_timestamp((l - ((l % 21600000) + 21600000) % 21600000)
+                          * 1000))) AS key,
+         user_id
+  FROM lw
+),
+b AS (
+  SELECT key, CAST(COUNT(*) AS BIGINT) AS doc_count,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS u
+  FROM ev GROUP BY key
+),
+firsts AS (
+  SELECT key, CAST(COUNT(*) AS BIGINT) AS new_ids
+  FROM (SELECT user_id, MIN(key) AS key FROM ev GROUP BY user_id)
+  GROUP BY key
+)
+SELECT b.key, b.doc_count, b.u,
+       CAST(SUM(COALESCE(f.new_ids, 0)) OVER (ORDER BY b.key
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cu
+FROM b LEFT JOIN firsts f USING (key) ORDER BY b.key
+"""
+
+
 ES_SEARCH_CUMCARD_CAL_TZ_BODY = {
     "size": 0,
     "aggs": {
@@ -2390,6 +2453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_cumcard_cal": _es_search_cumcard_cal_query,
         "es_search_cumcard_cal_off": _es_search_cumcard_cal_off_query,
         "es_search_cumcard_cal_tz": _es_search_cumcard_cal_tz_query,
+        "es_search_cumcard_fixed_tz": _es_search_cumcard_fixed_tz_query,
         "es_search_knn_l2": _es_search_knn_l2_query,
         "es_search_change_point": _es_search_cp_query,
         "es_search_nested": _es_search_nested_query,
@@ -2738,6 +2802,7 @@ def oracle_sql() -> dict[str, str]:
         "es_search_cumcard_cal": ES_SEARCH_CUMCARD_CAL_SQL,
         "es_search_cumcard_cal_off": ES_SEARCH_CUMCARD_CAL_OFF_SQL,
         "es_search_cumcard_cal_tz": ES_SEARCH_CUMCARD_CAL_TZ_SQL,
+        "es_search_cumcard_fixed_tz": ES_SEARCH_CUMCARD_FIXED_TZ_SQL,
         "es_search_knn_l2": ES_SEARCH_KNN_L2_SQL,
         "es_search_change_point": _es_search_cp_oracle(),
         "es_search_nested": ES_SEARCH_NESTED_SQL,

@@ -1160,6 +1160,20 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
                     cc_kw["offset_ms"] = _parse_tv(spec["offset"])
             elif "fixed_interval" in spec:
                 cc_kw["step_ms"] = _parse_tv(spec["fixed_interval"])
+                if spec.get("time_zone"):
+                    # r12: the date_histogram grid itself now supports
+                    # fixed+tz (local-space floor); the first-seen fold
+                    # uses the SAME utc(floor_fixed(local)) key, so the
+                    # bucket join stays aligned
+                    from zoneinfo import ZoneInfo
+
+                    try:
+                        ZoneInfo(spec["time_zone"])
+                    except Exception:
+                        raise ValueError(
+                            f"unknown time zone {spec['time_zone']!r}"
+                        ) from None
+                    cc_kw["tz"] = spec["time_zone"]
                 if spec.get("offset"):
                     cc_kw["offset_ms"] = _parse_tv(spec["offset"])
             else:

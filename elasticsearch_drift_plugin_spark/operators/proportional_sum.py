@@ -333,6 +333,23 @@ def proportional_sum(
         hb_hi = round_key_ms(p, p.hard_bounds[1])
         out = out.where((F.col(_KEY) >= hb_lo) & (F.col(_KEY) <= hb_hi))
 
+    if p.kind == "fixed" and p.tz is not None:
+        # fixed+tz ran in LOCAL-ms space: convert keys to the UTC instant
+        # of each local boundary (monotone under fold=0, so the final
+        # orderBy is unaffected). A ZERO-FILL spine key can land inside a
+        # DST spring-forward gap (a wall time that never occurs); its
+        # fold-0 UTC instant collides with the post-gap bucket, so those
+        # fabricated rows drop — ES's gap-collapse. Data buckets always
+        # keep their key (a real instant's floor fails the round-trip
+        # only in the offset-inside-gap corner, which keeps its fold-0
+        # key rather than being dropped).
+        uk = F.unix_millis(
+            F.to_utc_timestamp(F.timestamp_millis(F.col(_KEY)), p.tz)
+        )
+        rt = F.unix_millis(F.from_utc_timestamp(F.timestamp_millis(uk), p.tz))
+        out = out.where(
+            (F.col("doc_count") > 0) | (rt == F.col(_KEY))
+        ).withColumn(_KEY, uk)
     out = out.withColumn("key_ts", F.timestamp_millis(F.col(_KEY)))
     cols = [*group_by, "key", "key_ts", "doc_count", "value", *extra_aggs]
     if key_format:
@@ -487,6 +504,34 @@ def _prepare_flows(df, start_col, end_col, value_col, sampling_col, p, validate)
             F.concat(F.lit(f"field [{end_col}] must be >= 0 and >= [{start_col}], got "), e.cast("string")),
             e,
         )
+    local_fixed = p.kind == "fixed" and p.tz is not None
+    if local_fixed:
+        # r12 fixed+tz: the grid lives in LOCAL wall-clock ms (ES rounds
+        # fixed intervals in-zone — Rounding.TimeIntervalRounding); every
+        # downstream fixed-grid expression runs unchanged in local space
+        # and the main body converts keys back to UTC instants. INSTANT
+        # rows only (date_histogram semantics): proportioning a DURATION
+        # over a zone-shifted fixed grid is ill-defined across DST (a
+        # local span ≠ the UTC span when the row crosses a transition) —
+        # loud, with the calendar-interval form named as the alternative.
+        zero = e == s
+        s_loc = F.unix_millis(
+            F.from_utc_timestamp(F.timestamp_millis(s), p.tz)
+        )
+        e = _check(
+            zero,
+            F.concat(
+                F.lit(
+                    "fixed interval + time_zone supports INSTANT rows only"
+                    f" (start == end, date_histogram semantics); [{start_col}"
+                    f"]/[{end_col}] differ — use calendar_interval with"
+                    " time_zone, or a UTC fixed grid, for durations: "
+                ),
+                s.cast("string"),
+            ),
+            s_loc,
+        )
+        s = s_loc
 
     # Sampling scale-up: applied iff present, finite and != 0
     # (ProportionalSumAggregator.java:171-180).
@@ -512,10 +557,25 @@ def _prepare_flows(df, start_col, end_col, value_col, sampling_col, p, validate)
     # (ProportionalSumAggregator.java:183-190; params.prefilter_bounds).
     base = df
     lo, hi = prefilter_bounds(p)
-    if lo is not None:
-        base = base.filter(F.col(end_col) >= _time_lit(lo, schema[end_col]))
-    if hi is not None:
-        base = base.filter(F.col(start_col) < _time_lit(hi, schema[start_col]))
+    if local_fixed:
+        # fixed+tz: prefilter bounds are LOCAL-ms (normalize localized
+        # them), so the cut compares the converted expressions — a
+        # codegen filter, not a raw-column pushdown (the documented cost
+        # of the zone extension; the conversion itself is scan-side).
+        conv_raw = lambda c: F.unix_millis(  # noqa: E731
+            F.from_utc_timestamp(
+                F.timestamp_millis(to_epoch_ms(F.col(c), schema[c])), p.tz
+            )
+        )
+        if lo is not None:
+            base = base.filter(conv_raw(end_col) >= F.lit(lo))
+        if hi is not None:
+            base = base.filter(conv_raw(start_col) < F.lit(hi))
+    else:
+        if lo is not None:
+            base = base.filter(F.col(end_col) >= _time_lit(lo, schema[end_col]))
+        if hi is not None:
+            base = base.filter(F.col(start_col) < _time_lit(hi, schema[start_col]))
 
     cs = F.greatest(s, F.lit(p.start)) if p.start is not None else s
     ce = F.least(e, F.lit(p.end)) if p.end is not None else e

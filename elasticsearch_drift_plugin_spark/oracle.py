@@ -80,6 +80,29 @@ def psum_oracle_sql(
     # columns referenced by extra_aggs must survive the prepared/exploded CTEs
     carry_pfx = "".join(f"{c}, " for c in carry_cols)
 
+    # fixed+tz (r12): the operator runs the grid in LOCAL wall-clock ms
+    # (normalize localized p.start/end/bounds) and converts keys back to
+    # UTC instants at the end — mirror both conversions with DuckDB's
+    # timezone() two-hop. Instants only (the operator enforces it); the
+    # oracle just computes.
+    local_fixed = p.kind == "fixed" and p.tz is not None
+    if local_fixed:
+        def _loc(col: str) -> str:
+            return (
+                f"epoch_ms(timezone('{p.tz}',"
+                f" timezone('UTC', make_timestamp(({col}) * 1000))))"
+            )
+
+        s_src, e_src = _loc("start_ms"), _loc("end_ms")
+
+        def _key_out(col: str) -> str:
+            return (
+                f"epoch_ms(timezone('{p.tz}',"
+                f" make_timestamp(({col}) * 1000)))"
+            )
+    else:
+        s_src, e_src = "start_ms", "end_ms"
+
     # value cleaning + sampling scale-up, same expression order as the operator
     v = "(CASE WHEN isnan(value) THEN NULL ELSE value END)"
     if sampling:
@@ -96,9 +119,9 @@ def psum_oracle_sql(
     # keep exactly the rows whose reference bucket loop executes.
     lo, hi = prefilter_bounds(p)
     if lo is not None:
-        filters.append(f"end_ms >= {lo}")
+        filters.append(f"({e_src}) >= {lo}")
     if hi is not None:
-        filters.append(f"start_ms < {hi}")
+        filters.append(f"({s_src}) < {hi}")
 
     cs = f"greatest(s, {p.start})" if p.start is not None else "s"
     ce = f"least(e, {p.end})" if p.end is not None else "e"
@@ -141,7 +164,7 @@ def psum_oracle_sql(
     agg_sql = f"""
 WITH flows AS ({flows_sql}),
 prepared AS (
-  SELECT {dims_pfx}{carry_pfx}start_ms AS s, end_ms AS e, {v} AS v
+  SELECT {dims_pfx}{carry_pfx}{s_src} AS s, {e_src} AS e, {v} AS v
   FROM flows WHERE {' AND '.join(filters)}
 ),
 exploded AS (
@@ -187,11 +210,34 @@ agg AS (
                 f"make_timestamp((mx - {p.offset_ms}) * 1000), "
                 f"INTERVAL 1 {p.unit})) AS tb FROM bounds)"
             )
+        if local_fixed:
+            # a fabricated spine key inside a DST gap drops (its UTC
+            # round-trip fails) — the operator's gap-collapse rule
+            rt = (
+                f"epoch_ms(timezone('{p.tz}', timezone('UTC',"
+                f" make_timestamp(({_key_out('spine.key')}) * 1000))))"
+            )
+            return (
+                f"{agg_sql}, {bounds}, spine AS ({spine}) "
+                f"SELECT {dims_pfx}{_key_out('spine.key')} AS key,"
+                f" COALESCE(doc_count, 0) AS doc_count, "
+                f"COALESCE(value, 0.0) AS value{extra_out} "
+                f"FROM spine LEFT JOIN agg USING ("
+                f"{dims_pfx.rstrip(', ') + ', ' if group_by else ''}key) "
+                f"WHERE COALESCE(doc_count, 0) > 0 OR {rt} = spine.key "
+                f"ORDER BY {dims_pfx}key"
+            )
         return (
             f"{agg_sql}, {bounds}, spine AS ({spine}) "
             f"SELECT {dims_pfx}spine.key AS key, COALESCE(doc_count, 0) AS doc_count, "
             f"COALESCE(value, 0.0) AS value{extra_out} "
             f"FROM spine LEFT JOIN agg USING ({dims_pfx.rstrip(', ') + ', ' if group_by else ''}key) "
+            f"ORDER BY {dims_pfx}key"
+        )
+    if local_fixed:
+        return (
+            f"{agg_sql} SELECT {dims_pfx}{_key_out('key')} AS key,"
+            f" doc_count, value{extra_out} FROM agg "
             f"ORDER BY {dims_pfx}key"
         )
     return (

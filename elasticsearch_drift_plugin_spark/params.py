@@ -285,13 +285,6 @@ def normalize(
     kind, step_ms, unit = parse_interval(interval, calendar_interval)
     off = parse_offset(offset)
     if time_zone is not None:
-        if kind != "calendar":
-            # ES rounds fixed intervals in-zone too, but only the calendar
-            # form is implemented (the case users hit: local-midnight days);
-            # fail loud rather than silently ignoring the parameter.
-            raise ValueError(
-                "time_zone is only supported with calendar_interval"
-            )
         try:
             ZoneInfo(time_zone)
         except Exception:
@@ -302,6 +295,20 @@ def normalize(
         raise ValueError("min_doc_count must be >= 0")
     if hard_bounds is not None and hard_bounds[1] < hard_bounds[0]:
         raise ValueError(f"hard_bounds max {hard_bounds[1]} < min {hard_bounds[0]}")
+    if kind == "fixed" and time_zone is not None:
+        # r12: ES rounds FIXED intervals in-zone too
+        # (Rounding.TimeIntervalRounding). The engine executes the grid in
+        # LOCAL wall-clock ms — uniform steps in the zone's wall time,
+        # keys converted back to UTC instants at materialization — so
+        # every epoch-ms PARAM here localizes too: p.start/end/bounds for
+        # a fixed+tz grid live in LOCAL-ms space (the operator and the
+        # oracle generator both read them there; round_key_ms is p-space).
+        loc = lambda t: None if t is None else to_local_ms(t, time_zone)  # noqa: E731
+        start, end = loc(start), loc(end)
+        if extended_bounds is not None:
+            extended_bounds = (loc(extended_bounds[0]), loc(extended_bounds[1]))
+        if hard_bounds is not None:
+            hard_bounds = (loc(hard_bounds[0]), loc(hard_bounds[1]))
     if off == 0 and start is not None:
         # Auto-offset: effectiveOffset = start - round(start)
         # (ProportionalSumAggregatorFactory.java:94-101).
@@ -317,6 +324,23 @@ def normalize(
 
 def _floor_fixed(t: int, step: int, off: int) -> int:
     return t - ((t - off) % step + step) % step
+
+
+def to_local_ms(t_ms: int, tz) -> int:
+    """UTC epoch-ms → the zone's wall-clock ms ("local epoch" ms) — the
+    driver-side twin of Spark's ``from_utc_timestamp`` (exact integer
+    arithmetic, the r11 precision discipline)."""
+    dt = _ms_to_dt(int(t_ms), _as_zone(tz))
+    return _dt_to_ms(dt.replace(tzinfo=timezone.utc))
+
+
+def local_ms_to_utc(l_ms: int, tz) -> int:
+    """Wall-clock ms in ``tz`` → UTC instant ms. Gap/overlap local times
+    resolve by zoneinfo's fold=0 rule — the earlier offset for overlaps,
+    the pre-transition offset for gaps — matching Spark's
+    ``to_utc_timestamp`` instant-for-instant."""
+    naive = _EPOCH_UTC.replace(tzinfo=None) + timedelta(milliseconds=int(l_ms))
+    return _dt_to_ms(naive.replace(tzinfo=_as_zone(tz)))
 
 
 def round_key_ms(p: PSumParams, t: int) -> int:

@@ -67,6 +67,15 @@ def proportional_sum_stream(
         end=_ms_param(end),
         time_zone=time_zone,
     )
+    if p.kind == "fixed" and p.tz is not None:
+        # the batch operator runs fixed+tz in LOCAL-ms space and converts
+        # keys at materialization; this streaming key path materializes
+        # raw explode keys directly, so it would emit local ms as if UTC
+        raise ValueError(
+            "streaming proportional_sum does not support fixed interval +"
+            " time_zone (batch-only extension) — use calendar_interval"
+            " with time_zone, or a UTC fixed grid"
+        )
     exploded, contrib = explode_contributions(
         stream,
         start_col,

@@ -512,14 +512,19 @@ def test_time_zone_day_buckets_across_dst_gap(spark):
     ]
 
 
-def test_time_zone_rejects_fixed_interval_and_bad_zone(spark):
-    with pytest.raises(ValueError, match="calendar_interval"):
+def test_time_zone_fixed_interval_instants_only_and_bad_zone(spark):
+    # r12: fixed+tz is SUPPORTED for instant rows (local-space grid);
+    # duration rows raise at runtime — zone-shifted proportioning of a
+    # duration is ill-defined across DST
+    with pytest.raises(Exception, match="INSTANT rows only"):
         run(spark, [(0, 100, 1.0, None)], interval=100, time_zone="America/New_York")
     with pytest.raises(ValueError, match="unknown time zone"):
         run(
             spark, [(0, 100, 1.0, None)],
             calendar_interval="day", time_zone="Not/AZone",
         )
+    with pytest.raises(ValueError, match="unknown time zone"):
+        run(spark, [(0, 0, 1.0, None)], interval=100, time_zone="Not/AZone")
 
 
 def test_time_zone_auto_offset_uses_local_floor(spark):

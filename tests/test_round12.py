@@ -554,3 +554,118 @@ def test_dsir_lambda_memo_fits_once_per_input(spark, monkeypatch):
     corpus._DSIR_LAM_MEMO[key] = (object(), lam)
     corpus.dsir_weights(docs).collect()
     assert calls["n"] == n_fit + 4  # re-fit: raw + target passes again
+
+
+# --- fixed interval + time_zone (r12: the local-space grid) -----------------
+
+def _iso_ms(s):
+    import datetime as _dt
+
+    return int(_dt.datetime.fromisoformat(s).timestamp() * 1000)
+
+
+def test_fixed_tz_grid_dst_gap_and_fill(spark):
+    """30m fixed grid in America/New_York across the 2024-03-10 spring
+    forward: keys are UTC instants of LOCAL boundaries; zero-fill spine
+    keys fabricated inside the DST gap (local 02:00/02:30) collapse; a
+    real empty bucket (local 04:00) still fills. Oracle generator
+    matches bit-for-bit (DuckDB twin of both conversions)."""
+    from elasticsearch_drift_plugin_spark.operators.proportional_sum import (
+        proportional_sum,
+    )
+    from elasticsearch_drift_plugin_spark.oracle import psum_oracle_sql
+    import duckdb
+
+    pts = [_iso_ms("2024-03-10T06:45:00+00:00"),   # 01:45 EST → 01:30 local
+           _iso_ms("2024-03-10T07:10:00+00:00"),   # 03:10 EDT → 03:00
+           _iso_ms("2024-03-10T07:40:00+00:00"),   # 03:40 → 03:30
+           _iso_ms("2024-03-10T08:40:00+00:00")]   # 04:40 → 04:30
+    df = spark.createDataFrame([(t, t, 1.0) for t in pts],
+                               "s long, e long, v double")
+    out = proportional_sum(
+        df, "s", "e", "v", interval=30 * 60 * 1000,
+        time_zone="America/New_York", min_doc_count=0, quantize=4,
+    )
+    got = [(r["key"], r["doc_count"]) for r in out.collect()]
+    k = lambda s: _iso_ms(s)  # noqa: E731
+    assert got == [
+        (k("2024-03-10T06:30:00+00:00"), 1),
+        (k("2024-03-10T07:00:00+00:00"), 1),   # 5h-gap pinch: 06:30→07:00
+        (k("2024-03-10T07:30:00+00:00"), 1),
+        (k("2024-03-10T08:00:00+00:00"), 0),   # real empty bucket fills
+        (k("2024-03-10T08:30:00+00:00"), 1),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE flows_t AS SELECT * FROM (VALUES "
+        + ",".join(f"({t},{t},1.0,CAST(NULL AS DOUBLE))" for t in pts)
+        + ") v(start_ms, end_ms, value, sampling)"
+    )
+    sql = psum_oracle_sql(
+        "SELECT * FROM flows_t", interval=30 * 60 * 1000,
+        time_zone="America/New_York", min_doc_count=0,
+    )
+    assert [(r[0], r[1]) for r in con.sql(sql).fetchall()] == got
+
+
+def test_fixed_tz_date_histogram_compiler_and_cumcard(spark):
+    """The _search date_histogram accepts fixed_interval + time_zone
+    (the Kibana browser-tz histogram), and a cumulative_cardinality
+    sub-agg joins on the SAME zone-shifted keys."""
+    from elasticsearch_drift_plugin_spark.functions.es_search import (
+        run_search,
+    )
+
+    rows = [(_iso_ms("2024-01-15T05:10:00+00:00"), 1),   # 00:10 EST
+            (_iso_ms("2024-01-15T05:40:00+00:00"), 2),
+            (_iso_ms("2024-01-15T11:10:00+00:00"), 1),   # 06:10 EST
+            (_iso_ms("2024-01-15T11:20:00+00:00"), 3)]
+    df = spark.createDataFrame(rows, "t_ms long, user_id long")
+    body = {"size": 0, "aggs": {"h": {
+        "date_histogram": {"field": "t_ms", "fixed_interval": "6h",
+                           "time_zone": "America/New_York"},
+        "aggs": {"u": {"cardinality": {"field": "user_id"}},
+                 "cu": {"cumulative_cardinality": {"buckets_path": "u"}}},
+    }}}
+    got = [(r["key"], r["doc_count"], r["u"], r["cu"])
+           for r in run_search(df, body)["h"].collect()]
+    assert got == [
+        (_iso_ms("2024-01-15T05:00:00+00:00"), 2, 2, 2),  # local 00:00
+        (_iso_ms("2024-01-15T11:00:00+00:00"), 2, 2, 3),  # local 06:00
+    ]
+
+
+def test_fixed_tz_auto_offset_from_local_start(spark):
+    """Auto-offset derives from the LOCALIZED start: a start at exactly
+    local midnight puts keys on local midnights even for a grid whose
+    step does not divide the zone offset."""
+    from elasticsearch_drift_plugin_spark.operators.proportional_sum import (
+        proportional_sum,
+    )
+
+    start = _iso_ms("2024-01-15T00:00:00-05:00")  # local midnight EST
+    t = _iso_ms("2024-01-15T03:10:00-05:00")
+    df = spark.createDataFrame([(t, t, 1.0)], "s long, e long, v double")
+    out = proportional_sum(
+        df, "s", "e", "v", interval=4 * 3600 * 1000,
+        time_zone="America/New_York", start=start,
+        end=start + 86_400_000 - 1, quantize=4,
+    )
+    assert [r["key"] for r in out.collect()] == [start]
+
+
+def test_fixed_tz_streaming_raises(spark):
+    from elasticsearch_drift_plugin_spark.streaming.proportional_sum_stream import (
+        proportional_sum_stream,
+    )
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("unix_millis(timestamp) AS s",
+                    "unix_millis(timestamp) AS e", "1.0 AS v")
+    )
+    with pytest.raises(ValueError, match="batch-only"):
+        proportional_sum_stream(
+            stream, "s", "e", "v", interval=1800000,
+            time_zone="America/New_York",
+        )
