@@ -134,14 +134,21 @@ def proportional_sum(
         the unclamped row range (ProportionalSumAggregator.java:107-108,
         :183-186). Accept epoch ms, ISO string, or datetime.
     time_zone
-        Gated EXTENSION (calendar intervals only): round to wall-clock
-        boundaries of this IANA zone instead of UTC — the semantics of the
-        reference's commented-out ``timeZone()`` plumbing
+        Gated EXTENSION: round to wall-clock boundaries of this IANA zone
+        instead of UTC — the semantics of the reference's commented-out
+        ``timeZone()`` plumbing
         (ProportionalSumAggregationBuilder.java:435-483, tz hardcoded null
         at :432-434) and of every ES date_histogram with ``time_zone``.
         Bucket keys are the UTC instants of the local boundaries; DST days
         are 23/25 h wide and get proportionally less/more of a spanning
-        row's value.
+        row's value. With a CALENDAR interval, durations fully compose.
+        With a FIXED interval (r12 — ES rounds fixed intervals in-zone,
+        Rounding.TimeIntervalRounding), the grid executes in local
+        wall-clock ms and supports INSTANT rows only (``start == end``,
+        date_histogram semantics): a duration's zone-shifted proportions
+        are ill-defined across DST, so duration rows raise. Zero-fill
+        keys fabricated inside a spring-forward gap collapse (ES's
+        gap-collapse rule).
     min_doc_count
         Buckets with fewer docs dropped post-agg
         (InternalProportionalSumHistogram.java:382-387); ``0`` triggers
