@@ -263,11 +263,15 @@ BENCH_QUERIES = [
     "es_dsl_nested",
     "corpus_domain_cap",
     "corpus_clf_calibration",
-    # r12 additions: the parent/child JOIN query kinds and the
-    # zone-shifted fixed cumcard grid
+    # r12 additions: the parent/child JOIN query kinds (+ inner_hits),
+    # the zone-shifted fixed grids (operator + full-compiler routes),
+    # and the geo-distance hits sort
     "es_dsl_has_child",
     "es_dsl_has_parent",
+    "es_search_has_child_inner",
     "pipe_cumcard_fixed_tz",
+    "es_search_cumcard_fixed_tz",
+    "es_search_geo_sort",
 ]
 
 
