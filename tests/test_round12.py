@@ -669,3 +669,30 @@ def test_fixed_tz_streaming_raises(spark):
             stream, "s", "e", "v", interval=1800000,
             time_zone="America/New_York",
         )
+
+
+def test_has_parent_inner_hits_frame(pc):
+    """inner_hits on has_parent: the matching PARENT rows of the hit
+    children, per-key ranked (each parent key is unique, so ranks are 1)."""
+    from elasticsearch_drift_plugin_spark.functions.es_search import (
+        run_search,
+    )
+
+    p, c, rel_child = pc
+    rel = {"par": (p, "cpid", "pid")}
+    body = {
+        "size": 0,
+        "query": {"bool": {"must": [
+            {"has_parent": {"parent_type": "par",
+                            "query": {"term": {"grp": "A"}},
+                            "inner_hits": {"sort": [{"pid": "asc"}]}}},
+            {"range": {"qty": {"gte": 40}}},
+        ]}},
+        "aggs": {"n": {"value_count": {"field": "cpid"}}},
+    }
+    out = run_search(c, body, relations=rel)
+    ih = [(r["pid"], r["grp"], r["_inner_rank"])
+          for r in out["_inner_hits"].collect()]
+    # hit children: (1,50),(1,60),(2,70) → parents 1 and 2, both grp A
+    assert ih == [(1, "A", 1), (2, "A", 1)]
+    assert [r[0] for r in out["n"].collect()] == [3]
