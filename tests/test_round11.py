@@ -139,10 +139,17 @@ def test_cumcard_operator_rejects_non_canonical_unit(cc_df):
         cumulative_cardinality(cc_df, "t_ms", "user_id", calendar_unit="1w")
 
 
-def test_cumcard_operator_rejects_tz_on_fixed_grid(cc_df):
-    with pytest.raises(ValueError, match="calendar_unit grid"):
+def test_cumcard_fixed_tz_now_supported_but_conflicts_still_raise(cc_df):
+    # r12 superseded the r11 rejection: tz composes with FIXED grids
+    # (local-space floor — semantics pinned in tests/test_round12.py).
+    # The calendar/step conflict remains loud.
+    assert cumulative_cardinality(
+        cc_df, "t_ms", "user_id", step_ms=DAY, tz="America/New_York"
+    ).count() > 0
+    with pytest.raises(ValueError, match="EITHER"):
         cumulative_cardinality(
-            cc_df, "t_ms", "user_id", step_ms=DAY, tz="America/New_York"
+            cc_df, "t_ms", "user_id", step_ms=DAY, calendar_unit="day",
+            tz="America/New_York",
         )
 
 
@@ -500,15 +507,17 @@ def test_cumcard_tz_sql_twin_matches_operator():
     assert got == [(sat, 2, 2), (sun, 0, 2), (mon, 1, 3)]
 
 
-def test_cumcard_sql_rejects_tz_on_fixed_grid():
+def test_cumcard_sql_fixed_tz_emits_zone_two_hop():
     from elasticsearch_drift_plugin_spark.operators.pipeline import (
         cumulative_cardinality_sql,
     )
 
-    with pytest.raises(ValueError, match="calendar_unit grid"):
-        cumulative_cardinality_sql(
-            "ev", "t_ms", "user_id", step_ms=DAY, tz="America/New_York"
-        )
+    # r12 superseded the r11 rejection: the fixed+tz twin emits the
+    # timezone()/modular-floor/timezone() two-hop
+    sql = cumulative_cardinality_sql(
+        "ev", "t_ms", "user_id", step_ms=DAY, tz="America/New_York"
+    )
+    assert "timezone('America/New_York'" in sql and "% 86400000" in sql
 
 
 # ---------------------------------------------------------------------------
