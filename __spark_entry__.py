@@ -170,7 +170,7 @@ GRADE_FIRST: tuple[str, ...] = (
     # register ---
     "es_dsl_has_child", "es_dsl_has_parent", "pipe_cumcard_fixed_tz",
     "es_search_has_child_inner", "es_search_geo_sort",
-    "es_search_cumcard_fixed_tz",
+    "es_search_cumcard_fixed_tz", "es_search_date_range_tz",
     # --- freshness: last stamped r4 (all 39 — clears the r4 backlog) ---
     "es_adjacency_matrix", "es_auto_date_histogram", "es_boxplot",
     "es_categorize_text", "es_composite_after", "es_diversified_sampler",
@@ -183,7 +183,7 @@ GRADE_FIRST: tuple[str, ...] = (
     "pipe_normalize", "pipe_percentiles_bucket", "pipe_selector_topk",
     "psum_cal_day_tz", "psum_grouped_distinct", "rel_asof_forward",
     "rel_cidr_top_talkers", "stream_flow_sessions", "text_pii_scan",
-    "text_repetition", "text_rolling_fp",
+    "text_repetition",
 )
 
 
@@ -973,6 +973,51 @@ SELECT b.key, b.doc_count, b.u,
        CAST(SUM(COALESCE(f.new_ids, 0)) OVER (ORDER BY b.key
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cu
 FROM b LEFT JOIN firsts f USING (key) ORDER BY b.key
+"""
+
+
+# Round-12 third wave: `date_range` bounds through the SHARED range
+# rounding engine — zone-aware ISO bounds + full date MATH with an
+# explicit `now` (reproducibility contract). The ORACLE pins the
+# hand-resolved epoch literals (2024-01-10 NY-midnight = 05:00Z;
+# now=2024-01-21T20:00Z → now/d = the Jan-21 NY midnight) — independent
+# of the resolver under test.
+ES_SEARCH_DATE_RANGE_TZ_BODY = {
+    "size": 0,
+    "aggs": {"r": {"date_range": {
+        "field": "t_ms",
+        "time_zone": "America/New_York",
+        "now": 1705867200000,
+        "ranges": [
+            {"to": "2024-01-10"},
+            {"from": "2024-01-10", "to": "now/d"},
+            {"from": "now/d"},
+        ],
+    }}},
+}
+
+
+def _es_search_date_range_tz_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    ev = flows_src.load_table(s, d, "events")
+    ev = ev.select(flows_src.ts_ms_col(ev).alias("t_ms"))
+    return run_search(ev, ES_SEARCH_DATE_RANGE_TZ_BODY)["r"]
+
+
+ES_SEARCH_DATE_RANGE_TZ_SQL = """
+WITH ev AS (SELECT epoch_ms(ts) AS t_ms FROM events WHERE ts IS NOT NULL),
+spine(key, range_from, range_to) AS (VALUES
+  ('*-2024-01-10', CAST(NULL AS BIGINT), 1704862800000),
+  ('2024-01-10-now/d', 1704862800000, 1705813200000),
+  ('now/d-*', 1705813200000, CAST(NULL AS BIGINT)))
+SELECT s.key, s.range_from, s.range_to,
+       CAST(COUNT(e.t_ms) AS BIGINT) AS doc_count
+FROM spine s LEFT JOIN ev e
+  ON (s.range_from IS NULL OR e.t_ms >= s.range_from)
+ AND (s.range_to IS NULL OR e.t_ms < s.range_to)
+GROUP BY s.key, s.range_from, s.range_to
+ORDER BY s.key
 """
 
 
@@ -2454,6 +2499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_cumcard_cal_off": _es_search_cumcard_cal_off_query,
         "es_search_cumcard_cal_tz": _es_search_cumcard_cal_tz_query,
         "es_search_cumcard_fixed_tz": _es_search_cumcard_fixed_tz_query,
+        "es_search_date_range_tz": _es_search_date_range_tz_query,
         "es_search_knn_l2": _es_search_knn_l2_query,
         "es_search_change_point": _es_search_cp_query,
         "es_search_nested": _es_search_nested_query,
@@ -2803,6 +2849,7 @@ def oracle_sql() -> dict[str, str]:
         "es_search_cumcard_cal_off": ES_SEARCH_CUMCARD_CAL_OFF_SQL,
         "es_search_cumcard_cal_tz": ES_SEARCH_CUMCARD_CAL_TZ_SQL,
         "es_search_cumcard_fixed_tz": ES_SEARCH_CUMCARD_FIXED_TZ_SQL,
+        "es_search_date_range_tz": ES_SEARCH_DATE_RANGE_TZ_SQL,
         "es_search_knn_l2": ES_SEARCH_KNN_L2_SQL,
         "es_search_change_point": _es_search_cp_oracle(),
         "es_search_nested": ES_SEARCH_NESTED_SQL,

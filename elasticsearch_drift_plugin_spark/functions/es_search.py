@@ -1392,7 +1392,13 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
 
         ranges = [(r.get("from"), r.get("to")) for r in spec["ranges"]]
         return date_range_agg(
-            df, spec["field"], ranges, extra_aggs=_metric_extra_aggs(sub) or None
+            df, spec["field"], ranges,
+            extra_aggs=_metric_extra_aggs(sub) or None,
+            # r12: bounds resolve in the zone through the shared range
+            # rounding engine; date MATH works, now-anchored forms need
+            # the body-level `now` key (reproducibility contract)
+            time_zone=spec.get("time_zone"),
+            now_ms=spec.get("now"),
         )
     if kind == "random_sampler":
         # ES runs the sub-tree on a p = 1/k sample and scales counts back
@@ -1818,6 +1824,15 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
             elif skind == "date_histogram":
                 from ..params import parse_interval, parse_offset
 
+                if sspec.get("time_zone"):
+                    # composite keyset paging relies on the UTC key order;
+                    # silently bucketing in UTC for a zoned request would
+                    # be a silent divergence — loud, with the workaround
+                    raise ValueError(
+                        "composite date_histogram time_zone is not"
+                        " supported — use a plain date_histogram with"
+                        " time_zone, or page on the UTC grid"
+                    )
                 if "fixed_interval" in sspec:
                     # an explicit fixed_interval is ALWAYS fixed — "1d"
                     # must not sniff as the calendar alias (ES keeps the
@@ -1922,6 +1937,14 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
     if kind == "auto_date_histogram":
         from ..operators.es_aggs import auto_date_histogram
 
+        if spec.get("time_zone"):
+            # the span-driven rounding ladder is UTC; silently computing
+            # UTC buckets for a zoned request would be a silent divergence
+            raise ValueError(
+                "auto_date_histogram time_zone is not supported — pick the"
+                " interval explicitly with date_histogram"
+                " calendar_interval/fixed_interval + time_zone"
+            )
         return auto_date_histogram(
             df, spec["field"],
             target_buckets=int(spec.get("buckets", 10)),

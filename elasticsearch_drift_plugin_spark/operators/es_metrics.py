@@ -393,27 +393,49 @@ def date_range_agg(
     ranges: list[tuple[str | None, str | None]],
     value_col: str | None = None,
     extra_aggs: dict | None = None,
+    time_zone: str | None = None,
+    now_ms: int | None = None,
 ) -> DataFrame:
     """(key, range_from, range_to, doc_count[, value_q]): ES ``date_range``
-    over epoch-ms. ``ranges`` are ISO ``YYYY-MM-DD`` bounds (UTC midnight),
-    half-open ``[from, to)``, ``None`` = unbounded; keys are
-    ``"from-to"`` with ``*`` for an open bound; every requested range is
-    returned, zero-filled. Overlapping ranges double-count by design.
+    over epoch-ms. ``ranges`` are ISO date/datetime strings, full ES date
+    MATH (``now-1d/d``, ``2024-01-01||+1M``; now-anchored forms need
+    ``now_ms`` — the engine's reproducibility contract), or epoch-ms
+    numbers; bounds resolve in ``time_zone`` (default UTC) through the
+    SAME rounding engine as the range query clause
+    (functions.es_dsl.resolve_range_bounds: ``from`` is an inclusive
+    round-down ``gte``, ``to`` an exclusive round-down ``lt`` — ES
+    DateRangeAggregationBuilder parses both with roundUp=false).
+    Half-open ``[from, to)``, ``None`` = unbounded; keys are ``"from-to"``
+    with ``*`` for an open bound (the RAW spelling — stable regardless of
+    zone); every requested range is returned, zero-filled. Overlapping
+    ranges double-count by design.
 
     Same plan as ``range_agg``: constant literal range table filtered per
     row in codegen, exploded (fan-out ≤ #ranges), one hash aggregation,
     then a tiny right join against the literal list for zero-fill."""
-    from datetime import datetime, timezone
+    from ..functions.es_dsl import resolve_range_bounds
 
-    def _ms(iso: str) -> int:
-        return int(
-            datetime.fromisoformat(iso).replace(tzinfo=timezone.utc).timestamp() * 1000
-        )
+    def _ms(v, op: str) -> int:
+        bounds: dict = {op: v}
+        if time_zone:
+            bounds["time_zone"] = time_zone
+        if now_ms is not None:
+            bounds["now"] = int(now_ms)
+        out = resolve_range_bounds(bounds)[op]
+        if not isinstance(out, (int, float)):
+            raise ValueError(
+                f"date_range bound {v!r} did not resolve to an instant"
+            )
+        return int(out)
 
     rows = []
     for lo, hi in ranges:
         key = f"{lo or '*'}-{hi or '*'}"
-        rows.append((key, None if lo is None else _ms(lo), None if hi is None else _ms(hi)))
+        rows.append((
+            key,
+            None if lo is None else _ms(lo, "gte"),
+            None if hi is None else _ms(hi, "lt"),
+        ))
 
     structs = ",".join(
         "named_struct('key', '{k}', 'lo', {lo}, 'hi', {hi})".format(

@@ -696,3 +696,54 @@ def test_has_parent_inner_hits_frame(pc):
     # hit children: (1,50),(1,60),(2,70) → parents 1 and 2, both grp A
     assert ih == [(1, "A", 1), (2, "A", 1)]
     assert [r[0] for r in out["n"].collect()] == [3]
+
+
+# --- date_range zone/math bounds + loud tz raises (r12 third wave) ----------
+
+def test_date_range_time_zone_and_math_bounds(spark):
+    from elasticsearch_drift_plugin_spark.operators.es_metrics import (
+        date_range_agg,
+    )
+
+    rows = [(_iso_ms("2024-01-09T23:00:00-05:00"),),   # before local Jan 10
+            (_iso_ms("2024-01-10T00:30:00-05:00"),),   # inside [Jan10, now/d)
+            (_iso_ms("2024-01-21T01:00:00-05:00"),)]   # after now/d? no: 01:00 Jan 21 local < now/d floor? now/d = Jan-21 00:00 local -> this row is AFTER
+    df = spark.createDataFrame(rows, "t_ms long")
+    now = _iso_ms("2024-01-21T20:00:00+00:00")
+    out = date_range_agg(
+        df, "t_ms",
+        [(None, "2024-01-10"), ("2024-01-10", "now/d"), ("now/d", None)],
+        time_zone="America/New_York", now_ms=now,
+    ).collect()
+    got = {r["key"]: (r["range_from"], r["range_to"], r["doc_count"])
+           for r in out}
+    jan10 = _iso_ms("2024-01-10T00:00:00-05:00")
+    nowd = _iso_ms("2024-01-21T00:00:00-05:00")
+    assert got["*-2024-01-10"] == (None, jan10, 1)
+    assert got["2024-01-10-now/d"] == (jan10, nowd, 1)
+    assert got["now/d-*"] == (nowd, None, 1)
+    # now-anchored math without now_ms raises (reproducibility contract)
+    with pytest.raises(ValueError, match="now"):
+        date_range_agg(df, "t_ms", [("now-1d/d", None)]).collect()
+    # a non-date string bound raises instead of silently keying garbage
+    with pytest.raises(ValueError, match="resolve"):
+        date_range_agg(df, "t_ms", [("banana", None)]).collect()
+
+
+def test_auto_dh_and_composite_reject_time_zone(spark):
+    from elasticsearch_drift_plugin_spark.functions.es_search import (
+        run_search,
+    )
+
+    df = spark.createDataFrame([(1_700_000_000_000, 1)],
+                               "t_ms long, user_id long")
+    with pytest.raises(ValueError, match="auto_date_histogram time_zone"):
+        run_search(df, {"aggs": {"a": {"auto_date_histogram": {
+            "field": "t_ms", "buckets": 5,
+            "time_zone": "America/New_York"}}}})
+    with pytest.raises(ValueError, match="composite date_histogram"):
+        run_search(df, {"aggs": {"c": {"composite": {"sources": [
+            {"d": {"date_histogram": {"field": "t_ms",
+                                      "calendar_interval": "day",
+                                      "time_zone": "America/New_York"}}},
+        ]}}}})
