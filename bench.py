@@ -272,6 +272,7 @@ BENCH_QUERIES = [
     "pipe_cumcard_fixed_tz",
     "es_search_cumcard_fixed_tz",
     "es_search_geo_sort",
+    "es_search_date_range_tz",
 ]
 
 
