@@ -150,6 +150,17 @@ from pyspark.sql import functions as F
 from .es_dsl import compile_query
 from .es_dsl import compile_query_sql as compile_query_sql_expr
 
+def _metric_input(mspec: dict):
+    """The metric leaf's input column. ES metric ``missing`` substitutes
+    a value for docs lacking the field (r12 — previously dropped
+    SILENTLY: a null row neither counted nor summed in the engine but
+    does in ES whenever ``missing`` is set, a silent divergence)."""
+    col = F.col(mspec["field"])
+    if "missing" in mspec:
+        col = F.coalesce(col, F.lit(mspec["missing"]))
+    return col
+
+
 _METRICS = {
     "sum": lambda f: F.sum(f),
     "avg": lambda f: F.avg(f),
@@ -2140,7 +2151,7 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
     if kind in _METRICS:
         if sub:
             raise ValueError(f"metric agg {name!r} cannot carry sub-aggs")
-        col = _METRICS[kind](spec["field"]).alias(name)
+        col = _METRICS[kind](_metric_input(spec)).alias(name)
         return df.agg(col)
     raise ValueError(f"unsupported agg type {kind!r} (agg {name!r})")
 
@@ -2521,7 +2532,7 @@ def _metric_extra_aggs(sub: dict) -> dict:
             raise ValueError(
                 f"unsupported sub-agg {skind!r} under a histogram (metric leaves only)"
             )
-        extra[sname] = _METRICS[skind](snode[skind]["field"]).alias(sname)
+        extra[sname] = _METRICS[skind](_metric_input(snode[skind])).alias(sname)
     return extra
 
 
@@ -2791,7 +2802,7 @@ def _terms(df: DataFrame, spec: dict, sub: dict, parents: tuple = ()) -> DataFra
             continue
         if skind not in _METRICS:
             raise ValueError(f"unsupported sub-agg {skind!r} under terms")
-        aggs.append(_METRICS[skind](snode[skind]["field"]).alias(sname))
+        aggs.append(_METRICS[skind](_metric_input(snode[skind])).alias(sname))
         metric_names.add(sname)
     parent_fields = [f for f, _ in parents]
     if psum_sub is not None:

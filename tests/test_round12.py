@@ -747,3 +747,38 @@ def test_auto_dh_and_composite_reject_time_zone(spark):
                                       "calendar_interval": "day",
                                       "time_zone": "America/New_York"}}},
         ]}}}})
+
+
+def test_metric_missing_substitution(spark):
+    """ES metric `missing`: docs lacking the field aggregate AS the
+    substitute — on the standalone, terms-child, and histogram-child
+    routes (previously the key was silently dropped)."""
+    from elasticsearch_drift_plugin_spark.functions.es_search import (
+        run_search,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a", 10.0), (86_400_000, "a", None), (86_400_000, "b", 4.0)],
+        "t_ms long, k string, v double",
+    )
+    body = {"size": 0, "aggs": {
+        "s": {"sum": {"field": "v", "missing": 2.0}},
+        "n": {"value_count": {"field": "v", "missing": 2.0}},
+        "by_k": {"terms": {"field": "k", "order": {"_key": "asc"}},
+                 "aggs": {"m": {"avg": {"field": "v", "missing": 2.0}}}},
+        "h": {"date_histogram": {"field": "t_ms", "fixed_interval": "1d"},
+              "aggs": {"mx": {"max": {"field": "v", "missing": 2.0}}}},
+    }}
+    out = run_search(df, body)
+    assert out["s"].collect()[0]["s"] == 16.0           # 10 + 2 + 4
+    assert out["n"].collect()[0]["n"] == 3              # null counts too
+    by_k = {r["k"]: r["m"] for r in out["by_k"].collect()}
+    assert by_k == {"a": 6.0, "b": 4.0}                 # (10+2)/2
+    h = {r["key"]: r["mx"] for r in out["h"].collect()}
+    assert h == {0: 10.0, 86_400_000: 4.0}              # max(2,4)=4
+    # without missing, nulls stay excluded (regression control)
+    ctl = run_search(df, {"size": 0, "aggs": {
+        "s": {"sum": {"field": "v"}},
+        "n": {"value_count": {"field": "v"}}}})
+    assert ctl["s"].collect()[0]["s"] == 14.0
+    assert ctl["n"].collect()[0]["n"] == 2
