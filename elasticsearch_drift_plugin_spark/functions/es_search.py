@@ -155,6 +155,12 @@ def _metric_input(mspec: dict):
     a value for docs lacking the field (r12 — previously dropped
     SILENTLY: a null row neither counted nor summed in the engine but
     does in ES whenever ``missing`` is set, a silent divergence)."""
+    if "field" not in mspec:
+        raise ValueError(
+            "metric aggs need a field (scripts are not supported — compute"
+            " the expression with runtime_mappings, the engine's SQL script"
+            " dialect, and aggregate that field)"
+        )
     col = F.col(mspec["field"])
     if "missing" in mspec:
         col = F.coalesce(col, F.lit(mspec["missing"]))
@@ -1252,6 +1258,14 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
     if kind == "histogram":
         from ..operators.es_aggs import histogram_agg, histogram_agg_filled
 
+        if "missing" in spec:
+            # ES `missing`: docs lacking the field bucket AT this value —
+            # dropping them (the engine's default null behavior) would be
+            # a silent divergence whenever the request sets it
+            df = df.withColumn(
+                spec["field"],
+                F.coalesce(F.col(spec["field"]), F.lit(spec["missing"])),
+            )
         metrics, pipes = _split_sub(sub)
         # single terms child: same flattening contract as date_histogram
         tsub = _extract_terms_sub(metrics)
@@ -2654,6 +2668,13 @@ def _date_histogram(df: DataFrame, spec: dict, sub=None, group_by=()) -> DataFra
     from ..operators.proportional_sum import proportional_sum
 
     field = spec["field"]
+    if "missing" in spec:
+        # ES `missing`: docs lacking the time field bucket AT this epoch-ms
+        # value (r12 — previously dropped silently, a divergence whenever
+        # the request sets it)
+        df = df.withColumn(
+            field, F.coalesce(F.col(field), F.lit(int(spec["missing"])))
+        )
     kw = {"group_by": tuple(group_by)} if group_by else {}
     extra = _metric_extra_aggs(sub)
     if extra:

@@ -782,3 +782,32 @@ def test_metric_missing_substitution(spark):
         "n": {"value_count": {"field": "v"}}}})
     assert ctl["s"].collect()[0]["s"] == 14.0
     assert ctl["n"].collect()[0]["n"] == 2
+
+
+def test_histogram_missing_and_scripted_metric_raise(spark):
+    """histogram / date_histogram `missing` buckets null-field docs at
+    the given value (previously silently dropped); a field-less metric
+    spec (ES script metric) raises naming runtime_mappings."""
+    from elasticsearch_drift_plugin_spark.functions.es_search import (
+        run_search,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 5.0), (None, 7.0), (86_400_000, 1.0)], "t_ms long, v double"
+    )
+    out = run_search(df, {"size": 0, "aggs": {
+        "h": {"date_histogram": {"field": "t_ms", "fixed_interval": "1d",
+                                 "missing": 0}},
+        "hv": {"histogram": {"field": "v", "interval": 10}},
+    }})
+    h = {r["key"]: r["doc_count"] for r in out["h"].collect()}
+    assert h == {0: 2, 86_400_000: 1}          # null t_ms lands at 0
+    vdf = spark.createDataFrame([(5.0,), (None,), (15.0,)], "v double")
+    hv = run_search(vdf, {"size": 0, "aggs": {
+        "hv": {"histogram": {"field": "v", "interval": 10, "missing": 25.0}},
+    }})["hv"]
+    assert {r["key"]: r["doc_count"] for r in hv.collect()} == \
+        {0.0: 1, 10.0: 1, 20.0: 1}  # missing=25 floors into bucket 20
+    with pytest.raises(ValueError, match="runtime_mappings"):
+        run_search(df, {"size": 0, "aggs": {
+            "m": {"sum": {"script": {"source": "v * 2"}}}}})
