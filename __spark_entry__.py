@@ -141,60 +141,81 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver grades the FIRST 50 registered queries only (round-2 lesson:
-# everything after position 50 got zero external evidence). Round-12
-# ROTATION (at round start; last-stamp rounds computed by
-# tools/stamp_age.py from the committed CORRECTNESS_r*.json artifacts,
-# freshness enforced by tests/test_stamp_age.py): (a) r12 newcomers +
-# re-stamps of every path r12 MODIFIES (es_more_like_this single-pass
-# rewrite; quality-clf weight memoization -> the 4-query clf family;
-# es_dsl nested-msm / multi_match operator+msm fixes and query_string
-# quoted-colon / escaped-suffix fixes -> their registered queries), then
-# (b) the queries whose last driver stamp is OLDEST, oldest first: all
-# 39 remaining r4 stamps — clearing that backlog entirely — plus the 3
-# oldest r5 stamps in the slots r12 newcomers will claim (r13 takes the
-# rest of the 41-query r5 backlog).
+# everything after position 50 got zero external evidence). Since round 13
+# the rotation is STRUCTURAL (VERDICT r12 item 1): GRADE_FIRST is DERIVED
+# at import time from the committed CORRECTNESS_r*.json stamps
+# (tools/stamp_age.py) instead of being hand-edited each round, so a fresh
+# checkout can never land with a stale window:
+#   1. PIN_FIRST — the paths THIS round modifies, hand-listed below so
+#      their fixes get an external re-stamp;
+#   2. never-stamped oracle-paired registrations (stamp round 0 — i.e.
+#      this round's newcomers) in name order;
+#   3. everything else oldest-stamp-first (name-order tiebreak) until the
+#      window holds 50.
 # The true sketches (es_cardinality_approx / es_theta_set_ops /
 # stats_quantiles_kll / emb_kmeans_ivf_topk / corpus_bpe_encode) stay OUT
 # of the window — they are rows-only by nature and would read as
-# `err: no_oracle`; pytest invariants + the full self-sweep cover them.
-GRADE_FIRST: tuple[str, ...] = (
-    # --- r12-new + r12-touched paths (es_more_like_this single-pass
-    # rewrite; quality-clf memoization family; the es_dsl / query_string
-    # ADVICE-fix compile paths) ---
-    "es_more_like_this",
-    "corpus_quality_clf", "corpus_quality_clf_sampled",
-    "corpus_clf_calibration", "train_curate_clf",
-    "es_dsl_nested", "es_dsl_multi_match", "es_dsl_query_string",
-    # --- freshness: remaining 3 slots -> oldest r5 stamps (r13 takes
-    # the rest of the r5 backlog); swapped for r12 newcomers as they
-    # register ---
-    "es_dsl_has_child", "es_dsl_has_parent", "pipe_cumcard_fixed_tz",
-    "es_search_has_child_inner", "es_search_geo_sort",
-    "es_search_cumcard_fixed_tz", "es_search_date_range_tz",
-    # --- freshness: last stamped r4 (all 39 — clears the r4 backlog) ---
-    "es_adjacency_matrix", "es_auto_date_histogram", "es_boxplot",
-    "es_categorize_text", "es_composite_after", "es_diversified_sampler",
-    "es_filters_buckets", "es_geo_line", "es_geotile_grid",
-    "es_histogram_value", "es_ip_range", "es_mad", "es_matrix_stats",
-    "es_missing", "es_percentile_ranks", "es_rare_terms",
-    "es_scripted_metric", "es_significant_text", "es_t_test",
-    "es_top_metrics", "es_variable_width_histogram", "es_weighted_avg",
-    "flow_sessions_chunked", "mm_features", "pipe_cum_cardinality",
-    "pipe_normalize", "pipe_percentiles_bucket", "pipe_selector_topk",
-    "psum_cal_day_tz", "psum_grouped_distinct", "rel_asof_forward",
-    "rel_cidr_top_talkers", "stream_flow_sessions", "text_pii_scan",
-    "text_repetition",
+# `err: no_oracle`; pytest invariants + the full self-sweep cover them
+# (tools/stamp_age.py ROWS_ONLY, excluded in step 2/3).
+#
+# Round-13 pins: the es_search compile paths whose nested-clause SQL now
+# compiles with dialect='spark' (ADVICE r12 item 1) and the queries whose
+# grouping-key `missing` handling moved off the shared source column
+# (ADVICE r12 item 3).
+PIN_FIRST: tuple[str, ...] = (
+    "es_search_sig_inferred",
+    "es_search_filter",
+    "es_search_terms_filtered",
 )
+
+_WINDOW_SIZE = 50
+
+
+def _derive_grade_first() -> tuple[str, ...]:
+    """Compute the 50-query graded window from the committed driver
+    stamps. Deterministic given the repo's CORRECTNESS_r*.json set, so
+    the stamp-age freshness guard (tests/test_stamp_age.py) is green by
+    construction on every fresh checkout."""
+    from tools import stamp_age
+
+    eligible = (
+        set(_queries_raw()) & set(_oracles_raw())
+    ) - set(stamp_age.ROWS_ONLY)
+    bad = [k for k in PIN_FIRST if k not in eligible]
+    if bad:
+        raise KeyError(f"PIN_FIRST names non-oracle-paired queries: {bad}")
+    stamps = stamp_age.last_stamps()
+    out = list(PIN_FIRST)
+    rest = sorted(
+        eligible - set(out), key=lambda k: (stamps.get(k, 0), k)
+    )
+    out.extend(rest[: _WINDOW_SIZE - len(out)])
+    return tuple(out[:_WINDOW_SIZE])
+
+
+_GRADE_FIRST_CACHE: tuple[str, ...] | None = None
+
+
+def __getattr__(name: str):
+    """Module-level lazy attribute (PEP 562): GRADE_FIRST is derived on
+    first access so the raw registries below are fully defined first."""
+    if name == "GRADE_FIRST":
+        global _GRADE_FIRST_CACHE
+        if _GRADE_FIRST_CACHE is None:
+            _GRADE_FIRST_CACHE = _derive_grade_first()
+        return _GRADE_FIRST_CACHE
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 def _grade_order(q: dict, strict: bool = True) -> dict:
     """Reorder so GRADE_FIRST keys come first (applied to BOTH queries()
     and oracle_sql() — whichever dict the external harness iterates, the
     grading window is the same)."""
-    missing = [k for k in GRADE_FIRST if k not in q]
+    grade_first = __getattr__("GRADE_FIRST")
+    missing = [k for k in grade_first if k not in q]
     if missing and strict:
         raise KeyError(f"GRADE_FIRST names unregistered queries: {missing}")
-    out = {k: q[k] for k in GRADE_FIRST if k in q}
+    out = {k: q[k] for k in grade_first if k in q}
     out.update(q)
     return out
 
@@ -2487,6 +2508,10 @@ ORDER BY body_id
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return _grade_order(_queries_raw())
+
+
+def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- core operator, SURVEY.md §2.1 rows 1-6, 11-17, 21 ---
         "psum_fixed_1h": lambda s, d: _psum_events(s, d, interval=HOUR, offset=1),
@@ -2703,9 +2728,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rounds fixed intervals in-zone (Rounding.TimeIntervalRounding);
         # a 6h grid floored on America/New_York wall clock keys at
         # 05/11/17/23 UTC under EST, so a UTC-floor regression shifts the
-        # whole key set. Operator route (the `_search` date_histogram
-        # keeps its engine-wide fixed+time_zone raise: proportional
-        # interval machinery needs uniform UTC stepping).
+        # whole key set. Operator route; since r12 the `_search`
+        # date_histogram supports fixed+time_zone for instant rows too
+        # (es_search_cumcard_fixed_tz covers that compiler route).
         "pipe_cumcard_fixed_tz": lambda s, d: pipeline.cumulative_cardinality(
             (lambda ev: ev.select(
                 flows_src.ts_ms_col(ev).alias("t_ms"), "user_id"
@@ -2826,10 +2851,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(multimodal.queries())
     # bounded-replay equivalence: the streaming operators over finite input
     q.update(stream_bounded.queries())
-    return _grade_order(q)
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
+    return _grade_order(_oracles_raw(), strict=False)
+
+
+def _oracles_raw() -> dict[str, str]:
     o = {
         "psum_fixed_1h": _ev_oracle(interval=HOUR, offset=1),
         # must_not(term user_id 0) in ES filter context KEEPS NULL rows —
@@ -3053,4 +3082,4 @@ def oracle_sql() -> dict[str, str]:
     o.update(training.oracle_sql())
     o.update(multimodal.oracle_sql())
     o.update(stream_bounded.oracle_sql())
-    return _grade_order(o, strict=False)
+    return o

@@ -218,11 +218,11 @@ def cumulative_cardinality(
     r12: ``tz`` composes with FIXED grids too (ES rounds fixed
     intervals in-zone — Rounding.TimeIntervalRounding): the grid floors
     on local wall-clock millis and keys on the UTC instant of the local
-    boundary, ``utc(floor_fixed(local(t), step, offset))``. Note the
-    `_search` compiler's date_histogram still rejects fixed+time_zone
-    engine-wide (params.resolve: the proportional-interval machinery
-    needs uniform UTC stepping) — this OPERATOR route is the supported
-    spelling for the zone-shifted fixed cumcard.
+    boundary, ``utc(floor_fixed(local(t), step, offset))``. As of r12
+    the `_search` compiler's date_histogram accepts fixed+time_zone for
+    INSTANT rows through the same local-wall-clock grid (params.normalize
+    no longer raises); this operator route remains the direct spelling
+    for the zone-shifted fixed cumcard.
     """
     t = F.col(time_ms_col)
     if calendar_unit is not None:
