@@ -148,7 +148,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .es_dsl import compile_query
-from .es_dsl import compile_query_sql as compile_query_sql_expr
+from .es_dsl import compile_query_sql as _compile_query_sql
+
+
+def compile_query_sql_expr(q: dict) -> str:
+    """compile_query_sql in the SPARK dialect. Every string this module
+    produces is executed Spark-side via ``F.expr`` (filters/adjacency
+    predicates, significant_* foreground/background, t_test sides), so
+    it must use Spark's array-lambda spelling for ``nested`` clauses —
+    the duckdb-default spelling ``len(list_filter(...))`` does not parse
+    in Spark SQL (ADVICE r12 item 1). Oracle/DuckDB consumers call
+    es_dsl.compile_query_sql directly with its duckdb default."""
+    return _compile_query_sql(q, dialect="spark")
 
 def _metric_input(mspec: dict):
     """The metric leaf's input column. ES metric ``missing`` substitutes
@@ -3291,12 +3302,14 @@ def _run_retriever(df: DataFrame, body: dict) -> DataFrame:
 def validate_query(body: dict) -> tuple[bool, str | None]:
     """The ES ``_validate/query`` API: compile the body's ``query``
     clause without executing; ``(True, None)`` or ``(False, reason)``.
-    Both compilers are exercised (Catalyst + the SQL twin) so a body that
-    validates here runs on either engine path."""
+    All three compilers are exercised (Catalyst + BOTH SQL-twin dialects)
+    so a body that validates here runs on every engine path — Spark
+    F.expr consumers and the DuckDB oracle alike (ADVICE r12 item 1)."""
     try:
         q = body.get("query", {"match_all": {}})
         compile_query(q)
-        compile_query_sql_expr(q)
+        _compile_query_sql(q, dialect="spark")
+        _compile_query_sql(q, dialect="duckdb")
         return True, None
     except (ValueError, KeyError, TypeError) as ex:
         return False, f"{type(ex).__name__}: {ex}"

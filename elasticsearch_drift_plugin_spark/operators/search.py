@@ -122,16 +122,23 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
-def compile_rules(rules) -> tuple:
-    """Normalize stored queries to ``(rule_id, portable-SQL)`` pairs.
-    Each rule's predicate may be a ready SQL string OR an ES query-DSL
-    body (dict) — the percolator's real-world registration format —
-    compiled through :mod:`..functions.es_dsl` (same text runs in Spark
-    and the DuckDB oracle)."""
+def compile_rules(rules, dialect: str = "duckdb") -> tuple:
+    """Normalize stored queries to ``(rule_id, SQL)`` pairs. Each rule's
+    predicate may be a ready SQL string OR an ES query-DSL body (dict) —
+    the percolator's real-world registration format — compiled through
+    :mod:`..functions.es_dsl`. Every clause kind emits identical text in
+    both dialects EXCEPT `nested` (Spark ``exists`` vs DuckDB
+    ``list_filter`` — ADVICE r12 item 1), so the Spark F.expr consumer
+    (:func:`percolate_aggs`) passes dialect='spark' and the oracle
+    builder (:func:`percolate_sql`) keeps the duckdb default."""
     from ..functions.es_dsl import compile_query_sql
 
     return tuple(
-        (rid, pred if isinstance(pred, str) else compile_query_sql(pred))
+        (
+            rid,
+            pred if isinstance(pred, str)
+            else compile_query_sql(pred, dialect),
+        )
         for rid, pred in rules
     )
 
@@ -140,8 +147,9 @@ def percolate_aggs(rules=PERCOLATE_RULES) -> list:
     """The per-rule conditional-aggregate pair list — SHARED by the batch
     operator and ``streaming.bounded.stream_percolate`` so the two twins
     cannot drift if the rule compilation changes. Rules pass through
-    :func:`compile_rules`, so stored queries may be ES DSL bodies."""
-    rules = compile_rules(rules)
+    :func:`compile_rules` in the SPARK dialect (these predicates feed
+    F.expr), so stored queries may be ES DSL bodies — nested included."""
+    rules = compile_rules(rules, dialect="spark")
     vq = (
         "CASE WHEN value IS NOT NULL AND NOT isnan(value)"
         " THEN CAST(FLOOR(value * 1000000.0) AS BIGINT) ELSE 0 END"
