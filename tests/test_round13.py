@@ -99,9 +99,9 @@ def test_percolate_accepts_nested_rule(ndf):
     df = ndf.withColumnRenamed("v", "value")
     out = {
         r["rule_id"]: r["n_matches"]
-        for r in percolate(df, rules=(("r1", NESTED_R),)).collect()
+        for r in percolate(df, rules=((7, NESTED_R),)).collect()
     }
-    assert out == {"r1": 3}
+    assert out == {7: 3}
 
 
 def test_validate_query_compiles_both_dialects(ndf):
