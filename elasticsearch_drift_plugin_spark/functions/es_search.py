@@ -161,18 +161,47 @@ def compile_query_sql_expr(q: dict) -> str:
     es_dsl.compile_query_sql directly with its duckdb default."""
     return _compile_query_sql(q, dialect="spark")
 
-def _metric_input(mspec: dict):
+_MISSING_STASH = "__premissing_{f}"
+
+
+def _stash_grouping_missing(df: DataFrame, field: str, missing_val):
+    """Apply a bucketing agg's ``missing`` to its grouping field. ES
+    scopes ``missing`` PER-AGG (ADVICE r12 item 3): the bucketing
+    substitutes, but a metric sub-agg over the SAME field WITHOUT its
+    own ``missing`` still skips null docs. So stash the original column
+    under a reserved name before overwriting the grouping field —
+    :func:`_metric_input` reads the stash when present, restoring ES's
+    per-agg scoping. The stash never reaches output frames (it is
+    neither a group key nor an agg alias), and the proportional_sum /
+    histogram operators carry extra_aggs-referenced columns through
+    their explode projections."""
+    stash = _MISSING_STASH.format(f=field)
+    if stash not in df.columns:
+        df = df.withColumn(stash, F.col(field))
+    return df.withColumn(
+        field, F.coalesce(F.col(field), F.lit(missing_val))
+    )
+
+
+def _metric_input(mspec: dict, df: DataFrame | None = None):
     """The metric leaf's input column. ES metric ``missing`` substitutes
     a value for docs lacking the field (r12 — previously dropped
     SILENTLY: a null row neither counted nor summed in the engine but
-    does in ES whenever ``missing`` is set, a silent divergence)."""
+    does in ES whenever ``missing`` is set, a silent divergence). When
+    the enclosing bucketing agg substituted its own ``missing`` into the
+    same field, the pre-substitution stash (``_stash_grouping_missing``)
+    is read instead — the metric's null scope is its OWN spec's."""
     if "field" not in mspec:
         raise ValueError(
             "metric aggs need a field (scripts are not supported — compute"
             " the expression with runtime_mappings, the engine's SQL script"
             " dialect, and aggregate that field)"
         )
-    col = F.col(mspec["field"])
+    fname = mspec["field"]
+    stash = _MISSING_STASH.format(f=fname)
+    if df is not None and stash in df.columns:
+        fname = stash
+    col = F.col(fname)
     if "missing" in mspec:
         col = F.coalesce(col, F.lit(mspec["missing"]))
     return col
@@ -1264,7 +1293,7 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
 
         ranges = [(r.get("from"), r.get("to")) for r in spec["ranges"]]
         return range_agg(
-            df, spec["field"], ranges, extra_aggs=_metric_extra_aggs(sub) or None
+            df, spec["field"], ranges, extra_aggs=_metric_extra_aggs(sub, df) or None
         )
     if kind == "histogram":
         from ..operators.es_aggs import histogram_agg, histogram_agg_filled
@@ -1272,11 +1301,9 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
         if "missing" in spec:
             # ES `missing`: docs lacking the field bucket AT this value —
             # dropping them (the engine's default null behavior) would be
-            # a silent divergence whenever the request sets it
-            df = df.withColumn(
-                spec["field"],
-                F.coalesce(F.col(spec["field"]), F.lit(spec["missing"])),
-            )
+            # a silent divergence whenever the request sets it. Per-agg
+            # scoped: metric sub-aggs over the same field read the stash.
+            df = _stash_grouping_missing(df, spec["field"], spec["missing"])
         metrics, pipes = _split_sub(sub)
         # single terms child: same flattening contract as date_histogram
         tsub = _extract_terms_sub(metrics)
@@ -1299,7 +1326,7 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
             flat_all = histogram_agg(
                 df, spec["field"], spec["interval"],
                 offset=spec.get("offset", 0.0),
-                extra_aggs=_metric_extra_aggs(tchildren) or None,
+                extra_aggs=_metric_extra_aggs(tchildren, df) or None,
                 group_cols=(tfield,),
             )
             if mdc != 1:
@@ -1405,7 +1432,7 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
                     extended_bounds=(
                         (float(eb["min"]), float(eb["max"])) if eb else None
                     ),
-                    extra_aggs=_metric_extra_aggs(metrics) or None,
+                    extra_aggs=_metric_extra_aggs(metrics, df) or None,
                     extra_fill_zero=fill_zero,
                 ),
                 pipes,
@@ -1419,7 +1446,7 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
                 df, spec["field"], spec["interval"],
                 offset=spec.get("offset", 0.0),
                 min_doc_count=spec.get("min_doc_count", 1),
-                extra_aggs=_metric_extra_aggs(metrics) or None,
+                extra_aggs=_metric_extra_aggs(metrics, df) or None,
             ),
             pipes,
         )
@@ -1429,7 +1456,7 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
         ranges = [(r.get("from"), r.get("to")) for r in spec["ranges"]]
         return date_range_agg(
             df, spec["field"], ranges,
-            extra_aggs=_metric_extra_aggs(sub) or None,
+            extra_aggs=_metric_extra_aggs(sub, df) or None,
             # r12: bounds resolve in the zone through the shared range
             # rounding engine; date MATH works, now-anchored forms need
             # the body-level `now` key (reproducibility contract)
@@ -2545,10 +2572,11 @@ def _rank_terms_per_bucket(buckets: DataFrame, tfield: str, size: int) -> DataFr
     )
 
 
-def _metric_extra_aggs(sub: dict) -> dict:
+def _metric_extra_aggs(sub: dict, df: DataFrame | None = None) -> dict:
     """Metric-leaf sub-aggs under a histogram node → the operator's
     ``extra_aggs`` (per-bucket metric columns, the reference's §3.3
-    sub-aggregation route)."""
+    sub-aggregation route). ``df`` (when given) lets metric leaves see
+    the pre-``missing`` stash of the bucketing field."""
     extra = {}
     for sname, snode in (sub or {}).items():
         skinds = [k for k in snode if k not in ("aggs", "aggregations", "meta")]
@@ -2557,7 +2585,9 @@ def _metric_extra_aggs(sub: dict) -> dict:
             raise ValueError(
                 f"unsupported sub-agg {skind!r} under a histogram (metric leaves only)"
             )
-        extra[sname] = _METRICS[skind](_metric_input(snode[skind])).alias(sname)
+        extra[sname] = _METRICS[skind](
+            _metric_input(snode[skind], df)
+        ).alias(sname)
     return extra
 
 
@@ -2599,7 +2629,7 @@ def _proportional_sum(df: DataFrame, spec: dict, group_by, sub=None) -> DataFram
             col = {"_key": "key", "_count": "doc_count"}.get(k, k)
             order.append((col, str(d).lower() == "asc"))
         kw["order"] = order
-    extra = _metric_extra_aggs(sub)
+    extra = _metric_extra_aggs(sub, df)
     if extra:
         kw["extra_aggs"] = extra
     return proportional_sum(df, *fields, group_by=tuple(group_by), **kw)
@@ -2682,12 +2712,11 @@ def _date_histogram(df: DataFrame, spec: dict, sub=None, group_by=()) -> DataFra
     if "missing" in spec:
         # ES `missing`: docs lacking the time field bucket AT this epoch-ms
         # value (r12 — previously dropped silently, a divergence whenever
-        # the request sets it)
-        df = df.withColumn(
-            field, F.coalesce(F.col(field), F.lit(int(spec["missing"])))
-        )
+        # the request sets it). Per-agg scoped: metric sub-aggs over the
+        # same field read the stash.
+        df = _stash_grouping_missing(df, field, int(spec["missing"]))
     kw = {"group_by": tuple(group_by)} if group_by else {}
-    extra = _metric_extra_aggs(sub)
+    extra = _metric_extra_aggs(sub, df)
     if extra:
         kw["extra_aggs"] = extra
     if "fixed_interval" in spec or "interval" in spec:
@@ -2734,9 +2763,9 @@ def _terms(df: DataFrame, spec: dict, sub: dict, parents: tuple = ()) -> DataFra
     field = spec["field"]
     size = int(spec.get("size", 10))
     if "missing" in spec:
-        df = df.withColumn(
-            field, F.coalesce(F.col(field), F.lit(spec["missing"]))
-        )
+        # per-agg scoped (ADVICE r12 item 3): metric sub-aggs over the
+        # same field read the pre-substitution stash
+        df = _stash_grouping_missing(df, field, spec["missing"])
     else:
         # ES terms drops docs whose field is missing (Spark groupBy would
         # keep a NULL bucket) — unless `missing` buckets them above
@@ -2834,7 +2863,7 @@ def _terms(df: DataFrame, spec: dict, sub: dict, parents: tuple = ()) -> DataFra
             continue
         if skind not in _METRICS:
             raise ValueError(f"unsupported sub-agg {skind!r} under terms")
-        aggs.append(_METRICS[skind](_metric_input(snode[skind])).alias(sname))
+        aggs.append(_METRICS[skind](_metric_input(snode[skind], df)).alias(sname))
         metric_names.add(sname)
     parent_fields = [f for f, _ in parents]
     if psum_sub is not None:

@@ -109,3 +109,60 @@ def test_validate_query_compiles_both_dialects(ndf):
     assert ok, reason
     ok, reason = validate_query({"query": {"nested": {"path": "items"}}})
     assert not ok and "nested" in reason
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r12 item 3: bucketing `missing` is scoped PER-AGG — a metric
+# sub-agg over the SAME field without its own `missing` must still skip
+# null docs (in ES the substitution belongs to the requesting agg only).
+# ---------------------------------------------------------------------------
+
+def test_date_histogram_missing_scoped_to_grouping(spark):
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    df = spark.createDataFrame(
+        [(0,), (None,), (86_400_000,)], "t_ms long"
+    )
+    out = run_search(df, {"size": 0, "aggs": {
+        "h": {"date_histogram": {"field": "t_ms", "fixed_interval": "1d",
+                                 "missing": 0},
+              "aggs": {"m": {"avg": {"field": "t_ms"}}}},
+    }})["h"]
+    got = {r["key"]: (r["doc_count"], r["m"]) for r in out.collect()}
+    # bucket 0 holds 2 docs (real 0 + the null doc) but the avg over the
+    # SAME field sees only the real value — null skipped, not 0-substituted
+    assert got == {0: (2, 0.0), 86_400_000: (1, 86_400_000.0)}
+
+
+def test_terms_missing_scoped_to_grouping(spark):
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    df = spark.createDataFrame(
+        [("a", "a", 1.0), (None, "x", 2.0), ("b", "b", 4.0)],
+        "k string, k2 string, v double",
+    )
+    out = run_search(df, {"size": 0, "aggs": {
+        "t": {"terms": {"field": "k", "missing": "zz",
+                        "order": {"_key": "asc"}},
+              # value_count over the SAME string field: the null-k doc
+              # buckets at 'zz' but contributes 0 to its own count
+              "aggs": {"c": {"value_count": {"field": "k"}},
+                       # ...unless the metric sets its OWN missing
+                       "cm": {"value_count": {"field": "k",
+                                              "missing": "q"}}}},
+    }})["t"]
+    got = {r["k"]: (r["doc_count"], r["c"], r["cm"]) for r in out.collect()}
+    assert got == {"a": (1, 1, 1), "b": (1, 1, 1), "zz": (1, 0, 1)}
+
+
+def test_histogram_missing_scoped_to_grouping(spark):
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    df = spark.createDataFrame([(5.0,), (None,), (15.0,)], "v double")
+    out = run_search(df, {"size": 0, "aggs": {
+        "h": {"histogram": {"field": "v", "interval": 10, "missing": 25.0},
+              "aggs": {"s": {"sum": {"field": "v"}}}},
+    }})["h"]
+    got = {r["key"]: (r["doc_count"], r["s"]) for r in out.collect()}
+    # the null doc buckets at 20.0 but sums nothing there
+    assert got == {0.0: (1, 5.0), 10.0: (1, 15.0), 20.0: (1, None)}
