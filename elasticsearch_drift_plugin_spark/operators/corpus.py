@@ -24,6 +24,8 @@ Scale design:
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -791,7 +793,7 @@ def dsir_weights(
     # per session otherwise. The value is a session-bound checkpointed
     # frame, so a stale session invalidates the entry.
     key = _clf_memo_key(docs, "dsir-lam", target_where, int(buckets))
-    cached = _DSIR_LAM_MEMO.get(key) if key is not None else None
+    cached = _memo_get(_DSIR_LAM_MEMO, key)
     if cached is not None and cached[0] is docs.sparkSession:
         lam = cached[1]
     else:
@@ -827,7 +829,8 @@ def dsir_weights(
             ).alias("lam_q"),
         ).localCheckpoint(eager=True)
         if key is not None:
-            _DSIR_LAM_MEMO[key] = (docs.sparkSession, lam)
+            _memo_put(_DSIR_LAM_MEMO, key, (docs.sparkSession, lam),
+                      session_at=0)
     scored = (
         doc_b.join(F.broadcast(lam), "b")
         .groupBy("doc_id")
@@ -994,12 +997,50 @@ MAX_CLF_TRAIN_DOCS = 100_000
 # semantic hash, every training param) — the knn index-at-rest mtime
 # memo pattern. ONLY file-backed frames memoize (an in-memory test
 # frame's semantic hash does not pin its data).
-_CLF_WEIGHTS_MEMO: dict[tuple, dict[int, int]] = {}
+_CLF_WEIGHTS_MEMO: "OrderedDict[tuple, dict[int, int]]" = OrderedDict()
 
 # (session, checkpointed λ frame) per (input fingerprint, params) — the
 # DSIR model-fit twin of the weights memo; session-bound because the
 # value references checkpoint RDDs (validated on lookup).
-_DSIR_LAM_MEMO: dict[tuple, tuple] = {}
+_DSIR_LAM_MEMO: "OrderedDict[tuple, tuple]" = OrderedDict()
+
+# Both memos are capped LRUs (ADVICE r12 item 4: unbounded growth for the
+# process lifetime, and dead-session DSIR entries pinned checkpointed
+# RDDs until the exact key recurred). 32 distinct (fingerprint, params)
+# models is far beyond any single driver's working set; the DSIR sweep
+# additionally drops entries whose session has stopped.
+_MEMO_CAP = 32
+
+
+def _session_stopped(s) -> bool:
+    try:
+        return s.sparkContext._jsc is None
+    except Exception:
+        return True
+
+
+def _memo_put(memo: OrderedDict, key: tuple, value, session_at=None) -> None:
+    """LRU insert: evict dead-session entries first (when ``session_at``
+    names the tuple slot holding the owning SparkSession), then the
+    least-recent past the cap."""
+    if session_at is not None:
+        for k in [
+            k for k, v in memo.items() if _session_stopped(v[session_at])
+        ]:
+            del memo[k]
+    memo[key] = value
+    memo.move_to_end(key)
+    while len(memo) > _MEMO_CAP:
+        memo.popitem(last=False)
+
+
+def _memo_get(memo: OrderedDict, key):
+    if key is None:
+        return None
+    v = memo.get(key)
+    if v is not None:
+        memo.move_to_end(key)
+    return v
 
 
 def _clf_memo_key(docs: DataFrame, *params) -> tuple | None:
@@ -1087,7 +1128,7 @@ def quality_clf(
         docs, "full", target_where, dims, n_iter, lr_num, lr_den,
         max_train_docs,
     )
-    w = _CLF_WEIGHTS_MEMO.get(key) if key is not None else None
+    w = _memo_get(_CLF_WEIGHTS_MEMO, key)
     if w is not None:
         # frozen-weight replay: scoring is one lazy map-side pass — no
         # count, no checkpoint, no GD jobs
@@ -1107,7 +1148,7 @@ def quality_clf(
     feats = _clf_features(docs, dims).localCheckpoint(eager=True)
     w = _clf_gd(feats, labels, n, dims, n_iter, lr_num, lr_den)
     if key is not None:
-        _CLF_WEIGHTS_MEMO[key] = w
+        _memo_put(_CLF_WEIGHTS_MEMO, key, w)
     return _clf_score(feats, labels, w)
 
 
@@ -1258,7 +1299,7 @@ def quality_clf_sampled(
         docs, "sampled", float(sample_rate), target_where, dims, n_iter,
         lr_num, lr_den, max_train_docs,
     )
-    w = _CLF_WEIGHTS_MEMO.get(key) if key is not None else None
+    w = _memo_get(_CLF_WEIGHTS_MEMO, key)
     if w is not None:
         return _clf_score(feats, labels, w)
     cut = F.pmod(md5_hash60(F.col("doc_id").cast("string")), F.lit(QUANT)) < F.lit(
@@ -1277,7 +1318,7 @@ def quality_clf_sampled(
     tlabels = labels.join(F.broadcast(train_ids), "doc_id")
     w = _clf_gd(tfeats, tlabels, n, dims, n_iter, lr_num, lr_den)
     if key is not None:
-        _CLF_WEIGHTS_MEMO[key] = w
+        _memo_put(_CLF_WEIGHTS_MEMO, key, w)
     return _clf_score(feats, labels, w)
 
 
