@@ -2589,6 +2589,13 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psum_cal_day_tz": lambda s, d: _psum_events(
             s, d, calendar_interval="day", offset=1, time_zone="America/New_York"
         ),
+        # r13 (closes the last psum-adjacent raise, VERDICT r12 item 4):
+        # FIXED grid + time_zone over DURATION rows — both endpoints
+        # localize, the grid steps uniformly in local ms, ratio weights
+        # by local elapsed ms, keys convert back to UTC instants
+        "psum_fixed_tz": lambda s, d: _psum_events(
+            s, d, interval=6 * HOUR, offset=1, time_zone="America/New_York"
+        ),
         # tz + month over lineitem: every bucket boundary is a local-midnight
         # month start and the 1995-2001 span crosses ~12 DST transitions
         "psum_cal_month_tz": lambda s, d: _psum_lineitem(
@@ -2934,6 +2941,9 @@ def _oracles_raw() -> dict[str, str]:
         "psum_cal_day": _ev_oracle(calendar_interval="day", offset=1),
         "psum_cal_day_tz": _ev_oracle(
             calendar_interval="day", offset=1, time_zone="America/New_York"
+        ),
+        "psum_fixed_tz": _ev_oracle(
+            interval=6 * HOUR, offset=1, time_zone="America/New_York"
         ),
         "psum_cal_month_tz": _li_oracle(
             calendar_interval="month", offset=1, time_zone="America/New_York",

@@ -306,14 +306,17 @@ def cumulative_cardinality_sql(
             # via timezone('UTC', ...) (session-TZ-independent), convert
             # to the zone's naive local time, truncate, convert the local
             # boundary back to its UTC instant
+            from ..oracle import duck_local_to_utc_ms
+
             inst = (
                 f"timezone('UTC',"
                 f" make_timestamp((({time_ms_expr}) - {off}) * 1000))"
             )
-            key = (
-                f"epoch_ms(timezone('{tz}', date_trunc('{calendar_unit}',"
-                f" timezone('{tz}', {inst})))) + {off}"
+            wall = (
+                f"epoch_ms(date_trunc('{calendar_unit}',"
+                f" timezone('{tz}', {inst})))"
             )
+            key = f"{duck_local_to_utc_ms(tz, wall)} + {off}"
         else:
             key = (
                 f"epoch_ms(date_trunc('{calendar_unit}',"
@@ -326,15 +329,14 @@ def cumulative_cardinality_sql(
             # two-hop (interpret naive as UTC -> convert to zone-local
             # naive), modular floor in local millis, then the local
             # boundary back to its UTC instant
+            from ..oracle import duck_local_to_utc_ms
+
             lw = (
                 f"epoch_ms(timezone('{tz}',"
                 f" timezone('UTC', make_timestamp(({t}) * 1000))))"
             )
             fl = f"(({lw}) - ((({lw}) - {off}) % {step} + {step}) % {step})"
-            key = (
-                f"epoch_ms(timezone('{tz}',"
-                f" make_timestamp(({fl}) * 1000)))"
-            )
+            key = duck_local_to_utc_ms(tz, fl)
         else:
             key = f"({t}) - (((({t}) - {off}) % {step} + {step}) % {step})"
     return f"""

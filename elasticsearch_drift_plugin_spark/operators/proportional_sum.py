@@ -51,6 +51,7 @@ from ..params import PSumParams, normalize, prefilter_bounds
 
 # Internal column names (prefixed to avoid collision with user columns).
 _S, _E, _V, _KEY, _WEND, _TB = "__ps_s", "__ps_e", "__ps_v", "key", "__ps_wend", "__ps_tb"
+_LK = "__ps_local_key"  # fixed+tz: the bucket's LOCAL wall-clock ms edge
 
 OUTPUT_COLUMNS = ("key", "key_ts", "doc_count", "value")
 
@@ -144,11 +145,13 @@ def proportional_sum(
         row's value. With a CALENDAR interval, durations fully compose.
         With a FIXED interval (r12 — ES rounds fixed intervals in-zone,
         Rounding.TimeIntervalRounding), the grid executes in local
-        wall-clock ms and supports INSTANT rows only (``start == end``,
-        date_histogram semantics): a duration's zone-shifted proportions
-        are ill-defined across DST, so duration rows raise. Zero-fill
-        keys fabricated inside a spring-forward gap collapse (ES's
-        gap-collapse rule).
+        wall-clock ms: both endpoints localize and the proportional
+        ratio weights by LOCAL elapsed ms (r13 — instants AND
+        durations). DST semantics, deliberate and oracle-shared: a row
+        crossing spring-forward spreads over its inflated local span; a
+        row whose local interval inverts across fall-back clamps to an
+        instant at its localized start. Zero-fill keys fabricated inside
+        a spring-forward gap collapse (ES's gap-collapse rule).
     min_doc_count
         Buckets with fewer docs dropped post-agg
         (InternalProportionalSumHistogram.java:382-387); ``0`` triggers
@@ -231,7 +234,16 @@ def proportional_sum(
             p.start, p.end, p.min_doc_count, p.extended_bounds,
             hard_bounds=p.hard_bounds,
         )
-    sweep_ok = sweep_p.kind == "fixed" and quantize is not None and not extra_aggs
+    # fixed+tz is explode-only: sweep's delta/prefix reconstruction runs in
+    # LOCAL-ms key space, but r13's gap-bucket MERGE happens at the UTC-key
+    # aggregation — re-merging sweep's already-divided doubles could drift
+    # an ulp from the explode path's exact floored-quanta sums.
+    sweep_ok = (
+        sweep_p.kind == "fixed"
+        and sweep_p.tz is None
+        and quantize is not None
+        and not extra_aggs
+    )
     if strategy == "sweep" and not sweep_ok:
         raise ValueError(
             "strategy='sweep' requires a fixed-width interval (fixed, or any "
@@ -334,29 +346,20 @@ def proportional_sum(
         # the operator's own [start, end] query range is inclusive of the
         # terminal bucket (SURVEY §2 row 11) and both engines + the DuckDB
         # oracle share round_key_ms, so the contract is self-consistent.
-        from ..params import round_key_ms
+        from ..params import local_ms_to_utc, round_key_ms
 
         hb_lo = round_key_ms(p, p.hard_bounds[0])
         hb_hi = round_key_ms(p, p.hard_bounds[1])
+        if p.kind == "fixed" and p.tz is not None:
+            # r13: fixed+tz keys are UTC instants as of the explode-level
+            # conversion; round_key_ms works in p-space (local ms), so
+            # convert the rounded bounds with the SAME fold-0 rule the
+            # key conversion uses (to_utc is monotone over walls, so the
+            # local interval maps to the UTC interval)
+            hb_lo = local_ms_to_utc(hb_lo, p.tz)
+            hb_hi = local_ms_to_utc(hb_hi, p.tz)
         out = out.where((F.col(_KEY) >= hb_lo) & (F.col(_KEY) <= hb_hi))
 
-    if p.kind == "fixed" and p.tz is not None:
-        # fixed+tz ran in LOCAL-ms space: convert keys to the UTC instant
-        # of each local boundary (monotone under fold=0, so the final
-        # orderBy is unaffected). A ZERO-FILL spine key can land inside a
-        # DST spring-forward gap (a wall time that never occurs); its
-        # fold-0 UTC instant collides with the post-gap bucket, so those
-        # fabricated rows drop — ES's gap-collapse. Data buckets always
-        # keep their key (a real instant's floor fails the round-trip
-        # only in the offset-inside-gap corner, which keeps its fold-0
-        # key rather than being dropped).
-        uk = F.unix_millis(
-            F.to_utc_timestamp(F.timestamp_millis(F.col(_KEY)), p.tz)
-        )
-        rt = F.unix_millis(F.from_utc_timestamp(F.timestamp_millis(uk), p.tz))
-        out = out.where(
-            (F.col("doc_count") > 0) | (rt == F.col(_KEY))
-        ).withColumn(_KEY, uk)
     out = out.withColumn("key_ts", F.timestamp_millis(F.col(_KEY)))
     cols = [*group_by, "key", "key_ts", "doc_count", "value", *extra_aggs]
     if key_format:
@@ -444,14 +447,37 @@ def explode_contributions(
             ),
             first,
         )
-        exploded = base.select(
-            *carry,
-            s.alias(_S),
-            e.alias(_E),
-            v.alias(_V),
-            F.explode(F.sequence(first, last, F.lit(step))).alias(_KEY),
-        )
-        win_end = F.col(_KEY) + F.lit(step)
+        if p.tz is None:
+            exploded = base.select(
+                *carry,
+                s.alias(_S),
+                e.alias(_E),
+                v.alias(_V),
+                F.explode(F.sequence(first, last, F.lit(step))).alias(_KEY),
+            )
+            win_end = F.col(_KEY) + F.lit(step)
+            bucket_lo = F.col(_KEY)
+        else:
+            # r13 fixed+tz: the grid lives in LOCAL wall-clock ms (the
+            # calendar branch's _TB pattern) — overlap math stays in
+            # local space while _KEY is the UTC instant of the local
+            # boundary, so a spring-forward gap bucket MERGES with its
+            # post-gap neighbor at the aggregation (ES's gap-collapse
+            # for data, same as the calendar path's shared-key merge).
+            exploded = base.select(
+                *carry,
+                s.alias(_S),
+                e.alias(_E),
+                v.alias(_V),
+                F.explode(F.sequence(first, last, F.lit(step))).alias(_LK),
+            ).withColumn(
+                _KEY,
+                F.unix_millis(
+                    F.to_utc_timestamp(F.timestamp_millis(F.col(_LK)), p.tz)
+                ),
+            )
+            win_end = F.col(_LK) + F.lit(step)
+            bucket_lo = F.col(_LK)
     else:
         unit = p.unit
         # With p.tz the truncated timestamps hold LOCAL wall time: the
@@ -480,12 +506,16 @@ def explode_contributions(
         win_end = local_ts_to_utc_ms(
             F.col(_TB) + calendar_interval_expr(unit), p.tz
         ) + F.lit(p.offset_ms)
+        bucket_lo = F.col(_KEY)
 
     # Proportional ratio against the UNCLAMPED row range
     # (ProportionalSumAggregator.java:193-204, :222-228 getTimeInWindow):
     # overlap = max(0, min(win_end, e) - max(key, s)); zero-duration → 1.
+    # bucket_lo is the bucket's lower edge in the SAME time-space as
+    # _S/_E: UTC ms normally, LOCAL wall ms for the fixed+tz grid (where
+    # _KEY already holds the converted UTC instant).
     overlap = F.greatest(
-        F.least(win_end, F.col(_E)) - F.greatest(F.col(_KEY), F.col(_S)), F.lit(0)
+        F.least(win_end, F.col(_E)) - F.greatest(bucket_lo, F.col(_S)), F.lit(0)
     )
     dur = F.col(_E) - F.col(_S)
     ratio = F.when(dur != 0, overlap.cast("double") / dur.cast("double")).otherwise(F.lit(1.0))
@@ -516,28 +546,24 @@ def _prepare_flows(df, start_col, end_col, value_col, sampling_col, p, validate)
         # r12 fixed+tz: the grid lives in LOCAL wall-clock ms (ES rounds
         # fixed intervals in-zone — Rounding.TimeIntervalRounding); every
         # downstream fixed-grid expression runs unchanged in local space
-        # and the main body converts keys back to UTC instants. INSTANT
-        # rows only (date_histogram semantics): proportioning a DURATION
-        # over a zone-shifted fixed grid is ill-defined across DST (a
-        # local span ≠ the UTC span when the row crosses a transition) —
-        # loud, with the calendar-interval form named as the alternative.
-        zero = e == s
-        s_loc = F.unix_millis(
-            F.from_utc_timestamp(F.timestamp_millis(s), p.tz)
-        )
-        e = _check(
-            zero,
-            F.concat(
-                F.lit(
-                    "fixed interval + time_zone supports INSTANT rows only"
-                    f" (start == end, date_histogram semantics); [{start_col}"
-                    f"]/[{end_col}] differ — use calendar_interval with"
-                    " time_zone, or a UTC fixed grid, for durations: "
-                ),
-                s.cast("string"),
-            ),
-            s_loc,
-        )
+        # and the main body converts keys back to UTC instants.
+        # r13 extends the same trick to DURATION rows: BOTH endpoints
+        # localize, the explode/sweep step uniformly in local ms, and the
+        # proportional ratio weights by LOCAL elapsed ms. Consequence at a
+        # DST transition (documented semantics, shared bit-for-bit with
+        # the DuckDB oracle): a row crossing spring-forward spreads its
+        # value over the inflated local span; a row whose local interval
+        # INVERTS across fall-back (wall clock steps back past its start)
+        # clamps to an instant at its localized start — full mass to that
+        # bucket, the zero-duration ⇒ ratio-1 rule. Raw-column validation
+        # (end >= start >= 0) already ran above, on UTC values.
+        def _loc_ms(x):
+            return F.unix_millis(
+                F.from_utc_timestamp(F.timestamp_millis(x), p.tz)
+            )
+
+        s_loc = _loc_ms(s)
+        e = F.greatest(_loc_ms(e), s_loc)
         s = s_loc
 
     # Sampling scale-up: applied iff present, finite and != 0
@@ -575,7 +601,14 @@ def _prepare_flows(df, start_col, end_col, value_col, sampling_col, p, validate)
             )
         )
         if lo is not None:
-            base = base.filter(conv_raw(end_col) >= F.lit(lo))
+            # the effective end is the CLAMPED local end (fall-back
+            # inversion collapses to the start) — same value the
+            # contribution math uses, so the cut drops exactly the
+            # rows whose bucket loop would not execute
+            base = base.filter(
+                F.greatest(conv_raw(end_col), conv_raw(start_col))
+                >= F.lit(lo)
+            )
         if hi is not None:
             base = base.filter(conv_raw(start_col) < F.lit(hi))
     else:
@@ -809,11 +842,16 @@ def _fill_empty_buckets(
     bounds = agg.groupBy(*[F.col(g) for g in group_by]).agg(
         F.min("key").alias("__mn"), F.max("key").alias("__mx")
     )
+    local_fixed = p.kind == "fixed" and p.tz is not None
     if p.extended_bounds is not None:
-        from ..params import round_key_ms
+        from ..params import local_ms_to_utc, round_key_ms
 
         lo = round_key_ms(p, p.extended_bounds[0])
         hi = round_key_ms(p, p.extended_bounds[1])
+        if local_fixed:
+            # r13: agg keys are UTC instants; the p-space (local-ms)
+            # rounded bounds convert with the same fold-0 rule
+            lo, hi = local_ms_to_utc(lo, p.tz), local_ms_to_utc(hi, p.tz)
         bounds = bounds.select(
             *group_by,
             F.least(F.col("__mn"), F.lit(lo)).alias("__mn"),
@@ -829,13 +867,40 @@ def _fill_empty_buckets(
         ).alias("__mn"),
         F.col("__mx"),
     )
-    if p.kind == "fixed":
+    if p.kind == "fixed" and p.tz is None:
         spine = bounds.select(
             *group_by,
             F.explode(F.sequence(F.col("__mn"), F.col("__mx"), F.lit(p.step_ms))).alias("key"),
         )
+    elif local_fixed:
+        # r13: the spine steps uniformly in LOCAL wall ms (mirroring the
+        # explode grid) and each boundary converts to its UTC instant. A
+        # fabricated wall inside a spring-forward gap fails the UTC
+        # round-trip and DROPS — ES's gap-collapse (the data-side merge
+        # already happened at the UTC-key aggregation).
+        def to_lk(c: Column) -> Column:
+            return F.unix_millis(F.from_utc_timestamp(F.timestamp_millis(c), p.tz))
+
+        def to_uk(c: Column) -> Column:
+            return F.unix_millis(F.to_utc_timestamp(F.timestamp_millis(c), p.tz))
+
+        spine = (
+            bounds.select(
+                *group_by,
+                F.explode(
+                    F.sequence(
+                        to_lk(F.col("__mn")), to_lk(F.col("__mx")), F.lit(p.step_ms)
+                    )
+                ).alias("__lk"),
+            )
+            .withColumn("key", to_uk(F.col("__lk")))
+            .where(to_lk(F.col("key")) == F.col("__lk"))
+            .drop("__lk")
+        )
     else:
-        # spine stepping mirrors the explode: local wall time when p.tz set
+        # spine stepping mirrors the explode: local wall time when p.tz
+        # set; a gap-fabricated wall fails the round-trip and drops
+        # (hour-unit grids can step into a spring-forward gap)
         def to_tb(c: Column) -> Column:
             ts = F.timestamp_millis(c - F.lit(p.offset_ms))
             return F.from_utc_timestamp(ts, p.tz) if p.tz else ts
@@ -849,8 +914,15 @@ def _fill_empty_buckets(
             ).alias("__tb"),
         ).select(
             *group_by,
+            F.col("__tb"),
             (local_ts_to_utc_ms(F.col("__tb"), p.tz) + F.lit(p.offset_ms)).alias("key"),
         )
+        if p.tz is not None:
+            rt_tb = F.from_utc_timestamp(
+                F.timestamp_millis(F.col("key") - F.lit(p.offset_ms)), p.tz
+            )
+            spine = spine.where(rt_tb == F.col("__tb"))
+        spine = spine.drop("__tb")
     joined = F.broadcast(spine).join(agg, on=[*group_by, "key"], how="left")
     # Empty bucket = {doc_count: 0, value: 0, empty sub-aggs}
     # (InternalProportionalSumHistogram.java:188-231 EmptyBucketInfo).

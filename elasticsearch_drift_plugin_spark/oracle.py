@@ -32,6 +32,32 @@ def _floor_fixed(t: str, step: int, off: int) -> str:
     return f"(({t}) - {_pmod(f'({t}) - {off}', step)})"
 
 
+def duck_local_to_utc_ms(tz: str, wall_ms: str) -> str:
+    """DuckDB twin of Spark's ``to_utc_timestamp`` on epoch-ms wall-clock
+    values, including its DST disambiguation: for an AMBIGUOUS local time
+    (the repeated fall-back hour) Spark resolves to the EARLIER instant
+    (larger offset — the ES round-down-compatible choice), while DuckDB's
+    ``timezone(tz, naive)`` picks the LATER. Emulate by testing whether
+    `later - savings` round-trips to the same wall for the two real-world
+    DST savings amounts (1h, 30m); gapped walls shift forward identically
+    in both engines (probed r13), so they fall through to ``later``."""
+    later = f"epoch_ms(timezone('{tz}', make_timestamp(({wall_ms}) * 1000)))"
+
+    def _back(cand: str) -> str:
+        return (
+            f"epoch_ms(timezone('{tz}',"
+            f" timezone('UTC', make_timestamp(({cand}) * 1000))))"
+        )
+
+    c1 = f"(({later}) - 3600000)"
+    c2 = f"(({later}) - 1800000)"
+    return (
+        f"(CASE WHEN {_back(c1)} = ({wall_ms}) THEN {c1}"
+        f" WHEN {_back(c2)} = ({wall_ms}) THEN {c2}"
+        f" ELSE {later} END)"
+    )
+
+
 def _trunc_cal(t_ms: str, unit: str, off: int, tz: str | None = None) -> str:
     """Calendar floor of epoch-ms as a timestamp (offset pre-subtracted).
 
@@ -93,13 +119,15 @@ def psum_oracle_sql(
                 f" timezone('UTC', make_timestamp(({col}) * 1000))))"
             )
 
-        s_src, e_src = _loc("start_ms"), _loc("end_ms")
+        # r13 duration rows: BOTH endpoints localize; a local interval
+        # inverted across fall-back clamps to an instant at the start
+        # (operator _prepare_flows parity — greatest(e_loc, s_loc))
+        s_src = _loc("start_ms")
+        e_src = f"greatest({_loc('end_ms')}, {s_src})"
 
         def _key_out(col: str) -> str:
-            return (
-                f"epoch_ms(timezone('{p.tz}',"
-                f" make_timestamp(({col}) * 1000)))"
-            )
+            # Spark-disambiguation parity on ambiguous fall-back walls
+            return duck_local_to_utc_ms(p.tz, col)
     else:
         s_src, e_src = "start_ms", "end_ms"
 
@@ -128,12 +156,26 @@ def psum_oracle_sql(
 
     if p.kind == "fixed":
         step, off = p.step_ms, p.offset_ms
-        explode = (
-            f"unnest(generate_series({_floor_fixed(cs, step, off)}, "
-            f"{_floor_fixed(ce, step, off)}, {step})) AS key"
-        )
-        win_end = f"(key + {step})"
-        key_expr = "key"
+        if local_fixed:
+            # r13: the grid steps in LOCAL wall ms (lk); the output key is
+            # the UTC instant of the local edge, and the aggregation
+            # groups on THAT key so spring-forward gap buckets merge with
+            # their post-gap neighbor — operator parity (explode-level
+            # conversion). Overlap math stays in local space.
+            explode = (
+                f"unnest(generate_series({_floor_fixed(cs, step, off)}, "
+                f"{_floor_fixed(ce, step, off)}, {step})) AS lk"
+            )
+            win_end = f"(lk + {step})"
+            bucket_lo = "lk"
+            key_expr = _key_out("lk")
+        else:
+            explode = (
+                f"unnest(generate_series({_floor_fixed(cs, step, off)}, "
+                f"{_floor_fixed(ce, step, off)}, {step})) AS key"
+            )
+            win_end = f"(key + {step})"
+            bucket_lo = key_expr = "key"
     else:
         unit, off = p.unit, p.offset_ms
         explode = (
@@ -143,13 +185,21 @@ def psum_oracle_sql(
         if p.tz:
             # tb holds naive LOCAL wall time; each boundary converts back to
             # its UTC instant (timezone(tz, naive) -> timestamptz)
-            win_end = f"(epoch_ms(timezone('{p.tz}', tb + INTERVAL 1 {unit})) + {off})"
-            key_expr = f"(epoch_ms(timezone('{p.tz}', tb)) + {off})"
+            # local boundary -> UTC instant with Spark's earlier-offset
+            # choice on ambiguous fall-back walls (duck_local_to_utc_ms)
+            win_end = (
+                f"({duck_local_to_utc_ms(p.tz, f'epoch_ms(tb + INTERVAL 1 {unit})')}"
+                f" + {off})"
+            )
+            key_expr = (
+                f"({duck_local_to_utc_ms(p.tz, 'epoch_ms(tb)')} + {off})"
+            )
         else:
             win_end = f"(epoch_ms(tb + INTERVAL 1 {unit}) + {off})"
             key_expr = f"(epoch_ms(tb) + {off})"
+        bucket_lo = key_expr
 
-    overlap = f"greatest(least({win_end}, e) - greatest({key_expr}, s), 0)"
+    overlap = f"greatest(least({win_end}, e) - greatest({bucket_lo}, s), 0)"
     ratio = (
         f"(CASE WHEN e - s != 0 THEN CAST({overlap} AS DOUBLE) / CAST(e - s AS DOUBLE) "
         f"ELSE 1.0 END)"
@@ -175,7 +225,7 @@ agg AS (
          {value_expr} AS value,
          COUNT(*) AS doc_count{extra_sel}
   FROM exploded
-  GROUP BY {dims_pfx}{'key' if p.kind == 'fixed' else 'tb'}
+  GROUP BY {dims_pfx}{key_expr}
   {having}
 )"""
 
@@ -186,7 +236,19 @@ agg AS (
         # the operator's per-group spine join.
         grp = f"GROUP BY {dims}" if group_by else ""
         bounds = f"bounds AS (SELECT {dims_pfx}min(key) AS mn, max(key) AS mx FROM agg {grp})"
-        if p.kind == "fixed":
+        if local_fixed:
+            # r13: agg keys are UTC instants; the spine steps in LOCAL
+            # wall ms from the localized bounds, converts each edge to
+            # its UTC instant, and DROPS fabricated walls inside a DST
+            # gap (round-trip fails) — operator _fill_empty_buckets
+            # parity
+            spine = (
+                f"SELECT {dims_pfx}{_key_out('lk')} AS key FROM ("
+                f"SELECT {dims_pfx}unnest(generate_series("
+                f"{_loc('mn')}, {_loc('mx')}, {p.step_ms})) AS lk"
+                f" FROM bounds) WHERE {_loc(_key_out('lk'))} = lk"
+            )
+        elif p.kind == "fixed":
             spine = (
                 f"SELECT {dims_pfx}unnest(generate_series(mn, mx, {p.step_ms})) AS key "
                 f"FROM bounds"
@@ -196,11 +258,21 @@ agg AS (
                 f"timezone('{p.tz}', timezone('UTC', make_timestamp(({{b}} - "
                 f"{p.offset_ms}) * 1000)))"
             )
+            # gap-fabricated walls drop via the tb round-trip (hour-unit
+            # grids can step into a spring-forward gap)
+            rt_tb = (
+                f"timezone('{p.tz}', timezone('UTC',"
+                f" make_timestamp((key - {p.offset_ms}) * 1000)))"
+            )
             spine = (
-                f"SELECT {dims_pfx}epoch_ms(timezone('{p.tz}', tb)) + {p.offset_ms} "
+                f"SELECT {dims_pfx}key FROM ("
+                f"SELECT {dims_pfx}tb,"
+                f" {duck_local_to_utc_ms(p.tz, 'epoch_ms(tb)')}"
+                f" + {p.offset_ms} "
                 f"AS key FROM (SELECT {dims_pfx}unnest(generate_series("
                 f"{to_local.format(b='mn')}, {to_local.format(b='mx')}, "
-                f"INTERVAL 1 {p.unit})) AS tb FROM bounds)"
+                f"INTERVAL 1 {p.unit})) AS tb FROM bounds)) "
+                f"WHERE {rt_tb} = tb"
             )
         else:
             spine = (
@@ -210,34 +282,11 @@ agg AS (
                 f"make_timestamp((mx - {p.offset_ms}) * 1000), "
                 f"INTERVAL 1 {p.unit})) AS tb FROM bounds)"
             )
-        if local_fixed:
-            # a fabricated spine key inside a DST gap drops (its UTC
-            # round-trip fails) — the operator's gap-collapse rule
-            rt = (
-                f"epoch_ms(timezone('{p.tz}', timezone('UTC',"
-                f" make_timestamp(({_key_out('spine.key')}) * 1000))))"
-            )
-            return (
-                f"{agg_sql}, {bounds}, spine AS ({spine}) "
-                f"SELECT {dims_pfx}{_key_out('spine.key')} AS key,"
-                f" COALESCE(doc_count, 0) AS doc_count, "
-                f"COALESCE(value, 0.0) AS value{extra_out} "
-                f"FROM spine LEFT JOIN agg USING ("
-                f"{dims_pfx.rstrip(', ') + ', ' if group_by else ''}key) "
-                f"WHERE COALESCE(doc_count, 0) > 0 OR {rt} = spine.key "
-                f"ORDER BY {dims_pfx}key"
-            )
         return (
             f"{agg_sql}, {bounds}, spine AS ({spine}) "
             f"SELECT {dims_pfx}spine.key AS key, COALESCE(doc_count, 0) AS doc_count, "
             f"COALESCE(value, 0.0) AS value{extra_out} "
             f"FROM spine LEFT JOIN agg USING ({dims_pfx.rstrip(', ') + ', ' if group_by else ''}key) "
-            f"ORDER BY {dims_pfx}key"
-        )
-    if local_fixed:
-        return (
-            f"{agg_sql} SELECT {dims_pfx}{_key_out('key')} AS key,"
-            f" doc_count, value{extra_out} FROM agg "
             f"ORDER BY {dims_pfx}key"
         )
     return (

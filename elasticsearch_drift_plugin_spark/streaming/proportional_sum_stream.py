@@ -67,15 +67,10 @@ def proportional_sum_stream(
         end=_ms_param(end),
         time_zone=time_zone,
     )
-    if p.kind == "fixed" and p.tz is not None:
-        # the batch operator runs fixed+tz in LOCAL-ms space and converts
-        # keys at materialization; this streaming key path materializes
-        # raw explode keys directly, so it would emit local ms as if UTC
-        raise ValueError(
-            "streaming proportional_sum does not support fixed interval +"
-            " time_zone (batch-only extension) — use calendar_interval"
-            " with time_zone, or a UTC fixed grid"
-        )
+    # fixed+tz streams since r13: explode_contributions converts the
+    # local-grid bucket edge to its UTC-instant key at the explode level
+    # (shared with batch — the two cannot drift), so the groupBy below
+    # sees real instants and the watermark semantics are unchanged.
     exploded, contrib = explode_contributions(
         stream,
         start_col,

@@ -512,12 +512,20 @@ def test_time_zone_day_buckets_across_dst_gap(spark):
     ]
 
 
-def test_time_zone_fixed_interval_instants_only_and_bad_zone(spark):
-    # r12: fixed+tz is SUPPORTED for instant rows (local-space grid);
-    # duration rows raise at runtime — zone-shifted proportioning of a
-    # duration is ill-defined across DST
-    with pytest.raises(Exception, match="INSTANT rows only"):
-        run(spark, [(0, 100, 1.0, None)], interval=100, time_zone="America/New_York")
+def test_time_zone_fixed_interval_durations_and_bad_zone(spark):
+    # r13: fixed+tz supports DURATION rows — both endpoints localize and
+    # the ratio weights by local elapsed ms. Away from any DST
+    # transition the result equals the UTC grid shifted by the zone
+    # offset: a [0, 100) row at epoch (UTC-5 in New York) floors to
+    # local key -18000000 (=1970-01-01 00:00 EST as local ms)… and the
+    # OUTPUT key converts back to the UTC instant 0. Check mass splits.
+    out = run(
+        spark, [(0, 150, 3.0, None)],
+        interval=100, time_zone="America/New_York",
+    )
+    assert [(r.key, r.doc_count, round(r.value, 6)) for r in out] == [
+        (0, 1, 2.0), (100, 1, 1.0)
+    ]
     with pytest.raises(ValueError, match="unknown time zone"):
         run(
             spark, [(0, 100, 1.0, None)],

@@ -654,7 +654,9 @@ def test_fixed_tz_auto_offset_from_local_start(spark):
     assert [r["key"] for r in out.collect()] == [start]
 
 
-def test_fixed_tz_streaming_raises(spark):
+def test_fixed_tz_streaming_builds(spark):
+    # r13: fixed+tz streams — explode_contributions converts local-grid
+    # edges to UTC-instant keys at the explode level, shared with batch
     from elasticsearch_drift_plugin_spark.streaming.proportional_sum_stream import (
         proportional_sum_stream,
     )
@@ -664,11 +666,11 @@ def test_fixed_tz_streaming_raises(spark):
         .selectExpr("unix_millis(timestamp) AS s",
                     "unix_millis(timestamp) AS e", "1.0 AS v")
     )
-    with pytest.raises(ValueError, match="batch-only"):
-        proportional_sum_stream(
-            stream, "s", "e", "v", interval=1800000,
-            time_zone="America/New_York",
-        )
+    agg = proportional_sum_stream(
+        stream, "s", "e", "v", interval=1800000,
+        time_zone="America/New_York",
+    )
+    assert agg.isStreaming and "key" in agg.columns
 
 
 def test_has_parent_inner_hits_frame(pc):

@@ -112,6 +112,122 @@ def test_validate_query_compiles_both_dialects(ndf):
 
 
 # ---------------------------------------------------------------------------
+# r13: fixed interval + time_zone for DURATION rows (VERDICT r12 item 4).
+# Both endpoints localize; the ratio weights by LOCAL elapsed ms; keys are
+# UTC instants of local edges; spring-forward gap buckets MERGE with their
+# post-gap neighbor; a fall-back-inverted local interval clamps to an
+# instant at its start. Every case cross-checked bit-for-bit vs the DuckDB
+# oracle (including its Spark-parity earlier-offset disambiguation).
+# ---------------------------------------------------------------------------
+
+def _iso_ms(s):
+    import datetime as _dt
+
+    return int(_dt.datetime.fromisoformat(s).timestamp() * 1000)
+
+
+def _psum_vs_duck(spark, rows, **kw):
+    import duckdb
+
+    from elasticsearch_drift_plugin_spark.operators.proportional_sum import (
+        proportional_sum,
+    )
+    from elasticsearch_drift_plugin_spark.oracle import psum_oracle_sql
+
+    df = spark.createDataFrame(
+        rows, "start_ms long, end_ms long, value double, sampling double"
+    )
+    got = [
+        (r["key"], r["doc_count"], r["value"])
+        for r in proportional_sum(
+            df, "start_ms", "end_ms", "value", "sampling",
+            quantize=4, **kw,
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE f AS SELECT * FROM (VALUES "
+        + ",".join(
+            f"({s},{e},{v},"
+            + ("CAST(NULL AS DOUBLE)" if sm is None else str(sm)) + ")"
+            for s, e, v, sm in rows
+        )
+        + ") t(start_ms, end_ms, value, sampling)"
+    )
+    want = con.sql(psum_oracle_sql("SELECT * FROM f", **kw)).fetchall()
+    assert got == [(r[0], r[1], r[2]) for r in want], (got, want)
+    return got
+
+
+def test_fixed_tz_duration_spring_forward_merges_gap_bucket(spark):
+    # 1h UTC row across the 2024-03-10 NY spring forward spans 2 LOCAL
+    # hours (01:30→03:30 wall); the gap bucket (local 02:00) merges with
+    # local 03:00 at the shared UTC key 07:00Z — one bucket, both touches
+    got = _psum_vs_duck(
+        spark,
+        [(_iso_ms("2024-03-10T06:30:00+00:00"),
+          _iso_ms("2024-03-10T07:30:00+00:00"), 4.0, None)],
+        interval=60 * 60 * 1000, time_zone="America/New_York",
+    )
+    assert got == [
+        (_iso_ms("2024-03-10T06:00:00+00:00"), 1, 1.0),
+        (_iso_ms("2024-03-10T07:00:00+00:00"), 2, 3.0),
+    ]
+
+
+def test_fixed_tz_duration_fall_back_inversion_clamps(spark):
+    # 2024-11-03 NY fall back (06:00Z): a row 05:30Z→06:30Z maps to the
+    # SAME wall time (01:30) on both sides — the local interval inverts,
+    # clamps to an instant, and lands whole in local 01:00, whose UTC key
+    # resolves to the EARLIER instant 05:00Z in both engines
+    got = _psum_vs_duck(
+        spark,
+        [(_iso_ms("2024-11-03T05:30:00+00:00"),
+          _iso_ms("2024-11-03T06:30:00+00:00"), 6.0, None)],
+        interval=60 * 60 * 1000, time_zone="America/New_York",
+    )
+    assert got == [(_iso_ms("2024-11-03T05:00:00+00:00"), 1, 6.0)]
+
+
+def test_fixed_tz_duration_post_fall_back_ambiguous_key(spark):
+    # a post-transition row (06:30Z→07:30Z = local 01:30→02:30 EST)
+    # splits across local 01:00 (AMBIGUOUS wall → earlier instant 05:00Z)
+    # and local 02:00 (EST → 07:00Z); the 06:00Z hour belongs to the
+    # 2-UTC-hour-wide local-01:00 bucket
+    got = _psum_vs_duck(
+        spark,
+        [(_iso_ms("2024-11-03T06:30:00+00:00"),
+          _iso_ms("2024-11-03T07:30:00+00:00"), 2.0, None)],
+        interval=60 * 60 * 1000, time_zone="America/New_York",
+    )
+    assert got == [
+        (_iso_ms("2024-11-03T05:00:00+00:00"), 1, 1.0),
+        (_iso_ms("2024-11-03T07:00:00+00:00"), 1, 1.0),
+    ]
+
+
+def test_fixed_tz_duration_fill_spans_transition(spark):
+    # min_doc_count=0 across the fall-back day: the spine steps in LOCAL
+    # hours, so exactly ONE local-01:00 bucket exists (2 UTC hours wide)
+    # and the filled grid has no 06:00Z row
+    got = _psum_vs_duck(
+        spark,
+        [(_iso_ms("2024-11-03T04:30:00+00:00"),
+          _iso_ms("2024-11-03T05:30:00+00:00"), 2.0, None),
+         (_iso_ms("2024-11-03T08:10:00+00:00"),
+          _iso_ms("2024-11-03T08:10:00+00:00"), 7.0, None)],
+        interval=60 * 60 * 1000, time_zone="America/New_York",
+        min_doc_count=0,
+    )
+    assert got == [
+        (_iso_ms("2024-11-03T04:00:00+00:00"), 1, 1.0),   # local 00:00
+        (_iso_ms("2024-11-03T05:00:00+00:00"), 1, 1.0),   # local 01:00 (wide)
+        (_iso_ms("2024-11-03T07:00:00+00:00"), 0, 0.0),   # local 02:00
+        (_iso_ms("2024-11-03T08:00:00+00:00"), 1, 7.0),   # local 03:00
+    ]
+
+
+# ---------------------------------------------------------------------------
 # ADVICE r12 item 3: bucketing `missing` is scoped PER-AGG — a metric
 # sub-agg over the SAME field without its own `missing` must still skip
 # null docs (in ES the substitution belongs to the requesting agg only).
