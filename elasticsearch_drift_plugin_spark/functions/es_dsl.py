@@ -505,9 +505,18 @@ def desugar_compound(kind: str, body: dict) -> dict | None:
     return None
 
 
-def compile_query(q: dict) -> Column:
+def compile_query(q: dict, now_ms: int | None = None) -> Column:
     """Compile an ES ``query`` body (the dict under ``"query"``) to one
-    boolean ``Column``."""
+    boolean ``Column``.
+
+    ``now_ms`` (r13, opt-in): stamp the serving-edge clock into every
+    now-anchored ``range`` bound lacking an explicit ``now`` before
+    compiling (:func:`inject_now` — the run_search shim, available on
+    the bare compiler route too). Without it, a now-anchored bound still
+    raises: the reproducibility contract stands, callers opt in
+    explicitly."""
+    if now_ms is not None:
+        q = inject_now(q, now_ms)
     if not isinstance(q, dict) or len(q) != 1:
         raise ValueError(f"expected a single-clause query dict, got {q!r}")
     (kind, body), = q.items()
@@ -908,7 +917,9 @@ def _compile_nested_inner_sql(q: dict, path: str) -> str:
     raise ValueError(f"unsupported clause {kind!r} inside nested")
 
 
-def compile_query_sql(q: dict, dialect: str = "duckdb") -> str:
+def compile_query_sql(
+    q: dict, dialect: str = "duckdb", now_ms: int | None = None
+) -> str:
     """The same compilation to a SQL boolean expression — the oracle twin
     of :func:`compile_query`, kept clause-for-clause parallel. Every
     clause emits a spelling valid in BOTH Spark SQL and DuckDB except
@@ -916,7 +927,10 @@ def compile_query_sql(q: dict, dialect: str = "duckdb") -> str:
     (DuckDB ``len(list_filter(...))`` vs Spark ``exists(...)``) —
     ``dialect`` ("duckdb" default, the oracle consumer; or "spark")
     selects it (ADVICE r11: the old single spelling failed to parse in
-    Spark)."""
+    Spark). ``now_ms`` (r13, opt-in) stamps now-anchored range bounds
+    via :func:`inject_now`, same contract as :func:`compile_query`."""
+    if now_ms is not None:
+        q = inject_now(q, now_ms)
     if dialect not in ("duckdb", "spark"):
         raise ValueError(f"unknown SQL dialect {dialect!r}")
     (kind, body), = q.items()
@@ -1305,7 +1319,7 @@ def _rewrite_join_clauses(
 
 def apply_query(
     df, query: dict, relations: dict | None = None,
-    _inner_sink: list | None = None,
+    _inner_sink: list | None = None, now_ms: int | None = None,
 ):
     """ES query execution at the DATAFRAME level: the full
     :func:`compile_query` clause set PLUS the parent/child join kinds
@@ -1336,7 +1350,12 @@ def apply_query(
     must_not keeps — ES parity); markers drop from the output.
 
     ``_inner_sink`` is the run_search plumbing for ``inner_hits`` (see
-    :func:`_rewrite_join_clauses`); direct callers leave it None."""
+    :func:`_rewrite_join_clauses`); direct callers leave it None.
+    ``now_ms`` (r13, opt-in) stamps now-anchored range bounds via
+    :func:`inject_now` before compilation — the run_search serving shim,
+    available on this bare route too."""
+    if now_ms is not None:
+        query = inject_now(query, now_ms)
     sinks: list = []
     q2 = (
         _rewrite_join_clauses(query, relations, sinks, _inner_sink)

@@ -112,6 +112,48 @@ def test_validate_query_compiles_both_dialects(ndf):
 
 
 # ---------------------------------------------------------------------------
+# r13: now_ms opt-in on the bare compiler route (VERDICT r12 item 7) — the
+# run_search serving shim, now available on compile_query /
+# compile_query_sql / apply_query. Explicit `now` wins; without the
+# opt-in, now-anchored bounds still raise (reproducibility contract).
+# ---------------------------------------------------------------------------
+
+NOW = 1_700_000_000_000  # 2023-11-14T22:13:20Z
+NOW_Q = {"range": {"t": {"gte": "now-1h", "now": 123}}}  # explicit now
+
+
+def test_compile_query_now_ms_optin(spark):
+    from elasticsearch_drift_plugin_spark.functions.es_dsl import (
+        apply_query,
+        compile_query,
+        compile_query_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(NOW - 30 * 60 * 1000,), (NOW - 2 * 3600 * 1000,)], "t long"
+    )
+    q = {"range": {"t": {"gte": "now-1h"}}}
+    # bare route without the opt-in: the contract raise stands
+    with pytest.raises(ValueError, match="now"):
+        compile_query(q)
+    got = df.where(compile_query(q, now_ms=NOW)).collect()
+    assert [r["t"] for r in got] == [NOW - 30 * 60 * 1000]
+    assert apply_query(df, q, now_ms=NOW).count() == 1
+    # the SQL twin stamps identically (both dialects)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE d AS SELECT unnest([{NOW - 1800000}, "
+                f"{NOW - 7200000}]) AS t")
+    sql = compile_query_sql(q, now_ms=NOW)
+    assert con.sql(f"SELECT count(*) FROM d WHERE {sql}").fetchone()[0] == 1
+    # an explicit `now` in the clause always wins over the shim
+    from elasticsearch_drift_plugin_spark.functions.es_dsl import inject_now
+
+    assert inject_now(NOW_Q, NOW)["range"]["t"]["now"] == 123
+
+
+# ---------------------------------------------------------------------------
 # r13: fixed interval + time_zone for DURATION rows (VERDICT r12 item 4).
 # Both endpoints localize; the ratio weights by LOCAL elapsed ms; keys are
 # UTC instants of local edges; spring-forward gap buckets MERGE with their
