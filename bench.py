@@ -273,6 +273,19 @@ BENCH_QUERIES = [
     "es_search_cumcard_fixed_tz",
     "es_search_geo_sort",
     "es_search_date_range_tz",
+    # r13 additions: the zone-shifted fixed grid over DURATION rows
+    "psum_fixed_tz",
+]
+
+# Queries in their FIRST committed bench window get one UNTIMED warmup
+# execution before the timed best-of-N loop (VERDICT r12 item 3:
+# es_search_knn_facets landed a 6.2 s first-execution JIT/codegen
+# artifact in the permanent trail vs 1.0 s warm — best-of-2 in one
+# window failed to dampen it). Rotate this list each round: only the
+# round's new registrations belong here, so the warmup cost stays
+# bounded while established queries keep their cheap 2-shot timing.
+FIRST_WINDOW_WARMUP = [
+    "psum_fixed_tz",
 ]
 
 
@@ -343,6 +356,14 @@ def main() -> None:
     qs = entrymod.queries()
     # untimed warmup: JVM/codegen/parquet-footer caches, not query work
     qs["dedup_exact"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # first-window registrations: absorb their one-off JIT/codegen cost
+    # OUTSIDE the timing loop so the committed trail never records a
+    # cold-start phantom (VERDICT r12 item 3)
+    for name in FIRST_WINDOW_WARMUP:
+        if name in BENCH_QUERIES:
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
     floor_start = _dispatch_floor(spark)
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
     timings: dict[str, float] = {}
