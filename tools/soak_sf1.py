@@ -95,6 +95,15 @@ FLAGSHIPS = (
     "es_dsl_has_child",
     "es_dsl_has_parent",
     "pipe_cumcard_fixed_tz",
+    # round-13 (VERDICT r12 item 5 + newcomer): the three r12
+    # compiler-route registrations that lacked soak rows — zero-shuffle
+    # geo TakeOrdered, the zone-resolved date_range, the has_child
+    # inner_hits window pass — plus the duration-row zone-shifted fixed
+    # grid
+    "es_search_geo_sort",
+    "es_search_date_range_tz",
+    "es_search_has_child_inner",
+    "psum_fixed_tz",
 )
 
 
