@@ -972,8 +972,12 @@ def compile_query_sql(
                 "terms_set needs minimum_should_match or"
                 " minimum_should_match_field"
             )
+        # both intersect forms dedup (the ES distinct-match rule); the
+        # array spelling is per-dialect (r13 — same class as `nested`)
+        if dialect == "spark":
+            arr = "array(" + ", ".join(_sql_lit(t) for t in terms) + ")"
+            return f"(size(array_intersect({field}, {arr})) >= {req})"
         arr = "[" + ", ".join(_sql_lit(t) for t in terms) + "]"
-        # DuckDB list_intersect dedups like Spark's array_intersect
         return f"(len(list_intersect({field}, {arr})) >= {req})"
     if kind == "range":
         (field, bounds), = body.items()
@@ -1044,8 +1048,13 @@ def compile_query_sql(
         return f"levenshtein({field}, {_sql_lit(str(val))}) <= {int(fz)}"
     if kind == "regexp":
         field, val = _field_value(body, "value")
-        # DuckDB regexp_matches is unanchored; wrap for the ES full-match
-        return f"regexp_matches({field}, {_sql_lit('^(?:' + str(val) + ')$')})"
+        # both engines' regex tests are unanchored; wrap for the ES
+        # full-match rule. Function name is per-dialect (r13):
+        # DuckDB regexp_matches (RE2), Spark RLIKE (Java regex)
+        pat = _sql_lit("^(?:" + str(val) + ")$")
+        if dialect == "spark":
+            return f"({field} RLIKE {pat})"
+        return f"regexp_matches({field}, {pat})"
     if kind == "ids":
         field = body.get("field", "doc_id")
         vals = body["values"]
@@ -1070,7 +1079,7 @@ def compile_query_sql(
         dist_m = _parse_distance_m(body["distance"])
         return f"({_haversine_m(lat, lon, olat, olon)} <= {dist_m!r})"
     if kind == "geo_polygon":
-        return f"({_geo_polygon_pred(body, duck=True)})"
+        return f"({_geo_polygon_pred(body, duck=dialect == 'duckdb')})"
     if kind == "nested":
         path, inner = body["path"], body.get("query")
         if inner is None:

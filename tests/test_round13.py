@@ -112,6 +112,104 @@ def test_validate_query_compiles_both_dialects(ndf):
 
 
 # ---------------------------------------------------------------------------
+# r13 three-way dialect parity: for each clause kind, compile_query
+# (Catalyst), compile_query_sql dialect='spark' (via F.expr), and
+# dialect='duckdb' must agree on the matched id set. Catches
+# DuckDB-only spellings leaking into the spark dialect (terms_set
+# list_intersect, regexp regexp_matches, geo_polygon duck pmod — all
+# fixed this round) and future drift in either twin.
+# ---------------------------------------------------------------------------
+
+PARITY_ROWS = [
+    # (id, cat, v, tags,         txt,             lat,   lon)
+    (1, "apple", 10.0, ["a", "b", "c"], "quick brown fox", 40.6, -74.1),
+    (2, "apricot", 20.0, ["a"], "lazy dog sleeps", 40.9, -73.8),
+    (3, "banana", 30.0, ["b", "c", "d"], "brown dog", 41.5, -72.0),
+    (4, None, None, None, None, None, None),
+]
+
+PARITY_CLAUSES = [
+    {"term": {"cat": "apple"}},
+    {"terms": {"cat": ["apple", "banana"]}},
+    {"range": {"v": {"gte": 15, "lt": 30}}},
+    {"exists": {"field": "v"}},
+    {"prefix": {"cat": {"value": "ap"}}},
+    {"wildcard": {"cat": {"value": "*an?na"}}},
+    {"regexp": {"cat": {"value": "ap.*"}}},
+    {"terms_set": {"tags": {"terms": ["a", "b", "x"],
+                            "minimum_should_match": 2}}},
+    {"match": {"txt": "dog fox"}},
+    {"match": {"txt": {"query": "brown dog", "operator": "and"}}},
+    {"match_phrase": {"txt": "brown fox"}},
+    {"geo_polygon": {"points": [{"lat": 40.0, "lon": -75.0},
+                                {"lat": 41.0, "lon": -75.0},
+                                {"lat": 41.0, "lon": -73.0},
+                                {"lat": 40.0, "lon": -73.0}]}},
+    {"bool": {"must": [{"exists": {"field": "v"}}],
+              "should": [{"term": {"cat": "apple"}},
+                         {"range": {"v": {"gte": 25}}},
+                         {"prefix": {"cat": {"value": "ban"}}}],
+              "minimum_should_match": 2,
+              "must_not": [{"term": {"cat": "apricot"}}]}},
+]
+
+
+def test_three_way_dialect_parity(spark):
+    import duckdb
+
+    from elasticsearch_drift_plugin_spark.functions.es_dsl import (
+        compile_query,
+        compile_query_sql,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        PARITY_ROWS,
+        "id long, cat string, v double, tags array<string>,"
+        " txt string, lat double, lon double",
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE p AS SELECT * FROM (VALUES "
+        + ",".join(
+            "({}, {}, {}, {}, {}, {}, {})".format(
+                i,
+                "NULL" if c is None else f"'{c}'",
+                "CAST(NULL AS DOUBLE)" if v is None else v,
+                "CAST(NULL AS VARCHAR[])" if tg is None
+                else "[" + ",".join(f"'{t}'" for t in tg) + "]",
+                "NULL" if tx is None else f"'{tx}'",
+                "CAST(NULL AS DOUBLE)" if la is None else la,
+                "CAST(NULL AS DOUBLE)" if lo is None else lo,
+            )
+            for i, c, v, tg, tx, la, lo in PARITY_ROWS
+        )
+        + ") t(id, cat, v, tags, txt, lat, lon)"
+    )
+    for q in PARITY_CLAUSES:
+        cat_ids = sorted(
+            r["id"] for r in df.where(compile_query(q)).collect()
+        )
+        spark_sql_ids = sorted(
+            r["id"]
+            for r in df.where(
+                F.expr(compile_query_sql(q, dialect="spark"))
+            ).collect()
+        )
+        duck_ids = sorted(
+            r[0]
+            for r in con.sql(
+                "SELECT id FROM p WHERE "
+                + compile_query_sql(q, dialect="duckdb")
+            ).fetchall()
+        )
+        assert cat_ids == spark_sql_ids == duck_ids, (
+            q, cat_ids, spark_sql_ids, duck_ids
+        )
+        assert cat_ids, f"clause matched nothing — weak fixture: {q}"
+
+
+# ---------------------------------------------------------------------------
 # r13: now_ms opt-in on the bare compiler route (VERDICT r12 item 7) — the
 # run_search serving shim, now available on compile_query /
 # compile_query_sql / apply_query. Explicit `now` wins; without the
