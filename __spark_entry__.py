@@ -1965,6 +1965,41 @@ def _es_search_retriever_query(s: SparkSession, d: str) -> DataFrame:
     return run_search(emb, ES_SEARCH_RETRIEVER_BODY)["_hits"]
 
 
+# r13: the script_score retriever — rank by a script in the engine's SQL
+# expression dialect (params bind as literals), filter NaN/negatives via
+# the inner query, integer-quantized score with the id tiebreak. The
+# le-bound excludes NaN in BOTH engines (NaN sorts greatest, so NaN <= x
+# is false) — term-for-term the oracle's WHERE.
+ES_SEARCH_SCRIPT_SCORE_BODY = {
+    "size": 15,
+    "retriever": {"script_score": {
+        "query": {"range": {"value": {"gte": 0, "lte": 1.0e12}}},
+        "script": {"source": "value * (1 + user_id % params.mod)",
+                   "params": {"mod": 5}},
+        "id_field": "event_id",
+    }},
+}
+
+
+def _es_search_script_score_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    ev = flows_src.load_table(s, d, "events")
+    return run_search(ev, ES_SEARCH_SCRIPT_SCORE_BODY)["_hits"].select(
+        "event_id", "_score_q"
+    )
+
+
+ES_SEARCH_SCRIPT_SCORE_SQL = """
+SELECT event_id,
+       CAST(FLOOR(value * (1 + user_id % 5) * 1e6) AS BIGINT) AS _score_q
+FROM events
+WHERE value >= 0 AND value <= 1000000000000.0
+ORDER BY _score_q DESC, event_id ASC
+LIMIT 15
+"""
+
+
 ES_SEARCH_RETRIEVER_SQL = f"""
 WITH std AS (
   SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY label ASC, vec_id ASC)
@@ -2553,6 +2588,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_script_fields": _es_search_script_fields_query,
         "es_search_terms_filtered": _es_search_terms_filtered_query,
         "es_search_retriever": _es_search_retriever_query,
+        "es_search_script_score": _es_search_script_score_query,
         "es_search_post_filter": _es_search_post_filter,
         "es_search_inference": _es_search_inference,
         "es_search_knn_facets": _es_search_knn_facets,
@@ -2914,6 +2950,7 @@ def _oracles_raw() -> dict[str, str]:
         "es_search_script_fields": ES_SEARCH_SCRIPT_FIELDS_SQL,
         "es_search_terms_filtered": ES_SEARCH_TERMS_FILTERED_SQL,
         "es_search_retriever": ES_SEARCH_RETRIEVER_SQL,
+        "es_search_script_score": ES_SEARCH_SCRIPT_SCORE_SQL,
         "es_search_post_filter": ES_SEARCH_POST_FILTER_SQL,
         "es_search_inference": ES_SEARCH_INFERENCE_SQL,
         "es_search_knn_facets": ES_SEARCH_KNN_FACETS_SQL,

@@ -273,8 +273,10 @@ BENCH_QUERIES = [
     "es_search_cumcard_fixed_tz",
     "es_search_geo_sort",
     "es_search_date_range_tz",
-    # r13 additions: the zone-shifted fixed grid over DURATION rows
+    # r13 additions: the zone-shifted fixed grid over DURATION rows +
+    # the SQL-dialect script_score retriever
     "psum_fixed_tz",
+    "es_search_script_score",
 ]
 
 # Queries in their FIRST committed bench window get one UNTIMED warmup
@@ -286,6 +288,7 @@ BENCH_QUERIES = [
 # bounded while established queries keep their cheap 2-shot timing.
 FIRST_WINDOW_WARMUP = [
     "psum_fixed_tz",
+    "es_search_script_score",
 ]
 
 

@@ -505,6 +505,61 @@ def desugar_compound(kind: str, body: dict) -> dict | None:
     return None
 
 
+def _script_source(body: dict) -> str:
+    """The ``script.source`` string of a script-bearing clause — the
+    engine's SQL expression dialect (the runtime_mappings contract).
+    ``params`` interpolate as literals: ``params.x`` spellings in the
+    source are replaced by the value under ``script.params.x`` (ES's
+    compile-once-bind-params pattern, resolved at compile time here
+    since the engine re-plans per query anyway)."""
+    script = body.get("script")
+    if not isinstance(script, dict) or "source" not in script:
+        raise ValueError(
+            f"{next(iter(body), '?')}: script needs {{'source': <SQL"
+            " expression>}} — the engine's SQL dialect, not Painless"
+            " (SCOPE §D)"
+        )
+    src = str(script["source"])
+    for name, val in (script.get("params") or {}).items():
+        src = src.replace(f"params.{name}", _sql_lit(val))
+    return src
+
+
+# the two documented Painless spellings of terms_set's msm_script — the
+# per-doc field read, optionally capped at the number of supplied terms
+# (the canonical example in the ES terms_set docs). Anything richer
+# raises naming these forms.
+_MSM_SCRIPT_FIELD = re.compile(
+    r"^\s*doc\[['\"](?P<f>[A-Za-z_][\w.]*)['\"]\]\.value\s*$"
+)
+_MSM_SCRIPT_MIN = re.compile(
+    r"^\s*Math\.min\(\s*params\.num_terms\s*,\s*"
+    r"doc\[['\"](?P<f>[A-Za-z_][\w.]*)['\"]\]\.value\s*\)\s*$"
+)
+
+
+def _msm_script_req(spec: dict, n_terms: int):
+    """Resolve terms_set ``minimum_should_match_script`` to
+    ``(field, cap)``: the per-doc requirement column and an optional
+    integer ceiling (``Math.min(params.num_terms, doc[...].value)`` —
+    the ES docs' canonical script). Richer Painless raises."""
+    script = spec["minimum_should_match_script"]
+    src = script.get("source", "") if isinstance(script, dict) else str(script)
+    m = _MSM_SCRIPT_MIN.match(src)
+    if m:
+        return m.group("f"), n_terms
+    m = _MSM_SCRIPT_FIELD.match(src)
+    if m:
+        return m.group("f"), None
+    raise ValueError(
+        "terms_set minimum_should_match_script supports the documented"
+        " spellings doc['F'].value and Math.min(params.num_terms,"
+        f" doc['F'].value) only, got {src!r} — use"
+        " minimum_should_match_field for anything per-doc, or"
+        " minimum_should_match for a constant"
+    )
+
+
 def compile_query(q: dict, now_ms: int | None = None) -> Column:
     """Compile an ES ``query`` body (the dict under ``"query"``) to one
     boolean ``Column``.
@@ -533,6 +588,20 @@ def compile_query(q: dict, now_ms: int | None = None) -> Column:
         return F.lit(True)
     if kind == "match_none":
         return F.lit(False)
+    if kind == "script_score":
+        # ES script_score (r13): score = script over the inner query's
+        # hits. The script dialect is the engine's SQL expression dialect
+        # (the runtime_mappings / script_fields contract — NOT Painless;
+        # SCOPE §D). In FILTER context the score is unobservable, so the
+        # clause reduces to its inner query unless `min_score` prunes —
+        # exactly ES's behavior (scores ignored in filter context, docs
+        # below min_score dropped). The run_search `script_score`
+        # RETRIEVER ranks by the same script.
+        inner = compile_query(body["query"])
+        src = _script_source(body)
+        if "min_score" in body:
+            return inner & (F.expr(src) >= F.lit(float(body["min_score"])))
+        return inner
     if kind == "term":
         field, val = _field_value(body, "value")
         return F.col(field) == F.lit(val)
@@ -553,18 +622,21 @@ def compile_query(q: dict, now_ms: int | None = None) -> Column:
         if not isinstance(terms, (list, tuple)) or not terms:
             raise ValueError(f"terms_set expects a non-empty terms list, got {terms!r}")
         if "minimum_should_match_script" in spec:
-            raise ValueError(
-                "terms_set minimum_should_match_script is unsupported —"
-                " use minimum_should_match or minimum_should_match_field"
-            )
-        if "minimum_should_match" in spec:
+            # r13: the two documented Painless spellings resolve to the
+            # field route (optionally capped at len(terms))
+            rf, cap = _msm_script_req(spec, len(terms))
+            req = F.col(rf)
+            if cap is not None:
+                req = F.least(req, F.lit(int(cap)))
+        elif "minimum_should_match" in spec:
             req = F.lit(int(spec["minimum_should_match"]))
         elif "minimum_should_match_field" in spec:
             req = F.col(spec["minimum_should_match_field"])
         else:
             raise ValueError(
-                "terms_set needs minimum_should_match or"
-                " minimum_should_match_field"
+                "terms_set needs minimum_should_match,"
+                " minimum_should_match_field, or the documented"
+                " minimum_should_match_script spellings"
             )
         matched = F.size(F.array_intersect(
             F.col(field), F.array(*[F.lit(t) for t in terms])
@@ -947,6 +1019,16 @@ def compile_query_sql(
         return "TRUE"
     if kind == "match_none":
         return "FALSE"
+    if kind == "script_score":
+        # twin of compile_query's script_score: the SQL-dialect script
+        # embeds directly (the caller writes portable SQL — the same
+        # contract as runtime_mappings); min_score prunes, else the
+        # clause reduces to its inner query (filter context)
+        inner = compile_query_sql(body["query"], dialect)
+        src = _script_source(body)
+        if "min_score" in body:
+            return f"({inner} AND ({src}) >= {float(body['min_score'])!r})"
+        return inner
     if kind == "term":
         field, val = _field_value(body, "value")
         return f"{field} = {_sql_lit(val)}"
@@ -959,18 +1041,17 @@ def compile_query_sql(
         if not isinstance(terms, (list, tuple)) or not terms:
             raise ValueError(f"terms_set expects a non-empty terms list, got {terms!r}")
         if "minimum_should_match_script" in spec:
-            raise ValueError(
-                "terms_set minimum_should_match_script is unsupported —"
-                " use minimum_should_match or minimum_should_match_field"
-            )
-        if "minimum_should_match" in spec:
+            rf, cap = _msm_script_req(spec, len(terms))
+            req = rf if cap is None else f"least({rf}, {int(cap)})"
+        elif "minimum_should_match" in spec:
             req = str(int(spec["minimum_should_match"]))
         elif "minimum_should_match_field" in spec:
             req = spec["minimum_should_match_field"]
         else:
             raise ValueError(
-                "terms_set needs minimum_should_match or"
-                " minimum_should_match_field"
+                "terms_set needs minimum_should_match,"
+                " minimum_should_match_field, or the documented"
+                " minimum_should_match_script spellings"
             )
         # both intersect forms dedup (the ES distinct-match rule); the
         # array spelling is per-dialect (r13 — same class as `nested`)

@@ -3220,6 +3220,40 @@ def _standard_retriever_body(rspec: dict) -> dict:
     return sub
 
 
+def _script_score_ranked(df: DataFrame, rspec: dict, size: int) -> DataFrame:
+    """The ``script_score`` retriever (r13): filter by the optional inner
+    ``query``, rank by the script — the engine's SQL expression dialect
+    (runtime_mappings contract, NOT Painless) — descending, quantized to
+    integer 1e-6 like the knn tier so ranking cannot drift across
+    engines. ``id_field`` is the REQUIRED total-order tiebreak (hit
+    identity is a relational column here; ES's implicit ``_id``).
+
+    Plan shape: scan → optional pushed filter → one codegen projection
+    (the script + quantization) → TakeOrdered(size) per-partition heaps —
+    zero shuffles, the es_search_geo_sort recipe."""
+    from .es_dsl import _script_source, compile_query
+
+    id_field = rspec.get("id_field")
+    if not id_field:
+        raise ValueError(
+            "script_score retriever needs id_field (the hit-identity"
+            " column — the deterministic rank tiebreak)"
+        )
+    src = _script_source(rspec)
+    base = df.where(compile_query(rspec["query"])) if "query" in rspec else df
+    scored = base.withColumn(
+        "_score_q", F.floor(F.expr(src) * F.lit(1e6)).cast("long")
+    )
+    if "min_score" in rspec:
+        scored = scored.where(
+            F.col("_score_q")
+            >= int(float(rspec["min_score"]) * 1e6)
+        )
+    return scored.orderBy(
+        F.col("_score_q").desc(), F.col(id_field).asc()
+    ).limit(size)
+
+
 def _run_retriever(df: DataFrame, body: dict) -> DataFrame:
     """The ES 8.14+ ``retriever`` tree. Supported nodes:
 
@@ -3227,6 +3261,8 @@ def _run_retriever(df: DataFrame, body: dict) -> DataFrame:
       engine has no ``_score``, so the ranking must name its order — the
       same stance as hits retrieval);
     - ``knn`` — the vector retriever (ranks by similarity desc);
+    - ``script_score`` (r13) — ranks by a script in the engine's SQL
+      expression dialect (:func:`_script_score_ranked`);
     - ``rrf`` — Reciprocal Rank Fusion of its child ``retrievers``:
       ``score = Σ 1e12 div (rank_constant + rank_i)`` over each child's
       top ``rank_window_size`` (a doc outside a child's window
@@ -3253,6 +3289,8 @@ def _run_retriever(df: DataFrame, body: dict) -> DataFrame:
             df, rspec,
             [c for c in df.columns if c != rspec["field"]],
         ).limit(min(int(rspec.get("k", size)), size))
+    if kind == "script_score":
+        return _script_score_ranked(df, rspec, size)
     if kind != "rrf":
         raise ValueError(f"unsupported retriever {kind!r}")
     id_field = rspec.get("id_field")
@@ -3293,6 +3331,11 @@ def _run_retriever(df: DataFrame, body: dict) -> DataFrame:
         elif ckind == "knn":
             top = _knn_scored(df, cspec, [id_field]).limit(
                 int(cspec.get("k", window))
+            )
+            order = [F.col("_score_q").desc(), F.col(id_field).asc()]
+        elif ckind == "script_score":
+            top = _script_score_ranked(
+                df, {**cspec, "id_field": id_field}, window
             )
             order = [F.col("_score_q").desc(), F.col(id_field).asc()]
         else:

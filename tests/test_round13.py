@@ -112,6 +112,138 @@ def test_validate_query_compiles_both_dialects(ndf):
 
 
 # ---------------------------------------------------------------------------
+# r13: script_score (query kind + retriever, SQL script dialect) and the
+# documented terms_set msm_script spellings.
+# ---------------------------------------------------------------------------
+
+def test_script_score_query_kind(spark):
+    from elasticsearch_drift_plugin_spark.functions.es_dsl import (
+        compile_query,
+        compile_query_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, 5.0), (3, 9.0), (4, None)], "id long, v double"
+    )
+    base = {"script_score": {
+        "query": {"exists": {"field": "v"}},
+        "script": {"source": "v * params.f", "params": {"f": 2}},
+    }}
+    # filter context without min_score: reduces to the inner query
+    assert sorted(
+        r["id"] for r in df.where(compile_query(base)).collect()
+    ) == [1, 2, 3]
+    pruned = {"script_score": {**base["script_score"], "min_score": 10}}
+    assert sorted(
+        r["id"] for r in df.where(compile_query(pruned)).collect()
+    ) == [2, 3]
+    # SQL twins agree
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d AS SELECT * FROM (VALUES (1, 2.0), (2, 5.0),"
+                " (3, 9.0), (4, CAST(NULL AS DOUBLE))) t(id, v)")
+    for dialect in ("spark", "duckdb"):
+        sql = compile_query_sql(pruned, dialect=dialect)
+        assert "10.0" in sql and "v * 2" in sql
+    assert [r[0] for r in con.sql(
+        "SELECT id FROM d WHERE "
+        + compile_query_sql(pruned) + " ORDER BY id").fetchall()] == [2, 3]
+    # a Painless-looking script raises naming the dialect
+    with pytest.raises(ValueError, match="source"):
+        compile_query({"script_score": {"query": {"match_all": {}},
+                                        "script": "doc.v * 2"}})
+
+
+def test_script_score_retriever_and_rrf_child(spark):
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    df = spark.createDataFrame(
+        [(1, 2.0, "a"), (2, 5.0, "b"), (3, 9.0, "a"), (4, 1.0, "b")],
+        "id long, v double, k string",
+    )
+    out = run_search(df, {"size": 2, "retriever": {"script_score": {
+        "script": {"source": "v * 10"}, "id_field": "id",
+    }}})["_hits"]
+    assert [(r["id"], r["_score_q"]) for r in out.collect()] == [
+        (3, 90_000_000), (2, 50_000_000)
+    ]
+    # min_score prunes before the heap
+    out = run_search(df, {"size": 10, "retriever": {"script_score": {
+        "script": {"source": "v"}, "id_field": "id", "min_score": 2.0,
+    }}})["_hits"]
+    assert sorted(r["id"] for r in out.collect()) == [1, 2, 3]
+    # as an rrf child beside a standard retriever
+    fused = run_search(df, {"size": 4, "retriever": {"rrf": {
+        "id_field": "id",
+        "retrievers": [
+            {"standard": {"sort": [{"v": "asc"}]}},
+            {"script_score": {"script": {"source": "v"}}},
+        ],
+    }}})["_hits"]
+    assert fused.count() == 4
+    # id_field is required on the bare retriever
+    with pytest.raises(ValueError, match="id_field"):
+        run_search(df, {"retriever": {"script_score": {
+            "script": {"source": "v"}}}})
+
+
+def test_terms_set_msm_script_spellings(spark):
+    import duckdb
+
+    from elasticsearch_drift_plugin_spark.functions.es_dsl import (
+        compile_query,
+        compile_query_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"], 1), (2, ["a", "b"], 2), (3, ["a"], 9),
+         (4, None, 1)],
+        "id long, tags array<string>, req int",
+    )
+    plain = {"terms_set": {"tags": {
+        "terms": ["a", "b", "x"],
+        "minimum_should_match_script": {"source": "doc['req'].value"},
+    }}}
+    assert sorted(
+        r["id"] for r in df.where(compile_query(plain)).collect()
+    ) == [1, 2]
+    # Math.min(params.num_terms, doc[...]) caps the per-doc requirement
+    # at len(terms): doc 3's req=9 caps at 1, and its one matched term
+    # clears it; doc 4's NULL tags never match (ES)
+    capped = {"terms_set": {"tags": {
+        "terms": ["a"],
+        "minimum_should_match_script": {
+            "source": "Math.min(params.num_terms, doc['req'].value)"},
+    }}}
+    got = sorted(r["id"] for r in df.where(compile_query(capped)).collect())
+    assert got == [1, 2, 3]
+    # SQL twins agree in both dialects
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES"
+        " (1, ['a','b'], 1), (2, ['a','b'], 2), (3, ['a'], 9),"
+        " (4, CAST(NULL AS VARCHAR[]), 1)) t(id, tags, req)"
+    )
+    for q, want in ((plain, [1, 2]), (capped, [1, 2, 3])):
+        duck = sorted(r[0] for r in con.sql(
+            "SELECT id FROM d WHERE " + compile_query_sql(q)).fetchall())
+        assert duck == want, (q, duck)
+        from pyspark.sql import functions as F
+
+        sp = sorted(r["id"] for r in df.where(
+            F.expr(compile_query_sql(q, dialect="spark"))).collect())
+        assert sp == want, (q, sp)
+    # richer Painless still raises, naming the supported forms
+    with pytest.raises(ValueError, match="documented"):
+        compile_query({"terms_set": {"tags": {
+            "terms": ["a"],
+            "minimum_should_match_script": {
+                "source": "doc['req'].value * 2"},
+        }}})
+
+
+# ---------------------------------------------------------------------------
 # r13 three-way dialect parity: for each clause kind, compile_query
 # (Catalyst), compile_query_sql dialect='spark' (via F.expr), and
 # dialect='duckdb' must agree on the matched id set. Catches
