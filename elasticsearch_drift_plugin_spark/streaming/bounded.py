@@ -113,6 +113,22 @@ def stream_psum_day_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.select("key", "doc_count", "value").orderBy("key")
 
 
+def stream_psum_fixed_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``psum_fixed_tz`` (r13): the zone-shifted FIXED
+    grid over DURATION rows through the streaming operator — possible
+    since explode_contributions converts local-grid edges to UTC-instant
+    keys at the explode level (shared with batch, so the replay matches
+    the batch oracle bit-for-bit)."""
+    fl = events_flows_stream(spark, sf_dir)
+    agg = proportional_sum_stream(
+        fl, "start_ms", "end_ms", "value", "sampling",
+        interval=6 * HOUR, offset=1, time_zone="America/New_York",
+        quantize=4,
+    )
+    tbl = run_available_now(agg, "complete")
+    return tbl.select("key", "doc_count", "value").orderBy("key")
+
+
 def stream_flow_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """flow_sessions_stream over a bounded replay, collapsed to the batch
     sessionize output shape (key…, session_id, session_start, session_end,
@@ -246,6 +262,7 @@ def queries() -> dict:
         "stream_psum_6h": stream_psum_6h,
         "stream_zscore_day": stream_zscore_day,
         "stream_psum_day_tz": stream_psum_day_tz,
+        "stream_psum_fixed_tz": stream_psum_fixed_tz,
         "stream_flow_sessions": stream_flow_sessions,
         "stream_dedup_exact": stream_dedup_exact,
         "stream_new_users": stream_new_users,
@@ -283,6 +300,10 @@ def oracle_sql() -> dict:
         "stream_psum_day_tz": psum_oracle_sql(
             events_flows_duckdb_sql(""), quantize=4,
             calendar_interval="day", offset=1, time_zone="America/New_York",
+        ),
+        "stream_psum_fixed_tz": psum_oracle_sql(
+            events_flows_duckdb_sql(""), quantize=4,
+            interval=6 * HOUR, offset=1, time_zone="America/New_York",
         ),
         "stream_dedup_exact": EXACT_SQL,
         "stream_new_users": STREAM_NEW_USERS_SQL,
