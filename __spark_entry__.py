@@ -2000,6 +2000,39 @@ LIMIT 15
 """
 
 
+# r13: rank_feature retriever — the ES saturation function x/(x+pivot)
+# compiled to a SQL script, ranked by the quantized score. The range
+# guard keeps the score finite for ANSI-mode quantization.
+ES_SEARCH_RANK_FEATURE_BODY = {
+    "size": 12,
+    "retriever": {"rank_feature": {
+        "field": "value",
+        "saturation": {"pivot": 50},
+        "query": {"range": {"value": {"gte": 0, "lte": 1.0e12}}},
+        "id_field": "event_id",
+    }},
+}
+
+
+def _es_search_rank_feature_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    ev = flows_src.load_table(s, d, "events")
+    return run_search(ev, ES_SEARCH_RANK_FEATURE_BODY)["_hits"].select(
+        "event_id", "_score_q"
+    )
+
+
+ES_SEARCH_RANK_FEATURE_SQL = """
+SELECT event_id,
+       CAST(FLOOR(value / (value + 50.0) * 1e6) AS BIGINT) AS _score_q
+FROM events
+WHERE value >= 0 AND value <= 1000000000000.0 AND value IS NOT NULL
+ORDER BY _score_q DESC, event_id ASC
+LIMIT 12
+"""
+
+
 ES_SEARCH_RETRIEVER_SQL = f"""
 WITH std AS (
   SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY label ASC, vec_id ASC)
@@ -2589,6 +2622,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_terms_filtered": _es_search_terms_filtered_query,
         "es_search_retriever": _es_search_retriever_query,
         "es_search_script_score": _es_search_script_score_query,
+        "es_search_rank_feature": _es_search_rank_feature_query,
         "es_search_post_filter": _es_search_post_filter,
         "es_search_inference": _es_search_inference,
         "es_search_knn_facets": _es_search_knn_facets,
@@ -2951,6 +2985,7 @@ def _oracles_raw() -> dict[str, str]:
         "es_search_terms_filtered": ES_SEARCH_TERMS_FILTERED_SQL,
         "es_search_retriever": ES_SEARCH_RETRIEVER_SQL,
         "es_search_script_score": ES_SEARCH_SCRIPT_SCORE_SQL,
+        "es_search_rank_feature": ES_SEARCH_RANK_FEATURE_SQL,
         "es_search_post_filter": ES_SEARCH_POST_FILTER_SQL,
         "es_search_inference": ES_SEARCH_INFERENCE_SQL,
         "es_search_knn_facets": ES_SEARCH_KNN_FACETS_SQL,

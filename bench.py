@@ -277,6 +277,8 @@ BENCH_QUERIES = [
     # the SQL-dialect script_score retriever
     "psum_fixed_tz",
     "es_search_script_score",
+    "es_search_rank_feature",
+    "stream_psum_fixed_tz",
 ]
 
 # Queries in their FIRST committed bench window get one UNTIMED warmup
@@ -289,6 +291,8 @@ BENCH_QUERIES = [
 FIRST_WINDOW_WARMUP = [
     "psum_fixed_tz",
     "es_search_script_score",
+    "es_search_rank_feature",
+    "stream_psum_fixed_tz",
 ]
 
 

@@ -3220,6 +3220,71 @@ def _standard_retriever_body(rspec: dict) -> dict:
     return sub
 
 
+def _feature_score_source(kind: str, rspec: dict) -> str:
+    """SQL score expression for the ``rank_feature`` / ``distance_feature``
+    RETRIEVER kinds (r13) — the ES scoring functions as portable SQL,
+    consumed by :func:`_script_score_ranked`.
+
+    rank_feature functions (exactly one; ES's implicit saturation pivot
+    is an index statistic the engine doesn't keep, so ``pivot`` is
+    REQUIRED here): ``saturation`` x/(x+pivot), ``log``
+    ln(scaling_factor + x), ``sigmoid`` x^exp/(x^exp + pivot^exp),
+    ``linear`` x.
+
+    distance_feature: ``pivot/(pivot + |field − origin|)`` for
+    numeric/date fields (origin/pivot in the field's units — epoch ms
+    for dates), or the haversine form when ``origin`` is a
+    ``{lat, lon}`` object (pivot in meters, ``lat_field``/``lon_field``
+    default lat/lon)."""
+    if kind == "rank_feature":
+        f = rspec["field"]
+        funcs = [k for k in ("saturation", "log", "sigmoid", "linear")
+                 if k in rspec]
+        if len(funcs) > 1:
+            raise ValueError(
+                f"rank_feature takes one scoring function, got {funcs}"
+            )
+        fn = funcs[0] if funcs else "saturation"
+        spec = rspec.get(fn, {})
+        if fn == "saturation":
+            if "pivot" not in spec:
+                raise ValueError(
+                    "rank_feature saturation needs an explicit pivot (the"
+                    " ES default pivot is an index statistic this engine"
+                    " does not keep)"
+                )
+            p = float(spec["pivot"])
+            return f"({f} / ({f} + {p!r}))"
+        if fn == "log":
+            sf = float(spec.get("scaling_factor", 1.0))
+            return f"ln({sf!r} + {f})"
+        if fn == "sigmoid":
+            p, e = float(spec["pivot"]), float(spec["exponent"])
+            return f"(pow({f}, {e!r}) / (pow({f}, {e!r}) + pow({p!r}, {e!r})))"
+        return f"({f})"  # linear
+    # distance_feature
+    origin, pivot = rspec["origin"], rspec["pivot"]
+    if isinstance(origin, dict) or (
+        isinstance(origin, (list, tuple)) and len(origin) == 2
+    ):
+        from ..operators.geo import _haversine_m
+        from .es_dsl import _parse_distance_m
+
+        if isinstance(origin, dict):
+            olat, olon = float(origin["lat"]), float(origin["lon"])
+        else:  # ES geo arrays are [lon, lat]
+            olon, olat = float(origin[0]), float(origin[1])
+        pm = _parse_distance_m(pivot) if isinstance(pivot, str) else float(pivot)
+        dist = _haversine_m(
+            rspec.get("lat_field", "lat"), rspec.get("lon_field", "lon"),
+            olat, olon,
+        )
+        return f"({pm!r} / ({pm!r} + {dist}))"
+    o, p = float(origin), float(pivot)
+    f = rspec["field"]
+    return f"({p!r} / ({p!r} + abs({f} - {o!r})))"
+
+
 def _script_score_ranked(df: DataFrame, rspec: dict, size: int) -> DataFrame:
     """The ``script_score`` retriever (r13): filter by the optional inner
     ``query``, rank by the script — the engine's SQL expression dialect
@@ -3291,6 +3356,28 @@ def _run_retriever(df: DataFrame, body: dict) -> DataFrame:
         ).limit(min(int(rspec.get("k", size)), size))
     if kind == "script_score":
         return _script_score_ranked(df, rspec, size)
+    if kind in ("rank_feature", "distance_feature"):
+        # score-shaping kinds as retrievers (r13): compile the ES scoring
+        # function to a SQL script and ride the script_score ranker. The
+        # filter-context matching rule holds: only field-bearing docs
+        # rank (the exists guard composes with any user query).
+        src = _feature_score_source(kind, rspec)
+        guard_field = (
+            rspec.get("lat_field", "lat")
+            if kind == "distance_feature" and "field" not in rspec
+            else rspec["field"]
+        )
+        exists_q = {"exists": {"field": guard_field}}
+        q = (
+            {"bool": {"must": [rspec["query"], exists_q]}}
+            if "query" in rspec else exists_q
+        )
+        spec2 = {
+            k: v for k, v in rspec.items()
+            if k in ("id_field", "min_score")
+        }
+        spec2.update({"script": {"source": src}, "query": q})
+        return _script_score_ranked(df, spec2, size)
     if kind != "rrf":
         raise ValueError(f"unsupported retriever {kind!r}")
     id_field = rspec.get("id_field")

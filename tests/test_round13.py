@@ -243,6 +243,62 @@ def test_terms_set_msm_script_spellings(spark):
         }}})
 
 
+def test_wrapper_query_kind(spark):
+    import base64
+    import json
+
+    from elasticsearch_drift_plugin_spark.functions.es_dsl import (
+        compile_query,
+        compile_query_sql,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, k string")
+    inner = {"term": {"k": "a"}}
+    wrapped = {"wrapper": {"query": base64.b64encode(
+        json.dumps(inner).encode()).decode()}}
+    assert [r["id"] for r in df.where(compile_query(wrapped)).collect()] == [1]
+    assert compile_query_sql(wrapped) == compile_query_sql(inner)
+
+
+def test_rank_feature_and_distance_feature(spark):
+    from elasticsearch_drift_plugin_spark.functions.es_dsl import compile_query
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 100.0), (2, 50.0, 250.0), (3, None, 400.0),
+         (4, 200.0, None)],
+        "id long, feat double, t double",
+    )
+    # filter context: both kinds match field-bearing docs (ES rule)
+    q = {"rank_feature": {"field": "feat", "saturation": {"pivot": 10}}}
+    assert sorted(r["id"] for r in df.where(compile_query(q)).collect()) == [1, 2, 4]
+    # retriever: saturation ranks monotonically in the feature
+    out = run_search(df, {"size": 2, "retriever": {"rank_feature": {
+        "field": "feat", "saturation": {"pivot": 10}, "id_field": "id",
+    }}})["_hits"]
+    assert [r["id"] for r in out.collect()] == [4, 2]
+    # saturation without an explicit pivot raises (no index stats here)
+    with pytest.raises(ValueError, match="pivot"):
+        run_search(df, {"retriever": {"rank_feature": {
+            "field": "feat", "id_field": "id"}}})
+    # distance_feature: closest to the origin ranks first
+    # distances from 240: id2=10, id1=140, id3=160; null-t id4 drops
+    out = run_search(df, {"size": 3, "retriever": {"distance_feature": {
+        "field": "t", "origin": 240.0, "pivot": 100.0, "id_field": "id",
+    }}})["_hits"]
+    assert [r["id"] for r in out.collect()] == [2, 1, 3]
+    # geo form: haversine distance from a {lat, lon} origin
+    gdf = spark.createDataFrame(
+        [(1, 40.0, -74.0), (2, 41.0, -74.0), (3, 52.0, 13.0)],
+        "id long, lat double, lon double",
+    )
+    out = run_search(gdf, {"size": 3, "retriever": {"distance_feature": {
+        "origin": {"lat": 40.1, "lon": -74.0}, "pivot": "10km",
+        "id_field": "id",
+    }}})["_hits"]
+    assert [r["id"] for r in out.collect()] == [1, 2, 3]
+
+
 # ---------------------------------------------------------------------------
 # r13 three-way dialect parity: for each clause kind, compile_query
 # (Catalyst), compile_query_sql dialect='spark' (via F.expr), and
