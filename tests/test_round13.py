@@ -339,6 +339,31 @@ PARITY_CLAUSES = [
                          {"prefix": {"cat": {"value": "ban"}}}],
               "minimum_should_match": 2,
               "must_not": [{"term": {"cat": "apricot"}}]}},
+    # the full compound / leaf inventory (r13 widening): every kind the
+    # compilers support that the fixture can express
+    {"ids": {"values": [1, 3], "field": "id"}},
+    {"fuzzy": {"cat": {"value": "aple", "fuzziness": 1}}},
+    {"match_bool_prefix": {"txt": "brown fo"}},
+    {"match_phrase_prefix": {"txt": "quick bro"}},
+    {"dis_max": {"queries": [{"term": {"cat": "apple"}},
+                             {"range": {"v": {"gte": 25}}}]}},
+    {"constant_score": {"filter": {"term": {"cat": "banana"}}}},
+    {"boosting": {"positive": {"exists": {"field": "cat"}},
+                  "negative": {"term": {"cat": "apple"}},
+                  "negative_boost": 0.5}},
+    {"pinned": {"ids": [3], "field": "id",
+                "organic": {"term": {"cat": "apple"}}}},
+    {"combined_fields": {"query": "brown dog", "fields": ["txt", "cat"]}},
+    {"geo_bounding_box": {"top_left": {"lat": 41.2, "lon": -75.0},
+                          "bottom_right": {"lat": 40.0, "lon": -73.0}}},
+    {"geo_distance": {"distance": "50km",
+                      "origin": {"lat": 40.7, "lon": -74.0}}},
+    {"query_string": {"query": "cat:ap* OR v:>25"}},
+    {"simple_query_string": {"query": "brown dog", "fields": ["txt"],
+                             "default_operator": "and"}},
+    {"script_score": {"query": {"exists": {"field": "v"}},
+                      "script": {"source": "v * 2"}, "min_score": 25}},
+    {"rank_feature": {"field": "v"}},
 ]
 
 
