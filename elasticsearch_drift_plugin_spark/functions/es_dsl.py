@@ -708,12 +708,6 @@ def compile_query(q: dict, now_ms: int | None = None) -> Column:
         return compile_query(
             _json.loads(base64.b64decode(body["query"]).decode("utf-8"))
         )
-    if kind in ("rank_feature", "distance_feature"):
-        # Score-shaping kinds (r13): in FILTER context both match every
-        # doc that HAS the field — ES's matching rule; the score only
-        # shapes ranking, which the `rank_feature` / `distance_feature`
-        # RETRIEVER kinds express (es_search._feature_score_source).
-        return F.col(body["field"]).isNotNull()
     if kind == "fuzzy":
         # ES fuzzy: terms within `fuzziness` edits (Levenshtein is a
         # JVM/DuckDB builtin — exact, same unit-of-edit on ASCII; the
@@ -1142,9 +1136,6 @@ def compile_query_sql(
             _json.loads(base64.b64decode(body["query"]).decode("utf-8")),
             dialect,
         )
-    if kind in ("rank_feature", "distance_feature"):
-        # twin of compile_query: filter context matches field-bearing docs
-        return f"{body['field']} IS NOT NULL"
     if kind == "fuzzy":
         field, val = _field_value(body, "value")
         spec = body[field] if isinstance(body[field], dict) else {}
