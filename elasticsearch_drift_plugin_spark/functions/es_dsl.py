@@ -1341,8 +1341,27 @@ def _rewrite_join_clauses(
     (relation name, matched other-side frame, join keys, spec) instead
     of raising — run_search materializes the reserved ``"_inner_hits"``
     frame from it. The direct :func:`apply_query` route keeps the loud
-    raise (it returns exactly one frame)."""
+    raise (it returns exactly one frame).
+
+    ``parent_id`` (r13): in ES the child doc stores its parent id in the
+    join field, so the clause is literally an equality filter on the
+    relation's LOCAL join key — rewritten to a plain ``term``, no join,
+    no aggregate."""
     (kind, body), = q.items()
+    if kind == "parent_id":
+        name = body.get("type")
+        if not name:
+            raise ValueError("parent_id needs type (the relation name)")
+        if name not in relations:
+            raise ValueError(
+                f"parent_id relation {name!r} is not declared — pass"
+                " relations={name: (other_frame, key_on_this_frame,"
+                " key_on_other_frame)}"
+            )
+        if "id" not in body:
+            raise ValueError("parent_id needs id")
+        _, local_key, _ = relations[name]
+        return {"term": {local_key: body["id"]}}
     if kind in ("has_child", "has_parent"):
         if "inner_hits" in body and inner_sink is None:
             raise ValueError(

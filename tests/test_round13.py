@@ -243,6 +243,29 @@ def test_terms_set_msm_script_spellings(spark):
         }}})
 
 
+def test_parent_id_query_kind(spark):
+    from elasticsearch_drift_plugin_spark.functions.es_dsl import apply_query
+
+    parents = spark.createDataFrame([(1, "p1"), (2, "p2")], "pid long, n string")
+    children = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2)], "cid long, cpid long"
+    )
+    rel = {"par": (parents, "cpid", "pid")}
+    out = apply_query(
+        children, {"parent_id": {"type": "par", "id": 1}}, relations=rel
+    )
+    assert sorted(r["cid"] for r in out.collect()) == [10, 11]
+    # composes under bool
+    out = apply_query(children, {"bool": {
+        "must": [{"parent_id": {"type": "par", "id": 1}}],
+        "must_not": [{"term": {"cid": 10}}],
+    }}, relations=rel)
+    assert [r["cid"] for r in out.collect()] == [11]
+    with pytest.raises(ValueError, match="not declared"):
+        apply_query(children, {"parent_id": {"type": "x", "id": 1}},
+                    relations=rel)
+
+
 def test_wrapper_query_kind(spark):
     import base64
     import json
