@@ -708,6 +708,51 @@ def compile_query(q: dict, now_ms: int | None = None) -> Column:
         return compile_query(
             _json.loads(base64.b64decode(body["query"]).decode("utf-8"))
         )
+    if kind == "intervals":
+        # ES intervals (r13 subset): the `match` rule with `max_gaps` /
+        # `ordered` over ONE or TWO whitespace tokens — the proximity
+        # forms the es_intervals_near operator measures, here as a
+        # composable boolean predicate. Positions come from pure HOFs
+        # (filter over an index sequence — no explode, stays row-local);
+        # `max_gaps` counts tokens BETWEEN the matched pair (the ES
+        # rule: adjacent tokens = 0 gaps; -1 = unlimited). Wider rule
+        # sets (all_of/any_of trees, 3+ tokens, fuzzy/prefix rules)
+        # raise naming the operator route.
+        (field, spec), = body.items()
+        if set(spec) - {"match"}:
+            raise ValueError(
+                "intervals supports the match rule only (all_of/any_of"
+                " trees: compose bool over two-token intervals, or use"
+                " operators.search.intervals_near)"
+            )
+        m = spec["match"]
+        toks = [t for t in str(m["query"]).lower().split() if t]
+        if len(toks) == 1:
+            return compile_query({"match": {field: toks[0]}})
+        if len(toks) != 2:
+            raise ValueError(
+                "intervals match supports 1-2 tokens (3+ ordered chains:"
+                " operators.search.intervals_near per pair)"
+            )
+        gaps = int(m.get("max_gaps", -1))
+        ordered = bool(m.get("ordered", False))
+        lst = F.split(F.lower(F.col(field)), " ")
+
+        def _positions(t):
+            return F.filter(
+                F.sequence(F.lit(1), F.size(lst)),
+                lambda i: F.element_at(lst, i) == F.lit(t),
+            )
+
+        def _pair(a, b):
+            dist = b - a if ordered else F.abs(a - b)
+            cond = dist > 0 if ordered else dist != 0
+            if gaps >= 0:
+                cond = cond & (dist - 1 <= gaps)
+            return cond
+
+        pa, pb = _positions(toks[0]), _positions(toks[1])
+        return F.exists(pa, lambda a: F.exists(pb, lambda b: _pair(a, b)))
     if kind == "fuzzy":
         # ES fuzzy: terms within `fuzziness` edits (Levenshtein is a
         # JVM/DuckDB builtin — exact, same unit-of-edit on ASCII; the
@@ -1135,6 +1180,57 @@ def compile_query_sql(
         return compile_query_sql(
             _json.loads(base64.b64decode(body["query"]).decode("utf-8")),
             dialect,
+        )
+    if kind == "intervals":
+        # twin of compile_query's intervals subset — per-dialect position
+        # HOFs (Spark filter/sequence/element_at, DuckDB
+        # list_filter/range/bracket-index)
+        (field, spec), = body.items()
+        if set(spec) - {"match"}:
+            raise ValueError(
+                "intervals supports the match rule only (all_of/any_of"
+                " trees: compose bool over two-token intervals, or use"
+                " operators.search.intervals_near)"
+            )
+        m = spec["match"]
+        toks = [t for t in str(m["query"]).lower().split() if t]
+        if len(toks) == 1:
+            return compile_query_sql({"match": {field: toks[0]}}, dialect)
+        if len(toks) != 2:
+            raise ValueError(
+                "intervals match supports 1-2 tokens (3+ ordered chains:"
+                " operators.search.intervals_near per pair)"
+            )
+        gaps = int(m.get("max_gaps", -1))
+        ordered = bool(m.get("ordered", False))
+        if dialect == "spark":
+            lst = f"split(lower({field}), ' ')"
+
+            def _pos(t):
+                return (
+                    f"filter(sequence(1, size({lst})),"
+                    f" i -> element_at({lst}, i) = {_sql_lit(t)})"
+                )
+        else:
+            lst = f"string_split(lower({field}), ' ')"
+
+            def _pos(t):
+                return (
+                    f"list_filter(range(1, len({lst}) + 1),"
+                    f" i -> {lst}[i] = {_sql_lit(t)})"
+                )
+        dist = "(b - a)" if ordered else "abs(a - b)"
+        cond = f"{dist} > 0" if ordered else f"{dist} != 0"
+        if gaps >= 0:
+            cond = f"({cond} AND {dist} - 1 <= {gaps})"
+        if dialect == "spark":
+            return (
+                f"(exists({_pos(toks[0])}, a ->"
+                f" exists({_pos(toks[1])}, b -> {cond})))"
+            )
+        return (
+            f"(len(list_filter({_pos(toks[0])}, a ->"
+            f" len(list_filter({_pos(toks[1])}, b -> {cond})) > 0)) > 0)"
         )
     if kind == "fuzzy":
         field, val = _field_value(body, "value")

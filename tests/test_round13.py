@@ -266,6 +266,39 @@ def test_parent_id_query_kind(spark):
                     relations=rel)
 
 
+def test_intervals_query_kind_semantics(spark):
+    from elasticsearch_drift_plugin_spark.functions.es_dsl import compile_query
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "fox sees the quick dog"),
+         (3, "quick fox"), (4, None)],
+        "id long, txt string",
+    )
+
+    def ids(q):
+        return sorted(r["id"] for r in df.where(compile_query(q)).collect())
+
+    # unordered, 1 gap allowed: doc1 (quick..fox, 1 between), doc2
+    # (fox..quick, 2 between -> out), doc3 adjacent
+    assert ids({"intervals": {"txt": {"match": {
+        "query": "quick fox", "max_gaps": 1}}}}) == [1, 3]
+    # ordered: only docs where quick precedes fox
+    assert ids({"intervals": {"txt": {"match": {
+        "query": "quick fox", "ordered": True}}}}) == [1, 3]
+    assert ids({"intervals": {"txt": {"match": {
+        "query": "fox quick", "ordered": True}}}}) == [2]
+    # unlimited gaps default
+    assert ids({"intervals": {"txt": {"match": {
+        "query": "quick fox"}}}}) == [1, 2, 3]
+    # adjacent = 0 gaps
+    assert ids({"intervals": {"txt": {"match": {
+        "query": "quick fox", "max_gaps": 0}}}}) == [3]
+    with pytest.raises(ValueError, match="match rule"):
+        compile_query({"intervals": {"txt": {"all_of": {}}}})
+    with pytest.raises(ValueError, match="1-2 tokens"):
+        compile_query({"intervals": {"txt": {"match": {"query": "a b c"}}}})
+
+
 def test_wrapper_query_kind(spark):
     import base64
     import json
@@ -387,6 +420,11 @@ PARITY_CLAUSES = [
     {"script_score": {"query": {"exists": {"field": "v"}},
                       "script": {"source": "v * 2"}, "min_score": 25}},
     {"rank_feature": {"field": "v"}},
+    {"intervals": {"txt": {"match": {"query": "quick fox",
+                                     "max_gaps": 1}}}},
+    {"intervals": {"txt": {"match": {"query": "brown dog",
+                                     "ordered": True}}}},
+    {"intervals": {"txt": {"match": {"query": "dog"}}}},
 ]
 
 
