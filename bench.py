@@ -279,6 +279,7 @@ BENCH_QUERIES = [
     "es_search_script_score",
     "es_search_rank_feature",
     "stream_psum_fixed_tz",
+    "es_dsl_intervals",
 ]
 
 # Queries in their FIRST committed bench window get one UNTIMED warmup
@@ -293,6 +294,7 @@ FIRST_WINDOW_WARMUP = [
     "es_search_script_score",
     "es_search_rank_feature",
     "stream_psum_fixed_tz",
+    "es_dsl_intervals",
 ]
 
 

@@ -962,6 +962,36 @@ GROUP BY lang ORDER BY lang
 """
 
 
+# r13: the `intervals` QUERY kind (match rule, ordered + max_gaps) as a
+# registered filter-agg — "hash join" as an ordered phrase-with-slop
+# over the synthetic query-plan prose
+INTERVALS_BODY = {"intervals": {"text": {"match": {
+    "query": "hash join", "max_gaps": 2, "ordered": True,
+}}}}
+
+
+def intervals_filter_agg(docs: DataFrame) -> DataFrame:
+    from ..functions.es_dsl import compile_query
+
+    return (
+        docs.where(compile_query(INTERVALS_BODY))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        .orderBy("lang")
+    )
+
+
+def intervals_filter_agg_sql() -> str:
+    from ..functions.es_dsl import compile_query_sql
+
+    pred = compile_query_sql(INTERVALS_BODY)
+    return f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS doc_count
+FROM documents WHERE {pred}
+GROUP BY lang ORDER BY lang
+"""
+
+
 def date_math_filter_agg(events: DataFrame) -> DataFrame:
     from ..functions.es_dsl import compile_query
     from ..sources.flows import ts_ms_col
@@ -1128,6 +1158,9 @@ def queries() -> dict:
         "es_dsl_compound": lambda s, d: compound_filter_agg(
             load_table(s, d, "documents")
         ),
+        "es_dsl_intervals": lambda s, d: intervals_filter_agg(
+            load_table(s, d, "documents")
+        ),
         "es_dsl_terms_set": lambda s, d: terms_set_filter_agg(
             load_table(s, d, "documents")
         ),
@@ -1229,6 +1262,7 @@ def oracle_sql() -> dict:
         "es_dsl_query_string": query_string_filter_agg_sql(),
         "es_dsl_multi_match": multi_match_filter_agg_sql(),
         "es_dsl_compound": compound_filter_agg_sql(),
+        "es_dsl_intervals": intervals_filter_agg_sql(),
         "es_dsl_terms_set": terms_set_filter_agg_sql(),
         "es_dsl_geo": dsl_geo_sql(),
         "es_dsl_geo_dateline": dsl_geo_dateline_sql(),
