@@ -426,8 +426,31 @@ def run_search(
         # like ES. One codegen expression (the shared IEEE-stable
         # haversine), no shuffle beyond the TakeOrdered heap.
         gd_seen = False
+        script_sort_n = 0
         rewritten = []
         for ent in entries:
+            if isinstance(ent, dict) and "_script" in ent:
+                # `_script` sort (r13): ES sorts hits by a script — here
+                # the engine's SQL expression dialect (the script_score /
+                # runtime_mappings contract). The value is projected as
+                # the VISIBLE column `_script_sort` (suffixed when
+                # several), so `search_after` cursors over it like any
+                # sort key. One codegen projection, no extra pass.
+                spec = ent["_script"]
+                from .es_dsl import _script_source
+
+                col_name = (
+                    "_script_sort" if script_sort_n == 0
+                    else f"_script_sort_{script_sort_n}"
+                )
+                script_sort_n += 1
+                df = df.withColumn(
+                    col_name, F.expr(_script_source(spec))
+                )
+                rewritten.append(
+                    {col_name: str(spec.get("order", "asc"))}
+                )
+                continue
             if isinstance(ent, dict) and "_geo_distance" in ent:
                 if gd_seen:
                     raise ValueError(

@@ -266,6 +266,30 @@ def test_parent_id_query_kind(spark):
                     relations=rel)
 
 
+def test_script_sort_hits(spark):
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    df = spark.createDataFrame(
+        [(1, 5.0, 2.0), (2, 1.0, 10.0), (3, 3.0, 3.0)],
+        "id long, a double, b double",
+    )
+    out = run_search(df, {"size": 3, "sort": [
+        {"_script": {"type": "number",
+                     "script": {"source": "a * b"}, "order": "desc"}},
+        {"id": "asc"},
+    ]})["_hits"]
+    rows = out.collect()
+    # a*b: id2=10, id3=9, id1=10 — tie between 1 and 2 broken by id asc
+    assert [r["id"] for r in rows] == [1, 2, 3]
+    assert [r["_script_sort"] for r in rows] == [10.0, 10.0, 9.0]
+    # search_after cursors over the projected script value
+    out2 = run_search(df, {"size": 3, "sort": [
+        {"_script": {"script": {"source": "a * b"}, "order": "desc"}},
+        {"id": "asc"},
+    ], "search_after": [10.0, 1]})["_hits"]
+    assert [r["id"] for r in out2.collect()] == [2, 3]
+
+
 def test_intervals_query_kind_semantics(spark):
     from elasticsearch_drift_plugin_spark.functions.es_dsl import compile_query
 
