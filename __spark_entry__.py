@@ -2023,6 +2023,38 @@ def _es_search_rank_feature_query(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+# r13: `_script` hits sort — the SQL-dialect script value projected as
+# the visible `_script_sort` cursor column
+ES_SEARCH_SCRIPT_SORT_BODY = {
+    "size": 10,
+    "query": {"range": {"value": {"gte": 0, "lte": 1.0e12}}},
+    "sort": [
+        {"_script": {"type": "number",
+                     "script": {"source": "value * (user_id % 3 + 1)"},
+                     "order": "desc"}},
+        {"event_id": "asc"},
+    ],
+}
+
+
+def _es_search_script_sort_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    ev = flows_src.load_table(s, d, "events")
+    return run_search(ev, ES_SEARCH_SCRIPT_SORT_BODY)["_hits"].select(
+        "event_id", "_script_sort"
+    )
+
+
+ES_SEARCH_SCRIPT_SORT_SQL = """
+SELECT event_id, value * (user_id % 3 + 1) AS _script_sort
+FROM events
+WHERE value >= 0 AND value <= 1000000000000.0
+ORDER BY _script_sort DESC, event_id ASC
+LIMIT 10
+"""
+
+
 ES_SEARCH_RANK_FEATURE_SQL = """
 SELECT event_id,
        CAST(FLOOR(value / (value + 50.0) * 1e6) AS BIGINT) AS _score_q
@@ -2623,6 +2655,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_retriever": _es_search_retriever_query,
         "es_search_script_score": _es_search_script_score_query,
         "es_search_rank_feature": _es_search_rank_feature_query,
+        "es_search_script_sort": _es_search_script_sort_query,
         "es_search_post_filter": _es_search_post_filter,
         "es_search_inference": _es_search_inference,
         "es_search_knn_facets": _es_search_knn_facets,
@@ -2986,6 +3019,7 @@ def _oracles_raw() -> dict[str, str]:
         "es_search_retriever": ES_SEARCH_RETRIEVER_SQL,
         "es_search_script_score": ES_SEARCH_SCRIPT_SCORE_SQL,
         "es_search_rank_feature": ES_SEARCH_RANK_FEATURE_SQL,
+        "es_search_script_sort": ES_SEARCH_SCRIPT_SORT_SQL,
         "es_search_post_filter": ES_SEARCH_POST_FILTER_SQL,
         "es_search_inference": ES_SEARCH_INFERENCE_SQL,
         "es_search_knn_facets": ES_SEARCH_KNN_FACETS_SQL,

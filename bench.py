@@ -280,6 +280,7 @@ BENCH_QUERIES = [
     "es_search_rank_feature",
     "stream_psum_fixed_tz",
     "es_dsl_intervals",
+    "es_search_script_sort",
 ]
 
 # Queries in their FIRST committed bench window get one UNTIMED warmup
@@ -295,6 +296,7 @@ FIRST_WINDOW_WARMUP = [
     "es_search_rank_feature",
     "stream_psum_fixed_tz",
     "es_dsl_intervals",
+    "es_search_script_sort",
 ]
 
 
