@@ -50,6 +50,17 @@ common flow-query bodies):
 - ``fuzzy`` — Levenshtein distance ≤ ``fuzziness`` (AUTO ladder from the
   probe length; plain Levenshtein — transpositions count 2, ES's
   fuzzy_transpositions:false mode)
+- ``intervals`` (r13) — the ``match`` rule with ``max_gaps``/``ordered``
+  over 1-2 whitespace tokens as a composable row-local predicate
+  (position HOFs, no explode); wider rule sets raise naming
+  ``operators.search.intervals_near``
+- ``script_score`` (r13) — the engine's SQL expression dialect (NOT
+  Painless; ``params`` bind as literals); filter context reduces to the
+  inner query unless ``min_score`` prunes — the ``script_score``
+  RETRIEVER in es_search ranks by the same script
+- ``wrapper`` (r13) — base64-encoded JSON query, decoded and recursed
+- ``parent_id`` (r13, relations route) — a term rewrite on the
+  relation's local join key (the child stores its parent id)
 - ``regexp`` — anchored full-value regex (Java dialect here, RE2 in the
   twin — portable for the lookaround-free subset)
 - ``ids`` — id-list membership (``values``; relational docs carry the id
