@@ -875,6 +875,13 @@ def compile_query(q: dict, now_ms: int | None = None) -> Column:
             " query, relations={name: (other_frame, key_on_df,"
             " key_on_other)}) or run_search(..., relations=...)"
         )
+    if kind.startswith("span_") or kind == "field_masking_span":
+        # r13: the Lucene span family — one dialect-parameterized
+        # generator (functions.es_span) feeds both compilers; Spark
+        # executes the "spark"-dialect string (pure HOFs, codegen)
+        from .es_span import compile_span_sql
+
+        return F.expr(compile_span_sql({kind: body}, "spark"))
     raise ValueError(f"unsupported query clause {kind!r}")
 
 
@@ -1325,6 +1332,12 @@ def compile_query_sql(
             " query, relations={name: (other_frame, key_on_df,"
             " key_on_other)}) or run_search(..., relations=...)"
         )
+    if kind.startswith("span_") or kind == "field_masking_span":
+        # r13: span family — same generator as compile_query, this
+        # dialect's string (functions.es_span)
+        from .es_span import compile_span_sql
+
+        return compile_span_sql({kind: body}, dialect)
     raise ValueError(f"unsupported query clause {kind!r}")
 
 

@@ -1120,6 +1120,73 @@ GROUP BY source ORDER BY source
 """
 
 
+# span family end-to-end (r13): Lucene positional queries as row-local
+# HOF span sets (functions/es_span.py). Body 1: (hash|merge) then join
+# within 2 gaps, ordered. Body 2: a scan..join span with no adjacent
+# 'filter' (span_not dist 1), AND some 's'-prefixed token in the first
+# 4 positions (span_first over span_multi) — the composed family.
+SPAN_NEAR_BODY = {"span_near": {"clauses": [
+    {"span_or": {"clauses": [{"span_term": {"text": "hash"}},
+                             {"span_term": {"text": "merge"}}]}},
+    {"span_term": {"text": "join"}},
+], "slop": 2, "in_order": True}}
+
+SPAN_NOT_BODY = {"bool": {"must": [
+    {"span_not": {
+        "include": {"span_near": {"clauses": [
+            {"span_term": {"text": "scan"}},
+            {"span_term": {"text": "join"}}], "slop": 3,
+            "in_order": True}},
+        "exclude": {"span_term": {"text": "filter"}}, "dist": 1}},
+    {"span_first": {"match": {"span_multi": {"match": {
+        "prefix": {"text": "s"}}}}, "end": 4}},
+]}}
+
+
+def span_near_filter_agg(docs: DataFrame) -> DataFrame:
+    from ..functions.es_dsl import compile_query
+
+    return (
+        docs.where(compile_query(SPAN_NEAR_BODY))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        .orderBy("source")
+    )
+
+
+def span_near_filter_agg_sql() -> str:
+    from ..functions.es_dsl import compile_query_sql
+
+    pred = compile_query_sql(SPAN_NEAR_BODY)
+    return f"""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS doc_count
+FROM documents WHERE {pred}
+GROUP BY source ORDER BY source
+"""
+
+
+def span_not_filter_agg(docs: DataFrame) -> DataFrame:
+    from ..functions.es_dsl import compile_query
+
+    return (
+        docs.where(compile_query(SPAN_NOT_BODY))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        .orderBy("lang")
+    )
+
+
+def span_not_filter_agg_sql() -> str:
+    from ..functions.es_dsl import compile_query_sql
+
+    pred = compile_query_sql(SPAN_NOT_BODY)
+    return f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS doc_count
+FROM documents WHERE {pred}
+GROUP BY lang ORDER BY lang
+"""
+
+
 def queries() -> dict:
     return {
         "es_percolate": lambda s, d: percolate(load_table(s, d, "events")),
@@ -1162,6 +1229,12 @@ def queries() -> dict:
             load_table(s, d, "documents")
         ),
         "es_dsl_terms_set": lambda s, d: terms_set_filter_agg(
+            load_table(s, d, "documents")
+        ),
+        "es_dsl_span_near": lambda s, d: span_near_filter_agg(
+            load_table(s, d, "documents")
+        ),
+        "es_dsl_span_not": lambda s, d: span_not_filter_agg(
             load_table(s, d, "documents")
         ),
         "es_dsl_geo": lambda s, d: _dsl_geo_query(s, d),
@@ -1264,6 +1337,8 @@ def oracle_sql() -> dict:
         "es_dsl_compound": compound_filter_agg_sql(),
         "es_dsl_intervals": intervals_filter_agg_sql(),
         "es_dsl_terms_set": terms_set_filter_agg_sql(),
+        "es_dsl_span_near": span_near_filter_agg_sql(),
+        "es_dsl_span_not": span_not_filter_agg_sql(),
         "es_dsl_geo": dsl_geo_sql(),
         "es_dsl_geo_dateline": dsl_geo_dateline_sql(),
     }
