@@ -1378,6 +1378,72 @@ def _es_search_has_child_inner_query(s: SparkSession, d: str) -> DataFrame:
     ].select("l_orderkey", "l_linenumber", "l_quantity", "_inner_rank")
 
 
+# ES parent-join AGGS (r13): `children` switches the agg context from
+# parent docs (orders) to their child docs (lineitem) inside the agg
+# tree — here: returnflag terms + avg quantity over the lineitems of
+# URGENT orders; `parent` goes the other way (parents of heavy
+# lineitems by priority). Both compile to ONE left-semi equi-join on
+# the parent key (AQE-broadcast context key set; bucketing both frames
+# on orderkey makes it co-located at rest) — the relational twin of
+# ES's shard-routed join field (es-8.18.2 join datatype docs).
+ES_SEARCH_CHILDREN_BODY = {
+    "size": 0,
+    "query": {"term": {"o_orderpriority": "1-URGENT"}},
+    "aggs": {"by_flag": {"children": {"type": "line"},
+             "aggs": {"t": {"terms": {"field": "l_returnflag",
+                                      "order": {"_key": "asc"}},
+                      "aggs": {"avg_q": {"avg": {"field": "l_quantity"}}}}}}},
+}
+
+
+def _es_search_children_agg_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    orders = flows_src.load_table(s, d, "orders")
+    lineitem = flows_src.load_table(s, d, "lineitem")
+    rel = {"line": (lineitem, "o_orderkey", "l_orderkey")}
+    return run_search(orders, ES_SEARCH_CHILDREN_BODY, relations=rel)["by_flag"]
+
+
+ES_SEARCH_CHILDREN_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS doc_count,
+       AVG(l_quantity) AS avg_q
+FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l.l_orderkey
+                AND o.o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+ES_SEARCH_PARENT_BODY = {
+    "size": 0,
+    "query": {"range": {"l_quantity": {"gte": 49}}},
+    "aggs": {"par": {"parent": {"parent_type": "ord"},
+             "aggs": {"t": {"terms": {"field": "o_orderpriority",
+                                      "order": {"_key": "asc"}}}}}},
+}
+
+
+def _es_search_parent_agg_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    orders = flows_src.load_table(s, d, "orders")
+    lineitem = flows_src.load_table(s, d, "lineitem")
+    rel = {"ord": (orders, "l_orderkey", "o_orderkey")}
+    return run_search(lineitem, ES_SEARCH_PARENT_BODY, relations=rel)["par"]
+
+
+ES_SEARCH_PARENT_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS doc_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 # `_geo_distance` sort (r12): hits ordered by great-circle distance
 # from an origin, the distance itself projected as the `_geo_distance`
 # column (the flattened equivalent of ES's per-hit sort value). The
@@ -2632,6 +2698,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_dsl_has_child": _es_dsl_has_child_query,
         "es_dsl_has_parent": _es_dsl_has_parent_query,
         "es_search_has_child_inner": _es_search_has_child_inner_query,
+        "es_search_children_agg": _es_search_children_agg_query,
+        "es_search_parent_agg": _es_search_parent_agg_query,
         "es_search_geo_sort": _es_search_geo_sort_query,
         "es_search_ip_range": _es_search_ip_range_query,
         "es_search_ip_prefix_v6": _es_search_ip_prefix_v6_query,
@@ -2996,6 +3064,8 @@ def _oracles_raw() -> dict[str, str]:
         "es_dsl_has_child": ES_DSL_HAS_CHILD_SQL,
         "es_dsl_has_parent": ES_DSL_HAS_PARENT_SQL,
         "es_search_has_child_inner": ES_SEARCH_HAS_CHILD_INNER_SQL,
+        "es_search_children_agg": ES_SEARCH_CHILDREN_SQL,
+        "es_search_parent_agg": ES_SEARCH_PARENT_SQL,
         "es_search_geo_sort": _es_search_geo_sort_oracle(),
         "es_search_ip_range": ES_SEARCH_IP_RANGE_SQL,
         "es_search_ip_prefix_v6": _es_search_ip_prefix_v6_oracle(),

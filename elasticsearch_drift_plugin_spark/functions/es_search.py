@@ -391,7 +391,7 @@ def run_search(
                 [c for c in df.columns if c != spec["field"]]
             ).limit(int(spec["k"]))
             for name, node in aggs.items():
-                out[name] = _compile_agg(topk, name, node)
+                out[name] = _compile_agg(topk, name, node, relations)
         # k is the retrieval depth; the body's `size` pages it (ES
         # returns min(k, size) hits; size=0 yields an empty hits page)
         page = min(int(spec["k"]), int(body.get("size", 10)))
@@ -804,7 +804,7 @@ def run_search(
                     "foreground": compile_query_sql_expr(body["query"]),
                 },
             }
-            out[name] = _compile_agg(raw, name, node)
+            out[name] = _compile_agg(raw, name, node, relations)
             continue
         if kinds == ["global"]:
             # ES `global`: the sub-tree sees the UNFILTERED index, not the
@@ -820,9 +820,9 @@ def run_search(
                     f"global agg {name!r} supports exactly one sub-agg frame"
                 )
             (gname, gnode), = gsub.items()
-            out[name] = _compile_agg(raw, gname, gnode)
+            out[name] = _compile_agg(raw, gname, gnode, relations)
             continue
-        out[name] = _compile_agg(df, name, node)
+        out[name] = _compile_agg(df, name, node, relations)
     for name, (kind, spec) in pipelines.items():
         path = spec["buckets_path"]
         target, _, col = path.partition(">")
@@ -1076,7 +1076,9 @@ def render_response(
     return resp
 
 
-def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
+def _compile_agg(
+    df: DataFrame, name: str, node: dict, relations: dict | None = None
+) -> DataFrame:
     sub = node.get("aggs", node.get("aggregations", {}))
     kinds = [k for k in node if k not in ("aggs", "aggregations", "meta")]
     if len(kinds) != 1:
@@ -1308,7 +1310,7 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
                 "(register siblings as separate top-level aggs)"
             )
         (sname, snode), = sub.items()
-        child = _compile_agg(filtered, sname, snode)
+        child = _compile_agg(filtered, sname, snode, relations)
         child._es_child_name = sname
         return child
     if kind == "range":
@@ -1566,7 +1568,43 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
                 "(register siblings as separate top-level aggs)"
             )
         (sname, snode), = sub.items()
-        child = _compile_agg(sampled, sname, snode)
+        child = _compile_agg(sampled, sname, snode, relations)
+        child._es_child_name = sname
+        return child
+    if kind in ("children", "parent"):
+        # ES parent-join context switch (join datatype docs): `children`
+        # moves the agg context from parent docs to their children,
+        # `parent` from children to their parents; doc_count is the
+        # switched side's row count, sub-aggs compile over the switched
+        # frame. The join uses run_search's `relations` dialect — the
+        # same {name: (other_frame, key_on_df, key_on_other)} mapping
+        # has_child/has_parent queries use. Plan shape at 100 TB: ONE
+        # left-semi equi-join on exactly the key ES routes parent+child
+        # docs on (AQE broadcasts the context key set when small;
+        # bucketing both frames on the join key co-locates it at rest).
+        rname = spec.get("type", spec.get("parent_type"))
+        if not relations or rname not in relations:
+            raise ValueError(
+                f"{kind} agg {name!r} needs run_search(...,"
+                " relations={name: (other_frame, key_on_df,"
+                " key_on_other)}) declaring " + repr(rname)
+            )
+        other, key_df, key_other = relations[rname]
+        keys = df.select(F.col(key_df).alias(key_other)).where(
+            F.col(key_other).isNotNull()
+        )
+        switched = other.join(keys, on=key_other, how="leftsemi")
+        if not sub:
+            return switched.agg(
+                F.count(F.lit(1)).cast("long").alias("doc_count")
+            )
+        if len(sub) != 1:
+            raise ValueError(
+                f"{kind} agg {name!r} supports exactly one sub-agg frame "
+                "(register siblings as separate top-level aggs)"
+            )
+        (sname, snode), = sub.items()
+        child = _compile_agg(switched, sname, snode, relations)
         child._es_child_name = sname
         return child
     if kind == "nested":
@@ -1628,7 +1666,7 @@ def _compile_agg(df: DataFrame, name: str, node: dict) -> DataFrame:
             return node
 
         (sname, snode), = sub.items()
-        child = _compile_agg(flat, sname, _rewrite(snode))
+        child = _compile_agg(flat, sname, _rewrite(snode), relations)
         for fname, s in safe.items():
             if s in child.columns:
                 child = child.withColumnRenamed(s, f"{path}.{fname}")

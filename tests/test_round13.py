@@ -720,3 +720,44 @@ def test_histogram_missing_scoped_to_grouping(spark):
     got = {r["key"]: (r["doc_count"], r["s"]) for r in out.collect()}
     # the null doc buckets at 20.0 but sums nothing there
     assert got == {0.0: (1, 5.0), 10.0: (1, 15.0), 20.0: (1, None)}
+
+
+def test_children_parent_aggs(spark):
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    parents = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "pk int, grp string"
+    )
+    kids = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0), (3, 100.0), (None, 7.0)],
+        "fk int, v double",
+    )
+    rel = {"kid": (kids, "pk", "fk"), "par": (parents, "fk", "pk")}
+    # children: context switches to child docs of the query's parents
+    out = run_search(parents, {
+        "size": 0, "query": {"term": {"grp": "a"}},
+        "aggs": {"c": {"children": {"type": "kid"},
+                 "aggs": {"s": {"sum": {"field": "v"}}}}},
+    }, relations=rel)["c"]
+    assert out.collect()[0]["s"] == 35.0
+    # bare children agg: doc_count = matching child rows
+    n = run_search(parents, {
+        "size": 0, "query": {"term": {"grp": "a"}},
+        "aggs": {"c": {"children": {"type": "kid"}}},
+    }, relations=rel)["c"]
+    assert n.collect()[0]["doc_count"] == 3
+    # parent: children context back to parents; doc_count = parents
+    # with >=1 matching child (semi-join, never duplicated)
+    p = run_search(kids, {
+        "size": 0, "query": {"range": {"v": {"gte": 10}}},
+        "aggs": {"p": {"parent": {"parent_type": "par"},
+                 "aggs": {"t": {"terms": {"field": "grp",
+                                          "order": {"_key": "asc"}}}}}},
+    }, relations=rel)["p"]
+    got = {r["grp"]: r["doc_count"] for r in p.collect()}
+    assert got == {"a": 1, "b": 1}
+    # missing relation name raises loudly
+    import pytest as _pt
+    with _pt.raises(ValueError, match="relations"):
+        run_search(parents, {"size": 0, "aggs": {
+            "c": {"children": {"type": "nope"}}}}, relations=rel)
