@@ -1718,6 +1718,82 @@ def _es_search_knn_query(s: SparkSession, d: str) -> DataFrame:
 
 
 _KNN_QV_SQL = "[" + ",".join(repr(float(v)) for v in _KNN_QV) + "]::DOUBLE[]"
+
+
+# knn as a QUERY KIND (r13, ES 8.12+): composes under bool — the exact
+# top-k frontier (TakeOrdered heaps on the quantized cosine, vec_id
+# tie-break) joins back as a k-row broadcast marker, then the sibling
+# range clause intersects it (ES's post-filter semantics). The oracle
+# replays the frontier as a scored CTE + semi-join.
+ES_DSL_KNN_QUERY_BODY = {"bool": {"must": [
+    {"knn": {"field": "embedding", "query_vector": _KNN_QV, "k": 25,
+             "id_field": "vec_id"}},
+    {"range": {"label": {"gte": 1}}},
+]}}
+
+
+def _es_dsl_knn_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_dsl import apply_query
+
+    emb = s.read.parquet(f"{d}/embeddings.parquet")
+    return (
+        apply_query(emb, ES_DSL_KNN_QUERY_BODY)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
+
+
+# `time_series` agg (r13, ES TSDB): one bucket per time-series id —
+# the dimension tuple, named explicitly since the engine has no index
+# mapping — tsid ascending, size-capped; metric leaves ride the same
+# hash aggregation (one shuffle on the tsid).
+ES_TIME_SERIES_BODY = {"size": 0, "aggs": {"ts": {
+    "time_series": {"dimensions": ["event_type", "user_id"], "size": 30},
+    "aggs": {"n": {"value_count": {"field": "value"}},
+             "mx": {"max": {"field": "value"}}},
+}}}
+
+
+def _es_time_series_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    ev = flows_src.load_table(s, d, "events")
+    return run_search(ev, ES_TIME_SERIES_BODY)["ts"]
+
+
+ES_TIME_SERIES_SQL = """
+SELECT event_type, user_id,
+       CAST(COUNT(*) AS BIGINT) AS doc_count,
+       CAST(COUNT(value) AS BIGINT) AS n,
+       MAX(value) AS mx
+FROM events
+WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+GROUP BY event_type, user_id
+ORDER BY event_type, user_id LIMIT 30
+"""
+
+
+ES_DSL_KNN_QUERY_SQL = f"""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings
+),
+scored AS (
+  SELECT vec_id, label,
+         CAST(FLOOR(
+           list_dot_product({_KNN_QV_SQL}, ev)
+           / (sqrt(list_dot_product({_KNN_QV_SQL}, {_KNN_QV_SQL}))
+              * sqrt(list_dot_product(ev, ev))) * 1e6) AS BIGINT) AS _score_q
+  FROM v
+),
+frontier AS (
+  SELECT vec_id, label FROM scored
+  ORDER BY _score_q DESC, vec_id ASC LIMIT 25
+)
+SELECT vec_id, label FROM frontier WHERE label >= 1 ORDER BY vec_id
+"""
+
 ES_SEARCH_KNN_SQL = f"""
 WITH v AS (
   SELECT vec_id, label,
@@ -2699,6 +2775,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_dsl_has_parent": _es_dsl_has_parent_query,
         "es_search_has_child_inner": _es_search_has_child_inner_query,
         "es_search_children_agg": _es_search_children_agg_query,
+        "es_dsl_knn_query": _es_dsl_knn_query,
+        "es_time_series": _es_time_series_query,
         "es_search_parent_agg": _es_search_parent_agg_query,
         "es_search_geo_sort": _es_search_geo_sort_query,
         "es_search_ip_range": _es_search_ip_range_query,
@@ -3065,6 +3143,8 @@ def _oracles_raw() -> dict[str, str]:
         "es_dsl_has_parent": ES_DSL_HAS_PARENT_SQL,
         "es_search_has_child_inner": ES_SEARCH_HAS_CHILD_INNER_SQL,
         "es_search_children_agg": ES_SEARCH_CHILDREN_SQL,
+        "es_dsl_knn_query": ES_DSL_KNN_QUERY_SQL,
+        "es_time_series": ES_TIME_SERIES_SQL,
         "es_search_parent_agg": ES_SEARCH_PARENT_SQL,
         "es_search_geo_sort": _es_search_geo_sort_oracle(),
         "es_search_ip_range": ES_SEARCH_IP_RANGE_SQL,

@@ -882,6 +882,13 @@ def compile_query(q: dict, now_ms: int | None = None) -> Column:
         from .es_span import compile_span_sql
 
         return F.expr(compile_span_sql({kind: body}, "spark"))
+    if kind == "knn":
+        raise ValueError(
+            "knn is a frame-level TOP-K kind — a row-local predicate"
+            " cannot express 'the k best rows'; use apply_query(df,"
+            " query) or run_search (the exact top-k frontier joins back"
+            " as a marker and composes under bool)"
+        )
     raise ValueError(f"unsupported query clause {kind!r}")
 
 
@@ -1338,6 +1345,12 @@ def compile_query_sql(
         from .es_span import compile_span_sql
 
         return compile_span_sql({kind: body}, dialect)
+    if kind == "knn":
+        raise ValueError(
+            "knn is a frame-level TOP-K kind — no single-frame SQL"
+            " predicate expresses it; oracle it as a scored-frontier"
+            " CTE + semi-join (see es_dsl_knn_query's twin)"
+        )
     raise ValueError(f"unsupported query clause {kind!r}")
 
 
@@ -1563,6 +1576,69 @@ def _rewrite_join_clauses(
     return q
 
 
+def tree_has_kind(q, kinds) -> bool:
+    """True when any clause kind in ``kinds`` appears in a query tree
+    (walking bool sections and nested clause dicts)."""
+    if isinstance(q, dict):
+        for k, v in q.items():
+            if k in kinds:
+                return True
+            if tree_has_kind(v, kinds):
+                return True
+    elif isinstance(q, (list, tuple)):
+        return any(tree_has_kind(v, kinds) for v in q)
+    return False
+
+
+def _rewrite_knn_clauses(q: dict, df, sinks: list) -> dict:
+    """Replace each ``knn`` QUERY node (ES 8.12+ DSL kind, distinct from
+    the top-level knn section) with a boolean marker: the node's exact
+    top-k frontier — scan → spec-``filter`` → HOF cosine/dot score →
+    TakeOrdered(k) on (score desc, id asc), per-partition heaps — keyed
+    by ``id_field`` (default ``doc_id``; ES keys on ``_id``), joined
+    back LEFT as a k-row broadcast. Exact search: ``num_candidates`` is
+    an HNSW recall knob, accepted as the k default (the ES knn-query
+    contract: it retrieves ``num_candidates`` hits) but recall here is
+    1.0. Composes under bool: sibling clauses intersect the frontier —
+    ES's post-filter semantics for knn inside bool."""
+    (kind, body), = q.items()
+    if kind == "knn":
+        from .es_search import _knn_scored
+
+        spec = dict(body)
+        k = int(spec.get("k", spec.get("num_candidates", 10)))
+        id_field = spec.get("id_field", "doc_id")
+        if id_field not in df.columns:
+            raise ValueError(
+                f"knn id_field {id_field!r} is not a column — the engine"
+                " keys the frontier on an id column (ES uses _id); pass"
+                " id_field"
+            )
+        i = len(sinks)
+        flag, keycol = f"__knn{i}_match", f"__knn{i}_key"
+        keys = (
+            _knn_scored(df, spec, keep=[id_field])
+            .limit(k)
+            .select(F.col(id_field).alias(keycol))
+            .withColumn(flag, F.lit(True))
+        )
+        sinks.append((flag, keycol, keys, id_field))
+        return {"term": {flag: True}}
+    if kind == "bool":
+        nb: dict = {}
+        for sect in ("must", "filter", "should", "must_not"):
+            if sect in body:
+                nb[sect] = [
+                    _rewrite_knn_clauses(c, df, sinks)
+                    for c in _as_list(body[sect])
+                ]
+        for extra, v in body.items():
+            if extra not in nb:
+                nb[extra] = v
+        return {"bool": nb}
+    return q
+
+
 def apply_query(
     df, query: dict, relations: dict | None = None,
     _inner_sink: list | None = None, now_ms: int | None = None,
@@ -1607,6 +1683,8 @@ def apply_query(
         _rewrite_join_clauses(query, relations, sinks, _inner_sink)
         if relations else query
     )
+    if tree_has_kind(q2, ("knn",)):
+        q2 = _rewrite_knn_clauses(q2, df, sinks)
     if not sinks:
         return df.where(compile_query(q2))
     for flag, keycol, keys, local_key in sinks:

@@ -321,9 +321,11 @@ def run_search(
     raw = df
     join_inner: list = []
     if "query" in body:
-        if relations:
-            from .es_dsl import apply_query
+        from .es_dsl import apply_query, tree_has_kind
 
+        if relations or tree_has_kind(body["query"], ("knn",)):
+            # join kinds and the knn QUERY kind (r13) are frame-level —
+            # they compile through apply_query's marker joins
             df = apply_query(
                 df, body["query"], relations, _inner_sink=join_inner
             )
@@ -1605,6 +1607,36 @@ def _compile_agg(
             )
         (sname, snode), = sub.items()
         child = _compile_agg(switched, sname, snode, relations)
+    if kind == "time_series":
+        # ES TSDB `time_series` agg: one bucket per time-series id (the
+        # dimension tuple), tsid-ascending, `size`-capped (ES default
+        # 10000). ES derives the tsid from index-mapping `time_series_
+        # dimension` fields; this engine has no mapping, so the spec
+        # names them explicitly: {"time_series": {"dimensions": [...]}}
+        # (documented dialect). Docs with a NULL dimension have no tsid
+        # and drop (ES parity). Metric leaves ride the SAME hash
+        # aggregation — one shuffle on the tsid, the key a 100 TB TSDB
+        # is naturally partitioned by.
+        dims = spec.get("dimensions")
+        if not dims:
+            raise ValueError(
+                "time_series needs dimensions: [field, ...] — the engine"
+                " has no index mapping to infer the tsid from"
+            )
+        extra = _metric_extra_aggs(sub, df)
+        cond = F.lit(True)
+        for f_ in dims:
+            cond = cond & F.col(f_).isNotNull()
+        return (
+            df.where(cond)
+            .groupBy(*dims)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("doc_count"),
+                *extra.values(),
+            )
+            .orderBy(*[F.col(f_).asc() for f_ in dims])
+            .limit(int(spec.get("size", 10000)))
+        )
         child._es_child_name = sname
         return child
     if kind == "nested":

@@ -761,3 +761,54 @@ def test_children_parent_aggs(spark):
     with _pt.raises(ValueError, match="relations"):
         run_search(parents, {"size": 0, "aggs": {
             "c": {"children": {"type": "nope"}}}}, relations=rel)
+
+
+def test_knn_query_kind(spark):
+    from elasticsearch_drift_plugin_spark.functions.es_dsl import (
+        apply_query,
+        compile_query,
+    )
+    import pytest as _pt
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0], i % 2) for i in range(10)],
+        "vec_id int, embedding array<float>, label int",
+    )
+    qv = [1.0, 0.0]
+    # top-3 by cosine against (1,0): largest vec_id values win
+    # (cos = i/sqrt(i^2+1), increasing in i); frontier = {9, 8, 7}
+    body = {"knn": {"field": "embedding", "query_vector": qv, "k": 3,
+                    "id_field": "vec_id"}}
+    got = sorted(r.vec_id for r in apply_query(emb, body).collect())
+    assert got == [7, 8, 9]
+    # composes under bool: sibling clause intersects the frontier
+    body2 = {"bool": {"must": [body, {"term": {"label": 0}}]}}
+    got2 = sorted(r.vec_id for r in apply_query(emb, body2).collect())
+    assert got2 == [8]
+    # num_candidates is the k default (the ES knn-query contract)
+    body3 = {"knn": {"field": "embedding", "query_vector": qv,
+                     "num_candidates": 2, "id_field": "vec_id"}}
+    assert sorted(r.vec_id for r in apply_query(emb, body3).collect()) == [8, 9]
+    # the row-local compiler raises loudly naming the frame route
+    with _pt.raises(ValueError, match="TOP-K"):
+        compile_query(body)
+
+
+def test_time_series_agg(spark):
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [("a", 1, 5.0), ("a", 1, 7.0), ("a", 2, 1.0), ("b", 1, 2.0),
+         (None, 1, 9.0), ("c", None, 4.0)],
+        "host string, cpu int, v double",
+    )
+    out = run_search(df, {"size": 0, "aggs": {"ts": {
+        "time_series": {"dimensions": ["host", "cpu"]},
+        "aggs": {"mx": {"max": {"field": "v"}}},
+    }}})["ts"]
+    got = [(r.host, r.cpu, r.doc_count, r.mx) for r in out.collect()]
+    # NULL-dimension docs have no tsid and drop; buckets tsid-ascending
+    assert got == [("a", 1, 2, 7.0), ("a", 2, 1, 1.0), ("b", 1, 1, 2.0)]
+    with _pt.raises(ValueError, match="dimensions"):
+        run_search(df, {"size": 0, "aggs": {"ts": {"time_series": {}}}})
