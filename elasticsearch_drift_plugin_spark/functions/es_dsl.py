@@ -789,6 +789,8 @@ def compile_query(q: dict, now_ms: int | None = None) -> Column:
         vals = body["values"]
         field = body.get("field", "doc_id")
         return F.col(field).isin(list(vals))
+    if kind == "geo_shape":
+        return compile_query(_desugar_geo_shape(body))
     if kind == "geo_bounding_box":
         lat, lon, tl, br = _geo_fields(body)
         lat_ok = (F.col(lat) <= F.lit(tl["lat"])) & (F.col(lat) >= F.lit(br["lat"]))
@@ -890,6 +892,90 @@ def compile_query(q: dict, now_ms: int | None = None) -> Column:
             " as a marker and composes under bool)"
         )
     raise ValueError(f"unsupported query clause {kind!r}")
+
+
+def _desugar_geo_shape(body: dict) -> dict:
+    """ES ``geo_shape`` query over POINT docs (r13): desugar to the
+    engine's existing geo kinds, one translation feeding both compilers.
+
+    The engine's documents carry points (lat/lon columns), so the shape
+    lives in the QUERY:  ``envelope`` → geo_bounding_box (ES [[west,
+    north],[east,south]] spelling, dateline wrap included), ``polygon``
+    → geo_polygon (outer ring; holes raise — keep hole geometry in the
+    serving tier), ``circle`` → geo_distance, ``point`` → exact
+    micro-degree equality. Relations for point docs: ``intersects`` ==
+    ``within`` (a point intersects iff it lies within); ``disjoint`` =
+    both coords exist AND NOT within (ES: missing-field docs never
+    match); ``contains`` is only satisfiable by a point shape (a point
+    can contain nothing bigger) — anything else raises. The body spells
+    either the ES form {FIELD: {shape, relation}} (FIELD names the
+    point; lat/lon columns per lat_field/lon_field) or the flat engine
+    form {shape, relation, lat_field, lon_field}."""
+    spec = body
+    if "shape" not in spec:
+        cand = {k: v for k, v in body.items()
+                if k not in ("ignore_unmapped", "boost", "_name")}
+        if len(cand) != 1:
+            raise ValueError("geo_shape needs a shape spec")
+        (_, spec), = cand.items()
+    shape = spec["shape"]
+    rel = str(spec.get("relation", "intersects")).lower()
+    lat = spec.get("lat_field", "lat")
+    lon = spec.get("lon_field", "lon")
+    stype = str(shape["type"]).lower()
+    coords = shape.get("coordinates")
+    if rel == "contains" and stype != "point":
+        raise ValueError(
+            "geo_shape relation=contains over point docs is only"
+            " satisfiable by a point shape"
+        )
+    if stype == "envelope":
+        (w, n), (e, s_) = coords
+        inner = {"geo_bounding_box": {
+            "top_left": {"lat": float(n), "lon": float(w)},
+            "bottom_right": {"lat": float(s_), "lon": float(e)},
+            "lat_field": lat, "lon_field": lon}}
+    elif stype == "polygon":
+        if len(coords) > 1:
+            raise ValueError(
+                "geo_shape polygon holes are not supported — subtract"
+                " the hole with a bool must_not of a second geo_shape"
+            )
+        inner = {"geo_polygon": {
+            "points": [{"lon": float(x), "lat": float(y)}
+                       for x, y in coords[0]],
+            "lat_field": lat, "lon_field": lon}}
+    elif stype == "circle":
+        cx, cy = coords
+        inner = {"geo_distance": {
+            "distance": shape.get("radius", spec.get("radius")),
+            "origin": {"lat": float(cy), "lon": float(cx)},
+            "lat_field": lat, "lon_field": lon}}
+    elif stype == "point":
+        cx, cy = coords
+        # half-micro-degree window — the engine's geo quantization
+        # grid, spelled as ranges on the raw columns (portable)
+        eps = 0.5e-6
+        inner = {"bool": {"filter": [
+            {"range": {lat: {"gte": float(cy) - eps,
+                             "lte": float(cy) + eps}}},
+            {"range": {lon: {"gte": float(cx) - eps,
+                             "lte": float(cx) + eps}}},
+        ]}}
+    else:
+        raise ValueError(
+            f"geo_shape type {stype!r} unsupported (envelope / polygon"
+            " / circle / point; multi* shapes: bool should over parts)"
+        )
+    if rel in ("intersects", "within", "contains"):
+        return inner
+    if rel == "disjoint":
+        return {"bool": {
+            "filter": [{"exists": {"field": lat}},
+                       {"exists": {"field": lon}}],
+            "must_not": [inner],
+        }}
+    raise ValueError(f"geo_shape relation {rel!r} unsupported")
 
 
 def _geo_polygon_pred(body: dict, duck: bool = False) -> str:
@@ -1278,6 +1364,8 @@ def compile_query_sql(
         field = body.get("field", "doc_id")
         vals = body["values"]
         return f"{field} IN ({', '.join(_sql_lit(v) for v in vals)})"
+    if kind == "geo_shape":
+        return compile_query_sql(_desugar_geo_shape(body), dialect)
     if kind == "geo_bounding_box":
         lat, lon, tl, br = _geo_fields(body)
         if tl["lon"] > br["lon"]:  # dateline wrap — see compile_query

@@ -1239,6 +1239,7 @@ def queries() -> dict:
         ),
         "es_dsl_geo": lambda s, d: _dsl_geo_query(s, d),
         "es_dsl_geo_dateline": lambda s, d: _dsl_geo_dateline_query(s, d),
+        "es_dsl_geo_shape": lambda s, d: _dsl_geo_shape_query(s, d),
     }
 
 
@@ -1317,6 +1318,46 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+# geo_shape (r13): polygon-intersects AND circle-disjoint — exercises
+# the desugar (polygon ring -> exact ray cast; circle -> haversine;
+# disjoint -> exists+must_not) through both compilers
+ES_DSL_GEO_SHAPE_BODY = {"bool": {"must": [
+    {"geo_shape": {"loc": {"shape": {
+        "type": "polygon",
+        "coordinates": [[[-90.0, -45.0], [90.0, -45.0], [90.0, 60.0],
+                         [-90.0, 60.0], [-90.0, -45.0]]]},
+        "relation": "intersects"}}},
+    {"geo_shape": {"loc": {"shape": {
+        "type": "circle", "coordinates": [2.3522, 48.8566],
+        "radius": "2500km"}, "relation": "disjoint"}}},
+]}}
+
+
+def _dsl_geo_shape_query(s, d):
+    from ..functions.es_dsl import compile_query
+    from .geo import geo_events
+
+    pts = geo_events(load_table(s, d, "events"))
+    return (
+        pts.where(compile_query(ES_DSL_GEO_SHAPE_BODY))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        .orderBy("event_type")
+    )
+
+
+def dsl_geo_shape_sql() -> str:
+    from ..functions.es_dsl import compile_query_sql
+    from .geo import GEO_EVENTS_DUCK
+
+    return f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS doc_count
+FROM ({GEO_EVENTS_DUCK})
+WHERE {compile_query_sql(ES_DSL_GEO_SHAPE_BODY)}
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def oracle_sql() -> dict:
     return {
         "es_percolate": percolate_sql(),
@@ -1341,4 +1382,5 @@ def oracle_sql() -> dict:
         "es_dsl_span_not": span_not_filter_agg_sql(),
         "es_dsl_geo": dsl_geo_sql(),
         "es_dsl_geo_dateline": dsl_geo_dateline_sql(),
+        "es_dsl_geo_shape": dsl_geo_shape_sql(),
     }

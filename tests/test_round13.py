@@ -812,3 +812,76 @@ def test_time_series_agg(spark):
     assert got == [("a", 1, 2, 7.0), ("a", 2, 1, 1.0), ("b", 1, 1, 2.0)]
     with _pt.raises(ValueError, match="dimensions"):
         run_search(df, {"size": 0, "aggs": {"ts": {"time_series": {}}}})
+
+
+def test_geo_shape_query(spark):
+    from elasticsearch_drift_plugin_spark.functions.es_dsl import (
+        compile_query,
+        compile_query_sql,
+    )
+    import duckdb
+    import pytest as _pt
+
+    pts = [(1, 0.0, 0.0), (2, 5.0, 5.0), (3, 15.0, 5.0), (4, None, 5.0),
+           (5, -5.0, -170.0), (6, 48.8566, 2.3522)]
+    df = spark.createDataFrame(pts, "id int, lat double, lon double")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pts AS SELECT * FROM (VALUES "
+        + ",".join(
+            f"({i}, {la if la is not None else 'NULL'}, {lo})"
+            for i, la, lo in pts
+        )
+        + ") t(id, lat, lon)"
+    )
+
+    def ids(body):
+        s = sorted(r.id for r in df.where(compile_query(body)).collect())
+        d = sorted(r[0] for r in con.execute(
+            "SELECT id FROM pts WHERE "
+            + compile_query_sql(body, "duckdb")).fetchall())
+        assert s == d, f"{body}: spark={s} duckdb={d}"
+        return s
+
+    env = {"geo_shape": {"loc": {"shape": {
+        "type": "envelope", "coordinates": [[-1.0, 6.0], [6.0, -1.0]]},
+        "relation": "intersects"}}}
+    assert ids(env) == [1, 2]
+    # within == intersects for point docs
+    env2 = {"geo_shape": {"loc": {"shape": {
+        "type": "envelope", "coordinates": [[-1.0, 6.0], [6.0, -1.0]]},
+        "relation": "within"}}}
+    assert ids(env2) == [1, 2]
+    # disjoint: NULL-coord docs never match (ES missing-field rule)
+    env3 = {"geo_shape": {"loc": {"shape": {
+        "type": "envelope", "coordinates": [[-1.0, 6.0], [6.0, -1.0]]},
+        "relation": "disjoint"}}}
+    assert ids(env3) == [3, 5, 6]
+    # polygon ring (triangle around the origin)
+    poly = {"geo_shape": {"loc": {"shape": {
+        "type": "polygon",
+        "coordinates": [[[-2.0, -1.0], [2.0, -1.0], [0.0, 2.0],
+                         [-2.0, -1.0]]]}}}}
+    assert ids(poly) == [1]
+    # circle -> geo_distance
+    circ = {"geo_shape": {"loc": {"shape": {
+        "type": "circle", "coordinates": [2.3522, 48.8566],
+        "radius": "100km"}}}}
+    assert ids(circ) == [6]
+    # point shape: exact micro-degree hit; contains is point-only
+    pt = {"geo_shape": {"loc": {"shape": {
+        "type": "point", "coordinates": [5.0, 5.0]},
+        "relation": "contains"}}}
+    assert ids(pt) == [2]
+    with _pt.raises(ValueError, match="contains"):
+        compile_query({"geo_shape": {"loc": {
+            "shape": {"type": "envelope",
+                      "coordinates": [[0.0, 1.0], [1.0, 0.0]]},
+            "relation": "contains"}}})
+    with _pt.raises(ValueError, match="holes"):
+        compile_query({"geo_shape": {"loc": {"shape": {
+            "type": "polygon",
+            "coordinates": [[[0.0, 0.0], [4.0, 0.0], [0.0, 4.0],
+                             [0.0, 0.0]],
+                            [[1.0, 1.0], [2.0, 1.0], [1.0, 2.0],
+                             [1.0, 1.0]]]}}}})
