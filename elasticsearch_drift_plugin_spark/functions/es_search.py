@@ -1607,6 +1607,8 @@ def _compile_agg(
             )
         (sname, snode), = sub.items()
         child = _compile_agg(switched, sname, snode, relations)
+        child._es_child_name = sname
+        return child
     if kind == "time_series":
         # ES TSDB `time_series` agg: one bucket per time-series id (the
         # dimension tuple), tsid-ascending, `size`-capped (ES default
@@ -1637,8 +1639,6 @@ def _compile_agg(
             .orderBy(*[F.col(f_).asc() for f_ in dims])
             .limit(int(spec.get("size", 10000)))
         )
-        child._es_child_name = sname
-        return child
     if kind == "nested":
         # ES `nested` bucket agg: switch the aggregation context from
         # parent documents to their nested sub-documents (relational.py's
