@@ -1743,6 +1743,80 @@ def _es_dsl_knn_query(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+# `linear` retriever (r13, ES 8.18): weighted sum of per-child
+# normalized scores over each child's top window — knn child minmax-
+# normalized (exact-int quanta stats), script_score child l2-normalized
+# (Σ s_q² as an exact integer sum, order-free), weights 2.0 / 1.0.
+# The oracle replays the identical arithmetic from the same integer
+# quanta, so the fused score_q hash-pairs.
+ES_SEARCH_LINEAR_BODY = {
+    "size": 12,
+    "retriever": {"linear": {
+        "id_field": "vec_id",
+        "rank_window_size": 100,
+        "retrievers": [
+            {"retriever": {"knn": {"field": "embedding",
+                                   "query_vector": _KNN_QV, "k": 30}},
+             "weight": 2.0, "normalizer": "minmax"},
+            {"retriever": {"script_score": {"script": {
+                "source": "CAST(label AS DOUBLE) / 10.0"}}},
+             "weight": 1.0, "normalizer": "l2_norm"},
+        ],
+    }},
+}
+
+
+def _es_search_linear_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    emb = s.read.parquet(f"{d}/embeddings.parquet")
+    return run_search(emb, ES_SEARCH_LINEAR_BODY)["_hits"]
+
+
+def _es_search_linear_oracle() -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings
+),
+knn AS (
+  SELECT vec_id,
+         CAST(FLOOR(
+           list_dot_product({_KNN_QV_SQL}, ev)
+           / (sqrt(list_dot_product({_KNN_QV_SQL}, {_KNN_QV_SQL}))
+              * sqrt(list_dot_product(ev, ev))) * 1e6) AS BIGINT) AS sq
+  FROM v ORDER BY sq DESC, vec_id LIMIT 30
+),
+knn_n AS (
+  SELECT vec_id,
+         2.0 * (CASE WHEN mx > mn
+                     THEN CAST(sq - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE)
+                     ELSE 1.0 END) AS c0
+  FROM knn, (SELECT MIN(sq) AS mn, MAX(sq) AS mx FROM knn)
+),
+ss AS (
+  SELECT vec_id,
+         CAST(FLOOR((CAST(label AS DOUBLE) / 10.0) * 1e6) AS BIGINT) AS sq
+  FROM embeddings ORDER BY sq DESC, vec_id LIMIT 100
+),
+ss_n AS (
+  SELECT vec_id,
+         1.0 * (CASE WHEN s2 > 0
+                     THEN CAST(sq AS DOUBLE) / sqrt(CAST(s2 AS DOUBLE))
+                     ELSE 0.0 END) AS c1
+  FROM ss, (SELECT SUM(sq * sq) AS s2 FROM ss)
+),
+f AS (
+  SELECT COALESCE(k.vec_id, s2.vec_id) AS vec_id,
+         COALESCE(c0, 0.0) + COALESCE(c1, 0.0) AS t
+  FROM knn_n k FULL OUTER JOIN ss_n s2 ON k.vec_id = s2.vec_id
+)
+SELECT vec_id, CAST(FLOOR(t * 1e6) AS BIGINT) AS score_q
+FROM f ORDER BY score_q DESC, vec_id LIMIT 12
+"""
+
+
 # `time_series` agg (r13, ES TSDB): one bucket per time-series id —
 # the dimension tuple, named explicitly since the engine has no index
 # mapping — tsid ascending, size-capped; metric leaves ride the same
@@ -2777,6 +2851,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_children_agg": _es_search_children_agg_query,
         "es_dsl_knn_query": _es_dsl_knn_query,
         "es_time_series": _es_time_series_query,
+        "es_search_linear_retr": _es_search_linear_query,
         "es_search_parent_agg": _es_search_parent_agg_query,
         "es_search_geo_sort": _es_search_geo_sort_query,
         "es_search_ip_range": _es_search_ip_range_query,
@@ -3145,6 +3220,7 @@ def _oracles_raw() -> dict[str, str]:
         "es_search_children_agg": ES_SEARCH_CHILDREN_SQL,
         "es_dsl_knn_query": ES_DSL_KNN_QUERY_SQL,
         "es_time_series": ES_TIME_SERIES_SQL,
+        "es_search_linear_retr": _es_search_linear_oracle(),
         "es_search_parent_agg": ES_SEARCH_PARENT_SQL,
         "es_search_geo_sort": _es_search_geo_sort_oracle(),
         "es_search_ip_range": ES_SEARCH_IP_RANGE_SQL,

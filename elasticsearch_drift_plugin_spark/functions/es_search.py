@@ -3471,6 +3471,104 @@ def _run_retriever(df: DataFrame, body: dict) -> DataFrame:
         }
         spec2.update({"script": {"source": src}, "query": q})
         return _script_score_ranked(df, spec2, size)
+    if kind == "linear":
+        # ES 8.18 `linear` retriever: weighted sum of per-child
+        # normalized scores over each child's top rank_window_size;
+        # a doc outside a child's window contributes 0. Children must
+        # SCORE (knn / script_score — the engine has no text _score;
+        # standard raises naming script_score). Normalizers work from
+        # the child's integer _score_q stats so both engines replay the
+        # identical arithmetic: minmax = (s−min)/(max−min) on exact-int
+        # quanta (degenerate window ⇒ 1.0), l2_norm divides by
+        # sqrt(Σ s_q²) computed as an EXACT integer sum (order-free),
+        # none = raw quanta / 1e6. Final score re-quantized to 1e-6.
+        # Scale: every stat/fusion frame is window-sized; the min/max
+        # and Σs² scalars are 1-row broadcasts (the adjudicated
+        # scalar-total pattern).
+        id_field = rspec.get("id_field")
+        if not id_field:
+            raise ValueError(
+                "linear retriever needs id_field (the hit-identity"
+                " column)"
+            )
+        window = int(rspec.get("rank_window_size", 100))
+        entries = rspec["retrievers"]
+        if len(entries) < 2:
+            raise ValueError("linear needs at least two child retrievers")
+        parts = []
+        for i, ent in enumerate(entries):
+            child = ent["retriever"]
+            weight = float(ent.get("weight", 1.0))
+            norm = str(ent.get("normalizer", "none")).lower()
+            if len(child) != 1:
+                raise ValueError(
+                    "each linear child must have one retriever type"
+                )
+            (ckind, cspec), = child.items()
+            if ckind == "knn":
+                top = _knn_scored(df, cspec, [id_field]).limit(
+                    int(cspec.get("k", window))
+                )
+            elif ckind == "script_score":
+                top = _script_score_ranked(
+                    df, {**cspec, "id_field": id_field}, window
+                )
+            else:
+                raise ValueError(
+                    f"linear child retriever {ckind!r} unsupported — the"
+                    " engine has no text _score; rank standard queries"
+                    " with a script_score child"
+                )
+            top = top.groupBy(id_field).agg(
+                F.max("_score_q").alias("__sq")
+            )
+            if norm == "minmax":
+                mm = top.agg(
+                    F.min("__sq").alias("__mn"), F.max("__sq").alias("__mx")
+                )
+                top = top.crossJoin(F.broadcast(mm))
+                frac = F.when(
+                    F.col("__mx") > F.col("__mn"),
+                    (F.col("__sq") - F.col("__mn")).cast("double")
+                    / (F.col("__mx") - F.col("__mn")).cast("double"),
+                ).otherwise(F.lit(1.0))
+            elif norm in ("l2_norm", "l2"):
+                nm = top.agg(
+                    F.sum(F.col("__sq") * F.col("__sq")).alias("__ss")
+                )
+                top = top.crossJoin(F.broadcast(nm))
+                frac = F.when(
+                    F.col("__ss") > 0,
+                    F.col("__sq").cast("double")
+                    / F.sqrt(F.col("__ss").cast("double")),
+                ).otherwise(F.lit(0.0))
+            elif norm == "none":
+                frac = F.col("__sq").cast("double") / F.lit(1e6)
+            else:
+                raise ValueError(
+                    f"unsupported linear normalizer {norm!r}"
+                    " (minmax / l2_norm / none)"
+                )
+            parts.append(
+                top.select(
+                    id_field,
+                    (F.lit(weight) * frac).alias(f"__c{i}"),
+                )
+            )
+        fused = parts[0]
+        for r in parts[1:]:
+            fused = fused.join(r, id_field, "full_outer")
+        total = F.coalesce(F.col("__c0"), F.lit(0.0))
+        for i in range(1, len(parts)):
+            total = total + F.coalesce(F.col(f"__c{i}"), F.lit(0.0))
+        return (
+            fused.withColumn(
+                "score_q", F.floor(total * F.lit(1e6)).cast("long")
+            )
+            .select(id_field, "score_q")
+            .orderBy(F.col("score_q").desc(), F.col(id_field).asc())
+            .limit(size)
+        )
     if kind != "rrf":
         raise ValueError(f"unsupported retriever {kind!r}")
     id_field = rspec.get("id_field")

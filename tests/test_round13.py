@@ -885,3 +885,53 @@ def test_geo_shape_query(spark):
                              [0.0, 0.0]],
                             [[1.0, 1.0], [2.0, 1.0], [1.0, 2.0],
                              [1.0, 1.0]]]}}}})
+
+
+def test_linear_retriever(spark):
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+    import pytest as _pt
+
+    # embedding = [i, 1]; cosine vs (1,0) increases in i — knn window
+    # {4,3,2} minmax-normalized; script = v/10 l2-normalized over all 5
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0], float(i % 3)) for i in range(5)],
+        "vec_id int, embedding array<float>, v double",
+    )
+    body = {"size": 3, "retriever": {"linear": {
+        "id_field": "vec_id", "rank_window_size": 10,
+        "retrievers": [
+            {"retriever": {"knn": {"field": "embedding",
+                                   "query_vector": [1.0, 0.0], "k": 3}},
+             "weight": 2.0, "normalizer": "minmax"},
+            {"retriever": {"script_score": {"script": {
+                "source": "v / 10.0"}}},
+             "weight": 1.0, "normalizer": "l2_norm"},
+        ],
+    }}}
+    out = run_search(emb, body)["_hits"].collect()
+    got = [(r.vec_id, r.score_q) for r in out]
+    # replay by hand: knn quanta sq_i = floor(1e6*i/sqrt(i^2+1)) for
+    # i in {4,3,2} (top-3), minmax over that window; script quanta
+    # floor(1e6*(i%3)/10) over all 5, l2 over the window of 5
+    import math
+    sq = {i: math.floor(1e6 * i / math.sqrt(i * i + 1)) for i in (4, 3, 2)}
+    mn, mx = min(sq.values()), max(sq.values())
+    c0 = {i: 2.0 * (sq[i] - mn) / (mx - mn) for i in sq}
+    s2q = {i: math.floor(1e6 * (i % 3) / 10.0) for i in range(5)}
+    ss = sum(q * q for q in s2q.values())
+    c1 = {i: (q / math.sqrt(ss) if ss else 0.0) for i, q in s2q.items()}
+    tot = {i: c0.get(i, 0.0) + c1.get(i, 0.0) for i in range(5)}
+    want = sorted(
+        ((i, math.floor(tot[i] * 1e6)) for i in range(5)),
+        key=lambda t: (-t[1], t[0]),
+    )[:3]
+    assert got == want
+    # standard child raises naming script_score
+    with _pt.raises(ValueError, match="script_score"):
+        run_search(emb, {"size": 1, "retriever": {"linear": {
+            "id_field": "vec_id",
+            "retrievers": [
+                {"retriever": {"standard": {"sort": ["vec_id"]}}},
+                {"retriever": {"script_score": {"script": {
+                    "source": "v"}}}},
+            ]}}})
