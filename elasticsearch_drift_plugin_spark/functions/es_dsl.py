@@ -1678,6 +1678,65 @@ def tree_has_kind(q, kinds) -> bool:
     return False
 
 
+def _rewrite_terms_lookup(q: dict, frames: dict) -> dict:
+    """ES ``terms`` LOOKUP form (r13): ``{"terms": {FIELD: {"index":
+    name, "id": X, "path": col, "id_field": idcol}}}``. ES resolves this
+    on the COORDINATING node — a point GET of one document, whose
+    ``path`` array becomes the term list — before the query fans out;
+    the engine does exactly that: ONE bounded collect of the lookup row
+    (``frames[name]`` filtered to ``id_field == id``, default
+    ``doc_id``), rewritten to a plain ``terms`` clause. O(1) driver
+    work at any corpus scale; a missing or duplicated lookup id raises
+    (ES returns no-match on a missing doc — silently matching nothing
+    is the one behavior a loud engine refuses)."""
+    (kind, body), = q.items()
+    if kind == "terms":
+        (field, spec), = body.items()
+        if not isinstance(spec, dict):
+            return q
+        name = spec.get("index")
+        if name is None:
+            return q
+        if name not in frames:
+            raise ValueError(
+                f"terms lookup index {name!r} is not registered — pass"
+                " frames={name: DataFrame}"
+            )
+        id_field = spec.get("id_field", "doc_id")
+        rows = (
+            frames[name]
+            .where(F.col(id_field) == F.lit(spec["id"]))
+            .select(spec["path"])
+            .limit(2)
+            .collect()
+        )
+        if len(rows) != 1:
+            raise ValueError(
+                f"terms lookup {name}/{spec['id']!r} matched"
+                f" {len(rows)} rows — the lookup id must identify"
+                " exactly one document"
+            )
+        terms = rows[0][0]
+        if terms is None:
+            terms = []
+        if not isinstance(terms, (list, tuple)):
+            terms = [terms]
+        return {"terms": {field: list(terms)}}
+    if kind == "bool":
+        nb: dict = {}
+        for sect in ("must", "filter", "should", "must_not"):
+            if sect in body:
+                nb[sect] = [
+                    _rewrite_terms_lookup(c, frames)
+                    for c in _as_list(body[sect])
+                ]
+        for extra, v in body.items():
+            if extra not in nb:
+                nb[extra] = v
+        return {"bool": nb}
+    return q
+
+
 def _rewrite_knn_clauses(q: dict, df, sinks: list) -> dict:
     """Replace each ``knn`` QUERY node (ES 8.12+ DSL kind, distinct from
     the top-level knn section) with a boolean marker: the node's exact
@@ -1730,6 +1789,7 @@ def _rewrite_knn_clauses(q: dict, df, sinks: list) -> dict:
 def apply_query(
     df, query: dict, relations: dict | None = None,
     _inner_sink: list | None = None, now_ms: int | None = None,
+    frames: dict | None = None,
 ):
     """ES query execution at the DATAFRAME level: the full
     :func:`compile_query` clause set PLUS the parent/child join kinds
@@ -1766,6 +1826,8 @@ def apply_query(
     available on this bare route too."""
     if now_ms is not None:
         query = inject_now(query, now_ms)
+    if frames:
+        query = _rewrite_terms_lookup(query, frames)
     sinks: list = []
     q2 = (
         _rewrite_join_clauses(query, relations, sinks, _inner_sink)

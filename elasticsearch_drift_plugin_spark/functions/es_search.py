@@ -281,6 +281,7 @@ def run_search(
     body: dict,
     relations: dict | None = None,
     now_ms: int | None = None,
+    frames: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Execute a ``_search`` body; returns ``{agg_name: DataFrame}``.
 
@@ -323,11 +324,13 @@ def run_search(
     if "query" in body:
         from .es_dsl import apply_query, tree_has_kind
 
-        if relations or tree_has_kind(body["query"], ("knn",)):
-            # join kinds and the knn QUERY kind (r13) are frame-level —
-            # they compile through apply_query's marker joins
+        if relations or frames or tree_has_kind(body["query"], ("knn",)):
+            # join kinds, the knn QUERY kind, and terms-lookup clauses
+            # (r13) are frame-level — they compile through apply_query
+            # (marker joins / the coordinator-GET lookup rewrite)
             df = apply_query(
-                df, body["query"], relations, _inner_sink=join_inner
+                df, body["query"], relations, _inner_sink=join_inner,
+                frames=frames,
             )
         else:
             df = df.where(compile_query(body["query"]))

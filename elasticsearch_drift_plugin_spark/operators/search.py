@@ -1237,6 +1237,9 @@ def queries() -> dict:
         "es_dsl_span_not": lambda s, d: span_not_filter_agg(
             load_table(s, d, "documents")
         ),
+        "es_dsl_terms_lookup": lambda s, d: terms_lookup_filter_agg(
+            load_table(s, d, "documents")
+        ),
         "es_dsl_geo": lambda s, d: _dsl_geo_query(s, d),
         "es_dsl_geo_dateline": lambda s, d: _dsl_geo_dateline_query(s, d),
         "es_dsl_geo_shape": lambda s, d: _dsl_geo_shape_query(s, d),
@@ -1358,6 +1361,39 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+# terms LOOKUP form (r13): the stored "watchlist" is a saved-search
+# frame (per-source sorted top-3 langs); the clause names one row of it
+# and ES's coordinator-GET contract rewrites the clause to plain terms
+# before the scan fans out — ONE bounded 1-row collect at any scale.
+TERMS_LOOKUP_BODY = {"terms": {"lang": {
+    "index": "watchlists", "id": "src7", "path": "langs",
+    "id_field": "source"}}}
+
+
+def terms_lookup_filter_agg(docs: DataFrame) -> DataFrame:
+    from ..functions.es_dsl import apply_query
+
+    watch = docs.groupBy("source").agg(
+        F.slice(F.sort_array(F.collect_set("lang")), 1, 3).alias("langs")
+    )
+    return (
+        apply_query(docs, TERMS_LOOKUP_BODY, frames={"watchlists": watch})
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        .orderBy("source")
+    )
+
+
+TERMS_LOOKUP_SQL = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS doc_count
+FROM documents
+WHERE lang IN (SELECT unnest(langs) FROM (
+  SELECT list_sort(list(DISTINCT lang))[1:3] AS langs
+  FROM documents WHERE source = 'src7'))
+GROUP BY source ORDER BY source
+"""
+
+
 def oracle_sql() -> dict:
     return {
         "es_percolate": percolate_sql(),
@@ -1380,6 +1416,7 @@ def oracle_sql() -> dict:
         "es_dsl_terms_set": terms_set_filter_agg_sql(),
         "es_dsl_span_near": span_near_filter_agg_sql(),
         "es_dsl_span_not": span_not_filter_agg_sql(),
+        "es_dsl_terms_lookup": TERMS_LOOKUP_SQL,
         "es_dsl_geo": dsl_geo_sql(),
         "es_dsl_geo_dateline": dsl_geo_dateline_sql(),
         "es_dsl_geo_shape": dsl_geo_shape_sql(),

@@ -935,3 +935,34 @@ def test_linear_retriever(spark):
                 {"retriever": {"script_score": {"script": {
                     "source": "v"}}}},
             ]}}})
+
+
+def test_terms_lookup(spark):
+    from elasticsearch_drift_plugin_spark.functions.es_dsl import apply_query
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+    import pytest as _pt
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)], "id int, tag string"
+    )
+    watch = spark.createDataFrame(
+        [(10, ["a", "c"]), (11, ["b"])], "wid int, tags array<string>"
+    )
+    q = {"terms": {"tag": {"index": "watch", "id": 10, "path": "tags",
+                           "id_field": "wid"}}}
+    got = sorted(r.id for r in apply_query(
+        docs, q, frames={"watch": watch}).collect())
+    assert got == [1, 3]
+    # composes under bool; run_search routes it
+    out = run_search(docs, {"size": 0, "query": {"bool": {
+        "must": [q], "must_not": [{"term": {"tag": "c"}}]}},
+        "aggs": {"n": {"value_count": {"field": "id"}}}},
+        frames={"watch": watch})["n"]
+    assert out.collect()[0]["n"] == 1
+    # a missing lookup id raises (never silently matches nothing)
+    with _pt.raises(ValueError, match="exactly one"):
+        apply_query(docs, {"terms": {"tag": {
+            "index": "watch", "id": 99, "path": "tags",
+            "id_field": "wid"}}}, frames={"watch": watch})
+    with _pt.raises(ValueError, match="not registered"):
+        apply_query(docs, q, frames={"other": watch})
