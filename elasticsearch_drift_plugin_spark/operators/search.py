@@ -1240,6 +1240,9 @@ def queries() -> dict:
         "es_dsl_terms_lookup": lambda s, d: terms_lookup_filter_agg(
             load_table(s, d, "documents")
         ),
+        "es_rank_eval": lambda s, d: rank_eval_ndcg(
+            load_table(s, d, "documents")
+        ),
         "es_dsl_geo": lambda s, d: _dsl_geo_query(s, d),
         "es_dsl_geo_dateline": lambda s, d: _dsl_geo_dateline_query(s, d),
         "es_dsl_geo_shape": lambda s, d: _dsl_geo_shape_query(s, d),
@@ -1361,6 +1364,122 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def rank_eval(
+    hits: DataFrame,
+    ratings: DataFrame,
+    metric: str = "ndcg",
+    k: int = 10,
+    relevant_rating_threshold: int = 1,
+) -> DataFrame:
+    """The ES ``_rank_eval`` API, relationally: per-query ranking quality
+    of a hits frame (``query_id, doc_id, rank`` — any search's ranked
+    output) against a ratings frame (``query_id, doc_id, rating``).
+
+    Metrics (ES ranking-evaluation API): ``precision`` (relevant
+    retrieved / retrieved within the top-``k`` window), ``recall``
+    (relevant retrieved / all relevant for the query), ``mrr``
+    (1 / rank of the first relevant hit; 0 when none), ``dcg``
+    (Σ (2^rating − 1) / log2(rank + 1) over the window), ``ndcg``
+    (DCG / ideal DCG — ratings sorted desc, doc_id tiebreak).
+
+    Returns ``(query_id, score_q)`` — the metric per query, quantized to
+    integer 1e-6 (the overall ES ``metric_score`` is the caller's mean).
+    Engine-parity discipline: every DCG TERM is quantized to integer
+    1e-9 BEFORE summation, so the per-query sums are order-free exact
+    integer adds in both engines (IEEE summation order can never flip a
+    rank). One join (hits window × ratings — both k-by-queries-sized)
+    and one aggregation; at 100 TB the frames entering this operator
+    are already top-k pages, not corpora."""
+    if metric not in ("precision", "recall", "mrr", "dcg", "ndcg"):
+        raise ValueError(f"unsupported rank_eval metric {metric!r}")
+    thr = int(relevant_rating_threshold)
+    win = hits.where(F.col("rank") <= k)
+    j = win.join(ratings, ["query_id", "doc_id"], "left").withColumn(
+        "rating", F.coalesce(F.col("rating"), F.lit(0))
+    )
+    rel = (F.col("rating") >= thr).cast("long")
+    if metric == "precision":
+        per = j.groupBy("query_id").agg(
+            F.floor(
+                F.lit(1e6) * F.sum(rel) / F.count(F.lit(1))
+            ).cast("long").alias("score_q")
+        )
+        return per.orderBy("query_id")
+    if metric == "recall":
+        total = ratings.where(F.col("rating") >= thr).groupBy(
+            "query_id"
+        ).agg(F.count(F.lit(1)).alias("__nrel"))
+        got = j.groupBy("query_id").agg(F.sum(rel).alias("__hit"))
+        return (
+            got.join(total, "query_id", "left")
+            .select(
+                "query_id",
+                F.when(
+                    F.coalesce(F.col("__nrel"), F.lit(0)) > 0,
+                    F.floor(F.lit(1e6) * F.col("__hit") / F.col("__nrel")),
+                ).otherwise(F.lit(0)).cast("long").alias("score_q"),
+            )
+            .orderBy("query_id")
+        )
+    if metric == "mrr":
+        per = j.groupBy("query_id").agg(
+            F.min(F.when(F.col("rating") >= thr, F.col("rank"))).alias("__r")
+        )
+        return per.select(
+            "query_id",
+            F.when(
+                F.col("__r").isNotNull(),
+                F.floor(F.lit(1e6) / F.col("__r")),
+            ).otherwise(F.lit(0)).cast("long").alias("score_q"),
+        ).orderBy("query_id")
+    # dcg / ndcg: integer-quantized terms, order-free exact sums
+    term = F.floor(
+        F.lit(1e9)
+        * (F.pow(F.lit(2.0), F.col("rating")) - F.lit(1.0))
+        / F.log2(F.col("rank") + F.lit(1.0))
+    ).cast("long")
+    dcg = j.groupBy("query_id").agg(F.sum(term).alias("__dcg"))
+    if metric == "dcg":
+        return dcg.select(
+            "query_id",
+            F.floor(F.col("__dcg") / F.lit(1e3)).cast("long").alias(
+                "score_q"
+            ),
+        ).orderBy("query_id")
+    from pyspark.sql import Window
+
+    ideal_rank = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("rating").desc(), F.col("doc_id").asc()
+        )
+    )
+    ideal = (
+        ratings.withColumn("rank", ideal_rank)
+        .where(F.col("rank") <= k)
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.lit(1e9)
+                    * (F.pow(F.lit(2.0), F.col("rating")) - F.lit(1.0))
+                    / F.log2(F.col("rank") + F.lit(1.0))
+                ).cast("long")
+            ).alias("__idcg")
+        )
+    )
+    return (
+        dcg.join(ideal, "query_id", "left")
+        .select(
+            "query_id",
+            F.when(
+                F.coalesce(F.col("__idcg"), F.lit(0)) > 0,
+                F.floor(F.lit(1e6) * F.col("__dcg") / F.col("__idcg")),
+            ).otherwise(F.lit(0)).cast("long").alias("score_q"),
+        )
+        .orderBy("query_id")
+    )
+
+
 # terms LOOKUP form (r13): the stored "watchlist" is a saved-search
 # frame (per-source sorted top-3 langs); the clause names one row of it
 # and ES's coordinator-GET contract rewrites the clause to plain terms
@@ -1394,6 +1513,73 @@ GROUP BY source ORDER BY source
 """
 
 
+# _rank_eval end-to-end (r13): queries = langs, hits = top-10 docs per
+# lang by length, ratings = 'data'-token count capped at 3; ndcg@10.
+def rank_eval_ndcg(docs: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    hits = docs.select(
+        F.col("lang").alias("query_id"), "doc_id",
+        F.row_number().over(w).cast("long").alias("rank"),
+    ).where(F.col("rank") <= 10)
+    cnt = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda t: t == F.lit("data"))
+    )
+    ratings = docs.select(
+        F.col("lang").alias("query_id"), "doc_id",
+        F.least(F.lit(3), cnt).cast("long").alias("rating"),
+    ).where(F.col("rating") > 0)
+    return rank_eval(hits, ratings, metric="ndcg", k=10)
+
+
+RANK_EVAL_SQL = """
+WITH hits AS (
+  SELECT lang AS query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents
+),
+win AS (SELECT * FROM hits WHERE rank <= 10),
+ratings AS (
+  SELECT lang AS query_id, doc_id,
+         LEAST(3, len(list_filter(string_split(text, ' '),
+                                  t -> t = 'data'))) AS rating
+  FROM documents
+  WHERE len(list_filter(string_split(text, ' '), t -> t = 'data')) > 0
+),
+j AS (
+  SELECT w.query_id, w.rank, COALESCE(r.rating, 0) AS rating
+  FROM win w LEFT JOIN ratings r
+    ON w.query_id = r.query_id AND w.doc_id = r.doc_id
+),
+dcg AS (
+  SELECT query_id,
+         SUM(CAST(FLOOR(1e9 * (pow(2.0, rating) - 1.0)
+                        / log2(rank + 1.0)) AS BIGINT)) AS d
+  FROM j GROUP BY 1
+),
+irk AS (
+  SELECT query_id, rating,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rating DESC, doc_id) AS rank
+  FROM ratings
+),
+idcg AS (
+  SELECT query_id,
+         SUM(CAST(FLOOR(1e9 * (pow(2.0, rating) - 1.0)
+                        / log2(rank + 1.0)) AS BIGINT)) AS i
+  FROM irk WHERE rank <= 10 GROUP BY 1
+)
+SELECT query_id,
+       CAST(CASE WHEN COALESCE(i, 0) > 0
+                 THEN FLOOR(1e6 * d / i) ELSE 0 END AS BIGINT) AS score_q
+FROM dcg LEFT JOIN idcg USING (query_id) ORDER BY query_id
+"""
+
+
 def oracle_sql() -> dict:
     return {
         "es_percolate": percolate_sql(),
@@ -1417,6 +1603,7 @@ def oracle_sql() -> dict:
         "es_dsl_span_near": span_near_filter_agg_sql(),
         "es_dsl_span_not": span_not_filter_agg_sql(),
         "es_dsl_terms_lookup": TERMS_LOOKUP_SQL,
+        "es_rank_eval": RANK_EVAL_SQL,
         "es_dsl_geo": dsl_geo_sql(),
         "es_dsl_geo_dateline": dsl_geo_dateline_sql(),
         "es_dsl_geo_shape": dsl_geo_shape_sql(),

@@ -966,3 +966,43 @@ def test_terms_lookup(spark):
             "id_field": "wid"}}}, frames={"watch": watch})
     with _pt.raises(ValueError, match="not registered"):
         apply_query(docs, q, frames={"other": watch})
+
+
+def test_rank_eval_metrics(spark):
+    from elasticsearch_drift_plugin_spark.operators.search import rank_eval
+    import pytest as _pt
+
+    hits = spark.createDataFrame(
+        [("q1", 1, 1), ("q1", 2, 2), ("q1", 3, 3),
+         ("q2", 4, 1), ("q2", 5, 2)],
+        "query_id string, doc_id int, rank long",
+    )
+    ratings = spark.createDataFrame(
+        [("q1", 2, 3), ("q1", 3, 1), ("q1", 9, 2), ("q2", 9, 1)],
+        "query_id string, doc_id int, rating long",
+    )
+
+    def got(metric, k=10, thr=1):
+        return {
+            r.query_id: r.score_q
+            for r in rank_eval(hits, ratings, metric, k, thr).collect()
+        }
+
+    # precision: q1 = 2 relevant of 3 retrieved; q2 = 0 of 2
+    assert got("precision") == {"q1": 666666, "q2": 0}
+    # recall: q1 = 2 of 3 relevant (doc 9 never retrieved); q2 = 0 of 1
+    assert got("recall") == {"q1": 666666, "q2": 0}
+    # mrr: q1 first relevant at rank 2 -> 0.5; q2 none -> 0
+    assert got("mrr") == {"q1": 500000, "q2": 0}
+    # ndcg: q1 dcg = (2^3-1)/log2(3) + (2^1-1)/log2(4) over ranks 2,3;
+    # ideal = ratings 3,2,1 at ranks 1,2,3 (doc 9's rating 2 counts)
+    import math
+    t = lambda rel, rk: math.floor(1e9 * (2 ** rel - 1) / math.log2(rk + 1))
+    d = t(3, 2) + t(1, 3)
+    i = t(3, 1) + t(2, 2) + t(1, 3)
+    assert got("ndcg")["q1"] == math.floor(1e6 * d / i)
+    assert got("ndcg")["q2"] == 0
+    # rank window: k=1 sees only rank-1 hits
+    assert got("precision", k=1) == {"q1": 0, "q2": 0}
+    with _pt.raises(ValueError, match="metric"):
+        rank_eval(hits, ratings, "f1")
