@@ -281,6 +281,16 @@ BENCH_QUERIES = [
     "stream_psum_fixed_tz",
     "es_dsl_intervals",
     "es_search_script_sort",
+    "es_dsl_span_near",
+    "es_dsl_span_not",
+    "es_search_children_agg",
+    "es_search_parent_agg",
+    "es_dsl_knn_query",
+    "es_time_series",
+    "es_dsl_geo_shape",
+    "es_search_linear_retr",
+    "es_dsl_terms_lookup",
+    "es_rank_eval",
 ]
 
 # Queries in their FIRST committed bench window get one UNTIMED warmup
@@ -297,6 +307,16 @@ FIRST_WINDOW_WARMUP = [
     "stream_psum_fixed_tz",
     "es_dsl_intervals",
     "es_search_script_sort",
+    "es_dsl_span_near",
+    "es_dsl_span_not",
+    "es_search_children_agg",
+    "es_search_parent_agg",
+    "es_dsl_knn_query",
+    "es_time_series",
+    "es_dsl_geo_shape",
+    "es_search_linear_retr",
+    "es_dsl_terms_lookup",
+    "es_rank_eval",
 ]
 
 
