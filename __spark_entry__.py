@@ -1743,6 +1743,72 @@ def _es_dsl_knn_query(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+# `rescore` (r13): the Lucene QueryRescorer contract over the knn hits
+# page — top window_size of the ORIGINAL ranking rescored by a
+# script_score (SQL dialect), window docs failing the inner filter keep
+# query_weight*original, docs outside the window untouched; integer
+# 1e-6 quanta arithmetic so the oracle replays it exactly.
+ES_SEARCH_RESCORE_BODY = {
+    "size": 20,
+    "knn": {"field": "embedding", "query_vector": _KNN_QV, "k": 20,
+            "num_candidates": 50},
+    "_source": {"includes": ["vec_id", "label"]},
+    "rescore": {"window_size": 10, "query": {
+        "rescore_query": {"script_score": {
+            "query": {"range": {"label": {"gte": 1}}},
+            "script": {"source": "CAST(label AS DOUBLE)"}}},
+        "query_weight": 0.5, "rescore_query_weight": 2.0,
+        "score_mode": "total"}},
+}
+
+
+def _es_search_rescore_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    emb = s.read.parquet(f"{d}/embeddings.parquet")
+    return run_search(emb, ES_SEARCH_RESCORE_BODY)["_hits"]
+
+
+def _es_search_rescore_oracle() -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings
+),
+scored AS (
+  SELECT vec_id, label,
+         CAST(FLOOR(
+           list_dot_product({_KNN_QV_SQL}, ev)
+           / (sqrt(list_dot_product({_KNN_QV_SQL}, {_KNN_QV_SQL}))
+              * sqrt(list_dot_product(ev, ev))) * 1e6) AS BIGINT)
+           AS _score_q
+  FROM v
+),
+page AS (
+  SELECT * FROM scored ORDER BY _score_q DESC, vec_id, label LIMIT 20
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY _score_q DESC, vec_id, label)
+         AS rk
+  FROM page
+),
+resc AS (
+  SELECT vec_id, label,
+         CAST(CASE
+           WHEN rk > 10 THEN _score_q
+           WHEN label >= 1 THEN FLOOR(
+             0.5 * _score_q
+             + 2.0 * FLOOR(CAST(label AS DOUBLE) * 1e6))
+           ELSE FLOOR(0.5 * _score_q)
+         END AS BIGINT) AS _score_q
+  FROM ranked
+)
+SELECT vec_id, label, _score_q
+FROM resc ORDER BY _score_q DESC, vec_id, label
+"""
+
+
 # `linear` retriever (r13, ES 8.18): weighted sum of per-child
 # normalized scores over each child's top window — knn child minmax-
 # normalized (exact-int quanta stats), script_score child l2-normalized
@@ -2852,6 +2918,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_dsl_knn_query": _es_dsl_knn_query,
         "es_time_series": _es_time_series_query,
         "es_search_linear_retr": _es_search_linear_query,
+        "es_search_rescore": _es_search_rescore_query,
         "es_search_parent_agg": _es_search_parent_agg_query,
         "es_search_geo_sort": _es_search_geo_sort_query,
         "es_search_ip_range": _es_search_ip_range_query,
@@ -3221,6 +3288,7 @@ def _oracles_raw() -> dict[str, str]:
         "es_dsl_knn_query": ES_DSL_KNN_QUERY_SQL,
         "es_time_series": ES_TIME_SERIES_SQL,
         "es_search_linear_retr": _es_search_linear_oracle(),
+        "es_search_rescore": _es_search_rescore_oracle(),
         "es_search_parent_agg": ES_SEARCH_PARENT_SQL,
         "es_search_geo_sort": _es_search_geo_sort_oracle(),
         "es_search_ip_range": ES_SEARCH_IP_RANGE_SQL,

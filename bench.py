@@ -291,6 +291,7 @@ BENCH_QUERIES = [
     "es_search_linear_retr",
     "es_dsl_terms_lookup",
     "es_rank_eval",
+    "es_search_rescore",
 ]
 
 # Queries in their FIRST committed bench window get one UNTIMED warmup
@@ -317,6 +318,7 @@ FIRST_WINDOW_WARMUP = [
     "es_search_linear_retr",
     "es_dsl_terms_lookup",
     "es_rank_eval",
+    "es_search_rescore",
 ]
 
 

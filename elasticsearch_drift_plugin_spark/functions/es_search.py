@@ -276,6 +276,76 @@ def _join_inner_hits_frame(hits: DataFrame, rec: dict) -> DataFrame:
     )
 
 
+def _rescore_hits(hits: DataFrame, rs: dict, keep: list) -> DataFrame:
+    """The ES ``rescore`` section (r13) over a SCORED hits page (a frame
+    carrying ``_score_q`` — the knn/retriever tiers; the engine has no
+    text ``_score``, so the ``rescore_query`` must be ``script_score``
+    in the SQL expression dialect, optionally with an inner filter
+    ``query``). Lucene's QueryRescorer contract: only the top
+    ``window_size`` of the ORIGINAL ranking rescores; a window doc not
+    matching the inner query keeps ``query_weight * original`` (the
+    secondary term is absent, any score_mode); docs outside the window
+    keep their original score untouched. score_mode ∈ total / multiply
+    / avg / max / min. All arithmetic runs on the integer 1e-6 quanta
+    (multiply/avg re-quantized), so both engines replay it exactly.
+    The page is result-sized — this is coordinator-tier work, never a
+    corpus pass."""
+    from pyspark.sql import Window
+
+    spec = rs["query"]
+    window = int(rs.get("window_size", 10))
+    qw = float(spec.get("query_weight", 1.0))
+    rqw = float(spec.get("rescore_query_weight", 1.0))
+    mode = str(spec.get("score_mode", "total")).lower()
+    rq = spec["rescore_query"]
+    (rkind, rbody), = rq.items()
+    if rkind != "script_score":
+        raise ValueError(
+            "rescore_query must be script_score (the engine's SQL"
+            " expression dialect — there is no text _score to rescore"
+            " with)"
+        )
+    from .es_dsl import _script_source, compile_query
+
+    src = _script_source(rbody)
+    order = [F.col("_score_q").desc()] + [F.col(c).asc() for c in keep]
+    ranked = hits.withColumn(
+        "__orig_rank", F.row_number().over(Window.orderBy(*order))
+    )
+    sec_q = F.floor(F.expr(src) * F.lit(1e6)).cast("long")
+    matched = (
+        compile_query(rbody["query"]) if "query" in rbody else F.lit(True)
+    )
+    a = F.lit(qw) * F.col("_score_q")          # weighted quanta
+    b = F.lit(rqw) * sec_q
+    if mode == "total":
+        comb = a + b
+    elif mode == "multiply":
+        comb = a * b / F.lit(1e6)
+    elif mode == "avg":
+        comb = (a + b) / F.lit(2.0)
+    elif mode == "max":
+        comb = F.greatest(a, b)
+    elif mode == "min":
+        comb = F.least(a, b)
+    else:
+        raise ValueError(f"unsupported rescore score_mode {mode!r}")
+    new_q = (
+        F.when(
+            F.col("__orig_rank") > window, F.col("_score_q")
+        )
+        .when(
+            F.coalesce(matched, F.lit(False)), F.floor(comb).cast("long")
+        )
+        .otherwise(F.floor(a).cast("long"))
+    )
+    return (
+        ranked.withColumn("_score_q", new_q)
+        .drop("__orig_rank")
+        .orderBy(F.col("_score_q").desc(), *[F.col(c).asc() for c in keep])
+    )
+
+
 def run_search(
     df: DataFrame,
     body: dict,
@@ -400,7 +470,10 @@ def run_search(
         # k is the retrieval depth; the body's `size` pages it (ES
         # returns min(k, size) hits; size=0 yields an empty hits page)
         page = min(int(spec["k"]), int(body.get("size", 10)))
-        out["_hits"] = scorer(keep).limit(page)
+        hits_page = scorer(keep).limit(page)
+        if "rescore" in body:
+            hits_page = _rescore_hits(hits_page, body["rescore"], keep)
+        out["_hits"] = hits_page
         return out
     # hits retrieval — the ES response's `hits.hits` section, as the
     # reserved "_hits" frame. Opt-in: requires BOTH size > 0 AND an

@@ -1006,3 +1006,52 @@ def test_rank_eval_metrics(spark):
     assert got("precision", k=1) == {"q1": 0, "q2": 0}
     with _pt.raises(ValueError, match="metric"):
         rank_eval(hits, ratings, "f1")
+
+
+def test_rescore_modes(spark):
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+    import pytest as _pt
+
+    # cosine vs (1,0) rank: 4,3,2,1,0 — window 3 rescored by v
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0], float(10 - i)) for i in range(5)],
+        "vec_id int, embedding array<float>, v double",
+    )
+
+    def page(mode, window=3, qw=1.0, rqw=1.0, fq=None):
+        rq = {"script_score": {"script": {"source": "v"}}}
+        if fq:
+            rq["script_score"]["query"] = fq
+        body = {"size": 5,
+                "knn": {"field": "embedding", "query_vector": [1.0, 0.0],
+                        "k": 5},
+                "_source": {"includes": ["vec_id", "v"]},
+                "rescore": {"window_size": window, "query": {
+                    "rescore_query": rq, "query_weight": qw,
+                    "rescore_query_weight": rqw, "score_mode": mode}}}
+        return [r.vec_id for r in run_search(emb, body)["_hits"].collect()]
+
+    import math
+    sq = {i: math.floor(1e6 * i / math.sqrt(i * i + 1)) for i in range(5)}
+    vq = {i: math.floor(1e6 * (10 - i)) for i in range(5)}
+    # total, window 3 (ids 4,3,2): new = sq + vq; outside keep sq
+    tot = {i: (sq[i] + vq[i] if i >= 2 else sq[i]) for i in range(5)}
+    assert page("total") == sorted(range(5), key=lambda i: (-tot[i], i))
+    # min: window docs score min(sq, vq)
+    mn = {i: (min(sq[i], vq[i]) if i >= 2 else sq[i]) for i in range(5)}
+    assert page("min") == sorted(range(5), key=lambda i: (-mn[i], i))
+    # inner filter: only v >= 8 (ids 0..2) rescores; window is 4,3,2 ->
+    # only id 2 matches, 4 and 3 keep qw*orig with qw=0.1
+    f = {"range": {"v": {"gte": 8}}}
+    got = page("total", window=3, qw=0.1, rqw=1.0, fq=f)
+    sc = {i: sq[i] for i in range(5)}
+    sc[4] = math.floor(0.1 * sq[4]); sc[3] = math.floor(0.1 * sq[3])
+    sc[2] = math.floor(0.1 * sq[2] + vq[2])
+    assert got == sorted(range(5), key=lambda i: (-sc[i], i))
+    with _pt.raises(ValueError, match="script_score"):
+        page_body = {"size": 2,
+                     "knn": {"field": "embedding",
+                             "query_vector": [1.0, 0.0], "k": 2},
+                     "rescore": {"query": {
+                         "rescore_query": {"match": {"v": "x"}}}}}
+        run_search(emb, page_body)

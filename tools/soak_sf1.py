@@ -104,6 +104,19 @@ FLAGSHIPS = (
     "es_search_date_range_tz",
     "es_search_has_child_inner",
     "psum_fixed_tz",
+    # round-13 second pass: the span HOF predicate over the 10× corpus
+    # (scan-bound by nature, like the DSL tiers), the knn frontier
+    # marker (TakeOrdered must stay flat-ish), the parent-join agg
+    # switch (semi-join on the replicated orderkey), the ES 8.18
+    # linear fusion (window-sized stats), the coordinator-GET terms
+    # lookup, the tsid hash agg, and the ratings-join rank metric
+    "es_dsl_span_near",
+    "es_dsl_knn_query",
+    "es_search_children_agg",
+    "es_search_linear_retr",
+    "es_dsl_terms_lookup",
+    "es_time_series",
+    "es_rank_eval",
 )
 
 
