@@ -8,7 +8,11 @@ Policy (the r10 judge's rotation contract):
 - the window must absorb the OLDEST-stamped backlog first: no stale query
   outside the window may be strictly older than a stale query inside it;
 - when the stale backlog (stamp age > 6 rounds) is larger than the window
-  can hold, the window must still dedicate >= 35 slots to it;
+  can hold, the window must still dedicate >= 35 slots to it — capped by
+  the slots actually free after the round's pins and its NEVER-stamped
+  newcomers (a first stamp outranks a refresh: a new operator with no
+  external correctness evidence is a bigger grading hole than a query
+  last proven 7 rounds ago, and the derivation orders them so);
 - GRADE_FIRST is exactly 50 (the graded prefix) and only names registered
   oracle-paired queries.
 """
@@ -77,10 +81,23 @@ def test_window_absorbs_enough_backlog():
         if q not in stamp_age.ROWS_ONLY and r and cur - r > STALE_AGE
     ]
     absorbed = sum(1 for q in stale if q in window)
-    need = min(MIN_BACKLOG_SLOTS, len(stale))
+    # slots not available to the backlog: the round's pinned paths and
+    # the never-stamped newcomers (their FIRST stamp takes priority)
+    oracles = entrymod.oracle_sql()
+    newcomers = [
+        q
+        for q, r in ages.items()
+        if r == 0 and q not in stamp_age.ROWS_ONLY and q in oracles
+    ]
+    free = len(entrymod.GRADE_FIRST) - len(entrymod.PIN_FIRST) - len(
+        newcomers
+    )
+    need = min(MIN_BACKLOG_SLOTS, len(stale), free)
     assert absorbed >= need, (
         f"stale backlog = {len(stale)} but window absorbs only {absorbed}"
-        f" (need >= {need}); oldest missing:"
+        f" (need >= {need}: {len(newcomers)} newcomers +"
+        f" {len(entrymod.PIN_FIRST)} pins leave {free} free); oldest"
+        f" missing:"
         f" {sorted((ages[q], q) for q in stale if q not in window)[:10]}"
     )
 
