@@ -61,6 +61,21 @@ common flow-query bodies):
 - ``wrapper`` (r13) — base64-encoded JSON query, decoded and recursed
 - ``parent_id`` (r13, relations route) — a term rewrite on the
   relation's local join key (the child stores its parent id)
+- the ``span_*`` family (r13) — span_term / span_multi / span_or /
+  span_near / span_first / span_not / span_containing / span_within as
+  row-local token-position span SETS (functions/es_span.py — one
+  dialect-parameterized HOF generator feeds both compilers);
+  ``span_field_masking`` raises (one analyzer, SCOPE §D)
+- ``knn`` (r13, frame route) — the exact top-k frontier joins back as
+  a marker via :func:`apply_query` (row-local compilers raise naming
+  the route); composes under bool with post-filter semantics
+- ``geo_shape`` (r13) — envelope/polygon/circle/point shapes over
+  point docs, desugared to the exact geo kinds
+  (:func:`_desugar_geo_shape`); intersects==within, disjoint needs
+  both coords, contains is point-shape-only
+- ``terms`` LOOKUP form (r13, frame route) — the coordinator-GET
+  contract: one bounded 1-row collect of ``frames[name]`` rewrites the
+  clause to plain terms before compilation
 - ``regexp`` — anchored full-value regex (Java dialect here, RE2 in the
   twin — portable for the lookaround-free subset)
 - ``ids`` — id-list membership (``values``; relational docs carry the id
