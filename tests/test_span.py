@@ -190,3 +190,49 @@ def test_span_dialect_parity_spark_string(span_df):
         r.id for r in span_df.where(compile_query(body)).collect()
     )
     assert via_expr == via_col and via_col == [1, 2, 4, 5, 7]
+
+
+def test_span_property_cross_engine(span_df, span_con, spark):
+    """Randomized span trees (seeded) must agree across engines — the
+    query_string 40-tree discipline applied to the span family."""
+    import random
+
+    rng = random.Random(1307)
+    vocab = ["the", "quick", "brown", "fox", "dog", "lazy", "stop",
+             "fast", "red", "jumps"]
+
+    def gen(depth):
+        kinds = ["term", "term", "or", "near", "first", "not"]
+        k = rng.choice(kinds if depth < 2 else ["term"])
+        if k == "term":
+            return {"span_term": {"text": rng.choice(vocab)}}
+        if k == "or":
+            return {"span_or": {"clauses": [
+                gen(depth + 1) for _ in range(rng.randint(2, 3))]}}
+        if k == "near":
+            return {"span_near": {
+                "clauses": [gen(depth + 1) for _ in range(2)],
+                "slop": rng.randint(0, 4),
+                "in_order": rng.random() < 0.7}}
+        if k == "first":
+            return {"span_first": {"match": gen(depth + 1),
+                                   "end": rng.randint(1, 6)}}
+        return {"span_not": {"include": gen(depth + 1),
+                             "exclude": gen(depth + 1),
+                             "pre": rng.randint(0, 2),
+                             "post": rng.randint(0, 2)}}
+
+    checked = 0
+    for _ in range(40):
+        body = gen(0)
+        s = sorted(r.id for r in span_df.where(compile_query(body)).collect())
+        d = sorted(
+            r[0]
+            for r in span_con.execute(
+                "SELECT id FROM docs WHERE "
+                + compile_query_sql(body, "duckdb")
+            ).fetchall()
+        )
+        assert s == d, f"engine mismatch for {body}: spark={s} duckdb={d}"
+        checked += 1
+    assert checked == 40
