@@ -760,25 +760,11 @@ def compile_query(q: dict, now_ms: int | None = None) -> Column:
                 "intervals match supports 1-2 tokens (3+ ordered chains:"
                 " operators.search.intervals_near per pair)"
             )
-        gaps = int(m.get("max_gaps", -1))
-        ordered = bool(m.get("ordered", False))
-        lst = F.split(F.lower(F.col(field)), " ")
-
-        def _positions(t):
-            return F.filter(
-                F.sequence(F.lit(1), F.size(lst)),
-                lambda i: F.element_at(lst, i) == F.lit(t),
-            )
-
-        def _pair(a, b):
-            dist = b - a if ordered else F.abs(a - b)
-            cond = dist > 0 if ordered else dist != 0
-            if gaps >= 0:
-                cond = cond & (dist - 1 <= gaps)
-            return cond
-
-        pa, pb = _positions(toks[0]), _positions(toks[1])
-        return F.exists(pa, lambda a: F.exists(pb, lambda b: _pair(a, b)))
+        # delegate to the SQL twin's spark dialect: it let-binds the
+        # token list once per row (the es_span discipline — HOFs are
+        # interpreted, so de-duplicating the split is a ~10x win at
+        # sf0.1; SCALE.md r13 row)
+        return F.expr(compile_query_sql(q, "spark"))
     if kind == "fuzzy":
         # ES fuzzy: terms within `fuzziness` edits (Levenshtein is a
         # JVM/DuckDB builtin — exact, same unit-of-edit on ASCII; the
@@ -1329,34 +1315,43 @@ def compile_query_sql(
             )
         gaps = int(m.get("max_gaps", -1))
         ordered = bool(m.get("ordered", False))
+        # token list bound ONCE per row (the es_span let-binding
+        # discipline): leaves reference the lambda var, never re-split
         if dialect == "spark":
-            lst = f"split(lower({field}), ' ')"
+            split = f"split(lower({field}), ' ')"
 
             def _pos(t):
                 return (
-                    f"filter(sequence(1, size({lst})),"
-                    f" i -> element_at({lst}, i) = {_sql_lit(t)})"
+                    "filter(sequence(1, size(__tk)),"
+                    f" i -> element_at(__tk, i) = {_sql_lit(t)})"
                 )
         else:
-            lst = f"string_split(lower({field}), ' ')"
+            split = f"string_split(lower({field}), ' ')"
 
             def _pos(t):
                 return (
-                    f"list_filter(range(1, len({lst}) + 1),"
-                    f" i -> {lst}[i] = {_sql_lit(t)})"
+                    "list_filter(range(1, len(__tk) + 1),"
+                    f" i -> __tk[i] = {_sql_lit(t)})"
                 )
         dist = "(b - a)" if ordered else "abs(a - b)"
         cond = f"{dist} > 0" if ordered else f"{dist} != 0"
         if gaps >= 0:
             cond = f"({cond} AND {dist} - 1 <= {gaps})"
         if dialect == "spark":
-            return (
-                f"(exists({_pos(toks[0])}, a ->"
-                f" exists({_pos(toks[1])}, b -> {cond})))"
+            inner = (
+                f"exists({_pos(toks[0])}, a ->"
+                f" exists({_pos(toks[1])}, b -> {cond}))"
             )
+            return (
+                f"(element_at(transform(array({split}),"
+                f" __tk -> {inner}), 1))"
+            )
+        inner = (
+            f"len(list_filter({_pos(toks[0])}, a ->"
+            f" len(list_filter({_pos(toks[1])}, b -> {cond})) > 0)) > 0"
+        )
         return (
-            f"(len(list_filter({_pos(toks[0])}, a ->"
-            f" len(list_filter({_pos(toks[1])}, b -> {cond})) > 0)) > 0)"
+            f"((list_transform([{split}], __tk -> {inner}))[1])"
         )
     if kind == "fuzzy":
         field, val = _field_value(body, "value")

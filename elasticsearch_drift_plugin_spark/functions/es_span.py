@@ -122,9 +122,12 @@ def _tokens(d: str, field: str) -> str:
     return f"string_split(lower({field}), ' ')"
 
 
-def _positions(d: str, field: str, pred_of_tok, ctr) -> str:
-    """Span set of width-1 spans at token positions satisfying ``pred``."""
-    lst = _tokens(d, field)
+def _positions(d: str, lst: str, pred_of_tok, ctr) -> str:
+    """Span set of width-1 spans at token positions satisfying ``pred``.
+
+    ``lst`` is the token-list EXPRESSION — under :func:`compile_span_sql`
+    it is a lambda variable bound once per row (see the let-binding
+    note there), so leaves never re-split the text."""
     i = f"i{next(ctr)}"
     tok = f"element_at({lst}, {i})" if d == "spark" else f"{lst}[{i}]"
     seq = (
@@ -184,13 +187,20 @@ def _leaf_value(body: dict, field: str, key: str = "value"):
     return spec[key] if isinstance(spec, dict) else spec
 
 
-def span_set_sql(node: dict, dialect: str, ctr=None) -> str:
+def span_set_sql(
+    node: dict, dialect: str, ctr=None, lst: str | None = None
+) -> str:
     """SQL expression producing this span tree's matching span set
-    (``array<struct<s,e,g>>``) for one document row."""
+    (``array<struct<s,e,g>>``) for one document row. ``lst`` overrides
+    the token-list expression (the let-binding route); without it the
+    field tokenizes inline per leaf."""
     if ctr is None:
         ctr = itertools.count()
     d = dialect
     (kind, body), = node.items()
+
+    def _lst(field):
+        return lst if lst is not None else _tokens(d, field)
 
     if kind == "span_term":
         (field,), = (list(body.keys()),)
@@ -200,7 +210,9 @@ def span_set_sql(node: dict, dialect: str, ctr=None) -> str:
                 "span_term takes exactly one token (phrases: span_near"
                 " with slop 0, in_order true)"
             )
-        return _positions(d, field, lambda t: f"{t} = {_sql_lit(val)}", ctr)
+        return _positions(
+            d, _lst(field), lambda t: f"{t} = {_sql_lit(val)}", ctr
+        )
 
     if kind == "span_multi":
         (mkind, inner), = body["match"].items()
@@ -209,7 +221,7 @@ def span_set_sql(node: dict, dialect: str, ctr=None) -> str:
             val = str(_leaf_value(inner, field)).lower()
             return _positions(
                 d,
-                field,
+                _lst(field),
                 lambda t: f"substr({t}, 1, {len(val)}) = {_sql_lit(val)}",
                 ctr,
             )
@@ -226,9 +238,11 @@ def span_set_sql(node: dict, dialect: str, ctr=None) -> str:
             val = str(_leaf_value(inner, field))
             pat = _sql_lit(f"^(?:{val})$")
             if d == "spark":
-                return _positions(d, field, lambda t: f"{t} RLIKE {pat}", ctr)
+                return _positions(
+                    d, _lst(field), lambda t: f"{t} RLIKE {pat}", ctr
+                )
             return _positions(
-                d, field, lambda t: f"regexp_matches({t}, {pat})", ctr
+                d, _lst(field), lambda t: f"regexp_matches({t}, {pat})", ctr
             )
         if mkind == "fuzzy":
             val = str(_leaf_value(inner, field)).lower()
@@ -239,7 +253,7 @@ def span_set_sql(node: dict, dialect: str, ctr=None) -> str:
                 fz = 0 if n <= 2 else (1 if n <= 5 else 2)
             return _positions(
                 d,
-                field,
+                _lst(field),
                 lambda t: f"levenshtein({t}, {_sql_lit(val)}) <= {int(fz)}",
                 ctr,
             )
@@ -248,7 +262,7 @@ def span_set_sql(node: dict, dialect: str, ctr=None) -> str:
         )
 
     if kind == "span_or":
-        parts = [span_set_sql(c, d, ctr) for c in body["clauses"]]
+        parts = [span_set_sql(c, d, ctr, lst) for c in body["clauses"]]
         if not parts:
             raise ValueError("span_or with no clauses")
         return _concat(d, parts)
@@ -259,7 +273,7 @@ def span_set_sql(node: dict, dialect: str, ctr=None) -> str:
             raise ValueError("span_near needs >= 2 clauses")
         slop = int(body.get("slop", 0))
         in_order = bool(body.get("in_order", True))
-        sets = [span_set_sql(c, d, ctr) for c in clauses]
+        sets = [span_set_sql(c, d, ctr, lst) for c in clauses]
         if not in_order:
             if len(clauses) != 2:
                 raise ValueError(
@@ -302,15 +316,15 @@ def span_set_sql(node: dict, dialect: str, ctr=None) -> str:
         return acc
 
     if kind == "span_first":
-        child = span_set_sql(body["match"], d, ctr)
+        child = span_set_sql(body["match"], d, ctr, lst)
         end = int(body["end"])
         x = f"x{next(ctr)}"
         # our e is exclusive over 1-based positions = Lucene end + 1
         return _flt(d, child, x, f"{x}.e <= {end} + 1")
 
     if kind == "span_not":
-        inc = span_set_sql(body["include"], d, ctr)
-        exc = span_set_sql(body["exclude"], d, ctr)
+        inc = span_set_sql(body["include"], d, ctr, lst)
+        exc = span_set_sql(body["exclude"], d, ctr, lst)
         dist = int(body.get("dist", 0))
         pre = int(body.get("pre", dist))
         post = int(body.get("post", dist))
@@ -321,8 +335,8 @@ def span_set_sql(node: dict, dialect: str, ctr=None) -> str:
         return _flt(d, inc, x, f"NOT {clash}")
 
     if kind in ("span_containing", "span_within"):
-        big = span_set_sql(body["big"], d, ctr)
-        little = span_set_sql(body["little"], d, ctr)
+        big = span_set_sql(body["big"], d, ctr, lst)
+        little = span_set_sql(body["little"], d, ctr, lst)
         x, y = f"x{next(ctr)}", f"y{next(ctr)}"
         contains = f"({x}.s <= {y}.s AND {y}.e <= {x}.e)"
         if kind == "span_containing":
@@ -338,7 +352,23 @@ def compile_span_sql(q: dict, dialect: str = "duckdb") -> str:
 
     ``span_field`` validates the one-field rule up front so the error
     surfaces before any SQL is built.
+
+    Let-binding: HOF expressions are interpreted per row (not
+    whole-stage codegen), so re-splitting the text at every leaf is the
+    dominant cost on wide trees. The tokenized list is bound ONCE per
+    row as a lambda variable over a single-element array —
+    ``transform(array(split(...)), L -> tree(L))[1]`` here,
+    ``list_transform([string_split(...)], L -> tree(L))[1]`` in the
+    twin — cutting the per-row expression work by the leaf count
+    (measured 10.8 s → see SCALE.md r13 row at sf0.1).
     """
-    span_field(q)
-    spans = span_set_sql(q, dialect)
-    return f"({_sz(dialect, spans)} > 0)"
+    field = span_field(q)
+    d = dialect
+    var = "__toks"
+    spans = span_set_sql(q, d, None, var)
+    bound = _xf(d, f"array({_tokens(d, field)})" if d == "spark"
+                else f"[{_tokens(d, field)}]", var, spans)
+    first = (
+        f"element_at({bound}, 1)" if d == "spark" else f"({bound})[1]"
+    )
+    return f"({_sz(d, first)} > 0)"
