@@ -9,9 +9,12 @@ re-expression is row-local and shuffle-free: each document computes its
 matching *span set* with nested array HOFs (``filter`` / ``transform``
 / ``flatten`` over the whitespace-lowercase token list — the engine's
 analyzer-free text dialect), and the clause is true when the set is
-non-empty. Stays inside whole-stage codegen; no explode, no join, no
-Python — the plan shape at 100 TB is the same scan-side predicate every
-other clause compiles to.
+non-empty. No explode, no join, no Python — the plan shape at 100 TB is
+the same scan-side predicate every other clause compiles to. HOF
+expressions are evaluated INTERPRETED per row (Catalyst does not
+whole-stage-codegen lambda functions), so the generator let-binds the
+tokenized list once per row (see :func:`compile_span_sql`) — measured
+~11x at sf0.1 vs inline re-splitting at every leaf.
 
 Span representation: ``struct(s, e, g)`` where ``s`` is the 1-based
 start token position, ``e`` the exclusive end, and ``g`` the gap budget
