@@ -275,6 +275,9 @@ def span_set_sql(
         if len(clauses) < 2:
             raise ValueError("span_near needs >= 2 clauses")
         slop = int(body.get("slop", 0))
+        if slop < 0:
+            raise ValueError("span_near slop must be >= 0 (ES rejects"
+                             " negative slop)")
         in_order = bool(body.get("in_order", True))
         sets = [span_set_sql(c, d, ctr, lst) for c in clauses]
         if not in_order:

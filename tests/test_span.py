@@ -164,6 +164,9 @@ def test_span_validation():
     # multi-token span_term raises naming span_near
     with pytest.raises(ValueError, match="one token"):
         compile_query({"span_term": {"text": "two words"}})
+    # negative slop raises (ES parity) instead of matching nothing
+    with pytest.raises(ValueError, match="slop"):
+        compile_query(near([term("a"), term("b")], -1))
     # field masking is a documented exclusion
     with pytest.raises(ValueError, match="out of scope"):
         compile_query({"field_masking_span": {"query": term("a"),
