@@ -292,6 +292,7 @@ BENCH_QUERIES = [
     "es_dsl_terms_lookup",
     "es_rank_eval",
     "es_search_rescore",
+    "stream_span_matches",
 ]
 
 # Queries in their FIRST committed bench window get one UNTIMED warmup
@@ -319,6 +320,7 @@ FIRST_WINDOW_WARMUP = [
     "es_dsl_terms_lookup",
     "es_rank_eval",
     "es_search_rescore",
+    "stream_span_matches",
 ]
 
 

@@ -189,6 +189,31 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.orderBy("keep_id")
 
 
+def stream_span_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming positional alerting (r13): the span-family predicate is
+    ROW-LOCAL (a codegen HOF over the document's own tokens — no state,
+    no join), so it composes with Structured Streaming unchanged: the
+    batch `es_dsl_span_near` body filters the bounded `documents` replay
+    map-side and only the per-source count is streaming state. This is
+    the percolate shape for positional rules — a registered span query
+    alerting on matching documents as files arrive. Shares the batch
+    oracle verbatim (SPAN_NEAR_BODY)."""
+    from ..functions.es_dsl import compile_query
+    from ..operators.search import SPAN_NEAR_BODY
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    docs = spark.readStream.schema(schema).parquet(
+        f"{sf_dir}/documents.parquet*"
+    )
+    agg = (
+        docs.where(compile_query(SPAN_NEAR_BODY))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+    )
+    tbl = run_available_now(agg, "complete")
+    return tbl.orderBy("source")
+
+
 def stream_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming "new vs returning users" (r10): the batch
     ``cumulative_cardinality`` first-seen fold split at its natural
@@ -259,6 +284,7 @@ def stream_zscore_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict:
     return {
+        "stream_span_matches": stream_span_matches,
         "stream_psum_6h": stream_psum_6h,
         "stream_zscore_day": stream_zscore_day,
         "stream_psum_day_tz": stream_psum_day_tz,
@@ -281,6 +307,12 @@ def _stream_time_series_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_time_series_rate(spark, sf_dir)
 
 
+def _span_near_oracle() -> str:
+    from ..operators.search import span_near_filter_agg_sql
+
+    return span_near_filter_agg_sql()
+
+
 def oracle_sql() -> dict:
     # Identical oracles to the batch twins: the whole point of the replay.
     psum = psum_oracle_sql(
@@ -291,6 +323,7 @@ def oracle_sql() -> dict:
     from ..operators.pipeline import zscore_sql
 
     return {
+        "stream_span_matches": _span_near_oracle(),
         "stream_psum_6h": psum,
         "stream_zscore_day": zscore_sql(
             psum_oracle_sql(events_flows_duckdb_sql(""), quantize=4,
