@@ -293,6 +293,7 @@ BENCH_QUERIES = [
     "es_rank_eval",
     "es_search_rescore",
     "stream_span_matches",
+    "train_hard_negatives",
 ]
 
 # Queries in their FIRST committed bench window get one UNTIMED warmup
@@ -321,6 +322,7 @@ FIRST_WINDOW_WARMUP = [
     "es_rank_eval",
     "es_search_rescore",
     "stream_span_matches",
+    "train_hard_negatives",
 ]
 
 

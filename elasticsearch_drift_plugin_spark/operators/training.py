@@ -1280,6 +1280,108 @@ FROM scored, thr ORDER BY stage, shuf_q, doc_id
 # driver-contract registry
 # --------------------------------------------------------------------------
 
+def hard_negatives(
+    emb: DataFrame,
+    anchor_pred: str = "vec_id % 100 = 0",
+    k: int = 5,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    max_pairs: int = 50_000_000,
+) -> DataFrame:
+    """(anchor_id, neg_id, score_q, rank): contrastive hard-negative
+    mining — for each anchor, the ``k`` most cosine-similar corpus
+    vectors with a DIFFERENT label (the near-miss negatives a
+    contrastive/embedding trainer wants next to each positive).
+
+    Scale design: the anchor batch is broadcast (mining runs in
+    bounded batches — the anchor side is the mini-batch, never the
+    corpus), the corpus scans ONCE, scores quantize to integer 1e-6 and
+    rank with a per-anchor window (anchor-batch-sized state). Like
+    :func:`~.similarity.cosine_topk`, the pair count is guarded up
+    front: all-pairs mining on an unbounded corpus raises naming the
+    IVF route (mine within probed cells via
+    ``similarity.ivf_topk`` + a label filter) rather than silently
+    launching a 100 TB cross product.
+    """
+    from .similarity import MAX_BRUTE_PAIRS  # noqa: F401  (same class)
+    from ..functions.vectors import dot, l2_norm
+
+    anchors = emb.where(anchor_pred)
+    n_a, n_c = anchors.count(), emb.count()
+    if n_a * n_c > max_pairs:
+        raise ValueError(
+            f"hard_negatives would score {n_a} x {n_c} pairs"
+            f" (> max_pairs={max_pairs}); mine in smaller anchor"
+            " batches, or pre-prune candidates with similarity.ivf_topk"
+            " and filter labels on the probed cells"
+        )
+
+    def _v(col):
+        return F.transform(F.col(col), lambda x: x.cast("double"))
+
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("__alabel"),
+        _v("embedding").alias("av"),
+    ).withColumn("an", l2_norm(F.col("av")))
+    c = emb.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(label_col).alias("__clabel"),
+        _v("embedding").alias("cv"),
+    ).withColumn("cn", l2_norm(F.col("cv")))
+    score = dot(F.col("av"), F.col("cv")) / (F.col("an") * F.col("cn"))
+    pairs = (
+        c.join(
+            F.broadcast(a),
+            (F.col("anchor_id") != F.col("neg_id"))
+            & (F.col("__alabel") != F.col("__clabel")),
+        )
+        .select(
+            "anchor_id",
+            "neg_id",
+            F.floor(score * F.lit(1e6)).cast("long").alias("score_q"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("score_q").desc(), F.col("neg_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .orderBy("anchor_id", "rank")
+    )
+
+
+HARD_NEGATIVES_SQL = """
+WITH a AS (
+  SELECT vec_id AS anchor_id, label AS alabel,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS av
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+c AS (
+  SELECT vec_id AS neg_id, label AS clabel,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.anchor_id, c.neg_id,
+         CAST(FLOOR(
+           list_dot_product(a.av, c.cv)
+           / (sqrt(list_dot_product(a.av, a.av))
+              * sqrt(list_dot_product(c.cv, c.cv))) * 1e6) AS BIGINT)
+           AS score_q
+  FROM c JOIN a ON a.anchor_id != c.neg_id AND a.alabel != c.clabel
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                               ORDER BY score_q DESC, neg_id ASC) AS rank
+  FROM pairs
+)
+SELECT anchor_id, neg_id, score_q, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5 ORDER BY anchor_id, rank
+"""
+
+
 def queries() -> dict:
     return {
         "train_pack_sequences": lambda s, d: pack_sequences(
@@ -1307,6 +1409,9 @@ def queries() -> dict:
             load_table(s, d, "documents")
         ),
         # the same chain gated by the in-engine TRAINED classifier
+        "train_hard_negatives": lambda s, d: hard_negatives(
+            s.read.parquet(f"{d}/embeddings.parquet")
+        ),
         "train_curate_clf": lambda s, d: curate_pipeline_clf(
             load_table(s, d, "documents")
         ),
@@ -1356,6 +1461,7 @@ def oracle_sql() -> dict:
         "train_mix_tokens": mix_rates_tokens_sql(target_tokens=15_000),
         "train_chunk_docs": chunk_documents_sql(chunk_tokens=64, stride=48),
         "train_curate_pipeline": curate_pipeline_sql(),
+        "train_hard_negatives": HARD_NEGATIVES_SQL,
         "train_curate_clf": curate_pipeline_clf_sql(),
         "train_split_assign": split_assign_sql(),
         "train_epoch_plan": epoch_plan_sql(capacity=256, seqs_per_shard=8),

@@ -1055,3 +1055,26 @@ def test_rescore_modes(spark):
                      "rescore": {"query": {
                          "rescore_query": {"match": {"v": "x"}}}}}
         run_search(emb, page_body)
+
+
+def test_hard_negatives(spark):
+    from elasticsearch_drift_plugin_spark.operators.training import (
+        hard_negatives,
+    )
+    import pytest as _pt
+
+    # anchor 0 (label 0) at [1,0]; negatives must all have label != 0,
+    # ranked by cosine similarity to the anchor
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [1.0, 0.1], 1), (2, [1.0, 0.5], 1),
+         (3, [0.0, 1.0], 1), (4, [1.0, 0.01], 0)],
+        "vec_id int, embedding array<float>, label int",
+    )
+    out = hard_negatives(emb, "vec_id = 0", k=2).collect()
+    assert [(r.anchor_id, r.neg_id, r.rank) for r in out] == [
+        (0, 1, 1), (0, 2, 2)]
+    # same-label near-duplicate (id 4, cosine ~1) must NOT appear
+    assert all(r.neg_id != 4 for r in out)
+    # the all-pairs guard raises naming the pruned route
+    with _pt.raises(ValueError, match="max_pairs"):
+        hard_negatives(emb, "TRUE", k=1, max_pairs=10)
