@@ -294,6 +294,7 @@ BENCH_QUERIES = [
     "es_search_rescore",
     "stream_span_matches",
     "train_hard_negatives",
+    "es_termvectors",
 ]
 
 # Queries in their FIRST committed bench window get one UNTIMED warmup
@@ -323,6 +324,7 @@ FIRST_WINDOW_WARMUP = [
     "es_search_rescore",
     "stream_span_matches",
     "train_hard_negatives",
+    "es_termvectors",
 ]
 
 

@@ -1243,6 +1243,9 @@ def queries() -> dict:
         "es_rank_eval": lambda s, d: rank_eval_ndcg(
             load_table(s, d, "documents")
         ),
+        "es_termvectors": lambda s, d: termvectors(
+            load_table(s, d, "documents")
+        ),
         "es_dsl_geo": lambda s, d: _dsl_geo_query(s, d),
         "es_dsl_geo_dateline": lambda s, d: _dsl_geo_dateline_query(s, d),
         "es_dsl_geo_shape": lambda s, d: _dsl_geo_shape_query(s, d),
@@ -1480,6 +1483,79 @@ def rank_eval(
     )
 
 
+def termvectors(
+    docs: DataFrame,
+    doc_pred: str = "doc_id < 5",
+    with_index_stats: bool = True,
+) -> DataFrame:
+    """The ES ``_termvectors`` API, relationally: per-(doc, term) stats
+    over the whitespace-lowercase token dialect — ``term_freq``, sorted
+    1-based ``positions``, and (``term_statistics=true``) corpus-wide
+    ``doc_freq`` / ``ttf`` (total term frequency).
+
+    Scale: the requested docs are a predicate (point GETs in ES; a
+    pushed filter here) so the positional explode is request-sized; the
+    corpus-wide term statistics are ONE aggregation over the corpus —
+    ES reads them precomputed from the inverted index, a 100 TB Spark
+    deployment materializes the same (term, df, ttf) table once per
+    corpus version and broadcast-joins it (this function computes it
+    on demand; cache/persist the ``term_stats`` side for repeated
+    calls)."""
+    toks = F.split(F.lower(F.col("text")), " ")
+    # the requested-doc filter sits on the SCAN side (pushed), so the
+    # positional explode is request-sized
+    tv = (
+        docs.where(doc_pred)
+        .select("doc_id", F.posexplode(toks).alias("pos0", "term"))
+        .select("doc_id", "term", (F.col("pos0") + 1).cast("long").alias("pos"))
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("term_freq"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+    )
+    if not with_index_stats:
+        return tv.orderBy("doc_id", "term")
+    stats = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("doc_freq"),
+            F.count(F.lit(1)).cast("long").alias("ttf"),
+        )
+    )
+    return tv.join(stats, "term").select(
+        "doc_id", "term", "term_freq", "positions", "doc_freq", "ttf"
+    ).orderBy("doc_id", "term")
+
+
+TERMVECTORS_SQL = """
+WITH tok AS (
+  SELECT d.doc_id, u.term, CAST(u.pos AS BIGINT) AS pos
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ts
+        FROM documents) d,
+       LATERAL (SELECT ts[i] AS term, i AS pos
+                FROM unnest(range(1, len(ts) + 1)) AS r(i)) u
+),
+tv AS (
+  SELECT doc_id, term,
+         CAST(COUNT(*) AS BIGINT) AS term_freq,
+         list_sort(list(pos)) AS positions
+  FROM tok WHERE doc_id < 5 GROUP BY doc_id, term
+),
+stats AS (
+  SELECT term,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+         CAST(COUNT(*) AS BIGINT) AS ttf
+  FROM tok GROUP BY term
+)
+SELECT tv.doc_id, tv.term, tv.term_freq, tv.positions,
+       s.doc_freq, s.ttf
+FROM tv JOIN stats s ON s.term = tv.term
+ORDER BY tv.doc_id, tv.term
+"""
+
+
 # terms LOOKUP form (r13): the stored "watchlist" is a saved-search
 # frame (per-source sorted top-3 langs); the clause names one row of it
 # and ES's coordinator-GET contract rewrites the clause to plain terms
@@ -1604,6 +1680,7 @@ def oracle_sql() -> dict:
         "es_dsl_span_not": span_not_filter_agg_sql(),
         "es_dsl_terms_lookup": TERMS_LOOKUP_SQL,
         "es_rank_eval": RANK_EVAL_SQL,
+        "es_termvectors": TERMVECTORS_SQL,
         "es_dsl_geo": dsl_geo_sql(),
         "es_dsl_geo_dateline": dsl_geo_dateline_sql(),
         "es_dsl_geo_shape": dsl_geo_shape_sql(),
