@@ -295,6 +295,7 @@ BENCH_QUERIES = [
     "stream_span_matches",
     "train_hard_negatives",
     "es_termvectors",
+    "es_percolate_doc",
 ]
 
 # Queries in their FIRST committed bench window get one UNTIMED warmup
@@ -325,6 +326,7 @@ FIRST_WINDOW_WARMUP = [
     "stream_span_matches",
     "train_hard_negatives",
     "es_termvectors",
+    "es_percolate_doc",
 ]
 
 

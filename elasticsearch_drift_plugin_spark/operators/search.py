@@ -1246,6 +1246,7 @@ def queries() -> dict:
         "es_termvectors": lambda s, d: termvectors(
             load_table(s, d, "documents")
         ),
+        "es_percolate_doc": lambda s, d: percolate_document(s),
         "es_dsl_geo": lambda s, d: _dsl_geo_query(s, d),
         "es_dsl_geo_dateline": lambda s, d: _dsl_geo_dateline_query(s, d),
         "es_dsl_geo_shape": lambda s, d: _dsl_geo_shape_query(s, d),
@@ -1483,6 +1484,91 @@ def rank_eval(
     )
 
 
+# the ES `percolate` QUERY shape: ONE document probed against the
+# registered query table (the alerting direction the _search percolate
+# clause serves). Rules are ES DSL bodies — compiled per rule on the
+# driver (a percolator index is small BY CONSTRUCTION: thousands of
+# rules, bounded collect with a loud guard) and evaluated against the
+# literal document in one single-row job.
+PERCOLATE_DOC_RULES: tuple[tuple[int, dict], ...] = (
+    (1, {"term": {"event_type": "error"}}),
+    (2, {"bool": {"must": [{"term": {"event_type": "purchase"}},
+                           {"range": {"value": {"gte": 100}}}]}}),
+    (3, {"range": {"value": {"lt": 1}}}),
+    (4, {"terms": {"event_type": ["click", "view"]}}),
+    (5, {"bool": {"must_not": [{"exists": {"field": "props"}}]}}),
+)
+
+PERCOLATE_TEST_DOC = {
+    "event_type": "purchase", "value": 250.0, "user_id": 7,
+    "props": None,
+}
+
+
+def percolate_document(
+    spark,
+    document: dict = None,
+    rules=PERCOLATE_DOC_RULES,
+    max_rules: int = 10_000,
+) -> DataFrame:
+    """(rule_id,): the stored queries the document matches — the ES
+    ``percolate`` query, request-shaped (one doc in, matching rule ids
+    out). ES runs the doc through a memory index of the percolator
+    queries on one node; the relational analogue compiles each rule
+    body ONCE on the driver (bounded: ``max_rules`` guard — a
+    percolator table is small by construction; for firehose-scale
+    matching use the streaming :func:`percolate` operator, which keeps
+    rules as conditional aggregates over the event stream) and
+    evaluates all of them against the literal document in a single
+    1-row job. NULL-evaluating rules do not match (ES filter-context
+    parity — rule 5's must_not over a missing field DOES)."""
+    from ..functions.es_dsl import compile_query
+
+    document = document if document is not None else PERCOLATE_TEST_DOC
+    rules = tuple(rules)
+    if len(rules) > max_rules:
+        raise ValueError(
+            f"{len(rules)} percolator rules > max_rules={max_rules} —"
+            " driver compilation is bounded; batch the rules or use the"
+            " streaming percolate operator"
+        )
+    import pandas as pd
+
+    doc_df = spark.createDataFrame(pd.DataFrame([document]))
+    probes = doc_df.select(*[
+        F.coalesce(compile_query(body), F.lit(False)).alias(f"__m{rid}")
+        for rid, body in rules
+    ])
+    row = probes.first()
+    matched = [int(rid) for rid, _ in rules if row[f"__m{rid}"]]
+    return spark.createDataFrame(
+        [(r,) for r in matched], "rule_id long"
+    ).orderBy("rule_id")
+
+
+def percolate_document_sql(
+    document: dict = None, rules=PERCOLATE_DOC_RULES
+) -> str:
+    from ..functions.es_dsl import compile_query_sql
+
+    document = document if document is not None else PERCOLATE_TEST_DOC
+    cols = []
+    for k, v in document.items():
+        if v is None:
+            cols.append(f"CAST(NULL AS VARCHAR) AS {k}")
+        elif isinstance(v, str):
+            cols.append(f"'{v}' AS {k}")
+        else:
+            cols.append(f"{v} AS {k}")
+    doc = "SELECT " + ", ".join(cols)
+    arms = "\nUNION ALL\n".join(
+        f"SELECT CAST({rid} AS BIGINT) AS rule_id FROM __doc"
+        f" WHERE COALESCE(({compile_query_sql(body)}), FALSE)"
+        for rid, body in rules
+    )
+    return f"WITH __doc AS ({doc})\n{arms}\nORDER BY rule_id"
+
+
 def termvectors(
     docs: DataFrame,
     doc_pred: str = "doc_id < 5",
@@ -1681,6 +1767,7 @@ def oracle_sql() -> dict:
         "es_dsl_terms_lookup": TERMS_LOOKUP_SQL,
         "es_rank_eval": RANK_EVAL_SQL,
         "es_termvectors": TERMVECTORS_SQL,
+        "es_percolate_doc": percolate_document_sql(),
         "es_dsl_geo": dsl_geo_sql(),
         "es_dsl_geo_dateline": dsl_geo_dateline_sql(),
         "es_dsl_geo_shape": dsl_geo_shape_sql(),

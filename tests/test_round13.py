@@ -1078,3 +1078,24 @@ def test_hard_negatives(spark):
     # the all-pairs guard raises naming the pruned route
     with _pt.raises(ValueError, match="max_pairs"):
         hard_negatives(emb, "TRUE", k=1, max_pairs=10)
+
+
+def test_percolate_document(spark):
+    from elasticsearch_drift_plugin_spark.operators.search import (
+        percolate_document,
+    )
+    import pytest as _pt
+
+    rules = (
+        (1, {"term": {"kind": "a"}}),
+        (2, {"range": {"v": {"gte": 10}}}),
+        (3, {"bool": {"must_not": [{"term": {"kind": "a"}}]}}),
+    )
+    got = [r.rule_id for r in percolate_document(
+        spark, {"kind": "a", "v": 5.0}, rules).collect()]
+    assert got == [1]
+    got2 = [r.rule_id for r in percolate_document(
+        spark, {"kind": "b", "v": 50.0}, rules).collect()]
+    assert got2 == [2, 3]
+    with _pt.raises(ValueError, match="max_rules"):
+        percolate_document(spark, {"kind": "a"}, rules, max_rules=2)
