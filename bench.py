@@ -296,6 +296,7 @@ BENCH_QUERIES = [
     "train_hard_negatives",
     "es_termvectors",
     "es_percolate_doc",
+    "es_explain",
 ]
 
 # Queries in their FIRST committed bench window get one UNTIMED warmup
@@ -327,6 +328,7 @@ FIRST_WINDOW_WARMUP = [
     "train_hard_negatives",
     "es_termvectors",
     "es_percolate_doc",
+    "es_explain",
 ]
 
 

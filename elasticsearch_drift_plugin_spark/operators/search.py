@@ -1187,6 +1187,43 @@ GROUP BY lang ORDER BY lang
 """
 
 
+EXPLAIN_BODY = {"bool": {
+    "must": [{"range": {"value": {"gte": 10}}}],
+    "should": [{"term": {"event_type": "error"}},
+               {"range": {"user_id": {"gte": 500}}}],
+    "minimum_should_match": 1,
+    "must_not": [{"term": {"event_type": "signup"}}],
+}}
+
+
+def explain_events(events: DataFrame) -> DataFrame:
+    return explain_query(events, EXPLAIN_BODY, doc_pred="event_id < 20",
+                         id_col="event_id")
+
+
+def explain_events_sql() -> str:
+    import json as _json
+
+    from ..functions.es_dsl import compile_query_sql
+
+    (kind, body), = EXPLAIN_BODY.items()
+    parts = []
+    for sect in ("must", "filter", "should", "must_not"):
+        for i, c in enumerate(body.get(sect, [])):
+            parts.append((sect, i, c))
+    overall = compile_query_sql(EXPLAIN_BODY)
+    arms = []
+    for sect, i, c in parts:
+        cj = _json.dumps(c, sort_keys=True).replace("'", "''")
+        arms.append(f"""
+SELECT event_id, '{sect}' AS section, CAST({i} AS BIGINT) AS idx,
+       '{cj}' AS clause,
+       COALESCE(({compile_query_sql(c)}), FALSE) AS matched,
+       COALESCE(({overall}), FALSE) AS overall
+FROM events WHERE event_id < 20""")
+    return "\nUNION ALL\n".join(arms) + "\nORDER BY event_id, section, idx"
+
+
 def queries() -> dict:
     return {
         "es_percolate": lambda s, d: percolate(load_table(s, d, "events")),
@@ -1247,6 +1284,9 @@ def queries() -> dict:
             load_table(s, d, "documents")
         ),
         "es_percolate_doc": lambda s, d: percolate_document(s),
+        "es_explain": lambda s, d: explain_events(
+            load_table(s, d, "events")
+        ),
         "es_dsl_geo": lambda s, d: _dsl_geo_query(s, d),
         "es_dsl_geo_dateline": lambda s, d: _dsl_geo_dateline_query(s, d),
         "es_dsl_geo_shape": lambda s, d: _dsl_geo_shape_query(s, d),
@@ -1482,6 +1522,59 @@ def rank_eval(
         )
         .orderBy("query_id")
     )
+
+
+def explain_query(
+    df: DataFrame, query: dict, doc_pred: str = "TRUE",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ES ``_explain`` API, filter-context: per-document, per-clause
+    verdicts of a query — which leaf of the bool matched, and the
+    overall verdict. (id, section, idx, clause, matched, overall); a
+    non-bool query explains as one ``query``-section row.
+
+    ES explains ONE doc per call (a point GET); the relational form
+    explains every doc matching ``doc_pred`` in one scan — the debugging
+    workflow ("why does/doesn't this slice match?") over any number of
+    docs at once. Each clause compiles to its ordinary codegen predicate
+    projected as a boolean column; NULL verdicts render as false with
+    the overall verdict keeping exact filter-context semantics
+    (must_not of NULL matches — the es_dsl bool compiler's own rule)."""
+    import json as _json
+
+    from ..functions.es_dsl import compile_query
+
+    (kind, body), = query.items()
+    parts = []
+    if kind == "bool":
+        for sect in ("must", "filter", "should", "must_not"):
+            cs = body.get(sect, [])
+            cs = cs if isinstance(cs, list) else [cs]
+            for i, c in enumerate(cs):
+                parts.append((sect, i, c))
+    else:
+        parts.append(("query", 0, query))
+    overall = F.coalesce(compile_query(query), F.lit(False))
+    base = df.where(doc_pred).select(
+        F.col(id_col),
+        overall.alias("overall"),
+        *[
+            F.coalesce(compile_query(c), F.lit(False)).alias(f"__c{j}")
+            for j, (_, _, c) in enumerate(parts)
+        ],
+    )
+    rows = None
+    for j, (sect, i, c) in enumerate(parts):
+        one = base.select(
+            id_col,
+            F.lit(sect).alias("section"),
+            F.lit(i).cast("long").alias("idx"),
+            F.lit(_json.dumps(c, sort_keys=True)).alias("clause"),
+            F.col(f"__c{j}").alias("matched"),
+            "overall",
+        )
+        rows = one if rows is None else rows.unionAll(one)
+    return rows.orderBy(id_col, "section", "idx")
 
 
 # the ES `percolate` QUERY shape: ONE document probed against the
@@ -1768,6 +1861,7 @@ def oracle_sql() -> dict:
         "es_rank_eval": RANK_EVAL_SQL,
         "es_termvectors": TERMVECTORS_SQL,
         "es_percolate_doc": percolate_document_sql(),
+        "es_explain": explain_events_sql(),
         "es_dsl_geo": dsl_geo_sql(),
         "es_dsl_geo_dateline": dsl_geo_dateline_sql(),
         "es_dsl_geo_shape": dsl_geo_shape_sql(),

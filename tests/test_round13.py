@@ -1099,3 +1099,27 @@ def test_percolate_document(spark):
     assert got2 == [2, 3]
     with _pt.raises(ValueError, match="max_rules"):
         percolate_document(spark, {"kind": "a"}, rules, max_rules=2)
+
+
+def test_explain_query(spark):
+    from elasticsearch_drift_plugin_spark.operators.search import (
+        explain_query,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", None)], "id int, kind string, v double"
+    )
+    body = {"bool": {"must": [{"range": {"v": {"gte": 1}}}],
+                     "must_not": [{"term": {"kind": "b"}}]}}
+    out = explain_query(df, body, id_col="id").collect()
+    got = {(r.id, r.section): (r.matched, r.overall) for r in out}
+    # doc 1: range true, must_not's inner term false -> overall true
+    assert got[(1, "must")] == (True, True)
+    assert got[(1, "must_not")] == (False, True)
+    # doc 2: range over NULL renders false; term kind=b matched -> out
+    assert got[(2, "must")] == (False, False)
+    assert got[(2, "must_not")] == (True, False)
+    # non-bool query explains as one 'query' row
+    one = explain_query(df, {"term": {"kind": "a"}}, id_col="id").collect()
+    assert {(r.id, r.section, r.matched) for r in one} == {
+        (1, "query", True), (2, "query", False)}
