@@ -1743,6 +1743,59 @@ def _es_dsl_knn_query(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+# composite with a `geotile_grid` source (r13): the paging key is ES's
+# internal tile long (zoom<<58 | x<<29 | y), rendered back to "z/x/y";
+# the after cursor (here mid-tile: past ("3/0/7","view")) resumes in
+# exactly ES's keyset order. Oracle replays the long-ordered page.
+ES_COMPOSITE_GEOTILE_BODY = {"size": 0, "aggs": {"c": {"composite": {
+    "size": 12,
+    "sources": [
+        {"tile": {"geotile_grid": {"precision": 3}}},
+        {"et": {"terms": {"field": "event_type"}}},
+    ],
+    "after": {"tile": "3/0/7", "et": "view"},
+}}}}
+
+
+def _es_composite_geotile_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    pts = geo.geo_events(s.read.parquet(f"{d}/events.parquet"))
+    return run_search(pts, ES_COMPOSITE_GEOTILE_BODY)["c"]
+
+
+def _es_composite_geotile_oracle() -> str:
+    from elasticsearch_drift_plugin_spark.operators.geo import GEO_EVENTS_DUCK
+
+    zoom, n = 3, 8
+    after_long = (3 << 58) + (0 << 29) + 7
+    return f"""
+WITH pts AS ({GEO_EVENTS_DUCK}),
+keyed AS (
+  SELECT CAST({zoom} AS BIGINT) * {1 << 58}
+         + least(CAST((CAST(180000000 + round(lon * 1000000.0) AS HUGEINT)
+                       * {n}) // 360000000 AS BIGINT), {n - 1}) * {1 << 29}
+         + greatest(least(CAST(FLOOR((1 - ln(tan(radians(lat))
+                    + 1 / cos(radians(lat))) / pi()) / 2 * {float(n)})
+                    AS BIGINT), {n - 1}), 0) AS tl,
+         event_type AS et
+  FROM pts
+),
+page AS (
+  SELECT tl, et, CAST(COUNT(*) AS BIGINT) AS doc_count
+  FROM keyed
+  WHERE tl > {after_long} OR (tl = {after_long} AND et > 'view')
+  GROUP BY tl, et
+  ORDER BY tl, et LIMIT 12
+)
+SELECT CAST({zoom} AS VARCHAR) || '/' ||
+       CAST((tl - {zoom} * {1 << 58}) // {1 << 29} AS VARCHAR) || '/' ||
+       CAST(tl % {1 << 29} AS VARCHAR) AS tile,
+       et, doc_count
+FROM page ORDER BY tl, et
+"""
+
+
 # `rescore` (r13): the Lucene QueryRescorer contract over the knn hits
 # page — top window_size of the ORIGINAL ranking rescored by a
 # script_score (SQL dialect), window docs failing the inner filter keep
@@ -2919,6 +2972,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_time_series": _es_time_series_query,
         "es_search_linear_retr": _es_search_linear_query,
         "es_search_rescore": _es_search_rescore_query,
+        "es_composite_geotile": _es_composite_geotile_query,
         "es_search_parent_agg": _es_search_parent_agg_query,
         "es_search_geo_sort": _es_search_geo_sort_query,
         "es_search_ip_range": _es_search_ip_range_query,
@@ -3289,6 +3343,7 @@ def _oracles_raw() -> dict[str, str]:
         "es_time_series": ES_TIME_SERIES_SQL,
         "es_search_linear_retr": _es_search_linear_oracle(),
         "es_search_rescore": _es_search_rescore_oracle(),
+        "es_composite_geotile": _es_composite_geotile_oracle(),
         "es_search_parent_agg": ES_SEARCH_PARENT_SQL,
         "es_search_geo_sort": _es_search_geo_sort_oracle(),
         "es_search_ip_range": ES_SEARCH_IP_RANGE_SQL,

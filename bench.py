@@ -297,6 +297,7 @@ BENCH_QUERIES = [
     "es_termvectors",
     "es_percolate_doc",
     "es_explain",
+    "es_composite_geotile",
 ]
 
 # Queries in their FIRST committed bench window get one UNTIMED warmup
@@ -329,6 +330,7 @@ FIRST_WINDOW_WARMUP = [
     "es_termvectors",
     "es_percolate_doc",
     "es_explain",
+    "es_composite_geotile",
 ]
 
 

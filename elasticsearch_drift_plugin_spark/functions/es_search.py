@@ -2041,6 +2041,7 @@ def _compile_agg(
         from ..operators.es_aggs import composite_agg
 
         sources = []
+        geotile_sources: dict = {}
         for s in spec["sources"]:
             (sname, snode), = s.items()
             (skind, sspec), = snode.items()
@@ -2110,14 +2111,77 @@ def _compile_agg(
                 sources.append(
                     (sname, "date_histogram", sspec["field"], step_ms, *om)
                 )
+            elif skind == "geotile_grid":
+                # r13: geotile as a composite source. The PAGING key is
+                # ES's internal tile long (zoom<<58 | x<<29 | y —
+                # GeoTileUtils encoding), precomputed as a synthetic
+                # terms source so the keyset order matches ES exactly;
+                # the response key renders back to "z/x/y". lat/lon
+                # columns per the engine's geo convention; a NULL coord
+                # has no tile (missing_bucket semantics apply).
+                zoom = int(sspec.get("precision", 7))
+                if not 0 <= zoom <= 29:
+                    raise ValueError("geotile_grid precision in [0, 29]")
+                latc = sspec.get("lat_field", "lat")
+                lonc = sspec.get("lon_field", "lon")
+                n = 1 << zoom
+                UDEG = 1_000_000
+                x = F.expr(
+                    f"CAST((CAST({UDEG * 180} +"
+                    f" round({lonc} * {float(UDEG)}) AS BIGINT)"
+                    f" * {n}) div {UDEG * 360} AS BIGINT)"
+                )
+                x = F.least(x, F.lit(n - 1))
+                latr = F.radians(F.col(latc))
+                merc = (
+                    F.lit(1.0)
+                    - F.log(F.tan(latr) + F.lit(1.0) / F.cos(latr))
+                    / F.lit(3.141592653589793)
+                ) / F.lit(2.0)
+                y = F.greatest(
+                    F.least(F.floor(merc * F.lit(float(n))), F.lit(n - 1)),
+                    F.lit(0),
+                )
+                key_long = (
+                    F.lit(zoom).cast("long") * F.lit(1 << 58).cast("long")
+                    + x.cast("long") * F.lit(1 << 29).cast("long")
+                    + y.cast("long")
+                )
+                syn = f"__geotile_{sname}"
+                df = df.withColumn(syn, key_long)
+                geotile_sources[sname] = zoom
+                sources.append((sname, "terms", syn, None, *om))
             else:
                 raise ValueError(f"unsupported composite source {skind!r}")
         after = spec.get("after")
         if isinstance(after, dict):
+            after = dict(after)
+            for sname, zoom in geotile_sources.items():
+                if sname in after and isinstance(after[sname], str):
+                    z, tx, ty = (int(p_) for p_ in after[sname].split("/"))
+                    after[sname] = (z << 58) + (tx << 29) + ty
             after = tuple(after[sname] for sname, *_ in sources)
-        return composite_agg(
+        page = composite_agg(
             df, sources, size=int(spec.get("size", 10)), after=after
         )
+        for sname, zoom in geotile_sources.items():
+            mask = (1 << 29) - 1
+            k = F.col(sname)
+            page = page.withColumn(
+                sname,
+                F.when(
+                    k.isNotNull(),
+                    F.concat_ws(
+                        "/",
+                        F.lit(zoom),
+                        ((k - F.lit(zoom) * F.lit(1 << 58))
+                         .cast("long") / F.lit(1 << 29))
+                        .cast("long").cast("string"),
+                        F.pmod(k, F.lit(1 << 29)).cast("string"),
+                    ),
+                ),
+            )
+        return page
     if kind == "significant_terms":
         from ..operators.es_aggs import significant_terms
 

@@ -1123,3 +1123,32 @@ def test_explain_query(spark):
     one = explain_query(df, {"term": {"kind": "a"}}, id_col="id").collect()
     assert {(r.id, r.section, r.matched) for r in one} == {
         (1, "query", True), (2, "query", False)}
+
+
+def test_composite_geotile_paging(spark):
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    # 4 points in distinct tiles at zoom 1: (x,y) = (0,0),(1,0),(0,1),(1,1)
+    pts = spark.createDataFrame(
+        [(1, 40.0, -90.0), (2, 40.0, 90.0), (3, -40.0, -90.0),
+         (4, -40.0, 90.0)],
+        "id int, lat double, lon double",
+    )
+
+    def page(after=None):
+        spec = {"size": 2, "sources": [
+            {"tile": {"geotile_grid": {"precision": 1}}}]}
+        if after:
+            spec["after"] = after
+        return [
+            (r["tile"], r["doc_count"])
+            for r in run_search(pts, {"size": 0, "aggs": {
+                "c": {"composite": spec}}})["c"].collect()
+        ]
+
+    p1 = page()
+    # ES keyset order = the tile long: x-major then y
+    assert p1 == [("1/0/0", 1), ("1/0/1", 1)]
+    p2 = page({"tile": p1[-1][0]})
+    assert p2 == [("1/1/0", 1), ("1/1/1", 1)]
+    assert page({"tile": p2[-1][0]}) == []
