@@ -1796,6 +1796,45 @@ FROM page ORDER BY tl, et
 """
 
 
+# composite with a `geohash_grid` source (r13): base32 strings sort in
+# ES's numeric key order (ASCII-increasing alphabet), so the page IS
+# the keyset order; after cursor mid-stream.
+ES_COMPOSITE_GEOHASH_BODY = {"size": 0, "aggs": {"c": {"composite": {
+    "size": 10,
+    "sources": [{"gh": {"geohash_grid": {"precision": 2}}}],
+    "after": {"gh": "5m"},
+}}}}
+
+
+def _es_composite_geohash_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    pts = geo.geo_events(s.read.parquet(f"{d}/events.parquet"))
+    return run_search(pts, ES_COMPOSITE_GEOHASH_BODY)["c"]
+
+
+def _es_composite_geohash_oracle() -> str:
+    from elasticsearch_drift_plugin_spark.operators.geo import (
+        GEO_EVENTS_DUCK,
+        _geohash_chars,
+        _geohash_exprs,
+    )
+
+    lon_cell, lat_cell, packed = _geohash_exprs(2, "lat", "lon")
+    lon_cell = lon_cell.replace(" div ", " // ")
+    lat_cell = lat_cell.replace(" div ", " // ")
+    packed_expr = packed.replace("LON", "lonc").replace("LAT", "latc")
+    chars = _geohash_chars(f"({packed_expr})", 2, "chr")
+    return f"""
+WITH pts AS ({GEO_EVENTS_DUCK}),
+cells AS (SELECT {lon_cell} AS lonc, {lat_cell} AS latc FROM pts),
+keyed AS (SELECT {chars} AS gh FROM cells)
+SELECT gh, CAST(COUNT(*) AS BIGINT) AS doc_count
+FROM keyed WHERE gh > '5m'
+GROUP BY gh ORDER BY gh LIMIT 10
+"""
+
+
 # `rescore` (r13): the Lucene QueryRescorer contract over the knn hits
 # page — top window_size of the ORIGINAL ranking rescored by a
 # script_score (SQL dialect), window docs failing the inner filter keep
@@ -2973,6 +3012,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_linear_retr": _es_search_linear_query,
         "es_search_rescore": _es_search_rescore_query,
         "es_composite_geotile": _es_composite_geotile_query,
+        "es_composite_geohash": _es_composite_geohash_query,
         "es_search_parent_agg": _es_search_parent_agg_query,
         "es_search_geo_sort": _es_search_geo_sort_query,
         "es_search_ip_range": _es_search_ip_range_query,
@@ -3344,6 +3384,7 @@ def _oracles_raw() -> dict[str, str]:
         "es_search_linear_retr": _es_search_linear_oracle(),
         "es_search_rescore": _es_search_rescore_oracle(),
         "es_composite_geotile": _es_composite_geotile_oracle(),
+        "es_composite_geohash": _es_composite_geohash_oracle(),
         "es_search_parent_agg": ES_SEARCH_PARENT_SQL,
         "es_search_geo_sort": _es_search_geo_sort_oracle(),
         "es_search_ip_range": ES_SEARCH_IP_RANGE_SQL,

@@ -298,6 +298,7 @@ BENCH_QUERIES = [
     "es_percolate_doc",
     "es_explain",
     "es_composite_geotile",
+    "es_composite_geohash",
 ]
 
 # Queries in their FIRST committed bench window get one UNTIMED warmup
@@ -331,6 +332,7 @@ FIRST_WINDOW_WARMUP = [
     "es_percolate_doc",
     "es_explain",
     "es_composite_geotile",
+    "es_composite_geohash",
 ]
 
 

@@ -2151,6 +2151,36 @@ def _compile_agg(
                 df = df.withColumn(syn, key_long)
                 geotile_sources[sname] = zoom
                 sources.append((sname, "terms", syn, None, *om))
+            elif skind == "geohash_grid":
+                # r13: geohash composite source — the base32 alphabet is
+                # ASCII-increasing, so the geohash STRING sorts exactly
+                # like ES's numeric geohash key: a synthetic terms
+                # source pages in ES keyset order directly (no long
+                # round-trip needed, unlike geotile). Exact integer
+                # lattice + interleave (operators.geo machinery).
+                from ..operators.geo import _geohash_chars, _geohash_exprs
+
+                prec = int(sspec.get("precision", 4))
+                if not 1 <= prec <= 12:
+                    raise ValueError("geohash_grid precision in [1, 12]")
+                latc = sspec.get("lat_field", "lat")
+                lonc = sspec.get("lon_field", "lon")
+                lon_cell, lat_cell, packed = _geohash_exprs(
+                    prec, latc, lonc
+                )
+                packed_expr = packed.replace(
+                    "LON", f"({lon_cell})"
+                ).replace("LAT", f"({lat_cell})")
+                key = F.expr(_geohash_chars(f"({packed_expr})", prec, "char"))
+                syn = f"__geohash_{sname}"
+                df = df.withColumn(
+                    syn,
+                    F.when(
+                        F.col(latc).isNotNull() & F.col(lonc).isNotNull(),
+                        key,
+                    ),
+                )
+                sources.append((sname, "terms", syn, None, *om))
             else:
                 raise ValueError(f"unsupported composite source {skind!r}")
         after = spec.get("after")
