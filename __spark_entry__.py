@@ -1743,6 +1743,31 @@ def _es_dsl_knn_query(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+# terms PARTITIONING (r13): slice 1 of 3 of the source key space —
+# md5-60bit key hash (engine dialect; ES hashes ordinals), disjoint /
+# covering / request-stable, the high-cardinality paging contract.
+ES_TERMS_PARTITION_BODY = {"size": 0, "aggs": {"t": {"terms": {
+    "field": "source", "size": 100, "order": {"_key": "asc"},
+    "include": {"partition": 1, "num_partitions": 3},
+}}}}
+
+
+def _es_terms_partition_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    docs = flows_src.load_table(s, d, "documents")
+    return run_search(docs, ES_TERMS_PARTITION_BODY)["t"]
+
+
+ES_TERMS_PARTITION_SQL = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS doc_count
+FROM documents
+WHERE CAST('0x' || substr(md5(CAST(source AS VARCHAR)), 1, 15) AS BIGINT)
+      % 3 = 1
+GROUP BY source ORDER BY source
+"""
+
+
 # composite with a `geotile_grid` source (r13): the paging key is ES's
 # internal tile long (zoom<<58 | x<<29 | y), rendered back to "z/x/y";
 # the after cursor (here mid-tile: past ("3/0/7","view")) resumes in
@@ -3012,6 +3037,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_linear_retr": _es_search_linear_query,
         "es_search_rescore": _es_search_rescore_query,
         "es_composite_geotile": _es_composite_geotile_query,
+        "es_terms_partition": _es_terms_partition_query,
         "es_composite_geohash": _es_composite_geohash_query,
         "es_search_parent_agg": _es_search_parent_agg_query,
         "es_search_geo_sort": _es_search_geo_sort_query,
@@ -3384,6 +3410,7 @@ def _oracles_raw() -> dict[str, str]:
         "es_search_linear_retr": _es_search_linear_oracle(),
         "es_search_rescore": _es_search_rescore_oracle(),
         "es_composite_geotile": _es_composite_geotile_oracle(),
+        "es_terms_partition": ES_TERMS_PARTITION_SQL,
         "es_composite_geohash": _es_composite_geohash_oracle(),
         "es_search_parent_agg": ES_SEARCH_PARENT_SQL,
         "es_search_geo_sort": _es_search_geo_sort_oracle(),

@@ -299,6 +299,7 @@ BENCH_QUERIES = [
     "es_explain",
     "es_composite_geotile",
     "es_composite_geohash",
+    "es_terms_partition",
 ]
 
 # Queries in their FIRST committed bench window get one UNTIMED warmup
@@ -333,6 +334,7 @@ FIRST_WINDOW_WARMUP = [
     "es_explain",
     "es_composite_geotile",
     "es_composite_geohash",
+    "es_terms_partition",
 ]
 
 

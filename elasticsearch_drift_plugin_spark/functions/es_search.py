@@ -3041,6 +3041,28 @@ def _terms(df: DataFrame, spec: dict, sub: dict, parents: tuple = ()) -> DataFra
     # engine computes exact global buckets, there is no per-shard
     # approximation to widen.
     inc, exc = spec.get("include"), spec.get("exclude")
+    if isinstance(inc, dict):
+        # ES terms PARTITIONING ({"partition": P, "num_partitions": N}) —
+        # the documented way to page a high-cardinality terms agg:
+        # deterministic, disjoint, covering key slices. ES hashes global
+        # ordinals (index-internal state); the engine's dialect hashes
+        # the key BYTES (md5-60bit — identical in both engines and
+        # stable across runs/clusters, which ordinals are not). Slice
+        # membership therefore differs from ES's, but the contract a
+        # paging client relies on (disjoint ∪ = all terms, stable across
+        # requests) holds exactly.
+        npart = int(inc["num_partitions"])
+        part = int(inc["partition"])
+        if not 0 <= part < npart:
+            raise ValueError(
+                f"include.partition must be in [0, {npart}), got {part}"
+            )
+        from .hashing import md5_hash60
+
+        df = df.where(
+            F.pmod(md5_hash60(F.col(field)), F.lit(npart)) == F.lit(part)
+        )
+        inc = None
     if inc is not None:
         df = df.where(
             F.col(field).isin(list(inc))

@@ -1152,3 +1152,30 @@ def test_composite_geotile_paging(spark):
     p2 = page({"tile": p1[-1][0]})
     assert p2 == [("1/1/0", 1), ("1/1/1", 1)]
     assert page({"tile": p2[-1][0]}) == []
+
+
+def test_terms_partition_include(spark):
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [(f"u{i}",) for i in range(50)], "k string"
+    )
+
+    def part(p, n):
+        return {
+            r.k
+            for r in run_search(df, {"size": 0, "aggs": {"t": {"terms": {
+                "field": "k", "size": 100,
+                "include": {"partition": p, "num_partitions": n}}}}})[
+                "t"].collect()
+        }
+
+    slices = [part(p, 4) for p in range(4)]
+    # disjoint and covering — the paging contract
+    assert sum(len(sl) for sl in slices) == 50
+    assert set.union(*slices) == {f"u{i}" for i in range(50)}
+    # deterministic across calls
+    assert part(1, 4) == slices[1]
+    with _pt.raises(ValueError, match="partition"):
+        part(4, 4)
