@@ -1743,6 +1743,40 @@ def _es_dsl_knn_query(s: SparkSession, d: str) -> DataFrame:
     )
 
 
+# _search/template (r13): the Kibana-saved-search shape — mustache
+# {{param}} substitution into the template TEXT, then JSON parse (ES's
+# order of operations), then the ordinary compiled run.
+ES_TEMPLATE_TEXT = (
+    '{"size": 0, "query": {"bool": {"must": ['
+    '{"term": {"event_type": "{{etype}}"}},'
+    '{"range": {"value": {"gte": {{vmin}}}}}]}},'
+    ' "aggs": {"by_user_bucket": {"histogram":'
+    ' {"field": "value", "interval": {{step}}}}}}'
+)
+ES_TEMPLATE_PARAMS = {"etype": "purchase", "vmin": 50, "step": 100}
+
+
+def _es_search_template_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import (
+        render_search_template,
+        run_search,
+    )
+
+    ev = flows_src.load_table(s, d, "events")
+    body = render_search_template(ES_TEMPLATE_TEXT, ES_TEMPLATE_PARAMS)
+    return run_search(ev, body)["by_user_bucket"]
+
+
+ES_TEMPLATE_SQL = """
+SELECT FLOOR(value / 100) * 100 AS key,
+       CAST(COUNT(*) AS BIGINT) AS doc_count
+FROM events
+WHERE event_type = 'purchase' AND value >= 50
+  AND value IS NOT NULL AND NOT isnan(value)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # terms PARTITIONING (r13): slice 1 of 3 of the source key space —
 # md5-60bit key hash (engine dialect; ES hashes ordinals), disjoint /
 # covering / request-stable, the high-cardinality paging contract.
@@ -3038,6 +3072,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_search_rescore": _es_search_rescore_query,
         "es_composite_geotile": _es_composite_geotile_query,
         "es_terms_partition": _es_terms_partition_query,
+        "es_search_template": _es_search_template_query,
         "es_composite_geohash": _es_composite_geohash_query,
         "es_search_parent_agg": _es_search_parent_agg_query,
         "es_search_geo_sort": _es_search_geo_sort_query,
@@ -3411,6 +3446,7 @@ def _oracles_raw() -> dict[str, str]:
         "es_search_rescore": _es_search_rescore_oracle(),
         "es_composite_geotile": _es_composite_geotile_oracle(),
         "es_terms_partition": ES_TERMS_PARTITION_SQL,
+        "es_search_template": ES_TEMPLATE_SQL,
         "es_composite_geohash": _es_composite_geohash_oracle(),
         "es_search_parent_agg": ES_SEARCH_PARENT_SQL,
         "es_search_geo_sort": _es_search_geo_sort_oracle(),

@@ -300,6 +300,7 @@ BENCH_QUERIES = [
     "es_composite_geotile",
     "es_composite_geohash",
     "es_terms_partition",
+    "es_search_template",
 ]
 
 # Queries in their FIRST committed bench window get one UNTIMED warmup
@@ -335,6 +336,7 @@ FIRST_WINDOW_WARMUP = [
     "es_composite_geotile",
     "es_composite_geohash",
     "es_terms_partition",
+    "es_search_template",
 ]
 
 

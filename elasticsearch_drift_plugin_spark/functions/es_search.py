@@ -3841,6 +3841,52 @@ def _run_retriever(df: DataFrame, body: dict) -> DataFrame:
     )
 
 
+def render_search_template(template: str, params: dict) -> dict:
+    """The ES ``_search/template`` API's render step (mustache subset):
+    substitute ``{{name}}`` placeholders into the JSON template TEXT,
+    then parse — exactly ES's order of operations (mustache first, JSON
+    second), so string params belong inside quotes in the template and
+    numeric/bool/list params sit bare. Lists/dicts/bools/None render as
+    JSON (mustache's toJson equivalent for the bare position). Any
+    other mustache construct (sections ``{{#..}}``, inverted ``{{^..}}``,
+    partials) raises — the engine renders parameters, it does not run a
+    template LANGUAGE (same stance as Painless: SCOPE §D).
+
+    Returns the parsed body dict — feed it to :func:`run_search`."""
+    import json as _json
+    import re as _re
+
+    leftover = _re.search(r"{{\s*[#^/>&!]", template)
+    if leftover:
+        raise ValueError(
+            "search template supports plain {{param}} substitution only"
+            " (mustache sections/partials are a template language — out"
+            " of scope, SCOPE §D)"
+        )
+    out = template
+    for k, v in params.items():
+        if isinstance(v, str):
+            sub = _json.dumps(v)[1:-1]  # escaped, quotes come from the template
+        elif isinstance(v, (dict, list, bool)) or v is None:
+            sub = _json.dumps(v)
+        else:
+            sub = _json.dumps(v)  # numbers
+        out = out.replace("{{" + k + "}}", sub).replace(
+            "{{ " + k + " }}", sub
+        )
+    missing = _re.search(r"{{\s*([A-Za-z0-9_.]+)\s*}}", out)
+    if missing:
+        raise ValueError(
+            f"search template parameter {missing.group(1)!r} has no value"
+        )
+    try:
+        return _json.loads(out)
+    except ValueError as ex:
+        raise ValueError(
+            f"rendered template is not valid JSON: {ex}"
+        ) from ex
+
+
 def validate_query(body: dict) -> tuple[bool, str | None]:
     """The ES ``_validate/query`` API: compile the body's ``query``
     clause without executing; ``(True, None)`` or ``(False, reason)``.

@@ -1179,3 +1179,25 @@ def test_terms_partition_include(spark):
     assert part(1, 4) == slices[1]
     with _pt.raises(ValueError, match="partition"):
         part(4, 4)
+
+
+def test_search_template_render():
+    from elasticsearch_drift_plugin_spark.functions.es_search import (
+        render_search_template,
+    )
+    import pytest as _pt
+
+    t = ('{"query": {"bool": {"must": ['
+         '{"term": {"k": "{{kw}}"}},'
+         '{"range": {"v": {"gte": {{lo}}}}},'
+         '{"terms": {"id": {{ids}}}}]}}}')
+    b = render_search_template(t, {"kw": 'a"b', "lo": 1.5, "ids": [1, 2]})
+    must = b["query"]["bool"]["must"]
+    # string params JSON-escape INSIDE the template's quotes
+    assert must[0] == {"term": {"k": 'a"b'}}
+    assert must[1] == {"range": {"v": {"gte": 1.5}}}
+    assert must[2] == {"terms": {"id": [1, 2]}}
+    with _pt.raises(ValueError, match="no value"):
+        render_search_template(t, {"kw": "x", "lo": 1})
+    with _pt.raises(ValueError, match="substitution only"):
+        render_search_template('{"a": "{{#s}}x{{/s}}"}', {})
