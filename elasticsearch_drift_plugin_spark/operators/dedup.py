@@ -446,6 +446,87 @@ def ngram_jaccard_pairs_gemm(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame, threshold: float = 0.8, block_col: str = "source"
+) -> DataFrame:
+    """(contained, container, cont_q): DIRECTIONAL near-dup — containment
+    C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| ≥ threshold. Catches what
+    symmetric Jaccard misses: quotations, partial scrapes, truncated
+    copies — a short document living inside a long one scores near-1
+    containment but low Jaccard (the union is dominated by the long
+    side). Both directions emit (A-in-B and B-in-A are separate rows).
+
+    Same scale shape as :func:`ngram_jaccard_pairs`: the postings
+    inverted index computes pair intersections inside blocks (cross-
+    block pairs never materialize), counts join per side, one threshold
+    filter — no all-pairs path.
+    """
+    grams = _char_grams(docs)
+    counts = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = _pair_intersections(grams, [block_col], "g")
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    j = (
+        inter.join(ca, F.col("ca.doc_id") == F.col("doc_a"))
+        .join(cb, F.col("cb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "i",
+            F.col("ca.n").alias("na"), F.col("cb.n").alias("nb"),
+        )
+    )
+    fwd = j.where(
+        F.col("i").cast("double") / F.col("na") >= threshold
+    ).select(
+        F.col("doc_a").alias("contained"),
+        F.col("doc_b").alias("container"),
+        F.floor(F.col("i") * F.lit(float(QUANT)) / F.col("na")).alias(
+            "cont_q"
+        ),
+    )
+    rev = j.where(
+        F.col("i").cast("double") / F.col("nb") >= threshold
+    ).select(
+        F.col("doc_b").alias("contained"),
+        F.col("doc_a").alias("container"),
+        F.floor(F.col("i") * F.lit(float(QUANT)) / F.col("nb")).alias(
+            "cont_q"
+        ),
+    )
+    return fwd.unionAll(rev).orderBy("contained", "container")
+
+
+NGRAM_CONTAINMENT_SQL = f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id, source, substr(text, CAST(i AS INTEGER), 3) AS g
+  FROM (SELECT doc_id, source, text,
+               unnest(generate_series(1, len(text) - 2)) AS i
+        FROM documents WHERE len(text) >= 3)
+),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM grams a JOIN grams b
+    ON a.g = b.g AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT doc_a, doc_b, i, ca.n AS na, cb.n AS nb
+  FROM inter
+  JOIN counts ca ON ca.doc_id = doc_a
+  JOIN counts cb ON cb.doc_id = doc_b
+)
+SELECT contained, container, cont_q FROM (
+  SELECT doc_a AS contained, doc_b AS container,
+         CAST(FLOOR(i * {float(QUANT)} / na) AS BIGINT) AS cont_q
+  FROM j WHERE CAST(i AS DOUBLE) / na >= 0.8
+  UNION ALL
+  SELECT doc_b AS contained, doc_a AS container,
+         CAST(FLOOR(i * {float(QUANT)} / nb) AS BIGINT) AS cont_q
+  FROM j WHERE CAST(i AS DOUBLE) / nb >= 0.8
+) ORDER BY contained, container
+"""
+
+
 NGRAM_SQL = f"""
 WITH grams AS (
   SELECT DISTINCT doc_id, source, substr(text, CAST(i AS INTEGER), 3) AS g
@@ -1144,6 +1225,7 @@ def queries() -> dict:
         # GEMM kernel: fastest on this corpus's near-clique blocks (see
         # variant docstrings); output identical to the postings variant
         "dedup_ngram_jaccard": lambda s, d: ngram_jaccard_pairs_gemm(_docs(s, d)),
+        "dedup_containment": lambda s, d: ngram_containment_pairs(_docs(s, d)),
         "dedup_minhash_sig": lambda s, d: minhash_signatures(_docs(s, d)),
         "dedup_minhash_pairs": lambda s, d: minhash_lsh_pairs(_docs(s, d)),
         "dedup_simhash": lambda s, d: simhash_signatures(_docs(s, d)),
@@ -1164,6 +1246,7 @@ def oracle_sql() -> dict:
         "dedup_exact": EXACT_SQL,
         "dedup_incremental": INCREMENTAL_SQL,
         "dedup_ngram_jaccard": NGRAM_SQL,
+        "dedup_containment": NGRAM_CONTAINMENT_SQL,
         "dedup_minhash_sig": minhash_sig_sql(),
         "dedup_minhash_pairs": minhash_pairs_sql(),
         "dedup_simhash": simhash_sql(),

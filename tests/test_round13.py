@@ -1201,3 +1201,23 @@ def test_search_template_render():
         render_search_template(t, {"kw": "x", "lo": 1})
     with _pt.raises(ValueError, match="substitution only"):
         render_search_template('{"a": "{{#s}}x{{/s}}"}', {})
+
+
+def test_containment_vs_jaccard(spark):
+    from elasticsearch_drift_plugin_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    # doc 2 is a strict substring of doc 1: containment(2->1) = 1.0
+    # while Jaccard is low (the union is dominated by doc 1)
+    long = "the quick brown fox jumps over the lazy dog again and again"
+    short = "quick brown fox"
+    docs = spark.createDataFrame(
+        [(1, long, "s"), (2, short, "s"), (3, "unrelated words", "s")],
+        "doc_id int, text string, source string",
+    )
+    out = ngram_containment_pairs(docs, threshold=0.9).collect()
+    got = {(r.contained, r.container): r.cont_q for r in out}
+    assert (2, 1) in got and got[(2, 1)] == 1_000_000
+    assert (1, 2) not in got  # direction matters
+    assert not any(3 in pair for pair in got)
