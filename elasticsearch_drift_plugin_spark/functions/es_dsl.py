@@ -1773,9 +1773,21 @@ def _rewrite_knn_clauses(q: dict, df, sinks: list) -> dict:
             )
         i = len(sinks)
         flag, keycol = f"__knn{i}_match", f"__knn{i}_key"
+        # ES knn-QUERY `similarity`: a NUMERIC minimum similarity (the
+        # radius filter — distinct from the top-level section where the
+        # same key names the METRIC); docs below it drop even inside k.
+        # Exact search: top-k then threshold == threshold then top-k.
+        min_sim = None
+        if isinstance(spec.get("similarity"), (int, float)):
+            spec = dict(spec)
+            min_sim = float(spec.pop("similarity"))
+        frontier = _knn_scored(df, spec, keep=[id_field]).limit(k)
+        if min_sim is not None:
+            frontier = frontier.where(
+                F.col("_score_q") >= int(min_sim * 1e6)
+            )
         keys = (
-            _knn_scored(df, spec, keep=[id_field])
-            .limit(k)
+            frontier
             .select(F.col(id_field).alias(keycol))
             .withColumn(flag, F.lit(True))
         )

@@ -1221,3 +1221,18 @@ def test_containment_vs_jaccard(spark):
     assert (2, 1) in got and got[(2, 1)] == 1_000_000
     assert (1, 2) not in got  # direction matters
     assert not any(3 in pair for pair in got)
+
+
+def test_knn_query_similarity_threshold(spark):
+    from elasticsearch_drift_plugin_spark.functions.es_dsl import apply_query
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)],
+        "vec_id int, embedding array<float>",
+    )
+    # cos(i) = i/sqrt(i^2+1): 0, .707, .894, .949, .970 — threshold .9
+    # inside k=4 keeps only ids 3 and 4
+    body = {"knn": {"field": "embedding", "query_vector": [1.0, 0.0],
+                    "k": 4, "id_field": "vec_id", "similarity": 0.9}}
+    got = sorted(r.vec_id for r in apply_query(emb, body).collect())
+    assert got == [3, 4]
