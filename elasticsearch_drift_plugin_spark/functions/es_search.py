@@ -3663,6 +3663,41 @@ def _run_retriever(df: DataFrame, body: dict) -> DataFrame:
         }
         spec2.update({"script": {"source": src}, "query": q})
         return _script_score_ranked(df, spec2, size)
+    if kind == "rescorer":
+        # ES 8.18 `rescorer` retriever: run the child retriever, then
+        # apply the rescore section to its window — the retriever-tree
+        # spelling of the top-level `rescore` (same _rescore_hits
+        # contract: script_score rescore_query over the page's columns,
+        # original ranking's top window_size only). The child must
+        # SCORE (knn / script_score — frames carrying _score_q).
+        child = rspec["retriever"]
+        if len(child) != 1:
+            raise ValueError("rescorer takes one child retriever")
+        (ckind, cspec), = child.items()
+        id_field = rspec.get("id_field", cspec.get("id_field"))
+        if not id_field:
+            raise ValueError("rescorer needs id_field (hit identity)")
+        window = int(rspec.get("rank_window_size", 10))
+        if ckind == "knn":
+            keep = [c for c in df.columns if c != cspec["field"]]
+            top = _knn_scored(df, cspec, keep).limit(
+                max(window, int(cspec.get("k", window)))
+            )
+        elif ckind == "script_score":
+            top = _script_score_ranked(
+                df, {**cspec, "id_field": id_field},
+                max(window, size),
+            )
+            keep = [c for c in top.columns if c != "_score_q"]
+        else:
+            raise ValueError(
+                f"rescorer child retriever {ckind!r} unsupported — the"
+                " child must produce scores (knn / script_score)"
+            )
+        rs = rspec["rescore"]
+        rs = rs.get("query") and rs or {"query": rs}
+        page = _rescore_hits(top, {"window_size": window, **rs}, keep)
+        return page.limit(size)
     if kind == "linear":
         # ES 8.18 `linear` retriever: weighted sum of per-child
         # normalized scores over each child's top rank_window_size;

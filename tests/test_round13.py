@@ -1236,3 +1236,29 @@ def test_knn_query_similarity_threshold(spark):
                     "k": 4, "id_field": "vec_id", "similarity": 0.9}}
     got = sorted(r.vec_id for r in apply_query(emb, body).collect())
     assert got == [3, 4]
+
+
+def test_rescorer_retriever(spark):
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+    import pytest as _pt
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0], float(10 - i)) for i in range(5)],
+        "vec_id int, embedding array<float>, v double")
+    body = {"size": 3, "retriever": {"rescorer": {
+        "id_field": "vec_id", "rank_window_size": 3,
+        "retriever": {"knn": {"field": "embedding",
+                              "query_vector": [1.0, 0.0], "k": 5}},
+        "rescore": {"query": {
+            "rescore_query": {"script_score": {"script": {"source": "v"}}},
+            "query_weight": 0.0, "rescore_query_weight": 1.0,
+            "score_mode": "total"}}}}}
+    out = run_search(emb, body)["_hits"].collect()
+    # knn window = ids 4,3,2; rescored purely by v -> 2,3,4
+    assert [r.vec_id for r in out] == [2, 3, 4]
+    with _pt.raises(ValueError, match="child"):
+        run_search(emb, {"size": 1, "retriever": {"rescorer": {
+            "id_field": "vec_id",
+            "retriever": {"standard": {"sort": ["vec_id"]}},
+            "rescore": {"query": {"rescore_query": {
+                "script_score": {"script": {"source": "v"}}}}}}}})
