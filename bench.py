@@ -301,7 +301,7 @@ BENCH_QUERIES = [
     "es_composite_geohash",
     "es_terms_partition",
     "es_search_template",
-    "dedup_containment",
+    "dedup_containment_dir",
 ]
 
 # Queries in their FIRST committed bench window get one UNTIMED warmup
@@ -338,7 +338,7 @@ FIRST_WINDOW_WARMUP = [
     "es_composite_geohash",
     "es_terms_partition",
     "es_search_template",
-    "dedup_containment",
+    "dedup_containment_dir",
 ]
 
 

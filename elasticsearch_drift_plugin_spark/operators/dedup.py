@@ -449,12 +449,12 @@ def ngram_jaccard_pairs_gemm(
 def ngram_containment_pairs(
     docs: DataFrame, threshold: float = 0.8, block_col: str = "source"
 ) -> DataFrame:
-    """(contained, container, cont_q): DIRECTIONAL near-dup — containment
-    C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| ≥ threshold. Catches what
-    symmetric Jaccard misses: quotations, partial scrapes, truncated
-    copies — a short document living inside a long one scores near-1
-    containment but low Jaccard (the union is dominated by the long
-    side). Both directions emit (A-in-B and B-in-A are separate rows).
+    """(contained, container, cont_q): DIRECTIONAL containment —
+    C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| ≥ threshold, each
+    direction its own row. :func:`containment_pairs` (min-denominator)
+    flags the same pairs symmetrically; this variant additionally says
+    WHICH side is the contained one — the doc a curation pass drops —
+    so the two registrations are complementary, not duplicates.
 
     Same scale shape as :func:`ngram_jaccard_pairs`: the postings
     inverted index computes pair intersections inside blocks (cross-
@@ -1225,7 +1225,9 @@ def queries() -> dict:
         # GEMM kernel: fastest on this corpus's near-clique blocks (see
         # variant docstrings); output identical to the postings variant
         "dedup_ngram_jaccard": lambda s, d: ngram_jaccard_pairs_gemm(_docs(s, d)),
-        "dedup_containment": lambda s, d: ngram_containment_pairs(_docs(s, d)),
+        "dedup_containment_dir": lambda s, d: ngram_containment_pairs(
+            _docs(s, d)
+        ),
         "dedup_minhash_sig": lambda s, d: minhash_signatures(_docs(s, d)),
         "dedup_minhash_pairs": lambda s, d: minhash_lsh_pairs(_docs(s, d)),
         "dedup_simhash": lambda s, d: simhash_signatures(_docs(s, d)),
@@ -1246,7 +1248,7 @@ def oracle_sql() -> dict:
         "dedup_exact": EXACT_SQL,
         "dedup_incremental": INCREMENTAL_SQL,
         "dedup_ngram_jaccard": NGRAM_SQL,
-        "dedup_containment": NGRAM_CONTAINMENT_SQL,
+        "dedup_containment_dir": NGRAM_CONTAINMENT_SQL,
         "dedup_minhash_sig": minhash_sig_sql(),
         "dedup_minhash_pairs": minhash_pairs_sql(),
         "dedup_simhash": simhash_sql(),
