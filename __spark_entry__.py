@@ -1777,6 +1777,54 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ingest pipeline (r13): the ES _ingest/pipeline processor chain as ONE
+# Catalyst projection — json-extract props.k, uppercase the type, tag
+# heavy purchases conditionally, drop low-k docs, then aggregate. The
+# oracle replays each processor in SQL.
+ES_INGEST_PROCS = [
+    {"json": {"field": "props", "target_field": "p", "schema": "k INT"}},
+    {"script": {"target_field": "k", "source": "p.k", "lang": "sql"}},
+    {"uppercase": {"field": "event_type", "target_field": "etype_u"}},
+    {"set": {"field": "tier", "value": "heavy",
+             "if": "event_type = 'purchase' AND value >= 250"}},
+    {"set": {"field": "tier", "value": "normal", "override": False}},
+    {"drop": {"if": "k < 10"}},
+]
+
+
+def _es_ingest_pipeline_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.ingest import (
+        run_ingest_pipeline,
+    )
+
+    ev = flows_src.load_table(s, d, "events")
+    out = run_ingest_pipeline(ev, ES_INGEST_PROCS)
+    return (
+        out.groupBy("etype_u", "tier")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("doc_count"),
+            F.sum("k").cast("long").alias("k_sum"),
+        )
+        .orderBy("etype_u", "tier")
+    )
+
+
+ES_INGEST_SQL = """
+WITH staged AS (
+  SELECT upper(event_type) AS etype_u,
+         CASE WHEN event_type = 'purchase' AND value >= 250
+              THEN 'heavy' ELSE 'normal' END AS tier,
+         CAST(json_extract(props, '$.k') AS INT) AS k
+  FROM events
+)
+SELECT etype_u, tier,
+       CAST(COUNT(*) AS BIGINT) AS doc_count,
+       CAST(SUM(k) AS BIGINT) AS k_sum
+FROM staged WHERE NOT COALESCE(k < 10, FALSE)
+GROUP BY etype_u, tier ORDER BY etype_u, tier
+"""
+
+
 # terms PARTITIONING (r13): slice 1 of 3 of the source key space —
 # md5-60bit key hash (engine dialect; ES hashes ordinals), disjoint /
 # covering / request-stable, the high-cardinality paging contract.
@@ -3073,6 +3121,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_composite_geotile": _es_composite_geotile_query,
         "es_terms_partition": _es_terms_partition_query,
         "es_search_template": _es_search_template_query,
+        "es_ingest_pipeline": _es_ingest_pipeline_query,
         "es_composite_geohash": _es_composite_geohash_query,
         "es_search_parent_agg": _es_search_parent_agg_query,
         "es_search_geo_sort": _es_search_geo_sort_query,
@@ -3447,6 +3496,7 @@ def _oracles_raw() -> dict[str, str]:
         "es_composite_geotile": _es_composite_geotile_oracle(),
         "es_terms_partition": ES_TERMS_PARTITION_SQL,
         "es_search_template": ES_TEMPLATE_SQL,
+        "es_ingest_pipeline": ES_INGEST_SQL,
         "es_composite_geohash": _es_composite_geohash_oracle(),
         "es_search_parent_agg": ES_SEARCH_PARENT_SQL,
         "es_search_geo_sort": _es_search_geo_sort_oracle(),

@@ -302,6 +302,7 @@ BENCH_QUERIES = [
     "es_terms_partition",
     "es_search_template",
     "dedup_containment_dir",
+    "es_ingest_pipeline",
 ]
 
 # Queries in their FIRST committed bench window get one UNTIMED warmup
@@ -339,6 +340,7 @@ FIRST_WINDOW_WARMUP = [
     "es_terms_partition",
     "es_search_template",
     "dedup_containment_dir",
+    "es_ingest_pipeline",
 ]
 
 

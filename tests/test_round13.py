@@ -1262,3 +1262,45 @@ def test_rescorer_retriever(spark):
             "retriever": {"standard": {"sort": ["vec_id"]}},
             "rescore": {"query": {"rescore_query": {
                 "script_score": {"script": {"source": "v"}}}}}}}})
+
+
+def test_ingest_pipeline_processors(spark):
+    from elasticsearch_drift_plugin_spark.functions.ingest import (
+        run_ingest_pipeline,
+    )
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [("  A-01 ", "5", '{"x": 2}'), ("b-2", "bad", '{"x": 9}')],
+        "host string, n string, js string",
+    )
+    out = run_ingest_pipeline(df, [
+        {"trim": {"field": "host"}},
+        {"lowercase": {"field": "host"}},
+        {"convert": {"field": "n", "type": "long",
+                     "ignore_failure": True}},
+        {"json": {"field": "js", "target_field": "j",
+                  "schema": "x INT"}},
+        {"script": {"target_field": "x2", "source": "j.x * 2"}},
+        {"set": {"field": "flag", "value": "hot", "if": "j.x > 5"}},
+        {"rename": {"field": "js", "target_field": "raw"}},
+    ]).collect()
+    rows = {r.host: r for r in out}
+    assert rows["a-01"].n == 5 and rows["b-2"].n is None
+    assert rows["a-01"].x2 == 4 and rows["b-2"].x2 == 18
+    assert rows["b-2"].flag == "hot" and rows["a-01"].flag is None
+    assert "raw" in out[0].asDict() and "js" not in out[0].asDict()
+    # ANSI convert without ignore_failure raises (ES convert failure)
+    with _pt.raises(Exception):
+        run_ingest_pipeline(df, [
+            {"convert": {"field": "n", "type": "long"}}]).collect()
+    # unknown processor raises naming the subset
+    with _pt.raises(ValueError, match="unsupported ingest"):
+        run_ingest_pipeline(df, [{"grok": {"field": "host"}}])
+    # drop removes matching docs, keeps NULL-evaluating ones
+    kept = run_ingest_pipeline(df, [
+        {"convert": {"field": "n", "type": "long",
+                     "ignore_failure": True}},
+        {"drop": {"if": "n >= 5"}},
+    ]).collect()
+    assert [r.host for r in kept] == ["b-2"]
