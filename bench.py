@@ -303,6 +303,7 @@ BENCH_QUERIES = [
     "es_search_template",
     "dedup_containment_dir",
     "es_ingest_pipeline",
+    "stream_ingest_pipeline",
 ]
 
 # Queries in their FIRST committed bench window get one UNTIMED warmup
@@ -341,6 +342,7 @@ FIRST_WINDOW_WARMUP = [
     "es_search_template",
     "dedup_containment_dir",
     "es_ingest_pipeline",
+    "stream_ingest_pipeline",
 ]
 
 

@@ -214,6 +214,26 @@ def stream_span_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.orderBy("source")
 
 
+def stream_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest (r13): the ES processor chain is a pure map-stage
+    projection (functions/ingest.py), so it runs on a stream UNCHANGED —
+    exactly how ES applies ingest pipelines at index time, document by
+    document as they arrive. Only the downstream per-(type, tier) count
+    is streaming state; shares the batch oracle verbatim."""
+    from ..functions.ingest import run_ingest_pipeline
+    from __spark_entry__ import ES_INGEST_PROCS
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet*")
+    staged = run_ingest_pipeline(ev, ES_INGEST_PROCS)
+    agg = staged.groupBy("etype_u", "tier").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_count"),
+        F.sum("k").cast("long").alias("k_sum"),
+    )
+    tbl = run_available_now(agg, "complete")
+    return tbl.orderBy("etype_u", "tier")
+
+
 def stream_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming "new vs returning users" (r10): the batch
     ``cumulative_cardinality`` first-seen fold split at its natural
@@ -285,6 +305,7 @@ def stream_zscore_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict:
     return {
         "stream_span_matches": stream_span_matches,
+        "stream_ingest_pipeline": stream_ingest_pipeline,
         "stream_psum_6h": stream_psum_6h,
         "stream_zscore_day": stream_zscore_day,
         "stream_psum_day_tz": stream_psum_day_tz,
@@ -307,6 +328,12 @@ def _stream_time_series_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_time_series_rate(spark, sf_dir)
 
 
+def _ingest_oracle() -> str:
+    from __spark_entry__ import ES_INGEST_SQL
+
+    return ES_INGEST_SQL
+
+
 def _span_near_oracle() -> str:
     from ..operators.search import span_near_filter_agg_sql
 
@@ -324,6 +351,7 @@ def oracle_sql() -> dict:
 
     return {
         "stream_span_matches": _span_near_oracle(),
+        "stream_ingest_pipeline": _ingest_oracle(),
         "stream_psum_6h": psum,
         "stream_zscore_day": zscore_sql(
             psum_oracle_sql(events_flows_duckdb_sql(""), quantize=4,
