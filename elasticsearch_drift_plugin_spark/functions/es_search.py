@@ -2433,6 +2433,23 @@ def _compile_agg(
             )
         fg = spec["foreground"]
         fg_sql = fg if isinstance(fg, str) else compile_query_sql_expr(fg)
+        if spec.get("filter_duplicate_text"):
+            # ES filter_duplicate_text: near-duplicate docs (boilerplate,
+            # reposts) would multiply their tokens into fake significance;
+            # ES dedups via text hashing before counting — here: keep ONE
+            # doc per exact text digest (min doc_id survivor), the same
+            # md5-digest discipline as exact dedup. A map-side semi
+            # structure: the digest groupBy is corpus-keyed like every
+            # dedup pass; the survivor join is AQE-broadcast when small.
+            from pyspark.sql import Window as _W
+
+            fieldc = spec["field"]
+            w = _W.partitionBy(F.md5(F.col(fieldc).cast("string")))
+            df = (
+                df.withColumn("__dup_min", F.min("doc_id").over(w))
+                .where(F.col("doc_id") == F.col("__dup_min"))
+                .drop("__dup_min")
+            )
         # background_filter narrows the background set, same contract as
         # the significant_terms node (bg counts/totals over matching docs)
         bg_sql = None

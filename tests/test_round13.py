@@ -1304,3 +1304,26 @@ def test_ingest_pipeline_processors(spark):
         {"drop": {"if": "n >= 5"}},
     ]).collect()
     assert [r.host for r in kept] == ["b-2"]
+
+
+def test_significant_text_filter_duplicate(spark):
+    from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+
+    # 3 copies of a spammy doc push 'spam' to the top unless duplicates
+    # filter; the deduped run keeps one copy
+    docs = spark.createDataFrame(
+        [(1, "spam spam offer", "a"), (2, "spam spam offer", "a"),
+         (3, "spam spam offer", "a"), (4, "real signal words", "a"),
+         (5, "other background text", "b"), (6, "more background here", "b"),
+         (7, "plain background words", "b"), (8, "noise background", "b")],
+        "doc_id long, text string, grp string",
+    )
+    body = lambda dedup: {"size": 0, "aggs": {"s": {"significant_text": {
+        "field": "text", "foreground": {"term": {"grp": "a"}},
+        "min_doc_count": 1, "size": 20,
+        **({"filter_duplicate_text": True} if dedup else {})}}}}
+    raw = {r["key"]: r["fg_count"] for r in
+           run_search(docs, body(False))["s"].collect()}
+    ded = {r["key"]: r["fg_count"] for r in
+           run_search(docs, body(True))["s"].collect()}
+    assert raw.get("spam", 0) == 3 and ded.get("spam", 0) == 1
