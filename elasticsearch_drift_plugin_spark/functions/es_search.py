@@ -470,9 +470,15 @@ def run_search(
         # k is the retrieval depth; the body's `size` pages it (ES
         # returns min(k, size) hits; size=0 yields an empty hits page)
         page = min(int(spec["k"]), int(body.get("size", 10)))
-        hits_page = scorer(keep).limit(page)
         if "rescore" in body:
-            hits_page = _rescore_hits(hits_page, body["rescore"], keep)
+            # ES rescores the top window_size of the FULL retrieved
+            # window (k deep) before paging — rescoring the truncated
+            # page would miss docs the rescore lifts onto it
+            hits_page = _rescore_hits(
+                scorer(keep).limit(int(spec["k"])), body["rescore"], keep
+            ).limit(page)
+        else:
+            hits_page = scorer(keep).limit(page)
         out["_hits"] = hits_page
         return out
     # hits retrieval — the ES response's `hits.hits` section, as the
@@ -2148,7 +2154,16 @@ def _compile_agg(
                     + y.cast("long")
                 )
                 syn = f"__geotile_{sname}"
-                df = df.withColumn(syn, key_long)
+                # NULL-guard like the geohash source: least/greatest skip
+                # NULLs, so without this a NULL lat or lon collapses to
+                # the bottom-right corner tile instead of no tile
+                df = df.withColumn(
+                    syn,
+                    F.when(
+                        F.col(latc).isNotNull() & F.col(lonc).isNotNull(),
+                        key_long,
+                    ),
+                )
                 geotile_sources[sname] = zoom
                 sources.append((sname, "terms", syn, None, *om))
             elif skind == "geohash_grid":
@@ -2204,9 +2219,12 @@ def _compile_agg(
                     F.concat_ws(
                         "/",
                         F.lit(zoom),
-                        ((k - F.lit(zoom) * F.lit(1 << 58))
-                         .cast("long") / F.lit(1 << 29))
-                        .cast("long").cast("string"),
+                        # exact bitfield extraction: Column '/' is double
+                        # division and loses integer precision past 2^53
+                        # (zoom >= ~25 keys) — shift+mask never rounds
+                        F.shiftright(k, 29)
+                        .bitwiseAND(F.lit((1 << 29) - 1))
+                        .cast("string"),
                         F.pmod(k, F.lit(1 << 29)).cast("string"),
                     ),
                 ),

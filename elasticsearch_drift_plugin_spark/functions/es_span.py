@@ -299,15 +299,22 @@ def span_set_sql(
                 d,
                 _flt(d, sets[1], b, ok),
                 b,
+                # merged g is 0, not the internal gap: a nested
+                # unordered near is opaque to any enclosing near
+                # (Lucene sub-span rule)
                 _st(
                     d,
                     f"least({a}.s, {b}.s)",
                     f"greatest({a}.e, {b}.e)",
-                    gap,
+                    "0",
                 ),
             )
             return f"flatten({_xf(d, sets[0], a, inner)})"
-        acc = sets[0]
+        # seed with g reset to 0: a nested near's internal gaps must NOT
+        # charge the outer slop (sub-spans are opaque intervals) — later
+        # clause positions discard b.g naturally, the seed must too
+        z = f"z{next(ctr)}"
+        acc = _xf(d, sets[0], z, _st(d, f"{z}.s", f"{z}.e", "0"))
         for nxt in sets[1:]:
             a, b = f"a{next(ctr)}", f"b{next(ctr)}"
             step_gap = f"({b}.s - {a}.e)"

@@ -66,14 +66,14 @@ def run_ingest_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
         def _apply(field, new_col):
             """Set ``field``, honoring a per-processor `if` condition."""
             if cond is not None:
-                old = (
-                    F.col(field)
-                    if field in df.columns
-                    else F.lit(None).cast("string")
-                )
-                return df.withColumn(
-                    field, F.when(cond, new_col).otherwise(old)
-                )
+                if field in df.columns:
+                    return df.withColumn(
+                        field, F.when(cond, new_col).otherwise(F.col(field))
+                    )
+                # new column: no otherwise → typed NULL in new_col's own
+                # type (a hardcoded string NULL would coerce a numeric/
+                # boolean set/script/convert target to string)
+                return df.withColumn(field, F.when(cond, new_col))
             return df.withColumn(field, new_col)
 
         if kind == "set":

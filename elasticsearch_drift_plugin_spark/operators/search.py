@@ -1625,9 +1625,23 @@ def percolate_document(
             " driver compilation is bounded; batch the rules or use the"
             " streaming percolate operator"
         )
-    import pandas as pd
+    # explicit typed 1-row projection — pandas schema inference dies on
+    # all-None columns (CANNOT_DETERMINE_TYPE); a missing field is a
+    # typed NULL here (string, matching the SQL twin's VARCHAR NULL)
+    def _lit(v):
+        if v is None:
+            return F.lit(None).cast("string")
+        if isinstance(v, bool):
+            return F.lit(v).cast("boolean")
+        if isinstance(v, int):
+            return F.lit(v).cast("long")
+        if isinstance(v, float):
+            return F.lit(v).cast("double")
+        return F.lit(str(v))
 
-    doc_df = spark.createDataFrame(pd.DataFrame([document]))
+    doc_df = spark.range(1).select(
+        *[_lit(v).alias(k) for k, v in document.items()]
+    )
     probes = doc_df.select(*[
         F.coalesce(compile_query(body), F.lit(False)).alias(f"__m{rid}")
         for rid, body in rules
@@ -1669,7 +1683,9 @@ def termvectors(
 ) -> DataFrame:
     """The ES ``_termvectors`` API, relationally: per-(doc, term) stats
     over the whitespace-lowercase token dialect — ``term_freq``, sorted
-    1-based ``positions``, and (``term_statistics=true``) corpus-wide
+    1-based ``positions`` (comma-joined string at the result edge — the
+    ``es_geo_line`` serialization discipline, so the frame hashes/sorts
+    cleanly downstream), and (``term_statistics=true``) corpus-wide
     ``doc_freq`` / ``ttf`` (total term frequency).
 
     Scale: the requested docs are a predicate (point GETs in ES; a
@@ -1690,7 +1706,13 @@ def termvectors(
         .groupBy("doc_id", "term")
         .agg(
             F.count(F.lit(1)).cast("long").alias("term_freq"),
-            F.sort_array(F.collect_list("pos")).alias("positions"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("pos")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("positions"),
         )
     )
     if not with_index_stats:
@@ -1719,7 +1741,7 @@ WITH tok AS (
 tv AS (
   SELECT doc_id, term,
          CAST(COUNT(*) AS BIGINT) AS term_freq,
-         list_sort(list(pos)) AS positions
+         array_to_string(list_sort(list(pos)), ',') AS positions
   FROM tok WHERE doc_id < 5 GROUP BY doc_id, term
 ),
 stats AS (

@@ -1,0 +1,235 @@
+"""Round-14 regressions: the two red driver rows (percolate doc schema,
+termvectors positions serialization) and the r13 ADVICE items — nested
+span_near opacity in first-clause position, geotile NULL-coordinate
+bucketing, exact geotile x extraction at high zoom, rescore over the
+full k-deep window, and typed NULL else-branches in conditional ingest
+processors.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_drift_plugin_spark.functions.es_dsl import (
+    compile_query,
+    compile_query_sql,
+)
+from elasticsearch_drift_plugin_spark.functions.es_search import run_search
+from elasticsearch_drift_plugin_spark.functions.ingest import (
+    run_ingest_pipeline,
+)
+from elasticsearch_drift_plugin_spark.operators.search import (
+    percolate_document,
+    termvectors,
+)
+
+
+# --- percolate: typed 1-row projection (driver red row r13) -----------
+
+def test_percolate_default_doc_with_null_prop(spark):
+    # PERCOLATE_TEST_DOC carries "props": None — pandas inference died
+    # on the all-None column (CANNOT_DETERMINE_TYPE); the typed
+    # projection must survive and match rules 2 (purchase & >=100) and
+    # 5 (must_not exists props)
+    got = [r.rule_id for r in percolate_document(spark).collect()]
+    assert got == [2, 5]
+
+
+def test_percolate_all_value_types(spark):
+    doc = {"s": "x", "i": 3, "f": 2.5, "b": True, "n": None}
+    rules = (
+        (1, {"term": {"s": "x"}}),
+        (2, {"range": {"i": {"gte": 3}}}),
+        (3, {"range": {"f": {"lt": 2.5}}}),
+        (4, {"term": {"b": True}}),
+        (5, {"bool": {"must_not": [{"exists": {"field": "n"}}]}}),
+    )
+    got = [r.rule_id for r in percolate_document(spark, doc, rules).collect()]
+    assert got == [1, 2, 4, 5]
+
+
+# --- termvectors: positions serialized at the result edge --------------
+
+def test_termvectors_positions_are_strings(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b a"), (1, "b c"), (9, "a z")],
+        "doc_id long, text string",
+    )
+    out = termvectors(docs, doc_pred="doc_id < 5")
+    assert dict(out.dtypes)["positions"] == "string"
+    rows = {(r.doc_id, r.term): r for r in out.collect()}
+    assert rows[(0, "a")].positions == "1,3"
+    assert rows[(0, "a")].term_freq == 2
+    assert rows[(1, "c")].positions == "2"
+    # corpus-wide stats include the unrequested doc 9
+    assert rows[(0, "a")].doc_freq == 2
+    assert rows[(0, "a")].ttf == 3
+
+
+# --- nested span_near opacity (ADVICE r13 #1) --------------------------
+
+SPAN_DOCS = [
+    (1, "a b c d"),
+    (2, "a c d"),
+    (3, "a b b c d"),
+    (4, "d a c"),
+]
+
+
+@pytest.fixture(scope="module")
+def span14_df(spark):
+    return spark.createDataFrame(SPAN_DOCS, "id int, text string").cache()
+
+
+@pytest.fixture(scope="module")
+def span14_con():
+    con = duckdb.connect()
+    rows = ",".join("(%d, '%s')" % (i, t) for i, t in SPAN_DOCS)
+    con.execute(
+        f"CREATE TABLE docs AS SELECT * FROM (VALUES {rows}) t(id, text)"
+    )
+    return con
+
+
+def _span_ids(df, con, body):
+    s = sorted(r.id for r in df.where(compile_query(body)).collect())
+    d = sorted(
+        r[0]
+        for r in con.execute(
+            "SELECT id FROM docs WHERE " + compile_query_sql(body, "duckdb")
+        ).fetchall()
+    )
+    assert s == d, f"engine mismatch for {body}: spark={s} duckdb={d}"
+    return s
+
+
+def _near(clauses, slop, in_order=True):
+    return {"span_near": {"clauses": clauses, "slop": slop,
+                          "in_order": in_order}}
+
+
+def _term(t):
+    return {"span_term": {"text": t}}
+
+
+def test_nested_near_first_clause_is_opaque(span14_df, span14_con):
+    # inner near([a,c], slop 1) spans doc1's "a b c" (internal gap 1);
+    # as the FIRST clause of near([inner, d], slop 0) that gap must NOT
+    # charge the outer slop — the sub-span is an opaque interval
+    # adjacent to d (Lucene). Pre-fix: doc1 missing.
+    body = _near([_near([_term("a"), _term("c")], 1), _term("d")], 0)
+    assert _span_ids(span14_df, span14_con, body) == [1, 2]
+    # doc3's inner gap is 2 > inner slop 1 → no inner span → no match;
+    # widen inner slop and it appears
+    body2 = _near([_near([_term("a"), _term("c")], 2), _term("d")], 0)
+    assert _span_ids(span14_df, span14_con, body2) == [1, 2, 3]
+    # outer slop still counts the OUTER gap: near([inner, d], 0) on
+    # doc4 ("d a c") fails (d precedes), ordered
+    assert 4 not in _span_ids(span14_df, span14_con, body)
+
+
+def test_nested_unordered_near_is_opaque(span14_df, span14_con):
+    # unordered inner near([c,a], slop 1) merges doc1's a..c with g
+    # reset to 0; outer ordered near([inner, d], slop 0) must match
+    # doc1 (merged interval "a b c" adjacent to d)
+    inner = _near([_term("c"), _term("a")], 1, in_order=False)
+    body = _near([inner, _term("d")], 0)
+    assert 1 in _span_ids(span14_df, span14_con, body)
+
+
+# --- geotile composite: NULL coords have no tile (ADVICE r13 #2) -------
+
+def test_geotile_composite_null_coord_drops(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, 10.0), (2, None, 20.0), (3, 10.0, None),
+         (4, -40.0, -100.0)],
+        "id long, lat double, lon double",
+    )
+    out = run_search(df, {"size": 0, "aggs": {"c": {"composite": {
+        "size": 10,
+        "sources": [{"tile": {"geotile_grid": {"precision": 1}}}],
+    }}}})["c"]
+    tiles = sorted(r.tile for r in out.collect())
+    # rows 2 and 3 have a NULL coord → no tile at all (pre-fix they
+    # collapsed into the bottom-right corner tile 1/1/1)
+    assert tiles == ["1/0/1", "1/1/0"]
+    assert sum(r.doc_count for r in out.collect()) == 2
+
+
+def test_geotile_high_zoom_exact_x(spark):
+    # zoom 29: the x<<29 bitfield exceeds 2^53, so double division
+    # rounds; shift+mask must render the exact x (here n-1 at the
+    # antimeridian edge) — pre-fix this was off-by-one
+    zoom = 29
+    n = 1 << zoom
+    lon, lat = 179.999999, 0.0
+    x = min(((180_000_000 + round(lon * 1e6)) * n) // 360_000_000, n - 1)
+    merc = (1.0 - math.log(math.tan(math.radians(lat))
+                           + 1.0 / math.cos(math.radians(lat)))
+            / math.pi) / 2.0
+    y = min(max(int(math.floor(merc * n)), 0), n - 1)
+    df = spark.createDataFrame([(1, lat, lon)], "id long, lat double, lon double")
+    out = run_search(df, {"size": 0, "aggs": {"c": {"composite": {
+        "size": 10,
+        "sources": [{"tile": {"geotile_grid": {"precision": zoom}}}],
+    }}}})["c"]
+    assert [r.tile for r in out.collect()] == [f"{zoom}/{x}/{y}"]
+
+
+# --- rescore over the full k-deep window (ADVICE r13 #4) ---------------
+
+def test_rescore_window_deeper_than_page(spark):
+    # 4 vectors: original cosine ranking v1 > v2 > v3 > v4; page size 2.
+    # The rescore (label boost, window 4) lifts v4 (label 100) onto the
+    # page — pre-fix rescore ran on the truncated 2-row page and v4
+    # could never surface.
+    rows = [
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [0.9, 0.1]),
+        (3, 0, [0.5, 0.5]),
+        (4, 100, [0.1, 0.9]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<float>"
+    )
+    body = {
+        "size": 2,
+        "knn": {"field": "embedding", "query_vector": [1.0, 0.0], "k": 4},
+        "_source": {"includes": ["vec_id", "label"]},
+        "rescore": {"window_size": 4, "query": {
+            "rescore_query": {"script_score": {
+                "query": {"range": {"label": {"gte": 1}}},
+                "script": {"source": "CAST(label AS DOUBLE)"}}},
+            "query_weight": 1.0, "rescore_query_weight": 1.0,
+            "score_mode": "total"}},
+    }
+    hits = run_search(df, body)["_hits"].collect()
+    assert len(hits) == 2
+    assert [r.vec_id for r in hits][0] == 4
+
+
+# --- conditional ingest keeps the new column's own type (ADVICE #5) ----
+
+def test_conditional_set_new_numeric_column_stays_numeric(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, k string")
+    out = run_ingest_pipeline(df, [
+        {"set": {"field": "score", "value": 7, "if": "k = 'a'"}},
+    ])
+    assert dict(out.dtypes)["score"] in ("int", "bigint")
+    got = {r.id: r.score for r in out.collect()}
+    assert got == {1: 7, 2: None}
+
+
+def test_conditional_script_new_double_column(spark):
+    df = spark.createDataFrame([(1, 2.0), (2, 3.0)], "id long, v double")
+    out = run_ingest_pipeline(df, [
+        {"script": {"lang": "sql", "target_field": "v2",
+                    "source": "v * 2", "if": "id = 1"}},
+    ])
+    assert dict(out.dtypes)["v2"] == "double"
+    got = {r.id: r.v2 for r in out.collect()}
+    assert got == {1: 4.0, 2: None}
