@@ -131,6 +131,7 @@ def _pair_intersections(
     key_cols: list[str],
     item_col: str,
     max_posting_len: int = MAX_POSTING_LEN,
+    on_hot: str = "raise",
 ) -> DataFrame:
     """(doc_a, doc_b, i): co-occurrence counts via inverted-index postings.
 
@@ -139,29 +140,46 @@ def _pair_intersections(
     classic postings self-join's two shuffled sides plus a join. The pair
     fan-out (Σ len(posting)²) is identical either way; hot postings are the
     skew to watch, bounded here by the blocking key AND by
-    ``max_posting_len`` — a posting hotter than the cap aborts with a clear
-    error (the circuit-breaker pattern: len² pair fan-out from one key
-    would otherwise OOM an executor silently).
+    ``max_posting_len``. ``on_hot`` picks the over-cap policy:
+
+    - ``"raise"`` (default): abort with a clear error — the circuit-
+      breaker pattern; len² pair fan-out from one key would otherwise
+      OOM an executor silently.
+    - ``"drop_gram"``: drop the hot posting entirely — df-cap semantics
+      (the standard prefix-filter degrade): a gram shared by more than
+      ``max_posting_len`` docs carries almost no pairing signal, so a
+      100 TB run survives a pathological gram without a re-shard. The
+      cost is an UNDERCOUNT of per-pair intersections (scores are a
+      lower bound; pairs whose only shared grams are hot disappear) —
+      i.e. the capped output is a subset filter of the exact one, like
+      an LSH candidate stage.
     """
+    if on_hot not in ("raise", "drop_gram"):
+        raise ValueError(f"on_hot must be 'raise' or 'drop_gram', got {on_hot!r}")
     postings = (
         items.groupBy(*key_cols, item_col)
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         .where(F.size("ds") > 1)
     )
-    postings = postings.withColumn(
-        "ds",
-        F.when(F.size("ds") <= max_posting_len, F.col("ds")).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(f"posting list over max_posting_len={max_posting_len} for "),
-                    F.lit(item_col),
-                    F.lit("="),
-                    F.col(item_col).cast("string"),
-                    F.lit(" — raise the cap or use a finer blocking key"),
+    if on_hot == "drop_gram":
+        postings = postings.where(F.size("ds") <= max_posting_len)
+    else:
+        postings = postings.withColumn(
+            "ds",
+            F.when(F.size("ds") <= max_posting_len, F.col("ds")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"posting list over max_posting_len={max_posting_len} for "),
+                        F.lit(item_col),
+                        F.lit("="),
+                        F.col(item_col).cast("string"),
+                        F.lit(" — raise the cap, use a finer blocking key,"
+                              " or pass on_hot='drop_gram' (df-cap degrade:"
+                              " scores become lower bounds)"),
+                    )
                 )
-            )
-        ),
-    )
+            ),
+        )
     return (
         postings.select(F.posexplode("ds").alias("i", "doc_a"), F.col("ds"))
         .select(
@@ -174,16 +192,25 @@ def _pair_intersections(
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.5, block_col: str = "source"
+    docs: DataFrame,
+    threshold: float = 0.5,
+    block_col: str = "source",
+    max_posting_len: int = MAX_POSTING_LEN,
+    on_hot: str = "raise",
 ) -> DataFrame:
     """Pairs with char-3-gram Jaccard >= threshold, within blocks.
 
     Inverted index: gram → posting list → co-occurrence counts. The block
     key rides the postings so cross-block pairs are never materialized.
+    ``on_hot='drop_gram'`` degrades hot postings to a df-cap (subset
+    output, lower-bound scores) instead of raising — see
+    :func:`_pair_intersections`.
     """
     grams = _char_grams(docs)
     counts = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = _pair_intersections(grams, [block_col], "g")
+    inter = _pair_intersections(
+        grams, [block_col], "g", max_posting_len, on_hot
+    )
     # No broadcast hint: `counts` has one row PER DOCUMENT — forcing it onto
     # every executor is O(corpus) memory at scale. It's a plain equi-join on
     # doc_id; AQE picks broadcast only when runtime stats say it's small.
@@ -311,10 +338,11 @@ def ngram_jaccard_pairs_gemm(
     import numpy as np
     import pandas as pd
 
-    if score not in ("jaccard", "containment"):
+    if score not in ("jaccard", "containment", "containment_dir"):
         raise ValueError(f"unknown score '{score}'")
     containment = score == "containment"
-    out_col = "cont_q" if containment else "jacc_q"
+    directional = score == "containment_dir"
+    out_col = "cont_q" if (containment or directional) else "jacc_q"
     thr = float(threshold)
     quant = float(QUANT)
     n = 3
@@ -377,8 +405,12 @@ def ngram_jaccard_pairs_gemm(
         F.col("sblk") == F.col("bj"),
     ).select(block_col, "bi", "bj", "doc_id", "ga", F.lit(1).alias("side"))
 
+    a_col, b_col = (
+        ("contained", "container") if directional else ("doc_a", "doc_b")
+    )
+
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"doc_a": [], "doc_b": [], out_col: []}).astype("int64")
+        empty = pd.DataFrame({a_col: [], b_col: [], out_col: []}).astype("int64")
         same = pdf["bi"].iat[0] == pdf["bj"].iat[0]
         l = pdf.drop_duplicates("doc_id") if same else pdf[pdf["side"] == 0]
         r = l if same else pdf[pdf["side"] == 1]
@@ -412,6 +444,40 @@ def ngram_jaccard_pairs_gemm(
         inter = (A @ B.T).astype(np.float64)
         sa = A.sum(axis=1, dtype=np.float64)
         sb_ = sa if same else B.sum(axis=1, dtype=np.float64)
+        if directional:
+            # C(row→col) = |A∩B| / |grams(row)| per direction — both
+            # orientations from the one intersection matrix. Quantized
+            # as floor(i * Q / n) to replay the postings/oracle
+            # arithmetic bit-exactly.
+            da = l["doc_id"].to_numpy()
+            db = r["doc_id"].to_numpy()
+            with np.errstate(invalid="ignore", divide="ignore"):
+                fwd = np.where(sa[:, None] > 0, inter / sa[:, None], 0.0)
+                rev = np.where(sb_[None, :] > 0, inter / sb_[None, :], 0.0)
+            shared = inter >= 1.0
+            mf = shared & (fwd >= thr)
+            mr = shared & (rev >= thr)
+            if same:
+                # the full (i, j) matrix already carries each direction
+                # as its own entry; only the diagonal is spurious
+                np.fill_diagonal(mf, False)
+                mr = np.zeros_like(mr)
+            ai, bi_ = np.nonzero(mf)
+            ri, rj = np.nonzero(mr)
+            if not (len(ai) or len(ri)):
+                return empty
+            return pd.DataFrame(
+                {
+                    a_col: np.concatenate([da[ai], db[rj]]),
+                    b_col: np.concatenate([db[bi_], da[ri]]),
+                    out_col: np.concatenate(
+                        [
+                            np.floor(inter[ai, bi_] * quant / sa[ai]),
+                            np.floor(inter[ri, rj] * quant / sb_[rj]),
+                        ]
+                    ).astype(np.int64),
+                }
+            )
         if containment:
             # |A∩B| / min(|A|,|B|) — the asymmetric sub-document screen
             denom = np.minimum(sa[:, None], sb_[None, :])
@@ -441,13 +507,17 @@ def ngram_jaccard_pairs_gemm(
     return (
         left.unionByName(right)
         .groupBy(block_col, "bi", "bj")
-        .applyInPandas(kernel, f"doc_a long, doc_b long, {out_col} long")
-        .orderBy("doc_a", "doc_b")
+        .applyInPandas(kernel, f"{a_col} long, {b_col} long, {out_col} long")
+        .orderBy(a_col, b_col)
     )
 
 
 def ngram_containment_pairs(
-    docs: DataFrame, threshold: float = 0.8, block_col: str = "source"
+    docs: DataFrame,
+    threshold: float = 0.8,
+    block_col: str = "source",
+    max_posting_len: int = MAX_POSTING_LEN,
+    on_hot: str = "raise",
 ) -> DataFrame:
     """(contained, container, cont_q): DIRECTIONAL containment —
     C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| ≥ threshold, each
@@ -463,7 +533,9 @@ def ngram_containment_pairs(
     """
     grams = _char_grams(docs)
     counts = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = _pair_intersections(grams, [block_col], "g")
+    inter = _pair_intersections(
+        grams, [block_col], "g", max_posting_len, on_hot
+    )
     ca = counts.alias("ca")
     cb = counts.alias("cb")
     j = (
@@ -1028,7 +1100,11 @@ def _docs(spark, sf_dir):
 
 
 def containment_pairs(
-    docs: "DataFrame", threshold: float = 0.8, block_col: str = "source"
+    docs: "DataFrame",
+    threshold: float = 0.8,
+    block_col: str = "source",
+    max_posting_len: int = MAX_POSTING_LEN,
+    on_hot: str = "raise",
 ) -> "DataFrame":
     """(doc_a, doc_b, cont_q): pairs whose char-3-gram CONTAINMENT
     ``|A∩B| / min(|A|, |B|)`` reaches ``threshold`` — the asymmetric
@@ -1044,7 +1120,9 @@ def containment_pairs(
     """
     grams = _char_grams(docs)
     counts = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = _pair_intersections(grams, [block_col], "g")
+    inter = _pair_intersections(
+        grams, [block_col], "g", max_posting_len, on_hot
+    )
     ca = counts.alias("ca")
     cb = counts.alias("cb")
     cont = F.col("i").cast("double") / F.least(F.col("ca.n"), F.col("cb.n"))
@@ -1225,8 +1303,13 @@ def queries() -> dict:
         # GEMM kernel: fastest on this corpus's near-clique blocks (see
         # variant docstrings); output identical to the postings variant
         "dedup_ngram_jaccard": lambda s, d: ngram_jaccard_pairs_gemm(_docs(s, d)),
-        "dedup_containment_dir": lambda s, d: ngram_containment_pairs(
-            _docs(s, d)
+        # GEMM kernel (r14): the postings formulation measured 12.5 s
+        # warm best-of-4 at sf0.1 vs 1.45 s for the symmetric GEMM
+        # sibling — the near-clique blocks' Σ len² posting fan-out is
+        # the cost; the directional GEMM mode reads both orientations
+        # off the ONE intersection matrix
+        "dedup_containment_dir": lambda s, d: ngram_jaccard_pairs_gemm(
+            _docs(s, d), threshold=0.8, score="containment_dir"
         ),
         "dedup_minhash_sig": lambda s, d: minhash_signatures(_docs(s, d)),
         "dedup_minhash_pairs": lambda s, d: minhash_lsh_pairs(_docs(s, d)),

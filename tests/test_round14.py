@@ -233,3 +233,75 @@ def test_conditional_script_new_double_column(spark):
     assert dict(out.dtypes)["v2"] == "double"
     got = {r.id: r.v2 for r in out.collect()}
     assert got == {1: 4.0, 2: None}
+
+
+# --- directional containment: GEMM kernel parity (r14 perf fix) --------
+
+DOCS14 = [
+    # src 'a': doc 11 is a prefix of doc 12 (contained), 13 unrelated
+    (11, "a", "the quick brown fox jumps"),
+    (12, "a", "the quick brown fox jumps over the lazy dog tonight"),
+    (13, "a", "completely different words here entirely"),
+    # src 'b': mutual near-dups
+    (21, "b", "alpha beta gamma delta epsilon zeta"),
+    (22, "b", "alpha beta gamma delta epsilon zeta!"),
+    (23, "b", "unrelated content in this block"),
+]
+
+
+def test_containment_dir_gemm_matches_postings(spark):
+    from elasticsearch_drift_plugin_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs_gemm,
+    )
+
+    df = spark.createDataFrame(DOCS14, "doc_id long, source string, text string")
+    want = sorted(
+        tuple(r) for r in ngram_containment_pairs(df, threshold=0.6).collect()
+    )
+    assert want, "fixture must produce containment pairs"
+    for nb in (None, 2):  # auto (1 sub-block) and forced cross-block pairs
+        got = sorted(
+            tuple(r)
+            for r in ngram_jaccard_pairs_gemm(
+                df, threshold=0.6, score="containment_dir", n_subblocks=nb
+            ).collect()
+        )
+        assert got == want, f"n_subblocks={nb}"
+    # directionality: 11 ⊂ 12, never the reverse at 0.6
+    pairs = {(a, b) for a, b, _ in want}
+    assert (11, 12) in pairs and (12, 11) not in pairs
+
+
+# --- hot-posting degrade path: on_hot='drop_gram' (df-cap) -------------
+
+def test_on_hot_drop_gram_is_subset_filter(spark):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from elasticsearch_drift_plugin_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(DOCS14, "doc_id long, source string, text string")
+    exact = {(r.doc_a, r.doc_b): r.jacc_q
+             for r in ngram_jaccard_pairs(df, threshold=0.3).collect()}
+    # cap low enough to drop shared grams: still runs (no raise), output
+    # is a subset with lower-bound scores — df-cap semantics
+    capped = {(r.doc_a, r.doc_b): r.jacc_q
+              for r in ngram_jaccard_pairs(
+                  df, threshold=0.3, max_posting_len=1, on_hot="drop_gram"
+              ).collect()}
+    assert set(capped) <= set(exact)
+    assert capped == {}  # cap 1 drops every >1-doc posting
+    # a cap above the hottest posting changes nothing
+    same = {(r.doc_a, r.doc_b): r.jacc_q
+            for r in ngram_jaccard_pairs(
+                df, threshold=0.3, max_posting_len=10, on_hot="drop_gram"
+            ).collect()}
+    assert same == exact
+    # the default stays the loud circuit breaker
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        ngram_jaccard_pairs(df, threshold=0.3, max_posting_len=1).collect()
+    with pytest.raises(ValueError, match="on_hot"):
+        ngram_jaccard_pairs(df, on_hot="bogus").collect()
