@@ -158,14 +158,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # `err: no_oracle`; pytest invariants + the full self-sweep cover them
 # (tools/stamp_age.py ROWS_ONLY, excluded in step 2/3).
 #
-# Round-13 pins: the es_search compile paths whose nested-clause SQL now
-# compiles with dialect='spark' (ADVICE r12 item 1) and the queries whose
-# grouping-key `missing` handling moved off the shared source column
-# (ADVICE r12 item 3).
+# Round-14 pins: the paths THIS round changed — the two r13 red rows
+# (percolate typed projection, termvectors positions serialization), the
+# directional-GEMM kernel swap, and the queries riding the ADVICE-r13
+# fixes (span_near gap seeding, geotile NULL/bitfield rendering, rescore
+# window, conditional-ingest typed NULLs).
 PIN_FIRST: tuple[str, ...] = (
-    "es_search_sig_inferred",
-    "es_search_filter",
-    "es_search_terms_filtered",
+    "es_percolate_doc",
+    "es_termvectors",
+    "dedup_containment_dir",
+    "es_dsl_span_near",
+    "es_composite_geotile",
+    "es_search_rescore",
+    "es_ingest_pipeline",
+    "stream_ingest_pipeline",
+    "stream_span_matches",
 )
 
 _WINDOW_SIZE = 50

@@ -304,6 +304,14 @@ BENCH_QUERIES = [
     "dedup_containment_dir",
     "es_ingest_pipeline",
     "stream_ingest_pipeline",
+    # r14 additions: the sketch/iterative verdict twins (oracle-paired
+    # tolerance checks) and the now-exact theta set algebra
+    "es_theta_set_ops",
+    "es_cardinality_tol",
+    "stats_quantiles_kll_rank",
+    "emb_kmeans_recall",
+    "corpus_bpe_bounds",
+    "es_percolate_batch",
 ]
 
 # Queries in their FIRST committed bench window get one UNTIMED warmup
@@ -314,35 +322,14 @@ BENCH_QUERIES = [
 # round's new registrations belong here, so the warmup cost stays
 # bounded while established queries keep their cheap 2-shot timing.
 FIRST_WINDOW_WARMUP = [
-    "psum_fixed_tz",
-    "es_search_script_score",
-    "es_search_rank_feature",
-    "stream_psum_fixed_tz",
-    "es_dsl_intervals",
-    "es_search_script_sort",
-    "es_dsl_span_near",
-    "es_dsl_span_not",
-    "es_search_children_agg",
-    "es_search_parent_agg",
-    "es_dsl_knn_query",
-    "es_time_series",
-    "es_dsl_geo_shape",
-    "es_search_linear_retr",
-    "es_dsl_terms_lookup",
-    "es_rank_eval",
-    "es_search_rescore",
-    "stream_span_matches",
-    "train_hard_negatives",
-    "es_termvectors",
-    "es_percolate_doc",
-    "es_explain",
-    "es_composite_geotile",
-    "es_composite_geohash",
-    "es_terms_partition",
-    "es_search_template",
+    "es_theta_set_ops",
+    "es_cardinality_tol",
+    "stats_quantiles_kll_rank",
+    "emb_kmeans_recall",
+    "corpus_bpe_bounds",
+    "es_percolate_batch",
+    # kernel swap (r14): first window under the directional GEMM plan
     "dedup_containment_dir",
-    "es_ingest_pipeline",
-    "stream_ingest_pipeline",
 ]
 
 

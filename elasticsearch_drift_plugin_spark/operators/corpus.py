@@ -2398,6 +2398,50 @@ def bpe_encode(
     ).orderBy("doc_id")
 
 
+def bpe_encode_bounds(docs: DataFrame, merges) -> DataFrame:
+    """(doc_id, n_words, ok): the oracle-pairable verdict form of
+    :func:`bpe_encode` — ``n_words`` is exactly replayable in SQL
+    (whitespace word count, the encoder's own split dialect) and ``ok``
+    pins the encoder's structural invariant: every word of length L
+    encodes to between 1 and L+1 symbols (its chars plus the end
+    marker; merges only ever REDUCE the count), so per document
+    ``n_words <= n_tokens <= n_chars_nospace + n_words``. The oracle
+    emits the word counts with constant TRUE — a merge-loop regression
+    (lost end markers, over-merging, dropped words) fails the driver
+    hash even though the trained merge table itself has no SQL twin
+    (its training replay is ``corpus_bpe_train``'s oracle)."""
+    enc = bpe_encode(docs, merges)
+    words = "filter(split(text, '\\\\s+'), w -> w <> '')"
+    stats = docs.select(
+        "doc_id",
+        F.expr(f"size({words})").cast("long").alias("__nw"),
+        F.expr(
+            f"aggregate({words}, 0L, (a, w) -> a + length(w))"
+        ).alias("__chars"),
+    )
+    return (
+        enc.join(stats, "doc_id")
+        .select(
+            "doc_id",
+            F.col("__nw").alias("n_words"),
+            (
+                (F.col("n_words") == F.col("__nw"))
+                & (F.col("n_tokens") >= F.col("__nw"))
+                & (F.col("n_tokens") <= F.col("__chars") + F.col("__nw"))
+            ).alias("ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BPE_BOUNDS_SQL = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS BIGINT) AS n_words,
+       TRUE AS ok
+FROM documents ORDER BY doc_id
+"""
+
+
 def zipf_slope(docs: DataFrame, top_n: int = 1000) -> DataFrame:
     """(n_terms, sx_q, sy_q, slope_mq): ordinary-least-squares slope of the
     log-log rank–frequency relation over the corpus's ``top_n`` terms —
@@ -2715,6 +2759,12 @@ def queries() -> dict:
             load_table(s, d, "documents"),
             bpe_train(load_table(s, d, "documents"), n_merges=30),
         ),
+        # oracle-paired verdict twin: word counts replay exactly in SQL,
+        # token counts pinned to the encoder's structural bounds
+        "corpus_bpe_bounds": lambda s, d: bpe_encode_bounds(
+            load_table(s, d, "documents"),
+            bpe_train(load_table(s, d, "documents"), n_merges=30),
+        ),
         "corpus_log_odds": lambda s, d: log_odds_terms(load_table(s, d, "documents")),
         # DSIR (Xie et al. 2023): hashed-n-gram importance weights of the
         # raw corpus against the src0 "target" domain, then the Gumbel-
@@ -2775,6 +2825,7 @@ def oracle_sql() -> dict:
         "corpus_lm_score": BIGRAM_LM_SQL,
         "corpus_contamination": contamination_sql("source = 'src0'", "source <> 'src0'"),
         "corpus_fuzzy_decon": _fuzzy_decon_sql(),
+        "corpus_bpe_bounds": BPE_BOUNDS_SQL,
         "corpus_span_dedup": span_dedup_sql(),
         "corpus_top_ngrams": top_ngrams_sql(),
         "corpus_bpe_pairs": bpe_pairs_sql(),

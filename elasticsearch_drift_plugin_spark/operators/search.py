@@ -1227,6 +1227,9 @@ FROM events WHERE event_id < 20""")
 def queries() -> dict:
     return {
         "es_percolate": lambda s, d: percolate(load_table(s, d, "events")),
+        "es_percolate_batch": lambda s, d: percolate_batch(
+            load_table(s, d, "events")
+        ),
         "es_more_like_this": lambda s, d: more_like_this(
             load_table(s, d, "documents")
         ),
@@ -1622,8 +1625,9 @@ def percolate_document(
     if len(rules) > max_rules:
         raise ValueError(
             f"{len(rules)} percolator rules > max_rules={max_rules} —"
-            " driver compilation is bounded; batch the rules or use the"
-            " streaming percolate operator"
+            " one projection's compile is bounded; use percolate_batch"
+            " (chunked rule compilation, linear passes) or the streaming"
+            " percolate operator"
         )
     # explicit typed 1-row projection — pandas schema inference dies on
     # all-None columns (CANNOT_DETERMINE_TYPE); a missing field is a
@@ -1651,6 +1655,65 @@ def percolate_document(
     return spark.createDataFrame(
         [(r,) for r in matched], "rule_id long"
     ).orderBy("rule_id")
+
+
+def percolate_batch(
+    events: DataFrame,
+    rules=PERCOLATE_RULES,
+    doc_pred: str = "user_id < 5",
+    id_col: str = "event_id",
+    chunk_size: int = 10_000,
+) -> DataFrame:
+    """(doc_id, rule_id): which stored queries EACH selected document
+    matches — the request-scale batch form of :func:`percolate_document`
+    (one doc → rule ids) and the per-doc dual of :func:`percolate`
+    (per-rule rollups). This is the runnable path the
+    ``percolate_document`` max_rules guard names: rules compile in
+    CHUNKS of ``chunk_size`` predicates per projection — each chunk is
+    one scan-side codegen pass emitting the matched rule-id array
+    (``array_compact`` of per-rule conditional literals, exploded), so
+    a 100k-rule table costs rules/chunk_size linear passes with a
+    bounded expression tree each, never an unbounded driver compile or
+    a rules×docs shuffle. Rules may be SQL strings or ES DSL bodies
+    (:func:`compile_rules`). NULL-evaluating rules do not match (ES
+    filter context)."""
+    rules = compile_rules(tuple(rules), dialect="spark")
+    chunks = [
+        rules[i : i + int(chunk_size)]
+        for i in range(0, len(rules), int(chunk_size))
+    ]
+    base = events.where(doc_pred)
+    out = None
+    for chunk in chunks:
+        arms = F.array(
+            *[
+                F.when(
+                    F.coalesce(F.expr(pred), F.lit(False)),
+                    F.lit(int(rid)).cast("long"),
+                )
+                for rid, pred in chunk
+            ]
+        )
+        one = base.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.explode(F.array_compact(arms)).alias("rule_id"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("doc_id", "rule_id")
+
+
+def percolate_batch_sql(
+    rules=PERCOLATE_RULES, doc_pred: str = "user_id < 5",
+    id_col: str = "event_id",
+) -> str:
+    rules = compile_rules(tuple(rules))
+    arms = "\nUNION ALL\n".join(
+        f"SELECT CAST({id_col} AS BIGINT) AS doc_id,"
+        f" CAST({rid} AS BIGINT) AS rule_id"
+        f" FROM events WHERE ({doc_pred}) AND COALESCE(({pred}), FALSE)"
+        for rid, pred in rules
+    )
+    return f"SELECT * FROM (\n{arms}\n) ORDER BY doc_id, rule_id"
 
 
 def percolate_document_sql(
@@ -1860,6 +1923,7 @@ FROM dcg LEFT JOIN idcg USING (query_id) ORDER BY query_id
 def oracle_sql() -> dict:
     return {
         "es_percolate": percolate_sql(),
+        "es_percolate_batch": percolate_batch_sql(),
         "es_more_like_this": more_like_this_sql(),
         "es_intervals_near": intervals_near_sql(),
         "es_term_suggest": term_suggest_sql(),

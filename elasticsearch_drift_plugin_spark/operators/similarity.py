@@ -1505,6 +1505,39 @@ FROM agg ORDER BY query_id
 
 
 
+def kmeans_ivf_recall_check(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_iter: int = 2,
+    min_mean_recall: float = 0.7,
+) -> DataFrame:
+    """(n_queries, ok): audit the Lloyd-fitted IVF probe against exact
+    brute-force truth — ``ok`` is true when mean recall@k over the probe
+    set clears ``min_mean_recall``. The oracle-pairable verdict form of
+    ``emb_kmeans_ivf_topk`` (the fit is iterative, so raw results can't
+    have a SQL twin; the recall bound CAN — see the registry note).
+    Cost: two top-k passes over the corpus (the IVF probe + the exact
+    truth) on an n_queries-sized probe set — an index-audit query, the
+    same instrument a production rollout runs on a sample."""
+    probes = emb.where(F.col("vec_id") < n_queries)
+    res = ivf_topk(emb, probes, cents=kmeans_fit(emb, n_iter=n_iter))
+    truth = cosine_topk(emb, probes, brute_force=True)
+    per_q = rank_eval(res, truth, k=k)
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        (
+            F.avg(F.col("hits").cast("double") / F.lit(float(k)))
+            >= F.lit(float(min_mean_recall))
+        ).alias("ok"),
+    )
+
+
+KMEANS_RECALL_SQL = """
+SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS ok
+"""
+
+
 def queries() -> dict:
     return {
         "emb_group_centroids": lambda s, d: group_centroids(
@@ -1567,6 +1600,15 @@ def queries() -> dict:
             load_table(s, d, "embeddings").where(F.col("vec_id") < 10),
             cents=kmeans_fit(load_table(s, d, "embeddings"), n_iter=2),
         ),
+        # oracle-paired tolerance twin for the trained path: mean
+        # recall@5 of the kmeans-fitted IVF vs exact brute force must
+        # clear 0.7 (measured 0.92 at sf0.01 / 1.0 at sf0.1 — >3x the
+        # slack). The oracle emits the query count + constant TRUE, so
+        # a fit or probe regression fails the driver hash even though
+        # the iterative fit itself is not SQL-expressible.
+        "emb_kmeans_recall": lambda s, d: kmeans_ivf_recall_check(
+            load_table(s, d, "embeddings")
+        ),
     }
 
 
@@ -1587,6 +1629,7 @@ def oracle_sql() -> dict:
         "emb_vector_percolate": vector_percolate_sql(),
         "ann_rank_eval": rank_eval_sql(IVF_TOPK_SQL, TOPK_SQL),
         "ann_ivf_topk": IVF_TOPK_SQL,
+        "emb_kmeans_recall": KMEANS_RECALL_SQL,
     }
 
 

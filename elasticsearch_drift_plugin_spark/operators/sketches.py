@@ -15,10 +15,15 @@ unioning the stored sketches, no raw-data rescan. That is the pattern a
 flow-retention pipeline runs: raw flows expire, daily sketches stay.
 
 Estimates are engine-specific (DuckDB's HLL is a different implementation),
-so these queries register WITHOUT an oracle twin — the driver records the
-weaker rows-only check, and the numeric contract is pinned by pytest
-invariants instead: determinism, exact-below-threshold behavior, merge
-consistency with a global sketch, and relative error vs exact counts.
+so the raw-estimate queries register WITHOUT an oracle twin — the driver
+records the weaker rows-only check there. r14 adds oracle-PAIRED evidence
+alongside: tolerance-verdict twins (``es_cardinality_tol``,
+``stats_quantiles_kll_rank`` — the Spark side computes estimate AND truth
+and emits a within-tolerance boolean; the oracle emits the truth grid with
+constant TRUE, so estimator drift fails the driver hash) and the exact
+sub-4096 theta mode (``es_theta_set_ops`` pairs against plain
+COUNT(DISTINCT) set algebra). Numeric contracts are additionally pinned by
+pytest invariants: determinism, merge consistency, relative error.
 """
 
 from __future__ import annotations
@@ -243,11 +248,120 @@ def _serve_kll_quantiles(sk_df: DataFrame, group_cols: list[str], pcts) -> DataF
     )
 
 
+def cardinality_tolerance(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    lg_k: int = LG_K,
+    rel_tol: float = 0.05,
+) -> DataFrame:
+    """(group..., n_exact, ok): the HLL estimate checked against the exact
+    distinct count in ONE query — ``ok`` is true when the estimate lands
+    within ``rel_tol`` of truth. This is the oracle-PAIRABLE form of
+    :func:`cardinality_approx` (estimates are engine-specific, so the raw
+    ``est`` can't hash-pair with DuckDB; the tolerance VERDICT can — the
+    oracle emits the exact count and a constant TRUE, so any estimator
+    drift past the tolerance fails the driver hash). lg_k=12 is ~1.6%
+    standard error; 5% is > 3 sigma. The exact side is the eval-scale
+    cost (a real countDistinct) — this is an estimator-audit query, not
+    the production path."""
+    est = F.expr(f"hll_sketch_estimate(hll_sketch_agg({col}, {int(lg_k)}))")
+    exact = F.countDistinct(F.col(col))
+    return (
+        df.groupBy(*group_cols)
+        .agg(est.alias("__est"), exact.alias("__n"))
+        .select(
+            *group_cols,
+            F.col("__n").cast("long").alias("n_exact"),
+            (
+                F.abs(F.col("__est") - F.col("__n"))
+                <= F.lit(float(rel_tol)) * F.col("__n")
+            ).alias("ok"),
+        )
+        .orderBy(*group_cols)
+    )
+
+
+CARDINALITY_TOL_SQL = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def quantiles_rank_check(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    pcts=(0.25, 0.5, 0.75, 0.95),
+    k: int = 200,
+    rank_tol: float = 0.05,
+) -> DataFrame:
+    """(group..., pct, ok): the KLL quantile estimates audited against
+    their DEFINING property — the returned value's exact rank fraction
+    must sit within ``rank_tol`` of the requested rank (KLL guarantees
+    bounded RANK error, not value error, so this is the right invariant;
+    k=200 is ~1.65% a-priori rank error, 5% is generous). Oracle-pairable:
+    the oracle emits the (group, pct) grid with constant TRUE, so a
+    sketch regression fails the driver hash. One broadcast join of the
+    tiny quantile frame back over the corpus — an estimator-audit pass,
+    linear in the data."""
+    q = quantiles_sketch(df, group_cols, col, pcts, k)
+    vals = df.select(*group_cols, F.col(col).cast("double").alias("__v"))
+    lo = F.col("pct").cast("double") / 100.0 - F.lit(float(rank_tol))
+    hi = F.col("pct").cast("double") / 100.0 + F.lit(float(rank_tol))
+    frac = F.avg((F.col("__v") <= F.col("est")).cast("double"))
+    return (
+        q.join(vals, group_cols)
+        .groupBy(*group_cols, "pct")
+        .agg(frac.alias("__frac"))
+        .select(
+            *group_cols,
+            F.col("pct"),
+            ((F.col("__frac") >= lo) & (F.col("__frac") <= hi)).alias("ok"),
+        )
+        .orderBy(*group_cols, "pct")
+    )
+
+
+QUANTILES_RANK_SQL = """
+SELECT event_type, CAST(p AS BIGINT) AS pct, TRUE AS ok
+FROM (SELECT DISTINCT event_type FROM events),
+     (SELECT unnest([25, 50, 75, 95]) AS p)
+ORDER BY event_type, pct
+"""
+
+
+# Theta sketches retain up to their nominal 4096 entries before sampling
+# kicks in — BELOW that they are EXACT, so over the testdata cohorts
+# (150 distinct users at sf0.01, 1500 at sf0.1) the estimates equal the
+# true counts and the set algebra IS oracle-pairable with plain
+# COUNT(DISTINCT). At production cardinalities the same query returns
+# estimates and the oracle no longer applies — the exactness condition
+# is the documented contract, not an accident.
+THETA_SET_OPS_SQL = """
+SELECT CAST(COUNT(DISTINCT CASE WHEN user_id % 2 = 0 THEN user_id END) AS BIGINT) AS est_a,
+       CAST(COUNT(DISTINCT CASE WHEN user_id % 3 = 0 THEN user_id END) AS BIGINT) AS est_b,
+       CAST(COUNT(DISTINCT CASE WHEN user_id % 2 = 0 OR user_id % 3 = 0 THEN user_id END) AS BIGINT) AS est_union,
+       CAST(COUNT(DISTINCT CASE WHEN user_id % 6 = 0 THEN user_id END) AS BIGINT) AS est_intersect,
+       CAST(COUNT(DISTINCT CASE WHEN user_id % 2 = 0 AND user_id % 3 <> 0 THEN user_id END) AS BIGINT) AS est_a_minus_b
+FROM events
+"""
+
+
 def queries() -> dict:
-    # rows-only driver check (no DuckDB oracle can reproduce DataSketches
-    # estimates); numeric invariants live in tests/test_extensions.py
+    # es_cardinality_approx / stats_quantiles_kll stay rows-only (no
+    # DuckDB oracle can reproduce DataSketches estimates); their *_tol /
+    # *_rank twins ARE oracle-paired via tolerance verdicts, and
+    # es_theta_set_ops pairs exactly in the sub-4096 exact mode (see
+    # THETA_SET_OPS_SQL note). Numeric invariants also live in
+    # tests/test_extensions.py.
     return {
         "es_cardinality_approx": lambda s, d: cardinality_approx(
+            load_table(s, d, "events"), ["event_type"], "user_id"
+        ),
+        "es_cardinality_tol": lambda s, d: cardinality_tolerance(
             load_table(s, d, "events"), ["event_type"], "user_id"
         ),
         # modulo cohorts: |A∩B| = users ≡ 0 (mod 6) — a small true overlap,
@@ -259,8 +373,15 @@ def queries() -> dict:
         "stats_quantiles_kll": lambda s, d: quantiles_sketch(
             load_table(s, d, "events"), ["event_type"], "value"
         ),
+        "stats_quantiles_kll_rank": lambda s, d: quantiles_rank_check(
+            load_table(s, d, "events"), ["event_type"], "value"
+        ),
     }
 
 
 def oracle_sql() -> dict:
-    return {}
+    return {
+        "es_cardinality_tol": CARDINALITY_TOL_SQL,
+        "es_theta_set_ops": THETA_SET_OPS_SQL,
+        "stats_quantiles_kll_rank": QUANTILES_RANK_SQL,
+    }

@@ -305,3 +305,38 @@ def test_on_hot_drop_gram_is_subset_filter(spark):
         ngram_jaccard_pairs(df, threshold=0.3, max_posting_len=1).collect()
     with pytest.raises(ValueError, match="on_hot"):
         ngram_jaccard_pairs(df, on_hot="bogus").collect()
+
+
+# --- percolate_batch: chunked rule compilation (r14) -------------------
+
+def test_percolate_batch_chunking_invariant(spark):
+    from elasticsearch_drift_plugin_spark.operators.search import (
+        percolate_batch,
+    )
+
+    rows = [
+        (1, "error", 5.0, 1),
+        (2, "purchase", 250.0, 2),
+        (3, "click", 500.0, 3),
+        (4, "view", 0.5, 1000),
+        (5, "signup", None, 2000),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, user_id long"
+    )
+    whole = sorted(
+        (r.doc_id, r.rule_id)
+        for r in percolate_batch(df, doc_pred="event_id >= 1").collect()
+    )
+    # rule 1: error -> doc 1; rule 2: purchase & >=100 -> doc 2;
+    # rule 3: value < 1 -> doc 4; rule 4: user_id % 1000 = 0 -> docs 4,5;
+    # rule 5: click/view & value >= 400 -> docs 3
+    assert whole == [(1, 1), (2, 2), (3, 5), (4, 3), (4, 4), (5, 4)]
+    # chunked compilation is invisible in the output
+    chunked = sorted(
+        (r.doc_id, r.rule_id)
+        for r in percolate_batch(
+            df, doc_pred="event_id >= 1", chunk_size=2
+        ).collect()
+    )
+    assert chunked == whole

@@ -27,11 +27,14 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Rows-only by design (sketch internals / BPE token ids): never in the
-# graded window, covered by pytest numeric invariants + the self-sweep.
+# graded window, covered by pytest numeric invariants + the self-sweep —
+# and, since r14, each one ALSO has an oracle-paired verdict twin in the
+# registry (es_cardinality_tol / stats_quantiles_kll_rank /
+# emb_kmeans_recall / corpus_bpe_bounds). es_theta_set_ops left this set
+# in r14: its sub-4096 exact mode pairs against plain COUNT(DISTINCT).
 ROWS_ONLY = frozenset(
     {
         "es_cardinality_approx",
-        "es_theta_set_ops",
         "stats_quantiles_kll",
         "emb_kmeans_ivf_topk",
         "corpus_bpe_encode",
