@@ -312,6 +312,7 @@ BENCH_QUERIES = [
     "emb_kmeans_recall",
     "corpus_bpe_bounds",
     "es_percolate_batch",
+    "stream_percolate_batch",
 ]
 
 # Queries in their FIRST committed bench window get one UNTIMED warmup
@@ -328,6 +329,7 @@ FIRST_WINDOW_WARMUP = [
     "emb_kmeans_recall",
     "corpus_bpe_bounds",
     "es_percolate_batch",
+    "stream_percolate_batch",
     # kernel swap (r14): first window under the directional GEMM plan
     "dedup_containment_dir",
 ]

@@ -1677,6 +1677,22 @@ def percolate_batch(
     a rules×docs shuffle. Rules may be SQL strings or ES DSL bodies
     (:func:`compile_rules`). NULL-evaluating rules do not match (ES
     filter context)."""
+    return percolate_batch_matches(
+        events, rules, doc_pred, id_col, chunk_size
+    ).orderBy("doc_id", "rule_id")
+
+
+def percolate_batch_matches(
+    events: DataFrame,
+    rules=PERCOLATE_RULES,
+    doc_pred: str = "user_id < 5",
+    id_col: str = "event_id",
+    chunk_size: int = 10_000,
+) -> DataFrame:
+    """UNORDERED (doc_id, rule_id) match stream — the projection body of
+    :func:`percolate_batch`, factored so the streaming twin runs the
+    SAME chunked codegen passes (map-only, stateless ⇒ append-mode
+    legal) and the two cannot drift."""
     rules = compile_rules(tuple(rules), dialect="spark")
     chunks = [
         rules[i : i + int(chunk_size)]
@@ -1699,7 +1715,7 @@ def percolate_batch(
             F.explode(F.array_compact(arms)).alias("rule_id"),
         )
         out = one if out is None else out.unionByName(one)
-    return out.orderBy("doc_id", "rule_id")
+    return out
 
 
 def percolate_batch_sql(

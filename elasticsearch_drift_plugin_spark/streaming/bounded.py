@@ -316,6 +316,7 @@ def queries() -> dict:
         "stream_geotile_grid": stream_geotile_grid,
         "stream_js_divergence": stream_js_divergence,
         "stream_percolate": stream_percolate,
+        "stream_percolate_batch": stream_percolate_batch,
         "stream_vector_percolate": stream_vector_percolate,
         "stream_data_quality": stream_data_quality,
         "stream_time_series_rate": _stream_time_series_rate,
@@ -381,6 +382,9 @@ def oracle_sql() -> dict:
         "stream_percolate": __import__(
             "elasticsearch_drift_plugin_spark.operators.search", fromlist=["x"]
         ).percolate_sql(),
+        "stream_percolate_batch": __import__(
+            "elasticsearch_drift_plugin_spark.operators.search", fromlist=["x"]
+        ).percolate_batch_sql(),
         "stream_vector_percolate": __import__(
             "elasticsearch_drift_plugin_spark.operators.similarity", fromlist=["x"]
         ).vector_percolate_sql(),
@@ -435,6 +439,22 @@ def stream_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet*")
     tbl = run_available_now(ev.agg(*percolate_aggs(PERCOLATE_RULES)), "complete")
     return percolate_unpivot(tbl, PERCOLATE_RULES)
+
+
+def stream_percolate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-document percolate (r14) — the alert-routing shape:
+    each ARRIVING document is matched against the stored rule table and
+    (doc_id, rule_id) rows append as they fire. The projection is the
+    batch :func:`~..operators.search.percolate_batch` body verbatim
+    (shared ``percolate_batch_matches`` — chunk-compiled, map-only,
+    stateless), so the replay runs append mode with no state store and
+    the twins cannot drift. Same oracle as the batch registration."""
+    from ..operators.search import percolate_batch_matches
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet*")
+    tbl = run_available_now(percolate_batch_matches(ev), "append")
+    return tbl.orderBy("doc_id", "rule_id")
 
 
 def stream_vector_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -340,3 +340,29 @@ def test_percolate_batch_chunking_invariant(spark):
         ).collect()
     )
     assert chunked == whole
+
+
+def test_stream_percolate_batch_matches_batch(spark, tmp_path):
+    # the streaming twin shares percolate_batch_matches, so a bounded
+    # replay over a parquet copy must equal the batch result exactly
+    import shutil
+
+    from elasticsearch_drift_plugin_spark.operators.search import (
+        percolate_batch,
+    )
+    from elasticsearch_drift_plugin_spark.sources.flows import load_table
+    from elasticsearch_drift_plugin_spark.streaming.bounded import (
+        stream_percolate_batch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = [
+        (r.doc_id, r.rule_id)
+        for r in percolate_batch(load_table(spark, sf, "events")).collect()
+    ]
+    streamed = [
+        (r.doc_id, r.rule_id)
+        for r in stream_percolate_batch(spark, sf).collect()
+    ]
+    assert streamed == batch
+    assert batch, "fixture must fire at least one rule"

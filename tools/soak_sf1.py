@@ -117,6 +117,18 @@ FLAGSHIPS = (
     "es_dsl_terms_lookup",
     "es_time_series",
     "es_rank_eval",
+    # round-14: the directional GEMM kernel at a scale where the hot
+    # source block (~5k docs) EXCEEDS max_block_rows=4096, so the
+    # cross-sub-block pair path actually engages (nb=2 — the 100 TB
+    # shape, untested below sf1); the chunk-compiled batch percolate
+    # over the 10x event stream; and the estimator-audit twins whose
+    # exact sides are the corpus-pass cost to watch at volume
+    "dedup_containment_dir",
+    "es_percolate_batch",
+    "es_cardinality_tol",
+    "stats_quantiles_kll_rank",
+    "corpus_bpe_bounds",
+    "emb_kmeans_recall",
 )
 
 
