@@ -1784,6 +1784,43 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# _search/template with mustache SECTIONS (r14 graduation): the ES
+# conditional-clause idiom — the range clause is emitted only when vmin
+# is bound, the terms list renders via {{#toJson}}, and size falls back
+# through the {{^}} default pattern. Rendering is driver-side text work;
+# the executed plan is the ordinary compiled body.
+ES_TEMPLATE_COND_TEXT = (
+    '{"size": 0, "query": {"bool": {"must": ['
+    '{"terms": {"event_type": {{#toJson}}etypes{{/toJson}}}}'
+    '{{#vmin}},{"range": {"value": {"gte": {{vmin}}}}}{{/vmin}}'
+    ']}},'
+    ' "aggs": {"by_type": {"terms": {"field": "event_type",'
+    ' "size": {{size}}{{^size}}10{{/size}}}}}}'
+)
+ES_TEMPLATE_COND_PARAMS = {"etypes": ["purchase", "click"], "vmin": 200}
+
+
+def _es_search_template_cond_query(s: SparkSession, d: str) -> DataFrame:
+    from elasticsearch_drift_plugin_spark.functions.es_search import (
+        render_search_template,
+        run_search,
+    )
+
+    ev = flows_src.load_table(s, d, "events")
+    body = render_search_template(
+        ES_TEMPLATE_COND_TEXT, ES_TEMPLATE_COND_PARAMS
+    )
+    return run_search(ev, body)["by_type"]
+
+
+ES_TEMPLATE_COND_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS doc_count
+FROM events
+WHERE event_type IN ('purchase', 'click') AND value >= 200
+GROUP BY 1 ORDER BY doc_count DESC, event_type LIMIT 10
+"""
+
+
 # ingest pipeline (r13): the ES _ingest/pipeline processor chain as ONE
 # Catalyst projection — json-extract props.k, uppercase the type, tag
 # heavy purchases conditionally, drop low-k docs, then aggregate. The
@@ -3128,6 +3165,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_composite_geotile": _es_composite_geotile_query,
         "es_terms_partition": _es_terms_partition_query,
         "es_search_template": _es_search_template_query,
+        "es_search_template_cond": _es_search_template_cond_query,
         "es_ingest_pipeline": _es_ingest_pipeline_query,
         "es_composite_geohash": _es_composite_geohash_query,
         "es_search_parent_agg": _es_search_parent_agg_query,
@@ -3503,6 +3541,7 @@ def _oracles_raw() -> dict[str, str]:
         "es_composite_geotile": _es_composite_geotile_oracle(),
         "es_terms_partition": ES_TERMS_PARTITION_SQL,
         "es_search_template": ES_TEMPLATE_SQL,
+        "es_search_template_cond": ES_TEMPLATE_COND_SQL,
         "es_ingest_pipeline": ES_INGEST_SQL,
         "es_composite_geohash": _es_composite_geohash_oracle(),
         "es_search_parent_agg": ES_SEARCH_PARENT_SQL,

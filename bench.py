@@ -313,6 +313,7 @@ BENCH_QUERIES = [
     "corpus_bpe_bounds",
     "es_percolate_batch",
     "stream_percolate_batch",
+    "es_search_template_cond",
 ]
 
 # Queries in their FIRST committed bench window get one UNTIMED warmup
@@ -330,6 +331,7 @@ FIRST_WINDOW_WARMUP = [
     "corpus_bpe_bounds",
     "es_percolate_batch",
     "stream_percolate_batch",
+    "es_search_template_cond",
     # kernel swap (r14): first window under the directional GEMM plan
     "dedup_containment_dir",
 ]

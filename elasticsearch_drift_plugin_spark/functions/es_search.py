@@ -3911,49 +3911,151 @@ def _run_retriever(df: DataFrame, body: dict) -> DataFrame:
     )
 
 
-def render_search_template(template: str, params: dict) -> dict:
-    """The ES ``_search/template`` API's render step (mustache subset):
-    substitute ``{{name}}`` placeholders into the JSON template TEXT,
-    then parse — exactly ES's order of operations (mustache first, JSON
-    second), so string params belong inside quotes in the template and
-    numeric/bool/list params sit bare. Lists/dicts/bools/None render as
-    JSON (mustache's toJson equivalent for the bare position). Any
-    other mustache construct (sections ``{{#..}}``, inverted ``{{^..}}``,
-    partials) raises — the engine renders parameters, it does not run a
-    template LANGUAGE (same stance as Painless: SCOPE §D).
-
-    Returns the parsed body dict — feed it to :func:`run_search`."""
-    import json as _json
+def _mustache_parse(template: str) -> list:
+    """Parse the mustache subset into an AST of ``("text", s)``,
+    ``("var", name)``, and ``(kind, name, children)`` nodes
+    (kind ∈ ``#``/``^``). Comments ``{{!..}}`` drop; partials ``{{>..}}``
+    and unescaped ``{{&..}}``/triple-mustache raise (template-language
+    features beyond parameter rendering — SCOPE §D)."""
     import re as _re
 
-    leftover = _re.search(r"{{\s*[#^/>&!]", template)
-    if leftover:
+    root: list = []
+    stack = [root]
+    open_names: list[str] = []
+    for tok in _re.split(r"({{[^{}]*}})", template):
+        if not tok:
+            continue
+        if not (tok.startswith("{{") and tok.endswith("}}")):
+            stack[-1].append(("text", tok))
+            continue
+        inner = tok[2:-2].strip()
+        if inner.startswith("!"):
+            continue  # comment
+        if inner.startswith((">", "&")):
+            raise ValueError(
+                "search template supports {{param}} substitution,"
+                " {{#section}}/{{^inverted}} blocks, {{#toJson}} and"
+                " {{#join}} — mustache partials/unescaped output are a"
+                " template language (out of scope, SCOPE §D)"
+            )
+        if inner.startswith(("#", "^")):
+            kind, name = inner[0], inner[1:].strip()
+            node = (kind, name, [])
+            stack[-1].append(node)
+            stack.append(node[2])
+            open_names.append(name)
+            continue
+        if inner.startswith("/"):
+            name = inner[1:].strip()
+            if not open_names or open_names[-1] != name:
+                raise ValueError(
+                    f"unbalanced mustache section close {{{{/{name}}}}}"
+                )
+            open_names.pop()
+            stack.pop()
+            continue
+        if not _re.fullmatch(r"[A-Za-z0-9_.]+", inner):
+            raise ValueError(f"bad mustache tag {tok!r}")
+        stack[-1].append(("var", inner))
+    if open_names:
         raise ValueError(
-            "search template supports plain {{param}} substitution only"
-            " (mustache sections/partials are a template language — out"
-            " of scope, SCOPE §D)"
+            f"unclosed mustache section {{{{#{open_names[-1]}}}}}"
         )
-    out = template
-    for k, v in params.items():
+    return root
+
+
+def render_search_template(template: str, params: dict) -> dict:
+    """The ES ``_search/template`` API's render step (the mustache
+    subset ES templates actually use): substitute ``{{name}}``
+    placeholders into the JSON template TEXT, then parse — exactly ES's
+    order of operations (mustache first, JSON second), so string params
+    belong inside quotes in the template and numeric/bool/list params
+    sit bare (lists/dicts/bools/None render as JSON).
+
+    r14 graduations (previously loud raises):
+
+    - conditional sections ``{{#p}}...{{/p}}`` — dropped when ``p`` is
+      missing/false/empty (the ES conditional-clause idiom), rendered
+      once for a truthy scalar (a dict pushes its keys into scope),
+      iterated for a list (``{{.}}`` is the current item);
+    - inverted ``{{^p}}...{{/p}}`` — the default-value idiom
+      (``{{p}}{{^p}}10{{/p}}``), rendered only when ``p`` is falsy;
+    - ``{{#toJson}}p{{/toJson}}`` — JSON-dump of any param;
+    - ``{{#join}}p{{/join}}`` — comma-join of a list param (the ES
+      default delimiter).
+
+    Per the mustache spec (and ES), a missing ``{{name}}`` renders
+    EMPTY — in a bare JSON position that still fails loudly at the
+    parse step. Partials ``{{>..}}``/unescaped ``{{&..}}`` remain out
+    (SCOPE §D). Returns the parsed body dict — feed to
+    :func:`run_search`."""
+    import json as _json
+
+    def _lookup(name, scopes):
+        if name == ".":
+            return scopes[-1] if scopes else None
+        for sc in reversed(scopes):
+            if isinstance(sc, dict) and name in sc:
+                return sc[name]
+        return None
+
+    def _text(nodes) -> str:
+        if len(nodes) != 1 or nodes[0][0] != "text":
+            raise ValueError(
+                "{{#toJson}}/{{#join}} take exactly one parameter name"
+            )
+        return nodes[0][1].strip()
+
+    def _inline(v) -> str:
         if isinstance(v, str):
-            sub = _json.dumps(v)[1:-1]  # escaped, quotes come from the template
-        elif isinstance(v, (dict, list, bool)) or v is None:
-            sub = _json.dumps(v)
-        else:
-            sub = _json.dumps(v)  # numbers
-        out = out.replace("{{" + k + "}}", sub).replace(
-            "{{ " + k + " }}", sub
-        )
-    missing = _re.search(r"{{\s*([A-Za-z0-9_.]+)\s*}}", out)
-    if missing:
-        raise ValueError(
-            f"search template parameter {missing.group(1)!r} has no value"
-        )
+            # escaped, quotes come from the template
+            return _json.dumps(v)[1:-1]
+        if v is None:
+            return ""
+        return _json.dumps(v)
+
+    def _render(nodes, scopes, out: list) -> None:
+        for node in nodes:
+            kind = node[0]
+            if kind == "text":
+                out.append(node[1])
+            elif kind == "var":
+                out.append(_inline(_lookup(node[1], scopes)))
+            elif kind == "#":
+                name, children = node[1], node[2]
+                if name == "toJson":
+                    out.append(_json.dumps(_lookup(_text(children), scopes)))
+                    continue
+                if name == "join":
+                    v = _lookup(_text(children), scopes)
+                    if not isinstance(v, (list, tuple)):
+                        raise ValueError("{{#join}} needs a list param")
+                    out.append(",".join(_inline(x) for x in v))
+                    continue
+                v = _lookup(name, scopes)
+                if v is None or v is False or v == [] or v == "":
+                    continue
+                if isinstance(v, (list, tuple)):
+                    for item in v:
+                        _render(children, scopes + [item], out)
+                elif isinstance(v, dict):
+                    _render(children, scopes + [v], out)
+                else:
+                    _render(children, scopes, out)
+            else:  # "^" inverted
+                v = _lookup(node[1], scopes)
+                if v is None or v is False or v == [] or v == "":
+                    _render(node[2], scopes, out)
+
+    buf: list[str] = []
+    _render(_mustache_parse(template), [dict(params)], buf)
+    rendered = "".join(buf)
     try:
-        return _json.loads(out)
+        return _json.loads(rendered)
     except ValueError as ex:
         raise ValueError(
             f"rendered template is not valid JSON: {ex}"
+            f" (rendered text: {rendered[:200]!r})"
         ) from ex
 
 

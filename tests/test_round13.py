@@ -1197,10 +1197,13 @@ def test_search_template_render():
     assert must[0] == {"term": {"k": 'a"b'}}
     assert must[1] == {"range": {"v": {"gte": 1.5}}}
     assert must[2] == {"terms": {"id": [1, 2]}}
-    with _pt.raises(ValueError, match="no value"):
+    # r14: missing params render EMPTY (mustache/ES spec) — in a bare
+    # JSON position that still fails loudly at the parse step
+    with _pt.raises(ValueError, match="not valid JSON"):
         render_search_template(t, {"kw": "x", "lo": 1})
-    with _pt.raises(ValueError, match="substitution only"):
-        render_search_template('{"a": "{{#s}}x{{/s}}"}', {})
+    # partials stay out of scope (sections graduated in r14)
+    with _pt.raises(ValueError, match="partials"):
+        render_search_template('{"a": "{{>p}}"}', {})
 
 
 def test_containment_vs_jaccard(spark):

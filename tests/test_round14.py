@@ -366,3 +366,65 @@ def test_stream_percolate_batch_matches_batch(spark, tmp_path):
     ]
     assert streamed == batch
     assert batch, "fixture must fire at least one rule"
+
+
+# --- search template mustache sections (r14 graduation) ----------------
+
+def test_template_conditional_sections():
+    from elasticsearch_drift_plugin_spark.functions.es_search import (
+        render_search_template,
+    )
+
+    t = ('{"query": {"bool": {"must": ['
+         '{"term": {"k": "{{kw}}"}}'
+         '{{#lo}},{"range": {"v": {"gte": {{lo}}}}}{{/lo}}'
+         ']}}, "size": {{size}}{{^size}}10{{/size}}}')
+    # section present + default-size idiom with size absent
+    b = render_search_template(t, {"kw": "x", "lo": 5})
+    assert b["query"]["bool"]["must"][1] == {"range": {"v": {"gte": 5}}}
+    assert b["size"] == 10
+    # section dropped when param missing; explicit size wins
+    b2 = render_search_template(t, {"kw": "x", "size": 3})
+    assert len(b2["query"]["bool"]["must"]) == 1
+    assert b2["size"] == 3
+    # 0 is truthy in mustache (only false/empty are falsy)
+    b3 = render_search_template(t, {"kw": "x", "lo": 0, "size": 1})
+    assert b3["query"]["bool"]["must"][1] == {"range": {"v": {"gte": 0}}}
+
+
+def test_template_list_iteration_tojson_join():
+    from elasticsearch_drift_plugin_spark.functions.es_search import (
+        render_search_template,
+    )
+
+    t = ('{"q": [{{#cl}}{"term": {"f": "{{.}}"}},{{/cl}}'
+         '{"terms": {"g": {{#toJson}}ids{{/toJson}}}}],'
+         ' "tags": "{{#join}}tags{{/join}}"}')
+    b = render_search_template(
+        t, {"cl": ["a", "b"], "ids": [1, 2], "tags": ["x", "y"]}
+    )
+    assert b["q"][0] == {"term": {"f": "a"}}
+    assert b["q"][1] == {"term": {"f": "b"}}
+    assert b["q"][2] == {"terms": {"g": [1, 2]}}
+    assert b["tags"] == "x,y"
+    # dict section pushes its keys into scope
+    b4 = render_search_template(
+        '{"r": {{#rng}}{"gte": {{lo}}, "lt": {{hi}}}{{/rng}}}',
+        {"rng": {"lo": 1, "hi": 9}},
+    )
+    assert b4["r"] == {"gte": 1, "lt": 9}
+
+
+def test_template_section_errors():
+    import pytest as _pt
+
+    from elasticsearch_drift_plugin_spark.functions.es_search import (
+        render_search_template,
+    )
+
+    with _pt.raises(ValueError, match="unclosed"):
+        render_search_template('{"a": "{{#s}}x"}', {"s": 1})
+    with _pt.raises(ValueError, match="unbalanced"):
+        render_search_template('{"a": "{{#s}}x{{/t}}"}', {"s": 1})
+    with _pt.raises(ValueError, match="partials"):
+        render_search_template('{"a": {{&raw}}}', {"raw": 1})
