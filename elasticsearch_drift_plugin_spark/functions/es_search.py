@@ -3919,6 +3919,15 @@ def _mustache_parse(template: str) -> list:
     features beyond parameter rendering — SCOPE §D)."""
     import re as _re
 
+    # the split regex can never capture a brace-containing tag, so the
+    # triple-mustache spelling of unescaped output must be caught up
+    # front ({{&..}} is caught below; {"a": {{lo}}} -style JSON closers
+    # have only TWO opening braces and do not match this)
+    if _re.search(r"\{\{\{\s*[A-Za-z0-9_.]+\s*\}\}\}", template):
+        raise ValueError(
+            "search template: triple-mustache {{{..}}} (unescaped"
+            " output) is out of scope, SCOPE §D — use {{param}}"
+        )
     root: list = []
     stack = [root]
     open_names: list[str] = []
@@ -3994,9 +4003,17 @@ def render_search_template(template: str, params: dict) -> dict:
     def _lookup(name, scopes):
         if name == ".":
             return scopes[-1] if scopes else None
+        head, _, rest = name.partition(".")
         for sc in reversed(scopes):
-            if isinstance(sc, dict) and name in sc:
-                return sc[name]
+            if isinstance(sc, dict) and head in sc:
+                v = sc[head]
+                # mustache dotted paths traverse nested dicts
+                while rest:
+                    if not isinstance(v, dict):
+                        return None
+                    seg, _, rest = rest.partition(".")
+                    v = v.get(seg)
+                return v
         return None
 
     def _text(nodes) -> str:
@@ -4038,10 +4055,10 @@ def render_search_template(template: str, params: dict) -> dict:
                 if isinstance(v, (list, tuple)):
                     for item in v:
                         _render(children, scopes + [item], out)
-                elif isinstance(v, dict):
-                    _render(children, scopes + [v], out)
                 else:
-                    _render(children, scopes, out)
+                    # dicts push their keys into scope; scalars push the
+                    # value itself so {{.}} renders it (mustache spec)
+                    _render(children, scopes + [v], out)
             else:  # "^" inverted
                 v = _lookup(node[1], scopes)
                 if v is None or v is False or v == [] or v == "":

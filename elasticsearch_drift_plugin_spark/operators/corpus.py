@@ -2356,7 +2356,16 @@ def bpe_encode(
     right) tuples, rank order). The rank table broadcasts inside the Arrow
     kernel closure (KB-sized); encoding is the standard lowest-rank-first
     adjacent merge loop per word — map-only over the corpus, no shuffle.
+
+    Word dialect: ASCII whitespace split (``[ \\t\\n\\r\\f\\v]+``) — the
+    SAME set Java/RE2 ``\\s`` matches, so the engine's JVM-side word
+    counts and the DuckDB oracle replay this split exactly (Python's
+    ``str.split()`` would also split on Unicode spaces like NBSP and
+    silently disagree — r14 review finding).
     """
+    import re as _re
+
+    _ws = _re.compile(r"[ \t\n\r\f\v]+")
     if hasattr(merges, "collect"):
         merges = merges.collect()
     ranks = {}
@@ -2384,7 +2393,7 @@ def bpe_encode(
         for pdf in batches:
             n_words, n_tokens = [], []
             for text in pdf[text_col]:
-                ws = [w for w in str(text).split() if w]
+                ws = [w for w in _ws.split(str(text)) if w]
                 n_words.append(len(ws))
                 n_tokens.append(sum(encode_word(w) for w in ws))
             yield pd.DataFrame(

@@ -1631,7 +1631,11 @@ def percolate_document(
         )
     # explicit typed 1-row projection — pandas schema inference dies on
     # all-None columns (CANNOT_DETERMINE_TYPE); a missing field is a
-    # typed NULL here (string, matching the SQL twin's VARCHAR NULL)
+    # typed NULL here (string, matching the SQL twin's VARCHAR NULL).
+    # Composite values raise loudly: ES term-vs-array containment
+    # semantics are not what equality compiles to, so silently repr-ing
+    # a list would make every rule unmatched — register the document as
+    # a 1-row frame and use percolate_batch / apply_query instead.
     def _lit(v):
         if v is None:
             return F.lit(None).cast("string")
@@ -1641,7 +1645,14 @@ def percolate_document(
             return F.lit(v).cast("long")
         if isinstance(v, float):
             return F.lit(v).cast("double")
-        return F.lit(str(v))
+        if isinstance(v, str):
+            return F.lit(v)
+        raise ValueError(
+            f"percolate_document field type {type(v).__name__} is not"
+            " supported (scalar str/int/float/bool/None only) — for"
+            " array/object fields build a 1-row DataFrame and use"
+            " percolate_batch or apply_query"
+        )
 
     doc_df = spark.range(1).select(
         *[_lit(v).alias(k) for k, v in document.items()]
@@ -1694,6 +1705,8 @@ def percolate_batch_matches(
     SAME chunked codegen passes (map-only, stateless ⇒ append-mode
     legal) and the two cannot drift."""
     rules = compile_rules(tuple(rules), dialect="spark")
+    if not rules:
+        raise ValueError("percolate_batch needs at least one rule")
     chunks = [
         rules[i : i + int(chunk_size)]
         for i in range(0, len(rules), int(chunk_size))
@@ -1723,6 +1736,8 @@ def percolate_batch_sql(
     id_col: str = "event_id",
 ) -> str:
     rules = compile_rules(tuple(rules))
+    if not rules:
+        raise ValueError("percolate_batch needs at least one rule")
     arms = "\nUNION ALL\n".join(
         f"SELECT CAST({id_col} AS BIGINT) AS doc_id,"
         f" CAST({rid} AS BIGINT) AS rule_id"
@@ -1744,8 +1759,14 @@ def percolate_document_sql(
             cols.append(f"CAST(NULL AS VARCHAR) AS {k}")
         elif isinstance(v, str):
             cols.append(f"'{v}' AS {k}")
-        else:
+        elif isinstance(v, (bool, int, float)):
             cols.append(f"{v} AS {k}")
+        else:
+            # parity with percolate_document's typed-scalar contract
+            raise ValueError(
+                f"percolate_document field type {type(v).__name__} is"
+                " not supported (scalar str/int/float/bool/None only)"
+            )
     doc = "SELECT " + ", ".join(cols)
     arms = "\nUNION ALL\n".join(
         f"SELECT CAST({rid} AS BIGINT) AS rule_id FROM __doc"

@@ -302,24 +302,31 @@ def quantiles_rank_check(
     their DEFINING property — the returned value's exact rank fraction
     must sit within ``rank_tol`` of the requested rank (KLL guarantees
     bounded RANK error, not value error, so this is the right invariant;
-    k=200 is ~1.65% a-priori rank error, 5% is generous). Oracle-pairable:
-    the oracle emits the (group, pct) grid with constant TRUE, so a
-    sketch regression fails the driver hash. One broadcast join of the
-    tiny quantile frame back over the corpus — an estimator-audit pass,
-    linear in the data."""
+    k=200 is ~1.65% a-priori rank error, 5% is generous). With TIED
+    values a single returned value occupies the whole rank interval
+    ``[frac(v < est), frac(v <= est)]``, and a correct quantile only
+    promises the requested rank lies near that interval — so the check
+    accepts the interval (``frac_lt <= p + tol`` AND
+    ``frac_le >= p - tol``), never the upper endpoint alone (a value
+    holding 40% of the mass would otherwise flip ok on an exactly
+    correct answer). Oracle-pairable: the oracle emits the (group, pct)
+    grid with constant TRUE, so a sketch regression fails the driver
+    hash. One broadcast join of the tiny quantile frame back over the
+    corpus — an estimator-audit pass, linear in the data."""
     q = quantiles_sketch(df, group_cols, col, pcts, k)
     vals = df.select(*group_cols, F.col(col).cast("double").alias("__v"))
     lo = F.col("pct").cast("double") / 100.0 - F.lit(float(rank_tol))
     hi = F.col("pct").cast("double") / 100.0 + F.lit(float(rank_tol))
-    frac = F.avg((F.col("__v") <= F.col("est")).cast("double"))
+    frac_lt = F.avg((F.col("__v") < F.col("est")).cast("double"))
+    frac_le = F.avg((F.col("__v") <= F.col("est")).cast("double"))
     return (
         q.join(vals, group_cols)
         .groupBy(*group_cols, "pct")
-        .agg(frac.alias("__frac"))
+        .agg(frac_lt.alias("__lt"), frac_le.alias("__le"))
         .select(
             *group_cols,
             F.col("pct"),
-            ((F.col("__frac") >= lo) & (F.col("__frac") <= hi)).alias("ok"),
+            ((F.col("__lt") <= hi) & (F.col("__le") >= lo)).alias("ok"),
         )
         .orderBy(*group_cols, "pct")
     )
@@ -339,7 +346,41 @@ ORDER BY event_type, pct
 # true counts and the set algebra IS oracle-pairable with plain
 # COUNT(DISTINCT). At production cardinalities the same query returns
 # estimates and the oracle no longer applies — the exactness condition
-# is the documented contract, not an accident.
+# is the documented contract, not an accident, and the REGISTERED query
+# asserts it (theta_set_ops_exact below): past the guard the row fails
+# with a message naming the scale limit instead of an opaque hash
+# mismatch indistinguishable from a regression.
+THETA_EXACT_GUARD = 3_000  # conservative margin under the 4096 nominal
+
+
+def theta_set_ops_exact(
+    df: DataFrame,
+    id_col: str,
+    where_a: str,
+    where_b: str,
+    max_union: int = THETA_EXACT_GUARD,
+) -> DataFrame:
+    """:func:`theta_set_ops` gated on its exact-mode precondition: the
+    union cohort (the largest set) must stay safely under the sketch's
+    nominal 4096 retained entries, else every column raises naming the
+    scale limit. Production estimate use goes through the ungated
+    :func:`theta_set_ops`; this form exists for the exact-oracle
+    pairing."""
+    out = theta_set_ops(df, id_col, where_a, where_b)
+    guard = F.col("est_union") <= F.lit(int(max_union))
+    err = F.raise_error(F.concat(
+        F.lit("theta_set_ops_exact: union cohort ~"),
+        F.col("est_union").cast("string"),
+        F.lit(f" exceeds the exact-mode guard {max_union} (nominal 4096"
+              " retained entries) — estimates are no longer exact; use"
+              " theta_set_ops (estimate mode) and drop the exact oracle"),
+    ))
+    return out.select(*[
+        F.when(guard, F.col(c)).otherwise(err.cast("long")).alias(c)
+        for c in out.columns
+    ])
+
+
 THETA_SET_OPS_SQL = """
 SELECT CAST(COUNT(DISTINCT CASE WHEN user_id % 2 = 0 THEN user_id END) AS BIGINT) AS est_a,
        CAST(COUNT(DISTINCT CASE WHEN user_id % 3 = 0 THEN user_id END) AS BIGINT) AS est_b,
@@ -365,8 +406,10 @@ def queries() -> dict:
             load_table(s, d, "events"), ["event_type"], "user_id"
         ),
         # modulo cohorts: |A∩B| = users ≡ 0 (mod 6) — a small true overlap,
-        # exactly the regime where theta beats HLL inclusion–exclusion
-        "es_theta_set_ops": lambda s, d: theta_set_ops(
+        # exactly the regime where theta beats HLL inclusion–exclusion.
+        # The _exact gate asserts the sub-4096 exact-mode precondition
+        # the COUNT(DISTINCT) oracle pairing depends on.
+        "es_theta_set_ops": lambda s, d: theta_set_ops_exact(
             load_table(s, d, "events"), "user_id",
             "user_id % 2 = 0", "user_id % 3 = 0",
         ),

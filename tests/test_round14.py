@@ -428,3 +428,124 @@ def test_template_section_errors():
         render_search_template('{"a": "{{#s}}x{{/t}}"}', {"s": 1})
     with _pt.raises(ValueError, match="partials"):
         render_search_template('{"a": {{&raw}}}', {"raw": 1})
+
+
+# --- r14 self-review fixes (code-review findings) ----------------------
+
+def test_template_scalar_section_dot_and_dotted_paths():
+    from elasticsearch_drift_plugin_spark.functions.es_search import (
+        render_search_template,
+    )
+
+    # a truthy scalar section pushes the VALUE, so {{.}} renders it
+    b = render_search_template('{"x": "{{#p}}{{.}}{{/p}}"}', {"p": "val"})
+    assert b == {"x": "val"}
+    # dotted paths traverse nested dicts (ES template idiom)
+    b2 = render_search_template(
+        '{"k": {{opts.size}}, "s": "{{opts.who.name}}"}',
+        {"opts": {"size": 5, "who": {"name": "n"}}},
+    )
+    assert b2 == {"k": 5, "s": "n"}
+    # missing leaf renders empty (quoted position)
+    b3 = render_search_template('{"s": "{{opts.nope}}"}', {"opts": {}})
+    assert b3 == {"s": ""}
+
+
+def test_template_triple_mustache_raises():
+    import pytest as _pt
+
+    from elasticsearch_drift_plugin_spark.functions.es_search import (
+        render_search_template,
+    )
+
+    with _pt.raises(ValueError, match="triple-mustache"):
+        render_search_template('{"a": "x{{{raw}}}y"}', {"raw": "R"})
+    # JSON closers after a bare tag are NOT triple-mustache
+    b = render_search_template(
+        '{"range": {"v": {"gte": {{lo}}}}}', {"lo": 3}
+    )
+    assert b == {"range": {"v": {"gte": 3}}}
+
+
+def test_percolate_batch_empty_rules_raise(spark):
+    import pytest as _pt
+
+    from elasticsearch_drift_plugin_spark.operators.search import (
+        percolate_batch,
+        percolate_batch_sql,
+    )
+
+    df = spark.createDataFrame([(1, 1)], "event_id long, user_id long")
+    with _pt.raises(ValueError, match="at least one rule"):
+        percolate_batch(df, rules=())
+    with _pt.raises(ValueError, match="at least one rule"):
+        percolate_batch_sql(rules=())
+
+
+def test_percolate_document_composite_values_raise(spark):
+    import pytest as _pt
+
+    from elasticsearch_drift_plugin_spark.operators.search import (
+        percolate_document,
+        percolate_document_sql,
+    )
+
+    rules = ((1, {"term": {"tags": "a"}}),)
+    with _pt.raises(ValueError, match="array/object"):
+        percolate_document(spark, {"tags": ["a", "b"]}, rules)
+    with _pt.raises(ValueError, match="not supported"):
+        percolate_document_sql({"tags": ["a", "b"]}, rules)
+
+
+def test_quantiles_rank_check_tied_values(spark):
+    from elasticsearch_drift_plugin_spark.operators.sketches import (
+        quantiles_rank_check,
+    )
+
+    # 60% of the mass at a single value spanning p25: the exact p25 IS
+    # 0.0 and its <=-rank is 0.6 — the interval check must accept it
+    rows = [("g", 0.0)] * 60 + [("g", 100.0)] * 40
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = quantiles_rank_check(df, ["grp"], "v", pcts=(0.25, 0.5))
+    got = {r.pct: r.ok for r in out.collect()}
+    assert got == {25: True, 50: True}
+
+
+def test_theta_exact_gate(spark):
+    import pytest as _pt
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from elasticsearch_drift_plugin_spark.operators.sketches import (
+        theta_set_ops_exact,
+    )
+
+    small = spark.range(100).select(
+        F.col("id").alias("uid"), (F.col("id") % 2).alias("m")
+    )
+    row = theta_set_ops_exact(small, "uid", "m = 0", "uid < 10").first()
+    assert row.est_a == 50 and row.est_intersect == 5
+    # past the guard: loud raise naming the scale limit, not a silent
+    # estimate that would hash-mismatch the exact oracle
+    big = spark.range(20000).select(
+        F.col("id").alias("uid"), (F.col("id") % 2).alias("m")
+    )
+    with _pt.raises((SparkRuntimeException, Py4JJavaError)):
+        theta_set_ops_exact(big, "uid", "m = 0", "uid >= 0").collect()
+
+
+def test_bpe_encode_ascii_whitespace_dialect(spark):
+    from elasticsearch_drift_plugin_spark.operators.corpus import (
+        bpe_encode,
+        bpe_encode_bounds,
+    )
+
+    # NBSP (U+00A0) is NOT a word separator in the engine dialect
+    # (Java/RE2 \s is ASCII) — Python str.split() would disagree
+    rows = [(1, "s", "a b c")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    enc = bpe_encode(df, merges=[]).first()
+    assert enc.n_words == 2  # "a b" and "c"
+    assert enc.n_tokens == 3 + 1 + 2  # (a,NBSP,b)+END merged? no merges: 4 + 2
+    out = bpe_encode_bounds(df, merges=[]).first()
+    assert out.n_words == 2 and out.ok
