@@ -106,6 +106,7 @@ at execution time, predicates eligible for scan pushdown.
 
 from __future__ import annotations
 
+import math
 import re
 from datetime import datetime
 
@@ -133,7 +134,9 @@ def translate_simple_query_string(body: dict) -> dict:
         )
     field = fields[0]
     q = body["query"]
-    bad = set(q) & set("|+()*~")
+    # operators inside double-quoted phrases are literal text (ES rule)
+    # — only the text OUTSIDE phrases is scanned for unsupported ops
+    bad = set(_re.sub(r'"[^"]*"', " ", q)) & set("|+()*~")
     if bad:
         raise ValueError(
             f"simple_query_string operators {sorted(bad)} are not"
@@ -546,8 +549,14 @@ def _script_source(body: dict) -> str:
             " (SCOPE §D)"
         )
     src = str(script["source"])
-    for name, val in (script.get("params") or {}).items():
-        src = src.replace(f"params.{name}", _sql_lit(val))
+    # longest name first + word boundary: plain str.replace would let
+    # params.a corrupt params.a1 (r14 review finding)
+    params = script.get("params") or {}
+    for name in sorted(params, key=len, reverse=True):
+        lit = _sql_lit(params[name])
+        src = re.sub(
+            rf"params\.{re.escape(name)}\b", lambda _m: lit, src
+        )
     return src
 
 
@@ -630,6 +639,8 @@ def compile_query(q: dict, now_ms: int | None = None) -> Column:
         return inner
     if kind == "term":
         field, val = _field_value(body, "value")
+        if _case_insensitive(body) and isinstance(val, str):
+            return F.lower(F.col(field)) == F.lit(val.lower())
         return F.col(field) == F.lit(val)
     if kind == "terms":
         (field, vals), = body.items()
@@ -686,6 +697,8 @@ def compile_query(q: dict, now_ms: int | None = None) -> Column:
         return F.col(body["field"]).isNotNull()
     if kind == "prefix":
         field, val = _field_value(body, "value")
+        if _case_insensitive(body):
+            return F.lower(F.col(field)).startswith(str(val).lower())
         return F.col(field).startswith(str(val))
     if kind == "wildcard":
         field, val = _field_value(body, "value")
@@ -693,7 +706,10 @@ def compile_query(q: dict, now_ms: int | None = None) -> Column:
             ".*" if c == "*" else "." if c == "?" else re.escape(c)
             for c in str(val)
         )
-        return F.col(field).rlike(f"^{pat}$")
+        # (?i) inline flag: Java regex here, RE2 in the twin — both
+        # support it, and it avoids case-folding the pattern itself
+        ci = "(?i)" if _case_insensitive(body) else ""
+        return F.col(field).rlike(f"{ci}^{pat}$")
     if kind == "match":
         field, val = _field_value(body, "query")
         op = body[field].get("operator", "or") if isinstance(body[field], dict) else "or"
@@ -754,7 +770,11 @@ def compile_query(q: dict, now_ms: int | None = None) -> Column:
         m = spec["match"]
         toks = [t for t in str(m["query"]).lower().split() if t]
         if len(toks) == 1:
-            return compile_query({"match": {field: toks[0]}})
+            # token containment over the LOWERCASED text — the same case
+            # dialect the 2-token path splits (the 1-token path used to
+            # match a lowered token against the raw column, r14 review)
+            padded = F.concat(F.lit(" "), F.lower(F.col(field)), F.lit(" "))
+            return padded.contains(f" {toks[0]} ")
         if len(toks) != 2:
             raise ValueError(
                 "intervals match supports 1-2 tokens (3+ ordered chains:"
@@ -777,13 +797,18 @@ def compile_query(q: dict, now_ms: int | None = None) -> Column:
         if fz == "AUTO":
             n = len(str(val))
             fz = 0 if n <= 2 else (1 if n <= 5 else 2)
+        if _case_insensitive(body):
+            return F.levenshtein(
+                F.lower(F.col(field)), F.lit(str(val).lower())
+            ) <= int(fz)
         return F.levenshtein(F.col(field), F.lit(str(val))) <= int(fz)
     if kind == "regexp":
         # ES regexp is ANCHORED (full-value match). Dialect: Java regex
         # here, RE2 in the twin — portable for the common subset (no
         # lookaround/backrefs), same stance as the PII patterns.
         field, val = _field_value(body, "value")
-        return F.col(field).rlike(f"^(?:{val})$")
+        ci = "(?i)" if _case_insensitive(body) else ""
+        return F.col(field).rlike(f"{ci}^(?:{val})$")
     if kind == "ids":
         # ES matches _id; relational docs carry their id in a column —
         # accept {"values": [...], "field": "doc_id"} (field defaults)
@@ -1024,6 +1049,10 @@ def _compile_nested_inner(q: dict, path: str, x) -> Column:
         return fld(field) == F.lit(val)
     if kind == "terms":
         (field, vals), = body.items()
+        if not isinstance(vals, (list, tuple)) or not vals:
+            # same validation as the top-level terms branch (r14: an
+            # empty list silently matched nothing here)
+            raise ValueError(f"terms expects a non-empty list, got {vals!r}")
         return fld(field).isin(list(vals))
     if kind == "range":
         (field, bounds), = body.items()
@@ -1098,6 +1127,8 @@ def _compile_nested_inner_sql(q: dict, path: str) -> str:
         return f"{fld(field)} = {_sql_lit(val)}"
     if kind == "terms":
         (field, vals), = body.items()
+        if not isinstance(vals, (list, tuple)) or not vals:
+            raise ValueError(f"terms expects a non-empty list, got {vals!r}")
         return f"{fld(field)} IN ({', '.join(_sql_lit(v) for v in vals)})"
     if kind == "range":
         (field, bounds), = body.items()
@@ -1116,6 +1147,8 @@ def _compile_nested_inner_sql(q: dict, path: str) -> str:
     if kind in ("match", "match_phrase"):
         field, val = _field_value(body, "query")
         toks = [t for t in str(val).split() if t]
+        if not toks:
+            raise ValueError(f"nested {kind} with empty query")
         padded = f"' ' || {fld(field)} || ' '"
         if kind == "match_phrase":
             return f"position({_sql_lit(' ' + ' '.join(toks) + ' ')} IN {padded}) > 0"
@@ -1197,9 +1230,14 @@ def compile_query_sql(
         return inner
     if kind == "term":
         field, val = _field_value(body, "value")
+        if _case_insensitive(body) and isinstance(val, str):
+            return f"lower({field}) = {_sql_lit(val.lower())}"
         return f"{field} = {_sql_lit(val)}"
     if kind == "terms":
         (field, vals), = body.items()
+        if not isinstance(vals, (list, tuple)) or not vals:
+            # twin parity: raise exactly like compile_query
+            raise ValueError(f"terms expects a non-empty list, got {vals!r}")
         return f"{field} IN ({', '.join(_sql_lit(v) for v in vals)})"
     if kind == "terms_set":
         (field, spec), = body.items()
@@ -1251,7 +1289,8 @@ def compile_query_sql(
         esc = (
             str(val).replace("!", "!!").replace("%", "!%").replace("_", "!_")
         )
-        return f"{field} LIKE {_sql_lit(esc + '%')} ESCAPE '!'"
+        like = "ILIKE" if _case_insensitive(body) else "LIKE"
+        return f"{field} {like} {_sql_lit(esc + '%')} ESCAPE '!'"
     if kind == "wildcard":
         field, val = _field_value(body, "value")
         pat = (
@@ -1262,11 +1301,15 @@ def compile_query_sql(
             .replace("*", "%")
             .replace("?", "_")
         )
-        return f"{field} LIKE {_sql_lit(pat)} ESCAPE '!'"
+        like = "ILIKE" if _case_insensitive(body) else "LIKE"
+        return f"{field} {like} {_sql_lit(pat)} ESCAPE '!'"
     if kind == "match":
         field, val = _field_value(body, "query")
         op = body[field].get("operator", "or") if isinstance(body[field], dict) else "or"
         toks = [t for t in str(val).split() if t]
+        if not toks:
+            # twin parity: the Column compiler raises here too
+            raise ValueError("match clause with empty query")
         glue = " AND " if op == "and" else " OR "
         conds = [
             f"position({_sql_lit(' ' + t + ' ')} IN ' ' || {field} || ' ') > 0"
@@ -1276,6 +1319,8 @@ def compile_query_sql(
     if kind == "match_phrase":
         field, val = _field_value(body, "query")
         toks = [t for t in str(val).split() if t]
+        if not toks:
+            raise ValueError("match_phrase with empty query")
         phrase = " " + " ".join(toks) + " "
         return f"position({_sql_lit(phrase)} IN ' ' || {field} || ' ') > 0"
     if kind == "match_phrase_prefix":
@@ -1307,7 +1352,11 @@ def compile_query_sql(
         m = spec["match"]
         toks = [t for t in str(m["query"]).lower().split() if t]
         if len(toks) == 1:
-            return compile_query_sql({"match": {field: toks[0]}}, dialect)
+            # lowered-text containment — twin of the Column path (r14)
+            return (
+                f"position({_sql_lit(' ' + toks[0] + ' ')}"
+                f" IN ' ' || lower({field}) || ' ') > 0"
+            )
         if len(toks) != 2:
             raise ValueError(
                 "intervals match supports 1-2 tokens (3+ ordered chains:"
@@ -1360,13 +1409,19 @@ def compile_query_sql(
         if fz == "AUTO":
             n = len(str(val))
             fz = 0 if n <= 2 else (1 if n <= 5 else 2)
+        if _case_insensitive(body):
+            return (
+                f"levenshtein(lower({field}),"
+                f" {_sql_lit(str(val).lower())}) <= {int(fz)}"
+            )
         return f"levenshtein({field}, {_sql_lit(str(val))}) <= {int(fz)}"
     if kind == "regexp":
         field, val = _field_value(body, "value")
         # both engines' regex tests are unanchored; wrap for the ES
         # full-match rule. Function name is per-dialect (r13):
         # DuckDB regexp_matches (RE2), Spark RLIKE (Java regex)
-        pat = _sql_lit("^(?:" + str(val) + ")$")
+        ci = "(?i)" if _case_insensitive(body) else ""
+        pat = _sql_lit(f"{ci}^(?:" + str(val) + ")$")
         if dialect == "spark":
             return f"({field} RLIKE {pat})"
         return f"regexp_matches({field}, {pat})"
@@ -1480,6 +1535,14 @@ def _field_value(body: dict, value_key: str):
     return field, spec
 
 
+def _case_insensitive(body: dict) -> bool:
+    """The ES ``case_insensitive`` flag on term-level clauses
+    (term/prefix/wildcard/regexp/fuzzy) — r14: previously silently
+    ignored, violating the module's fail-loud contract."""
+    (_, spec), = body.items()
+    return bool(spec.get("case_insensitive")) if isinstance(spec, dict) else False
+
+
 def _as_list(x):
     if x is None:
         return []
@@ -1505,8 +1568,20 @@ def _sql_lit(v) -> str:
         return "TRUE" if v else "FALSE"
     if isinstance(v, (int, float)):
         return repr(v)
-    s = str(v).replace("'", "''")
-    return f"'{s}'"
+    s = str(v)
+    if "\\" in s:
+        # backslashes are escape-processed by Spark's SQL parser but NOT
+        # by DuckDB's, so a quoted spelling cannot be dialect-portable —
+        # splice them in as chr(92) (both engines), keeping the twins'
+        # identical-predicate contract (r14 review finding)
+        parts = []
+        for i, chunk in enumerate(s.split("\\")):
+            if i:
+                parts.append("chr(92)")
+            if chunk:
+                parts.append("'" + chunk.replace("'", "''") + "'")
+        return "(" + " || ".join(parts) + ")"
+    return "'" + s.replace("'", "''") + "'"
 
 
 def collect_highlight_terms(q: dict, field: str) -> list[str]:
@@ -1532,6 +1607,21 @@ def collect_highlight_terms(q: dict, field: str) -> list[str]:
         if not isinstance(node, dict) or len(node) != 1:
             return
         (kind, body), = node.items()
+        # desugar compounds exactly like compile_query does (r14: a
+        # multi_match/constant_score/dis_max/simple_query_string query
+        # previously highlighted nothing)
+        desugared = desugar_compound(kind, body)
+        if desugared is not None:
+            walk(desugared)
+            return
+        if kind == "query_string":
+            from .query_string import translate_query_string
+
+            walk(translate_query_string(body))
+            return
+        if kind == "simple_query_string":
+            walk(translate_simple_query_string(body))
+            return
         if kind == "bool":
             for sect in ("must", "should", "filter"):
                 for sub in _as_list(body.get(sect)):
@@ -1744,6 +1834,23 @@ def _rewrite_terms_lookup(q: dict, frames: dict) -> dict:
             if extra not in nb:
                 nb[extra] = v
         return {"bool": nb}
+    # recurse into the join kinds' inner query and knn pre-filters (r14:
+    # a lookup buried there previously reached compile_query unrewritten
+    # and raised a misleading "non-empty list" error)
+    if kind in ("has_child", "has_parent") and "query" in body:
+        nb = dict(body)
+        nb["query"] = _rewrite_terms_lookup(body["query"], frames)
+        return {kind: nb}
+    if kind == "knn" and "filter" in body:
+        nb = dict(body)
+        flt = body["filter"]
+        if isinstance(flt, dict):
+            nb["filter"] = _rewrite_terms_lookup(flt, frames)
+        else:
+            nb["filter"] = [
+                _rewrite_terms_lookup(c, frames) for c in flt
+            ]
+        return {kind: nb}
     return q
 
 
@@ -1777,14 +1884,35 @@ def _rewrite_knn_clauses(q: dict, df, sinks: list) -> dict:
         # radius filter — distinct from the top-level section where the
         # same key names the METRIC); docs below it drop even inside k.
         # Exact search: top-k then threshold == threshold then top-k.
+        # The metric for a thresholded query comes from the explicit
+        # `metric` key (r14: the numeric threshold used to silently
+        # force cosine, making non-cosine radii wrong/empty); the raw-
+        # metric radius converts to the transformed _score_q scale per
+        # metric, the ES knn-query contract.
         min_sim = None
-        if isinstance(spec.get("similarity"), (int, float)):
+        if isinstance(spec.get("similarity"), (int, float)) and not isinstance(
+            spec.get("similarity"), bool
+        ):
             spec = dict(spec)
             min_sim = float(spec.pop("similarity"))
+            if "metric" in spec:
+                spec["similarity"] = spec.pop("metric")
         frontier = _knn_scored(df, spec, keep=[id_field]).limit(k)
         if min_sim is not None:
+            sim = spec.get("similarity", "cosine")
+            if sim == "l2_norm":
+                # radius r on the raw distance: d <= r ⇔ transformed
+                # score 1/(1+d²) >= 1/(1+r²)
+                thr = 1e6 / (1.0 + min_sim * min_sim)
+            elif sim == "max_inner_product":
+                # the same piecewise monotone transform _knn_scored uses
+                thr = 1e6 * (
+                    1.0 / (1.0 - min_sim) if min_sim < 0 else min_sim + 1.0
+                )
+            else:  # cosine / dot_product: raw IS the score
+                thr = min_sim * 1e6
             frontier = frontier.where(
-                F.col("_score_q") >= int(min_sim * 1e6)
+                F.col("_score_q") >= int(math.floor(thr))
             )
         keys = (
             frontier
@@ -1805,6 +1933,11 @@ def _rewrite_knn_clauses(q: dict, df, sinks: list) -> dict:
             if extra not in nb:
                 nb[extra] = v
         return {"bool": nb}
+    # NOTE deliberately no recursion into has_child/has_parent here: a
+    # knn node inside a join clause's inner query would have to score
+    # against the OTHER side's frame, not `df` — rewriting it against
+    # the wrong frame would be silently wrong, so it stays loud at
+    # compile_query ("unsupported clause knn") naming the limitation.
     return q
 
 

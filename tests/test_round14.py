@@ -549,3 +549,166 @@ def test_bpe_encode_ascii_whitespace_dialect(spark):
     assert enc.n_tokens == 3 + 1 + 2  # (a,NBSP,b)+END merged? no merges: 4 + 2
     out = bpe_encode_bounds(df, merges=[]).first()
     assert out.n_words == 2 and out.ok
+
+
+# --- es_dsl review fixes (r14 second review pass) ----------------------
+
+@pytest.fixture(scope="module")
+def dsl14_df(spark):
+    rows = [
+        (1, "ABC", "Brown fox jumps", 5.0),
+        (2, "abc", "the quick fox", 5.0),
+        (3, "AbD", "nothing here", 5.0),
+        (4, "xyz", "brown dog", 5.0),
+    ]
+    return spark.createDataFrame(rows, "id long, k string, text string, v double").cache()
+
+
+@pytest.fixture(scope="module")
+def dsl14_con():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs AS SELECT * FROM (VALUES"
+        " (1, 'ABC', 'Brown fox jumps', 5.0),"
+        " (2, 'abc', 'the quick fox', 5.0),"
+        " (3, 'AbD', 'nothing here', 5.0),"
+        " (4, 'xyz', 'brown dog', 5.0)) t(id, k, text, v)"
+    )
+    return con
+
+
+def _dsl_ids(df, con, body):
+    s = sorted(r.id for r in df.where(compile_query(body)).collect())
+    d = sorted(
+        r[0] for r in con.execute(
+            "SELECT id FROM docs WHERE "
+            + compile_query_sql(body, "duckdb")
+        ).fetchall()
+    )
+    # the spark SQL dialect must agree too (three-compiler parity)
+    s2 = sorted(
+        r.id for r in df.where(
+            F.expr(compile_query_sql(body, "spark"))
+        ).collect()
+    )
+    assert s == d == s2, f"{body}: col={s} duck={d} sparksql={s2}"
+    return s
+
+
+def test_case_insensitive_flag(dsl14_df, dsl14_con):
+    ids = _dsl_ids
+    assert ids(dsl14_df, dsl14_con,
+               {"term": {"k": {"value": "abc", "case_insensitive": True}}}) == [1, 2]
+    assert ids(dsl14_df, dsl14_con,
+               {"term": {"k": {"value": "abc"}}}) == [2]
+    assert ids(dsl14_df, dsl14_con,
+               {"prefix": {"k": {"value": "AB", "case_insensitive": True}}}) == [1, 2, 3]
+    assert ids(dsl14_df, dsl14_con,
+               {"wildcard": {"k": {"value": "a?c", "case_insensitive": True}}}) == [1, 2]
+    assert ids(dsl14_df, dsl14_con,
+               {"regexp": {"k": {"value": "ab.", "case_insensitive": True}}}) == [1, 2, 3]
+    assert ids(dsl14_df, dsl14_con,
+               {"fuzzy": {"k": {"value": "ABD", "fuzziness": 1,
+                                "case_insensitive": True}}}) == [1, 2, 3]
+
+
+def test_script_params_prefix_names():
+    from elasticsearch_drift_plugin_spark.functions.es_dsl import (
+        _script_source,
+    )
+
+    src = _script_source({"script": {
+        "source": "v >= params.a1 AND v < params.a",
+        "params": {"a": 5, "a1": 7},
+    }})
+    assert src == "v >= 7 AND v < 5"
+
+
+def test_intervals_single_token_case(dsl14_df, dsl14_con):
+    # 1-token path must match on the lowered text like the 2-token path
+    assert _dsl_ids(dsl14_df, dsl14_con,
+                    {"intervals": {"text": {"match": {"query": "Brown"}}}}) == [1, 4]
+
+
+def test_backslash_literal_parity(dsl14_df, dsl14_con):
+    # '\d+' must survive BOTH dialects (Spark's parser escape-processes
+    # quoted backslashes; the chr(92) splice is dialect-portable)
+    body = {"regexp": {"k": "[a-z]\\d*|abc"}}
+    assert _dsl_ids(dsl14_df, dsl14_con, body) == [2]
+
+
+def test_highlight_terms_desugar_compounds():
+    from elasticsearch_drift_plugin_spark.functions.es_dsl import (
+        collect_highlight_terms,
+    )
+
+    assert collect_highlight_terms(
+        {"multi_match": {"query": "alpha beta", "fields": ["msg"]}}, "msg"
+    ) == ["alpha", "beta"]
+    assert collect_highlight_terms(
+        {"constant_score": {"filter": {"term": {"msg": "x"}}}}, "msg"
+    ) == ["x"]
+    assert collect_highlight_terms(
+        {"simple_query_string": {"query": 'gamma "delta eps"',
+                                 "fields": ["msg"]}}, "msg"
+    ) == ["gamma", "delta", "eps"]
+
+
+def test_sql_twin_empty_match_raises():
+    with pytest.raises(ValueError, match="empty query"):
+        compile_query_sql({"match": {"text": "  "}})
+    with pytest.raises(ValueError, match="empty query"):
+        compile_query_sql({"match_phrase": {"text": ""}})
+    with pytest.raises(ValueError, match="non-empty list"):
+        compile_query_sql({"terms": {"k": []}})
+
+
+def test_nested_inner_terms_empty_raises(spark):
+    ndf = spark.createDataFrame(
+        [(1, [(1, "a")])],
+        "id long, items array<struct<qty: long, flag: string>>",
+    )
+    body = {"nested": {"path": "items", "query": {"terms": {"items.flag": []}}}}
+    with pytest.raises(ValueError, match="non-empty list"):
+        ndf.where(compile_query(body)).collect()
+    with pytest.raises(ValueError, match="non-empty list"):
+        compile_query_sql(body, "duckdb")
+
+
+def test_sqs_operators_inside_phrases_ok(dsl14_df, dsl14_con):
+    # '+' inside a quoted phrase is literal text (ES rule) — previously
+    # falsely rejected; outside a phrase it still raises
+    body = {"simple_query_string": {"query": '"Brown fox"', "fields": ["text"]}}
+    assert _dsl_ids(dsl14_df, dsl14_con, body) == [1]
+    with pytest.raises(ValueError, match="not"):
+        compile_query({"simple_query_string": {"query": "a + b",
+                                               "fields": ["text"]}})
+
+
+def test_terms_lookup_inside_has_child_and_knn_filter(spark):
+    from elasticsearch_drift_plugin_spark.functions.es_dsl import (
+        _rewrite_terms_lookup,
+    )
+
+    lk = spark.createDataFrame([(1, ["a", "b"])], "doc_id long, tags array<string>")
+    q = {"has_child": {"type": "c", "query": {
+        "terms": {"tag": {"index": "lk", "id": 1, "path": "tags"}}}}}
+    out = _rewrite_terms_lookup(q, {"lk": lk})
+    assert out == {"has_child": {"type": "c",
+                                 "query": {"terms": {"tag": ["a", "b"]}}}}
+    q2 = {"knn": {"field": "e", "query_vector": [1.0], "k": 2, "filter": {
+        "terms": {"tag": {"index": "lk", "id": 1, "path": "tags"}}}}}
+    out2 = _rewrite_terms_lookup(q2, {"lk": lk})
+    assert out2["knn"]["filter"] == {"terms": {"tag": ["a", "b"]}}
+
+
+def test_knn_query_similarity_with_metric(spark):
+    from elasticsearch_drift_plugin_spark.functions.es_dsl import apply_query
+
+    rows = [(1, [0.0, 0.0]), (2, [3.0, 4.0]), (3, [6.0, 8.0])]
+    df = spark.createDataFrame(rows, "doc_id long, e array<float>")
+    # l2 radius 6 from the origin: docs 1 (d=0) and 2 (d=5) pass, 3 (d=10) drops
+    body = {"knn": {"field": "e", "query_vector": [0.0, 0.0], "k": 3,
+                    "similarity": 6.0, "metric": "l2_norm"}}
+    got = sorted(r.doc_id for r in apply_query(df, body).collect())
+    assert got == [1, 2]
