@@ -2124,6 +2124,7 @@ def _compile_agg(
 
         sources = []
         geotile_sources: dict = {}
+        geohash_sources: dict = {}
         for s in spec["sources"]:
             (sname, snode), = s.items()
             (skind, sspec), = snode.items()
@@ -2244,12 +2245,21 @@ def _compile_agg(
                 sources.append((sname, "terms", syn, None, *om))
             elif skind == "geohash_grid":
                 # r13: geohash composite source — the base32 alphabet is
-                # ASCII-increasing, so the geohash STRING sorts exactly
-                # like ES's numeric geohash key: a synthetic terms
-                # source pages in ES keyset order directly (no long
-                # round-trip needed, unlike geotile). Exact integer
-                # lattice + interleave (operators.geo machinery).
-                from ..operators.geo import _geohash_chars, _geohash_exprs
+                # ASCII-increasing, so the fixed-length geohash STRING
+                # sorts exactly like ES's numeric geohash key. r14 (guide
+                # §1.2/§7.2): page on the PACKED LONG, not the string —
+                # the geotile pattern. The `after` predicate is pushed
+                # below the key Project by substitution, so a string key
+                # re-inlined the whole lattice+interleave+char tree into
+                # an interpreted Filter (~1.7 s/1M rows at sf0.1; the
+                # generated predicate blows past the codegen method
+                # limit). The long key keeps the pushed predicate a
+                # handful of integer ops, and the base32 chars render
+                # AFTER aggregation over page-size rows. Cell indices are
+                # staged as their own projections so multi-use aliases
+                # evaluate once (CollapseProject keeps non-cheap
+                # multi-referenced aliases staged).
+                from ..operators.geo import _geohash_exprs
 
                 prec = int(sspec.get("precision", 4))
                 if not 1 <= prec <= 12:
@@ -2259,18 +2269,22 @@ def _compile_agg(
                 lon_cell, lat_cell, packed = _geohash_exprs(
                     prec, latc, lonc
                 )
-                packed_expr = packed.replace(
-                    "LON", f"({lon_cell})"
-                ).replace("LAT", f"({lat_cell})")
-                key = F.expr(_geohash_chars(f"({packed_expr})", prec, "char"))
                 syn = f"__geohash_{sname}"
+                clon, clat = f"{syn}_lonc", f"{syn}_latc"
+                df = df.withColumn(clon, F.expr(lon_cell)).withColumn(
+                    clat, F.expr(lat_cell)
+                )
+                packed_expr = packed.replace("LON", clon).replace(
+                    "LAT", clat
+                )
                 df = df.withColumn(
                     syn,
                     F.when(
                         F.col(latc).isNotNull() & F.col(lonc).isNotNull(),
-                        key,
+                        F.expr(packed_expr).cast("long"),
                     ),
-                )
+                ).drop(clon, clat)
+                geohash_sources[sname] = prec
                 sources.append((sname, "terms", syn, None, *om))
             else:
                 raise ValueError(f"unsupported composite source {skind!r}")
@@ -2281,6 +2295,20 @@ def _compile_agg(
                 if sname in after and isinstance(after[sname], str):
                     z, tx, ty = (int(p_) for p_ in after[sname].split("/"))
                     after[sname] = (z << 58) + (tx << 29) + ty
+            for sname, prec_ in geohash_sources.items():
+                if sname in after and isinstance(after[sname], str):
+                    from ..operators.geo import _BASE32
+
+                    gh = after[sname]
+                    if len(gh) != prec_:
+                        raise ValueError(
+                            f"geohash after cursor {gh!r} must have"
+                            f" precision {prec_} characters"
+                        )
+                    packed_after = 0
+                    for ch in gh:
+                        packed_after = (packed_after << 5) | _BASE32.index(ch)
+                    after[sname] = packed_after
             after = tuple(after[sname] for sname, *_ in sources)
         page = composite_agg(
             df, sources, size=int(spec.get("size", 10)), after=after
@@ -2303,6 +2331,18 @@ def _compile_agg(
                         .cast("string"),
                         F.pmod(k, F.lit(1 << 29)).cast("string"),
                     ),
+                ),
+            )
+        for sname, prec_ in geohash_sources.items():
+            from ..operators.geo import _geohash_chars
+
+            k = F.col(sname)
+            # render the page's packed keys back to base32 — page-size
+            # rows, never the corpus
+            page = page.withColumn(
+                sname,
+                F.when(
+                    k.isNotNull(), F.expr(_geohash_chars(sname, prec_, "char"))
                 ),
             )
         return page

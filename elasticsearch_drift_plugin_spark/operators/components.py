@@ -97,15 +97,21 @@ def connected_components(
     converges in O(log^2 n) rounds w.h.p., so hitting 25 means the input is
     pathological; we raise rather than return a partial closure.
     """
+    # lazy localCheckpoint throughout the loop: the fingerprint probe that
+    # immediately follows is the FIRST action on the frame, so one job both
+    # materializes the round's edge set and computes its fingerprint —
+    # eager=True spent a second, separate materialization job per round for
+    # the same lineage cap (guide §1.2: fewer jobs/passes before per-task
+    # tuning; the BPE merge loop documents the same trick)
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev = _fingerprint(edges)
     for _ in range(max_rounds):
-        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         cur = _fingerprint(nxt)
         edges, done = nxt, cur == prev
         prev = cur
@@ -299,43 +305,54 @@ def pagerank(
     """
     bidir = edges.select("u", "v").unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct().localCheckpoint(eager=True)
-    nodes = bidir.select(F.col("u").alias("node")).distinct()
-    deg = bidir.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    ).distinct()
+    # deg is static across rounds — attach it to the edge table ONCE before
+    # the loop instead of re-joining ranks⋈deg every round (guide §2.4:
+    # hoist loop-invariant joins; one shuffle now instead of one per round).
+    # send_q = f(rank_q, deg) is computed per edge row instead of per node —
+    # identical integer arithmetic, identical result.
+    deg = bidir.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    edges_deg = bidir.join(deg, "u").localCheckpoint(eager=True)
+    nodes = edges_deg.select(F.col("u").alias("node")).distinct()
     ranks = nodes.withColumn("rank_q", F.lit(quant).cast("long"))
     base_q = (100 - damping_num) * quant // 100
     for _ in range(n_iter):
         contrib = (
-            ranks.join(deg, "node")
+            ranks.join(edges_deg, F.col("node") == F.col("u"))
             .withColumn("send_q", F.expr("(rank_q - pmod(rank_q, deg)) div deg"))
-            .join(bidir, F.col("node") == F.col("u"))
             .groupBy(F.col("v").alias("node"))
             .agg(F.sum("send_q").alias("m_q"))
         )
+        # carry the previous rank through the projection so the convergence
+        # probe below is a scan of THIS frame, not a new-vs-old join —
+        # `ranks` always holds exactly the `nodes` rows, so left-joining
+        # contrib onto it reproduces the nodes⋈contrib frame bit-for-bit
         new_ranks = (
-            nodes.join(contrib, "node", "left")
+            ranks.withColumnRenamed("rank_q", "__prev_q")
+            .join(contrib, "node", "left")
             .select(
                 "node",
                 (
                     F.lit(base_q)
                     + F.expr(f"({damping_num} * coalesce(m_q, 0)) div 100")
                 ).cast("long").alias("rank_q"),
+                "__prev_q",
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # convergence test — integer ranks make the per-node delta exact;
         # the ±1-quantum damping-division oscillation means a strict
         # fixpoint may never land, so stop once every node moved <= tol_q
         # quanta (1e-6 rank units at the default). O(1)-row probe per
-        # round, same pattern as the components round-fingerprint.
+        # round; as the FIRST action it also materializes the round's lazy
+        # localCheckpoint, so each round is ONE job (was three: eager
+        # checkpoint + a join-shaped probe).
         moved = (
-            new_ranks.alias("n")
-            .join(ranks.alias("o"), "node")
-            .where(F.expr(f"abs(n.rank_q - o.rank_q) > {int(tol_q)}"))
+            new_ranks.where(F.expr(f"abs(rank_q - __prev_q) > {int(tol_q)}"))
             .limit(1)
             .count()
         )
-        ranks = new_ranks
+        ranks = new_ranks.select("node", "rank_q")
         if moved == 0:
             break
     return ranks.orderBy(F.col("rank_q").desc(), "node")

@@ -715,14 +715,37 @@ GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
 """
 
 
-def nested_parent_docs(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+def nested_parent_docs(
+    orders: DataFrame, lineitem: DataFrame, parent_where: str | None = None
+) -> DataFrame:
     """The ES ``nested``-mapping document shape: each parent row carries an
     ``items array<struct<...>>`` column of its sub-documents — exactly how
     a nested index (or a 100 TB parquet lake with nested columns) stores
     them. Fixture builder for :func:`nested_agg` / :func:`reverse_nested_agg`;
     at rest this shape needs no build step (parquet holds the arrays), and
     Spark's nested-schema pruning reads only the struct fields touched.
+
+    ``parent_where`` (optional): a parent-side predicate the CALLER will
+    apply anyway (e.g. the nested agg's own filter). Supplying it here
+    restricts the build to those parents AND semi-join-prefilters the
+    child side BEFORE its collect_list shuffle (guide §3.2: reduce the
+    big side before shuffling it) — Catalyst pushes a parent filter to
+    the orders scan on its own, but it cannot prune the other join
+    input below an aggregate; the explicit semi-join can. With a
+    selective predicate this drops most child rows from the shuffle;
+    the surviving document set is identical because the inner join
+    discards those parents' arrays regardless.
     """
+    if parent_where is not None:
+        orders = orders.where(parent_where)
+        # small filtered key set → planner picks a broadcast semi join;
+        # at lake scale with a non-broadcastable key set the bloom-filter
+        # variant (guide §3.2) replaces this line
+        lineitem = lineitem.join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_semi",
+        )
     items = lineitem.select(
         "l_orderkey",
         F.struct("l_returnflag", "l_quantity", "l_extendedprice").alias("item"),
@@ -834,14 +857,19 @@ def queries() -> dict:
         "es_has_child": lambda s, d: has_child_agg(
             load_table(s, d, "orders"), load_table(s, d, "lineitem")
         ),
+        # parent_where here mirrors the aggs' own default filter — it only
+        # prunes the fixture build (child semi-join before collect_list);
+        # the aggregated result is bit-identical (pytest-pinned)
         "es_nested": lambda s, d: nested_agg(
             nested_parent_docs(
-                load_table(s, d, "orders"), load_table(s, d, "lineitem")
+                load_table(s, d, "orders"), load_table(s, d, "lineitem"),
+                parent_where="o_orderpriority = '1-URGENT'",
             )
         ),
         "es_reverse_nested": lambda s, d: reverse_nested_agg(
             nested_parent_docs(
-                load_table(s, d, "orders"), load_table(s, d, "lineitem")
+                load_table(s, d, "orders"), load_table(s, d, "lineitem"),
+                parent_where="o_orderpriority = '1-URGENT'",
             )
         ),
     }

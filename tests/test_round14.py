@@ -852,3 +852,115 @@ def test_sig_text_filter_dup_on_event_frame(spark):
     # duplicates collapse to one survivor per distinct text (no doc_id
     # column on this frame — the id dialect resolves event_id)
     assert out.count() > 0
+
+
+# --- geohash composite pages on the packed long key (r14 opt) ----------
+
+def _bisect_geohash(lat, lon, precision):
+    """Textbook bisection geohash — independent of the engine's integer
+    lattice spelling."""
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_r, lon_r = [-90.0, 90.0], [-180.0, 180.0]
+    bits, ch, out, even = 0, 0, [], True
+    while len(out) < precision:
+        if even:
+            mid = (lon_r[0] + lon_r[1]) / 2
+            if lon >= mid:
+                ch = (ch << 1) | 1
+                lon_r[0] = mid
+            else:
+                ch <<= 1
+                lon_r[1] = mid
+        else:
+            mid = (lat_r[0] + lat_r[1]) / 2
+            if lat >= mid:
+                ch = (ch << 1) | 1
+                lat_r[0] = mid
+            else:
+                ch <<= 1
+                lat_r[1] = mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out.append(b32[ch])
+            bits, ch = 0, 0
+    return "".join(out)
+
+
+def test_geohash_composite_cursor_walk(spark):
+    # the r14 long-key paging path must reproduce the string-key
+    # semantics exactly: strict after-cursor, ES keyset (base32) order,
+    # NULL coords bucketless, keys rendered back to base32
+    pts = [(1, 48.86, 2.35), (2, 40.71, -74.0), (3, -33.87, 151.2),
+           (4, 35.68, 139.69), (5, 48.9, 2.4), (6, None, 10.0),
+           (7, 10.0, None), (8, -1.3, 36.8)]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+
+    def page(after=None):
+        comp = {"size": 2,
+                "sources": [{"gh": {"geohash_grid": {"precision": 2}}}]}
+        if after is not None:
+            comp["after"] = {"gh": after}
+        out = run_search(
+            df, {"size": 0, "aggs": {"c": {"composite": comp}}}
+        )["c"]
+        return [(r.gh, r.doc_count) for r in out.collect()]
+
+    expected = {}
+    for _, lat, lon in pts:
+        if lat is None or lon is None:
+            continue
+        k = _bisect_geohash(lat, lon, 2)
+        expected[k] = expected.get(k, 0) + 1
+    want = sorted(expected.items())
+
+    walked, cursor = [], None
+    while True:
+        p = page(cursor)
+        if not p:
+            break
+        assert len(p) <= 2
+        walked.extend(p)
+        cursor = p[-1][0]
+    assert walked == want
+
+    # a cursor that is NOT an existing key still pages strictly past it
+    mid = page("5m")
+    assert mid == [kv for kv in want if kv[0] > "5m"][:2]
+
+
+# --- nested fixture parent_where prefilter (r14 opt, guide §3.2) -------
+
+def test_nested_parent_where_prefilter_identical(spark):
+    from elasticsearch_drift_plugin_spark.operators.relational import (
+        nested_agg,
+        nested_parent_docs,
+        reverse_nested_agg,
+    )
+
+    orders = spark.createDataFrame(
+        [(1, "1-URGENT"), (2, "3-LOW"), (3, "1-URGENT"), (4, "1-URGENT")],
+        "o_orderkey long, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [(1, "R", 2.0, 10.0), (1, "N", 1.0, 5.0), (2, "R", 7.0, 9.0),
+         (3, "A", 4.0, 2.0), (3, "R", 6.0, 1.0)],
+        "l_orderkey long, l_returnflag string, l_quantity double,"
+        " l_extendedprice double",
+    )
+    plain = nested_agg(nested_parent_docs(orders, li)).collect()
+    pre = nested_agg(
+        nested_parent_docs(orders, li, parent_where="o_orderpriority = '1-URGENT'")
+    ).collect()
+    assert pre == plain
+    plain_r = reverse_nested_agg(nested_parent_docs(orders, li)).collect()
+    pre_r = reverse_nested_agg(
+        nested_parent_docs(orders, li, parent_where="o_orderpriority = '1-URGENT'")
+    ).collect()
+    assert pre_r == plain_r
+    # the prefiltered fixture really is smaller (order 2's items pruned
+    # before the collect_list shuffle)
+    fixture = nested_parent_docs(
+        orders, li, parent_where="o_orderpriority = '1-URGENT'"
+    ).collect()
+    assert sorted(r.o_orderkey for r in fixture) == [1, 3]
