@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_hash60
-from ..sources.flows import load_table
+from ..sources.flows import load_table, pin_result
 
 FORMATS = ["png", "jpeg", "webp"]
 
@@ -682,9 +682,10 @@ def frame_sample_png(
                     )
             yield pd.DataFrame(rows)
 
-    return df.mapInPandas(
+    out = df.mapInPandas(
         fn, "doc_id long, frame_idx long, width long, height long, mean_q long"
-    ).orderBy("doc_id", "frame_idx")
+    )
+    return pin_result(out).orderBy("doc_id", "frame_idx")
 
 
 def png_frames_sql(every_k: int = 2) -> str:
@@ -923,9 +924,10 @@ def scene_changes(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 out, columns=["doc_id", "n_frames", "n_scenes", "diff_total"]
             )
 
-    return df.mapInPandas(
+    out = df.mapInPandas(
         fn, "doc_id long, n_frames long, n_scenes long, diff_total long"
-    ).orderBy("doc_id")
+    )
+    return pin_result(out).orderBy("doc_id")
 
 
 # closed forms: scenes = ceil(n_frames / slen); each boundary k (at frame
@@ -1102,11 +1104,12 @@ def audio_frame_features(
                          "zero_crossings"],
             )
 
-    return df.mapInPandas(
+    out = df.mapInPandas(
         fn,
         "doc_id long, frame_idx long, n long, mean_sq long,"
         " zero_crossings long",
-    ).orderBy("doc_id", "frame_idx")
+    )
+    return pin_result(out).orderBy("doc_id", "frame_idx")
 
 
 def audio_frames_sql(frame: int = 400) -> str:
@@ -1160,43 +1163,43 @@ FROM p ORDER BY doc_id
 def queries() -> dict:
     return {
         "mm_metadata": lambda s, d: media_metadata(load_table(s, d, "documents")),
-        "mm_decode": lambda s, d: decode_media(
+        "mm_decode": lambda s, d: pin_result(decode_media(
             binary_documents(load_table(s, d, "documents"))
-        ).orderBy("doc_id"),
-        "mm_frames": lambda s, d: frame_sample(
+        )).orderBy("doc_id"),
+        "mm_frames": lambda s, d: pin_result(frame_sample(
             binary_documents(load_table(s, d, "documents"))
-        ).orderBy("doc_id", "frame_idx"),
-        "mm_resize": lambda s, d: resize_media(
+        )).orderBy("doc_id", "frame_idx"),
+        "mm_resize": lambda s, d: pin_result(resize_media(
             binary_documents(load_table(s, d, "documents"))
-        ).select("doc_id", "width", "height", "n_bytes_out").orderBy("doc_id"),
-        "mm_features": lambda s, d: extract_features(
+        ).select("doc_id", "width", "height", "n_bytes_out")).orderBy("doc_id"),
+        "mm_features": lambda s, d: pin_result(extract_features(
             binary_documents(load_table(s, d, "documents"))
-        ).orderBy("doc_id"),
+        )).orderBy("doc_id"),
         "mm_phash_dedup": lambda s, d: phash_dedup(
             binary_documents(load_table(s, d, "documents"))
         ),
         # REAL-codec paths: genuine PNG encode → inflate/defilter decode →
         # exact pixel stats (and a real nearest-neighbor thumbnail in the
         # middle for the resize variant)
-        "mm_png_roundtrip": lambda s, d: decode_pixel_stats(
+        "mm_png_roundtrip": lambda s, d: pin_result(decode_pixel_stats(
             png_documents(load_table(s, d, "documents"))
-        ).orderBy("doc_id"),
+        )).orderBy("doc_id"),
         "mm_frames_png": lambda s, d: frame_sample_png(
             png_video_documents(load_table(s, d, "documents")), every_k=2
         ),
-        "mm_resize_png": lambda s, d: decode_pixel_stats(
+        "mm_resize_png": lambda s, d: pin_result(decode_pixel_stats(
             resize_media(
                 png_documents(load_table(s, d, "documents")),
                 target_w=16, target_h=16, kernel="png",
             ),
             payload_col="payload_out",
-        ).select("doc_id", "width", "height", "n_pixels", "mean_q")
+        ).select("doc_id", "width", "height", "n_pixels", "mean_q"))
         .orderBy("doc_id"),
         # REAL-codec audio path: genuine RIFF/WAVE PCM16 encode → chunk-walk
         # decode → exact integer signal features (energy + zero crossings)
-        "mm_audio_features": lambda s, d: decode_audio_stats(
+        "mm_audio_features": lambda s, d: pin_result(decode_audio_stats(
             wav_documents(load_table(s, d, "documents"))
-        ).orderBy("doc_id"),
+        )).orderBy("doc_id"),
         # temporal decomposition: 50 ms windows, same exact features
         "mm_audio_frames": lambda s, d: audio_frame_features(
             wav_documents(load_table(s, d, "documents"))

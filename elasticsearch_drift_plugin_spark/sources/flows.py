@@ -221,6 +221,25 @@ def widen_narrow_scan(df: DataFrame, *key_cols: str) -> DataFrame:
     return df
 
 
+def pin_result(df: DataFrame) -> DataFrame:
+    """Pin a result frame whose lineage is expensive to replay before a
+    global sort (r14, guide §7.2): Spark's range-partitioned sort exchange
+    executes its child TWICE — once for the range-boundary sampling job,
+    once for the shuffle — and a map-only lineage (Arrow/Python kernels,
+    codegen'd projections) has no shuffle files for the second pass to
+    reuse, so the whole chain re-runs. A lazy ``localCheckpoint``
+    materializes the rows on the sampling pass and the shuffle pass reads
+    them back. Built fresh per DataFrame construction — nothing persists
+    across query invocations.
+
+    Cost model: one in-memory/disk materialization of the RESULT rows
+    (post-projection, usually narrow) versus a full re-execution of the
+    producing chain — the same trade a shuffle write makes. Lineages that
+    already end in a shuffle mostly reuse their map outputs across the two
+    passes; this helper is for the shuffle-free tails."""
+    return df.localCheckpoint(eager=False)
+
+
 # --- deterministic flow derivations (shared with the DuckDB oracle) --------
 #
 # FIXTURES.md §6: events is point-in-time; a flow fixture derives as
