@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import dot, l2_norm, lit_vec
-from ..sources.flows import load_table
+from ..sources.flows import load_table, pin_result
 
 QUANT = 1_000_000
 N_PLANES = 16
@@ -939,12 +939,12 @@ def quantize_int8(emb: DataFrame, quantize_scale: int = 9) -> DataFrame:
             lambda x: F.floor(x.cast("double") / m * F.lit(127.0)),
         )
     )
-    return emb.select(
+    return pin_result(emb.select(
         "vec_id",
         F.floor(m * F.lit(float(10**quantize_scale))).cast("long").alias("scale_q"),
         F.size("embedding").cast("long").alias("n_dims"),
         F.array_join(F.transform(q, lambda v: v.cast("string")), ",").alias("qvec"),
-    ).orderBy("vec_id")
+    )).orderBy("vec_id")
 
 
 def quantize_int8_sql(quantize_scale: int = 9) -> str:
@@ -1014,11 +1014,10 @@ def rp_project(emb: DataFrame, out_dims: int = RP_OUT_DIMS) -> DataFrame:
         )
         for row in signs
     ]
-    return (
+    return pin_result(
         emb.select("vec_id", F.posexplode(F.array(*comps)).alias("dim0", "comp_q"))
         .select("vec_id", (F.col("dim0") + 1).cast("long").alias("dim"), "comp_q")
-        .orderBy("vec_id", "dim")
-    )
+    ).orderBy("vec_id", "dim")
 
 
 def rp_project_sql(out_dims: int = RP_OUT_DIMS, in_dims: int = RP_IN_DIMS) -> str:
@@ -1378,7 +1377,9 @@ def vector_percolate(
         .where(F.col("score_q") >= int(threshold_q))
     )
     # streaming callers pass ordered=False (a stateless stream cannot
-    # sort); the replay harness orders its bounded sink table instead
+    # sort); the replay harness orders its bounded sink table instead.
+    # NOT pin_result-wrapped: the per-watch projection is cheap relative
+    # to the checkpoint's construction overhead (A/B at sf0.1: +0.06 s).
     return out.orderBy("vec_id", "watch_id") if ordered else out
 
 

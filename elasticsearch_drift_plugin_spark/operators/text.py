@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import HEX15_SQL_FN, md5_hash60
-from ..sources.flows import load_table
+from ..sources.flows import load_table, pin_result
 
 QUANT = 1_000_000
 
@@ -65,7 +65,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
         for later in LANGS[LANGS.index(lang) + 1 :]:
             cond = cond & (F.col(f"c_{lang}") >= F.col(f"c_{later}"))
         pred = F.when(cond, F.lit(lang)).otherwise(pred)
-    return out.select("doc_id", pred.alias("lang_pred"), *[f"c_{lang}" for lang in LANGS]).orderBy(
+    return pin_result(out.select("doc_id", pred.alias("lang_pred"), *[f"c_{lang}" for lang in LANGS])).orderBy(
         "doc_id"
     )
 
@@ -111,14 +111,14 @@ def quality_score(docs: DataFrame) -> DataFrame:
     stop_frac = F.col("n_stop").cast("double") / F.col("n_tokens").cast("double")
     punct_frac = F.col("n_punct").cast("double") / F.col("n_chars").cast("double")
     score = tok_sat * F.lit(0.3) + stop_frac * F.lit(0.4) + (F.lit(1.0) - punct_frac) * F.lit(0.3)
-    return d.select(
+    return pin_result(d.select(
         "doc_id",
         "n_chars",
         "n_tokens",
         "n_punct",
         "n_stop",
         F.floor(score * F.lit(float(QUANT))).alias("score_q"),
-    ).orderBy("doc_id")
+    )).orderBy("doc_id")
 
 
 def quality_sql() -> str:
@@ -145,14 +145,14 @@ FROM d ORDER BY doc_id
 def token_counts(docs: DataFrame) -> DataFrame:
     """(doc_id, ws_tokens, bpe_ish_tokens, n_chars): whitespace tokens plus a
     BPE-ish regex segmentation count."""
-    return docs.select(
+    return pin_result(docs.select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("ws_tokens"),
         F.regexp_count(F.lower(F.col("text")), F.lit(BPE_ISH_RE)).cast("long").alias(
             "bpe_ish_tokens"
         ),
         F.length("text").cast("long").alias("n_chars"),
-    ).orderBy("doc_id")
+    )).orderBy("doc_id")
 
 
 TOKENS_SQL = f"""
@@ -169,7 +169,7 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     (lowercased, whitespace-collapsed) — the content-defined identity used
     for cross-run/exact dedup joins."""
     norm = F.regexp_replace(F.lower(F.col("text")), " +", " ")
-    return docs.select("doc_id", md5_hash60(norm).alias("fp")).orderBy("doc_id")
+    return pin_result(docs.select("doc_id", md5_hash60(norm).alias("fp"))).orderBy("doc_id")
 
 
 def rolling_fingerprint(docs: DataFrame, mod: int = 1_000_000_007) -> DataFrame:
@@ -184,7 +184,7 @@ def rolling_fingerprint(docs: DataFrame, mod: int = 1_000_000_007) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, c: (acc * F.lit(31) + F.ascii(c)) % F.lit(mod),
     )
-    return docs.select("doc_id", fp.alias("fp")).orderBy("doc_id")
+    return pin_result(docs.select("doc_id", fp.alias("fp"))).orderBy("doc_id")
 
 
 FP_SQL = (
@@ -239,7 +239,7 @@ def repetition_score(docs: DataFrame, n: int = REP_N) -> DataFrame:
             (F.lit(1.0) - F.col("n_distinct") / F.col("n_grams")) * F.lit(float(QUANT))
         ),
     ).otherwise(F.lit(0))
-    return d.select("doc_id", "n_grams", "n_distinct", rep.alias("rep_q")).orderBy("doc_id")
+    return pin_result(d.select("doc_id", "n_grams", "n_distinct", rep.alias("rep_q"))).orderBy("doc_id")
 
 
 def repetition_sql(n: int = REP_N) -> str:
@@ -280,13 +280,13 @@ def pii_scan(docs: DataFrame) -> DataFrame:
     curation pipeline runs before redaction. Map-only Catalyst
     (``regexp_count`` per pattern over one lowercased projection)."""
     low = F.lower(F.col("text"))
-    return docs.select(
+    return pin_result(docs.select(
         "doc_id",
         *[
             F.regexp_count(low, F.lit(pat)).cast("long").alias(name)
             for name, pat in PII_PATTERNS.items()
         ],
-    ).orderBy("doc_id")
+    )).orderBy("doc_id")
 
 
 def pii_sql() -> str:
@@ -323,13 +323,13 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     red = F.lower(F.col(text_col))
     for ph, pat in PII_REDACTIONS:
         red = F.regexp_replace(red, F.lit(pat), F.lit(ph))
-    return docs.select(
+    return pin_result(docs.select(
         "doc_id",
         red.alias("redacted"),
         F.regexp_count(red, F.lit(_PII_TOKEN_RE)).cast("long").alias(
             "n_redacted"
         ),
-    ).orderBy("doc_id")
+    )).orderBy("doc_id")
 
 
 def pii_redact_sql(source: str = "documents", text_expr: str = "text") -> str:
@@ -380,13 +380,13 @@ def readability(docs: DataFrame) -> DataFrame:
         - F.lit(1.015) * (n_words.cast("double") / n_sents.cast("double"))
         - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double"))
     )
-    return docs.select(
+    return pin_result(docs.select(
         "doc_id",
         n_words.alias("n_words"),
         n_sents.alias("n_sents"),
         n_syll.alias("n_syll"),
         F.floor(fre * F.lit(1000.0)).alias("fre_q"),
-    ).orderBy("doc_id")
+    )).orderBy("doc_id")
 
 
 def readability_sql() -> str:
@@ -474,7 +474,7 @@ def gopher_filter(
     failed = F.array_join(
         F.filter(F.array(*fails), lambda x: x.isNotNull()), ","
     )
-    return d.select(
+    return pin_result(d.select(
         "doc_id",
         "n_tokens",
         "mean_wl_q",
@@ -482,7 +482,7 @@ def gopher_filter(
         "n_stop",
         failed.alias("failed_rules"),
         F.when(failed == "", "keep").otherwise("drop").alias("verdict"),
-    ).orderBy("doc_id")
+    )).orderBy("doc_id")
 
 
 def gopher_sql(
