@@ -356,7 +356,7 @@ ES_SEARCH_PCTL_BODY = {
 def _es_search_pctl_query(s: SparkSession, d: str) -> DataFrame:
     from elasticsearch_drift_plugin_spark.functions.es_search import run_search
 
-    ev = s.read.parquet(f"{d}/events.parquet")
+    ev = flows_src.load_table(s, d, "events")
     return run_search(ev, ES_SEARCH_PCTL_BODY)["pctl"]
 
 
@@ -438,7 +438,7 @@ ES_SEARCH_GEO_BODY = {
 def _es_search_geo_query(s: SparkSession, d: str) -> DataFrame:
     from elasticsearch_drift_plugin_spark.functions.es_search import run_search
 
-    pts = geo.geo_events(s.read.parquet(f"{d}/events.parquet"))
+    pts = geo.geo_events(flows_src.load_table(s, d, "events"))
     return run_search(pts, ES_SEARCH_GEO_BODY)["cells"]
 
 
@@ -484,7 +484,7 @@ ES_SEARCH_TERMS_ORDER_BODY = {
 def _es_search_terms_order_query(s: SparkSession, d: str) -> DataFrame:
     from elasticsearch_drift_plugin_spark.functions.es_search import run_search
 
-    ev = s.read.parquet(f"{d}/events.parquet")
+    ev = flows_src.load_table(s, d, "events")
     return run_search(ev, ES_SEARCH_TERMS_ORDER_BODY)["top_users"]
 
 
@@ -518,7 +518,7 @@ ES_SEARCH_GROUPED_PCTL_BODY = {
 def _es_search_grouped_pctl_query(s: SparkSession, d: str) -> DataFrame:
     from elasticsearch_drift_plugin_spark.functions.es_search import run_search
 
-    ev = s.read.parquet(f"{d}/events.parquet")
+    ev = flows_src.load_table(s, d, "events")
     return run_search(ev, ES_SEARCH_GROUPED_PCTL_BODY)["per_type"]
 
 
@@ -563,7 +563,7 @@ ES_SEARCH_METRICS3_BODY = {
 def _es_search_metrics3_query(s: SparkSession, d: str) -> DataFrame:
     from elasticsearch_drift_plugin_spark.functions.es_search import run_search
 
-    ev = s.read.parquet(f"{d}/events.parquet")
+    ev = flows_src.load_table(s, d, "events")
     out = run_search(ev, ES_SEARCH_METRICS3_BODY)
     wa = out["wa"].withColumnRenamed("n", "n_wa")
     return wa.crossJoin(out["mad"]).crossJoin(out["bx"])
@@ -635,7 +635,7 @@ ES_SEARCH_SAMPLER_BODY = {
 def _es_search_sampler_query(s: SparkSession, d: str) -> DataFrame:
     from elasticsearch_drift_plugin_spark.functions.es_search import run_search
 
-    ev = s.read.parquet(f"{d}/events.parquet")
+    ev = flows_src.load_table(s, d, "events")
     return run_search(ev, ES_SEARCH_SAMPLER_BODY)["sampled"]
 
 
@@ -663,7 +663,7 @@ ES_SEARCH_TERMS_DH_BODY = {
 def _es_search_terms_dh_query(s: SparkSession, d: str) -> DataFrame:
     from elasticsearch_drift_plugin_spark.functions.es_search import run_search
 
-    ev = s.read.parquet(f"{d}/events.parquet")
+    ev = flows_src.load_table(s, d, "events")
     ev = ev.select(
         flows_src.ts_ms_col(ev).alias("t_ms"), "event_type", "value"
     )
@@ -722,7 +722,7 @@ ES_SEARCH_DH_FILL_TERMS = {
 def _es_search_dh_fill_terms_query(s: SparkSession, d: str) -> DataFrame:
     from elasticsearch_drift_plugin_spark.functions.es_search import run_search
 
-    ev = s.read.parquet(f"{d}/events.parquet")
+    ev = flows_src.load_table(s, d, "events")
     ev = ev.select(
         flows_src.ts_ms_col(ev).alias("t_ms"), "event_type", "value"
     )
@@ -802,7 +802,7 @@ ES_SEARCH_PIPE2_BODY = {
 
 
 def _events_tms(s: SparkSession, d: str) -> DataFrame:
-    ev = s.read.parquet(f"{d}/events.parquet")
+    ev = flows_src.load_table(s, d, "events")
     return ev.select(
         flows_src.ts_ms_col(ev).alias("t_ms"), "event_id", "user_id",
         "event_type", "value",
@@ -1469,7 +1469,7 @@ ES_SEARCH_GEO_SORT_BODY = {
 def _es_search_geo_sort_query(s: SparkSession, d: str) -> DataFrame:
     from elasticsearch_drift_plugin_spark.functions.es_search import run_search
 
-    pts = geo.geo_events(s.read.parquet(f"{d}/events.parquet"))
+    pts = geo.geo_events(flows_src.load_table(s, d, "events"))
     return run_search(pts, ES_SEARCH_GEO_SORT_BODY)["_hits"]
 
 
@@ -1742,7 +1742,7 @@ ES_DSL_KNN_QUERY_BODY = {"bool": {"must": [
 def _es_dsl_knn_query(s: SparkSession, d: str) -> DataFrame:
     from elasticsearch_drift_plugin_spark.functions.es_dsl import apply_query
 
-    emb = s.read.parquet(f"{d}/embeddings.parquet")
+    emb = flows_src.load_table(s, d, "embeddings")
     return (
         apply_query(emb, ES_DSL_KNN_QUERY_BODY)
         .select("vec_id", "label")
@@ -1911,7 +1911,7 @@ ES_COMPOSITE_GEOTILE_BODY = {"size": 0, "aggs": {"c": {"composite": {
 def _es_composite_geotile_query(s: SparkSession, d: str) -> DataFrame:
     from elasticsearch_drift_plugin_spark.functions.es_search import run_search
 
-    pts = geo.geo_events(s.read.parquet(f"{d}/events.parquet"))
+    pts = geo.geo_events(flows_src.load_table(s, d, "events"))
     return run_search(pts, ES_COMPOSITE_GEOTILE_BODY)["c"]
 
 
@@ -1960,7 +1960,7 @@ ES_COMPOSITE_GEOHASH_BODY = {"size": 0, "aggs": {"c": {"composite": {
 def _es_composite_geohash_query(s: SparkSession, d: str) -> DataFrame:
     from elasticsearch_drift_plugin_spark.functions.es_search import run_search
 
-    pts = geo.geo_events(s.read.parquet(f"{d}/events.parquet"))
+    pts = geo.geo_events(flows_src.load_table(s, d, "events"))
     return run_search(pts, ES_COMPOSITE_GEOHASH_BODY)["c"]
 
 
@@ -2008,7 +2008,7 @@ ES_SEARCH_RESCORE_BODY = {
 def _es_search_rescore_query(s: SparkSession, d: str) -> DataFrame:
     from elasticsearch_drift_plugin_spark.functions.es_search import run_search
 
-    emb = s.read.parquet(f"{d}/embeddings.parquet")
+    emb = flows_src.load_table(s, d, "embeddings")
     return run_search(emb, ES_SEARCH_RESCORE_BODY)["_hits"]
 
 
@@ -2078,7 +2078,7 @@ ES_SEARCH_LINEAR_BODY = {
 def _es_search_linear_query(s: SparkSession, d: str) -> DataFrame:
     from elasticsearch_drift_plugin_spark.functions.es_search import run_search
 
-    emb = s.read.parquet(f"{d}/embeddings.parquet")
+    emb = flows_src.load_table(s, d, "embeddings")
     return run_search(emb, ES_SEARCH_LINEAR_BODY)["_hits"]
 
 

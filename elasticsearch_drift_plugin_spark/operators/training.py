@@ -1410,7 +1410,7 @@ def queries() -> dict:
         ),
         # the same chain gated by the in-engine TRAINED classifier
         "train_hard_negatives": lambda s, d: hard_negatives(
-            s.read.parquet(f"{d}/embeddings.parquet")
+            load_table(s, d, "embeddings")
         ),
         "train_curate_clf": lambda s, d: curate_pipeline_clf(
             load_table(s, d, "documents")

@@ -305,7 +305,7 @@ def events_flows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming DataFrames, so the SQL is shared verbatim — no drift)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = load_table(spark, sf_dir, "events").schema
     # glob form: with a plain single-file path the file source injects that
     # file as partition-discovery basePath and rejects it (must be a dir);
     # a glob pattern keeps the parent dir as the base

@@ -24,6 +24,9 @@ harness — production uses a Delta/parquet sink with the same dedup.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 import threading
 import uuid
 
@@ -33,7 +36,11 @@ from pyspark.sql import functions as F
 from ..operators.geo import geotile_grid_sql
 from ..operators.sessionize import sessionize_sql
 from ..oracle import psum_oracle_sql
-from ..sources.flows import events_flows_duckdb_sql, events_flows_stream
+from ..sources.flows import (
+    events_flows_duckdb_sql,
+    events_flows_stream,
+    load_table,
+)
 from .flow_sessions import flow_sessions_stream
 from .proportional_sum_stream import proportional_sum_stream
 
@@ -67,6 +74,16 @@ def run_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """
     spark = stream_df.sparkSession
     name = f"__bounded_{uuid.uuid4().hex[:12]}"
+    # Ephemeral checkpoint on a RAM-backed dir when one exists (r14, guide
+    # §1.2 fixed-cost audit): the offset/commit WALs and state-store deltas
+    # fsync per micro-batch, and on a disk-backed default tmp dir those
+    # fsyncs are ~0.3 s of the replay's ~1.3 s wall. The replay checkpoint
+    # is test-gate state, discarded on return (a fresh UUID dir per run —
+    # nothing persists across invocations); production streams own a
+    # DURABLE checkpoint dir where the fsync cost is the exactly-once
+    # guarantee and must stay.
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    ckpt = os.path.join(ckpt_base, f"ckpt_{name}")
     with _REPLAY_LOCK:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(REPLAY_SHUFFLE_PARTITIONS))
@@ -75,6 +92,7 @@ def run_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
                 stream_df.writeStream.outputMode(output_mode)
                 .format("memory")
                 .queryName(name)
+                .option("checkpointLocation", ckpt)
                 .trigger(availableNow=True)
                 .start()
             )
@@ -84,6 +102,7 @@ def run_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
                 q.stop()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
@@ -159,7 +178,7 @@ def stream_geotile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final top-``size`` sort. Same oracle as the batch query."""
     from ..operators.geo import geo_events, geotile_grid
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = load_table(spark, sf_dir, "events").schema
     ev = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet*")
     agg = geotile_grid(geo_events(ev))
     tbl = run_available_now(agg, "complete")
@@ -178,7 +197,7 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     The shuffle key is the 16-byte digest, never document text, identical
     to the batch plan (operators/dedup.py::exact_dedup).
     """
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    schema = load_table(spark, sf_dir, "documents").schema
     docs = spark.readStream.schema(schema).parquet(f"{sf_dir}/documents.parquet*")
     agg = (
         docs.groupBy(F.md5(F.col("text").cast("string")).alias("__digest"))
@@ -201,7 +220,7 @@ def stream_span_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.es_dsl import compile_query
     from ..operators.search import SPAN_NEAR_BODY
 
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    schema = load_table(spark, sf_dir, "documents").schema
     docs = spark.readStream.schema(schema).parquet(
         f"{sf_dir}/documents.parquet*"
     )
@@ -223,7 +242,7 @@ def stream_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.ingest import run_ingest_pipeline
     from __spark_entry__ import ES_INGEST_PROCS
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = load_table(spark, sf_dir, "events").schema
     ev = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet*")
     staged = run_ingest_pipeline(ev, ES_INGEST_PROCS)
     agg = staged.groupBy("etype_u", "tier").agg(
@@ -247,7 +266,7 @@ def stream_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-arrival keys) — the oracle mirrors that contract."""
     from ..sources.flows import ts_ms_col
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = load_table(spark, sf_dir, "events").schema
     ev = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet*")
     t = ts_ms_col(ev)
     hour = (t - F.pmod(t, F.lit(3_600_000))).alias("key")
@@ -413,7 +432,7 @@ def stream_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pipeline import js_divergence_from_counts
     from ..sources.flows import ts_ms_sql
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = load_table(spark, sf_dir, "events").schema
     ev = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet*")
     counts = ev.groupBy(
         F.expr(f"({ts_ms_sql(dict(ev.dtypes)['ts'], 'ts')}) div 86400000 * 86400000").alias("day"),
@@ -435,7 +454,7 @@ def stream_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch twin."""
     from ..operators.search import PERCOLATE_RULES, percolate_aggs, percolate_unpivot
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = load_table(spark, sf_dir, "events").schema
     ev = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet*")
     tbl = run_available_now(ev.agg(*percolate_aggs(PERCOLATE_RULES)), "complete")
     return percolate_unpivot(tbl, PERCOLATE_RULES)
@@ -451,7 +470,7 @@ def stream_percolate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the twins cannot drift. Same oracle as the batch registration."""
     from ..operators.search import percolate_batch_matches
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = load_table(spark, sf_dir, "events").schema
     ev = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet*")
     tbl = run_available_now(percolate_batch_matches(ev), "append")
     return tbl.orderBy("doc_id", "rule_id")
@@ -466,7 +485,7 @@ def stream_vector_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     production stream writes the fired alerts straight to its sink."""
     from ..operators.similarity import vector_percolate
 
-    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    schema = load_table(spark, sf_dir, "embeddings").schema
     emb = spark.readStream.schema(schema).parquet(f"{sf_dir}/embeddings.parquet*")
     fired = vector_percolate(emb, ordered=False)
     tbl = run_available_now(fired, "append")
@@ -485,7 +504,7 @@ def stream_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quality import EVENT_RULES, expectation_aggs, expectation_unpivot
 
     rules = [r for r in EVENT_RULES if r["rule"] != "unique"]
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = load_table(spark, sf_dir, "events").schema
     ev = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet*")
     tbl = run_available_now(ev.agg(*expectation_aggs(rules)), "complete")
     return expectation_unpivot(tbl, rules, tolerance_q=20_000)

@@ -170,7 +170,7 @@ def stream_time_series_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.flows import load_table, ts_ms_col
     from .bounded import run_available_now
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = load_table(spark, sf_dir, "events").schema
     ev = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet*")
     # derive t_ms with the same dtype-branching rule as batch (the stream
     # schema mirrors the batch scan, so reuse the batch helper's dispatch)
