@@ -1446,11 +1446,38 @@ def topic_terms(
     from .similarity import _seed_centroids, ivf_assign
 
     cents = centroids if centroids is not None else _seed_centroids(emb, n_clusters)
-    cells = ivf_assign(emb, cents).select(
-        F.col("vec_id").alias("doc_id"), "cell"
+    # Pin the cell-assignment table (r14): it feeds BOTH the term join and
+    # the cluster_docs sizing agg, and a map-only subtree under two
+    # different exchanges is executed once per consumer (AQE's stage cache
+    # reuses shuffle stages, not scan+project lineage — measured 0.42 s of
+    # duplicated centroid scoring). One eager materialization of the
+    # narrow (doc_id, cell) rows serves both; executor-resident, no
+    # driver collect, scale-linear.
+    cells = (
+        ivf_assign(emb, cents)
+        .select(F.col("vec_id").alias("doc_id"), "cell")
+        .localCheckpoint(eager=True)
     )
-    terms = _doc_terms(docs).join(cells, "doc_id")
-    ct = terms.groupBy("cell", "term").agg(F.sum("tf").alias("tf"))
+    # join the (doc_id, cell) table to the UN-exploded docs and explode
+    # after (r14, guide "explode before a join multiplies the shuffle"):
+    # the previous _doc_terms(docs).join(cells) shuffled token-level rows
+    # by doc_id and paid a per-doc pre-agg; joining at doc granularity
+    # moves each text exactly once (strategy left to the planner — cells
+    # is corpus-sized, so no broadcast hint), tokens explode map-side
+    # after, and the only other shuffle is the (cell, term) partial+
+    # final count agg. Σ_docs tf(doc, term) == count of occurrences per
+    # (cell, term), so the result is unchanged.
+    tokens = (
+        docs.join(cells, "doc_id")
+        .select(
+            "cell",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+    ct = tokens.groupBy("cell", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
     sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("cluster_docs"))
     n_cells = n_clusters  # fixed by construction (empty cells carry no terms)
     df_tbl = ct.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
