@@ -1212,9 +1212,15 @@ def _es_search_nested_query(s: SparkSession, d: str) -> DataFrame:
         nested_parent_docs,
     )
 
+    # pass the body's own parent filter down (r14): the term query runs
+    # inside run_search regardless; supplying it here additionally
+    # semi-join-prefilters lineitem below its collect_list shuffle
+    # (identical result — non-urgent parents' arrays are discarded by the
+    # query filter anyway; the es_nested registration's r13 pattern)
     parents = nested_parent_docs(
         flows_src.load_table(s, d, "orders"),
         flows_src.load_table(s, d, "lineitem"),
+        parent_where="o_orderpriority = '1-URGENT'",
     )
     return run_search(parents, ES_SEARCH_NESTED_BODY)["items"]
 

@@ -1041,7 +1041,11 @@ FROM idx GROUP BY vec_id, j ORDER BY vec_id, dim
 
 
 def pq_codes(
-    emb: DataFrame, n_sub: int = 8, sub_dim: int = 8, n_cents: int = 16
+    emb: DataFrame,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_cents: int = 16,
+    use_kernel: bool = True,
 ) -> DataFrame:
     """(vec_id, subspace, code, dist_q): Product Quantization (Jégou et
     al. 2011) — each 64-dim embedding splits into ``n_sub`` contiguous
@@ -1062,6 +1066,76 @@ def pq_codes(
     variant (:func:`ivf_assign` style, zero shuffle) is the hot-path
     optimization; this relational form is the clearer reference shape.
     """
+    # Literal-inline hot path (r14): the codebook is the n_cents lowest-id
+    # vectors — a bounded O(n_cents · dim) collect (the _seed_centroids
+    # broadcast-small-dim pattern). Inlining it makes encoding ONE
+    # map-side codegen pass: per subspace, argmin over the n_cents
+    # candidate structs via array_sort (struct order = (dist_q, code) =
+    # the window's exact tie-break). The relational form this replaces
+    # (posexplode -> x16 broadcast-join fan-out -> 3-key agg -> argmin
+    # window) shuffled dim·n_cents rows per vector; same integer
+    # arithmetic term by term (per-d floor((x-c)²·1e6) summed as int64),
+    # so results are bit-identical. Falls back to the relational shape
+    # when the vector dim does not equal n_sub·sub_dim (the inline
+    # variant would mishandle trailing positions).
+    cb_map: dict[int, list[float]] = {}
+    if use_kernel:
+        seed = (
+            emb.where(F.col("vec_id") < n_cents)
+            .select("vec_id", F.expr(_V_DOUBLE_SQL).alias("__v"))
+            .collect()
+        )
+        cb_map = {int(r["vec_id"]): [float(x) for x in r["__v"]] for r in seed}
+    dim = len(next(iter(cb_map.values()))) if cb_map else 0
+    if cb_map and dim == n_sub * sub_dim and all(
+        len(v) == dim for v in cb_map.values()
+    ):
+        import numpy as np
+        import pandas as pd
+
+        codes_sorted = sorted(cb_map)
+        cb_arr = np.asarray(
+            [cb_map[c] for c in codes_sorted], dtype=np.float64
+        )  # (n_cents, dim)
+        code_ids = np.asarray(codes_sorted, dtype=np.int64)
+        ns, sd = int(n_sub), int(sub_dim)
+
+        def encode(batches):
+            # one vectorized NumPy pass per Arrow batch: same IEEE-double
+            # subtract/multiply and per-term floor as the relational
+            # form, summed as int64; np.argmin's first-minimum rule over
+            # ascending code order IS the (dist_q, code) tie-break
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
+                )
+                D = V[:, None, :] - cb_arr[None, :, :]
+                Q = np.floor(D * D * 1e6).astype(np.int64)
+                n = len(pdf)
+                vid = pdf["vec_id"].to_numpy()
+                out = {"vec_id": [], "subspace": [], "code": [], "dist_q": []}
+                for s in range(ns):
+                    seg = Q[:, :, s * sd : (s + 1) * sd].sum(axis=2)
+                    idx = seg.argmin(axis=1)
+                    out["vec_id"].append(vid)
+                    out["subspace"].append(np.full(n, s, dtype=np.int64))
+                    out["code"].append(code_ids[idx])
+                    out["dist_q"].append(seg[np.arange(n), idx])
+                yield pd.DataFrame(
+                    {k: np.concatenate(v) for k, v in out.items()}
+                )
+
+        from ..sources.flows import pin_result
+
+        return pin_result(
+            emb.select("vec_id", F.expr(_V_DOUBLE_SQL).alias("__v"))
+            .mapInPandas(
+                encode,
+                "vec_id long, subspace long, code long, dist_q long",
+            )
+        ).orderBy("vec_id", "subspace")
     flat = (
         emb.select(
             "vec_id", F.posexplode(F.expr(_V_DOUBLE_SQL)).alias("pos", "x")
@@ -1151,7 +1225,11 @@ def pq_topk(
     partial+final sum per (query, vector) + a top-k window. Exactness:
     per-term floored integer quanta, same discipline as :func:`pq_codes`.
     """
-    codes = pq_codes(corpus, n_sub, sub_dim, n_cents).select(
+    # relational codes here (r14): a Python node below the ADC join
+    # breaks whole-stage fusion of the (subspace, code) join pipeline and
+    # measured SLOWER than the join fan-out it saves; the standalone
+    # emb_pq_codes registration keeps the NumPy kernel
+    codes = pq_codes(corpus, n_sub, sub_dim, n_cents, use_kernel=False).select(
         F.col("vec_id").alias("neighbor_id"), "subspace", "code"
     )
     flat_q = queries.select(
