@@ -478,16 +478,22 @@ def kmeans_fit(
     cents = _seed_centroids(emb, k, id_col)
     for _ in range(int(n_iter)):
         assigned = ivf_assign(emb, cents, id_col)
+        # ONE (cell, pos) partial+final agg per iteration (r14): the
+        # former second groupBy(cell)+collect_list shuffle only
+        # re-assembled the k·dim mean rows into arrays — do that on the
+        # driver over the same bounded k·dim collect instead.
         means = (
             assigned.select("cell", F.posexplode(_as_double(F.col("embedding"))).alias("pos", "x"))
             .groupBy("cell", "pos")
             .agg(F.avg("x").alias("m"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("cell", F.col("pm.m").alias("vec"))
             .collect()
         )
-        by_cell = {int(r["cell"]): [float(x) for x in r["vec"]] for r in means}
+        acc: dict[int, dict[int, float]] = {}
+        for r in means:
+            acc.setdefault(int(r["cell"]), {})[int(r["pos"])] = float(r["m"])
+        by_cell = {
+            cell: [pm[p] for p in sorted(pm)] for cell, pm in acc.items()
+        }
         new_cents = []
         for cid, old_vec, old_nm in cents:
             vec = by_cell.get(cid, old_vec)
@@ -630,7 +636,13 @@ def knn_join(
         par = emb.sparkSession.sparkContext.defaultParallelism
         nb_mem = math.ceil(n / target_block_rows)
         nb_par = math.ceil(math.sqrt(2 * par))
-        n_blocks = max(1, nb_mem, nb_par)
+        # r14: cap the parallelism-driven split by block POPULATION — at
+        # small n, sqrt(2·cores) blocks make nb(nb+1)/2 near-empty Arrow
+        # groups whose Python/serialization floor dwarfs the BLAS call
+        # (36 groups of ~250 rows at n=2000, cores=32). A block under
+        # ~1024 rows is a sub-millisecond GEMM; never split finer. At
+        # scale nb_mem dominates and the sizing is unchanged.
+        n_blocks = max(1, nb_mem, min(nb_par, math.ceil(n / 1024)))
 
     ed = emb.select(
         "vec_id", "embedding", F.pmod(F.col("vec_id"), F.lit(n_blocks)).alias("blk")
