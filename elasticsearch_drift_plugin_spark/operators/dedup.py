@@ -504,12 +504,17 @@ def ngram_jaccard_pairs_gemm(
             }
         )
 
-    return (
+    from ..sources.flows import pin_result
+
+    # pin_result (r14): the GEMM kernel runs on the REDUCE side of the
+    # (block, bi, bj) shuffle, i.e. on the shuffle-free tail feeding the
+    # final range sort - without a pin the sampling pass re-runs the
+    # whole Python kernel. The pinned rows are the narrow pair results.
+    return pin_result(
         left.unionByName(right)
         .groupBy(block_col, "bi", "bj")
         .applyInPandas(kernel, f"{a_col} long, {b_col} long, {out_col} long")
-        .orderBy(a_col, b_col)
-    )
+    ).orderBy(a_col, b_col)
 
 
 def ngram_containment_pairs(
@@ -1062,12 +1067,15 @@ def embedding_neardup_pairs(
             }
         )
 
-    return (
+    from ..sources.flows import pin_result
+
+    # pin_result (r14): same sampling-pass double execution as the ngram
+    # GEMM kernel above.
+    return pin_result(
         left.unionByName(right)
         .groupBy("bi", "bj")
         .applyInPandas(kernel, "vec_a long, vec_b long, score_q long")
-        .orderBy("vec_a", "vec_b")
-    )
+    ).orderBy("vec_a", "vec_b")
 
 
 EMB_NEARDUP_SQL = f"""

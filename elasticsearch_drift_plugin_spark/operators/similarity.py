@@ -804,13 +804,16 @@ def knn_cells(
         )
         return out[out["score_q"] > _MASK]
 
-    return (
+    from ..sources.flows import pin_result
+
+    # pin_result (r14): reduce-side kernel on the shuffle-free tail of the
+    # final sort - pin so the range-sampling pass does not re-run it.
+    return pin_result(
         assigned.groupBy("cell")
         .applyInPandas(
             kernel, "vec_id long, cell long, neighbor_id long, nn_rank long, score_q long"
         )
-        .orderBy("vec_id", "nn_rank")
-    )
+    ).orderBy("vec_id", "nn_rank")
 
 
 def knn_cells_sql(k: int = 5, n_centroids: int = N_CENTROIDS) -> str:

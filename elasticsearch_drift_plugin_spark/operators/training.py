@@ -89,11 +89,13 @@ def pack_sequences(
     out_schema = (
         "group string, doc_id long, n_tokens long, seq_no long, seq_offset long"
     )
-    return (
-        toks.groupBy("group")
-        .applyInPandas(_pack, schema=out_schema)
-        .orderBy("group", "doc_id")
-    )
+    from ..sources.flows import pin_result
+
+    # pin_result (r14): the packing kernel runs reduce-side feeding the
+    # final sort; pin so the sampling pass does not re-run it.
+    return pin_result(
+        toks.groupBy("group").applyInPandas(_pack, schema=out_schema)
+    ).orderBy("group", "doc_id")
 
 
 def pack_sequences_sql(
@@ -177,11 +179,12 @@ def pack_sequences_sharded(
         "group string, shard long, doc_id long, n_tokens long, "
         "seq_no long, seq_offset long"
     )
-    return (
-        toks.groupBy("group", "shard")
-        .applyInPandas(_pack, schema=out_schema)
-        .orderBy("group", "shard", "doc_id")
-    )
+    from ..sources.flows import pin_result
+
+    # pin_result (r14): reduce-side packing kernel feeding the final sort.
+    return pin_result(
+        toks.groupBy("group", "shard").applyInPandas(_pack, schema=out_schema)
+    ).orderBy("group", "shard", "doc_id")
 
 
 def pack_sequences_sharded_sql(
@@ -831,11 +834,13 @@ def pack_sequences_bfd(
     out_schema = (
         "group string, doc_id long, n_tokens long, seq_no long, seq_offset long"
     )
-    return (
-        toks.groupBy("group")
-        .applyInPandas(_pack, schema=out_schema)
-        .orderBy("group", "doc_id")
-    )
+    from ..sources.flows import pin_result
+
+    # pin_result (r14): the packing kernel runs reduce-side feeding the
+    # final sort; pin so the sampling pass does not re-run it.
+    return pin_result(
+        toks.groupBy("group").applyInPandas(_pack, schema=out_schema)
+    ).orderBy("group", "doc_id")
 
 
 def pack_sequences_bfd_sql(
