@@ -51,9 +51,14 @@ def asof_join(
     choice, exactly like pandas.
 
     Still one union + one sorted window pass per key, O(left + right), no
-    fan-out: ``nearest`` evaluates a backward and a forward frame over the
-    SAME sort, so it costs one extra window function, not a second
-    shuffle."""
+    fan-out. Forward matches run as a REVERSED-sort running frame: the
+    first non-null in ``[current, end]`` under ``(t asc, side asc)`` is the
+    last non-null in ``[start, current]`` under ``(t desc, side desc)`` —
+    Spark evaluates an UnboundedFollowing frame by re-scanning the rest of
+    the partition for every row (O(rows² per key)) while a running frame
+    is one streaming pass, so the swap costs one extra in-partition sort
+    and no extra shuffle. ``nearest`` therefore evaluates one backward and
+    one reversed running frame over the same exchange."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward|forward|nearest: {direction}")
     # forward: right rows sort AFTER left at equal time so the
@@ -85,7 +90,12 @@ def asof_join(
     )
     order = Window.partitionBy(key).orderBy(F.col("__t"), F.col("__side"))
     wback = order.rowsBetween(Window.unboundedPreceding, 0)
-    wfwd = order.rowsBetween(0, Window.unboundedFollowing)
+    # forward frame, reversed (see docstring): same hash partitioning, so
+    # Catalyst plans one exchange and two in-partition sorts
+    rev = Window.partitionBy(key).orderBy(
+        F.col("__t").desc(), F.col("__side").desc()
+    )
+    wfwd_rev = rev.rowsBetween(Window.unboundedPreceding, 0)
     rmatch = F.when(F.col("__side") != 1, F.struct("__t", "__p"))
     unioned = unioned.withColumn("__m", rmatch)
 
@@ -95,17 +105,30 @@ def asof_join(
             ok = ok & (dist <= F.lit(int(tolerance)))
         return ok
 
+    # Each window value materializes ONCE into a column before any field
+    # access: WindowExec does no CSE across window expressions, so every
+    # `m["__t"]` / `m["__p"]` reference would otherwise become its own
+    # window computation (the nearest case measured 14 evaluations of 2
+    # distinct frames before this projection boundary).
     if direction == "backward":
-        m = F.last("__m", ignorenulls=True).over(wback)
+        unioned = unioned.withColumn(
+            "__mb", F.last("__m", ignorenulls=True).over(wback)
+        )
+        m = F.col("__mb")
         out = F.when(_gate(m, F.col("__t") - m["__t"]), m["__p"])
     elif direction == "forward":
-        m = F.first("__m", ignorenulls=True).over(wfwd)
+        unioned = unioned.withColumn(
+            "__mf", F.last("__m", ignorenulls=True).over(wfwd_rev)
+        )
+        m = F.col("__mf")
         out = F.when(_gate(m, m["__t"] - F.col("__t")), m["__p"])
-    else:  # nearest: both frames over one sort. An equal-time right row
-        # sorts into the backward frame only — the forward frame missing it
-        # is harmless because distance 0 always wins backward anyway.
-        b = F.last("__m", ignorenulls=True).over(wback)
-        f = F.first("__m", ignorenulls=True).over(wfwd)
+    else:  # nearest: both frames over one exchange. An equal-time right
+        # row sorts into the backward frame only — the forward frame
+        # missing it is harmless because distance 0 always wins backward.
+        unioned = unioned.withColumn(
+            "__mb", F.last("__m", ignorenulls=True).over(wback)
+        ).withColumn("__mf", F.last("__m", ignorenulls=True).over(wfwd_rev))
+        b, f = F.col("__mb"), F.col("__mf")
         bd, fd = F.col("__t") - b["__t"], f["__t"] - F.col("__t")
         bok, fok = _gate(b, bd), _gate(f, fd)
         out = (
@@ -167,8 +190,11 @@ def asof_join_chunked(
     l = left.withColumn("__t", F.col(left_time)).withColumn(
         "__chunk", chunk_of(F.col(left_time))
     )
+    # one distinct AFTER the union: its partial aggregation already dedups
+    # both inputs map-side, so a pre-union distinct on the left pairs would
+    # only add a second full exchange of the same rows
     spine = (
-        l.select(key, "__chunk").distinct()
+        l.select(key, "__chunk")
         .unionByName(summaries.select(key, "__chunk"))
         .distinct()
     )
