@@ -964,3 +964,32 @@ def test_nested_parent_where_prefilter_identical(spark):
         orders, li, parent_where="o_orderpriority = '1-URGENT'"
     ).collect()
     assert sorted(r.o_orderkey for r in fixture) == [1, 3]
+
+
+def test_ann_kernel_paths_match_relational(spark):
+    """r14 opt: the Arrow GEMM/ADC kernels (cosine_topk, ivf_topk, pq_topk)
+    must be row-identical to the relational plans they replace."""
+    from elasticsearch_drift_plugin_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        pq_topk,
+    )
+
+    rows = [
+        (i, [((i * 37 + d * 11) % 19 - 9) / 10.0 for d in range(64)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where("vec_id < 4")
+
+    kern = cosine_topk(emb, q, brute_force=True).collect()
+    rel = cosine_topk(emb, q, brute_force=True, max_query_rows=0).collect()
+    assert kern == rel
+
+    kern = ivf_topk(emb, q, n_centroids=8, nprobe=3).collect()
+    rel = ivf_topk(emb, q, n_centroids=8, nprobe=3, max_query_rows=0).collect()
+    assert kern == rel
+
+    kern = pq_topk(emb, q, n_sub=8, sub_dim=8, n_cents=8).collect()
+    rel = pq_topk(emb, q, n_sub=8, sub_dim=8, n_cents=8, use_kernel=False).collect()
+    assert kern == rel
