@@ -432,6 +432,23 @@ def explode_contributions(
 
     carry = [F.col(g) for g in group_by] + [F.col(c) for c in extra_dep_cols]
 
+    # Materialize the validated/sampled/clamped expressions ONCE (r14):
+    # `s`/`e` carry the raise_error validation CASEs and `cs`/`ce` nest
+    # them again, and the explode's first/last/bucket-count expressions
+    # reference each several times. Spark's subexpression elimination is
+    # per-operator, so without this projection boundary the Generate
+    # re-evaluated the whole validated tree ~10x per input row (measured
+    # 0.27 s of the 1.7 s psum_day_lineitem exec). Values are identical —
+    # this only pins each expression to one column evaluation.
+    _CS, _CE = "__ps_cs", "__ps_ce"
+    base = base.select(
+        *carry, s.alias(_S), e.alias(_E), v.alias(_V),
+        cs.alias(_CS), ce.alias(_CE),
+    )
+    carry = [F.col(g) for g in group_by] + [F.col(c) for c in extra_dep_cols]
+    s, e, v = F.col(_S), F.col(_E), F.col(_V)
+    cs, ce = F.col(_CS), F.col(_CE)
+
     if p.kind == "fixed":
         step = p.step_ms
         first = floor_fixed_ms(cs, step, p.offset_ms)
