@@ -82,24 +82,39 @@ def frequent_item_sets(
     if not 1 <= min_set_size <= max_set_size <= 3:
         raise ValueError("set sizes must satisfy 1 <= min <= max <= 3")
 
-    # level 1: frequent singletons, broadcast back as the Apriori cut
+    # one basket = one sorted item array FIRST (r14): collect_set dedups,
+    # so the basket arrays build straight off the raw pairs with ONE
+    # basket-keyed exchange, and every downstream step derives from it —
+    # the source is scanned once (the former shape scanned it once per
+    # branch: a (basket, item)-distinct exchange for the level-1 counts
+    # PLUS this collect_set exchange on the semi-join-pruned pairs).
+    arrs_all = baskets.groupBy("basket").agg(
+        F.array_sort(F.collect_set("item")).alias("its")
+    )
+
+    # level 1: frequent singletons, derived from the SAME exchange (the
+    # exploded arrays are exactly the distinct pairs); the Apriori cut
+    # becomes a map-side array_intersect against the (tiny, bounded by
+    # the item vocabulary) frequent-item array instead of a semi-join +
+    # second collect_set pass.
     f1 = (
-        baskets.groupBy("item")
+        arrs_all.select(F.explode("its").alias("item"))
+        .groupBy("item")
         .agg(F.count(F.lit(1)).alias("support"))
         .where(F.col("support") >= min_support)
     )
-    bf = baskets.join(F.broadcast(f1.select("item")), "item", "left_semi")
+    f1_arr = f1.agg(F.array_sort(F.collect_list("item")).alias("__f1"))
 
     levels = []
     if min_set_size <= 1:
         levels.append(f1.select(F.col("item").alias("items"),
                                 F.lit(1).alias("set_size"), "support"))
 
-    # one basket = one sorted item array; combinations generated map-side
-    # (JVM HOFs, zero extra shuffles). `slice` truncates past the end, so
-    # the tail windows need no bounds arithmetic.
-    arrs = bf.groupBy("basket").agg(
-        F.array_sort(F.collect_set("item")).alias("its")
+    # combinations generated map-side (JVM HOFs, zero extra shuffles).
+    # `slice` truncates past the end, so the tail windows need no bounds
+    # arithmetic. array_intersect keeps the left (sorted) order.
+    arrs = arrs_all.join(F.broadcast(f1_arr)).select(
+        "basket", F.array_intersect(F.col("its"), F.col("__f1")).alias("its")
     )
     n = F.size("its")
     rest = lambda i: F.slice(F.col("its"), i + 2, n)  # items after index i
