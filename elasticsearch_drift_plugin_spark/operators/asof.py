@@ -281,7 +281,13 @@ def latest_order_asof(
             ev, o, "ck", "t_ms", "t_ms", "okey",
             direction=direction, tolerance=tolerance,
         )
-    return joined.select("event_id", "okey").orderBy("event_id")
+    # pin the narrow (event_id, okey) result before the global sort: the
+    # range-sampling pass otherwise re-runs the whole union-window lineage
+    # (guide §7.2; A/B at sf0.1: backward 1.36→1.14, nearest 1.80→1.18,
+    # chunked 2.79→2.40 on the same host window)
+    from ..sources.flows import pin_result
+
+    return pin_result(joined.select("event_id", "okey")).orderBy("event_id")
 
 
 ASOF_SQL = """
