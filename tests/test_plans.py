@@ -275,11 +275,15 @@ def test_frequent_item_sets_single_scan_few_shuffles(spark):
     out = frequent_item_sets(b, min_support=1)
     plan = explain_str(out)
     assert not has_python_eval(out)
-    # distinct + level-1 agg + basket array agg + itemset agg = <= 4 hash
-    # exchanges; the level-1 cut joins via broadcast, never a shuffle join
+    # basket array agg (compiled once per consumer branch, reused at
+    # runtime) + level-1 agg + itemset agg = <= 4 hash exchanges; the
+    # Apriori cut is a map-side array_intersect against the broadcast
+    # 1-row frequent-item array (a nested-loop broadcast of one row), so
+    # no shuffle join and no basket-keyed join appears anywhere
     assert hash_exchange_count(out) <= 4
     assert "SortMergeJoin" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "array_intersect" in plan
 
 
 def test_scripted_metric_shuffles_partial_states_only(spark):
