@@ -103,20 +103,23 @@ FROM ranked WHERE rank <= {k} ORDER BY doc_id, rank
 
 
 def _word_grams(docs: DataFrame, n: int) -> DataFrame:
-    """(doc_id, g): distinct word n-grams per document."""
+    """(doc_id, g): distinct word n-grams per document.
+
+    Dedup is per-doc ``array_distinct`` BEFORE the explode (r14, guide
+    §2.4): results are keyed by doc, so a per-doc dedup is exactly the
+    global distinct on (doc_id, g) — without the hash exchange that
+    shuffled every gram STRING just to dedup it."""
     toks = docs.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("l"))
-    return (
-        toks.where(F.size("l") >= n)
-        .select(
-            "doc_id",
-            F.explode(
+    return toks.where(F.size("l") >= n).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
                 F.expr(
                     f"transform(sequence(1, size(l) - {n - 1}),"
                     f" i -> concat_ws(' ', slice(l, i, {n})))"
                 )
-            ).alias("g"),
-        )
-        .distinct()
+            )
+        ).alias("g"),
     )
 
 
@@ -131,16 +134,23 @@ def contamination_overlap(
     Gram-less docs ride through as one NULL-gram sentinel row (excluded
     from ``count(g)``, never matching the bench join) so the result covers
     every doc with ONE aggregation — no corpus-sized restore-join.
+
+    Per-doc ``array_distinct`` before the explode IS the (doc_id, g)
+    distinct (r14, guide §2.4) — the former global ``.distinct()``
+    shuffled every gram string through a hash exchange to dedup pairs
+    that never cross documents.
     """
     toks = corpus.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("l"))
     gram_list = F.when(
         F.size("l") >= n,
-        F.expr(
-            f"transform(sequence(1, size(l) - {n - 1}),"
-            f" i -> concat_ws(' ', slice(l, i, {n})))"
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, size(l) - {n - 1}),"
+                f" i -> concat_ws(' ', slice(l, i, {n})))"
+            )
         ),
     ).otherwise(F.array(F.lit(None).cast("string")))
-    grams = toks.select("doc_id", F.explode(gram_list).alias("g")).distinct()
+    grams = toks.select("doc_id", F.explode(gram_list).alias("g"))
     bench = _word_grams(benchmark, n).select("g").distinct()
     return (
         grams.join(F.broadcast(bench.withColumn("__hit", F.lit(1))), "g", "left")
@@ -215,19 +225,22 @@ def contamination_overlap_hashed(
     """
     mask = F.lit((1 << hash_bits) - 1)
     toks = corpus.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("l"))
-    gram_list = F.when(
+    # dedup per doc on the HASH array (two grams colliding at hash_bits
+    # count once — the membership key is the hash), map-side via
+    # array_distinct instead of a (doc_id, h) hash exchange (r14, §2.4)
+    hash_list = F.when(
         F.size("l") >= n,
-        F.expr(
-            f"transform(sequence(1, size(l) - {n - 1}),"
-            f" i -> concat_ws(' ', slice(l, i, {n})))"
+        F.array_distinct(
+            F.transform(
+                F.expr(
+                    f"transform(sequence(1, size(l) - {n - 1}),"
+                    f" i -> concat_ws(' ', slice(l, i, {n})))"
+                ),
+                lambda g: F.xxhash64(g).bitwiseAND(mask),
+            )
         ),
-    ).otherwise(F.array(F.lit(None).cast("string")))
-    grams = (
-        toks.select("doc_id", F.explode(gram_list).alias("g"))
-        .select("doc_id", F.xxhash64("g").bitwiseAND(mask).alias("h"), "g")
-        .select("doc_id", F.when(F.col("g").isNotNull(), F.col("h")).alias("h"))
-        .distinct()
-    )
+    ).otherwise(F.array(F.lit(None).cast("long")))
+    grams = toks.select("doc_id", F.explode(hash_list).alias("h"))
     bench = (
         _word_grams(benchmark, n)
         .select(F.xxhash64("g").bitwiseAND(mask).alias("h"))
