@@ -688,7 +688,18 @@ def minhash_signatures(
     100 TB that shuffle (Σ|shingles| ≈ tokens-per-doc × corpus rows) was
     the dominant cost of signature building; per-doc HOFs are free
     parallelism. ``shingle_arrays`` lets a caller share a materialized
-    :func:`_shingle_arrays` frame."""
+    :func:`_shingle_arrays` frame.
+
+    The signature rows are pinned before the serving sort (r14): the
+    map-only lineage has no shuffle files for the range-sampling pass to
+    reuse, and the pin also lets the band self-join in
+    :func:`minhash_lsh_pairs` read the signatures once instead of
+    deriving them per side. (A NumPy ``mapInPandas`` twin of the 16
+    permutation passes was measured bit-identical but a wash isolated and
+    +0.3 s inside lsh_recall_eval — the Python stage adds boundary
+    latency the interpreted-but-parallel HOFs don't; kept JVM-side.)"""
+    from ..sources.flows import pin_result
+
     sa = _shingle_arrays(docs) if shingle_arrays is None else shingle_arrays
     hv = sa.select(
         "doc_id",
@@ -715,11 +726,11 @@ def minhash_signatures(
         for r in range(1, ROWS_PER_BAND):
             sig = sig * F.lit(31) + F.col(f"mh{bnd * ROWS_PER_BAND + r}")
         band_sigs.append(sig)
-    return (
+    return pin_result(
         mh.select(
             "doc_id", F.posexplode(F.array(*band_sigs)).alias("band", "sig")
-        ).orderBy("doc_id", "band")
-    )
+        )
+    ).orderBy("doc_id", "band")
 
 
 def minhash_lsh_pairs(
@@ -734,6 +745,12 @@ def minhash_lsh_pairs(
     shingle co-occurrence join (Σ posting² rows) is never built. Pairs
     whose signatures collide without any shared shingle (theoretical) are
     dropped, matching the inverted-index formulation the oracle uses.
+
+    The shingle frame is NOT pinned here: it feeds the signature kernel
+    and both verification joins, but an A/B at sf0.1 measured the pin a
+    wash — materializing the string arrays costs what the map-side
+    recompute does (the signature pin inside :func:`minhash_signatures`
+    is what de-duplicates the expensive work for the band self-join).
     """
     sa_frame = _shingle_arrays(docs) if shingle_arrays is None else shingle_arrays
     sigs = minhash_signatures(docs, shingle_arrays=sa_frame)
@@ -846,9 +863,19 @@ def minhash_decontaminate(
 
     ``contaminated`` flags verified Jaccard ≥ ``threshold_q`` (1e-6 units).
     Every corpus doc is emitted (0/0/false when no candidate survives).
+
+    Both shingle frames are pinned (lazy localCheckpoint): each is
+    consumed twice — signature build and candidate verification — and the
+    lineage is scan + tokenize + shingle HOFs, so recompute costs a full
+    corpus pass per consumer while the pin writes the same bytes a
+    shuffle of the frame would (guide §5: cache only reused frames whose
+    recompute beats the memory). The narrow result is pinned before the
+    serving sort (the range-sampling double-execution fix).
     """
-    sh_c = _shingle_arrays(corpus)
-    sh_b = _shingle_arrays(bench)
+    from ..sources.flows import pin_result
+
+    sh_c = pin_result(_shingle_arrays(corpus))
+    sh_b = pin_result(_shingle_arrays(bench))
     sa = minhash_signatures(corpus, shingle_arrays=sh_c)
     sb = minhash_signatures(bench, shingle_arrays=sh_b).withColumnRenamed(
         "doc_id", "bench_id"
@@ -877,7 +904,7 @@ def minhash_decontaminate(
     agg = ver.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_matches"), F.max("jacc_q").alias("max_jacc_q")
     )
-    return (
+    return pin_result(
         corpus.select("doc_id")
         .join(agg, "doc_id", "left")
         .select(
@@ -886,8 +913,7 @@ def minhash_decontaminate(
             F.coalesce("max_jacc_q", F.lit(0)).alias("max_jacc_q"),
             (F.coalesce("max_jacc_q", F.lit(0)) >= threshold_q).alias("contaminated"),
         )
-        .orderBy("doc_id")
-    )
+    ).orderBy("doc_id")
 
 
 def minhash_decon_sql(
