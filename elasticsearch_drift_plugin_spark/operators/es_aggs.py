@@ -116,14 +116,73 @@ def range_agg(
     (ES always returns every requested range); their ``extra_aggs`` metric
     columns are NULL (the ES null-sub-agg-on-empty-bucket contract).
 
-    The range table is a constant literal array filtered per row in
-    codegen, then exploded — fan-out ≤ #ranges, no join, no shuffle until
-    the final aggregation; ``extra_aggs`` metrics ride the same
-    aggregation.
+    Without ``extra_aggs`` the whole agg is ONE map-side pass of #ranges
+    conditional counters (count/sum of CASEs — overlap-safe because each
+    counter is independent, zero-filled because count of an empty CASE is
+    0) collapsed to a single row, then unfolded into bucket rows in
+    request order: no per-row membership array, no explode, no bucket-key
+    exchange, no zero-fill join (r14, the ip_range recipe, guide
+    §2.3/§2.4). Arbitrary ``extra_aggs`` keep the exploded formulation:
+    the range table is a constant literal array filtered per row in
+    codegen, then exploded — fan-out ≤ #ranges.
     """
     def _key(lo, hi):
         return f"{'*' if lo is None else format(float(lo), 'g')}-" + (
             "*" if hi is None else format(float(hi), "g")
+        )
+
+    if not extra_aggs:
+        valid = F.col(field).isNotNull() & ~F.isnan(field)
+        conds = []
+        for lo, hi in ranges:
+            c = valid
+            if lo is not None:
+                c = c & (F.col(field) >= F.lit(float(lo)))
+            if hi is not None:
+                c = c & (F.col(field) < F.lit(float(hi)))
+            conds.append(c)
+        counters = []
+        for i, c in enumerate(conds):
+            counters.append(F.count(F.when(c, 1)).alias(f"__dc{i}"))
+            if value_col is not None:
+                counters.append(
+                    F.coalesce(
+                        F.sum(
+                            F.when(
+                                c
+                                & F.col(value_col).isNotNull()
+                                & ~F.isnan(value_col),
+                                F.floor(F.col(value_col) * F.lit(float(QUANT))),
+                            )
+                        ),
+                        F.lit(0),
+                    ).alias(f"__vq{i}")
+                )
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(_key(lo, hi)).alias("key"),
+                    F.lit(None if lo is None else float(lo))
+                    .cast("double")
+                    .alias("range_from"),
+                    F.lit(None if hi is None else float(hi))
+                    .cast("double")
+                    .alias("range_to"),
+                    F.col(f"__dc{i}").alias("doc_count"),
+                    *(
+                        [F.col(f"__vq{i}").alias("value_q")]
+                        if value_col is not None
+                        else []
+                    ),
+                )
+                for i, (lo, hi) in enumerate(ranges)
+            ]
+        )
+        return (
+            df.agg(*counters)
+            .select(F.explode(buckets).alias("b"))
+            .select("b.*")
+            .orderBy("key")
         )
 
     structs = ",".join(

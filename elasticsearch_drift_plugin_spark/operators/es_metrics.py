@@ -410,9 +410,11 @@ def date_range_agg(
     zone); every requested range is returned, zero-filled. Overlapping
     ranges double-count by design.
 
-    Same plan as ``range_agg``: constant literal range table filtered per
-    row in codegen, exploded (fan-out ≤ #ranges), one hash aggregation,
-    then a tiny right join against the literal list for zero-fill."""
+    Same plan as ``range_agg``: without ``extra_aggs``, ONE map-side pass
+    of #ranges conditional counters collapsed to a single row and
+    unfolded into bucket rows (no membership explode, no bucket-key
+    exchange, no zero-fill join — r14, the ip_range recipe); with
+    ``extra_aggs``, the exploded membership formulation."""
     from ..functions.es_dsl import resolve_range_bounds
 
     def _ms(v, op: str) -> int:
@@ -436,6 +438,55 @@ def date_range_agg(
             None if lo is None else _ms(lo, "gte"),
             None if hi is None else _ms(hi, "lt"),
         ))
+
+    if not extra_aggs:
+        conds = []
+        for _, lo, hi in rows:
+            c = F.col(t_ms).isNotNull()
+            if lo is not None:
+                c = c & (F.col(t_ms) >= F.lit(int(lo)))
+            if hi is not None:
+                c = c & (F.col(t_ms) < F.lit(int(hi)))
+            conds.append(c)
+        counters = []
+        for i, c in enumerate(conds):
+            counters.append(F.count(F.when(c, 1)).alias(f"__dc{i}"))
+            if value_col is not None:
+                counters.append(
+                    F.coalesce(
+                        F.sum(
+                            F.when(
+                                c
+                                & F.col(value_col).isNotNull()
+                                & ~F.isnan(value_col),
+                                F.floor(F.col(value_col) * F.lit(float(QUANT))),
+                            )
+                        ),
+                        F.lit(0),
+                    ).alias(f"__vq{i}")
+                )
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("key"),
+                    F.lit(lo).cast("long").alias("range_from"),
+                    F.lit(hi).cast("long").alias("range_to"),
+                    F.col(f"__dc{i}").alias("doc_count"),
+                    *(
+                        [F.col(f"__vq{i}").alias("value_q")]
+                        if value_col is not None
+                        else []
+                    ),
+                )
+                for i, (k, lo, hi) in enumerate(rows)
+            ]
+        )
+        return (
+            df.agg(*counters)
+            .select(F.explode(buckets).alias("b"))
+            .select("b.*")
+            .orderBy("key")
+        )
 
     structs = ",".join(
         "named_struct('key', '{k}', 'lo', {lo}, 'hi', {hi})".format(
