@@ -1248,6 +1248,11 @@ def _es_dsl_nested_query(s: SparkSession, d: str) -> DataFrame:
     parents = nested_parent_docs(
         flows_src.load_table(s, d, "orders"),
         flows_src.load_table(s, d, "lineitem"),
+        # the body's own nested predicate, mirrored as a child-side
+        # prefilter: parents with no matching item are dropped BEFORE the
+        # collect_list shuffle; survivors keep full arrays, so the
+        # compile_query exists-filter below evaluates identically
+        item_where="l_quantity >= 45 AND l_returnflag = 'R'",
     )
     return (
         parents.where(compile_query(ES_DSL_NESTED_BODY))

@@ -716,7 +716,10 @@ GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
 
 
 def nested_parent_docs(
-    orders: DataFrame, lineitem: DataFrame, parent_where: str | None = None
+    orders: DataFrame,
+    lineitem: DataFrame,
+    parent_where: str | None = None,
+    item_where: str | None = None,
 ) -> DataFrame:
     """The ES ``nested``-mapping document shape: each parent row carries an
     ``items array<struct<...>>`` column of its sub-documents — exactly how
@@ -735,7 +738,23 @@ def nested_parent_docs(
     selective predicate this drops most child rows from the shuffle;
     the surviving document set is identical because the inner join
     discards those parents' arrays regardless.
+
+    ``item_where`` (optional): a CHILD-side predicate the caller's nested
+    ``exists`` query will apply anyway. Parents owning at least one
+    matching item keep their FULL item arrays (so the caller's predicate
+    evaluates identically); parents with none are dropped here instead of
+    after the collect_list shuffle — both sides semi-join-prefilter on
+    the matching parent keys, so a selective nested query stops paying to
+    assemble arrays it immediately discards (guide §3.2).
     """
+    if item_where is not None:
+        matching = lineitem.where(item_where).select("l_orderkey")
+        orders = orders.join(
+            matching.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "o_orderkey",
+            "left_semi",
+        )
+        lineitem = lineitem.join(matching, "l_orderkey", "left_semi")
     if parent_where is not None:
         orders = orders.where(parent_where)
         # small filtered key set → planner picks a broadcast semi join;
