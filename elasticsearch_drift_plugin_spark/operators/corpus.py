@@ -658,7 +658,10 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
     uni = toks.select(F.explode("__t").alias("w1"))
     cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     cu = uni.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
-    vocab = uni.agg(F.countDistinct("w1").alias("V"))
+    # V = #distinct unigrams = #rows of the unigram count table — one
+    # 1-row agg over vocab-sized cu (whose exchange the cu consumer
+    # reuses) instead of a separate countDistinct corpus pass (r14)
+    vocab = cu.agg(F.count(F.lit(1)).alias("V"))
     logp_q = F.floor(
         F.log(
             (F.col("cb") + F.lit(1.0))
