@@ -1146,9 +1146,9 @@ def quality_clf(
     )
     w = _memo_get(_CLF_WEIGHTS_MEMO, key)
     if w is not None:
-        # frozen-weight replay: scoring is one lazy map-side pass — no
-        # count, no checkpoint, no GD jobs
-        return _clf_score(_clf_features(docs, dims), labels, w)
+        # frozen-weight replay: one fused scoring pass — no count, no
+        # checkpoint, no GD jobs, no (doc, dim) vector materialization
+        return _clf_score_frozen(docs, labels, w, dims)
     # bounded-sample contract, ENFORCED (the lsh_recall_eval discipline):
     # full-batch GD over the whole corpus is never the right call at real
     # scale — train on a sample (quality_clf_sampled / corpus.hash_sample)
@@ -1227,7 +1227,8 @@ def _clf_gd(
 
 def _clf_score(feats: DataFrame, labels: DataFrame, w: dict[int, int]) -> DataFrame:
     """Map-side scoring against frozen weights (broadcast literal map) —
-    the path that runs over the FULL corpus at any scale."""
+    used when a MATERIALIZED feature frame exists (the training path's
+    pinned design matrix)."""
     final = (
         feats.withColumn("wq", _wmap_col(w)[F.col("dim")])
         .groupBy("doc_id")
@@ -1236,6 +1237,33 @@ def _clf_score(feats: DataFrame, labels: DataFrame, w: dict[int, int]) -> DataFr
     return (
         labels.join(final, "doc_id")
         .select("doc_id", "y", F.expr(_hardsig_q("m12")).alias("clf_q"))
+        .orderBy("doc_id")
+    )
+
+
+def _clf_score_frozen(
+    docs: DataFrame, labels: DataFrame, w: dict[int, int], dims: int
+) -> DataFrame:
+    """Frozen-weight scoring fused over the per-term contributions:
+    ``m12 = Σ_terms sign·tf·idf·w[dim(term)] + QUANT·w[-1]`` — int64
+    addition is associative, so folding the weight into each term row is
+    bit-identical to summing the (doc, dim) vector first, and the
+    (doc, dim) exchange plus the intercept union disappear (r14, guide
+    §2.4). Used when features are NOT already materialized (memo-hit
+    replays, the sampled trainer's full-corpus pass)."""
+    from .text import _tfidf_contribs
+
+    termsum = (
+        _tfidf_contribs(docs, dims)
+        .withColumn("wq", _wmap_col(w)[F.col("dim")])
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr("c * coalesce(wq, 0)")).alias("__ts"))
+    )
+    icpt = int(QUANT) * int(w[-1])
+    m12_sql = f"(coalesce(__ts, CAST(0 AS BIGINT)) + CAST({icpt} AS BIGINT))"
+    return (
+        labels.join(termsum, "doc_id", "left")
+        .select("doc_id", "y", F.expr(_hardsig_q(m12_sql)).alias("clf_q"))
         .orderBy("doc_id")
     )
 
@@ -1317,7 +1345,7 @@ def quality_clf_sampled(
     )
     w = _memo_get(_CLF_WEIGHTS_MEMO, key)
     if w is not None:
-        return _clf_score(feats, labels, w)
+        return _clf_score_frozen(docs, labels, w, dims)
     cut = F.pmod(md5_hash60(F.col("doc_id").cast("string")), F.lit(QUANT)) < F.lit(
         int(float(sample_rate) * QUANT)
     )
@@ -1335,7 +1363,10 @@ def quality_clf_sampled(
     w = _clf_gd(tfeats, tlabels, n, dims, n_iter, lr_num, lr_den)
     if key is not None:
         _memo_put(_CLF_WEIGHTS_MEMO, key, w)
-    return _clf_score(feats, labels, w)
+    # the corpus-sized feature frame was never materialized - score the
+    # full corpus with the fused frozen-weight pass instead of replaying
+    # the (doc, dim) vector build
+    return _clf_score_frozen(docs, labels, w, dims)
 
 
 def _wmap_col(w: dict[int, int]):

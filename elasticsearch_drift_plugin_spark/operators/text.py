@@ -541,6 +541,21 @@ def hash_embed(docs: DataFrame, dims: int = 64) -> DataFrame:
     map-side) + one (doc, dim) sum — the exact TF-IDF pipeline shape of
     :func:`corpus.tfidf_top_terms`, ending at ``dims`` values per doc.
     """
+    return (
+        _tfidf_contribs(docs, dims)
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("c").cast("long").alias("comp_q"))
+        .orderBy("doc_id", "dim")
+    )
+
+
+def _tfidf_contribs(docs: DataFrame, dims: int) -> DataFrame:
+    """(doc_id, dim, c): the signed per-term tf·idf contributions BEFORE
+    the per-dim sum — :func:`hash_embed`'s routing stage, shared with
+    frozen-weight classifier scoring (``corpus._clf_score_frozen``),
+    which folds the weight into each term row instead of materializing
+    the (doc, dim) vector first (int64 addition is associative, so the
+    regrouped sum is bit-identical)."""
     toks = (
         docs.select(
             "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
@@ -565,9 +580,6 @@ def hash_embed(docs: DataFrame, dims: int = 64) -> DataFrame:
             # (integer div — `/` would be float division and corrupt the bit)
             F.expr(f"(1 - 2 * pmod(__h div {dims}, 2)) * tf * idf_q").alias("c"),
         )
-        .groupBy("doc_id", "dim")
-        .agg(F.sum("c").cast("long").alias("comp_q"))
-        .orderBy("doc_id", "dim")
     )
 
 
