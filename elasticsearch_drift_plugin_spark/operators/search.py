@@ -537,107 +537,132 @@ def phrase_suggest(
     adjacent-pair log-probs, ranked desc with phrase-text tie-break.
 
     Scale: vocab and bigram tables are partial+final count aggs over one
-    corpus scan each; the candidate phrase set is ``cand_size^len(probe)``
-    rows (tiny, broadcast). The big tables are never shuffled to the
-    phrases — needed pair/unigram counts are extracted by broadcast
-    semi-joins (corpus-side scan, result O(candidates)), then the tiny
-    frames join among themselves broadcast-only."""
+    corpus scan each — the two corpus passes are the whole data-plane
+    cost. Everything downstream of them is bounded by the API contract
+    (``len(probe) * cand_size`` candidates, ``cand_size**len(probe)``
+    phrases), so candidates and the needed pair counts are fetched with
+    two bounded collects (the _seed_centroids pattern) and the phrase
+    scoring runs as one literal-backed plan — no corpus bytes are ever
+    shuffled to the phrases (r14: construct 2.5 -> ~1.2 s; the previous
+    shape paid 4 corpus passes plus five tiny-frame checkpoint jobs)."""
     if len(probe) < 2:
         raise ValueError("phrase_suggest needs a probe of >= 2 tokens")
+    import itertools
+
     from pyspark.sql import Window
 
+    spark = docs.sparkSession
     toks = F.split(F.lower(F.col("text")), " ")
     words = docs.select(F.explode(toks).alias("term")).where(F.col("term") != "")
+    # The vocab count table feeds both candidate generation and V — pin it
+    # once (the distinct-term count table, the standard LM artifact:
+    # vocab-sized, not corpus-sized) so the corpus is scanned exactly twice:
+    # the vocab agg here and the bigram agg below.
     vocab = words.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("freq")
-    )
-    # bigram counts from adjacent token pairs within each doc
-    pairs = docs.select(
-        F.explode(
-            F.zip_with(
-                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            )
-        ).alias("p")
-    ).select("p.w1", "p.w2").where((F.col("w1") != "") & (F.col("w2") != ""))
-    bigrams = pairs.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("long").alias("cb")
-    )
-    vtotal = vocab.agg(F.countDistinct("term").alias("V"))
+    ).localCheckpoint(eager=False)
+    # vocab is distinct by construction, so V = countDistinct(term) is its
+    # row count (1-row agg over the pin, not a corpus-wide distinct)
+    v_total = int(vocab.agg(F.count(F.lit(1))).collect()[0][0])
 
+    # Candidate generation: SAME ranking expressions as before (levenshtein
+    # dist asc, freq desc, term asc, top cand_size, dist <= max_edits),
+    # evaluated over the pinned vocab; the result is <= len(probe)*cand_size
+    # rows by construction — a bounded collect, not a data-sized one.
     w = Window.partitionBy("slot").orderBy(
         F.col("dist"), F.col("freq").desc(), F.col("term")
     )
-    spine = docs.sparkSession.createDataFrame(
-        [(i, t) for i, t in enumerate(probe)], "slot int, tok string"
-    )
-    cands = (
-        vocab.crossJoin(F.broadcast(spine))
+    spine = F.explode(
+        F.array(*[
+            F.struct(F.lit(i).alias("slot"), F.lit(t).alias("tok"))
+            for i, t in enumerate(probe)
+        ])
+    ).alias("s")
+    cand_rows = (
+        vocab.select(F.col("term"), F.col("freq"), spine)
+        .select("term", "freq", "s.slot", "s.tok")
         .withColumn("dist", F.levenshtein(F.col("tok"), F.col("term")).cast("long"))
         .where(F.col("dist") <= max_edits)
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= cand_size)
-        .select("slot", "term")
-        # candidates are <= slots*cand_size rows but DERIVE from the
-        # corpus-sized vocab; every downstream reference would otherwise
-        # replay that whole subtree (the lazy plan re-derived the corpus
-        # scan dozens of times — measured ex=64 before this). An eager
-        # lineage break pins each tiny frame to ONE corpus pass.
-        .localCheckpoint(eager=True)
+        .select("slot", "term", "freq")
+        .collect()
     )
-    # assemble candidate phrases: iterative broadcast cross of the per-
-    # slot frames (each <= cand_size rows)
-    phrases = None
-    for i in range(len(probe)):
-        ci = cands.where(F.col("slot") == i).select(
-            F.col("term").alias(f"t{i}")
-        )
-        phrases = ci if phrases is None else phrases.crossJoin(F.broadcast(ci))
-    # needed pair/unigram stats, extracted corpus-side (broadcast semi)
-    need_pairs = None
+    slot_terms: list[list[tuple[str, int]]] = [[] for _ in probe]
+    for r in cand_rows:
+        slot_terms[r["slot"]].append((r["term"], r["freq"]))
+    uni: dict[str, int] = {t: f for s in slot_terms for t, f in s}
+
+    # Needed bigram counts: the corpus-side bigram agg PREFILTERED to the
+    # candidate pair set before the groupBy (per-pair counts are unchanged
+    # by dropping non-candidate pairs), then a bounded collect of
+    # <= (len(probe)-1) * cand_size**2 rows.
+    need: set[tuple[str, str]] = set()
     for i in range(len(probe) - 1):
-        p = phrases.select(
-            F.col(f"t{i}").alias("w1"), F.col(f"t{i+1}").alias("w2")
+        for (w1, _), (w2, _) in itertools.product(
+            slot_terms[i], slot_terms[i + 1]
+        ):
+            need.add((w1, w2))
+    pair_counts: dict[tuple[str, str], int] = {}
+    if need:
+        pairs = docs.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                    F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        ).select("p.w1", "p.w2")
+        import functools
+        import operator
+
+        pair_pred = functools.reduce(
+            operator.or_,
+            [
+                (F.col("w1") == F.lit(a)) & (F.col("w2") == F.lit(b))
+                for a, b in sorted(need)
+            ],
         )
-        need_pairs = p if need_pairs is None else need_pairs.union(p)
-    need_pairs = need_pairs.distinct().localCheckpoint(eager=True)
-    pair_counts = bigrams.join(
-        F.broadcast(need_pairs), ["w1", "w2"], "left_semi"
-    ).localCheckpoint(eager=True)
-    uni_counts = vocab.join(
-        F.broadcast(need_pairs.select(F.col("w1").alias("term")).distinct()),
-        "term",
-        "left_semi",
-    ).localCheckpoint(eager=True)
-    scored = phrases.crossJoin(F.broadcast(vtotal.localCheckpoint(eager=True)))
+        for r in (
+            pairs.where(pair_pred)
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+            .collect()
+        ):
+            pair_counts[(r["w1"], r["w2"])] = r["cb"]
+
+    # Phrase scoring: one literal-backed plan over the
+    # cand_size**len(probe) combinations. The log-prob expression is the
+    # SAME JVM expression tree as the join formulation evaluated
+    # (coalesced counts ride in as typed long columns), so the floored
+    # quanta are bit-identical.
+    n = len(probe)
+    phrase_rows = [
+        tuple(ts)
+        + tuple(
+            pair_counts.get((ts[i], ts[i + 1]), 0) for i in range(n - 1)
+        )
+        + tuple(uni[ts[i]] for i in range(n - 1))
+        for ts in itertools.product(*[[t for t, _ in s] for s in slot_terms])
+    ]
+    schema = ", ".join(
+        [f"t{i} string" for i in range(n)]
+        + [f"cb{i} bigint" for i in range(n - 1)]
+        + [f"cu{i} bigint" for i in range(n - 1)]
+    )
+    scored = spark.createDataFrame(phrase_rows, schema)
     score = None
-    for i in range(len(probe) - 1):
-        pc = F.broadcast(
-            pair_counts.select(
-                F.col("w1").alias(f"t{i}"),
-                F.col("w2").alias(f"t{i+1}"),
-                F.col("cb").alias(f"cb{i}"),
-            )
-        )
-        uc = F.broadcast(
-            uni_counts.select(
-                F.col("term").alias(f"t{i}"), F.col("freq").alias(f"cu{i}")
-            )
-        )
-        scored = scored.join(pc, [f"t{i}", f"t{i+1}"], "left").join(
-            uc, f"t{i}", "left"
-        )
+    for i in range(n - 1):
         lp = F.floor(
             F.log(
-                (F.coalesce(F.col(f"cb{i}"), F.lit(0)) + F.lit(1.0))
-                / (F.coalesce(F.col(f"cu{i}"), F.lit(0))
-                   + F.col("V").cast("double"))
+                (F.col(f"cb{i}") + F.lit(1.0))
+                / (F.col(f"cu{i}") + F.lit(v_total).cast("double"))
             )
             * F.lit(float(QUANT))
         ).cast("long")
         score = lp if score is None else score + lp
-    phrase = F.concat_ws(" ", *[F.col(f"t{i}") for i in range(len(probe))])
+    phrase = F.concat_ws(" ", *[F.col(f"t{i}") for i in range(n)])
     wr = Window.orderBy(F.col("score_q").desc(), F.col("phrase").asc())
     return (
         scored.select(phrase.alias("phrase"), score.alias("score_q"))

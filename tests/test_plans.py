@@ -451,10 +451,13 @@ def test_phrase_suggest_joins_are_broadcast_only(spark):
     )
     out = phrase_suggest(df, probe=("bg", "data"), max_edits=1)
     plan = explain_str(out)
-    # every join in the plan is broadcast — the corpus-sized vocab and
-    # bigram tables are never shuffled against the candidate spine
+    # the corpus-sized vocab and bigram tables are never shuffled against
+    # the candidate spine: candidates and needed pair counts arrive via
+    # bounded collects, so the scoring plan is a literal-backed local
+    # relation with NO join of any kind (r14 restructure)
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Join" not in plan
+    assert "Scan parquet" not in plan and "FileScan" not in plan
 
 
 def test_dsl_compounds_are_jvm_only_with_pushdown(spark, tmp_path):
