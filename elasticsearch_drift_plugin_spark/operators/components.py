@@ -24,8 +24,12 @@ localCheckpoint-ed so the iterative plan does not accumulate lineage —
 the same pattern a cluster deployment would run with a checkpoint dir.
 
 Contrast with the naive min-label propagation (O(diameter) rounds — a
-50-node chain needs 50 rounds; large/small-star needs 4) and with any
-driver-side union-find (single-machine memory = not 100 TB viable).
+50-node chain needs 50 rounds; large/small-star needs 4) and with an
+UNBOUNDED driver-side union-find (single-machine memory = not 100 TB
+viable). A guarded union-find fast path (``MAX_DRIVER_EDGES``) does serve
+graphs small enough to be a bounded control-plane fetch — the verified
+pair set is near-dup-density-sized, not corpus-sized, so most real dedup
+closures are; the star loop remains the path for everything larger.
 
 The DuckDB oracle is a recursive CTE computing full reachability and
 taking MIN over reached nodes — exponentially worse asymptotically, but
@@ -35,8 +39,21 @@ exact at oracle scale, and algorithm-independent: it pins the *semantics*
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Small-graph fast path (r14): after LSH/GEMM verification the duplicate
+# pair graph is usually MUCH smaller than the corpus (near-dup density,
+# not corpus size). Below this many edges the transitive closure runs as
+# a driver union-find over one bounded collect — the same "bounded
+# control-plane fetch behind an explicit guard" contract as the k-means
+# centroid and BPE merge loops — instead of 2-4 distributed star rounds
+# of ~6 stages each. Above it, the large/small-star loop (the 100 TB
+# shape) runs unchanged. Both produce component = min reachable id, so
+# results are identical by construction (pytest-pinned both ways).
+MAX_DRIVER_EDGES = int(os.environ.get("SPARK_GRAFT_CC_DRIVER_EDGES", "200000"))
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -81,11 +98,46 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Bounded-collect closure for small pair graphs: classic union-find
+    with path compression, then component = min member id per root — the
+    same semantics the star loop converges to."""
+    spark = edges.sparkSession
+    rows = edges.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        u, v = r["u"], r["v"]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    comp = {n: find(n) for n in parent}
+    out_schema = edges.schema
+    fields = (
+        f"node {out_schema['u'].dataType.simpleString()}, "
+        f"component {out_schema['v'].dataType.simpleString()}"
+    )
+    return spark.createDataFrame(sorted(comp.items()), fields)
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_rounds: int = 25,
+    max_driver_edges: int | None = None,
 ) -> DataFrame:
     """(node, component): transitive closure of an undirected pair graph;
     ``component`` is the minimum node id reachable from ``node``.
@@ -96,6 +148,13 @@ def connected_components(
     ``max_rounds`` is a circuit breaker, not a tuning knob: large/small-star
     converges in O(log^2 n) rounds w.h.p., so hitting 25 means the input is
     pathological; we raise rather than return a partial closure.
+
+    ``max_driver_edges`` (default :data:`MAX_DRIVER_EDGES`) gates the
+    small-graph fast path: at or below it the closure is a driver
+    union-find over one bounded collect (the fingerprint probe that is
+    needed anyway returns the edge count, so the routing costs no extra
+    job); above it the distributed star loop runs. Identical output either
+    way — component = min reachable id.
     """
     # lazy localCheckpoint throughout the loop: the fingerprint probe that
     # immediately follows is the FIRST action on the frame, so one job both
@@ -110,6 +169,9 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
     prev = _fingerprint(edges)
+    guard = MAX_DRIVER_EDGES if max_driver_edges is None else max_driver_edges
+    if prev[0] <= guard:
+        return _driver_union_find(edges)
     for _ in range(max_rounds):
         nxt = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         cur = _fingerprint(nxt)

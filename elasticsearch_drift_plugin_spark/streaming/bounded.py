@@ -47,7 +47,9 @@ from .proportional_sum_stream import proportional_sum_stream
 HOUR = 3_600_000
 
 
-REPLAY_SHUFFLE_PARTITIONS = 8
+REPLAY_SHUFFLE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_REPLAY_SHUFFLE_PARTITIONS", "2")
+)
 
 # spark.sql.shuffle.partitions is SESSION-global: two concurrent bounded
 # replays could interleave set/restore and leave the session pinned at the
@@ -70,7 +72,10 @@ def run_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
     open/commit/fsync cycles for a result-sized table — pure fixed cost,
     no parallelism won. Production long-lived streams size this to their
     real key cardinality via their own session conf; this knob only shapes
-    the bounded test/gate harness.
+    the bounded test/gate harness (r14: measured floor of a minimal
+    stateful replay 0.85 s at 8 partitions / 0.75 s at 2 — the remaining
+    ~0.7 s is query start/commit/stop machinery, partition-count
+    invariant; env-overridable for A/B).
     """
     spark = stream_df.sparkSession
     name = f"__bounded_{uuid.uuid4().hex[:12]}"

@@ -626,6 +626,20 @@ def test_components_random_graph_matches_union_find(spark):
     assert _cc_spark(spark, edges) == _cc_bruteforce(edges)
 
 
+def test_components_distributed_path_matches_driver_fast_path(spark):
+    # max_driver_edges=0 forces the large/small-star loop; the default
+    # routes this small graph through the guarded driver union-find. Both
+    # must produce the identical min-reachable-id component map.
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(90)]
+    edges = [(a, b) for a, b in edges if a != b]
+    star = _cc_spark(spark, edges, max_driver_edges=0)
+    fast = _cc_spark(spark, edges)
+    assert star == fast == _cc_bruteforce(edges)
+
+
 def test_component_summary_sizes(spark):
     from elasticsearch_drift_plugin_spark.operators.components import (
         component_summary,
