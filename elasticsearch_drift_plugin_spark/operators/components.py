@@ -98,6 +98,18 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _literal_df(spark, rows, columns, fields):
+    """Literal-backed DataFrame via the Arrow/pandas conversion: the plain
+    tuple path materializes through a Python-RDD decode that spawns a
+    Python worker on EVERY action (~0.4 s measured for a 700-row frame);
+    the Arrow path lands in the JVM as columnar batches (~0.08 s)."""
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=columns), schema=fields
+    )
+
+
 def _driver_union_find(edges: DataFrame) -> DataFrame:
     """Bounded-collect closure for small pair graphs: classic union-find
     with path compression, then component = min member id per root — the
@@ -129,7 +141,7 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
         f"node {out_schema['u'].dataType.simpleString()}, "
         f"component {out_schema['v'].dataType.simpleString()}"
     )
-    return spark.createDataFrame(sorted(comp.items()), fields)
+    return _literal_df(spark, sorted(comp.items()), ["node", "component"], fields)
 
 
 def connected_components(
@@ -344,6 +356,7 @@ def pagerank(
     damping_num: int = 85,
     quant: int = 1_000_000_000,
     tol_q: int = 1_000,
+    max_driver_edges: int | None = None,
 ) -> DataFrame:
     """(node, rank_q): integer-quantized PageRank over the undirected pair
     graph — the "which duplicate is the hub" / corpus-authority signal a
@@ -374,10 +387,44 @@ def pagerank(
     # send_q = f(rank_q, deg) is computed per edge row instead of per node —
     # identical integer arithmetic, identical result.
     deg = bidir.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    edges_deg = bidir.join(deg, "u").localCheckpoint(eager=True)
+    edges_deg = bidir.join(deg, "u").localCheckpoint(eager=False)
+    base_q = (100 - damping_num) * quant // 100
+    n_edges = edges_deg.count()
+    guard = MAX_DRIVER_EDGES if max_driver_edges is None else max_driver_edges
+    if n_edges <= guard:
+        # Small-graph fast path (r14, same guard/contract as
+        # connected_components): the quantized recurrence is exact integer
+        # arithmetic — Python // and % on the non-negative longs ARE
+        # Spark's div and pmod — so a driver replay over one bounded
+        # collect is bit-identical to the distributed loop, for the same
+        # reason the DuckDB recursive-CTE oracle is.
+        rows = edges_deg.collect()
+        adj = [(r["u"], r["v"], r["deg"]) for r in rows]
+        rank = {u: quant for u, _, _ in adj}
+        for _ in range(n_iter):
+            m: dict = {}
+            for u, v, d in adj:
+                m[v] = m.get(v, 0) + (rank[u] - rank[u] % d) // d
+            new_rank = {
+                node: base_q + (damping_num * m.get(node, 0)) // 100
+                for node in rank
+            }
+            moved = any(
+                abs(new_rank[n] - rank[n]) > int(tol_q) for n in rank
+            )
+            rank = new_rank
+            if not moved:
+                break
+        out = _literal_df(
+            edges.sparkSession,
+            sorted(rank.items()),
+            ["node", "rank_q"],
+            f"node {edges_deg.schema['u'].dataType.simpleString()}, rank_q long",
+        )
+        return out.orderBy(F.col("rank_q").desc(), "node")
+    # the count above already materialized the lazy checkpoint
     nodes = edges_deg.select(F.col("u").alias("node")).distinct()
     ranks = nodes.withColumn("rank_q", F.lit(quant).cast("long"))
-    base_q = (100 - damping_num) * quant // 100
     for _ in range(n_iter):
         contrib = (
             ranks.join(edges_deg, F.col("node") == F.col("u"))

@@ -325,6 +325,14 @@ def test_pagerank_hub_ordering_conservation_determinism(spark):
     # bit-identical across runs (integer fixpoint, no float accumulation)
     again = {r.node: r.rank_q for r in pagerank(edges, n_iter=8).collect()}
     assert again == ranks
+    # the driver fast path (default here) and the distributed loop
+    # (forced via max_driver_edges=0) are the same integer recurrence —
+    # bit-identical fixpoints
+    dist = {
+        r.node: r.rank_q
+        for r in pagerank(edges, n_iter=8, max_driver_edges=0).collect()
+    }
+    assert dist == ranks
 
 
 def test_containment_gemm_matches_postings_kernel(spark):
