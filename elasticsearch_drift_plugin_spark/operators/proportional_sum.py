@@ -432,22 +432,29 @@ def explode_contributions(
 
     carry = [F.col(g) for g in group_by] + [F.col(c) for c in extra_dep_cols]
 
-    # Materialize the validated/sampled/clamped expressions ONCE (r14):
-    # `s`/`e` carry the raise_error validation CASEs and `cs`/`ce` nest
-    # them again, and the explode's first/last/bucket-count expressions
-    # reference each several times. Spark's subexpression elimination is
-    # per-operator, so without this projection boundary the Generate
-    # re-evaluated the whole validated tree ~10x per input row (measured
-    # 0.27 s of the 1.7 s psum_day_lineitem exec). Values are identical —
-    # this only pins each expression to one column evaluation.
-    _CS, _CE = "__ps_cs", "__ps_ce"
-    base = base.select(
-        *carry, s.alias(_S), e.alias(_E), v.alias(_V),
-        cs.alias(_CS), ce.alias(_CE),
-    )
-    carry = [F.col(g) for g in group_by] + [F.col(c) for c in extra_dep_cols]
-    s, e, v = F.col(_S), F.col(_E), F.col(_V)
-    cs, ce = F.col(_CS), F.col(_CE)
+    # Materialize the validated/sampled/clamped expressions ONCE (r14) —
+    # but ONLY for zone-shifted grids (r15, VERDICT r14 item 1): `s`/`e`
+    # carry the raise_error validation CASEs and `cs`/`ce` nest them again,
+    # and the explode's first/last/bucket-count expressions reference each
+    # several times. Spark's subexpression elimination is per-operator, so
+    # without a projection boundary the Generate re-evaluates the whole
+    # tree per reference — which only matters when that tree contains
+    # from_utc_timestamp localizations (the tz paths; psum_fixed_tz exec
+    # 0.86 → 0.28 s). For the plain UTC grids the duplicated expressions
+    # are cheap long arithmetic, and the unconditional boundary REGRESSED
+    # the whole non-tz psum family 12–35% in the r14 driver window (an
+    # extra row-at-a-time projection stage per input row for nothing), so
+    # the non-tz trees keep their r13 shape. Values are identical either
+    # way — the boundary only pins each expression to one evaluation.
+    if p.tz is not None:
+        _CS, _CE = "__ps_cs", "__ps_ce"
+        base = base.select(
+            *carry, s.alias(_S), e.alias(_E), v.alias(_V),
+            cs.alias(_CS), ce.alias(_CE),
+        )
+        carry = [F.col(g) for g in group_by] + [F.col(c) for c in extra_dep_cols]
+        s, e, v = F.col(_S), F.col(_E), F.col(_V)
+        cs, ce = F.col(_CS), F.col(_CE)
 
     if p.kind == "fixed":
         step = p.step_ms
