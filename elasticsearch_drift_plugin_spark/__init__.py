@@ -26,6 +26,45 @@ Public API
 from .operators.proportional_sum import keyed_json, proportional_sum
 from .params import PSumParams, parse_interval, parse_offset
 
-__all__ = ["proportional_sum", "keyed_json", "PSumParams", "parse_interval", "parse_offset"]
+__all__ = [
+    "proportional_sum",
+    "keyed_json",
+    "PSumParams",
+    "parse_interval",
+    "parse_offset",
+    "clear_result_memos",
+]
 
 __version__ = "0.1.0"
+
+
+def clear_result_memos() -> None:
+    """Drop every cross-invocation memo of driver-collected job results.
+
+    Several operators memoize small driver-side artifacts that are
+    deterministic in (input plan, params) — IVF seed centroids, collected
+    probe vectors, the psum auto-strategy width sample, the GEMM hot-block
+    stat, and the trained classifier / DSIR model weights. Within one
+    application that reuse is the index/model-at-rest architecture (a
+    serving tier does not re-train per request). A TIMED benchmark
+    repetition, however, must pay the full per-query work every run — a
+    best-of-N loop where run 2 inherits run 1's collects under-reports the
+    query (VERDICT r14 item 2). Bench harnesses call this between timed
+    repetitions so every memo's lifetime is at most one query invocation
+    in bench context. Results are unaffected: every memoized value is
+    recomputed identically from the inputs.
+    """
+    import importlib
+
+    from .operators import corpus, dedup, similarity
+
+    # operators/__init__ rebinds the name `proportional_sum` to the
+    # function, so fetch the module itself
+    _psum_mod = importlib.import_module(f"{__name__}.operators.proportional_sum")
+
+    similarity._SEED_MEMO.clear()
+    similarity._QVEC_MEMO.clear()
+    _psum_mod._WIDTH_MEMO.clear()
+    dedup._HOT_BLOCK_MEMO.clear()
+    corpus._CLF_WEIGHTS_MEMO.clear()
+    corpus._DSIR_LAM_MEMO.clear()

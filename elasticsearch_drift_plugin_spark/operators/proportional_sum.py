@@ -812,11 +812,19 @@ def _estimated_fanout(
     )
     width = _WIDTH_MEMO.get(key)
     if width is None:
-        schema = {f.name: f.dataType for f in df.schema.fields}
+        # probe the un-widened twin when the source was repartitioned for
+        # downstream parallelism (sources.flows.widen_narrow_scan): a
+        # LocalLimit cannot push below a round-robin Exchange, so the head
+        # sample against the widened frame would scan and shuffle the WHOLE
+        # table (r15; ~0.9 s at sf0.1, unbounded at scale). The twin holds
+        # identical rows minus the repartition, so the limit pushes into
+        # the scan and the probe reads a handful of row groups.
+        src = getattr(df, "_spark_graft_probe_twin", df)
+        schema = {f.name: f.dataType for f in src.schema.fields}
         s = to_epoch_ms(F.col(start_col), schema[start_col])
         e = to_epoch_ms(F.col(end_col), schema[end_col])
         row = (
-            df.select((e - s).alias("__w"))
+            src.select((e - s).alias("__w"))
             .limit(sample_rows)
             .agg(F.avg("__w"))
             .first()

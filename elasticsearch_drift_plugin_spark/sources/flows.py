@@ -330,13 +330,28 @@ def lineitem_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, "__lineitem_flows")
     df = _SCAN_CACHE.get(key)
     if df is None:
-        li = widen_narrow_scan(load_table(spark, sf_dir, "lineitem"))
+        raw = load_table(spark, sf_dir, "lineitem")
+        li = widen_narrow_scan(raw)
         li.createOrReplaceTempView("__li_src")
         df = spark.sql(
             LINEITEM_FLOWS_SQL.format(
                 ship_ms="unix_millis(CAST(l_shipdate AS TIMESTAMP))", src="__li_src"
             )
         )
+        if li is not raw:
+            # un-widened twin for bounded head probes (r15): a LocalLimit
+            # cannot push below the widening round-robin Exchange, so a
+            # "first 1024 rows" control-plane sample against the widened
+            # frame scans AND shuffles the whole table (measured ~0.9 s at
+            # sf0.1). Same rows, same derivation SQL — only the repartition
+            # is absent, so the limit pushes into the parquet scan.
+            raw.createOrReplaceTempView("__li_src_nw")
+            df._spark_graft_probe_twin = spark.sql(
+                LINEITEM_FLOWS_SQL.format(
+                    ship_ms="unix_millis(CAST(l_shipdate AS TIMESTAMP))",
+                    src="__li_src_nw",
+                )
+            )
         _SCAN_CACHE[key] = df
     return df
 

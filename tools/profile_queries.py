@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
 import bench as benchmod
+from elasticsearch_drift_plugin_spark import clear_result_memos
 from elasticsearch_drift_plugin_spark.session import get_spark
 
 STEAL_TICKS_MAX = int(os.environ.get("SPARK_GRAFT_STEAL_TICKS_MAX", "25"))
@@ -65,6 +66,8 @@ def main() -> None:
         attempts = 0
         while clean < 2 and attempts < 2 + MAX_RETRIES:
             attempts += 1
+            # memo-cold per repetition, same as the committed bench loop
+            clear_result_memos()
             s0 = _steal_ticks()
             t0 = time.time()
             df = qs[name](spark, sf_dir)
