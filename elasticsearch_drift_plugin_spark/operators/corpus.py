@@ -1961,9 +1961,6 @@ def bpe_train(
     would hash-mismatch there; the classic low/lower/newest/widest golden
     is additionally pinned in pytest.
     """
-    import heapq
-    from collections import Counter
-
     rows = (
         docs.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
         .where(F.length("w") >= 1)
@@ -1973,8 +1970,23 @@ def bpe_train(
         .limit(int(max_vocab))
         .collect()
     )
-    vocab = [list(r.w) + [BPE_END] for r in rows]
-    freq = [int(r.c) for r in rows]
+    merges = _bpe_merge_loop(
+        [list(r.w) + [BPE_END] for r in rows], [int(r.c) for r in rows],
+        int(n_merges),
+    )
+    return _bpe_merge_frame(docs.sparkSession, merges)
+
+
+def _bpe_merge_loop(
+    vocab: list, freq: list, n_merges: int
+) -> list:
+    """The incremental driver BPE kernel shared by :func:`bpe_train` and
+    the small-vocab fast path of :func:`bpe_train_distributed`: pair→word
+    inverted index + lazy max-heap; ``vocab`` is a list of per-word symbol
+    lists (mutated in place), ``freq`` the aligned word counts. Output is
+    independent of word order (counts are order-free integer sums)."""
+    import heapq
+    from collections import Counter
 
     counts: dict[tuple[str, str], int] = {}
     where: dict[tuple[str, str], set[int]] = {}
@@ -2029,9 +2041,40 @@ def bpe_train(
                 d = new.get(p, 0) - old.get(p, 0)
                 if d or (p in new) != (p in old):
                     bump(p, d * c, wid, p in new)
-    spark = docs.sparkSession
+    return merges
+
+
+def _bpe_merge_frame(spark, merges: list) -> DataFrame:
+    """Merge table as a literal-backed DataFrame via the pandas/Arrow
+    conversion (the components._literal_df lesson: the plain tuple path
+    decodes through a Python-RDD scan that spawns a Python worker on every
+    action)."""
+    schema = "rank long, left string, right string, pair_count long"
+    if not merges:
+        return spark.createDataFrame([], schema)
+    import pandas as pd
+
     return spark.createDataFrame(
-        merges, "rank long, left string, right string, pair_count long"
+        pd.DataFrame(merges, columns=["rank", "left", "right", "pair_count"]),
+        schema=schema,
+    )
+
+
+#: Below this many vocab words the distributed merge loop routes to the
+#: driver kernel (same guarded-fast-path contract as
+#: components.MAX_DRIVER_EDGES): driver state is O(vocab · avg_len) — a
+#: 100k-word vocab is a few tens of MB — while the executor-resident loop
+#: pays ~1 job per accepted-merge batch. Env override is read at CALL time
+#: (ADVICE r14 item 4) so in-session A/B toggling works; <= 0 forces the
+#: distributed path (what the equality tests use).
+BPE_DRIVER_VOCAB = 100_000
+
+
+def _bpe_driver_vocab_guard() -> int:
+    import os
+
+    return int(
+        os.environ.get("SPARK_GRAFT_BPE_DRIVER_VOCAB", str(BPE_DRIVER_VOCAB))
     )
 
 
@@ -2041,6 +2084,7 @@ def bpe_train_distributed(
     max_vocab: int = 50_000,
     text_col: str = "text",
     merge_batch: int = 8,
+    max_driver_vocab: int | None = None,
 ) -> DataFrame:
     """:func:`bpe_train` with the vocab table resident on the EXECUTORS —
     the shape for vocabularies too large (or merge counts too long) for a
@@ -2068,6 +2112,13 @@ def bpe_train_distributed(
     collect); below ~100k merges on a laptop the driver backend is
     faster because dispatch dominates. Both backends share the
     corpus-sized word-count stage; only the Zipf-bounded vocab iterates.
+
+    r15: vocabularies at or below ``max_driver_vocab`` (default
+    :data:`BPE_DRIVER_VOCAB`, env ``SPARK_GRAFT_BPE_DRIVER_VOCAB`` read at
+    call time; <= 0 forces distributed) route to the shared driver kernel
+    off the already-counted vocab — the components-guard contract: the
+    word-frequency stage is distributed either way, only the Zipf-bounded
+    merge loop moves, and the merge table is bit-identical.
 
     r11: ``merge_batch`` (default 8) amortizes the dispatch floor — up to
     that many merges run as CHAINED folds in ONE job, with per-step
@@ -2097,13 +2148,36 @@ def bpe_train_distributed(
     vocab = wc.select(
         "w", "c",
         F.concat(F.split("w", ""), F.array(F.lit(BPE_END))).alias("syms"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
+    # lazy checkpoint: the count below is the first action, so ONE job both
+    # materializes the word-count table and returns its size (the
+    # components-loop trick)
+    n_rows = vocab.count()
+    guard = (
+        _bpe_driver_vocab_guard() if max_driver_vocab is None
+        else max_driver_vocab
+    )
+    if guard > 0 and n_rows <= guard:
+        # Small-vocab fast path (r15, VERDICT r14 item 6 — the
+        # components-style guard): the merge loop is driver-bounded by the
+        # vocab the distributed path ALREADY collected counts over, so one
+        # bounded (w, c) collect + the shared incremental kernel replaces
+        # ~n_merges/merge_batch executor jobs. Bit-identical by
+        # construction — both backends run the same argmax key and merge
+        # rule (pytest-pinned equality), and the merge table is
+        # independent of word order.
+        rows = vocab.select("w", "c").collect()
+        merges = _bpe_merge_loop(
+            [list(r.w) + [BPE_END] for r in rows],
+            [int(r.c) for r in rows],
+            int(n_merges),
+        )
+        return _bpe_merge_frame(spark, merges)
     # size the iterated frame to the vocab, not to the cluster: a
     # Zipf-bounded vocab spread over 32 near-empty partitions multiplies
     # the per-merge task floor for zero parallelism gain. ~8k words per
     # partition keeps task payloads real; a max_vocab-sized table still
     # fans out fully.
-    n_rows = vocab.count()
     n_parts = max(1, min(spark.sparkContext.defaultParallelism, n_rows // 8192))
     vocab = vocab.repartition(n_parts).localCheckpoint(eager=True)
 

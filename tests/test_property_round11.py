@@ -172,8 +172,8 @@ def test_bpe_batched_equals_sequential_random_corpus(spark, seed):
         [(" ".join(rng.choices(words, k=12)),) for _ in range(25)],
         "text string",
     )
-    seq = [tuple(r) for r in bpe_train_distributed(docs, n_merges=12, merge_batch=1).collect()]
-    bat = [tuple(r) for r in bpe_train_distributed(docs, n_merges=12, merge_batch=8).collect()]
+    seq = [tuple(r) for r in bpe_train_distributed(docs, n_merges=12, merge_batch=1, max_driver_vocab=0).collect()]
+    bat = [tuple(r) for r in bpe_train_distributed(docs, n_merges=12, merge_batch=8, max_driver_vocab=0).collect()]
     assert seq == bat and len(seq) >= 5
 
 

@@ -110,6 +110,6 @@ def test_bpe_train_distributed_matches_driver_backend_random(spark):
         for i in range(40)
     ]
     docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
-    got = [tuple(r) for r in bpe_train_distributed(docs, n_merges=12).collect()]
+    got = [tuple(r) for r in bpe_train_distributed(docs, n_merges=12, max_driver_vocab=0).collect()]
     want = [tuple(r) for r in bpe_train(docs, n_merges=12).collect()]
     assert got == want

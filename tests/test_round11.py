@@ -410,8 +410,8 @@ def test_bpe_batched_bit_identical_sennrich(spark):
     )
 
     docs = _sennrich_docs(spark)
-    seq = [tuple(r) for r in bpe_train_distributed(docs, n_merges=10, merge_batch=1).collect()]
-    bat = [tuple(r) for r in bpe_train_distributed(docs, n_merges=10, merge_batch=8).collect()]
+    seq = [tuple(r) for r in bpe_train_distributed(docs, n_merges=10, merge_batch=1, max_driver_vocab=0).collect()]
+    bat = [tuple(r) for r in bpe_train_distributed(docs, n_merges=10, merge_batch=8, max_driver_vocab=0).collect()]
     drv = [tuple(r) for r in bpe_train(docs, n_merges=10).collect()]
     assert seq == bat == drv
     # the classic first merges: (e,s) then the CHAINED (es,t), (est,</w>)
@@ -424,8 +424,8 @@ def test_bpe_batched_bit_identical_driver_corpus(spark):
     )
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    seq = [tuple(r) for r in bpe_train_distributed(docs, n_merges=20, merge_batch=1).collect()]
-    bat = [tuple(r) for r in bpe_train_distributed(docs, n_merges=20, merge_batch=8).collect()]
+    seq = [tuple(r) for r in bpe_train_distributed(docs, n_merges=20, merge_batch=1, max_driver_vocab=0).collect()]
+    bat = [tuple(r) for r in bpe_train_distributed(docs, n_merges=20, merge_batch=8, max_driver_vocab=0).collect()]
     assert seq == bat
 
 
@@ -438,8 +438,8 @@ def test_bpe_batched_nasty_symbols(spark):
 
     rows = [("d'o d'o d'o a\\b a\\b éé éé éé",)]
     docs = spark.createDataFrame(rows * 3, "text string")
-    seq = [tuple(r) for r in bpe_train_distributed(docs, n_merges=6, merge_batch=1).collect()]
-    bat = [tuple(r) for r in bpe_train_distributed(docs, n_merges=6, merge_batch=8).collect()]
+    seq = [tuple(r) for r in bpe_train_distributed(docs, n_merges=6, merge_batch=1, max_driver_vocab=0).collect()]
+    bat = [tuple(r) for r in bpe_train_distributed(docs, n_merges=6, merge_batch=8, max_driver_vocab=0).collect()]
     assert seq == bat and len(seq) >= 3
     syms = {m[1] for m in seq} | {m[2] for m in seq}
     assert any("'" in s or "\\" in s or "é" in s for s in syms)

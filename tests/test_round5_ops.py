@@ -260,7 +260,7 @@ def test_bpe_train_distributed_matches_driver(spark):
         [(0, " ".join(golden))], "doc_id long, text string"
     )
     want = [tuple(r) for r in bpe_train(docs, n_merges=12).collect()]
-    got = [tuple(r) for r in bpe_train_distributed(docs, n_merges=12).collect()]
+    got = [tuple(r) for r in bpe_train_distributed(docs, n_merges=12, max_driver_vocab=0).collect()]
     assert got == want and len(want) == 12
 
     rng = random.Random(11)
@@ -272,7 +272,7 @@ def test_bpe_train_distributed_matches_driver(spark):
         "doc_id long, text string",
     ).repartition(8).localCheckpoint(eager=True)
     t0 = time.time()
-    got2 = [tuple(r) for r in bpe_train_distributed(docs2, n_merges=60).collect()]
+    got2 = [tuple(r) for r in bpe_train_distributed(docs2, n_merges=60, max_driver_vocab=0).collect()]
     dt = time.time() - t0
     want2 = [tuple(r) for r in bpe_train(docs2, n_merges=60).collect()]
     assert got2 == want2 and len(want2) == 60
