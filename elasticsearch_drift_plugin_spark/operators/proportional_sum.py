@@ -42,7 +42,6 @@ from pyspark.sql import types as T
 
 from ..functions.time import (
     calendar_interval_expr,
-    floor_calendar,
     floor_fixed_ms,
     local_ts_to_utc_ms,
     to_epoch_ms,
@@ -54,6 +53,32 @@ _S, _E, _V, _KEY, _WEND, _TB = "__ps_s", "__ps_e", "__ps_v", "key", "__ps_wend",
 _LK = "__ps_local_key"  # fixed+tz: the bucket's LOCAL wall-clock ms edge
 
 OUTPUT_COLUMNS = ("key", "key_ts", "doc_count", "value")
+
+
+def _qid(name: str) -> str:
+    """Backtick-quoted SQL identifier (column names may contain dots)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _ms_sql(col_sql: str, dtype: T.DataType) -> str:
+    """SQL-text twin of :func:`functions.time.to_epoch_ms` — the whole
+    operator prefix is built as SQL strings since r15 so construction is
+    ONE parse instead of hundreds of py4j round trips (the BPE ``_sql_str``
+    lesson; ~0.25 s of driver latency per psum construction measured)."""
+    if isinstance(dtype, T.TimestampType):
+        return f"unix_millis({col_sql})"
+    if isinstance(dtype, (T.TimestampNTZType, T.DateType)):
+        return f"unix_millis(CAST({col_sql} AS TIMESTAMP))"
+    return f"CAST({col_sql} AS BIGINT)"
+
+
+def _check_sql(cond_sql: str, msg_sql: str, value_sql: str, vtype: str) -> str:
+    """SQL-text twin of :func:`_check` (same expression tree: the parser
+    builds the identical CaseWhen/raise_error nodes Column algebra did)."""
+    return (
+        f"CASE WHEN (NOT ({cond_sql})) THEN CAST(raise_error({msg_sql}) AS"
+        f" {vtype}) ELSE {value_sql} END"
+    )
 
 
 def _ms_param(x) -> int | None:
@@ -79,6 +104,13 @@ def _time_lit(ms: int, dtype: T.DataType) -> Column:
     if isinstance(dtype, (T.TimestampType, T.DateType)):
         return F.timestamp_millis(F.lit(ms))
     return F.lit(ms)
+
+
+def _time_lit_sql(ms: int, dtype: T.DataType) -> str:
+    """SQL-text twin of :func:`_time_lit`."""
+    if isinstance(dtype, (T.TimestampType, T.DateType)):
+        return f"timestamp_millis({int(ms)}L)"
+    return f"{int(ms)}L"
 
 
 def _check(cond: Column, message: Column, value: Column) -> Column:
@@ -430,7 +462,7 @@ def explode_contributions(
         df, start_col, end_col, value_col, sampling_col, p, validate
     )
 
-    carry = [F.col(g) for g in group_by] + [F.col(c) for c in extra_dep_cols]
+    carry = [_qid(g) for g in group_by] + [_qid(c) for c in extra_dep_cols]
 
     # Materialize the validated/sampled/clamped expressions ONCE (r14) —
     # but ONLY for zone-shifted grids (r15, VERDICT r14 item 1): `s`/`e`
@@ -448,39 +480,40 @@ def explode_contributions(
     # way — the boundary only pins each expression to one evaluation.
     if p.tz is not None:
         _CS, _CE = "__ps_cs", "__ps_ce"
-        base = base.select(
-            *carry, s.alias(_S), e.alias(_E), v.alias(_V),
-            cs.alias(_CS), ce.alias(_CE),
+        base = base.selectExpr(
+            *carry, f"({s}) AS {_S}", f"({e}) AS {_E}", f"({v}) AS {_V}",
+            f"({cs}) AS {_CS}", f"({ce}) AS {_CE}",
         )
-        carry = [F.col(g) for g in group_by] + [F.col(c) for c in extra_dep_cols]
-        s, e, v = F.col(_S), F.col(_E), F.col(_V)
-        cs, ce = F.col(_CS), F.col(_CE)
+        s, e, v = _S, _E, _V
+        cs, ce = _CS, _CE
 
     if p.kind == "fixed":
         step = p.step_ms
-        first = floor_fixed_ms(cs, step, p.offset_ms)
-        last = floor_fixed_ms(ce, step, p.offset_ms)
-        n_buckets = (last - first) / F.lit(step) + 1
-        first = _check(
-            n_buckets <= max_buckets_per_row,
-            F.concat(
-                F.lit("too many buckets for one row (max "),
-                F.lit(str(max_buckets_per_row)),
-                F.lit("): "),
-                n_buckets.cast("string"),
-            ),
+
+        def floor_fixed_sql(t: str) -> str:
+            return f"(({t}) - pmod(({t}) - {p.offset_ms}, {step}))"
+
+        first = floor_fixed_sql(cs)
+        last = floor_fixed_sql(ce)
+        n_buckets = f"(((({last}) - ({first})) / {step}) + 1)"
+        first = _check_sql(
+            f"({n_buckets}) <= {max_buckets_per_row}",
+            f"concat('too many buckets for one row (max ',"
+            f" '{max_buckets_per_row}', '): ',"
+            f" CAST(({n_buckets}) AS STRING))",
             first,
+            "BIGINT",
         )
         if p.tz is None:
-            exploded = base.select(
+            exploded = base.selectExpr(
                 *carry,
-                s.alias(_S),
-                e.alias(_E),
-                v.alias(_V),
-                F.explode(F.sequence(first, last, F.lit(step))).alias(_KEY),
+                f"({s}) AS {_S}",
+                f"({e}) AS {_E}",
+                f"({v}) AS {_V}",
+                f"explode(sequence({first}, {last}, {step})) AS {_KEY}",
             )
-            win_end = F.col(_KEY) + F.lit(step)
-            bucket_lo = F.col(_KEY)
+            win_end = f"({_KEY} + {step})"
+            bucket_lo = _KEY
         else:
             # r13 fixed+tz: the grid lives in LOCAL wall-clock ms (the
             # calendar branch's _TB pattern) — overlap math stays in
@@ -488,49 +521,68 @@ def explode_contributions(
             # boundary, so a spring-forward gap bucket MERGES with its
             # post-gap neighbor at the aggregation (ES's gap-collapse
             # for data, same as the calendar path's shared-key merge).
-            exploded = base.select(
+            exploded = base.selectExpr(
                 *carry,
-                s.alias(_S),
-                e.alias(_E),
-                v.alias(_V),
-                F.explode(F.sequence(first, last, F.lit(step))).alias(_LK),
+                f"({s}) AS {_S}",
+                f"({e}) AS {_E}",
+                f"({v}) AS {_V}",
+                f"explode(sequence({first}, {last}, {step})) AS {_LK}",
             ).withColumn(
                 _KEY,
-                F.unix_millis(
-                    F.to_utc_timestamp(F.timestamp_millis(F.col(_LK)), p.tz)
+                F.expr(
+                    f"unix_millis(to_utc_timestamp(timestamp_millis({_LK}),"
+                    f" '{p.tz}'))"
                 ),
             )
-            win_end = F.col(_LK) + F.lit(step)
-            bucket_lo = F.col(_LK)
+            win_end = f"({_LK} + {step})"
+            bucket_lo = _LK
     else:
         unit = p.unit
+
         # With p.tz the truncated timestamps hold LOCAL wall time: the
         # sequence steps uniformly in the local calendar (DST-safe) and each
         # boundary converts back to its UTC instant for key/overlap math.
-        tb_first = floor_calendar(cs, unit, p.offset_ms, p.tz)
-        tb_last = floor_calendar(ce, unit, p.offset_ms, p.tz)
-        n_approx = (F.unix_millis(tb_last) - F.unix_millis(tb_first)) / F.lit(p.min_bucket_ms) + 1
-        tb_first = _check(
-            n_approx <= max_buckets_per_row,
-            F.concat(
-                F.lit("too many buckets for one row (max "),
-                F.lit(str(max_buckets_per_row)),
-                F.lit("): ~"),
-                n_approx.cast("string"),
-            ),
-            tb_first,
+        def floor_cal_sql(t: str) -> str:
+            ts = f"timestamp_millis(({t}) - {p.offset_ms})"
+            if p.tz:
+                ts = f"from_utc_timestamp({ts}, '{p.tz}')"
+            return f"date_trunc('{unit}', {ts})"
+
+        def to_utc_ms_sql(ts: str) -> str:
+            if p.tz:
+                ts = f"to_utc_timestamp({ts}, '{p.tz}')"
+            return f"unix_millis({ts})"
+
+        tb_first = floor_cal_sql(cs)
+        tb_last = floor_cal_sql(ce)
+        n_approx = (
+            f"(((unix_millis({tb_last}) - unix_millis({tb_first}))"
+            f" / {p.min_bucket_ms}) + 1)"
         )
-        exploded = base.select(
+        tb_first = _check_sql(
+            f"({n_approx}) <= {max_buckets_per_row}",
+            f"concat('too many buckets for one row (max ',"
+            f" '{max_buckets_per_row}', '): ~',"
+            f" CAST(({n_approx}) AS STRING))",
+            tb_first,
+            "TIMESTAMP",
+        )
+        exploded = base.selectExpr(
             *carry,
-            s.alias(_S),
-            e.alias(_E),
-            v.alias(_V),
-            F.explode(F.sequence(tb_first, tb_last, calendar_interval_expr(unit))).alias(_TB),
-        ).withColumn(_KEY, local_ts_to_utc_ms(F.col(_TB), p.tz) + F.lit(p.offset_ms))
-        win_end = local_ts_to_utc_ms(
-            F.col(_TB) + calendar_interval_expr(unit), p.tz
-        ) + F.lit(p.offset_ms)
-        bucket_lo = F.col(_KEY)
+            f"({s}) AS {_S}",
+            f"({e}) AS {_E}",
+            f"({v}) AS {_V}",
+            f"explode(sequence({tb_first}, {tb_last}, INTERVAL 1 {unit}))"
+            f" AS {_TB}",
+        ).withColumn(
+            _KEY,
+            F.expr(f"({to_utc_ms_sql(_TB)} + {p.offset_ms})"),
+        )
+        win_end = (
+            f"({to_utc_ms_sql(f'({_TB} + INTERVAL 1 {unit})')}"
+            f" + {p.offset_ms})"
+        )
+        bucket_lo = _KEY
 
     # Proportional ratio against the UNCLAMPED row range
     # (ProportionalSumAggregator.java:193-204, :222-228 getTimeInWindow):
@@ -538,32 +590,42 @@ def explode_contributions(
     # bucket_lo is the bucket's lower edge in the SAME time-space as
     # _S/_E: UTC ms normally, LOCAL wall ms for the fixed+tz grid (where
     # _KEY already holds the converted UTC instant).
-    overlap = F.greatest(
-        F.least(win_end, F.col(_E)) - F.greatest(bucket_lo, F.col(_S)), F.lit(0)
+    overlap = (
+        f"greatest(least({win_end}, {_E}) - greatest({bucket_lo}, {_S}), 0)"
     )
-    dur = F.col(_E) - F.col(_S)
-    ratio = F.when(dur != 0, overlap.cast("double") / dur.cast("double")).otherwise(F.lit(1.0))
-    return exploded, F.col(_V) * ratio
+    contrib = (
+        f"({_V} * CASE WHEN (NOT (({_E} - {_S}) = 0)) THEN"
+        f" (CAST(({overlap}) AS DOUBLE) / CAST(({_E} - {_S}) AS DOUBLE))"
+        f" ELSE 1.0D END)"
+    )
+    return exploded, F.expr(contrib)
 
 
 def _prepare_flows(df, start_col, end_col, value_col, sampling_col, p, validate):
     """Shared validate → sample → pre-filter → clamp prefix: returns
-    ``(base_df, s, e, v, cs, ce)`` expressions used by both aggregation
-    strategies and the streaming variant (single source of truth)."""
+    ``(base_df, s, e, v, cs, ce)`` SQL-text expressions used by both
+    aggregation strategies and the streaming variant (single source of
+    truth). SQL strings since r15: the whole prefix lands in the JVM as
+    one parse per consuming ``selectExpr``/``where`` instead of hundreds
+    of py4j round trips — the expression trees are identical."""
     schema = {f.name: f.dataType for f in df.schema.fields}
 
-    s = to_epoch_ms(F.col(start_col), schema[start_col])
-    e = to_epoch_ms(F.col(end_col), schema[end_col])
+    s = _ms_sql(_qid(start_col), schema[start_col])
+    e = _ms_sql(_qid(end_col), schema[end_col])
     if validate:
-        s = _check(
-            s >= 0,
-            F.concat(F.lit(f"field [{start_col}] must be >= 0, got "), s.cast("string")),
+        s = _check_sql(
+            f"({s}) >= 0",
+            f"concat('field [{start_col}] must be >= 0, got ',"
+            f" CAST(({s}) AS STRING))",
             s,
+            "BIGINT",
         )
-        e = _check(
-            (e >= 0) & (e >= s),
-            F.concat(F.lit(f"field [{end_col}] must be >= 0 and >= [{start_col}], got "), e.cast("string")),
+        e = _check_sql(
+            f"(({e}) >= 0) AND (({e}) >= ({s}))",
+            f"concat('field [{end_col}] must be >= 0 and >= [{start_col}],"
+            f" got ', CAST(({e}) AS STRING))",
             e,
+            "BIGINT",
         )
     local_fixed = p.kind == "fixed" and p.tz is not None
     if local_fixed:
@@ -581,30 +643,32 @@ def _prepare_flows(df, start_col, end_col, value_col, sampling_col, p, validate)
         # clamps to an instant at its localized start — full mass to that
         # bucket, the zero-duration ⇒ ratio-1 rule. Raw-column validation
         # (end >= start >= 0) already ran above, on UTC values.
-        def _loc_ms(x):
-            return F.unix_millis(
-                F.from_utc_timestamp(F.timestamp_millis(x), p.tz)
+        def _loc_ms(x: str) -> str:
+            return (
+                f"unix_millis(from_utc_timestamp(timestamp_millis({x}),"
+                f" '{p.tz}'))"
             )
 
         s_loc = _loc_ms(s)
-        e = F.greatest(_loc_ms(e), s_loc)
+        e = f"greatest({_loc_ms(e)}, {s_loc})"
         s = s_loc
 
     # Sampling scale-up: applied iff present, finite and != 0
     # (ProportionalSumAggregator.java:171-180).
-    v = F.col(value_col).cast("double")
-    v = F.when(F.isnan(v), F.lit(None).cast("double")).otherwise(v)
+    v0 = f"CAST({_qid(value_col)} AS DOUBLE)"
+    v = (
+        f"CASE WHEN isnan({v0}) THEN CAST(NULL AS DOUBLE)"
+        f" ELSE {v0} END"
+    )
     if sampling_col is not None:
-        sm = F.col(sampling_col).cast("double")
-        factor = F.when(
-            sm.isNotNull()
-            & ~F.isnan(sm)
-            & (sm != F.lit(float("inf")))
-            & (sm != F.lit(float("-inf")))
-            & (sm != 0),
-            sm,
-        ).otherwise(F.lit(1.0))
-        v = v * factor
+        sm = f"CAST({_qid(sampling_col)} AS DOUBLE)"
+        factor = (
+            f"CASE WHEN (((({sm}) IS NOT NULL AND (NOT isnan({sm})))"
+            f" AND (NOT (({sm}) = double('Infinity'))))"
+            f" AND (NOT (({sm}) = double('-Infinity'))))"
+            f" AND (NOT (({sm}) = 0)) THEN {sm} ELSE 1.0D END"
+        )
+        v = f"(({v}) * ({factor}))"
 
     # Rows whose bucket loop would not execute are dropped BEFORE the explode —
     # literal comparisons on the raw columns, so parquet row-group skipping and
@@ -619,30 +683,36 @@ def _prepare_flows(df, start_col, end_col, value_col, sampling_col, p, validate)
         # them), so the cut compares the converted expressions — a
         # codegen filter, not a raw-column pushdown (the documented cost
         # of the zone extension; the conversion itself is scan-side).
-        conv_raw = lambda c: F.unix_millis(  # noqa: E731
-            F.from_utc_timestamp(
-                F.timestamp_millis(to_epoch_ms(F.col(c), schema[c])), p.tz
+        def conv_raw(c: str) -> str:
+            inner = _ms_sql(_qid(c), schema[c])
+            return (
+                f"unix_millis(from_utc_timestamp(timestamp_millis({inner}),"
+                f" '{p.tz}'))"
             )
-        )
+
         if lo is not None:
             # the effective end is the CLAMPED local end (fall-back
             # inversion collapses to the start) — same value the
             # contribution math uses, so the cut drops exactly the
             # rows whose bucket loop would not execute
-            base = base.filter(
-                F.greatest(conv_raw(end_col), conv_raw(start_col))
-                >= F.lit(lo)
+            base = base.where(
+                f"greatest({conv_raw(end_col)}, {conv_raw(start_col)})"
+                f" >= {int(lo)}L"
             )
         if hi is not None:
-            base = base.filter(conv_raw(start_col) < F.lit(hi))
+            base = base.where(f"{conv_raw(start_col)} < {int(hi)}L")
     else:
         if lo is not None:
-            base = base.filter(F.col(end_col) >= _time_lit(lo, schema[end_col]))
+            base = base.where(
+                f"{_qid(end_col)} >= {_time_lit_sql(lo, schema[end_col])}"
+            )
         if hi is not None:
-            base = base.filter(F.col(start_col) < _time_lit(hi, schema[start_col]))
+            base = base.where(
+                f"{_qid(start_col)} < {_time_lit_sql(hi, schema[start_col])}"
+            )
 
-    cs = F.greatest(s, F.lit(p.start)) if p.start is not None else s
-    ce = F.least(e, F.lit(p.end)) if p.end is not None else e
+    cs = f"greatest({s}, {int(p.start)}L)" if p.start is not None else s
+    ce = f"least({e}, {int(p.end)}L)" if p.end is not None else e
     return base, s, e, v, cs, ce
 
 
@@ -680,9 +750,14 @@ def _sweep_fixed(
     (``strategy='sweep'``) for flows spanning thousands of buckets; the
     default explode path's map-side combine is better below that.
     """
-    base, s, e, v, cs, ce = _prepare_flows(
+    base, s_sql, e_sql, v_sql, cs_sql, ce_sql = _prepare_flows(
         df, start_col, end_col, value_col, sampling_col, p, validate
     )
+    # the sweep's record-builder composes Column algebra; wrap the shared
+    # SQL-text prefix once (construction here is not hot — sweep is the
+    # extreme-fanout path)
+    s, e, v = F.expr(s_sql), F.expr(e_sql), F.expr(v_sql)
+    cs, ce = F.expr(cs_sql), F.expr(ce_sql)
     step, off = p.step_ms, p.offset_ms
     scale = float(10**quantize)
     fb = floor_fixed_ms(cs, step, off)
@@ -821,15 +896,15 @@ def _estimated_fanout(
         # the scan and the probe reads a handful of row groups.
         src = getattr(df, "_spark_graft_probe_twin", df)
         schema = {f.name: f.dataType for f in src.schema.fields}
-        s = to_epoch_ms(F.col(start_col), schema[start_col])
-        e = to_epoch_ms(F.col(end_col), schema[end_col])
-        row = (
-            src.select((e - s).alias("__w"))
-            .limit(sample_rows)
-            .agg(F.avg("__w"))
-            .first()
-        )
-        width = float(row[0]) if row[0] is not None else 0.0
+        s = _ms_sql(_qid(start_col), schema[start_col])
+        e = _ms_sql(_qid(end_col), schema[end_col])
+        # take(), not limit().agg(): CollectLimit scans partitions
+        # incrementally from the first (one job, no single-partition
+        # exchange + second aggregate stage) and the head rows average on
+        # the driver — bounded by sample_rows either way
+        rows = src.selectExpr(f"(({e}) - ({s})) AS __w").take(sample_rows)
+        vals = [r["__w"] for r in rows if r["__w"] is not None]
+        width = float(sum(vals)) / len(vals) if vals else 0.0
         _WIDTH_MEMO[key] = width
     return width / float(step_ms)
 
