@@ -47,9 +47,22 @@ from .proportional_sum_stream import proportional_sum_stream
 HOUR = 3_600_000
 
 
-REPLAY_SHUFFLE_PARTITIONS = int(
-    os.environ.get("SPARK_GRAFT_REPLAY_SHUFFLE_PARTITIONS", "2")
-)
+#: Default shuffle-partition count for bounded replays. A stateful
+#: streaming agg creates (and commits, per micro-batch) one state store per
+#: shuffle partition; the replay tables are result-sized, so one store is
+#: the floor (r15: minimal stateful replay 0.89 s at 2 partitions /
+#: 0.70 s at 1). The env override is read at CALL time (ADVICE r14
+#: item 4) so in-session A/B toggling works.
+REPLAY_SHUFFLE_PARTITIONS = 1
+
+
+def _replay_shuffle_partitions() -> int:
+    return int(
+        os.environ.get(
+            "SPARK_GRAFT_REPLAY_SHUFFLE_PARTITIONS",
+            str(REPLAY_SHUFFLE_PARTITIONS),
+        )
+    )
 
 # spark.sql.shuffle.partitions is SESSION-global: two concurrent bounded
 # replays could interleave set/restore and leave the session pinned at the
@@ -91,7 +104,26 @@ def run_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
     ckpt = os.path.join(ckpt_base, f"ckpt_{name}")
     with _REPLAY_LOCK:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(REPLAY_SHUFFLE_PARTITIONS))
+        prev_nodata = spark.conf.get(
+            "spark.sql.streaming.noDataMicroBatches.enabled"
+        )
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(_replay_shuffle_partitions())
+        )
+        # Skip the trailing NO-DATA micro-batch (r15, ~0.25 s/replay of
+        # start/commit machinery): every replay operator emits its final
+        # rows on DATA batches — complete-mode sinks are overwritten with
+        # the full aggregation each batch, append sinks are stateless
+        # map-only, and the sessionize replay runs without an idle timeout
+        # (open sessions emit with open=true on the data batch; the
+        # collapse step already folds them) — so an empty batch can never
+        # add or change sink rows. Scoped to the bounded replay and
+        # restored; production streams that use event-time timeouts or
+        # watermark-closed emissions need no-data batches and keep the
+        # session default.
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", "false"
+        )
         try:
             q = (
                 stream_df.writeStream.outputMode(output_mode)
@@ -107,6 +139,9 @@ def run_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
                 q.stop()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+            spark.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+            )
             shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
