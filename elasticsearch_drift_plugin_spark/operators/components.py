@@ -53,7 +53,15 @@ from pyspark.sql import functions as F
 # of ~6 stages each. Above it, the large/small-star loop (the 100 TB
 # shape) runs unchanged. Both produce component = min reachable id, so
 # results are identical by construction (pytest-pinned both ways).
-MAX_DRIVER_EDGES = int(os.environ.get("SPARK_GRAFT_CC_DRIVER_EDGES", "200000"))
+MAX_DRIVER_EDGES = 200_000
+
+
+def _driver_edge_guard() -> int:
+    """Env override read at CALL time (ADVICE r14 item 4) so in-session
+    A/B toggling works; <= 0 forces the distributed path."""
+    return int(
+        os.environ.get("SPARK_GRAFT_CC_DRIVER_EDGES", str(MAX_DRIVER_EDGES))
+    )
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -181,8 +189,13 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
     prev = _fingerprint(edges)
-    guard = MAX_DRIVER_EDGES if max_driver_edges is None else max_driver_edges
-    if prev[0] <= guard:
+    guard = _driver_edge_guard() if max_driver_edges is None else max_driver_edges
+    # guard <= 0 means "always distributed" (ADVICE r14 item 3: the tests'
+    # documented way to force the star loop — an empty graph must not slip
+    # through 0 <= 0). Gate on the DIRECTED distinct edge count; pagerank
+    # divides its symmetrized count by 2 so the same graph routes the same
+    # way near the guard in both operators.
+    if guard > 0 and prev[0] <= guard:
         return _driver_union_find(edges)
     for _ in range(max_rounds):
         nxt = _small_star(_large_star(edges)).localCheckpoint(eager=False)
@@ -390,8 +403,12 @@ def pagerank(
     edges_deg = bidir.join(deg, "u").localCheckpoint(eager=False)
     base_q = (100 - damping_num) * quant // 100
     n_edges = edges_deg.count()
-    guard = MAX_DRIVER_EDGES if max_driver_edges is None else max_driver_edges
-    if n_edges <= guard:
+    guard = _driver_edge_guard() if max_driver_edges is None else max_driver_edges
+    # n_edges counts the SYMMETRIZED (bidirectional) rows — ~2x the
+    # directed distinct count connected_components gates on — so compare
+    # against 2*guard to keep the two operators' routing consistent near
+    # the boundary (ADVICE r14 item 3); guard <= 0 forces distributed.
+    if guard > 0 and n_edges <= 2 * guard:
         # Small-graph fast path (r14, same guard/contract as
         # connected_components): the quantized recurrence is exact integer
         # arithmetic — Python // and % on the non-negative longs ARE

@@ -614,18 +614,37 @@ def phrase_suggest(
                 )
             ).alias("p")
         ).select("p.w1", "p.w2")
-        import functools
-        import operator
+        if len(need) <= 256:
+            import functools
+            import operator
 
-        pair_pred = functools.reduce(
-            operator.or_,
-            [
-                (F.col("w1") == F.lit(a)) & (F.col("w2") == F.lit(b))
-                for a, b in sorted(need)
-            ],
-        )
+            pair_pred = functools.reduce(
+                operator.or_,
+                [
+                    (F.col("w1") == F.lit(a)) & (F.col("w2") == F.lit(b))
+                    for a, b in sorted(need)
+                ],
+            )
+            filtered = pairs.where(pair_pred)
+        else:
+            # ADVICE r14 item 1: the OR-chain grows as
+            # (len(probe)-1)*cand_size^2 equality conjunctions — fine at
+            # the defaults (<= 18 terms) but a large cand_size/probe would
+            # blow Catalyst analysis and the 64KB codegen method limit.
+            # Above a small threshold, prefilter with a broadcast
+            # left-semi join on the candidate pair set instead.
+            import pandas as pd
+
+            spark_l = docs.sparkSession
+            need_df = spark_l.createDataFrame(
+                pd.DataFrame(sorted(need), columns=["w1", "w2"]),
+                schema="w1 string, w2 string",
+            )
+            filtered = pairs.join(
+                F.broadcast(need_df), ["w1", "w2"], "left_semi"
+            )
         for r in (
-            pairs.where(pair_pred)
+            filtered
             .groupBy("w1", "w2")
             .agg(F.count(F.lit(1)).cast("long").alias("cb"))
             .collect()
@@ -651,7 +670,21 @@ def phrase_suggest(
         + [f"cb{i} bigint" for i in range(n - 1)]
         + [f"cu{i} bigint" for i in range(n - 1)]
     )
-    scored = spark.createDataFrame(phrase_rows, schema)
+    # Arrow literal frame (ADVICE r14 item 2): the plain-tuple path decodes
+    # through a Python-RDD scan that spawns a Python worker on every
+    # action; phrase_rows is the largest literal frame in the module
+    # (cand_size**len(probe) rows).
+    import pandas as pd
+
+    scored = spark.createDataFrame(
+        pd.DataFrame(
+            phrase_rows,
+            columns=[f"t{i}" for i in range(n)]
+            + [f"cb{i}" for i in range(n - 1)]
+            + [f"cu{i}" for i in range(n - 1)],
+        ),
+        schema=schema,
+    )
     score = None
     for i in range(n - 1):
         lp = F.floor(
