@@ -74,7 +74,19 @@ def main() -> None:
             t1 = time.time()
             df.write.format("noop").mode("overwrite").save()
             t2 = time.time()
-            if _steal_ticks() - s0 > STEAL_TICKS_MAX:
+            # steal budget scales with the window's CPU exposure: a fixed
+            # 25-tick cap rejects every multi-second 32-core window on
+            # this host (r15 — the mm_* family measured 0 clean runs out
+            # of 36, because a fully loaded 32-vCPU burn shows a
+            # SYSTEMATIC ~6% steal share on this hypervisor, distinct from
+            # the 2-18 s burst events r14 documented). Allow up to 10% of
+            # (elapsed x cores): the steady-state component passes — it is
+            # part of the machine's real throughput — while burst windows
+            # (>=50% shares) still retry. Fixed cap stays the floor for
+            # sub-second windows.
+            ncpu = os.cpu_count() or 32
+            budget = max(STEAL_TICKS_MAX, int(0.10 * 100 * ncpu * (t2 - t0)))
+            if _steal_ticks() - s0 > budget:
                 dirty += 1
                 continue
             clean += 1
