@@ -60,6 +60,11 @@ def _qid(name: str) -> str:
     return "`" + name.replace("`", "``") + "`"
 
 
+def _qstr(s: str) -> str:
+    """A SQL string literal (error messages embed caller column names)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def _ms_sql(col_sql: str, dtype: T.DataType) -> str:
     """SQL-text twin of :func:`functions.time.to_epoch_ms` — the whole
     operator prefix is built as SQL strings since r15 so construction is
@@ -615,15 +620,15 @@ def _prepare_flows(df, start_col, end_col, value_col, sampling_col, p, validate)
     if validate:
         s = _check_sql(
             f"({s}) >= 0",
-            f"concat('field [{start_col}] must be >= 0, got ',"
+            f"concat({_qstr(f'field [{start_col}] must be >= 0, got ')},"
             f" CAST(({s}) AS STRING))",
             s,
             "BIGINT",
         )
         e = _check_sql(
             f"(({e}) >= 0) AND (({e}) >= ({s}))",
-            f"concat('field [{end_col}] must be >= 0 and >= [{start_col}],"
-            f" got ', CAST(({e}) AS STRING))",
+            f"concat({_qstr(f'field [{end_col}] must be >= 0 and >= [{start_col}], got ')},"
+            f" CAST(({e}) AS STRING))",
             e,
             "BIGINT",
         )

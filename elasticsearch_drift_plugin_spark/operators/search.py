@@ -230,24 +230,40 @@ def more_like_this(
     ``docs.count()`` is a zero-column scan (parquet footer row counts).
     """
     n_docs = docs.count()  # O(1) catalog scalar, like corpus.tfidf_top_terms
-    toks = (
-        docs.select(
-            "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
-        )
+    # df = #docs containing the term: per-doc array_distinct BEFORE the
+    # explode (the r14 corpus-dedup move) makes the doc-level dedup
+    # map-side, so the corpus pays ONE term-keyed exchange instead of the
+    # old (doc_id, term) pre-aggregation + second term agg; the seed's tf
+    # comes from tokenizing just the seed document (the doc_id filter
+    # pushes to the scan), broadcast-joined onto the df table (r15,
+    # guide §2.3 — plan: 3 hash exchanges -> 1). Same tf/df/idf values,
+    # same (w_q desc, term) ranking.
+    seed_toks = (
+        docs.where(F.col("doc_id") == seed_doc_id)
+        .select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"))
         .where(F.col("term") != "")
-        .groupBy("doc_id", "term")
+        .groupBy("term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = (
+        docs.select(
+            F.explode(
+                F.array_distinct(F.split(F.lower(F.col("text")), " "))
+            ).alias("term")
+        )
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     idf_q = F.floor(
         F.log(F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1.0)))
         * F.lit(float(QUANT))
     ).alias("idf_q")
-    # ONE execution of the corpus TF/IDF tree: the seed's top terms,
+    # ONE execution of the corpus df tree: the seed's top terms,
     # driver-sized (n_terms rows), carrying each term's idf quanta
     seed_rows = (
-        toks.join(dfreq.select("term", idf_q), "term")
-        .where(F.col("doc_id") == seed_doc_id)
+        dfreq.select("term", idf_q)
+        .join(F.broadcast(seed_toks), "term")
         .select("term", "idf_q", (F.col("tf") * F.col("idf_q")).alias("w_q"))
         .orderBy(F.col("w_q").desc(), "term")
         .limit(n_terms)
