@@ -325,16 +325,12 @@ BENCH_QUERIES = [
 # round's new registrations belong here, so the warmup cost stays
 # bounded while established queries keep their cheap 2-shot timing.
 FIRST_WINDOW_WARMUP = [
-    "es_theta_set_ops",
-    "es_cardinality_tol",
-    "stats_quantiles_kll_rank",
-    "emb_kmeans_recall",
-    "corpus_bpe_bounds",
-    "es_percolate_batch",
-    "stream_percolate_batch",
-    "es_search_template_cond",
-    # kernel swap (r14): first window under the directional GEMM plan
-    "dedup_containment_dir",
+    # r15 adds no new registrations; these three run their first committed
+    # window under structurally NEW plans (BPE driver routing + Arrow
+    # literal frames; the single-pass more_like_this seed collect)
+    "corpus_bpe_train_dist",
+    "corpus_bpe_train",
+    "es_more_like_this",
 ]
 
 
